@@ -1,13 +1,399 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.types._
+
+import graft.dsl._
+import graft.functions.PF
+import graft.joins.Joins
+import graft.sources.Tables
+
+/** Driver contract — one `queries` entry (+ DuckDB oracle SQL) per
+  * implemented operator from SURVEY.md §2. All queries are built through
+  * the graft DSL so the library itself is what's under test.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, d: String, name: String): PTable =
+    Tables.load(s, d, name)
+
+  /** Flagship query on sf=0.001 (SURVEY §7.2 vertical slice):
+    * customer {nation => population} order {^population}.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q06_join_auto")(spark, "/root/testdata/sf0.001")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // ---- §2.2 projection / selection ------------------------------------
+    "q01_projection" -> ((s, d) =>
+      t(s, d, "customer").project(
+        "c_custkey",
+        "name_upper" -> F.upper(col("c_name")),
+        "bal" -> col("c_acctbal")).df),
+
+    "q02_selection" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_quantity") > 30, PF.eq(col("l_returnflag"), lit("R")))
+        .project("l_orderkey", "l_linenumber", "l_quantity").df),
+
+    "q02b_project_ellipsis" -> ((s, d) =>
+      t(s, d, "nation").projectAll(
+        exclude = Seq("n_regionkey"),
+        extra = Seq(NamedCol("upper_name", F.upper(col("n_name"))))).df),
+
+    // ---- §2.4 aggregation ------------------------------------------------
+    "q03_groupby_agg" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")(
+        "num" -> F.count(lit(1)),
+        "sum_qty" -> PF.dsum(col("l_quantity")),
+        "avg_price" -> PF.davg(col("l_extendedprice")),
+        "min_disc" -> F.min(col("l_discount")),
+        "max_tax" -> F.max(col("l_tax"))
+      ).orderBy("l_returnflag", "l_linestatus").df),
+
+    "q04_global_agg" -> ((s, d) =>
+      t(s, d, "orders").aggAll(
+        "num" -> F.count(lit(1)),
+        "total" -> PF.dsum(col("o_totalprice")),
+        "first_date" -> F.min(col("o_orderdate")),
+        "last_date" -> F.max(col("o_orderdate"))).df),
+
+    "q05_distinct_keys" -> ((s, d) =>
+      t(s, d, "customer").groupBy("c_mktsegment")().df),
+
+    "q05b_agg_stats" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus")(
+        "n_cust" -> F.countDistinct(col("o_custkey")),
+        "n_high" -> PF.countTrue(col("o_totalprice") > 100000),
+        "n_low" -> PF.countFalse(col("o_totalprice") > 100000),
+        "sd_price" -> PF.dstddev(col("o_totalprice"))
+      ).orderBy("o_orderstatus").df),
+
+    // ---- §2.3 joins ------------------------------------------------------
+    "q06_join_auto" -> ((s, d) =>
+      Joins.join("c" -> t(s, d, "customer"), "n" -> t(s, d, "nation"))
+        .groupBy("n_name" -> col("n.n_name"))(
+          "population" -> F.count(lit(1)))
+        .orderBy(desc("population"), "n_name").df),
+
+    "q07_leftjoin" -> ((s, d) =>
+      Joins.leftjoin("c" -> t(s, d, "customer"), "o" -> t(s, d, "orders"))
+        .groupBy("c_custkey" -> col("c.c_custkey"))(
+          "num_orders" -> F.count(col("o.o_orderkey"))).df),
+
+    "q08_outerjoin" -> ((s, d) =>
+      Joins.outerjoinOn(col("su.s_suppkey") === col("c.c_custkey"),
+        "su" -> t(s, d, "supplier"), "c" -> t(s, d, "customer"))
+        .project(
+          "s_suppkey" -> col("su.s_suppkey"),
+          "s_name" -> col("su.s_name"),
+          "c_custkey" -> col("c.c_custkey"),
+          "c_name" -> col("c.c_name")).df),
+
+    "q09_joinall_theta" -> ((s, d) =>
+      Joins.joinall("r" -> t(s, d, "region"), "n" -> t(s, d, "nation"))
+        .where(col("n.n_regionkey") =!= col("r.r_regionkey"))
+        .project("r_name" -> col("r.r_name"), "n_name" -> col("n.n_name")).df),
+
+    "q10_semijoin" -> ((s, d) =>
+      Joins.semi(t(s, d, "customer"), "c_custkey",
+          t(s, d, "orders"), "o_custkey")
+        .project("c_custkey", "c_name").df),
+
+    "q11_antijoin" -> ((s, d) =>
+      Joins.anti(t(s, d, "customer"), "c_custkey",
+          t(s, d, "orders").where(col("o_totalprice") > 300000), "o_custkey")
+        .project("c_custkey", "c_name").df),
+
+    "q12_zipjoin" -> ((s, d) => {
+      val a = t(s, d, "nation").orderBy("n_name").project("n_name")
+      val b = t(s, d, "region").orderBy("r_name").project("r_name")
+      Joins.zipjoin(a, b).project(
+        "n_name" -> col("a.n_name"), "r_name" -> col("b.r_name")).df
+    }),
+
+    // ---- §2.7 set operations --------------------------------------------
+    "q13_union_all" -> ((s, d) =>
+      (t(s, d, "customer").project("key" -> col("c_nationkey")) +
+        t(s, d, "supplier").project("key" -> col("s_nationkey"))).df),
+
+    "q14_union" -> ((s, d) =>
+      (t(s, d, "customer").project("key" -> col("c_nationkey")) |
+        t(s, d, "supplier").project("key" -> col("s_nationkey"))).df),
+
+    "q15_intersect" -> ((s, d) =>
+      (t(s, d, "customer").project("key" -> col("c_nationkey")) &
+        t(s, d, "supplier").project("key" -> col("s_nationkey"))).df),
+
+    "q16_except" -> ((s, d) =>
+      (t(s, d, "part").project("key" -> col("p_size")) -
+        t(s, d, "nation").project("key" -> col("n_nationkey"))).df),
+
+    // ---- §2.6 sort / slice / top-k --------------------------------------
+    "q17_order_slice" -> ((s, d) =>
+      t(s, d, "customer")
+        .orderBy(desc("c_acctbal"), "c_custkey")
+        .slice(10, 25)
+        .project("c_custkey", "c_acctbal").df),
+
+    "q18_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .project("o_orderkey", "o_totalprice").df),
+
+    "q19_one" -> ((s, d) => {
+      val pt = t(s, d, "customer").where(col("c_custkey") === 1)
+        .project("c_custkey", "c_name")
+      val row = pt.one()
+      s.createDataFrame(java.util.Arrays.asList(row), pt.schema)
+    }),
+
+    // ---- §2.5 window: enum ----------------------------------------------
+    "q20_enum" -> ((s, d) =>
+      t(s, d, "nation").orderBy("n_name").enum("index")
+        .project("index", "n_nationkey", "n_name").df),
+
+    // ---- agg: bare column → array (collect) -----------------------------
+    "q21_collect" -> ((s, d) =>
+      Joins.join("n" -> t(s, d, "nation"), "r" -> t(s, d, "region"))
+        .groupBy("r_name" -> col("r.r_name"))(
+          "names" -> F.array_join(
+            F.sort_array(F.collect_list(col("n.n_name"))), ",")).df),
+
+    // ---- §2.8 scalar functions ------------------------------------------
+    "q22_strings" -> ((s, d) =>
+      t(s, d, "part").project(
+        "p_partkey",
+        "up" -> F.upper(col("p_name")),
+        "lo" -> F.lower(col("p_brand")),
+        "len" -> F.length(col("p_name")),
+        "idx" -> PF.strIndex(col("p_name"), lit("a")),
+        "sl" -> PF.strSlice(col("p_name"), lit(2), lit(8)),
+        "rep" -> PF.strRepeat(col("p_brand"), lit(2)),
+        "has" -> PF.strContains(col("p_name"), lit("green"))).df),
+
+    "q23_datetime" -> ((s, d) =>
+      t(s, d, "orders").project(
+        "o_orderkey",
+        "y" -> PF.year(col("o_orderdate")),
+        "m" -> PF.month(col("o_orderdate")),
+        "dy" -> PF.day(col("o_orderdate")),
+        "dow" -> PF.dayOfWeek(col("o_orderdate")),
+        "woy" -> PF.weekOfYear(col("o_orderdate"))).df),
+
+    "q24_casts" -> ((s, d) =>
+      t(s, d, "orders").project(
+        "o_orderkey",
+        "key_str" -> col("o_orderkey").cast(StringType),
+        "price_int" -> col("o_totalprice").cast(LongType),
+        "parsed" -> PF.strictToInt(col("o_orderkey").cast(StringType)),
+        "flag" -> PF.numToBool(col("o_orderkey") % 2)).df),
+
+    "q25_arith" -> ((s, d) =>
+      t(s, d, "lineitem").project(
+        "l_orderkey", "l_linenumber",
+        "fdiv" -> PF.floorDiv(col("l_partkey"), lit(7)),
+        "mod7" -> col("l_partkey") % 7,
+        "fl" -> PF.div(col("l_partkey"), lit(7)),
+        "sq" -> col("l_quantity") * col("l_quantity")).df),
+
+    "q26_nullsafe_eq" -> ((s, d) =>
+      Joins.leftjoin("c" -> t(s, d, "customer"), "o" -> t(s, d, "orders"))
+        .project(
+          "c_custkey" -> col("c.c_custkey"),
+          "o_orderkey" -> col("o.o_orderkey"),
+          "is_open" -> PF.eq(col("o.o_orderstatus"), lit("O")),
+          "no_order" -> PF.eq(col("o.o_orderkey"), lit(null))).df),
+
+    "q27_if_expr" -> ((s, d) =>
+      t(s, d, "customer").project(
+        "c_custkey",
+        "bal_class" -> when(col("c_acctbal") < 0, lit("neg"))
+          .when(col("c_acctbal") < 5000, lit("mid"))
+          .otherwise(lit("high"))).df),
+
+    "q28_in_like" -> ((s, d) =>
+      t(s, d, "customer")
+        .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"),
+          col("c_name").like("%1%"))
+        .project("c_custkey", "c_name", "c_mktsegment").df),
+
+    // ---- §2.1 literal sources -------------------------------------------
+    "q29_range" -> ((s, d) =>
+      PTable.range(s, 1, 1001).aggAll("total" -> F.sum(col("item"))).df),
+
+    "q30_list_literal" -> ((s, d) =>
+      PTable.fromList(s, Seq(3, 1, 4, 1, 5, 9, 2, 6)).distinct
+        .orderBy("item").df),
+
+    // ---- §2.9 mutation (copy-on-write) ----------------------------------
+    "q31_update" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .update(PF.eq(col("l_returnflag"), lit("R")))(
+          "l_discount" -> lit(0.0))
+        .project("l_orderkey", "l_linenumber", "l_returnflag", "l_discount").df),
+
+    "q32_delete" -> ((s, d) =>
+      t(s, d, "orders")
+        .delete(PF.eq(col("o_orderstatus"), lit("F")))
+        .project("o_orderkey", "o_orderstatus").df),
+
+    // ---- §2.11 table-generating (map_range / explode) -------------------
+    "q33_map_range" -> ((s, d) =>
+      t(s, d, "nation").project(
+        "n_nationkey",
+        "i" -> F.explode(F.sequence(lit(0), F.pmod(col("n_nationkey"), lit(3))))).df),
+
+    // ---- sampling --------------------------------------------------------
+    "q34_sample" -> ((s, d) =>
+      t(s, d, "customer")
+        .sampleByKey(col("c_custkey"), 100, 10)
+        .project("c_custkey", "c_name").df)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_projection" ->
+      "SELECT c_custkey, upper(c_name) AS name_upper, c_acctbal AS bal FROM customer",
+    "q02_selection" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'",
+    "q02b_project_ellipsis" ->
+      "SELECT n_nationkey, n_name, upper(n_name) AS upper_name FROM nation",
+    "q03_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS num,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+         min(l_discount) AS min_disc, max(l_tax) AS max_tax
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q04_global_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS num,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         min(o_orderdate) AS first_date, max(o_orderdate) AS last_date FROM orders""",
+    "q05_distinct_keys" ->
+      "SELECT DISTINCT c_mktsegment FROM customer",
+    "q05b_agg_stats" ->
+      """SELECT o_orderstatus,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+         CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+         CAST(sum(CASE WHEN o_totalprice > 100000 THEN 0 ELSE 1 END) AS BIGINT) AS n_low,
+         sqrt((CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)
+           - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice))
+           / (count(o_totalprice) - 1.0)) AS sd_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q06_join_auto" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS population
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY population DESC, n_name""",
+    "q07_leftjoin" ->
+      """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS num_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+    "q08_outerjoin" ->
+      """SELECT s_suppkey, s_name, c_custkey, c_name
+         FROM supplier FULL OUTER JOIN customer ON s_suppkey = c_custkey""",
+    "q09_joinall_theta" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         WHERE n_regionkey <> r_regionkey""",
+    "q10_semijoin" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+    "q11_antijoin" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)",
+    "q12_zipjoin" ->
+      """SELECT a.n_name, b.r_name FROM
+         (SELECT n_name, row_number() OVER (ORDER BY n_name) AS rn FROM nation) a
+         JOIN (SELECT r_name, row_number() OVER (ORDER BY r_name) AS rn FROM region) b
+         ON a.rn = b.rn""",
+    "q13_union_all" ->
+      """SELECT c_nationkey AS key FROM customer
+         UNION ALL SELECT s_nationkey AS key FROM supplier""",
+    "q14_union" ->
+      """SELECT c_nationkey AS key FROM customer
+         UNION SELECT s_nationkey AS key FROM supplier""",
+    "q15_intersect" ->
+      """SELECT c_nationkey AS key FROM customer
+         INTERSECT SELECT s_nationkey AS key FROM supplier""",
+    "q16_except" ->
+      """SELECT p_size AS key FROM part
+         EXCEPT SELECT n_nationkey AS key FROM nation""",
+    "q17_order_slice" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 15 OFFSET 10""",
+    "q18_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q19_one" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey = 1",
+    "q20_enum" ->
+      """SELECT CAST(row_number() OVER (ORDER BY n_name) - 1 AS BIGINT) AS index,
+         n_nationkey, n_name FROM nation""",
+    "q21_collect" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS names
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q22_strings" ->
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+         CAST(length(p_name) AS INT) AS len,
+         CAST(instr(p_name, 'a') - 1 AS INT) AS idx,
+         substr(p_name, 3, 6) AS sl,
+         repeat(p_brand, 2) AS rep,
+         contains(p_name, 'green') AS has
+         FROM part""",
+    "q23_datetime" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INT) AS y,
+         CAST(month(o_orderdate) AS INT) AS m,
+         CAST(day(o_orderdate) AS INT) AS dy,
+         CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+         CAST(weekofyear(o_orderdate) AS INT) AS woy
+         FROM orders""",
+    "q24_casts" ->
+      """SELECT o_orderkey,
+         CAST(o_orderkey AS VARCHAR) AS key_str,
+         CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+         CAST(o_orderkey AS VARCHAR)::BIGINT AS parsed,
+         (o_orderkey % 2) <> 0 AS flag
+         FROM orders""",
+    "q25_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(floor(CAST(l_partkey AS DOUBLE) / 7) AS BIGINT) AS fdiv,
+         l_partkey % 7 AS mod7,
+         CAST(l_partkey AS DOUBLE) / 7 AS fl,
+         l_quantity * l_quantity AS sq
+         FROM lineitem""",
+    "q26_nullsafe_eq" ->
+      """SELECT c_custkey, o_orderkey,
+         o_orderstatus IS NOT DISTINCT FROM 'O' AS is_open,
+         o_orderkey IS NOT DISTINCT FROM NULL AS no_order
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey""",
+    "q27_if_expr" ->
+      """SELECT c_custkey,
+         CASE WHEN c_acctbal < 0 THEN 'neg'
+              WHEN c_acctbal < 5000 THEN 'mid'
+              ELSE 'high' END AS bal_class
+         FROM customer""",
+    "q28_in_like" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AND c_name LIKE '%1%'""",
+    "q29_range" ->
+      "SELECT CAST(sum(range) AS BIGINT) AS total FROM range(1, 1001)",
+    "q30_list_literal" ->
+      "SELECT DISTINCT CAST(item AS BIGINT) AS item FROM (VALUES (3),(1),(4),(1),(5),(9),(2),(6)) AS t(item) ORDER BY item",
+    "q31_update" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+         CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_discount END AS l_discount
+         FROM lineitem""",
+    "q32_delete" ->
+      "SELECT o_orderkey, o_orderstatus FROM orders WHERE NOT (o_orderstatus = 'F')",
+    "q33_map_range" ->
+      """SELECT n_nationkey, CAST(u.i AS INT) AS i
+         FROM nation, LATERAL (SELECT unnest(range(0, (n_nationkey % 3) + 1)) AS i) u""",
+    "q34_sample" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE (c_custkey * 2654435761) % 100 < 10"""
+  )
 }

@@ -1,0 +1,201 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.types.TableMeta
+
+/** A named/aliased column: `name: expr` in a Preql projection
+  * (reference: preql/core/pql_ast.py:152-162 NamedField; auto-naming
+  * guess_field_name at compiler.py:131-148).
+  */
+final case class NamedCol(name: String, col: Column)
+
+/** Sort key with direction; Preql `^x` = descending
+  * (reference: preql/core/compiler.py:283-303).
+  */
+final case class Sort(col: Column, ascending: Boolean = true) {
+  def spark: Column = if (ascending) col.asc else col.desc
+}
+
+/** The engine's table value: a lazy Spark DataFrame plus engine-level
+  * metadata (pk / fk). Semantically the reference's `TableInstance`
+  * (type + deferred SQL tree, reference: preql/core/pql_objects.py:291-376)
+  * — but the "deferred tree" here is Catalyst's logical plan, so every
+  * chained operation stays declarative and the optimizer sees the whole
+  * query (predicate pushdown / column pruning / join reorder for free).
+  *
+  * All operators are plan-building; nothing executes until an action.
+  */
+final class PTable(val df: DataFrame, val meta: TableMeta) {
+
+  private def sameMeta(d: DataFrame): PTable = new PTable(d, meta)
+  private def anon(d: DataFrame): PTable = new PTable(d, TableMeta.empty)
+
+  def spark: SparkSession = df.sparkSession
+  def schema: StructType = df.schema
+  def columns: Seq[String] = df.columns.toSeq
+
+  // ---- selection: t[cond1, cond2] (reference compiler.py:583-613) --------
+  def where(conds: Column*): PTable =
+    sameMeta(conds.foldLeft(df)((d, c) => d.filter(c)))
+
+  // ---- projection: t{a, name: expr, ...} (reference compiler.py:186-280) -
+  def project(cols: NamedCol*): PTable = {
+    val names = cols.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate columns in projection: $names")
+    anon(df.select(cols.map(c => c.col.as(c.name)): _*))
+  }
+
+  /** Ellipsis projection `{..., extra}` / `{... !excluded}`:
+    * remaining columns in declaration order, minus exclusions, plus
+    * overrides appended (reference: compiler.py:80-128).
+    */
+  def projectAll(exclude: Seq[String] = Nil, extra: Seq[NamedCol] = Nil): PTable = {
+    val overridden = extra.map(_.name).toSet
+    val keep = df.columns.filterNot(c => exclude.contains(c) || overridden(c))
+    anon(df.select(keep.map(F.col).toSeq ++ extra.map(c => c.col.as(c.name)): _*))
+  }
+
+  // ---- group-by: t{keys => aggs} (reference compiler.py:217-280) ---------
+  /** `{keys => aggs}`. Spark plans partial (map-side) + final
+    * aggregation automatically — at 100 TB the shuffle carries one row
+    * per (partition, key), not per input row.
+    */
+  def groupBy(keys: NamedCol*)(aggs: NamedCol*): PTable = {
+    val keyed = df.groupBy(keys.map(k => k.col.as(k.name)): _*)
+    aggs.toList match {
+      case Nil =>
+        // {keys =>} — distinct key combinations (compiler.py:275-280)
+        anon(df.select(keys.map(k => k.col.as(k.name)): _*).distinct())
+      case a :: rest =>
+        anon(keyed.agg(a.col.as(a.name), rest.map(c => c.col.as(c.name)): _*))
+    }
+  }
+
+  /** `{=> aggs}` — global aggregation to a single row. */
+  def aggAll(aggs: NamedCol*): PTable =
+    anon(df.agg(aggs.head.col.as(aggs.head.name),
+      aggs.tail.map(c => c.col.as(c.name)): _*))
+
+  // ---- order / slice (reference compiler.py:283-303, 555-580) ------------
+  def orderBy(keys: Sort*): PTable = sameMeta(df.orderBy(keys.map(_.spark): _*))
+
+  /** `t[a..b]` — 0-based, end-exclusive. Spark's native OFFSET/LIMIT;
+    * Catalyst plans GlobalLimit/CollectLimit (no single-partition sort
+    * unless an orderBy precedes it).
+    */
+  def slice(from: Int, until: Int): PTable =
+    sameMeta(if (from == 0) df.limit(until) else df.offset(from).limit(until - from))
+
+  def limit(n: Int): PTable = sameMeta(df.limit(n))
+  def page(index: Int, pageSize: Int): PTable =
+    slice((index - 1) * pageSize, index * pageSize)
+
+  // ---- set operations (reference pql_functions.py:385-417) ---------------
+  /** `t1 + t2` = UNION ALL. */
+  def +(o: PTable): PTable = anon(df.unionAll(o.df))
+  /** `t1 | t2` = UNION (distinct). */
+  def |(o: PTable): PTable = anon(df.unionAll(o.df).distinct())
+  /** `t1 & t2` = INTERSECT. */
+  def &(o: PTable): PTable = anon(df.intersect(o.df))
+  /** `t1 - t2` = EXCEPT. */
+  def -(o: PTable): PTable = anon(df.except(o.df))
+
+  // ---- row-level ops -----------------------------------------------------
+  def distinct: PTable = anon(df.distinct())
+
+  /** `one`: assert exactly one row, return it
+    * (reference evaluate.py:679-709).
+    */
+  def one(): Row = {
+    val rows = df.take(2)
+    require(rows.length == 1, s"'one' expected 1 row, got ${rows.length}")
+    rows(0)
+  }
+
+  /** `one?`: zero rows → None. */
+  def oneOpt(): Option[Row] = {
+    val rows = df.take(2)
+    require(rows.length <= 1, s"'one?' expected <=1 row, got >=2")
+    rows.headOption
+  }
+
+  /** LIMIT-1 existence probe (reference __builtins__.pql:192-197). */
+  def isEmpty: Boolean = df.isEmpty
+
+  /** `enum(t)`: attach a 0-based row index in the table's current order
+    * (reference __builtins__.pql:290-311: row_number() over () - 1).
+    *
+    * Scale note (SURVEY §4): a no-partition window collapses to ONE
+    * partition. We instead zipWithIndex: per-partition counting + an
+    * offset pass — fully parallel, order-preserving.
+    */
+  def enum(indexName: String = "index"): PTable = {
+    val out = StructType(StructField(indexName, LongType, nullable = false) +: df.schema.fields)
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
+    anon(df.sparkSession.createDataFrame(rdd, out))
+  }
+
+  /** Deterministic sample by pk hash arithmetic — see PF.keyedSample. */
+  def sampleByKey(key: Column, m: Int, keep: Int): PTable =
+    sameMeta(df.filter(graft.functions.PF.keyedSample(key, m, keep)))
+
+  // ---- copy-on-write mutation (reference evaluate.py:712-806) ------------
+  /** `t update {col: expr} [conds]`: rows matching conds get the new
+    * column values; all rows are returned (copy-on-write — Spark
+    * DataFrames are immutable, so "update" is a projection).
+    */
+  def update(conds: Column)(assignments: (String, Column)*): PTable = {
+    val amap = assignments.toMap
+    val cols = df.columns.map { c =>
+      amap.get(c) match {
+        case Some(expr) => F.when(conds, expr).otherwise(F.col(c)).as(c)
+        case None       => F.col(c)
+      }
+    }
+    sameMeta(df.select(cols.toSeq: _*))
+  }
+
+  /** `t delete [conds]`: returns the remaining rows
+    * (reference evaluate.py:720-754).
+    */
+  def delete(conds: Column): PTable = sameMeta(df.filter(!conds))
+
+  // ---- plumbing ----------------------------------------------------------
+  def cache(): PTable = sameMeta(df.cache())
+  def named(n: String): PTable = new PTable(df, meta.copy(name = n))
+  def withMeta(m: TableMeta): PTable = new PTable(df, m)
+}
+
+object PTable {
+  def apply(df: DataFrame, meta: TableMeta = TableMeta.empty): PTable =
+    new PTable(df, meta)
+
+  /** Literal list `[1,2,3]` — a single-column table named `item`
+    * (reference: pql_types.py:273 ITEM_NAME, compiler.py:394-437).
+    */
+  def fromList[T](spark: SparkSession, values: Seq[T]): PTable = {
+    import spark.implicits._
+    val df = values match {
+      case vs: Seq[_] if vs.headOption.exists(_.isInstanceOf[Int]) =>
+        vs.asInstanceOf[Seq[Int]].map(_.toLong).toDF("item")
+      case vs: Seq[_] if vs.headOption.exists(_.isInstanceOf[Long]) =>
+        vs.asInstanceOf[Seq[Long]].toDF("item")
+      case vs: Seq[_] if vs.headOption.exists(_.isInstanceOf[String]) =>
+        vs.asInstanceOf[Seq[String]].toDF("item")
+      case vs: Seq[_] if vs.headOption.exists(_.isInstanceOf[Double]) =>
+        vs.asInstanceOf[Seq[Double]].toDF("item")
+      case _ => throw new IllegalArgumentException("unsupported literal list")
+    }
+    new PTable(df, TableMeta.empty)
+  }
+
+  /** `[start..stop]` integer range, end-exclusive
+    * (reference compiler.py:677-712). spark.range is already a
+    * distributed, splittable source.
+    */
+  def range(spark: SparkSession, start: Long, stop: Long): PTable =
+    new PTable(spark.range(start, stop).toDF("item"), TableMeta.empty)
+}

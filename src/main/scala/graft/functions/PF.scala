@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions.{lit, when}
+import org.apache.spark.sql.types._
+
+/** Scalar + aggregate function library with the reference engine's
+  * semantics, built on codegen'd `org.apache.spark.sql.functions`
+  * (never Scala UDFs in the hot path).
+  *
+  * Semantics pinned by the reference and its tests:
+  *  - `==` is null-safe (compiles to IS NOT DISTINCT FROM,
+  *    reference: preql/core/sql.py:349-368) → `eq` uses `<=>`.
+  *  - `/` always yields float; `/~` is floor division
+  *    (reference: preql/core/compile_binops.py:211-243).
+  *  - `and`/`or` have value semantics (return an operand, not a bool)
+  *    via CASE WHEN (reference: preql/core/compiler.py:313-339).
+  *  - string `in` is substring containment
+  *    (reference: preql/core/compile_binops.py:141-168).
+  *  - strict string→int cast errors on junk
+  *    (reference: preql/core/casts.py:77-93).
+  */
+object PF {
+
+  // ---- comparisons -------------------------------------------------------
+  /** Null-safe equality: Preql `==`. */
+  def eq(a: Column, b: Column): Column = a <=> b
+  def neq(a: Column, b: Column): Column = !(a <=> b)
+
+  // ---- arithmetic --------------------------------------------------------
+  /** Preql `/`: always float division, regardless of operand types. */
+  def div(a: Column, b: Column): Column =
+    a.cast(DoubleType) / b.cast(DoubleType)
+
+  /** Preql `/~`: floor division; int/int stays int. */
+  def floorDiv(a: Column, b: Column): Column =
+    F.floor(a.cast(DoubleType) / b.cast(DoubleType)).cast(LongType)
+
+  /** Preql `**`: float power. */
+  def pow(a: Column, b: Column): Column = F.pow(a, b)
+
+  /** String `*` n: repetition (reference: __builtins__.pql:282). */
+  def strRepeat(s: Column, n: Column): Column = F.repeat(s, n.cast(IntegerType))
+
+  // ---- value-semantics boolean ops (Python-like and/or/not) --------------
+  /** Preql `a and b`: returns b if a is truthy else a. Pass the operand
+    * type so truthiness works on unresolved columns (bool default).
+    */
+  def vAnd(a: Column, b: Column, ty: DataType = BooleanType): Column =
+    when(truthy(a, ty), b).otherwise(a)
+
+  /** Preql `a or b`: returns a if a is truthy else b. */
+  def vOr(a: Column, b: Column, ty: DataType = BooleanType): Column =
+    when(truthy(a, ty), a).otherwise(b)
+
+  def vNot(a: Column, ty: DataType = BooleanType): Column = !truthy(a, ty)
+
+  /** Truthiness: bool as-is; numbers != 0; strings != "". */
+  def truthy(a: Column, ty: DataType): Column = ty match {
+    case BooleanType    => a
+    case StringType     => a =!= lit("")
+    case _: NumericType => a =!= lit(0)
+    case _              => a.isNotNull
+  }
+
+  // ---- strings -----------------------------------------------------------
+  /** 0-based index of needle in haystack, -1 when absent
+    * (reference: __builtins__.pql:462-478 `str_index`).
+    */
+  def strIndex(haystack: Column, needle: Column): Column =
+    F.instr(haystack, needle) - 1
+
+  def strContains(haystack: Column, needle: Column): Column =
+    haystack.contains(needle)
+
+  /** 0-based end-exclusive slice `s[a..b]`
+    * (reference: preql/core/sql.py:897-926 StringSlice).
+    */
+  def strSlice(s: Column, from: Column, until: Column): Column =
+    F.substring(s, (from + 1).cast(IntegerType), (until - from).cast(IntegerType))
+
+  def charOf(n: Column): Column = F.chr(n)
+  def charOrd(c: Column): Column = F.ascii(c)
+
+  /** `fmt` string interpolation is plain `concat` composition. */
+  def fmt(parts: Column*): Column = F.concat(parts: _*)
+
+  // ---- casts -------------------------------------------------------------
+  /** Strict string→int: raises on non-numeric input instead of NULL
+    * (reference: preql/core/casts.py:77-93). Codegen-friendly:
+    * try_cast + raise_error, no UDF.
+    */
+  def strictToInt(s: Column): Column = {
+    val casted = s.try_cast(LongType)
+    when(s.isNotNull && casted.isNull,
+      F.raise_error(F.concat(lit("Cannot cast to int: "), s)).cast(LongType))
+      .otherwise(casted)
+  }
+
+  /** number → bool: `!= 0`; string → bool: `!= ""`
+    * (reference casts.py:52-66).
+    */
+  def numToBool(c: Column): Column = c =!= lit(0)
+  def strToBool(c: Column): Column = c =!= lit("")
+
+  // ---- datetime accessors (reference: __builtins__.pql:347-353) ----------
+  def year(c: Column): Column = F.year(c)
+  def month(c: Column): Column = F.month(c)
+  def day(c: Column): Column = F.dayofmonth(c)
+  def hour(c: Column): Column = F.hour(c)
+  def minute(c: Column): Column = F.minute(c)
+  /** 1 = Sunday (Spark convention; a DuckDB oracle must use dow+1). */
+  def dayOfWeek(c: Column): Column = F.dayofweek(c)
+  def weekOfYear(c: Column): Column = F.weekofyear(c)
+
+  // ---- aggregates --------------------------------------------------------
+  def countTrue(c: Column): Column = F.sum(when(c, 1L).otherwise(0L))
+  def countFalse(c: Column): Column = F.sum(when(c, 0L).otherwise(1L))
+
+  /** `approx_product` = exp(sum(ln x)) (reference __builtins__.pql:313-325). */
+  def approxProduct(c: Column): Column = F.exp(F.sum(F.log(c)))
+
+  /** Exact multiplicative aggregate — the reference needs a custom UDAF
+    * for this too (reference: preql/core/sql_interface.py:799-807).
+    * Implemented as a typed Aggregator: partial products combine
+    * associatively, so map-side partial aggregation applies and the
+    * shuffle carries one double per group per partition.
+    */
+  val productAgg: Aggregator[Double, Double, Double] =
+    new Aggregator[Double, Double, Double] {
+      def zero: Double = 1.0
+      def reduce(b: Double, a: Double): Double = b * a
+      def merge(b1: Double, b2: Double): Double = b1 * b2
+      def finish(r: Double): Double = r
+      def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+
+  def product(c: Column): Column =
+    F.udaf(productAgg, Encoders.scalaDouble).apply(c)
+
+  /** Deterministic aggregates over doubles for cross-engine comparison:
+    * sum via exact decimal then correctly-rounded double conversion.
+    * At scale this is also the right call — decimal sums are
+    * order-independent so AQE/partial-agg reordering can't change bits.
+    */
+  def dsum(c: Column, scale: Int = 2): Column =
+    F.sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Deterministic mean: exact decimal sum / count, both exact, one
+    * IEEE division at the end.
+    */
+  def davg(c: Column, scale: Int = 2): Column =
+    F.sum(c.cast(DecimalType(18, scale))).cast(DoubleType) /
+      F.count(c).cast(DoubleType)
+
+  /** Deterministic sample stddev: sqrt((Σx² − (Σx)²/n)/(n−1)) with
+    * exact decimal sums (Spark's stddev_samp is a streaming Welford —
+    * order-dependent bits — so it can't hash-match another engine).
+    */
+  def dstddev(c: Column, scale: Int = 2): Column = {
+    val d = c.cast(DecimalType(18, scale))
+    val sx = F.sum(d).cast(DoubleType)
+    val sxx = F.sum((d * d).cast(DecimalType(38, scale * 2))).cast(DoubleType)
+    val n = F.count(c).cast(DoubleType)
+    F.sqrt((sxx - sx * sx / n) / (n - lit(1.0)))
+  }
+
+  // ---- sampling ----------------------------------------------------------
+  /** Deterministic arithmetic sampling by key: keeps rows where
+    * (key * prime) mod m < keep. Unlike `df.sample`, reproducible across
+    * engines and cluster sizes — the right tool for stable pipeline
+    * sampling at 100 TB (reference's sample_fast uses random(),
+    * __builtins__.pql:515-551; we pin determinism instead).
+    */
+  def keyedSample(key: Column, m: Int, keep: Int): Column =
+    F.pmod(key * lit(2654435761L), lit(m)) < lit(keep)
+}

@@ -1,0 +1,160 @@
+package graft.joins
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.dsl.PTable
+import graft.types.TableMeta
+
+/** The reference's n-ary named join family
+  * (reference: preql/core/pql_functions.py:458-613): every join returns
+  * a table of structs — one struct column per input table.
+  *
+  * Spark-first design notes:
+  *  - We emit plain `df.join` with an equi- or theta-condition and let
+  *    Catalyst choose the physical join. Equi-joins on big tables hash-
+  *    shuffle on the key; call `.broadcastRight()`-style hints via
+  *    `F.broadcast` for dimension tables so 100 TB fact scans never
+  *    shuffle the small side.
+  *  - Struct packing (`F.struct(cols)`) is pure projection — zero
+  *    runtime cost under whole-stage codegen, and column pruning still
+  *    reaches the scan because Catalyst prunes through struct fields.
+  */
+object Joins {
+
+  sealed trait JoinKind { def spark: String }
+  case object Inner extends JoinKind { def spark = "inner" }
+  case object LeftOuter extends JoinKind { def spark = "left_outer" }
+  case object FullOuter extends JoinKind { def spark = "full_outer" }
+  case object Cross extends JoinKind { def spark = "cross" }
+
+  /** One side of a join: alias + table + optional explicit join column
+    * (`join(a: t1.x, b: t2.y)` form).
+    */
+  final case class Side(alias: String, table: PTable, joinCol: Option[String] = None)
+
+  object Side {
+    def apply(p: (String, PTable)): Side = Side(p._1, p._2)
+  }
+
+  /** Auto-join resolution (reference `_auto_join`/`_find_table_reference`
+    * pql_functions.py:439-456, 619-625): find the FK in one side's meta
+    * that references the other side's table; error on ambiguity.
+    */
+  private def autoJoinCond(a: Side, b: Side): Column = {
+    val aFks = a.table.meta.fks.filter(_.refTable == b.table.meta.name)
+    val bFks = b.table.meta.fks.filter(_.refTable == a.table.meta.name)
+    (aFks, bFks) match {
+      case (Seq(fk), Seq()) =>
+        F.col(s"${a.alias}.${fk.column}") === F.col(s"${b.alias}.${fk.refColumn}")
+      case (Seq(), Seq(fk)) =>
+        F.col(s"${b.alias}.${fk.column}") === F.col(s"${a.alias}.${fk.refColumn}")
+      case (Seq(), Seq()) => throw new IllegalArgumentException(
+        s"Cannot auto-join '${a.table.meta.name}' and '${b.table.meta.name}': no FK relation")
+      case _ => throw new IllegalArgumentException(
+        s"Ambiguous auto-join between '${a.table.meta.name}' and '${b.table.meta.name}'")
+    }
+  }
+
+  private def pairCond(a: Side, b: Side, on: Option[Column]): Column =
+    on.getOrElse {
+      (a.joinCol, b.joinCol) match {
+        case (Some(ac), Some(bc)) =>
+          F.col(s"${a.alias}.$ac") === F.col(s"${b.alias}.$bc")
+        case _ => autoJoinCond(a, b)
+      }
+    }
+
+  /** N-ary join folding left; struct-typed output (one struct per side).
+    * `on` (Preql `$on:`) supplies an explicit theta predicate for the
+    * final pair instead of column/FK resolution.
+    */
+  def joinN(kind: JoinKind, sides: Seq[Side], on: Option[Column] = None,
+            broadcastAliases: Set[String] = Set.empty): PTable = {
+    require(sides.size >= 2, "join needs at least 2 tables")
+    def aliased(s: Side): DataFrame = {
+      val d = s.table.df.alias(s.alias)
+      if (broadcastAliases(s.alias)) F.broadcast(d) else d
+    }
+    var joined: DataFrame = aliased(sides.head)
+    var prev: Side = sides.head
+    for (s <- sides.tail) {
+      val cond = if (kind == Cross) null else pairCond(prev, s, if (s == sides.last) on else None)
+      joined =
+        if (kind == Cross) joined.crossJoin(aliased(s))
+        else joined.join(aliased(s), cond, kind.spark)
+      prev = s
+    }
+    val structs = sides.map(s => F.struct(F.col(s"${s.alias}.*")).as(s.alias))
+    PTable(joined.select(structs: _*))
+  }
+
+  /** inner equi-join — `join(a: t1, b: t2)`. */
+  def join(sides: (String, PTable)*): PTable =
+    joinN(Inner, sides.map(Side(_)))
+
+  /** join with explicit theta predicate — `join(..., $on: pred)`. */
+  def joinOn(on: Column, sides: (String, PTable)*): PTable =
+    joinN(Inner, sides.map(Side(_)), Some(on))
+
+  /** left outer join — right structs become null on no-match
+    * (reference pql_functions.py:582-587).
+    */
+  def leftjoin(sides: (String, PTable)*): PTable =
+    joinN(LeftOuter, sides.map(Side(_)))
+
+  def leftjoinOn(on: Column, sides: (String, PTable)*): PTable =
+    joinN(LeftOuter, sides.map(Side(_)), Some(on))
+
+  /** full outer join (reference pql_functions.py:589-594). */
+  def outerjoin(sides: (String, PTable)*): PTable =
+    joinN(FullOuter, sides.map(Side(_)))
+
+  def outerjoinOn(on: Column, sides: (String, PTable)*): PTable =
+    joinN(FullOuter, sides.map(Side(_)), Some(on))
+
+  /** cartesian product — `joinall` (reference pql_functions.py:596-613). */
+  def joinall(sides: (String, PTable)*): PTable =
+    joinN(Cross, sides.map(Side(_)))
+
+  /** semi-join: `t[col in other{c}]` (reference compile_binops.py:154-164).
+    * left_semi never widens rows — at scale this beats `isin(collect)`.
+    */
+  def semi(t: PTable, col: String, other: PTable, otherCol: String): PTable =
+    PTable(t.df.join(other.df, t.df(col) === other.df(otherCol), "left_semi"),
+      t.meta)
+
+  /** anti-join: `t[col !in other{c}]`. */
+  def anti(t: PTable, col: String, other: PTable, otherCol: String): PTable =
+    PTable(t.df.join(other.df, t.df(col) === other.df(otherCol), "left_anti"),
+      t.meta)
+
+  /** Positional zip join (reference __builtins__.pql:167-257): pair rows
+    * by row index, Python-zip semantics. Index attachment uses
+    * zipWithIndex (parallel, order-preserving), never a no-partition
+    * window.
+    */
+  private def indexed(t: PTable, alias: String): DataFrame = {
+    val df = t.df
+    val out = StructType(StructField("_zip_idx", LongType, nullable = false)
+      +: df.schema.fields)
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
+    df.sparkSession.createDataFrame(rdd, out).alias(alias)
+  }
+
+  private def zipKind(a: PTable, b: PTable, kind: String): PTable = {
+    val ia = indexed(a, "a")
+    val ib = indexed(b, "b")
+    val joined = ia.join(ib, F.col("a._zip_idx") === F.col("b._zip_idx"), kind)
+    val sa = F.struct(a.columns.map(c => F.col(s"a.$c")): _*).as("a")
+    val sb = F.struct(b.columns.map(c => F.col(s"b.$c")): _*).as("b")
+    PTable(joined.select(sa, sb))
+  }
+
+  /** zipjoin: stop at the shorter input (inner on index). */
+  def zipjoin(a: PTable, b: PTable): PTable = zipKind(a, b, "inner")
+  /** zipjoin_left: pad b with nulls to a's length. */
+  def zipjoinLeft(a: PTable, b: PTable): PTable = zipKind(a, b, "left_outer")
+  /** zipjoin_longest: pad both (full outer on index). */
+  def zipjoinLongest(a: PTable, b: PTable): PTable = zipKind(a, b, "full_outer")
+}

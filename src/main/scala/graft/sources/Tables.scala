@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.dsl.PTable
+import graft.types.{FK, TableMeta}
+
+/** Source layer: parquet/csv/json readers that attach engine metadata
+  * (pk/fk) to the resulting PTable — the analogue of the reference's
+  * `import_table` + schema reflection (reference:
+  * preql/core/pql_functions.py:689-711, sql_interface.py:431-456).
+  *
+  * The TPC-H-ish testdata FK graph mirrors the reference's
+  * Person→Country fixture chain (customer→nation→region).
+  */
+object Tables {
+
+  val metas: Map[String, TableMeta] = Map(
+    "region" -> TableMeta("region", pk = Seq("r_regionkey")),
+    "nation" -> TableMeta("nation", pk = Seq("n_nationkey"),
+      fks = Seq(FK("n_regionkey", "region", "r_regionkey"))),
+    "customer" -> TableMeta("customer", pk = Seq("c_custkey"),
+      fks = Seq(FK("c_nationkey", "nation", "n_nationkey"))),
+    "supplier" -> TableMeta("supplier", pk = Seq("s_suppkey"),
+      fks = Seq(FK("s_nationkey", "nation", "n_nationkey"))),
+    "part" -> TableMeta("part", pk = Seq("p_partkey")),
+    "orders" -> TableMeta("orders", pk = Seq("o_orderkey"),
+      fks = Seq(FK("o_custkey", "customer", "c_custkey"))),
+    "lineitem" -> TableMeta("lineitem",
+      pk = Seq("l_orderkey", "l_linenumber"),
+      fks = Seq(
+        FK("l_orderkey", "orders", "o_orderkey"),
+        FK("l_partkey", "part", "p_partkey"),
+        FK("l_suppkey", "supplier", "s_suppkey"))),
+    "events" -> TableMeta("events", pk = Seq("event_id")),
+    "documents" -> TableMeta("documents", pk = Seq("doc_id")),
+    "embeddings" -> TableMeta("embeddings", pk = Seq("vec_id"))
+  )
+
+  /** Read one testdata table with its metadata attached. */
+  def load(spark: SparkSession, dir: String, name: String): PTable = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    PTable(df, metas.getOrElse(name, TableMeta(name)))
+  }
+
+  def csv(spark: SparkSession, path: String, header: Boolean = true,
+          name: String = ""): PTable =
+    PTable(spark.read.option("header", header.toString)
+      .option("inferSchema", "true").csv(path), TableMeta(name))
+
+  def json(spark: SparkSession, path: String, name: String = ""): PTable =
+    PTable(spark.read.json(path), TableMeta(name))
+
+  /** Catalog introspection (reference pql_functions.py:786-828). */
+  def tables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables().select("name", "tableType", "isTemporary").toDF()
+  }
+
+  def columns(t: PTable): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    t.schema.fields.map(f => (f.name, f.dataType.simpleString, f.nullable))
+      .toSeq.toDF("name", "type", "nullable")
+  }
+}
