@@ -253,7 +253,76 @@ object SparkEntry {
     "q34_sample" -> ((s, d) =>
       t(s, d, "customer")
         .sampleByKey(col("c_custkey"), 100, 10)
-        .project("c_custkey", "c_name").df)
+        .project("c_custkey", "c_name").df),
+
+    // ---- §2.9 catalog mutation: new / += ---------------------------------
+    "q35_new_insert" -> ((s, d) => {
+      val cat = new graft.catalog.Catalog(s)
+      cat.register("region", t(s, d, "region"))
+      cat.insertRow("region", Map("r_name" -> "MIDDLE EARTH"))
+      cat.insertRow("region", Map("r_name" -> "ATLANTIS"))
+      cat.get("region").df
+    }),
+
+    "q36_insert_select" -> ((s, d) => {
+      val cat = new graft.catalog.Catalog(s)
+      cat.register("supplier", t(s, d, "supplier"))
+      cat.insertAll("supplier",
+        t(s, d, "supplier").where(col("s_acctbal") < 0).df)
+      cat.get("supplier").df
+    }),
+
+    // ---- §2.4 more aggregates: first / median / product / describe -------
+    "q37_first_agg" -> ((s, d) =>
+      Joins.join("n" -> t(s, d, "nation"), "r" -> t(s, d, "region"))
+        .groupBy("r_name" -> col("r.r_name"))(
+          "first_nation" -> F.min_by(col("n.n_name"), col("n.n_nationkey"))).df),
+
+    "q38_median" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus")(
+        "med_price" -> F.percentile(col("o_totalprice"), lit(0.5)))
+        .orderBy("o_orderstatus").df),
+
+    "q39_product" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_orderkey") % 100 === 1)
+        .groupBy("l_orderkey")(
+          "prod" -> PF.product(col("l_linenumber").cast(DoubleType))).df),
+
+    "q40_describe" -> ((s, d) =>
+      t(s, d, "customer").aggAll(
+        "cnt" -> F.count(col("c_acctbal")),
+        "mean" -> PF.davg(col("c_acctbal")),
+        "sd" -> PF.dstddev(col("c_acctbal")),
+        "min" -> F.min(col("c_acctbal")),
+        "max" -> F.max(col("c_acctbal"))).df),
+
+    // ---- §2.11 recursion: bfs / walk_tree --------------------------------
+    "q41_bfs" -> ((s, d) => {
+      val r = PTable.range(s, 1, 101)
+      val e1 = r.project("src" -> col("item"), "dst" -> col("item") * 2)
+      val e2 = r.project("src" -> col("item"), "dst" -> (col("item") * 2 + 1))
+      val edges = (e1 + e2).where(col("dst") <= 100).df
+      val initial = PTable.range(s, 1, 2).project("node" -> col("item")).df
+      graft.rec.Graph.bfs(edges, initial)
+        .select(col("node"), col("rank").cast(IntegerType).as("rank"))
+    }),
+
+    "q42_walk_tree" -> ((s, d) => {
+      val r = PTable.range(s, 1, 101)
+      val e1 = r.project("src" -> col("item"), "dst" -> col("item") * 2)
+      val e2 = r.project("src" -> col("item"), "dst" -> (col("item") * 2 + 1))
+      val edges = (e1 + e2).where(col("dst") <= 100).df
+      val initial = PTable.range(s, 1, 2).project("node" -> col("item")).df
+      graft.rec.Graph.walkTree(edges, initial, maxRank = 3)
+        .select(col("node"), col("rank").cast(IntegerType).as("rank"))
+    }),
+
+    // ---- §2.1 SQL escape hatch -------------------------------------------
+    "q43_sql_escape" -> ((s, d) =>
+      graft.sqlesc.SqlEscape.sql(s,
+        "SELECT n_name, n_nationkey * 10 AS k10 FROM $t WHERE n_nationkey < 10",
+        "t" -> t(s, d, "nation")).df)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -394,6 +463,54 @@ object SparkEntry {
          FROM nation, LATERAL (SELECT unnest(range(0, (n_nationkey % 3) + 1)) AS i) u""",
     "q34_sample" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE (c_custkey * 2654435761) % 100 < 10"""
+         WHERE (c_custkey * 2654435761) % 100 < 10""",
+    "q35_new_insert" ->
+      """SELECT * FROM region
+         UNION ALL SELECT * FROM (VALUES (5, 'MIDDLE EARTH'), (6, 'ATLANTIS')) v(r_regionkey, r_name)""",
+    "q36_insert_select" ->
+      """SELECT * FROM supplier
+         UNION ALL SELECT * FROM supplier WHERE s_acctbal < 0""",
+    "q37_first_agg" ->
+      """SELECT r_name, min_by(n_name, n_nationkey) AS first_nation
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q38_median" ->
+      """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q39_product" ->
+      """SELECT l_orderkey, product(CAST(l_linenumber AS DOUBLE)) AS prod
+         FROM lineitem WHERE l_orderkey % 100 = 1 GROUP BY l_orderkey""",
+    "q40_describe" ->
+      """SELECT CAST(count(c_acctbal) AS BIGINT) AS cnt,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c_acctbal) AS mean,
+         sqrt((CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)
+           - CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c_acctbal))
+           / (count(c_acctbal) - 1.0)) AS sd,
+         min(c_acctbal) AS min, max(c_acctbal) AS max
+         FROM customer""",
+    "q41_bfs" ->
+      """WITH RECURSIVE edges AS (
+           SELECT range AS src, range * 2 AS dst FROM range(1, 101) WHERE range * 2 <= 100
+           UNION ALL
+           SELECT range AS src, range * 2 + 1 AS dst FROM range(1, 101) WHERE range * 2 + 1 <= 100
+         ), walk(node, rank) AS (
+           SELECT CAST(1 AS BIGINT), 0
+           UNION ALL
+           SELECT e.dst, w.rank + 1 FROM walk w JOIN edges e ON e.src = w.node
+         )
+         SELECT node, CAST(rank AS INT) AS rank FROM walk""",
+    "q42_walk_tree" ->
+      """WITH RECURSIVE edges AS (
+           SELECT range AS src, range * 2 AS dst FROM range(1, 101) WHERE range * 2 <= 100
+           UNION ALL
+           SELECT range AS src, range * 2 + 1 AS dst FROM range(1, 101) WHERE range * 2 + 1 <= 100
+         ), walk(node, rank) AS (
+           SELECT CAST(1 AS BIGINT), 0
+           UNION ALL
+           SELECT e.dst, w.rank + 1 FROM walk w JOIN edges e ON e.src = w.node WHERE w.rank < 3
+         )
+         SELECT node, CAST(rank AS INT) AS rank FROM walk""",
+    "q43_sql_escape" ->
+      "SELECT n_name, n_nationkey * 10 AS k10 FROM nation WHERE n_nationkey < 10"
   )
 }

@@ -1,0 +1,170 @@
+package graft.catalog
+
+import scala.collection.mutable
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import graft.dsl.PTable
+import graft.types.TableMeta
+
+/** Mutable named-table registry with copy-on-write semantics — the
+  * engine's answer to the reference's INSERT/UPDATE/DELETE surface
+  * (reference: preql/core/evaluate.py:712-947) on top of immutable
+  * DataFrames. "Mutation" rebinds the name to a new plan; transactions
+  * snapshot/restore the binding map (single-writer driver model).
+  *
+  * Scale notes:
+  *  - insert of literal rows unions a tiny local relation onto the
+  *    existing plan — no rewrite of the underlying data; a long chain
+  *    of mutations should be compacted via `materialize`.
+  *  - generated ids: `new` rows get maxId+1.. — the max-probe is a
+  *    cheap agg over the id column (pruned scan). For bulk distributed
+  *    id assignment use zipWithIndex offsets, never a global window.
+  */
+final class Catalog(val spark: SparkSession) {
+
+  private val tables = mutable.LinkedHashMap[String, PTable]()
+  private var snapshots = List.empty[Map[String, PTable]]
+
+  def register(name: String, t: PTable): PTable = {
+    val named = t.withMeta(t.meta.copy(name = name))
+    tables(name) = named
+    named
+  }
+
+  def get(name: String): PTable =
+    tables.getOrElse(name, throw new NoSuchElementException(s"table '$name'"))
+
+  def names: Seq[String] = tables.keys.toSeq
+
+  /** `table Foo {...}` — create an empty table with an auto `id` pk
+    * (reference evaluate.py:262-267 adds `id: t_id` unless `bare`).
+    */
+  def create(name: String, fields: Seq[StructField], bare: Boolean = false): PTable = {
+    val schema =
+      if (bare) StructType(fields)
+      else StructType(StructField("id", LongType, nullable = false) +: fields)
+    val df = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    register(name, PTable(df,
+      TableMeta(name, pk = if (bare) Nil else Seq("id"))))
+  }
+
+  private def maxId(t: PTable, idCol: String): Long = {
+    val v = t.df.agg(F.max(F.col(idCol))).head().get(0)
+    if (v == null) 0L else v.asInstanceOf[Number].longValue()
+  }
+
+  private def fitId(id: Long, dt: DataType): Any = dt match {
+    case IntegerType => id.toInt
+    case ShortType   => id.toShort
+    case _           => id
+  }
+
+  /** `new Table(values...)` — insert one row, return it with its
+    * generated id. Values are frozen (evaluated eagerly — reference
+    * evaluate.py:877-882).
+    */
+  def insertRow(name: String, values: Map[String, Any]): Row = {
+    val t = get(name)
+    val idCol = t.meta.pk.headOption.getOrElse("id")
+    val id = maxId(t, idCol) + 1
+    val row = Row.fromSeq(t.schema.fields.map { f =>
+      if (f.name == idCol) fitId(id, f.dataType)
+      else values.getOrElse(f.name, null)
+    }.toSeq)
+    val newDf = spark.createDataFrame(java.util.Arrays.asList(row), t.schema)
+    tables(name) = PTable(t.df.unionByName(newDf), t.meta)
+    row
+  }
+
+  /** `Table += expr` / `new[] Table(rows)` — INSERT..SELECT with
+    * column matching by name; generated ids continue from current max
+    * (reference evaluate.py:278-287, 810-847).
+    */
+  def insertAll(name: String, rows: DataFrame): PTable = {
+    val t = get(name)
+    val idCol = t.meta.pk.headOption.filter(t.columns.contains)
+    val withId = idCol match {
+      case Some(ic) if !rows.columns.contains(ic) =>
+        val base = maxId(t, ic)
+        // Distributed id assignment: per-partition offsets (zipWithIndex),
+        // not a single-partition window.
+        val out = StructType(StructField(ic, LongType, nullable = false)
+          +: rows.schema.fields)
+        val rdd = rows.rdd.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq((base + 1 + i) +: r.toSeq)
+        }
+        spark.createDataFrame(rdd, out)
+      case _ => rows
+    }
+    val merged = PTable(t.df.unionByName(withId, allowMissingColumns = true), t.meta)
+    tables(name) = merged
+    merged
+  }
+
+  /** `t update {col: expr} [conds]` — copy-on-write rebind. */
+  def update(name: String, conds: Column, assignments: (String, Column)*): PTable = {
+    val t = get(name).update(conds)(assignments: _*)
+    tables(name) = t
+    t
+  }
+
+  /** `t delete [conds]` — keep non-matching rows, rebind. */
+  def delete(name: String, conds: Column): PTable = {
+    val t = get(name).delete(conds)
+    tables(name) = t
+    t
+  }
+
+  /** `temptable(expr, const?)` — materialize an expression as a new
+    * catalog table; unless const, attach a fresh id column
+    * (reference pql_functions.py:327-348).
+    */
+  def temptable(name: String, expr: PTable, const: Boolean = false): PTable = {
+    val t =
+      if (const) PTable(expr.df, TableMeta(name))
+      else {
+        val out = StructType(StructField("id", LongType, nullable = false)
+          +: expr.schema.fields)
+        val rdd = expr.df.rdd.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq((i + 1) +: r.toSeq)
+        }
+        PTable(spark.createDataFrame(rdd, out), TableMeta(name, pk = Seq("id")))
+      }
+    register(name, t.cache())
+  }
+
+  /** Compact a mutation chain: materialize current plan (checkpoint-
+    * style) so later reads don't replay every historical mutation.
+    */
+  def materialize(name: String): PTable = {
+    val t = get(name)
+    val compacted = PTable(t.df.localCheckpoint(eager = true), t.meta)
+    tables(name) = compacted
+    compacted
+  }
+
+  // ---- transactions (reference evaluate.py:359-369) ----------------------
+  /** `transaction { ... }` — snapshot bindings; rollback restores them.
+    * Nested via a snapshot stack.
+    */
+  def begin(): Unit = snapshots = tables.toMap :: snapshots
+
+  def commit(): Unit = snapshots = snapshots match {
+    case _ :: rest => rest
+    case Nil       => Nil
+  }
+
+  def rollback(): Unit = snapshots match {
+    case snap :: rest =>
+      tables.clear(); tables ++= snap; snapshots = rest
+    case Nil => ()
+  }
+
+  def transaction[T](body: => T): T = {
+    begin()
+    try { val r = body; commit(); r }
+    catch { case e: Throwable => rollback(); throw e }
+  }
+}

@@ -1,0 +1,86 @@
+package graft.rec
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.storage.StorageLevel
+
+/** Recursive graph traversal — the engine's replacement for the
+  * reference's `WITH RECURSIVE` escape (`$self` in SQL(), reference:
+  * preql/core/compiler.py:516-518; bfs/walk_tree at
+  * preql/modules/graph.pql:3-36).
+  *
+  * Spark has no recursive CTE; the idiomatic equivalent is a driver-side
+  * fixpoint loop over DataFrames. Scale design:
+  *  - each step is one distributed semi/anti join — frontier × edges;
+  *  - visited/frontier are cached per iteration and unpersisted after;
+  *  - `localCheckpoint` every `checkpointEvery` steps truncates the
+  *    lineage so plan size stays O(1) instead of O(depth) — without it
+  *    a 50-step BFS compiles a 50-deep union plan;
+  *  - frontier dedup keeps the join input minimal (no exponential
+  *    frontier growth on cyclic graphs).
+  */
+object Graph {
+
+  /** BFS reachability: nodes reachable from `initial` over `edges`,
+    * each with its minimal rank (step count). Column contract:
+    * edges(src, dst), initial(node); output (node, rank).
+    */
+  def bfs(edges: DataFrame, initial: DataFrame, maxRank: Int = Int.MaxValue,
+          checkpointEvery: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(F.col("src"), F.col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = initial.select(F.col("node"), F.lit(0).as("rank")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited
+    var rank = 0
+    var done = false
+    while (!done && rank < maxRank) {
+      rank += 1
+      // next = (frontier ⋈ edges).dst − visited. Alias-qualified columns:
+      // after the first step frontier's lineage embeds `e`, so bare
+      // column refs would be ambiguous self-join references.
+      val stepped = frontier.alias("f")
+        .join(e.alias("g"), F.col("f.node") === F.col("g.src"))
+        .select(F.col("g.dst").as("node")).distinct()
+      var next = stepped.alias("s")
+        .join(visited.alias("v"), F.col("s.node") === F.col("v.node"), "left_anti")
+        .select(F.col("s.node").as("node"), F.lit(rank).as("rank"))
+      if (rank % checkpointEvery == 0) next = next.localCheckpoint(eager = true)
+      else next = next.persist(StorageLevel.MEMORY_AND_DISK)
+      if (next.isEmpty) done = true
+      else {
+        val newVisited = visited.unionAll(next)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        visited.unpersist()
+        frontier.unpersist()
+        visited = if (rank % checkpointEvery == 0)
+          newVisited.localCheckpoint(eager = true) else newVisited
+        frontier = next
+      }
+    }
+    e.unpersist()
+    visited
+  }
+
+  /** walk_tree: all paths from `initial` following edges up to
+    * `maxRank` steps; unlike bfs, re-visits are allowed (it walks, not
+    * marks) — reference graph.pql:23-36.  Output (node, rank).
+    */
+  def walkTree(edges: DataFrame, initial: DataFrame, maxRank: Int): DataFrame = {
+    val e = edges.select(F.col("src"), F.col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var acc = initial.select(F.col("node"), F.lit(0).as("rank"))
+    var frontier = acc
+    var rank = 0
+    while (rank < maxRank && !frontier.isEmpty) {
+      rank += 1
+      frontier = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node"), F.lit(rank).as("rank"))
+        .localCheckpoint(eager = true)
+      acc = acc.unionAll(frontier)
+    }
+    e.unpersist()
+    acc
+  }
+}
