@@ -322,8 +322,115 @@ object SparkEntry {
     "q43_sql_escape" -> ((s, d) =>
       graft.sqlesc.SqlEscape.sql(s,
         "SELECT n_name, n_nationkey * 10 AS k10 FROM $t WHERE n_nationkey < 10",
-        "t" -> t(s, d, "nation")).df)
+        "t" -> t(s, d, "nation")).df),
+
+    // ---- window-function extensions --------------------------------------
+    "q44_window_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, d, "customer").df
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
+    }),
+
+    "q45_lag_lead" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events").df
+        .withColumn("prev_value", F.lag(col("value"), 1).over(w))
+        .withColumn("next_type", F.lead(col("event_type"), 1).over(w))
+        .select("event_id", "user_id", "value", "prev_value", "next_type")
+    }),
+
+    // ---- ext: text analysis ----------------------------------------------
+    "x01_dedup_exact" -> ((s, d) =>
+      graft.ext.Dedup.exact(augDocs(s, d), "doc_id", "text")),
+
+    "x02_token_count" -> ((s, d) =>
+      t(s, d, "documents").df.select(col("doc_id"),
+        graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+
+    "x03_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").df.select(col("doc_id"),
+        graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    "x04_langid" -> ((s, d) =>
+      t(s, d, "documents").df.select(col("doc_id"),
+        graft.ext.TextAnalysis.langId(col("text")).as("lang_pred"),
+        graft.ext.TextAnalysis.langScore(col("text"), "en").as("en_score"))),
+
+    "x05_quality" -> ((s, d) =>
+      t(s, d, "documents").df.select(col("doc_id"),
+        graft.ext.TextAnalysis.meanTokenLen(col("text")).as("mtl"),
+        graft.ext.TextAnalysis.alnumRatio(col("text")).as("ar"),
+        graft.ext.TextAnalysis.qualityScore(col("text")).as("score"))),
+
+    // ---- ext: dedup -------------------------------------------------------
+    "x06_minhash_sig" -> ((s, d) =>
+      t(s, d, "documents").df.select(col("doc_id"),
+        F.concat_ws(",", graft.ext.Dedup.minhashSignature(col("text")))
+          .as("sig"))),
+
+    "x07_minhash_pairs" -> ((s, d) =>
+      graft.ext.Dedup.minhashPairs(augDocs(s, d), "doc_id", "text", 0.8)),
+
+    "x08_simhash" -> ((s, d) =>
+      t(s, d, "documents").df.select(col("doc_id"),
+        graft.ext.Dedup.simhash(col("text")).as("sh"))),
+
+    "x09_jaccard_pairs" -> ((s, d) =>
+      graft.ext.Dedup.jaccardPairs(t(s, d, "documents").df,
+        "doc_id", "text", Seq("lang", "source"), 0.5)),
+
+    // ---- ext: similarity search ------------------------------------------
+    "x10_ann_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      graft.ext.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), emb, 10)
+    }),
+
+    "x11_ann_lsh_sig" -> ((s, d) =>
+      t(s, d, "embeddings").df.select(col("vec_id"),
+        graft.ext.Similarity.lshSignature(col("embedding")).as("bucket"))),
+
+    "x12_cosine_pairs" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val aug = emb.select(col("vec_id"), col("embedding"), col("label"))
+        .unionAll(emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id") + 10000, col("embedding"), col("label")))
+      graft.ext.Similarity.cosinePairs(aug, 0.999, "label")
+        .select("id_a", "id_b")
+    }),
+
+    // ---- ext: multimodal plumbing ----------------------------------------
+    "x13_multimodal_meta" -> ((s, d) =>
+      t(s, d, "documents").df.select(col("doc_id"),
+        graft.ext.Multimodal.blobMeta(col("text").cast(BinaryType)).as("m"))
+        .select(col("doc_id"), col("m.n_bytes").as("n_bytes"),
+          col("m.format").as("format"), col("m.width").as("width"),
+          col("m.height").as("height"))),
+
+    // ---- ext: time-bucket aggregation (batch face of streaming) ----------
+    "x14_window_hourly" -> ((s, d) =>
+      t(s, d, "events").df
+        .groupBy(F.floor(F.unix_micros(col("ts")) / 3600000000L).as("bucket"))
+        .agg(F.count(lit(1)).as("n"),
+          PF.dsum(col("value")).as("total"))
+        .orderBy("bucket"))
   )
+
+  /** Documents augmented with known duplicates (ids shifted by 10000)
+    * so dedup operators have true positives to find.
+    */
+  private def augDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").df
+    docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_projection" ->
@@ -511,6 +618,204 @@ object SparkEntry {
          )
          SELECT node, CAST(rank AS INT) AS rank FROM walk""",
     "q43_sql_escape" ->
-      "SELECT n_name, n_nationkey * 10 AS k10 FROM nation WHERE n_nationkey < 10"
+      "SELECT n_name, n_nationkey * 10 AS k10 FROM nation WHERE n_nationkey < 10",
+    "q44_window_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, CAST(rnk AS INT) AS rnk FROM (
+           SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+           FROM customer) WHERE rnk <= 3""",
+    "q45_lag_lead" ->
+      """SELECT event_id, user_id, value,
+           lag(value, 1) OVER w AS prev_value,
+           lead(event_type, 1) OVER w AS next_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "x01_dedup_exact" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0
+         )
+         SELECT md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp,
+           min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+         FROM docs GROUP BY 1""",
+    "x02_token_count" ->
+      """SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
+           ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) END AS n_tokens
+         FROM documents""",
+    "x03_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+         FROM documents""",
+    "x04_langid" ->
+      """WITH sc AS (
+           SELECT doc_id,
+             CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' a ', ''))) / 3
+               + (length(pt) - length(replace(pt, ' and ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' of ', ''))) / 4 AS BIGINT) AS en_score,
+             CAST((length(pt) - length(replace(pt, ' el ', ''))) / 4
+               + (length(pt) - length(replace(pt, ' la ', ''))) / 4
+               + (length(pt) - length(replace(pt, ' de ', ''))) / 4
+               + (length(pt) - length(replace(pt, ' y ', ''))) / 3 AS BIGINT) AS es_score,
+             CAST((length(pt) - length(replace(pt, ' der ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' die ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' und ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' das ', ''))) / 5 AS BIGINT) AS de_score
+           FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS pt FROM documents)
+         )
+         SELECT doc_id,
+           CASE WHEN en_score >= es_score AND en_score >= de_score AND en_score > 0 THEN 'en'
+                WHEN es_score >= de_score AND es_score > 0 THEN 'es'
+                WHEN de_score > 0 THEN 'de'
+                ELSE 'und' END AS lang_pred,
+           en_score
+         FROM sc""",
+    "x05_quality" ->
+      """WITH f AS (
+           SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tc,
+             length(regexp_replace(text, '\s+', '', 'g')) AS nws,
+             length(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS na
+           FROM documents
+         )
+         SELECT doc_id,
+           CASE WHEN tc = 0 THEN 0.0 ELSE CAST(nws AS DOUBLE) / tc END AS mtl,
+           CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(na AS DOUBLE) / length(text) END AS ar,
+           (least(CAST(tc AS DOUBLE) / 50.0, 1.0)
+             * least(1.0, 1000.0 / greatest(CAST(tc AS DOUBLE), 1.0))
+             * (CASE WHEN (CASE WHEN tc = 0 THEN 0.0 ELSE CAST(nws AS DOUBLE) / tc END) < 3.0
+                       OR (CASE WHEN tc = 0 THEN 0.0 ELSE CAST(nws AS DOUBLE) / tc END) > 10.0
+                     THEN 0.5 ELSE 1.0 END)
+             * (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(na AS DOUBLE) / length(text) END)) AS score
+         FROM f""",
+    "x06_minhash_sig" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk, trim(text) AS tt
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, CASE WHEN len(tk) < 3 THEN [tt]
+             ELSE [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)] END AS shl
+           FROM toks
+         )
+         SELECT doc_id, array_to_string(
+           [list_min([('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || s), 1, 15))::BIGINT
+             for s in shl]) for i in range(0, 12)], ',') AS sig
+         FROM sh""",
+    "x07_minhash_pairs" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0
+         ), toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk, trim(text) AS tt
+           FROM docs
+         ), sig AS (
+           SELECT doc_id,
+             [list_min([('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || s), 1, 15))::BIGINT
+               for s in (CASE WHEN len(tk) < 3 THEN [tt]
+                 ELSE [array_to_string(tk[ii:ii+2], ' ') for ii in range(1, len(tk) - 1)] END)])
+               for i in range(0, 12)] AS sg
+           FROM toks
+         ), buckets AS (
+           SELECT doc_id, b.b AS band,
+             md5(array_to_string([CAST(x AS VARCHAR) for x in sg[b.b*3+1:b.b*3+3]], ',')) AS bucket
+           FROM sig, (SELECT unnest(range(0, 4)) AS b) b
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM buckets a JOIN buckets c
+             ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+         ), tsets AS (
+           SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ts
+           FROM docs
+         )
+         SELECT id_a, id_b, jac FROM (
+           SELECT id_a, id_b,
+             CASE WHEN len(list_distinct(list_concat(ta.ts, tb.ts))) = 0 THEN 0.0
+               ELSE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ta.ts, tb.ts))) END AS jac
+           FROM cand JOIN tsets ta ON id_a = ta.doc_id JOIN tsets tb ON id_b = tb.doc_id
+         ) WHERE jac >= 0.8""",
+    "x08_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tk
+           FROM documents
+         ), hs AS (
+           SELECT doc_id,
+             [('0x' || substr(md5(t), 1, 15))::BIGINT for t in tk] AS hl
+           FROM toks
+         )
+         SELECT doc_id,
+           list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) % 2 <> 0 THEN 1 ELSE -1 END for h in hl]) >= 0
+             THEN (1::BIGINT << j) ELSE 0 END for j in range(0, 32)]) AS sh
+         FROM hs""",
+    "x09_jaccard_pairs" ->
+      """WITH base AS (
+           SELECT doc_id AS id, lang, source,
+             list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents
+         )
+         SELECT id_a, id_b, jac FROM (
+           SELECT a.id AS id_a, b.id AS id_b,
+             CASE WHEN len(list_distinct(list_concat(a.tok, b.tok))) = 0 THEN 0.0
+               ELSE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.tok, b.tok))) END AS jac
+           FROM base a JOIN base b
+             ON a.lang = b.lang AND a.source = b.source AND a.id < b.id
+         ) WHERE jac >= 0.5""",
+    "x10_ann_brute" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum([CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)
+               for i in range(0, len(q.embedding))])
+             / (sqrt(list_sum([CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE)
+                 for i in range(0, len(q.embedding))]))
+               * sqrt(list_sum([CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)
+                 for i in range(0, len(c.embedding))]))) AS sim
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 5
+         )
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored
+         ) WHERE rank <= 10""",
+    "x11_ann_lsh_sig" ->
+      """SELECT vec_id,
+           list_sum([CASE WHEN list_sum([CAST(embedding[i+1] AS DOUBLE)
+               * ((('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2001)
+                  / 1000.0 - 1.0)
+             for i in range(0, len(embedding))]) >= 0
+             THEN (1::BIGINT << j) ELSE 0 END for j in range(0, 8)]) AS bucket
+         FROM embeddings""",
+    "x12_cosine_pairs" ->
+      """WITH aug AS (
+           SELECT vec_id, embedding, label FROM embeddings
+           UNION ALL SELECT vec_id + 10000, embedding, label FROM embeddings WHERE vec_id % 100 = 0
+         )
+         SELECT id_a, id_b FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum([CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)
+               for i in range(0, len(a.embedding))])
+             / (sqrt(list_sum([CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE)
+                 for i in range(0, len(a.embedding))]))
+               * sqrt(list_sum([CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)
+                 for i in range(0, len(b.embedding))]))) AS sim
+           FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+         ) WHERE sim >= 0.999""",
+    "x13_multimodal_meta" ->
+      """WITH h AS (
+           SELECT doc_id, encode(text) AS blob,
+             ('0x' || substr(md5(md5(text)), 1, 15))::BIGINT AS hv
+           FROM documents
+         )
+         SELECT doc_id, CAST(octet_length(blob) AS BIGINT) AS n_bytes,
+           CASE WHEN hv % 3 = 0 THEN 'png' WHEN hv % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+           CAST(hv % 1920 + 1 AS INT) AS width,
+           CAST((hv >> 16) % 1080 + 1 AS INT) AS height
+         FROM h""",
+    "x14_window_hourly" ->
+      """SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions.{col, lit, when, concat}
+import org.apache.spark.sql.types._
+import TextAnalysis.{h60, tokens, fingerprint}
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard. Designed for the 100 TB
+  * shape of the problem:
+  *
+  *  - Per-document signatures (minhash/simhash) are pure Column
+  *    expressions over the text — computed during the scan, no shuffle,
+  *    no UDF, fully codegen'd.
+  *  - Candidate generation shuffles ONCE on (band, bucket) — the
+  *    classic LSH band trick — instead of the O(n²) all-pairs join.
+  *  - Exact verification (Jaccard) runs only on candidate pairs.
+  *  - All hashes are md5-derived → deterministic across engines,
+  *    partitionings and cluster sizes.
+  */
+object Dedup {
+
+  // ---- exact -------------------------------------------------------------
+  /** Exact dedup on normalized text: keep the lowest id per
+    * fingerprint. One hash-shuffle on the 16-byte fingerprint, not the
+    * full text — at scale the shuffle payload is (fingerprint, id).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp").agg(F.min(col(idCol)).as("keep_id"),
+        F.count(lit(1)).as("n_copies"))
+
+  // ---- shingling -----------------------------------------------------------
+  /** Word n-gram shingles; texts shorter than n words → one shingle
+    * (the whole trimmed text).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(F.size(toks) < n, F.array(F.trim(text)))
+      .otherwise(F.transform(
+        F.sequence(lit(0), F.size(toks) - n),
+        i => F.concat_ws(" ", F.slice(toks, i + 1, lit(n)))))
+  }
+
+  // ---- MinHash + LSH -------------------------------------------------------
+  /** k-wide MinHash signature: hash family i is md5 keyed by i
+    * (portable; no modular-arithmetic overflow concerns).
+    * sig[i] = min over shingles of h60(i + "_" + shingle).
+    */
+  def minhashSignature(text: Column, k: Int = 12, shingleN: Int = 3): Column = {
+    val sh = shingles(text, shingleN)
+    F.transform(F.sequence(lit(0), lit(k - 1)),
+      i => F.array_min(F.transform(sh,
+        s => h60(concat(i.cast(StringType), lit("_"), s)))))
+  }
+
+  /** LSH band buckets: split the k-signature into bands of r rows;
+    * bucket id = md5 of the band's minhashes. Equal bucket ⇒ candidate.
+    */
+  def bandBuckets(sig: Column, bands: Int, r: Int): Column =
+    F.transform(F.sequence(lit(0), lit(bands - 1)),
+      b => F.md5(F.concat_ws(",",
+        F.transform(F.slice(sig, b * lit(r) + 1, lit(r)), x => x.cast(StringType)))))
+
+  /** Per-document (id, band, bucket) rows — the shuffle key for
+    * candidate generation.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 12, bands: Int = 4): DataFrame = {
+    val r = k / bands
+    df.select(col(idCol).as("id"),
+        F.posexplode(bandBuckets(minhashSignature(col(textCol), k), bands, r))
+          .as(Seq("band", "bucket")))
+  }
+
+  /** Candidate near-dup pairs: ids sharing any (band, bucket).
+    * One shuffle on (band, bucket); output deduplicated (a < b).
+    */
+  def candidatePairs(buckets: DataFrame): DataFrame = {
+    val a = buckets.alias("a")
+    val b = buckets.alias("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline with exact Jaccard
+    * verification of candidates at `threshold`.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, k: Int = 12, bands: Int = 4): DataFrame = {
+    val cand = candidatePairs(lshBuckets(df, idCol, textCol, k, bands))
+    val toks = df.select(col(idCol).as("jid"),
+      F.array_distinct(tokens(col(textCol))).as("tok"))
+    cand
+      .join(toks.alias("ta"), col("id_a") === col("ta.jid"))
+      .join(toks.alias("tb"), col("id_b") === col("tb.jid"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("ta.tok"), col("tb.tok")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  // ---- SimHash -------------------------------------------------------------
+  /** 32-bit SimHash over distinct tokens: bit j of the result is set
+    * iff the sum over tokens of ±1 (by bit j of the token hash) is
+    * >= 0. Pure per-row expression.
+    */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    val toks = F.array_distinct(tokens(text))
+    val hashes = F.transform(toks, t => h60(t))
+    // 2^j via pow→long (exact for j<=52); shiftleft/shiftright only
+    // accept literal shift amounts, not lambda-bound columns.
+    def p2(j: Column): Column = F.pow(lit(2.0), j).cast(LongType)
+    F.aggregate(
+      F.sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, j) => acc + when(
+        F.aggregate(hashes, lit(0L),
+          // bit j of h: (h mod 2^(j+1)) >= 2^j — exact long arithmetic
+          (s, h) => s + when((h % (p2(j) * 2)) >= p2(j), 1L)
+            .otherwise(-1L)) >= 0,
+        p2(j)).otherwise(0L))
+  }
+
+  /** Hamming distance between two simhashes (for near-dup banding). */
+  def hamming(a: Column, b: Column): Column =
+    F.bit_count(a.bitwiseXOR(b))
+
+  // ---- n-gram Jaccard ------------------------------------------------------
+  /** Exact Jaccard over two token arrays (distinct semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = F.size(F.array_intersect(a, b)).cast(DoubleType)
+    val uni = F.size(F.array_union(a, b)).cast(DoubleType)
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** All-pairs Jaccard within blocking groups (e.g. same lang+source):
+    * blocking bounds the quadratic term to group size.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCols: Seq[String], threshold: Double): DataFrame = {
+    val base = df.select(Seq(col(idCol).as("id"),
+      F.array_distinct(tokens(col(textCol))).as("tok")) ++
+      blockCols.map(col): _*)
+    val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.id") < col("b.id")
+    base.alias("a").join(base.alias("b"), cond)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.tok"), col("b.tok")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns plus typed metadata. The Spark-side plumbing — schema,
+  * batch shape, partition sizing — is real; the actual media decode is
+  * STUBBED (no codec libraries in this environment) behind
+  * `decodeImageStub`, which produces a deterministic fake so the
+  * pipeline is testable end-to-end.
+  *
+  * Scale design:
+  *  - blobs stay in `binary` columns; Parquet stores them page-
+  *    compressed and column pruning means metadata-only queries never
+  *    read the bytes;
+  *  - decode runs per-partition (`mapPartitions`) so a real codec
+  *    (JNI/FFI) amortizes init per partition, not per row;
+  *  - `maxPartitionBytes` should be lowered for blob tables so a
+  *    partition of decoded frames fits in executor memory.
+  */
+object Multimodal {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  /** Cheap, expression-level metadata over a binary column — byte
+    * length plus a deterministic fake format/width/height derived from
+    * the content hash (stands in for a real header sniff).
+    */
+  def blobMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = TextAnalysis.h60(F.md5(blob))
+    F.struct(
+      F.octet_length(blob).cast(LongType).as("n_bytes"),
+      F.when(h % 3 === 0, "png").when(h % 3 === 1, "jpeg").otherwise("webp")
+        .as("format"),
+      (F.pmod(h, lit(1920L)) + 1L).cast(IntegerType).as("width"),
+      (F.pmod(F.shiftright(h, 16), lit(1080L)) + 1L).cast(IntegerType).as("height"))
+  }
+
+  /** STUB decode: a real implementation would call an image codec here
+    * (per-partition init, e.g. via JNI) and emit pixel tensors. The
+    * fake emits a deterministic 4-byte "thumbnail" derived from the
+    * blob so downstream plumbing (schema, batching, joins) is
+    * exercised for real.
+    */
+  def decodeImageStub(df: DataFrame, blobCol: String, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("thumb", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      // real codec init would happen once per partition here
+      rows.map { r =>
+        val blob = r.getAs[Array[Byte]](blobIdx)
+        val thumb = if (blob.length >= 4) blob.take(4)
+          else blob.padTo(4, 0.toByte)
+        Row(r.getAs[Number](idIdx).longValue(), blob.length.toLong, thumb)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, out)
+  }
+
+  /** Frame sampling for video-like blob sequences: keep every nth
+    * frame per group — expression-only, no decode needed.
+    */
+  def sampleFrames(df: DataFrame, groupCol: String, orderCol: String,
+                   n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+    df.withColumn("_frame_idx", F.row_number().over(w) - 1)
+      .filter(F.pmod(col("_frame_idx"), lit(n)) === 0)
+      .drop("_frame_idx")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, lit, when, concat}
+import org.apache.spark.sql.types._
+import TextAnalysis.h60
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (exact). Scale path: random-
+  * hyperplane LSH bucketing — signatures are computed during the scan
+  * (pure expressions), candidates come from one bucket-join, and only
+  * candidates pay the exact-cosine cost. This is the 100 TB shape:
+  * never materialize the O(n·q) cross product when a bucket join
+  * bounds it.
+  *
+  * Dot products fold left-to-right over the array after a float→double
+  * cast (`aggregate(zip_with(...))`) — deterministic IEEE results,
+  * reproducible across engines.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    F.aggregate(
+      F.zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = F.sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    * The query set is broadcast (small side); the corpus scan stays
+    * fully partitioned — no corpus shuffle. Ranking happens per query
+    * id with deterministic (similarity desc, id asc) tie-breaks.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = F.broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component: plane j,
+    * dimension i ↦ uniform-ish value in [-1, 1], derived from md5 so
+    * any engine reproduces the same planes.
+    */
+  private def planeComponent(j: Column, i: Column): Column =
+    (h60(concat(j.cast(StringType), lit("_"), i.cast(StringType))) % 2001L)
+      .cast(DoubleType) / 1000.0 - 1.0
+
+  /** Random-hyperplane LSH signature: bit j = sign(v · plane_j).
+    * Pure per-row expression — computed during the scan.
+    */
+  def lshSignature(vec: Column, nPlanes: Int = 8): Column =
+    F.aggregate(
+      F.sequence(lit(0), lit(nPlanes - 1)),
+      lit(0L),
+      (acc, j) => acc + when(
+        F.aggregate(
+          F.zip_with(vec,
+            F.transform(F.sequence(lit(0), F.size(vec) - 1),
+              i => planeComponent(j, i)),
+            (x, p) => x.cast(DoubleType) * p),
+          lit(0.0), (s, v) => s + v) >= 0,
+        // 2^j via pow→long (shiftleft needs a literal shift amount)
+        F.pow(lit(2.0), j).cast(LongType)).otherwise(0L))
+
+  /** Bucketed ANN: exact cosine only within matching LSH buckets.
+    * Trades recall for a single equi-join on the bucket id.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nPlanes: Int = 8, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val q = F.broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"),
+      lshSignature(col(vecCol), nPlanes).as("qsig")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      lshSignature(col(vecCol), nPlanes).as("csig"))
+    val scored = q.join(c, col("qsig") === col("csig") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs within blocking groups. */
+  def cosinePairs(df: DataFrame, threshold: Double,
+                  blockCol: String, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"), col(blockCol))
+    base.alias("a").join(base.alias("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions.{lit, when, concat}
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, document fingerprinting, n-gram
+  * language ID, quality scoring. All pure Column expressions —
+  * whole-stage codegen'd, no UDFs, no shuffles; at 100 TB these run at
+  * parquet-scan speed.
+  *
+  * Everything is engine-deterministic (md5-based hashing, replace-based
+  * counting) so results are reproducible across runs, partitionings and
+  * engines.
+  */
+object TextAnalysis {
+
+  /** 60-bit integer hash from md5 — deterministic and portable
+    * (same value in any engine with md5 + hex parsing).
+    */
+  def h60(c: Column): Column =
+    F.conv(F.substring(F.md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = F.split(F.trim(text), "\\s+")
+
+  /** Token count; empty/blank text → 0. */
+  def tokenCount(text: Column): Column =
+    when(F.trim(text) === "", lit(0)).otherwise(F.size(tokens(text)))
+
+  /** Document fingerprint: md5 over the text normalized to
+    * [a-z0-9] — catches whitespace/punctuation-only variants.
+    */
+  def fingerprint(text: Column): Column =
+    F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]+", ""))
+
+  /** Count non-overlapping occurrences of `needle` via replace-length
+    * arithmetic (portable across engines, unlike regexp counts).
+    */
+  def occurrences(haystack: Column, needle: String): Column =
+    (F.length(haystack) - F.length(F.replace(haystack, lit(needle), lit("")))) /
+      lit(needle.length)
+
+  private def padded(text: Column): Column =
+    concat(lit(" "), F.lower(text), lit(" "))
+
+  /** Stopword lists per language for the n-gram language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " de ", " y "),
+    "de" -> Seq(" der ", " die ", " und ", " das ")
+  )
+
+  def langScore(text: Column, lang: String): Column =
+    langMarkers.toMap.apply(lang)
+      .map(m => occurrences(padded(text), m))
+      .reduce(_ + _).cast(LongType)
+
+  /** Language-ID heuristic: argmax of stopword-hit counts, 'und'
+    * (undetermined) when all scores are 0. Ties break by the
+    * declaration order in `langMarkers`.
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, _) => l -> langScore(text, l) }
+    val best = scores.map(_._2).reduce((a, b) => F.greatest(a, b))
+    scores.foldRight(lit("und")) { case ((l, s), els) =>
+      when(s === best && best > 0, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Quality features + a composite score in [0,1]:
+    * token count, mean token length, alphanumeric ratio. The score is
+    * a fixed arithmetic formula (deterministic IEEE ops).
+    */
+  def nAlnum(text: Column): Column =
+    F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]+", ""))
+
+  def meanTokenLen(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(F.length(F.regexp_replace(text, "\\s+", "")).cast(DoubleType) /
+        tokenCount(text).cast(DoubleType))
+
+  def alnumRatio(text: Column): Column =
+    when(F.length(text) === 0, lit(0.0))
+      .otherwise(nAlnum(text).cast(DoubleType) / F.length(text).cast(DoubleType))
+
+  /** Composite quality: prefers 50..1000 tokens, mean token length
+    * 3..10, high alnum ratio. Clamped linear pieces, all portable.
+    */
+  def qualityScore(text: Column): Column = {
+    val tc = tokenCount(text).cast(DoubleType)
+    val lenScore = F.least(tc / lit(50.0), lit(1.0)) *
+      F.least(lit(1.0), lit(1000.0) / F.greatest(tc, lit(1.0)))
+    val mtl = meanTokenLen(text)
+    val mtlScore = when(mtl < 3.0 || mtl > 10.0, lit(0.5)).otherwise(lit(1.0))
+    (lenScore * mtlScore * alnumRatio(text))
+  }
+}

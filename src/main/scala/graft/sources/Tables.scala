@@ -36,9 +36,23 @@ object Tables {
     "embeddings" -> TableMeta("embeddings", pk = Seq("vec_id"))
   )
 
-  /** Read one testdata table with its metadata attached. */
+  /** Read one testdata table with its metadata attached.
+    *
+    * Nanosecond parquet timestamps (Spark can't represent them) are
+    * read as long nanos via `spark.sql.legacy.parquet.nanosAsLong`
+    * and truncated here to microsecond timestamps with exact integer
+    * division (`div`) — double division would lose precision on
+    * ~1.7e18 nano epochs.
+    */
   def load(spark: SparkSession, dir: String, name: String): PTable = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    var df = spark.read.parquet(s"$dir/$name.parquet")
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema.fields.filter(f => f.name == "ts" && f.dataType == LongType)
+      .foreach { f =>
+        df = df.withColumn(f.name,
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr(s"${f.name} div 1000")))
+      }
     PTable(df, metas.getOrElse(name, TableMeta(name)))
   }
 
