@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extensions — green-field relative to the
+  * reference (SURVEY §2.10: no streaming exists there). The batch
+  * operators in this engine are all expressed on DataFrames, so they
+  * lift to streams unchanged; this module adds the stream-specific
+  * pieces: watermarks, windowed aggregation, sessionization,
+  * stream dedup, and custom keyed state.
+  *
+  * Scale notes: windowed aggs shuffle on (window, keys) with partial
+  * aggregation; state stores are per-key — watermarks bound state
+  * size; stream-stream joins need watermarks on both sides.
+  */
+object Streams {
+
+  /** Tumbling-window counts/sums per key with late-data handling. */
+  def tumblingAgg(events: DataFrame, tsCol: String, window: String,
+                  watermark: String, keys: Seq[String],
+                  aggs: Seq[Column]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(F.window(col(tsCol), window) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Sliding-window variant. */
+  def slidingAgg(events: DataFrame, tsCol: String, window: String,
+                 slide: String, watermark: String, keys: Seq[String],
+                 aggs: Seq[Column]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(F.window(col(tsCol), window, slide) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Session windows: gap-based sessionization per key. */
+  def sessionAgg(events: DataFrame, tsCol: String, gap: String,
+                 watermark: String, keys: Seq[String],
+                 aggs: Seq[Column]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(F.session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Exactly-once stream dedup by id within the watermark horizon —
+    * the streaming face of Dedup.exact.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+                  idCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(idCols :+ tsCol)
+
+  /** Custom keyed state via mapGroupsWithState: running count + sum
+    * per key, emitted on every trigger. State is a (count, sum) pair —
+    * O(1) per key, watermark-free (runs forever); use timeouts for
+    * bounded-retention variants.
+    */
+  case class KeyedRunning(key: Long, count: Long, sum: Double)
+
+  def runningPerKey(events: Dataset[(Long, Double)]): Dataset[KeyedRunning] = {
+    implicit val stateEnc: Encoder[(Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val outEnc: Encoder[KeyedRunning] = Encoders.product[KeyedRunning]
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroupsWithState[(Long, Double), KeyedRunning](
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Double)]) =>
+          val (c0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var c = c0; var s = s0
+          rows.foreach { r => c += 1; s += r._2 }
+          state.update((c, s))
+          KeyedRunning(key, c, s)
+      }
+  }
+}

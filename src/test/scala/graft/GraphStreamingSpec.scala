@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.rec.Graph
+import graft.streaming.Streams
+
+class GraphStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bfs on a cyclic graph terminates with minimal ranks") {
+    // cycle 1->2->3->1 plus branch 3->4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val initial = Seq(1L).toDF("node")
+    val out = Graph.bfs(edges, initial)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("bfs respects maxRank") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.bfs(edges, Seq(1L).toDF("node"), maxRank = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L))
+  }
+
+  test("walkTree revisits nodes on cycles up to maxRank") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = Graph.walkTree(edges, Seq(1L).toDF("node"), maxRank = 4)
+    // ranks: 0:1, 1:2, 2:1, 3:2, 4:1
+    assert(out.count() == 5)
+  }
+
+  test("streaming tumbling window aggregation over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "value")
+    val agg = Streams.tumblingAgg(df, "ts", "1 hour", "2 hours",
+      Seq("user_id"), Seq(count(lit(1)).as("n"), sum("value").as("s")))
+    val q = agg.writeStream.format("memory").queryName("tumbling_test")
+      .outputMode(OutputMode.Update()).start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((ts(0, 10), 1L, 2.0), (ts(0, 40), 1L, 3.0), (ts(1, 5), 1L, 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("tumbling_test")
+      .select(col("user_id"), col("n"), col("s")).collect()
+    assert(rows.map(r => (r.getLong(1), r.getDouble(2))).toSet
+      == Set((2L, 5.0), (1L, 4.0)))
+    q.stop()
+  }
+
+  test("stream dedup drops duplicate ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "event_id")
+    val q = Streams.dedupStream(df, "ts", "1 hour", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    mem.addData((t0, 1L), (t0, 1L), (t0, 2L))
+    q.processAllAvailable()
+    assert(spark.table("dedup_test").count() == 2)
+    q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-key aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val out = Streams.runningPerKey(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("running_test")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+    q.processAllAvailable()
+    mem.addData((1L, 5.0))
+    q.processAllAvailable()
+    val last = spark.table("running_test")
+      .filter(col("key") === 1L).orderBy(col("count").desc).head()
+    assert(last.getLong(1) == 3L && last.getDouble(2) == 10.0)
+    q.stop()
+  }
+}

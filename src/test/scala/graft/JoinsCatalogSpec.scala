@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.dsl._
+import graft.joins.Joins
+import graft.catalog.Catalog
+import graft.sources.Tables
+
+class JoinsCatalogSpec extends SparkSpec {
+
+  private lazy val nation = Tables.load(spark, sf, "nation")
+  private lazy val region = Tables.load(spark, sf, "region")
+  private lazy val customer = Tables.load(spark, sf, "customer")
+
+  test("auto-join resolves the FK from table metadata") {
+    val j = Joins.join("n" -> nation, "r" -> region)
+    assert(j.df.count() == nation.df.count())
+    // struct-typed output: one struct per side
+    assert(j.columns == Seq("n", "r"))
+  }
+
+  test("auto-join errors when no FK relation exists") {
+    val e = intercept[IllegalArgumentException] {
+      Joins.join("r" -> region, "c" -> customer).df.count()
+    }
+    assert(e.getMessage.contains("no FK relation"))
+  }
+
+  test("leftjoin keeps unmatched left rows with null right struct") {
+    val few = graft.dsl.PTable(
+      region.df.filter(col("r_regionkey") < 2), region.meta)
+    val j = Joins.leftjoinOn(
+      col("n.n_regionkey") === col("r.r_regionkey"),
+      "n" -> nation, "r" -> few)
+    assert(j.df.count() == nation.df.count())
+    assert(j.df.filter(col("r").isNull ||
+      col("r.r_regionkey").isNull).count() > 0)
+  }
+
+  test("zipjoin pairs by row index; left/longest pad with nulls") {
+    val a = PTable.fromList(spark, Seq(1, 2, 3))
+    val b = PTable.fromList(spark, Seq("x", "y"))
+    assert(Joins.zipjoin(a, b).df.count() == 2)
+    val l = Joins.zipjoinLeft(a, b)
+    assert(l.df.count() == 3)
+    assert(l.df.filter(col("b.item").isNull).count() == 1)
+    assert(Joins.zipjoinLongest(b, a).df.count() == 3)
+  }
+
+  test("semi/anti joins partition the left side") {
+    val withOrders = Joins.semi(customer, "c_custkey",
+      Tables.load(spark, sf, "orders"), "o_custkey").df.count()
+    val withoutOrders = Joins.anti(customer, "c_custkey",
+      Tables.load(spark, sf, "orders"), "o_custkey").df.count()
+    assert(withOrders + withoutOrders == customer.df.count())
+  }
+
+  test("catalog: create/insertRow assigns sequential ids") {
+    val cat = new Catalog(spark)
+    cat.create("t", Seq(StructField("name", StringType)))
+    val r1 = cat.insertRow("t", Map("name" -> "a"))
+    val r2 = cat.insertRow("t", Map("name" -> "b"))
+    assert(r1.getLong(0) == 1L && r2.getLong(0) == 2L)
+    assert(cat.get("t").df.count() == 2)
+  }
+
+  test("catalog: insertAll continues ids after current max") {
+    import spark.implicits._
+    val cat = new Catalog(spark)
+    cat.create("t2", Seq(StructField("name", StringType)))
+    cat.insertRow("t2", Map("name" -> "a"))
+    cat.insertAll("t2", Seq("b", "c").toDF("name"))
+    val ids = cat.get("t2").df.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("catalog: transaction rollback restores bindings") {
+    val cat = new Catalog(spark)
+    cat.register("r", region)
+    intercept[RuntimeException] {
+      cat.transaction {
+        cat.delete("r", lit(true))
+        assert(cat.get("r").df.count() == 0)
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(cat.get("r").df.count() == region.df.count())
+  }
+
+  test("catalog: update/delete rebind copy-on-write") {
+    val cat = new Catalog(spark)
+    cat.register("r2", region)
+    cat.update("r2", col("r_regionkey") === 0, "r_name" -> lit("X"))
+    assert(cat.get("r2").df.filter(col("r_name") === "X").count() == 1)
+    cat.delete("r2", col("r_regionkey") === 0)
+    assert(cat.get("r2").df.count() == region.df.count() - 1)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dsl._
+import graft.functions.PF
+
+class PTableSpec extends SparkSpec {
+  private def items(vs: Int*) = PTable.fromList(spark, vs)
+
+  test("literal list is a single-column table named item") {
+    assert(items(1, 2, 3).columns == Seq("item"))
+    assert(items(1, 2, 3).df.count() == 3)
+  }
+
+  test("range is end-exclusive") {
+    assert(PTable.range(spark, 1, 4).df.collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L))
+  }
+
+  test("projection rejects duplicate column names") {
+    intercept[IllegalArgumentException] {
+      items(1).project("item", "item" -> col("item") * 2)
+    }
+  }
+
+  test("projectAll supports exclusion and appended overrides") {
+    val t = items(1).project("a" -> lit(1), "b" -> lit(2), "c" -> lit(3))
+    val out = t.projectAll(exclude = Seq("b"),
+      extra = Seq(NamedCol("d", col("a") + 10)))
+    assert(out.columns == Seq("a", "c", "d"))
+    assert(out.df.head().getInt(2) == 11)
+  }
+
+  test("where applies conjunction") {
+    assert(items(1, 2, 3, 4).where(col("item") > 1, col("item") < 4)
+      .df.count() == 2)
+  }
+
+  test("slice is 0-based end-exclusive") {
+    val out = items(10, 20, 30, 40, 50).orderBy("item").slice(1, 3)
+      .df.collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(20L, 30L))
+  }
+
+  test("set operations: + is bag concat, | dedups, & intersects, - subtracts") {
+    val a = items(1, 2, 2, 3)
+    val b = items(2, 3, 4)
+    assert((a + b).df.count() == 7)
+    assert((a | b).df.count() == 4)
+    assert((a & b).df.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    assert((a - b).df.collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("one returns the single row; errors on 0 or 2+") {
+    assert(items(7).one().getLong(0) == 7L)
+    intercept[IllegalArgumentException] { items(1, 2).one() }
+    intercept[IllegalArgumentException] {
+      items(1).where(lit(false)).one()
+    }
+  }
+
+  test("oneOpt distinguishes empty from singleton") {
+    assert(items(1).where(lit(false)).oneOpt().isEmpty)
+    assert(items(5).oneOpt().map(_.getLong(0)).contains(5L))
+  }
+
+  test("isEmpty is a limit-1 probe") {
+    assert(items(1).where(lit(false)).isEmpty)
+    assert(!items(1).isEmpty)
+  }
+
+  test("enum attaches 0-based index in current order") {
+    val out = items(30, 10, 20).orderBy("item").enum("idx")
+      .df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 10L), (1L, 20L), (2L, 30L)))
+  }
+
+  test("groupBy {keys=>} yields distinct keys; {=>aggs} yields one row") {
+    val t = items(1, 1, 2, 2, 3)
+    assert(t.groupBy("item")().df.count() == 3)
+    val g = t.aggAll("n" -> count(lit(1)), "s" -> sum(col("item")))
+    val row = g.df.head()
+    assert(row.getLong(0) == 5L && row.getLong(1) == 9L)
+  }
+
+  test("update is copy-on-write with condition") {
+    val t = items(1, 2, 3)
+      .update(col("item") === 2)("item" -> (col("item") * 100))
+    assert(t.df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 200L))
+  }
+
+  test("delete keeps non-matching rows") {
+    assert(items(1, 2, 3).delete(col("item") === 2)
+      .df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+}
