@@ -696,11 +696,16 @@ object SparkEntry {
            SELECT doc_id, CASE WHEN len(tk) < 3 THEN [tt]
              ELSE [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)] END AS shl
            FROM toks
+         ), hb AS (
+           SELECT doc_id,
+             [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 for s in shl] AS hs
+           FROM sh
          )
          SELECT doc_id, array_to_string(
-           [list_min([('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || s), 1, 15))::BIGINT
-             for s in shl]) for i in range(0, 12)], ',') AS sig
-         FROM sh""",
+           [list_min([((('0x' || substr(md5('a_' || CAST(i AS VARCHAR)), 1, 7))::BIGINT * 2 + 1) * h
+               + ('0x' || substr(md5('b_' || CAST(i AS VARCHAR)), 1, 7))::BIGINT) % 2147483647
+             for h in hs]) for i in range(0, 12)], ',') AS sig
+         FROM hb""",
     "x07_minhash_pairs" ->
       """WITH docs AS (
            SELECT doc_id, text FROM documents
@@ -708,13 +713,18 @@ object SparkEntry {
          ), toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk, trim(text) AS tt
            FROM docs
+         ), hb AS (
+           SELECT doc_id,
+             [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647
+               for s in (CASE WHEN len(tk) < 3 THEN [tt]
+                 ELSE [array_to_string(tk[ii:ii+2], ' ') for ii in range(1, len(tk) - 1)] END)] AS hs
+           FROM toks
          ), sig AS (
            SELECT doc_id,
-             [list_min([('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || s), 1, 15))::BIGINT
-               for s in (CASE WHEN len(tk) < 3 THEN [tt]
-                 ELSE [array_to_string(tk[ii:ii+2], ' ') for ii in range(1, len(tk) - 1)] END)])
-               for i in range(0, 12)] AS sg
-           FROM toks
+             [list_min([((('0x' || substr(md5('a_' || CAST(i AS VARCHAR)), 1, 7))::BIGINT * 2 + 1) * h
+                 + ('0x' || substr(md5('b_' || CAST(i AS VARCHAR)), 1, 7))::BIGINT) % 2147483647
+               for h in hs]) for i in range(0, 12)] AS sg
+           FROM hb
          ), buckets AS (
            SELECT doc_id, b.b AS band,
              md5(array_to_string([CAST(x AS VARCHAR) for x in sg[b.b*3+1:b.b*3+3]], ',')) AS bucket

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions.{col, lit, when, concat}
 import org.apache.spark.sql.types._
-import TextAnalysis.{h60, tokens, fingerprint}
+import TextAnalysis.{h60, h28, tokens, fingerprint}
 
 /** Deduplication operators for training-data pipelines: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard. Designed for the 100 TB
@@ -44,16 +44,48 @@ object Dedup {
   }
 
   // ---- MinHash + LSH -------------------------------------------------------
-  /** k-wide MinHash signature: hash family i is md5 keyed by i
-    * (portable; no modular-arithmetic overflow concerns).
-    * sig[i] = min over shingles of h60(i + "_" + shingle).
+  /** Mersenne prime 2^31-1: the minhash value domain. Base shingle
+    * hashes are reduced mod P so the affine family a*h+b (a < 2^29)
+    * stays within 62 bits — exact long arithmetic in any engine.
     */
-  def minhashSignature(text: Column, k: Int = 12, shingleN: Int = 3): Column = {
-    val sh = shingles(text, shingleN)
-    F.transform(F.sequence(lit(0), lit(k - 1)),
-      i => F.array_min(F.transform(sh,
-        s => h60(concat(i.cast(StringType), lit("_"), s)))))
+  val P: Long = 2147483647L
+
+  /** One 60-bit md5 hash per shingle, reduced mod P. The expensive
+    * md5 happens ONCE per shingle; the k hash functions are cheap
+    * affine transforms of this base (the classic minhash trick —
+    * at 100 TB the md5 count is the dominant CPU term).
+    */
+  def shingleHashes(text: Column, shingleN: Int = 3): Column =
+    F.transform(shingles(text, shingleN), s => h60(s) % P)
+
+  /** Affine hash-family parameters, md5-derived so any engine
+    * reproduces them (a_i odd < 2^29, b_i < 2^28) — but computed HERE
+    * at plan-build time and embedded as literals: leaving them as
+    * engine expressions inside the per-shingle lambda re-evaluates the
+    * md5 once per array element (12M md5 calls at sf0.1 — measured
+    * 25s → <1s after hoisting).
+    */
+  private def md5_28(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(4).map(b => f"$b%02x").mkString.take(7), 16)
   }
+  def fam(i: Int): (Long, Long) =
+    (md5_28(s"a_$i") * 2 + 1, md5_28(s"b_$i"))
+
+  /** k-wide MinHash signature from precomputed base hashes:
+    * sig[i] = min over shingles of (a_i*h + b_i) mod P.
+    */
+  def signatureFromHashes(hs: Column, k: Int = 12): Column =
+    F.array((0 until k).map { i =>
+      val (a, b) = fam(i)
+      F.array_min(F.transform(hs, h => (lit(a) * h + lit(b)) % P))
+    }: _*)
+
+  /** k-wide MinHash signature straight from text. */
+  def minhashSignature(text: Column, k: Int = 12, shingleN: Int = 3): Column =
+    signatureFromHashes(shingleHashes(text, shingleN), k)
 
   /** LSH band buckets: split the k-signature into bands of r rows;
     * bucket id = md5 of the band's minhashes. Equal bucket ⇒ candidate.
@@ -64,13 +96,18 @@ object Dedup {
         F.transform(F.slice(sig, b * lit(r) + 1, lit(r)), x => x.cast(StringType)))))
 
   /** Per-document (id, band, bucket) rows — the shuffle key for
-    * candidate generation.
+    * candidate generation. The base-hash array is materialized
+    * (localCheckpoint) before signature expansion: Catalyst's project
+    * collapsing would otherwise re-inline — and recompute — the md5
+    * pipeline once per hash function and once per join side.
     */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 12, bands: Int = 4): DataFrame = {
     val r = k / bands
-    df.select(col(idCol).as("id"),
-        F.posexplode(bandBuckets(minhashSignature(col(textCol), k), bands, r))
+    val hashed = df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol)).as("hs")).localCheckpoint(true)
+    hashed.select(col("id"),
+        F.posexplode(bandBuckets(signatureFromHashes(col("hs"), k), bands, r))
           .as(Seq("band", "bucket")))
   }
 
@@ -91,9 +128,12 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, k: Int = 12, bands: Int = 4): DataFrame = {
-    val cand = candidatePairs(lshBuckets(df, idCol, textCol, k, bands))
+    val buckets = lshBuckets(df, idCol, textCol, k, bands)
+      .localCheckpoint(true) // self-joined below — compute once
+    val cand = candidatePairs(buckets)
     val toks = df.select(col(idCol).as("jid"),
       F.array_distinct(tokens(col(textCol))).as("tok"))
+      .localCheckpoint(true) // joined twice (both pair sides)
     cand
       .join(toks.alias("ta"), col("id_a") === col("ta.jid"))
       .join(toks.alias("tb"), col("id_b") === col("tb.jid"))

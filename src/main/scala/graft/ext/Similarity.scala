@@ -39,12 +39,15 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    // Norms are precomputed per ROW (not per pair): same IEEE value,
+    // n× less work. sim = dot/(qn*cn) matches cosine() bit-for-bit.
     val q = F.broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qvec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      col(vecCol).as("qvec"), norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("sim"))
+        (dot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", F.row_number().over(w))
@@ -103,11 +106,12 @@ object Similarity {
   def cosinePairs(df: DataFrame, threshold: Double,
                   blockCol: String, idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"), col(blockCol))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nv"), col(blockCol))
     base.alias("a").join(base.alias("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("sim"))
+        (dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

@@ -23,6 +23,12 @@ object TextAnalysis {
   def h60(c: Column): Column =
     F.conv(F.substring(F.md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
 
+  /** 28-bit md5-derived hash — small enough for overflow-safe affine
+    * hash families (a*h+b over 62-bit longs).
+    */
+  def h28(c: Column): Column =
+    F.conv(F.substring(F.md5(c.cast(StringType)), 1, 7), 16, 10).cast(LongType)
+
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = F.split(F.trim(text), "\\s+")
 

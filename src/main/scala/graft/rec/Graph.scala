@@ -25,37 +25,41 @@ object Graph {
     * each with its minimal rank (step count). Column contract:
     * edges(src, dst), initial(node); output (node, rank).
     */
-  def bfs(edges: DataFrame, initial: DataFrame, maxRank: Int = Int.MaxValue,
-          checkpointEvery: Int = 10): DataFrame = {
-    val spark = edges.sparkSession
+  /** Materialize and fully detach a DataFrame from its lineage:
+    * localCheckpoint truncates the physical lineage, and rebuilding
+    * from the RDD drops carried-over plan constraints (whose attribute
+    * references break Union constraint rewriting after checkpointing).
+    */
+  private def materialize(df: DataFrame): DataFrame = {
+    val ckpt = df.localCheckpoint(true)
+    df.sparkSession.createDataFrame(ckpt.rdd, ckpt.schema)
+  }
+
+  def bfs(edges: DataFrame, initial: DataFrame,
+          maxRank: Int = Int.MaxValue): DataFrame = {
     val e = edges.select(F.col("src"), F.col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var visited = initial.select(F.col("node"), F.lit(0).as("rank")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Eager materialization each step: plan stays O(1) in depth, and
+    // the isEmpty probe and next join are reads, not recomputes.
+    var visited = materialize(
+      initial.select(F.col("node"), F.lit(0).as("rank")).distinct())
     var frontier = visited
     var rank = 0
     var done = false
     while (!done && rank < maxRank) {
       rank += 1
       // next = (frontier ⋈ edges).dst − visited. Alias-qualified columns:
-      // after the first step frontier's lineage embeds `e`, so bare
-      // column refs would be ambiguous self-join references.
+      // frontier's lineage can embed `e`, so bare column refs would be
+      // ambiguous self-join references.
       val stepped = frontier.alias("f")
         .join(e.alias("g"), F.col("f.node") === F.col("g.src"))
         .select(F.col("g.dst").as("node")).distinct()
-      var next = stepped.alias("s")
+      val next = materialize(stepped.alias("s")
         .join(visited.alias("v"), F.col("s.node") === F.col("v.node"), "left_anti")
-        .select(F.col("s.node").as("node"), F.lit(rank).as("rank"))
-      if (rank % checkpointEvery == 0) next = next.localCheckpoint(eager = true)
-      else next = next.persist(StorageLevel.MEMORY_AND_DISK)
+        .select(F.col("s.node").as("node"), F.lit(rank).as("rank")))
       if (next.isEmpty) done = true
       else {
-        val newVisited = visited.unionAll(next)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        visited.unpersist()
-        frontier.unpersist()
-        visited = if (rank % checkpointEvery == 0)
-          newVisited.localCheckpoint(eager = true) else newVisited
+        visited = materialize(visited.unionAll(next))
         frontier = next
       }
     }
