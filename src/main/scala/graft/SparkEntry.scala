@@ -419,7 +419,45 @@ object SparkEntry {
         .groupBy(F.floor(F.unix_micros(col("ts")) / 3600000000L).as("bucket"))
         .agg(F.count(lit(1)).as("n"),
           PF.dsum(col("value")).as("total"))
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // ---- §2.8 scalar misc: chr/ord/round/pi ------------------------------
+    "q46_scalar_misc" -> ((s, d) =>
+      t(s, d, "nation").project(
+        "n_nationkey",
+        "ch" -> PF.charOf(col("n_nationkey") + 65),
+        "oc" -> PF.charOrd(col("n_name")),
+        "r1" -> F.round(col("n_nationkey") * 1.37, 1),
+        "rn" -> F.round(col("n_nationkey") * lit(137.0), -2),
+        "pi" -> F.lit(math.Pi)).df),
+
+    // ---- rollup / cube (aggregation extension) ---------------------------
+    "q47_rollup" -> ((s, d) =>
+      t(s, d, "orders").df
+        .rollup(F.year(col("o_orderdate")).as("y"), col("o_orderstatus"))
+        .agg(F.count(lit(1)).as("n"), PF.dsum(col("o_totalprice")).as("total"))),
+
+    // ---- §2.1 csv / json source round-trips ------------------------------
+    "q48_csv_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_csv").toString
+      t(s, d, "nation").df.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(out)
+      graft.sources.Tables.csv(s, out, header = true, name = "nation_csv")
+        .project("n_nationkey", "n_name").orderBy("n_nationkey").df
+    }),
+
+    "q49_json_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_json").toString
+      t(s, d, "region").df.coalesce(1).write.mode("overwrite").json(out)
+      graft.sources.Tables.json(s, out, name = "region_json")
+        .project("r_regionkey", "r_name").orderBy("r_regionkey").df
+    }),
+
+    // ---- §2.1 introspection: columns() -----------------------------------
+    "q50_columns" -> ((s, d) =>
+      graft.sources.Tables.columns(t(s, d, "region")))
   )
 
   /** Documents augmented with known duplicates (ids shifted by 10000)
@@ -826,6 +864,27 @@ object SparkEntry {
       """SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q46_scalar_misc" ->
+      """SELECT n_nationkey,
+           chr(n_nationkey + 65) AS ch,
+           CAST(ord(substr(n_name, 1, 1)) AS INT) AS oc,
+           round(n_nationkey * 1.37, 1) AS r1,
+           round(n_nationkey * 137.0, -2) AS rn,
+           pi() AS pi
+         FROM nation""",
+    "q47_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY ROLLUP (y, o_orderstatus)""",
+    "q48_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+    "q49_json_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q50_columns" ->
+      """SELECT * FROM (VALUES
+           ('r_regionkey', 'int', true),
+           ('r_name', 'string', true)) v(name, type, nullable)"""
   )
 }
