@@ -457,7 +457,34 @@ object SparkEntry {
 
     // ---- §2.1 introspection: columns() -----------------------------------
     "q50_columns" -> ((s, d) =>
-      graft.sources.Tables.columns(t(s, d, "region")))
+      graft.sources.Tables.columns(t(s, d, "region"))),
+
+    // ---- as-of join (extension; one shuffle, no range-join blowup) -------
+    "q51_asof" -> ((s, d) => {
+      val ev = t(s, d, "events").df
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max(col("value")).as("value"))
+      Joins.asofJoin(clicks, errors, Seq("user_id"), "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          col("value").as("last_error_value"))
+    }),
+
+    // ---- skew-salted aggregation (scale extension) -----------------------
+    "q52_salted_agg" -> ((s, d) =>
+      PF.saltedSumCount(t(s, d, "lineitem").df,
+        col("l_returnflag"), col("l_quantity"), 16)),
+
+    // ---- nested structs: create / access / expand ------------------------
+    "q53_structs" -> ((s, d) =>
+      t(s, d, "customer").df
+        .select(col("c_custkey"),
+          F.struct(col("c_acctbal").as("x"),
+            (col("c_custkey") % 7).as("y")).as("pt"))
+        .select(col("c_custkey"), col("pt.*"))
+        .select(col("c_custkey"), (col("x") * 2).as("x2"), col("y")))
   )
 
   /** Documents augmented with known duplicates (ids shifted by 10000)
@@ -885,6 +912,24 @@ object SparkEntry {
     "q50_columns" ->
       """SELECT * FROM (VALUES
            ('r_regionkey', 'int', true),
-           ('r_name', 'string', true)) v(name, type, nullable)"""
+           ('r_name', 'string', true)) v(name, type, nullable)""",
+    "q51_asof" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+         ), errors AS (
+           SELECT user_id, ts, max(value) AS value FROM events
+           WHERE event_type = 'error' GROUP BY user_id, ts
+         )
+         SELECT c.event_id, c.user_id, e.value AS last_error_value
+         FROM clicks c ASOF LEFT JOIN errors e
+           ON c.user_id = e.user_id AND c.ts >= e.ts""",
+    "q52_salted_agg" ->
+      """SELECT l_returnflag AS key,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum,
+           CAST(count(l_quantity) AS BIGINT) AS cnt
+         FROM lineitem GROUP BY l_returnflag""",
+    "q53_structs" ->
+      """SELECT c_custkey, c_acctbal * 2 AS x2, c_custkey % 7 AS y
+         FROM customer"""
   )
 }

@@ -177,4 +177,25 @@ object PF {
     */
   def keyedSample(key: Column, m: Int, keep: Int): Column =
     F.pmod(key * lit(2654435761L), lit(m)) < lit(keep)
+
+  // ---- skew handling -----------------------------------------------------
+  /** Two-stage salted aggregation for skewed group keys: stage 1
+    * aggregates on (key, salt) — spreading a hot key over `salt`
+    * reducers — stage 2 combines the partials per key. Correct for any
+    * associative aggregate; here sum+count (from which avg derives).
+    * AQE's skew handling covers joins; this covers aggregations whose
+    * hot keys overwhelm a single reducer at 100 TB.
+    */
+  def saltedSumCount(df: org.apache.spark.sql.DataFrame, key: Column,
+                     value: Column, salt: Int): org.apache.spark.sql.DataFrame = {
+    val stage1 = df
+      .groupBy(key.as("key"),
+        F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(),
+          lit(salt)).as("_salt"))
+      .agg(F.sum(value.cast(DecimalType(18, 2))).as("_psum"),
+        F.count(value).as("_pcnt"))
+    stage1.groupBy(F.col("key"))
+      .agg(F.sum(F.col("_psum")).cast(DoubleType).as("sum"),
+        F.sum(F.col("_pcnt")).as("cnt"))
+  }
 }

@@ -157,4 +157,46 @@ object Joins {
   def zipjoinLeft(a: PTable, b: PTable): PTable = zipKind(a, b, "left_outer")
   /** zipjoin_longest: pad both (full outer on index). */
   def zipjoinLongest(a: PTable, b: PTable): PTable = zipKind(a, b, "full_outer")
+
+  /** As-of join (extension beyond the reference): for each left row,
+    * attach the most recent right row with rightTs <= leftTs, per key.
+    *
+    * Scale design: implemented as the union + last_value-over-window
+    * trick, NOT a range join — one shuffle on the key, one
+    * sort-within-partition by (ts, side), no quadratic candidate set.
+    * Equal timestamps: the right row sorts before the left row, so a
+    * same-instant right row matches (>= semantics, like DuckDB's
+    * ASOF JOIN).
+    *
+    * @param valueCols right-side columns to carry (attached with their
+    *        own names; left keeps all its columns)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lCols = left.columns.toSeq
+    val l = left
+      .withColumn("_ts", F.col(leftTs))
+      .withColumn("_side", F.lit(1))
+      .select(Seq(F.col("_ts"), F.col("_side")) ++ keys.map(F.col) ++
+        lCols.filterNot(keys.contains).map(F.col) ++
+        valueCols.map(c => F.lit(null).cast(right.schema(c).dataType).as(s"_v_$c")): _*)
+    val r = right
+      .withColumn("_ts", F.col(rightTs))
+      .withColumn("_side", F.lit(0))
+      .select(Seq(F.col("_ts"), F.col("_side")) ++ keys.map(F.col) ++
+        lCols.filterNot(keys.contains)
+          .map(c => F.lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => F.col(c).as(s"_v_$c")): _*)
+    val w = Window.partitionBy(keys.map(F.col): _*)
+      .orderBy(F.col("_ts").asc, F.col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, F.last(F.col(s"_v_$c"), ignoreNulls = true).over(w))
+    }
+    matched.filter(F.col("_side") === 1)
+      .select((keys ++ lCols.filterNot(keys.contains) ++ valueCols)
+        .map(F.col): _*)
+  }
 }

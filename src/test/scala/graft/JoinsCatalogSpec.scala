@@ -88,6 +88,40 @@ class JoinsCatalogSpec extends SparkSpec {
     assert(cat.get("r").df.count() == region.df.count())
   }
 
+  test("asofJoin attaches most recent right row, >= semantics") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:05:00")),
+      (2L, 10L, ts("2024-01-01 00:00:30")),
+      (3L, 20L, ts("2024-01-01 00:10:00")),
+      (4L, 30L, ts("2024-01-01 00:10:00"))).toDF("id", "key", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:01:00"), 1.0),
+      (10L, ts("2024-01-01 00:04:00"), 2.0),
+      (20L, ts("2024-01-01 00:10:00"), 3.0)).toDF("key", "rts", "v")
+    val out = graft.joins.Joins
+      .asofJoin(left, right, Seq("key"), "ts", "rts", Seq("v"))
+      .collect().map(r => r.getLong(1) -> Option(r.get(3))).toMap
+    assert(out(1L).contains(2.0))  // most recent before 00:05
+    assert(out(2L).isEmpty)        // before first right row
+    assert(out(3L).contains(3.0))  // equal ts matches (>=)
+    assert(out(4L).isEmpty)        // key with no right rows
+  }
+
+  test("saltedSumCount equals direct aggregation") {
+    import graft.functions.PF
+    val li = Tables.load(spark, sf, "lineitem").df
+    val salted = PF.saltedSumCount(li, col("l_returnflag"), col("l_quantity"), 8)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val direct = li.groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum(
+        col("l_quantity").cast("decimal(18,2)")).cast("double"),
+        org.apache.spark.sql.functions.count(col("l_quantity")))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted == direct)
+  }
+
   test("catalog: update/delete rebind copy-on-write") {
     val cat = new Catalog(spark)
     cat.register("r2", region)
