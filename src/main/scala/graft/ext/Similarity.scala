@@ -22,6 +22,13 @@ import TextAnalysis.h60
   */
 object Similarity {
 
+  /** Native codegen'd dot for float-vector columns — same left-fold
+    * double accumulation as `dot`, one tight JVM loop per row.
+    */
+  def fdot(a: Column, b: Column): Column = graft.plans.FloatVecDot(a, b)
+
+  def fnorm(a: Column): Column = F.sqrt(fdot(a, a))
+
   def dot(a: Column, b: Column): Column =
     F.aggregate(
       F.zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
@@ -42,12 +49,12 @@ object Similarity {
     // Norms are precomputed per ROW (not per pair): same IEEE value,
     // n× less work. sim = dot/(qn*cn) matches cosine() bit-for-bit.
     val q = F.broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qvec"), norm(col(vecCol)).as("qn")))
+      col(vecCol).as("qvec"), fnorm(col(vecCol)).as("qn")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      norm(col(vecCol)).as("cn"))
+      fnorm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))
+        (fdot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", F.row_number().over(w))
@@ -94,7 +101,7 @@ object Similarity {
     val scored = q.join(c, col("qsig") === col("csig") &&
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("sim"))
+        (fdot(col("qvec"), col("cvec")) / (fnorm(col("qvec")) * fnorm(col("cvec")))).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", F.row_number().over(w))
@@ -107,11 +114,11 @@ object Similarity {
                   blockCol: String, idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nv"), col(blockCol))
+      fnorm(col(vecCol)).as("nv"), col(blockCol))
     base.alias("a").join(base.alias("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv"))).as("sim"))
+        (fdot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

@@ -70,6 +70,17 @@ class ExtSpec extends SparkSpec {
     assert(ham(m("t1"), m("t2")) < ham(m("t1"), m("t3")))
   }
 
+  test("native FloatVecDot is bit-identical to the HOF dot") {
+    val both = emb.limit(100).select(
+      Similarity.fdot(col("embedding"), col("embedding")).as("native"),
+      Similarity.dot(col("embedding"), col("embedding")).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("cosine of a vector with itself is ~1") {
     val v = emb.limit(3).select(Similarity.cosine(col("embedding"),
       col("embedding"))).collect().map(_.getDouble(0))
