@@ -484,7 +484,31 @@ object SparkEntry {
           F.struct(col("c_acctbal").as("x"),
             (col("c_custkey") % 7).as("y")).as("pt"))
         .select(col("c_custkey"), col("pt.*"))
-        .select(col("c_custkey"), (col("x") * 2).as("x2"), col("y")))
+        .select(col("c_custkey"), (col("x") * 2).as("x2"), col("y"))),
+
+    // ---- §2.6 page + add_index clustering --------------------------------
+    "q54_page" -> ((s, d) =>
+      t(s, d, "customer").orderBy("c_custkey").page(3, 20)
+        .project("c_custkey", "c_mktsegment").df),
+
+    // ---- §2.8 fmt interpolation ------------------------------------------
+    "q55_fmt" -> ((s, d) =>
+      t(s, d, "nation").project(
+        "n_nationkey",
+        "msg" -> PF.fmt(lit("nation "), col("n_name"), lit(" is #"),
+          col("n_nationkey").cast(StringType))).df),
+
+    // ---- §2.6 first / first_or_null / is_empty as values -----------------
+    "q56_first_scalars" -> ((s, d) => {
+      val c = t(s, d, "customer").orderBy("c_custkey")
+      val none = c.where(lit(false))
+      val firstName = c.project("c_name").first().asInstanceOf[String]
+      s.range(1).select(
+        lit(firstName).as("first_name"),
+        lit(none.isEmpty).as("empty_is_empty"),
+        lit(none.project("c_name").firstOrNull()
+          .asInstanceOf[String]).cast(StringType).as("first_of_empty"))
+    })
   )
 
   /** Documents augmented with known duplicates (ids shifted by 10000)
@@ -930,6 +954,17 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag""",
     "q53_structs" ->
       """SELECT c_custkey, c_acctbal * 2 AS x2, c_custkey % 7 AS y
-         FROM customer"""
+         FROM customer""",
+    "q54_page" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         ORDER BY c_custkey LIMIT 20 OFFSET 40""",
+    "q55_fmt" ->
+      """SELECT n_nationkey,
+           'nation ' || n_name || ' is #' || CAST(n_nationkey AS VARCHAR) AS msg
+         FROM nation""",
+    "q56_first_scalars" ->
+      """SELECT (SELECT c_name FROM customer ORDER BY c_custkey LIMIT 1) AS first_name,
+           CAST(1 AS BOOLEAN) AS empty_is_empty,
+           CAST(NULL AS VARCHAR) AS first_of_empty"""
   )
 }

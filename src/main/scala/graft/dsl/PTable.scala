@@ -125,6 +125,28 @@ final class PTable(val df: DataFrame, val meta: TableMeta) {
   /** LIMIT-1 existence probe (reference __builtins__.pql:192-197). */
   def isEmpty: Boolean = df.isEmpty
 
+  /** `first`: first value of the table's (single) leading column in
+    * current order (reference __builtins__.pql:84-107).
+    */
+  def first(): Any = {
+    val rows = df.take(1)
+    require(rows.nonEmpty, "'first' on empty table")
+    rows(0).get(0)
+  }
+
+  /** `first_or_null` (reference __builtins__.pql:110-127). */
+  def firstOrNull(): Any = df.take(1).headOption.map(_.get(0)).orNull
+
+  /** `add_index`: no-op for correctness on columnar storage (as in the
+    * reference for columnar targets, pql_functions.py:1059-1061); here
+    * it clusters data by the given columns — repartition + sort within
+    * partitions — which is what makes later scans/merge-joins on those
+    * columns cheap at scale.
+    */
+  def addIndex(cols: String*): PTable =
+    sameMeta(df.repartition(cols.map(F.col): _*)
+      .sortWithinPartitions(cols.map(F.col): _*))
+
   /** `enum(t)`: attach a 0-based row index in the table's current order
     * (reference __builtins__.pql:290-311: row_number() over () - 1).
     *
