@@ -498,6 +498,14 @@ object SparkEntry {
         "msg" -> PF.fmt(lit("nation "), col("n_name"), lit(" is #"),
           col("n_nationkey").cast(StringType))).df),
 
+    // ---- ext: dedup cluster resolution -----------------------------------
+    "x15_dup_clusters" -> ((s, d) => {
+      val pairs = graft.ext.Dedup.minhashPairs(augDocs(s, d), "doc_id", "text", 0.8)
+        .select("id_a", "id_b")
+      graft.ext.Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("label").as("canonical"))
+    }),
+
     // ---- §2.6 first / first_or_null / is_empty as values -----------------
     "q56_first_scalars" -> ((s, d) => {
       val c = t(s, d, "customer").orderBy("c_custkey")
@@ -965,6 +973,53 @@ object SparkEntry {
     "q56_first_scalars" ->
       """SELECT (SELECT c_name FROM customer ORDER BY c_custkey LIMIT 1) AS first_name,
            CAST(1 AS BOOLEAN) AS empty_is_empty,
-           CAST(NULL AS VARCHAR) AS first_of_empty"""
+           CAST(NULL AS VARCHAR) AS first_of_empty""",
+    "x15_dup_clusters" ->
+      """WITH RECURSIVE docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0
+         ), toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk, trim(text) AS tt
+           FROM docs
+         ), hb AS (
+           SELECT doc_id,
+             [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647
+               for s in (CASE WHEN len(tk) < 3 THEN [tt]
+                 ELSE [array_to_string(tk[ii:ii+2], ' ') for ii in range(1, len(tk) - 1)] END)] AS hs
+           FROM toks
+         ), sig AS (
+           SELECT doc_id,
+             [list_min([((('0x' || substr(md5('a_' || CAST(i AS VARCHAR)), 1, 7))::BIGINT * 2 + 1) * h
+                 + ('0x' || substr(md5('b_' || CAST(i AS VARCHAR)), 1, 7))::BIGINT) % 2147483647
+               for h in hs]) for i in range(0, 12)] AS sg
+           FROM hb
+         ), buckets AS (
+           SELECT doc_id, b.b AS band,
+             md5(array_to_string([CAST(x AS VARCHAR) for x in sg[b.b*3+1:b.b*3+3]], ',')) AS bucket
+           FROM sig, (SELECT unnest(range(0, 4)) AS b) b
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM buckets a JOIN buckets c
+             ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+         ), tsets AS (
+           SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ts
+           FROM docs
+         ), pairs AS (
+           SELECT id_a, id_b FROM (
+             SELECT id_a, id_b,
+               CASE WHEN len(list_distinct(list_concat(ta.ts, tb.ts))) = 0 THEN 0.0
+                 ELSE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                   / len(list_distinct(list_concat(ta.ts, tb.ts))) END AS jac
+             FROM cand JOIN tsets ta ON id_a = ta.doc_id JOIN tsets tb ON id_b = tb.doc_id
+           ) WHERE jac >= 0.8
+         ), edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs
+         ), reach(src, dst) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         )
+         SELECT src AS doc_id, min(dst) AS canonical FROM reach GROUP BY src"""
   )
 }

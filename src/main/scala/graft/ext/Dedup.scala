@@ -132,13 +132,13 @@ object Dedup {
       .localCheckpoint(true) // self-joined below — compute once
     val cand = candidatePairs(buckets)
     val toks = df.select(col(idCol).as("jid"),
-      F.array_distinct(tokens(col(textCol))).as("tok"))
+      tokens(col(textCol)).as("tok"))
       .localCheckpoint(true) // joined twice (both pair sides)
     cand
       .join(toks.alias("ta"), col("id_a") === col("ta.jid"))
       .join(toks.alias("tb"), col("id_b") === col("tb.jid"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("ta.tok"), col("tb.tok")).as("jac"))
+        graft.plans.TokenJaccard(col("ta.tok"), col("tb.tok")).as("jac"))
       .filter(col("jac") >= threshold)
   }
 
@@ -176,19 +176,60 @@ object Dedup {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
+  // ---- cluster resolution --------------------------------------------------
+  /** Connected components over near-dup pairs: assigns every id the
+    * minimum id of its duplicate cluster (the canonical survivor).
+    * Completes the dedup pipeline: pairs → clusters → keep canonical.
+    *
+    * Iterative min-label propagation — converges in O(cluster
+    * diameter) rounds; each round is one join + one min-aggregation,
+    * materialized eagerly so the plan stays O(1) in depth. Dup
+    * clusters are near-cliques in practice, so diameter is tiny even
+    * when the pair set is huge.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    def mat(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(true)
+      spark.createDataFrame(ck.rdd, ck.schema)
+    }
+    val edges = mat(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct())
+    var labels = mat(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      iter += 1
+      // each node takes min(own label, neighbors' labels)
+      val viaEdges = edges.alias("e")
+        .join(labels.alias("l"), col("e.src") === col("l.id"))
+        .select(col("e.dst").as("id"), col("l.label").as("label"))
+      val next = mat(labels.unionAll(viaEdges)
+        .groupBy("id").agg(F.min("label").as("label")))
+      val stable = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).isEmpty
+      changed = !stable
+      labels = next
+    }
+    labels
+  }
+
   /** All-pairs Jaccard within blocking groups (e.g. same lang+source):
     * blocking bounds the quadratic term to group size.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], threshold: Double): DataFrame = {
     val base = df.select(Seq(col(idCol).as("id"),
-      F.array_distinct(tokens(col(textCol))).as("tok")) ++
+      tokens(col(textCol)).as("tok")) ++
       blockCols.map(col): _*)
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.id") < col("b.id")
     base.alias("a").join(base.alias("b"), cond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        jaccard(col("a.tok"), col("b.tok")).as("jac"))
+        graft.plans.TokenJaccard(col("a.tok"), col("b.tok")).as("jac"))
       .filter(col("jac") >= threshold)
   }
 }

@@ -81,5 +81,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_fvec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "graft_fvec_dot"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_token_jaccard"),
+      new ExpressionInfo(classOf[TokenJaccard].getName, "graft_token_jaccard"),
+      (exprs: Seq[Expression]) => TokenJaccard(exprs.head, exprs(1))))
   }
 }
