@@ -506,6 +506,10 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("label").as("canonical"))
     }),
 
+    // ---- §2.8 char_range --------------------------------------------------
+    "q57_char_range" -> ((s, d) =>
+      PTable.charRange(s, 'a', 'k').df),
+
     // ---- §2.6 first / first_or_null / is_empty as values -----------------
     "q56_first_scalars" -> ((s, d) => {
       val c = t(s, d, "customer").orderBy("c_custkey")
@@ -970,6 +974,8 @@ object SparkEntry {
       """SELECT n_nationkey,
            'nation ' || n_name || ' is #' || CAST(n_nationkey AS VARCHAR) AS msg
          FROM nation""",
+    "q57_char_range" ->
+      "SELECT chr(CAST(range AS INT)) AS item FROM range(97, 107)",
     "q56_first_scalars" ->
       """SELECT (SELECT c_name FROM customer ORDER BY c_custkey LIMIT 1) AS first_name,
            CAST(1 AS BOOLEAN) AS empty_is_empty,

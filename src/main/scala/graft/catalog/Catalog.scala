@@ -33,7 +33,7 @@ final class Catalog(val spark: SparkSession) {
   }
 
   def get(name: String): PTable =
-    tables.getOrElse(name, throw new NoSuchElementException(s"table '$name'"))
+    tables.getOrElse(name, throw new graft.types.NameError(s"unknown table '$name'"))
 
   def names: Seq[String] = tables.keys.toSeq
 

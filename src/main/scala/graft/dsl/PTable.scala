@@ -43,8 +43,8 @@ final class PTable(val df: DataFrame, val meta: TableMeta) {
   // ---- projection: t{a, name: expr, ...} (reference compiler.py:186-280) -
   def project(cols: NamedCol*): PTable = {
     val names = cols.map(_.name)
-    require(names.distinct.size == names.size,
-      s"duplicate columns in projection: $names")
+    if (names.distinct.size != names.size)
+      throw new graft.types.TypeError(s"duplicate columns in projection: $names")
     anon(df.select(cols.map(c => c.col.as(c.name)): _*))
   }
 
@@ -111,14 +111,16 @@ final class PTable(val df: DataFrame, val meta: TableMeta) {
     */
   def one(): Row = {
     val rows = df.take(2)
-    require(rows.length == 1, s"'one' expected 1 row, got ${rows.length}")
+    if (rows.length != 1)
+      throw new graft.types.ValueError(s"'one' expected 1 row, got ${rows.length}")
     rows(0)
   }
 
   /** `one?`: zero rows → None. */
   def oneOpt(): Option[Row] = {
     val rows = df.take(2)
-    require(rows.length <= 1, s"'one?' expected <=1 row, got >=2")
+    if (rows.length > 1)
+      throw new graft.types.ValueError("'one?' expected <=1 row, got >=2")
     rows.headOption
   }
 
@@ -130,7 +132,7 @@ final class PTable(val df: DataFrame, val meta: TableMeta) {
     */
   def first(): Any = {
     val rows = df.take(1)
-    require(rows.nonEmpty, "'first' on empty table")
+    if (rows.isEmpty) throw new graft.types.ValueError("'first' on empty table")
     rows(0).get(0)
   }
 
@@ -220,4 +222,13 @@ object PTable {
     */
   def range(spark: SparkSession, start: Long, stop: Long): PTable =
     new PTable(spark.range(start, stop).toDF("item"), TableMeta.empty)
+
+  /** `char_range('a','e')` — characters from..until (end-exclusive),
+    * one per row (reference __builtins__.pql:580-589).
+    */
+  def charRange(spark: SparkSession, from: Char, until: Char): PTable =
+    new PTable(
+      spark.range(from.toLong, until.toLong)
+        .select(F.chr(F.col("id")).as("item")),
+      TableMeta.empty)
 }

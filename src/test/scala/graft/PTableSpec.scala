@@ -18,7 +18,7 @@ class PTableSpec extends SparkSpec {
   }
 
   test("projection rejects duplicate column names") {
-    intercept[IllegalArgumentException] {
+    intercept[graft.types.TypeError] {
       items(1).project("item", "item" -> col("item") * 2)
     }
   }
@@ -53,8 +53,8 @@ class PTableSpec extends SparkSpec {
 
   test("one returns the single row; errors on 0 or 2+") {
     assert(items(7).one().getLong(0) == 7L)
-    intercept[IllegalArgumentException] { items(1, 2).one() }
-    intercept[IllegalArgumentException] {
+    intercept[graft.types.ValueError] { items(1, 2).one() }
+    intercept[graft.types.ValueError] {
       items(1).where(lit(false)).one()
     }
   }
