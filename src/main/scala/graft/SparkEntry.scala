@@ -510,6 +510,28 @@ object SparkEntry {
     "q57_char_range" -> ((s, d) =>
       PTable.charRange(s, 'a', 'k').df),
 
+    // ---- language front-end: reference syntax → Catalyst ------------------
+    "ql1_lang_groupby" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        "customer{c_mktsegment => n: count()} order {^n, c_mktsegment}",
+        "customer" -> t(s, d, "customer")).df),
+
+    "ql2_lang_join" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        "join(c: customer, n: nation){name: n.n_name => population: count()} order {^population, name}",
+        "customer" -> t(s, d, "customer"), "nation" -> t(s, d, "nation")).df),
+
+    "ql3_lang_selection" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        "lineitem[l_quantity > 30, l_returnflag == 'R']{l_orderkey, l_linenumber, half: l_quantity /~ 2}",
+        "lineitem" -> t(s, d, "lineitem")).df),
+
+    "ql4_lang_script" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """big = orders[o_totalprice > 200000]
+           customer[c_custkey in big{o_custkey}] order {c_custkey} [..50] {c_custkey, c_name}""",
+        "customer" -> t(s, d, "customer"), "orders" -> t(s, d, "orders")).df),
+
     // ---- §2.6 first / first_or_null / is_empty as values -----------------
     "q56_first_scalars" -> ((s, d) => {
       val c = t(s, d, "customer").orderBy("c_custkey")
@@ -976,6 +998,21 @@ object SparkEntry {
          FROM nation""",
     "q57_char_range" ->
       "SELECT chr(CAST(range AS INT)) AS item FROM range(97, 107)",
+    "ql1_lang_groupby" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n FROM customer
+         GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment""",
+    "ql2_lang_join" ->
+      """SELECT n_name AS name, CAST(count(*) AS BIGINT) AS population
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY population DESC, name""",
+    "ql3_lang_selection" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(floor(CAST(l_quantity AS DOUBLE) / 2) AS BIGINT) AS half
+         FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'""",
+    "ql4_lang_script" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+         ORDER BY c_custkey LIMIT 50""",
     "q56_first_scalars" ->
       """SELECT (SELECT c_name FROM customer ORDER BY c_custkey LIMIT 1) AS first_name,
            CAST(1 AS BOOLEAN) AS empty_is_empty,

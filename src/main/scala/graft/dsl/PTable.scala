@@ -188,6 +188,11 @@ final class PTable(val df: DataFrame, val meta: TableMeta) {
   def delete(conds: Column): PTable = sameMeta(df.filter(!conds))
 
   // ---- plumbing ----------------------------------------------------------
+  /** `inspect_sql` analogue (reference pql_functions.py:76-83): the
+    * compiled plan instead of compiled SQL.
+    */
+  def explain(mode: String = "formatted"): Unit = df.explain(mode)
+
   def cache(): PTable = sameMeta(df.cache())
   def named(n: String): PTable = new PTable(df, meta.copy(name = n))
   def withMeta(m: TableMeta): PTable = new PTable(df, m)
