@@ -32,10 +32,67 @@ object Interp {
   def run(spark: SparkSession, src: String, tables: (String, PTable)*): PTable = {
     val prog = Parser.parse(src)
     var env: Map[String, PTable] = tables.toMap
-    prog.stmts.foreach { case Assign(name, value) =>
-      env = env + (name -> evalTable(spark, value, env).named(name))
+    var funcs: Map[String, FuncDef] = Map.empty
+    prog.stmts.foreach {
+      case Assign(name, value) =>
+        env = env + (name ->
+          evalTable(spark, inline(value, funcs), env).named(name))
+      case fd: FuncDef =>
+        funcs = funcs + (fd.name -> fd)
     }
-    evalTable(spark, prog.result, env)
+    evalTable(spark, inline(prog.result, funcs), env)
+  }
+
+  /** Inline user function calls by AST substitution — the engine's
+    * version of the reference's compile-and-inline for vectorizable
+    * functions (reference evaluate.py:551-648): the body is spliced
+    * into the call site with parameters replaced by argument ASTs, so
+    * `func sqsum(x) = sum(x*x)` works inside aggregation projections
+    * at zero runtime cost.
+    */
+  private def inline(e: Expr, funcs: Map[String, FuncDef]): Expr = {
+    def subst(body: Expr, bind: Map[String, Expr]): Expr = rewrite(body) {
+      case Ident(n) if bind.contains(n) => bind(n)
+    }
+    rewrite(e) {
+      case Call(fn, args) if funcs.contains(fn) =>
+        val fd = funcs(fn)
+        if (args.length != fd.params.length)
+          throw new TypeError(
+            s"${fn} expects ${fd.params.length} argument(s), got ${args.length}")
+        if (args.exists(_.name.isDefined))
+          throw new TypeError(s"positional arguments only for user func $fn")
+        val bind = fd.params.zip(args.map(a => inline(a.value, funcs))).toMap
+        inline(subst(fd.body, bind), funcs)
+    }
+  }
+
+  /** Bottom-up AST rewrite with a partial function applied post-order. */
+  private def rewrite(e: Expr)(pf: PartialFunction[Expr, Expr]): Expr = {
+    val mapped = e match {
+      case BinOp(op, l, r) => BinOp(op, rewrite(l)(pf), rewrite(r)(pf))
+      case Unary(op, x) => Unary(op, rewrite(x)(pf))
+      case Attr(o, n) => Attr(rewrite(o)(pf), n)
+      case Call(fn, args) =>
+        Call(fn, args.map(a => Arg(a.name, rewrite(a.value)(pf))))
+      case ListLit(items) => ListLit(items.map(rewrite(_)(pf)))
+      case Selection(t, cs) => Selection(rewrite(t)(pf), cs.map(rewrite(_)(pf)))
+      case Slice(t, f, u) =>
+        Slice(rewrite(t)(pf), f.map(rewrite(_)(pf)), u.map(rewrite(_)(pf)))
+      case Projection(t, fs, g, as) =>
+        Projection(rewrite(t)(pf),
+          fs.map(f => Field(f.name, rewrite(f.value)(pf))), g,
+          as.map(f => Field(f.name, rewrite(f.value)(pf))))
+      case Order(t, ks) =>
+        Order(rewrite(t)(pf), ks.map { case (k, asc) => (rewrite(k)(pf), asc) })
+      case Update(t, fs) =>
+        Update(rewrite(t)(pf), fs.map(f => Field(f.name, rewrite(f.value)(pf))))
+      case Delete(t, cs) => Delete(rewrite(t)(pf), cs.map(rewrite(_)(pf)))
+      case RangeLit(f, u) =>
+        RangeLit(f.map(rewrite(_)(pf)), u.map(rewrite(_)(pf)))
+      case leaf => leaf
+    }
+    if (pf.isDefinedAt(mapped)) pf(mapped) else mapped
   }
 
   // ---- table evaluation ---------------------------------------------------

@@ -40,8 +40,13 @@ object Ast {
   case class Update(t: Expr, fields: Seq[Field]) extends Expr
   case class Delete(t: Expr, conds: Seq[Expr]) extends Expr
 
-  case class Assign(name: String, value: Expr)
-  case class Program(stmts: Seq[Assign], result: Expr)
+  sealed trait Stmt
+  case class Assign(name: String, value: Expr) extends Stmt
+  /** `func f(a, b) = expr` — inlined at call sites like the reference
+    * (reference evaluate.py:551-648 compile-and-inline).
+    */
+  case class FuncDef(name: String, params: Seq[String], body: Expr) extends Stmt
+  case class Program(stmts: Seq[Stmt], result: Expr)
 }
 
 final case class ParseError(msg: String, pos: Int)
@@ -134,7 +139,7 @@ final class Parser(toks: Vector[Lexer.Tok]) {
 
   // ---- program: assignments then a final expression ----------------------
   def parseProgram(): Program = {
-    val stmts = Seq.newBuilder[Assign]
+    val stmts = Seq.newBuilder[Stmt]
     var result: Option[Expr] = None
     while (!cur.isInstanceOf[TEof]) {
       // lookahead: IDENT '=' (not '==')
@@ -146,7 +151,27 @@ final class Parser(toks: Vector[Lexer.Tok]) {
           }
         case _ => false
       }
-      if (isAssign) {
+      if (isIdent("func")) {
+        advance()
+        val name = advance() match {
+          case TIdent(v, _) => v
+          case t => throw ParseError("expected function name", t.pos)
+        }
+        expectOp("(")
+        val params = Seq.newBuilder[String]
+        var firstP = true
+        while (!isOp(")")) {
+          if (!firstP) expectOp(",")
+          firstP = false
+          params += (advance() match {
+            case TIdent(v, _) => v
+            case t => throw ParseError("expected parameter name", t.pos)
+          })
+        }
+        expectOp(")")
+        expectOp("=")
+        stmts += FuncDef(name, params.result(), parseExpr())
+      } else if (isAssign) {
         val name = advance().asInstanceOf[TIdent].v
         expectOp("=")
         stmts += Assign(name, parseExpr())

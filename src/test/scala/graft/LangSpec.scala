@@ -102,6 +102,31 @@ class LangSpec extends SparkSpec {
     assert(out.df.head().getString(0).startsWith("x: "))
   }
 
+  test("user functions inline into queries, incl. aggregation scope") {
+    // reference tests/test_basic.py:569-574: func sqsum(x) = sum(x*x)
+    val out = Interp.run(spark,
+      """func sqsum(x) = sum(x * x)
+         func double(x) = x * 2
+         nation{n_regionkey => s: sqsum(n_nationkey), d: sum(double(n_nationkey))}""",
+      "nation" -> nation)
+    assert(out.df.count() == 5)
+    val direct = nation.df.groupBy("n_regionkey")
+      .agg(sum(col("n_nationkey") * col("n_nationkey")),
+        sum(col("n_nationkey") * 2))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val got = out.df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == direct)
+  }
+
+  test("user function composing table ops") {
+    val out = Interp.run(spark,
+      """func by_region(k) = nation[n_regionkey == k]
+         by_region(2){n_name}""",
+      "nation" -> nation)
+    assert(out.df.count() == nation.df.filter(col("n_regionkey") <=> 2).count())
+  }
+
   test("parse errors are reported with position") {
     intercept[graft.lang.ParseError] {
       Interp.run(spark, "nation{", "nation" -> nation)
