@@ -55,9 +55,18 @@ object Similarity {
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (fdot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))
+    // Two-stage top-k: a single window partitioned by query_id would
+    // funnel the WHOLE corpus through #queries partitions (a skew wall
+    // at 100 TB with few queries). Stage 1 takes a local top-k within
+    // each scan partition (parallelism = data partitions), so the
+    // global stage sees at most k rows per (query, partition).
+    val local = Window.partitionBy(col("query_id"), F.spark_partition_id())
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val pruned = scored.withColumn("lrank", F.row_number().over(local))
+      .filter(col("lrank") <= k).drop("lrank")
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", F.row_number().over(w))
+    pruned.withColumn("rank", F.row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }

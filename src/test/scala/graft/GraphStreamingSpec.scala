@@ -64,6 +64,22 @@ class GraphStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("file-source stream: events parquet -> windowed agg -> memory sink") {
+    val src = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val events = graft.sources.Tables.load(spark, sf, "events").df
+    events.limit(500).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(events.schema).parquet(src)
+    val agg = Streams.tumblingAgg(stream, "ts", "1 hour", "2 hours",
+      Seq("event_type"), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("file_stream_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    q.processAllAvailable()
+    val total = spark.table("file_stream_test")
+      .agg(sum("n")).head().getLong(0)
+    assert(total == 500L)
+    q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key aggregates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
