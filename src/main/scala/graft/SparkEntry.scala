@@ -510,6 +510,32 @@ object SparkEntry {
     "q57_char_range" -> ((s, d) =>
       PTable.charRange(s, 'a', 'k').df),
 
+    // ---- reference benchmark shapes (BASELINE.md test1/test2) -------------
+    // test1: selection+projection over a 2-table FK join with a LIKE
+    // filter (reference benchmark/test_chinook.py:41-45)
+    "qb1_bench_t1" -> ((s, d) =>
+      Joins.join("l" -> t(s, d, "lineitem"), "o" -> t(s, d, "orders"))
+        .where(col("o.o_orderpriority").like("%1%"))
+        .project(
+          "l_orderkey" -> col("l.l_orderkey"),
+          "l_linenumber" -> col("l.l_linenumber"),
+          "l_quantity" -> col("l.l_quantity"),
+          "o_orderpriority" -> col("o.o_orderpriority")).df),
+
+    // test2: multi-table join + group-by + group_concat
+    // (reference benchmark/test_chinook.py:55-79)
+    "qb2_bench_t2" -> ((s, d) =>
+      Joins.joinN(Joins.Inner, Seq(
+          Joins.Side("l", t(s, d, "lineitem")),
+          Joins.Side("o", t(s, d, "orders")),
+          Joins.Side("c", t(s, d, "customer")),
+          Joins.Side("n", t(s, d, "nation")),
+          Joins.Side("r", t(s, d, "region"))))
+        .groupBy("n_name" -> col("n.n_name"), "r_name" -> col("r.r_name"))(
+          "num" -> F.count(lit(1)),
+          "priorities" -> F.array_join(
+            F.array_sort(F.collect_set(col("o.o_orderpriority"))), ",")).df),
+
     // ---- language front-end: reference syntax → Catalyst ------------------
     "ql1_lang_groupby" -> ((s, d) =>
       graft.lang.Interp.run(s,
@@ -998,6 +1024,19 @@ object SparkEntry {
          FROM nation""",
     "q57_char_range" ->
       "SELECT chr(CAST(range AS INT)) AS item FROM range(97, 107)",
+    "qb1_bench_t1" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority LIKE '%1%'""",
+    "qb2_bench_t2" ->
+      """SELECT n_name, r_name, CAST(count(*) AS BIGINT) AS num,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         GROUP BY n_name, r_name""",
     "ql1_lang_groupby" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n FROM customer
          GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment""",
