@@ -70,7 +70,7 @@ object SparkEntry {
         "n_cust" -> F.countDistinct(col("o_custkey")),
         "n_high" -> PF.countTrue(col("o_totalprice") > 100000),
         "n_low" -> PF.countFalse(col("o_totalprice") > 100000),
-        "sd_price" -> PF.dstddev(col("o_totalprice"))
+        "sd_price" -> F.round(PF.dstddev(col("o_totalprice")), 6)
       ).orderBy("o_orderstatus").df),
 
     // ---- §2.3 joins ------------------------------------------------------
@@ -293,7 +293,7 @@ object SparkEntry {
       t(s, d, "customer").aggAll(
         "cnt" -> F.count(col("c_acctbal")),
         "mean" -> PF.davg(col("c_acctbal")),
-        "sd" -> PF.dstddev(col("c_acctbal")),
+        "sd" -> F.round(PF.dstddev(col("c_acctbal")), 6),
         "min" -> F.min(col("c_acctbal")),
         "max" -> F.max(col("c_acctbal"))).df),
 
@@ -606,9 +606,9 @@ object SparkEntry {
          CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
          CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
          CAST(sum(CASE WHEN o_totalprice > 100000 THEN 0 ELSE 1 END) AS BIGINT) AS n_low,
-         sqrt((CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)
+         round(sqrt((CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)
            - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice))
-           / (count(o_totalprice) - 1.0)) AS sd_price
+           / (count(o_totalprice) - 1.0)), 6) AS sd_price
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q06_join_auto" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS population
@@ -739,9 +739,9 @@ object SparkEntry {
     "q40_describe" ->
       """SELECT CAST(count(c_acctbal) AS BIGINT) AS cnt,
          CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c_acctbal) AS mean,
-         sqrt((CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)
+         round(sqrt((CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)
            - CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c_acctbal))
-           / (count(c_acctbal) - 1.0)) AS sd,
+           / (count(c_acctbal) - 1.0)), 6) AS sd,
          min(c_acctbal) AS min, max(c_acctbal) AS max
          FROM customer""",
     "q41_bfs" ->
