@@ -50,13 +50,28 @@ object Dedup {
     */
   val P: Long = 2147483647L
 
-  /** One 60-bit md5 hash per shingle, reduced mod P. The expensive
-    * md5 happens ONCE per shingle; the k hash functions are cheap
-    * affine transforms of this base (the classic minhash trick —
-    * at 100 TB the md5 count is the dominant CPU term).
+  /** Portable base hash: md5-derived, reproducible in any engine —
+    * the default, so results can be oracle-checked externally.
     */
-  def shingleHashes(text: Column, shingleN: Int = 3): Column =
-    F.transform(shingles(text, shingleN), s => h60(s) % P)
+  val portableHasher: Column => Column = (c: Column) => h60(c) % P
+
+  /** Production fast path: xxhash64 (native codegen'd Catalyst
+    * expression, ~10x cheaper than the md5+hex pipeline). Same
+    * statistical properties, NOT portable across engines — use when
+    * reproducibility within Spark is enough (it is deterministic
+    * across runs/partitionings/cluster sizes).
+    */
+  val fastHasher: Column => Column =
+    (c: Column) => F.pmod(F.xxhash64(c), lit(P))
+
+  /** One base hash per shingle, reduced mod P. The expensive hash
+    * happens ONCE per shingle; the k hash functions are cheap affine
+    * transforms of this base (the classic minhash trick — at 100 TB
+    * the base-hash count is the dominant CPU term).
+    */
+  def shingleHashes(text: Column, shingleN: Int = 3,
+                    hasher: Column => Column = portableHasher): Column =
+    F.transform(shingles(text, shingleN), s => hasher(s))
 
   /** Affine hash-family parameters, md5-derived so any engine
     * reproduces them (a_i odd < 2^29, b_i < 2^28) — but computed HERE
@@ -102,10 +117,12 @@ object Dedup {
     * pipeline once per hash function and once per join side.
     */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
-                 k: Int = 12, bands: Int = 4): DataFrame = {
+                 k: Int = 12, bands: Int = 4,
+                 hasher: Column => Column = portableHasher): DataFrame = {
     val r = k / bands
     val hashed = df.select(col(idCol).as("id"),
-      shingleHashes(col(textCol)).as("hs")).localCheckpoint(true)
+      shingleHashes(col(textCol), hasher = hasher).as("hs"))
+      .localCheckpoint(true)
     hashed.select(col("id"),
         F.posexplode(bandBuckets(signatureFromHashes(col("hs"), k), bands, r))
           .as(Seq("band", "bucket")))
@@ -127,8 +144,9 @@ object Dedup {
     * verification of candidates at `threshold`.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, k: Int = 12, bands: Int = 4): DataFrame = {
-    val buckets = lshBuckets(df, idCol, textCol, k, bands)
+                   threshold: Double, k: Int = 12, bands: Int = 4,
+                   hasher: Column => Column = portableHasher): DataFrame = {
+    val buckets = lshBuckets(df, idCol, textCol, k, bands, hasher)
       .localCheckpoint(true) // self-joined below — compute once
     val cand = candidatePairs(buckets)
     val toks = df.select(col(idCol).as("jid"),

@@ -111,9 +111,15 @@ object Similarity {
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (fdot(col("qvec"), col("cvec")) / (fnorm(col("qvec")) * fnorm(col("cvec")))).as("sim"))
+    // two-stage top-k (see bruteForceTopK): local prune per scan
+    // partition, then global rank per query
+    val local = Window.partitionBy(col("query_id"), F.spark_partition_id())
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val pruned = scored.withColumn("lrank", F.row_number().over(local))
+      .filter(col("lrank") <= k).drop("lrank")
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", F.row_number().over(w))
+    pruned.withColumn("rank", F.row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }

@@ -59,6 +59,16 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("minhashPairs fast-hash path finds the same planted duplicates") {
+    val aug = docs.select(col("doc_id"), col("text")).limit(50)
+      .unionAll(docs.select((col("doc_id") + 1000).as("doc_id"), col("text"))
+        .limit(5))
+    val fast = Dedup.minhashPairs(aug, "doc_id", "text", 0.9,
+      hasher = Dedup.fastHasher)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast.count { case (a, b) => b - a == 1000 } == 5)
+  }
+
   test("simhash: near-identical texts have small hamming distance") {
     val df = Seq(
       ("t1", "the quick brown fox jumps over the lazy dog again and again"),
