@@ -390,6 +390,9 @@ object Interp {
       case "minute" => arity(1); PF.minute(a(0))
       case "day_of_week" => arity(1); PF.dayOfWeek(a(0))
       case "week_of_year" => arity(1); PF.weekOfYear(a(0))
+      // conditional expression (reference ast.If → sql.Case,
+      // compiler.py:172-181)
+      case "iif" => arity(3); F.when(a(0), a(1)).otherwise(a(2))
       case "pi" => lit(math.Pi)
       case "now" => F.current_timestamp()
       case "random" => F.rand()

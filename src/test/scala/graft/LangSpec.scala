@@ -127,6 +127,13 @@ class LangSpec extends SparkSpec {
     assert(out.df.count() == nation.df.filter(col("n_regionkey") <=> 2).count())
   }
 
+  test("iif conditional expression") {
+    val out = Interp.run(spark,
+      "nation{n_nationkey, side: iif(n_nationkey < 12, 'low', 'high')}",
+      "nation" -> nation)
+    assert(out.df.filter(col("side") === "low").count() == 12)
+  }
+
   test("parse errors are reported with position") {
     intercept[graft.lang.ParseError] {
       Interp.run(spark, "nation{", "nation" -> nation)
