@@ -510,6 +510,16 @@ object SparkEntry {
     "q57_char_range" -> ((s, d) =>
       PTable.charRange(s, 'a', 'k').df),
 
+    // ---- ext: batch sessionization (same semantics as the streaming
+    // session_window; gap-merge happens in one shuffle on user_id) ----------
+    "x16_sessionize" -> ((s, d) =>
+      t(s, d, "events").df
+        .groupBy(col("user_id"), F.session_window(col("ts"), "30 minutes"))
+        .agg(F.count(lit(1)).as("n"), PF.dsum(col("value")).as("total"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n"), col("total"))),
+
     // ---- reference benchmark shapes (BASELINE.md test1/test2) -------------
     // test1: selection+projection over a 2-table FK join with a LIKE
     // filter (reference benchmark/test_chinook.py:41-45)
@@ -1024,6 +1034,23 @@ object SparkEntry {
          FROM nation""",
     "q57_char_range" ->
       "SELECT chr(CAST(range AS INT)) AS item FROM range(97, 107)",
+    "x16_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+               THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ), s AS (
+           SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM e
+         )
+         SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM s GROUP BY user_id, sid""",
     "qb1_bench_t1" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
