@@ -568,6 +568,29 @@ object SparkEntry {
            customer[c_custkey in big{o_custkey}] order {c_custkey} [..50] {c_custkey, c_name}""",
         "customer" -> t(s, d, "customer"), "orders" -> t(s, d, "orders")).df),
 
+    // ---- statistical aggregates: covariance / correlation ----------------
+    "q58_corr" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")(
+        "cov" -> F.round(PF.dcovar(col("l_quantity"), col("l_extendedprice")), 4),
+        "corr" -> F.round(PF.dcorr(col("l_quantity"), col("l_extendedprice")), 8)
+      ).orderBy("l_returnflag").df),
+
+    // ---- window extensions: ntile / percent_rank -------------------------
+    "q59_ntile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, d, "customer").df
+        .select(col("c_custkey"),
+          F.ntile(4).over(w).as("quartile"),
+          F.round(F.percent_rank().over(w), 8).as("pr"))
+    }),
+
+    // ---- cube (multi-dimensional aggregation extension) ------------------
+    "q60_cube" -> ((s, d) =>
+      t(s, d, "orders").df
+        .cube(F.year(col("o_orderdate")).as("y"), col("o_orderstatus"))
+        .agg(F.count(lit(1)).as("n"))),
+
     // ---- §2.6 first / first_or_null / is_empty as values -----------------
     "q56_first_scalars" -> ((s, d) => {
       val c = t(s, d, "customer").orderBy("c_custkey")
@@ -1079,6 +1102,37 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
          ORDER BY c_custkey LIMIT 50""",
+    "q58_corr" ->
+      """WITH b AS (
+           SELECT l_returnflag,
+             CAST(l_quantity AS DECIMAL(18,2)) AS dx,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS dy
+           FROM lineitem
+         )
+         SELECT l_returnflag,
+           round((CAST(sum(CAST(dx * dy AS DECIMAL(38,4))) AS DOUBLE)
+             - CAST(sum(dx) AS DOUBLE) * CAST(sum(dy) AS DOUBLE) / count(*))
+             / (count(*) - 1.0), 4) AS cov,
+           round(((CAST(sum(CAST(dx * dy AS DECIMAL(38,4))) AS DOUBLE)
+             - CAST(sum(dx) AS DOUBLE) * CAST(sum(dy) AS DOUBLE) / count(*))
+             / (count(*) - 1.0))
+             / (sqrt((CAST(sum(CAST(dx * dx AS DECIMAL(38,4))) AS DOUBLE)
+                 - CAST(sum(dx) AS DOUBLE) * CAST(sum(dx) AS DOUBLE) / count(*))
+                 / (count(*) - 1.0))
+               * sqrt((CAST(sum(CAST(dy * dy AS DECIMAL(38,4))) AS DOUBLE)
+                 - CAST(sum(dy) AS DOUBLE) * CAST(sum(dy) AS DOUBLE) / count(*))
+                 / (count(*) - 1.0))), 8) AS corr
+         FROM b GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q59_ntile" ->
+      """SELECT c_custkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 8) AS pr
+         FROM customer
+         WINDOW w AS (ORDER BY c_acctbal, c_custkey)""",
+    "q60_cube" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY CUBE (y, o_orderstatus)""",
     "q56_first_scalars" ->
       """SELECT (SELECT c_name FROM customer ORDER BY c_custkey LIMIT 1) AS first_name,
            CAST(1 AS BOOLEAN) AS empty_is_empty,

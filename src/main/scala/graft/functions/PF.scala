@@ -168,6 +168,24 @@ object PF {
     F.sqrt((sxx - sx * sx / n) / (n - lit(1.0)))
   }
 
+  /** Deterministic sample covariance via exact decimal co-moments:
+    * (Σxy − ΣxΣy/n)/(n−1). Spark's covar_samp streams (order-dependent
+    * bits); this is reproducible across engines and partitionings.
+    */
+  def dcovar(x: Column, y: Column, scale: Int = 2): Column = {
+    val dx = x.cast(DecimalType(18, scale))
+    val dy = y.cast(DecimalType(18, scale))
+    val sxy = F.sum((dx * dy).cast(DecimalType(38, scale * 2))).cast(DoubleType)
+    val sx = F.sum(dx).cast(DoubleType)
+    val sy = F.sum(dy).cast(DoubleType)
+    val n = F.count(x).cast(DoubleType)
+    (sxy - sx * sy / n) / (n - lit(1.0))
+  }
+
+  /** Deterministic Pearson correlation from exact decimal sums. */
+  def dcorr(x: Column, y: Column, scale: Int = 2): Column =
+    dcovar(x, y, scale) / (dstddev(x, scale) * dstddev(y, scale))
+
   // ---- sampling ----------------------------------------------------------
   /** Deterministic arithmetic sampling by key: keeps rows where
     * (key * prime) mod m < keep. Unlike `df.sample`, reproducible across

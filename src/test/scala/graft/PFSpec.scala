@@ -67,6 +67,16 @@ class PFSpec extends SparkSpec {
     assert(row.getLong(0) == 3L && row.getLong(1) == 2L)
   }
 
+  test("dcovar/dcorr agree with Spark's streaming covar/corr to 1e-6") {
+    val df = Seq((1.0, 2.0), (2.0, 4.5), (3.0, 5.5), (4.0, 9.0), (5.0, 9.5))
+      .toDF("x", "y")
+    val row = df.agg(
+      PF.dcovar(col("x"), col("y")), covar_samp(col("x"), col("y")),
+      PF.dcorr(col("x"), col("y")), corr(col("x"), col("y"))).head()
+    assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 1e-6)
+    assert(math.abs(row.getDouble(2) - row.getDouble(3)) < 1e-6)
+  }
+
   test("keyedSample is deterministic and key-stable") {
     val a = spark.range(1000).select(PF.keyedSample(col("id"), 100, 10))
       .collect().map(_.getBoolean(0))
