@@ -10,7 +10,8 @@ object Plans {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val names = Seq("q02_selection", "q03_groupby_agg", "q06_join_auto",
-      "q18_topk", "q10_semijoin", "x01_dedup_exact")
+      "q18_topk", "q10_semijoin", "x01_dedup_exact", "q58_corr",
+      "q60_cube", "x16_sessionize", "x10_ann_brute")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
