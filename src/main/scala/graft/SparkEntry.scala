@@ -568,6 +568,15 @@ object SparkEntry {
            customer[c_custkey in big{o_custkey}] order {c_custkey} [..50] {c_custkey, c_name}""",
         "customer" -> t(s, d, "customer"), "orders" -> t(s, d, "orders")).df),
 
+    // ---- json scalar functions (extension; reference has none) -----------
+    "q61_json" -> ((s, d) =>
+      t(s, d, "events").df
+        .select(col("event_id"),
+          F.get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+          F.from_json(col("props"), StructType(Seq(
+            StructField("k", LongType)))).getField("k").as("k2"))
+        .filter(col("k").isNotNull)),
+
     // ---- statistical aggregates: covariance / correlation ----------------
     "q58_corr" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")(
@@ -1102,6 +1111,12 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
          ORDER BY c_custkey LIMIT 50""",
+    "q61_json" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2
+         FROM events
+         WHERE json_extract_string(props, '$.k') IS NOT NULL""",
     "q58_corr" ->
       """WITH b AS (
            SELECT l_returnflag,

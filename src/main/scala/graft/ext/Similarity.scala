@@ -124,6 +124,72 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN index: a deterministic sample of corpus
+    * vectors becomes the centroid set; every vector is assigned to its
+    * nearest centroid (one broadcast join — the corpus never
+    * shuffles). Queries probe the `nProbe` nearest centroids and run
+    * exact cosine only inside those lists.
+    *
+    * At 100 TB this is the classic two-level ANN: centroid assignment
+    * is scan-parallel, the candidate set per query is bounded by the
+    * probed lists, and the index (vector → centroid id) is just a
+    * column — storable/partitionable like any other.
+    */
+  def ivfAssign(corpus: DataFrame, nCentroids: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    // deterministic centroid choice: arithmetic-hash sample of ids
+    val centroids = F.broadcast(
+      corpus.filter(graft.functions.PF.keyedSample(col(idCol), 1000000,
+          math.max(1, 1000000 / math.max(nCentroids, 1))))
+        .limit(nCentroids)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_csim").desc, col("centroid_id").asc)
+    val assigned = corpus
+      .join(centroids)
+      .select(col(idCol), col(vecCol),
+        col("centroid_id"),
+        (fdot(col(vecCol), col("cvec")) /
+          (fnorm(col(vecCol)) * fnorm(col("cvec")))).as("_csim"))
+      .withColumn("_r", F.row_number().over(w))
+      .filter(col("_r") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+    (assigned, centroids)
+  }
+
+  /** IVF top-k: probe the nProbe nearest centroids per query, exact
+    * cosine within the probed lists only.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val (assigned, centroids) = ivfAssign(corpus, nCentroids, idCol, vecCol)
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("_qsim").desc, col("centroid_id").asc)
+    val probes = F.broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .join(centroids)
+      .select(col("query_id"), col("qvec"), col("centroid_id"),
+        (fdot(col("qvec"), col("cvec")) /
+          (fnorm(col("qvec")) * fnorm(col("cvec")))).as("_qsim"))
+      .withColumn("_r", F.row_number().over(qw))
+      .filter(col("_r") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("centroid_id")))
+    val scored = probes
+      .join(assigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (fdot(col("qvec"), col(vecCol)) /
+          (fnorm(col("qvec")) * fnorm(col(vecCol)))).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs within blocking groups. */
   def cosinePairs(df: DataFrame, threshold: Double,
                   blockCol: String, idCol: String = "vec_id",

@@ -115,6 +115,20 @@ class ExtSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("ivfTopK: assignment covers corpus; results overlap brute force") {
+    val (assigned, _) = Similarity.ivfAssign(emb, nCentroids = 8)
+    assert(assigned.count() == emb.count()) // every vector gets one list
+    assert(assigned.select("centroid_id").distinct().count() > 1)
+    val q = emb.filter(col("vec_id") < 3)
+    val ivf = Similarity.ivfTopK(q, emb, 10, nCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(q, emb, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    // probing half the lists should recover a good share of true top-k
+    assert((ivf intersect brute).size >= brute.size / 3)
+  }
+
   test("multimodal: decode stub preserves ids and byte counts") {
     val blobs = docs.limit(10).select(col("doc_id"),
       col("text").cast("binary").as("blob"))
