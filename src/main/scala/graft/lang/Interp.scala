@@ -39,6 +39,23 @@ object Interp {
           evalTable(spark, inline(value, funcs), env).named(name))
       case fd: FuncDef =>
         funcs = funcs + (fd.name -> fd)
+      case InsertRows(name, value) =>
+        val base = env.getOrElse(name,
+          throw new NameError(s"unknown table '$name'"))
+        val rows = evalTable(spark, inline(value, funcs), env)
+        env = env + (name -> graft.dsl.PTable(
+          base.df.unionByName(rows.df, allowMissingColumns = true),
+          base.meta))
+      case NewRow(name, args) =>
+        val base = env.getOrElse(name,
+          throw new NameError(s"unknown table '$name'"))
+        val cat = new graft.catalog.Catalog(spark)
+        cat.register(name, base)
+        cat.insertRow(name, args.map { a =>
+          a.name.getOrElse(throw new TypeError(
+            "new Table(...) requires named arguments")) -> litAny(a.value)
+        }.toMap)
+        env = env + (name -> cat.get(name))
     }
     evalTable(spark, inline(prog.result, funcs), env)
   }
@@ -340,6 +357,16 @@ object Interp {
   private def litString(e: Expr): String = e match {
     case StrLit(s) => s
     case o => throw new TypeError(s"expected string literal, got $o")
+  }
+
+  private def litAny(e: Expr): Any = e match {
+    case IntLit(v) => v
+    case FloatLit(v) => v
+    case StrLit(v) => v
+    case BoolLit(v) => v
+    case NullLit => null
+    case Unary("-", IntLit(v)) => -v
+    case o => throw new TypeError(s"'new' values must be literals, got $o")
   }
 
   private def litValue(e: Expr): Any = e match {

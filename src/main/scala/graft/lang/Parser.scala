@@ -46,6 +46,12 @@ object Ast {
     * (reference evaluate.py:551-648 compile-and-inline).
     */
   case class FuncDef(name: String, params: Seq[String], body: Expr) extends Stmt
+  /** `table += expr` — INSERT..SELECT (reference evaluate.py:278-287). */
+  case class InsertRows(table: String, value: Expr) extends Stmt
+  /** `new Table(col: value, ...)` — single-row insert
+    * (reference evaluate.py:884-947).
+    */
+  case class NewRow(table: String, args: Seq[Arg]) extends Stmt
   case class Program(stmts: Seq[Stmt], result: Expr)
 }
 
@@ -151,7 +157,36 @@ final class Parser(toks: Vector[Lexer.Tok]) {
           }
         case _ => false
       }
-      if (isIdent("func")) {
+      val isInsert = (cur, toks.lift(p + 1)) match {
+        case (TIdent(_, _), Some(TOp("+=", _))) => true
+        case _ => false
+      }
+      if (isIdent("new")) {
+        advance()
+        val name = advance() match {
+          case TIdent(v, _) => v
+          case t => throw ParseError("expected table name after 'new'", t.pos)
+        }
+        expectOp("(")
+        val args = Seq.newBuilder[Arg]
+        var firstA = true
+        while (!isOp(")")) {
+          if (!firstA) expectOp(",")
+          firstA = false
+          (cur, toks.lift(p + 1)) match {
+            case (TIdent(n2, _), Some(TOp(":", _))) =>
+              advance(); advance()
+              args += Arg(Some(n2), parseExpr())
+            case _ => args += Arg(None, parseExpr())
+          }
+        }
+        expectOp(")")
+        stmts += NewRow(name, args.result())
+      } else if (isInsert) {
+        val name = advance().asInstanceOf[TIdent].v
+        expectOp("+=")
+        stmts += InsertRows(name, parseExpr())
+      } else if (isIdent("func")) {
         advance()
         val name = advance() match {
           case TIdent(v, _) => v

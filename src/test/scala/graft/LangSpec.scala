@@ -127,6 +127,17 @@ class LangSpec extends SparkSpec {
     assert(out.df.count() == nation.df.filter(col("n_regionkey") <=> 2).count())
   }
 
+  test("new and += mutation statements") {
+    val out = Interp.run(spark,
+      """new region(r_name: 'MIDDLE EARTH')
+         region += region[r_regionkey == 0]
+         region""",
+      "region" -> region)
+    assert(out.df.count() == region.df.count() + 2)
+    assert(out.df.filter(col("r_name") === "MIDDLE EARTH").count() == 1)
+    assert(out.df.filter(col("r_regionkey") === 0).count() == 2)
+  }
+
   test("iif conditional expression") {
     val out = Interp.run(spark,
       "nation{n_nationkey, side: iif(n_nationkey < 12, 'low', 'high')}",
