@@ -577,6 +577,16 @@ object SparkEntry {
             StructField("k", LongType)))).getField("k").as("k2"))
         .filter(col("k").isNotNull)),
 
+    // ---- multi-quantile aggregation --------------------------------------
+    "q62_quantiles" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus")(
+        "qs" -> F.concat_ws(",",
+          F.transform(
+            F.percentile(col("o_totalprice"),
+              F.array(lit(0.25), lit(0.5), lit(0.75))),
+            q => F.round(q, 6).cast(StringType)))
+      ).orderBy("o_orderstatus").df),
+
     // ---- statistical aggregates: covariance / correlation ----------------
     "q58_corr" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")(
@@ -1117,6 +1127,11 @@ object SparkEntry {
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2
          FROM events
          WHERE json_extract_string(props, '$.k') IS NOT NULL""",
+    "q62_quantiles" ->
+      """SELECT o_orderstatus,
+           array_to_string([CAST(round(q, 6) AS VARCHAR)
+             for q in quantile_cont(o_totalprice, [0.25, 0.5, 0.75])], ',') AS qs
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q58_corr" ->
       """WITH b AS (
            SELECT l_returnflag,

@@ -1,0 +1,48 @@
+package graft
+
+/** Plan-quality regression guards: operators must keep producing the
+  * physical shapes that scale (pushdown, pruning, broadcast, top-k).
+  * These catch silent plan regressions — e.g. a refactor inserting a
+  * materialization boundary that stops predicate pushdown.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("selection pushes predicates into the parquet scan") {
+    val p = planOf("q02_selection")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"filters not pushed:\n$p")
+  }
+
+  test("selection prunes columns at the scan") {
+    val p = planOf("q02_selection")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_returnflag:string>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("FK auto-join broadcasts the dimension side") {
+    val p = planOf("q06_join_auto")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"dimension not broadcast:\n$p")
+  }
+
+  test("group-by plans partial (map-side) aggregation") {
+    val p = planOf("q03_groupby_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no partial aggregation:\n$p")
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q18_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"no heap top-k:\n$p")
+  }
+
+  test("semi-join plans LeftSemi") {
+    val p = planOf("q10_semijoin")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+  }
+}
