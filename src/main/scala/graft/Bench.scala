@@ -24,21 +24,32 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Force FULL evaluation: a noop-format write materializes every
+    // output column (count() would let Catalyst prune unreferenced
+    // projections, so projection-heavy queries would measure scan+count
+    // instead of the claimed expression work).
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
     // Warmup: exercise scan + shuffle + join + codegen paths once.
     try {
-      SparkEntry.queries("q06_join_auto")(spark, sfDir).count()
-      SparkEntry.queries("q03_groupby_agg")(spark, sfDir).count()
+      run(SparkEntry.queries("q06_join_auto"))
+      run(SparkEntry.queries("q03_groupby_agg"))
     } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { run(fn); true } catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Failed queries report value -1 (never a tiny elapsed time that
+    // would read as a speedup) and are listed in "failed".
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

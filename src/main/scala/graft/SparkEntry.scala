@@ -955,8 +955,8 @@ object SparkEntry {
            FROM toks
          )
          SELECT doc_id,
-           list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) % 2 <> 0 THEN 1 ELSE -1 END for h in hl]) >= 0
-             THEN (1::BIGINT << j) ELSE 0 END for j in range(0, 32)]) AS sh
+           CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) % 2 <> 0 THEN 1 ELSE -1 END for h in hl]) >= 0
+             THEN (1::BIGINT << j) ELSE 0 END for j in range(0, 32)]) AS BIGINT) AS sh
          FROM hs""",
     "x09_jaccard_pairs" ->
       """WITH base AS (
@@ -991,11 +991,11 @@ object SparkEntry {
          ) WHERE rank <= 10""",
     "x11_ann_lsh_sig" ->
       """SELECT vec_id,
-           list_sum([CASE WHEN list_sum([CAST(embedding[i+1] AS DOUBLE)
+           CAST(list_sum([CASE WHEN list_reduce(list_prepend(0.0, [CAST(embedding[i+1] AS DOUBLE)
                * ((('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2001)
                   / 1000.0 - 1.0)
-             for i in range(0, len(embedding))]) >= 0
-             THEN (1::BIGINT << j) ELSE 0 END for j in range(0, 8)]) AS bucket
+             for i in range(0, len(embedding))]), (acc, v) -> acc + v) >= 0
+             THEN (1::BIGINT << j) ELSE 0 END for j in range(0, 8)]) AS BIGINT) AS bucket
          FROM embeddings""",
     "x12_cosine_pairs" ->
       """WITH aug AS (

@@ -23,7 +23,10 @@ object SqlEscape {
     vars.foreach { case (name, t) =>
       val view = s"graft_sqlesc_${name}_${counter.incrementAndGet()}"
       t.df.createOrReplaceTempView(view)
-      text = text.replace("$" + name, view)
+      // identifier-boundary match: `$t` must not corrupt `$t2`/`$total`
+      text = text.replaceAll(
+        "\\$" + java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_])",
+        java.util.regex.Matcher.quoteReplacement(view))
     }
     PTable(spark.sql(text))
   }
