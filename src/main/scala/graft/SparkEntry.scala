@@ -405,6 +405,13 @@ object SparkEntry {
         .select("id_a", "id_b")
     }),
 
+    // ---- ext: IVF ANN (zero-shuffle centroid assignment) -----------------
+    "x17_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      graft.ext.Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 5), emb, 10, nCentroids = 16, nProbe = 4)
+    }),
+
     // ---- ext: multimodal plumbing ----------------------------------------
     "x13_multimodal_meta" -> ((s, d) =>
       t(s, d, "documents").df.select(col("doc_id"),
@@ -997,6 +1004,51 @@ object SparkEntry {
              for i in range(0, len(embedding))]), (acc, v) -> acc + v) >= 0
              THEN (1::BIGINT << j) ELSE 0 END for j in range(0, 8)]) AS BIGINT) AS bucket
          FROM embeddings""",
+    // Mirrors ivfTopK exactly: pinned left-fold dots (list_reduce from
+    // 0.0 = FloatVecDot's accumulation), dot/cn centroid ranking (norm
+    // of the probing vector is a positive constant — argmax-invariant),
+    // row_number ties broken by id everywhere.
+    "x17_ann_ivf" ->
+      """WITH cent AS (
+           SELECT vec_id AS centroid_id, embedding AS cvec,
+             sqrt(list_reduce(list_prepend(0.0, [CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)
+               for i in range(0, len(embedding))]), (acc, v) -> acc + v)) AS cn
+           FROM embeddings
+           WHERE (vec_id * 2654435761) % 1000000 < 62500
+           ORDER BY vec_id LIMIT 16
+         ), assigned AS (
+           SELECT vec_id, embedding, centroid_id FROM (
+             SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_reduce(list_prepend(0.0, [CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cvec[i+1] AS DOUBLE)
+                   for i in range(0, len(e.embedding))]), (acc, v) -> acc + v) / c.cn DESC,
+                 c.centroid_id) AS rn
+             FROM embeddings e CROSS JOIN cent c
+           ) WHERE rn = 1
+         ), probes AS (
+           SELECT query_id, qvec, centroid_id FROM (
+             SELECT q.vec_id AS query_id, q.embedding AS qvec, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_reduce(list_prepend(0.0, [CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.cvec[i+1] AS DOUBLE)
+                   for i in range(0, len(q.embedding))]), (acc, v) -> acc + v) / c.cn DESC,
+                 c.centroid_id) AS rn
+             FROM embeddings q CROSS JOIN cent c
+             WHERE q.vec_id < 5
+           ) WHERE rn <= 4
+         ), scored AS (
+           SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_reduce(list_prepend(0.0, [CAST(p.qvec[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE)
+               for i in range(0, len(p.qvec))]), (acc, v) -> acc + v)
+             / sqrt(list_reduce(list_prepend(0.0, [CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE)
+               for i in range(0, len(a.embedding))]), (acc, v) -> acc + v)) AS sim
+           FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+           WHERE p.query_id <> a.vec_id
+         )
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored
+         ) WHERE rank <= 10""",
     "x12_cosine_pairs" ->
       """WITH aug AS (
            SELECT vec_id, embedding, label FROM embeddings

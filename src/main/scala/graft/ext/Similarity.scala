@@ -138,23 +138,44 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, nCentroids: Int,
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): (DataFrame, DataFrame) = {
-    // deterministic centroid choice: arithmetic-hash sample of ids
-    val centroids = F.broadcast(
-      corpus.filter(graft.functions.PF.keyedSample(col(idCol), 1000000,
-          math.max(1, 1000000 / math.max(nCentroids, 1))))
-        .limit(nCentroids)
-        .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("_csim").desc, col("centroid_id").asc)
-    val assigned = corpus
-      .join(centroids)
-      .select(col(idCol), col(vecCol),
-        col("centroid_id"),
-        (fdot(col(vecCol), col("cvec")) /
-          (fnorm(col(vecCol)) * fnorm(col("cvec")))).as("_csim"))
-      .withColumn("_r", F.row_number().over(w))
-      .filter(col("_r") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+    val spark = corpus.sparkSession
+    // Deterministic, SQL-expressible centroid choice: keyedSample
+    // filter, lowest ids win (orderBy before limit — reproducible in
+    // any engine, any partitioning).
+    val keep = math.max(1, 1000000 / math.max(nCentroids, 1))
+    val centRows = corpus
+      .filter(graft.functions.PF.keyedSample(col(idCol), 1000000, keep))
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).cast(LongType), col(vecCol))
+      .collect()
+    // Driver-side centroid norms use the same IEEE ops as FloatVecDot
+    // (left fold from 0.0, double accumulation) so an external engine
+    // reproduces them bit-for-bit.
+    val cents: Seq[(Long, Seq[Float], Double)] = centRows.map { r =>
+      val v = r.getSeq[Float](1)
+      var s = 0.0
+      v.foreach(x => s += x.toDouble * x.toDouble)
+      (r.getLong(0), v, math.sqrt(s))
+    }.sortBy(_._1).toIndexedSeq
+    // Assignment is a per-row argmax over the EMBEDDED centroid array —
+    // zero shuffle of the corpus (previously corpus×k rows were
+    // exchanged by id for a window argmax; at 100 TB that shuffle IS
+    // the job). The row's own norm is a positive per-row constant, so
+    // ranking by dot/cn is argmax-equivalent to full cosine. Strict `>`
+    // over the id-sorted array keeps the lowest centroid_id on ties.
+    val carr = F.typedlit(cents)
+    val best = F.aggregate(
+      carr,
+      F.struct(lit(-1L).as("id"), lit(Double.NegativeInfinity).as("sim")),
+      (acc, c) => {
+        val sim = fdot(col(vecCol), c.getField("_2")) / c.getField("_3")
+        when(sim > acc.getField("sim"),
+          F.struct(c.getField("_1").as("id"), sim.as("sim"))).otherwise(acc)
+      })
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      best.getField("id").as("centroid_id"))
+    val centroids = spark.createDataFrame(cents)
+      .toDF("centroid_id", "cvec", "cn")
     (assigned, centroids)
   }
 
@@ -166,26 +187,36 @@ object Similarity {
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     val (assigned, centroids) = ivfAssign(corpus, nCentroids, idCol, vecCol)
+    // Probe selection runs over queries×k rows (both sides tiny); rank
+    // by dot/cn — the query norm is a positive per-query constant, so
+    // the ordering equals full cosine.
     val qw = Window.partitionBy("query_id")
       .orderBy(col("_qsim").desc, col("centroid_id").asc)
     val probes = F.broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .join(centroids)
       .select(col("query_id"), col("qvec"), col("centroid_id"),
-        (fdot(col("qvec"), col("cvec")) /
-          (fnorm(col("qvec")) * fnorm(col("cvec")))).as("_qsim"))
+        (fdot(col("qvec"), col("cvec")) / col("cn")).as("_qsim"))
       .withColumn("_r", F.row_number().over(qw))
       .filter(col("_r") <= nProbe)
       .select(col("query_id"), col("qvec"), col("centroid_id")))
+    // Broadcast-join probes to the assigned lists: the corpus never
+    // shuffles. Ranking per query uses dot/neighbor-norm (query norm
+    // is constant per query — cosine-order-equivalent).
     val scored = probes
       .join(assigned, Seq("centroid_id"))
       .filter(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        (fdot(col("qvec"), col(vecCol)) /
-          (fnorm(col("qvec")) * fnorm(col(vecCol)))).as("sim"))
+        (fdot(col("qvec"), col(vecCol)) / fnorm(col(vecCol))).as("sim"))
+    // two-stage top-k (see bruteForceTopK): local prune per scan
+    // partition caps the per-query funnel at k rows per partition
+    val local = Window.partitionBy(col("query_id"), F.spark_partition_id())
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val pruned = scored.withColumn("lrank", F.row_number().over(local))
+      .filter(col("lrank") <= k).drop("lrank")
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", F.row_number().over(w))
+    pruned.withColumn("rank", F.row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }

@@ -45,4 +45,13 @@ class PlanQualitySpec extends SparkSpec {
     val p = planOf("q10_semijoin")
     assert(p.contains("LeftSemi"), s"no semi join:\n$p")
   }
+
+  test("IVF centroid assignment never shuffles the corpus") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings").df
+    val (assigned, _) = graft.ext.Similarity.ivfAssign(emb, nCentroids = 8)
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"centroid assignment should be a per-row argmax over the " +
+        s"embedded centroid array (zero shuffle):\n$p")
+  }
 }
