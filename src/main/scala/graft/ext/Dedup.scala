@@ -220,34 +220,83 @@ object Dedup {
     var iter = 0
     while (changed && iter < maxIter) {
       iter += 1
-      // each node takes min(own label, neighbors' labels)
+      // Each node takes min(own label, neighbors' labels). The own-label
+      // rows are flagged so the SAME aggregation also recovers the old
+      // label — convergence is then a filter over the materialized
+      // result, not an extra join + recompute per round.
       val viaEdges = edges.alias("e")
         .join(labels.alias("l"), col("e.src") === col("l.id"))
-        .select(col("e.dst").as("id"), col("l.label").as("label"))
-      val next = mat(labels.unionAll(viaEdges)
-        .groupBy("id").agg(F.min("label").as("label")))
-      val stable = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).isEmpty
-      changed = !stable
-      labels = next
+        .select(col("e.dst").as("id"), col("l.label").as("label"),
+          lit(0).as("is_old"))
+      val next = mat(labels
+        .select(col("id"), col("label"), lit(1).as("is_old"))
+        .unionAll(viaEdges)
+        .groupBy("id").agg(F.min("label").as("label"),
+          (F.min("label") =!= F.max(when(col("is_old") === 1, col("label"))))
+            .as("changed")))
+      changed = !next.filter(col("changed")).isEmpty
+      labels = next.select("id", "label")
     }
     labels
   }
 
   /** All-pairs Jaccard within blocking groups (e.g. same lang+source):
-    * blocking bounds the quadratic term to group size.
+    * blocking bounds the quadratic term to group size — but a skewed
+    * block (one dominant lang+source) would reintroduce O(n²) at
+    * 100 TB. Blocks larger than `maxBlock` therefore fall back to
+    * MinHash-LSH candidate generation WITHIN the block: the quadratic
+    * term is bounded by bucket-collision counts instead of block size.
+    * The fallback is probabilistic (standard LSH recall) — pairs it
+    * returns are exact-verified, but a hot block may miss a small
+    * fraction of borderline pairs; exact behavior is unchanged for all
+    * blocks ≤ maxBlock.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   blockCols: Seq[String], threshold: Double): DataFrame = {
+                   blockCols: Seq[String], threshold: Double,
+                   maxBlock: Int = 5000,
+                   hasher: Column => Column = portableHasher): DataFrame = {
     val base = df.select(Seq(col(idCol).as("id"),
-      tokens(col(textCol)).as("tok")) ++
+      tokens(col(textCol)).as("tok"),
+      shingleHashes(col(textCol), hasher = hasher).as("hs")) ++
       blockCols.map(col): _*)
-    val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
-      .reduce(_ && _) && col("a.id") < col("b.id")
-    base.alias("a").join(base.alias("b"), cond)
+      .localCheckpoint(true) // self-joined below — hash pipeline once
+    // block sizes ride along via one small aggregate (blocks are few;
+    // broadcast back onto the rows)
+    val sizes = base.groupBy(blockCols.map(col): _*)
+      .agg(F.count(lit(1)).as("_bn"))
+    val withN = base.join(F.broadcast(sizes), blockCols)
+    val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _)
+
+    // small blocks: exact all-pairs (quadratic bounded by maxBlock)
+    val small = withN.filter(col("_bn") <= maxBlock)
+    val smallPairs = small.alias("a").join(small.alias("b"),
+        blockEq && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         graft.plans.TokenJaccard(col("a.tok"), col("b.tok")).as("jac"))
       .filter(col("jac") >= threshold)
+
+    // hot blocks: LSH banding inside the block; candidates must share a
+    // (block, band, bucket) — quadratic only in bucket collisions.
+    // Distinct runs on id pairs; token arrays re-join afterwards.
+    val big = withN.filter(col("_bn") > maxBlock)
+      .withColumn("_sig", signatureFromHashes(col("hs")))
+      .select(Seq(col("id"),
+        F.posexplode(bandBuckets(col("_sig"), bands = 4, r = 3))
+          .as(Seq("band", "bucket"))) ++ blockCols.map(col): _*)
+    val bigCand = big.alias("a").join(big.alias("b"),
+        blockEq && col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val toks = base.select(col("id"), col("tok"))
+    val bigPairs = bigCand
+      .join(toks.alias("ta"), col("id_a") === col("ta.id"))
+      .join(toks.alias("tb"), col("id_b") === col("tb.id"))
+      .select(col("id_a"), col("id_b"),
+        graft.plans.TokenJaccard(col("ta.tok"), col("tb.tok")).as("jac"))
+      .filter(col("jac") >= threshold)
+
+    smallPairs.unionAll(bigPairs)
   }
 }

@@ -221,16 +221,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs within blocking groups. */
+  /** Embedding-cosine near-duplicate pairs within blocking groups.
+    * Blocks larger than `maxBlock` fall back to hyperplane-LSH
+    * bucketing inside the block (near-identical vectors share all sign
+    * bits with high probability), so a skewed block costs
+    * bucket-collisions², not block². Fallback pairs are still
+    * exact-verified against `threshold`; recall within hot blocks is
+    * probabilistic (standard LSH trade).
+    */
   def cosinePairs(df: DataFrame, threshold: Double,
                   blockCol: String, idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+                  vecCol: String = "embedding",
+                  maxBlock: Int = 5000, nPlanes: Int = 8): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       fnorm(col(vecCol)).as("nv"), col(blockCol))
-    base.alias("a").join(base.alias("b"),
-        col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.id") < col("b.id"))
+    val sizes = base.groupBy(blockCol).agg(F.count(lit(1)).as("_bn"))
+    val withN = base.join(F.broadcast(sizes), blockCol)
+    def scored(pairs: DataFrame): DataFrame = pairs
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (fdot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv"))).as("sim"))
       .filter(col("sim") >= threshold)
+    val small = withN.filter(col("_bn") <= maxBlock)
+    val smallPairs = scored(small.alias("a").join(small.alias("b"),
+      col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.id") < col("b.id")))
+    val big = withN.filter(col("_bn") > maxBlock)
+      .withColumn("_sig", lshSignature(col("v"), nPlanes))
+    val bigPairs = scored(big.alias("a").join(big.alias("b"),
+      col(s"a.$blockCol") === col(s"b.$blockCol") &&
+        col("a._sig") === col("b._sig") && col("a.id") < col("b.id")))
+    smallPairs.unionAll(bigPairs)
   }
 }

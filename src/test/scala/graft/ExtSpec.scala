@@ -69,6 +69,45 @@ class ExtSpec extends SparkSpec {
     assert(fast.count { case (a, b) => b - a == 1000 } == 5)
   }
 
+  test("jaccardPairs hot-block fallback: subset of exact, planted dups kept") {
+    // one hot block (same lang+source) over the cap: LSH path engages
+    val hot = docs.limit(40)
+      .select(col("doc_id"), col("text"), lit("xx").as("lang"),
+        lit("hot").as("source"))
+    val aug = hot.unionAll(hot.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000).as("doc_id"), col("text"),
+        col("lang"), col("source")))
+    def pairSet(maxBlock: Int) =
+      Dedup.jaccardPairs(aug, "doc_id", "text", Seq("lang", "source"),
+        0.9, maxBlock = maxBlock)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(maxBlock = 10000) // all-pairs path
+    val capped = pairSet(maxBlock = 10)   // forces the LSH fallback
+    assert(capped.subsetOf(exact), "fallback invented pairs")
+    // exact duplicates share every minhash band — LSH cannot miss them
+    val planted = exact.filter { case (a, b) => b - a == 1000 }
+    assert(planted.nonEmpty && planted.subsetOf(capped),
+      s"planted dups lost: ${planted diff capped}")
+  }
+
+  test("cosinePairs hot-block fallback: subset of exact, identical vecs kept") {
+    val hot = emb.limit(40).select(col("vec_id"), col("embedding"),
+      lit("hot").as("label"))
+    val aug = hot.unionAll(hot.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"),
+        col("label")))
+    def pairSet(maxBlock: Int) =
+      Similarity.cosinePairs(aug, 0.999, "label", maxBlock = maxBlock)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(maxBlock = 10000)
+    val capped = pairSet(maxBlock = 10)
+    assert(capped.subsetOf(exact), "fallback invented pairs")
+    // identical vectors have identical LSH signatures — cannot be missed
+    val planted = exact.filter { case (a, b) => b - a == 1000 }
+    assert(planted.nonEmpty && planted.subsetOf(capped),
+      s"planted dups lost: ${planted diff capped}")
+  }
+
   test("simhash: near-identical texts have small hamming distance") {
     val df = Seq(
       ("t1", "the quick brown fox jumps over the lazy dog again and again"),
