@@ -575,6 +575,51 @@ object SparkEntry {
            customer[c_custkey in big{o_custkey}] order {c_custkey} [..50] {c_custkey, c_name}""",
         "customer" -> t(s, d, "customer"), "orders" -> t(s, d, "orders")).df),
 
+    // driver-side while/if control flow steering which plans get built
+    // (reference evaluate.py:338-356)
+    "ql5_lang_controlflow" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """t = nation[n_nationkey < 0]{n_nationkey, n_regionkey}
+          |r = 0
+          |while (r < 5) {
+          |  if (r % 2 == 0) {
+          |    t += nation[n_regionkey == r]{n_nationkey, n_regionkey}
+          |  }
+          |  r = r + 1
+          |}
+          |t order {n_nationkey}""".stripMargin,
+        "nation" -> t(s, d, "nation")).df),
+
+    // func codeblock bodies (if/return → CASE), defaults + named args,
+    // value-semantics `or` on strings (reference pql_objects.py:110-212,
+    // compiler.py:313-339, examples/fizzbuzz.pql)
+    "ql6_lang_funcs" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """func fizz(i) {
+          |  if (i % 3 == 0) { return "Fizz" } else { return "" }
+          |}
+          |func buzz(i) {
+          |  if (i % 5 == 0) { return "Buzz" } else { return "" }
+          |}
+          |func fizzbuzz(i) = (fizz(i) + buzz(i)) or string(i)
+          |func scaled(x, factor = 10) = x * factor
+          |customer[c_custkey <= 100]{c_custkey, fb: fizzbuzz(c_custkey),
+          |  s: scaled(c_custkey), s2: scaled(c_custkey, factor: 3)}""".stripMargin,
+        "customer" -> t(s, d, "customer")).df),
+
+    // `one` scalar extraction (reference evaluate.py:679-709)
+    "ql7_lang_one" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        "one customer[c_custkey == 42]{c_custkey, c_name}",
+        "customer" -> t(s, d, "customer")).df),
+
+    // `{...struct}` inline expansion over a join (reference
+    // compiler.py:80-128, test_basic.py:1083-1092)
+    "ql8_lang_struct" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        "join(c: customer, n: nation){...c !c_acctbal, nation_name: n.n_name} order {c_custkey} [..100]",
+        "customer" -> t(s, d, "customer"), "nation" -> t(s, d, "nation")).df),
+
     // ---- json scalar functions (extension; reference has none) -----------
     "q61_json" -> ((s, d) =>
       t(s, d, "events").df
@@ -1173,6 +1218,26 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
          ORDER BY c_custkey LIMIT 50""",
+    // while r in 0..4, keep regions with even r → n_regionkey % 2 = 0
+    "ql5_lang_controlflow" ->
+      """SELECT n_nationkey, n_regionkey FROM nation
+         WHERE n_regionkey % 2 = 0 ORDER BY n_nationkey""",
+    "ql6_lang_funcs" ->
+      """SELECT c_custkey,
+           CASE WHEN (CASE WHEN c_custkey % 3 = 0 THEN 'Fizz' ELSE '' END
+                   || CASE WHEN c_custkey % 5 = 0 THEN 'Buzz' ELSE '' END) <> ''
+             THEN (CASE WHEN c_custkey % 3 = 0 THEN 'Fizz' ELSE '' END
+                   || CASE WHEN c_custkey % 5 = 0 THEN 'Buzz' ELSE '' END)
+             ELSE CAST(c_custkey AS VARCHAR) END AS fb,
+           c_custkey * 10 AS s, c_custkey * 3 AS s2
+         FROM customer WHERE c_custkey <= 100""",
+    "ql7_lang_one" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey = 42",
+    "ql8_lang_struct" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+           n_name AS nation_name
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY c_custkey LIMIT 100""",
     "q61_json" ->
       """SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.dsl.{NamedCol, PTable, Sort}
 import graft.functions.PF
 import graft.joins.Joins
-import graft.types.{NameError, TypeError}
+import graft.types.{NameError, TypeError, ValueError}
 
 /** Interpreter for the reference-language front-end: evaluates parsed
   * programs against PTable values, so a user of the reference can run
@@ -17,47 +17,366 @@ import graft.types.{NameError, TypeError}
   *     "customer" -> customerTable)
   *
   * Table operators compile to the graft DSL (hence plain Catalyst
-  * plans); nothing is interpreted row-by-row.
+  * plans); nothing is interpreted row-by-row. Driver-side control flow
+  * (`if`/`while`/`for`, reference evaluate.py:338-356) steers WHICH
+  * plans get built; scalar variables substitute into expressions as
+  * literals (vars shadow columns, like the reference's scoping).
   *
-  * Supported: projections (incl. ellipsis/exclusions and all three
-  * group-by forms), selections (incl. `in`/`!in` against tables →
-  * semi/anti joins), slices, order, update/delete, joins (auto-join
-  * via FK metadata, explicit `on:`), ranges, list literals, the full
-  * operator ladder with the reference's semantics (`/` float, `/~`
-  * floor, null-safe `==`, `~` like), and the §2 function library.
+  * Supported: projections (incl. ellipsis/exclusions, `{...struct}`
+  * inlining and all three group-by forms), selections (incl. `in`/`!in`
+  * against tables → semi/anti joins), slices, order, update/delete,
+  * joins (auto-join via FK metadata, explicit `on:`), ranges, list
+  * literals, `one`/`one?`, user funcs with defaults + named arguments,
+  * the full operator ladder with the reference's semantics (`/` float,
+  * `/~` floor, null-safe `==`, `~` like, value-returning `and`/`or`),
+  * and the §2 function library.
   */
 object Interp {
   import Ast._
 
+  /** A binding: a table or a driver-side scalar. */
+  private sealed trait V
+  private final case class VT(t: PTable) extends V
+  private final case class VS(v: Any) extends V
+
   def run(spark: SparkSession, src: String, tables: (String, PTable)*): PTable = {
     val prog = Parser.parse(src)
-    var env: Map[String, PTable] = tables.toMap
+    val st = new State(spark, tables.map { case (n, t) => n -> (VT(t): V) }.toMap)
+    prog.stmts.foreach(st.exec)
+    st.evalTable(st.substitute(prog.result))
+  }
+
+  /** Mutable program state: bindings + user function definitions. */
+  private final class State(spark: SparkSession, init: Map[String, V]) {
+    var env: Map[String, V] = init
     var funcs: Map[String, FuncDef] = Map.empty
-    prog.stmts.foreach {
+
+    private def tableEnv: Map[String, PTable] =
+      env.collect { case (n, VT(t)) => n -> t }
+
+    /** Replace scalar variables with literal AST nodes (vars shadow
+      * columns) and inline user function calls.
+      */
+    def substitute(e: Expr): Expr = inline(rewrite(e) {
+      case Ident(n) if env.get(n).exists(_.isInstanceOf[VS]) =>
+        scalarToAst(env(n).asInstanceOf[VS].v)
+    }, funcs)
+
+    def exec(s: Stmt): Unit = s match {
       case Assign(name, value) =>
-        env = env + (name ->
-          evalTable(spark, inline(value, funcs), env).named(name))
+        val e = substitute(value)
+        env = env + (name -> (tryScalar(e) match {
+          case Some(v) => VS(v)
+          case None => VT(evalTable(e).named(name))
+        }))
       case fd: FuncDef =>
         funcs = funcs + (fd.name -> fd)
       case InsertRows(name, value) =>
-        val base = env.getOrElse(name,
-          throw new NameError(s"unknown table '$name'"))
-        val rows = evalTable(spark, inline(value, funcs), env)
-        env = env + (name -> graft.dsl.PTable(
+        val base = lookupTable(name)
+        val rows = evalTable(substitute(value))
+        env = env + (name -> VT(graft.dsl.PTable(
           base.df.unionByName(rows.df, allowMissingColumns = true),
-          base.meta))
+          base.meta)))
       case NewRow(name, args) =>
-        val base = env.getOrElse(name,
-          throw new NameError(s"unknown table '$name'"))
+        val base = lookupTable(name)
         val cat = new graft.catalog.Catalog(spark)
         cat.register(name, base)
         cat.insertRow(name, args.map { a =>
           a.name.getOrElse(throw new TypeError(
-            "new Table(...) requires named arguments")) -> litAny(a.value)
+            "new Table(...) requires named arguments")) ->
+            litAny(substitute(a.value))
         }.toMap)
-        env = env + (name -> cat.get(name))
+        env = env + (name -> VT(cat.get(name)))
+      case IfStmt(cond, thenB, elseB) =>
+        if (truthyScalar(scalar(substitute(cond)))) thenB.foreach(exec)
+        else elseB.foreach(_.foreach(exec))
+      case WhileStmt(cond, body) =>
+        var guard = 0
+        while (truthyScalar(scalar(substitute(cond)))) {
+          body.foreach(exec)
+          guard += 1
+          if (guard > 1000000)
+            throw new ValueError("while loop exceeded 1,000,000 iterations")
+        }
+      case ForStmt(v, iterable, body) =>
+        iterValues(substitute(iterable)).foreach { x =>
+          val saved = env.get(v)
+          env = env + (v -> VS(x))
+          body.foreach(exec)
+          env = saved match {
+            case Some(old) => env + (v -> old)
+            case None => env - v
+          }
+        }
+      case PrintStmt(e) =>
+        val sub = substitute(e)
+        tryScalar(sub) match {
+          case Some(v) => println(v)
+          case None => evalTable(sub).df.show(20, false)
+        }
+      case ReturnStmt(_) =>
+        throw new TypeError("'return' is only valid inside func bodies")
     }
-    evalTable(spark, inline(prog.result, funcs), env)
+
+    private def lookupTable(name: String): PTable = env.get(name) match {
+      case Some(VT(t)) => t
+      case Some(VS(_)) => throw new TypeError(s"'$name' is not a table")
+      case None => throw new NameError(s"unknown table '$name'")
+    }
+
+    /** `for` iteration domain: ranges and lists iterate driver-side;
+      * a single-column table localizes its values (reference
+      * evaluate.py:352-356 casts the iterable to a python list).
+      */
+    private def iterValues(e: Expr): Seq[Any] = e match {
+      case RangeLit(f, u) =>
+        val from = f.map(constLong).getOrElse(0L)
+        val until = u.map(constLong).getOrElse(
+          throw new TypeError("unbounded range in 'for'"))
+        from until until
+      case ListLit(items) => items.map(i => scalar(i))
+      case other =>
+        val t = evalTable(other)
+        if (t.columns.length != 1)
+          throw new TypeError("'for' over a table needs a single column")
+        t.df.collect().map(_.get(0)).toSeq
+    }
+
+    /** Driver-side const evaluation; None when the expression needs the
+      * engine (column refs, table ops).
+      */
+    def tryScalar(e: Expr): Option[Any] =
+      try Some(constEval(e)) catch { case _: NotConst => None }
+
+    def scalar(e: Expr): Any =
+      tryScalar(e).getOrElse {
+        // engine fallback: a 1×1 table localizes to its single value
+        // (reference cast_to_python)
+        val t = evalTable(e)
+        val rows = t.df.take(2)
+        if (rows.length == 1 && rows(0).length == 1) rows(0).get(0)
+        else throw new TypeError(s"not a scalar: $e")
+      }
+
+    // ---- table evaluation --------------------------------------------------
+    def evalTable(e: Expr): PTable = {
+      def t(ex: Expr): PTable = evalTable(ex)
+      e match {
+        case Ident(name) => lookupTable(name)
+
+        case OneE(inner, opt) =>
+          // reference evaluate.py:679-709: exactly one row (`one`) /
+          // at most one (`one?`, empty stays empty)
+          val tt = t(inner)
+          val rows = tt.df.take(2)
+          if (!opt && rows.length != 1)
+            throw new ValueError(s"'one' expected 1 row, got ${rows.length}")
+          if (opt && rows.length > 1)
+            throw new ValueError("'one?' expected <=1 row, got >=2")
+          import scala.jdk.CollectionConverters._
+          PTable(spark.createDataFrame(rows.toSeq.asJava, tt.df.schema),
+            tt.meta)
+
+        case Selection(te, conds) =>
+          // `x in other` / `x !in other` conditions become semi/anti joins
+          conds.foldLeft(t(te)) { (acc, cond) =>
+            cond match {
+              case BinOp("in", l, r) if isTableExpr(r) =>
+                semiAnti(acc, l, t(r), anti = false)
+              case BinOp("!in", l, r) if isTableExpr(r) =>
+                semiAnti(acc, l, t(r), anti = true)
+              case c => acc.where(evalCol(c, schemaOf(acc)))
+            }
+          }
+
+        case Slice(te, from, until) =>
+          val f = from.map(constLong).getOrElse(0L).toInt
+          val u = until.map(constLong).map(_.toInt)
+          u match {
+            case Some(end) => t(te).slice(f, end)
+            case None => // t[n..] — drop first n
+              val tt = t(te)
+              graft.dsl.PTable(tt.df.offset(f), tt.meta)
+          }
+
+        case Projection(te, fields, grouped, aggs) =>
+          val tab = t(te)
+          if (!grouped) tab.project(expandFields(tab, fields): _*)
+          else if (fields.isEmpty) tab.aggAll(namedAggs(tab, aggs): _*)
+          else if (aggs.isEmpty) tab.groupBy(expandFields(tab, fields): _*)()
+          else tab.groupBy(expandFields(tab, fields): _*)(
+            namedAggs(tab, aggs): _*)
+
+        case Order(te, keys) =>
+          val tab = t(te)
+          tab.orderBy(keys.map { case (k, asc) =>
+            Sort(evalCol(k, schemaOf(tab)), asc) }: _*)
+
+        case Update(te, fields) =>
+          // bare `t update {...}` updates all rows; pair with a prior
+          // Selection for conditional update — matches reference shape
+          // `t[conds] update {...}` only when t is a Selection node
+          te match {
+            case Selection(base, conds) =>
+              val tab = t(base)
+              val sch = schemaOf(tab)
+              val cond = conds.map(c => evalCol(c, sch)).reduce(_ && _)
+              tab.update(cond)(fields.map(f =>
+                f.name.getOrElse(fieldName(f)) -> evalCol(f.value, sch)): _*)
+            case _ =>
+              val tab = t(te)
+              val sch = schemaOf(tab)
+              tab.update(lit(true))(fields.map(f =>
+                f.name.getOrElse(fieldName(f)) -> evalCol(f.value, sch)): _*)
+          }
+
+        case Delete(te, conds) =>
+          val tab = t(te)
+          val sch = schemaOf(tab)
+          tab.delete(conds.map(c => evalCol(c, sch)).reduce(_ && _))
+
+        case RangeLit(from, until) =>
+          val f = from.map(constLong).getOrElse(0L)
+          val u = until.map(constLong).getOrElse(
+            throw new TypeError("unbounded range not supported"))
+          PTable.range(spark, f, u)
+
+        case ListLit(items) if items.nonEmpty =>
+          // items may be scalar EXPRESSIONS (e.g. a loop var times a
+          // constant) — const-evaluate them driver-side
+          val vals = items.map(i => tryScalar(i).getOrElse(
+            throw new TypeError(s"unsupported list element: $i")))
+          vals.head match {
+            case _: Long => PTable.fromList(spark,
+              vals.map { case v: Long => v
+                         case o => throw new TypeError(s"mixed-type list: $o") })
+            case _: String => PTable.fromList(spark,
+              vals.map { case v: String => v
+                         case o => throw new TypeError(s"mixed-type list: $o") })
+            case _: Double => PTable.fromList(spark,
+              vals.map { case v: Double => v
+                         case o => throw new TypeError(s"mixed-type list: $o") })
+            case o => throw new TypeError(s"unsupported list element: $o")
+          }
+
+        case Call(fn, args) => tableCall(fn, args)
+
+        case other => throw new TypeError(s"not a table expression: $other")
+      }
+    }
+
+    private def isTableExpr(e: Expr): Boolean = e match {
+      case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
+      case _: Projection | _: Selection | _: RangeLit | _: ListLit |
+           _: Order | _: Slice | _: OneE => true
+      case _ => false
+    }
+
+    private def semiAnti(acc: PTable, l: Expr, other: PTable,
+                         anti: Boolean): PTable = {
+      val leftCol = l match {
+        case Ident(n) => n
+        case Attr(_, n) => n
+        case o => throw new TypeError(s"'in' left side must be a column, got $o")
+      }
+      val rightCol = other.columns.head
+      if (anti) Joins.anti(acc, leftCol, other, rightCol)
+      else Joins.semi(acc, leftCol, other, rightCol)
+    }
+
+    private def tableCall(fn: String, args: Seq[Arg]): PTable = {
+      def t(e: Expr): PTable = evalTable(e)
+      fn match {
+        case "join" | "leftjoin" | "outerjoin" | "joinall" =>
+          val on = args.find(_.name.contains("on")).map(a => evalCol(a.value, None))
+          val sides = args.filterNot(_.name.contains("on")).map { a =>
+            val alias = a.name.getOrElse(
+              throw new TypeError("join sides must be named: join(a: t1, b: t2)"))
+            alias -> t(a.value)
+          }
+          val kind = fn match {
+            case "join" => Joins.Inner
+            case "leftjoin" => Joins.LeftOuter
+            case "outerjoin" => Joins.FullOuter
+            case "joinall" => Joins.Cross
+          }
+          Joins.joinN(kind, sides.map(Joins.Side(_)), on)
+        case "distinct" => t(args.head.value).distinct
+        case "limit" =>
+          t(args.head.value).limit(constLong(args(1).value).toInt)
+        case "enum" => t(args.head.value).enum("index")
+        case "count" => // count(table) → one-row table
+          t(args.head.value).aggAll(NamedCol("count", F.count(lit(1))))
+        case "list" => // list(t) → first column only (reference list cast)
+          val tt = t(args.head.value)
+          tt.project(NamedCol(tt.columns.head, col(tt.columns.head)))
+        case "temptable" =>
+          PTable(t(args.head.value).df.localCheckpoint(true))
+        case "bfs" =>
+          PTable(graft.rec.Graph.bfs(t(args.head.value).df, t(args(1).value).df))
+        case "walk_tree" =>
+          PTable(graft.rec.Graph.walkTree(t(args.head.value).df,
+            t(args(1).value).df, constLong(args(2).value).toInt))
+        case other => throw new NameError(s"unknown table function '$other'")
+      }
+    }
+
+    private def schemaOf(t: PTable): Option[StructType] = Some(t.df.schema)
+
+    // ---- projection fields -------------------------------------------------
+    private def expandFields(tab: PTable, fields: Seq[Field]): Seq[NamedCol] = {
+      val schema = tab.df.schema
+      val direct = fields.collect {
+        case Field(Some(n), _) => n
+        case Field(None, Ident(n)) => n
+      }.toSet
+      // reference naming on collision: item, item1, item2 …
+      val used = scala.collection.mutable.Set[String](direct.toSeq: _*)
+      def fresh(n: String): String =
+        if (!used.contains(n)) { used += n; n }
+        else {
+          var i = 1
+          while (used.contains(s"$n$i")) i += 1
+          used += s"$n$i"; s"$n$i"
+        }
+      fields.flatMap { f =>
+        f.value match {
+          case EllipsisE(excludes, None) =>
+            tab.columns
+              .filterNot(c => excludes.contains(c) || direct.contains(c))
+              .map(c => NamedCol(fresh(c), col(c)))
+          case EllipsisE(excludes, Some(structCol)) =>
+            // `{...s}`: inline the fields of struct column s
+            // (reference compiler.py:104-116)
+            val fieldsOf = schema.find(_.name == structCol) match {
+              case Some(StructField(_, st: StructType, _, _)) => st.fields
+              case Some(_) => throw new TypeError(
+                s"cannot inline non-struct column '$structCol'")
+              case None => throw new NameError(
+                s"unknown column '$structCol'")
+            }
+            fieldsOf.toSeq
+              .filterNot(sf => excludes.contains(sf.name) ||
+                direct.contains(sf.name))
+              .map(sf => NamedCol(fresh(sf.name),
+                col(s"$structCol.${sf.name}")))
+          case v =>
+            Seq(NamedCol(f.name.getOrElse(fieldName(f)), evalCol(v, Some(schema))))
+        }
+      }
+    }
+
+    private def namedAggs(tab: PTable, aggs: Seq[Field]): Seq[NamedCol] =
+      aggs.map { f =>
+        f.value match {
+          // bare column in agg scope collects into an array
+          // (reference compiler.py:59-63)
+          case Ident(n) if !f.name.isDefined =>
+            NamedCol(n, F.collect_list(col(n)))
+          case v => NamedCol(f.name.getOrElse(fieldName(f)),
+            evalCol(v, Some(tab.df.schema), agg = true))
+        }
+      }
   }
 
   /** Inline user function calls by AST substitution — the engine's
@@ -65,7 +384,9 @@ object Interp {
     * functions (reference evaluate.py:551-648): the body is spliced
     * into the call site with parameters replaced by argument ASTs, so
     * `func sqsum(x) = sum(x*x)` works inside aggregation projections
-    * at zero runtime cost.
+    * at zero runtime cost. Argument matching follows the reference
+    * (pql_objects.py:110-212): positional prefix, then named, defaults
+    * fill the gaps; named-before-positional and duplicates are errors.
     */
   private def inline(e: Expr, funcs: Map[String, FuncDef]): Expr = {
     def subst(body: Expr, bind: Map[String, Expr]): Expr = rewrite(body) {
@@ -74,186 +395,41 @@ object Interp {
     rewrite(e) {
       case Call(fn, args) if funcs.contains(fn) =>
         val fd = funcs(fn)
-        if (args.length != fd.params.length)
+        val pos = args.takeWhile(_.name.isEmpty)
+        val named = args.drop(pos.length)
+        if (named.exists(_.name.isEmpty))
           throw new TypeError(
-            s"${fn} expects ${fd.params.length} argument(s), got ${args.length}")
-        if (args.exists(_.name.isDefined))
-          throw new TypeError(s"positional arguments only for user func $fn")
-        val bind = fd.params.zip(args.map(a => inline(a.value, funcs))).toMap
+            s"$fn received a non-named argument after a named one")
+        if (pos.length > fd.params.length)
+          throw new TypeError(s"$fn takes ${fd.params.length} parameter(s) " +
+            s"but received ${pos.length} positional argument(s)")
+        val byName = named.map(a => (a.name.get, a.value)).toMap
+        val known = fd.params.map(_.name).toSet
+        byName.keys.find(!known.contains(_)).foreach { k =>
+          throw new TypeError(s"$fn has no parameter named '$k'")
+        }
+        val vals = fd.params.zipWithIndex.map { case (prm, i) =>
+          if (i < pos.length) {
+            if (byName.contains(prm.name))
+              throw new TypeError(s"$fn received argument '${prm.name}' " +
+                "both as keyword and as positional")
+            pos(i).value
+          } else byName.get(prm.name).orElse(prm.default).getOrElse(
+            throw new TypeError(
+              s"$fn is missing a value for parameter '${prm.name}'"))
+        }
+        val bind = fd.params.map(_.name)
+          .zip(vals.map(v => inline(v, funcs))).toMap
         inline(subst(fd.body, bind), funcs)
     }
   }
 
-  /** Bottom-up AST rewrite with a partial function applied post-order. */
-  private def rewrite(e: Expr)(pf: PartialFunction[Expr, Expr]): Expr = {
-    val mapped = e match {
-      case BinOp(op, l, r) => BinOp(op, rewrite(l)(pf), rewrite(r)(pf))
-      case Unary(op, x) => Unary(op, rewrite(x)(pf))
-      case Attr(o, n) => Attr(rewrite(o)(pf), n)
-      case Call(fn, args) =>
-        Call(fn, args.map(a => Arg(a.name, rewrite(a.value)(pf))))
-      case ListLit(items) => ListLit(items.map(rewrite(_)(pf)))
-      case Selection(t, cs) => Selection(rewrite(t)(pf), cs.map(rewrite(_)(pf)))
-      case Slice(t, f, u) =>
-        Slice(rewrite(t)(pf), f.map(rewrite(_)(pf)), u.map(rewrite(_)(pf)))
-      case Projection(t, fs, g, as) =>
-        Projection(rewrite(t)(pf),
-          fs.map(f => Field(f.name, rewrite(f.value)(pf))), g,
-          as.map(f => Field(f.name, rewrite(f.value)(pf))))
-      case Order(t, ks) =>
-        Order(rewrite(t)(pf), ks.map { case (k, asc) => (rewrite(k)(pf), asc) })
-      case Update(t, fs) =>
-        Update(rewrite(t)(pf), fs.map(f => Field(f.name, rewrite(f.value)(pf))))
-      case Delete(t, cs) => Delete(rewrite(t)(pf), cs.map(rewrite(_)(pf)))
-      case RangeLit(f, u) =>
-        RangeLit(f.map(rewrite(_)(pf)), u.map(rewrite(_)(pf)))
-      case leaf => leaf
-    }
-    if (pf.isDefinedAt(mapped)) pf(mapped) else mapped
-  }
-
-  // ---- table evaluation ---------------------------------------------------
-  def evalTable(spark: SparkSession, e: Expr, env: Map[String, PTable]): PTable = {
-    def t(ex: Expr): PTable = evalTable(spark, ex, env)
-    e match {
-      case Ident(name) =>
-        env.getOrElse(name, throw new NameError(s"unknown table '$name'"))
-
-      case Selection(te, conds) =>
-        // `x in other` / `x !in other` conditions become semi/anti joins
-        conds.foldLeft(t(te)) { (acc, cond) =>
-          cond match {
-            case BinOp("in", l, r) if isTableExpr(r, env) =>
-              semiAnti(acc, l, t(r), anti = false)
-            case BinOp("!in", l, r) if isTableExpr(r, env) =>
-              semiAnti(acc, l, t(r), anti = true)
-            case c => acc.where(evalCol(c))
-          }
-        }
-
-      case Slice(te, from, until) =>
-        val f = from.map(constInt).getOrElse(0L).toInt
-        val u = until.map(constInt).map(_.toInt)
-        u match {
-          case Some(end) => t(te).slice(f, end)
-          case None => // t[n..] — drop first n
-            val tt = t(te)
-            graft.dsl.PTable(tt.df.offset(f), tt.meta)
-        }
-
-      case Projection(te, fields, grouped, aggs) =>
-        val tab = t(te)
-        if (!grouped) tab.project(expandFields(tab, fields): _*)
-        else if (fields.isEmpty) tab.aggAll(namedAggs(aggs): _*)
-        else if (aggs.isEmpty) tab.groupBy(expandFields(tab, fields): _*)()
-        else tab.groupBy(expandFields(tab, fields): _*)(namedAggs(aggs): _*)
-
-      case Order(te, keys) =>
-        t(te).orderBy(keys.map { case (k, asc) => Sort(evalCol(k), asc) }: _*)
-
-      case Update(te, fields) =>
-        // bare `t update {...}` updates all rows; pair with a prior
-        // Selection for conditional update — matches reference shape
-        // `t[conds] update {...}` only when t is a Selection node
-        te match {
-          case Selection(base, conds) =>
-            val cond = conds.map(c => evalCol(c)).reduce(_ && _)
-            t(base).update(cond)(fields.map(f =>
-              f.name.getOrElse(fieldName(f)) -> evalCol(f.value)): _*)
-          case _ =>
-            t(te).update(lit(true))(fields.map(f =>
-              f.name.getOrElse(fieldName(f)) -> evalCol(f.value)): _*)
-        }
-
-      case Delete(te, conds) =>
-        t(te).delete(conds.map(c => evalCol(c)).reduce(_ && _))
-
-      case RangeLit(from, until) =>
-        val f = from.map(constInt).getOrElse(0L)
-        val u = until.getOrElse(
-          throw new TypeError("unbounded range not supported")) match {
-          case e2 => constInt(e2)
-        }
-        PTable.range(spark, f, u)
-
-      case ListLit(items) if items.nonEmpty =>
-        items.head match {
-          case _: IntLit => PTable.fromList(spark,
-            items.map { case IntLit(v) => v
-                        case o => throw new TypeError(s"mixed-type list: $o") })
-          case _: StrLit => PTable.fromList(spark,
-            items.map { case StrLit(v) => v
-                        case o => throw new TypeError(s"mixed-type list: $o") })
-          case _: FloatLit => PTable.fromList(spark,
-            items.map { case FloatLit(v) => v
-                        case o => throw new TypeError(s"mixed-type list: $o") })
-          case o => throw new TypeError(s"unsupported list element: $o")
-        }
-
-      case Call(fn, args) => tableCall(spark, fn, args, env)
-
-      case other => throw new TypeError(s"not a table expression: $other")
-    }
-  }
-
-  private def isTableExpr(e: Expr, env: Map[String, PTable]): Boolean = e match {
-    case Ident(n) => env.contains(n)
-    case _: Projection | _: Selection | _: RangeLit | _: ListLit |
-         _: Order | _: Slice => true
-    case _ => false
-  }
-
-  private def semiAnti(acc: PTable, l: Expr, other: PTable, anti: Boolean): PTable = {
-    val leftCol = l match {
-      case Ident(n) => n
-      case Attr(_, n) => n
-      case o => throw new TypeError(s"'in' left side must be a column, got $o")
-    }
-    val rightCol = other.columns.head
-    if (anti) Joins.anti(acc, leftCol, other, rightCol)
-    else Joins.semi(acc, leftCol, other, rightCol)
-  }
-
-  private def tableCall(spark: SparkSession, fn: String, args: Seq[Arg],
-                        env: Map[String, PTable]): PTable = {
-    def t(e: Expr): PTable = evalTable(spark, e, env)
-    fn match {
-      case "join" | "leftjoin" | "outerjoin" | "joinall" =>
-        val on = args.find(_.name.contains("on")).map(a => evalCol(a.value))
-        val sides = args.filterNot(_.name.contains("on")).map { a =>
-          val alias = a.name.getOrElse(
-            throw new TypeError("join sides must be named: join(a: t1, b: t2)"))
-          alias -> t(a.value)
-        }
-        val kind = fn match {
-          case "join" => Joins.Inner
-          case "leftjoin" => Joins.LeftOuter
-          case "outerjoin" => Joins.FullOuter
-          case "joinall" => Joins.Cross
-        }
-        Joins.joinN(kind, sides.map(Joins.Side(_)), on)
-      case "distinct" => t(args.head.value).distinct
-      case "limit" =>
-        t(args.head.value).limit(constInt(args(1).value).toInt)
-      case "enum" => t(args.head.value).enum("index")
-      case "count" => // count(table) → one-row table
-        t(args.head.value).aggAll(NamedCol("count", F.count(lit(1))))
-      case "bfs" =>
-        PTable(graft.rec.Graph.bfs(t(args.head.value).df, t(args(1).value).df))
-      case "walk_tree" =>
-        PTable(graft.rec.Graph.walkTree(t(args.head.value).df,
-          t(args(1).value).df, constInt(args(2).value).toInt))
-      case other => throw new NameError(s"unknown table function '$other'")
-    }
-  }
-
-  private def constInt(e: Expr): Long = e match {
+  private def constLong(e: Expr): Long = e match {
     case IntLit(v) => v
     case Unary("-", IntLit(v)) => -v
     case o => throw new TypeError(s"expected integer literal, got $o")
   }
 
-  // ---- projection fields --------------------------------------------------
   private def fieldName(f: Field): String = f.value match {
     case Ident(n) => n
     case Attr(_, n) => n
@@ -262,34 +438,277 @@ object Interp {
       throw new TypeError(s"computed field needs a name: ${f.value}"))
   }
 
-  private def expandFields(tab: PTable, fields: Seq[Field]): Seq[NamedCol] =
-    fields.flatMap { f =>
-      f.value match {
-        case EllipsisE(excludes) =>
-          val explicit = fields.collect {
-            case Field(Some(n), _) => n
-            case Field(None, Ident(n)) => n
-          }.toSet
-          tab.columns
-            .filterNot(c => excludes.contains(c) || explicit.contains(c))
-            .map(c => NamedCol(c, col(c)))
-        case v => Seq(NamedCol(f.name.getOrElse(fieldName(f)), evalCol(v)))
-      }
+  // ---- driver-side const evaluation ---------------------------------------
+  private final class NotConst extends RuntimeException
+
+  private def scalarToAst(v: Any): Expr = v match {
+    case null => NullLit
+    case b: Boolean => BoolLit(b)
+    case l: Long => IntLit(l)
+    case i: Int => IntLit(i.toLong)
+    case d: Double => FloatLit(d)
+    case s: String => StrLit(s)
+    case o => throw new TypeError(s"unsupported scalar value: $o")
+  }
+
+  private def truthyScalar(v: Any): Boolean = v match {
+    case null => false
+    case b: Boolean => b
+    case l: Long => l != 0
+    case d: Double => d != 0.0
+    case s: String => s.nonEmpty
+    case o => throw new TypeError(s"not a condition value: $o")
+  }
+
+  /** Reference-semantics scalar interpreter for driver-side control
+    * flow. Numbers are Long/Double, `/` is float division, `/~` floor,
+    * `and`/`or` return operands (truthiness: nonzero / nonempty),
+    * string `+` concatenates and `*` repeats.
+    */
+  private def constEval(e: Expr): Any = e match {
+    case IntLit(v) => v
+    case FloatLit(v) => v
+    case StrLit(v) => v
+    case BoolLit(v) => v
+    case NullLit => null
+    case Unary("-", x) => constEval(x) match {
+      case l: Long => -l
+      case d: Double => -d
+      case o => throw new TypeError(s"cannot negate $o")
+    }
+    case Unary("not", x) => !truthyScalar(constEval(x))
+    case BinOp(op, le, re) => constBin(op, le, re)
+    case Call(fn, args) => constCall(fn, args)
+    case _ => throw new NotConst
+  }
+
+  private def num2(l: Any, r: Any): Either[(Long, Long), (Double, Double)] =
+    (l, r) match {
+      case (a: Long, b: Long) => Left((a, b))
+      case (a: Long, b: Double) => Right((a.toDouble, b))
+      case (a: Double, b: Long) => Right((a, b.toDouble))
+      case (a: Double, b: Double) => Right((a, b))
+      case _ => throw new TypeError(s"expected numbers, got ($l, $r)")
     }
 
-  private def namedAggs(aggs: Seq[Field]): Seq[NamedCol] =
-    aggs.map { f =>
-      f.value match {
-        // bare column in agg scope collects into an array
-        // (reference compiler.py:59-63)
-        case Ident(n) if !f.name.isDefined =>
-          NamedCol(n, F.collect_list(col(n)))
-        case v => NamedCol(f.name.getOrElse(fieldName(f)), evalCol(v, agg = true))
+  private def constBin(op: String, le: Expr, re: Expr): Any = {
+    lazy val l = constEval(le)
+    lazy val r = constEval(re)
+    op match {
+      case "and" => if (truthyScalar(l)) r else l
+      case "or" => if (truthyScalar(l)) l else r
+      case "+" => (l, r) match {
+        case (a: String, b: String) => a + b
+        case _ if l.isInstanceOf[String] || r.isInstanceOf[String] =>
+          throw new TypeError("string + requires both sides string")
+        case _ => num2(l, r).fold(
+          { case (a, b) => a + b }, { case (a, b) => a + b })
       }
+      case "-" => num2(l, r).fold(
+        { case (a, b) => a - b }, { case (a, b) => a - b })
+      case "*" => (l, r) match {
+        case (a: String, b: Long) => a * b.toInt
+        case _ => num2(l, r).fold(
+          { case (a, b) => a * b }, { case (a, b) => a * b })
+      }
+      case "/" => num2(l, r).fold(
+        { case (a, b) => a.toDouble / b }, { case (a, b) => a / b })
+      case "/~" => num2(l, r).fold(
+        { case (a, b) => Math.floorDiv(a, b) },
+        { case (a, b) => math.floor(a / b) })
+      case "%" => num2(l, r).fold(
+        { case (a, b) => a % b }, { case (a, b) => a % b })
+      case "**" => num2(l, r).fold(
+        { case (a, b) => math.pow(a.toDouble, b.toDouble) },
+        { case (a, b) => math.pow(a, b) })
+      case "==" => l == r
+      case "!=" | "<>" => l != r
+      case "<" => cmp(l, r) < 0
+      case "<=" => cmp(l, r) <= 0
+      case ">" => cmp(l, r) > 0
+      case ">=" => cmp(l, r) >= 0
+      case "in" => re match {
+        case ListLit(items) => items.map(constEval).contains(l)
+        case _ => constEval(re) match {
+          case s: String => s.contains(l.toString)
+          case _ => throw new NotConst
+        }
+      }
+      case "!in" => !constBin("in", le, re).asInstanceOf[Boolean]
+      case "~" => (l, r) match {
+        case (a: String, pat: String) =>
+          // LIKE → regex (%, _ wildcards)
+          val rx = java.util.regex.Pattern.quote(pat)
+            .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q")
+          a.matches(rx)
+        case _ => throw new TypeError("~ requires strings")
+      }
+      case _ => throw new NotConst
     }
+  }
+
+  private def cmp(l: Any, r: Any): Int = (l, r) match {
+    case (a: String, b: String) => a.compareTo(b)
+    case _ => num2(l, r).fold(
+      { case (a, b) => java.lang.Long.compare(a, b) },
+      { case (a, b) => java.lang.Double.compare(a, b) })
+  }
+
+  private def constCall(fn: String, args: Seq[Arg]): Any = {
+    def a(i: Int): Any = constEval(args(i).value)
+    fn match {
+      case "length" => a(0) match {
+        case s: String => s.length.toLong
+        case o => throw new TypeError(s"length of $o")
+      }
+      case "upper" => a(0).toString.toUpperCase
+      case "lower" => a(0).toString.toLowerCase
+      case "string" => a(0) match {
+        case l: Long => l.toString
+        case d: Double => d.toString
+        case s: String => s
+        case b: Boolean => if (b) "true" else "false"
+        case o => String.valueOf(o)
+      }
+      case "int" => a(0) match {
+        case l: Long => l
+        case d: Double => d.toLong
+        case s: String => try s.trim.toLong catch {
+          case _: NumberFormatException =>
+            throw new ValueError(s"cannot cast '$s' to int")
+        }
+        case b: Boolean => if (b) 1L else 0L
+        case o => throw new TypeError(s"cannot cast $o to int")
+      }
+      case "float" => a(0) match {
+        case l: Long => l.toDouble
+        case d: Double => d
+        case s: String => s.trim.toDouble
+        case o => throw new TypeError(s"cannot cast $o to float")
+      }
+      case "bool" => truthyScalar(a(0))
+      case "round" =>
+        val x = a(0) match {
+          case d: Double => d; case l: Long => l.toDouble
+          case o => throw new TypeError(s"round of $o")
+        }
+        if (args.length == 1) math.round(x).toDouble
+        else {
+          val n = constEval(args(1).value).asInstanceOf[Long].toInt
+          val f = math.pow(10, n)
+          math.round(x * f) / f
+        }
+      case "iif" =>
+        if (truthyScalar(a(0))) a(1) else a(2)
+      case "pi" => math.Pi
+      case _ => throw new NotConst
+    }
+  }
+
+  private def litAny(e: Expr): Any = e match {
+    case IntLit(v) => v
+    case FloatLit(v) => v
+    case StrLit(v) => v
+    case BoolLit(v) => v
+    case NullLit => null
+    case Unary("-", IntLit(v)) => -v
+    case o => throw new TypeError(s"'new' values must be literals, got $o")
+  }
+
+  private def litValue(e: Expr): Any = e match {
+    case IntLit(v) => v
+    case FloatLit(v) => v
+    case StrLit(v) => v
+    case BoolLit(v) => v
+    case o => throw new TypeError(s"expected literal, got $o")
+  }
+
+  // ---- static type inference over the table schema ------------------------
+  /** Best-effort operand typing so `and`/`or` get the reference's
+    * value semantics and string `+`/`*` dispatch correctly on COLUMNS,
+    * not just literals (reference compiler.py:313-339 requires both
+    * operands of one kernel type).
+    */
+  private def inferType(e: Expr, schema: Option[StructType]): Option[DataType] =
+    e match {
+      case IntLit(_) => Some(LongType)
+      case FloatLit(_) => Some(DoubleType)
+      case StrLit(_) => Some(StringType)
+      case BoolLit(_) => Some(BooleanType)
+      case NullLit => None
+      case Ident(n) => schema.flatMap(_.find(_.name == n).map(_.dataType))
+      case a: Attr =>
+        schema.flatMap(s => resolvePath(s, attrRoot(a) +: attrFields(a)))
+      case Unary("-", x) => inferType(x, schema)
+      case Unary("not", _) => Some(BooleanType)
+      case BinOp(op, l, r) => op match {
+        case "==" | "!=" | "<>" | "<" | "<=" | ">" | ">=" | "~" | "in" |
+             "!in" => Some(BooleanType)
+        case "and" | "or" =>
+          inferType(l, schema).orElse(inferType(r, schema))
+        case "/" | "**" => Some(DoubleType)
+        case "/~" => Some(LongType)
+        case "+" | "-" | "*" | "%" =>
+          (inferType(l, schema), inferType(r, schema)) match {
+            case (Some(StringType), _) => Some(StringType)
+            case (_, Some(StringType)) if op == "+" => Some(StringType)
+            case (Some(DoubleType), _) | (_, Some(DoubleType)) =>
+              Some(DoubleType)
+            case (Some(a), _) => Some(a)
+            case (_, b) => b
+          }
+        case _ => None
+      }
+      case Call(fn, args) => fn match {
+        case "upper" | "lower" | "string" | "char" | "repeat" =>
+          Some(StringType)
+        case "length" | "int" | "char_ord" | "str_index" | "year" |
+             "month" | "day" | "hour" | "minute" | "day_of_week" |
+             "week_of_year" | "count" | "count_distinct" | "count_true" |
+             "count_false" => Some(LongType)
+        case "float" | "mean" | "avg" | "stddev" | "median" | "pi" |
+             "random" | "product" | "approx_product" => Some(DoubleType)
+        case "bool" | "str_contains" => Some(BooleanType)
+        case "iif" if args.length == 3 =>
+          inferType(args(1).value, schema)
+            .orElse(inferType(args(2).value, schema))
+        case "sum" | "min" | "max" | "first" | "round" if args.nonEmpty =>
+          inferType(args.head.value, schema)
+        case _ => None
+      }
+      case OneE(x, _) => inferType(x, schema)
+      case _ => None
+    }
+
+  private def attrRoot(e: Expr): String = e match {
+    case Ident(n) => n
+    case Attr(o, _) => attrRoot(o)
+    case o => throw new TypeError(s"bad attribute path: $o")
+  }
+  private def attrFields(e: Expr): Seq[String] = e match {
+    case Ident(_) => Seq.empty
+    case Attr(o, n) => attrFields(o) :+ n
+    case o => throw new TypeError(s"bad attribute path: $o")
+  }
+  private def resolvePath(st: StructType, path: Seq[String]): Option[DataType] =
+    path.foldLeft(Option(st: DataType)) {
+      case (Some(s: StructType), n) => s.find(_.name == n).map(_.dataType)
+      case _ => None
+    }
+
+  /** Kernel type for the reference's same-type check on and/or
+    * (compiler.py:313-317): numeric types collapse together.
+    */
+  private def kernel(dt: DataType): String = dt match {
+    case BooleanType => "bool"
+    case StringType => "string"
+    case _: NumericType => "number"
+    case o => o.typeName
+  }
 
   // ---- column evaluation --------------------------------------------------
-  def evalCol(e: Expr, agg: Boolean = false): Column = e match {
+  def evalCol(e: Expr, schema: Option[StructType],
+              agg: Boolean = false): Column = e match {
     case IntLit(v) => lit(v)
     case FloatLit(v) => lit(v)
     case StrLit(v) => lit(v)
@@ -297,10 +716,16 @@ object Interp {
     case NullLit => lit(null)
     case Ident(n) => col(n)
     case Attr(o, n) => col(attrPath(Attr(o, n)))
-    case Unary("-", x) => -evalCol(x, agg)
-    case Unary("not", x) => !evalCol(x, agg)
-    case BinOp(op, l, r) => binop(op, l, r, agg)
-    case Call(fn, args) => colCall(fn, args, agg)
+    case Unary("-", x) => -evalCol(x, schema, agg)
+    case Unary("not", x) =>
+      // value-semantics not: truthiness by operand type
+      inferType(x, schema) match {
+        case Some(dt) if kernel(dt) != "bool" =>
+          PF.vNot(evalCol(x, schema, agg), dt)
+        case _ => !evalCol(x, schema, agg)
+      }
+    case BinOp(op, l, r) => binop(op, l, r, schema, agg)
+    case Call(fn, args) => colCall(fn, args, schema, agg)
     case o => throw new TypeError(s"not a column expression: $o")
   }
 
@@ -310,9 +735,12 @@ object Interp {
     case o => throw new TypeError(s"bad attribute path: $o")
   }
 
-  private def binop(op: String, le: Expr, re: Expr, agg: Boolean): Column = {
-    lazy val l = evalCol(le, agg)
-    lazy val r = evalCol(re, agg)
+  private def binop(op: String, le: Expr, re: Expr,
+                    schema: Option[StructType], agg: Boolean): Column = {
+    lazy val l = evalCol(le, schema, agg)
+    lazy val r = evalCol(re, schema, agg)
+    lazy val lt = inferType(le, schema)
+    lazy val rt = inferType(re, schema)
     op match {
       case "==" => PF.eq(l, r)
       case "!=" | "<>" => PF.neq(l, r)
@@ -321,19 +749,45 @@ object Interp {
       case ">" => l > r
       case ">=" => l >= r
       case "~" => l.like(litString(re))
-      case "and" => l && r
-      case "or" => l || r
-      case "+" => (le, re) match {
-        // string + is concatenation (reference compile_binops.py:201)
-        case (StrLit(_), _) | (_, StrLit(_)) => F.concat(l, r)
-        case _ => l + r
-      }
+      // Reference and/or return an OPERAND, not a bool
+      // (compiler.py:313-339): `a or b` = CASE WHEN bool(a) THEN a
+      // ELSE b. Both sides must share a kernel type; pure-bool
+      // operands keep the flat &&/|| form (same result, simpler plan).
+      case "and" | "or" =>
+        (lt, rt) match {
+          case (Some(a), Some(b)) if kernel(a) != kernel(b) =>
+            throw new TypeError(
+              s"'$op' operator requires both arguments to be of the " +
+                s"same type, got ($a, $b)")
+          case _ => ()
+        }
+        val ty = lt.orElse(rt)
+        ty match {
+          case Some(dt) if kernel(dt) != "bool" =>
+            if (op == "and") PF.vAnd(l, r, dt) else PF.vOr(l, r, dt)
+          case _ => if (op == "and") l && r else l || r
+        }
+      case "+" =>
+        (lt, rt) match {
+          // string + is concatenation (reference compile_binops.py:201)
+          case (Some(StringType), Some(StringType)) => F.concat(l, r)
+          case (Some(StringType), Some(other)) =>
+            throw new TypeError(s"cannot add string and $other")
+          case (Some(other), Some(StringType)) =>
+            throw new TypeError(s"cannot add $other and string")
+          case _ => (le, re) match {
+            case (StrLit(_), _) | (_, StrLit(_)) => F.concat(l, r)
+            case _ => l + r
+          }
+        }
       case "-" => l - r
-      case "*" => (le, re) match {
-        // string * n is repetition
-        case (StrLit(_), _) => PF.strRepeat(l, r)
-        case _ => l * r
-      }
+      case "*" =>
+        (le, lt) match {
+          // string * n is repetition
+          case (StrLit(_), _) => PF.strRepeat(l, r)
+          case (_, Some(StringType)) => PF.strRepeat(l, r)
+          case _ => l * r
+        }
       case "/" => PF.div(l, r)
       case "/~" => PF.floorDiv(l, r)
       case "%" => l % r
@@ -359,26 +813,9 @@ object Interp {
     case o => throw new TypeError(s"expected string literal, got $o")
   }
 
-  private def litAny(e: Expr): Any = e match {
-    case IntLit(v) => v
-    case FloatLit(v) => v
-    case StrLit(v) => v
-    case BoolLit(v) => v
-    case NullLit => null
-    case Unary("-", IntLit(v)) => -v
-    case o => throw new TypeError(s"'new' values must be literals, got $o")
-  }
-
-  private def litValue(e: Expr): Any = e match {
-    case IntLit(v) => v
-    case FloatLit(v) => v
-    case StrLit(v) => v
-    case BoolLit(v) => v
-    case o => throw new TypeError(s"expected literal, got $o")
-  }
-
-  private def colCall(fn: String, args: Seq[Arg], agg: Boolean): Column = {
-    def a(i: Int): Column = evalCol(args(i).value, agg)
+  private def colCall(fn: String, args: Seq[Arg],
+                      schema: Option[StructType], agg: Boolean): Column = {
+    def a(i: Int): Column = evalCol(args(i).value, schema, agg)
     def arity(n: Int): Unit =
       if (args.length != n)
         throw new TypeError(s"$fn expects $n argument(s), got ${args.length}")
@@ -404,7 +841,7 @@ object Interp {
       case "length" => arity(1); F.length(a(0))
       case "round" =>
         if (args.length == 1) F.round(a(0), 0)
-        else { arity(2); F.round(a(0), constInt(args(1).value).toInt) }
+        else { arity(2); F.round(a(0), constLong(args(1).value).toInt) }
       case "repeat" => arity(2); PF.strRepeat(a(0), a(1))
       case "char" => arity(1); PF.charOf(a(0))
       case "char_ord" => arity(1); PF.charOrd(a(0))
@@ -426,7 +863,10 @@ object Interp {
       // casts (type-as-function, reference evaluate.py:560-563)
       case "int" => arity(1); args.head.value match {
         case StrLit(_) => PF.strictToInt(a(0))
-        case _ => a(0).cast(LongType)
+        case _ => inferType(args.head.value, schema) match {
+          case Some(StringType) => PF.strictToInt(a(0))
+          case _ => a(0).cast(LongType)
+        }
       }
       case "float" => arity(1); a(0).cast(DoubleType)
       case "string" => arity(1); a(0).cast(StringType)

@@ -23,9 +23,15 @@ object Ast {
   case class Call(fn: String, args: Seq[Arg]) extends Expr
   case class Arg(name: Option[String], value: Expr)
   case class ListLit(items: Seq[Expr]) extends Expr
-  /** `{..., x}` / `{... !a !b}` — include remaining columns. */
-  case class EllipsisE(excludes: Seq[String]) extends Expr
+  /** `{..., x}` / `{... !a !b}` — include remaining columns;
+    * `{...s}` — inline the fields of struct column `s`
+    * (reference compiler.py:80-128 `_expand_ellipsis`).
+    */
+  case class EllipsisE(excludes: Seq[String],
+                       from: Option[String] = None) extends Expr
   case class RangeLit(from: Option[Expr], until: Option[Expr]) extends Expr
+  /** `one expr` / `one? expr` (reference evaluate.py:679-709). */
+  case class OneE(e: Expr, opt: Boolean) extends Expr
 
   // table operators (postfix)
   case class Selection(t: Expr, conds: Seq[Expr]) extends Expr
@@ -42,10 +48,50 @@ object Ast {
 
   sealed trait Stmt
   case class Assign(name: String, value: Expr) extends Stmt
-  /** `func f(a, b) = expr` — inlined at call sites like the reference
-    * (reference evaluate.py:551-648 compile-and-inline).
+  /** `func f(a, b=dflt) = expr` (or a codeblock body translated to an
+    * expression at parse time) — inlined at call sites like the
+    * reference (reference evaluate.py:551-648 compile-and-inline;
+    * param defaults/matching pql_objects.py:110-212).
     */
-  case class FuncDef(name: String, params: Seq[String], body: Expr) extends Stmt
+  case class Param(name: String, default: Option[Expr])
+  case class FuncDef(name: String, params: Seq[Param], body: Expr) extends Stmt
+  /** Driver-side control flow (reference evaluate.py:338-356). */
+  case class IfStmt(cond: Expr, thenB: Seq[Stmt],
+                    elseB: Option[Seq[Stmt]]) extends Stmt
+  case class WhileStmt(cond: Expr, body: Seq[Stmt]) extends Stmt
+  case class ForStmt(v: String, iterable: Expr, body: Seq[Stmt]) extends Stmt
+  case class PrintStmt(e: Expr) extends Stmt
+  /** Only valid inside func codeblocks (translated away at parse time). */
+  case class ReturnStmt(e: Expr) extends Stmt
+
+  /** Bottom-up AST rewrite with a partial function applied post-order. */
+  def rewrite(e: Expr)(pf: PartialFunction[Expr, Expr]): Expr = {
+    val mapped = e match {
+      case BinOp(op, l, r) => BinOp(op, rewrite(l)(pf), rewrite(r)(pf))
+      case Unary(op, x) => Unary(op, rewrite(x)(pf))
+      case Attr(o, n) => Attr(rewrite(o)(pf), n)
+      case Call(fn, args) =>
+        Call(fn, args.map(a => Arg(a.name, rewrite(a.value)(pf))))
+      case ListLit(items) => ListLit(items.map(rewrite(_)(pf)))
+      case OneE(x, opt) => OneE(rewrite(x)(pf), opt)
+      case Selection(t, cs) => Selection(rewrite(t)(pf), cs.map(rewrite(_)(pf)))
+      case Slice(t, f, u) =>
+        Slice(rewrite(t)(pf), f.map(rewrite(_)(pf)), u.map(rewrite(_)(pf)))
+      case Projection(t, fs, g, as) =>
+        Projection(rewrite(t)(pf),
+          fs.map(f => Field(f.name, rewrite(f.value)(pf))), g,
+          as.map(f => Field(f.name, rewrite(f.value)(pf))))
+      case Order(t, ks) =>
+        Order(rewrite(t)(pf), ks.map { case (k, asc) => (rewrite(k)(pf), asc) })
+      case Update(t, fs) =>
+        Update(rewrite(t)(pf), fs.map(f => Field(f.name, rewrite(f.value)(pf))))
+      case Delete(t, cs) => Delete(rewrite(t)(pf), cs.map(rewrite(_)(pf)))
+      case RangeLit(f, u) =>
+        RangeLit(f.map(rewrite(_)(pf)), u.map(rewrite(_)(pf)))
+      case leaf => leaf
+    }
+    if (pf.isDefinedAt(mapped)) pf(mapped) else mapped
+  }
   /** `table += expr` — INSERT..SELECT (reference evaluate.py:278-287). */
   case class InsertRows(table: String, value: Expr) extends Stmt
   /** `new Table(col: value, ...)` — single-row insert
@@ -69,7 +115,7 @@ object Lexer {
 
   private val multiOps = Seq("...", "=>", "..", "==", "!=", "<>", "<=", ">=",
     "/~", "**", "!in", "+=")
-  private val singleOps = "{}[](),:.+-*/%<>=^~&|!"
+  private val singleOps = "{}[](),:.+-*/%<>=^~&|!?"
 
   def lex(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -127,12 +173,26 @@ object Lexer {
   }
 }
 
-final class Parser(toks: Vector[Lexer.Tok]) {
+final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
   import Ast._
   import Lexer._
 
   private var p = 0
   private def cur: Tok = toks(p)
+
+  // Newline sensitivity (the reference grammar is _NL-aware): postfix
+  // `[`/`{` and call `(` only attach when they start on the SAME line
+  // as the expression so far — otherwise `func f(i) = expr` on one line
+  // followed by `[1..100]{...}` on the next would swallow the next
+  // statement as a slice+projection.
+  private val nlOffsets: Array[Int] =
+    src.zipWithIndex.collect { case ('\n', i) => i }.toArray
+  private def lineOf(pos: Int): Int = {
+    val i = java.util.Arrays.binarySearch(nlOffsets, pos)
+    if (i >= 0) i else -(i + 1)
+  }
+  private def sameLineAsPrev: Boolean =
+    p == 0 || lineOf(toks(p - 1).pos) == lineOf(cur.pos)
   private def advance(): Tok = { val t = cur; p += 1; t }
   private def isOp(v: String): Boolean = cur match {
     case TOp(o, _) => o == v; case _ => false
@@ -143,74 +203,156 @@ final class Parser(toks: Vector[Lexer.Tok]) {
   private def expectOp(v: String): Unit =
     if (isOp(v)) p += 1 else throw ParseError(s"expected '$v'", cur.pos)
 
-  // ---- program: assignments then a final expression ----------------------
+  // ---- statements ---------------------------------------------------------
+  // lookahead: IDENT '=' (not '==')
+  private def atAssign: Boolean = (cur, toks.lift(p + 1)) match {
+    case (TIdent(_, _), Some(TOp("=", _))) =>
+      toks.lift(p + 2) match {
+        case Some(TOp("=", _)) => false // '=='
+        case _ => true
+      }
+    case _ => false
+  }
+  private def atInsert: Boolean = (cur, toks.lift(p + 1)) match {
+    case (TIdent(_, _), Some(TOp("+=", _))) => true
+    case _ => false
+  }
+  private def atStmt: Boolean =
+    atAssign || atInsert || isIdent("new") || isIdent("func") ||
+      isIdent("if") || isIdent("while") || isIdent("for") ||
+      isIdent("print") || isIdent("return")
+
+  /** `{ stmt* }` codeblock (reference preql.lark:62). */
+  private def parseBlock(): Seq[Stmt] = {
+    expectOp("{")
+    val stmts = Seq.newBuilder[Stmt]
+    while (!isOp("}")) stmts += parseStmt()
+    expectOp("}")
+    stmts.result()
+  }
+
+  private def parseStmt(): Stmt = {
+    if (isIdent("new")) {
+      advance()
+      val name = advance() match {
+        case TIdent(v, _) => v
+        case t => throw ParseError("expected table name after 'new'", t.pos)
+      }
+      expectOp("(")
+      val args = Seq.newBuilder[Arg]
+      var firstA = true
+      while (!isOp(")")) {
+        if (!firstA) expectOp(",")
+        firstA = false
+        (cur, toks.lift(p + 1)) match {
+          case (TIdent(n2, _), Some(TOp(":", _))) =>
+            advance(); advance()
+            args += Arg(Some(n2), parseExpr())
+          case _ => args += Arg(None, parseExpr())
+        }
+      }
+      expectOp(")")
+      NewRow(name, args.result())
+    } else if (atInsert) {
+      val name = advance().asInstanceOf[TIdent].v
+      expectOp("+=")
+      InsertRows(name, parseExpr())
+    } else if (isIdent("func")) {
+      advance()
+      val name = advance() match {
+        case TIdent(v, _) => v
+        case t => throw ParseError("expected function name", t.pos)
+      }
+      expectOp("(")
+      val params = Seq.newBuilder[Param]
+      var firstP = true
+      while (!isOp(")")) {
+        if (!firstP) expectOp(",")
+        firstP = false
+        val pname = advance() match {
+          case TIdent(v, _) => v
+          case t => throw ParseError("expected parameter name", t.pos)
+        }
+        val default =
+          if (isOp("=")) { advance(); Some(parseExpr()) } else None
+        params += Param(pname, default)
+      }
+      expectOp(")")
+      // body: `= expr` or a codeblock of assign/if/return statements,
+      // translated to a pure expression so the func stays inlineable
+      // inside projections (reference func_def_short vs codeblock,
+      // preql.lark:52-53)
+      val body =
+        if (isOp("=")) { advance(); parseExpr() }
+        else blockToExpr(parseBlock())
+      FuncDef(name, params.result(), body)
+    } else if (isIdent("if")) {
+      advance(); expectOp("(")
+      val cond = parseExpr()
+      expectOp(")")
+      val thenB = parseBlock()
+      val elseB =
+        if (isIdent("else")) {
+          advance()
+          if (isIdent("if")) Some(Seq(parseStmt())) // else-if chain
+          else Some(parseBlock())
+        } else None
+      IfStmt(cond, thenB, elseB)
+    } else if (isIdent("while")) {
+      advance(); expectOp("(")
+      val cond = parseExpr()
+      expectOp(")")
+      WhileStmt(cond, parseBlock())
+    } else if (isIdent("for")) {
+      advance(); expectOp("(")
+      val v = advance() match {
+        case TIdent(n, _) => n
+        case t => throw ParseError("expected loop variable", t.pos)
+      }
+      if (!isIdent("in")) throw ParseError("expected 'in'", cur.pos)
+      advance()
+      val iter = parseExpr()
+      expectOp(")")
+      ForStmt(v, iter, parseBlock())
+    } else if (isIdent("print")) {
+      advance(); PrintStmt(parseExpr())
+    } else if (isIdent("return")) {
+      advance(); ReturnStmt(parseExpr())
+    } else if (atAssign) {
+      val name = advance().asInstanceOf[TIdent].v
+      expectOp("=")
+      Assign(name, parseExpr())
+    } else throw ParseError("expected statement", cur.pos)
+  }
+
+  /** Translate a func codeblock to a single expression: `return e` ends
+    * a path, `if/else` becomes `iif`, local `x = v` assignments are
+    * substituted forward. This keeps codeblock funcs vectorizable —
+    * `func fizz(i) { if (i%3==0) { return "Fizz" } else { return "" } }`
+    * inlines into a projection as a CASE expression.
+    */
+  private def blockToExpr(stmts: Seq[Stmt]): Expr = stmts match {
+    case Seq(ReturnStmt(e)) => e
+    case Seq(IfStmt(c, t, Some(e))) =>
+      Call("iif", Seq(Arg(None, c), Arg(None, blockToExpr(t)),
+        Arg(None, blockToExpr(e))))
+    case (h: IfStmt) +: rest if rest.nonEmpty && h.elseB.isEmpty =>
+      Call("iif", Seq(Arg(None, h.cond), Arg(None, blockToExpr(h.thenB)),
+        Arg(None, blockToExpr(rest))))
+    case Assign(n, v) +: rest if rest.nonEmpty =>
+      rewrite(blockToExpr(rest)) { case Ident(`n`) => v }
+    case other => throw ParseError(
+      s"func codeblock must reduce to an expression " +
+        s"(assignments, if/else, return), got: $other", 0)
+  }
+
+  // ---- program: statements then a final expression ------------------------
   def parseProgram(): Program = {
     val stmts = Seq.newBuilder[Stmt]
     var result: Option[Expr] = None
     while (!cur.isInstanceOf[TEof]) {
-      // lookahead: IDENT '=' (not '==')
-      val isAssign = (cur, toks.lift(p + 1)) match {
-        case (TIdent(_, _), Some(TOp("=", _))) =>
-          toks.lift(p + 2) match {
-            case Some(TOp("=", _)) => false // '=='
-            case _ => true
-          }
-        case _ => false
-      }
-      val isInsert = (cur, toks.lift(p + 1)) match {
-        case (TIdent(_, _), Some(TOp("+=", _))) => true
-        case _ => false
-      }
-      if (isIdent("new")) {
-        advance()
-        val name = advance() match {
-          case TIdent(v, _) => v
-          case t => throw ParseError("expected table name after 'new'", t.pos)
-        }
-        expectOp("(")
-        val args = Seq.newBuilder[Arg]
-        var firstA = true
-        while (!isOp(")")) {
-          if (!firstA) expectOp(",")
-          firstA = false
-          (cur, toks.lift(p + 1)) match {
-            case (TIdent(n2, _), Some(TOp(":", _))) =>
-              advance(); advance()
-              args += Arg(Some(n2), parseExpr())
-            case _ => args += Arg(None, parseExpr())
-          }
-        }
-        expectOp(")")
-        stmts += NewRow(name, args.result())
-      } else if (isInsert) {
-        val name = advance().asInstanceOf[TIdent].v
-        expectOp("+=")
-        stmts += InsertRows(name, parseExpr())
-      } else if (isIdent("func")) {
-        advance()
-        val name = advance() match {
-          case TIdent(v, _) => v
-          case t => throw ParseError("expected function name", t.pos)
-        }
-        expectOp("(")
-        val params = Seq.newBuilder[String]
-        var firstP = true
-        while (!isOp(")")) {
-          if (!firstP) expectOp(",")
-          firstP = false
-          params += (advance() match {
-            case TIdent(v, _) => v
-            case t => throw ParseError("expected parameter name", t.pos)
-          })
-        }
-        expectOp(")")
-        expectOp("=")
-        stmts += FuncDef(name, params.result(), parseExpr())
-      } else if (isAssign) {
-        val name = advance().asInstanceOf[TIdent].v
-        expectOp("=")
-        stmts += Assign(name, parseExpr())
-      } else {
+      if (atStmt) stmts += parseStmt()
+      else {
         result = Some(parseExpr())
         if (!cur.isInstanceOf[TEof])
           throw ParseError("trailing input after final expression", cur.pos)
@@ -290,7 +432,23 @@ final class Parser(toks: Vector[Lexer.Tok]) {
   private def parseUnary(): Expr =
     if (isOp("-")) { advance(); Unary("-", parseUnary()) }
     else if (isOp("+")) { advance(); parseUnary() }
-    else parsePostfix()
+    else if (isIdent("one") && oneOperandFollows) {
+      advance()
+      val opt = isOp("?")
+      if (opt) advance()
+      OneE(parseUnary(), opt)
+    } else parsePostfix()
+
+  /** `one` is only the prefix operator when an operand follows —
+    * `{one}` / `{x: one}` keep treating it as a plain identifier.
+    */
+  private def oneOperandFollows: Boolean = toks.lift(p + 1) match {
+    case Some(TOp("?", _)) => true
+    case Some(_: TIdent) | Some(_: TInt) | Some(_: TFloat) |
+         Some(_: TStr) => true
+    case Some(TOp("[", _)) | Some(TOp("(", _)) => true
+    case _ => false
+  }
 
   // ---- molecule with postfix table operators ------------------------------
   private def parsePostfix(): Expr = {
@@ -304,9 +462,9 @@ final class Parser(toks: Vector[Lexer.Tok]) {
           case t => throw ParseError("expected attribute name", t.pos)
         }
         e = Attr(e, name)
-      } else if (isOp("[")) {
+      } else if (isOp("[") && sameLineAsPrev) {
         e = parseBracketPostfix(e)
-      } else if (isOp("{")) {
+      } else if (isOp("{") && sameLineAsPrev) {
         e = parseProjection(e)
       } else if (isIdent("order")) {
         advance(); expectOp("{")
@@ -375,6 +533,12 @@ final class Parser(toks: Vector[Lexer.Tok]) {
       // named field: IDENT ':' expr ; ellipsis: '...' ('!' IDENT)*
       if (isOp("...")) {
         advance()
+        // `{...s}` inlines struct column s (reference _expand_ellipsis
+        // from_struct); bare `...` expands the remaining columns
+        val from = cur match {
+          case TIdent(v, _) => advance(); Some(v)
+          case _ => None
+        }
         val ex = Seq.newBuilder[String]
         while (isOp("!")) {
           advance()
@@ -383,7 +547,7 @@ final class Parser(toks: Vector[Lexer.Tok]) {
             case t => throw ParseError("expected column name after '!'", t.pos)
           })
         }
-        fields += Field(None, EllipsisE(ex.result()))
+        fields += Field(None, EllipsisE(ex.result(), from))
       } else (cur, toks.lift(p + 1)) match {
         case (TIdent(name, _), Some(TOp(":", _))) =>
           advance(); advance()
@@ -424,7 +588,7 @@ final class Parser(toks: Vector[Lexer.Tok]) {
     case TIdent("false", _) => BoolLit(false)
     case TIdent("null", _) => NullLit
     case TIdent(name, _) =>
-      if (isOp("(")) {
+      if (isOp("(") && sameLineAsPrev) {
         advance()
         val args = Seq.newBuilder[Arg]
         var first = true
@@ -473,7 +637,7 @@ final class Parser(toks: Vector[Lexer.Tok]) {
 
 object Parser {
   def parse(src: String): Ast.Program =
-    new Parser(Lexer.lex(src)).parseProgram()
+    new Parser(Lexer.lex(src), src).parseProgram()
   def parseExpr(src: String): Ast.Expr =
-    new Parser(Lexer.lex(src)).parseSingle()
+    new Parser(Lexer.lex(src), src).parseSingle()
 }

@@ -156,4 +156,158 @@ class LangSpec extends SparkSpec {
       Interp.run(spark, "nosuch{x}")
     }
   }
+
+  // ---- control flow (reference evaluate.py:338-356) -----------------------
+  test("while loop with scalar vars builds a table incrementally") {
+    val out = Interp.run(spark,
+      """t = [0]
+        |i = 1
+        |while (i < 5) {
+        |  t += [1..2]{item: item * i}
+        |  i = i + 1
+        |}
+        |t{=> total: sum(item), n: count()}""".stripMargin)
+    val row = out.df.head()
+    assert(row.getLong(1) == 5) // [0] + 4 appended single-row tables
+    assert(row.getLong(0) == 0 + 1 + 2 + 3 + 4)
+  }
+
+  test("if/else statements steer plan building") {
+    val src =
+      """threshold = 10
+        |if (threshold > 100) { picked = nation[n_nationkey < 3] }
+        |else { picked = nation[n_nationkey >= 20] }
+        |picked{n_nationkey}""".stripMargin
+    val out = Interp.run(spark, src, "nation" -> nation)
+    assert(out.df.count() == 5)
+  }
+
+  test("for loop over a range accumulates rows") {
+    val out = Interp.run(spark,
+      """t = [0]
+        |for (k in [1..4]) { t += [k] }
+        |t order {item}""".stripMargin)
+    assert(out.df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("for loop over a single-column table localizes values") {
+    val out = Interp.run(spark,
+      """t = [99]
+        |for (k in [1..3]{item}) { t += [k * 10] }
+        |t order {item}""".stripMargin)
+    assert(out.df.collect().map(_.getLong(0)).toSeq == Seq(10L, 20L, 99L))
+  }
+
+  // ---- func parity (reference pql_objects.py:110-212) ---------------------
+  test("func defaults and named arguments") {
+    val out = Interp.run(spark,
+      """func scaled(x, factor = 10) = x * factor
+        |nation{a: scaled(n_nationkey), b: scaled(n_nationkey, 2),
+        |  c: scaled(factor: 3, x: n_nationkey)}""".stripMargin,
+      "nation" -> nation)
+    val r = out.df.filter(col("a") === 50).head()
+    assert(r.getLong(1) == 10 && r.getLong(2) == 15)
+  }
+
+  test("func argument errors match reference semantics") {
+    intercept[graft.types.TypeError] { // missing required param
+      Interp.run(spark, "func f(x, y) = x + y\nnation{a: f(n_nationkey)}",
+        "nation" -> nation)
+    }
+    intercept[graft.types.TypeError] { // unknown named param
+      Interp.run(spark, "func f(x) = x\nnation{a: f(z: 1)}",
+        "nation" -> nation)
+    }
+    intercept[graft.types.TypeError] { // both positional and named
+      Interp.run(spark, "func f(x) = x\nnation{a: f(1, x: 2)}",
+        "nation" -> nation)
+    }
+  }
+
+  test("func codeblock bodies translate to expressions (fizzbuzz)") {
+    val out = Interp.run(spark,
+      """func fizz(i) {
+        |  if (i % 3 == 0) { return "Fizz" } else { return "" }
+        |}
+        |func buzz(i) {
+        |  if (i % 5 == 0) { return "Buzz" } else { return "" }
+        |}
+        |func fizzbuzz(i) = (fizz(i) + buzz(i)) or string(i)
+        |[1..16]{fb: fizzbuzz(item)}""".stripMargin)
+    val fb = out.df.collect().map(_.getString(0)).toSeq
+    assert(fb == Seq("1", "2", "Fizz", "4", "Buzz", "Fizz", "7", "8",
+      "Fizz", "Buzz", "11", "Fizz", "13", "14", "FizzBuzz"))
+  }
+
+  // ---- value-semantics and/or (reference compiler.py:313-339) -------------
+  test("and/or return operands, not booleans") {
+    val out = Interp.run(spark,
+      """nation{n_nationkey,
+        |  k: n_nationkey and 99,
+        |  d: (n_nationkey % 2) or -1}""".stripMargin,
+      "nation" -> nation)
+    val r0 = out.df.filter(col("n_nationkey") === 0).head()
+    assert(r0.getLong(1) == 0)   // 0 and 99 -> 0 (falsy left)
+    assert(r0.getLong(2) == -1)  // 0 or -1 -> -1
+    val r3 = out.df.filter(col("n_nationkey") === 3).head()
+    assert(r3.getLong(1) == 99)  // truthy left -> right
+    assert(r3.getLong(2) == 1)
+  }
+
+  test("or on strings: empty string is falsy") {
+    val out = Interp.run(spark,
+      """nation{v: (n_name and "") or "fallback"}""", "nation" -> nation)
+    assert(out.df.collect().forall(_.getString(0) == "fallback"))
+  }
+
+  test("and/or with mismatched kernel types raises TypeError") {
+    intercept[graft.types.TypeError] {
+      Interp.run(spark, "nation{v: n_name or 5}", "nation" -> nation)
+    }
+  }
+
+  test("string + on string COLUMNS concatenates (not numeric plus)") {
+    val out = Interp.run(spark,
+      "nation{v: n_name + n_name}", "nation" -> nation)
+    val r = out.df.filter(col("v").startsWith("NATION_7")).head()
+    assert(r.getString(0) == "NATION_7NATION_7")
+    intercept[graft.types.TypeError] {
+      Interp.run(spark, "nation{v: n_name + n_nationkey}", "nation" -> nation)
+    }
+  }
+
+  // ---- one / one? (reference evaluate.py:679-709) -------------------------
+  test("one returns the single row; errors on 0 or 2+") {
+    val out = Interp.run(spark,
+      "one nation[n_nationkey == 7]{n_name}", "nation" -> nation)
+    assert(out.df.count() == 1)
+    intercept[graft.types.ValueError] {
+      Interp.run(spark, "one nation", "nation" -> nation)
+    }
+    intercept[graft.types.ValueError] {
+      Interp.run(spark, "one nation[n_nationkey == 999]", "nation" -> nation)
+    }
+  }
+
+  test("one? tolerates empty; errors on 2+") {
+    val empty = Interp.run(spark,
+      "one? nation[n_nationkey == 999]", "nation" -> nation)
+    assert(empty.df.count() == 0)
+    intercept[graft.types.ValueError] {
+      Interp.run(spark, "one? nation", "nation" -> nation)
+    }
+  }
+
+  // ---- struct inlining {...s} (reference compiler.py:80-128) --------------
+  test("struct inline expansion with reference collision naming") {
+    val out = Interp.run(spark,
+      "joinall(a: [1], b: [2]) {...a, ...b}")
+    assert(out.columns == Seq("item", "item1"))
+    val r = out.df.head()
+    assert(r.getLong(0) == 1 && r.getLong(1) == 2)
+    val out2 = Interp.run(spark,
+      "join(a: [1..10], b: [8..20], on: a.item == b.item) {...a}")
+    assert(out2.columns == Seq("item"))
+    assert(out2.df.collect().map(_.getLong(0)).sorted.toSeq == Seq(8L, 9L))
+  }
 }
