@@ -647,14 +647,15 @@ object SparkEntry {
       ).orderBy("l_returnflag").df),
 
     // ---- window extensions: ntile / percent_rank -------------------------
-    "q59_ntile" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-      t(s, d, "customer").df
+    // Two-stage global rank (graft.ext.Ranks): range-repartition +
+    // local sort + offset indexes — no single-partition Window.orderBy.
+    "q59_ntile" -> ((s, d) =>
+      graft.ext.Ranks.ntilePercent(
+        t(s, d, "customer").df.select("c_custkey", "c_acctbal"), 4,
+        Seq(col("c_acctbal").asc, col("c_custkey").asc))
         .select(col("c_custkey"),
-          F.ntile(4).over(w).as("quartile"),
-          F.round(F.percent_rank().over(w), 8).as("pr"))
-    }),
+          col("_ntile").as("quartile"),
+          F.round(col("_percent_rank"), 8).as("pr"))),
 
     // ---- cube (multi-dimensional aggregation extension) ------------------
     "q60_cube" -> ((s, d) =>

@@ -26,9 +26,37 @@ final class Catalog(val spark: SparkSession) {
   private val tables = mutable.LinkedHashMap[String, PTable]()
   private var snapshots = List.empty[Map[String, PTable]]
 
+  /** Cached max-id per table: a `new` insert bumps it locally instead
+    * of re-scanning an ever-longer union chain (one probe on first
+    * insert, O(1) after — ids stay monotonic even across deletes, like
+    * a sequence).
+    */
+  private val idCounters = mutable.Map[String, Long]()
+  /** Mutations since last compaction per table; every
+    * `autoCompactEvery` mutations the plan is materialized so reads
+    * never replay an unbounded mutation history.
+    */
+  private val mutationCounts = mutable.Map[String, Int]()
+  var autoCompactEvery: Int = 32
+
+  private def nextId(name: String, t: PTable, idCol: String): Long = {
+    val next = idCounters.getOrElse(name, maxId(t, idCol)) + 1
+    idCounters(name) = next
+    next
+  }
+
+  private def touched(name: String): Unit = {
+    val n = mutationCounts.getOrElse(name, 0) + 1
+    if (n >= autoCompactEvery) {
+      materialize(name)
+      mutationCounts(name) = 0
+    } else mutationCounts(name) = n
+  }
+
   def register(name: String, t: PTable): PTable = {
     val named = t.withMeta(t.meta.copy(name = name))
     tables(name) = named
+    idCounters.remove(name) // unknown id domain for the new binding
     named
   }
 
@@ -46,8 +74,10 @@ final class Catalog(val spark: SparkSession) {
       else StructType(StructField("id", LongType, nullable = false) +: fields)
     val df = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
-    register(name, PTable(df,
+    val t = register(name, PTable(df,
       TableMeta(name, pk = if (bare) Nil else Seq("id"))))
+    idCounters(name) = 0L // fresh empty table: no probe needed ever
+    t
   }
 
   private def maxId(t: PTable, idCol: String): Long = {
@@ -68,13 +98,14 @@ final class Catalog(val spark: SparkSession) {
   def insertRow(name: String, values: Map[String, Any]): Row = {
     val t = get(name)
     val idCol = t.meta.pk.headOption.getOrElse("id")
-    val id = maxId(t, idCol) + 1
+    val id = nextId(name, t, idCol)
     val row = Row.fromSeq(t.schema.fields.map { f =>
       if (f.name == idCol) fitId(id, f.dataType)
       else values.getOrElse(f.name, null)
     }.toSeq)
     val newDf = spark.createDataFrame(java.util.Arrays.asList(row), t.schema)
     tables(name) = PTable(t.df.unionByName(newDf), t.meta)
+    touched(name)
     row
   }
 
@@ -87,7 +118,7 @@ final class Catalog(val spark: SparkSession) {
     val idCol = t.meta.pk.headOption.filter(t.columns.contains)
     val withId = idCol match {
       case Some(ic) if !rows.columns.contains(ic) =>
-        val base = maxId(t, ic)
+        val base = idCounters.getOrElse(name, maxId(t, ic))
         // Distributed id assignment: per-partition offsets (zipWithIndex),
         // not a single-partition window.
         val out = StructType(StructField(ic, LongType, nullable = false)
@@ -95,11 +126,17 @@ final class Catalog(val spark: SparkSession) {
         val rdd = rows.rdd.zipWithIndex.map { case (r, i) =>
           Row.fromSeq((base + 1 + i) +: r.toSeq)
         }
+        // advance the counter by the inserted count (an action over the
+        // small INSERTED relation only, never the base table)
+        idCounters(name) = base + rows.count()
         spark.createDataFrame(rdd, out)
-      case _ => rows
+      case _ =>
+        idCounters.remove(name) // caller-provided ids: reprobe next time
+        rows
     }
     val merged = PTable(t.df.unionByName(withId, allowMissingColumns = true), t.meta)
     tables(name) = merged
+    touched(name)
     merged
   }
 

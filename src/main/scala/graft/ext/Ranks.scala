@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.types._
+
+/** Exact global ranking without the single-partition window wall.
+  *
+  * `Window.orderBy(...)` with no partition key moves ALL rows into one
+  * task — the classic scale killer for global ntile/percent_rank. The
+  * two-stage shape used here:
+  *
+  *   1. `repartitionByRange` on the sort key → P ordered, disjoint
+  *      partitions (one shuffle, fully parallel).
+  *   2. sort within each partition (no cross-partition traffic).
+  *   3. global index via per-partition counts + offsets
+  *      (`zipWithIndex` computes exactly that with one lightweight
+  *      count job) — rank = offset + local position.
+  *
+  * The sort key must be a total order (add a unique tiebreaker) so
+  * ranks are well-defined and run-to-run deterministic regardless of
+  * where the range sampler places partition boundaries.
+  */
+object Ranks {
+
+  /** Appends `_grank` (1-based global rank by `sortCols`). */
+  def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
+                     partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint(true) // freeze: rank + count read the same data
+    val out = StructType(ranged.schema.fields :+
+      StructField("_grank", LongType, nullable = false))
+    val rdd = ranged.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1))
+    }
+    spark.createDataFrame(rdd, out)
+  }
+
+  /** Exact global ntile + percent_rank over a total-order sort key,
+    * matching SQL semantics (first n mod k buckets take the extra
+    * row; percent_rank = (rank-1)/(n-1)).
+    */
+  def ntilePercent(df: DataFrame, k: Int, sortCols: Seq[Column],
+                   partitions: Int = 0): DataFrame = {
+    val ranked = withGlobalRank(df, sortCols, partitions)
+    val n = ranked.count()
+    val small = n / k
+    val big = n % k
+    val rank = col("_grank")
+    val bucket =
+      if (small == 0) rank // fewer rows than buckets: one row each
+      else when(rank <= big * (small + 1),
+        (rank - 1) / (small + 1) + 1)
+        .otherwise(lit(big) + (rank - 1 - big * (small + 1)) / small + 1)
+    ranked
+      .withColumn("_ntile", bucket.cast(IntegerType))
+      .withColumn("_percent_rank",
+        if (n <= 1) lit(0.0)
+        else (rank - 1).cast(DoubleType) / lit((n - 1).toDouble))
+  }
+}

@@ -130,4 +130,42 @@ class JoinsCatalogSpec extends SparkSpec {
     cat.delete("r2", col("r_regionkey") === 0)
     assert(cat.get("r2").df.count() == region.df.count() - 1)
   }
+
+  test("catalog: insert loop is O(1) jobs per insert (cached max id)") {
+    val cat = new Catalog(spark)
+    cat.create("seq", Seq(StructField("name", StringType)))
+    cat.autoCompactEvery = 1000 // isolate the id-probe behavior
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      (1 to 25).foreach(i => cat.insertRow("seq", Map("name" -> s"n$i")))
+      Thread.sleep(300) // let listener events drain
+      // create() seeds the counter, so the whole loop runs ZERO Spark
+      // jobs — previously each insert re-scanned the union chain
+      assert(jobs == 0, s"insert loop ran $jobs Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val ids = cat.get("seq").df.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (1L to 25L))
+  }
+
+  test("catalog: auto-compaction keeps mutation chains shallow") {
+    val cat = new Catalog(spark)
+    cat.create("m", Seq(StructField("name", StringType)))
+    cat.autoCompactEvery = 8
+    (1 to 20).foreach(i => cat.insertRow("m", Map("name" -> s"n$i")))
+    // after 20 mutations with compaction every 8, the live plan holds
+    // at most autoCompactEvery unions above the last checkpoint
+    val planDepth = cat.get("m").df.queryExecution.logical.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.size
+    assert(planDepth <= 8, s"plan still has $planDepth unions")
+    assert(cat.get("m").df.count() == 20)
+    val ids = cat.get("m").df.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (1L to 20L))
+  }
 }

@@ -46,6 +46,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"no semi join:\n$p")
   }
 
+  test("global ntile avoids the single-partition window") {
+    val p = planOf("q59_ntile")
+    assert(!p.contains("Window"),
+      s"global rank must not use an unpartitioned Window:\n$p")
+  }
+
   test("IVF centroid assignment never shuffles the corpus") {
     val emb = graft.sources.Tables.load(spark, sf, "embeddings").df
     val (assigned, _) = graft.ext.Similarity.ivfAssign(emb, nCentroids = 8)
