@@ -663,6 +663,27 @@ object SparkEntry {
         .cube(F.year(col("o_orderdate")).as("y"), col("o_orderstatus"))
         .agg(F.count(lit(1)).as("n"))),
 
+    // ---- reflection: type()/isa()/repr() + env_vars() --------------------
+    "q63_reflection" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """customer{c_custkey, t_bal: type(c_acctbal), t_key: type(c_custkey),
+          |  r_name: repr(c_name), is_num: isa(c_acctbal, "number")}""".stripMargin,
+        "customer" -> t(s, d, "customer")).df),
+
+    "q64_env_vars" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """t = nation[n_regionkey == 0]
+          |x = 5
+          |env_vars()""".stripMargin,
+        "nation" -> t(s, d, "nation")).df),
+
+    // random sampling parity (reference sample_fast/sample_ratio_fast,
+    // __builtins__.pql:515-551) — inherently random, no SQL oracle:
+    // the driver records the weaker rows-only check
+    "q65_sample_fast" -> ((s, d) =>
+      graft.lang.Interp.run(s, "sample_fast(customer, 100) {c_custkey}",
+        "customer" -> t(s, d, "customer")).df),
+
     // ---- §2.6 first / first_or_null / is_empty as values -----------------
     "q56_first_scalars" -> ((s, d) => {
       val c = t(s, d, "customer").orderBy("c_custkey")
@@ -1239,6 +1260,13 @@ object SparkEntry {
            n_name AS nation_name
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          ORDER BY c_custkey LIMIT 100""",
+    "q63_reflection" ->
+      """SELECT c_custkey, 'float' AS t_bal, 'int' AS t_key,
+           '"' || c_name || '"' AS r_name, true AS is_num
+         FROM customer""",
+    "q64_env_vars" ->
+      """SELECT * FROM (VALUES ('nation', 'table'), ('t', 'table'),
+           ('x', 'int')) v(name, kind)""",
     "q61_json" ->
       """SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

@@ -166,6 +166,39 @@ final class PTable(val df: DataFrame, val meta: TableMeta) {
   def sampleByKey(key: Column, m: Int, keep: Int): PTable =
     sameMeta(df.filter(graft.functions.PF.keyedSample(key, m, keep)))
 
+  /** `sample_ratio_fast(t, ratio)` (reference __builtins__.pql:515-518:
+    * `tbl[random() < ratio]`): Bernoulli row sampling, evaluated
+    * scan-side per row — identical semantics, fully parallel. Pass a
+    * seed for reproducible tests; None = fresh randomness like the
+    * reference.
+    */
+  def sampleRatioFast(ratio: Double, seed: Option[Long] = None): PTable =
+    sameMeta(seed match {
+      case Some(s) => df.sample(withReplacement = false, ratio, s)
+      case None => df.sample(withReplacement = false, ratio)
+    })
+
+  /** `sample_fast(t, n, bias)` (reference __builtins__.pql:520-551):
+    * one ratio-sample pass of `(1+bias)*n/count` capped at n, topped up
+    * from the table head in the rare short case — at most two jobs,
+    * like the reference's "one query (or at worst two)".
+    */
+  def sampleFast(n: Int, bias: Double = 0.05,
+                 seed: Option[Long] = None): PTable = {
+    if (n <= 0) throw new graft.types.ValueError("n must be a number above 0")
+    if (bias < 0) throw new graft.types.ValueError("Cannot have a negative bias")
+    val c = df.count()
+    if (n > c) throw new graft.types.ValueError(
+      "Asking for a sample size larger than the table")
+    if (n == c) return this
+    val ratio = math.min(1.0, (1 + bias) * n / c)
+    val picked = sampleRatioFast(ratio, seed).df.limit(n)
+      .localCheckpoint(true) // counted then unioned — compute once
+    val got = picked.count()
+    if (got == n) sameMeta(picked)
+    else sameMeta(picked.unionAll(df.limit((n - got).toInt)))
+  }
+
   // ---- copy-on-write mutation (reference evaluate.py:712-806) ------------
   /** `t update {col: expr} [conds]`: rows matching conds get the new
     * column values; all rows are returned (copy-on-write — Spark

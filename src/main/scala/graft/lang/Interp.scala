@@ -312,6 +312,27 @@ object Interp {
           tt.project(NamedCol(tt.columns.head, col(tt.columns.head)))
         case "temptable" =>
           PTable(t(args.head.value).df.localCheckpoint(true))
+        case "sample_ratio_fast" =>
+          // reference __builtins__.pql:515-518: tbl[random() < ratio]
+          t(args.head.value).sampleRatioFast(constDouble(args(1).value))
+        case "sample_fast" =>
+          t(args.head.value).sampleFast(constLong(args(1).value).toInt,
+            args.lift(2).map(a => constDouble(a.value)).getOrElse(0.05))
+        case "page" =>
+          // reference __builtins__.pql:553-556
+          val size = args.lift(2).map(a => constLong(a.value))
+            .getOrElse(20L).toInt
+          val idx = constLong(args(1).value).toInt
+          t(args.head.value).slice(idx * size, idx * size + size)
+        case "env_vars" =>
+          // reference pql_functions.py:653-665: bindings + their kind
+          val rows = env.toSeq.map { case (n, v) =>
+            (n, v match {
+              case VT(_) => "table"
+              case VS(x) => scalarTypeName(x)
+            })
+          }.sortBy(_._1)
+          PTable(spark.createDataFrame(rows).toDF("name", "kind"))
         case "bfs" =>
           PTable(graft.rec.Graph.bfs(t(args.head.value).df, t(args(1).value).df))
         case "walk_tree" =>
@@ -429,6 +450,44 @@ object Interp {
     case Unary("-", IntLit(v)) => -v
     case o => throw new TypeError(s"expected integer literal, got $o")
   }
+
+  private def constDouble(e: Expr): Double = e match {
+    case IntLit(v) => v.toDouble
+    case FloatLit(v) => v
+    case Unary("-", x) => -constDouble(x)
+    case o => throw new TypeError(s"expected numeric literal, got $o")
+  }
+
+  /** Reference type names for reflection (`type`/`isa`/`env_vars`). */
+  private def refTypeName(dt: DataType): String = dt match {
+    case LongType | IntegerType | ShortType | ByteType => "int"
+    case DoubleType | FloatType | _: DecimalType => "float"
+    case StringType => "string"
+    case BooleanType => "bool"
+    case TimestampType | TimestampNTZType => "timestamp"
+    case DateType => "date"
+    case _: ArrayType => "list"
+    case _: StructType => "struct"
+    case o => o.typeName
+  }
+
+  private def scalarTypeName(v: Any): String = v match {
+    case null => "nulltype"
+    case _: Long | _: Int => "int"
+    case _: Double => "float"
+    case _: String => "string"
+    case _: Boolean => "bool"
+    case _ => "object"
+  }
+
+  /** `issubclass` edges of the reference's type tree that reflection
+    * exposes (pql_types.py: int/float <= number <= primitive).
+    */
+  private def isaMatches(tn: String, target: String): Boolean =
+    tn == target ||
+      (target == "number" && (tn == "int" || tn == "float")) ||
+      (target == "primitive" &&
+        Set("int", "float", "string", "bool").contains(tn))
 
   private def fieldName(f: Field): String = f.value match {
     case Ident(n) => n
@@ -871,6 +930,21 @@ object Interp {
       case "float" => arity(1); a(0).cast(DoubleType)
       case "string" => arity(1); a(0).cast(StringType)
       case "bool" => arity(1); PF.numToBool(a(0))
+      // reflection (reference pql_functions.py:246-278): type names as
+      // strings rather than first-class type objects
+      case "type" => arity(1)
+        lit(inferType(args.head.value, schema).map(refTypeName)
+          .getOrElse("unknown"))
+      case "isa" => arity(2)
+        val tn = inferType(args.head.value, schema).map(refTypeName)
+          .getOrElse("unknown")
+        lit(isaMatches(tn, litString(args(1).value)))
+      case "repr" => arity(1)
+        inferType(args.head.value, schema) match {
+          case Some(StringType) =>
+            F.concat(lit("\""), a(0), lit("\""))
+          case _ => a(0).cast(StringType)
+        }
       case other => throw new NameError(s"unknown function '$other'")
     }
   }

@@ -298,6 +298,51 @@ class LangSpec extends SparkSpec {
     }
   }
 
+  // ---- reflection + sampling ----------------------------------------------
+  test("reflection: type/isa/repr over schema-inferred types") {
+    val out = Interp.run(spark,
+      """nation{t1: type(n_name), t2: type(n_nationkey * 2),
+        |  ok: isa(n_nationkey, "number"), no: isa(n_name, "number"),
+        |  r: repr(n_name)}""".stripMargin, "nation" -> nation)
+    val r = out.df.head()
+    assert(r.getString(0) == "string" && r.getString(1) == "int")
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getString(4).startsWith("\"") && r.getString(4).endsWith("\""))
+  }
+
+  test("env_vars lists scalar and table bindings") {
+    val out = Interp.run(spark,
+      "x = 3.5\nenv_vars()", "nation" -> nation)
+    val kinds = out.df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kinds("nation") == "table" && kinds("x") == "float")
+  }
+
+  test("sample_fast returns exactly n rows; ratio sample approximates") {
+    val out = Interp.run(spark, "sample_fast(customer, 20)",
+      "customer" -> customer)
+    assert(out.df.count() == 20)
+    intercept[graft.types.ValueError] {
+      Interp.run(spark, "sample_fast(customer, 1000000)",
+        "customer" -> customer)
+    }
+    val ratio = customer.sampleRatioFast(0.5, seed = Some(7)).df.count()
+    val n = customer.df.count()
+    assert(ratio > n / 5 && ratio < n * 4 / 5) // loose Bernoulli bounds
+  }
+
+  // ---- typed signal tree (reference pql_types.py:295-323) -----------------
+  test("error signals catch by supertype") {
+    intercept[graft.types.EvalError] { // NameError <= EvalError
+      Interp.run(spark, "nosuch{x}")
+    }
+    intercept[graft.types.EvalError] { // ValueError <= EvalError
+      Interp.run(spark, "one nation", "nation" -> nation)
+    }
+    intercept[graft.types.GraftError] { // TypeError <= GraftError
+      Interp.run(spark, "nation{v: n_name + 5}", "nation" -> nation)
+    }
+  }
+
   // ---- struct inlining {...s} (reference compiler.py:80-128) --------------
   test("struct inline expansion with reference collision naming") {
     val out = Interp.run(spark,
