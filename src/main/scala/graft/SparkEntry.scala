@@ -369,17 +369,23 @@ object SparkEntry {
         graft.ext.TextAnalysis.qualityScore(col("text")).as("score"))),
 
     // ---- ext: dedup -------------------------------------------------------
+    // signatures(): base hashes materialize once before the k-way
+    // expansion (the single-expression form recomputes md5 k times)
     "x06_minhash_sig" -> ((s, d) =>
-      t(s, d, "documents").df.select(col("doc_id"),
-        F.concat_ws(",", graft.ext.Dedup.minhashSignature(col("text")))
-          .as("sig"))),
+      graft.ext.Dedup.signatures(t(s, d, "documents").df, "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          F.concat_ws(",", col("sig")).as("sig"))),
 
     "x07_minhash_pairs" -> ((s, d) =>
       graft.ext.Dedup.minhashPairs(augDocs(s, d), "doc_id", "text", 0.8)),
 
+    // token hashes materialize once; the 32 bit-sums then share them
     "x08_simhash" -> ((s, d) =>
-      t(s, d, "documents").df.select(col("doc_id"),
-        graft.ext.Dedup.simhash(col("text")).as("sh"))),
+      t(s, d, "documents").df
+        .select(col("doc_id"), graft.ext.Dedup.tokenHashes(col("text")).as("hl"))
+        .localCheckpoint(true)
+        .select(col("doc_id"),
+          graft.ext.Dedup.simhashFromHashes(col("hl")).as("sh"))),
 
     "x09_jaccard_pairs" -> ((s, d) =>
       graft.ext.Dedup.jaccardPairs(t(s, d, "documents").df,
@@ -410,6 +416,16 @@ object SparkEntry {
       val emb = t(s, d, "embeddings").df
       graft.ext.Similarity.ivfTopK(
         emb.filter(col("vec_id") < 5), emb, 10, nCentroids = 16, nProbe = 4)
+    }),
+
+    // ---- ext: range join (binned equi-join, no nested loop) --------------
+    "x18_range_join" -> ((s, d) => {
+      val bands = s.range(0, 40).select(col("id").as("band"),
+        (col("id") * 10000.0).as("lo"), ((col("id") + 1) * 10000.0).as("hi"))
+      graft.joins.Joins.rangeJoin(
+        t(s, d, "orders").df.select("o_orderkey", "o_totalprice"),
+        "o_totalprice", bands, "lo", "hi", 10000.0)
+        .select(col("o_orderkey"), col("band"))
     }),
 
     // ---- ext: multimodal plumbing ----------------------------------------
@@ -1071,6 +1087,10 @@ object SparkEntry {
              for i in range(0, len(embedding))]), (acc, v) -> acc + v) >= 0
              THEN (1::BIGINT << j) ELSE 0 END for j in range(0, 8)]) AS BIGINT) AS bucket
          FROM embeddings""",
+    "x18_range_join" ->
+      """SELECT o_orderkey, CAST(i AS BIGINT) AS band
+         FROM orders JOIN (SELECT unnest(range(0, 40)) AS i) b
+           ON o_totalprice >= i * 10000.0 AND o_totalprice < (i + 1) * 10000.0""",
     // Mirrors ivfTopK exactly: pinned left-fold dots (list_reduce from
     // 0.0 = FloatVecDot's accumulation), dot/cn centroid ranking (norm
     // of the probing vector is a positive constant — argmax-invariant),

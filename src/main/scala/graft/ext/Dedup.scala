@@ -98,9 +98,28 @@ object Dedup {
       F.array_min(F.transform(hs, h => (lit(a) * h + lit(b)) % P))
     }: _*)
 
-  /** k-wide MinHash signature straight from text. */
+  /** k-wide MinHash signature straight from text.
+    *
+    * NOTE: as a single expression the base-hash subtree is duplicated
+    * into each of the k mins — Catalyst has no let-binding, so the md5
+    * pipeline would run k times per row. Prefer `signatures()` (hash
+    * once, materialize, then expand) anywhere the input isn't tiny.
+    */
   def minhashSignature(text: Column, k: Int = 12, shingleN: Int = 3): Column =
     signatureFromHashes(shingleHashes(text, shingleN), k)
+
+  /** (id, sig) signature table: base hashes computed ONCE per row and
+    * materialized before the k-way expansion — the scalable form of
+    * `minhashSignature` (k× less hash work; at 100 TB the base hash is
+    * the dominant CPU term).
+    */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 12, shingleN: Int = 3,
+                 hasher: Column => Column = portableHasher): DataFrame =
+    df.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleN, hasher).as("hs"))
+      .localCheckpoint(true)
+      .select(col("id"), signatureFromHashes(col("hs"), k).as("sig"))
 
   /** LSH band buckets: split the k-signature into bands of r rows;
     * bucket id = md5 of the band's minhashes. Equal bucket ⇒ candidate.
@@ -161,13 +180,14 @@ object Dedup {
   }
 
   // ---- SimHash -------------------------------------------------------------
-  /** 32-bit SimHash over distinct tokens: bit j of the result is set
-    * iff the sum over tokens of ±1 (by bit j of the token hash) is
-    * >= 0. Pure per-row expression.
+  /** 32-bit SimHash from a PRECOMPUTED token-hash array: bit j of the
+    * result is set iff the sum over hashes of ±1 (by bit j) is >= 0.
+    * Take the hashes from a materialized projection (`tokenHashes`) so
+    * the md5 pipeline runs once, not `bits` times — as a single
+    * expression the hash subtree would be duplicated into all 32 bit
+    * sums (no let-binding in Catalyst; measured 32×).
     */
-  def simhash(text: Column, bits: Int = 32): Column = {
-    val toks = F.array_distinct(tokens(text))
-    val hashes = F.transform(toks, t => h60(t))
+  def simhashFromHashes(hashes: Column, bits: Int = 32): Column = {
     // 2^j via pow→long (exact for j<=52); shiftleft/shiftright only
     // accept literal shift amounts, not lambda-bound columns.
     def p2(j: Column): Column = F.pow(lit(2.0), j).cast(LongType)
@@ -181,6 +201,16 @@ object Dedup {
             .otherwise(-1L)) >= 0,
         p2(j)).otherwise(0L))
   }
+
+  /** Distinct-token md5 hashes — the input to simhash. */
+  def tokenHashes(text: Column): Column =
+    F.transform(F.array_distinct(tokens(text)), t => h60(t))
+
+  /** Convenience single-expression simhash (small inputs only — see
+    * `simhashFromHashes` for why).
+    */
+  def simhash(text: Column, bits: Int = 32): Column =
+    simhashFromHashes(tokenHashes(text), bits)
 
   /** Hamming distance between two simhashes (for near-dup banding). */
   def hamming(a: Column, b: Column): Column =
@@ -256,10 +286,9 @@ object Dedup {
                    maxBlock: Int = 5000,
                    hasher: Column => Column = portableHasher): DataFrame = {
     val base = df.select(Seq(col(idCol).as("id"),
-      tokens(col(textCol)).as("tok"),
-      shingleHashes(col(textCol), hasher = hasher).as("hs")) ++
+      tokens(col(textCol)).as("tok"), col(textCol).as("_text")) ++
       blockCols.map(col): _*)
-      .localCheckpoint(true) // self-joined below — hash pipeline once
+      .localCheckpoint(true) // self-joined below — tokenize once
     // block sizes ride along via one small aggregate (blocks are few;
     // broadcast back onto the rows)
     val sizes = base.groupBy(blockCols.map(col): _*)
@@ -278,8 +307,13 @@ object Dedup {
 
     // hot blocks: LSH banding inside the block; candidates must share a
     // (block, band, bucket) — quadratic only in bucket collisions.
-    // Distinct runs on id pairs; token arrays re-join afterwards.
-    val big = withN.filter(col("_bn") > maxBlock)
+    // The minhash pipeline runs ONLY on hot-block rows (none in the
+    // common case), hashes once (materialized before the k-way
+    // expansion), then distinct on id pairs with tokens re-joined.
+    val bigRows = withN.filter(col("_bn") > maxBlock)
+      .withColumn("hs", shingleHashes(col("_text"), hasher = hasher))
+      .localCheckpoint(true)
+    val big = bigRows
       .withColumn("_sig", signatureFromHashes(col("hs")))
       .select(Seq(col("id"),
         F.posexplode(bandBuckets(col("_sig"), bands = 4, r = 3))

@@ -199,4 +199,28 @@ object Joins {
       .select((keys ++ lCols.filterNot(keys.contains) ++ valueCols)
         .map(F.col): _*)
   }
+
+  /** Range join (extension): pair each left row with every right
+    * interval containing its value — `v >= lo AND v < hi` (half-open).
+    *
+    * Scale design: a raw theta join plans as a nested-loop over the
+    * cross product. Here both sides are BINNED on v/binSize: each left
+    * row lands in exactly one bin, each interval explodes to the bins
+    * it overlaps, and the join becomes an EQUI join on the bin id
+    * (hash/broadcast-able, shuffles only on bin) followed by the exact
+    * bound filter. A left row's bin is unique, so no pair duplicates.
+    * Choose binSize near the typical interval width: candidate
+    * pairs ≈ matches, and the explode factor stays ~O(1).
+    */
+  def rangeJoin(left: DataFrame, vCol: String,
+                right: DataFrame, loCol: String, hiCol: String,
+                binSize: Double): DataFrame = {
+    val lb = left.withColumn("_bin", F.floor(F.col(vCol) / binSize))
+    val rb = right.withColumn("_bin",
+      F.explode(F.sequence(F.floor(F.col(loCol) / binSize),
+        F.floor(F.col(hiCol) / binSize))))
+    lb.join(rb, Seq("_bin"))
+      .filter(F.col(vCol) >= F.col(loCol) && F.col(vCol) < F.col(hiCol))
+      .drop("_bin")
+  }
 }

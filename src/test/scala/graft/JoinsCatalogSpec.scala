@@ -131,6 +131,20 @@ class JoinsCatalogSpec extends SparkSpec {
     assert(cat.get("r2").df.count() == region.df.count() - 1)
   }
 
+  test("rangeJoin: half-open intervals, multi-bin spans, exact bounds") {
+    import spark.implicits._
+    val vals = Seq((1, 0.5), (2, 10.0), (3, 25.0), (4, 99.9)).toDF("id", "v")
+    val ivs = Seq((100, 0.0, 10.0), (200, 10.0, 30.0),
+      (300, 90.0, 100.0), (400, 0.0, 100.0)).toDF("iid", "lo", "hi")
+    // binSize 7 << interval widths: intervals explode over many bins
+    val out = Joins.rangeJoin(vals, "v", ivs, "lo", "hi", 7.0)
+      .select("id", "iid").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    // v=10.0 is OUT of [0,10) and IN [10,30) — half-open semantics
+    assert(out == Set((1, 100), (1, 400), (2, 200), (2, 400),
+      (3, 200), (3, 400), (4, 300), (4, 400)))
+  }
+
   test("catalog: insert loop is O(1) jobs per insert (cached max id)") {
     val cat = new Catalog(spark)
     cat.create("seq", Seq(StructField("name", StringType)))

@@ -46,6 +46,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"no semi join:\n$p")
   }
 
+  test("range join plans as an equi hash join, not a nested loop") {
+    val p = planOf("x18_range_join")
+    assert(!p.contains("NestedLoop"), s"range join fell back to nested loop:\n$p")
+    assert(p.contains("HashJoin"), s"expected a hash join on the bin id:\n$p")
+  }
+
   test("global ntile avoids the single-partition window") {
     val p = planOf("q59_ntile")
     assert(!p.contains("Window"),
