@@ -700,6 +700,12 @@ object SparkEntry {
       graft.lang.Interp.run(s, "sample_fast(customer, 100) {c_custkey}",
         "customer" -> t(s, d, "customer")).df),
 
+    // ---- sketch aggregates (approx distinct; engines differ — rows-only) --
+    "q66_sketches" -> ((s, d) =>
+      t(s, d, "events").df.groupBy("event_type")
+        .agg(PF.approxCountDistinct(col("user_id")).as("approx_users"),
+          PF.hllEstimate(PF.hllSketch(col("user_id"))).as("hll_users"))),
+
     // ---- §2.6 first / first_or_null / is_empty as values -----------------
     "q56_first_scalars" -> ((s, d) => {
       val c = t(s, d, "customer").orderBy("c_custkey")

@@ -160,18 +160,71 @@ object Similarity {
     // Assignment is a per-row argmax over the EMBEDDED centroid array —
     // zero shuffle of the corpus (previously corpus×k rows were
     // exchanged by id for a window argmax; at 100 TB that shuffle IS
-    // the job). The row's own norm is a positive per-row constant, so
-    // ranking by dot/cn is argmax-equivalent to full cosine. Strict `>`
-    // over the id-sorted array keeps the lowest centroid_id on ties.
-    val carr = F.typedlit(cents)
-    val best = F.aggregate(
-      carr,
+    // the job).
+    val best = centArgmax(cents, vecCol)
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      best.getField("id").as("centroid_id"))
+    val centroids = spark.createDataFrame(cents)
+      .toDF("centroid_id", "cvec", "cn")
+    (assigned, centroids)
+  }
+
+  /** Per-row argmax fold over an embedded centroid array: returns a
+    * struct (id, sim) where sim = dot/centroid-norm. The row's own
+    * norm is a positive per-row constant, so ranking by dot/cn is
+    * argmax-equivalent to full cosine. Strict `>` over the id-sorted
+    * array keeps the lowest centroid_id on exact ties.
+    */
+  private def centArgmax(cents: Seq[(Long, Seq[Float], Double)],
+                         vecCol: String): Column =
+    F.aggregate(
+      F.typedlit(cents),
       F.struct(lit(-1L).as("id"), lit(Double.NegativeInfinity).as("sim")),
       (acc, c) => {
         val sim = fdot(col(vecCol), c.getField("_2")) / c.getField("_3")
         when(sim > acc.getField("sim"),
           F.struct(c.getField("_1").as("id"), sim.as("sim"))).otherwise(acc)
       })
+
+  private def withNorm(id: Long, v: Seq[Float]): (Long, Seq[Float], Double) = {
+    var s = 0.0
+    v.foreach(x => s += x.toDouble * x.toDouble)
+    (id, v, math.sqrt(s))
+  }
+
+  /** Lloyd-refined IVF index: keyedSample seed centroids, then `iters`
+    * rounds of zero-shuffle assignment + ONE partial aggregation of
+    * per-dimension means per round (shuffle payload: k×dim partials
+    * per partition, never corpus rows). Empty clusters keep their
+    * previous centroid. Better-balanced inverted lists than the raw
+    * sample seed — fewer over-full lists to probe at query time.
+    */
+  def ivfAssignKMeans(corpus: DataFrame, nCentroids: Int, iters: Int = 3,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    val (_, c0) = ivfAssign(corpus, nCentroids, idCol, vecCol)
+    var cents: Seq[(Long, Seq[Float], Double)] = c0.collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+      .sortBy(_._1)
+    val dim = cents.head._2.length
+    for (_ <- 1 to iters) {
+      val best = centArgmax(cents, vecCol)
+      val means = corpus
+        .select(col(vecCol), best.getField("id").as("_cid"))
+        .groupBy("_cid")
+        .agg(F.array((0 until dim).map(i =>
+          F.avg(col(vecCol).getItem(i))): _*).as("m"))
+        .collect()
+      val byId = means.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (id, v, n) =>
+        byId.get(id) match {
+          case Some(m) => withNorm(id, m.map(_.toFloat))
+          case None => (id, v, n) // empty cluster: keep previous
+        }
+      }
+    }
+    val best = centArgmax(cents, vecCol)
     val assigned = corpus.select(col(idCol), col(vecCol),
       best.getField("id").as("centroid_id"))
     val centroids = spark.createDataFrame(cents)

@@ -122,6 +122,28 @@ object PF {
   /** `approx_product` = exp(sum(ln x)) (reference __builtins__.pql:313-325). */
   def approxProduct(c: Column): Column = F.exp(F.sum(F.log(c)))
 
+  // ---- sketch aggregates (extension: the 100 TB cardinality path) --------
+  /** HyperLogLog++ approximate distinct count. Partial sketches merge
+    * associatively map-side, so the shuffle carries one small sketch
+    * per group per partition instead of the value set — the only
+    * viable distinct-count shape at 100 TB.
+    */
+  def approxCountDistinct(c: Column, rsd: Double = 0.05): Column =
+    F.approx_count_distinct(c, rsd)
+
+  /** Mergeable Apache DataSketches HLL state (binary). Persist it per
+    * partition/day, then `hllUnion` + `hllEstimate` roll partial
+    * sketches up without re-reading raw data — incremental distinct
+    * counts over an ever-growing corpus.
+    */
+  def hllSketch(c: Column, lgK: Int = 12): Column =
+    F.hll_sketch_agg(c, lit(lgK))
+
+  def hllUnion(sketches: Column, allowDifferentLgK: Boolean = false): Column =
+    F.hll_union_agg(sketches, lit(allowDifferentLgK))
+
+  def hllEstimate(sketch: Column): Column = F.hll_sketch_estimate(sketch)
+
   /** Exact multiplicative aggregate — the reference needs a custom UDAF
     * for this too (reference: preql/core/sql_interface.py:799-807).
     * Implemented as a typed Aggregator: partial products combine

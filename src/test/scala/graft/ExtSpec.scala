@@ -168,6 +168,39 @@ class ExtSpec extends SparkSpec {
     assert((ivf intersect brute).size >= brute.size / 3)
   }
 
+  test("ivfAssignKMeans: refined centroids tighten the lists") {
+    import org.apache.spark.sql.DataFrame
+    def meanSim(pair: (DataFrame, DataFrame)): Double = {
+      val (assigned, centroids) = pair
+      assigned.join(broadcast(centroids), Seq("centroid_id"))
+        .select(avg(Similarity.fdot(col("embedding"), col("cvec")) /
+          (Similarity.fnorm(col("embedding")) * col("cn"))))
+        .head().getDouble(0)
+    }
+    val plain = Similarity.ivfAssign(emb, 8)
+    val refined = Similarity.ivfAssignKMeans(emb, 8, iters = 3)
+    assert(refined._1.count() == emb.count())
+    assert(refined._1.select("centroid_id").distinct().count() > 1)
+    // Lloyd iterations cannot worsen mean centroid similarity
+    assert(meanSim(refined) >= meanSim(plain) - 1e-9)
+  }
+
+  test("hll sketches: estimates near exact, partial sketches merge") {
+    import graft.functions.PF
+    val ev = Tables.load(spark, sf, "events").df
+    val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    val approx = ev.select(PF.approxCountDistinct(col("user_id"), 0.02))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+    // per-type partial sketches union to the global estimate — the
+    // incremental rollup shape
+    val merged = ev.groupBy("event_type")
+      .agg(PF.hllSketch(col("user_id")).as("sk"))
+      .select(PF.hllEstimate(PF.hllUnion(col("sk"))).as("est"))
+      .head().getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05)
+  }
+
   test("multimodal: decode stub preserves ids and byte counts") {
     val blobs = docs.limit(10).select(col("doc_id"),
       col("text").cast("binary").as("blob"))

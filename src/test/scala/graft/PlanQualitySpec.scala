@@ -58,6 +58,38 @@ class PlanQualitySpec extends SparkSpec {
       s"global rank must not use an unpartitioned Window:\n$p")
   }
 
+  test("bucketed tables co-locate: join plans with zero shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val orders = graft.sources.Tables.load(spark, sf, "orders").df
+    val customer = graft.sources.Tables.load(spark, sf, "customer").df
+    // bucket both sides on the join key: at 100 TB this is the
+    // pre-partitioning that turns every later key join into a local
+    // zip of matching buckets (no Exchange, no sort at read time)
+    orders.write.mode("overwrite").bucketBy(8, "o_custkey")
+      .sortBy("o_custkey").option("path", s"$dir/orders")
+      .saveAsTable("bkt_orders")
+    customer.write.mode("overwrite").bucketBy(8, "c_custkey")
+      .sortBy("c_custkey").option("path", s"$dir/customer")
+      .saveAsTable("bkt_customer")
+    // disable broadcast so the planner uses the bucket layout (at real
+    // scale neither fact side fits a broadcast anyway)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_orders").join(spark.table("bkt_customer"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join should not shuffle either side:\n$p")
+      assert(joined.count() == orders.count()) // FK: every order matches
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    }
+  }
+
   test("IVF centroid assignment never shuffles the corpus") {
     val emb = graft.sources.Tables.load(spark, sf, "embeddings").df
     val (assigned, _) = graft.ext.Similarity.ivfAssign(emb, nCentroids = 8)
