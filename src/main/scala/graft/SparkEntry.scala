@@ -636,6 +636,21 @@ object SparkEntry {
         "join(c: customer, n: nation){...c !c_acctbal, nation_name: n.n_name} order {c_custkey} [..100]",
         "customer" -> t(s, d, "customer"), "nation" -> t(s, d, "nation")).df),
 
+    // table DDL + positional/named `new` (reference evaluate.py:262-267,
+    // tests/test_basic.py test_one)
+    "ql9_lang_ddl" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """table scores { name: string, pts: int }
+          |new scores(name: "alpha", pts: 10)
+          |new scores("beta", 20)
+          |scores order {id}""".stripMargin).df),
+
+    // string index/slice in column position (reference sql.py:897-926)
+    "ql10_lang_strindex" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        "nation{n_nationkey, c0: n_name[0], suffix: n_name[7..]}",
+        "nation" -> t(s, d, "nation")).df),
+
     // ---- json scalar functions (extension; reference has none) -----------
     "q61_json" -> ((s, d) =>
       t(s, d, "events").df
@@ -1286,6 +1301,12 @@ object SparkEntry {
            n_name AS nation_name
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          ORDER BY c_custkey LIMIT 100""",
+    "ql9_lang_ddl" ->
+      """SELECT * FROM (VALUES (1, 'alpha', 10), (2, 'beta', 20))
+           v(id, name, pts)""",
+    "ql10_lang_strindex" ->
+      """SELECT n_nationkey, substr(n_name, 1, 1) AS c0,
+           substr(n_name, 8) AS suffix FROM nation""",
     "q63_reflection" ->
       """SELECT c_custkey, 'float' AS t_bal, 'int' AS t_key,
            '"' || c_name || '"' AS r_name, true AS is_num

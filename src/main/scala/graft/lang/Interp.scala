@@ -77,15 +77,29 @@ object Interp {
         env = env + (name -> VT(graft.dsl.PTable(
           base.df.unionByName(rows.df, allowMissingColumns = true),
           base.meta)))
+      case TableDef(name, fields, bare) =>
+        // reference evaluate.py:262-267: empty table, auto `id` pk
+        val cat = new graft.catalog.Catalog(spark)
+        val t = cat.create(name,
+          fields.map { case (n, tn) => StructField(n, sparkTypeOf(tn)) },
+          bare)
+        env = env + (name -> VT(t))
       case NewRow(name, args) =>
         val base = lookupTable(name)
         val cat = new graft.catalog.Catalog(spark)
         cat.register(name, base)
-        cat.insertRow(name, args.map { a =>
-          a.name.getOrElse(throw new TypeError(
-            "new Table(...) requires named arguments")) ->
+        // positional args fill non-pk columns in declaration order
+        // (reference `new A(2)`, test_basic.py:952-960)
+        val nonPk = base.schema.fields.map(_.name)
+          .filterNot(base.meta.pk.contains)
+        val named = args.zipWithIndex.map {
+          case (a, i) => a.name.getOrElse(
+            if (i < nonPk.length) nonPk(i)
+            else throw new TypeError(
+              s"new $name: too many positional arguments")) ->
             litAny(substitute(a.value))
-        }.toMap)
+        }
+        cat.insertRow(name, named.toMap)
         env = env + (name -> VT(cat.get(name)))
       case IfStmt(cond, thenB, elseB) =>
         if (truthyScalar(scalar(substitute(cond)))) thenB.foreach(exec)
@@ -458,6 +472,17 @@ object Interp {
     case o => throw new TypeError(s"expected numeric literal, got $o")
   }
 
+  /** DDL type names → Spark types (reference pql_types primitives). */
+  private def sparkTypeOf(tn: String): DataType = tn match {
+    case "int" => LongType
+    case "float" => DoubleType
+    case "string" | "text" => StringType
+    case "bool" => BooleanType
+    case "timestamp" => TimestampType
+    case "date" => DateType
+    case o => throw new TypeError(s"unknown column type '$o'")
+  }
+
   /** Reference type names for reflection (`type`/`isa`/`env_vars`). */
   private def refTypeName(dt: DataType): String = dt match {
     case LongType | IntegerType | ShortType | ByteType => "int"
@@ -736,6 +761,11 @@ object Interp {
         case _ => None
       }
       case OneE(x, _) => inferType(x, schema)
+      // string slice/index stays a string
+      case Slice(se, _, _) if inferType(se, schema).contains(StringType) =>
+        Some(StringType)
+      case Selection(se, Seq(_)) if inferType(se, schema).contains(StringType) =>
+        Some(StringType)
       case _ => None
     }
 
@@ -785,6 +815,19 @@ object Interp {
       }
     case BinOp(op, l, r) => binop(op, l, r, schema, agg)
     case Call(fn, args) => colCall(fn, args, schema, agg)
+    // string slice/index in column position: `s[a..b]` / `s[i]`
+    // (reference sql.py:897-926 StringSlice)
+    case Slice(se, f, u) if inferType(se, schema).contains(StringType) =>
+      val s = evalCol(se, schema, agg)
+      val from = f.map(e => evalCol(e, schema, agg)).getOrElse(lit(0L))
+      u match {
+        case Some(e) => PF.strSlice(s, from, evalCol(e, schema, agg))
+        case None =>
+          F.substring(s, (from + 1).cast(IntegerType), lit(1000000))
+      }
+    case Selection(se, Seq(ie)) if inferType(se, schema).contains(StringType) =>
+      val i = evalCol(ie, schema, agg)
+      PF.strSlice(evalCol(se, schema, agg), i, i + 1)
     case o => throw new TypeError(s"not a column expression: $o")
   }
 

@@ -94,6 +94,11 @@ object Ast {
   }
   /** `table += expr` — INSERT..SELECT (reference evaluate.py:278-287). */
   case class InsertRows(table: String, value: Expr) extends Stmt
+  /** `table Name { col: type, ... }` DDL — auto `id` pk unless `bare`
+    * (reference evaluate.py:262-267, preql.lark table_def).
+    */
+  case class TableDef(name: String, fields: Seq[(String, String)],
+                      bare: Boolean) extends Stmt
   /** `new Table(col: value, ...)` — single-row insert
     * (reference evaluate.py:884-947).
     */
@@ -217,10 +222,19 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
     case (TIdent(_, _), Some(TOp("+=", _))) => true
     case _ => false
   }
+  // `table Name {` / `table Name =` / `bare table Name {` are
+  // statements; a bare `table` identifier expression is not
+  private def atTableDef: Boolean =
+    (isIdent("table") && toks.lift(p + 1).exists(_.isInstanceOf[TIdent])) ||
+      (isIdent("bare") && (toks.lift(p + 1) match {
+        case Some(TIdent("table", _)) => true
+        case _ => false
+      }))
+
   private def atStmt: Boolean =
-    atAssign || atInsert || isIdent("new") || isIdent("func") ||
-      isIdent("if") || isIdent("while") || isIdent("for") ||
-      isIdent("print") || isIdent("return")
+    atAssign || atInsert || atTableDef || isIdent("new") ||
+      isIdent("func") || isIdent("if") || isIdent("while") ||
+      isIdent("for") || isIdent("print") || isIdent("return")
 
   /** `{ stmt* }` codeblock (reference preql.lark:62). */
   private def parseBlock(): Seq[Stmt] = {
@@ -232,7 +246,37 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
   }
 
   private def parseStmt(): Stmt = {
-    if (isIdent("new")) {
+    if (atTableDef) {
+      val bare = isIdent("bare")
+      if (bare) advance()
+      advance() // 'table'
+      val name = advance() match {
+        case TIdent(v, _) => v
+        case t => throw ParseError("expected table name", t.pos)
+      }
+      if (isOp("=")) { // `table x = expr` — CTAS-style assignment
+        advance()
+        Assign(name, parseExpr())
+      } else {
+        expectOp("{")
+        val fields = Seq.newBuilder[(String, String)]
+        while (!isOp("}")) {
+          val fname = advance() match {
+            case TIdent(v, _) => v
+            case t => throw ParseError("expected column name", t.pos)
+          }
+          expectOp(":")
+          val ftype = advance() match {
+            case TIdent(v, _) => v
+            case t => throw ParseError("expected column type", t.pos)
+          }
+          fields += ((fname, ftype))
+          if (isOp(",")) advance()
+        }
+        expectOp("}")
+        TableDef(name, fields.result(), bare)
+      }
+    } else if (isIdent("new")) {
       advance()
       val name = advance() match {
         case TIdent(v, _) => v

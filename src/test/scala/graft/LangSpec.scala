@@ -343,6 +343,42 @@ class LangSpec extends SparkSpec {
     }
   }
 
+  // ---- table DDL + new (reference evaluate.py:262-267, test_one) ----------
+  test("table DDL, positional/named new, one round-trip") {
+    val out = Interp.run(spark,
+      """table scores { name: string, pts: int }
+        |new scores(name: "a", pts: 10)
+        |new scores("b", 20)
+        |scores order {id}""".stripMargin)
+    val rows = out.df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "a", 10L), (2L, "b", 20L)))
+    val one = Interp.run(spark,
+      """table A { x: int }
+        |new A(2)
+        |one A{x}""".stripMargin)
+    assert(one.df.head().getLong(0) == 2)
+  }
+
+  test("bare table has no auto id column") {
+    val out = Interp.run(spark,
+      "bare table kv { k: string, v: int }\nkv")
+    assert(out.columns == Seq("k", "v"))
+    assert(out.df.count() == 0)
+  }
+
+  // ---- string indexing / slicing in column position -----------------------
+  test("string index and slice: s[i], s[a..b], s[a..]") {
+    val out = Interp.run(spark,
+      """nation{c0: n_name[0], pre: n_name[0..6], tail: n_name[7..]}""",
+      "nation" -> nation)
+    val r = out.df.head()
+    assert(r.getString(0) == "N" && r.getString(1) == "NATION")
+    assert(r.getString(2).forall(_.isDigit))
+    val sel = Interp.run(spark,
+      """nation[n_name[7..] == "3"]{n_name}""", "nation" -> nation)
+    assert(sel.df.collect().map(_.getString(0)).toSeq == Seq("NATION_3"))
+  }
+
   // ---- struct inlining {...s} (reference compiler.py:80-128) --------------
   test("struct inline expansion with reference collision naming") {
     val out = Interp.run(spark,
