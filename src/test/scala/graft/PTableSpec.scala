@@ -110,4 +110,16 @@ class PTableSpec extends SparkSpec {
     assert(items(1, 2, 3).delete(col("item") === 2)
       .df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
   }
+
+  test("addIndex clusters rows: each partition sorted by the column") {
+    val t = graft.sources.Tables.load(spark, sf, "customer")
+    val idx = t.addIndex("c_nationkey")
+    assert(idx.df.count() == t.df.count())
+    val sortedPerPartition = idx.df.select("c_nationkey").rdd
+      .mapPartitions { it =>
+        val keys = it.map(_.getInt(0)).toSeq
+        Iterator(keys == keys.sorted)
+      }.collect()
+    assert(sortedPerPartition.forall(identity))
+  }
 }
