@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions.{col, lit, when, concat}
 import org.apache.spark.sql.types._
@@ -35,13 +35,18 @@ object Dedup {
   /** Word n-gram shingles; texts shorter than n words → one shingle
     * (the whole trimmed text).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    when(F.size(toks) < n, F.array(F.trim(text)))
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), F.trim(text), n)
+
+  /** Shingles from a PRECOMPUTED token array (share one tokenization
+    * pass between the shingle/minhash pipeline and exact-Jaccard
+    * verification — they both start from the same split).
+    */
+  def shinglesFromTokens(toks: Column, trimmed: Column, n: Int = 3): Column =
+    when(F.size(toks) < n, F.array(trimmed))
       .otherwise(F.transform(
         F.sequence(lit(0), F.size(toks) - n),
         i => F.concat_ws(" ", F.slice(toks, i + 1, lit(n)))))
-  }
 
   // ---- MinHash + LSH -------------------------------------------------------
   /** Mersenne prime 2^31-1: the minhash value domain. Base shingle
@@ -165,12 +170,22 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, k: Int = 12, bands: Int = 4,
                    hasher: Column => Column = portableHasher): DataFrame = {
-    val buckets = lshBuckets(df, idCol, textCol, k, bands, hasher)
-      .localCheckpoint(true) // self-joined below — compute once
+    val r = k / bands
+    // ONE tokenization pass feeds both the shingle/minhash pipeline
+    // and the exact-Jaccard verification join
+    val base = df.select(col(idCol).as("jid"),
+        tokens(col(textCol)).as("tok"), F.trim(col(textCol)).as("_t"))
+      .localCheckpoint(true)
+    val hashed = base.select(col("jid").as("id"),
+        F.transform(shinglesFromTokens(col("tok"), col("_t")),
+          s => hasher(s)).as("hs"))
+      .localCheckpoint(true) // expensive hash pipeline — compute once
+    val buckets = hashed.select(col("id"),
+        F.posexplode(bandBuckets(signatureFromHashes(col("hs"), k), bands, r))
+          .as(Seq("band", "bucket")))
+      .localCheckpoint(true) // self-joined below
     val cand = candidatePairs(buckets)
-    val toks = df.select(col(idCol).as("jid"),
-      tokens(col(textCol)).as("tok"))
-      .localCheckpoint(true) // joined twice (both pair sides)
+    val toks = base.select(col("jid"), col("tok"))
     cand
       .join(toks.alias("ta"), col("id_a") === col("ta.jid"))
       .join(toks.alias("tb"), col("id_b") === col("tb.jid"))
@@ -235,7 +250,8 @@ object Dedup {
     * clusters are near-cliques in practice, so diameter is tiny even
     * when the pair set is huge.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          driverLimit: Long = 1 << 20): DataFrame = {
     val spark = pairs.sparkSession
     def mat(df: DataFrame): DataFrame = {
       val ck = df.localCheckpoint(true)
@@ -244,6 +260,42 @@ object Dedup {
     val edges = mat(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct())
+    // Candidate-pair sets are usually tiny relative to the corpus
+    // (LSH has already pruned). Below `driverLimit` edges, finish with
+    // driver-side union-find: exact min-label components in one pass,
+    // no per-round job latency. Above it, the distributed min-label
+    // rounds below take over (the 100 TB path).
+    if (edges.count() <= driverLimit) {
+      val rows = edges.collect()
+      val parent = scala.collection.mutable.Map[Any, Any]()
+      def find(x: Any): Any = { // iterative + path compression
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent(c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      // union by MIN id so the representative is the canonical label
+      def lt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: Long, y: Long) => x < y
+        case (x: Int, y: Int) => x < y
+        case (x: String, y: String) => x < y
+        case _ => a.toString < b.toString
+      }
+      rows.foreach { r =>
+        val (a, b) = (find(r.get(0)), find(r.get(1)))
+        if (a != b) { if (lt(a, b)) parent(b) = a else parent(a) = b }
+      }
+      val ids = rows.map(_.get(0)).distinct
+      val out = ids.map(id => Row(id, find(id)))
+      val idType = edges.schema.fields(0).dataType
+      return spark.createDataFrame(
+        java.util.Arrays.asList(out: _*),
+        StructType(Seq(StructField("id", idType),
+          StructField("label", idType))))
+    }
     var labels = mat(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")))
     var changed = true

@@ -168,6 +168,18 @@ class ExtSpec extends SparkSpec {
     assert((ivf intersect brute).size >= brute.size / 3)
   }
 
+  test("connectedComponents: driver union-find equals distributed rounds") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 3L), (20L, 21L),
+      (21L, 22L), (22L, 20L)).toDF("id_a", "id_b")
+    def labels(limit: Long) =
+      Dedup.connectedComponents(pairs, driverLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = labels(1 << 20) // driver union-find path
+    val dist = labels(0)       // forced distributed min-label rounds
+    assert(fast == dist)
+    assert(fast(5L) == 1L && fast(11L) == 10L && fast(22L) == 20L)
+  }
+
   test("ivfAssignKMeans: refined centroids tighten the lists") {
     import org.apache.spark.sql.DataFrame
     def meanSim(pair: (DataFrame, DataFrame)): Double = {
