@@ -36,9 +36,38 @@ object Graph {
   }
 
   def bfs(edges: DataFrame, initial: DataFrame,
-          maxRank: Int = Int.MaxValue): DataFrame = {
+          maxRank: Int = Int.MaxValue,
+          driverLimit: Long = 1 << 20): DataFrame = {
     val e = edges.select(F.col("src"), F.col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Small graphs (≤ driverLimit edges) finish driver-side: one
+    // collect + in-memory BFS instead of 2 jobs per depth level. The
+    // distributed fixpoint below remains the big-graph path.
+    if (e.count() <= driverLimit) {
+      val adj = e.collect().groupBy(_.get(0))
+        .map { case (k, rows) => k -> rows.map(_.get(1)).toSeq }
+      val visited = scala.collection.mutable.LinkedHashMap[Any, Int]()
+      var frontier = initial.select(F.col("node")).distinct().collect()
+        .map(_.get(0)).toSeq
+      frontier.foreach(n => visited(n) = 0)
+      var rank = 0
+      while (frontier.nonEmpty && rank < maxRank) {
+        rank += 1
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Seq.empty))
+          .distinct.filterNot(visited.contains)
+        frontier.foreach(n => visited(n) = rank)
+      }
+      e.unpersist()
+      val nodeType = initial.schema("node").dataType
+      return initial.sparkSession.createDataFrame(
+        java.util.Arrays.asList(
+          visited.toSeq.map { case (n, r) =>
+            org.apache.spark.sql.Row(n, r) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", nodeType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+    }
     // Eager materialization each step: plan stays O(1) in depth, and
     // the isEmpty probe and next join are reads, not recomputes.
     var visited = materialize(

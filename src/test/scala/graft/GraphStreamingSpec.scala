@@ -25,6 +25,15 @@ class GraphStreamingSpec extends SparkSpec {
     assert(out == Set(1L, 2L))
   }
 
+  test("bfs driver path equals the distributed fixpoint") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (9L, 1L))
+      .toDF("src", "dst")
+    val initial = Seq(1L).toDF("node")
+    def run(limit: Long) = Graph.bfs(edges, initial, driverLimit = limit)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(run(1 << 20) == run(0)) // driver BFS vs distributed rounds
+  }
+
   test("walkTree revisits nodes on cycles up to maxRank") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val out = Graph.walkTree(edges, Seq(1L).toDF("node"), maxRank = 4)
