@@ -339,7 +339,8 @@ object Dedup {
                    hasher: Column => Column = portableHasher): DataFrame = {
     val base = df.select(Seq(col(idCol).as("id"),
       tokens(col(textCol)).as("tok"), col(textCol).as("_text")) ++
-      blockCols.map(col): _*)
+      blockCols.map(col) :+
+      F.size(F.array_distinct(tokens(col(textCol)))).as("_nd"): _*)
       .localCheckpoint(true) // self-joined below — tokenize once
     // block sizes ride along via one small aggregate (blocks are few;
     // broadcast back onto the rows)
@@ -349,10 +350,16 @@ object Dedup {
     val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _)
 
-    // small blocks: exact all-pairs (quadratic bounded by maxBlock)
+    // small blocks: exact all-pairs (quadratic bounded by maxBlock).
+    // Size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    // pairs whose distinct-token counts are too lopsided can never
+    // reach the threshold — pruned with two int compares before the
+    // O(n) set intersection runs.
+    val sizeOk = F.least(col("a._nd"), col("b._nd")) >=
+      F.greatest(col("a._nd"), col("b._nd")) * threshold
     val small = withN.filter(col("_bn") <= maxBlock)
     val smallPairs = small.alias("a").join(small.alias("b"),
-        blockEq && col("a.id") < col("b.id"))
+        blockEq && col("a.id") < col("b.id") && sizeOk)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         graft.plans.TokenJaccard(col("a.tok"), col("b.tok")).as("jac"))
       .filter(col("jac") >= threshold)
