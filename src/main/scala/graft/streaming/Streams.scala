@@ -50,6 +50,34 @@ object Streams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicates(idCols :+ tsCol)
 
+  /** Stream dedup where DUPLICATES may carry different event times
+    * (retries, at-least-once sources): ids are deduplicated against
+    * everything seen within the watermark horizon. State stays bounded
+    * by the horizon; the exactly-once face of at-least-once delivery.
+    */
+  def dedupStreamWithinWatermark(events: DataFrame, tsCol: String,
+                                 watermark: String,
+                                 idCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Stream-stream interval join: left rows match right rows with the
+    * same key whose time falls in [leftTs, leftTs + maxDelay]. Both
+    * sides are watermarked — Spark can then bound the join state and
+    * evict rows past the horizon (an un-watermarked stream-stream join
+    * grows state forever).
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+                         leftTs: String, rightTs: String,
+                         watermark: String, maxDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + F.expr(s"INTERVAL $maxDelay"))
+  }
+
   /** Custom keyed state via mapGroupsWithState: running count + sum
     * per key, emitted on every trigger. State is a (count, sum) pair —
     * O(1) per key, watermark-free (runs forever); use timeouts for

@@ -59,6 +59,45 @@ class GraphStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("dedupStreamWithinWatermark drops retried ids with DIFFERENT timestamps") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "event_id")
+    val q = Streams.dedupStreamWithinWatermark(df, "ts", "1 hour", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_wm_test")
+      .outputMode(OutputMode.Append()).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // id 7 retried 10 minutes later with a new timestamp — still a dup
+    mem.addData((ts(1), 7L), (ts(11), 7L), (ts(12), 8L))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_wm_test").select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(7L, 8L))
+    q.stop()
+  }
+
+  test("stream-stream interval join matches within the delay window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val errors = MemoryStream[(java.sql.Timestamp, Long)]
+    val joined = Streams.streamIntervalJoin(
+      clicks.toDF().toDF("cts", "user_id"),
+      errors.toDF().toDF("ets", "user_id"),
+      "user_id", "cts", "ets", "2 hours", "10 minutes")
+      .select(col("l.user_id"), col("cts"), col("ets"))
+    val q = joined.writeStream.format("memory").queryName("sj_test")
+      .outputMode(OutputMode.Append()).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    clicks.addData((ts(0), 1L), (ts(30), 2L))
+    errors.addData((ts(5), 1L), (ts(25), 1L), (ts(35), 2L))
+    q.processAllAvailable()
+    val rows = spark.table("sj_test").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).toString.substring(14, 16)))
+    // user 1: error at :05 within [00,10]; :25 outside. user 2: :35 within [30,40]
+    assert(rows.toSet == Set((1L, "05"), (2L, "35")))
+    q.stop()
+  }
+
   test("stream dedup drops duplicate ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
