@@ -651,6 +651,22 @@ object SparkEntry {
         "nation{n_nationkey, c0: n_name[0], suffix: n_name[7..]}",
         "nation" -> t(s, d, "nation")).df),
 
+    // try/catch by signal supertype + transaction rollback
+    // (reference evaluate.py:318-401)
+    "ql11_lang_trycatch" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """picked = nation[n_nationkey < 0]
+          |try {
+          |  transaction {
+          |    picked = nation[n_regionkey == 1]
+          |    assert count(picked) == 0
+          |  }
+          |} catch (e: ValueError) {
+          |  picked = nation[n_regionkey == 2]
+          |}
+          |picked{n_nationkey, n_name} order {n_nationkey}""".stripMargin,
+        "nation" -> t(s, d, "nation")).df),
+
     // ---- json scalar functions (extension; reference has none) -----------
     "q61_json" -> ((s, d) =>
       t(s, d, "events").df
@@ -1307,6 +1323,11 @@ object SparkEntry {
     "ql10_lang_strindex" ->
       """SELECT n_nationkey, substr(n_name, 1, 1) AS c0,
            substr(n_name, 8) AS suffix FROM nation""",
+    // transaction rolls `picked` back; AssertError (<= ValueError)
+    // is caught; the handler picks region 2
+    "ql11_lang_trycatch" ->
+      """SELECT n_nationkey, n_name FROM nation
+         WHERE n_regionkey = 2 ORDER BY n_nationkey""",
     "q63_reflection" ->
       """SELECT c_custkey, 'float' AS t_bal, 'int' AS t_key,
            '"' || c_name || '"' AS r_name, true AS is_num

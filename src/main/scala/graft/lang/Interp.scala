@@ -128,6 +128,27 @@ object Interp {
           case Some(v) => println(v)
           case None => evalTable(sub).df.show(20, false)
         }
+      case TryStmt(body, catchVar, catchType, handler) =>
+        try body.foreach(exec)
+        catch {
+          case e: graft.types.GraftError if errorIsa(e, catchType) =>
+            // bind the caught message as a string var in handler scope
+            catchVar.foreach(v => env = env + (v -> VS(e.getMessage)))
+            handler.foreach(exec)
+        }
+      case ThrowStmt(tn, msg) =>
+        throw makeError(tn, scalar(substitute(msg)).toString)
+      case TransactionStmt(body) =>
+        // snapshot-and-restore bindings: a signal inside the block
+        // rolls the environment back, then re-raises (reference
+        // evaluate.py:359-369 BEGIN/ROLLBACK semantics over our
+        // copy-on-write bindings)
+        val snapshot = env
+        try body.foreach(exec)
+        catch { case e: Throwable => env = snapshot; throw e }
+      case AssertStmt(cond) =>
+        if (!truthyScalar(scalar(substitute(cond))))
+          throw new graft.types.AssertError(s"Assertion failed: $cond")
       case ReturnStmt(_) =>
         throw new TypeError("'return' is only valid inside func bodies")
     }
@@ -162,15 +183,24 @@ object Interp {
     def tryScalar(e: Expr): Option[Any] =
       try Some(constEval(e)) catch { case _: NotConst => None }
 
-    def scalar(e: Expr): Any =
-      tryScalar(e).getOrElse {
-        // engine fallback: a 1×1 table localizes to its single value
-        // (reference cast_to_python)
-        val t = evalTable(e)
-        val rows = t.df.take(2)
-        if (rows.length == 1 && rows(0).length == 1) rows(0).get(0)
-        else throw new TypeError(s"not a scalar: $e")
+    def scalar(e: Expr): Any = {
+      // localize table-scalar subexpressions (count(t), one t{x}) to
+      // literals first, so conditions like `count(t) == 0` const-eval
+      // (reference cast_to_python localizes the same way)
+      val resolved = rewrite(e) {
+        case c @ Call("count", _) => scalarToAst(localize(c))
+        case o: OneE => scalarToAst(localize(o))
       }
+      tryScalar(resolved).getOrElse(localize(resolved))
+    }
+
+    /** A 1×1 table localizes to its single value. */
+    private def localize(e: Expr): Any = {
+      val t = evalTable(e)
+      val rows = t.df.take(2)
+      if (rows.length == 1 && rows(0).length == 1) rows(0).get(0)
+      else throw new TypeError(s"not a scalar: $e")
+    }
 
     // ---- table evaluation --------------------------------------------------
     def evalTable(e: Expr): PTable = {
@@ -471,6 +501,41 @@ object Interp {
     case Unary("-", x) => -constDouble(x)
     case o => throw new TypeError(s"expected numeric literal, got $o")
   }
+
+  /** Catch-by-supertype test over the signal tree (types/Errors.scala,
+    * mirroring reference pql_types.py:295-323 `e.type <= catch_type`).
+    */
+  private def errorIsa(e: graft.types.GraftError, tn: String): Boolean =
+    tn match {
+      case "Exception" => true
+      case "EvalError" => e.isInstanceOf[graft.types.EvalError]
+      case "CodeError" => e.isInstanceOf[graft.types.CodeError]
+      case "IOError" => e.isInstanceOf[graft.types.IOError]
+      case "TypeError" => e.isInstanceOf[TypeError]
+      case "CastError" => e.isInstanceOf[graft.types.CastError]
+      case "ValueError" => e.isInstanceOf[ValueError]
+      case "AssertError" => e.isInstanceOf[graft.types.AssertError]
+      case "IndexError" => e.isInstanceOf[graft.types.IndexError]
+      case "NameError" => e.isInstanceOf[NameError]
+      case "AttributeError" => e.isInstanceOf[graft.types.AttributeError]
+      case "JoinError" => e.isInstanceOf[graft.types.JoinError]
+      case o => throw new NameError(s"unknown error type '$o'")
+    }
+
+  private def makeError(tn: String, msg: String): graft.types.GraftError =
+    tn match {
+      case "TypeError" => new TypeError(msg)
+      case "CastError" => new graft.types.CastError(msg)
+      case "ValueError" => new ValueError(msg)
+      case "AssertError" => new graft.types.AssertError(msg)
+      case "IndexError" => new graft.types.IndexError(msg)
+      case "NameError" => new NameError(msg)
+      case "AttributeError" => new graft.types.AttributeError(msg)
+      case "JoinError" => new graft.types.JoinError(msg)
+      case "NotImplementedError" => new graft.types.NotImplementedError(msg)
+      case "FileError" => new graft.types.FileError(msg)
+      case o => throw new NameError(s"unknown error type '$o'")
+    }
 
   /** DDL type names → Spark types (reference pql_types primitives). */
   private def sparkTypeOf(tn: String): DataType = tn match {

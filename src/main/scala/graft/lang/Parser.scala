@@ -63,6 +63,15 @@ object Ast {
   case class PrintStmt(e: Expr) extends Stmt
   /** Only valid inside func codeblocks (translated away at parse time). */
   case class ReturnStmt(e: Expr) extends Stmt
+  /** `try {..} catch (e: TypeName) {..}` (reference evaluate.py:371-385). */
+  case class TryStmt(body: Seq[Stmt], catchVar: Option[String],
+                     catchType: String, handler: Seq[Stmt]) extends Stmt
+  /** `throw new TypeName("msg")` (reference evaluate.py:387-401). */
+  case class ThrowStmt(errType: String, msg: Expr) extends Stmt
+  /** `transaction {..}` — rollback bindings on signal (evaluate.py:359-369). */
+  case class TransactionStmt(body: Seq[Stmt]) extends Stmt
+  /** `assert cond` (reference evaluate.py:318-328). */
+  case class AssertStmt(cond: Expr) extends Stmt
 
   /** Bottom-up AST rewrite with a partial function applied post-order. */
   def rewrite(e: Expr)(pf: PartialFunction[Expr, Expr]): Expr = {
@@ -234,7 +243,9 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
   private def atStmt: Boolean =
     atAssign || atInsert || atTableDef || isIdent("new") ||
       isIdent("func") || isIdent("if") || isIdent("while") ||
-      isIdent("for") || isIdent("print") || isIdent("return")
+      isIdent("for") || isIdent("print") || isIdent("return") ||
+      isIdent("try") || isIdent("throw") || isIdent("transaction") ||
+      isIdent("assert")
 
   /** `{ stmt* }` codeblock (reference preql.lark:62). */
   private def parseBlock(): Seq[Stmt] = {
@@ -362,6 +373,40 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
       advance(); PrintStmt(parseExpr())
     } else if (isIdent("return")) {
       advance(); ReturnStmt(parseExpr())
+    } else if (isIdent("try")) {
+      advance()
+      val body = parseBlock()
+      if (!isIdent("catch")) throw ParseError("expected 'catch'", cur.pos)
+      advance(); expectOp("(")
+      // `catch (e: TypeName)` or `catch (TypeName)`
+      val (cv, ct) = (cur, toks.lift(p + 1)) match {
+        case (TIdent(v, _), Some(TOp(":", _))) =>
+          advance(); advance()
+          (Some(v), advance() match {
+            case TIdent(t2, _) => t2
+            case t => throw ParseError("expected error type", t.pos)
+          })
+        case (TIdent(t2, _), _) => advance(); (None, t2)
+        case (t, _) => throw ParseError("expected error type", t.pos)
+      }
+      expectOp(")")
+      TryStmt(body, cv, ct, parseBlock())
+    } else if (isIdent("throw")) {
+      advance()
+      if (!isIdent("new")) throw ParseError("expected 'new' after throw", cur.pos)
+      advance()
+      val tn = advance() match {
+        case TIdent(v, _) => v
+        case t => throw ParseError("expected error type", t.pos)
+      }
+      expectOp("(")
+      val msg = if (isOp(")")) StrLit("") else parseExpr()
+      expectOp(")")
+      ThrowStmt(tn, msg)
+    } else if (isIdent("transaction")) {
+      advance(); TransactionStmt(parseBlock())
+    } else if (isIdent("assert")) {
+      advance(); AssertStmt(parseExpr())
     } else if (atAssign) {
       val name = advance().asInstanceOf[TIdent].v
       expectOp("=")

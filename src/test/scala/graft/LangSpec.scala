@@ -379,6 +379,60 @@ class LangSpec extends SparkSpec {
     assert(sel.df.collect().map(_.getString(0)).toSeq == Seq("NATION_3"))
   }
 
+  // ---- try/catch/throw/transaction (reference evaluate.py:318-401) --------
+  test("try/catch catches by supertype and binds the message") {
+    val out = Interp.run(spark,
+      """r = [0]
+        |try {
+        |  x = one [1, 2, 3]
+        |  r = [1]
+        |} catch (e: EvalError) {
+        |  r = [99]
+        |}
+        |r""".stripMargin)
+    assert(out.df.head().getLong(0) == 99) // ValueError <= EvalError
+    intercept[graft.types.ValueError] { // mismatched type propagates
+      Interp.run(spark,
+        "try { x = one [1, 2] } catch (e: NameError) { y = 1 }\n[1]")
+    }
+  }
+
+  test("throw raises the named signal; catch var carries the message") {
+    val out = Interp.run(spark,
+      """m = "none"
+        |try { throw new ValueError("boom") } catch (e: ValueError) { m = e }
+        |[1]{msg: m}""".stripMargin)
+    assert(out.df.head().getString(0) == "boom")
+    intercept[graft.types.CastError] {
+      Interp.run(spark, "throw new CastError(\"bad\")\n[1]")
+    }
+  }
+
+  test("transaction rolls bindings back on signal and re-raises") {
+    val out = Interp.run(spark,
+      """t = [1]
+        |try {
+        |  transaction {
+        |    t = [2]
+        |    throw new ValueError("abort")
+        |  }
+        |} catch (e: ValueError) { caught = 1 }
+        |t""".stripMargin)
+    assert(out.df.head().getLong(0) == 1) // t restored to pre-transaction
+  }
+
+  test("assert raises AssertError on falsy conditions") {
+    intercept[graft.types.AssertError] {
+      Interp.run(spark, "assert 1 == 2\n[1]")
+    }
+    // AssertError <= ValueError (catch by supertype)
+    val ok = Interp.run(spark,
+      """r = [0]
+        |try { assert 1 == 2 } catch (e: ValueError) { r = [7] }
+        |r""".stripMargin)
+    assert(ok.df.head().getLong(0) == 7)
+  }
+
   // ---- struct inlining {...s} (reference compiler.py:80-128) --------------
   test("struct inline expansion with reference collision naming") {
     val out = Interp.run(spark,
