@@ -667,6 +667,28 @@ object SparkEntry {
           |picked{n_nationkey, n_name} order {n_nationkey}""".stripMargin,
         "nation" -> t(s, d, "nation")).df),
 
+    // the reference's examples/primes.pql (bounded): procedure func,
+    // table truthiness, scalar max/count/is_empty over tables
+    "ql12_lang_primes" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """table primes { num: int }
+          |func find_primes(limit) {
+          |  if (not primes) {
+          |    new primes(2)
+          |    new primes(3)
+          |  }
+          |  n = max(primes{num})
+          |  while (n < limit) {
+          |    n = n + 2
+          |    if (is_empty(primes[n % num == 0])) {
+          |      new primes(n)
+          |      commit()
+          |    }
+          |  }
+          |}
+          |find_primes(60)
+          |primes{num} order {num}""".stripMargin).df),
+
     // ---- json scalar functions (extension; reference has none) -----------
     "q61_json" -> ((s, d) =>
       t(s, d, "events").df
@@ -1323,6 +1345,9 @@ object SparkEntry {
     "ql10_lang_strindex" ->
       """SELECT n_nationkey, substr(n_name, 1, 1) AS c0,
            substr(n_name, 8) AS suffix FROM nation""",
+    "ql12_lang_primes" ->
+      """SELECT unnest([2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41,
+           43, 47, 53, 59, 61]) AS num""",
     // transaction rolls `picked` back; AssertError (<= ValueError)
     // is caught; the handler picks region 2
     "ql11_lang_trycatch" ->

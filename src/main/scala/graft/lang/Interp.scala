@@ -50,6 +50,11 @@ object Interp {
   private final class State(spark: SparkSession, init: Map[String, V]) {
     var env: Map[String, V] = init
     var funcs: Map[String, FuncDef] = Map.empty
+    var procs: Map[String, ProcDef] = Map.empty
+    /** One catalog per program run: mutation state (cached id
+      * counters, auto-compaction) survives across statements.
+      */
+    private val cat = new graft.catalog.Catalog(spark)
 
     private def tableEnv: Map[String, PTable] =
       env.collect { case (n, VT(t)) => n -> t }
@@ -64,7 +69,9 @@ object Interp {
 
     def exec(s: Stmt): Unit = s match {
       case Assign(name, value) =>
-        val e = substitute(value)
+        // scalar results (incl. localized count/max/one over tables)
+        // bind as scalars; everything else binds as a table
+        val e = resolveScalars(substitute(value))
         env = env + (name -> (tryScalar(e) match {
           case Some(v) => VS(v)
           case None => VT(evalTable(e).named(name))
@@ -79,15 +86,17 @@ object Interp {
           base.meta)))
       case TableDef(name, fields, bare) =>
         // reference evaluate.py:262-267: empty table, auto `id` pk
-        val cat = new graft.catalog.Catalog(spark)
         val t = cat.create(name,
           fields.map { case (n, tn) => StructField(n, sparkTypeOf(tn)) },
           bare)
         env = env + (name -> VT(t))
       case NewRow(name, args) =>
         val base = lookupTable(name)
-        val cat = new graft.catalog.Catalog(spark)
-        cat.register(name, base)
+        // re-register ONLY when the binding changed outside the
+        // catalog (identity check) — keeps the cached max-id counter
+        // alive across an insert loop (O(1) jobs per insert)
+        if (!cat.names.contains(name) || (cat.get(name) ne base))
+          cat.register(name, base)
         // positional args fill non-pk columns in declaration order
         // (reference `new A(2)`, test_basic.py:952-960)
         val nonPk = base.schema.fields.map(_.name)
@@ -101,12 +110,25 @@ object Interp {
         }
         cat.insertRow(name, named.toMap)
         env = env + (name -> VT(cat.get(name)))
+      case pd: ProcDef =>
+        procs = procs + (pd.name -> pd)
+      case ExprStmt(e) => e match {
+        case Call(fn, args) if procs.contains(fn) => callProc(fn, args)
+        case Call("commit", _) => () // bindings commit incrementally;
+                                     // transaction {} handles atomicity
+        case Call("rollback", _) => throw new graft.types.NotImplementedError(
+          "rollback() outside transaction {}")
+        case other =>
+          // evaluate for effect (e.g. `one t` as an assertion)
+          val sub = substitute(other)
+          if (tryScalar(sub).isEmpty) { evalTable(sub); () }
+      }
       case IfStmt(cond, thenB, elseB) =>
-        if (truthyScalar(scalar(substitute(cond)))) thenB.foreach(exec)
+        if (condTruthy(substitute(cond))) thenB.foreach(exec)
         else elseB.foreach(_.foreach(exec))
       case WhileStmt(cond, body) =>
         var guard = 0
-        while (truthyScalar(scalar(substitute(cond)))) {
+        while (condTruthy(substitute(cond))) {
           body.foreach(exec)
           guard += 1
           if (guard > 1000000)
@@ -123,7 +145,7 @@ object Interp {
           }
         }
       case PrintStmt(e) =>
-        val sub = substitute(e)
+        val sub = resolveScalars(substitute(e))
         tryScalar(sub) match {
           case Some(v) => println(v)
           case None => evalTable(sub).df.show(20, false)
@@ -183,15 +205,95 @@ object Interp {
     def tryScalar(e: Expr): Option[Any] =
       try Some(constEval(e)) catch { case _: NotConst => None }
 
+    /** Localize table-scalar subexpressions to literals: `count(t)`,
+      * `one t{x}`, `max(t{c})`-style aggregates over tables,
+      * `is_empty(t)`, and `fmt` interpolation — the reference's
+      * cast_to_python shape, so conditions like `count(t) == 0` and
+      * assignments like `n = max(primes{num})` const-eval.
+      */
+    private def resolveScalars(e: Expr): Expr = rewrite(e) {
+      case c @ Call("count", Seq(Arg(None, te))) if isTableExpr(te) =>
+        scalarToAst(localize(c))
+      case o: OneE => scalarToAst(localize(o))
+      case Call(agg @ ("max" | "min" | "sum" | "mean" | "avg"),
+                Seq(Arg(None, te))) if isTableExpr(te) =>
+        val tt = evalTable(te)
+        val c = col(tt.columns.head)
+        val a = agg match {
+          case "max" => F.max(c)
+          case "min" => F.min(c)
+          case "sum" => F.sum(c)
+          case _ => F.avg(c)
+        }
+        scalarToAst(tt.df.agg(a).head().get(0))
+      case Call("is_empty", Seq(Arg(None, te))) if isTableExpr(te) =>
+        BoolLit(evalTable(te).df.isEmpty)
+      case Call("fmt", Seq(Arg(None, StrLit(s)))) =>
+        StrLit(interpolate(s))
+    }
+
+    /** `fmt("$var text")` interpolation from scalar bindings
+      * (reference __builtins__.pql fmt).
+      */
+    private def interpolate(s: String): String =
+      "\\$([A-Za-z_][A-Za-z0-9_]*)".r.replaceAllIn(s, m =>
+        env.get(m.group(1)) match {
+          case Some(VS(v)) =>
+            java.util.regex.Matcher.quoteReplacement(String.valueOf(v))
+          case Some(VT(_)) => throw new TypeError(
+            s"fmt: '${m.group(1)}' is a table")
+          case None => throw new NameError(
+            s"fmt: unknown variable '${m.group(1)}'")
+        })
+
     def scalar(e: Expr): Any = {
-      // localize table-scalar subexpressions (count(t), one t{x}) to
-      // literals first, so conditions like `count(t) == 0` const-eval
-      // (reference cast_to_python localizes the same way)
-      val resolved = rewrite(e) {
-        case c @ Call("count", _) => scalarToAst(localize(c))
-        case o: OneE => scalarToAst(localize(o))
-      }
+      val resolved = resolveScalars(e)
       tryScalar(resolved).getOrElse(localize(resolved))
+    }
+
+    /** Condition truthiness: tables are truthy when non-empty
+      * (reference `if (not primes)`), otherwise scalar truthiness.
+      */
+    private def condTruthy(e: Expr): Boolean = e match {
+      case Unary("not", te) if isTableExpr(te) => evalTable(te).df.isEmpty
+      case te if isTableExpr(te) => !evalTable(te).df.isEmpty
+      case _ => truthyScalar(scalar(e))
+    }
+
+    /** Execute a procedure: bind evaluated args over the params
+      * (defaults/named like funcs), run the body, restore only the
+      * param bindings — other writes persist (the reference's
+      * procedures mutate outer tables, e.g. primes.pql).
+      */
+    private def callProc(fn: String, args: Seq[Arg]): Unit = {
+      val pd = procs(fn)
+      val pos = args.takeWhile(_.name.isEmpty)
+      val named = args.drop(pos.length)
+      if (named.exists(_.name.isEmpty))
+        throw new TypeError(s"$fn received a non-named argument after a named one")
+      val byName = named.map(a => (a.name.get, a.value)).toMap
+      val vals: Seq[(String, Expr)] = pd.params.zipWithIndex.map {
+        case (prm, i) =>
+          prm.name -> (if (i < pos.length) pos(i).value
+          else byName.get(prm.name).orElse(prm.default).getOrElse(
+            throw new TypeError(
+              s"$fn is missing a value for parameter '${prm.name}'")))
+      }
+      val bound: Seq[(String, V)] = vals.map { case (n, ve) =>
+        val sub = substitute(ve)
+        n -> (if (isTableExpr(sub)) VT(evalTable(sub))
+        else tryScalar(resolveScalars(sub)) match {
+          case Some(v) => VS(v)
+          case None => VT(evalTable(sub))
+        })
+      }
+      val shadowed = bound.map { case (n, _) => n -> env.get(n) }
+      env = env ++ bound
+      try pd.body.foreach(exec)
+      finally shadowed.foreach {
+        case (n, Some(old)) => env = env + (n -> old)
+        case (n, None) => env = env - n
+      }
     }
 
     /** A 1×1 table localizes to its single value. */

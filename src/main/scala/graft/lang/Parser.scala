@@ -72,6 +72,16 @@ object Ast {
   case class TransactionStmt(body: Seq[Stmt]) extends Stmt
   /** `assert cond` (reference evaluate.py:318-328). */
   case class AssertStmt(cond: Expr) extends Stmt
+  /** Bare expression statement — e.g. a procedure call `find_primes()`
+    * or `commit()` (reference: expressions are statements).
+    */
+  case class ExprStmt(e: Expr) extends Stmt
+  /** `func f(...) { statements }` whose body does NOT reduce to an
+    * expression: a PROCEDURE, executed statement-by-statement at call
+    * time (reference CodeBlock funcs, evaluate.py:330-335).
+    */
+  case class ProcDef(name: String, params: Seq[Param],
+                     body: Seq[Stmt]) extends Stmt
 
   /** Bottom-up AST rewrite with a partial function applied post-order. */
   def rewrite(e: Expr)(pf: PartialFunction[Expr, Expr]): Expr = {
@@ -333,14 +343,17 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
         params += Param(pname, default)
       }
       expectOp(")")
-      // body: `= expr` or a codeblock of assign/if/return statements,
-      // translated to a pure expression so the func stays inlineable
-      // inside projections (reference func_def_short vs codeblock,
+      // body: `= expr`, or a codeblock — translated to a pure
+      // expression when it reduces to assign/if/return (stays
+      // inlineable inside projections); otherwise kept as a PROCEDURE
+      // executed at call time (reference func_def_short vs codeblock,
       // preql.lark:52-53)
-      val body =
-        if (isOp("=")) { advance(); parseExpr() }
-        else blockToExpr(parseBlock())
-      FuncDef(name, params.result(), body)
+      if (isOp("=")) { advance(); FuncDef(name, params.result(), parseExpr()) }
+      else {
+        val block = parseBlock()
+        try FuncDef(name, params.result(), blockToExpr(block))
+        catch { case _: ParseError => ProcDef(name, params.result(), block) }
+      }
     } else if (isIdent("if")) {
       advance(); expectOp("(")
       val cond = parseExpr()
@@ -411,7 +424,7 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
       val name = advance().asInstanceOf[TIdent].v
       expectOp("=")
       Assign(name, parseExpr())
-    } else throw ParseError("expected statement", cur.pos)
+    } else ExprStmt(parseExpr()) // bare expression statement
   }
 
   /** Translate a func codeblock to a single expression: `return e` ends
@@ -442,9 +455,9 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
     while (!cur.isInstanceOf[TEof]) {
       if (atStmt) stmts += parseStmt()
       else {
-        result = Some(parseExpr())
-        if (!cur.isInstanceOf[TEof])
-          throw ParseError("trailing input after final expression", cur.pos)
+        val e = parseExpr()
+        if (cur.isInstanceOf[TEof]) result = Some(e)
+        else stmts += ExprStmt(e) // mid-program bare expression
       }
     }
     Program(stmts.result(),

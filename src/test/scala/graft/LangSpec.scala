@@ -433,6 +433,52 @@ class LangSpec extends SparkSpec {
     assert(ok.df.head().getLong(0) == 7)
   }
 
+  // ---- procedures (reference examples/primes.pql shape) -------------------
+  test("procedure funcs run the primes example (bounded)") {
+    val out = Interp.run(spark,
+      """table primes { num: int }
+        |func find_primes(limit) {
+        |  if (not primes) {
+        |    new primes(2)
+        |    new primes(3)
+        |  }
+        |  n = max(primes{num})
+        |  while (n < limit) {
+        |    n = n + 2
+        |    if (is_empty(primes[n % num == 0])) {
+        |      new primes(n)
+        |      commit()
+        |      cnt = count(primes)
+        |      print fmt("Found prime: $n, total of $cnt known primes")
+        |    }
+        |  }
+        |}
+        |find_primes(30)
+        |primes{num} order {num}""".stripMargin)
+    val primes = out.df.collect().map(_.getLong(0)).toSeq
+    assert(primes == Seq(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L))
+  }
+
+  test("procedure params bind locally; outer writes persist") {
+    val out = Interp.run(spark,
+      """x = 100
+        |acc = [0]
+        |func add_twice(x) {
+        |  acc += [x]
+        |  acc += [x * 10]
+        |}
+        |add_twice(7)
+        |acc order {item}""".stripMargin)
+    assert(out.df.collect().map(_.getLong(0)).toSeq == Seq(0L, 7L, 70L))
+    // param x shadowed inside the proc, outer x intact afterwards
+    val keep = Interp.run(spark,
+      """x = 100
+        |func setp(x) { y = x }
+        |setp(5)
+        |[1]{v: x}""".stripMargin)
+    assert(keep.df.head().getLong(0) == 100)
+  }
+
   // ---- struct inlining {...s} (reference compiler.py:80-128) --------------
   test("struct inline expansion with reference collision naming") {
     val out = Interp.run(spark,
