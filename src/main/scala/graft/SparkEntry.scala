@@ -509,6 +509,14 @@ object SparkEntry {
         .select(col("c_custkey"), col("pt.*"))
         .select(col("c_custkey"), (col("x") * 2).as("x2"), col("y"))),
 
+    // ---- §2.1 struct-row VALUES literal ----------------------------------
+    "q67_values" -> ((s, d) =>
+      PTable.fromRows(s, Seq("code", "descr", "w"),
+        Seq(Seq(1L, "low", 0.25), Seq(2L, "mid", 0.5),
+          Seq(3L, "high", 0.25)))
+        .project("code", "descr", "w",
+          "w2" -> (col("w") * 2)).df),
+
     // ---- §2.6 page + add_index clustering --------------------------------
     "q54_page" -> ((s, d) =>
       t(s, d, "customer").orderBy("c_custkey").page(3, 20)
@@ -1345,6 +1353,10 @@ object SparkEntry {
     "ql10_lang_strindex" ->
       """SELECT n_nationkey, substr(n_name, 1, 1) AS c0,
            substr(n_name, 8) AS suffix FROM nation""",
+    "q67_values" ->
+      """SELECT code, descr, w, w * 2 AS w2 FROM (VALUES
+           (CAST(1 AS BIGINT), 'low', CAST(0.25 AS DOUBLE)),
+           (2, 'mid', 0.5), (3, 'high', 0.25)) v(code, descr, w)""",
     "ql12_lang_primes" ->
       """SELECT unnest([2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41,
            43, 47, 53, 59, 61]) AS num""",

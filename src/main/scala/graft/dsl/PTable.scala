@@ -2,7 +2,8 @@ package graft.dsl
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.{functions => F}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DateType,
+  DoubleType, LongType, StringType, StructField, StructType, TimestampType}
 import graft.types.TableMeta
 
 /** A named/aliased column: `name: expr` in a Preql projection
@@ -252,6 +253,38 @@ object PTable {
       case _ => throw new IllegalArgumentException("unsupported literal list")
     }
     new PTable(df, TableMeta.empty)
+  }
+
+  /** Struct-row VALUES literal — an inline table of named-column rows
+    * (reference sql.py:876-892 compiles struct rows to a VALUES
+    * subquery). Types are inferred per column from the first non-null
+    * value; a small local relation, broadcast-friendly by size.
+    */
+  def fromRows(spark: SparkSession, columns: Seq[String],
+               rows: Seq[Seq[Any]]): PTable = {
+    require(rows.nonEmpty && rows.forall(_.length == columns.length),
+      "fromRows: every row must match the column list")
+    def typeOf(i: Int): DataType =
+      rows.iterator.map(_(i)).find(_ != null) match {
+        case Some(_: Int) | Some(_: Long) => LongType
+        case Some(_: Double) => DoubleType
+        case Some(_: String) => StringType
+        case Some(_: Boolean) => BooleanType
+        case Some(_: java.sql.Timestamp) => TimestampType
+        case Some(_: java.sql.Date) => DateType
+        case Some(o) => throw new graft.types.TypeError(
+          s"fromRows: unsupported value $o")
+        case None => StringType
+      }
+    val schema = StructType(columns.zipWithIndex.map { case (c, i) =>
+      StructField(c, typeOf(i))
+    })
+    val data = rows.map(r => Row.fromSeq(r.map {
+      case i: Int => i.toLong
+      case v => v
+    }))
+    new PTable(spark.createDataFrame(
+      java.util.Arrays.asList(data: _*), schema), TableMeta.empty)
   }
 
   /** `[start..stop]` integer range, end-exclusive
