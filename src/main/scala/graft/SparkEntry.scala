@@ -387,8 +387,10 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.ext.Dedup.simhashFromHashes(col("hl")).as("sh"))),
 
+    // prefix-filtered EXACT similarity join (near-linear candidates,
+    // no block-quadratic term, no LSH recall loss)
     "x09_jaccard_pairs" -> ((s, d) =>
-      graft.ext.Dedup.jaccardPairs(t(s, d, "documents").df,
+      graft.ext.Dedup.jaccardPairsExact(t(s, d, "documents").df,
         "doc_id", "text", Seq("lang", "source"), 0.5)),
 
     // ---- ext: similarity search ------------------------------------------

@@ -239,6 +239,64 @@ object Dedup {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
+  /** EXACT similarity join via prefix filtering (PPJoin-style; see
+    * Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW'08 — public algorithm): two documents with
+    * Jaccard >= t MUST share at least one token among the first
+    * `|d| - ceil(t*|d|) + 1` tokens of a COMMON total order. Ordering
+    * tokens by ascending global frequency makes those prefixes rare
+    * tokens, so the candidate join on (block, prefix-token) generates
+    * near-linear candidates instead of block² — exactness preserved
+    * (unlike the LSH fallback), which makes this the default 100 TB
+    * path for exact thresholds:
+    *
+    *   1. one shuffle to count global token frequencies,
+    *   2. one shuffle to re-sort each document's tokens by (freq, tok),
+    *   3. candidate equi-join on (block, prefix token),
+    *   4. size-ratio prune + exact TokenJaccard verification.
+    */
+  def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
+                        blockCols: Seq[String],
+                        threshold: Double): DataFrame = {
+    val base = df.select(Seq(col(idCol).as("id"),
+      F.array_distinct(tokens(col(textCol))).as("tok")) ++
+      blockCols.map(col): _*)
+      .localCheckpoint(true)
+    val freq = base.select(F.explode(col("tok")).as("t"))
+      .groupBy("t").agg(F.count(lit(1)).as("f"))
+    // canonical per-document ordering: rarest tokens first
+    val sorted = base.select(Seq(col("id"), F.explode(col("tok")).as("t")) ++
+        blockCols.map(col): _*)
+      .join(freq, "t")
+      .groupBy((col("id") +: blockCols.map(col)): _*)
+      .agg(F.transform(
+        F.array_sort(F.collect_list(F.struct(col("f"), col("t")))),
+        s => s.getField("t")).as("stok"))
+      .localCheckpoint(true) // self-joined below
+    val n = F.size(col("stok"))
+    val plen = (n - F.ceil(n * threshold) + 1).cast("int")
+    val pref = sorted.select(Seq(col("id"), F.size(col("stok")).as("_nd"),
+      F.explode(F.slice(col("stok"), lit(1), plen)).as("ptok")) ++
+      blockCols.map(col): _*)
+    val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _)
+    val cand = pref.alias("a").join(pref.alias("b"),
+        blockEq && col("a.ptok") === col("b.ptok") &&
+          col("a.id") < col("b.id") &&
+          // size-ratio prune: J <= min/max of distinct counts
+          F.least(col("a._nd"), col("b._nd")) >=
+            F.greatest(col("a._nd"), col("b._nd")) * threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val toks = base.select(col("id"), col("tok"))
+    cand
+      .join(toks.alias("ta"), col("id_a") === col("ta.id"))
+      .join(toks.alias("tb"), col("id_b") === col("tb.id"))
+      .select(col("id_a"), col("id_b"),
+        graft.plans.TokenJaccard(col("ta.tok"), col("tb.tok")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   // ---- cluster resolution --------------------------------------------------
   /** Connected components over near-dup pairs: assigns every id the
     * minimum id of its duplicate cluster (the canonical survivor).

@@ -90,6 +90,23 @@ class ExtSpec extends SparkSpec {
       s"planted dups lost: ${planted diff capped}")
   }
 
+  test("jaccardPairsExact (prefix filter) equals the all-pairs result") {
+    val aug = docs.limit(60).select(col("doc_id"), col("text"),
+      col("lang"), col("source"))
+      .unionAll(docs.limit(60).filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text"),
+          col("lang"), col("source")))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.jaccardPairsExact(aug, "doc_id", "text",
+      Seq("lang", "source"), 0.5))
+    val allPairs = pairs(Dedup.jaccardPairs(aug, "doc_id", "text",
+      Seq("lang", "source"), 0.5, maxBlock = 100000))
+    assert(exact == allPairs, // prefix filtering must lose NOTHING
+      s"missing: ${allPairs diff exact}, extra: ${exact diff allPairs}")
+    assert(exact.nonEmpty)
+  }
+
   test("cosinePairs hot-block fallback: subset of exact, identical vecs kept") {
     val hot = emb.limit(40).select(col("vec_id"), col("embedding"),
       lit("hot").as("label"))
