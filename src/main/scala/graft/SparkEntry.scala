@@ -1350,8 +1350,8 @@ object SparkEntry {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          ORDER BY c_custkey LIMIT 100""",
     "ql9_lang_ddl" ->
-      """SELECT * FROM (VALUES (1, 'alpha', 10), (2, 'beta', 20))
-           v(id, name, pts)""",
+      """SELECT CAST(id AS BIGINT) AS id, name, CAST(pts AS BIGINT) AS pts
+         FROM (VALUES (1, 'alpha', 10), (2, 'beta', 20)) v(id, name, pts)""",
     "ql10_lang_strindex" ->
       """SELECT n_nationkey, substr(n_name, 1, 1) AS c0,
            substr(n_name, 8) AS suffix FROM nation""",
@@ -1360,8 +1360,8 @@ object SparkEntry {
            (CAST(1 AS BIGINT), 'low', CAST(0.25 AS DOUBLE)),
            (2, 'mid', 0.5), (3, 'high', 0.25)) v(code, descr, w)""",
     "ql12_lang_primes" ->
-      """SELECT unnest([2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41,
-           43, 47, 53, 59, 61]) AS num""",
+      """SELECT CAST(unnest([2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37,
+           41, 43, 47, 53, 59, 61]) AS BIGINT) AS num""",
     // transaction rolls `picked` back; AssertError (<= ValueError)
     // is caught; the handler picks region 2
     "ql11_lang_trycatch" ->
