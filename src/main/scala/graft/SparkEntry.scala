@@ -379,6 +379,13 @@ object SparkEntry {
     "x07_minhash_pairs" -> ((s, d) =>
       graft.ext.Dedup.minhashPairs(augDocs(s, d), "doc_id", "text", 0.8)),
 
+    // production fast-hash path (xxhash64): same pipeline as x07 minus
+    // the md5 the oracle needs for cross-engine portability — recorded
+    // rows-only so the bench shows the deployable throughput
+    "x19_minhash_fast" -> ((s, d) =>
+      graft.ext.Dedup.minhashPairs(augDocs(s, d), "doc_id", "text", 0.8,
+        hasher = graft.ext.Dedup.fastHasher)),
+
     // token hashes materialize once; the 32 bit-sums then share them
     "x08_simhash" -> ((s, d) =>
       t(s, d, "documents").df
