@@ -56,6 +56,10 @@ object Interp {
       */
     private val cat = new graft.catalog.Catalog(spark)
 
+    /** `return` control flow inside procedures. */
+    private final class ReturnValue(val v: V) extends RuntimeException
+    private var procDepth = 0
+
     private def tableEnv: Map[String, PTable] =
       env.collect { case (n, VT(t)) => n -> t }
 
@@ -71,10 +75,9 @@ object Interp {
       case Assign(name, value) =>
         // scalar results (incl. localized count/max/one over tables)
         // bind as scalars; everything else binds as a table
-        val e = resolveScalars(substitute(value))
-        env = env + (name -> (tryScalar(e) match {
-          case Some(v) => VS(v)
-          case None => VT(evalTable(e).named(name))
+        env = env + (name -> (evalValue(substitute(value)) match {
+          case VT(t) => VT(t.named(name))
+          case vs => vs
         }))
       case fd: FuncDef =>
         funcs = funcs + (fd.name -> fd)
@@ -171,8 +174,31 @@ object Interp {
       case AssertStmt(cond) =>
         if (!truthyScalar(scalar(substitute(cond))))
           throw new graft.types.AssertError(s"Assertion failed: $cond")
-      case ReturnStmt(_) =>
-        throw new TypeError("'return' is only valid inside func bodies")
+      case ImportStmt(m) =>
+        // builtin modules are preloaded (bfs/walk_tree etc. are table
+        // functions); accept the reference's `import graph` style
+        if (!Set("graph", "core", "builtins").contains(m))
+          throw new NameError(s"unknown module '$m'")
+      case ReturnStmt(e) =>
+        if (procDepth == 0)
+          throw new TypeError("'return' is only valid inside func bodies")
+        throw new ReturnValue(evalValue(substitute(e)))
+    }
+
+    /** Evaluate to a binding value: scalar if const-resolvable, else
+      * table. A top-level procedure call passes its return value
+      * through unchanged (tables stay tables).
+      */
+    private def evalValue(e: Expr): V = e match {
+      case Call(fn, args) if procs.contains(fn) =>
+        callProc(fn, args).getOrElse(
+          throw new ValueError(s"$fn did not return a value"))
+      case _ =>
+        val r = resolveScalars(e)
+        tryScalar(r) match {
+          case Some(v) => VS(v)
+          case None => VT(evalTable(r))
+        }
     }
 
     private def lookupTable(name: String): PTable = env.get(name) match {
@@ -230,6 +256,18 @@ object Interp {
         BoolLit(evalTable(te).df.isEmpty)
       case Call("fmt", Seq(Arg(None, StrLit(s)))) =>
         StrLit(interpolate(s))
+      // procedure call in expression position: run, splice the value
+      case Call(fn, args) if procs.contains(fn) =>
+        callProc(fn, args) match {
+          case Some(VS(v)) => scalarToAst(v)
+          case Some(VT(t)) =>
+            val rows = t.df.take(2)
+            if (rows.length == 1 && rows(0).length == 1)
+              scalarToAst(rows(0).get(0))
+            else throw new TypeError(
+              s"procedure $fn returned a table in scalar context")
+          case None => throw new ValueError(s"$fn did not return a value")
+        }
     }
 
     /** `fmt("$var text")` interpolation from scalar bindings
@@ -265,7 +303,7 @@ object Interp {
       * param bindings — other writes persist (the reference's
       * procedures mutate outer tables, e.g. primes.pql).
       */
-    private def callProc(fn: String, args: Seq[Arg]): Unit = {
+    private def callProc(fn: String, args: Seq[Arg]): Option[V] = {
       val pd = procs(fn)
       val pos = args.takeWhile(_.name.isEmpty)
       val named = args.drop(pos.length)
@@ -289,10 +327,15 @@ object Interp {
       }
       val shadowed = bound.map { case (n, _) => n -> env.get(n) }
       env = env ++ bound
-      try pd.body.foreach(exec)
-      finally shadowed.foreach {
-        case (n, Some(old)) => env = env + (n -> old)
-        case (n, None) => env = env - n
+      procDepth += 1
+      try { pd.body.foreach(exec); None }
+      catch { case r: ReturnValue => Some(r.v) }
+      finally {
+        procDepth -= 1
+        shadowed.foreach {
+          case (n, Some(old)) => env = env + (n -> old)
+          case (n, None) => env = env - n
+        }
       }
     }
 
@@ -403,6 +446,14 @@ object Interp {
               vals.map { case v: Double => v
                          case o => throw new TypeError(s"mixed-type list: $o") })
             case o => throw new TypeError(s"unsupported list element: $o")
+          }
+
+        case Call(fn, args) if procs.contains(fn) =>
+          callProc(fn, args) match {
+            case Some(VT(tt)) => tt
+            case Some(VS(v)) => throw new TypeError(
+              s"procedure $fn returned a scalar ($v), not a table")
+            case None => throw new ValueError(s"$fn did not return a value")
           }
 
         case Call(fn, args) => tableCall(fn, args)

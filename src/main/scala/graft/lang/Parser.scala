@@ -72,6 +72,8 @@ object Ast {
   case class TransactionStmt(body: Seq[Stmt]) extends Stmt
   /** `assert cond` (reference evaluate.py:318-328). */
   case class AssertStmt(cond: Expr) extends Stmt
+  /** `import name` (reference import_stmt; builtin modules only). */
+  case class ImportStmt(module: String) extends Stmt
   /** Bare expression statement — e.g. a procedure call `find_primes()`
     * or `commit()` (reference: expressions are statements).
     */
@@ -255,7 +257,8 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
       isIdent("func") || isIdent("if") || isIdent("while") ||
       isIdent("for") || isIdent("print") || isIdent("return") ||
       isIdent("try") || isIdent("throw") || isIdent("transaction") ||
-      isIdent("assert")
+      isIdent("assert") || (isIdent("import") &&
+        toks.lift(p + 1).exists(_.isInstanceOf[TIdent]))
 
   /** `{ stmt* }` codeblock (reference preql.lark:62). */
   private def parseBlock(): Seq[Stmt] = {
@@ -420,6 +423,10 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
       advance(); TransactionStmt(parseBlock())
     } else if (isIdent("assert")) {
       advance(); AssertStmt(parseExpr())
+    } else if (isIdent("import") &&
+        toks.lift(p + 1).exists(_.isInstanceOf[TIdent])) {
+      advance()
+      ImportStmt(advance().asInstanceOf[TIdent].v)
     } else if (atAssign) {
       val name = advance().asInstanceOf[TIdent].v
       expectOp("=")

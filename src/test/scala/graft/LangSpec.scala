@@ -479,6 +479,33 @@ class LangSpec extends SparkSpec {
     assert(keep.df.head().getLong(0) == 100)
   }
 
+  test("procedures return values: scalars compose, tables flow") {
+    val s1 = Interp.run(spark,
+      """func sum_to(n) {
+        |  s = 0
+        |  i = 0
+        |  while (i < n) {
+        |    i = i + 1
+        |    s = s + i
+        |  }
+        |  return s
+        |}
+        |total = sum_to(10) + 5
+        |[1]{v: total}""".stripMargin)
+    assert(s1.df.head().getLong(0) == 60)
+    val s2 = Interp.run(spark,
+      """import graph
+        |func evens(t) {
+        |  r = t[item % 2 == 0]
+        |  return r
+        |}
+        |evens([1..11]) order {item}""".stripMargin)
+    assert(s2.df.collect().map(_.getLong(0)).toSeq == Seq(2L, 4L, 6L, 8L, 10L))
+    intercept[graft.types.NameError] {
+      Interp.run(spark, "import nosuchmodule\n[1]")
+    }
+  }
+
   // ---- struct inlining {...s} (reference compiler.py:80-128) --------------
   test("struct inline expansion with reference collision naming") {
     val out = Interp.run(spark,
