@@ -521,6 +521,13 @@ object Interp {
             .getOrElse(20L).toInt
           val idx = constLong(args(1).value).toInt
           t(args.head.value).slice(idx * size, idx * size + size)
+        case "tables" | "names" =>
+          // reference pql_functions.py:786-828 introspection
+          val rows = env.collect { case (n, VT(_)) => Tuple1(n) }.toSeq
+            .sortBy(_._1)
+          PTable(spark.createDataFrame(rows).toDF("name"))
+        case "columns" =>
+          PTable(graft.sources.Tables.columns(t(args.head.value)))
         case "env_vars" =>
           // reference pql_functions.py:653-665: bindings + their kind
           val rows = env.toSeq.map { case (n, v) =>

@@ -310,6 +310,15 @@ class LangSpec extends SparkSpec {
     assert(r.getString(4).startsWith("\"") && r.getString(4).endsWith("\""))
   }
 
+  test("tables()/columns() introspection in the language") {
+    val names = Interp.run(spark, "x = 1\ntables()",
+      "nation" -> nation, "region" -> region)
+      .df.collect().map(_.getString(0)).toSeq
+    assert(names == Seq("nation", "region")) // scalars excluded, sorted
+    val cols = Interp.run(spark, "columns(nation)", "nation" -> nation)
+    assert(cols.df.count() == 3)
+  }
+
   test("env_vars lists scalar and table bindings") {
     val out = Interp.run(spark,
       "x = 3.5\nenv_vars()", "nation" -> nation)
