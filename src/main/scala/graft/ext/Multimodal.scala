@@ -68,6 +68,41 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, out)
   }
 
+  /** Batched feature extraction: blobs → `Array[Float]` embeddings,
+    * processed in batches of `batchSize` rows per partition — the
+    * mapInPandas/Arrow batch shape, where a real extractor would run
+    * one model invocation per BATCH (GPU-friendly) with per-partition
+    * init. The features themselves are STUBBED deterministically (an
+    * L2-normalized byte histogram) so the downstream plumbing —
+    * schema, batching, and feeding `Similarity` ANN operators — is
+    * exercised for real.
+    */
+  def extractFeaturesStub(df: DataFrame, blobCol: String, idCol: String,
+                          dim: Int = 16, batchSize: Int = 64): DataFrame = {
+    val out = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      // real extractor: model/session init once per partition here
+      rows.grouped(batchSize).flatMap { batch =>
+        // real extractor: ONE inference call on the whole batch here
+        batch.map { r =>
+          val blob = r.getAs[Array[Byte]](blobIdx)
+          val hist = new Array[Float](dim)
+          blob.foreach(b => hist((b & 0xff) % dim) += 1f)
+          val norm = math.sqrt(hist.map(x => x.toDouble * x).sum)
+          val unit =
+            if (norm == 0) hist else hist.map(x => (x / norm).toFloat)
+          Row(r.getAs[Number](idIdx).longValue(), unit.toSeq)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, out)
+  }
+
   /** Frame sampling for video-like blob sequences: keep every nth
     * frame per group — expression-only, no decode needed.
     */

@@ -241,6 +241,28 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: batched feature extraction feeds the ANN operators") {
+    val blobs = docs.limit(50).select(col("doc_id"),
+      col("text").cast("binary").as("blob"))
+    val feats = Multimodal.extractFeaturesStub(blobs, "blob", "doc_id",
+      dim = 8, batchSize = 16)
+    assert(feats.count() == 50)
+    assert(feats.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))
+    // deterministic: same input -> bit-identical features
+    val a = feats.orderBy("vec_id").collect().map(_.getSeq[Float](1))
+    val b = Multimodal.extractFeaturesStub(blobs, "blob", "doc_id",
+      dim = 8, batchSize = 16).orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+    // unit-normalized -> cosine over them is well-defined; they feed
+    // the existing ANN operators directly
+    val knn = Similarity.bruteForceTopK(
+      feats.filter(col("vec_id") < 2), feats, 3)
+    assert(knn.count() > 0)
+  }
+
   test("multimodal: frame sampling keeps every nth frame per group") {
     val frames = spark.range(100).select(
       (col("id") % 5).as("video"), col("id").as("frame"))
