@@ -119,16 +119,22 @@ final class Catalog(val spark: SparkSession) {
     val withId = idCol match {
       case Some(ic) if !rows.columns.contains(ic) =>
         val base = idCounters.getOrElse(name, maxId(t, ic))
+        // Freeze the inserted relation FIRST: a nondeterministic plan
+        // (sample/limit) would otherwise re-evaluate between the count
+        // that advances the counter and the lazy id-assigning reads,
+        // letting realized ids drift from the counter → duplicate ids
+        // on later inserts.
+        val frozen = rows.localCheckpoint(true)
         // Distributed id assignment: per-partition offsets (zipWithIndex),
         // not a single-partition window.
         val out = StructType(StructField(ic, LongType, nullable = false)
           +: rows.schema.fields)
-        val rdd = rows.rdd.zipWithIndex.map { case (r, i) =>
+        val rdd = frozen.rdd.zipWithIndex.map { case (r, i) =>
           Row.fromSeq((base + 1 + i) +: r.toSeq)
         }
         // advance the counter by the inserted count (an action over the
         // small INSERTED relation only, never the base table)
-        idCounters(name) = base + rows.count()
+        idCounters(name) = base + frozen.count()
         spark.createDataFrame(rdd, out)
       case _ =>
         idCounters.remove(name) // caller-provided ids: reprobe next time

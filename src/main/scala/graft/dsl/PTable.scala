@@ -279,6 +279,29 @@ object PTable {
     val schema = StructType(columns.zipWithIndex.map { case (c, i) =>
       StructField(c, typeOf(i))
     })
+    // Validate EVERY row against the inferred column type up front: a
+    // column mixing e.g. Long and String passes the shape require but
+    // would otherwise die later at DataFrame encoding with an opaque
+    // ClassCastException instead of a typed error naming the column.
+    def compatible(v: Any, dt: DataType): Boolean = v match {
+      case null => true
+      case _: Int | _: Long => dt == LongType
+      case _: Double => dt == DoubleType
+      case _: String => dt == StringType
+      case _: Boolean => dt == BooleanType
+      case _: java.sql.Timestamp => dt == TimestampType
+      case _: java.sql.Date => dt == DateType
+      case _ => false
+    }
+    columns.indices.foreach { i =>
+      val dt = schema(i).dataType
+      rows.iterator.map(_(i)).find(!compatible(_, dt)).foreach { v =>
+        throw new graft.types.TypeError(
+          s"fromRows: column '${columns(i)}' was inferred as " +
+            s"${dt.simpleString} but contains incompatible value " +
+            s"$v (${v.getClass.getSimpleName})")
+      }
+    }
     val data = rows.map(r => Row.fromSeq(r.map {
       case i: Int => i.toLong
       case v => v

@@ -53,11 +53,18 @@ object Ranks {
     val small = n / k
     val big = n % k
     val rank = col("_grank")
+    // integral `div` (IntegralDivide), not double division: above ~2^53
+    // rows the correctly-rounded double quotient can round up across an
+    // integer boundary and misassign a bucket — this is the module
+    // pitched as the 100 TB global-rank path, so the index math must be
+    // exact at any row count. Operands are non-negative, so truncating
+    // division == floor division here.
+    def idiv(a: Column, b: Long): Column = F.call_function("div", a, lit(b))
     val bucket =
       if (small == 0) rank // fewer rows than buckets: one row each
       else when(rank <= big * (small + 1),
-        (rank - 1) / (small + 1) + 1)
-        .otherwise(lit(big) + (rank - 1 - big * (small + 1)) / small + 1)
+        idiv(rank - 1, small + 1) + 1)
+        .otherwise(lit(big) + idiv(rank - 1 - big * (small + 1), small) + 1)
     ranked
       .withColumn("_ntile", bucket.cast(IntegerType))
       .withColumn("_percent_rank",

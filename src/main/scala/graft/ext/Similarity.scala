@@ -176,15 +176,22 @@ object Similarity {
     * array keeps the lowest centroid_id on exact ties.
     */
   private def centArgmax(cents: Seq[(Long, Seq[Float], Double)],
-                         vecCol: String): Column =
+                         vecCol: String): Column = {
+    // Compute each centroid's dot ONCE in a transform(), then fold only
+    // compares — Catalyst does no CSE inside higher-order-function
+    // lambdas, so putting `sim` in both the when() predicate and the
+    // result struct would double the dominant CPU cost of the
+    // zero-shuffle assignment (same re-evaluation trap as the hash
+    // constants documented in CLAUDE.md).
+    val sims = F.transform(F.typedlit(cents), c => F.struct(
+      c.getField("_1").as("id"),
+      (fdot(col(vecCol), c.getField("_2")) / c.getField("_3")).as("sim")))
     F.aggregate(
-      F.typedlit(cents),
+      sims,
       F.struct(lit(-1L).as("id"), lit(Double.NegativeInfinity).as("sim")),
-      (acc, c) => {
-        val sim = fdot(col(vecCol), c.getField("_2")) / c.getField("_3")
-        when(sim > acc.getField("sim"),
-          F.struct(c.getField("_1").as("id"), sim.as("sim"))).otherwise(acc)
-      })
+      (acc, s) =>
+        when(s.getField("sim") > acc.getField("sim"), s).otherwise(acc))
+  }
 
   private def withNorm(id: Long, v: Seq[Float]): (Long, Seq[Float], Double) = {
     var s = 0.0

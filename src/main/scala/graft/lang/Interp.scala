@@ -66,10 +66,18 @@ object Interp {
     /** Replace scalar variables with literal AST nodes (vars shadow
       * columns) and inline user function calls.
       */
-    def substitute(e: Expr): Expr = inline(rewrite(e) {
-      case Ident(n) if env.get(n).exists(_.isInstanceOf[VS]) =>
-        scalarToAst(env(n).asInstanceOf[VS].v)
-    }, funcs)
+    def substitute(e: Expr): Expr = {
+      def scalars(x: Expr): Expr = rewrite(x) {
+        case Ident(n) if env.get(n).exists(_.isInstanceOf[VS]) =>
+          scalarToAst(env(n).asInstanceOf[VS].v)
+      }
+      // the scalar rewrite must also run AFTER inline(): a global
+      // scalar referenced only inside a func body (closure global,
+      // reference evaluate.py:551-648) first appears once the body is
+      // spliced in. Param occurrences are already replaced by argument
+      // ASTs at that point, so parameter shadowing is preserved.
+      scalars(inline(scalars(e), funcs))
+    }
 
     def exec(s: Stmt): Unit = s match {
       case Assign(name, value) =>

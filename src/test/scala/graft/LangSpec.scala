@@ -209,6 +209,27 @@ class LangSpec extends SparkSpec {
     assert(r.getLong(1) == 10 && r.getLong(2) == 15)
   }
 
+  test("func body resolves a global scalar (closure global)") {
+    // reference evaluate.py:551-648: globals resolve inside func
+    // bodies. The scalar rewrite must run AFTER inlining, else `k`
+    // silently resolves as a column (or throws) once the body is
+    // spliced into the projection.
+    val out = Interp.run(spark,
+      """k = 5
+        |func addk(x) = x + k
+        |nation{n_nationkey, a: addk(n_nationkey)} order {n_nationkey}""".stripMargin,
+      "nation" -> nation)
+    val r = out.df.head()
+    assert(r.getAs[Number](1).longValue == r.getAs[Number](0).longValue + 5)
+    // and a global sharing a COLUMN name: the param still shadows it
+    val out2 = Interp.run(spark,
+      """n_nationkey = 100
+        |func f(n_nationkey) = n_nationkey + 1
+        |nation{a: f(0)} order {a}""".stripMargin,
+      "nation" -> nation)
+    assert(out2.df.head().getAs[Number](0).longValue == 1L)
+  }
+
   test("func argument errors match reference semantics") {
     intercept[graft.types.TypeError] { // missing required param
       Interp.run(spark, "func f(x, y) = x + y\nnation{a: f(n_nationkey)}",

@@ -89,6 +89,20 @@ class PTableSpec extends SparkSpec {
     assert(out.sorted.toSeq == Seq("a", "b", "c"))
   }
 
+  test("fromRows rejects a type-mixed column with a typed error") {
+    // a column mixing Long and String must raise graft TypeError
+    // naming the column, not an opaque encoding ClassCastException
+    val e = intercept[graft.types.TypeError] {
+      PTable.fromRows(spark, Seq("a", "b"),
+        Seq(Seq(1L, "x"), Seq("oops", "y")))
+    }
+    assert(e.getMessage.contains("'a'"))
+    // nulls and Int→Long widening stay accepted
+    val ok = PTable.fromRows(spark, Seq("a", "b"),
+      Seq(Seq(1, "x"), Seq(null, "y"))).df.collect()
+    assert(ok.length == 2)
+  }
+
   test("QueryCache memoizes by (name, args) signature") {
     val qc = new QueryCache
     var builds = 0
