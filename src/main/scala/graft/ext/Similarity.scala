@@ -281,18 +281,67 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs within blocking groups.
-    * Blocks larger than `maxBlock` fall back to hyperplane-LSH
-    * bucketing inside the block (near-identical vectors share all sign
-    * bits with high probability), so a skewed block costs
-    * bucket-collisions², not block². Fallback pairs are still
-    * exact-verified against `threshold`; recall within hot blocks is
-    * probabilistic (standard LSH trade).
+  /** Top-`p` dimensions of the L2-NORMALIZED vectors by variance —
+    * the dims where the data spreads most, hence where an epsilon-grid
+    * prunes best. One posexplode scan + a dim-keyed partial aggregation
+    * (shuffle payload: dims × partitions partials, never rows) — scales
+    * to any dimensionality, unlike dim separate getItem aggregates.
+    * Deterministic order: variance desc, dim asc.
+    */
+  private[ext] def topVarianceDims(df: DataFrame, p: Int,
+                                   vecCol: String = "v",
+                                   normCol: String = "nv"): Seq[Int] =
+    df.select(F.posexplode(col(vecCol)).as(Seq("d", "x")), col(normCol))
+      .select(col("d"),
+        when(col(normCol) === 0.0, 0.0)
+          .otherwise(col("x").cast(DoubleType) / col(normCol)).as("u"))
+      .groupBy("d")
+      .agg(F.avg(col("u")).as("m"), F.avg(col("u") * col("u")).as("m2"))
+      .select(col("d"), (col("m2") - col("m") * col("m")).as("var"))
+      .orderBy(col("var").desc, col("d").asc)
+      .limit(p).collect().map(_.getInt(0)).toSeq
+
+  /** Grid cell ids of the normalized vector along `dims`, cell width
+    * `eps`. Zero vectors pin to cell 0 (they verify downstream like
+    * any candidate).
+    */
+  private def gridCell(dims: Seq[Int], eps: Double,
+                       vecCol: String = "v",
+                       normCol: String = "nv"): Column =
+    F.array(dims.map { d =>
+      when(col(normCol) === 0.0, 0L).otherwise(
+        F.floor(col(vecCol).getItem(d).cast(DoubleType) / col(normCol)
+          / lit(eps)))
+    }: _*)
+
+  /** Embedding-cosine near-duplicate pairs within blocking groups —
+    * EXACT at any block size.
+    *
+    * Blocks ≤ `maxBlock` use the direct in-block pair join. Hot blocks
+    * use an epsilon-grid join instead of quadratic expansion: for
+    * L2-normalized vectors, cos(a,b) ≥ t implies
+    * ‖a−b‖ ≤ √(2(1−t)) = eps, so along ANY dimension the cell indices
+    * floor(uᵢ/eps) of a matching pair differ by at most 1. Quantize the
+    * `gridDims` highest-variance dims, join same-or-adjacent cells
+    * (one side expanded to its 3^gridDims neighbor cells), verify with
+    * the exact dot. Candidates are a strict superset of true pairs —
+    * full recall, unlike the previous sign-LSH fallback — and the
+    * candidate count is Σ cell·neighborhood sizes, not block².
+    *
+    * This is the dense-vector analog of the PPJoin prefix filter used
+    * for exact Jaccard (Dedup.jaccardPairsExact): dense embeddings
+    * share every dimension, so presence-based prefixes can't prune;
+    * the metric bound over the most-spread dims is what replaces them
+    * (epsilon-grid spatial join; cf. Bayardo et al., WWW'07 all-pairs
+    * bounds). Replication is bounded: 3^gridDims copies of the hot
+    * subset only. Pruning weakens as t → low (eps → grid degenerates
+    * to one cell), but a low-threshold all-pairs output is itself
+    * near-quadratic — the grid only costs when the answer does.
     */
   def cosinePairs(df: DataFrame, threshold: Double,
                   blockCol: String, idCol: String = "vec_id",
                   vecCol: String = "embedding",
-                  maxBlock: Int = 5000, nPlanes: Int = 8): DataFrame = {
+                  maxBlock: Int = 5000, gridDims: Int = 2): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       fnorm(col(vecCol)).as("nv"), col(blockCol))
     val sizes = base.groupBy(blockCol).agg(F.count(lit(1)).as("_bn"))
@@ -304,11 +353,26 @@ object Similarity {
     val small = withN.filter(col("_bn") <= maxBlock)
     val smallPairs = scored(small.alias("a").join(small.alias("b"),
       col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.id") < col("b.id")))
+
     val big = withN.filter(col("_bn") > maxBlock)
-      .withColumn("_sig", lshSignature(col("v"), nPlanes))
-    val bigPairs = scored(big.alias("a").join(big.alias("b"),
+    val eps = math.max(math.sqrt(2.0 * math.max(1.0 - threshold, 0.0)), 1e-12)
+    val dims = topVarianceDims(big, gridDims)
+    val cell = gridCell(dims, eps)
+    val withCell = big.withColumn("_cell", cell)
+    // one side expands to its 3^p neighbor cells; an adjacent pair then
+    // matches on exactly ONE offset, and a.id < b.id keeps one
+    // orientation — each pair appears exactly once, no distinct needed
+    val offsets: Seq[Seq[Long]] = dims.foldLeft(Seq(Seq.empty[Long])) {
+      (acc, _) => acc.flatMap(o => Seq(-1L, 0L, 1L).map(o :+ _))
+    }
+    val expanded = withCell
+      .withColumn("_off", F.explode(F.typedlit(offsets)))
+      .withColumn("_cell", F.zip_with(col("_cell"), col("_off"),
+        (c, o) => c + o))
+      .drop("_off")
+    val bigPairs = scored(withCell.alias("a").join(expanded.alias("b"),
       col(s"a.$blockCol") === col(s"b.$blockCol") &&
-        col("a._sig") === col("b._sig") && col("a.id") < col("b.id")))
+        col("a._cell") === col("b._cell") && col("a.id") < col("b.id")))
     smallPairs.unionAll(bigPairs)
   }
 }

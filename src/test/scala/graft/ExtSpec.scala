@@ -107,22 +107,25 @@ class ExtSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
-  test("cosinePairs hot-block fallback: subset of exact, identical vecs kept") {
+  test("cosinePairs hot-block epsilon-grid: IDENTICAL to all-pairs result") {
     val hot = emb.limit(40).select(col("vec_id"), col("embedding"),
       lit("hot").as("label"))
     val aug = hot.unionAll(hot.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000).as("vec_id"), col("embedding"),
         col("label")))
-    def pairSet(maxBlock: Int) =
-      Similarity.cosinePairs(aug, 0.999, "label", maxBlock = maxBlock)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairSet(maxBlock = 10000)
-    val capped = pairSet(maxBlock = 10)
-    assert(capped.subsetOf(exact), "fallback invented pairs")
-    // identical vectors have identical LSH signatures — cannot be missed
-    val planted = exact.filter { case (a, b) => b - a == 1000 }
-    assert(planted.nonEmpty && planted.subsetOf(capped),
-      s"planted dups lost: ${planted diff capped}")
+    for (threshold <- Seq(0.999, 0.8)) {
+      def pairSet(maxBlock: Int) =
+        Similarity.cosinePairs(aug, threshold, "label", maxBlock = maxBlock)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairSet(maxBlock = 10000) // direct in-block pair join
+      val capped = pairSet(maxBlock = 10)   // forces the grid path
+      // the epsilon-grid candidate set is a superset of true pairs and
+      // every candidate is exact-verified — full recall, zero loss
+      assert(capped == exact, s"t=$threshold missing: ${exact diff capped}, " +
+        s"extra: ${capped diff exact}")
+      val planted = exact.filter { case (a, b) => b - a == 1000 }
+      assert(planted.nonEmpty, s"t=$threshold planted dups absent from exact")
+    }
   }
 
   test("simhash: near-identical texts have small hamming distance") {
