@@ -19,7 +19,7 @@ import graft.types.TableMeta
   *    of mutations should be compacted via `materialize`.
   *  - generated ids: `new` rows get maxId+1.. — the max-probe is a
   *    cheap agg over the id column (pruned scan). For bulk distributed
-  *    id assignment use zipWithIndex offsets, never a global window.
+  *    id assignment use GlobalIndex offsets, never a global window.
   */
 final class Catalog(val spark: SparkSession) {
 
@@ -119,23 +119,16 @@ final class Catalog(val spark: SparkSession) {
     val withId = idCol match {
       case Some(ic) if !rows.columns.contains(ic) =>
         val base = idCounters.getOrElse(name, maxId(t, ic))
-        // Freeze the inserted relation FIRST: a nondeterministic plan
-        // (sample/limit) would otherwise re-evaluate between the count
-        // that advances the counter and the lazy id-assigning reads,
-        // letting realized ids drift from the counter → duplicate ids
-        // on later inserts.
-        val frozen = rows.localCheckpoint(true)
-        // Distributed id assignment: per-partition offsets (zipWithIndex),
-        // not a single-partition window.
-        val out = StructType(StructField(ic, LongType, nullable = false)
-          +: rows.schema.fields)
-        val rdd = frozen.rdd.zipWithIndex.map { case (r, i) =>
-          Row.fromSeq((base + 1 + i) +: r.toSeq)
-        }
-        // advance the counter by the inserted count (an action over the
-        // small INSERTED relation only, never the base table)
-        idCounters(name) = base + frozen.count()
-        spark.createDataFrame(rdd, out)
+        // GlobalIndex freezes the inserted relation (localCheckpoint),
+        // so a nondeterministic plan (sample/limit) cannot drift the
+        // realized ids from the counter, and assigns per-partition
+        // offset ids as pure columns — never a single-partition window,
+        // never an RDD exit. The count comes from the same offsets
+        // pass (an action over the small INSERTED relation only).
+        val (indexed, n) = graft.plans.GlobalIndex.withIndexAndCount(
+          rows, ic, startAt = base + 1)
+        idCounters(name) = base + n
+        indexed.select((F.col(ic) +: rows.columns.map(F.col)): _*)
       case _ =>
         idCounters.remove(name) // caller-provided ids: reprobe next time
         rows
@@ -168,12 +161,10 @@ final class Catalog(val spark: SparkSession) {
     val t =
       if (const) PTable(expr.df, TableMeta(name))
       else {
-        val out = StructType(StructField("id", LongType, nullable = false)
-          +: expr.schema.fields)
-        val rdd = expr.df.rdd.zipWithIndex.map { case (r, i) =>
-          Row.fromSeq((i + 1) +: r.toSeq)
-        }
-        PTable(spark.createDataFrame(rdd, out), TableMeta(name, pk = Seq("id")))
+        val indexed = graft.plans.GlobalIndex.withIndex(
+          expr.df, "id", startAt = 1)
+        PTable(indexed.select((F.col("id") +: expr.df.columns.map(F.col)): _*),
+          TableMeta(name, pk = Seq("id")))
       }
     register(name, t.cache())
   }

@@ -154,13 +154,13 @@ final class PTable(val df: DataFrame, val meta: TableMeta) {
     * (reference __builtins__.pql:290-311: row_number() over () - 1).
     *
     * Scale note (SURVEY §4): a no-partition window collapses to ONE
-    * partition. We instead zipWithIndex: per-partition counting + an
-    * offset pass — fully parallel, order-preserving.
+    * partition. We instead use GlobalIndex: per-partition counts + an
+    * offset column — fully parallel, order-preserving, and pure
+    * Catalyst expressions (no RDD round trip out of Tungsten).
     */
   def enum(indexName: String = "index"): PTable = {
-    val out = StructType(StructField(indexName, LongType, nullable = false) +: df.schema.fields)
-    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
-    anon(df.sparkSession.createDataFrame(rdd, out))
+    val indexed = graft.plans.GlobalIndex.withIndex(df, indexName)
+    anon(indexed.select(F.col(indexName) +: df.columns.map(F.col): _*))
   }
 
   /** Deterministic sample by pk hash arithmetic — see PF.keyedSample. */

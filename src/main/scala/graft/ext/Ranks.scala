@@ -15,8 +15,8 @@ import org.apache.spark.sql.types._
   *      partitions (one shuffle, fully parallel).
   *   2. sort within each partition (no cross-partition traffic).
   *   3. global index via per-partition counts + offsets
-  *      (`zipWithIndex` computes exactly that with one lightweight
-  *      count job) — rank = offset + local position.
+  *      (GlobalIndex: one lightweight count job, then pure Catalyst
+  *      columns) — rank = offset + local position.
   *
   * The sort key must be a total order (add a unique tiebreaker) so
   * ranks are well-defined and run-to-run deterministic regardless of
@@ -26,20 +26,25 @@ object Ranks {
 
   /** Appends `_grank` (1-based global rank by `sortCols`). */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
-                     partitions: Int = 0): DataFrame = {
+                     partitions: Int = 0): DataFrame =
+    withGlobalRankAndCount(df, sortCols, partitions)._1
+
+  /** As `withGlobalRank`, also returning the total row count (known
+    * from the offsets pass — no extra job).
+    */
+  private[ext] def withGlobalRankAndCount(df: DataFrame, sortCols: Seq[Column],
+                                          partitions: Int = 0)
+      : (DataFrame, Long) = {
     val spark = df.sparkSession
     val p =
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = df.repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .localCheckpoint(true) // freeze: rank + count read the same data
-    val out = StructType(ranged.schema.fields :+
-      StructField("_grank", LongType, nullable = false))
-    val rdd = ranged.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1))
-    }
-    spark.createDataFrame(rdd, out)
+    // GlobalIndex freezes the ranged frame, counts rows per partition
+    // (range partitions are ordered, so offsets ARE the rank base),
+    // and attaches offset + local position as pure columns.
+    graft.plans.GlobalIndex.withIndexAndCount(ranged, "_grank", startAt = 1)
   }
 
   /** Exact global ntile + percent_rank over a total-order sort key,
@@ -48,8 +53,7 @@ object Ranks {
     */
   def ntilePercent(df: DataFrame, k: Int, sortCols: Seq[Column],
                    partitions: Int = 0): DataFrame = {
-    val ranked = withGlobalRank(df, sortCols, partitions)
-    val n = ranked.count()
+    val (ranked, n) = withGlobalRankAndCount(df, sortCols, partitions)
     val small = n / k
     val big = n % k
     val rank = col("_grank")

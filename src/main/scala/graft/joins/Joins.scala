@@ -131,16 +131,11 @@ object Joins {
 
   /** Positional zip join (reference __builtins__.pql:167-257): pair rows
     * by row index, Python-zip semantics. Index attachment uses
-    * zipWithIndex (parallel, order-preserving), never a no-partition
-    * window.
+    * GlobalIndex (parallel, order-preserving, pure columns), never a
+    * no-partition window.
     */
-  private def indexed(t: PTable, alias: String): DataFrame = {
-    val df = t.df
-    val out = StructType(StructField("_zip_idx", LongType, nullable = false)
-      +: df.schema.fields)
-    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
-    df.sparkSession.createDataFrame(rdd, out).alias(alias)
-  }
+  private def indexed(t: PTable, alias: String): DataFrame =
+    graft.plans.GlobalIndex.withIndex(t.df, "_zip_idx").alias(alias)
 
   private def zipKind(a: PTable, b: PTable, kind: String): PTable = {
     val ia = indexed(a, "a")
