@@ -102,15 +102,19 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nPlanes: Int = 8, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    // norms are precomputed per ROW before the bucket join — computing
+    // them inside the pair projection would re-run two O(d) folds per
+    // candidate pair (same shape as bruteForceTopK's precompute)
     val q = F.broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qvec"),
+      col(vecCol).as("qvec"), fnorm(col(vecCol)).as("qn"),
       lshSignature(col(vecCol), nPlanes).as("qsig")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      fnorm(col(vecCol)).as("cn"),
       lshSignature(col(vecCol), nPlanes).as("csig"))
     val scored = q.join(c, col("qsig") === col("csig") &&
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (fdot(col("qvec"), col("cvec")) / (fnorm(col("qvec")) * fnorm(col("cvec")))).as("sim"))
+        (fdot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))
     // two-stage top-k (see bruteForceTopK): local prune per scan
     // partition, then global rank per query
     val local = Window.partitionBy(col("query_id"), F.spark_partition_id())
@@ -183,12 +187,16 @@ object Similarity {
     // result struct would double the dominant CPU cost of the
     // zero-shuffle assignment (same re-evaluation trap as the hash
     // constants documented in CLAUDE.md).
-    val sims = F.transform(F.typedlit(cents), c => F.struct(
-      c.getField("_1").as("id"),
-      (fdot(col(vecCol), c.getField("_2")) / c.getField("_3")).as("sim")))
+    // named_struct, not struct(...as...): alias-derived field naming
+    // inside a lambda resolves too late when the enclosing select also
+    // carries a generator (posexplode), leaving placeholder names
+    val sims = F.transform(F.typedlit(cents), c => F.named_struct(
+      lit("id"), c.getField("_1"),
+      lit("sim"), fdot(col(vecCol), c.getField("_2")) / c.getField("_3")))
     F.aggregate(
       sims,
-      F.struct(lit(-1L).as("id"), lit(Double.NegativeInfinity).as("sim")),
+      F.named_struct(lit("id"), lit(-1L),
+        lit("sim"), lit(Double.NegativeInfinity)),
       (acc, s) =>
         when(s.getField("sim") > acc.getField("sim"), s).otherwise(acc))
   }
@@ -214,14 +222,22 @@ object Similarity {
     var cents: Seq[(Long, Seq[Float], Double)] = c0.collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
       .sortBy(_._1)
-    val dim = cents.head._2.length
     for (_ <- 1 to iters) {
       val best = centArgmax(cents, vecCol)
+      // Per-dimension means via ONE (cid, dim)-keyed aggregate: the
+      // posexplode collapses map-side (partial avg per (cid, d) per
+      // partition → shuffle payload k×dim partials, never corpus
+      // rows), then the k result vectors are re-assembled by sorting
+      // the (d, mean) structs per centroid. This replaces `dim`
+      // separate getItem() AVG buffers per group — fine at dim≈16,
+      // dim×k buffer blowup at 768+.
       val means = corpus
-        .select(col(vecCol), best.getField("id").as("_cid"))
-        .groupBy("_cid")
-        .agg(F.array((0 until dim).map(i =>
-          F.avg(col(vecCol).getItem(i))): _*).as("m"))
+        .select(best.getField("id").as("_cid"),
+          F.posexplode(col(vecCol)).as(Seq("_d", "_x")))
+        .groupBy("_cid", "_d").agg(F.avg(col("_x")).as("_m"))
+        .groupBy("_cid").agg(F.transform(
+          F.array_sort(F.collect_list(F.struct(col("_d"), col("_m")))),
+          s => s.getField("_m")).as("m"))
         .collect()
       val byId = means.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
       cents = cents.map { case (id, v, n) =>
