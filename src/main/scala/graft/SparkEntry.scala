@@ -706,6 +706,16 @@ object SparkEntry {
           |find_primes(60)
           |primes{num} order {num}""".stripMargin).df),
 
+    // varargs collector + call-site spread (reference
+    // pql_objects.py:84-212, test_basic.py:680-696): the collected
+    // dict parameterizes a selection, spread re-inlines it
+    "ql13_lang_varargs" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """func range_filter(t, ...bounds) = t[l_quantity >= bounds.lo, l_quantity <= bounds.hi]
+          |cfg = dict(lo: 10, hi: 15)
+          |range_filter(lineitem, ...cfg){l_orderkey, l_linenumber, l_quantity} order {l_orderkey, l_linenumber}""".stripMargin,
+        "lineitem" -> t(s, d, "lineitem")).df),
+
     // ---- json scalar functions (extension; reference has none) -----------
     "q61_json" -> ((s, d) =>
       t(s, d, "events").df
@@ -1369,6 +1379,10 @@ object SparkEntry {
     "ql12_lang_primes" ->
       """SELECT CAST(unnest([2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37,
            41, 43, 47, 53, 59, 61]) AS BIGINT) AS num""",
+    "ql13_lang_varargs" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity >= 10 AND l_quantity <= 15
+         ORDER BY l_orderkey, l_linenumber""",
     // transaction rolls `picked` back; AssertError (<= ValueError)
     // is caught; the handler picks region 2
     "ql11_lang_trycatch" ->

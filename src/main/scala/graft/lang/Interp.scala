@@ -39,6 +39,15 @@ object Interp {
   private final case class VT(t: PTable) extends V
   private final case class VS(v: Any) extends V
 
+  /** Driver-side dict value — what a varargs collector binds and what
+    * `f(a:1, b:2)` evaluates to (reference ast.Dict_,
+    * pql_objects.py:110-212). Field order is call order.
+    */
+  private[lang] final case class DictV(fields: Seq[(String, Any)]) {
+    override def toString: String =
+      fields.map { case (k, v) => s"$k: $v" }.mkString("{", ", ", "}")
+  }
+
   def run(spark: SparkSession, src: String, tables: (String, PTable)*): PTable = {
     val prog = Parser.parse(src)
     val st = new State(spark, tables.map { case (n, t) => n -> (VT(t): V) }.toMap)
@@ -49,7 +58,10 @@ object Interp {
   /** Mutable program state: bindings + user function definitions. */
   private final class State(spark: SparkSession, init: Map[String, V]) {
     var env: Map[String, V] = init
-    var funcs: Map[String, FuncDef] = Map.empty
+    // `dict(a:1, b:2)` is stdlib sugar over the varargs collector
+    // (reference __builtins__.pql:164 `func dict(...x) = x`)
+    var funcs: Map[String, FuncDef] = Map(
+      "dict" -> FuncDef("dict", Seq.empty, Ident("x"), Some("x")))
     var procs: Map[String, ProcDef] = Map.empty
     /** One catalog per program run: mutation state (cached id
       * counters, auto-compaction) survives across statements.
@@ -70,6 +82,12 @@ object Interp {
       def scalars(x: Expr): Expr = rewrite(x) {
         case Ident(n) if env.get(n).exists(_.isInstanceOf[VS]) =>
           scalarToAst(env(n).asInstanceOf[VS].v)
+        // dict member access folds in the same bottom-up pass, so
+        // `d.a.b` chains resolve inner-first and the surviving AST can
+        // embed anywhere a literal can (selections, projections)
+        case Attr(DictLit(fs), n) =>
+          fs.collectFirst { case (k, v) if k == n => v }.getOrElse(
+            throw new NameError(s"dict has no attribute '$n'"))
       }
       // the scalar rewrite must also run AFTER inline(): a global
       // scalar referenced only inside a func body (closure global,
@@ -626,8 +644,18 @@ object Interp {
       case Ident(n) if bind.contains(n) => bind(n)
     }
     rewrite(e) {
-      case Call(fn, args) if funcs.contains(fn) =>
+      case Call(fn, args0) if funcs.contains(fn) =>
         val fd = funcs(fn)
+        // `f(...d)`: inline a dict value as named args (reference
+        // pql_objects.py:145-157). Bottom-up rewriting already folded
+        // nested calls / substituted dict vars inside the Spread.
+        val args = args0.flatMap {
+          case Arg(None, Spread(DictLit(fs))) =>
+            fs.map { case (k, v) => Arg(Some(k), v) }
+          case Arg(_, Spread(other)) => throw new TypeError(
+            s"$fn: expression to inline is not a map: $other")
+          case a => Seq(a)
+        }
         val pos = args.takeWhile(_.name.isEmpty)
         val named = args.drop(pos.length)
         if (named.exists(_.name.isEmpty))
@@ -636,11 +664,15 @@ object Interp {
         if (pos.length > fd.params.length)
           throw new TypeError(s"$fn takes ${fd.params.length} parameter(s) " +
             s"but received ${pos.length} positional argument(s)")
-        val byName = named.map(a => (a.name.get, a.value)).toMap
         val known = fd.params.map(_.name).toSet
-        byName.keys.find(!known.contains(_)).foreach { k =>
-          throw new TypeError(s"$fn has no parameter named '$k'")
+        // extra NAMED args collect into the `...collector` dict
+        // (reference pql_objects.py:185-212); without one they error
+        val (knownNamed, extraNamed) =
+          named.partition(a => known.contains(a.name.get))
+        if (fd.collector.isEmpty) extraNamed.headOption.foreach { a =>
+          throw new TypeError(s"$fn has no parameter named '${a.name.get}'")
         }
+        val byName = knownNamed.map(a => (a.name.get, a.value)).toMap
         val vals = fd.params.zipWithIndex.map { case (prm, i) =>
           if (i < pos.length) {
             if (byName.contains(prm.name))
@@ -652,7 +684,9 @@ object Interp {
               s"$fn is missing a value for parameter '${prm.name}'"))
         }
         val bind = fd.params.map(_.name)
-          .zip(vals.map(v => inline(v, funcs))).toMap
+          .zip(vals.map(v => inline(v, funcs))).toMap ++
+          fd.collector.map(cn => cn -> DictLit(extraNamed.map(a =>
+            (a.name.get, inline(a.value, funcs)))))
         inline(subst(fd.body, bind), funcs)
     }
   }
@@ -765,6 +799,7 @@ object Interp {
     case i: Int => IntLit(i.toLong)
     case d: Double => FloatLit(d)
     case s: String => StrLit(s)
+    case DictV(fs) => DictLit(fs.map { case (k, v) => (k, scalarToAst(v)) })
     case o => throw new TypeError(s"unsupported scalar value: $o")
   }
 
@@ -796,6 +831,13 @@ object Interp {
     case Unary("not", x) => !truthyScalar(constEval(x))
     case BinOp(op, le, re) => constBin(op, le, re)
     case Call(fn, args) => constCall(fn, args)
+    case DictLit(fs) => DictV(fs.map { case (k, v) => (k, constEval(v)) })
+    case Attr(o, n) => constEval(o) match {
+      case DictV(fs) =>
+        fs.collectFirst { case (k, v) if k == n => v }.getOrElse(
+          throw new NameError(s"dict has no attribute '$n'"))
+      case _ => throw new NotConst
+    }
     case _ => throw new NotConst
   }
 

@@ -23,6 +23,15 @@ object Ast {
   case class Call(fn: String, args: Seq[Arg]) extends Expr
   case class Arg(name: Option[String], value: Expr)
   case class ListLit(items: Seq[Expr]) extends Expr
+  /** Literal dict value — produced by a varargs collector (reference
+    * ast.Dict_, pql_objects.py:110-212) and by substituting a bound
+    * dict variable back into an expression.
+    */
+  case class DictLit(fields: Seq[(String, Expr)]) extends Expr
+  /** Call-site `...expr` — inline a dict value as named arguments
+    * (reference ast.Ellipsis in func_args, pql_objects.py:145-157).
+    */
+  case class Spread(e: Expr) extends Expr
   /** `{..., x}` / `{... !a !b}` — include remaining columns;
     * `{...s}` — inline the fields of struct column `s`
     * (reference compiler.py:80-128 `_expand_ellipsis`).
@@ -54,7 +63,12 @@ object Ast {
     * param defaults/matching pql_objects.py:110-212).
     */
   case class Param(name: String, default: Option[Expr])
-  case class FuncDef(name: String, params: Seq[Param], body: Expr) extends Stmt
+  /** `collector`: `func f(...kw)` — extra NAMED args collect into a
+    * dict bound to this name (reference param_collector,
+    * pql_objects.py:84-212; grammar param_variadic preql.lark:69).
+    */
+  case class FuncDef(name: String, params: Seq[Param], body: Expr,
+                     collector: Option[String] = None) extends Stmt
   /** Driver-side control flow (reference evaluate.py:338-356). */
   case class IfStmt(cond: Expr, thenB: Seq[Stmt],
                     elseB: Option[Seq[Stmt]]) extends Stmt
@@ -109,6 +123,9 @@ object Ast {
       case Delete(t, cs) => Delete(rewrite(t)(pf), cs.map(rewrite(_)(pf)))
       case RangeLit(f, u) =>
         RangeLit(f.map(rewrite(_)(pf)), u.map(rewrite(_)(pf)))
+      case DictLit(fs) =>
+        DictLit(fs.map { case (k, v) => (k, rewrite(v)(pf)) })
+      case Spread(x) => Spread(rewrite(x)(pf))
       case leaf => leaf
     }
     if (pf.isDefinedAt(mapped)) pf(mapped) else mapped
@@ -333,17 +350,31 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
       }
       expectOp("(")
       val params = Seq.newBuilder[Param]
+      var collector: Option[String] = None
       var firstP = true
       while (!isOp(")")) {
         if (!firstP) expectOp(",")
         firstP = false
-        val pname = advance() match {
-          case TIdent(v, _) => v
-          case t => throw ParseError("expected parameter name", t.pos)
+        if (collector.nonEmpty)
+          throw ParseError("'...collector' must be the last parameter",
+            cur.pos)
+        if (isOp("...")) {
+          // varargs collector (reference param_variadic preql.lark:69):
+          // extra NAMED args collect into a dict bound to this name
+          advance()
+          collector = Some(advance() match {
+            case TIdent(v, _) => v
+            case t => throw ParseError("expected name after '...'", t.pos)
+          })
+        } else {
+          val pname = advance() match {
+            case TIdent(v, _) => v
+            case t => throw ParseError("expected parameter name", t.pos)
+          }
+          val default =
+            if (isOp("=")) { advance(); Some(parseExpr()) } else None
+          params += Param(pname, default)
         }
-        val default =
-          if (isOp("=")) { advance(); Some(parseExpr()) } else None
-        params += Param(pname, default)
       }
       expectOp(")")
       // body: `= expr`, or a codeblock — translated to a pure
@@ -351,11 +382,15 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
       // inlineable inside projections); otherwise kept as a PROCEDURE
       // executed at call time (reference func_def_short vs codeblock,
       // preql.lark:52-53)
-      if (isOp("=")) { advance(); FuncDef(name, params.result(), parseExpr()) }
-      else {
+      if (isOp("=")) {
+        advance(); FuncDef(name, params.result(), parseExpr(), collector)
+      } else {
         val block = parseBlock()
-        try FuncDef(name, params.result(), blockToExpr(block))
-        catch { case _: ParseError => ProcDef(name, params.result(), block) }
+        try FuncDef(name, params.result(), blockToExpr(block), collector)
+        catch {
+          case _: ParseError if collector.isEmpty =>
+            ProcDef(name, params.result(), block)
+        }
       }
     } else if (isIdent("if")) {
       advance(); expectOp("(")
@@ -708,6 +743,10 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
             case (TIdent(n2, _), Some(TOp(":", _))) =>
               advance(); advance()
               args += Arg(Some(n2), parseExpr())
+            case (TOp("...", _), _) =>
+              // `f(...d)`: spread a dict value as named args
+              advance()
+              args += Arg(None, Spread(parseExpr()))
             case _ => args += Arg(None, parseExpr())
           }
         }

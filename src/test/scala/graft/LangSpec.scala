@@ -209,6 +209,45 @@ class LangSpec extends SparkSpec {
     assert(r.getLong(1) == 10 && r.getLong(2) == 15)
   }
 
+  test("varargs collector: extra named args become a dict") {
+    // reference test_basic.py:680-696 (test_vararg)
+    val out = Interp.run(spark,
+      """func f(...x) = x
+        |[1]{a: f(a:1, b:2).a, b: f(a:1, b:2).b,
+        |  c: f(a:1, b:f(c:3, d:4)).b.c}""".stripMargin)
+    val r = out.df.head()
+    assert(r.getLong(0) == 1 && r.getLong(1) == 2 && r.getLong(2) == 3)
+  }
+
+  test("varargs spread: f(...d) re-inlines a dict as named args") {
+    val out = Interp.run(spark,
+      """func f(...x) = x
+        |x1 = f(a:1, b:2)
+        |x2 = f(...x1)
+        |[1]{a: x2.a, b: x2.b}""".stripMargin)
+    val r = out.df.head()
+    assert(r.getLong(0) == 1 && r.getLong(1) == 2)
+  }
+
+  test("varargs mix with fixed params; dict() builtin; errors") {
+    val out = Interp.run(spark,
+      """func g(base, ...opts) = base * opts.mult + opts.add
+        |d = dict(tag: "x", n: 7)
+        |[1]{v: g(10, mult: 3, add: 4), n: d.n}""".stripMargin)
+    val r = out.df.head()
+    assert(r.getLong(0) == 34 && r.getLong(1) == 7)
+    // no collector → unknown named arg still errors
+    intercept[graft.types.TypeError] {
+      Interp.run(spark,
+        "func h(x) = x\n[1]{v: h(x: 1, y: 2)}")
+    }
+    // missing dict field
+    intercept[graft.types.NameError] {
+      Interp.run(spark,
+        "func f(...x) = x\n[1]{v: f(a:1).nope}")
+    }
+  }
+
   test("func body resolves a global scalar (closure global)") {
     // reference evaluate.py:551-648: globals resolve inside func
     // bodies. The scalar rewrite must run AFTER inlining, else `k`
