@@ -716,6 +716,18 @@ object SparkEntry {
           |range_filter(lineitem, ...cfg){l_orderkey, l_linenumber, l_quantity} order {l_orderkey, l_linenumber}""".stripMargin,
         "lineitem" -> t(s, d, "lineitem")).df),
 
+    // user module import (reference evaluate.py:387-423): the module's
+    // func (with a module-side closure global) drives a projection
+    "ql14_lang_module" -> ((s, d) =>
+      graft.lang.Interp.runWithModules(s,
+        """import pricing
+          |orders[o_totalprice > 250000]{o_orderkey, tier: pricing.tier(o_totalprice)} order {o_orderkey}""".stripMargin,
+        Map("pricing" ->
+          """cutoff = 400000
+            |func tier(p) = iif(p > cutoff, "high", "mid")
+            |""".stripMargin),
+        "orders" -> t(s, d, "orders")).df),
+
     // ---- json scalar functions (extension; reference has none) -----------
     "q61_json" -> ((s, d) =>
       t(s, d, "events").df
@@ -1383,6 +1395,10 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE l_quantity >= 10 AND l_quantity <= 15
          ORDER BY l_orderkey, l_linenumber""",
+    "ql14_lang_module" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_totalprice > 400000 THEN 'high' ELSE 'mid' END AS tier
+         FROM orders WHERE o_totalprice > 250000 ORDER BY o_orderkey""",
     // transaction rolls `picked` back; AssertError (<= ValueError)
     // is caught; the handler picks region 2
     "ql11_lang_trycatch" ->

@@ -48,16 +48,30 @@ object Interp {
       fields.map { case (k, v) => s"$k: $v" }.mkString("{", ", ", "}")
   }
 
-  def run(spark: SparkSession, src: String, tables: (String, PTable)*): PTable = {
+  def run(spark: SparkSession, src: String, tables: (String, PTable)*): PTable =
+    runWithModules(spark, src, Map.empty, tables: _*)
+
+  /** As `run`, with user module sources: `import m` executes
+    * `modules("m")` (falling back to an `m.pql` file in the working
+    * directory) in a fresh namespace and binds its members under
+    * `m.<name>` (reference import_module, evaluate.py:387-423).
+    */
+  def runWithModules(spark: SparkSession, src: String,
+                     modules: Map[String, String],
+                     tables: (String, PTable)*): PTable = {
     val prog = Parser.parse(src)
-    val st = new State(spark, tables.map { case (n, t) => n -> (VT(t): V) }.toMap)
+    val st = new State(spark,
+      tables.map { case (n, t) => n -> (VT(t): V) }.toMap, modules)
     prog.stmts.foreach(st.exec)
     st.evalTable(st.substitute(prog.result))
   }
 
   /** Mutable program state: bindings + user function definitions. */
-  private final class State(spark: SparkSession, init: Map[String, V]) {
+  private final class State(spark: SparkSession, init: Map[String, V],
+                            moduleSrc: Map[String, String] = Map.empty) {
     var env: Map[String, V] = init
+    /** Names bound by `import m` — gates `m.member` resolution. */
+    var modules: Set[String] = Set.empty
     // `dict(a:1, b:2)` is stdlib sugar over the varargs collector
     // (reference __builtins__.pql:164 `func dict(...x) = x`)
     var funcs: Map[String, FuncDef] = Map(
@@ -88,6 +102,15 @@ object Interp {
         case Attr(DictLit(fs), n) =>
           fs.collectFirst { case (k, v) if k == n => v }.getOrElse(
             throw new NameError(s"dict has no attribute '$n'"))
+        // `m.member` on an imported module: scalars splice as
+        // literals, tables resolve through their qualified binding
+        case Attr(Ident(m), n) if modules.contains(m) =>
+          env.get(s"$m.$n") match {
+            case Some(VS(v)) => scalarToAst(v)
+            case Some(VT(_)) => Ident(s"$m.$n")
+            case None =>
+              throw new NameError(s"module '$m' has no member '$n'")
+          }
       }
       // the scalar rewrite must also run AFTER inline(): a global
       // scalar referenced only inside a func body (closure global,
@@ -202,13 +225,48 @@ object Interp {
           throw new graft.types.AssertError(s"Assertion failed: $cond")
       case ImportStmt(m) =>
         // builtin modules are preloaded (bfs/walk_tree etc. are table
-        // functions); accept the reference's `import graph` style
+        // functions); user modules execute in a fresh namespace and
+        // bind members under `m.<name>` (reference import_module,
+        // evaluate.py:387-423: clone interp, include, wrap as Module)
         if (!Set("graph", "core", "builtins").contains(m))
-          throw new NameError(s"unknown module '$m'")
+          importModule(m)
       case ReturnStmt(e) =>
         if (procDepth == 0)
           throw new TypeError("'return' is only valid inside func bodies")
         throw new ReturnValue(evalValue(substitute(e)))
+    }
+
+    /** `import m`: run the module's statements in a fresh State (own
+      * env + catalog, same module search space — the reference clones
+      * the interpreter, evaluate.py:396-423), then bind its funcs,
+      * procs and bindings under `m.<name>`. Free names inside module
+      * func bodies are re-qualified to module scope first, so closure
+      * globals keep resolving module-side after the splice.
+      */
+    private def importModule(m: String): Unit = {
+      val src = moduleSrc.get(m).orElse {
+        val f = new java.io.File(s"$m.pql")
+        if (f.isFile)
+          Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8))
+        else None
+      }.getOrElse(throw new NameError(s"Cannot find module '$m'"))
+      val sub = new State(spark, Map.empty, moduleSrc)
+      Parser.parseModule(src).foreach(sub.exec)
+      modules += m
+      env ++= sub.env.map { case (k, v) => s"$m.$k" -> v }
+      funcs ++= sub.funcs.collect { case (k, fd) if k != "dict" =>
+        // params (and the varargs collector) shadow module globals
+        val pnames = fd.params.map(_.name).toSet ++ fd.collector
+        val qbody = rewrite(fd.body) {
+          case Ident(n) if !pnames.contains(n) && sub.env.contains(n) =>
+            Ident(s"$m.$n")
+          case Call(fn, as) if sub.funcs.contains(fn) && fn != "dict" =>
+            Call(s"$m.$fn", as)
+        }
+        s"$m.$k" -> fd.copy(body = qbody)
+      }
+      procs ++= sub.procs.map { case (k, pd) => s"$m.$k" -> pd }
     }
 
     /** Evaluate to a binding value: scalar if const-resolvable, else

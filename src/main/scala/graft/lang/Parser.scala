@@ -512,6 +512,18 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
     e
   }
 
+  /** A module file: statements only, no trailing result expression
+    * required (reference include/import, evaluate.py:373-423).
+    */
+  def parseModule(): Seq[Stmt] = {
+    val stmts = Seq.newBuilder[Stmt]
+    while (!cur.isInstanceOf[TEof]) {
+      if (atStmt) stmts += parseStmt()
+      else stmts += ExprStmt(parseExpr())
+    }
+    stmts.result()
+  }
+
   // ---- expression ladder --------------------------------------------------
   def parseExpr(): Expr = parseOr()
 
@@ -594,6 +606,31 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
     case _ => false
   }
 
+  /** Call argument list after the opening `(`: positional, `name:`
+    * named, and `...dict` spread forms.
+    */
+  private def parseCallArgs(): Seq[Arg] = {
+    expectOp("(")
+    val args = Seq.newBuilder[Arg]
+    var first = true
+    while (!isOp(")")) {
+      if (!first) expectOp(",")
+      first = false
+      (cur, toks.lift(p + 1)) match {
+        case (TIdent(n2, _), Some(TOp(":", _))) =>
+          advance(); advance()
+          args += Arg(Some(n2), parseExpr())
+        case (TOp("...", _), _) =>
+          // `f(...d)`: spread a dict value as named args
+          advance()
+          args += Arg(None, Spread(parseExpr()))
+        case _ => args += Arg(None, parseExpr())
+      }
+    }
+    expectOp(")")
+    args.result()
+  }
+
   // ---- molecule with postfix table operators ------------------------------
   private def parsePostfix(): Expr = {
     var e = parseAtom()
@@ -606,6 +643,16 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
           case t => throw ParseError("expected attribute name", t.pos)
         }
         e = Attr(e, name)
+        // qualified call `module.func(args)` (reference Module getattr,
+        // pql_objects.py:49-67): the dotted name becomes the callee
+        if (isOp("(") && sameLineAsPrev) {
+          e match {
+            case Attr(Ident(q), f) => e = Call(s"$q.$f", parseCallArgs())
+            case _ => throw ParseError(
+              s"cannot call attribute '$name' of a non-name expression",
+              cur.pos)
+          }
+        }
       } else if (isOp("[") && sameLineAsPrev) {
         e = parseBracketPostfix(e)
       } else if (isOp("{") && sameLineAsPrev) {
@@ -732,27 +779,8 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
     case TIdent("false", _) => BoolLit(false)
     case TIdent("null", _) => NullLit
     case TIdent(name, _) =>
-      if (isOp("(") && sameLineAsPrev) {
-        advance()
-        val args = Seq.newBuilder[Arg]
-        var first = true
-        while (!isOp(")")) {
-          if (!first) expectOp(",")
-          first = false
-          (cur, toks.lift(p + 1)) match {
-            case (TIdent(n2, _), Some(TOp(":", _))) =>
-              advance(); advance()
-              args += Arg(Some(n2), parseExpr())
-            case (TOp("...", _), _) =>
-              // `f(...d)`: spread a dict value as named args
-              advance()
-              args += Arg(None, Spread(parseExpr()))
-            case _ => args += Arg(None, parseExpr())
-          }
-        }
-        expectOp(")")
-        Call(name, args.result())
-      } else Ident(name)
+      if (isOp("(") && sameLineAsPrev) Call(name, parseCallArgs())
+      else Ident(name)
     case TOp("(", _) =>
       val e = parseExpr()
       expectOp(")")
@@ -788,4 +816,6 @@ object Parser {
     new Parser(Lexer.lex(src), src).parseProgram()
   def parseExpr(src: String): Ast.Expr =
     new Parser(Lexer.lex(src), src).parseSingle()
+  def parseModule(src: String): Seq[Ast.Stmt] =
+    new Parser(Lexer.lex(src), src).parseModule()
 }

@@ -248,6 +248,40 @@ class LangSpec extends SparkSpec {
     }
   }
 
+  test("user modules: import binds funcs/vars under m.<name>") {
+    // reference import_module (evaluate.py:387-423): module runs in
+    // its own namespace; qualified access; closure globals resolve
+    // module-side
+    val util =
+      """k = 7
+        |func scale(x) = x * k
+        |func twice(x) = scale(x) + scale(x)
+        |base = 100
+        |""".stripMargin
+    val out = Interp.runWithModules(spark,
+      """import util
+        |[1]{a: util.scale(3), b: util.twice(2), c: util.base + 1}""".stripMargin,
+      Map("util" -> util))
+    val r = out.df.head()
+    assert(r.getLong(0) == 21 && r.getLong(1) == 28 && r.getLong(2) == 101)
+  }
+
+  test("module funcs vectorize over table columns; missing module errors") {
+    val mod = "func pct(x, whole) = x * 100 / whole"
+    val out = Interp.runWithModules(spark,
+      """import m
+        |nation{n_nationkey, p: m.pct(n_nationkey, 25)} order {n_nationkey}""".stripMargin,
+      Map("m" -> mod), "nation" -> nation)
+    assert(out.df.filter(col("n_nationkey") === 5).head().getDouble(1) == 20.0)
+    intercept[graft.types.NameError] {
+      Interp.run(spark, "import nosuchmodule\n[1]")
+    }
+    intercept[graft.types.NameError] {
+      Interp.runWithModules(spark, "import m\n[1]{v: m.nope}",
+        Map("m" -> "k = 1"))
+    }
+  }
+
   test("func body resolves a global scalar (closure global)") {
     // reference evaluate.py:551-648: globals resolve inside func
     // bodies. The scalar rewrite must run AFTER inlining, else `k`
