@@ -324,6 +324,25 @@ object SparkEntry {
         "SELECT n_name, n_nationkey * 10 AS k10 FROM $t WHERE n_nationkey < 10",
         "t" -> t(s, d, "nation")).df),
 
+    // `$self` recursion THROUGH the escape hatch (reference
+    // compiler.py:516-518; the exact shape of graph.pql:14 bfs) — a
+    // CYCLIC doubling graph over nation keys, so the distinct-UNION
+    // semi-naive fixpoint must terminate on revisits
+    "q68_sql_self_bfs" -> ((s, d) => {
+      val nation = t(s, d, "nation")
+      val edges = graft.dsl.PTable(nation.df.select(
+        col("n_nationkey").cast(LongType).as("src"),
+        ((col("n_nationkey") * 2) % 25).cast(LongType).as("dst")))
+      val initial = graft.dsl.PTable(nation.df
+        .filter(col("n_nationkey") === 1)
+        .select(col("n_nationkey").cast(LongType).as("node")))
+      graft.sqlesc.SqlEscape.sql(s,
+        "SELECT n.node AS item FROM $initial n UNION " +
+          "SELECT e.dst FROM $edges e JOIN $self bfs ON e.src = bfs.item",
+        "initial" -> initial, "edges" -> edges)
+        .df.orderBy("item")
+    }),
+
     // ---- window-function extensions --------------------------------------
     "q44_window_rank" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -1008,6 +1027,15 @@ object SparkEntry {
          SELECT node, CAST(rank AS INT) AS rank FROM walk""",
     "q43_sql_escape" ->
       "SELECT n_name, n_nationkey * 10 AS k10 FROM nation WHERE n_nationkey < 10",
+    "q68_sql_self_bfs" ->
+      """WITH RECURSIVE bfs AS (
+           SELECT CAST(n_nationkey AS BIGINT) AS item FROM nation
+             WHERE n_nationkey = 1
+           UNION
+           SELECT CAST((e.src * 2) % 25 AS BIGINT) AS item
+           FROM (SELECT CAST(n_nationkey AS BIGINT) AS src FROM nation) e
+           JOIN bfs ON e.src = bfs.item)
+         SELECT item FROM bfs ORDER BY item""",
     "q44_window_rank" ->
       """SELECT c_nationkey, c_custkey, c_acctbal, CAST(rnk AS INT) AS rnk FROM (
            SELECT c_nationkey, c_custkey, c_acctbal,

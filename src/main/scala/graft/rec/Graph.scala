@@ -9,8 +9,10 @@ import org.apache.spark.storage.StorageLevel
   * preql/core/compiler.py:516-518; bfs/walk_tree at
   * preql/modules/graph.pql:3-36).
   *
-  * Spark has no recursive CTE; the idiomatic equivalent is a driver-side
-  * fixpoint loop over DataFrames. Scale design:
+  * Spark 4's native recursive CTE only allows UNION ALL (no distinct,
+  * so cyclic graphs would not terminate); the idiomatic equivalent is
+  * a driver-side fixpoint loop over DataFrames (SqlEscape runs `$self`
+  * queries through the same two paths). Scale design:
   *  - each step is one distributed semi/anti join — frontier × edges;
   *  - visited/frontier are cached per iteration and unpersisted after;
   *  - `localCheckpoint` every `checkpointEvery` steps truncates the

@@ -1,7 +1,7 @@
 package graft.sqlesc
 
 import java.util.concurrent.atomic.AtomicLong
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dsl.PTable
 
 /** `SQL(type, "code")` escape hatch (reference:
@@ -12,13 +12,32 @@ import graft.dsl.PTable
   * temp view and the substituted text runs through `spark.sql` — so the
   * escape-hatch query still goes through Catalyst and fuses with the
   * surrounding plan (temp views are plan aliases, not materialization).
-  * `$self` recursion is NOT supported here — use graft.rec.Graph.
+  *
+  * `$self` (reference compiler.py:516-518; used by graph.pql:14,34)
+  * names the query's own result — a recursive CTE. Two paths:
+  *  - every top-level set operator is UNION ALL → native Spark
+  *    `WITH RECURSIVE` (one query, zero driver-side looping; Spark 4
+  *    executes it semi-naively inside the engine);
+  *  - any top-level distinct UNION (Spark rejects it inside a
+  *    recursive CTE) → the standard semi-naive fixpoint: branches not
+  *    referencing `$self` seed the result, branches referencing it
+  *    step the FRONTIER only (the recursive reference in SQL sees the
+  *    previous iteration's rows, not the accumulated set), new rows =
+  *    step − seen, loop until the frontier drains. Each round
+  *    materializes (localCheckpoint) so plan depth stays O(1), the
+  *    per-round shuffle is frontier×step + one distinct — the same
+  *    scale shape as graft.rec.Graph.bfs, which remains the fast path
+  *    for the stdlib graph functions.
   */
 object SqlEscape {
 
   private val counter = new AtomicLong(0)
 
-  def sql(spark: SparkSession, code: String, vars: (String, PTable)*): PTable = {
+  def sql(spark: SparkSession, code: String, vars: (String, PTable)*): PTable =
+    sqlMaxIter(spark, code, 1000, vars: _*)
+
+  def sqlMaxIter(spark: SparkSession, code: String, maxIter: Int,
+                 vars: (String, PTable)*): PTable = {
     var text = code
     vars.foreach { case (name, t) =>
       val view = s"graft_sqlesc_${name}_${counter.incrementAndGet()}"
@@ -28,6 +47,90 @@ object SqlEscape {
         "\\$" + java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_])",
         java.util.regex.Matcher.quoteReplacement(view))
     }
-    PTable(spark.sql(text))
+    if (!text.matches("(?s).*\\$self(?![A-Za-z0-9_]).*"))
+      PTable(spark.sql(text))
+    else PTable(recursiveFixpoint(spark, text, maxIter))
+  }
+
+  private def subSelf(text: String, view: String): String =
+    text.replaceAll("\\$self(?![A-Za-z0-9_])",
+      java.util.regex.Matcher.quoteReplacement(view))
+
+  /** Split `text` into top-level branches on UNION [ALL] at paren
+    * depth 0 (outside string literals). Returns (branches, anyDistinct).
+    */
+  private[graft] def splitUnions(text: String): (Seq[String], Boolean) = {
+    val branches = Seq.newBuilder[String]
+    var depth = 0
+    var inStr = false
+    var start = 0
+    var anyDistinct = false
+    val upper = text.toUpperCase
+    var i = 0
+    def isWord(from: Int, until: Int): Boolean =
+      (from == 0 || !Character.isLetterOrDigit(text(from - 1)) &&
+        text(from - 1) != '_') &&
+      (until >= text.length || !Character.isLetterOrDigit(text(until)) &&
+        text(until) != '_')
+    while (i < text.length) {
+      val c = text(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else c match {
+        case '\'' => inStr = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case 'u' | 'U' if depth == 0 && upper.startsWith("UNION", i) &&
+            isWord(i, i + 5) =>
+          branches += text.substring(start, i)
+          var j = i + 5
+          while (j < text.length && Character.isWhitespace(text(j))) j += 1
+          if (upper.startsWith("ALL", j) && isWord(j, j + 3)) i = j + 3
+          else { anyDistinct = true; i = j }
+          start = i
+        case _ => i += 1
+      }
+    }
+    branches += text.substring(start)
+    (branches.result().map(_.trim).filter(_.nonEmpty), anyDistinct)
+  }
+
+  private def recursiveFixpoint(spark: SparkSession, text: String,
+                                maxIter: Int): DataFrame = {
+    val (branches, anyDistinct) = splitUnions(text)
+    if (!anyDistinct) {
+      // all-UNION ALL recursion runs natively in one Spark query
+      val name = s"graft_self_${counter.incrementAndGet()}"
+      return spark.sql(
+        s"WITH RECURSIVE $name AS (${subSelf(text, name)}) " +
+        s"SELECT * FROM $name")
+    }
+    val (seedB, stepB) = branches.partition(
+      !_.matches("(?s).*\\$self(?![A-Za-z0-9_]).*"))
+    if (seedB.isEmpty || stepB.isEmpty)
+      throw new graft.types.TypeError(
+        "$self query needs both a non-recursive and a recursive " +
+        "UNION branch")
+    def materialize(df: DataFrame): DataFrame = {
+      val ckpt = df.localCheckpoint(true)
+      spark.createDataFrame(ckpt.rdd, ckpt.schema)
+    }
+    val stepSql = stepB.map(b => s"($b)").mkString(" UNION ALL ")
+    var acc = materialize(
+      spark.sql(seedB.map(b => s"($b)").mkString(" UNION ")).distinct())
+    var frontier = acc
+    var iter = 0
+    while (!frontier.isEmpty && iter < maxIter) {
+      iter += 1
+      val v = s"graft_self_${counter.incrementAndGet()}"
+      frontier.createOrReplaceTempView(v)
+      // new rows only: semi-naive — step the frontier, subtract seen.
+      // CTE column names come from the seed branch: rename the step
+      // output positionally (standard recursive-CTE behavior)
+      frontier = materialize(
+        spark.sql(subSelf(stepSql, v)).toDF(acc.columns.toSeq: _*)
+          .distinct().exceptAll(acc))
+      acc = materialize(acc.unionAll(frontier))
+    }
+    acc
   }
 }
