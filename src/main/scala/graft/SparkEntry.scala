@@ -116,6 +116,36 @@ object SparkEntry {
         "n_name" -> col("a.n_name"), "r_name" -> col("b.r_name")).df
     }),
 
+    // padded zip variants: deterministic pre-order makes them
+    // oracle-able (same row_number pattern as q12)
+    "q69_zipjoin_left" -> ((s, d) => {
+      val a = t(s, d, "nation").orderBy("n_name").project("n_name")
+      val b = t(s, d, "region").orderBy("r_name").project("r_name")
+      Joins.zipjoinLeft(a, b).project(
+        "n_name" -> col("a.n_name"), "r_name" -> col("b.r_name")).df
+    }),
+
+    "q70_zipjoin_longest" -> ((s, d) => {
+      val a = t(s, d, "region").orderBy("r_name").project("r_name")
+      val b = t(s, d, "nation").orderBy("n_name").project("n_name")
+      Joins.zipjoinLongest(a, b).project(
+        "r_name" -> col("a.r_name"), "n_name" -> col("b.n_name")).df
+    }),
+
+    // temptable attaches a fresh 1-based id in the expression's order
+    // (reference pql_functions.py:327-348); ordered input → the id IS
+    // the sort rank, so DuckDB's row_number reproduces it
+    "q71_temptable" -> ((s, d) => {
+      val cat = new graft.catalog.Catalog(s)
+      cat.temptable("tt_nations",
+        t(s, d, "nation").orderBy("n_name").project("n_name")).df
+    }),
+
+    "q72_approx_product" -> ((s, d) =>
+      t(s, d, "nation").df.groupBy("n_regionkey")
+        .agg(F.round(PF.approxProduct(col("n_nationkey") + 1), 6)
+          .as("aprod"))),
+
     // ---- §2.7 set operations --------------------------------------------
     "q13_union_all" -> ((s, d) =>
       (t(s, d, "customer").project("key" -> col("c_nationkey")) +
@@ -892,6 +922,23 @@ object SparkEntry {
          (SELECT n_name, row_number() OVER (ORDER BY n_name) AS rn FROM nation) a
          JOIN (SELECT r_name, row_number() OVER (ORDER BY r_name) AS rn FROM region) b
          ON a.rn = b.rn""",
+    "q69_zipjoin_left" ->
+      """SELECT a.n_name, b.r_name FROM
+         (SELECT n_name, row_number() OVER (ORDER BY n_name) AS rn FROM nation) a
+         LEFT JOIN (SELECT r_name, row_number() OVER (ORDER BY r_name) AS rn FROM region) b
+         ON a.rn = b.rn""",
+    "q70_zipjoin_longest" ->
+      """SELECT a.r_name, b.n_name FROM
+         (SELECT r_name, row_number() OVER (ORDER BY r_name) AS rn FROM region) a
+         FULL JOIN (SELECT n_name, row_number() OVER (ORDER BY n_name) AS rn FROM nation) b
+         ON a.rn = b.rn""",
+    "q71_temptable" ->
+      """SELECT row_number() OVER (ORDER BY n_name) AS id, n_name
+         FROM nation""",
+    "q72_approx_product" ->
+      """SELECT n_regionkey,
+           ROUND(EXP(SUM(LN(n_nationkey + 1))), 6) AS aprod
+         FROM nation GROUP BY n_regionkey""",
     "q13_union_all" ->
       """SELECT c_nationkey AS key FROM customer
          UNION ALL SELECT s_nationkey AS key FROM supplier""",
