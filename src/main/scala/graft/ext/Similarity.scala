@@ -165,13 +165,31 @@ object Similarity {
     // zero shuffle of the corpus (previously corpus×k rows were
     // exchanged by id for a window argmax; at 100 TB that shuffle IS
     // the job).
-    val best = centArgmax(cents, vecCol)
     val assigned = corpus.select(col(idCol), col(vecCol),
-      best.getField("id").as("centroid_id"))
+      assignId(cents, vecCol).as("centroid_id"))
     val centroids = spark.createDataFrame(cents)
       .toDF("centroid_id", "cvec", "cn")
     (assigned, centroids)
   }
+
+  /** How many centroids the typedlit fold tolerates before the plan
+    * tree itself becomes the cost (k×dim literal nodes to analyze and
+    * ship). Above it, assignment switches to the native
+    * CentroidArgmax expression, whose centroid matrix rides as ONE
+    * flat binary literal — plan size O(1) in k, same bit-for-bit
+    * ranking.
+    */
+  val nativeArgmaxThreshold: Int = 1024
+
+  /** Nearest-centroid id column — picks the fold or the native path by
+    * centroid count; both scan centroids in ascending-id order with
+    * strict `>` so ties keep the lowest id.
+    */
+  private def assignId(cents: Seq[(Long, Seq[Float], Double)],
+                       vecCol: String): Column =
+    if (cents.length > nativeArgmaxThreshold)
+      graft.plans.CentroidArgmax(col(vecCol), cents)
+    else centArgmax(cents, vecCol).getField("id")
 
   /** Per-row argmax fold over an embedded centroid array: returns a
     * struct (id, sim) where sim = dot/centroid-norm. The row's own
@@ -223,7 +241,7 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
       .sortBy(_._1)
     for (_ <- 1 to iters) {
-      val best = centArgmax(cents, vecCol)
+      val best = assignId(cents, vecCol)
       // Per-dimension means via ONE (cid, dim)-keyed aggregate: the
       // posexplode collapses map-side (partial avg per (cid, d) per
       // partition → shuffle payload k×dim partials, never corpus
@@ -232,7 +250,7 @@ object Similarity {
       // separate getItem() AVG buffers per group — fine at dim≈16,
       // dim×k buffer blowup at 768+.
       val means = corpus
-        .select(best.getField("id").as("_cid"),
+        .select(best.as("_cid"),
           F.posexplode(col(vecCol)).as(Seq("_d", "_x")))
         .groupBy("_cid", "_d").agg(F.avg(col("_x")).as("_m"))
         .groupBy("_cid").agg(F.transform(
@@ -247,9 +265,8 @@ object Similarity {
         }
       }
     }
-    val best = centArgmax(cents, vecCol)
     val assigned = corpus.select(col(idCol), col(vecCol),
-      best.getField("id").as("centroid_id"))
+      assignId(cents, vecCol).as("centroid_id"))
     val centroids = spark.createDataFrame(cents)
       .toDF("centroid_id", "cvec", "cn")
     (assigned, centroids)

@@ -85,5 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_token_jaccard"),
       new ExpressionInfo(classOf[TokenJaccard].getName, "graft_token_jaccard"),
       (exprs: Seq[Expression]) => TokenJaccard(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_centroid_argmax"),
+      new ExpressionInfo(classOf[CentroidArgmax].getName,
+        "graft_centroid_argmax"),
+      (exprs: Seq[Expression]) => CentroidArgmax.fromArgs(exprs)))
   }
 }

@@ -139,6 +139,34 @@ class ExtSpec extends SparkSpec {
     assert(ham(m("t1"), m("t2")) < ham(m("t1"), m("t3")))
   }
 
+  test("native CentroidArgmax matches the fold path; k=4096 plan stays flat") {
+    val corpus = emb.limit(200)
+    val (assignedFold, cents) = Similarity.ivfAssign(corpus, nCentroids = 8)
+    val centSeq = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val native = corpus.select(col("vec_id"),
+      graft.plans.CentroidArgmax(col("embedding"), centSeq).as("centroid_id"))
+    val foldMap = assignedFold.select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nativeMap = native.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nativeMap == foldMap) // same scan order, ops, tie-breaking
+    // 4096 centroids: the flat binary literal keeps the plan O(1) in k
+    // (the typedlit fold at this k builds ~4096×16 literal nodes)
+    val dim = centSeq.head._2.length
+    val big = (0 until 4096).map { i =>
+      val v = Seq.tabulate(dim)(j => (((i * 31 + j * 7) % 97) + 1) / 97.0f)
+      var s = 0.0; v.foreach(x => s += x.toDouble * x.toDouble)
+      (i.toLong, v, math.sqrt(s))
+    }
+    val bigDf = corpus.select(col("vec_id"),
+      graft.plans.CentroidArgmax(col("embedding"), big).as("centroid_id"))
+    val p = bigDf.queryExecution.executedPlan.toString
+    assert(p.length < 50000, s"plan blew up: ${p.length} chars")
+    assert(!p.contains("Exchange"), "assignment must stay zero-shuffle")
+    assert(bigDf.collect().length == 200)
+  }
+
   test("native FloatVecDot is bit-identical to the HOF dot") {
     val both = emb.limit(100).select(
       Similarity.fdot(col("embedding"), col("embedding")).as("native"),
