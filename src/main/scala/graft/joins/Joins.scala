@@ -156,20 +156,32 @@ object Joins {
   /** As-of join (extension beyond the reference): for each left row,
     * attach the most recent right row with rightTs <= leftTs, per key.
     *
-    * Scale design: implemented as the union + last_value-over-window
-    * trick, NOT a range join — one shuffle on the key, one
-    * sort-within-partition by (ts, side), no quadratic candidate set.
-    * Equal timestamps: the right row sorts before the left row, so a
-    * same-instant right row matches (>= semantics, like DuckDB's
-    * ASOF JOIN).
+    * Scale design: the union + last_value-over-window trick, NOT a
+    * range join — no quadratic candidate set. Equal timestamps: the
+    * right row sorts before the left row, so a same-instant right row
+    * matches (>= semantics, like DuckDB's ASOF JOIN).
+    *
+    * Skew hardening: a window partitioned by the key alone funnels a
+    * hot key (one symbol = 30% of rows) into ONE task. Instead:
+    *   1. range-partition the union on (key, ts, side) — P ordered
+    *      slices, a hot key spans many of them, max task size ≈ N/P
+    *      regardless of key skew;
+    *   2. forward-fill per (physical-partition, key) — the window's
+    *      hash exchange now keys on (pid, key), so the hot key is
+    *      split into per-slice groups;
+    *   3. boundary carry-over: the last right-state of each
+    *      (pid, key) slice cascades to later slices of the same key
+    *      through a tiny per-key window over ≤P rows per key, joined
+    *      back and coalesced into rows the in-slice fill left null.
     *
     * @param valueCols right-side columns to carry (attached with their
     *        own names; left keeps all its columns)
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
-               valueCols: Seq[String]): DataFrame = {
+               valueCols: Seq[String], partitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    if (valueCols.isEmpty) return left
     val lCols = left.columns.toSeq
     val l = left
       .withColumn("_ts", F.col(leftTs))
@@ -184,13 +196,65 @@ object Joins {
         lCols.filterNot(keys.contains)
           .map(c => F.lit(null).cast(left.schema(c).dataType).as(c)) ++
         valueCols.map(c => F.col(c).as(s"_v_$c")): _*)
-    val w = Window.partitionBy(keys.map(F.col): _*)
+    val u = l.unionByName(r)
+    val p =
+      if (partitions > 0) partitions
+      else u.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sortKeys = keys.map(F.col) ++ Seq(F.col("_ts"), F.col("_side"))
+    // _pid is evaluated in the range-partitioned stage (nondeterministic
+    // expressions don't move across the exchange). The frame is frozen
+    // ONCE before branching: the fill pipeline and the carry branch
+    // must see the SAME range boundaries, and the range sampler is not
+    // deterministic across re-executions — unfrozen, the two branches'
+    // _pid assignments drift and carries land on the wrong slice.
+    val rangedCkpt = u.repartitionByRange(p, sortKeys: _*)
+      .withColumn("_pid", F.spark_partition_id())
+      .localCheckpoint(true)
+    val ranged = u.sparkSession.createDataFrame(
+      rangedCkpt.rdd, rangedCkpt.schema)
+    val slice = Window
+      .partitionBy((F.col("_pid") +: keys.map(F.col)): _*)
       .orderBy(F.col("_ts").asc, F.col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, F.last(F.col(s"_v_$c"), ignoreNulls = true).over(w))
+    val filled = valueCols.foldLeft(ranged) { (df, c) =>
+      df.withColumn(s"_f_$c",
+        F.last(F.col(s"_v_$c"), ignoreNulls = true).over(slice))
     }
-    matched.filter(F.col("_side") === 1)
+    // last right-state of each (pid, key) slice = the value of its
+    // latest RIGHT row (max over the (ts, side) total order) — built
+    // from `ranged`, not from the window output, so the heavy fill
+    // pipeline runs once. Slices with only left rows still need a
+    // carry row, hence the distinct-slices left join.
+    val ord = F.struct(F.col("_ts"), F.col("_side"))
+    val pidKeys = F.col("_pid") +: keys.map(F.col)
+    val slices = ranged.select(pidKeys: _*).distinct()
+    val rightStates = ranged.filter(F.col("_side") === 0)
+      .groupBy(pidKeys: _*)
+      .agg(F.max_by(F.col(s"_v_${valueCols.head}"), ord)
+             .as(s"_s_${valueCols.head}"),
+        valueCols.tail.map(c =>
+          F.max_by(F.col(s"_v_$c"), ord).as(s"_s_$c")): _*)
+    // cascade states across slices of the same key: ≤P rows per key,
+    // so this window is skew-free by construction
+    val carry = Window.partitionBy(keys.map(F.col): _*)
+      .orderBy(F.col("_pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carriesPlan = slices
+      .join(rightStates, Seq("_pid") ++ keys, "left")
+      .select(pidKeys ++ valueCols.map(c =>
+        F.last(F.col(s"_s_$c"), ignoreNulls = true).over(carry)
+          .as(s"_c_$c")): _*)
+    // materialize the tiny carry table and rebuild it from its RDD:
+    // joining a frame back onto a subplan of its own lineage reuses
+    // expression ids and misresolves the join keys (classic self-join
+    // trap; same detach pattern as Graph.materialize)
+    val ckpt = carriesPlan.localCheckpoint(true)
+    val carries = u.sparkSession.createDataFrame(ckpt.rdd, ckpt.schema)
+    val joined = filled.join(carries, Seq("_pid") ++ keys, "left")
+    val out = valueCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, F.coalesce(F.col(s"_f_$c"), F.col(s"_c_$c")))
+    }
+    out.filter(F.col("_side") === 1)
       .select((keys ++ lCols.filterNot(keys.contains) ++ valueCols)
         .map(F.col): _*)
   }

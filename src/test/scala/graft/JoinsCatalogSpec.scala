@@ -109,6 +109,45 @@ class JoinsCatalogSpec extends SparkSpec {
     assert(out(4L).isEmpty)        // key with no right rows
   }
 
+  test("asofJoin skewed key: correct result, no single-task funnel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, spark_partition_id, max_by}
+    // hot key 1 owns half of all rows — the case that funnels a
+    // key-partitioned window into one task
+    val left = (0 until 4000).map { i =>
+      val k = if (i % 2 == 0) 1L else 2L + i % 39
+      (i.toLong, k, i.toLong * 10)
+    }.toDF("id", "key", "ts")
+    val right = (0 until 400).map { j =>
+      val k = if (j % 2 == 0) 1L else 2L + j % 39
+      (k, j.toLong * 100 + 5, j.toDouble)
+    }.toDF("key", "rts", "v")
+    val out = graft.joins.Joins
+      .asofJoin(left, right, Seq("key"), "ts", "rts", Seq("v"),
+        partitions = 8)
+    val got = out.collect().map(r => r.getLong(1) -> Option(r.get(3))).toMap
+    val exp = left.alias("l")
+      .join(right.alias("r"),
+        col("l.key") === col("r.key") && col("r.rts") <= col("l.ts"), "left")
+      .groupBy(col("l.id")).agg(max_by(col("r.v"), col("r.rts")).as("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val diff = (got.keySet ++ exp.keySet).filter(k => got.get(k) != exp.get(k))
+    assert(diff.isEmpty, s"mismatched ids: ${diff.toSeq.sorted.take(20)
+      .map(k => s"$k got=${got.get(k)} exp=${exp.get(k)}").mkString("; ")}")
+    // the fill window is keyed by (physical slice, key), never key alone
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("_pid"), s"window not sliced by partition:\n$p")
+    // the range partitioning spreads the hot key: max slice ≤ 2× mean
+    val dist = left.unionByName(right.select(col("key"),
+        col("rts").as("ts"), col("v").cast("long").as("id"))
+        .select("id", "key", "ts"))
+      .repartitionByRange(8, col("key"), col("ts"))
+      .groupBy(spark_partition_id()).count()
+      .collect().map(_.getLong(1))
+    assert(dist.max <= 2 * (dist.sum / dist.length),
+      s"skewed slice: ${dist.mkString(",")}")
+  }
+
   test("saltedSumCount equals direct aggregation") {
     import graft.functions.PF
     val li = Tables.load(spark, sf, "lineitem").df
