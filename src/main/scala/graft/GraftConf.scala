@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine tuning knobs, surfaced as `spark.graft.*` session confs
+  * instead of hard-coded literals. Every knob keeps its code default;
+  * set the conf (or pass the explicit parameter where one exists) to
+  * override per session:
+  *
+  * {{{
+  * spark.conf.set("spark.graft.graph.driverLimit", "0") // always distributed
+  * }}}
+  */
+object GraftConf {
+
+  val GraphDriverLimitKey = "spark.graft.graph.driverLimit"
+  val DedupDriverLimitKey = "spark.graft.dedup.driverLimit"
+  val AutoCompactEveryKey = "spark.graft.catalog.autoCompactEvery"
+  val NativeArgmaxThresholdKey = "spark.graft.ivf.nativeArgmaxThreshold"
+
+  private def long(spark: SparkSession, key: String, default: Long): Long =
+    spark.conf.getOption(key).map(_.trim.toLong).getOrElse(default)
+
+  /** Edge count below which BFS/walk_tree finish driver-side
+    * (one collect + in-memory traversal instead of 2 jobs per level).
+    */
+  def graphDriverLimit(spark: SparkSession): Long =
+    long(spark, GraphDriverLimitKey, 1L << 20)
+
+  /** Edge count below which duplicate-cluster resolution runs
+    * driver-side union-find instead of distributed min-label rounds.
+    */
+  def dedupDriverLimit(spark: SparkSession): Long =
+    long(spark, DedupDriverLimitKey, 1L << 20)
+
+  /** Mutations per table before the catalog materializes the plan
+    * chain.
+    */
+  def autoCompactEvery(spark: SparkSession): Int =
+    long(spark, AutoCompactEveryKey, 32).toInt
+
+  /** Centroid count above which IVF assignment switches from the
+    * typedlit fold to the native CentroidArgmax expression.
+    */
+  def nativeArgmaxThreshold(spark: SparkSession): Int =
+    long(spark, NativeArgmaxThresholdKey, 1024).toInt
+}

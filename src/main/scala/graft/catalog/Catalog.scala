@@ -37,7 +37,7 @@ final class Catalog(val spark: SparkSession) {
     * never replay an unbounded mutation history.
     */
   private val mutationCounts = mutable.Map[String, Int]()
-  var autoCompactEvery: Int = 32
+  var autoCompactEvery: Int = graft.GraftConf.autoCompactEvery(spark)
 
   private def nextId(name: String, t: PTable, idCol: String): Long = {
     val next = idCounters.getOrElse(name, maxId(t, idCol)) + 1

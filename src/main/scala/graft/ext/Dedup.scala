@@ -309,8 +309,12 @@ object Dedup {
     * when the pair set is huge.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          driverLimit: Long = 1 << 20): DataFrame = {
+                          driverLimit: Long = -1): DataFrame = {
     val spark = pairs.sparkSession
+    // driverLimit < 0 (the default): spark.graft.dedup.driverLimit
+    val dl =
+      if (driverLimit >= 0) driverLimit
+      else graft.GraftConf.dedupDriverLimit(spark)
     def mat(df: DataFrame): DataFrame = {
       val ck = df.localCheckpoint(true)
       spark.createDataFrame(ck.rdd, ck.schema)
@@ -323,7 +327,7 @@ object Dedup {
     // driver-side union-find: exact min-label components in one pass,
     // no per-round job latency. Above it, the distributed min-label
     // rounds below take over (the 100 TB path).
-    if (edges.count() <= driverLimit) {
+    if (edges.count() <= dl) {
       val rows = edges.collect()
       val parent = scala.collection.mutable.Map[Any, Any]()
       def find(x: Any): Any = { // iterative + path compression

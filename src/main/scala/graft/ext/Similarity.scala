@@ -172,22 +172,18 @@ object Similarity {
     (assigned, centroids)
   }
 
-  /** How many centroids the typedlit fold tolerates before the plan
-    * tree itself becomes the cost (k×dim literal nodes to analyze and
-    * ship). Above it, assignment switches to the native
-    * CentroidArgmax expression, whose centroid matrix rides as ONE
-    * flat binary literal — plan size O(1) in k, same bit-for-bit
-    * ranking.
-    */
-  val nativeArgmaxThreshold: Int = 1024
-
-  /** Nearest-centroid id column — picks the fold or the native path by
-    * centroid count; both scan centroids in ascending-id order with
-    * strict `>` so ties keep the lowest id.
+  /** Nearest-centroid id column — picks the fold or the native
+    * CentroidArgmax path by centroid count (the typedlit fold's plan
+    * tree is k×dim literal nodes; past
+    * `spark.graft.ivf.nativeArgmaxThreshold` the native expression's
+    * flat byte payload wins). Both scan centroids in ascending-id
+    * order with strict `>` so ties keep the lowest id — bit-identical
+    * results either way.
     */
   private def assignId(cents: Seq[(Long, Seq[Float], Double)],
                        vecCol: String): Column =
-    if (cents.length > nativeArgmaxThreshold)
+    if (cents.length > graft.GraftConf.nativeArgmaxThreshold(
+        org.apache.spark.sql.SparkSession.active))
       graft.plans.CentroidArgmax(col(vecCol), cents)
     else centArgmax(cents, vecCol).getField("id")
 

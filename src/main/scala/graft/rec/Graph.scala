@@ -37,15 +37,21 @@ object Graph {
     df.sparkSession.createDataFrame(ckpt.rdd, ckpt.schema)
   }
 
+  /** `driverLimit < 0` (the default) reads
+    * `spark.graft.graph.driverLimit` (GraftConf).
+    */
   def bfs(edges: DataFrame, initial: DataFrame,
           maxRank: Int = Int.MaxValue,
-          driverLimit: Long = 1 << 20): DataFrame = {
+          driverLimit: Long = -1): DataFrame = {
+    val dl =
+      if (driverLimit >= 0) driverLimit
+      else graft.GraftConf.graphDriverLimit(edges.sparkSession)
     val e = edges.select(F.col("src"), F.col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Small graphs (≤ driverLimit edges) finish driver-side: one
     // collect + in-memory BFS instead of 2 jobs per depth level. The
     // distributed fixpoint below remains the big-graph path.
-    if (e.count() <= driverLimit) {
+    if (e.count() <= dl) {
       val adj = e.collect().groupBy(_.get(0))
         .map { case (k, rows) => k -> rows.map(_.get(1)).toSeq }
       val visited = scala.collection.mutable.LinkedHashMap[Any, Int]()
