@@ -2,7 +2,7 @@ package graft.joins
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.{functions => F}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 import graft.dsl.PTable
 import graft.types.TableMeta
 
@@ -163,16 +163,20 @@ object Joins {
     *
     * Skew hardening: a window partitioned by the key alone funnels a
     * hot key (one symbol = 30% of rows) into ONE task. Instead:
-    *   1. range-partition the union on (key, ts, side) — P ordered
-    *      slices, a hot key spans many of them, max task size ≈ N/P
-    *      regardless of key skew;
-    *   2. forward-fill per (physical-partition, key) — the window's
-    *      hash exchange now keys on (pid, key), so the hot key is
-    *      split into per-slice groups;
+    *   1. slice time into `4 × partitions` equal buckets (one cheap
+    *      min/max job; the slice id is a PURE FUNCTION of the row, so
+    *      both plan branches agree with no materialization and no
+    *      range-sampler nondeterminism);
+    *   2. forward-fill per (key, slice) — the window's hash exchange
+    *      keys on both, so a hot key splits across time slices;
     *   3. boundary carry-over: the last right-state of each
-    *      (pid, key) slice cascades to later slices of the same key
-    *      through a tiny per-key window over ≤P rows per key, joined
-    *      back and coalesced into rows the in-slice fill left null.
+    *      (key, slice) cascades to later slices of the same key
+    *      through a tiny per-key window over ≤slices rows per key,
+    *      joined back and coalesced where the in-slice fill found
+    *      nothing.
+    * Residual bound: rows sharing one (key, timestamp-bucket) still
+    * co-locate — pathological only when a single key concentrates in
+    * a single time bucket.
     *
     * @param valueCols right-side columns to carry (attached with their
     *        own names; left keeps all its columns)
@@ -196,52 +200,51 @@ object Joins {
         lCols.filterNot(keys.contains)
           .map(c => F.lit(null).cast(left.schema(c).dataType).as(c)) ++
         valueCols.map(c => F.col(c).as(s"_v_$c")): _*)
-    val u = l.unionByName(r)
+    val u0 = l.unionByName(r)
     val p =
       if (partitions > 0) partitions
-      else u.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val sortKeys = keys.map(F.col) ++ Seq(F.col("_ts"), F.col("_side"))
-    // _pid is evaluated in the range-partitioned stage (nondeterministic
-    // expressions don't move across the exchange). The frame is frozen
-    // ONCE before branching: the fill pipeline and the carry branch
-    // must see the SAME range boundaries, and the range sampler is not
-    // deterministic across re-executions — unfrozen, the two branches'
-    // _pid assignments drift and carries land on the wrong slice.
-    val rangedCkpt = u.repartitionByRange(p, sortKeys: _*)
-      .withColumn("_pid", F.spark_partition_id())
-      .localCheckpoint(true)
-    val ranged = u.sparkSession.createDataFrame(
-      rangedCkpt.rdd, rangedCkpt.schema)
+      else u0.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // one cheap min/max job fixes the bucket grid; the slice id is
+    // then a deterministic per-row expression — no repartitionByRange
+    // (sampler nondeterminism) and no full-union checkpoint needed
+    val tsNum = F.col("_ts").cast(DoubleType)
+    val bounds = u0.agg(F.min(tsNum), F.max(tsNum)).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0.0, 0.0)
+      else (bounds.getDouble(0), bounds.getDouble(1))
+    val width = math.max((hi - lo) / (p.toDouble * 4), Double.MinPositiveValue)
+    val ranged = u0.withColumn("_slice",
+      F.least(F.floor((tsNum - lo) / width), F.lit(p * 4L - 1)))
     val slice = Window
-      .partitionBy((F.col("_pid") +: keys.map(F.col)): _*)
+      .partitionBy((F.col("_slice") +: keys.map(F.col)): _*)
       .orderBy(F.col("_ts").asc, F.col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = valueCols.foldLeft(ranged) { (df, c) =>
       df.withColumn(s"_f_$c",
         F.last(F.col(s"_v_$c"), ignoreNulls = true).over(slice))
     }
-    // last right-state of each (pid, key) slice = the value of its
-    // latest RIGHT row (max over the (ts, side) total order) — built
-    // from `ranged`, not from the window output, so the heavy fill
-    // pipeline runs once. Slices with only left rows still need a
-    // carry row, hence the distinct-slices left join.
+    // last right-state of each (key, slice) = the value of its latest
+    // RIGHT row (max over the (ts, side) total order) — built from
+    // `ranged`, not from the window output, so the heavy fill pipeline
+    // runs once. Slices with only left rows still need a carry row,
+    // hence the distinct-slices left join.
     val ord = F.struct(F.col("_ts"), F.col("_side"))
-    val pidKeys = F.col("_pid") +: keys.map(F.col)
-    val slices = ranged.select(pidKeys: _*).distinct()
+    val sliceKeys = F.col("_slice") +: keys.map(F.col)
+    val slices = ranged.select(sliceKeys: _*).distinct()
     val rightStates = ranged.filter(F.col("_side") === 0)
-      .groupBy(pidKeys: _*)
+      .groupBy(sliceKeys: _*)
       .agg(F.max_by(F.col(s"_v_${valueCols.head}"), ord)
              .as(s"_s_${valueCols.head}"),
         valueCols.tail.map(c =>
           F.max_by(F.col(s"_v_$c"), ord).as(s"_s_$c")): _*)
-    // cascade states across slices of the same key: ≤P rows per key,
+    // cascade states across slices of the same key: ≤4P rows per key,
     // so this window is skew-free by construction
     val carry = Window.partitionBy(keys.map(F.col): _*)
-      .orderBy(F.col("_pid").asc)
+      .orderBy(F.col("_slice").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val carriesPlan = slices
-      .join(rightStates, Seq("_pid") ++ keys, "left")
-      .select(pidKeys ++ valueCols.map(c =>
+      .join(rightStates, Seq("_slice") ++ keys, "left")
+      .select(sliceKeys ++ valueCols.map(c =>
         F.last(F.col(s"_s_$c"), ignoreNulls = true).over(carry)
           .as(s"_c_$c")): _*)
     // materialize the tiny carry table and rebuild it from its RDD:
@@ -249,8 +252,8 @@ object Joins {
     // expression ids and misresolves the join keys (classic self-join
     // trap; same detach pattern as Graph.materialize)
     val ckpt = carriesPlan.localCheckpoint(true)
-    val carries = u.sparkSession.createDataFrame(ckpt.rdd, ckpt.schema)
-    val joined = filled.join(carries, Seq("_pid") ++ keys, "left")
+    val carries = u0.sparkSession.createDataFrame(ckpt.rdd, ckpt.schema)
+    val joined = filled.join(carries, Seq("_slice") ++ keys, "left")
     val out = valueCols.foldLeft(joined) { (df, c) =>
       df.withColumn(c, F.coalesce(F.col(s"_f_$c"), F.col(s"_c_$c")))
     }

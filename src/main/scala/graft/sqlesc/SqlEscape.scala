@@ -115,19 +115,48 @@ object SqlEscape {
       spark.createDataFrame(ckpt.rdd, ckpt.schema)
     }
     val stepSql = stepB.map(b => s"($b)").mkString(" UNION ALL ")
-    var acc = materialize(
-      spark.sql(seedB.map(b => s"($b)").mkString(" UNION ")).distinct())
-    var frontier = acc
+    val seed = spark.sql(seedB.map(b => s"($b)").mkString(" UNION ")).distinct()
+    val cols = seed.columns.toSeq
+    val schema = seed.schema
+    // Hybrid fixpoint (same shape as Graph.bfs): while the visited set
+    // fits the driver limit, each round is ONE job — step the local
+    // frontier relation through the engine, dedup against a driver-side
+    // seen set. Recursion depth costs one small query per level either
+    // way; keeping frontier/seen local avoids the per-round
+    // checkpoint+except jobs that dominate deep, narrow recursions.
+    val driverLimit = graft.GraftConf.graphDriverLimit(spark)
+    val seen = scala.collection.mutable.LinkedHashSet[org.apache.spark.sql.Row]()
+    var frontierRows = seed.collect()
+    seen ++= frontierRows
     var iter = 0
+    import scala.jdk.CollectionConverters._
+    while (frontierRows.nonEmpty && iter < maxIter &&
+           seen.size <= driverLimit) {
+      iter += 1
+      val v = s"graft_self_${counter.incrementAndGet()}"
+      spark.createDataFrame(frontierRows.toSeq.asJava, schema)
+        .createOrReplaceTempView(v)
+      // CTE column names come from the seed branch: rename the step
+      // output positionally (standard recursive-CTE behavior)
+      val stepped = spark.sql(subSelf(stepSql, v)).toDF(cols: _*)
+        .distinct().collect()
+      frontierRows = stepped.filterNot(seen.contains)
+      seen ++= frontierRows
+    }
+    if (frontierRows.isEmpty || iter >= maxIter)
+      return spark.createDataFrame(seen.toSeq.asJava, schema)
+    // visited set outgrew the driver: continue distributed — frontier
+    // steps through temp views, new rows = step − seen, both
+    // materialized per round so plan depth stays O(1)
+    var acc = materialize(spark.createDataFrame(seen.toSeq.asJava, schema))
+    var frontier = materialize(
+      spark.createDataFrame(frontierRows.toSeq.asJava, schema))
     while (!frontier.isEmpty && iter < maxIter) {
       iter += 1
       val v = s"graft_self_${counter.incrementAndGet()}"
       frontier.createOrReplaceTempView(v)
-      // new rows only: semi-naive — step the frontier, subtract seen.
-      // CTE column names come from the seed branch: rename the step
-      // output positionally (standard recursive-CTE behavior)
       frontier = materialize(
-        spark.sql(subSelf(stepSql, v)).toDF(acc.columns.toSeq: _*)
+        spark.sql(subSelf(stepSql, v)).toDF(cols: _*)
           .distinct().exceptAll(acc))
       acc = materialize(acc.unionAll(frontier))
     }

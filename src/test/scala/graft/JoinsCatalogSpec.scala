@@ -134,18 +134,22 @@ class JoinsCatalogSpec extends SparkSpec {
     val diff = (got.keySet ++ exp.keySet).filter(k => got.get(k) != exp.get(k))
     assert(diff.isEmpty, s"mismatched ids: ${diff.toSeq.sorted.take(20)
       .map(k => s"$k got=${got.get(k)} exp=${exp.get(k)}").mkString("; ")}")
-    // the fill window is keyed by (physical slice, key), never key alone
+    // the fill window is keyed by (time slice, key), never key alone
     val p = out.queryExecution.executedPlan.toString
-    assert(p.contains("_pid"), s"window not sliced by partition:\n$p")
-    // the range partitioning spreads the hot key: max slice ≤ 2× mean
-    val dist = left.unionByName(right.select(col("key"),
-        col("rts").as("ts"), col("v").cast("long").as("id"))
-        .select("id", "key", "ts"))
-      .repartitionByRange(8, col("key"), col("ts"))
-      .groupBy(spark_partition_id()).count()
+    assert(p.contains("_slice"), s"window not sliced by time bucket:\n$p")
+    // the time bucketing spreads the hot key: its rows split into many
+    // (key, slice) window groups, none above 2× the hot key's mean —
+    // vs ONE group of 2200 rows under a key-only window
+    val width = math.max((40005.0 - 5.0) / (8 * 4), 1e-300)
+    val hot = left.select(col("key"), col("ts").cast("double").as("t"))
+      .unionByName(right.select(col("key"), col("rts").cast("double").as("t")))
+      .filter(col("key") === 1L)
+      .groupBy(org.apache.spark.sql.functions.floor(
+        (col("t") - 5.0) / width)).count()
       .collect().map(_.getLong(1))
-    assert(dist.max <= 2 * (dist.sum / dist.length),
-      s"skewed slice: ${dist.mkString(",")}")
+    assert(hot.length >= 8, s"hot key not split: ${hot.length} groups")
+    assert(hot.max <= 2 * (hot.sum / hot.length),
+      s"unbalanced hot-key groups: max=${hot.max} mean=${hot.sum / hot.length}")
   }
 
   test("saltedSumCount equals direct aggregation") {

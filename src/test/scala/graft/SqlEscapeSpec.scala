@@ -46,6 +46,24 @@ class SqlEscapeSpec extends SparkSpec {
     assert(!p.contains("LogicalRDD"), s"native path must not checkpoint:\n$p")
   }
 
+  test("$self distributed fallback (driverLimit=0) matches the hybrid path") {
+    def run() = SqlEscape.sql(spark,
+      "SELECT n.node AS item FROM $initial n UNION " +
+        "SELECT e.dst FROM $edges e JOIN $self bfs ON e.src = bfs.item",
+      "initial" -> initial(1),
+      "edges" -> edges(1 -> 2, 2 -> 3, 3 -> 1, 3 -> 4))
+      .df.collect().map(_.getInt(0)).sorted.toSeq
+    val hybrid = run()
+    val key = GraftConf.GraphDriverLimitKey
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "0")
+    try assert(run() == hybrid && hybrid == Seq(1, 2, 3, 4))
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("$self without a non-recursive branch errors") {
     intercept[graft.types.TypeError] {
       SqlEscape.sql(spark,
