@@ -183,12 +183,23 @@ final class PTable(val df: DataFrame, val meta: TableMeta) {
     * one ratio-sample pass of `(1+bias)*n/count` capped at n, topped up
     * from the table head in the rare short case — at most two jobs,
     * like the reference's "one query (or at worst two)".
+    *
+    * The sizing count comes free from plan metadata when the plan
+    * makes it exact (local relations, ranges); at cluster scale pass
+    * `knownCount` from table metadata to skip the full scan the count
+    * otherwise costs.
     */
   def sampleFast(n: Int, bias: Double = 0.05,
-                 seed: Option[Long] = None): PTable = {
+                 seed: Option[Long] = None,
+                 knownCount: Option[Long] = None): PTable = {
     if (n <= 0) throw new graft.types.ValueError("n must be a number above 0")
     if (bias < 0) throw new graft.types.ValueError("Cannot have a negative bias")
-    val c = df.count()
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Range => LRange}
+    val c = knownCount.getOrElse(df.queryExecution.optimizedPlan match {
+      case lr: LocalRelation => lr.data.length.toLong
+      case r: LRange => r.numElements.toLong
+      case _ => df.count()
+    })
     if (n > c) throw new graft.types.ValueError(
       "Asking for a sample size larger than the table")
     if (n == c) return this
