@@ -7,14 +7,66 @@ import graft.lang.{Ast, Interp, Parser}
 import graft.sources.Tables
 
 /** Interactive REPL over the language front-end — the engine's
-  * analogue of the reference's `preql` shell (reference: preql/repl.py).
+  * analogue of the reference's `preql` shell (reference: preql/repl.py;
+  * multi-line blocks and completion hints from
+  * preql/core/autocomplete.py).
   *
   * Usage: graft.tools.Repl [testdataDir]
-  * All testdata tables are pre-loaded under their names; assignments
-  * and `func` definitions persist across lines; any other expression
-  * evaluates and prints.
+  *  - all testdata tables are pre-loaded under their names;
+  *  - assignments, `func`/`table` definitions persist across units;
+  *  - an input unit continues across lines until every bracket closes
+  *    (so multi-line `func f(x) { ... }` bodies work, like the
+  *    reference's prompt-toolkit multiline mode);
+  *  - results print as an implicit `[..N]` preview plus the total row
+  *    count (reference core/display.py clips table output the same
+  *    way);
+  *  - meta commands replace interactive autocomplete:
+  *    `:tables`, `:schema t`, `:explain expr`, `:rows n`, `:quit`.
   */
 object Repl {
+
+  /** Bracket balance outside string literals: positive depth means the
+    * unit is incomplete and the REPL keeps reading lines.
+    */
+  private[graft] def openDepth(s: String): Int = {
+    var depth = 0
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) {
+        if (c == quote) quote = 0
+        else if (c == '\\') i += 1
+      } else c match {
+        case '"' | '\'' => quote = c
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' => depth -= 1
+        case '/' if i + 1 < s.length && s(i + 1) == '/' => i = s.length
+        case _ =>
+      }
+      i += 1
+    }
+    depth
+  }
+
+  /** A unit is a persistent statement if it parses as DEFINITION
+    * statements only (assignments, funcs, DDL, imports — not bare
+    * expressions) and leaves no final expression.
+    */
+  private[graft] def isStatement(unit: String): Boolean = {
+    try {
+      val prog = Parser.parse(unit + "\n0") // dummy result
+      prog.stmts.nonEmpty &&
+        prog.stmts.forall {
+          case _: Ast.ExprStmt => false // bare expression: evaluate it
+          case _ => true
+        } && (prog.result match {
+          case Ast.IntLit(0) => true
+          case _ => false
+        })
+    } catch { case _: Throwable => false }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder().master("local[8]")
@@ -27,48 +79,99 @@ object Repl {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    var env: Map[String, PTable] = Tables.metas.keys.map { n =>
+    val env: Map[String, PTable] = Tables.metas.keys.map { n =>
       n -> Tables.load(spark, dir, n)
     }.toMap
     var prelude: List[String] = Nil // accumulated assignments + funcs
+    var previewRows = 20
 
     println(s"graft repl — tables: ${env.keys.toSeq.sorted.mkString(", ")}")
-    println("end with :quit; statements persist; expressions print")
+    println("multi-line blocks close on balanced brackets; " +
+      ":tables :schema :explain :rows :quit")
     var running = true
     while (running) {
-      print("graft> ")
-      Console.flush()
-      val line = StdIn.readLine()
-      if (line == null || line.trim == ":quit") running = false
-      else if (line.trim.nonEmpty) {
-        try {
-          if (isStatement(line)) {
-            prelude = prelude :+ line
-            println("ok")
-          } else {
-            Interp.run(spark, (prelude :+ line).mkString("\n"),
-              env.toSeq: _*).df.show(20, truncate = false)
+      val unit = readUnit()
+      unit match {
+        case None => running = false
+        case Some(u) if u.trim == ":quit" => running = false
+        case Some(u) if u.trim.isEmpty => ()
+        case Some(u) if u.trim.startsWith(":") =>
+          try meta(u.trim, spark, env, prelude, previewRows)
+            .foreach { case ("rows", n) => previewRows = n }
+          catch { case e: Throwable => println(s"error: ${e.getMessage}") }
+        case Some(u) =>
+          try {
+            if (isStatement(u)) {
+              prelude = prelude :+ u
+              println("ok")
+            } else {
+              val t = Interp.run(spark, (prelude :+ u).mkString("\n"),
+                env.toSeq: _*)
+              // implicit [..N] preview + true count, like the
+              // reference's rich table display
+              val total = t.df.count()
+              t.df.show(previewRows, truncate = false)
+              if (total > previewRows)
+                println(s"[..$previewRows] of $total rows " +
+                  s"(:rows n to widen)")
+              else println(s"$total row(s)")
+            }
+          } catch {
+            case e: Throwable => println(s"error: ${e.getMessage}")
           }
-        } catch {
-          case e: Throwable => println(s"error: ${e.getMessage}")
-        }
       }
     }
     spark.stop()
   }
 
-  /** A line is a persistent statement if the whole line parses as only
-    * assignments/func defs (no final expression).
+  /** Read one input unit, continuing across lines until brackets
+    * balance. Returns None on EOF.
     */
-  private def isStatement(line: String): Boolean = {
-    try {
-      val prog = Parser.parse(line + "\n0") // dummy result
-      // if line alone parses with the dummy as the only result, the
-      // line itself was statements only
-      prog.stmts.nonEmpty && (prog.result match {
-        case Ast.IntLit(0) => true
-        case _ => false
-      })
-    } catch { case _: Throwable => false }
+  private def readUnit(): Option[String] = {
+    print("graft> ")
+    Console.flush()
+    val first = StdIn.readLine()
+    if (first == null) return None
+    val buf = new StringBuilder(first)
+    while (openDepth(buf.toString) > 0) {
+      print("....>  ")
+      Console.flush()
+      val more = StdIn.readLine()
+      if (more == null) return Some(buf.toString)
+      buf.append('\n').append(more)
+    }
+    Some(buf.toString)
+  }
+
+  private def meta(cmd: String, spark: SparkSession,
+                   env: Map[String, PTable], prelude: List[String],
+                   previewRows: Int): Option[(String, Int)] = {
+    val parts = cmd.split("\\s+", 2)
+    parts(0) match {
+      case ":tables" =>
+        env.toSeq.sortBy(_._1).foreach { case (n, t) =>
+          println(s"  $n(${t.columns.mkString(", ")})")
+        }
+        None
+      case ":schema" =>
+        val t = env.getOrElse(parts.lift(1).getOrElse(""),
+          throw new graft.types.NameError(s"unknown table '${parts.lift(1).getOrElse("")}'"))
+        t.df.printSchema()
+        None
+      case ":explain" =>
+        val expr = parts.lift(1).getOrElse(
+          throw new graft.types.ValueError(":explain needs an expression"))
+        Interp.run(spark, (prelude :+ expr).mkString("\n"), env.toSeq: _*)
+          .df.explain("formatted")
+        None
+      case ":rows" =>
+        val n = parts.lift(1).map(_.toInt).getOrElse(previewRows)
+        println(s"preview rows: $n")
+        Some(("rows", n))
+      case other =>
+        println(s"unknown command $other — " +
+          ":tables :schema <t> :explain <expr> :rows <n> :quit")
+        None
+    }
   }
 }
