@@ -238,6 +238,11 @@ final class PTable(val df: DataFrame, val meta: TableMeta) {
     */
   def explain(mode: String = "formatted"): Unit = df.explain(mode)
 
+  /** `print t` sink (reference display, core/display.py): clipped
+    * table preview to stdout — the REPL adds the row count.
+    */
+  def print(n: Int = 20): Unit = df.show(n, truncate = false)
+
   def cache(): PTable = sameMeta(df.cache())
   def named(n: String): PTable = new PTable(df, meta.copy(name = n))
   def withMeta(m: TableMeta): PTable = new PTable(df, m)

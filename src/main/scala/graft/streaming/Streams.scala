@@ -61,6 +61,50 @@ object Streams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming NEAR-duplicate filter, simhash flavor: admit a document
+    * only if its simhash was not seen within the watermark horizon.
+    * One stateful operator, one 64-bit key per doc — the cheapest
+    * continuous-ingestion dedup; catches near-identical texts (equal
+    * simhash), not looser paraphrases (use the minhash flavor).
+    */
+  def nearDupStreamSimhash(docs: DataFrame, tsCol: String,
+                           watermark: String, textCol: String,
+                           bits: Int = 32): DataFrame =
+    docs.withColumn("_simhash", graft.ext.Dedup.simhash(col(textCol), bits))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_simhash")
+
+  /** Streaming MinHash-LSH near-dup band admissions: each document
+    * explodes to its (band, bucket) keys; a band row is ADMITTED if
+    * that (band, bucket) was not seen within the watermark horizon.
+    * A document whose every band was admitted is new; any collision
+    * means a near-dup of an already-admitted doc. The band-level
+    * stream composes with a downstream windowed count
+    * (`admitted.groupBy(window, id).count == bands`) or feeds offline
+    * candidate verification — the same (band, bucket) shuffle key as
+    * the batch pipeline (Dedup.lshBuckets).
+    *
+    * Streaming cannot localCheckpoint the shared hash array (the
+    * batch pipeline's fix for Catalyst re-inlining), so the default
+    * hasher here is the cheap xxhash64 — signatures need no
+    * cross-engine portability inside a stream.
+    */
+  def nearDupStreamMinhashBands(docs: DataFrame, tsCol: String,
+                                watermark: String, idCol: String,
+                                textCol: String, k: Int = 12,
+                                bands: Int = 4): DataFrame = {
+    val r = k / bands
+    val sig = graft.ext.Dedup.signatureFromHashes(
+      graft.ext.Dedup.shingleHashes(col(textCol),
+        hasher = graft.ext.Dedup.fastHasher), k)
+    docs
+      .select(col(idCol), col(tsCol),
+        F.posexplode(graft.ext.Dedup.bandBuckets(sig, bands, r))
+          .as(Seq("band", "bucket")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("band", "bucket")
+  }
+
   /** Stream-stream interval join: left rows match right rows with the
     * same key whose time falls in [leftTs, leftTs + maxDelay]. Both
     * sides are watermarked — Spark can then bound the join state and

@@ -76,6 +76,50 @@ class GraphStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming simhash near-dup admits first doc, drops near-copies") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.nearDupStreamSimhash(df, "ts", "1 hour", "text")
+      .writeStream.format("memory").queryName("neardup_sh_test")
+      .outputMode(OutputMode.Append()).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    mem.addData(
+      (ts(1), 1L, base),
+      (ts(5), 2L, base), // exact copy: identical simhash → dropped
+      (ts(9), 3L, "completely different words entirely unrelated content"))
+    q.processAllAvailable()
+    val ids = spark.table("neardup_sh_test").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L, 3L))
+    q.stop()
+  }
+
+  test("streaming minhash band admissions: copies collide on every band") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.nearDupStreamMinhashBands(df, "ts", "1 hour",
+        "doc_id", "text", k = 12, bands = 4)
+      .writeStream.format("memory").queryName("neardup_mh_test")
+      .outputMode(OutputMode.Append()).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    mem.addData(
+      (ts(1), 1L, base),
+      (ts(5), 2L, base), // identical text: every band collides → 0 admitted
+      (ts(9), 3L, "completely different words entirely unrelated content"))
+    q.processAllAvailable()
+    val admitted = spark.table("neardup_mh_test")
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(admitted.getOrElse(1L, 0L) == 4L) // all 4 bands admitted
+    assert(!admitted.contains(2L))           // exact copy: none admitted
+    assert(admitted.getOrElse(3L, 0L) == 4L)
+    q.stop()
+  }
+
   test("stream-stream interval join matches within the delay window only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(java.sql.Timestamp, Long)]

@@ -125,6 +125,18 @@ class PTableSpec extends SparkSpec {
       .df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("print sink and inspect_sql (explain) write to stdout") {
+    val t = graft.sources.Tables.load(spark, sf, "region")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      t.print(3)
+      t.explain()
+    }
+    val s = out.toString("UTF-8")
+    assert(s.contains("r_name") && s.contains("AFRICA"))
+    assert(s.contains("Physical Plan"))
+  }
+
   test("addIndex clusters rows: each partition sorted by the column") {
     val t = graft.sources.Tables.load(spark, sf, "customer")
     val idx = t.addIndex("c_nationkey")
