@@ -90,6 +90,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("cosine pairs plan as equi hash joins, never nested loops") {
+    val p = planOf("x12_cosine_pairs")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"cosine pairs fell back to a quadratic join:\n$p")
+  }
+
+  test("as-of join never collapses to a single partition") {
+    val p = planOf("q51_asof")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"as-of join funneled into one partition:\n$p")
+  }
+
   test("IVF centroid assignment never shuffles the corpus") {
     val emb = graft.sources.Tables.load(spark, sf, "embeddings").df
     val (assigned, _) = graft.ext.Similarity.ivfAssign(emb, nCentroids = 8)
