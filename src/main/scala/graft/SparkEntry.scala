@@ -711,6 +711,21 @@ object SparkEntry {
           |new scores("beta", 20)
           |scores order {id}""".stripMargin).df),
 
+    // table METHODS in DDL bodies (reference test_basic.py:701-729):
+    // resolve inside the table's projections/selections, auto-named,
+    // methods calling methods
+    "ql15_lang_methods" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """table Square {
+          |  size: float
+          |  func area() = size * size
+          |  func is_area_larger(num) = area() > num
+          |}
+          |new Square(2)
+          |new Square(3)
+          |new Square(4)
+          |Square[is_area_larger(5.0)]{id, size, area: area()} order {id}""".stripMargin).df),
+
     // string index/slice in column position (reference sql.py:897-926)
     "ql10_lang_strindex" -> ((s, d) =>
       graft.lang.Interp.run(s,
@@ -1459,6 +1474,11 @@ object SparkEntry {
     "ql10_lang_strindex" ->
       """SELECT n_nationkey, substr(n_name, 1, 1) AS c0,
            substr(n_name, 8) AS suffix FROM nation""",
+    "ql15_lang_methods" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(size AS DOUBLE) AS size,
+           CAST(size * size AS DOUBLE) AS area
+         FROM (VALUES (1, 2.0), (2, 3.0), (3, 4.0)) v(id, size)
+         WHERE size * size > 5.0 ORDER BY id""",
     "q67_values" ->
       """SELECT code, descr, w, w * 2 AS w2 FROM (VALUES
            (CAST(1 AS BIGINT), 'low', CAST(0.25 AS DOUBLE)),

@@ -95,13 +95,26 @@ final class Catalog(val spark: SparkSession) {
     * generated id. Values are frozen (evaluated eagerly — reference
     * evaluate.py:877-882).
     */
+  /** Widen literal insert values to the column type (`new T(4)` into a
+    * float column — standard SQL numeric coercion).
+    */
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (l: Long, DoubleType) => l.toDouble
+    case (i: Int, DoubleType) => i.toDouble
+    case (l: Long, FloatType) => l.toFloat
+    case (i: Int, FloatType) => i.toFloat
+    case (i: Int, LongType) => i.toLong
+    case (d: Double, FloatType) => d.toFloat
+    case _ => v
+  }
+
   def insertRow(name: String, values: Map[String, Any]): Row = {
     val t = get(name)
     val idCol = t.meta.pk.headOption.getOrElse("id")
     val id = nextId(name, t, idCol)
     val row = Row.fromSeq(t.schema.fields.map { f =>
       if (f.name == idCol) fitId(id, f.dataType)
-      else values.getOrElse(f.name, null)
+      else coerce(values.getOrElse(f.name, null), f.dataType)
     }.toSeq)
     val newDf = spark.createDataFrame(java.util.Arrays.asList(row), t.schema)
     tables(name) = PTable(t.df.unionByName(newDf), t.meta)

@@ -72,6 +72,39 @@ object Interp {
     var env: Map[String, V] = init
     /** Names bound by `import m` — gates `m.member` resolution. */
     var modules: Set[String] = Set.empty
+    /** Table methods from DDL bodies, keyed by table name. */
+    var tableMethods: Map[String, Map[String, FuncDef]] = Map.empty
+    /** Bindings derived from a method-bearing table (`s4 = Square[..]`)
+      * inherit its methods through this alias map.
+      */
+    var methodAlias: Map[String, String] = Map.empty
+
+    /** The named table at the ROOT of a table-expression chain — the
+      * scope that method calls resolve against.
+      */
+    private def rootTable(e: Expr): Option[String] = e match {
+      case Ident(n) => Some(n)
+      case Selection(t, _) => rootTable(t)
+      case Slice(t, _, _) => rootTable(t)
+      case Order(t, _) => rootTable(t)
+      case Projection(t, _, _, _) => rootTable(t)
+      case OneE(t, _) => rootTable(t)
+      case _ => None
+    }
+
+    private def methodsOf(te: Expr): Map[String, FuncDef] =
+      rootTable(te).map { n =>
+        val owner = methodAlias.getOrElse(n, n)
+        tableMethods.getOrElse(owner, Map.empty)
+      }.getOrElse(Map.empty)
+
+    /** Inline table-method calls in an expression evaluated in the
+      * scope of table expression `te` (methods may call each other).
+      */
+    private def withMethods(te: Expr, e: Expr): Expr = {
+      val ms = methodsOf(te)
+      if (ms.isEmpty) e else inline(e, funcs ++ ms)
+    }
     // `dict(a:1, b:2)` is stdlib sugar over the varargs collector
     // (reference __builtins__.pql:164 `func dict(...x) = x`)
     var funcs: Map[String, FuncDef] = Map(
@@ -128,6 +161,11 @@ object Interp {
           case VT(t) => VT(t.named(name))
           case vs => vs
         }))
+        // a binding rooted at a method-bearing table keeps its methods
+        // (`size4 = Square[...]` then `size4{ area() }`)
+        rootTable(value).map(n => methodAlias.getOrElse(n, n))
+          .filter(tableMethods.contains)
+          .foreach(owner => methodAlias += name -> owner)
       case fd: FuncDef =>
         funcs = funcs + (fd.name -> fd)
       case InsertRows(name, value) =>
@@ -136,12 +174,16 @@ object Interp {
         env = env + (name -> VT(graft.dsl.PTable(
           base.df.unionByName(rows.df, allowMissingColumns = true),
           base.meta)))
-      case TableDef(name, fields, bare) =>
+      case TableDef(name, fields, bare, methods) =>
         // reference evaluate.py:262-267: empty table, auto `id` pk
         val t = cat.create(name,
           fields.map { case (n, tn) => StructField(n, sparkTypeOf(tn)) },
           bare)
         env = env + (name -> VT(t))
+        // table METHODS (reference test_basic.py:701-729): resolve
+        // only inside projections/selections over this table
+        if (methods.nonEmpty)
+          tableMethods += name -> methods.map(m => m.name -> m).toMap
       case NewRow(name, args) =>
         val base = lookupTable(name)
         // re-register ONLY when the binding changed outside the
@@ -450,7 +492,10 @@ object Interp {
           PTable(spark.createDataFrame(rows.toSeq.asJava, tt.df.schema),
             tt.meta)
 
-        case Selection(te, conds) =>
+        case Selection(te, conds0) =>
+          // table-method calls resolve in this table's scope first;
+          // table-scalar subexpressions (count(t), one t{..}) localize
+          val conds = conds0.map(c => resolveScalars(withMethods(te, c)))
           // `x in other` / `x !in other` conditions become semi/anti joins
           conds.foldLeft(t(te)) { (acc, cond) =>
             cond match {
@@ -472,7 +517,23 @@ object Interp {
               graft.dsl.PTable(tt.df.offset(f), tt.meta)
           }
 
-        case Projection(te, fields, grouped, aggs) =>
+        case Projection(te, fields0, grouped, aggs0) =>
+          // table-method calls resolve in this table's scope; an
+          // unnamed `{ area() }` field keeps the method's name
+          // (reference auto-naming, test_basic.py:724)
+          val ms = methodsOf(te)
+          def resolve(fs: Seq[Field]): Seq[Field] =
+            fs.map { f =>
+              val named = f.name.orElse(f.value match {
+                case Call(m, _) if ms.contains(m) => Some(m)
+                case _ => None
+              })
+              // methods first, then localize table-scalar
+              // subexpressions (count(t) etc.) the field may embed
+              Field(named, resolveScalars(withMethods(te, f.value)))
+            }
+          val fields = resolve(fields0)
+          val aggs = resolve(aggs0)
           val tab = t(te)
           if (!grouped) tab.project(expandFields(tab, fields): _*)
           else if (fields.isEmpty) tab.aggAll(namedAggs(tab, aggs): _*)

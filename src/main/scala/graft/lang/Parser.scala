@@ -136,7 +136,8 @@ object Ast {
     * (reference evaluate.py:262-267, preql.lark table_def).
     */
   case class TableDef(name: String, fields: Seq[(String, String)],
-                      bare: Boolean) extends Stmt
+                      bare: Boolean,
+                      methods: Seq[FuncDef] = Seq.empty) extends Stmt
   /** `new Table(col: value, ...)` — single-row insert
     * (reference evaluate.py:884-947).
     */
@@ -286,6 +287,60 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
     stmts.result()
   }
 
+  /** `func name(params) = expr` or `func name(params) { block }` —
+    * used by top-level statements and table-method definitions.
+    * Codeblock bodies that reduce to a pure expression stay FuncDefs
+    * (inlineable inside projections); otherwise they become PROCEDURES
+    * executed at call time (reference func_def_short vs codeblock,
+    * preql.lark:52-53).
+    */
+  private def parseFuncLike(): Stmt = {
+    advance() // 'func'
+    val name = advance() match {
+      case TIdent(v, _) => v
+      case t => throw ParseError("expected function name", t.pos)
+    }
+    expectOp("(")
+    val params = Seq.newBuilder[Param]
+    var collector: Option[String] = None
+    var firstP = true
+    while (!isOp(")")) {
+      if (!firstP) expectOp(",")
+      firstP = false
+      if (collector.nonEmpty)
+        throw ParseError("'...collector' must be the last parameter",
+          cur.pos)
+      if (isOp("...")) {
+        // varargs collector (reference param_variadic preql.lark:69):
+        // extra NAMED args collect into a dict bound to this name
+        advance()
+        collector = Some(advance() match {
+          case TIdent(v, _) => v
+          case t => throw ParseError("expected name after '...'", t.pos)
+        })
+      } else {
+        val pname = advance() match {
+          case TIdent(v, _) => v
+          case t => throw ParseError("expected parameter name", t.pos)
+        }
+        val default =
+          if (isOp("=")) { advance(); Some(parseExpr()) } else None
+        params += Param(pname, default)
+      }
+    }
+    expectOp(")")
+    if (isOp("=")) {
+      advance(); FuncDef(name, params.result(), parseExpr(), collector)
+    } else {
+      val block = parseBlock()
+      try FuncDef(name, params.result(), blockToExpr(block), collector)
+      catch {
+        case _: ParseError if collector.isEmpty =>
+          ProcDef(name, params.result(), block)
+      }
+    }
+  }
+
   private def parseStmt(): Stmt = {
     if (atTableDef) {
       val bare = isIdent("bare")
@@ -301,21 +356,34 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
       } else {
         expectOp("{")
         val fields = Seq.newBuilder[(String, String)]
+        val methods = Seq.newBuilder[FuncDef]
         while (!isOp("}")) {
-          val fname = advance() match {
-            case TIdent(v, _) => v
-            case t => throw ParseError("expected column name", t.pos)
+          // table METHODS (reference preql.lark:38 _table_contents =
+          // table_cols func_defs; test_basic.py:701-729): `func` here
+          // starts a method unless it's a column named func (func:)
+          if (isIdent("func") &&
+              toks.lift(p + 1).exists(_.isInstanceOf[TIdent])) {
+            parseFuncLike() match {
+              case fd: FuncDef => methods += fd
+              case _ => throw ParseError(
+                "table methods need an expression body", cur.pos)
+            }
+          } else {
+            val fname = advance() match {
+              case TIdent(v, _) => v
+              case t => throw ParseError("expected column name", t.pos)
+            }
+            expectOp(":")
+            val ftype = advance() match {
+              case TIdent(v, _) => v
+              case t => throw ParseError("expected column type", t.pos)
+            }
+            fields += ((fname, ftype))
           }
-          expectOp(":")
-          val ftype = advance() match {
-            case TIdent(v, _) => v
-            case t => throw ParseError("expected column type", t.pos)
-          }
-          fields += ((fname, ftype))
           if (isOp(",")) advance()
         }
         expectOp("}")
-        TableDef(name, fields.result(), bare)
+        TableDef(name, fields.result(), bare, methods.result())
       }
     } else if (isIdent("new")) {
       advance()
@@ -343,55 +411,7 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
       expectOp("+=")
       InsertRows(name, parseExpr())
     } else if (isIdent("func")) {
-      advance()
-      val name = advance() match {
-        case TIdent(v, _) => v
-        case t => throw ParseError("expected function name", t.pos)
-      }
-      expectOp("(")
-      val params = Seq.newBuilder[Param]
-      var collector: Option[String] = None
-      var firstP = true
-      while (!isOp(")")) {
-        if (!firstP) expectOp(",")
-        firstP = false
-        if (collector.nonEmpty)
-          throw ParseError("'...collector' must be the last parameter",
-            cur.pos)
-        if (isOp("...")) {
-          // varargs collector (reference param_variadic preql.lark:69):
-          // extra NAMED args collect into a dict bound to this name
-          advance()
-          collector = Some(advance() match {
-            case TIdent(v, _) => v
-            case t => throw ParseError("expected name after '...'", t.pos)
-          })
-        } else {
-          val pname = advance() match {
-            case TIdent(v, _) => v
-            case t => throw ParseError("expected parameter name", t.pos)
-          }
-          val default =
-            if (isOp("=")) { advance(); Some(parseExpr()) } else None
-          params += Param(pname, default)
-        }
-      }
-      expectOp(")")
-      // body: `= expr`, or a codeblock — translated to a pure
-      // expression when it reduces to assign/if/return (stays
-      // inlineable inside projections); otherwise kept as a PROCEDURE
-      // executed at call time (reference func_def_short vs codeblock,
-      // preql.lark:52-53)
-      if (isOp("=")) {
-        advance(); FuncDef(name, params.result(), parseExpr(), collector)
-      } else {
-        val block = parseBlock()
-        try FuncDef(name, params.result(), blockToExpr(block), collector)
-        catch {
-          case _: ParseError if collector.isEmpty =>
-            ProcDef(name, params.result(), block)
-        }
-      }
+      parseFuncLike()
     } else if (isIdent("if")) {
       advance(); expectOp("(")
       val cond = parseExpr()

@@ -248,6 +248,43 @@ class LangSpec extends SparkSpec {
     }
   }
 
+  test("table methods: defined in DDL, resolve in that table's scope") {
+    // reference test_basic.py:701-729 (test_methods)
+    val out = Interp.run(spark,
+      """table Square {
+        |  size: float
+        |  func area() = size * size
+        |  func is_area_larger(num) = area() > num
+        |}
+        |new Square(4)
+        |size4 = Square[size == 4]
+        |[1]{a: count(Square[area() > 18.0]), b: count(Square[area() < 18.0]),
+        |  c: count(Square[is_area_larger(14.0)])}""".stripMargin)
+    val r = out.df.head()
+    assert(r.getLong(0) == 0 && r.getLong(1) == 1 && r.getLong(2) == 1)
+    // auto-named projection through a derived binding
+    val p = Interp.run(spark,
+      """table Square {
+        |  size: float
+        |  func area() = size * size
+        |}
+        |new Square(4)
+        |size4 = Square[size == 4]
+        |size4{ area() }""".stripMargin)
+    assert(p.columns == Seq("area"))
+    assert(p.df.head().getDouble(0) == 16.0)
+    // methods don't leak into other tables' scope
+    intercept[graft.types.GraftError] {
+      Interp.run(spark,
+        """table Square {
+          |  size: float
+          |  func area() = size * size
+          |}
+          |table a { size: int }
+          |a{ area() }""".stripMargin)
+    }
+  }
+
   test("user modules: import binds funcs/vars under m.<name>") {
     // reference import_module (evaluate.py:387-423): module runs in
     // its own namespace; qualified access; closure globals resolve
