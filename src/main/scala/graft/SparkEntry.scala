@@ -726,6 +726,20 @@ object SparkEntry {
           |new Square(4)
           |Square[is_area_larger(5.0)]{id, size, area: area()} order {id}""".stripMargin).df),
 
+    // self-referencing FK + backref (reference test_basic.py:1294-1321):
+    // dotted FK attrs auto-join, backrefs count and collect children
+    "ql16_lang_selfref" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """table Person {
+          |  name: string
+          |  parent: Person? -> children
+          |}
+          |new Person("Abraham", null)
+          |new Person("Isaac", 1)
+          |new Person("Jacob", 2)
+          |new Person("Esau", 2)
+          |Person {name => c: count(children), kids: children.name} order {name}""".stripMargin).df),
+
     // string index/slice in column position (reference sql.py:897-926)
     "ql10_lang_strindex" -> ((s, d) =>
       graft.lang.Interp.run(s,
@@ -1479,6 +1493,15 @@ object SparkEntry {
            CAST(size * size AS DOUBLE) AS area
          FROM (VALUES (1, 2.0), (2, 3.0), (3, 4.0)) v(id, size)
          WHERE size * size > 5.0 ORDER BY id""",
+    "ql16_lang_selfref" ->
+      """WITH people AS (
+           SELECT * FROM (VALUES (1, 'Abraham', NULL), (2, 'Isaac', 1),
+             (3, 'Jacob', 2), (4, 'Esau', 2)) v(id, name, parent))
+         SELECT p.name, CAST(count(c.id) AS BIGINT) AS c,
+           COALESCE(ARRAY_AGG(c.name ORDER BY c.name)
+             FILTER (WHERE c.name IS NOT NULL), []) AS kids
+         FROM people p LEFT JOIN people c ON c.parent = p.id
+         GROUP BY p.name ORDER BY p.name""",
     "q67_values" ->
       """SELECT code, descr, w, w * 2 AS w2 FROM (VALUES
            (CAST(1 AS BIGINT), 'low', CAST(0.25 AS DOUBLE)),

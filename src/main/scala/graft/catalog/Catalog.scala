@@ -68,14 +68,15 @@ final class Catalog(val spark: SparkSession) {
   /** `table Foo {...}` — create an empty table with an auto `id` pk
     * (reference evaluate.py:262-267 adds `id: t_id` unless `bare`).
     */
-  def create(name: String, fields: Seq[StructField], bare: Boolean = false): PTable = {
+  def create(name: String, fields: Seq[StructField], bare: Boolean = false,
+             fks: Seq[graft.types.FK] = Nil): PTable = {
     val schema =
       if (bare) StructType(fields)
       else StructType(StructField("id", LongType, nullable = false) +: fields)
     val df = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
     val t = register(name, PTable(df,
-      TableMeta(name, pk = if (bare) Nil else Seq("id"))))
+      TableMeta(name, pk = if (bare) Nil else Seq("id"), fks = fks)))
     idCounters(name) = 0L // fresh empty table: no probe needed ever
     t
   }

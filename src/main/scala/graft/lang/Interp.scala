@@ -74,6 +74,12 @@ object Interp {
     var modules: Set[String] = Set.empty
     /** Table methods from DDL bodies, keyed by table name. */
     var tableMethods: Map[String, Map[String, FuncDef]] = Map.empty
+    /** DDL column defaults, keyed by table name. */
+    var tableDefaults: Map[String, Map[String, Expr]] = Map.empty
+    /** Reverse-FK names: referenced table → backref → (child table,
+      * child fk column).
+      */
+    var backrefs: Map[String, Map[String, (String, String)]] = Map.empty
     /** Bindings derived from a method-bearing table (`s4 = Square[..]`)
       * inherit its methods through this alias map.
       */
@@ -104,6 +110,71 @@ object Interp {
     private def withMethods(te: Expr, e: Expr): Expr = {
       val ms = methodsOf(te)
       if (ms.isEmpty) e else inline(e, funcs ++ ms)
+    }
+
+    private def brMapOf(te: Expr): Map[String, (String, String)] =
+      rootTable(te).map(n => methodAlias.getOrElse(n, n))
+        .flatMap(backrefs.get).getOrElse(Map.empty)
+
+    /** Resolve FK attribute paths (`parent.name`) and backref names
+      * (`children`, `count(children)`) against the base table: each
+      * used forward FK left-joins its referenced table once as a
+      * struct column `__fk_<col>`, each used backref left-joins the
+      * child table once as `__br_<name>`, and the ASTs rewrite to
+      * struct accesses (the reference's auto-join on attribute paths,
+      * test_basic.py:1294-1321). Returns the joined table and the
+      * rewritten expressions; callers that keep the base schema drop
+      * the helper columns afterwards.
+      */
+    private def resolveRefs(te: Expr, tab: PTable, exprs: Seq[Expr])
+        : (PTable, Seq[Expr]) = {
+      val fkMap = tab.meta.fks.map(f => f.column -> f).toMap
+      val brMap = brMapOf(te)
+      if (fkMap.isEmpty && brMap.isEmpty) return (tab, exprs)
+      val usedFk = scala.collection.mutable.LinkedHashSet[String]()
+      val usedBr = scala.collection.mutable.LinkedHashSet[String]()
+      exprs.foreach { e =>
+        rewrite(e) {
+          case a @ Attr(Ident(h), _) if fkMap.contains(h) =>
+            usedFk += h; a
+          case a @ Attr(Ident(h), _) if brMap.contains(h) =>
+            usedBr += h; a
+          case c @ Call("count", Seq(Arg(None, Ident(h))))
+              if brMap.contains(h) =>
+            usedBr += h; c
+        }
+      }
+      if (usedFk.isEmpty && usedBr.isEmpty) return (tab, exprs)
+      var df = tab.df
+      usedFk.foreach { h =>
+        val fk = fkMap(h)
+        val ref = lookupTable(fk.refTable)
+        val s = ref.df.select(F.col(fk.refColumn).as(s"__k_$h"),
+          F.struct(ref.df.columns.map(F.col): _*).as(s"__fk_$h"))
+        df = df.join(s, df(h) === F.col(s"__k_$h"), "left")
+          .drop(s"__k_$h")
+      }
+      usedBr.foreach { h =>
+        val (childName, fkCol) = brMap(h)
+        val child = lookupTable(childName)
+        val pk = tab.meta.pk.headOption.getOrElse("id")
+        val s = child.df.select(F.col(fkCol).as(s"__k_$h"),
+          F.struct(child.df.columns.map(F.col): _*).as(s"__br_$h"))
+        df = df.join(s, df(pk) === F.col(s"__k_$h"), "left")
+          .drop(s"__k_$h")
+      }
+      val rewritten = exprs.map(e => rewrite(e) {
+        case Call("count", Seq(Arg(None, Ident(h)))) if brMap.contains(h) =>
+          // count(children): non-null child ids after the left join
+          val childPk = lookupTable(brMap(h)._1)
+            .meta.pk.headOption.getOrElse("id")
+          Call("count", Seq(Arg(None, Attr(Ident(s"__br_$h"), childPk))))
+        case Attr(Ident(h), n) if fkMap.contains(h) =>
+          Attr(Ident(s"__fk_$h"), n)
+        case Attr(Ident(h), n) if brMap.contains(h) =>
+          Attr(Ident(s"__br_$h"), n)
+      })
+      (graft.dsl.PTable(df, tab.meta), rewritten)
     }
     // `dict(a:1, b:2)` is stdlib sugar over the varargs collector
     // (reference __builtins__.pql:164 `func dict(...x) = x`)
@@ -161,10 +232,10 @@ object Interp {
           case VT(t) => VT(t.named(name))
           case vs => vs
         }))
-        // a binding rooted at a method-bearing table keeps its methods
-        // (`size4 = Square[...]` then `size4{ area() }`)
+        // a binding rooted at a method- or backref-bearing table keeps
+        // that scope (`size4 = Square[...]` then `size4{ area() }`)
         rootTable(value).map(n => methodAlias.getOrElse(n, n))
-          .filter(tableMethods.contains)
+          .filter(o => tableMethods.contains(o) || backrefs.contains(o))
           .foreach(owner => methodAlias += name -> owner)
       case fd: FuncDef =>
         funcs = funcs + (fd.name -> fd)
@@ -175,15 +246,36 @@ object Interp {
           base.df.unionByName(rows.df, allowMissingColumns = true),
           base.meta)))
       case TableDef(name, fields, bare, methods) =>
-        // reference evaluate.py:262-267: empty table, auto `id` pk
-        val t = cat.create(name,
-          fields.map { case (n, tn) => StructField(n, sparkTypeOf(tn)) },
-          bare)
+        // reference evaluate.py:262-267: empty table, auto `id` pk.
+        // A non-primitive column type names another table: the column
+        // stores that table's id and records an FK; `-> backref`
+        // registers the reverse name on the referenced table
+        // (reference test_basic.py:1294-1321).
+        val cols = fields.map { cd =>
+          try (StructField(cd.name, sparkTypeOf(cd.tpe)), Option.empty[graft.types.FK])
+          catch {
+            case _: TypeError =>
+              (StructField(cd.name, LongType),
+                Some(graft.types.FK(cd.name, cd.tpe, "id")))
+          }
+        }
+        val t = cat.create(name, cols.map(_._1), bare,
+          fks = cols.flatMap(_._2))
         env = env + (name -> VT(t))
         // table METHODS (reference test_basic.py:701-729): resolve
         // only inside projections/selections over this table
         if (methods.nonEmpty)
           tableMethods += name -> methods.map(m => m.name -> m).toMap
+        val defaults = fields.collect {
+          case cd if cd.default.nonEmpty => cd.name -> cd.default.get
+        }
+        if (defaults.nonEmpty) tableDefaults += name -> defaults.toMap
+        fields.foreach { cd =>
+          cd.backref.foreach { br =>
+            backrefs += cd.tpe ->
+              (backrefs.getOrElse(cd.tpe, Map.empty) + (br -> (name, cd.name)))
+          }
+        }
       case NewRow(name, args) =>
         val base = lookupTable(name)
         // re-register ONLY when the binding changed outside the
@@ -202,7 +294,12 @@ object Interp {
               s"new $name: too many positional arguments")) ->
             litAny(substitute(a.value))
         }
-        cat.insertRow(name, named.toMap)
+        // DDL column defaults fill unsupplied columns (reference
+        // test_basic.py:1055-1068)
+        val defaults = tableDefaults.getOrElse(name, Map.empty)
+          .view.filterKeys(k => !named.exists(_._1 == k))
+          .mapValues(e => litAny(substitute(e))).toMap
+        cat.insertRow(name, named.toMap ++ defaults)
         env = env + (name -> VT(cat.get(name)))
       case pd: ProcDef =>
         procs = procs + (pd.name -> pd)
@@ -495,9 +592,11 @@ object Interp {
         case Selection(te, conds0) =>
           // table-method calls resolve in this table's scope first;
           // table-scalar subexpressions (count(t), one t{..}) localize
-          val conds = conds0.map(c => resolveScalars(withMethods(te, c)))
-          // `x in other` / `x !in other` conditions become semi/anti joins
-          conds.foldLeft(t(te)) { (acc, cond) =>
+          val conds1 = conds0.map(c => resolveScalars(withMethods(te, c)))
+          val base = t(te)
+          // FK attribute paths (parent.name) join + rewrite
+          val (tabR, conds) = resolveRefs(te, base, conds1)
+          val filtered = conds.foldLeft(tabR) { (acc, cond) =>
             cond match {
               case BinOp("in", l, r) if isTableExpr(r) =>
                 semiAnti(acc, l, t(r), anti = false)
@@ -506,6 +605,10 @@ object Interp {
               case c => acc.where(evalCol(c, schemaOf(acc)))
             }
           }
+          if (tabR eq base) filtered
+          else graft.dsl.PTable(filtered.df.drop(filtered.df.columns
+            .filter(c => c.startsWith("__fk_") || c.startsWith("__br_")): _*),
+            base.meta)
 
         case Slice(te, from, until) =>
           val f = from.map(constLong).getOrElse(0L).toInt
@@ -532,9 +635,23 @@ object Interp {
               // subexpressions (count(t) etc.) the field may embed
               Field(named, resolveScalars(withMethods(te, f.value)))
             }
-          val fields = resolve(fields0)
-          val aggs = resolve(aggs0)
-          val tab = t(te)
+          val fields1 = resolve(fields0)
+          val brM = brMapOf(te)
+          // bare `backref.col` in agg scope collects child values
+          // (reference `Person {name => children.name}` → sorted array)
+          val aggs1 = resolve(aggs0).map {
+            case Field(name, Attr(Ident(h), n)) if brM.contains(h) =>
+              Field(Some(name.getOrElse(s"$h.$n")),
+                Call("__collect", Seq(Arg(None, Attr(Ident(h), n)))))
+            case f => f
+          }
+          val base = t(te)
+          val (tab, rew) =
+            resolveRefs(te, base, (fields1 ++ aggs1).map(_.value))
+          val fields = fields1.zip(rew.take(fields1.length))
+            .map { case (f, v) => Field(f.name, v) }
+          val aggs = aggs1.zip(rew.drop(fields1.length))
+            .map { case (f, v) => Field(f.name, v) }
           if (!grouped) tab.project(expandFields(tab, fields): _*)
           else if (fields.isEmpty) tab.aggAll(namedAggs(tab, aggs): _*)
           else if (aggs.isEmpty) tab.groupBy(expandFields(tab, fields): _*)()
@@ -1330,6 +1447,10 @@ object Interp {
       case "first" => arity(1); F.first(a(0))
       case "product" => arity(1); PF.product(a(0).cast(DoubleType))
       case "approx_product" => arity(1); PF.approxProduct(a(0))
+      // internal: backref collect in agg scope (sorted for
+      // deterministic cross-engine comparison; collect_list skips
+      // nulls, so childless parents get [])
+      case "__collect" => arity(1); F.array_sort(F.collect_list(a(0)))
       case "median" => arity(1); F.percentile(a(0), lit(0.5))
       // scalar functions
       case "upper" => arity(1); F.upper(a(0))

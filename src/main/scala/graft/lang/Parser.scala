@@ -135,7 +135,16 @@ object Ast {
   /** `table Name { col: type, ... }` DDL — auto `id` pk unless `bare`
     * (reference evaluate.py:262-267, preql.lark table_def).
     */
-  case class TableDef(name: String, fields: Seq[(String, String)],
+  /** One DDL column: `name: type ['?'] ['-> backref'] ['= default]`.
+    * A non-primitive type names another table — the column becomes an
+    * FK id with optional reverse name (reference preql.lark:42-47
+    * typemod / col_def; test_basic.py:1294-1321 self reference).
+    */
+  case class ColDef(name: String, tpe: String,
+                    optional: Boolean = false,
+                    backref: Option[String] = None,
+                    default: Option[Expr] = None)
+  case class TableDef(name: String, fields: Seq[ColDef],
                       bare: Boolean,
                       methods: Seq[FuncDef] = Seq.empty) extends Stmt
   /** `new Table(col: value, ...)` — single-row insert
@@ -158,7 +167,7 @@ object Lexer {
   case class TEof(pos: Int) extends Tok
 
   private val multiOps = Seq("...", "=>", "..", "==", "!=", "<>", "<=", ">=",
-    "/~", "**", "!in", "+=")
+    "/~", "**", "!in", "+=", "->")
   private val singleOps = "{}[](),:.+-*/%<>=^~&|!?"
 
   def lex(src: String): Vector[Tok] = {
@@ -355,7 +364,7 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
         Assign(name, parseExpr())
       } else {
         expectOp("{")
-        val fields = Seq.newBuilder[(String, String)]
+        val fields = Seq.newBuilder[ColDef]
         val methods = Seq.newBuilder[FuncDef]
         while (!isOp("}")) {
           // table METHODS (reference preql.lark:38 _table_contents =
@@ -378,7 +387,18 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
               case TIdent(v, _) => v
               case t => throw ParseError("expected column type", t.pos)
             }
-            fields += ((fname, ftype))
+            val optional = if (isOp("?")) { advance(); true } else false
+            val backref =
+              if (isOp("->")) {
+                advance()
+                Some(advance() match {
+                  case TIdent(v, _) => v
+                  case t => throw ParseError("expected backref name", t.pos)
+                })
+              } else None
+            val default =
+              if (isOp("=")) { advance(); Some(parseExpr()) } else None
+            fields += ColDef(fname, ftype, optional, backref, default)
           }
           if (isOp(",")) advance()
         }

@@ -285,6 +285,47 @@ class LangSpec extends SparkSpec {
     }
   }
 
+  test("self-referencing FK columns: dotted attrs, backref count/collect") {
+    // reference test_basic.py:1294-1321 (test_self_reference)
+    val src =
+      """table Person {
+        |  name: string
+        |  parent: Person? -> children
+        |}
+        |new Person("Abraham", null)
+        |new Person("Isaac", 1)
+        |new Person("Jacob", 2)
+        |new Person("Esau", 2)
+        |""".stripMargin
+    val byParent = Interp.run(spark,
+      src + """Person[name == "Jacob"]{name: parent.name}""")
+    assert(byParent.df.collect().map(_.getString(0)).toSeq == Seq("Isaac"))
+    val counts = Interp.run(spark,
+      src + """Person {name => c: count(children)} [c > 0] order {name}""")
+    assert(counts.df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq("Abraham" -> 1L, "Isaac" -> 2L))
+    val collected = Interp.run(spark,
+      src + """Person {name => children.name} order {name}""")
+    val rows = collected.df.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(collected.columns == Seq("name", "children.name"))
+    assert(rows == Map("Abraham" -> List("Isaac"), "Esau" -> Nil,
+      "Isaac" -> List("Esau", "Jacob"), "Jacob" -> Nil))
+  }
+
+  test("DDL column defaults fill unsupplied values") {
+    // reference test_basic.py:1055-1068 (test_column_default)
+    val out = Interp.run(spark,
+      """table A {
+        |  x: int
+        |  y: int = 2
+        |}
+        |new A(1)
+        |new A(2, 1)
+        |A{y} order {^y}""".stripMargin)
+    assert(out.df.collect().map(_.getLong(0)).toSeq == Seq(2L, 1L))
+  }
+
   test("user modules: import binds funcs/vars under m.<name>") {
     // reference import_module (evaluate.py:387-423): module runs in
     // its own namespace; qualified access; closure globals resolve
