@@ -48,6 +48,15 @@ object Interp {
       fields.map { case (k, v) => s"$k: $v" }.mkString("{", ", ", "}")
   }
 
+  /** A localized row of `table` (reference RowType): structural
+    * equality, attr access via the scalars fold.
+    */
+  private[lang] final case class RowV(table: String,
+                                      fields: Seq[(String, Any)]) {
+    override def toString: String =
+      fields.map { case (k, v) => s"$k: $v" }.mkString(s"row $table{", ", ", "}")
+  }
+
   def run(spark: SparkSession, src: String, tables: (String, PTable)*): PTable =
     runWithModules(spark, src, Map.empty, tables: _*)
 
@@ -206,6 +215,25 @@ object Interp {
         case Attr(DictLit(fs), n) =>
           fs.collectFirst { case (k, v) if k == n => v }.getOrElse(
             throw new NameError(s"dict has no attribute '$n'"))
+        // row attr access; an FK column navigates to the referenced
+        // row (reference `b.a.x`, test_basic.py:656-679) via one tiny
+        // driver-side lookup
+        case Attr(RowLit(tbl, fs), n) =>
+          val v = fs.collectFirst { case (k, e) if k == n => e }.getOrElse(
+            throw new NameError(s"row of '$tbl' has no attribute '$n'"))
+          val fk = env.get(tbl).collect { case VT(t) => t.meta }
+            .toSeq.flatMap(_.fks).find(_.column == n)
+          fk match {
+            case Some(f) if v != NullLit =>
+              val ref = lookupTable(f.refTable)
+              val rows = ref.df.filter(
+                col(f.refColumn) === lit(litAny(v))).take(1)
+              if (rows.isEmpty) throw new NameError(
+                s"dangling FK: ${f.refTable}.${f.refColumn} = $v")
+              RowLit(f.refTable, ref.schema.fields.map(_.name)
+                .zip(rows(0).toSeq.map(scalarToAst)).toSeq)
+            case _ => v
+          }
         // `m.member` on an imported module: scalars splice as
         // literals, tables resolve through their qualified binding
         case Attr(Ident(m), n) if modules.contains(m) =>
@@ -227,11 +255,15 @@ object Interp {
     def exec(s: Stmt): Unit = s match {
       case Assign(name, value) =>
         // scalar results (incl. localized count/max/one over tables)
-        // bind as scalars; everything else binds as a table
-        env = env + (name -> (evalValue(substitute(value)) match {
+        // bind as scalars; everything else binds as a table.
+        // Evaluate BEFORE the rebind: evalValue may itself mutate env
+        // (a `new T(..)` on the right-hand side rebinds T), and
+        // `env + (...)` would otherwise capture the pre-mutation map.
+        val v = evalValue(substitute(value)) match {
           case VT(t) => VT(t.named(name))
           case vs => vs
-        }))
+        }
+        env = env + (name -> v)
         // a binding rooted at a method- or backref-bearing table keeps
         // that scope (`size4 = Square[...]` then `size4{ area() }`)
         rootTable(value).map(n => methodAlias.getOrElse(n, n))
@@ -277,30 +309,7 @@ object Interp {
           }
         }
       case NewRow(name, args) =>
-        val base = lookupTable(name)
-        // re-register ONLY when the binding changed outside the
-        // catalog (identity check) — keeps the cached max-id counter
-        // alive across an insert loop (O(1) jobs per insert)
-        if (!cat.names.contains(name) || (cat.get(name) ne base))
-          cat.register(name, base)
-        // positional args fill non-pk columns in declaration order
-        // (reference `new A(2)`, test_basic.py:952-960)
-        val nonPk = base.schema.fields.map(_.name)
-          .filterNot(base.meta.pk.contains)
-        val named = args.zipWithIndex.map {
-          case (a, i) => a.name.getOrElse(
-            if (i < nonPk.length) nonPk(i)
-            else throw new TypeError(
-              s"new $name: too many positional arguments")) ->
-            litAny(substitute(a.value))
-        }
-        // DDL column defaults fill unsupplied columns (reference
-        // test_basic.py:1055-1068)
-        val defaults = tableDefaults.getOrElse(name, Map.empty)
-          .view.filterKeys(k => !named.exists(_._1 == k))
-          .mapValues(e => litAny(substitute(e))).toMap
-        cat.insertRow(name, named.toMap ++ defaults)
-        env = env + (name -> VT(cat.get(name)))
+        execNew(name, args)
       case pd: ProcDef =>
         procs = procs + (pd.name -> pd)
       case ExprStmt(e) => e match {
@@ -408,11 +417,42 @@ object Interp {
       procs ++= sub.procs.map { case (k, pd) => s"$m.$k" -> pd }
     }
 
+    /** `new T(args)`: insert one row (positional args fill non-pk
+      * columns in declaration order — reference test_basic.py:952-960;
+      * DDL defaults fill the gaps) and return the inserted row value.
+      */
+    private def execNew(name: String, args: Seq[Arg]): RowV = {
+      val base = lookupTable(name)
+      // re-register ONLY when the binding changed outside the
+      // catalog (identity check) — keeps the cached max-id counter
+      // alive across an insert loop (O(1) jobs per insert)
+      if (!cat.names.contains(name) || (cat.get(name) ne base))
+        cat.register(name, base)
+      val nonPk = base.schema.fields.map(_.name)
+        .filterNot(base.meta.pk.contains)
+      val named = args.zipWithIndex.map {
+        case (a, i) => a.name.getOrElse(
+          if (i < nonPk.length) nonPk(i)
+          else throw new TypeError(
+            s"new $name: too many positional arguments")) ->
+          litAny(substitute(a.value))
+      }
+      // DDL column defaults fill unsupplied columns (reference
+      // test_basic.py:1055-1068)
+      val defaults = tableDefaults.getOrElse(name, Map.empty)
+        .view.filterKeys(k => !named.exists(_._1 == k))
+        .mapValues(e => litAny(substitute(e))).toMap
+      val row = cat.insertRow(name, named.toMap ++ defaults)
+      env = env + (name -> VT(cat.get(name)))
+      RowV(name, base.schema.fields.map(_.name).zip(row.toSeq).toSeq)
+    }
+
     /** Evaluate to a binding value: scalar if const-resolvable, else
       * table. A top-level procedure call passes its return value
       * through unchanged (tables stay tables).
       */
     private def evalValue(e: Expr): V = e match {
+      case ne: NewE => VS(execNew(ne.table, ne.args))
       case Call(fn, args) if procs.contains(fn) =>
         callProc(fn, args).getOrElse(
           throw new ValueError(s"$fn did not return a value"))
@@ -479,6 +519,8 @@ object Interp {
         BoolLit(evalTable(te).df.isEmpty)
       case Call("fmt", Seq(Arg(None, StrLit(s)))) =>
         StrLit(interpolate(s))
+      // `new T(...)` in expression position: insert, splice the row
+      case ne: NewE => scalarToAst(execNew(ne.table, ne.args))
       // procedure call in expression position: run, splice the value
       case Call(fn, args) if procs.contains(fn) =>
         callProc(fn, args) match {
@@ -1036,6 +1078,7 @@ object Interp {
     case d: Double => FloatLit(d)
     case s: String => StrLit(s)
     case DictV(fs) => DictLit(fs.map { case (k, v) => (k, scalarToAst(v)) })
+    case RowV(t, fs) => RowLit(t, fs.map { case (k, v) => (k, scalarToAst(v)) })
     case o => throw new TypeError(s"unsupported scalar value: $o")
   }
 
@@ -1068,6 +1111,7 @@ object Interp {
     case BinOp(op, le, re) => constBin(op, le, re)
     case Call(fn, args) => constCall(fn, args)
     case DictLit(fs) => DictV(fs.map { case (k, v) => (k, constEval(v)) })
+    case RowLit(t, fs) => RowV(t, fs.map { case (k, v) => (k, constEval(v)) })
     case Attr(o, n) => constEval(o) match {
       case DictV(fs) =>
         fs.collectFirst { case (k, v) if k == n => v }.getOrElse(
@@ -1207,6 +1251,9 @@ object Interp {
     case BoolLit(v) => v
     case NullLit => null
     case Unary("-", IntLit(v)) => -v
+    // a row value used where a literal goes (FK column) means its id
+    case RowLit(t, fs) => fs.collectFirst { case ("id", e) => litAny(e) }
+      .getOrElse(throw new TypeError(s"row of '$t' has no id"))
     case o => throw new TypeError(s"'new' values must be literals, got $o")
   }
 

@@ -28,6 +28,15 @@ object Ast {
     * dict variable back into an expression.
     */
   case class DictLit(fields: Seq[(String, Expr)]) extends Expr
+  /** A localized ROW of `table` (reference RowType,
+    * test_basic.py:656-679): `a = new A(4)` binds one; attr access
+    * walks fields and follows FK columns to the referenced row.
+    */
+  case class RowLit(table: String, fields: Seq[(String, Expr)]) extends Expr
+  /** `new Table(args)` in EXPRESSION position — inserts and evaluates
+    * to the inserted row (statement-position `new` stays NewRow).
+    */
+  case class NewE(table: String, args: Seq[Arg]) extends Expr
   /** Call-site `...expr` — inline a dict value as named arguments
     * (reference ast.Ellipsis in func_args, pql_objects.py:145-157).
     */
@@ -125,6 +134,10 @@ object Ast {
         RangeLit(f.map(rewrite(_)(pf)), u.map(rewrite(_)(pf)))
       case DictLit(fs) =>
         DictLit(fs.map { case (k, v) => (k, rewrite(v)(pf)) })
+      case RowLit(t, fs) =>
+        RowLit(t, fs.map { case (k, v) => (k, rewrite(v)(pf)) })
+      case NewE(t, args) =>
+        NewE(t, args.map(a => Arg(a.name, rewrite(a.value)(pf))))
       case Spread(x) => Spread(rewrite(x)(pf))
       case leaf => leaf
     }
@@ -819,7 +832,11 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
     case TIdent("false", _) => BoolLit(false)
     case TIdent("null", _) => NullLit
     case TIdent(name, _) =>
-      if (isOp("(") && sameLineAsPrev) Call(name, parseCallArgs())
+      if (name == "new" && cur.isInstanceOf[TIdent]) {
+        // `new Table(args)` in expression position (test_basic.py:656)
+        val tname = advance().asInstanceOf[TIdent].v
+        NewE(tname, parseCallArgs())
+      } else if (isOp("(") && sameLineAsPrev) Call(name, parseCallArgs())
       else Ident(name)
     case TOp("(", _) =>
       val e = parseExpr()

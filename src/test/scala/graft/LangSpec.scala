@@ -313,6 +313,22 @@ class LangSpec extends SparkSpec {
       "Isaac" -> List("Esau", "Jacob"), "Jacob" -> Nil))
   }
 
+  test("row objects: new in expression position, attrs, FK navigation") {
+    // reference test_basic.py:656-679 (test_rowtype)
+    val out = Interp.run(spark,
+      """table A { x: int }
+        |a = new A(4)
+        |table B { a: A }
+        |b = new B(a)
+        |eq1 = (a == a)
+        |eq2 = (b == b)
+        |[1]{ax: a.x, bax: b.a.x, e1: eq1, e2: eq2, aid: a.id}""".stripMargin)
+    val r = out.df.head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4)
+    assert(r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getLong(4) == 1)
+  }
+
   test("DDL column defaults fill unsupplied values") {
     // reference test_basic.py:1055-1068 (test_column_default)
     val out = Interp.run(spark,
