@@ -329,6 +329,23 @@ class LangSpec extends SparkSpec {
     assert(r.getLong(4) == 1)
   }
 
+  test("copy rows between tables: B += A repeats, projections insert") {
+    // reference test_basic.py:918-949 (test_copy_rows)
+    val out = Interp.run(spark,
+      """table A { x: int }
+        |table B { x: int }
+        |new A(2)
+        |B += A
+        |B += A
+        |B += A
+        |B += [2, 3] {x: item}
+        |A += B
+        |[1]{na: count(A), nb: count(B)}""".stripMargin)
+    val r = out.df.head()
+    assert(r.getLong(1) == 5) // 3 copies of A + 2 list rows
+    assert(r.getLong(0) == 6) // original + the 5 B rows
+  }
+
   test("DDL column defaults fill unsupplied values") {
     // reference test_basic.py:1055-1068 (test_column_default)
     val out = Interp.run(spark,
