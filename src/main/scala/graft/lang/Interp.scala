@@ -609,6 +609,11 @@ object Interp {
       val t = evalTable(e)
       val rows = t.df.take(2)
       if (rows.length == 1 && rows(0).length == 1) rows(0).get(0)
+      // a single multi-column row localizes to a ROW object
+      // (reference `one A{x}` → {'x': 2}, test_basic.py:952-972) —
+      // attr access and FK navigation then work like `new`-bound rows
+      else if (rows.length == 1)
+        RowV(t.meta.name, t.columns.zip(rows(0).toSeq).toSeq)
       else throw new TypeError(s"not a scalar: $e")
     }
 

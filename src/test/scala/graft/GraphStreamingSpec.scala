@@ -76,6 +76,29 @@ class GraphStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("text analysis expressions lift to streams unchanged") {
+    // langId/qualityScore/tokenCount are pure codegen'd expressions —
+    // the whole batch text-analysis surface applies to a readStream
+    // with zero adaptation (and no state)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      graft.ext.TextAnalysis.langId(col("text")).as("lang"),
+      graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val q = out.writeStream.format("memory").queryName("stream_text_test")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "der schnelle braune fuchs springt und der hund"))
+    q.processAllAvailable()
+    val rows = spark.table("stream_text_test").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(rows(1L)._1 == "en" && rows(1L)._2 == 9)
+    assert(rows(2L)._1 == "de")
+    q.stop()
+  }
+
   test("streaming simhash near-dup admits first doc, drops near-copies") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, String)]

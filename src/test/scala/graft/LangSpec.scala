@@ -346,6 +346,17 @@ class LangSpec extends SparkSpec {
     assert(r.getLong(0) == 6) // original + the 5 B rows
   }
 
+  test("one on a multi-column row binds a row object") {
+    // reference test_basic.py:952-962: one A{x} → row; attrs compose
+    val out = Interp.run(spark,
+      """table A { x: int, y: string }
+        |new A(2, "two")
+        |r = one A
+        |[1]{x: r.x, y: r.y}""".stripMargin)
+    val row = out.df.head()
+    assert(row.getLong(0) == 2 && row.getString(1) == "two")
+  }
+
   test("DDL column defaults fill unsupplied values") {
     // reference test_basic.py:1055-1068 (test_column_default)
     val out = Interp.run(spark,
