@@ -11,7 +11,10 @@ object Plans {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val names = Seq("q02_selection", "q03_groupby_agg", "q06_join_auto",
       "q18_topk", "q10_semijoin", "x01_dedup_exact", "q58_corr",
-      "q60_cube", "x16_sessionize", "x10_ann_brute")
+      "q60_cube", "x16_sessionize", "x10_ann_brute",
+      // round-3 shapes: skew-sliced as-of, epsilon-grid cosine,
+      // expression-level global index, IVF zero-shuffle assignment
+      "q51_asof", "x12_cosine_pairs", "q20_enum", "x17_ann_ivf")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
