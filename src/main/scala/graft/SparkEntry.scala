@@ -740,6 +740,37 @@ object SparkEntry {
           |new Person("Esau", 2)
           |Person {name => c: count(children), kids: children.name} order {name}""".stripMargin).df),
 
+    // struct type declarations: struct-typed DDL columns are real
+    // nested StructType columns, projected/filtered by dotted path
+    // (reference tests/box_circle.pql; the reference flattens structs
+    // to parent_child columns instead, types_impl.py:25-41)
+    "ql17_lang_structs" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """struct Point {
+          |    x: float
+          |    y: float
+          |}
+          |table Box {
+          |    start: Point
+          |    end: Point
+          |}
+          |table Circle {
+          |    center: Point
+          |    radius: float
+          |}
+          |new Box([1, 1], [10, 10])
+          |new Box([1, 1], [2, 2])
+          |new Circle([3,3], 2)
+          |new Circle([20,20], 2)
+          |func contained() = joinall(c:Circle, b:Box) [
+          |        c.center.x - c.radius >= b.start.x,
+          |        c.center.y - c.radius >= b.start.y,
+          |        c.center.x + c.radius <= b.end.x,
+          |        c.center.y + c.radius <= b.end.y
+          |    ] {x:c, s:b.start, b.end} {x.center, r:x.radius, start:s, end}
+          |contained() {cx: center.x, cy: center.y, r, sx: start.x, ex: end.x}
+          |""".stripMargin).df),
+
     // string index/slice in column position (reference sql.py:897-926)
     "ql10_lang_strindex" -> ((s, d) =>
       graft.lang.Interp.run(s,
@@ -1493,6 +1524,15 @@ object SparkEntry {
            CAST(size * size AS DOUBLE) AS area
          FROM (VALUES (1, 2.0), (2, 3.0), (3, 4.0)) v(id, size)
          WHERE size * size > 5.0 ORDER BY id""",
+    "ql17_lang_structs" ->
+      """WITH circle(cx, cy, radius) AS (
+           SELECT * FROM (VALUES (3.0, 3.0, 2.0), (20.0, 20.0, 2.0))),
+         box(sx, sy, ex, ey) AS (
+           SELECT * FROM (VALUES (1.0, 1.0, 10.0, 10.0), (1.0, 1.0, 2.0, 2.0)))
+         SELECT c.cx, c.cy, c.radius AS r, b.sx, b.ex
+         FROM circle c CROSS JOIN box b
+         WHERE c.cx - c.radius >= b.sx AND c.cy - c.radius >= b.sy
+           AND c.cx + c.radius <= b.ex AND c.cy + c.radius <= b.ey""",
     "ql16_lang_selfref" ->
       """WITH people AS (
            SELECT * FROM (VALUES (1, 'Abraham', NULL), (2, 'Isaac', 1),

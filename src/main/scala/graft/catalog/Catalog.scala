@@ -106,6 +106,14 @@ final class Catalog(val spark: SparkSession) {
     case (i: Int, FloatType) => i.toFloat
     case (i: Int, LongType) => i.toLong
     case (d: Double, FloatType) => d.toFloat
+    // positional struct value `[1, 1]` against a StructType column:
+    // fold element-wise (recursive, so nested structs work too)
+    case (s: Seq[_], st: StructType) =>
+      if (s.length != st.fields.length)
+        throw new graft.types.TypeError(
+          s"struct value has ${s.length} fields, expected " +
+            s"${st.fields.length} (${st.fieldNames.mkString(", ")})")
+      Row.fromSeq(s.zip(st.fields).map { case (x, f) => coerce(x, f.dataType) })
     case _ => v
   }
 

@@ -93,6 +93,11 @@ object Interp {
       * inherit its methods through this alias map.
       */
     var methodAlias: Map[String, String] = Map.empty
+    /** `struct Name {..}` declarations — usable as DDL column types;
+      * nested as real Spark StructTypes (reference flattens instead,
+      * types_impl.py:25-41).
+      */
+    var structDecls: Map[String, StructType] = Map.empty
 
     /** The named table at the ROOT of a table-expression chain — the
       * scope that method calls resolve against.
@@ -277,18 +282,42 @@ object Interp {
         env = env + (name -> VT(graft.dsl.PTable(
           base.df.unionByName(rows.df, allowMissingColumns = true),
           base.meta)))
+      case StructDef(name, fields) =>
+        // struct decl: fields resolve to primitive types or other
+        // declared structs (nested); becomes a real nested StructType
+        // on any table column typed with this name (box_circle.pql)
+        val st = StructType(fields.map { cd =>
+          val dt = structDecls.getOrElse(cd.tpe,
+            try sparkTypeOf(cd.tpe)
+            catch {
+              case _: TypeError => throw new TypeError(
+                s"struct $name: unknown field type '${cd.tpe}'")
+            })
+          StructField(cd.name, dt)
+        })
+        structDecls += name -> st
+      case ConstTableDef(name, value) =>
+        // `const table x = expr`: materialize the rhs once (CTAS into
+        // a cached temp table, reference evaluate.py:178-185)
+        env = env + (name ->
+          VT(cat.temptable(name, evalTable(substitute(value)), const = true)))
       case TableDef(name, fields, bare, methods) =>
         // reference evaluate.py:262-267: empty table, auto `id` pk.
-        // A non-primitive column type names another table: the column
-        // stores that table's id and records an FK; `-> backref`
-        // registers the reverse name on the referenced table
-        // (reference test_basic.py:1294-1321).
+        // A non-primitive column type names a declared struct (nested
+        // StructType column) or another table: the column stores that
+        // table's id and records an FK; `-> backref` registers the
+        // reverse name on the referenced table (test_basic.py:1294-1321).
         val cols = fields.map { cd =>
-          try (StructField(cd.name, sparkTypeOf(cd.tpe)), Option.empty[graft.types.FK])
-          catch {
-            case _: TypeError =>
-              (StructField(cd.name, LongType),
-                Some(graft.types.FK(cd.name, cd.tpe, "id")))
+          structDecls.get(cd.tpe) match {
+            case Some(st) =>
+              (StructField(cd.name, st), Option.empty[graft.types.FK])
+            case None =>
+              try (StructField(cd.name, sparkTypeOf(cd.tpe)), Option.empty[graft.types.FK])
+              catch {
+                case _: TypeError =>
+                  (StructField(cd.name, LongType),
+                    Some(graft.types.FK(cd.name, cd.tpe, "id")))
+              }
           }
         }
         val t = cat.create(name, cols.map(_._1), bare,
@@ -1259,6 +1288,10 @@ object Interp {
     // a row value used where a literal goes (FK column) means its id
     case RowLit(t, fs) => fs.collectFirst { case ("id", e) => litAny(e) }
       .getOrElse(throw new TypeError(s"row of '$t' has no id"))
+    // `[1, 1]` positional struct value for a struct-typed column
+    // (box_circle.pql `new Box([1,1],[10,10])`); Catalog.coerce folds
+    // the Seq into a Row against the column's StructType
+    case ListLit(items) => items.map(litAny)
     case o => throw new TypeError(s"'new' values must be literals, got $o")
   }
 

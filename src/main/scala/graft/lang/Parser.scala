@@ -160,6 +160,19 @@ object Ast {
   case class TableDef(name: String, fields: Seq[ColDef],
                       bare: Boolean,
                       methods: Seq[FuncDef] = Seq.empty) extends Stmt
+  /** `struct Name { field: type ... }` — a declared value type usable
+    * as a column type; unlike the reference (which flattens structs to
+    * `parent_child` columns, types_impl.py:25-41), Spark has real
+    * nested StructType columns, so fields stay nested and project/
+    * filter via dotted paths (reference preql.lark struct_def;
+    * tests/box_circle.pql).
+    */
+  case class StructDef(name: String, fields: Seq[ColDef]) extends Stmt
+  /** `const table name = expr` — CTAS into a materialized temp table
+    * (reference evaluate.py:178-185: const table compiles the rhs once
+    * into a temptable; tests/box_circle.pql const table tmp1/tmp2).
+    */
+  case class ConstTableDef(name: String, value: Expr) extends Stmt
   /** `new Table(col: value, ...)` — single-row insert
     * (reference evaluate.py:884-947).
     */
@@ -291,9 +304,22 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
         case Some(TIdent("table", _)) => true
         case _ => false
       }))
+  // `const table Name = expr` (box_circle.pql); `struct Name {` decl
+  private def atConstTable: Boolean =
+    isIdent("const") && (toks.lift(p + 1) match {
+      case Some(TIdent("table", _)) => true
+      case _ => false
+    })
+  private def atStructDef: Boolean =
+    isIdent("struct") && toks.lift(p + 1).exists(_.isInstanceOf[TIdent]) &&
+      (toks.lift(p + 2) match {
+        case Some(TOp("{", _)) => true
+        case _ => false
+      })
 
   private def atStmt: Boolean =
-    atAssign || atInsert || atTableDef || isIdent("new") ||
+    atAssign || atInsert || atTableDef || atConstTable || atStructDef ||
+      isIdent("new") ||
       isIdent("func") || isIdent("if") || isIdent("while") ||
       isIdent("for") || isIdent("print") || isIdent("return") ||
       isIdent("try") || isIdent("throw") || isIdent("transaction") ||
@@ -364,7 +390,39 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
   }
 
   private def parseStmt(): Stmt = {
-    if (atTableDef) {
+    if (atConstTable) {
+      advance(); advance() // 'const' 'table'
+      val name = advance() match {
+        case TIdent(v, _) => v
+        case t => throw ParseError("expected table name", t.pos)
+      }
+      expectOp("=")
+      ConstTableDef(name, parseExpr())
+    } else if (atStructDef) {
+      advance() // 'struct'
+      val name = advance() match {
+        case TIdent(v, _) => v
+        case t => throw ParseError("expected struct name", t.pos)
+      }
+      expectOp("{")
+      val fields = Seq.newBuilder[ColDef]
+      while (!isOp("}")) {
+        val fname = advance() match {
+          case TIdent(v, _) => v
+          case t => throw ParseError("expected field name", t.pos)
+        }
+        expectOp(":")
+        val ftype = advance() match {
+          case TIdent(v, _) => v
+          case t => throw ParseError("expected field type", t.pos)
+        }
+        val optional = if (isOp("?")) { advance(); true } else false
+        fields += ColDef(fname, ftype, optional)
+        if (isOp(",")) advance()
+      }
+      expectOp("}")
+      StructDef(name, fields.result())
+    } else if (atTableDef) {
       val bare = isIdent("bare")
       if (bare) advance()
       advance() // 'table'

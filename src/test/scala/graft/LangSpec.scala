@@ -743,4 +743,84 @@ class LangSpec extends SparkSpec {
     assert(out2.columns == Seq("item"))
     assert(out2.df.collect().map(_.getLong(0)).sorted.toSeq == Seq(8L, 9L))
   }
+
+  // ---- struct declarations (reference tests/box_circle.pql) ---------------
+  test("struct decl + struct-typed columns: box_circle.pql end-to-end") {
+    val src =
+      """struct Point {
+        |    x: float
+        |    y: float
+        |}
+        |table Box {
+        |    start: Point
+        |    end: Point
+        |}
+        |table Circle {
+        |    center: Point
+        |    radius: float
+        |}
+        |box1 = new Box([1, 1], [10, 10])
+        |box2 = new Box([1, 1], [2, 2])
+        |circle1 = new Circle([3,3], 2)
+        |circl2 = new Circle([20,20], 2)
+        |const table tmp1 = Box[start.x < 10.0]
+        |const table tmp2 = Box[end.x < 10.0] {start, end}
+        |func circles_contained1() = joinall(c:Circle, b:Box) [
+        |        c.center.x - c.radius >= b.start.x,
+        |        c.center.y - c.radius >= b.start.y,
+        |        c.center.x + c.radius <= b.end.x,
+        |        c.center.y + c.radius <= b.end.y
+        |    ] {x:c, s:b.start, b.end} {x.center, r:x.radius, start:s, end}
+        |""".stripMargin
+    val out = Interp.run(spark, src + "circles_contained1()")
+    assert(out.columns == Seq("center", "r", "start", "end"))
+    val rows = out.df.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getStruct(0).getDouble(0) == 3.0) // center.x
+    assert(r.getDouble(1) == 2.0)              // radius
+    assert(r.getStruct(2).getDouble(0) == 1.0) // start.x
+    assert(r.getStruct(3).getDouble(0) == 10.0) // end.x
+
+    // the alternate projection-first formulation gives the same rows
+    val out2 = Interp.run(spark, src +
+      """func circles_contained2() = joinall(c:Circle, b:Box) { c.center, r: c.radius, b.start, b.end} [
+        |        center.x - r >= start.x,
+        |        center.y - r >= start.y,
+        |        center.x + r <= end.x,
+        |        center.y + r <= end.y
+        |    ]
+        |circles_contained2()""".stripMargin)
+    assert(out2.df.count() == 1)
+
+    // const tables materialized with expected contents
+    val t1 = Interp.run(spark, src + "tmp1")
+    assert(t1.df.count() == 2)
+    val t2 = Interp.run(spark, src + "tmp2")
+    assert(t2.columns == Seq("start", "end"))
+    assert(t2.df.count() == 1)
+  }
+
+  test("nested struct decls: struct-of-struct columns project by path") {
+    val out = Interp.run(spark,
+      """struct Point {
+        |    x: float
+        |    y: float
+        |}
+        |struct Line {
+        |    start: Point
+        |    end: Point
+        |}
+        |table NamedLine {
+        |    name: string
+        |    line: Line
+        |}
+        |new NamedLine("l1", [[1,1], [1,2]])
+        |new NamedLine("l2", [[0,0], [3,4]])
+        |NamedLine{name, x0: line.start.x, y1: line.end.y} order {name}""".stripMargin)
+    assert(out.columns == Seq("name", "x0", "y1"))
+    val rows = out.df.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("l1", "l2"))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(2.0, 4.0))
+  }
 }
