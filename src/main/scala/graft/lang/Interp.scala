@@ -72,7 +72,7 @@ object Interp {
     val st = new State(spark,
       tables.map { case (n, t) => n -> (VT(t): V) }.toMap, modules)
     prog.stmts.foreach(st.exec)
-    st.evalTable(st.substitute(prog.result))
+    st.resultTable(prog.result)
   }
 
   /** Mutable program state: bindings + user function definitions. */
@@ -493,6 +493,29 @@ object Interp {
         }
     }
 
+    /** Program result: a table, or — reference parity for scalar
+      * results like `sum([2, 4])` — a localized scalar wrapped as a
+      * one-row table named after the expression (the reference returns
+      * the bare python value; our API surface is tables).
+      */
+    def resultTable(e: Expr): PTable = {
+      val sub = substitute(e)
+      try evalTable(sub)
+      catch {
+        case err: graft.types.GraftError =>
+          tryScalar(resolveScalars(sub)) match {
+            case Some(v) =>
+              try {
+                val name =
+                  try fieldName(Field(None, sub))
+                  catch { case _: TypeError => "value" }
+                graft.dsl.PTable(spark.range(1).select(F.lit(v).as(name)))
+              } catch { case _: RuntimeException => throw err }
+            case None => throw err
+          }
+      }
+    }
+
     private def lookupTable(name: String): PTable = env.get(name) match {
       case Some(VT(t)) => t
       case Some(VS(_)) => throw new TypeError(s"'$name' is not a table")
@@ -889,6 +912,10 @@ object Interp {
     // ---- projection fields -------------------------------------------------
     private def expandFields(tab: PTable, fields: Seq[Field]): Seq[NamedCol] = {
       val schema = tab.df.schema
+      // ellipsis exclusion = bare-name VALUES (renamed or not):
+      // `{v: item, ...}` consumes item (reference compiler.py:82)
+      val bareVals = fields.collect { case Field(_, Ident(n)) => n }.toSet
+      // output names already taken by explicit or bare-ident fields
       val direct = fields.collect {
         case Field(Some(n), _) => n
         case Field(None, Ident(n)) => n
@@ -906,7 +933,7 @@ object Interp {
         f.value match {
           case EllipsisE(excludes, None) =>
             tab.columns
-              .filterNot(c => excludes.contains(c) || direct.contains(c))
+              .filterNot(c => excludes.contains(c) || bareVals.contains(c))
               .map(c => NamedCol(fresh(c), col(c)))
           case EllipsisE(excludes, Some(structCol)) =>
             // `{...s}`: inline the fields of struct column s
@@ -920,11 +947,46 @@ object Interp {
             }
             fieldsOf.toSeq
               .filterNot(sf => excludes.contains(sf.name) ||
-                direct.contains(sf.name))
+                bareVals.contains(sf.name))
               .map(sf => NamedCol(fresh(sf.name),
                 col(s"$structCol.${sf.name}")))
+          // sub-projection of a struct column: `{b{v:item}, a}` /
+          // `{ab {b: b.item, a: a.item}, c}` reshapes the struct in
+          // place (reference test_nested_projections); names inside
+          // resolve against the struct's own fields
+          case p @ Projection(sb, _, false, Seq())
+              if inferType(sb, Some(schema)).exists(_.isInstanceOf[StructType]) =>
+            val stype = inferType(sb, Some(schema)).get.asInstanceOf[StructType]
+            val sBareVals = p.fields.collect {
+              case Field(_, Ident(n)) => n
+            }.toSet
+            val sub = p.fields.flatMap { sf =>
+              sf.value match {
+                case EllipsisE(ex, None) =>
+                  stype.fieldNames.toSeq
+                    .filterNot(c => ex.contains(c) || sBareVals.contains(c))
+                    .map(c => NamedCol(c, evalCol(Attr(sb, c), Some(schema))))
+                case sv =>
+                  // re-root struct-field names under the base column
+                  val rooted = rewrite(sv) {
+                    case Ident(n) if stype.fieldNames.contains(n) => Attr(sb, n)
+                  }
+                  Seq(NamedCol(sf.name.getOrElse(fieldName(sf)),
+                    evalCol(rooted, Some(schema))))
+              }
+            }
+            val outName = f.name.getOrElse(fieldName(Field(None, sb)))
+            Seq(NamedCol(if (direct.contains(outName)) outName else fresh(outName),
+              F.struct(sub.map(nc => nc.col.as(nc.name)): _*)))
           case v =>
-            Seq(NamedCol(f.name.getOrElse(fieldName(f)), evalCol(v, Some(schema))))
+            // auto-named computed fields dedup reference-style
+            // ({ab.a.item, ab.b.item} → item, item1); bare idents and
+            // explicit names are already reserved in `direct`
+            val name = f.name.getOrElse(v match {
+              case Ident(n) => n
+              case _ => fresh(fieldName(f))
+            })
+            Seq(NamedCol(name, evalCol(v, Some(schema))))
         }
       }
     }
@@ -955,7 +1017,19 @@ object Interp {
     def subst(body: Expr, bind: Map[String, Expr]): Expr = rewrite(body) {
       case Ident(n) if bind.contains(n) => bind(n)
     }
-    rewrite(e) {
+    // unnamed projection fields calling a user func keep the FUNC's
+    // name once the body is spliced in (reference: `{=> sqsum(item)}`
+    // names the column sqsum, not sum) — record names before inlining
+    val named = rewrite(e) {
+      case Projection(t2, fs, g, as) =>
+        def nameIt(f: Field) = f.value match {
+          case Call(fn, _) if f.name.isEmpty && funcs.contains(fn) =>
+            Field(Some(fn), f.value)
+          case _ => f
+        }
+        Projection(t2, fs.map(nameIt), g, as.map(nameIt))
+    }
+    rewrite(named) {
       case Call(fn, args0) if funcs.contains(fn) =>
         val fd = funcs(fn)
         // `f(...d)`: inline a dict value as named args (reference
@@ -1319,6 +1393,11 @@ object Interp {
       case Ident(n) => schema.flatMap(_.find(_.name == n).map(_.dataType))
       case a: Attr =>
         schema.flatMap(s => resolvePath(s, attrRoot(a) +: attrFields(a)))
+      case StructLit(fs) =>
+        val ts = fs.map(f => inferType(f.value, schema))
+        if (ts.exists(_.isEmpty)) None
+        else Some(StructType(fs.zip(ts).map { case (f, t) =>
+          StructField(f.name.getOrElse(fieldName(f)), t.get) }))
       case Unary("-", x) => inferType(x, schema)
       case Unary("not", _) => Some(BooleanType)
       case BinOp(op, l, r) => op match {
@@ -1401,6 +1480,13 @@ object Interp {
     case NullLit => lit(null)
     case Ident(n) => col(n)
     case Attr(o, n) => col(attrPath(Attr(o, n)))
+    // anonymous struct literal `{a: x, b}` → nested struct column
+    // (reference test_nested2: `[1] {a:{b:{item}}}`)
+    case StructLit(fs) =>
+      F.struct(fs.map { f =>
+        val n = f.name.getOrElse(fieldName(f))
+        evalCol(f.value, schema, agg).as(n)
+      }: _*)
     case Unary("-", x) => -evalCol(x, schema, agg)
     case Unary("not", x) =>
       // value-semantics not: truthiness by operand type
@@ -1527,8 +1613,19 @@ object Interp {
       case "mean" | "avg" => arity(1); F.avg(a(0))
       case "stddev" => arity(1); F.stddev_samp(a(0))
       case "count_distinct" => arity(1); F.countDistinct(a(0))
-      case "count_true" => arity(1); PF.countTrue(a(0))
-      case "count_false" => arity(1); PF.countFalse(a(0))
+      // non-boolean operands count by SQL truthiness — the reference
+      // compiles these to sum(cast($field != 0 as int))
+      // (__builtins__.pql:284-285), so ints/floats work too
+      case "count_true" => arity(1)
+        inferType(args(0).value, schema) match {
+          case Some(BooleanType) | None => PF.countTrue(a(0))
+          case Some(_) => PF.countTrue(a(0) =!= lit(0))
+        }
+      case "count_false" => arity(1)
+        inferType(args(0).value, schema) match {
+          case Some(BooleanType) | None => PF.countFalse(a(0))
+          case Some(_) => PF.countFalse(a(0) =!= lit(0))
+        }
       case "first" => arity(1); F.first(a(0))
       case "product" => arity(1); PF.product(a(0).cast(DoubleType))
       case "approx_product" => arity(1); PF.approxProduct(a(0))

@@ -41,6 +41,12 @@ object Ast {
     * (reference ast.Ellipsis in func_args, pql_objects.py:145-157).
     */
   case class Spread(e: Expr) extends Expr
+  /** Anonymous struct construction in expression position:
+    * `{a: expr, b}` — e.g. `[1] {a:{b:{item}}}` builds nested structs
+    * (reference test_basic.py:560-562 test_nested2; compiles to
+    * named_struct, fields resolve against the enclosing row scope).
+    */
+  case class StructLit(fields: Seq[Field]) extends Expr
   /** `{..., x}` / `{... !a !b}` — include remaining columns;
     * `{...s}` — inline the fields of struct column `s`
     * (reference compiler.py:80-128 `_expand_ellipsis`).
@@ -139,6 +145,8 @@ object Ast {
       case NewE(t, args) =>
         NewE(t, args.map(a => Arg(a.name, rewrite(a.value)(pf))))
       case Spread(x) => Spread(rewrite(x)(pf))
+      case StructLit(fs) =>
+        StructLit(fs.map(f => Field(f.name, rewrite(f.value)(pf))))
       case leaf => leaf
     }
     if (pf.isDefinedAt(mapped)) pf(mapped) else mapped
@@ -900,6 +908,13 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
       val e = parseExpr()
       expectOp(")")
       e
+    case TOp("{", _) =>
+      // anonymous struct literal `{a: x, b}` in value position
+      // (test_basic.py test_nested2); a projection `{...}` never
+      // starts an expression — it always chains off a table
+      val fields = parseFields(stopAt = Set("}"))
+      expectOp("}")
+      StructLit(fields)
     case TOp("[", _) =>
       if (isOp("..")) { // [..n] range from 0
         advance()

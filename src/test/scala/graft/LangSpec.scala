@@ -801,6 +801,83 @@ class LangSpec extends SparkSpec {
     assert(t2.df.count() == 1)
   }
 
+  // ---- nested projections (reference test_basic.py:515-562) ---------------
+  test("struct sub-projection reshapes in place; auto-name collisions dedup") {
+    // `{b{v:item}, a}` ≡ `{b{v:item}, a{item}}` ≡ `{b{v:item,...}, a{...}}`
+    val r1 = Interp.run(spark, "joinall(a:[1,2], b:[2, 3]) {b{v:item}, a}")
+    assert(r1.columns == Seq("b", "a"))
+    assert(r1.df.schema.simpleString ==
+      "struct<b:struct<v:bigint>,a:struct<item:bigint>>")
+    val r2 = Interp.run(spark,
+      "joinall(a:[1,2], b:[2, 3]) {b{v:item, ...}, a{...}}")
+    assert(r2.df.schema == r1.df.schema)
+    assert(r2.df.count() == 4)
+
+    // nested joinall + reshape with names resolving in struct scope
+    val r3 = Interp.run(spark,
+      "joinall(ab: joinall(a:[1,2], b:[2,3]), c: [4,5]) {ab {b: b.item, a: a.item}, c}[..1]")
+    val row = r3.df.head()
+    assert(row.getStruct(0).getLong(0) == 2L) // ab.b
+    assert(row.getStruct(0).getLong(1) == 1L) // ab.a
+    assert(row.getStruct(1).getLong(0) == 4L) // c.item
+
+    // auto-named dotted fields dedup reference-style: item, item1
+    val r4 = Interp.run(spark,
+      "joinall(ab: joinall(a:[1,2], b:[2,3]), c: [4,5]) {ab.a.item, ab.b.item, c}")
+    assert(r4.columns == Seq("item", "item1", "c"))
+    assert(r4.df.count() == 8)
+  }
+
+  test("anonymous struct literals nest (reference test_nested2)") {
+    val r = Interp.run(spark, "[1] {a:{b:{item}}}")
+    assert(r.df.schema.simpleString ==
+      "struct<a:struct<b:struct<item:bigint>>>")
+    assert(r.df.head().getStruct(0).getStruct(0).getLong(0) == 1L)
+    // `[1] {item}` == `([1] {a:{item}}) {a.item}`
+    val r2 = Interp.run(spark, "([1] {a:{item}}) {a.item}")
+    assert(r2.columns == Seq("item"))
+    assert(r2.df.head().getLong(0) == 1L)
+  }
+
+  test("agg funcs: user func names its column; count_true on ints") {
+    // reference test_agg_funcs: sqsum names the output column
+    val r = Interp.run(spark, "func sqsum(x) = sum(x*x)\n[2, 4]{=> sqsum(item)}")
+    assert(r.columns == Seq("sqsum"))
+    assert(r.df.head().getLong(0) == 20L)
+    // count_true/count_false by SQL truthiness over ints
+    val tf = Interp.run(spark,
+      "[0, 2, 0, 0, 3, 4, 0] { => count_true(item), count_false(item) }").df.head()
+    assert(tf.getLong(0) == 3L && tf.getLong(1) == 4L)
+    // scalar result position wraps as a one-row table
+    val s = Interp.run(spark, "sum([2, 4])")
+    assert(s.columns == Seq("sum"))
+    assert(s.df.head().getLong(0) == 6L)
+  }
+
+  // ---- the reference's own test script, verbatim --------------------------
+  // (reference tests/simple1.pql + expectations from test_basic.py
+  // test_simple1: table-valued func params, func composition, chained
+  // order/projection over an inlined func call)
+  test("reference tests/simple1.pql runs verbatim") {
+    val f = new java.io.File("/root/reference/tests/simple1.pql")
+    assume(f.isFile)
+    val src = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def get(name: String) = Interp.run(spark, src + "\n" + name)
+    assert(get("english").df.collect().map(_.getString(1)).toSet ==
+      Set("Eric Blaire", "H.G. Wells"))
+    assert(get("""by_country("Israel") {name}""").df.collect()
+      .map(_.getString(0)).toSeq == Seq("Erez Shinan"))
+    assert(get("english2").df.collect().map(_.getString(0)).toSeq ==
+      Seq("H.G. Wells", "Eric Blaire"))
+    assert(get("english3").columns == Seq("id", "n"))
+    assert(get("f3").df.collect().map(_.getString(0)).toSeq ==
+      Seq("Erez Shinan"))
+    assert(get("demography").df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("England", 2L), ("Israel", 1L)))
+  }
+
   test("nested struct decls: struct-of-struct columns project by path") {
     val out = Interp.run(spark,
       """struct Point {
