@@ -223,27 +223,25 @@ object Joins {
       df.withColumn(s"_f_$c",
         F.last(F.col(s"_v_$c"), ignoreNulls = true).over(slice))
     }
-    // last right-state of each (key, slice) = the value of its latest
-    // RIGHT row (max over the (ts, side) total order) — built from
-    // `ranged`, not from the window output, so the heavy fill pipeline
-    // runs once. Slices with only left rows still need a carry row,
-    // hence the distinct-slices left join.
-    val ord = F.struct(F.col("_ts"), F.col("_side"))
+    // last right-state of each (key, slice) in ONE aggregation over the
+    // union: max of (ts, value) structs among RIGHT rows (nulls for
+    // left rows are skipped by max), so left-only slices come out as a
+    // null state in the same pass — no separate distinct-slices scan
+    // and join. Built from `ranged`, not from the window output, so the
+    // heavy fill pipeline runs once.
+    def stateAgg(c: String) =
+      F.max(F.when(F.col("_side") === 0,
+        F.struct(F.col("_ts"), F.col(s"_v_$c").as("v"))))
+        .getField("v").as(s"_s_$c")
     val sliceKeys = F.col("_slice") +: keys.map(F.col)
-    val slices = ranged.select(sliceKeys: _*).distinct()
-    val rightStates = ranged.filter(F.col("_side") === 0)
-      .groupBy(sliceKeys: _*)
-      .agg(F.max_by(F.col(s"_v_${valueCols.head}"), ord)
-             .as(s"_s_${valueCols.head}"),
-        valueCols.tail.map(c =>
-          F.max_by(F.col(s"_v_$c"), ord).as(s"_s_$c")): _*)
+    val states = ranged.groupBy(sliceKeys: _*)
+      .agg(stateAgg(valueCols.head), valueCols.tail.map(stateAgg): _*)
     // cascade states across slices of the same key: ≤4P rows per key,
     // so this window is skew-free by construction
     val carry = Window.partitionBy(keys.map(F.col): _*)
       .orderBy(F.col("_slice").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carriesPlan = slices
-      .join(rightStates, Seq("_slice") ++ keys, "left")
+    val carriesPlan = states
       .select(sliceKeys ++ valueCols.map(c =>
         F.last(F.col(s"_s_$c"), ignoreNulls = true).over(carry)
           .as(s"_c_$c")): _*)

@@ -311,6 +311,14 @@ object Interp {
           structDecls.get(cd.tpe) match {
             case Some(st) =>
               (StructField(cd.name, st), Option.empty[graft.types.FK])
+            case None if cd.tpe.contains('.') =>
+              // `x_axis: Point.x` — FK to a specific column; the column
+              // takes the referenced column's type (evaluate.py:63-87)
+              val Array(rt, rc) = cd.tpe.split("\\.", 2)
+              val dt = env.get(rt).collect { case VT(tt) =>
+                tt.schema.fields.find(_.name == rc).map(_.dataType)
+              }.flatten.getOrElse(LongType)
+              (StructField(cd.name, dt), Some(graft.types.FK(cd.name, rt, rc)))
             case None =>
               try (StructField(cd.name, sparkTypeOf(cd.tpe)), Option.empty[graft.types.FK])
               catch {
@@ -754,8 +762,11 @@ object Interp {
           if (!grouped) tab.project(expandFields(tab, fields): _*)
           else if (fields.isEmpty) tab.aggAll(namedAggs(tab, aggs): _*)
           else if (aggs.isEmpty) tab.groupBy(expandFields(tab, fields): _*)()
-          else tab.groupBy(expandFields(tab, fields): _*)(
-            namedAggs(tab, aggs): _*)
+          else {
+            val keys = expandFields(tab, fields)
+            tab.groupBy(keys: _*)(
+              namedAggs(tab, aggs, keys.map(_.name).toSet): _*)
+          }
 
         case Order(te, keys) =>
           val tab = t(te)
@@ -790,6 +801,33 @@ object Interp {
           val u = until.map(constLong).getOrElse(
             throw new TypeError("unbounded range not supported"))
           PTable.range(spark, f, u)
+
+        // value-semantics and/or over TABLES picks a side by emptiness
+        // (reference test_logical: `[1] or [2]` → [1], `and` → [2]);
+        // driver-side limit-1 probe, like the reference's localization
+        case BinOp(op @ ("and" | "or"), l, r)
+            if isTableExpr(l) && isTableExpr(r) =>
+          val lt = t(l)
+          val lEmpty = lt.df.limit(1).isEmpty
+          if (op == "or") { if (lEmpty) t(r) else lt }
+          else { if (lEmpty) lt else t(r) }
+
+        // table set operations (reference test_list_ops: `[1,2,3] + [5,6]`,
+        // `|` distinct union, `-` except; `&` intersect as in the DSL)
+        case BinOp(op @ ("+" | "|" | "&" | "-"), l, r)
+            if isTableExpr(l) && isTableExpr(r) =>
+          val lt = t(l)
+          val rt = t(r)
+          op match {
+            case "+" => lt + rt
+            case "|" => lt | rt
+            case "&" => lt & rt
+            case "-" => lt - rt
+          }
+
+        case ListLit(Seq()) =>
+          // `[]` — empty list table (reference: empty VALUES of int)
+          graft.dsl.PTable(spark.range(0).select(col("id").as("item")))
 
         case ListLit(items) if items.nonEmpty =>
           // items may be scalar EXPRESSIONS (e.g. a loop var times a
@@ -991,17 +1029,32 @@ object Interp {
       }
     }
 
-    private def namedAggs(tab: PTable, aggs: Seq[Field]): Seq[NamedCol] =
+    private def namedAggs(tab: PTable, aggs: Seq[Field],
+                          taken: Set[String] = Set.empty): Seq[NamedCol] = {
+      val used = scala.collection.mutable.Set[String](taken.toSeq: _*)
+      def fresh(n: String): String =
+        if (!used.contains(n)) { used += n; n }
+        else {
+          var i = 1
+          while (used.contains(s"$n$i")) i += 1
+          used += s"$n$i"; s"$n$i"
+        }
       aggs.map { f =>
         f.value match {
           // bare column in agg scope collects into an array
           // (reference compiler.py:59-63)
           case Ident(n) if !f.name.isDefined =>
+            used += n
             NamedCol(n, F.collect_list(col(n)))
-          case v => NamedCol(f.name.getOrElse(fieldName(f)),
-            evalCol(v, Some(tab.df.schema), agg = true))
+          case v =>
+            val name = f.name match {
+              case Some(n) => used += n; n
+              case None => fresh(fieldName(f))
+            }
+            NamedCol(name, evalCol(v, Some(tab.df.schema), agg = true))
         }
       }
+    }
   }
 
   /** Inline user function calls by AST substitution — the engine's
@@ -1171,8 +1224,10 @@ object Interp {
     case Ident(n) => n
     case Attr(_, n) => n
     case Call(fn, _) => fn
-    case _ => f.name.getOrElse(
-      throw new TypeError(s"computed field needs a name: ${f.value}"))
+    // reference guess_field_name fallback (compiler.py:132-133): any
+    // other computed field auto-names "_" (deduped to _1, _2 … by the
+    // projection's fresh-name pass), e.g. `{item /~ 2 => count()}`
+    case _ => f.name.getOrElse("_")
   }
 
   // ---- driver-side const evaluation ---------------------------------------

@@ -462,10 +462,20 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
               case t => throw ParseError("expected column name", t.pos)
             }
             expectOp(":")
-            val ftype = advance() match {
+            val ftype0 = advance() match {
               case TIdent(v, _) => v
               case t => throw ParseError("expected column type", t.pos)
             }
+            // `x_axis: Point.x` — FK to a specific COLUMN of another
+            // table (reference evaluate.py:63-87, test_basic.py:189)
+            val ftype =
+              if (isOp(".")) {
+                advance()
+                advance() match {
+                  case TIdent(c, _) => s"$ftype0.$c"
+                  case t => throw ParseError("expected column name", t.pos)
+                }
+              } else ftype0
             val optional = if (isOp("?")) { advance(); true } else false
             val backref =
               if (isOp("->")) {

@@ -854,6 +854,54 @@ class LangSpec extends SparkSpec {
     assert(s.df.head().getLong(0) == 6L)
   }
 
+  // ---- list ops (reference test_basic.py:832-888 test_list_ops) -----------
+  test("list set ops, empty lists, enum selection, null fields") {
+    assert(Interp.run(spark, "[1,2,3] + [5,6]").df.collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 5L, 6L))
+    assert(Interp.run(spark, "[1,2,3] | [3,4]").df.collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    assert(Interp.run(spark, "[1,2,3] - [3,4]").df.collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(Interp.run(spark, "[1,2,3] & [3,4]").df.collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    // enum + self-referential selection (reference expects [1, 4])
+    assert(Interp.run(spark, "enum([1,8,4,4])[index+1==item]{item}").df
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    // empty inputs
+    assert(Interp.run(spark, "[1,2,3][1..1]").df.count() == 0)
+    assert(Interp.run(spark, "[] {x:0}").df.count() == 0)
+    // `{null, null => null, null}` — four null columns, auto-deduped
+    val nf = Interp.run(spark, "[1] {null, null => null, null}").df
+    assert(nf.columns.length == 4)
+    assert(nf.head().toSeq.forall(_ == null))
+  }
+
+  test("computed group keys auto-name _; table and/or; FK column refs") {
+    // reference test_empty_count: unnamed computed key gets "_"
+    val g = Interp.run(spark,
+      "[1,2,3] { item /~ 2 => count()} {count} order {count}")
+    assert(g.df.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // reference test_logical: and/or over tables picks a side by emptiness
+    assert(Interp.run(spark, "[1] or [2]").df.head().getLong(0) == 1L)
+    assert(Interp.run(spark, "[1] and [2]").df.head().getLong(0) == 2L)
+    assert(Interp.run(spark, "[0][item > 5] or [7]").df.head().getLong(0) == 7L)
+    // reference test_foreign_key: `x_axis: Point.x` joins on Point.x
+    val fk = Interp.run(spark,
+      """table Point {
+        |    x: int
+        |    y: int
+        |}
+        |table HRuler {
+        |    x_axis: Point.x
+        |}
+        |new Point(1, 1)
+        |new Point(3, 3)
+        |new Point(3, 4)
+        |new HRuler(3)
+        |join(h: HRuler, p: Point) {p.y} order {y}""".stripMargin)
+    assert(fk.df.collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
+  }
+
   // ---- the reference's own test script, verbatim --------------------------
   // (reference tests/simple1.pql + expectations from test_basic.py
   // test_simple1: table-valued func params, func composition, chained
