@@ -31,16 +31,32 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // Between queries, drop cached blocks left by materialization points
+    // (localCheckpoint) inside the finished query. Without this the
+    // blocks of every prior query stay pinned in storage memory, and
+    // late queries in the run measure GC/eviction pressure instead of
+    // their own work (observed: 4.6s -> 33s for the same query).
+    def cleanup(): Unit = {
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
     // Warmup: exercise scan + shuffle + join + codegen paths once.
     try {
       run(SparkEntry.queries("q06_join_auto"))
       run(SparkEntry.queries("q03_groupby_agg"))
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name filter for isolating single queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val picked = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { run(fn); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      (name, elapsed, ok)
     }
     // Failed queries report value -1 (never a tiny elapsed time that
     // would read as a speedup) and are listed in "failed".
