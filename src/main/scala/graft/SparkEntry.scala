@@ -837,6 +837,45 @@ object SparkEntry {
             |""".stripMargin),
         "orders" -> t(s, d, "orders")).df),
 
+    // computed (non-aggregate) expression in agg position collects
+    // into a per-group list (reference test_basic.py:762); sorted +
+    // joined for cross-engine determinism, like q21
+    "ql18_lang_agg_collect" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        "nation{n_regionkey => ks: n_nationkey * 2} order {n_regionkey}",
+        "nation" -> t(s, d, "nation")).df
+        .select(col("n_regionkey"),
+          F.array_join(F.sort_array(col("ks")).cast("array<string>"), ",")
+            .as("ks"))),
+
+    // if-expression condition truthiness: int condition → != 0
+    // (reference compiler.py:174 casts the condition to bool)
+    "ql19_lang_if_truthy" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """func parity(x) {
+          |  if (x % 2) { return "odd" } else { return "even" }
+          |}
+          |nation{n_nationkey, v: parity(n_nationkey)} order {n_nationkey}""".stripMargin,
+        "nation" -> t(s, d, "nation")).df),
+
+    // names(obj) lists the object's attributes with reference type
+    // names (reference pql_functions.py:786-803, test_basic.py:1105)
+    "ql20_lang_names" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """names(nation)[not (type ~ "function%")]{name, type} order {name}""",
+        "nation" -> t(s, d, "nation")).df),
+
+    // `new` with expression args + expression column defaults
+    // (reference test_basic.py:1055-1068 evaluates args as exprs)
+    "ql21_lang_new_exprs" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """table A { x: int
+          | y: int = 2 + 3
+          |}
+          |new A(10 * 2)
+          |new A(7, y: 1 + 1)
+          |A order {id}""".stripMargin).df),
+
     // ---- json scalar functions (extension; reference has none) -----------
     "q61_json" -> ((s, d) =>
       t(s, d, "events").df
@@ -1562,6 +1601,22 @@ object SparkEntry {
     "ql11_lang_trycatch" ->
       """SELECT n_nationkey, n_name FROM nation
          WHERE n_regionkey = 2 ORDER BY n_nationkey""",
+    "ql18_lang_agg_collect" ->
+      """SELECT n_regionkey,
+           array_to_string(list_sort(list(n_nationkey * 2)), ',') AS ks
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "ql19_lang_if_truthy" ->
+      """SELECT n_nationkey,
+           CASE WHEN n_nationkey % 2 <> 0 THEN 'odd' ELSE 'even' END AS v
+         FROM nation ORDER BY n_nationkey""",
+    "ql20_lang_names" ->
+      """SELECT name, type FROM (VALUES
+           ('n_name', 'string'), ('n_nationkey', 't_id'),
+           ('n_regionkey', 'int')) v(name, type) ORDER BY name""",
+    "ql21_lang_new_exprs" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(x AS BIGINT) AS x,
+           CAST(y AS BIGINT) AS y
+         FROM (VALUES (1, 20, 5), (2, 7, 2)) v(id, x, y) ORDER BY id""",
     "q63_reflection" ->
       """SELECT c_custkey, 'float' AS t_bal, 'int' AS t_key,
            '"' || c_name || '"' AS r_name, true AS is_num

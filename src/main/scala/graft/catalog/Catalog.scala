@@ -114,7 +114,22 @@ final class Catalog(val spark: SparkSession) {
           s"struct value has ${s.length} fields, expected " +
             s"${st.fields.length} (${st.fieldNames.mkString(", ")})")
       Row.fromSeq(s.zip(st.fields).map { case (x, f) => coerce(x, f.dataType) })
-    case _ => v
+    case _ =>
+      // validate the common primitives instead of letting the Row
+      // encoder throw a raw ClassCastException later (typed errors,
+      // like fromRows); unknown datatypes stay permissive
+      val bad = (v, dt) match {
+        case (null, _) => false
+        case (_: Long, LongType) | (_: Double, DoubleType)
+           | (_: String, StringType) | (_: Boolean, BooleanType) => false
+        case (_, LongType) | (_, DoubleType) | (_, StringType)
+           | (_, BooleanType) => true
+        case _ => false
+      }
+      if (bad)
+        throw new graft.types.TypeError(
+          s"value $v (${v.getClass.getSimpleName}) does not fit column type ${dt.simpleString}")
+      v
   }
 
   def insertRow(name: String, values: Map[String, Any]): Row = {

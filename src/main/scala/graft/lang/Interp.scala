@@ -472,16 +472,29 @@ object Interp {
           if (i < nonPk.length) nonPk(i)
           else throw new TypeError(
             s"new $name: too many positional arguments")) ->
-          litAny(substitute(a.value))
+          newValue(a.value)
       }
       // DDL column defaults fill unsupplied columns (reference
       // test_basic.py:1055-1068)
       val defaults = tableDefaults.getOrElse(name, Map.empty)
         .view.filterKeys(k => !named.exists(_._1 == k))
-        .mapValues(e => litAny(substitute(e))).toMap
+        .mapValues(newValue).toMap
       val row = cat.insertRow(name, named.toMap ++ defaults)
       env = env + (name -> VT(cat.get(name)))
       RowV(name, base.schema.fields.map(_.name).zip(row.toSeq).toSeq)
+    }
+
+    /** A `new` argument / column default: literal forms first, then
+      * any const-evaluable scalar expression (`1 + 2`, `now()`,
+      * `upper(v)`) — the reference evaluates `new` args as full
+      * expressions (evaluate.py objects.new_table_instance path).
+      */
+    private def newValue(e: Expr): Any = {
+      val s = substitute(e)
+      try litAny(s) catch {
+        case te: graft.types.TypeError =>
+          tryScalar(resolveScalars(s)).getOrElse(throw te)
+      }
     }
 
     /** Evaluate to a binding value: scalar if const-resolvable, else
@@ -829,6 +842,23 @@ object Interp {
           // `[]` — empty list table (reference: empty VALUES of int)
           graft.dsl.PTable(spark.range(0).select(col("id").as("item")))
 
+        case ListLit(items) if items.nonEmpty &&
+            items.forall(_.isInstanceOf[StructLit]) =>
+          // `[{a: 1, b: 2} {a: 10, b: 20}]` — dict rows form a table
+          // (reference test_basic.py:1501-1507 test_table_def_dicts)
+          val structs = items.map(_.asInstanceOf[StructLit])
+          def keys(s: StructLit): Seq[String] = s.fields.map(_.name
+            .getOrElse(throw new TypeError("dict-row fields must be named")))
+          val cols = keys(structs.head)
+          val rows = structs.map { s =>
+            if (keys(s) != cols)
+              throw new TypeError("dict rows must share the same keys: " +
+                s"${keys(s).mkString(",")} vs ${cols.mkString(",")}")
+            s.fields.map(f => tryScalar(f.value).getOrElse(
+              throw new TypeError(s"unsupported dict-row value: ${f.value}")))
+          }
+          PTable.fromRows(spark, cols, rows)
+
         case ListLit(items) if items.nonEmpty =>
           // items may be scalar EXPRESSIONS (e.g. a loop var times a
           // constant) — const-evaluate them driver-side
@@ -920,11 +950,42 @@ object Interp {
             .getOrElse(20L).toInt
           val idx = constLong(args(1).value).toInt
           t(args.head.value).slice(idx * size, idx * size + size)
-        case "tables" | "names" =>
-          // reference pql_functions.py:786-828 introspection
+        case "tables" =>
+          // reference pql_functions.py:806-828 introspection
           val rows = env.collect { case (n, VT(_)) => Tuple1(n) }.toSeq
             .sortBy(_._1)
           PTable(spark.createDataFrame(rows).toDF("name"))
+        case "names" =>
+          // reference pql_functions.py:786-803: names(obj) lists the
+          // object's attributes (a table's columns + methods);
+          // names() lists the current namespace. Columns: name, type,
+          // doc — test_basic.py:1093-1105 filters `type ~ 'function%'`.
+          val rows: Seq[(String, String, String)] =
+            if (args.nonEmpty) {
+              val tname = args.head.value match {
+                case Ident(n) => n
+                case o => throw new TypeError(s"names() expects a table, got $o")
+              }
+              val tab = lookupTable(tname)
+              val cols = tab.df.schema.fields.map { sf =>
+                val ty =
+                  if (tab.meta.pk.contains(sf.name)) "t_id"
+                  else refTypeName(sf.dataType)
+                (sf.name, ty, "")
+              }.toSeq
+              val methods = tableMethods.getOrElse(tname, Map.empty)
+                .keys.map(m => (m, "function", "")).toSeq
+              (cols ++ methods).sortBy(_._1)
+            } else {
+              val bindings = env.toSeq.map {
+                case (n, VT(_)) => (n, "table", "")
+                case (n, VS(x)) => (n, scalarTypeName(x), "")
+              }
+              val fns = (funcs.keySet ++ procs.keySet)
+                .map(n => (n, "function", "")).toSeq
+              (bindings ++ fns).sortBy(_._1)
+            }
+          PTable(spark.createDataFrame(rows).toDF("name", "type", "doc"))
         case "columns" =>
           PTable(graft.sources.Tables.columns(t(args.head.value)))
         case "env_vars" =>
@@ -1046,6 +1107,17 @@ object Interp {
           case Ident(n) if !f.name.isDefined =>
             used += n
             NamedCol(n, F.collect_list(col(n)))
+          // any other non-aggregate expression over columns collects
+          // too: the expression runs per row, the agg scope wraps it
+          // in a list (reference test_basic.py:762 `citizens: p.name`
+          // — fields after `=>` become T.aggregated lists unless an
+          // aggregate function consumes them)
+          case v if !hasAggCall(v) && hasColRef(v, tab.df.schema) =>
+            val name = f.name match {
+              case Some(n) => used += n; n
+              case None => fresh(fieldName(f))
+            }
+            NamedCol(name, F.collect_list(evalCol(v, Some(tab.df.schema))))
           case v =>
             val name = f.name match {
               case Some(n) => used += n; n
@@ -1055,6 +1127,29 @@ object Interp {
         }
       }
     }
+  }
+
+  /** Aggregate-function names recognized in agg scope — an expression
+    * containing none of these is an implicit per-group collect.
+    */
+  private val aggFnNames: Set[String] = Set(
+    "count", "sum", "min", "max", "mean", "avg", "stddev",
+    "count_distinct", "count_true", "count_false", "first",
+    "first_or_null", "product", "approx_product", "__collect", "median")
+
+  private def hasAggCall(e: Expr): Boolean = {
+    var found = false
+    rewrite(e) { case c @ Call(fn, _) if aggFnNames(fn) => found = true; c }
+    found
+  }
+
+  private def hasColRef(e: Expr, schema: StructType): Boolean = {
+    var found = false
+    rewrite(e) {
+      case i @ Ident(n) if schema.fieldNames.contains(n) =>
+        found = true; i
+    }
+    found
   }
 
   /** Inline user function calls by AST substitution — the engine's
@@ -1403,6 +1498,10 @@ object Interp {
       case "iif" =>
         if (truthyScalar(a(0))) a(1) else a(2)
       case "pi" => math.Pi
+      // driver-side current timestamp (reference pql_functions.py
+      // `now`): scalar contexts — `x = now()`, `new T(ts: now())`.
+      // Column contexts still compile to F.current_timestamp().
+      case "now" => java.sql.Timestamp.from(java.time.Instant.now())
       case _ => throw new NotConst
     }
   }
@@ -1709,8 +1808,14 @@ object Interp {
       case "day_of_week" => arity(1); PF.dayOfWeek(a(0))
       case "week_of_year" => arity(1); PF.weekOfYear(a(0))
       // conditional expression (reference ast.If → sql.Case,
-      // compiler.py:172-181)
-      case "iif" => arity(3); F.when(a(0), a(1)).otherwise(a(2))
+      // compiler.py:172-181; the condition is CAST to bool —
+      // compiler.py:174 — so int/string conditions get truthiness)
+      case "iif" => arity(3)
+        val cond = inferType(args(0).value, schema) match {
+          case Some(BooleanType) | None => a(0)
+          case Some(t) => PF.truthy(a(0), t)
+        }
+        F.when(cond, a(1)).otherwise(a(2))
       case "pi" => lit(math.Pi)
       case "now" => F.current_timestamp()
       case "random" => F.rand()

@@ -942,7 +942,13 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
         } else {
           val items = Seq.newBuilder[Expr]
           items += first
-          while (isOp(",")) { advance(); items += parseExpr() }
+          // items separate by `,`, or by nothing when the next item
+          // is a `{...}` dict row on its own line (reference
+          // test_basic.py:1501-1507 — newline-separated dict rows)
+          while (isOp(",") || isOp("{")) {
+            if (isOp(",")) advance()
+            items += parseExpr()
+          }
           expectOp("]")
           ListLit(items.result())
         }

@@ -926,6 +926,93 @@ class LangSpec extends SparkSpec {
       Seq(("England", 2L), ("Israel", 1L)))
   }
 
+  test("agg position: non-aggregate expression collects per group") {
+    // reference test_basic.py:762 — `citizens: p.name` after `=>`
+    // becomes a list; computed expressions collect the same way
+    val out = Interp.run(spark,
+      "[1, 2, 3, 4]{k: item /~ 2 => doubled: item * 2} order {k}")
+    val rows = out.df.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.map(_.getSeq[Long](1).sorted.toSeq).toSeq ==
+      Seq(Seq(2L), Seq(4L, 6L), Seq(8L)))
+    // constants in agg position stay scalar (no list wrap)
+    val c = Interp.run(spark, "[1, 2]{=> n: count(), tag: 7}")
+    assert(c.df.collect().head.getLong(1) == 7L)
+  }
+
+  test("if condition truthiness: int and string conditions cast to bool") {
+    // reference compiler.py:174 casts ast.If conditions to bool
+    val out = Interp.run(spark,
+      """func pick(x) {
+        |  if (x % 2) { return "odd" } else { return "even" }
+        |}
+        |[0, 1, 2, 3]{item, v: pick(item)} order {item}""".stripMargin)
+    assert(out.df.collect().map(_.getString(1)).toSeq ==
+      Seq("even", "odd", "even", "odd"))
+    val s = Interp.run(spark,
+      """func yes(x) { if (x) { return "Y" } else { return "N" } }
+        |["", "a"]{v: yes(item)} order {v}""".stripMargin)
+    assert(s.df.collect().map(_.getString(0)).toSeq == Seq("N", "Y"))
+  }
+
+  test("names(t) lists columns with reference type names; names() the namespace") {
+    val out = Interp.run(spark,
+      """table a {x: int}
+        |names(a)[not (type ~ "function%")]{name} order {name}""".stripMargin)
+    // reference test_basic.py:1105: ['id', 'x']
+    assert(out.df.collect().map(_.getString(0)).toSeq == Seq("id", "x"))
+    val ns = Interp.run(spark,
+      """k = 5
+        |func f(x) = x
+        |names()[name == "k" or name == "f"]{name, type} order {name}""".stripMargin)
+    assert(ns.df.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("f", "function"), ("k", "int")))
+  }
+
+  test("new with expression args, expression defaults, typed mismatch error") {
+    val out = Interp.run(spark,
+      """table A { x: int
+        | y: int = 2 + 3
+        |}
+        |new A(10 * 2)
+        |new A(7, y: 1 + 1)
+        |A order {id}""".stripMargin)
+    assert(out.df.collect()
+      .map(r => (r.getAs[Number](1).longValue, r.getAs[Number](2).longValue))
+      .toSeq == Seq((20L, 5L), (7L, 2L)))
+    // now() default const-evaluates driver-side
+    val ts = Interp.run(spark,
+      """table E { name: string
+        | ts: timestamp = now()
+        |}
+        |new E("a")
+        |E{name, y: year(ts)}""".stripMargin)
+    assert(ts.df.collect().head.getAs[Number](1).longValue >= 2026L)
+    // wrong-typed value → typed GraftError, not ClassCastException
+    val err = intercept[graft.types.TypeError] {
+      Interp.run(spark,
+        """table B { x: int }
+          |new B("nope")
+          |B""".stripMargin).df.collect()
+    }
+    assert(err.getMessage.contains("does not fit"))
+  }
+
+  test("dict-literal rows form a table (reference test_table_def_dicts)") {
+    val out = Interp.run(spark,
+      """[
+        |    {a: 1, b: 2}
+        |    {a: 10, b: 20}
+        |]{c: a+b}""".stripMargin)
+    assert(out.columns == Seq("c"))
+    assert(out.df.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 30L))
+    // mismatched keys are a typed error
+    val err = intercept[graft.types.TypeError] {
+      Interp.run(spark, "[\n{a: 1}\n{b: 2}\n]").df.collect()
+    }
+    assert(err.getMessage.contains("share the same keys"))
+  }
+
   test("nested struct decls: struct-of-struct columns project by path") {
     val out = Interp.run(spark,
       """struct Point {
