@@ -134,10 +134,13 @@ final class Catalog(val spark: SparkSession) {
 
   def insertRow(name: String, values: Map[String, Any]): Row = {
     val t = get(name)
-    val idCol = t.meta.pk.headOption.getOrElse("id")
-    val id = nextId(name, t, idCol)
+    // pk-less tables (bare DDL, `table a = [expr]` const tables) take
+    // values as-given — no id generation (reference
+    // test_table_from_expr: `table a = [1..3]; new a(5)`)
+    val idCol = t.meta.pk.headOption.filter(t.columns.contains)
+    val idVal = idCol.map(ic => nextId(name, t, ic))
     val row = Row.fromSeq(t.schema.fields.map { f =>
-      if (f.name == idCol) fitId(id, f.dataType)
+      if (idCol.contains(f.name)) fitId(idVal.get, f.dataType)
       else coerce(values.getOrElse(f.name, null), f.dataType)
     }.toSeq)
     val newDf = spark.createDataFrame(java.util.Arrays.asList(row), t.schema)

@@ -358,7 +358,13 @@ object Interp {
         case other =>
           // evaluate for effect (e.g. `one t` as an assertion)
           val sub = substitute(other)
-          if (tryScalar(sub).isEmpty) { evalTable(sub); () }
+          sub match {
+            // a func body can reduce to `new T(...)` (reference
+            // test_threading `func add_n(n) = new a(n)`) — run the
+            // insert rather than treating it as a table expression
+            case ne: NewE => execNew(ne.table, ne.args); ()
+            case _ => if (tryScalar(sub).isEmpty) { evalTable(sub); () }
+          }
       }
       case IfStmt(cond, thenB, elseB) =>
         if (condTruthy(substitute(cond))) thenB.foreach(exec)
@@ -521,6 +527,16 @@ object Interp {
       */
     def resultTable(e: Expr): PTable = {
       val sub = substitute(e)
+      sub match {
+        // `new T(...)` (or a func reducing to one) as the program
+        // result: run the insert, show the inserted row (reference
+        // returns the row object)
+        case ne: NewE =>
+          val row = execNew(ne.table, ne.args)
+          return PTable.fromRows(spark, row.fields.map(_._1),
+            Seq(row.fields.map(_._2)))
+        case _ => ()
+      }
       try evalTable(sub)
       catch {
         case err: graft.types.GraftError =>
@@ -1679,7 +1695,22 @@ object Interp {
     lazy val r = evalCol(re, schema, agg)
     lazy val lt = inferType(le, schema)
     lazy val rt = inferType(re, schema)
+    // string vs number/bool never compares equal and never orders —
+    // the reference's _prepare_to_compare (compile_binops.py:64-77)
+    // returns False/True for =/!= and raises TypeError on < > <= >=
+    // (`3 != "3"` is true, `2 > "a"` is an error); Spark would
+    // auto-cast instead. Timestamps keep the cast (string literals
+    // against date columns are idiomatic).
+    lazy val mixedKind: Boolean = (for { a <- lt; b <- rt } yield {
+      val ks = Set(kernel(a), kernel(b))
+      ks == Set("string", "number") || ks == Set("string", "bool")
+    }).getOrElse(false)
     op match {
+      case "==" if mixedKind => lit(false)
+      case "!=" | "<>" if mixedKind => lit(true)
+      case "<" | "<=" | ">" | ">=" if mixedKind =>
+        throw new TypeError(
+          s"Operator '$op' not implemented for ${lt.get} and ${rt.get}")
       case "==" => PF.eq(l, r)
       case "!=" | "<>" => PF.neq(l, r)
       case "<" => l < r

@@ -94,7 +94,10 @@ object Repl {
       unit match {
         case None => running = false
         case Some(u) if u.trim == ":quit" => running = false
-        case Some(u) if u.trim.isEmpty => ()
+        case Some(u) if u.linesIterator.forall { l =>
+          val s = l.trim
+          s.isEmpty || s.startsWith("#") || s.startsWith("//")
+        } => () // comment-only unit
         case Some(u) if u.trim.startsWith(":") =>
           try meta(u.trim, spark, env, prelude, previewRows)
             .foreach { case ("rows", n) => previewRows = n }

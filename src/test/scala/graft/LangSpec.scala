@@ -998,6 +998,30 @@ class LangSpec extends SparkSpec {
     assert(err.getMessage.contains("does not fit"))
   }
 
+  test("mixed-kind compare: string vs number never equal, never ordered") {
+    // reference compile_binops.py:64-77 (test_compare: 3 != "3")
+    val out = Interp.run(spark,
+      """[1]{a: 3 != "3", b: 3 == "3", c: "3" in [1,2,3]}""")
+    val r = out.df.collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2))
+    val err = intercept[graft.types.TypeError] {
+      Interp.run(spark, """[1]{a: 2 > "a"}""").df.collect()
+    }
+    assert(err.getMessage.contains("not implemented"))
+  }
+
+  test("new on pk-less tables appends values; func body reducing to new") {
+    // reference test_table_from_expr + test_threading
+    val out = Interp.run(spark,
+      """table a = [0]
+        |func add_n(n) = new a(n)
+        |add_n(5)
+        |add_n(6)
+        |new a(7)
+        |a{item} order {item}""".stripMargin)
+    assert(out.df.collect().map(_.getLong(0)).toSeq == Seq(0L, 5L, 6L, 7L))
+  }
+
   test("dict-literal rows form a table (reference test_table_def_dicts)") {
     val out = Interp.run(spark,
       """[
