@@ -876,6 +876,26 @@ object SparkEntry {
           |new A(7, y: 1 + 1)
           |A order {id}""".stripMargin).df),
 
+    // the reference's matrices.pql shape end-to-end: newline-row list
+    // literals, enum, join-on-attr (`join(a: A.col, b: B.row)`), agg
+    "ql22_lang_matrices" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """M1 = [-1, 0, 6
+          |       2, 5, 1]
+          |M2 = [2, -4, 9, 3
+          |      0, 5,  1, 2
+          |      3, 6, -1, 1]
+          |func matrix_from_list(M, width) {
+          |  return enum(M) { row: int(index / width)
+          |                   col: index % width
+          |                   value: item }
+          |}
+          |m1 = matrix_from_list(M1, 3)
+          |m2 = matrix_from_list(M2, 4)
+          |join(a: m1.col, b: m2.row) {
+          |  row: a.row, col: b.col => value: sum(a.value * b.value)
+          |} order {row, col}""".stripMargin).df),
+
     // ---- json scalar functions (extension; reference has none) -----------
     "q61_json" -> ((s, d) =>
       t(s, d, "events").df
@@ -1601,6 +1621,17 @@ object SparkEntry {
     "ql11_lang_trycatch" ->
       """SELECT n_nationkey, n_name FROM nation
          WHERE n_regionkey = 2 ORDER BY n_nationkey""",
+    "ql22_lang_matrices" ->
+      """WITH m1("row", "col", "value") AS (VALUES
+           (0,0,-1),(0,1,0),(0,2,6),(1,0,2),(1,1,5),(1,2,1)),
+         m2("row", "col", "value") AS (VALUES
+           (0,0,2),(0,1,-4),(0,2,9),(0,3,3),(1,0,0),(1,1,5),(1,2,1),
+           (1,3,2),(2,0,3),(2,1,6),(2,2,-1),(2,3,1))
+         SELECT CAST(m1."row" AS BIGINT) AS "row",
+           CAST(m2."col" AS BIGINT) AS "col",
+           CAST(sum(m1."value" * m2."value") AS BIGINT) AS "value"
+         FROM m1 JOIN m2 ON m1."col" = m2."row"
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "ql18_lang_agg_collect" ->
       """SELECT n_regionkey,
            array_to_string(list_sort(list(n_nationkey * 2)), ',') AS ks

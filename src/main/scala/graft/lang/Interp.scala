@@ -903,6 +903,15 @@ object Interp {
 
         case Call(fn, args) => tableCall(fn, args)
 
+        // `tbl.column` in table position — a one-column projection
+        // (reference: a column reference acts as a list, e.g.
+        // `join(a: [1..10].item, ...)`, `list(A.col)`)
+        case Attr(te, n) =>
+          val bt = t(te)
+          if (!bt.columns.contains(n))
+            throw new TypeError(s"table has no column '$n'")
+          bt.project(NamedCol(n, col(n)))
+
         case other => throw new TypeError(s"not a table expression: $other")
       }
     }
@@ -934,7 +943,21 @@ object Interp {
           val sides = args.filterNot(_.name.contains("on")).map { a =>
             val alias = a.name.getOrElse(
               throw new TypeError("join sides must be named: join(a: t1, b: t2)"))
-            alias -> t(a.value)
+            // `join(a: A.col, b: B.row)` — join ON the named columns,
+            // keeping the FULL rows on each side (reference
+            // examples/matrices.pql mult_matrices; test_struct_inline)
+            a.value match {
+              case Attr(te, cname) =>
+                val base = try Some(t(te)) catch {
+                  case _: graft.types.GraftError => None
+                }
+                base match {
+                  case Some(bt) if bt.columns.contains(cname) =>
+                    Joins.Side(alias, bt, Some(cname))
+                  case _ => Joins.Side(alias, t(a.value))
+                }
+              case v => Joins.Side(alias, t(v))
+            }
           }
           val kind = fn match {
             case "join" => Joins.Inner
@@ -942,7 +965,7 @@ object Interp {
             case "outerjoin" => Joins.FullOuter
             case "joinall" => Joins.Cross
           }
-          Joins.joinN(kind, sides.map(Joins.Side(_)), on)
+          Joins.joinN(kind, sides, on)
         case "distinct" => t(args.head.value).distinct
         case "limit" =>
           t(args.head.value).limit(constLong(args(1).value).toInt)

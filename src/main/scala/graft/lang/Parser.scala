@@ -225,6 +225,20 @@ object Lexer {
           while (i < n && src(i).isDigit) i += 1
           out += TFloat(src.substring(start, i).toDouble, start)
         } else out += TInt(src.substring(start, i).toLong, start)
+      } else if (c == '\\' && i + 1 < n &&
+                 (src(i + 1) == '\n' ||
+                  (src(i + 1) == '\r' && i + 2 < n && src(i + 2) == '\n'))) {
+        // backslash line continuation (reference preql.lark handles
+        // explicit line joins; movie_recommender.pql uses `= \`)
+        i += (if (src(i + 1) == '\r') 3 else 2)
+      } else if (c == '"' && src.startsWith("\"\"\"", i)) {
+        // triple-quoted string (docstrings — reference grammar
+        // LONG_STRING; examples/matrices.pql file docstring)
+        val start = i
+        val end = src.indexOf("\"\"\"", i + 3)
+        if (end < 0) throw ParseError("unterminated string", start)
+        out += TStr(src.substring(i + 3, end), start)
+        i = end + 3
       } else if (c == '"' || c == '\'') {
         val quote = c
         val start = i
@@ -848,7 +862,15 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
     val fields = Seq.newBuilder[Field]
     var first = true
     while (!stopAt.exists(isOp)) {
-      if (!first) expectOp(",")
+      // fields separate by `,` or just a newline (the reference
+      // grammar's proj_exprs allows _NL separation —
+      // examples/matrices.pql lays one field per line); a missing
+      // comma on the SAME line is still a syntax error
+      if (!first) {
+        if (isOp(",")) advance()
+        else if (sameLineAsPrev)
+          throw ParseError("expected ','", cur.pos)
+      }
       first = false
       // named field: IDENT ':' expr ; ellipsis: '...' ('!' IDENT)*
       if (isOp("...")) {
@@ -942,11 +964,14 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
         } else {
           val items = Seq.newBuilder[Expr]
           items += first
-          // items separate by `,`, or by nothing when the next item
-          // is a `{...}` dict row on its own line (reference
-          // test_basic.py:1501-1507 — newline-separated dict rows)
-          while (isOp(",") || isOp("{")) {
+          // items separate by `,` or just a newline: dict rows
+          // (test_basic.py:1501-1507) and matrix rows
+          // (examples/matrices.pql `[-1, 0, 6\n 2, 5, 1]`) both lay
+          // items out line by line without trailing commas
+          while (!isOp("]")) {
             if (isOp(",")) advance()
+            else if (sameLineAsPrev)
+              throw ParseError("expected ',' or ']'", cur.pos)
             items += parseExpr()
           }
           expectOp("]")

@@ -32,21 +32,28 @@ object Repl {
     var depth = 0
     var i = 0
     var quote: Char = 0
+    var triple = false
     while (i < s.length) {
       val c = s(i)
-      if (quote != 0) {
+      if (triple) {
+        if (s.startsWith("\"\"\"", i)) { triple = false; i += 2 }
+      } else if (quote != 0) {
         if (c == quote) quote = 0
         else if (c == '\\') i += 1
       } else c match {
+        case '"' if s.startsWith("\"\"\"", i) => triple = true; i += 2
         case '"' | '\'' => quote = c
         case '(' | '[' | '{' => depth += 1
         case ')' | ']' | '}' => depth -= 1
         case '/' if i + 1 < s.length && s(i + 1) == '/' => i = s.length
+        case '#' => i = s.length
         case _ =>
       }
       i += 1
     }
-    depth
+    // an open triple-quoted docstring (or single-quoted string spilling
+    // over the line) keeps the unit incomplete
+    depth + (if (triple) 1 else 0)
   }
 
   /** A unit is a persistent statement if it parses as DEFINITION
@@ -120,6 +127,11 @@ object Repl {
               else println(s"$total row(s)")
             }
           } catch {
+            // a void procedure call (`main()`) has side effects only
+            case e: graft.types.ValueError
+              if e.getMessage != null &&
+                 e.getMessage.endsWith("did not return a value") =>
+              println("ok")
             case e: Throwable => println(s"error: ${e.getMessage}")
           }
       }
@@ -136,7 +148,8 @@ object Repl {
     val first = StdIn.readLine()
     if (first == null) return None
     val buf = new StringBuilder(first)
-    while (openDepth(buf.toString) > 0) {
+    while (openDepth(buf.toString) > 0 ||
+           buf.toString.trim.endsWith("\\")) {
       print("....>  ")
       Console.flush()
       val more = StdIn.readLine()

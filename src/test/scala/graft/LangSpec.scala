@@ -998,6 +998,36 @@ class LangSpec extends SparkSpec {
     assert(err.getMessage.contains("does not fit"))
   }
 
+  test("docstrings, line continuation, newline-separated fields and items") {
+    // examples/matrices.pql surface: file docstring, matrix-row list
+    // literals, one projection field per line, backslash continuation
+    val out = Interp.run(spark,
+      "\"\"\"\nmodule doc\n\"\"\"\n" +
+      """M = [1, 2
+        |     3, 4]
+        |x = \
+        |  enum(M) { row: int(index / 2)
+        |            value: item }
+        |x order {value}""".stripMargin)
+    assert(out.columns == Seq("row", "value"))
+    assert(out.df.collect().map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // missing comma on the SAME line is still an error
+    intercept[graft.lang.ParseError] {
+      Interp.run(spark, "[1 2]").df.collect()
+    }
+  }
+
+  test("join on attribute columns keeps full rows (matrices mult shape)") {
+    val out = Interp.run(spark,
+      "join(a: [1..10].item, b: [8..20].item) {...a}")
+    assert(out.df.collect().map(_.getLong(0)).sorted.toSeq == Seq(8L, 9L))
+    // full-row access on both sides through the join structs
+    val m = Interp.run(spark,
+      """A = enum([10, 20]) { row: index, value: item }
+        |join(a: A.row, b: A.row) { r: a.row => s: sum(a.value + b.value) } order {r}""".stripMargin)
+    assert(m.df.collect().map(_.getLong(1)).toSeq == Seq(20L, 40L))
+  }
+
   test("mixed-kind compare: string vs number never equal, never ordered") {
     // reference compile_binops.py:64-77 (test_compare: 3 != "3")
     val out = Interp.run(spark,
