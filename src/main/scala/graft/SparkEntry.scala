@@ -896,6 +896,17 @@ object SparkEntry {
           |  row: a.row, col: b.col => value: sum(a.value * b.value)
           |} order {row, col}""".stripMargin).df),
 
+    // the lang-level SQL() escape hatch with a typed $self recursion —
+    // graph.pql:14 bfs THROUGH the language (q68 runs the same shape
+    // through the SqlEscape API directly)
+    "ql23_lang_sql_self" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """edges = nation{ src: n_nationkey
+          |                dst: (n_nationkey * 2) % 25 }
+          |initial = nation[n_nationkey == 1]{n_nationkey}
+          |SQL(list[int], "SELECT * FROM $initial UNION SELECT e.dst FROM $edges e JOIN $self bfs ON e.src = bfs.item") order {item}""".stripMargin,
+        "nation" -> t(s, d, "nation")).df),
+
     // ---- json scalar functions (extension; reference has none) -----------
     "q61_json" -> ((s, d) =>
       t(s, d, "events").df
@@ -1621,6 +1632,13 @@ object SparkEntry {
     "ql11_lang_trycatch" ->
       """SELECT n_nationkey, n_name FROM nation
          WHERE n_regionkey = 2 ORDER BY n_nationkey""",
+    "ql23_lang_sql_self" ->
+      """WITH RECURSIVE bfs(item) AS (
+           SELECT n_nationkey FROM nation WHERE n_nationkey = 1
+           UNION
+           SELECT (e.n_nationkey * 2) % 25 FROM nation e
+           JOIN bfs ON e.n_nationkey = bfs.item)
+         SELECT item FROM bfs ORDER BY item""",
     "ql22_lang_matrices" ->
       """WITH m1("row", "col", "value") AS (VALUES
            (0,0,-1),(0,1,0),(0,2,6),(1,0,2),(1,1,5),(1,2,1)),

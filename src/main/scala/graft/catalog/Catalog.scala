@@ -71,7 +71,7 @@ final class Catalog(val spark: SparkSession) {
   def create(name: String, fields: Seq[StructField], bare: Boolean = false,
              fks: Seq[graft.types.FK] = Nil): PTable = {
     val schema =
-      if (bare) StructType(fields)
+      if (bare || fields.exists(_.name == "id")) StructType(fields)
       else StructType(StructField("id", LongType, nullable = false) +: fields)
     val df = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)

@@ -203,6 +203,7 @@ object Interp {
     /** `return` control flow inside procedures. */
     private final class ReturnValue(val v: V) extends RuntimeException
     private var procDepth = 0
+    private val procResultCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
     private def tableEnv: Map[String, PTable] =
       env.collect { case (n, VT(t)) => n -> t }
@@ -211,9 +212,13 @@ object Interp {
       * columns) and inline user function calls.
       */
     def substitute(e: Expr): Expr = {
-      def scalars(x: Expr): Expr = rewrite(x) {
-        case Ident(n) if env.get(n).exists(_.isInstanceOf[VS]) =>
-          scalarToAst(env(n).asInstanceOf[VS].v)
+      // pass 1 — capture-aware: scalar vars replace identifiers except
+      // where a join alias shadows the name (tree.pql common_ancestors
+      // has params a/b AND join sides a/b)
+      def scalarIdents(x: Expr): Expr = substShadow(x,
+        n => env.get(n).collect { case VS(v) => scalarToAst(v) })
+      // pass 2 — bottom-up attr folding over the substituted tree
+      def scalars(x: Expr): Expr = rewrite(scalarIdents(x)) {
         // dict member access folds in the same bottom-up pass, so
         // `d.a.b` chains resolve inner-first and the surviving AST can
         // embed anywhere a literal can (selections, projections)
@@ -535,6 +540,16 @@ object Interp {
           val row = execNew(ne.table, ne.args)
           return PTable.fromRows(spark, row.fields.map(_._1),
             Seq(row.fields.map(_._2)))
+        // a procedure call runs ONCE here — routing it through the
+        // evalTable-then-tryScalar fallback would execute its side
+        // effects twice (tree.pql test() printed everything double)
+        case Call(fn, cargs) if procs.contains(fn) =>
+          callProc(fn, cargs) match {
+            case Some(VT(tt)) => return tt
+            case Some(VS(v)) =>
+              return PTable(spark.range(1).select(F.lit(v).as(fn)))
+            case None => throw new ValueError(s"$fn did not return a value")
+          }
         case _ => ()
       }
       try evalTable(sub)
@@ -572,9 +587,18 @@ object Interp {
       case ListLit(items) => items.map(i => scalar(i))
       case other =>
         val t = evalTable(other)
-        if (t.columns.length != 1)
-          throw new TypeError("'for' over a table needs a single column")
-        t.df.collect().map(_.get(0)).toSeq
+        // single column iterates bare values; multi-column iterates
+        // ROW objects (reference evaluate.py:352-356 casts to python —
+        // examples/tree.pql `for (m in find_descendants(...))` reads
+        // m.value). Driver-side by design: `for` is control flow.
+        if (t.columns.length == 1)
+          t.df.collect().map(_.get(0)).toSeq
+        else {
+          val tname = t.meta.name
+          t.df.collect().map { r =>
+            RowV(tname, t.columns.map(c => c -> r.getAs[Any](c)))
+          }.toSeq
+        }
     }
 
     /** Driver-side const evaluation; None when the expression needs the
@@ -606,8 +630,27 @@ object Interp {
         scalarToAst(tt.df.agg(a).head().get(0))
       case Call("is_empty", Seq(Arg(None, te))) if isTableExpr(te) =>
         BoolLit(evalTable(te).df.isEmpty)
+      // first / first_or_null over a table localize the first value
+      // (reference __builtins__.pql; tree.pql print_most_common_ancestor)
+      case Call("first", Seq(Arg(None, te))) if isTableExpr(te) =>
+        val rows = evalTable(te).df.take(1)
+        if (rows.isEmpty)
+          throw new ValueError("first: table is empty")
+        scalarToAst(rows(0).get(0))
+      case Call("first_or_null", Seq(Arg(None, te))) if isTableExpr(te) =>
+        val rows = evalTable(te).df.take(1)
+        scalarToAst(if (rows.isEmpty) null else rows(0).get(0))
       case Call("fmt", Seq(Arg(None, StrLit(s)))) =>
         StrLit(interpolate(s))
+      // scalar `in` table membership localizes to a boolean
+      // (reference tree.pql is_a: `b in find_path_to_root(...){value}`)
+      case BinOp(op @ ("in" | "!in"), l, r)
+        if isTableExpr(r) && tryScalar(l).isDefined =>
+        val lv = tryScalar(l).get
+        val tt = evalTable(r)
+        val c = tt.columns.head
+        val contains = !tt.df.filter(col(c) <=> lit(lv)).isEmpty
+        BoolLit(if (op == "in") contains else !contains)
       // `new T(...)` in expression position: insert, splice the row
       case ne: NewE => scalarToAst(execNew(ne.table, ne.args))
       // procedure call in expression position: run, splice the value
@@ -618,8 +661,14 @@ object Interp {
             val rows = t.df.take(2)
             if (rows.length == 1 && rows(0).length == 1)
               scalarToAst(rows(0).get(0))
-            else throw new TypeError(
-              s"procedure $fn returned a table in scalar context")
+            else {
+              // a table result splices back as a fresh binding so the
+              // surrounding TABLE expression can keep composing
+              // (tree.pql: get_trees(bfs(...)) inside a projection)
+              val nm = s"__proc_result_${procResultCounter.incrementAndGet()}"
+              env = env + (nm -> VT(t))
+              Ident(nm)
+            }
           case None => throw new ValueError(s"$fn did not return a value")
         }
     }
@@ -972,9 +1021,62 @@ object Interp {
         case "enum" => t(args.head.value).enum("index")
         case "count" => // count(table) → one-row table
           t(args.head.value).aggAll(NamedCol("count", F.count(lit(1))))
-        case "list" => // list(t) → first column only (reference list cast)
+        case "list" => // list(t) → first column only, renamed `item`
+          // (reference casts.py table→list aliases to ITEM_NAME)
           val tt = t(args.head.value)
-          tt.project(NamedCol(tt.columns.head, col(tt.columns.head)))
+          tt.project(NamedCol("item", col(tt.columns.head)))
+
+        case "SQL" =>
+          // SQL(type, "code") escape hatch (reference
+          // pql_functions.py:86-123): `$var` interpolates tables as
+          // temp views and scalars as literals; `$self` recursion is
+          // handled by SqlEscape's fixpoint. The type argument is
+          // advisory — the result schema comes from the query itself.
+          val code = args.last.value match {
+            case StrLit(s) => s
+            case o => throw new TypeError(s"SQL() expects a string, got $o")
+          }
+          val refs = "\\$([A-Za-z_][A-Za-z0-9_]*)".r
+            .findAllMatchIn(code).map(_.group(1)).toSeq.distinct
+            .filterNot(_ == "self")
+          var text = code
+          val tableVars = Seq.newBuilder[(String, PTable)]
+          refs.foreach { n =>
+            env.get(n) match {
+              case Some(VT(tt)) => tableVars += (n -> tt)
+              case Some(VS(v)) =>
+                val litTxt = v match {
+                  case s: String => "'" + s.replace("'", "''") + "'"
+                  case null => "NULL"
+                  case o => o.toString
+                }
+                text = text.replaceAll(
+                  "\\$" + java.util.regex.Pattern.quote(n) + "(?![A-Za-z0-9_])",
+                  java.util.regex.Matcher.quoteReplacement(litTxt))
+              case None => throw new NameError(
+                s"SQL(): unknown interpolation variable '$$$n'")
+            }
+          }
+          // bare expression snippets (reference `SQL(int, "$x+5")`)
+          // wrap into a SELECT — the reference compiles non-query
+          // snippets as scalar expressions
+          val trimmedUp = text.trim.toUpperCase
+          if (!trimmedUp.startsWith("SELECT") && !trimmedUp.startsWith("WITH"))
+            text = s"SELECT ($text) AS value"
+          // the TYPE argument names the `$self` relation's columns
+          // (reference graph.pql:14,34: list[int] → item; node → its
+          // declared fields)
+          val selfCols: Option[Seq[String]] = args.head.value match {
+            case Selection(Ident("list"), _) | Ident("list") =>
+              Some(Seq("item"))
+            case Ident(tn) => env.get(tn) match {
+              case Some(VT(tt)) => Some(tt.columns)
+              case _ => None
+            }
+            case _ => None
+          }
+          graft.sqlesc.SqlEscape.sqlTyped(spark, text, 1000, selfCols,
+            tableVars.result(): _*)
         case "temptable" =>
           PTable(t(args.head.value).df.localCheckpoint(true))
         case "sample_ratio_fast" =>
@@ -1036,11 +1138,21 @@ object Interp {
             })
           }.sortBy(_._1)
           PTable(spark.createDataFrame(rows).toDF("name", "kind"))
-        case "bfs" =>
-          PTable(graft.rec.Graph.bfs(t(args.head.value).df, t(args(1).value).df))
-        case "walk_tree" =>
+        // qualified `graph.bfs` forms come from the stdlib module
+        // (reference `import graph` — graph.pql; builtins preloaded).
+        // Column contracts follow graph.pql: initial is any one-column
+        // list; bfs returns `item`, walk_tree returns (id, rank).
+        case "bfs" | "graph.bfs" =>
+          val init = t(args(1).value)
+          val initDf = init.df.select(col(init.columns.head).as("node"))
+          PTable(graft.rec.Graph.bfs(t(args.head.value).df, initDf)
+            .select(col("node").as("item")))
+        case "walk_tree" | "graph.walk_tree" =>
+          val init = t(args(1).value)
+          val initDf = init.df.select(col(init.columns.head).as("node"))
           PTable(graft.rec.Graph.walkTree(t(args.head.value).df,
-            t(args(1).value).df, constLong(args(2).value).toInt))
+            initDf, constLong(args(2).value).toInt)
+            .select(col("node").as("id"), col("rank")))
         case other => throw new NameError(s"unknown table function '$other'")
       }
     }
@@ -1201,9 +1313,8 @@ object Interp {
     * fill the gaps; named-before-positional and duplicates are errors.
     */
   private def inline(e: Expr, funcs: Map[String, FuncDef]): Expr = {
-    def subst(body: Expr, bind: Map[String, Expr]): Expr = rewrite(body) {
-      case Ident(n) if bind.contains(n) => bind(n)
-    }
+    def subst(body: Expr, bind: Map[String, Expr]): Expr =
+      if (bind.isEmpty) body else substShadow(body, bind.get)
     // unnamed projection fields calling a user func keep the FUNC's
     // name once the body is spliced in (reference: `{=> sqsum(item)}`
     // names the column sqsum, not sum) — record names before inlining
@@ -1366,6 +1477,67 @@ object Interp {
 
   // ---- driver-side const evaluation ---------------------------------------
   private final class NotConst extends RuntimeException
+
+  /** Join aliases visible to a projection/selection over this table
+    * expression — they SHADOW variables/parameters of the same name
+    * (reference: `func f(a, b) = join(a: ..., b: ...){a.id}` — a.id
+    * is the join side, not the parameter; tree.pql common_ancestors).
+    */
+  private def joinAliasesOf(te: Expr): Set[String] = te match {
+    case Call("join" | "leftjoin" | "outerjoin" | "joinall", as) =>
+      as.flatMap(_.name).filterNot(_ == "on").toSet
+    case Projection(t2, _, _, _) => joinAliasesOf(t2)
+    case Selection(t2, _) => joinAliasesOf(t2)
+    case Order(t2, _) => joinAliasesOf(t2)
+    case Slice(t2, _, _) => joinAliasesOf(t2)
+    case OneE(t2, _) => joinAliasesOf(t2)
+    case _ => Set.empty
+  }
+
+  /** Capture-aware name substitution: manual recursion so expressions
+    * under a join drop the join's aliases from scope before replacing
+    * identifiers. `lookup` returns the replacement AST for a name, or
+    * None to leave it alone.
+    */
+  private def substShadow(body: Expr, lookup: String => Option[Expr]): Expr = {
+    def go(x: Expr, shadow: Set[String]): Expr = x match {
+      case Ident(n) => if (shadow(n)) x else lookup(n).getOrElse(x)
+      case Projection(t2, fs, g, as) =>
+        val s2 = shadow ++ joinAliasesOf(t2)
+        def f(fl: Field) = Field(fl.name, go(fl.value, s2))
+        Projection(go(t2, shadow), fs.map(f), g, as.map(f))
+      case Selection(t2, cs) =>
+        val s2 = shadow ++ joinAliasesOf(t2)
+        Selection(go(t2, shadow), cs.map(go(_, s2)))
+      case Order(t2, ks) =>
+        val s2 = shadow ++ joinAliasesOf(t2)
+        Order(go(t2, shadow), ks.map { case (k, asc) => (go(k, s2), asc) })
+      case BinOp(op, l, r) => BinOp(op, go(l, shadow), go(r, shadow))
+      case Unary(op, e2) => Unary(op, go(e2, shadow))
+      case Attr(o, n) => Attr(go(o, shadow), n)
+      case Call(fn, as) =>
+        Call(fn, as.map(a => Arg(a.name, go(a.value, shadow))))
+      case ListLit(items) => ListLit(items.map(go(_, shadow)))
+      case OneE(e2, opt) => OneE(go(e2, shadow), opt)
+      case Slice(t2, f0, u) =>
+        Slice(go(t2, shadow), f0.map(go(_, shadow)), u.map(go(_, shadow)))
+      case Update(t2, fs) =>
+        Update(go(t2, shadow), fs.map(fl => Field(fl.name, go(fl.value, shadow))))
+      case Delete(t2, cs) => Delete(go(t2, shadow), cs.map(go(_, shadow)))
+      case RangeLit(f0, u) =>
+        RangeLit(f0.map(go(_, shadow)), u.map(go(_, shadow)))
+      case DictLit(fs) => DictLit(fs.map { case (k, v) => (k, go(v, shadow)) })
+      case RowLit(t2, fs) =>
+        RowLit(t2, fs.map { case (k, v) => (k, go(v, shadow)) })
+      case NewE(t2, as) =>
+        NewE(t2, as.map(a => Arg(a.name, go(a.value, shadow))))
+      case Spread(e2) => Spread(go(e2, shadow))
+      case StructLit(fs) =>
+        StructLit(fs.map(fl => Field(fl.name, go(fl.value, shadow))))
+      case leaf => leaf
+    }
+    go(body, Set.empty)
+  }
 
   private def scalarToAst(v: Any): Expr = v match {
     case null => NullLit

@@ -393,6 +393,26 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
           case TIdent(v, _) => v
           case t => throw ParseError("expected parameter name", t.pos)
         }
+        // optional type annotation `: type` with `list[elem]` /
+        // `table` / primitive names (reference preql.lark:66-69
+        // typemod params; examples/tree.pql `func bfs(edges: table)`).
+        // Annotations document intent; dispatch stays dynamic.
+        if (isOp(":")) {
+          advance()
+          advance() match {
+            case TIdent(_, _) => ()
+            case t => throw ParseError("expected type name", t.pos)
+          }
+          if (isOp("[")) { // list[int] element annotation
+            advance()
+            advance() match {
+              case TIdent(_, _) => ()
+              case t => throw ParseError("expected type name", t.pos)
+            }
+            expectOp("]")
+          }
+          if (isOp("?")) advance() // nullable mark
+        }
         val default =
           if (isOp("=")) { advance(); Some(parseExpr()) } else None
         params += Param(pname, default)
@@ -403,12 +423,38 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
       advance(); FuncDef(name, params.result(), parseExpr(), collector)
     } else {
       val block = parseBlock()
-      try FuncDef(name, params.result(), blockToExpr(block), collector)
+      // a block body using SQL() must execute as a PROCEDURE: its
+      // `$var` string interpolations resolve params/locals from real
+      // runtime bindings, which AST inlining cannot substitute
+      // (examples/tree.pql func bfs)
+      if (collector.isEmpty && block.exists(stmtContainsSql))
+        ProcDef(name, params.result(), block)
+      else try FuncDef(name, params.result(), blockToExpr(block), collector)
       catch {
         case _: ParseError if collector.isEmpty =>
           ProcDef(name, params.result(), block)
       }
     }
+  }
+
+  private def exprContainsSql(e: Ast.Expr): Boolean = {
+    var found = false
+    Ast.rewrite(e) {
+      case c @ Ast.Call("SQL", _) => found = true; c
+    }
+    found
+  }
+
+  private def stmtContainsSql(s: Ast.Stmt): Boolean = s match {
+    case Ast.Assign(_, v) => exprContainsSql(v)
+    case Ast.ExprStmt(e) => exprContainsSql(e)
+    case Ast.ReturnStmt(e) => exprContainsSql(e)
+    case Ast.PrintStmt(e) => exprContainsSql(e)
+    case Ast.IfStmt(c, t, e) => exprContainsSql(c) ||
+      t.exists(stmtContainsSql) || e.exists(_.exists(stmtContainsSql))
+    case Ast.WhileStmt(c, b) => exprContainsSql(c) || b.exists(stmtContainsSql)
+    case Ast.ForStmt(_, it, b) => exprContainsSql(it) || b.exists(stmtContainsSql)
+    case _ => false
   }
 
   private def parseStmt(): Stmt = {
@@ -619,6 +665,9 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
     * inlines into a projection as a CASE expression.
     */
   private def blockToExpr(stmts: Seq[Stmt]): Expr = stmts match {
+    // a leading docstring is documentation, not computation
+    // (reference: every stdlib func carries one — graph.pql)
+    case ExprStmt(StrLit(_)) +: rest if rest.nonEmpty => blockToExpr(rest)
     case Seq(ReturnStmt(e)) => e
     case Seq(IfStmt(c, t, Some(e))) =>
       Call("iif", Seq(Arg(None, c), Arg(None, blockToExpr(t)),

@@ -36,8 +36,19 @@ object SqlEscape {
   def sql(spark: SparkSession, code: String, vars: (String, PTable)*): PTable =
     sqlMaxIter(spark, code, 1000, vars: _*)
 
+  /** `selfCols`: declared column names for the `$self` relation — the
+    * reference's `SQL(list[int], ...)` / `SQL(node, ...)` TYPE argument
+    * names the recursive CTE's columns (`item`; the table's fields), so
+    * the recursive branch can reference them even when the seed branch
+    * computes them under other names (graph.pql:14,34).
+    */
   def sqlMaxIter(spark: SparkSession, code: String, maxIter: Int,
-                 vars: (String, PTable)*): PTable = {
+                 vars: (String, PTable)*): PTable =
+    sqlTyped(spark, code, maxIter, None, vars: _*)
+
+  def sqlTyped(spark: SparkSession, code: String, maxIter: Int,
+               selfCols: Option[Seq[String]],
+               vars: (String, PTable)*): PTable = {
     var text = code
     vars.foreach { case (name, t) =>
       val view = s"graft_sqlesc_${name}_${counter.incrementAndGet()}"
@@ -49,8 +60,13 @@ object SqlEscape {
     }
     if (!text.matches("(?s).*\\$self(?![A-Za-z0-9_]).*"))
       PTable(spark.sql(text))
-    else PTable(recursiveFixpoint(spark, text, maxIter))
+    else PTable(recursiveFixpoint(spark, text, maxIter, selfCols))
   }
+
+  private def castTo(df: DataFrame,
+                     schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(schema.fields.toSeq.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
 
   private def subSelf(text: String, view: String): String =
     text.replaceAll("\\$self(?![A-Za-z0-9_])",
@@ -95,13 +111,15 @@ object SqlEscape {
   }
 
   private def recursiveFixpoint(spark: SparkSession, text: String,
-                                maxIter: Int): DataFrame = {
+                                maxIter: Int,
+                                selfCols: Option[Seq[String]] = None): DataFrame = {
     val (branches, anyDistinct) = splitUnions(text)
     if (!anyDistinct) {
       // all-UNION ALL recursion runs natively in one Spark query
       val name = s"graft_self_${counter.incrementAndGet()}"
+      val colList = selfCols.map(cs => cs.mkString("(", ", ", ")")).getOrElse("")
       return spark.sql(
-        s"WITH RECURSIVE $name AS (${subSelf(text, name)}) " +
+        s"WITH RECURSIVE $name$colList AS (${subSelf(text, name)}) " +
         s"SELECT * FROM $name")
     }
     val (seedB, stepB) = branches.partition(
@@ -115,7 +133,9 @@ object SqlEscape {
       spark.createDataFrame(ckpt.rdd, ckpt.schema)
     }
     val stepSql = stepB.map(b => s"($b)").mkString(" UNION ALL ")
-    val seed = spark.sql(seedB.map(b => s"($b)").mkString(" UNION ")).distinct()
+    val seed0 = spark.sql(seedB.map(b => s"($b)").mkString(" UNION ")).distinct()
+    // the declared type's column names win over the seed branch's
+    val seed = selfCols.map(cs => seed0.toDF(cs: _*)).getOrElse(seed0)
     val cols = seed.columns.toSeq
     val schema = seed.schema
     // Hybrid fixpoint (same shape as Graph.bfs): while the visited set
@@ -136,10 +156,11 @@ object SqlEscape {
       val v = s"graft_self_${counter.incrementAndGet()}"
       spark.createDataFrame(frontierRows.toSeq.asJava, schema)
         .createOrReplaceTempView(v)
-      // CTE column names come from the seed branch: rename the step
-      // output positionally (standard recursive-CTE behavior)
-      val stepped = spark.sql(subSelf(stepSql, v)).toDF(cols: _*)
-        .distinct().collect()
+      // CTE column names AND types come from the seed: rename the
+      // step output positionally and cast to the seed schema
+      // (standard recursive-CTE behavior)
+      val stepped = castTo(spark.sql(subSelf(stepSql, v)).toDF(cols: _*),
+        schema).distinct().collect()
       frontierRows = stepped.filterNot(seen.contains)
       seen ++= frontierRows
     }
@@ -156,7 +177,7 @@ object SqlEscape {
       val v = s"graft_self_${counter.incrementAndGet()}"
       frontier.createOrReplaceTempView(v)
       frontier = materialize(
-        spark.sql(subSelf(stepSql, v)).toDF(cols: _*)
+        castTo(spark.sql(subSelf(stepSql, v)).toDF(cols: _*), schema)
           .distinct().exceptAll(acc))
       acc = materialize(acc.unionAll(frontier))
     }

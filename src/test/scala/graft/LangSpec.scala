@@ -1028,6 +1028,66 @@ class LangSpec extends SparkSpec {
     assert(m.df.collect().map(_.getLong(1)).toSeq == Seq(20L, 40L))
   }
 
+  test("tree.pql surface: typed params, SQL() $self in procs, shadowed aliases") {
+    // a trimmed examples/tree.pql: user-defined bfs through the SQL()
+    // escape hatch (typed $self CTE), docstrings, alias shadowing
+    val out = Interp.run(spark,
+      """table Tree {
+        |    value: string
+        |    parent: Tree?
+        |}
+        |animal = new Tree("Animal", null)
+        |mammal = new Tree("Mammal", animal)
+        |dog = new Tree("Dog", mammal)
+        |new Tree("Golden Retriever", dog)
+        |edges_upwards = Tree{ src: id
+        |                      dst: parent }
+        |func bfs(edges: table, initial: table) {
+        |    "Performs a breadth-first search on a graph"
+        |    bfs = SQL(list[int], "SELECT * FROM $initial UNION SELECT e.dst FROM $edges e JOIN $self bfs ON e.src = bfs.item")
+        |    return SQL(list[int], "SELECT bfs.item FROM $bfs bfs")
+        |}
+        |func get_trees(ids: list[int]) {
+        |    "Return tree rows for ids"
+        |    return join(_: ids.item, t: Tree.id){ t.id
+        |                                          t.value }
+        |}
+        |func find_path_to_root(initial: table) {
+        |    "All ancestors"
+        |    path_to_root = bfs(edges_upwards, initial{id})
+        |    return get_trees(path_to_root)
+        |}
+        |func is_a(a: string, b: string) {
+        |    initial = Tree[value==a]
+        |    return b in find_path_to_root(initial){value}
+        |}
+        |[1]{dog_animal: is_a("Dog", "Animal"), animal_dog: is_a("Animal", "Dog")}""".stripMargin)
+    val r = out.df.collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+
+  test("lang graph.walk_tree/bfs column contracts; list() renames to item") {
+    val wt = Interp.run(spark,
+      """edges = [
+        |    {src: 1, dst: 2}
+        |    {src: 2, dst: 3}
+        |]
+        |graph.walk_tree(edges, [1], 10)""".stripMargin)
+    assert(wt.columns == Seq("id", "rank"))
+    assert(wt.df.collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .sorted.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+    val l = Interp.run(spark, "list(nation{n_name})", "nation" -> nation)
+    assert(l.columns == Seq("item"))
+    // first/first_or_null localize scalars (tree.pql print_most_common_ancestor)
+    val f = Interp.run(spark,
+      """x = first_or_null(nation[n_nationkey < 0]{n_name})
+        |y = first(nation[n_nationkey == 3]{n_name})
+        |[1]{x: x, y: y}""".stripMargin, "nation" -> nation)
+    val fr = f.df.collect().head
+    assert(fr.isNullAt(0) && fr.getString(1).nonEmpty)
+  }
+
   test("mixed-kind compare: string vs number never equal, never ordered") {
     // reference compile_binops.py:64-77 (test_compare: 3 != "3")
     val out = Interp.run(spark,
