@@ -795,6 +795,16 @@ object Interp {
             .filter(c => c.startsWith("__fk_") || c.startsWith("__br_")): _*),
             base.meta)
 
+        // slicing an UNBOUNDED range materializes just the window
+        // (reference test_range: `func adult() = [18..]` then
+        // `adult()[..10]` — infinite series bounded by the slice)
+        case Slice(RangeLit(f0, None), sFrom, sUntil) if sUntil.nonEmpty =>
+          val base = f0.map(constLong).getOrElse(0L)
+          val lo = sFrom.map(constLong).getOrElse(0L)
+          val hi = constLong(sUntil.get)
+          PTable(spark.range(base + lo, base + hi)
+            .select(col("id").as("item")))
+
         case Slice(te, from, until) =>
           val f = from.map(constLong).getOrElse(0L).toInt
           val u = until.map(constLong).map(_.toInt)
@@ -965,10 +975,20 @@ object Interp {
       }
     }
 
+    /** Builtins that return tables — so wrappers like
+      * `count(columns(A))` localize (reference test_bare_table).
+      */
+    private val tableFns: Set[String] = Set(
+      "join", "leftjoin", "outerjoin", "joinall", "distinct", "limit",
+      "enum", "list", "temptable", "sample_ratio_fast", "sample_fast",
+      "page", "tables", "names", "columns", "env_vars", "bfs",
+      "walk_tree", "graph.bfs", "graph.walk_tree", "SQL")
+
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
       case _: Projection | _: Selection | _: RangeLit | _: ListLit |
            _: Order | _: Slice | _: OneE => true
+      case Call(fn, _) => tableFns.contains(fn)
       case _ => false
     }
 
@@ -1984,13 +2004,41 @@ object Interp {
       if (args.length != n)
         throw new TypeError(s"$fn expects $n argument(s), got ${args.length}")
     fn match {
-      // aggregates
+      // aggregates; applied to an ARRAY value (a collected group) they
+      // act per-row on the list instead (reference: `{k => item}
+      // {count(item)}` counts each group's list — test_basic.py:1496)
       case "count" =>
-        if (args.isEmpty) F.count(lit(1)) else { arity(1); F.count(a(0)) }
-      case "sum" => arity(1); F.sum(a(0))
-      case "min" => arity(1); F.min(a(0))
-      case "max" => arity(1); F.max(a(0))
-      case "mean" | "avg" => arity(1); F.avg(a(0))
+        if (args.isEmpty) F.count(lit(1))
+        else {
+          arity(1)
+          inferType(args(0).value, schema) match {
+            case Some(_: ArrayType) => F.size(a(0)).cast(LongType)
+            case _ => F.count(a(0))
+          }
+        }
+      case "sum" => arity(1)
+        inferType(args(0).value, schema) match {
+          case Some(ArrayType(et: NumericType, _)) =>
+            F.aggregate(a(0), lit(0).cast(et), (acc, v) => acc + v)
+          case _ => F.sum(a(0))
+        }
+      case "min" => arity(1)
+        inferType(args(0).value, schema) match {
+          case Some(_: ArrayType) => F.array_min(a(0))
+          case _ => F.min(a(0))
+        }
+      case "max" => arity(1)
+        inferType(args(0).value, schema) match {
+          case Some(_: ArrayType) => F.array_max(a(0))
+          case _ => F.max(a(0))
+        }
+      case "mean" | "avg" => arity(1)
+        inferType(args(0).value, schema) match {
+          case Some(ArrayType(et: NumericType, _)) =>
+            F.aggregate(a(0), lit(0).cast(et), (acc, v) => acc + v)
+              .cast(DoubleType) / F.size(a(0))
+          case _ => F.avg(a(0))
+        }
       case "stddev" => arity(1); F.stddev_samp(a(0))
       case "count_distinct" => arity(1); F.countDistinct(a(0))
       // non-boolean operands count by SQL truthiness — the reference

@@ -1028,6 +1028,30 @@ class LangSpec extends SparkSpec {
     assert(m.df.collect().map(_.getLong(1)).toSeq == Seq(20L, 40L))
   }
 
+  test("aggregate fns on collected lists act per row; chained aggs") {
+    // reference test_json: {k => item}{count(item)} counts each list
+    val out = Interp.run(spark,
+      "list([1,7,3,4]{item%2 => item}{count(item)} order {count})")
+    assert(out.df.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val s = Interp.run(spark,
+      "[1,7,3,4]{item%2 => item}{s: sum(item), m: min(item), x: max(item)} order {s}")
+    assert(s.df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((4L, 4L, 4L), (11L, 1L, 7L)))
+  }
+
+  test("unbounded ranges bound by slice; count over columns()") {
+    // reference test_range: infinite series sliced later
+    val out = Interp.run(spark,
+      """func adult() = [18..]
+        |list( (adult()[..10] + adult()[..1]) {item + 1} )""".stripMargin)
+    assert(out.df.collect().map(_.getLong(0)).sorted.toSeq ==
+      (Seq(19L) ++ (19L to 28L)).sorted)
+    val c = Interp.run(spark,
+      """bare table A {x: int}
+        |[1]{c: count(columns(A))}""".stripMargin)
+    assert(c.df.collect().head.getLong(0) == 1L)
+  }
+
   test("tree.pql surface: typed params, SQL() $self in procs, shadowed aliases") {
     // a trimmed examples/tree.pql: user-defined bfs through the SQL()
     // escape hatch (typed $self CTE), docstrings, alias shadowing
