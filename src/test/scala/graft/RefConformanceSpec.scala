@@ -1,0 +1,406 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.lang.Interp
+import graft.types._
+
+/** Conformance against the reference's own behavioral suite
+  * (reference: tests/test_basic.py) — each test cites the reference
+  * test it mirrors and asserts the values that suite asserts.
+  * Snippets run verbatim through graft.lang.
+  */
+class RefConformanceSpec extends SparkSpec {
+
+  /** Run a snippet; return the single scalar it evaluates to. */
+  private def one(src: String): Any = {
+    val rows = Interp.run(spark, src).df.collect()
+    assert(rows.length == 1 && rows(0).length == 1,
+      s"expected one scalar from <$src>, got ${rows.toSeq}")
+    rows(0).get(0)
+  }
+
+  /** Run a snippet; return rows as ordered (name -> value) maps. */
+  private def rows(src: String): Seq[Seq[(String, Any)]] = {
+    val df = Interp.run(spark, src).df
+    val names = df.columns.toSeq
+    df.collect().toSeq.map(r => names.zip(r.toSeq))
+  }
+
+  /** Run a snippet; return the values of a single-column result. */
+  private def col0(src: String): Seq[Any] =
+    Interp.run(spark, src).df.collect().toSeq.map(_.get(0))
+
+  private def numeq(a: Any, b: Double): Boolean = a match {
+    case d: Double => d == b
+    case f: Float => f.toDouble == b
+    case l: Long => l.toDouble == b
+    case i: Int => i.toDouble == b
+    case other => other == b
+  }
+
+  // ---- test_basic.py::_test_basic -----------------------------------------
+
+  test("basic scalars: literals, unary minus, division flavors") {
+    assert(numeq(one("3.14"), 3.14))
+    assert(numeq(one("1"), 1))
+    assert(numeq(one("-(1)"), -1))
+    assert(numeq(one("1 / 2"), 0.5))
+    assert(numeq(one("10 /~ 3"), 3))
+    assert(one("type(10/3) == float") == true)
+  }
+
+  test("group-by on a renamed derived key ({v: item/~2 => sum(item)})") {
+    // reference test_basic.py:88-89
+    val r1 = rows("[1,2,3]{v: item/~2 => sum(item)} order {v}")
+    assert(r1.map(_.map { case (k, v) => (k, v.toString.toLong) }) ==
+      Seq(Seq("v" -> 0L, "sum" -> 1L), Seq("v" -> 1L, "sum" -> 5L)))
+    val r2 = rows("[1,2,3]{item: item/~2 => sum(item)} order {item}")
+    assert(r2.map(_.map { case (k, v) => (k, v.toString.toLong) }) ==
+      Seq(Seq("item" -> 0L, "sum" -> 1L), Seq("item" -> 1L, "sum" -> 5L)))
+  }
+
+  // ---- test_empty_count ---------------------------------------------------
+
+  test("one one [1,2,3]{ => count()} == 3") {
+    assert(numeq(one("one one [1,2,3] { => count()}"), 3))
+    val r = col0("[1,2,3] { item /~ 2 => count()} {count}")
+      .map(_.toString.toLong).sorted
+    assert(r == Seq(1L, 2L))
+  }
+
+  // ---- test_assert --------------------------------------------------------
+
+  test("assert 0 raises AssertError") {
+    intercept[AssertError] { one("assert 0") }
+  }
+
+  // ---- test_arith ---------------------------------------------------------
+
+  test("arith: precedence, string concat/repeat, like, pow") {
+    assert(numeq(one("1 + 2 / 4"), 1.5))
+    assert(numeq(one("1 + 2 /~ 4 + 1"), 2))
+    assert(one("\"a\" + \"b\"") == "ab")
+    assert(one("\"a\" * 3") == "aaa")
+    assert(one("\"ab\" * 3") == "ababab")
+    assert(one("\"a\" + \"b\"*2 + \"c\"") == "abbc")
+    assert(one("\"a\" ~ \"a%\"") == true)
+    assert(one("\"abc\" ~ \"a%\"") == true)
+    assert(one("\"abc\" ~ \"a%c\"") == true)
+    assert(one("\"ab\" ~ \"a%c\"") == false)
+    assert(numeq(one("1 - 2**3"), -7))
+    assert(numeq(one("10**-2"), 0.01))
+    assert(col0("list([0.0, 10.0, 1.2]{item ** 2})")
+      .map(_.toString.toDouble) == Seq(0.0, 100.0, 1.44))
+  }
+
+  test("arith type errors: string+int, string~int, string-string") {
+    intercept[TypeError] { one("\"a\" + 3") }
+    intercept[TypeError] { one("\"a\" ~ 3") }
+    intercept[TypeError] { one("\"a\" - \"b\"") }
+    intercept[TypeError] { one("\"a\" % \"b\"") }
+    intercept[TypeError] { one("3 ~ 3") }
+  }
+
+  // ---- test_table_arith ---------------------------------------------------
+
+  test("table arith with empty lists: [1]+[2], [1]+[], []+[1], []") {
+    assert(col0("[1] + [2]").map(_.toString.toLong) == Seq(1L, 2L))
+    assert(col0("[1] + []").map(_.toString.toLong) == Seq(1L))
+    assert(col0("[] + [1]").map(_.toString.toLong) == Seq(1L))
+    assert(col0("[]").isEmpty)
+  }
+
+  // ---- test_logical -------------------------------------------------------
+
+  test("scalar or/and return operands (value semantics)") {
+    assert(one("1==0 or isa(1, int)") == true)
+    assert(one("1==0 or isa(1, float)") == false)
+    assert(one("\"hello\" or \"a\"") == "hello")
+    assert(one("\"hello\" and \"a\"") == "a")
+    assert(one("\"hello\" and \"\"") == "")
+    assert(one("\"\" and \"hello\"") == "")
+    assert(one("\"\" or \"hello\"") == "hello")
+    assert(one("\"bla\" and \"hello\"") == "hello")
+    assert(numeq(one("1 or 2 or 3"), 1))
+    assert(numeq(one("1 and 2 and 3"), 3))
+    assert(numeq(one("1 and 2 or 3"), 2))
+    assert(numeq(one("1 or 2 and 3"), 1))
+    intercept[TypeError] { one("\"hello\" or 1") }
+  }
+
+  test("table or/and pick the truthy (non-empty) operand") {
+    assert(col0("[1] or [2]").map(_.toString.toLong) == Seq(1L))
+    assert(col0("[1] and [2]").map(_.toString.toLong) == Seq(2L))
+  }
+
+  test("vectorized or/and in projections; boolean column from comparison") {
+    // reference test_basic.py:215-223
+    val r1 = col0("[0,1,2,3][item < 2]{r: item or 0} order {r}")
+      .map(_.toString.toLong)
+    assert(r1 == Seq(0L, 1L))
+    val r2 = col0("[0,1,2,3][item < 2]{r: item or 10} order {r}")
+      .map(_.toString.toLong)
+    assert(r2 == Seq(1L, 10L))
+    val r3 = rows("[0,1,2,3]{r: item > 1 and item < 3}[r]")
+    assert(r3.map(_.head._2.toString.toLong) == Seq(1L))
+    val r4 = rows("[0,1,2,3]{r: item < 3, item}[not r]")
+    assert(r4 == Seq(Seq("r" -> 0L, "item" -> 3L)) ||
+      r4.map(_.map { case (k, v) => (k, v.toString.toLong) }) ==
+        Seq(Seq("r" -> 0L, "item" -> 3L)))
+  }
+
+  // ---- test_vectorized_logic2 --------------------------------------------
+
+  test("vectorized string or/and keep operand values; auto-name is _") {
+    assert(col0("list([\"a\", \"b\"]{length(item)>1 or true})")
+      .map(_.toString.toLong) == Seq(1L, 1L))
+    val slice = rows("[\"hello\"]{item[..1]}")
+    assert(slice == Seq(Seq("_" -> "h")))
+    assert(rows("[\"hello\"]{item or \"a\"}") == Seq(Seq("_" -> "hello")))
+    assert(rows("[\"hello\"]{item and \"a\"}") == Seq(Seq("_" -> "a")))
+    assert(rows("[\"hello\"]{item and \"\"}") == Seq(Seq("_" -> "")))
+    assert(rows("[\"\"]{item or \"a\"}") == Seq(Seq("_" -> "a")))
+    assert(rows("[\"\"]{item and \"a\"}") == Seq(Seq("_" -> "")))
+    assert(rows("[\"\"]{item or \"\"}") == Seq(Seq("_" -> "")))
+    assert(rows("[\"hello\"]{item or \"a\" and \"b\"}") ==
+      Seq(Seq("_" -> "hello")))
+    assert(rows("[\"hello\"]{item and \"a\" or \"b\"}") ==
+      Seq(Seq("_" -> "a")))
+    intercept[TypeError] { one("[\"hello\"]{item or 1}") }
+  }
+
+  // ---- test_compare -------------------------------------------------------
+
+  test("comparison semantics incl. mixed kinds and null") {
+    assert(one("3 != \"3\"") == true)
+    assert(one("null != 1") == true)
+    assert(one("1 == 1") == true)
+    assert(one("1 != 1") == false)
+    assert(one("1 > 2") == false)
+    assert(one("2 >= 1") == true)
+    assert(one("\"a\" == \"a\"") == true)
+    assert(one("\"a\" != \"b\"") == true)
+    assert(one("1 in [1,2,3]") == true)
+    assert(one("1 !in [1,2,3]") == false)
+    assert(one("4 in [1,2,3]") == false)
+    assert(one("null == null") == true)
+    assert(one("null != null") == false)
+    assert(one("\"a\" != null") == true)
+    intercept[TypeError] { one("2 > \"a\"") }
+    intercept[TypeError] { one("1 == [2]") }
+    intercept[TypeError] { one("[1] in [2]") }
+  }
+
+  // ---- test_list_ops ------------------------------------------------------
+
+  test("list ops: concat/union/except, projections, slices") {
+    assert(col0("[1,2,3] + [5,6]").map(_.toString.toLong) ==
+      Seq(1L, 2L, 3L, 5L, 6L))
+    assert(col0("[1,2,3] | [3,4]").map(_.toString.toLong).sorted ==
+      Seq(1L, 2L, 3L, 4L))
+    assert(col0("[1,2,3] - [3,4]").map(_.toString.toLong).sorted ==
+      Seq(1L, 2L))
+    assert(col0("[1,2,3]{v:item*2}[v < 5] order {v}")
+      .map(_.toString.toLong) == Seq(2L, 4L))
+    assert(col0("[1,2,3]{v:item*2}[v in [2,6]] order {v}")
+      .map(_.toString.toLong) == Seq(2L, 6L))
+    assert(col0("[1,2,3]{v:item*2}[v !in [2,6]]")
+      .map(_.toString.toLong) == Seq(4L))
+    assert(col0("enum([1,8,4,4])[index+1==item]{item}")
+      .map(_.toString.toLong).sorted == Seq(1L, 4L))
+    assert(col0("[1,2,3][..2]").map(_.toString.toLong) == Seq(1L, 2L))
+    assert(col0("[1,2,3][1..]").map(_.toString.toLong) == Seq(2L, 3L))
+    assert(col0("[1,2,3][1..2]").map(_.toString.toLong) == Seq(2L))
+    assert(col0("[1,2,3][1..1]").isEmpty)
+    assert(rows("[] {x:0}").isEmpty)
+  }
+
+  test("list/projection type errors: mixed list, dup names") {
+    intercept[TypeError] { one("[\"a\", 1]") }
+    intercept[TypeError] { one("[1] {a: 1, a: 2}") }
+    intercept[TypeError] { one("[1] {a: 1 => a: 2}") }
+  }
+
+  test("projection of nulls keeps four null columns") {
+    // reference test_basic.py:886-887
+    val r = rows("[1] {null, null => null, null}")
+    assert(r.length == 1 && r.head.length == 4 &&
+      r.head.forall(_._2 == null))
+  }
+
+  // ---- test_strings -------------------------------------------------------
+
+  test("string membership and slicing") {
+    assert(one("upper(\"ba\")") == "BA")
+    assert(one("lower(\"BA\")") == "ba")
+    assert(one("\"ba\" in \"kabab\"") == true)
+    assert(one("\"ba\" !in \"kabab\"") == false)
+    assert(one("\"bak\" in \"kabab\"") == false)
+    assert(one("\"bak\" !in \"kabab\"") == true)
+    assert(one("\"hello\"[0..3]") == "hel")
+    assert(one("\"hello\"[1..]") == "ello")
+    assert(one("\"hello\"[..1]") == "h")
+    assert(one("\"hello\"[2..4]") == "ll")
+    assert(one("\"hello\"[1]") == "e")
+    assert(numeq(one("length(\"hello\")"), 5))
+    assert(col0("list([\"hello\"]{length(item)})")
+      .map(_.toString.toLong) == Seq(5L))
+    assert(col0("list([\"hello\"]{item[1..2]})") == Seq("e"))
+    assert(col0("list([\"hello\"]{item[1]})") == Seq("e"))
+  }
+
+  // ---- test_casts ---------------------------------------------------------
+
+  test("casts: float/int round-trips, list[T] casts, strict parse") {
+    assert(one("type(float(1))").toString.contains("float"))
+    assert(one("type(int(float(1)))").toString.contains("int"))
+    assert(col0("list[float]([1,2])").map(_.toString.toDouble) ==
+      Seq(1.0, 2.0))
+    assert(col0("list[int](list[float]([1,2]))")
+      .map(_.toString.toLong) == Seq(1L, 2L))
+    assert(col0("list[int]([1.2, 3.4])").map(_.toString.toLong) ==
+      Seq(1L, 3L))
+    assert(col0("list(list([1,2]{item+1}){item+1})")
+      .map(_.toString.toLong) == Seq(3L, 4L))
+    assert(one("type(list(list([1,2]{item+1}){item+1}))")
+      .toString == "list[int]")
+    assert(col0("list([\"1\", \"2\"]{int(item)})")
+      .map(_.toString.toLong) == Seq(1L, 2L))
+    intercept[Exception] {
+      col0("list([\"1\", \"2f\"]{int(item)})")
+    }
+  }
+
+  // ---- test_range ---------------------------------------------------------
+
+  test("ranges through funcs: [..20], [1..3], [18..] sliced") {
+    val r = Interp.run(spark,
+      """func to20() = [..20]
+        |func abc() = [1..3]
+        |func adult() = [18..]
+        |to20()""".stripMargin)
+    assert(r.df.collect().map(_.getLong(0)).toSeq == (0L until 20L))
+    assert(col0("func abc() = [1..3]\nabc()").map(_.toString.toLong) ==
+      Seq(1L, 2L))
+    assert(col0("func adult() = [18..]\nadult()[..10]")
+      .map(_.toString.toLong) == (18L until 28L))
+    assert(col0("func adult() = [18..]\nadult()[..10] + adult()[..1]")
+      .map(_.toString.toLong) == ((18L until 28L) :+ 18L))
+    assert(col0(
+      "func adult() = [18..]\nlist( (adult()[..10] + adult()[..1]) {item + 1} )")
+      .map(_.toString.toLong) == ((19L until 29L) :+ 19L))
+  }
+
+  // ---- test_basic2 --------------------------------------------------------
+
+  test("selection against an aggregate of the same table: x[item == max(x)]") {
+    val r = col0("x = [1..4]\nx[item == max(x)]")
+    assert(r.map(_.toString.toLong) == Seq(3L))
+  }
+
+  test("top-level return is an error") {
+    intercept[GraftError] { one("return 1") }
+  }
+
+  // ---- test_lists2 --------------------------------------------------------
+
+  test("vectorized membership: {item in x{item}} yields 0/1 flags") {
+    val r = col0(
+      """func in_list(x) = [1,2,3] {item in x{item}}
+        |func test() = in_list([2, 3])
+        |list(test())""".stripMargin).map(_.toString.toLong)
+    assert(r == Seq(0L, 1L, 1L))
+  }
+
+  // ---- test_repeat --------------------------------------------------------
+
+  test("repeat auto-names its column") {
+    val r = rows("[1,2,3]{repeat(\"a\", item)} order {repeat}")
+    assert(r.map(_.head) == Seq("repeat" -> "a", "repeat" -> "aa",
+      "repeat" -> "aaa"))
+  }
+
+  // ---- test_builtins ------------------------------------------------------
+
+  test("builtins: round, length/lower/upper, str_index, char family") {
+    assert(col0("list([1.1, 2.3]{round(item)})")
+      .map(_.toString.toDouble) == Seq(1.0, 2.0))
+    assert(numeq(one("round(1.3)"), 1.0))
+    assert(col0("list([\"A\", \"Ab\"]{length(item)})")
+      .map(_.toString.toLong) == Seq(1L, 2L))
+    assert(col0("list([\"A\", \"Ab\"]{lower(item)})") == Seq("a", "ab"))
+    assert(col0("list([\"A\", \"Ab\"]{upper(item)})") == Seq("A", "AB"))
+    assert(numeq(one("length(\"Ab\")"), 2))
+    assert(one("lower(\"Ab\")") == "ab")
+    assert(one("upper(\"Ab\")") == "AB")
+    assert(col0("list([\"Ab\", \"Aab\"]{str_index(\"b\", item)})")
+      .map(_.toString.toLong) == Seq(1L, 2L))
+    assert(numeq(one("str_index(\"b\", \"Ab\")"), 1))
+    assert(one("char(65)") == "A")
+    assert(numeq(one("char_ord(\"A\")"), 65))
+    assert(col0("char_range(\"a\", \"c\")") == Seq("a", "b", "c"))
+  }
+
+  // ---- test_json (chained group-by) ---------------------------------------
+
+  test("chained group-by: {item%2 => item}{count(item)}") {
+    val r = col0("list([1,7,3,4]{item%2 => item}{count(item)} order {count})")
+      .map(_.toString.toLong)
+    assert(r == Seq(1L, 3L))
+  }
+
+  // ---- test_triple_join ---------------------------------------------------
+
+  test("triple join on explicit columns") {
+    val r = col0(
+      "join(a: [1..10].item, b: [2..20].item, c:[3,5,15].item) {c.item} order {item}")
+      .map(_.toString.toLong)
+    assert(r == Seq(3L, 5L))
+  }
+
+  // ---- test_nonzero -------------------------------------------------------
+
+  test("truthiness through a user func, scalar and vectorized") {
+    val pre =
+      """func f(x) {
+        |    if (x) {
+        |        return "YES"
+        |    } else {
+        |        return "NO"
+        |    }
+        |}
+        |func apply_to_list(lst) = list(lst{f(item)})
+        |""".stripMargin
+    assert(one(pre + "f(1)") == "YES")
+    assert(one(pre + "f(0)") == "NO")
+    assert(one(pre + "f(\"a\")") == "YES")
+    assert(one(pre + "f(\"\")") == "NO")
+    assert(col0(pre + "apply_to_list([0, 1])") == Seq("NO", "YES"))
+    assert(col0(pre + "apply_to_list([\"\", \"a\"])") == Seq("NO", "YES"))
+  }
+
+  // ---- test_vectorized_logic ----------------------------------------------
+
+  test("if/else-if chains vectorize (sign function)") {
+    val pre =
+      """func sign(x) {
+        |    if (x == 0) {
+        |        return 0
+        |    } else if (x > 0) {
+        |        return 1
+        |    } else {
+        |        return -1
+        |    }
+        |}
+        |""".stripMargin
+    assert(numeq(one(pre + "sign(-1)"), -1))
+    assert(numeq(one(pre + "sign(0)"), 0))
+    assert(numeq(one(pre + "sign(1)"), 1))
+    assert(col0(pre + "list([-2..3]{sign(item)})")
+      .map(_.toString.toLong) == Seq(-1L, -1L, 0L, 1L, 1L))
+    val agg = col0(pre + "[-2..3]{=>sign(item)}")
+    assert(agg.length == 1)
+    assert(agg.head.asInstanceOf[Seq[Any]].map(_.toString.toLong) ==
+      Seq(-1L, -1L, 0L, 1L, 1L))
+  }
+}
