@@ -57,6 +57,22 @@ object Interp {
       fields.map { case (k, v) => s"$k: $v" }.mkString(s"row $table{", ", ", "}")
   }
 
+  /** A first-class type value (reference: types are objects,
+    * pql_functions.py:246-278) — `type(10/3)` evaluates to one, bare
+    * `float`/`int` in scalar position name one, and `==` compares by
+    * name, so `type(10/3) == float` holds.
+    */
+  private[lang] final case class TypeV(name: String) {
+    override def toString: String = name
+  }
+
+  /** Bare identifiers that denote types in scalar expression position
+    * (reference pql_types primitives + supertypes).
+    */
+  private val typeIdents: Set[String] = Set(
+    "int", "float", "string", "bool", "text", "number", "primitive",
+    "timestamp", "date", "nulltype", "any")
+
   def run(spark: SparkSession, src: String, tables: (String, PTable)*): PTable =
     runWithModules(spark, src, Map.empty, tables: _*)
 
@@ -547,7 +563,7 @@ object Interp {
           callProc(fn, cargs) match {
             case Some(VT(tt)) => return tt
             case Some(VS(v)) =>
-              return PTable(spark.range(1).select(F.lit(v).as(fn)))
+              return PTable(spark.range(1).select(litOf(v).as(fn)))
             case None => throw new ValueError(s"$fn did not return a value")
           }
         case _ => ()
@@ -561,7 +577,7 @@ object Interp {
                 val name =
                   try fieldName(Field(None, sub))
                   catch { case _: TypeError => "value" }
-                graft.dsl.PTable(spark.range(1).select(F.lit(v).as(name)))
+                graft.dsl.PTable(spark.range(1).select(litOf(v).as(name)))
               } catch { case _: RuntimeException => throw err }
             case None => throw err
           }
@@ -630,6 +646,15 @@ object Interp {
         scalarToAst(tt.df.agg(a).head().get(0))
       case Call("is_empty", Seq(Arg(None, te))) if isTableExpr(te) =>
         BoolLit(evalTable(te).df.isEmpty)
+      // `type(t)` over a table localizes to a type value: lists
+      // (single-column tables) are `list[elem]` (reference test_casts:
+      // `type(list(...)) == list[int]`; pql_functions.py:246-278)
+      case Call("type", Seq(Arg(None, te))) if isTableExpr(te) =>
+        val tt = evalTable(te)
+        TypeLit(
+          if (tt.columns.length == 1)
+            s"list[${refTypeName(tt.df.schema.fields.head.dataType)}]"
+          else s"table[${tt.columns.mkString(", ")}]")
       // first / first_or_null over a table localize the first value
       // (reference __builtins__.pql; tree.pql print_most_common_ancestor)
       case Call("first", Seq(Arg(None, te))) if isTableExpr(te) =>
@@ -671,6 +696,31 @@ object Interp {
             }
           case None => throw new ValueError(s"$fn did not return a value")
         }
+    }
+
+    /** Projection-position membership `{flag: item in other{c}}`
+      * (reference compile_binops.py:141-168 allows `in` anywhere): the
+      * RHS table's distinct values inline as an IN-list, bounded by
+      * `spark.graft.inlist.limit` — selection position keeps the
+      * semi/anti-join plan instead, which is the scale path; a flag
+      * column genuinely needs the value set at every row, so a bounded
+      * broadcast-style inline is the right distributed shape.
+      */
+    private def resolveVecMembership(e: Expr): Expr = rewrite(e) {
+      case BinOp(op @ ("in" | "!in"), l, re)
+          if isTableExpr(re) && tryScalar(l).isEmpty =>
+        val tt = evalTable(re)
+        val limit = spark.conf.getOption("spark.graft.inlist.limit")
+          .map(_.toInt).getOrElse(100000)
+        val vals = tt.df.select(tt.df.columns.head).distinct().take(limit + 1)
+        if (vals.length > limit)
+          throw new TypeError(
+            s"'$op' table operand exceeds $limit distinct values in " +
+              "projection position; use a selection condition " +
+              "(semi-join) or raise spark.graft.inlist.limit")
+        BinOp(op, l,
+          ListLit(vals.toSeq.filter(_.get(0) != null)
+            .map(r => scalarToAst(r.get(0)))))
     }
 
     /** `fmt("$var text")` interpolation from scalar bindings
@@ -827,8 +877,10 @@ object Interp {
                 case _ => None
               })
               // methods first, then localize table-scalar
-              // subexpressions (count(t) etc.) the field may embed
-              Field(named, resolveScalars(withMethods(te, f.value)))
+              // subexpressions (count(t) etc.) the field may embed;
+              // finally inline table membership as IN-lists
+              Field(named,
+                resolveVecMembership(resolveScalars(withMethods(te, f.value))))
             }
           val fields1 = resolve(fields0)
           val brM = brMapOf(te)
@@ -982,13 +1034,14 @@ object Interp {
       "join", "leftjoin", "outerjoin", "joinall", "distinct", "limit",
       "enum", "list", "temptable", "sample_ratio_fast", "sample_fast",
       "page", "tables", "names", "columns", "env_vars", "bfs",
-      "walk_tree", "graph.bfs", "graph.walk_tree", "SQL")
+      "walk_tree", "graph.bfs", "graph.walk_tree", "SQL", "char_range")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
       case _: Projection | _: Selection | _: RangeLit | _: ListLit |
            _: Order | _: Slice | _: OneE => true
-      case Call(fn, _) => tableFns.contains(fn)
+      case Call(fn, _) =>
+        tableFns.contains(fn) || (fn.startsWith("list[") && fn.endsWith("]"))
       case _ => false
     }
 
@@ -1045,6 +1098,19 @@ object Interp {
           // (reference casts.py table→list aliases to ITEM_NAME)
           val tt = t(args.head.value)
           tt.project(NamedCol("item", col(tt.columns.head)))
+        // `list[float](t)` — cast the single column to the element
+        // type (reference casts.py _cast_list; `list[int]` truncates
+        // like the reference's int cast)
+        case _ if fn.startsWith("list[") && fn.endsWith("]") =>
+          val elem = sparkTypeOf(fn.substring(5, fn.length - 1))
+          val tt = t(args.head.value)
+          tt.project(NamedCol("item", col(tt.columns.head).cast(elem)))
+        case "char_range" => // inclusive character range (reference
+          // __builtins__.pql char_range via char/char_ord)
+          val from = constString(args(0).value)
+          val to = constString(args(1).value)
+          PTable.fromList(spark,
+            (from.head to to.head).map(_.toString))
 
         case "SQL" =>
           // SQL(type, "code") escape hatch (reference
@@ -1271,6 +1337,13 @@ object Interp {
           while (used.contains(s"$n$i")) i += 1
           used += s"$n$i"; s"$n$i"
         }
+      // an EXPLICIT agg name colliding with a key or another explicit
+      // name is an error (reference compiler.py:199-201: `{a:1 => a:2}`
+      // raises); auto-names keep collision-renaming instead
+      def explicit(n: String): String =
+        if (used.contains(n))
+          throw new TypeError(s"duplicate column name in projection: '$n'")
+        else { used += n; n }
       aggs.map { f =>
         f.value match {
           // bare column in agg scope collects into an array
@@ -1285,13 +1358,13 @@ object Interp {
           // aggregate function consumes them)
           case v if !hasAggCall(v) && hasColRef(v, tab.df.schema) =>
             val name = f.name match {
-              case Some(n) => used += n; n
+              case Some(n) => explicit(n)
               case None => fresh(fieldName(f))
             }
             NamedCol(name, F.collect_list(evalCol(v, Some(tab.df.schema))))
           case v =>
             val name = f.name match {
-              case Some(n) => used += n; n
+              case Some(n) => explicit(n)
               case None => fresh(fieldName(f))
             }
             NamedCol(name, evalCol(v, Some(tab.df.schema), agg = true))
@@ -1406,6 +1479,11 @@ object Interp {
     case FloatLit(v) => v
     case Unary("-", x) => -constDouble(x)
     case o => throw new TypeError(s"expected numeric literal, got $o")
+  }
+
+  private def constString(e: Expr): String = e match {
+    case StrLit(v) => v
+    case o => throw new TypeError(s"expected string literal, got $o")
   }
 
   /** Catch-by-supertype test over the signal tree (types/Errors.scala,
@@ -1568,7 +1646,16 @@ object Interp {
     case s: String => StrLit(s)
     case DictV(fs) => DictLit(fs.map { case (k, v) => (k, scalarToAst(v)) })
     case RowV(t, fs) => RowLit(t, fs.map { case (k, v) => (k, scalarToAst(v)) })
+    case TypeV(n) => TypeLit(n)
     case o => throw new TypeError(s"unsupported scalar value: $o")
+  }
+
+  /** A localized scalar as a literal Column; type values render as
+    * their name (the reference prints types by repr).
+    */
+  private def litOf(v: Any): Column = v match {
+    case TypeV(n) => lit(n)
+    case _ => lit(v)
   }
 
   private def truthyScalar(v: Any): Boolean = v match {
@@ -1599,6 +1686,30 @@ object Interp {
     case Unary("not", x) => !truthyScalar(constEval(x))
     case BinOp(op, le, re) => constBin(op, le, re)
     case Call(fn, args) => constCall(fn, args)
+    case TypeLit(n) => TypeV(n)
+    case Ident(n) if typeIdents(n) => TypeV(n)
+    // scalar string slice/index: `"hello"[2..4]`, `"hello"[1]`
+    // (reference: strings slice like lists, test_basic.py test_strings)
+    case Slice(se, f, u) => constEval(se) match {
+      case s: String =>
+        val from = f.map(e => constEval(e).asInstanceOf[Long].toInt)
+          .getOrElse(0).max(0).min(s.length)
+        val until = u.map(e => constEval(e).asInstanceOf[Long].toInt)
+          .getOrElse(s.length).max(from).min(s.length)
+        s.substring(from, until)
+      case _ => throw new NotConst
+    }
+    case Selection(se, Seq(ie)) => constEval(se) match {
+      case s: String =>
+        val i = constEval(ie) match {
+          case l: Long => l.toInt
+          case o => throw new TypeError(s"string index must be int, got $o")
+        }
+        if (i < 0 || i >= s.length)
+          throw new graft.types.IndexError(s"string index $i out of range")
+        s.substring(i, i + 1)
+      case _ => throw new NotConst
+    }
     case DictLit(fs) => DictV(fs.map { case (k, v) => (k, constEval(v)) })
     case RowLit(t, fs) => RowV(t, fs.map { case (k, v) => (k, constEval(v)) })
     case Attr(o, n) => constEval(o) match {
@@ -1619,12 +1730,33 @@ object Interp {
       case _ => throw new TypeError(s"expected numbers, got ($l, $r)")
     }
 
+  /** Scalar kind for the and/or same-type rule (reference
+    * compiler.py:313-339: `"hello" or 1` is a TypeError even though
+    * the left side is truthy — operands must share a kernel type).
+    */
+  private def scalarKind(v: Any): String = v match {
+    case null => "null"
+    case _: Boolean => "bool"
+    case _: Long | _: Int | _: Double => "number"
+    case _: String => "string"
+    case _: TypeV => "type"
+    case _ => "object"
+  }
+
+  private def checkSameKind(op: String, l: Any, r: Any): Unit = {
+    val (kl, kr) = (scalarKind(l), scalarKind(r))
+    if (kl != kr && kl != "null" && kr != "null")
+      throw new TypeError(
+        s"'$op' operator requires both arguments to be of the same " +
+          s"type, got ($kl, $kr)")
+  }
+
   private def constBin(op: String, le: Expr, re: Expr): Any = {
     lazy val l = constEval(le)
     lazy val r = constEval(re)
     op match {
-      case "and" => if (truthyScalar(l)) r else l
-      case "or" => if (truthyScalar(l)) l else r
+      case "and" => checkSameKind(op, l, r); if (truthyScalar(l)) r else l
+      case "or" => checkSameKind(op, l, r); if (truthyScalar(l)) l else r
       case "+" => (l, r) match {
         case (a: String, b: String) => a + b
         case _ if l.isInstanceOf[String] || r.isInstanceOf[String] =>
@@ -1728,6 +1860,32 @@ object Interp {
         }
       case "iif" =>
         if (truthyScalar(a(0))) a(1) else a(2)
+      // reflection as scalar values (reference pql_functions.py:246-278)
+      case "type" => TypeV(scalarTypeName(a(0)))
+      case "isa" =>
+        val target = a(1) match {
+          case TypeV(n) => n
+          case s: String => s
+          case o => throw new TypeError(s"isa: expected a type, got $o")
+        }
+        isaMatches(scalarTypeName(a(0)), target)
+      // scalar string builtins (reference __builtins__.pql:462-513)
+      case "str_index" => (a(0), a(1)) match {
+        case (needle: String, s: String) => s.indexOf(needle).toLong
+        case (x, y) => throw new TypeError(s"str_index of ($x, $y)")
+      }
+      case "char" => a(0) match {
+        case l: Long => l.toChar.toString
+        case o => throw new TypeError(s"char of $o")
+      }
+      case "char_ord" => a(0) match {
+        case s: String if s.nonEmpty => s.charAt(0).toLong
+        case o => throw new TypeError(s"char_ord of $o")
+      }
+      case "repeat" => (a(0), a(1)) match {
+        case (s: String, n: Long) => s * n.toInt
+        case (x, y) => throw new TypeError(s"repeat of ($x, $y)")
+      }
       case "pi" => math.Pi
       // driver-side current timestamp (reference pql_functions.py
       // `now`): scalar contexts — `x = now()`, `new T(ts: now())`.

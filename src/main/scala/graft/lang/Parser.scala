@@ -56,6 +56,12 @@ object Ast {
   case class RangeLit(from: Option[Expr], until: Option[Expr]) extends Expr
   /** `one expr` / `one? expr` (reference evaluate.py:679-709). */
   case class OneE(e: Expr, opt: Boolean) extends Expr
+  /** A first-class TYPE value — what `type(x)` evaluates to and what a
+    * bare type name (`float`, `int`) means in scalar expression
+    * position, so `type(10/3) == float` compares types
+    * (reference pql_functions.py:246-278: types are objects).
+    */
+  case class TypeLit(name: String) extends Expr
 
   // table operators (postfix)
   case class Selection(t: Expr, conds: Seq[Expr]) extends Expr
@@ -694,8 +700,12 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
         else stmts += ExprStmt(e) // mid-program bare expression
       }
     }
-    Program(stmts.result(),
-      result.getOrElse(throw ParseError("empty program", 0)))
+    val ss = stmts.result()
+    // a program may END on a statement (`assert 0`, `return 1`,
+    // `print x` — reference: any statement list is a program); the
+    // result is then null, and statement-raised signals surface first
+    Program(ss, result.getOrElse(
+      if (ss.nonEmpty) NullLit else throw ParseError("empty program", 0)))
   }
 
   def parseSingle(): Expr = {
@@ -847,6 +857,14 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
         }
       } else if (isOp("[") && sameLineAsPrev) {
         e = parseBracketPostfix(e)
+        // parameterized cast call `list[float](expr)` (reference
+        // casts.py list[T]): the bracketed type + call collapse into a
+        // single callee name, matched by the interpreter's tableCall
+        if (isOp("(") && sameLineAsPrev) e match {
+          case Selection(Ident("list"), Seq(Ident(tn))) =>
+            e = Call(s"list[$tn]", parseCallArgs())
+          case _ => ()
+        }
       } else if (isOp("{") && sameLineAsPrev) {
         e = parseProjection(e)
       } else if (isIdent("order")) {

@@ -30,6 +30,15 @@ class RefConformanceSpec extends SparkSpec {
   private def col0(src: String): Seq[Any] =
     Interp.run(spark, src).df.collect().toSeq.map(_.get(0))
 
+  /** Normalize engine values to Long for reference 0/1 assertions:
+    * the reference's SQLite backend stores booleans as ints, our
+    * engine keeps native BooleanType — both encode the same result.
+    */
+  private def asLong(v: Any): Long = v match {
+    case b: Boolean => if (b) 1L else 0L
+    case o => o.toString.toLong
+  }
+
   private def numeq(a: Any, b: Double): Boolean = a match {
     case d: Double => d == b
     case f: Float => f.toDouble == b
@@ -142,18 +151,17 @@ class RefConformanceSpec extends SparkSpec {
       .map(_.toString.toLong)
     assert(r2 == Seq(1L, 10L))
     val r3 = rows("[0,1,2,3]{r: item > 1 and item < 3}[r]")
-    assert(r3.map(_.head._2.toString.toLong) == Seq(1L))
+    assert(r3.map(r => asLong(r.head._2)) == Seq(1L))
     val r4 = rows("[0,1,2,3]{r: item < 3, item}[not r]")
-    assert(r4 == Seq(Seq("r" -> 0L, "item" -> 3L)) ||
-      r4.map(_.map { case (k, v) => (k, v.toString.toLong) }) ==
-        Seq(Seq("r" -> 0L, "item" -> 3L)))
+    assert(r4.map(_.map { case (k, v) => (k, asLong(v)) }) ==
+      Seq(Seq("r" -> 0L, "item" -> 3L)))
   }
 
   // ---- test_vectorized_logic2 --------------------------------------------
 
   test("vectorized string or/and keep operand values; auto-name is _") {
     assert(col0("list([\"a\", \"b\"]{length(item)>1 or true})")
-      .map(_.toString.toLong) == Seq(1L, 1L))
+      .map(asLong) == Seq(1L, 1L))
     val slice = rows("[\"hello\"]{item[..1]}")
     assert(slice == Seq(Seq("_" -> "h")))
     assert(rows("[\"hello\"]{item or \"a\"}") == Seq(Seq("_" -> "hello")))
@@ -308,7 +316,7 @@ class RefConformanceSpec extends SparkSpec {
     val r = col0(
       """func in_list(x) = [1,2,3] {item in x{item}}
         |func test() = in_list([2, 3])
-        |list(test())""".stripMargin).map(_.toString.toLong)
+        |list(test())""".stripMargin).map(asLong)
     assert(r == Seq(0L, 1L, 1L))
   }
 
@@ -400,7 +408,7 @@ class RefConformanceSpec extends SparkSpec {
       .map(_.toString.toLong) == Seq(-1L, -1L, 0L, 1L, 1L))
     val agg = col0(pre + "[-2..3]{=>sign(item)}")
     assert(agg.length == 1)
-    assert(agg.head.asInstanceOf[Seq[Any]].map(_.toString.toLong) ==
-      Seq(-1L, -1L, 0L, 1L, 1L))
+    assert(agg.head.asInstanceOf[scala.collection.Seq[Any]].toSeq
+      .map(_.toString.toLong) == Seq(-1L, -1L, 0L, 1L, 1L))
   }
 }
