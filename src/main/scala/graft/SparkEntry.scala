@@ -435,6 +435,14 @@ object SparkEntry {
       graft.ext.Dedup.minhashPairs(augDocs(s, d), "doc_id", "text", 0.8,
         hasher = graft.ext.Dedup.fastHasher)),
 
+    // deployable signature throughput (xxhash64) — the x06 twin minus
+    // the md5 oracle-portability tax; rows-only like x19
+    "x20_minhash_sig_fast" -> ((s, d) =>
+      graft.ext.Dedup.signatures(t(s, d, "documents").df, "doc_id", "text",
+        hasher = graft.ext.Dedup.fastHasher)
+        .select(col("id").as("doc_id"),
+          F.concat_ws(",", col("sig")).as("sig"))),
+
     // token hashes materialize once; the 32 bit-sums then share them
     "x08_simhash" -> ((s, d) =>
       t(s, d, "documents").df
@@ -456,9 +464,12 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), emb, 10)
     }),
 
-    "x11_ann_lsh_sig" -> ((s, d) =>
-      t(s, d, "embeddings").df.select(col("vec_id"),
-        graft.ext.Similarity.lshSignature(col("embedding")).as("bucket"))),
+    "x11_ann_lsh_sig" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val dim = graft.ext.Similarity.probeDim(emb)
+      emb.select(col("vec_id"),
+        graft.ext.Similarity.lshSignature(col("embedding"), dim).as("bucket"))
+    }),
 
     "x12_cosine_pairs" -> ((s, d) => {
       val emb = t(s, d, "embeddings").df
@@ -729,6 +740,9 @@ object SparkEntry {
     // self-referencing FK + backref (reference test_basic.py:1294-1321):
     // dotted FK attrs auto-join, backrefs count and collect children
     "ql16_lang_selfref" -> ((s, d) =>
+      // kids emits as a sorted comma-joined STRING (the q21 pattern)
+      // so the oracle harness can sort/hash the column — the backref
+      // collect itself is already array_sort'ed
       graft.lang.Interp.run(s,
         """table Person {
           |  name: string
@@ -738,7 +752,9 @@ object SparkEntry {
           |new Person("Isaac", 1)
           |new Person("Jacob", 2)
           |new Person("Esau", 2)
-          |Person {name => c: count(children), kids: children.name} order {name}""".stripMargin).df),
+          |Person {name => c: count(children), kids: children.name} order {name}""".stripMargin).df
+        .select(col("name"), col("c"),
+          F.concat_ws(",", col("kids")).as("kids"))),
 
     // struct type declarations: struct-typed DDL columns are real
     // nested StructType columns, projected/filtered by dotted path
@@ -907,14 +923,38 @@ object SparkEntry {
           |SQL(list[int], "SELECT * FROM $initial UNION SELECT e.dst FROM $edges e JOIN $self bfs ON e.src = bfs.item") order {item}""".stripMargin,
         "nation" -> t(s, d, "nation")).df),
 
+    // vectorized and/or VALUE semantics on non-boolean operands
+    // (reference compiler.py:313-339, test_basic.py:215-223):
+    // `a or b` keeps the truthy operand, compiled to CASE WHEN
+    "ql24_lang_or_values" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """nation{ n_nationkey,
+          |        r: n_regionkey or 99,
+          |        a: n_regionkey and n_nationkey } order {n_nationkey}""".stripMargin,
+        "nation" -> t(s, d, "nation")).df),
+
+    // projection-position membership `{flag: col in t{c}}`
+    // (reference compile_binops.py:141-168): the RHS table inlines as
+    // a bounded IN-list; selection position stays a semi-join
+    "ql25_lang_in_proj" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """supplier{ s_suppkey,
+          |          in_r1: s_nationkey in nation[n_regionkey == 1]{n_nationkey}
+          |        } order {s_suppkey}""".stripMargin,
+        "supplier" -> t(s, d, "supplier"),
+        "nation" -> t(s, d, "nation")).df),
+
     // ---- json scalar functions (extension; reference has none) -----------
-    "q61_json" -> ((s, d) =>
+    "q61_json" -> ((s, d) => {
+      // parse the JSON column ONCE (from_json) and derive every output
+      // from the struct — a second get_json_object would run a full
+      // per-row parse again (2× scan CPU at scale)
+      val k = F.from_json(col("props"), StructType(Seq(
+        StructField("k", LongType)))).getField("k")
       t(s, d, "events").df
-        .select(col("event_id"),
-          F.get_json_object(col("props"), "$.k").cast(LongType).as("k"),
-          F.from_json(col("props"), StructType(Seq(
-            StructField("k", LongType)))).getField("k").as("k2"))
-        .filter(col("k").isNotNull)),
+        .select(col("event_id"), k.as("k"), k.as("k2"))
+        .filter(col("k").isNotNull)
+    }),
 
     // ---- multi-quantile aggregation --------------------------------------
     "q62_quantiles" -> ((s, d) =>
@@ -1608,8 +1648,7 @@ object SparkEntry {
            SELECT * FROM (VALUES (1, 'Abraham', NULL), (2, 'Isaac', 1),
              (3, 'Jacob', 2), (4, 'Esau', 2)) v(id, name, parent))
          SELECT p.name, CAST(count(c.id) AS BIGINT) AS c,
-           COALESCE(ARRAY_AGG(c.name ORDER BY c.name)
-             FILTER (WHERE c.name IS NOT NULL), []) AS kids
+           COALESCE(STRING_AGG(c.name, ',' ORDER BY c.name), '') AS kids
          FROM people p LEFT JOIN people c ON c.parent = p.id
          GROUP BY p.name ORDER BY p.name""",
     "q67_values" ->
@@ -1632,6 +1671,16 @@ object SparkEntry {
     "ql11_lang_trycatch" ->
       """SELECT n_nationkey, n_name FROM nation
          WHERE n_regionkey = 2 ORDER BY n_nationkey""",
+    "ql24_lang_or_values" ->
+      """SELECT n_nationkey,
+           CASE WHEN n_regionkey != 0 THEN n_regionkey ELSE 99 END AS r,
+           CASE WHEN n_regionkey != 0 THEN n_nationkey ELSE n_regionkey END AS a
+         FROM nation ORDER BY n_nationkey""",
+    "ql25_lang_in_proj" ->
+      """SELECT s_suppkey,
+           s_nationkey IN (SELECT n_nationkey FROM nation
+                           WHERE n_regionkey = 1) AS in_r1
+         FROM supplier ORDER BY s_suppkey""",
     "ql23_lang_sql_self" ->
       """WITH RECURSIVE bfs(item) AS (
            SELECT n_nationkey FROM nation WHERE n_nationkey = 1

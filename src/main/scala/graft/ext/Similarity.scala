@@ -3,9 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, lit, when, concat}
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.apache.spark.sql.types._
-import TextAnalysis.h60
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -71,30 +70,49 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Driver-side mirror of TextAnalysis.h60 (first 60 bits of md5),
+    * so plane constants computed at plan-build time are bit-identical
+    * to the engine/oracle expression derivation.
+    */
+  private def h60Value(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Deterministic pseudo-random hyperplane component: plane j,
     * dimension i ↦ uniform-ish value in [-1, 1], derived from md5 so
     * any engine reproduces the same planes.
     */
-  private def planeComponent(j: Column, i: Column): Column =
-    (h60(concat(j.cast(StringType), lit("_"), i.cast(StringType))) % 2001L)
-      .cast(DoubleType) / 1000.0 - 1.0
+  private def planeValue(j: Int, i: Int): Double =
+    (h60Value(s"${j}_$i") % 2001L).toDouble / 1000.0 - 1.0
 
   /** Random-hyperplane LSH signature: bit j = sign(v · plane_j).
     * Pure per-row expression — computed during the scan.
+    *
+    * The nPlanes×dim plane matrix is computed ONCE at plan-build time
+    * and embedded as literal arrays. Deriving the md5 constants inside
+    * the lambda instead would re-evaluate them per row × plane ×
+    * dimension (engine-side constant expressions re-run per array
+    * element) — 8×dim md5 calls per row, a scan multiplier at 100 TB.
+    * `dim` must match the vector length (probe with `size()` once).
     */
-  def lshSignature(vec: Column, nPlanes: Int = 8): Column =
-    F.aggregate(
-      F.sequence(lit(0), lit(nPlanes - 1)),
-      lit(0L),
-      (acc, j) => acc + when(
+  def lshSignature(vec: Column, dim: Int, nPlanes: Int = 8): Column =
+    (0 until nPlanes).map { j =>
+      val plane = F.typedlit((0 until dim).map(i => planeValue(j, i)))
+      when(
         F.aggregate(
-          F.zip_with(vec,
-            F.transform(F.sequence(lit(0), F.size(vec) - 1),
-              i => planeComponent(j, i)),
-            (x, p) => x.cast(DoubleType) * p),
+          F.zip_with(vec, plane, (x, p) => x.cast(DoubleType) * p),
           lit(0.0), (s, v) => s + v) >= 0,
-        // 2^j via pow→long (shiftleft needs a literal shift amount)
-        F.pow(lit(2.0), j).cast(LongType)).otherwise(0L))
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** The vector dimension, probed from the first row — plane matrices
+    * and IVF buffers size off it at plan-build time.
+    */
+  def probeDim(df: DataFrame, vecCol: String = "embedding"): Int =
+    df.select(F.size(col(vecCol))).head.getInt(0)
 
   /** Bucketed ANN: exact cosine only within matching LSH buckets.
     * Trades recall for a single equi-join on the bucket id.
@@ -105,12 +123,13 @@ object Similarity {
     // norms are precomputed per ROW before the bucket join — computing
     // them inside the pair projection would re-run two O(d) folds per
     // candidate pair (same shape as bruteForceTopK's precompute)
+    val dim = probeDim(corpus, vecCol)
     val q = F.broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qvec"), fnorm(col(vecCol)).as("qn"),
-      lshSignature(col(vecCol), nPlanes).as("qsig")))
+      lshSignature(col(vecCol), dim, nPlanes).as("qsig")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       fnorm(col(vecCol)).as("cn"),
-      lshSignature(col(vecCol), nPlanes).as("csig"))
+      lshSignature(col(vecCol), dim, nPlanes).as("csig"))
     val scored = q.join(c, col("qsig") === col("csig") &&
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

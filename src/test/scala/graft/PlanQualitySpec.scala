@@ -110,4 +110,13 @@ class PlanQualitySpec extends SparkSpec {
       s"centroid assignment should be a per-row argmax over the " +
         s"embedded centroid array (zero shuffle):\n$p")
   }
+
+  test("LSH signature embeds the plane matrix — no per-row md5") {
+    // the md5-derived plane constants must be computed at plan-build
+    // time; an md5 call surviving into the plan means they re-evaluate
+    // per row × plane × dimension inside the lambda (8×dim md5/row)
+    val p = planOf("x11_ann_lsh_sig")
+    assert(!p.toLowerCase.contains("md5"),
+      s"plane constants not embedded at plan-build time:\n$p")
+  }
 }
