@@ -20,8 +20,9 @@ import graft.sources.Tables
   *  - results print as an implicit `[..N]` preview plus the total row
   *    count (reference core/display.py clips table output the same
   *    way);
-  *  - meta commands replace interactive autocomplete:
-  *    `:tables`, `:schema t`, `:explain expr`, `:rows n`, `:quit`.
+  *  - meta commands: `:tables`, `:schema t`, `:explain expr`,
+  *    `:rows n`, `:complete text` (name completion at the cursor —
+  *    the reference's autocomplete surface), `:quit`.
   */
 object Repl {
 
@@ -74,6 +75,51 @@ object Repl {
     } catch { case _: Throwable => false }
   }
 
+  /** Function names the completer offers alongside tables/columns —
+    * the §2 builtin surface (reference autocomplete offers ALL names
+    * in the interpreter namespace, core/autocomplete.py).
+    */
+  private[graft] val builtinFns: Seq[String] = Seq(
+    "count", "sum", "min", "max", "mean", "avg", "stddev", "median",
+    "first", "first_or_null", "product", "count_distinct", "count_true",
+    "count_false", "distinct", "limit", "enum", "list", "join",
+    "leftjoin", "outerjoin", "joinall", "zipjoin", "zipjoin_left",
+    "zipjoin_longest", "temptable", "sample_fast", "sample_ratio_fast",
+    "page", "tables", "names", "columns", "env_vars", "bfs", "walk_tree",
+    "SQL", "upper", "lower", "length", "round", "repeat", "char",
+    "char_ord", "char_range", "str_index", "str_contains", "year",
+    "month", "day", "hour", "minute", "day_of_week", "week_of_year",
+    "iif", "pi", "now", "random", "int", "float", "string", "bool",
+    "type", "isa", "repr", "fmt", "is_empty", "one")
+
+  /** Completion candidates at the END of `text` (the REPL's cursor) —
+    * the reference's autocomplete surface (core/autocomplete.py):
+    * `table.<prefix>` completes that table's columns; a bare
+    * identifier prefix completes tables, user definitions from the
+    * prelude, and builtin functions. Sorted, distinct.
+    */
+  private[graft] def complete(text: String, env: Map[String, PTable],
+                              prelude: Seq[String] = Nil): Seq[String] = {
+    val userNames = prelude.flatMap { u =>
+      "(?m)^\\s*(?:func\\s+(\\w+)|table\\s+(\\w+)|(\\w+)\\s*=[^=])".r
+        .findAllMatchIn(u)
+        .flatMap(m => Option(m.group(1)).orElse(Option(m.group(2)))
+          .orElse(Option(m.group(3))))
+    }
+    val dotted = "([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z0-9_]*)$".r
+    val bare = "([A-Za-z_][A-Za-z0-9_]*)$".r
+    dotted.findFirstMatchIn(text) match {
+      case Some(m) =>
+        val (tbl, prefix) = (m.group(1), m.group(2))
+        env.get(tbl).map(_.columns.filter(_.startsWith(prefix)).sorted.toSeq)
+          .getOrElse(Seq.empty)
+      case None =>
+        val prefix = bare.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+        (env.keys.toSeq ++ userNames ++ builtinFns)
+          .filter(_.startsWith(prefix)).distinct.sorted
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder().master("local[8]")
@@ -94,7 +140,7 @@ object Repl {
 
     println(s"graft repl — tables: ${env.keys.toSeq.sorted.mkString(", ")}")
     println("multi-line blocks close on balanced brackets; " +
-      ":tables :schema :explain :rows :quit")
+      ":tables :schema :explain :rows :complete :quit")
     var running = true
     while (running) {
       val unit = readUnit()
@@ -184,9 +230,17 @@ object Repl {
         val n = parts.lift(1).map(_.toInt).getOrElse(previewRows)
         println(s"preview rows: $n")
         Some(("rows", n))
+      case ":complete" =>
+        // completion at the cursor for terminals without readline —
+        // `:complete nation.n_` lists matching columns
+        val cands = complete(parts.lift(1).getOrElse(""), env, prelude)
+        println(if (cands.isEmpty) "(no candidates)"
+          else cands.mkString("  "))
+        None
       case other =>
         println(s"unknown command $other — " +
-          ":tables :schema <t> :explain <expr> :rows <n> :quit")
+          ":tables :schema <t> :explain <expr> :rows <n> " +
+          ":complete <text> :quit")
         None
     }
   }

@@ -294,6 +294,46 @@ class ExtSpec extends SparkSpec {
     assert(knn.count() > 0)
   }
 
+  test("multimodal: REAL PNG blobs decode end-to-end into features + ANN") {
+    // write genuine PNGs in-memory (javax.imageio ships with the JDK)
+    def png(rgb: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 2; y <- 0 until 2) im.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    import spark.implicits._
+    val blobs = Seq(
+      (0L, png(0xff0000)), (1L, png(0xfe0000)), // two reds (near-dup)
+      (2L, png(0x0000ff)), (3L, png(0x00ff00))) // blue, green
+      .toDF("doc_id", "blob")
+    val dec = Multimodal.decodeImage(blobs, "blob", "doc_id")
+      .orderBy("id").collect()
+    assert(dec.length == 4)
+    dec.foreach { r =>
+      assert(r.getBoolean(4), "real PNG must take the decode path")
+      assert(r.getInt(2) == 2 && r.getInt(3) == 2) // true width/height
+    }
+    // the red image's thumbnail really holds red pixels
+    val thumb0 = dec(0).getAs[Array[Byte]](5)
+    assert((thumb0(0) & 0xff) == 0xff && thumb0(1) == 0 && thumb0(2) == 0)
+    // pixel-histogram features: the two reds must be mutual nearest
+    // neighbors through the stock ANN operator
+    val feats = Multimodal.extractImageFeatures(blobs, "blob", "doc_id")
+    val knn = Similarity.bruteForceTopK(
+      feats.filter(col("vec_id") < 2), feats, 1)
+    val top = knn.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top(0L) == 1L && top(1L) == 0L)
+    // conf gate: realDecode=false forces the stub path
+    spark.conf.set("spark.graft.multimodal.realDecode", "false")
+    try {
+      val stubbed = Multimodal.decodeImage(blobs, "blob", "doc_id").collect()
+      assert(stubbed.forall(!_.getBoolean(4)))
+    } finally spark.conf.unset("spark.graft.multimodal.realDecode")
+  }
+
   test("multimodal: frame sampling keeps every nth frame per group") {
     val frames = spark.range(100).select(
       (col("id") % 5).as("video"), col("id").as("frame"))

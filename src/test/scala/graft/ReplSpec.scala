@@ -22,4 +22,30 @@ class ReplSpec extends SparkSpec {
     assert(!Repl.isStatement("x + 1"))
     assert(!Repl.isStatement("f(3)"))
   }
+
+  test("complete: table.prefix lists that table's matching columns") {
+    val env = Map(
+      "nation" -> graft.sources.Tables.load(spark, sf, "nation"),
+      "region" -> graft.sources.Tables.load(spark, sf, "region"))
+    assert(Repl.complete("nation.n_", env) ==
+      Seq("n_name", "n_nationkey", "n_regionkey"))
+    assert(Repl.complete("x = nation.n_na", env) == Seq("n_name", "n_nationkey"))
+    assert(Repl.complete("nation.zzz", env).isEmpty)
+    assert(Repl.complete("bogus.n_", env).isEmpty)
+  }
+
+  test("complete: bare prefix lists tables, prelude defs, builtins") {
+    val env = Map(
+      "nation" -> graft.sources.Tables.load(spark, sf, "nation"),
+      "region" -> graft.sources.Tables.load(spark, sf, "region"))
+    assert(Repl.complete("nat", env) == Seq("nation"))
+    assert(Repl.complete("reg", env) == Seq("region"))
+    assert(Repl.complete("cou", env) == Seq("count", "count_distinct",
+      "count_false", "count_true"))
+    // user definitions from the prelude complete too
+    val prelude = Seq("func my_fn(a) = a + 1", "my_var = 5")
+    assert(Repl.complete("my_", env, prelude) == Seq("my_fn", "my_var"))
+    // inside a larger expression, only the trailing token matters
+    assert(Repl.complete("nation[n_regionkey == 1]{upp", env) == Seq("upper"))
+  }
 }
