@@ -227,12 +227,51 @@ object Interp {
     /** Replace scalar variables with literal AST nodes (vars shadow
       * columns) and inline user function calls.
       */
+    /** Best-effort STATIC column set of a table expression — used to
+      * give columns precedence over same-named scalar vars inside
+      * projections/selections (the reference's scoping: the table's
+      * columns are the innermost scope, so `x = 4` does not capture
+      * `Point{x: x /~ 2}`, test_SQL f3).
+      */
+    private def staticCols(e: Expr): Set[String] = e match {
+      case Ident(n) => env.get(n) match {
+        case Some(VT(t)) => t.columns.toSet
+        case _ => Set.empty
+      }
+      case Selection(t, _) => staticCols(t)
+      case Slice(t, _, _) => staticCols(t)
+      case Order(t, _) => staticCols(t)
+      case OneE(t, _) => staticCols(t)
+      case Update(t, _) => staticCols(t)
+      case Delete(t, _) => staticCols(t)
+      case _: ListLit | _: RangeLit => Set("item")
+      case Call("SQL", args) => args.headOption.map(_.value) match {
+        case Some(Ident(tn)) => env.get(tn) match {
+          case Some(VT(t)) => t.columns.toSet
+          case _ => Set.empty
+        }
+        case Some(Selection(Ident("list"), _)) | Some(Ident("list")) =>
+          Set("item")
+        case _ => Set.empty
+      }
+      case Projection(_, fs, _, as) =>
+        (fs ++ as).flatMap(f => f.name.orElse(f.value match {
+          case Ident(n) => Some(n)
+          case Attr(_, n) => Some(n)
+          case Call(fn, _) => Some(fn)
+          case _ => None
+        })).toSet
+      case _ => Set.empty
+    }
+
     def substitute(e: Expr): Expr = {
       // pass 1 — capture-aware: scalar vars replace identifiers except
       // where a join alias shadows the name (tree.pql common_ancestors
-      // has params a/b AND join sides a/b)
+      // has params a/b AND join sides a/b) or the base table has a
+      // same-named COLUMN (columns are the innermost scope)
       def scalarIdents(x: Expr): Expr = substShadow(x,
-        n => env.get(n).collect { case VS(v) => scalarToAst(v) })
+        n => env.get(n).collect { case VS(v) => scalarToAst(v) },
+        staticCols)
       // pass 2 — bottom-up attr folding over the substituted tree
       def scalars(x: Expr): Expr = rewrite(scalarIdents(x)) {
         // dict member access folds in the same bottom-up pass, so
@@ -384,6 +423,9 @@ object Interp {
             // test_threading `func add_n(n) = new a(n)`) — run the
             // insert rather than treating it as a table expression
             case ne: NewE => execNew(ne.table, ne.args); ()
+            // statement-position mutations write through (reference
+            // updates hit the database, test_basic.py:323-380)
+            case mut @ (_: Update | _: Delete) => persistMutation(mut); ()
             case _ => if (tryScalar(sub).isEmpty) { evalTable(sub); () }
           }
       }
@@ -566,6 +608,9 @@ object Interp {
               return PTable(spark.range(1).select(litOf(v).as(fn)))
             case None => throw new ValueError(s"$fn did not return a value")
           }
+        // a result-position mutation also writes through (reference
+        // `A delete [x==1]` both returns and persists)
+        case mut @ (_: Update | _: Delete) => return persistMutation(mut)
         case _ => ()
       }
       try evalTable(sub)
@@ -790,6 +835,27 @@ object Interp {
           case (n, None) => env = env - n
         }
       }
+    }
+
+    /** `t[..] update {..}` / `t delete [..]` in statement or program-
+      * result position: rebind the ROOT table to the mutated value, so
+      * later statements (and later procedure calls) see it — the
+      * reference writes mutations through to the database
+      * (test_basic.py:323-380 test_update_basic, 995 test_delete).
+      * Env is the source of truth; execNew re-syncs the catalog on the
+      * next insert (identity check).
+      */
+    private def persistMutation(e: Expr): PTable = {
+      val root = e match {
+        case Update(te, _) => rootTable(te)
+        case Delete(te, _) => rootTable(te)
+        case _ => None
+      }
+      val t = evalTable(e)
+      root.filter(n => env.get(n).exists(_.isInstanceOf[VT])).foreach { n =>
+        env = env + (n -> VT(t.named(n)))
+      }
+      t
     }
 
     /** A 1×1 table localizes to its single value. */
@@ -1597,19 +1663,23 @@ object Interp {
     * identifiers. `lookup` returns the replacement AST for a name, or
     * None to leave it alone.
     */
-  private def substShadow(body: Expr, lookup: String => Option[Expr]): Expr = {
+  private def substShadow(body: Expr, lookup: String => Option[Expr],
+                          cols: Expr => Set[String] = _ => Set.empty): Expr = {
     def go(x: Expr, shadow: Set[String]): Expr = x match {
       case Ident(n) => if (shadow(n)) x else lookup(n).getOrElse(x)
       case Projection(t2, fs, g, as) =>
-        val s2 = shadow ++ joinAliasesOf(t2)
+        val s2 = shadow ++ joinAliasesOf(t2) ++ cols(t2)
         def f(fl: Field) = Field(fl.name, go(fl.value, s2))
         Projection(go(t2, shadow), fs.map(f), g, as.map(f))
       case Selection(t2, cs) =>
-        val s2 = shadow ++ joinAliasesOf(t2)
+        val s2 = shadow ++ joinAliasesOf(t2) ++ cols(t2)
         Selection(go(t2, shadow), cs.map(go(_, s2)))
       case Order(t2, ks) =>
-        val s2 = shadow ++ joinAliasesOf(t2)
+        val s2 = shadow ++ joinAliasesOf(t2) ++ cols(t2)
         Order(go(t2, shadow), ks.map { case (k, asc) => (go(k, s2), asc) })
+      case Update(t2, fs) =>
+        val s2 = shadow ++ cols(t2)
+        Update(go(t2, shadow), fs.map(fl => Field(fl.name, go(fl.value, s2))))
       case BinOp(op, l, r) => BinOp(op, go(l, shadow), go(r, shadow))
       case Unary(op, e2) => Unary(op, go(e2, shadow))
       case Attr(o, n) => Attr(go(o, shadow), n)
@@ -1619,9 +1689,8 @@ object Interp {
       case OneE(e2, opt) => OneE(go(e2, shadow), opt)
       case Slice(t2, f0, u) =>
         Slice(go(t2, shadow), f0.map(go(_, shadow)), u.map(go(_, shadow)))
-      case Update(t2, fs) =>
-        Update(go(t2, shadow), fs.map(fl => Field(fl.name, go(fl.value, shadow))))
-      case Delete(t2, cs) => Delete(go(t2, shadow), cs.map(go(_, shadow)))
+      case Delete(t2, cs) =>
+        Delete(go(t2, shadow), cs.map(go(_, shadow ++ cols(t2))))
       case RangeLit(f0, u) =>
         RangeLit(f0.map(go(_, shadow)), u.map(go(_, shadow)))
       case DictLit(fs) => DictLit(fs.map { case (k, v) => (k, go(v, shadow)) })
@@ -1852,12 +1921,13 @@ object Interp {
           case d: Double => d; case l: Long => l.toDouble
           case o => throw new TypeError(s"round of $o")
         }
-        if (args.length == 1) math.round(x).toDouble
-        else {
-          val n = constEval(args(1).value).asInstanceOf[Long].toInt
-          val f = math.pow(10, n)
-          math.round(x * f) / f
-        }
+        val n = if (args.length == 1) 0
+          else constEval(args(1).value).asInstanceOf[Long].toInt
+        // HALF_UP away from zero — SQL ROUND semantics (round(-4.535,2)
+        // = -4.54; math.round's half-toward-+inf gives -4.53). Negative
+        // digits round to tens/hundreds like the reference (round.pql).
+        java.math.BigDecimal.valueOf(x)
+          .setScale(n, java.math.RoundingMode.HALF_UP).doubleValue()
       case "iif" =>
         if (truthyScalar(a(0))) a(1) else a(2)
       // reflection as scalar values (reference pql_functions.py:246-278)
@@ -1891,6 +1961,10 @@ object Interp {
       // `now`): scalar contexts — `x = now()`, `new T(ts: now())`.
       // Column contexts still compile to F.current_timestamp().
       case "now" => java.sql.Timestamp.from(java.time.Instant.now())
+      // driver-side random in scalar contexts — `new a(random())`
+      // freezes the drawn value at insert (reference issue #7,
+      // test_new_freezes_values); column contexts stay F.rand()
+      case "random" => scala.util.Random.nextDouble()
       case _ => throw new NotConst
     }
   }

@@ -265,6 +265,12 @@ object Lexer {
         val start = i
         while (i < n && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
         out += TIdent(src.substring(start, i), start)
+      } else if (c == '$' && src.startsWith("$on", i) &&
+          (i + 3 >= n || !src(i + 3).isLetterOrDigit)) {
+        // the reference spells the theta-join predicate `$on:`
+        // (pql_functions.py:568-576); bare `on:` stays accepted too
+        out += TIdent("on", i)
+        i += 3
       } else {
         val two = if (i + 2 <= n) src.substring(i, math.min(i + 3, n)) else ""
         multiOps.find(op => src.startsWith(op, i)) match {

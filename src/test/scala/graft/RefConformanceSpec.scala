@@ -387,6 +387,189 @@ class RefConformanceSpec extends SparkSpec {
     assert(col0(pre + "apply_to_list([\"\", \"a\"])") == Seq("NO", "YES"))
   }
 
+  // ---- test_fmt -----------------------------------------------------------
+
+  test("fmt interpolates scalar bindings") {
+    val pre = "a = \"hello\"\nb = \"world\"\n"
+    assert(one(pre + "fmt(\"\")") == "")
+    assert(one(pre + "fmt(\"a\")") == "a")
+    assert(one(pre + "fmt(\"a b c $a\")") == "a b c hello")
+    assert(one(pre + "fmt(\"a b c $a $b!\")") == "a b c hello world!")
+    assert(one(pre + "fmt(\"$a my $b!\")") == "hello my world!")
+  }
+
+  // ---- test_round ---------------------------------------------------------
+
+  test("round: digits, negative digits, half-away-from-zero") {
+    assert(numeq(one("round(1928.9182)"), 1929.0))
+    assert(numeq(one("round(1928.9182, 0)"), 1929.0))
+    assert(numeq(one("round(1928.9182, 1)"), 1928.9))
+    assert(numeq(one("round(1928.9182, 2)"), 1928.92))
+    assert(numeq(one("round(1928.9182, -1)"), 1930.0))
+    assert(numeq(one("round(1928.9182, -3)"), 2000.0))
+    assert(numeq(one("round(-59.9)"), -60.0))
+    assert(numeq(one("round(-4.535, 2)"), -4.54))
+  }
+
+  // ---- test_agg_funcs -----------------------------------------------------
+
+  test("agg funcs: count_true/false on ints, sqsum through a user func") {
+    val r = rows("[0, 2, 0, 0, 3, 4, 0] { => count_true(item), count_false(item) }")
+    assert(r.map(_.map { case (k, v) => (k, v.toString.toLong) }) ==
+      Seq(Seq("count_true" -> 3L, "count_false" -> 4L)))
+    assert(numeq(one("func sqsum(x) = sum(x*x)\none [2, 4]{=> sqsum(item)}"), 20))
+    assert(numeq(one("sum([2, 4])"), 6))
+  }
+
+  // ---- test_SQL / test_SQL2 -----------------------------------------------
+
+  test("SQL escape hatch: scalar snippets, table vars, composition") {
+    val pre =
+      """table Point {x: int, y: int}
+        |new Point(1,3)
+        |new Point(2,7)
+        |new Point(3,1)
+        |new Point(4,2)
+        |x = 4
+        |""".stripMargin
+    assert(numeq(one(pre + "func f1() = SQL(int, \"$x+5\")\nf1()"), 9))
+    assert(col0(pre +
+      "func f2() = SQL(Point, \"SELECT * FROM $Point WHERE x > 2\")\nf2(){x}")
+      .length == 2)
+    assert(col0(pre +
+      "func f3() = SQL(Point, \"SELECT * FROM $Point\") { x: x /~ 2 => y}\nf3(){x}")
+      .length == 3)
+    val f4 = col0(pre +
+      "zz = Point[x==2]\nfunc f4() = SQL(Point, \"SELECT * FROM $zz\") {y}\nf4()")
+    assert(f4.map(_.toString.toLong) == Seq(7L))
+    assert(numeq(one(
+      "a = [1..10]\nfunc f() = SQL(int, \"SELECT COUNT(*) FROM $a\")\nf()"), 9))
+  }
+
+  // ---- test_nested_projections --------------------------------------------
+
+  test("nested projections over joinall structs") {
+    // count(b.item) == count(b) (a struct column counts like a field)
+    val r1 = rows("joinall(a:[1,2], b:[2, 3]) {a.item => count(b.item)} order {item}")
+      .map(_.map { case (k, v) => (k, v.toString.toLong) })
+    val r2 = rows("joinall(a:[1,2], b:[2, 3]) {a.item => count(b)} order {item}")
+      .map(_.map { case (k, v) => (k, v.toString.toLong) })
+    assert(r1.map(_.map(_._2)) == r2.map(_.map(_._2)))
+    assert(r1.map(_.head._2) == Seq(1L, 2L) &&
+      r1.map(_.last._2) == Seq(2L, 2L))
+    // chained group-by ON the agg output: {b => a: count(a)}
+    val r3 = rows(
+      "one joinall(a:[1,2], b:[2, 3]) {a: a.item => b: count(b.item)} {b => a: count(a)}")
+    assert(r3.map(_.map { case (k, v) => (k, v.toString.toLong) }) ==
+      Seq(Seq("b" -> 2L, "a" -> 2L)))
+    // struct sub-projection variants are equivalent
+    val v1 = rows("joinall(a:[1,2], b:[2, 3]) {b{v:item}, a} order {a.item, b.v}")
+    val v2 = rows("joinall(a:[1,2], b:[2, 3]) {b{v:item}, a{item}} order {a.item, b.v}")
+    val v3 = rows("joinall(a:[1,2], b:[2, 3]) {b{v:item, ...}, a{...}} order {a.item, b.v}")
+    assert(v1 == v2 && v1 == v3)
+    // nested joinall: 2*2*2 rows; {ab, c} is identity; dotted paths dig
+    assert(rows("joinall(ab: joinall(a:[1,2], b:[2,3]), c: [4,5])").length == 8)
+    assert(rows("joinall(ab: joinall(a:[1,2], b:[2,3]), c: [4,5]) {ab, c}").length == 8)
+    assert(rows("joinall(ab: joinall(a:[1,2], b:[2,3]), c: [4,5]) {ab.a, ab.b, c}").length == 8)
+    assert(rows("joinall(ab: joinall(a:[1,2], b:[2,3]), c: [4,5]) {ab.a.item, ab.b.item, c}").length == 8)
+  }
+
+  // ---- test_one (extended) ------------------------------------------------
+
+  test("one/one? multiplicity across tables and lists") {
+    val pre = "table A { x: int }\ntable B { x: int }\nnew A(2)\n"
+    assert(one(pre + "one A{x}").toString.toLong == 2L)
+    assert(one(pre + "one? A{x}").toString.toLong == 2L)
+    assert(col0(pre + "one? B").isEmpty)
+    intercept[ValueError] { one(pre + "one B") }
+    assert(numeq(one("one [2]"), 2))
+    assert(col0("one? []").isEmpty)
+    intercept[ValueError] { one("one [1,2]") }
+    intercept[ValueError] { one("one? [1,2]") }
+    intercept[ValueError] { one("one []") }
+  }
+
+  // ---- test_delete --------------------------------------------------------
+
+  test("delete removes matching rows and returns the table") {
+    val pre = "table A { x: int }\nnew A(1)\nnew A(2)\n"
+    assert(numeq(one(pre + "count(A)"), 2))
+    assert(col0(pre + "A delete [x==1] {x}").map(_.toString.toLong) == Seq(2L))
+    assert(col0(pre + "A delete [x==1] delete [x==1] {x}")
+      .map(_.toString.toLong) == Seq(2L))
+    assert(col0(pre + "A delete [x==1] delete [x==2] {x}").isEmpty)
+  }
+
+  // ---- test_join_on -------------------------------------------------------
+
+  test("leftjoin with $on theta keeps unmatched left rows (null right)") {
+    val r = rows(
+      """A = [1, 3]
+        |B = [1, 2]
+        |leftjoin(a: A, b: B, $on: a.item > b.item) {ai: a.item, bi: b.item}""".stripMargin)
+      .map(row => (row.head._2.toString.toLong,
+        Option(row.last._2).map(_.toString.toLong)))
+      .sortBy(p => (p._1, p._2.getOrElse(-1L)))
+    assert(r == Seq((1L, None), (3L, Some(1L)), (3L, Some(2L))))
+  }
+
+  // ---- test_text ----------------------------------------------------------
+
+  test("text columns round-trip multi-line strings") {
+    val pre = "table A { x: string }\na = new A(\"hello\")\nb = new A(\"hello\\nworld\")\n"
+    assert(one(pre + "one A[id==1]{x}") == "hello")
+    assert(one(pre + "one A[id==2]{x}") == "hello\nworld")
+  }
+
+  // ---- test_update_basic --------------------------------------------------
+
+  test("updates persist across procedure calls; const table is isolated") {
+    val pre =
+      """table Point {x: int, y: int}
+        |new Point(1,3)
+        |new Point(2,7)
+        |new Point(3,1)
+        |new Point(4,2)
+        |const table backup = Point
+        |func p2() {
+        |    Point[x==3] update{y: y + 13}
+        |    return Point[x==3]
+        |}
+        |""".stripMargin
+    val r1 = rows(pre + "p2() {x, y}")
+    assert(r1.map(_.map { case (k, v) => (k, v.toString.toLong) }) ==
+      Seq(Seq("x" -> 3L, "y" -> 14L)))
+    val r2 = rows(pre + "p2()\np2() {x, y}")
+    assert(r2.map(_.map { case (k, v) => (k, v.toString.toLong) }) ==
+      Seq(Seq("x" -> 3L, "y" -> 27L)))
+    // the const snapshot does not see Point's updates
+    assert(col0(pre + "p2()\nbackup[x==3]{y}").map(_.toString.toLong) == Seq(1L))
+    // and updates ON the snapshot work independently
+    assert(col0(pre + "backup[x==3] update {y: x+y}\nbackup[x==3]{y}")
+      .map(_.toString.toLong) == Seq(4L))
+  }
+
+  // ---- test_new_freezes_values (issue #7) ---------------------------------
+
+  test("new freezes evaluated values: random() inserts a stable row") {
+    // would fail if the random re-evaluated on every read of the table
+    val r = col0(
+      """table a{x: float}
+        |row = new a(random())
+        |assert row.x in a{x}
+        |a{x}""".stripMargin)
+    assert(r.length == 1)
+  }
+
+  // ---- test_keywords ------------------------------------------------------
+
+  test("named arguments: defaults fill, duplicates error") {
+    val pre = "func f(a, b=4) = a + b\n"
+    assert(numeq(one(pre + "f(b: 2, a: 3)"), 5))
+    assert(numeq(one(pre + "f(3, b: 10)"), 13))
+    intercept[TypeError] { one(pre + "f(3, a: 10)") }
+  }
+
   // ---- test_vectorized_logic ----------------------------------------------
 
   test("if/else-if chains vectorize (sign function)") {
