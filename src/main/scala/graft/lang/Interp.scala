@@ -691,6 +691,11 @@ object Interp {
         scalarToAst(tt.df.agg(a).head().get(0))
       case Call("is_empty", Seq(Arg(None, te))) if isTableExpr(te) =>
         BoolLit(evalTable(te).df.isEmpty)
+      // `type(f)` of a user function surfaces its annotated signature
+      // (reference test_user_functions2: T.function[T.int, ...])
+      case Call("type", Seq(Arg(None, Ident(n)))) if funcs.contains(n) =>
+        TypeLit("function[" +
+          funcs(n).params.map(_.tpe.getOrElse("any")).mkString(", ") + "]")
       // `type(t)` over a table localizes to a type value: lists
       // (single-column tables) are `list[elem]` (reference test_casts:
       // `type(list(...)) == list[int]`; pql_functions.py:246-278)
@@ -965,7 +970,14 @@ object Interp {
             .map { case (f, v) => Field(f.name, v) }
           val aggs = aggs1.zip(rew.drop(fields1.length))
             .map { case (f, v) => Field(f.name, v) }
-          if (!grouped) tab.project(expandFields(tab, fields): _*)
+          if (!grouped) {
+            val cols = expandFields(tab, fields)
+            // `[3]{... !item}` excludes every column — reference
+            // raises TypeError on an empty projection
+            if (cols.isEmpty)
+              throw new TypeError("projection selects no columns")
+            tab.project(cols: _*)
+          }
           else if (fields.isEmpty) tab.aggAll(namedAggs(tab, aggs): _*)
           else if (aggs.isEmpty) tab.groupBy(expandFields(tab, fields): _*)()
           else {
@@ -1331,9 +1343,15 @@ object Interp {
           while (used.contains(s"$n$i")) i += 1
           used += s"$n$i"; s"$n$i"
         }
+      // an ellipsis exclusion must name a real column (reference
+      // _test_ellipsis_exclude: `[3]{... !hello}` raises NameError)
+      def checkExcludes(excludes: Seq[String], avail: Seq[String]): Unit =
+        excludes.filterNot(avail.contains).foreach(u =>
+          throw new NameError(s"unknown column '$u' in ellipsis exclusion"))
       fields.flatMap { f =>
         f.value match {
           case EllipsisE(excludes, None) =>
+            checkExcludes(excludes, tab.columns)
             tab.columns
               .filterNot(c => excludes.contains(c) || bareVals.contains(c))
               .map(c => NamedCol(fresh(c), col(c)))
@@ -1347,6 +1365,7 @@ object Interp {
               case None => throw new NameError(
                 s"unknown column '$structCol'")
             }
+            checkExcludes(excludes, fieldsOf.map(_.name).toSeq)
             fieldsOf.toSeq
               .filterNot(sf => excludes.contains(sf.name) ||
                 bareVals.contains(sf.name))

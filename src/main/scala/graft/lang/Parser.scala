@@ -83,7 +83,8 @@ object Ast {
     * reference (reference evaluate.py:551-648 compile-and-inline;
     * param defaults/matching pql_objects.py:110-212).
     */
-  case class Param(name: String, default: Option[Expr])
+  case class Param(name: String, default: Option[Expr],
+                   tpe: Option[String] = None)
   /** `collector`: `func f(...kw)` — extra NAMED args collect into a
     * dict bound to this name (reference param_collector,
     * pql_objects.py:84-212; grammar param_variadic preql.lark:69).
@@ -408,26 +409,30 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
         // optional type annotation `: type` with `list[elem]` /
         // `table` / primitive names (reference preql.lark:66-69
         // typemod params; examples/tree.pql `func bfs(edges: table)`).
-        // Annotations document intent; dispatch stays dynamic.
+        // Annotations document intent (surfaced by `type(f)`);
+        // dispatch stays dynamic.
+        var ptype: Option[String] = None
         if (isOp(":")) {
           advance()
-          advance() match {
-            case TIdent(_, _) => ()
+          val base = advance() match {
+            case TIdent(v, _) => v
             case t => throw ParseError("expected type name", t.pos)
           }
+          ptype = Some(base)
           if (isOp("[")) { // list[int] element annotation
             advance()
-            advance() match {
-              case TIdent(_, _) => ()
+            val elem = advance() match {
+              case TIdent(v, _) => v
               case t => throw ParseError("expected type name", t.pos)
             }
             expectOp("]")
+            ptype = Some(s"$base[$elem]")
           }
           if (isOp("?")) advance() // nullable mark
         }
         val default =
           if (isOp("=")) { advance(); Some(parseExpr()) } else None
-        params += Param(pname, default)
+        params += Param(pname, default, ptype)
       }
     }
     expectOp(")")

@@ -570,6 +570,84 @@ class RefConformanceSpec extends SparkSpec {
     intercept[TypeError] { one(pre + "f(3, a: 10)") }
   }
 
+  // ---- test_basic1: _test_ellipsis / _test_ellipsis_exclude ---------------
+
+  test("ellipsis ordering and consumption rules") {
+    val pre =
+      """table Person { name: string, country: int }
+        |new Person("Erez", 1)
+        |""".stripMargin
+    def keys(q: String): Seq[String] =
+      Interp.run(spark, pre + q).df.columns.toSeq
+    // explicit fields first, remaining columns in table order
+    assert(keys("Person {name, ...}") == Seq("name", "id", "country"))
+    assert(keys("Person {country, ...}") == Seq("country", "id", "name"))
+    assert(keys("Person {..., id}") == Seq("name", "country", "id"))
+    assert(keys("Person {country, ..., id}") == Seq("country", "name", "id"))
+    // a renamed BARE column is consumed; a computed expr is not
+    assert(keys("Person {name2: name, ...}") == Seq("name2", "id", "country"))
+    assert(keys("Person {name2: name, ..., name3: name}") ==
+      Seq("name2", "id", "country", "name3"))
+    assert(keys("Person {name2: name + \"!\", ...}") ==
+      Seq("name2", "id", "name", "country"))
+    assert(keys("Person {name2: name + \"!\", ..., name3: name}") ==
+      Seq("name2", "id", "country", "name3"))
+    // errors: named ellipsis, ellipsis in an expression, unknown or
+    // total exclusion
+    intercept[graft.lang.ParseError] { one(pre + "Person {x: ...}") }
+    intercept[graft.lang.ParseError] { one(pre + "Person {...+\"a\", 2}") }
+    intercept[NameError] { one("[3]{... !hello}") }
+    intercept[TypeError] { one("[3]{... !item}") }
+  }
+
+  // ---- test_foreign_key ---------------------------------------------------
+
+  test("FK to a specific column drives auto-join") {
+    val pre =
+      """table Point { x: int, y: int }
+        |table HRuler { x_axis: Point.x }
+        |new Point(1, 1)
+        |new Point(3, 3)
+        |new Point(3, 4)
+        |new HRuler(3)
+        |""".stripMargin
+    assert(col0(pre + "join(h: HRuler, p: Point) {p.y} order {y}")
+      .map(_.toString.toLong) == Seq(3L, 4L))
+    assert(col0(pre + "new HRuler(4)\njoin(h: HRuler[x_axis==4], p: Point) {p.y}")
+      .isEmpty)
+  }
+
+  // ---- test_join_to_temptable ---------------------------------------------
+
+  test("temptable of a leftjoin selects on struct fields") {
+    val pre =
+      """l1 = [1, 2, 3]
+        |l2 = [1, 2, 4]
+        |t = temptable(leftjoin(a: l1.item, b: l2.item))
+        |""".stripMargin
+    assert(col0(pre + "t[a.item == 1] {a.item}").map(_.toString.toLong) ==
+      Seq(1L))
+    assert(col0(pre + "t[b.item == null] {a.item}").map(_.toString.toLong) ==
+      Seq(3L))
+  }
+
+  // ---- test_table_from_expr -----------------------------------------------
+
+  test("table a = expr creates an insertable table") {
+    val r = col0(
+      """table a = [1..3]
+        |new a(5)
+        |a{item} order {item}""".stripMargin).map(_.toString.toLong)
+    assert(r == Seq(1L, 2L, 5L))
+  }
+
+  // ---- test_user_functions2 -----------------------------------------------
+
+  test("type(f) surfaces the annotated function signature") {
+    assert(one("func f(x: int, y: list[string]) = 0\ntype(f)").toString ==
+      "function[int, list[string]]")
+  }
+
   // ---- test_vectorized_logic ----------------------------------------------
 
   test("if/else-if chains vectorize (sign function)") {
