@@ -1550,6 +1550,14 @@ object Interp {
           fd.collector.map(cn => cn -> DictLit(extraNamed.map(a =>
             (a.name.get, inline(a.value, funcs)))))
         inline(subst(fd.body, bind), funcs)
+      // higher-order application: post-order rewriting already inlined
+      // the callee — a function VALUE surfaces as its bare name
+      // (`func q2() = q1` inlines `q2()` to Ident(q1)), so the apply
+      // reduces to an ordinary call (reference _test_user_functions)
+      case Apply(Ident(fn), args) if funcs.contains(fn) =>
+        inline(Call(fn, args), funcs)
+      case Apply(f, _) =>
+        throw new TypeError(s"not a function: $f")
     }
   }
 
@@ -1704,6 +1712,8 @@ object Interp {
       case Attr(o, n) => Attr(go(o, shadow), n)
       case Call(fn, as) =>
         Call(fn, as.map(a => Arg(a.name, go(a.value, shadow))))
+      case Apply(f, as) =>
+        Apply(go(f, shadow), as.map(a => Arg(a.name, go(a.value, shadow))))
       case ListLit(items) => ListLit(items.map(go(_, shadow)))
       case OneE(e2, opt) => OneE(go(e2, shadow), opt)
       case Slice(t2, f0, u) =>
@@ -2123,6 +2133,12 @@ object Interp {
         val n = f.name.getOrElse(fieldName(f))
         evalCol(f.value, schema, agg).as(n)
       }: _*)
+    // a ROW value in column position compares by its pk (reference
+    // compile_binops.py:14-136: rows dispatch to their id), so
+    // `Person[country==isr]` and `[id!=me]` filter on the row's id
+    case RowLit(t, fs) =>
+      lit(fs.collectFirst { case ("id", e) => litValue(e) }.getOrElse(
+        throw new TypeError(s"row of '$t' has no id")))
     case Unary("-", x) => -evalCol(x, schema, agg)
     case Unary("not", x) =>
       // value-semantics not: truthiness by operand type

@@ -21,6 +21,12 @@ object Ast {
   case class BinOp(op: String, l: Expr, r: Expr) extends Expr
   case class Unary(op: String, e: Expr) extends Expr
   case class Call(fn: String, args: Seq[Arg]) extends Expr
+  /** Call of a call's RESULT — higher-order application `q2()()`
+    * (reference: functions are first-class, `func q2() = q1` returns
+    * q1 and `q2()()` calls it, tests/test_basic.py _test_user_functions).
+    * The inliner reduces the callee to a bare function name.
+    */
+  case class Apply(fn: Expr, args: Seq[Arg]) extends Expr
   case class Arg(name: Option[String], value: Expr)
   case class ListLit(items: Seq[Expr]) extends Expr
   /** Literal dict value — produced by a varargs collector (reference
@@ -129,6 +135,8 @@ object Ast {
       case Attr(o, n) => Attr(rewrite(o)(pf), n)
       case Call(fn, args) =>
         Call(fn, args.map(a => Arg(a.name, rewrite(a.value)(pf))))
+      case Apply(f, args) =>
+        Apply(rewrite(f)(pf), args.map(a => Arg(a.name, rewrite(a.value)(pf))))
       case ListLit(items) => ListLit(items.map(rewrite(_)(pf)))
       case OneE(x, opt) => OneE(rewrite(x)(pf), opt)
       case Selection(t, cs) => Selection(rewrite(t)(pf), cs.map(rewrite(_)(pf)))
@@ -866,6 +874,11 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
               cur.pos)
           }
         }
+      } else if (isOp("(") && sameLineAsPrev &&
+          (e.isInstanceOf[Call] || e.isInstanceOf[Apply])) {
+        // higher-order application: `q2()()` calls the function that
+        // q2() returned (reference _test_user_functions)
+        e = Apply(e, parseCallArgs())
       } else if (isOp("[") && sameLineAsPrev) {
         e = parseBracketPostfix(e)
         // parameterized cast call `list[float](expr)` (reference

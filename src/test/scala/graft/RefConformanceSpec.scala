@@ -648,6 +648,115 @@ class RefConformanceSpec extends SparkSpec {
       "function[int, list[string]]")
   }
 
+  // ---- test_basic1 over country_person.pql --------------------------------
+
+  private val countryPerson =
+    """table Country {
+      |    name: string
+      |    language: string
+      |}
+      |table Person {
+      |    name: string
+      |    country: Country
+      |}
+      |isr = new Country("Israel", "he")
+      |eng = new Country("England", language:"en")
+      |us = new Country(language:"en", name:"United States")
+      |me = new Person("Erez Shinan", isr)
+      |new Person("Ephraim Kishon", isr)
+      |new Person("Eric Blaire", eng)
+      |new Person("H.G. Wells", eng)
+      |new Person("John Steinbeck", us)
+      |""".stripMargin
+
+  test("country_person: selections against row bindings") {
+    assert(col0(countryPerson +
+      "func query1() = list(Country[language==\"en\"]{name})\nquery1()")
+      .toSet == Set("England", "United States"))
+    assert(col0(countryPerson + "list(Person[country==isr]{name})").toSet ==
+      Set("Erez Shinan", "Ephraim Kishon"))
+    assert(col0(countryPerson + "list(Person[id!=me]{name})").toSet ==
+      Set("Ephraim Kishon", "Eric Blaire", "H.G. Wells", "John Steinbeck"))
+  }
+
+  test("country_person: auto-join directions and manual join") {
+    val expectEn = Seq(("Eric Blaire", "England"), ("H.G. Wells", "England"),
+      ("John Steinbeck", "United States"))
+    def pairs(q: String): Seq[(String, String)] =
+      rows(countryPerson + q).map(r =>
+        (r.head._2.asInstanceOf[String], r.last._2.asInstanceOf[String]))
+    assert(pairs("join(c: Country[language==\"en\"].id, p: Person.country) { p.name, country: c.name } order {name}") == expectEn)
+    assert(pairs("join(c: Country[language==\"en\"], p: Person) { p.name, country: c.name } order {name}") == expectEn)
+    assert(pairs("join(p: Person, c: Country[language==\"en\"]) { p.name, country: c.name } order {name}") == expectEn)
+    // leftjoin keeps the LEFT side: all five people vs only en countries
+    val lj = pairs("leftjoin(p: Person, c: Country[language==\"en\"]) { p.name, country: c.name } order {name}")
+    assert(lj.length == 5 &&
+      lj.filter(_._2 != null) == expectEn &&
+      lj.collect { case (n, null) => n } ==
+        Seq("Ephraim Kishon", "Erez Shinan"))
+    assert(pairs("leftjoin(c: Country[language==\"en\"], p: Person) { p.name, country: c.name } order {name}") == expectEn)
+    val byCountry = pairs("leftjoin(c: Country, p: Person[id==me]) { person: p.name, country: c.name } order {country}")
+    assert(byCountry == Seq((null, "England"), ("Erez Shinan", "Israel"),
+      (null, "United States")))
+    // a func returning a join keeps its aliases projectable
+    assert(pairs(
+      "func j() = join(c: Country[language==\"en\"], p: Person)\nj() {person: p.name, country: c.name} order {person}") == expectEn)
+  }
+
+  test("country_person: higher-order functions (function values)") {
+    // reference _test_user_functions: q2 returns q1 itself; query7
+    // returns query6, applied through query8
+    val pre = countryPerson +
+      """func q1() = Person
+        |func q2() = q1
+        |func query3() = Person[id != me]
+        |func query6(c) = query3()[country == c]
+        |func query7() = query6
+        |func query8(ccc) = query7()(ccc)
+        |""".stripMargin
+    assert(col0(pre + "q2()()[id == me] {name}") == Seq("Erez Shinan"))
+    assert(col0(pre + "query6(isr){name}") == Seq("Ephraim Kishon"))
+    assert(col0(pre + "query8(isr) {name}") == Seq("Ephraim Kishon"))
+  }
+
+  test("country_person: group-by forms and collected citizens") {
+    assert(numeq(one("one one [1,2,3]{=>sum(item*item)}"), 14))
+    val langs = rows(countryPerson +
+      "Country {language => count(id)} order {language}")
+    assert(langs.map(r => (r.head._2, r.last._2.toString.toLong)) ==
+      Seq(("en", 2L), ("he", 1L)))
+    assert(rows(countryPerson + "Country {=> first(id)}").length == 1)
+    val pop = rows(countryPerson +
+      "join(p: Person, c: Country) {country: c.name => population: count(p.id)} order {country}")
+    assert(pop.map(r => (r.head._2, r.last._2.toString.toLong)) ==
+      Seq(("England", 2L), ("Israel", 2L), ("United States", 1L)))
+    val cit = rows(countryPerson +
+      "join(p: Person, c: Country) {country: c.name => citizens: p.name} order {country}")
+    assert(cit.map(_.head._2) == Seq("England", "Israel", "United States"))
+    assert(cit.map(_.last._2.asInstanceOf[scala.collection.Seq[Any]].toSet) ==
+      Seq(Set("Eric Blaire", "H.G. Wells"),
+        Set("Ephraim Kishon", "Erez Shinan"), Set("John Steinbeck")))
+  }
+
+  test("country_person: temptable materialization shapes") {
+    assert(col0(countryPerson +
+      "english_countries = temptable(Country[language==\"en\"], true)\n" +
+      "english_countries{name} order {name}") ==
+      Seq("England", "United States"))
+    assert(col0(countryPerson +
+      "names = temptable(Person{name})\nnames{name} order {name}") ==
+      Seq("Ephraim Kishon", "Erez Shinan", "Eric Blaire", "H.G. Wells",
+        "John Steinbeck"))
+    val tj = rows(countryPerson +
+      "temptable(join(c: Country[language==\"en\"], p: Person)) {person: p.name, country: c.name} order {person}")
+    assert(tj.map(r => (r.head._2, r.last._2)) ==
+      Seq(("Eric Blaire", "England"), ("H.G. Wells", "England"),
+        ("John Steinbeck", "United States")))
+    assert(col0(countryPerson +
+      "temptable(temptable(Person, true)[name==\"Erez Shinan\"], true){name}") ==
+      Seq("Erez Shinan"))
+  }
+
   // ---- test_vectorized_logic ----------------------------------------------
 
   test("if/else-if chains vectorize (sign function)") {
