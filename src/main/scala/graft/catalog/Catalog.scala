@@ -106,6 +106,23 @@ final class Catalog(val spark: SparkSession) {
     case (i: Int, FloatType) => i.toFloat
     case (i: Int, LongType) => i.toLong
     case (d: Double, FloatType) => d.toFloat
+    // `new A("2021-04-02 22:28:41")` into a timestamp column
+    // (reference test_dates: timestamp literals arrive as strings)
+    case (s: String, TimestampType) =>
+      try java.sql.Timestamp.valueOf(
+        if (s.contains(" ") || s.contains("T")) s.replace("T", " ")
+        else s + " 00:00:00")
+      catch {
+        case _: IllegalArgumentException =>
+          throw new graft.types.TypeError(
+            s"cannot cast '$s' to timestamp")
+      }
+    case (s: String, DateType) =>
+      try java.sql.Date.valueOf(s)
+      catch {
+        case _: IllegalArgumentException =>
+          throw new graft.types.TypeError(s"cannot cast '$s' to date")
+      }
     // positional struct value `[1, 1]` against a StructType column:
     // fold element-wise (recursive, so nested structs work too)
     case (s: Seq[_], st: StructType) =>

@@ -1745,6 +1745,7 @@ object Interp {
     case DictV(fs) => DictLit(fs.map { case (k, v) => (k, scalarToAst(v)) })
     case RowV(t, fs) => RowLit(t, fs.map { case (k, v) => (k, scalarToAst(v)) })
     case TypeV(n) => TypeLit(n)
+    case t: java.sql.Timestamp => TsLit(t)
     case o => throw new TypeError(s"unsupported scalar value: $o")
   }
 
@@ -1785,6 +1786,7 @@ object Interp {
     case BinOp(op, le, re) => constBin(op, le, re)
     case Call(fn, args) => constCall(fn, args)
     case TypeLit(n) => TypeV(n)
+    case TsLit(v) => v
     case Ident(n) if typeIdents(n) => TypeV(n)
     // scalar string slice/index: `"hello"[2..4]`, `"hello"[1]`
     // (reference: strings slice like lists, test_basic.py test_strings)
@@ -2003,6 +2005,7 @@ object Interp {
     case FloatLit(v) => v
     case StrLit(v) => v
     case BoolLit(v) => v
+    case TsLit(v) => v
     case NullLit => null
     case Unary("-", IntLit(v)) => -v
     // a row value used where a literal goes (FK column) means its id
@@ -2020,6 +2023,7 @@ object Interp {
     case FloatLit(v) => v
     case StrLit(v) => v
     case BoolLit(v) => v
+    case TsLit(v) => v
     case o => throw new TypeError(s"expected literal, got $o")
   }
 
@@ -2123,6 +2127,7 @@ object Interp {
     case FloatLit(v) => lit(v)
     case StrLit(v) => lit(v)
     case BoolLit(v) => lit(v)
+    case TsLit(v) => lit(v)
     case NullLit => lit(null)
     case Ident(n) => col(n)
     case Attr(o, n) => col(attrPath(Attr(o, n)))

@@ -68,6 +68,10 @@ object Ast {
     * (reference pql_functions.py:246-278: types are objects).
     */
   case class TypeLit(name: String) extends Expr
+  /** A localized timestamp value (what `now()` and timestamp row
+    * fields substitute back into expressions as).
+    */
+  case class TsLit(v: java.sql.Timestamp) extends Expr
 
   // table operators (postfix)
   case class Selection(t: Expr, conds: Seq[Expr]) extends Expr

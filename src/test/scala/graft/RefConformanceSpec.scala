@@ -757,6 +757,40 @@ class RefConformanceSpec extends SparkSpec {
       Seq("Erez Shinan"))
   }
 
+  // ---- test_rowtype / test_vararg -----------------------------------------
+
+  test("row values compare structurally; vararg dicts nest and spread") {
+    val pre =
+      """table A { x: int }
+        |a = new A(4)
+        |table B { a: A }
+        |b = new B(a)
+        |""".stripMargin
+    assert(one(pre + "a == a") == true)
+    assert(one(pre + "b == b") == true)
+    assert(numeq(one(pre + "a.x"), 4))
+    assert(numeq(one(pre + "b.a.x"), 4))
+    val vf = "func f(...x) = x\n"
+    assert(numeq(one(vf + "f(a:1, b:f(c:3, d:4)).b.c"), 3))
+    assert(one(vf + "x1 = f(a:1, b:2)\nx2 = f(...x1)\nx1 == x2") == true)
+  }
+
+  // ---- test_dates ---------------------------------------------------------
+
+  test("timestamp defaults and literals: now() default vs string value") {
+    val r = rows(
+      """table A { dt: timestamp = now() }
+        |x = new A()
+        |y = new A(x.dt)
+        |z = new A("2021-04-02 22:28:41")
+        |A {id, dt} order {id}""".stripMargin)
+    assert(r.length == 3)
+    val dts = r.map(_.last._2)
+    assert(dts(0) == dts(1), "y copies x's frozen timestamp")
+    assert(dts(0) != dts(2), "explicit literal differs from now()")
+    assert(dts(2).toString.startsWith("2021-04-02"))
+  }
+
   // ---- test_vectorized_logic ----------------------------------------------
 
   test("if/else-if chains vectorize (sign function)") {
