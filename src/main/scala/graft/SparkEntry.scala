@@ -445,7 +445,7 @@ object SparkEntry {
 
     // token hashes materialize once; the 32 bit-sums then share them
     "x08_simhash" -> ((s, d) =>
-      t(s, d, "documents").df
+      graft.ext.Dedup.ensureParallelism(t(s, d, "documents").df)
         .select(col("doc_id"), graft.ext.Dedup.tokenHashes(col("text")).as("hl"))
         .localCheckpoint(true)
         .select(col("doc_id"),

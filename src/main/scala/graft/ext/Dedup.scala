@@ -113,6 +113,22 @@ object Dedup {
   def minhashSignature(text: Column, k: Int = 12, shingleN: Int = 3): Column =
     signatureFromHashes(shingleHashes(text, shingleN), k)
 
+  /** Spread a hash-heavy expression pipeline across the cluster when
+    * the source arrives UNDER-partitioned. File splitting sizes
+    * partitions by scan bytes; shingle/minhash pipelines cost ~100×
+    * more CPU per byte, so a sub-core partition count serializes the
+    * job (a 600 KB parquet = 1 partition = 1 of 32 cores busy). The
+    * guard only fires below `spark.graft.minParallelism` (default:
+    * defaultParallelism) — at 100 TB inputs already carry thousands of
+    * partitions and this is a no-op.
+    */
+  def ensureParallelism(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.conf.getOption("spark.graft.minParallelism")
+      .map(_.toInt)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** (id, sig) signature table: base hashes computed ONCE per row and
     * materialized before the k-way expansion — the scalable form of
     * `minhashSignature` (k× less hash work; at 100 TB the base hash is
@@ -121,7 +137,8 @@ object Dedup {
   def signatures(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 12, shingleN: Int = 3,
                  hasher: Column => Column = portableHasher): DataFrame =
-    df.select(col(idCol).as("id"),
+    ensureParallelism(df)
+      .select(col(idCol).as("id"),
         shingleHashes(col(textCol), shingleN, hasher).as("hs"))
       .localCheckpoint(true)
       .select(col("id"), signatureFromHashes(col("hs"), k).as("sig"))
@@ -144,7 +161,7 @@ object Dedup {
                  k: Int = 12, bands: Int = 4,
                  hasher: Column => Column = portableHasher): DataFrame = {
     val r = k / bands
-    val hashed = df.select(col(idCol).as("id"),
+    val hashed = ensureParallelism(df).select(col(idCol).as("id"),
       shingleHashes(col(textCol), hasher = hasher).as("hs"))
       .localCheckpoint(true)
     hashed.select(col("id"),
@@ -173,7 +190,7 @@ object Dedup {
     val r = k / bands
     // ONE tokenization pass feeds both the shingle/minhash pipeline
     // and the exact-Jaccard verification join
-    val base = df.select(col(idCol).as("jid"),
+    val base = ensureParallelism(df).select(col(idCol).as("jid"),
         tokens(col(textCol)).as("tok"), F.trim(col(textCol)).as("_t"))
       .localCheckpoint(true)
     val hashed = base.select(col("jid").as("id"),
@@ -258,6 +275,10 @@ object Dedup {
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String],
                         threshold: Double): DataFrame = {
+    // no ensureParallelism here: PPJoin is SHUFFLE-dominated (freq
+    // count + prefix join reshuffle everything anyway) — an upfront
+    // repartition measured ~1s SLOWER at sf0.1, unlike the scan-CPU-
+    // bound minhash/simhash pipelines above
     val base = df.select(Seq(col(idCol).as("id"),
       F.array_distinct(tokens(col(textCol))).as("tok")) ++
       blockCols.map(col): _*)
@@ -399,7 +420,7 @@ object Dedup {
                    blockCols: Seq[String], threshold: Double,
                    maxBlock: Int = 5000,
                    hasher: Column => Column = portableHasher): DataFrame = {
-    val base = df.select(Seq(col(idCol).as("id"),
+    val base = ensureParallelism(df).select(Seq(col(idCol).as("id"),
       tokens(col(textCol)).as("tok"), col(textCol).as("_text")) ++
       blockCols.map(col) :+
       F.size(F.array_distinct(tokens(col(textCol)))).as("_nd"): _*)

@@ -92,15 +92,60 @@ object Repl {
     "iif", "pi", "now", "random", "int", "float", "string", "bool",
     "type", "isa", "repr", "fmt", "is_empty", "one")
 
+  /** The position of the innermost still-open `{` or `[` (outside
+    * strings/comments), or -1 — its base expression scopes completion
+    * (reference autocomplete: `[1]{` offers `item`).
+    */
+  private def lastOpenBracket(s: String): Int = {
+    var stack = List.empty[(Char, Int)]
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) {
+        if (c == quote) quote = 0
+        else if (c == '\\') i += 1
+      } else c match {
+        case '"' | '\'' => quote = c
+        case '{' | '[' | '(' => stack = (c, i) :: stack
+        case '}' | ']' | ')' => if (stack.nonEmpty) stack = stack.tail
+        case '/' if i + 1 < s.length && s(i + 1) == '/' =>
+          while (i < s.length && s(i) != '\n') i += 1
+        case '#' => while (i < s.length && s(i) != '\n') i += 1
+        case _ =>
+      }
+      i += 1
+    }
+    stack.collectFirst { case (c, p) if c == '{' || c == '[' => p }
+      .getOrElse(-1)
+  }
+
+  /** Columns of the table expression ENDING at position `at` —
+    * best-effort static resolution: a named table's columns, or
+    * `item` for list/range literals and `.item` projections.
+    */
+  private def baseColumns(s: String, at: Int,
+                          env: Map[String, PTable]): Seq[String] = {
+    val before = s.substring(0, at).trim
+    val identTail = "([A-Za-z_][A-Za-z0-9_]*)\\s*(?:\\[[^\\[\\]]*\\])?$".r
+    identTail.findFirstMatchIn(before) match {
+      case Some(m) if env.contains(m.group(1)) => env(m.group(1)).columns.toSeq
+      case _ if before.endsWith("]") => Seq("item") // list/range literal
+      case _ => Seq.empty
+    }
+  }
+
   /** Completion candidates at the END of `text` (the REPL's cursor) —
     * the reference's autocomplete surface (core/autocomplete.py):
-    * `table.<prefix>` completes that table's columns; a bare
-    * identifier prefix completes tables, user definitions from the
-    * prelude, and builtin functions. Sorted, distinct.
+    * `table.<prefix>` completes that table's columns; inside an open
+    * `{`/`[` the BASE table's columns join the pool (`[1]{` offers
+    * `item`, `nation{n_` its columns); a bare prefix completes
+    * tables, user definitions from the prelude AND the current text,
+    * and builtin functions. Sorted, distinct.
     */
   private[graft] def complete(text: String, env: Map[String, PTable],
                               prelude: Seq[String] = Nil): Seq[String] = {
-    val userNames = prelude.flatMap { u =>
+    val userNames = (prelude :+ text).flatMap { u =>
       "(?m)^\\s*(?:func\\s+(\\w+)|table\\s+(\\w+)|(\\w+)\\s*=[^=])".r
         .findAllMatchIn(u)
         .flatMap(m => Option(m.group(1)).orElse(Option(m.group(2)))
@@ -115,7 +160,11 @@ object Repl {
           .getOrElse(Seq.empty)
       case None =>
         val prefix = bare.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
-        (env.keys.toSeq ++ userNames ++ builtinFns)
+        val inScope = lastOpenBracket(text) match {
+          case -1 => Seq.empty
+          case p => baseColumns(text, p, env)
+        }
+        (inScope ++ env.keys.toSeq ++ userNames ++ builtinFns)
           .filter(_.startsWith(prefix)).distinct.sorted
     }
   }

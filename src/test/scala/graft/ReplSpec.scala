@@ -48,4 +48,22 @@ class ReplSpec extends SparkSpec {
     // inside a larger expression, only the trailing token matters
     assert(Repl.complete("nation[n_regionkey == 1]{upp", env) == Seq("upper"))
   }
+
+  test("complete: open bracket scopes the base table's columns") {
+    val env = Map(
+      "nation" -> graft.sources.Tables.load(spark, sf, "nation"))
+    // reference test_autocomplete: `[1]{` and `[1][` offer `item`;
+    // bare `[1]` does not
+    assert(Repl.complete("func d(){ [1]{", env).contains("item"))
+    assert(Repl.complete("func d(){ [1][", env).contains("item"))
+    assert(!Repl.complete("func d(){ [1]", env).contains("item"))
+    // a named table's columns complete inside its projection/selection
+    assert(Repl.complete("nation{n_", env) ==
+      Seq("n_name", "n_nationkey", "n_regionkey"))
+    assert(Repl.complete("nation[n_regionkey == 1]{n_na", env) ==
+      Seq("n_name", "n_nationkey"))
+    // assignments earlier in the SAME unit are in scope
+    assert(Repl.complete("hello = [1] {item, item+2}\nhel",
+      env).contains("hello"))
+  }
 }
