@@ -49,7 +49,8 @@ object Similarity {
     // n× less work. sim = dot/(qn*cn) matches cosine() bit-for-bit.
     val q = F.broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qvec"), fnorm(col(vecCol)).as("qn")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+    val c = Dedup.ensureParallelism(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       fnorm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -127,7 +128,8 @@ object Similarity {
     val q = F.broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qvec"), fnorm(col(vecCol)).as("qn"),
       lshSignature(col(vecCol), dim, nPlanes).as("qsig")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+    val c = Dedup.ensureParallelism(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       fnorm(col(vecCol)).as("cn"),
       lshSignature(col(vecCol), dim, nPlanes).as("csig"))
     val scored = q.join(c, col("qsig") === col("csig") &&
@@ -390,7 +392,8 @@ object Similarity {
                   blockCol: String, idCol: String = "vec_id",
                   vecCol: String = "embedding",
                   maxBlock: Int = 5000, gridDims: Int = 2): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val base = Dedup.ensureParallelism(df)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
       fnorm(col(vecCol)).as("nv"), col(blockCol))
     val sizes = base.groupBy(blockCol).agg(F.count(lit(1)).as("_bn"))
     val withN = base.join(F.broadcast(sizes), blockCol)

@@ -415,6 +415,16 @@ object Interp {
                                      // transaction {} handles atomicity
         case Call("rollback", _) => throw new graft.types.NotImplementedError(
           "rollback() outside transaction {}")
+        // drop a table binding (reference pql_functions.py:563-571)
+        case Call(rm @ ("remove_table" | "remove_table_if_exists"), args) =>
+          val n = args.headOption.map(_.value) match {
+            case Some(Ident(nm)) => nm
+            case Some(StrLit(nm)) => nm
+            case o => throw new TypeError(s"$rm: expected a table name, got $o")
+          }
+          if (!env.contains(n) && rm == "remove_table")
+            throw new NameError(s"unknown table '$n'")
+          env = env - n
         case other =>
           // evaluate for effect (e.g. `one t` as an assertion)
           val sub = substitute(other)
@@ -1112,7 +1122,9 @@ object Interp {
       "join", "leftjoin", "outerjoin", "joinall", "distinct", "limit",
       "enum", "list", "temptable", "sample_ratio_fast", "sample_fast",
       "page", "tables", "names", "columns", "env_vars", "bfs",
-      "walk_tree", "graph.bfs", "graph.walk_tree", "SQL", "char_range")
+      "walk_tree", "graph.bfs", "graph.walk_tree", "SQL", "char_range",
+      "limit_offset", "table_concat", "table_union", "table_intersect",
+      "table_substract")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1255,6 +1267,17 @@ object Interp {
             .getOrElse(20L).toInt
           val idx = constLong(args(1).value).toInt
           t(args.head.value).slice(idx * size, idx * size + size)
+        case "limit_offset" =>
+          // reference __builtins__.pql:134-137: tbl[offset..offset+lim]
+          val lim = constLong(args(1).value).toInt
+          val off = constLong(args(2).value).toInt
+          t(args.head.value).slice(off, off + lim)
+        // named forms of the table set operators
+        // (reference pql_functions.py:385-411)
+        case "table_concat" => t(args(0).value) + t(args(1).value)
+        case "table_union" => t(args(0).value) | t(args(1).value)
+        case "table_intersect" => t(args(0).value) & t(args(1).value)
+        case "table_substract" => t(args(0).value) - t(args(1).value)
         case "tables" =>
           // reference pql_functions.py:806-828 introspection
           val rows = env.collect { case (n, VT(_)) => Tuple1(n) }.toSeq
@@ -1970,6 +1993,27 @@ object Interp {
           case o => throw new TypeError(s"isa: expected a type, got $o")
         }
         isaMatches(scalarTypeName(a(0)), target)
+      case "issubclass" => (a(0), a(1)) match {
+        case (TypeV(x), TypeV(y)) => x == y || isaMatches(x, y)
+        case (x, y) => throw new TypeError(s"issubclass of ($x, $y)")
+      }
+      // `cast(obj, type)` — type-as-value form of the cast family
+      // (reference pql_functions.py:668-689)
+      case "cast" =>
+        val target = a(1) match {
+          case TypeV(n) => n
+          case o => throw new TypeError(s"cast: expected a type, got $o")
+        }
+        constCall(target, args.take(1))
+      case "get_db_type" => "spark"
+      case "str_notcontains" => (a(0), a(1)) match {
+        case (sub: String, s: String) => !s.contains(sub)
+        case (x, y) => throw new TypeError(s"str_notcontains of ($x, $y)")
+      }
+      case "str_contains" => (a(0), a(1)) match {
+        case (sub: String, s: String) => s.contains(sub)
+        case (x, y) => throw new TypeError(s"str_contains of ($x, $y)")
+      }
       // scalar string builtins (reference __builtins__.pql:462-513)
       case "str_index" => (a(0), a(1)) match {
         case (needle: String, s: String) => s.indexOf(needle).toLong
@@ -2346,6 +2390,14 @@ object Interp {
       case "char_ord" => arity(1); PF.charOrd(a(0))
       case "str_index" => arity(2); PF.strIndex(a(1), a(0))
       case "str_contains" => arity(2); PF.strContains(a(1), a(0))
+      case "str_notcontains" => arity(2); !PF.strContains(a(1), a(0))
+      // `cast(col, type)` column form (reference pql_functions.py:668)
+      case "cast" => arity(2)
+        args(1).value match {
+          case Ident(tn) => colCall(tn, args.take(1), schema, agg)
+          case TypeLit(tn) => colCall(tn, args.take(1), schema, agg)
+          case o => throw new TypeError(s"cast: expected a type, got $o")
+        }
       case "year" => arity(1); PF.year(a(0))
       case "month" => arity(1); PF.month(a(0))
       case "day" => arity(1); PF.day(a(0))

@@ -791,6 +791,36 @@ class RefConformanceSpec extends SparkSpec {
     assert(dts(2).toString.startsWith("2021-04-02"))
   }
 
+  // ---- stdlib coverage: named set ops, limit_offset, cast, issubclass ----
+
+  test("stdlib: named table ops, limit_offset, cast, issubclass, removal") {
+    assert(col0("table_concat([1,2], [2,3])").map(_.toString.toLong) ==
+      Seq(1L, 2L, 2L, 3L))
+    assert(col0("table_union([1,2], [2,3])").map(_.toString.toLong).sorted ==
+      Seq(1L, 2L, 3L))
+    assert(col0("table_intersect([1,2], [2,3])").map(_.toString.toLong) ==
+      Seq(2L))
+    assert(col0("table_substract([1,2], [2,3])").map(_.toString.toLong) ==
+      Seq(1L))
+    assert(col0("limit_offset([10..20], 3, 2)").map(_.toString.toLong) ==
+      Seq(12L, 13L, 14L))
+    assert(numeq(one("cast(5, float)"), 5.0))
+    assert(numeq(one("cast(\"12\", int)"), 12))
+    assert(col0("list([1.9, 2.1]{cast(item, int)})")
+      .map(_.toString.toLong) == Seq(1L, 2L))
+    assert(one("issubclass(int, number)") == true)
+    assert(one("issubclass(int, string)") == false)
+    assert(one("str_contains(\"ell\", \"hello\")") == true)
+    assert(one("str_notcontains(\"xyz\", \"hello\")") == true)
+    assert(one("get_db_type()") == "spark")
+    // remove_table drops the binding; _if_exists tolerates absence
+    intercept[NameError] {
+      one("table A { x: int }\nremove_table(A)\ncount(A)")
+    }
+    assert(numeq(one(
+      "table A { x: int }\nremove_table_if_exists(B)\ncount(A)"), 0))
+  }
+
   // ---- test_vectorized_logic ----------------------------------------------
 
   test("if/else-if chains vectorize (sign function)") {
