@@ -17,6 +17,9 @@ object GraftConf {
   val DedupDriverLimitKey = "spark.graft.dedup.driverLimit"
   val AutoCompactEveryKey = "spark.graft.catalog.autoCompactEvery"
   val NativeArgmaxThresholdKey = "spark.graft.ivf.nativeArgmaxThreshold"
+  val InlistLimitKey = "spark.graft.inlist.limit"
+  val MinParallelismKey = "spark.graft.minParallelism"
+  val RealDecodeKey = "spark.graft.multimodal.realDecode"
 
   private def long(spark: SparkSession, key: String, default: Long): Long =
     spark.conf.getOption(key).map(_.trim.toLong).getOrElse(default)
@@ -44,4 +47,23 @@ object GraftConf {
     */
   def nativeArgmaxThreshold(spark: SparkSession): Int =
     long(spark, NativeArgmaxThresholdKey, 1024).toInt
+
+  /** Max distinct RHS values a projection-position `in`-table
+    * membership may inline as an IN-list (graft.lang).
+    */
+  def inlistLimit(spark: SparkSession): Int =
+    long(spark, InlistLimitKey, 100000).toInt
+
+  /** Minimum partitions for scan-CPU-bound hash/similarity pipelines
+    * (Dedup.ensureParallelism); defaults to defaultParallelism.
+    */
+  def minParallelism(spark: SparkSession): Int =
+    long(spark, MinParallelismKey,
+      spark.sparkContext.defaultParallelism.toLong).toInt
+
+  /** Whether Multimodal.decodeImage / extractImageFeatures attempt a
+    * real javax.imageio decode before falling back to the stub.
+    */
+  def realDecode(spark: SparkSession): Boolean =
+    spark.conf.getOption(RealDecodeKey).forall(_.trim.toBoolean)
 }

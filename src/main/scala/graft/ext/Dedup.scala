@@ -123,9 +123,7 @@ object Dedup {
     * partitions and this is a no-op.
     */
   def ensureParallelism(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.conf.getOption("spark.graft.minParallelism")
-      .map(_.toInt)
-      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    val want = graft.GraftConf.minParallelism(df.sparkSession)
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
 

@@ -6,11 +6,11 @@ import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
-  * columns plus typed metadata. The Spark-side plumbing — schema,
-  * batch shape, partition sizing — is real; the actual media decode is
-  * STUBBED (no codec libraries in this environment) behind
-  * `decodeImageStub`, which produces a deterministic fake so the
-  * pipeline is testable end-to-end.
+  * columns plus typed metadata. Images decode for REAL via
+  * javax.imageio (`decodeImage` / `extractImageFeatures`, conf-gated);
+  * `decodeImageStub` / `extractFeaturesStub` keep a deterministic
+  * fake path for formats without a JVM codec (audio/video), with the
+  * same Spark-side plumbing — schema, batch shape, partition sizing.
   *
   * Scale design:
   *  - blobs stay in `binary` columns; Parquet stores them page-
@@ -89,8 +89,7 @@ object Multimodal {
       StructField("thumb", BinaryType, nullable = false)))
     val idIdx = df.schema.fieldIndex(idCol)
     val blobIdx = df.schema.fieldIndex(blobCol)
-    val real = df.sparkSession.conf
-      .getOption("spark.graft.multimodal.realDecode").forall(_.toBoolean)
+    val real = graft.GraftConf.realDecode(df.sparkSession)
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
         val blob = r.getAs[Array[Byte]](blobIdx)
@@ -144,8 +143,7 @@ object Multimodal {
         nullable = false)))
     val idIdx = df.schema.fieldIndex(idCol)
     val blobIdx = df.schema.fieldIndex(blobCol)
-    val real = df.sparkSession.conf
-      .getOption("spark.graft.multimodal.realDecode").forall(_.toBoolean)
+    val real = graft.GraftConf.realDecode(df.sparkSession)
     val bins = dim / 3
     val rdd = df.rdd.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>

@@ -770,8 +770,7 @@ object Interp {
       case BinOp(op @ ("in" | "!in"), l, re)
           if isTableExpr(re) && tryScalar(l).isEmpty =>
         val tt = evalTable(re)
-        val limit = spark.conf.getOption("spark.graft.inlist.limit")
-          .map(_.toInt).getOrElse(100000)
+        val limit = graft.GraftConf.inlistLimit(spark)
         val vals = tt.df.select(tt.df.columns.head).distinct().take(limit + 1)
         if (vals.length > limit)
           throw new TypeError(
