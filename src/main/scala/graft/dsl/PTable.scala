@@ -33,6 +33,18 @@ final class PTable(val df: DataFrame, val meta: TableMeta) {
   private def sameMeta(d: DataFrame): PTable = new PTable(d, meta)
   private def anon(d: DataFrame): PTable = new PTable(d, TableMeta.empty)
 
+  /** Derived table keeping the pk/FK metadata of surviving columns —
+    * the reference propagates column TYPES (incl. `t_relation`)
+    * through projections and group-bys, so
+    * `ratings{movieId => score: ...}` still auto-joins to `movies`
+    * (examples/movie_recommender.pql `join(_: r, m: movies)`).
+    */
+  private def inherit(d: DataFrame, kept: Seq[String]): PTable = {
+    val ks = kept.toSet
+    new PTable(d, TableMeta("", pk = meta.pk.filter(ks),
+      fks = meta.fks.filter(f => ks(f.column))))
+  }
+
   def spark: SparkSession = df.sparkSession
   def schema: StructType = df.schema
   def columns: Seq[String] = df.columns.toSeq
@@ -46,7 +58,7 @@ final class PTable(val df: DataFrame, val meta: TableMeta) {
     val names = cols.map(_.name)
     if (names.distinct.size != names.size)
       throw new graft.types.TypeError(s"duplicate columns in projection: $names")
-    anon(df.select(cols.map(c => c.col.as(c.name)): _*))
+    inherit(df.select(cols.map(c => c.col.as(c.name)): _*), names)
   }
 
   /** Ellipsis projection `{..., extra}` / `{... !excluded}`:
@@ -56,7 +68,8 @@ final class PTable(val df: DataFrame, val meta: TableMeta) {
   def projectAll(exclude: Seq[String] = Nil, extra: Seq[NamedCol] = Nil): PTable = {
     val overridden = extra.map(_.name).toSet
     val keep = df.columns.filterNot(c => exclude.contains(c) || overridden(c))
-    anon(df.select(keep.map(F.col).toSeq ++ extra.map(c => c.col.as(c.name)): _*))
+    inherit(df.select(keep.map(F.col).toSeq ++
+      extra.map(c => c.col.as(c.name)): _*), keep.toSeq ++ extra.map(_.name))
   }
 
   // ---- group-by: t{keys => aggs} (reference compiler.py:217-280) ---------
@@ -69,9 +82,11 @@ final class PTable(val df: DataFrame, val meta: TableMeta) {
     aggs.toList match {
       case Nil =>
         // {keys =>} — distinct key combinations (compiler.py:275-280)
-        anon(df.select(keys.map(k => k.col.as(k.name)): _*).distinct())
+        inherit(df.select(keys.map(k => k.col.as(k.name)): _*).distinct(),
+          keys.map(_.name))
       case a :: rest =>
-        anon(keyed.agg(a.col.as(a.name), rest.map(c => c.col.as(c.name)): _*))
+        inherit(keyed.agg(a.col.as(a.name),
+          rest.map(c => c.col.as(c.name)): _*), keys.map(_.name))
     }
   }
 

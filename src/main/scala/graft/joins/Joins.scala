@@ -86,7 +86,15 @@ object Joins {
       prev = s
     }
     val structs = sides.map(s => F.struct(F.col(s"${s.alias}.*")).as(s.alias))
-    PTable(joined.select(structs: _*))
+    // FK metadata rides through the join under the LEAF column name —
+    // the reference propagates t_relation types onto struct fields, so
+    // `join(...){...rating}{movieId => ...}` can still auto-join to
+    // the referenced table (examples/movie_recommender.pql). Ambiguous
+    // leaf names (same FK column on two sides) drop out.
+    val fks = sides.flatMap(_.table.meta.fks)
+      .groupBy(_.column).collect { case (_, Seq(one)) => one }.toSeq
+    PTable(joined.select(structs: _*),
+      graft.types.TableMeta("", fks = fks))
   }
 
   /** inner equi-join — `join(a: t1, b: t2)`. */

@@ -821,6 +821,61 @@ class RefConformanceSpec extends SparkSpec {
       "table A { x: int }\nremove_table_if_exists(B)\ncount(A)"), 0))
   }
 
+  // ---- examples/movie_recommender.pql -------------------------------------
+
+  test("movie recommender example runs end-to-end") {
+    val prog =
+      """table movies {
+        |    movieId: int
+        |    title: string
+        |}
+        |table ratings {
+        |    userId: int
+        |    movieId: movies.movieId
+        |    rating: float
+        |}
+        |new movies(1, "A")
+        |new movies(2, "B")
+        |new movies(3, "C")
+        |new movies(4, "D")
+        |new ratings(1, 1, 5.0)
+        |new ratings(1, 3, 4.0)
+        |new ratings(2, 1, 3.0)
+        |new ratings(2, 4, 2.0)
+        |new ratings(3, 2, 1.0)
+        |new ratings(3, 4, 5.0)
+        |func recommend(liked_movie_ids) {
+        |    liked_ratings = ratings[movieId in liked_movie_ids]
+        |    user_similarity = liked_ratings {
+        |        userId
+        |          =>
+        |        similarity_score: sum(rating)
+        |    }
+        |    unseen_ratings = ratings[movieId !in liked_movie_ids]
+        |    unseen_ratings_with_similarity = \
+        |        join(
+        |            rating: unseen_ratings.userId,
+        |            rater: user_similarity.userId
+        |        ) {
+        |            rater.similarity_score
+        |            ...rating
+        |        }
+        |    movie_score = unseen_ratings_with_similarity {
+        |        movieId
+        |          =>
+        |        score: sum(similarity_score * rating)
+        |    }
+        |    return movie_score order{ ^score }
+        |}
+        |r = recommend([1])
+        |join(_: r, m: movies) { Movie: "* " + m.title, _.score } order { ^score }
+        |""".stripMargin
+    val out = rows(prog).map(row =>
+      (row.head._2, row.last._2.toString.toDouble))
+    // likes=[1] → sim u1=5, u2=3; unseen scores: C=5*4=20, D=3*2=6
+    assert(out == Seq(("* C", 20.0), ("* D", 6.0)))
+  }
+
   // ---- test_vectorized_logic ----------------------------------------------
 
   test("if/else-if chains vectorize (sign function)") {
