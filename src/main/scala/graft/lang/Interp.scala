@@ -361,7 +361,33 @@ object Interp {
         // a cached temp table, reference evaluate.py:178-185)
         env = env + (name ->
           VT(cat.temptable(name, evalTable(substitute(value)), const = true)))
-      case TableDef(name, fields, bare, methods) =>
+      case TableDef(name, fields, _, _, true) =>
+        // `table tracks { AlbumId: albums.AlbumId, ... }` — reflect
+        // the EXISTING table of this name, attaching the declared FK
+        // types to its columns; remaining columns pull through
+        // unchanged (reference evaluate.py:214-247; chinook.pql)
+        val existing = env.get(name) match {
+          case Some(VT(t)) => t
+          case _ => throw new NameError(
+            s"table $name {...}: no existing table '$name' to reflect")
+        }
+        val fks = fields.flatMap { cd =>
+          if (!existing.columns.contains(cd.name))
+            throw new NameError(
+              s"table $name {...}: no column '${cd.name}' to annotate")
+          if (cd.tpe.contains('.')) {
+            val Array(rt, rc) = cd.tpe.split("\\.", 2)
+            Some(graft.types.FK(cd.name, rt, rc))
+          } else if (env.get(cd.tpe).exists(_.isInstanceOf[VT]))
+            Some(graft.types.FK(cd.name, cd.tpe, "id"))
+          else None
+        }
+        env = env + (name -> VT(existing.withMeta(existing.meta.copy(
+          name = name,
+          fks = existing.meta.fks
+            .filterNot(f => fks.exists(_.column == f.column)) ++ fks))))
+
+      case TableDef(name, fields, bare, methods, _) =>
         // reference evaluate.py:262-267: empty table, auto `id` pk.
         // A non-primitive column type names a declared struct (nested
         // StructType column) or another table: the column stores that

@@ -186,7 +186,8 @@ object Ast {
                     default: Option[Expr] = None)
   case class TableDef(name: String, fields: Seq[ColDef],
                       bare: Boolean,
-                      methods: Seq[FuncDef] = Seq.empty) extends Stmt
+                      methods: Seq[FuncDef] = Seq.empty,
+                      ellipsis: Boolean = false) extends Stmt
   /** `struct Name { field: type ... }` — a declared value type usable
     * as a column type; unlike the reference (which flattens structs to
     * `parent_child` columns, types_impl.py:25-41), Spark has real
@@ -534,7 +535,15 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
         expectOp("{")
         val fields = Seq.newBuilder[ColDef]
         val methods = Seq.newBuilder[FuncDef]
+        var ellipsis = false
         while (!isOp("}")) {
+          if (isOp("...")) {
+            // `table tracks { AlbumId: albums.AlbumId, ... }` — pull
+            // the REMAINING columns from the existing table of this
+            // name (reference evaluate.py:214-247; examples/chinook.pql)
+            advance(); ellipsis = true
+            if (isOp(",")) advance()
+          } else
           // table METHODS (reference preql.lark:38 _table_contents =
           // table_cols func_defs; test_basic.py:701-729): `func` here
           // starts a method unless it's a column named func (func:)
@@ -581,7 +590,7 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
           if (isOp(",")) advance()
         }
         expectOp("}")
-        TableDef(name, fields.result(), bare, methods.result())
+        TableDef(name, fields.result(), bare, methods.result(), ellipsis)
       }
     } else if (isIdent("new")) {
       advance()

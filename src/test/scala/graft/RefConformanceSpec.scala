@@ -876,6 +876,41 @@ class RefConformanceSpec extends SparkSpec {
     assert(out == Seq(("* C", 20.0), ("* D", 6.0)))
   }
 
+  // ---- examples/chinook.pql: reflective DDL + relation declarations -------
+
+  test("chinook-style reflective DDL attaches FKs to loaded tables") {
+    import graft.dsl.PTable
+    // strip the loader's FK metadata — the POINT is that the partial
+    // DDL re-attaches it (reference chinook.pql: `table albums {
+    // ArtistId: artists.ArtistId, ... }` over a connected database)
+    def bare(n: String): (String, PTable) =
+      n -> PTable(graft.sources.Tables.load(spark, sf, n).df).named(n)
+    val prog =
+      """table nation { n_regionkey: region.r_regionkey, ... }
+        |table supplier { s_nationkey: nation.n_nationkey, ... }
+        |joined = join(s: supplier, n: nation, r: region) {
+        |    ...s !s_nationkey !s_acctbal
+        |    nation: n.n_name
+        |    region: r.r_name
+        |}
+        |joined order {s_suppkey}
+        |""".stripMargin
+    val df = Interp.run(spark, prog,
+      bare("supplier"), bare("nation"), bare("region")).df
+    val sup = graft.sources.Tables.load(spark, sf, "supplier").df
+    assert(df.count() == sup.count())
+    assert(df.columns.contains("nation") && df.columns.contains("region") &&
+      !df.columns.contains("s_nationkey"))
+    // grouped ellipsis keys with a collected value (chinook's
+    // tracks_with_categories shape)
+    val grouped = Interp.run(spark,
+      """table nation { n_regionkey: region.r_regionkey, ... }
+        |join(n: nation, r: region) { n.n_name => regions: r.r_name }
+        |""".stripMargin,
+      bare("nation"), bare("region")).df
+    assert(grouped.count() == 25)
+  }
+
   // ---- test_vectorized_logic ----------------------------------------------
 
   test("if/else-if chains vectorize (sign function)") {
