@@ -53,7 +53,7 @@ final class Catalog(val spark: SparkSession) {
     } else mutationCounts(name) = n
   }
 
-  def register(name: String, t: PTable): PTable = {
+  def register(name: String, t: PTable): PTable = synchronized {
     val named = t.withMeta(t.meta.copy(name = name))
     tables(name) = named
     idCounters.remove(name) // unknown id domain for the new binding
@@ -149,7 +149,7 @@ final class Catalog(val spark: SparkSession) {
       v
   }
 
-  def insertRow(name: String, values: Map[String, Any]): Row = {
+  def insertRow(name: String, values: Map[String, Any]): Row = synchronized {
     val t = get(name)
     // pk-less tables (bare DDL, `table a = [expr]` const tables) take
     // values as-given — no id generation (reference
@@ -170,7 +170,7 @@ final class Catalog(val spark: SparkSession) {
     * column matching by name; generated ids continue from current max
     * (reference evaluate.py:278-287, 810-847).
     */
-  def insertAll(name: String, rows: DataFrame): PTable = {
+  def insertAll(name: String, rows: DataFrame): PTable = synchronized {
     val t = get(name)
     val idCol = t.meta.pk.headOption.filter(t.columns.contains)
     val withId = idCol match {
@@ -197,14 +197,14 @@ final class Catalog(val spark: SparkSession) {
   }
 
   /** `t update {col: expr} [conds]` — copy-on-write rebind. */
-  def update(name: String, conds: Column, assignments: (String, Column)*): PTable = {
+  def update(name: String, conds: Column, assignments: (String, Column)*): PTable = synchronized {
     val t = get(name).update(conds)(assignments: _*)
     tables(name) = t
     t
   }
 
   /** `t delete [conds]` — keep non-matching rows, rebind. */
-  def delete(name: String, conds: Column): PTable = {
+  def delete(name: String, conds: Column): PTable = synchronized {
     val t = get(name).delete(conds)
     tables(name) = t
     t
@@ -229,7 +229,7 @@ final class Catalog(val spark: SparkSession) {
   /** Compact a mutation chain: materialize current plan (checkpoint-
     * style) so later reads don't replay every historical mutation.
     */
-  def materialize(name: String): PTable = {
+  def materialize(name: String): PTable = synchronized {
     val t = get(name)
     val compacted = PTable(t.df.localCheckpoint(eager = true), t.meta)
     tables(name) = compacted
@@ -240,17 +240,21 @@ final class Catalog(val spark: SparkSession) {
   /** `transaction { ... }` — snapshot bindings; rollback restores them.
     * Nested via a snapshot stack.
     */
-  def begin(): Unit = snapshots = tables.toMap :: snapshots
+  def begin(): Unit = synchronized { snapshots = tables.toMap :: snapshots }
 
-  def commit(): Unit = snapshots = snapshots match {
-    case _ :: rest => rest
-    case Nil       => Nil
+  def commit(): Unit = synchronized {
+    snapshots = snapshots match {
+      case _ :: rest => rest
+      case Nil       => Nil
+    }
   }
 
-  def rollback(): Unit = snapshots match {
-    case snap :: rest =>
-      tables.clear(); tables ++= snap; snapshots = rest
-    case Nil => ()
+  def rollback(): Unit = synchronized {
+    snapshots match {
+      case snap :: rest =>
+        tables.clear(); tables ++= snap; snapshots = rest
+      case Nil => ()
+    }
   }
 
   def transaction[T](body: => T): T = {

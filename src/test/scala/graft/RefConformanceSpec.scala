@@ -911,6 +911,24 @@ class RefConformanceSpec extends SparkSpec {
     assert(grouped.count() == 25)
   }
 
+  // ---- test_threading -----------------------------------------------------
+
+  test("concurrent inserts through one catalog land exactly once") {
+    // reference test_threading: 100 threads calling `new a(n)` on a
+    // shared interpreter — every row lands, none lost to races
+    val cat = new graft.catalog.Catalog(spark)
+    cat.register("a", graft.dsl.PTable.fromList(spark, Seq(0L)).named("a"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1L to 100L).map(n => Future {
+      cat.insertRow("a", Map("item" -> n))
+    })
+    Await.result(Future.sequence(fs), 120.seconds)
+    val vals = cat.get("a").df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(vals == (0L to 100L))
+  }
+
   // ---- test_vectorized_logic ----------------------------------------------
 
   test("if/else-if chains vectorize (sign function)") {
