@@ -435,6 +435,28 @@ object SparkEntry {
       graft.ext.Dedup.minhashPairs(augDocs(s, d), "doc_id", "text", 0.8,
         hasher = graft.ext.Dedup.fastHasher)),
 
+    // the composed end-to-end preprocessing shape every training-data
+    // pipeline runs: quality gate → language gate → exact-dup removal
+    // (keep lowest id per fingerprint) → per-doc stats. One scan
+    // computes every signal; the only shuffles are the dedup groupBy
+    // (16-byte fp + id) and the keep-list join.
+    "x21_preprocess_pipeline" -> ((s, d) => {
+      val TA = graft.ext.TextAnalysis
+      val scored = t(s, d, "documents").df.select(
+        col("doc_id"), col("text"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.langId(col("text")).as("lang"),
+        TA.qualityScore(col("text")).as("q"))
+      val gated = scored.filter(col("q") >= 0.15 &&
+        col("lang") === "en" && col("n_tokens") >= 5)
+      val keep = gated
+        .select(TA.fingerprint(col("text")).as("fp"), col("doc_id"))
+        .groupBy("fp").agg(F.min(col("doc_id")).as("doc_id"))
+        .drop("fp")
+      gated.join(keep, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("q"))
+    }),
+
     // deployable signature throughput (xxhash64) — the x06 twin minus
     // the md5 oracle-portability tax; rows-only like x19
     "x20_minhash_sig_fast" -> ((s, d) =>
@@ -1303,6 +1325,46 @@ object SparkEntry {
                 ELSE 'und' END AS lang_pred,
            en_score
          FROM sc""",
+    "x21_preprocess_pipeline" ->
+      """WITH f AS (
+           SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt,
+             CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tc,
+             length(regexp_replace(text, '\s+', '', 'g')) AS nws,
+             length(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS na
+           FROM documents
+         ), scored AS (
+           SELECT doc_id, text, CAST(tc AS INT) AS n_tokens,
+             (least(CAST(tc AS DOUBLE) / 50.0, 1.0)
+               * least(1.0, 1000.0 / greatest(CAST(tc AS DOUBLE), 1.0))
+               * (CASE WHEN (CASE WHEN tc = 0 THEN 0.0 ELSE CAST(nws AS DOUBLE) / tc END) < 3.0
+                         OR (CASE WHEN tc = 0 THEN 0.0 ELSE CAST(nws AS DOUBLE) / tc END) > 10.0
+                       THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(na AS DOUBLE) / length(text) END)) AS q,
+             CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' a ', ''))) / 3
+               + (length(pt) - length(replace(pt, ' and ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' of ', ''))) / 4 AS BIGINT) AS en_score,
+             CAST((length(pt) - length(replace(pt, ' el ', ''))) / 4
+               + (length(pt) - length(replace(pt, ' la ', ''))) / 4
+               + (length(pt) - length(replace(pt, ' de ', ''))) / 4
+               + (length(pt) - length(replace(pt, ' y ', ''))) / 3 AS BIGINT) AS es_score,
+             CAST((length(pt) - length(replace(pt, ' der ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' die ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' und ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' das ', ''))) / 5 AS BIGINT) AS de_score
+           FROM f
+         ), gated AS (
+           SELECT * FROM scored
+           WHERE q >= 0.15 AND n_tokens >= 5
+             AND en_score >= es_score AND en_score >= de_score AND en_score > 0
+         ), keep AS (
+           SELECT min(doc_id) AS doc_id
+           FROM gated
+           GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
+         )
+         SELECT g.doc_id, g.n_tokens, g.q
+         FROM gated g JOIN keep k ON g.doc_id = k.doc_id""",
     "x05_quality" ->
       """WITH f AS (
            SELECT doc_id, text,
