@@ -111,6 +111,19 @@ class PlanQualitySpec extends SparkSpec {
         s"embedded centroid array (zero shuffle):\n$p")
   }
 
+  test("preprocessing pipeline: one scan, shuffles only for dedup") {
+    val p = planOf("x21_preprocess_pipeline")
+    // every text signal (tokens/lang/quality) must compute in the scan
+    // projection — more than one parquet scan means the pipeline
+    // re-reads the corpus per signal (at 100 TB: per-signal IO)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"expected at most 2 scans (gated + keep), got $scans:\n$p")
+    // shuffles: the fingerprint groupBy (+AQE reuse); the keep-list
+    // join should broadcast or reuse, never add a third full exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"too many shuffles ($exchanges):\n$p")
+  }
+
   test("LSH signature embeds the plane matrix — no per-row md5") {
     // the md5-derived plane constants must be computed at plan-build
     // time; an md5 call surviving into the plan means they re-evaluate

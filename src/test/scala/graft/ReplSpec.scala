@@ -66,4 +66,22 @@ class ReplSpec extends SparkSpec {
     assert(Repl.complete("hello = [1] {item, item+2}\nhel",
       env).contains("hello"))
   }
+
+  test("complete: never throws on any program prefix (progressive)") {
+    // reference test_autocomplete progressive_test: completion must
+    // stay total over every prefix, including mid-string/mid-bracket
+    val env = Map(
+      "nation" -> graft.sources.Tables.load(spark, sf, "nation"))
+    val prog =
+      """func get(logins) {
+        |    matched = leftjoin(l: logins.item, u: nation.n_nationkey)
+        |    existing = matched[u != null] {u.n_name}
+        |    return existing + nation[n_regionkey == 1]{n_name}
+        |}
+        |x = "a } [ ( string"
+        |get([1,2,3]) order {n_name}""".stripMargin
+    (1 to prog.length).foreach { i =>
+      Repl.complete(prog.take(i), env) // must not throw
+    }
+  }
 }
