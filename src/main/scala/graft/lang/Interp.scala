@@ -727,6 +727,27 @@ object Interp {
         scalarToAst(tt.df.agg(a).head().get(0))
       case Call("is_empty", Seq(Arg(None, te))) if isTableExpr(te) =>
         BoolLit(evalTable(te).df.isEmpty)
+      // `help()` / `help(obj)` — a brief summary string (reference
+      // pql_functions.py:735-783)
+      case Call("help", Seq()) =>
+        StrLit("To see the list of functions and objects available " +
+          "in the namespace, type 'names()'\nTo get help for a " +
+          "specific object, type 'help(an_object)'")
+      case Call("help", Seq(Arg(None, Ident(n)))) =>
+        StrLit(
+          if (funcs.contains(n)) {
+            val fd = funcs(n)
+            s"func $n(" + fd.params.map(p =>
+              p.name + p.tpe.map(": " + _).getOrElse("") +
+                p.default.map(_ => " = ...").getOrElse("")).mkString(", ") +
+              fd.collector.map(c => s", ...$c").getOrElse("") + ")"
+          } else env.get(n) match {
+            case Some(VT(t)) =>
+              s"table $n {" + t.schema.fields.map(f =>
+                s"${f.name}: ${refTypeName(f.dataType)}").mkString(", ") + "}"
+            case Some(VS(v)) => s"$n = $v"
+            case None => throw new NameError(s"unknown name '$n'")
+          })
       // `type(f)` of a user function surfaces its annotated signature
       // (reference test_user_functions2: T.function[T.int, ...])
       case Call("type", Seq(Arg(None, Ident(n)))) if funcs.contains(n) =>
@@ -1149,7 +1170,7 @@ object Interp {
       "page", "tables", "names", "columns", "env_vars", "bfs",
       "walk_tree", "graph.bfs", "graph.walk_tree", "SQL", "char_range",
       "limit_offset", "table_concat", "table_union", "table_intersect",
-      "table_substract")
+      "table_substract", "force_eval")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1279,6 +1300,9 @@ object Interp {
           graft.sqlesc.SqlEscape.sqlTyped(spark, text, 1000, selfCols,
             tableVars.result(): _*)
         case "temptable" =>
+          PTable(t(args.head.value).df.localCheckpoint(true))
+        case "force_eval" => // materialize NOW (reference
+          // pql_functions.py:125-130): same plan-cut as temptable
           PTable(t(args.head.value).df.localCheckpoint(true))
         case "sample_ratio_fast" =>
           // reference __builtins__.pql:515-518: tbl[random() < ratio]

@@ -929,6 +929,18 @@ class RefConformanceSpec extends SparkSpec {
     assert(vals == (0L to 100L))
   }
 
+  // ---- help / force_eval --------------------------------------------------
+
+  test("help summarizes names; force_eval materializes in place") {
+    assert(one("help()").toString.contains("names()"))
+    assert(one("func f(x: int, y = 2) = x + y\nhelp(f)") ==
+      "func f(x: int, y = ...)")
+    assert(one("table A { x: int }\nhelp(A)") ==
+      "table A {id: int, x: int}")
+    assert(col0("list(force_eval([1,2,3]{item * 2}))")
+      .map(_.toString.toLong) == Seq(2L, 4L, 6L))
+  }
+
   // ---- test_vectorized_logic ----------------------------------------------
 
   test("if/else-if chains vectorize (sign function)") {
