@@ -74,6 +74,27 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_simhash")
 
+  /** Streaming twin of the batch preprocessing pipeline
+    * (x21_preprocess_pipeline): quality gate → language gate →
+    * near-dup admission, continuously. The text signals are pure
+    * expressions (computed in the scan stage, no state); the ONLY
+    * stateful operator is the simhash admission, bounded by the
+    * watermark horizon — the shape that ingests a 100 TB/day corpus
+    * with per-microbatch cost proportional to new data only.
+    */
+  def preprocessStream(docs: DataFrame, tsCol: String, watermark: String,
+                       textCol: String, minQuality: Double = 0.15,
+                       lang: String = "en", minTokens: Int = 5): DataFrame = {
+    val TA = graft.ext.TextAnalysis
+    val gated = docs
+      .withColumn("n_tokens", TA.tokenCount(col(textCol)))
+      .withColumn("lang", TA.langId(col(textCol)))
+      .withColumn("q", TA.qualityScore(col(textCol)))
+      .filter(col("q") >= minQuality && col("lang") === lang &&
+        col("n_tokens") >= minTokens)
+    nearDupStreamSimhash(gated, tsCol, watermark, textCol)
+  }
+
   /** Streaming MinHash-LSH near-dup band admissions: each document
     * explodes to its (band, bucket) keys; a band row is ADMITTED if
     * that (band, bucket) was not seen within the watermark horizon.

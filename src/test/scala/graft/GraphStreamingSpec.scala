@@ -119,6 +119,31 @@ class GraphStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming preprocessing pipeline gates quality/lang and dedups") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.preprocessStream(df, "ts", "1 hour", "text",
+        minQuality = 0.05, minTokens = 5)
+      .writeStream.format("memory").queryName("preprocess_stream_test")
+      .outputMode(OutputMode.Append()).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val good = "the quick brown fox jumps over the lazy dog and runs off"
+    mem.addData(
+      (ts(1), 1L, good),
+      (ts(2), 2L, good),                    // near-dup → dropped
+      (ts(3), 3L, "el gato y la casa de la playa es de la abuela"), // es → gated
+      (ts(4), 4L, "too short"),             // < minTokens → gated
+      (ts(5), 5L, "the house and the tree of a very green garden of mine"))
+    q.processAllAvailable()
+    val out = spark.table("preprocess_stream_test")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L, 5L))
+    // the gating signals ride along in the output schema
+    assert(Seq("n_tokens", "lang", "q").forall(out.columns.contains))
+    q.stop()
+  }
+
   test("streaming minhash band admissions: copies collide on every band") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
