@@ -190,9 +190,46 @@ object Repl {
     println(s"graft repl — tables: ${env.keys.toSeq.sorted.mkString(", ")}")
     println("multi-line blocks close on balanced brackets; " +
       ":tables :schema :explain :rows :complete :quit")
+    // interactive line reader with TAB completion when a terminal is
+    // available (jline ships with Spark); plain stdin otherwise —
+    // completion logic stays in `complete` either way
+    val readLine: String => Option[String] =
+      try {
+        val terminal = org.jline.terminal.TerminalBuilder.builder()
+          .system(true).dumb(true).build()
+        val completer = new org.jline.reader.Completer {
+          override def complete(rd: org.jline.reader.LineReader,
+                                line: org.jline.reader.ParsedLine,
+                                cands: java.util.List[org.jline.reader.Candidate]): Unit = {
+            val upToCursor = line.line().substring(0, line.cursor())
+            val word = line.word()
+            // a dotted word replaces only its trailing segment
+            val keepPrefix = word.lastIndexOf('.') match {
+              case -1 => ""
+              case i => word.substring(0, i + 1)
+            }
+            Repl.complete(upToCursor, env, prelude).foreach { c =>
+              cands.add(new org.jline.reader.Candidate(keepPrefix + c))
+            }
+          }
+        }
+        val reader = org.jline.reader.LineReaderBuilder.builder()
+          .terminal(terminal).completer(completer).build()
+        (prompt: String) =>
+          try Some(reader.readLine(prompt))
+          catch {
+            case _: org.jline.reader.EndOfFileException => None
+            case _: org.jline.reader.UserInterruptException => Some("")
+          }
+      } catch {
+        case _: Throwable => (prompt: String) => {
+          print(prompt); Console.flush()
+          Option(StdIn.readLine())
+        }
+      }
     var running = true
     while (running) {
-      val unit = readUnit()
+      val unit = readUnit(readLine)
       unit match {
         case None => running = false
         case Some(u) if u.trim == ":quit" => running = false
@@ -237,19 +274,15 @@ object Repl {
   /** Read one input unit, continuing across lines until brackets
     * balance. Returns None on EOF.
     */
-  private def readUnit(): Option[String] = {
-    print("graft> ")
-    Console.flush()
-    val first = StdIn.readLine()
-    if (first == null) return None
+  private def readUnit(readLine: String => Option[String]): Option[String] = {
+    val first = readLine("graft> ").getOrElse(return None)
     val buf = new StringBuilder(first)
     while (openDepth(buf.toString) > 0 ||
            buf.toString.trim.endsWith("\\")) {
-      print("....>  ")
-      Console.flush()
-      val more = StdIn.readLine()
-      if (more == null) return Some(buf.toString)
-      buf.append('\n').append(more)
+      readLine("....>  ") match {
+        case None => return Some(buf.toString)
+        case Some(more) => buf.append('\n').append(more)
+      }
     }
     Some(buf.toString)
   }
