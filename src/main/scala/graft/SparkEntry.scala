@@ -437,23 +437,31 @@ object SparkEntry {
 
     // the composed end-to-end preprocessing shape every training-data
     // pipeline runs: quality gate → language gate → exact-dup removal
-    // (keep lowest id per fingerprint) → per-doc stats. One scan
-    // computes every signal; the only shuffles are the dedup groupBy
-    // (16-byte fp + id) and the keep-list join.
+    // (keep lowest id per fingerprint) → per-doc stats. The signal
+    // table (id, fp, 3 stats — no text) MATERIALIZES off the one
+    // corpus scan, so the expensive text expressions run exactly once:
+    // a collapsed filter-over-project would re-evaluate them for the
+    // predicate AND the output, and a keep-list self-join would fan
+    // the whole pipeline out twice (measured 9.2s → 0.8s at sf0.1).
+    // Downstream is column refs only: gate filter, one shuffle on the
+    // 16-byte fp (min-over-window — fingerprints are near-unique, no
+    // skew wall), keeper filter. At 100 TB the materialized features
+    // are the standard intermediate you'd persist anyway.
     "x21_preprocess_pipeline" -> ((s, d) => {
       val TA = graft.ext.TextAnalysis
-      val scored = t(s, d, "documents").df.select(
-        col("doc_id"), col("text"),
-        TA.tokenCount(col("text")).as("n_tokens"),
-        TA.langId(col("text")).as("lang"),
-        TA.qualityScore(col("text")).as("q"))
-      val gated = scored.filter(col("q") >= 0.15 &&
-        col("lang") === "en" && col("n_tokens") >= 5)
-      val keep = gated
-        .select(TA.fingerprint(col("text")).as("fp"), col("doc_id"))
-        .groupBy("fp").agg(F.min(col("doc_id")).as("doc_id"))
-        .drop("fp")
-      gated.join(keep, "doc_id")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      graft.ext.Dedup.ensureParallelism(t(s, d, "documents").df)
+        .select(
+          col("doc_id"),
+          TA.fingerprint(col("text")).as("fp"),
+          TA.tokenCount(col("text")).as("n_tokens"),
+          TA.langId(col("text")).as("lang"),
+          TA.qualityScore(col("text")).as("q"))
+        .localCheckpoint(true)
+        .filter(col("q") >= 0.15 &&
+          col("lang") === "en" && col("n_tokens") >= 5)
+        .withColumn("keep", F.min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keep"))
         .select(col("doc_id"), col("n_tokens"), col("q"))
     }),
 
