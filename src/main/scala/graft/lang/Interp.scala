@@ -1170,7 +1170,7 @@ object Interp {
       "page", "tables", "names", "columns", "env_vars", "bfs",
       "walk_tree", "graph.bfs", "graph.walk_tree", "SQL", "char_range",
       "limit_offset", "table_concat", "table_union", "table_intersect",
-      "table_substract", "force_eval")
+      "table_substract", "force_eval", "describe")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1304,6 +1304,29 @@ object Interp {
         case "force_eval" => // materialize NOW (reference
           // pql_functions.py:125-130): same plan-cut as temptable
           PTable(t(args.head.value).df.localCheckpoint(true))
+        case "describe" =>
+          // per-numeric-column summary stats (reference
+          // __builtins__.pql:656-687) — ONE distributed aggregate over
+          // every column at once, reshaped driver-side (a single row
+          // travels to the driver regardless of table size)
+          val tt = t(args.head.value)
+          val nums = tt.df.schema.fields
+            .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+          if (nums.isEmpty)
+            throw new TypeError("describe: table has no numeric columns")
+          val aggs = nums.flatMap(c => Seq(
+            F.count(col(c)).as(s"${c}__n"),
+            F.avg(col(c)).as(s"${c}__mean"),
+            F.min(col(c)).cast(DoubleType).as(s"${c}__min"),
+            F.max(col(c)).cast(DoubleType).as(s"${c}__max"),
+            F.stddev_samp(col(c)).as(s"${c}__std")))
+          val row = tt.df.agg(aggs.head, aggs.tail: _*).head()
+          val rows = nums.zipWithIndex.map { case (c, i) =>
+            Seq[Any](c, row.getLong(i * 5), row.get(i * 5 + 1),
+              row.get(i * 5 + 2), row.get(i * 5 + 3), row.get(i * 5 + 4))
+          }
+          PTable.fromRows(spark,
+            Seq("column", "count", "mean", "min", "max", "std"), rows)
         case "sample_ratio_fast" =>
           // reference __builtins__.pql:515-518: tbl[random() < ratio]
           t(args.head.value).sampleRatioFast(constDouble(args(1).value))

@@ -931,6 +931,22 @@ class RefConformanceSpec extends SparkSpec {
 
   // ---- help / force_eval --------------------------------------------------
 
+  test("describe summarizes every numeric column in one pass") {
+    val r = rows(
+      """table A { x: int, y: float }
+        |new A(1, 10.0)
+        |new A(2, 20.0)
+        |new A(3, 60.0)
+        |describe(A) order {column}""".stripMargin)
+    assert(r.map(_.head._2) == Seq("id", "x", "y"))
+    val y = r.last.toMap
+    assert(y("count").toString.toLong == 3L)
+    assert(y("mean").toString.toDouble == 30.0)
+    assert(y("min").toString.toDouble == 10.0 &&
+      y("max").toString.toDouble == 60.0)
+    intercept[TypeError] { one("describe([\"a\", \"b\"])") }
+  }
+
   test("help summarizes names; force_eval materializes in place") {
     assert(one("help()").toString.contains("names()"))
     assert(one("func f(x: int, y = 2) = x + y\nhelp(f)") ==
