@@ -441,16 +441,17 @@ object SparkEntry {
     // table (id, fp, 3 stats — no text) MATERIALIZES off the one
     // corpus scan, so the expensive text expressions run exactly once:
     // a collapsed filter-over-project would re-evaluate them for the
-    // predicate AND the output, and a keep-list self-join would fan
-    // the whole pipeline out twice (measured 9.2s → 0.8s at sf0.1).
-    // Downstream is column refs only: gate filter, one shuffle on the
-    // 16-byte fp (min-over-window — fingerprints are near-unique, no
-    // skew wall), keeper filter. At 100 TB the materialized features
-    // are the standard intermediate you'd persist anyway.
+    // predicate AND the output, and a self-join over the UNmaterialized
+    // pipeline would fan the whole thing out twice (measured 9.2s →
+    // 0.8s at sf0.1). Dedup is a partial-aggregated groupBy-min plus an
+    // fp equi-join — both AQE-skew-handled, unlike a min-over-window,
+    // which would funnel a boilerplate-heavy fingerprint (empty docs,
+    // duplicated headers — common in web corpora) through one task.
+    // At 100 TB the materialized features are the standard persisted
+    // intermediate.
     "x21_preprocess_pipeline" -> ((s, d) => {
       val TA = graft.ext.TextAnalysis
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-      graft.ext.Dedup.ensureParallelism(t(s, d, "documents").df)
+      val gated = graft.ext.Dedup.ensureParallelism(t(s, d, "documents").df)
         .select(
           col("doc_id"),
           TA.fingerprint(col("text")).as("fp"),
@@ -460,8 +461,9 @@ object SparkEntry {
         .localCheckpoint(true)
         .filter(col("q") >= 0.15 &&
           col("lang") === "en" && col("n_tokens") >= 5)
-        .withColumn("keep", F.min(col("doc_id")).over(w))
-        .filter(col("doc_id") === col("keep"))
+      val keep = gated.groupBy(col("fp"))
+        .agg(F.min(col("doc_id")).as("doc_id"))
+      gated.join(keep, Seq("fp", "doc_id"))
         .select(col("doc_id"), col("n_tokens"), col("q"))
     }),
 
