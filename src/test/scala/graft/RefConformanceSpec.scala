@@ -957,6 +957,41 @@ class RefConformanceSpec extends SparkSpec {
       .map(_.toString.toLong) == Seq(2L, 4L, 6L))
   }
 
+  // ---- tests/simple2.pql (implicit joins through FK attrs/backrefs) -------
+
+  test("simple2.pql runs verbatim: dotted FK attrs and backrefs") {
+    val script = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/simple2.pql")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def q(result: String): Seq[Seq[(String, Any)]] =
+      rows(script + "\n" + result)
+    assert(q("english_speakers {name} order {name}").map(_.head._2) ==
+      Seq("Eric Blaire", "H.G. Wells", "John Steinbeck"))
+    assert(q("person_and_language order {name}")
+      .map(r => (r.head._2, r.last._2)).toSet ==
+      Set(("Erez Shinan", "he"), ("Ephraim Kishon", "he"),
+        ("Eric Blaire", "en"), ("H.G. Wells", "en"),
+        ("John Steinbeck", "en")))
+    val cbl = q("country_by_language order {language}")
+    assert(cbl.map(_.head._2) == Seq("en", "he"))
+    assert(cbl.map(_.last._2.asInstanceOf[scala.collection.Seq[Any]].toSet) ==
+      Seq(Set("England", "United States"), Set("Israel")))
+    assert(q("population_count order {name}")
+      .map(r => (r.head._2, r.last._2.toString.toLong)) ==
+      Seq(("England", 2L), ("Israel", 2L), ("United States", 1L)))
+    assert(q("population_count2 order {name}")
+      .map(r => (r.head._2, r.last._2.toString.toLong)) ==
+      Seq(("England", 2L), ("Israel", 2L), ("United States", 1L)))
+    val cl = q("citizens_list order {name}")
+    assert(cl.map(_.last._2.asInstanceOf[scala.collection.Seq[Any]].toSet) ==
+      Seq(Set("Eric Blaire", "H.G. Wells"),
+        Set("Ephraim Kishon", "Erez Shinan"), Set("John Steinbeck")))
+    assert(q("person_and_country order {id}").map(_.last._2) ==
+      Seq("Israel", "Israel", "England", "England", "United States"))
+    assert(q("explicit_join {p.name} order {name}").map(_.head._2) ==
+      Seq("Eric Blaire", "H.G. Wells", "John Steinbeck"))
+  }
+
   // ---- test_vectorized_logic ----------------------------------------------
 
   test("if/else-if chains vectorize (sign function)") {
