@@ -992,6 +992,34 @@ class RefConformanceSpec extends SparkSpec {
       Seq("Eric Blaire", "H.G. Wells", "John Steinbeck"))
   }
 
+  // ---- tests/box_circle.pql (struct columns, const tables) ----------------
+
+  test("box_circle.pql runs verbatim: struct geometry queries") {
+    val script = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/box_circle.pql")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def q(result: String): Seq[Seq[(String, Any)]] =
+      rows(script + "\n" + result)
+    // circle1 (3,3 r2) fits only box1 (1,1)-(10,10)
+    val c1 = q("circles_contained1() {r}")
+    assert(c1.map(_.head._2.toString.toDouble) == Seq(2.0))
+    val c2 = q("circles_contained2() {r}")
+    assert(c2.map(_.head._2.toString.toDouble) == Seq(2.0))
+    assert(q("tmp1 {sx: start.x}").length == 2)
+    assert(q("tmp2 {ex: end.x}").length == 1)
+  }
+
+  // ---- examples/fizzbuzz.pql ----------------------------------------------
+
+  test("fizzbuzz.pql runs verbatim") {
+    val script = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/examples/fizzbuzz.pql")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val out = col0(script + "\nlist([1..16]{fizzbuzz(item)})")
+    assert(out == Seq("1", "2", "Fizz", "4", "Buzz", "Fizz", "7", "8",
+      "Fizz", "Buzz", "11", "Fizz", "13", "14", "FizzBuzz"))
+  }
+
   // ---- test_vectorized_logic ----------------------------------------------
 
   test("if/else-if chains vectorize (sign function)") {
