@@ -1170,7 +1170,8 @@ object Interp {
       "page", "tables", "names", "columns", "env_vars", "bfs",
       "walk_tree", "graph.bfs", "graph.walk_tree", "SQL", "char_range",
       "limit_offset", "table_concat", "table_union", "table_intersect",
-      "table_substract", "force_eval", "describe")
+      "table_substract", "force_eval", "describe",
+      "zipjoin", "zipjoin_left", "zipjoin_longest")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1241,6 +1242,24 @@ object Interp {
           val elem = sparkTypeOf(fn.substring(5, fn.length - 1))
           val tt = t(args.head.value)
           tt.project(NamedCol("item", col(tt.columns.head).cast(elem)))
+        // positional joins (reference __builtins__.pql:211-257) —
+        // sides may be named (`zipjoin(a: x, b: y)`) or positional
+        case "zipjoin" | "zipjoin_left" | "zipjoin_longest" =>
+          val sides = args.map(a => t(a.value))
+          if (sides.length != 2)
+            throw new TypeError(s"$fn expects 2 tables, got ${sides.length}")
+          val names = args.zipWithIndex.map { case (a, i) =>
+            a.name.getOrElse(if (i == 0) "a" else "b")
+          }
+          val joined = fn match {
+            case "zipjoin" => Joins.zipjoin(sides(0), sides(1))
+            case "zipjoin_left" => Joins.zipjoinLeft(sides(0), sides(1))
+            case _ => Joins.zipjoinLongest(sides(0), sides(1))
+          }
+          // rename the struct sides to the caller's aliases
+          joined.project(
+            NamedCol(names(0), col(joined.columns(0))),
+            NamedCol(names(1), col(joined.columns(1))))
         case "char_range" => // inclusive character range (reference
           // __builtins__.pql char_range via char/char_ord)
           val from = constString(args(0).value)

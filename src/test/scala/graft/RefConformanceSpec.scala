@@ -1020,6 +1020,19 @@ class RefConformanceSpec extends SparkSpec {
       "Fizz", "Buzz", "11", "Fizz", "13", "14", "FizzBuzz"))
   }
 
+  // ---- zipjoin family in the language -------------------------------------
+
+  test("zipjoin/_left/_longest pair rows positionally in the language") {
+    val r = rows("zipjoin(a: [10, 20, 30], b: [\"x\", \"y\"]) {a.item, b.item}")
+    assert(r.map(row => (row.head._2.toString.toLong, row.last._2)) ==
+      Seq((10L, "x"), (20L, "y")))
+    val l = rows("zipjoin_left(a: [10, 20, 30], b: [\"x\", \"y\"]) {a.item, b.item}")
+    assert(l.map(row => (row.head._2.toString.toLong, row.last._2)) ==
+      Seq((10L, "x"), (20L, "y"), (30L, null)))
+    val g = rows("zipjoin_longest(a: [10], b: [\"x\", \"y\"]) {b.item}")
+    assert(g.map(_.head._2) == Seq("x", "y"))
+  }
+
   // ---- test_vectorized_logic ----------------------------------------------
 
   test("if/else-if chains vectorize (sign function)") {
