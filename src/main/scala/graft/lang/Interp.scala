@@ -1171,7 +1171,7 @@ object Interp {
       "walk_tree", "graph.bfs", "graph.walk_tree", "SQL", "char_range",
       "limit_offset", "table_concat", "table_union", "table_intersect",
       "table_substract", "force_eval", "describe",
-      "zipjoin", "zipjoin_left", "zipjoin_longest")
+      "zipjoin", "zipjoin_left", "zipjoin_longest", "map_range")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1260,6 +1260,31 @@ object Interp {
           joined.project(
             NamedCol(names(0), col(joined.columns(0))),
             NamedCol(names(1), col(joined.columns(1))))
+        case "map_range" =>
+          // reference __builtins__.pql:592-656: each row fans out to a
+          // range of i values; int bounds are [start, end), FUNCTION
+          // bounds apply per row to `item` and are inclusive (the
+          // reference filters i <= end(item) after a global range —
+          // a per-row sequence produces the same rows without the
+          // global min/max probe or over-generation)
+          val tt = t(args(0).value)
+          val sch = Some(tt.df.schema)
+          def bound(e: Expr): (Boolean, Column) =
+            tryScalar(resolveScalars(e)) match {
+              case Some(l: Long) => (true, lit(l))
+              case _ =>
+                val applied = e match {
+                  case Ident(f2) => Call(f2, Seq(Arg(None, Ident("item"))))
+                  case o => o
+                }
+                (false, evalCol(inline(applied, funcs), sch))
+            }
+          val (_, sCol) = bound(args(1).value)
+          val (eInt, eCol) = bound(args(2).value)
+          val hi = if (eInt) eCol - 1 else eCol
+          PTable(tt.df.select(
+            F.explode(F.sequence(sCol.cast(LongType), hi.cast(LongType)))
+              .as("i") +: tt.columns.map(col): _*))
         case "char_range" => // inclusive character range (reference
           // __builtins__.pql char_range via char/char_ord)
           val from = constString(args(0).value)

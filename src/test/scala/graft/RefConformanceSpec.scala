@@ -1033,6 +1033,26 @@ class RefConformanceSpec extends SparkSpec {
     assert(g.map(_.head._2) == Seq("x", "y"))
   }
 
+  // ---- map_range (reference __builtins__.pql:592-656) ---------------------
+
+  test("map_range fans each row out over int or per-row function bounds") {
+    val r1 = rows("map_range([\"a\", \"b\"], 0, 3)")
+      .map(row => (row.head._2.toString.toLong, row.last._2))
+    assert(r1.sortBy(p => (p._2.toString, p._1)) ==
+      Seq((0L, "a"), (1L, "a"), (2L, "a"), (0L, "b"), (1L, "b"), (2L, "b"))
+        .sortBy(p => (p._2.toString, p._1)))
+    // per-row FUNCTION bound, inclusive (docstring example)
+    val r2 = rows("map_range([\"a\", \"ab\"], 1, length)")
+      .map(row => (row.head._2.toString.toLong, row.last._2))
+    assert(r2.sortBy(p => (p._2.toString, p._1)) ==
+      Seq((1L, "a"), (1L, "ab"), (2L, "ab")))
+    // user func as the bound
+    val r3 = rows("func half(x) = x /~ 2\nmap_range([2, 4], 0, half)")
+      .map(row => (row.head._2.toString.toLong, row.last._2.toString.toLong))
+    assert(r3.sortBy(p => (p._2, p._1)) ==
+      Seq((0L, 2L), (1L, 2L), (0L, 4L), (1L, 4L), (2L, 4L)))
+  }
+
   // ---- test_vectorized_logic ----------------------------------------------
 
   test("if/else-if chains vectorize (sign function)") {
