@@ -714,7 +714,8 @@ object Interp {
       case c @ Call("count", Seq(Arg(None, te))) if isTableExpr(te) =>
         scalarToAst(localize(c))
       case o: OneE => scalarToAst(localize(o))
-      case Call(agg @ ("max" | "min" | "sum" | "mean" | "avg"),
+      case Call(agg @ ("max" | "min" | "sum" | "mean" | "avg" | "stddev" |
+                       "product" | "list_median" | "count_distinct"),
                 Seq(Arg(None, te))) if isTableExpr(te) =>
         val tt = evalTable(te)
         val c = col(tt.columns.head)
@@ -722,6 +723,10 @@ object Interp {
           case "max" => F.max(c)
           case "min" => F.min(c)
           case "sum" => F.sum(c)
+          case "stddev" => F.stddev_samp(c)
+          case "product" => PF.product(c.cast(DoubleType))
+          case "list_median" => F.percentile(c, lit(0.5))
+          case "count_distinct" => F.countDistinct(c)
           case _ => F.avg(c)
         }
         scalarToAst(tt.df.agg(a).head().get(0))

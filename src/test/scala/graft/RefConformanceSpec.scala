@@ -1035,6 +1035,14 @@ class RefConformanceSpec extends SparkSpec {
 
   // ---- map_range (reference __builtins__.pql:592-656) ---------------------
 
+  test("table-scalar aggregates localize: stddev/product/list_median") {
+    assert(numeq(one("list_median([1, 10, 100])"), 10.0))
+    assert(numeq(one("product([2, 3, 4])"), 24.0))
+    assert(numeq(one("count_distinct([1, 1, 2])"), 2))
+    assert(one("stddev([2, 4])").toString.toDouble > 1.41 &&
+      one("stddev([2, 4])").toString.toDouble < 1.42)
+  }
+
   test("map_range fans each row out over int or per-row function bounds") {
     val r1 = rows("map_range([\"a\", \"b\"], 0, 3)")
       .map(row => (row.head._2.toString.toLong, row.last._2))
