@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions.{col, lit, when}
 import org.apache.spark.sql.types._
@@ -530,12 +530,33 @@ object SparkEntry {
     }),
 
     // ---- ext: multimodal plumbing ----------------------------------------
-    "x13_multimodal_meta" -> ((s, d) =>
-      t(s, d, "documents").df.select(col("doc_id"),
-        graft.ext.Multimodal.blobMeta(col("text").cast(BinaryType)).as("m"))
+    // plants REAL format headers (PNG IHDR / GIF screen descriptor /
+    // JPEG SOI) with dimensions derived from doc_id, then asks
+    // blobMeta to sniff them back — the oracle recomputes the planted
+    // values from doc_id arithmetic, so a wrong parse mismatches
+    "x13_multimodal_meta" -> ((s, d) => {
+      def be32(c: Column) = F.unhex(F.lpad(F.hex(c), 8, "0"))
+      def le16(c: Column) = F.unhex(F.concat(
+        F.lpad(F.hex(c % 256), 2, "0"),
+        F.lpad(F.hex(F.floor(c / 256).cast(LongType)), 2, "0")))
+      val w = (col("doc_id") % 1920 + 1).cast(LongType)
+      val h = (col("doc_id") % 1080 + 1).cast(LongType)
+      val text = col("text").cast(BinaryType)
+      val blob = F.when(col("doc_id") % 4 === 0, F.concat(
+          F.unhex(lit("89504E470D0A1A0A0000000D49484452")),
+          be32(w), be32(h), text))
+        .when(col("doc_id") % 4 === 1, F.concat(
+          F.unhex(lit("474946383961")), le16(w), le16(h), text))
+        .when(col("doc_id") % 4 === 2,
+          F.concat(F.unhex(lit("FFD8FFE0")), text))
+        .otherwise(F.concat(F.unhex(lit("00000000")), text))
+      t(s, d, "documents").df
+        .select(col("doc_id"),
+          graft.ext.Multimodal.blobMeta(blob).as("m"))
         .select(col("doc_id"), col("m.n_bytes").as("n_bytes"),
           col("m.format").as("format"), col("m.width").as("width"),
-          col("m.height").as("height"))),
+          col("m.height").as("height"))
+    }),
 
     // ---- ext: time-bucket aggregation (batch face of streaming) ----------
     "x14_window_hourly" -> ((s, d) =>
@@ -1567,16 +1588,16 @@ object SparkEntry {
            FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
          ) WHERE sim >= 0.999""",
     "x13_multimodal_meta" ->
-      """WITH h AS (
-           SELECT doc_id, encode(text) AS blob,
-             ('0x' || substr(md5(md5(text)), 1, 15))::BIGINT AS hv
-           FROM documents
-         )
-         SELECT doc_id, CAST(octet_length(blob) AS BIGINT) AS n_bytes,
-           CASE WHEN hv % 3 = 0 THEN 'png' WHEN hv % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
-           CAST(hv % 1920 + 1 AS INT) AS width,
-           CAST((hv >> 16) % 1080 + 1 AS INT) AS height
-         FROM h""",
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) +
+             CASE WHEN doc_id % 4 = 0 THEN 24
+                  WHEN doc_id % 4 = 1 THEN 10 ELSE 4 END AS BIGINT) AS n_bytes,
+           CASE WHEN doc_id % 4 = 0 THEN 'png'
+                WHEN doc_id % 4 = 1 THEN 'gif'
+                WHEN doc_id % 4 = 2 THEN 'jpeg' ELSE 'unknown' END AS format,
+           CAST(CASE WHEN doc_id % 4 <= 1 THEN doc_id % 1920 + 1 ELSE 0 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 4 <= 1 THEN doc_id % 1080 + 1 ELSE 0 END AS INT) AS height
+         FROM documents""",
     "x14_window_hourly" ->
       """SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n,

@@ -113,7 +113,10 @@ object Similarity {
     * and IVF buffers size off it at plan-build time.
     */
   def probeDim(df: DataFrame, vecCol: String = "embedding"): Int =
-    df.select(F.size(col(vecCol))).head.getInt(0)
+    df.select(F.size(col(vecCol))).head(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => 1 // empty corpus: any dim yields an empty result set
+    }
 
   /** Bucketed ANN: exact cosine only within matching LSH buckets.
     * Trades recall for a single equi-join on the bucket id.

@@ -1175,7 +1175,7 @@ object Interp {
       "page", "tables", "names", "columns", "env_vars", "bfs",
       "walk_tree", "graph.bfs", "graph.walk_tree", "SQL", "char_range",
       "limit_offset", "table_concat", "table_union", "table_intersect",
-      "table_substract", "force_eval", "describe",
+      "table_substract", "table_subtract", "force_eval", "describe",
       "zipjoin", "zipjoin_left", "zipjoin_longest", "map_range")
 
     private def isTableExpr(e: Expr): Boolean = e match {
@@ -1287,8 +1287,14 @@ object Interp {
           val (_, sCol) = bound(args(1).value)
           val (eInt, eCol) = bound(args(2).value)
           val hi = if (eInt) eCol - 1 else eCol
+          // guard empty ranges: Spark's sequence(start, stop) steps
+          // -1 when start > stop; the reference (__builtins__.pql
+          // filter i <= end(item)) produces no rows there instead
+          val lo = sCol.cast(LongType)
+          val hiL = hi.cast(LongType)
           PTable(tt.df.select(
-            F.explode(F.sequence(sCol.cast(LongType), hi.cast(LongType)))
+            F.explode(F.when(lo <= hiL, F.sequence(lo, hiL))
+              .otherwise(F.array()))
               .as("i") +: tt.columns.map(col): _*))
         case "char_range" => // inclusive character range (reference
           // __builtins__.pql char_range via char/char_ord)
@@ -1398,7 +1404,11 @@ object Interp {
         case "table_concat" => t(args(0).value) + t(args(1).value)
         case "table_union" => t(args(0).value) | t(args(1).value)
         case "table_intersect" => t(args(0).value) & t(args(1).value)
-        case "table_substract" => t(args(0).value) - t(args(1).value)
+        // reference namespace key is 'table_subtract'
+        // (pql_functions.py:1111); the impl function carries the
+        // 'substract' typo — accept both spellings
+        case "table_substract" | "table_subtract" =>
+          t(args(0).value) - t(args(1).value)
         case "tables" =>
           // reference pql_functions.py:806-828 introspection
           val rows = env.collect { case (n, VT(_)) => Tuple1(n) }.toSeq

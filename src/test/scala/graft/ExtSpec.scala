@@ -334,6 +334,114 @@ class ExtSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.multimodal.realDecode")
   }
 
+  test("multimodal: REAL WAV blobs decode into sample stats") {
+    // write a genuine WAV in-memory (javax.sound.sampled ships with
+    // the JDK): 16-bit mono PCM sine at 8 kHz, amplitude 0.5
+    def wav(hz: Double, n: Int): Array[Byte] = {
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = (math.sin(2 * math.Pi * hz * i / 8000.0) * 0.5 * 32767).toInt
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    import spark.implicits._
+    val blobs = Seq(
+      (0L, wav(440.0, 8000)), (1L, wav(880.0, 4000)),
+      (2L, "definitely not audio".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])) // null must not NPE
+      .toDF("doc_id", "blob")
+    val out = Multimodal.decodeAudio(blobs, "blob", "doc_id")
+      .orderBy("id").collect()
+    assert(out.length == 4)
+    val r0 = out(0)
+    assert(r0.getBoolean(5), "real WAV must take the decode path")
+    assert(r0.getInt(2) == 8000 && r0.getInt(3) == 1)
+    assert(r0.getLong(4) == 8000L)
+    // sine RMS = amplitude / sqrt(2) ~= 0.3536, peak ~= 0.5
+    assert(math.abs(r0.getDouble(6) - 0.5 / math.sqrt(2)) < 0.01)
+    assert(math.abs(r0.getDouble(7) - 0.5) < 0.01)
+    assert(out(1).getBoolean(5) && out(1).getLong(4) == 4000L)
+    assert(!out(2).getBoolean(5) && !out(3).getBoolean(5))
+    assert(out(3).getLong(1) == 0L) // null blob -> 0 bytes, stub stats
+    // conf gate: realDecode=false forces the stub path
+    spark.conf.set("spark.graft.multimodal.realDecode", "false")
+    try assert(Multimodal.decodeAudio(blobs, "blob", "doc_id")
+      .collect().forall(!_.getBoolean(5)))
+    finally spark.conf.unset("spark.graft.multimodal.realDecode")
+  }
+
+  test("multimodal: blobMeta sniffs real format headers") {
+    def png2x2: Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    def gif3x2: Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(3, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "gif", bos)
+      bos.toByteArray
+    }
+    import spark.implicits._
+    val blobs = Seq(
+      (0L, png2x2), (1L, gif3x2),
+      (2L, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)),
+      (3L, "plain old text".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "blob")
+    val out = blobs.select(col("doc_id"),
+        Multimodal.blobMeta(col("blob")).as("m"))
+      .select(col("doc_id"), col("m.format"), col("m.width"),
+        col("m.height"), col("m.n_bytes"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "png" &&
+      out(0).getInt(2) == 2 && out(0).getInt(3) == 2)
+    assert(out(1).getString(1) == "gif" &&
+      out(1).getInt(2) == 3 && out(1).getInt(3) == 2)
+    assert(out(2).getString(1) == "jpeg" && out(2).getInt(2) == 0)
+    assert(out(3).getString(1) == "unknown")
+    assert(out(4).getString(1) == "unknown" && out(4).getLong(4) == 0L)
+  }
+
+  test("multimodal: malformed and null blobs never fail the decode job") {
+    def png2x2: Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    import spark.implicits._
+    val blobs = Seq(
+      (0L, png2x2),
+      (1L, png2x2.take(20)), // truncated header: decode throws inside
+      (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "blob")
+    val dec = Multimodal.decodeImage(blobs, "blob", "doc_id")
+      .orderBy("id").collect()
+    assert(dec(0).getBoolean(4))
+    assert(!dec(1).getBoolean(4) && !dec(2).getBoolean(4))
+    val feats = Multimodal.extractImageFeatures(blobs, "blob", "doc_id")
+    assert(feats.count() == 3)
+  }
+
+  test("similarity: empty corpus yields empty ANN results, no throw") {
+    val empty = emb.filter(col("vec_id") < 0)
+    assert(Similarity.lshTopK(emb.limit(2), empty, 5).count() == 0)
+    assert(Similarity.bruteForceTopK(emb.limit(2), empty, 5).count() == 0)
+  }
+
   test("multimodal: frame sampling keeps every nth frame per group") {
     val frames = spark.range(100).select(
       (col("id") % 5).as("video"), col("id").as("frame"))

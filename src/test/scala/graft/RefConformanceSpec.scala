@@ -802,6 +802,10 @@ class RefConformanceSpec extends SparkSpec {
       Seq(2L))
     assert(col0("table_substract([1,2], [2,3])").map(_.toString.toLong) ==
       Seq(1L))
+    // the reference registers the impl under 'table_subtract'
+    // (pql_functions.py:1111) — the real spelling must work too
+    assert(col0("table_subtract([1,2], [2,3])").map(_.toString.toLong) ==
+      Seq(1L))
     assert(col0("limit_offset([10..20], 3, 2)").map(_.toString.toLong) ==
       Seq(12L, 13L, 14L))
     assert(numeq(one("cast(5, float)"), 5.0))
@@ -1059,6 +1063,13 @@ class RefConformanceSpec extends SparkSpec {
       .map(row => (row.head._2.toString.toLong, row.last._2.toString.toLong))
     assert(r3.sortBy(p => (p._2, p._1)) ==
       Seq((0L, 2L), (1L, 2L), (0L, 4L), (1L, 4L), (2L, 4L)))
+    // EMPTY ranges drop the row (the reference filters i <= end(item))
+    // — Spark's sequence() would otherwise step -1 and emit [3, 2, 1]
+    assert(rows("map_range([\"a\"], 3, 1)").isEmpty)
+    // per-row bound below the start: only rows with room fan out
+    val r4 = rows("func less2(x) = x - 2\nmap_range([1, 4], 2, less2)")
+      .map(row => (row.head._2.toString.toLong, row.last._2.toString.toLong))
+    assert(r4.sortBy(p => (p._2, p._1)) == Seq((2L, 4L)))
   }
 
   // ---- test_vectorized_logic ----------------------------------------------
