@@ -699,6 +699,121 @@ object SparkEntry {
           "priorities" -> F.array_join(
             F.array_sort(F.collect_set(col("o.o_orderpriority"))), ",")).df),
 
+    // ---- composed analytics (qc-family): TPC-H-shaped multi-operator
+    // pipelines through the DSL — join → filter → group → window →
+    // top-k. The per-operator matrix proves each piece; these prove
+    // the PLANS compose the way you'd want at 100×: fixed-size dims
+    // (nation/region) force-broadcast, SF-scaled sides (customer/
+    // part/supplier) left to AQE's size-based choice, aggregates
+    // partial (map-side) with exact decimal sums, top-k as
+    // TakeOrderedAndProject with unique tiebreakers.
+
+    // qc1: TPC-H Q3 shape — shipping priority. customer is SF-scaled,
+    // so no forced broadcast; both date filters must reach the scans.
+    "qc1_shipping_priority" -> ((s, d) => {
+      val cutoff = lit("1998-06-01").cast(TimestampType)
+      Joins.joinN(Joins.Inner, Seq(
+          Joins.Side("l", t(s, d, "lineitem")),
+          Joins.Side("o", t(s, d, "orders")),
+          Joins.Side("c", t(s, d, "customer"))))
+        .where(PF.eq(col("c.c_mktsegment"), lit("BUILDING")),
+          col("o.o_orderdate") < cutoff,
+          col("l.l_shipdate") > cutoff)
+        .groupBy(
+          "l_orderkey" -> col("l.l_orderkey"),
+          "o_orderdate" -> col("o.o_orderdate"),
+          "o_orderpriority" -> col("o.o_orderpriority"))(
+          "revenue" -> PF.drevsum(col("l.l_extendedprice"),
+            col("l.l_discount")))
+        .orderBy(desc("revenue"), "l_orderkey")
+        .limit(10).df
+    }),
+
+    // qc2: TPC-H Q5 shape — local supplier volume. Six-table join;
+    // the supplier-nation = customer-nation triangle closes as a
+    // post-join predicate that Catalyst folds into the join.
+    "qc2_local_volume" -> ((s, d) =>
+      Joins.joinN(Joins.Inner, Seq(
+          Joins.Side("s", t(s, d, "supplier")),
+          Joins.Side("l", t(s, d, "lineitem")),
+          Joins.Side("o", t(s, d, "orders")),
+          Joins.Side("c", t(s, d, "customer")),
+          Joins.Side("n", t(s, d, "nation")),
+          Joins.Side("r", t(s, d, "region"))),
+        broadcastAliases = Set("n", "r"))
+        .where(col("s.s_nationkey") === col("c.c_nationkey"),
+          col("o.o_orderdate") >= lit("1996-01-01").cast(TimestampType),
+          col("o.o_orderdate") < lit("1997-01-01").cast(TimestampType))
+        .groupBy("r_name" -> col("r.r_name"), "n_name" -> col("n.n_name"))(
+          "revenue" -> PF.drevsum(col("l.l_extendedprice"),
+            col("l.l_discount")))
+        .orderBy(desc("revenue"), "n_name").df),
+
+    // qc3: TPC-H Q10 shape — returned-item losers, top 20 customers.
+    "qc3_returned_items" -> ((s, d) =>
+      Joins.joinN(Joins.Inner, Seq(
+          Joins.Side("l", t(s, d, "lineitem")),
+          Joins.Side("o", t(s, d, "orders")),
+          Joins.Side("c", t(s, d, "customer")),
+          Joins.Side("n", t(s, d, "nation"))),
+        broadcastAliases = Set("n"))
+        .where(PF.eq(col("l.l_returnflag"), lit("R")),
+          col("o.o_orderdate") >= lit("1996-01-01").cast(TimestampType),
+          col("o.o_orderdate") < lit("1996-07-01").cast(TimestampType))
+        .groupBy(
+          "c_custkey" -> col("c.c_custkey"),
+          "c_name" -> col("c.c_name"),
+          "n_name" -> col("n.n_name"),
+          "c_acctbal" -> col("c.c_acctbal"))(
+          "revenue" -> PF.drevsum(col("l.l_extendedprice"),
+            col("l.l_discount")))
+        .orderBy(desc("revenue"), "c_custkey")
+        .limit(20).df),
+
+    // qc4: join → group → WINDOW → filter: top-2 revenue years per
+    // nation. The window partitions by nation — no global sort, no
+    // single-partition funnel.
+    "qc4_nation_year_top2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byYear = Joins.joinN(Joins.Inner, Seq(
+          Joins.Side("l", t(s, d, "lineitem")),
+          Joins.Side("o", t(s, d, "orders")),
+          Joins.Side("c", t(s, d, "customer")),
+          Joins.Side("n", t(s, d, "nation"))),
+        broadcastAliases = Set("n"))
+        .groupBy(
+          "n_name" -> col("n.n_name"),
+          "o_year" -> F.year(col("o.o_orderdate")))(
+          "revenue" -> PF.drevsum(col("l.l_extendedprice"),
+            col("l.l_discount")))
+      // (n_name, o_year) is the group key, so ordering by
+      // (revenue desc, o_year) is a total order within each nation
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("revenue").desc, col("o_year"))
+      byYear.df.withColumn("rk", F.rank().over(w))
+        .where(col("rk") <= 2)
+        .select(col("n_name"), col("o_year"), col("revenue"),
+          col("rk").cast(IntegerType).as("rk"))
+    }),
+
+    // qc5: TPC-H Q9 shape — profit on a part-name pattern by supplier
+    // nation and ship year, plus distinct-part breadth per group.
+    "qc5_product_profit" -> ((s, d) =>
+      Joins.joinN(Joins.Inner, Seq(
+          Joins.Side("p", t(s, d, "part")),
+          Joins.Side("l", t(s, d, "lineitem")),
+          Joins.Side("sp", t(s, d, "supplier")),
+          Joins.Side("n", t(s, d, "nation"))),
+        broadcastAliases = Set("n"))
+        .where(col("p.p_name").like("%red%"))
+        .groupBy(
+          "n_name" -> col("n.n_name"),
+          "l_year" -> F.year(col("l.l_shipdate")))(
+          "profit" -> PF.drevsum(col("l.l_extendedprice"),
+            col("l.l_discount")),
+          "n_parts" -> F.countDistinct(col("p.p_partkey")))
+        .orderBy("n_name", "l_year").df),
+
     // ---- language front-end: reference syntax → Catalyst ------------------
     "ql1_lang_groupby" -> ((s, d) =>
       graft.lang.Interp.run(s,
@@ -1681,6 +1796,73 @@ object SparkEntry {
            JOIN nation ON c_nationkey = n_nationkey
            JOIN region ON n_regionkey = r_regionkey
          GROUP BY n_name, r_name""",
+    "qc1_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-06-01'
+           AND l_shipdate > TIMESTAMP '1998-06-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "qc2_local_volume" ->
+      """SELECT r_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM supplier
+           JOIN lineitem ON l_suppkey = s_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE s_nationkey = c_nationkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY r_name, n_name ORDER BY revenue DESC, n_name""",
+    "qc3_returned_items" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-07-01'
+         GROUP BY c_custkey, c_name, n_name, c_acctbal
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "qc4_nation_year_top2" ->
+      """WITH by_year AS (
+           SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+           FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name, year(o_orderdate)
+         )
+         SELECT n_name, o_year, revenue, CAST(rk AS INT) AS rk FROM (
+           SELECT *, rank() OVER (PARTITION BY n_name
+             ORDER BY revenue DESC, o_year) AS rk
+           FROM by_year
+         ) WHERE rk <= 2""",
+    "qc5_product_profit" ->
+      """SELECT n_name, CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit,
+           CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_parts
+         FROM part
+           JOIN lineitem ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY n_name, year(l_shipdate)
+         ORDER BY n_name, l_year""",
     "ql1_lang_groupby" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n FROM customer
          GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment""",

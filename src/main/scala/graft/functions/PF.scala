@@ -171,6 +171,17 @@ object PF {
   def dsum(c: Column, scale: Int = 2): Column =
     F.sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
 
+  /** Deterministic sum of `price * (1 - disc)` revenue terms: both
+    * factors exact at scale 2, the product exact at scale 4, summed as
+    * DECIMAL(38,4) — order-independent bits under AQE/partial-agg
+    * reordering, and bit-identical to another engine running the same
+    * decimal arithmetic (the TPC-H revenue idiom).
+    */
+  def drevsum(price: Column, disc: Column): Column =
+    F.sum((price.cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - disc.cast(DecimalType(18, 2))))
+      .cast(DecimalType(38, 4))).cast(DoubleType)
+
   /** Deterministic mean: exact decimal sum / count, both exact, one
     * IEEE division at the end.
     */

@@ -124,6 +124,60 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 3, s"too many shuffles ($exchanges):\n$p")
   }
 
+  // ---- composed qc-family: the plans must still be the ones you'd
+  // want at 100× — pushdown through the join tree, broadcast dims,
+  // partial aggs, heap top-k, partitioned (never global) windows.
+
+  test("qc1: date filters push into both fact scans; top-k is a heap") {
+    val p = planOf("qc1_shipping_priority")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      p.contains("GreaterThan(l_shipdate") ||
+      p.contains("LessThan(o_orderdate"),
+      s"date filters did not reach the scans:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be a heap, not a global sort:\n$p")
+    assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
+  }
+
+  test("qc2: six-table join broadcasts every dimension side") {
+    val p = planOf("qc2_local_volume")
+    // nation/region are force-broadcast; supplier/customer are small
+    // enough at test SF that AQE/size-based planning must broadcast
+    // them too — a shuffle join on a dim is the 100× red flag
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj:\n$p")
+    // only the lineitem-orders fact-fact join may shuffle, plus the
+    // final aggregation
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"too many shuffles ($exchanges):\n$p")
+    assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
+  }
+
+  test("qc3: returnflag filter reaches the lineitem scan; heap top-20") {
+    val p = planOf("qc3_returned_items")
+    assert(p.contains("EqualNullSafe(l_returnflag,R)") ||
+      p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a heap, not a global sort:\n$p")
+  }
+
+  test("qc4: window partitions by nation — no global sort funnel") {
+    val p = planOf("qc4_nation_year_top2")
+    assert(p.contains("Window"), s"expected a window operator:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"rank window funneled into one partition:\n$p")
+    assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
+  }
+
+  test("qc5: part-name LIKE pushes to the part scan; dims broadcast") {
+    val p = planOf("qc5_product_profit")
+    assert(p.contains("StringContains(p_name,red)"),
+      s"LIKE filter not pushed into the part scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dimensions not broadcast:\n$p")
+  }
+
   test("LSH signature embeds the plane matrix — no per-row md5") {
     // the md5-derived plane constants must be computed at plan-build
     // time; an md5 call surviving into the plan means they re-evaluate
