@@ -51,12 +51,22 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val picked = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // Median-of-N per query (default 3): single-shot cold timings on a
+    // 32-core local JVM swing up to 4× on an unchanged query (GC, OS
+    // cache, compilation), which has false-flagged regressions before.
+    // The cache is cleared between reps, so each rep stays cold-cache;
+    // the median drops the one-off outliers.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { run(fn); true } catch { case _: Throwable => false }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      cleanup()
-      (name, elapsed, ok)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { run(fn); true } catch { case _: Throwable => false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        cleanup()
+        (elapsed, ok)
+      }
+      val median = times.map(_._1).sorted.apply((reps - 1) / 2)
+      (name, median, times.forall(_._2))
     }
     // Failed queries report value -1 (never a tiny elapsed time that
     // would read as a speedup) and are listed in "failed".
