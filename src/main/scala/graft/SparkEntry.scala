@@ -146,6 +146,27 @@ object SparkEntry {
         .agg(F.round(PF.approxProduct(col("n_nationkey") + 1), 6)
           .as("aprod"))),
 
+    // ---- §2.9 cross-session persistence (reference connect(),
+    // sql_interface.py:965-1025): mutate, save to parquet+manifest,
+    // reopen in a FRESH catalog — the reloaded table must carry the
+    // mutations
+    "q73_persist" -> ((s, d) => {
+      val cat = new graft.catalog.Catalog(s)
+      cat.register("nation_p", t(s, d, "nation"))
+      cat.update("nation_p", PF.eq(col("n_nationkey"), lit(3)),
+        "n_name" -> F.concat(col("n_name"), lit("_X")))
+      cat.delete("nation_p", col("n_nationkey") > 20)
+      cat.insertRow("nation_p",
+        Map("n_name" -> "ZEALANDIA", "n_regionkey" -> 2))
+      val dir = java.nio.file.Files.createTempDirectory("graft_q73")
+        .toFile.getAbsolutePath
+      cat.saveTo(dir)
+      val cat2 = new graft.catalog.Catalog(s)
+      cat2.attach(dir)
+      cat2.get("nation_p").df
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    }),
+
     // ---- §2.7 set operations --------------------------------------------
     "q13_union_all" -> ((s, d) =>
       (t(s, d, "customer").project("key" -> col("c_nationkey")) +
@@ -1277,6 +1298,12 @@ object SparkEntry {
       """SELECT n_regionkey,
            ROUND(EXP(SUM(LN(n_nationkey + 1))), 6) AS aprod
          FROM nation GROUP BY n_regionkey""",
+    "q73_persist" ->
+      """SELECT n_nationkey,
+           CASE WHEN n_nationkey = 3 THEN n_name || '_X' ELSE n_name END AS n_name,
+           n_regionkey
+         FROM nation WHERE n_nationkey <= 20
+         UNION ALL SELECT 21, 'ZEALANDIA', 2""",
     "q13_union_all" ->
       """SELECT c_nationkey AS key FROM customer
          UNION ALL SELECT s_nationkey AS key FROM supplier""",

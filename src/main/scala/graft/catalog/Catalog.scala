@@ -63,6 +63,15 @@ final class Catalog(val spark: SparkSession) {
   def get(name: String): PTable =
     tables.getOrElse(name, throw new graft.types.NameError(s"unknown table '$name'"))
 
+  /** Drop a table (reference drop_table) — a later `table name {...}`
+    * creates fresh instead of re-attaching.
+    */
+  def remove(name: String): Unit = synchronized {
+    tables -= name
+    idCounters -= name
+    mutationCounts -= name
+  }
+
   def names: Seq[String] = tables.keys.toSeq
 
   /** `table Foo {...}` — create an empty table with an auto `id` pk
@@ -235,6 +244,74 @@ final class Catalog(val spark: SparkSession) {
     tables(name) = compacted
     compacted
   }
+
+  // ---- cross-session persistence (reference sql_interface.py:965-1025:
+  // connect() to a file-backed DB reopens previously created tables;
+  // commit() flushes) ------------------------------------------------------
+
+  /** The directory this catalog is attached to (via `attach`);
+    * `persist()` flushes back here.
+    */
+  private var backingDir: Option[String] = None
+
+  /** Write every registered table + a pk/fk manifest to `dir` —
+    * parquet per table, so a saved catalog is itself a valid Spark/
+    * DuckDB dataset. Each table's mutation chain materializes into
+    * the files (the parquet write IS the compaction); on a cluster
+    * `dir` is any Hadoop-FS path.
+    */
+  def saveTo(dir: String): Unit = synchronized {
+    import spark.implicits._
+    // writing back to the directory the plans lazily scan from would
+    // delete files mid-read — freeze every table's lineage off the
+    // files first (localCheckpoint), then overwrite safely
+    if (backingDir.contains(dir))
+      tables.keys.toSeq.foreach(materialize)
+    val entries = tables.toSeq.zipWithIndex.map { case ((name, t), i) =>
+      t.df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      (i, name, t.meta.pk,
+        t.meta.fks.map(fk => Seq(fk.column, fk.refTable, fk.refColumn)))
+    }
+    entries.toDF("ord", "name", "pk", "fks")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/_graft_manifest")
+  }
+
+  /** Reopen a catalog saved with `saveTo`: reads the manifest, binds
+    * every table (lazy parquet scans — nothing materializes until
+    * read), and remembers `dir` so `persist()` writes back. Returns
+    * the reopened table names in their original creation order.
+    */
+  def attach(dir: String): Seq[String] = synchronized {
+    val manifest =
+      try spark.read.json(s"$dir/_graft_manifest")
+        .select("ord", "name", "pk", "fks")
+        .collect().sortBy(_.getLong(0))
+      catch { // no saved catalog yet: attach fresh (like connecting
+        // to a new database file — commit() will create it)
+        case _: org.apache.spark.sql.AnalysisException =>
+          backingDir = Some(dir)
+          return Seq.empty
+      }
+    val names = manifest.map { r =>
+      val name = r.getString(1)
+      val pk = r.getSeq[String](2)
+      val fks = r.getSeq[scala.collection.Seq[String]](3)
+        .map(f => graft.types.FK(f(0), f(1), f(2)))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      register(name, PTable(df, TableMeta(name, pk = pk, fks = fks.toSeq)))
+      name
+    }.toSeq
+    backingDir = Some(dir)
+    names
+  }
+
+  /** `commit()` (reference pql_functions.py 'commit'): flush mutated
+    * tables back to the attached directory. No-op when the catalog is
+    * in-memory only.
+    */
+  def persist(): Unit = backingDir.foreach(saveTo)
+
+  def attachedTo: Option[String] = backingDir
 
   // ---- transactions (reference evaluate.py:359-369) ----------------------
   /** `transaction { ... }` — snapshot bindings; rollback restores them.

@@ -368,6 +368,10 @@ object Interp {
         // unchanged (reference evaluate.py:214-247; chinook.pql)
         val existing = env.get(name) match {
           case Some(VT(t)) => t
+          // binding dropped (`A = null`) but the table still lives in
+          // the catalog — the DB is the source of truth
+          // (test_partial_table)
+          case _ if cat.names.contains(name) => cat.get(name)
           case _ => throw new NameError(
             s"table $name {...}: no existing table '$name' to reflect")
         }
@@ -386,6 +390,36 @@ object Interp {
           name = name,
           fks = existing.meta.fks
             .filterNot(f => fks.exists(_.column == f.column)) ++ fks))))
+
+      case TableDef(name, fields, _, _, _) if cat.names.contains(name) =>
+        // reference evaluate.py:233-262: declaring a table that
+        // already EXISTS in the database ATTACHES it — the instance
+        // projects exactly the declared columns (+ id), declared FK
+        // types annotate, and a declared column missing from the
+        // stored table is a TypeError. This is the cross-session
+        // `connect()` re-attach path and test_partial_table's
+        // partial re-declare after `A = null`.
+        val existing = cat.get(name)
+        fields.foreach { cd =>
+          if (!existing.columns.contains(cd.name))
+            throw new TypeError(
+              s"Column '${cd.name}' defined, but doesn't exist in database.")
+        }
+        val keep = (if (existing.columns.contains("id")) Seq("id") else Nil) ++
+          fields.map(_.name).filterNot(_ == "id")
+        val fks = fields.flatMap { cd =>
+          if (cd.tpe.contains('.')) {
+            val Array(rt, rc) = cd.tpe.split("\\.", 2)
+            Some(graft.types.FK(cd.name, rt, rc))
+          } else if (env.get(cd.tpe).exists(_.isInstanceOf[VT]))
+            Some(graft.types.FK(cd.name, cd.tpe, "id"))
+          else None
+        }
+        env = env + (name -> VT(PTable(
+          existing.df.select(keep.map(col): _*),
+          existing.meta.copy(name = name,
+            pk = existing.meta.pk.filter(keep.contains),
+            fks = fks))))
 
       case TableDef(name, fields, bare, methods, _) =>
         // reference evaluate.py:262-267: empty table, auto `id` pk.
@@ -437,8 +471,31 @@ object Interp {
         procs = procs + (pd.name -> pd)
       case ExprStmt(e) => e match {
         case Call(fn, args) if procs.contains(fn) => callProc(fn, args)
-        case Call("commit", _) => () // bindings commit incrementally;
-                                     // transaction {} handles atomicity
+        // `connect("dir")` (reference sql_interface.py:965-1025):
+        // reopen a saved catalog — previously created tables come
+        // back as lazy parquet bindings, and commit() flushes to the
+        // same directory. A path with no saved catalog attaches
+        // fresh, like connecting to a new database file.
+        case Call("connect", args) =>
+          val dir = args.headOption.map(_.value) match {
+            case Some(StrLit(s)) => s
+            case o => throw new TypeError(
+              s"connect: expected a path string, got ${o.getOrElse("nothing")}")
+          }
+          cat.attach(dir).foreach(n => env = env + (n -> VT(cat.get(n))))
+        case Call("commit", _) =>
+          // in-memory bindings commit incrementally (transaction {}
+          // handles atomicity); when attached via connect(), flush
+          // mutated tables back to the directory (reference 'commit')
+          if (cat.attachedTo.nonEmpty) {
+            cat.names.foreach { n =>
+              env.get(n) match {
+                case Some(VT(t)) if cat.get(n) ne t => cat.register(n, t)
+                case _ => ()
+              }
+            }
+            cat.persist()
+          }
         case Call("rollback", _) => throw new graft.types.NotImplementedError(
           "rollback() outside transaction {}")
         // drop a table binding (reference pql_functions.py:563-571)
@@ -451,6 +508,8 @@ object Interp {
           if (!env.contains(n) && rm == "remove_table")
             throw new NameError(s"unknown table '$n'")
           env = env - n
+          cat.remove(n) // reference drop_table: a later `table n {...}`
+                        // creates fresh instead of re-attaching
         case other =>
           // evaluate for effect (e.g. `one t` as an assertion)
           val sub = substitute(other)

@@ -549,6 +549,81 @@ class RefConformanceSpec extends SparkSpec {
       .map(_.toString.toLong) == Seq(4L))
   }
 
+  // ---- test_partial_table + connect() persistence --------------------------
+  // (reference tests/test_basic.py:1246-1277; sql_interface.py:965-1025:
+  // connect() to a file-backed DB reopens previously created tables)
+
+  test("partial table re-declare attaches the stored table (test_partial_table)") {
+    val out = rows(
+      """table A {
+        |    a: int
+        |    b: int?
+        |    c: string
+        |    d: float
+        |}
+        |new A(1, null, "hello", 3.14)
+        |A = null
+        |table A {
+        |    d: float
+        |    c: string
+        |}
+        |A {d, c}""".stripMargin)
+    assert(out == Seq(Seq("d" -> 3.14, "c" -> "hello")))
+    // declared column must exist in the stored table
+    assertThrows[TypeError](rows(
+      """table A { a: int }
+        |new A(1)
+        |A = null
+        |table A { nope: int }
+        |A""".stripMargin))
+    // remove_table DROPS from the database: re-declare creates fresh
+    assert(one(
+      """table A { a: int }
+        |new A(1)
+        |remove_table(A)
+        |table A { a: int }
+        |count(A)""".stripMargin).toString.toLong == 0L)
+  }
+
+  test("connect() persistence: mutations survive into a fresh session") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_db")
+      .toFile.getAbsolutePath
+    // session 1: attach a fresh directory, create, insert, flush
+    Interp.run(spark,
+      s"""connect("$dir")
+         |table Point { x: int, y: int }
+         |new Point(1, 2)
+         |new Point(3, 4)
+         |commit()
+         |[0]""".stripMargin)
+    // session 2: FRESH session state — connect() reopens the tables
+    val s2 = spark.newSession()
+    val out = Interp.run(s2,
+      s"""connect("$dir")
+         |Point {x, y}""".stripMargin)
+      .df.collect().map(r => (r.getLong(1 - 1), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L), (3L, 4L)))
+    // reflective partial re-declare against the reopened catalog
+    val out2 = Interp.run(s2,
+      s"""connect("$dir")
+         |table Point { y: int }
+         |Point""".stripMargin).df
+    assert(out2.columns.toSeq == Seq("id", "y"))
+    assert(out2.collect().map(_.getLong(1)).sorted.toSeq == Seq(2L, 4L))
+    // session 2 mutates + commits; session 3 sees the mutations
+    Interp.run(s2,
+      s"""connect("$dir")
+         |Point[x == 3] update {y: y + 10}
+         |new Point(5, 6)
+         |commit()
+         |[0]""".stripMargin)
+    val out3 = Interp.run(spark.newSession(),
+      s"""connect("$dir")
+         |Point {x, y}""".stripMargin)
+      .df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out3.toSeq == Seq((1L, 2L), (3L, 14L), (5L, 6L)))
+  }
+
   // ---- test_new_freezes_values (issue #7) ---------------------------------
 
   test("new freezes evaluated values: random() inserts a stable row") {
