@@ -1193,12 +1193,13 @@ object SparkEntry {
           |env_vars()""".stripMargin,
         "nation" -> t(s, d, "nation")).df),
 
-    // random sampling parity (reference sample_fast/sample_ratio_fast,
-    // __builtins__.pql:515-551) — inherently random, no SQL oracle:
-    // the driver records the weaker rows-only check
+    // sampling parity (reference sample_fast, __builtins__.pql:515-551)
+    // with uniforms derived from md5(pk) instead of random() — same
+    // distribution (order statistics of iid uniforms), deterministic,
+    // so the full DuckDB oracle applies (the q34 keyed trick)
     "q65_sample_fast" -> ((s, d) =>
-      graft.lang.Interp.run(s, "sample_fast(customer, 100) {c_custkey}",
-        "customer" -> t(s, d, "customer")).df),
+      t(s, d, "customer").sampleFastKeyed(100, col("c_custkey"))
+        .project("c_custkey", "c_name").df),
 
     // ---- sketch aggregates (approx distinct; engines differ — rows-only) --
     "q66_sketches" -> ((s, d) =>
@@ -2024,6 +2025,12 @@ object SparkEntry {
     "q64_env_vars" ->
       """SELECT * FROM (VALUES ('nation', 'table'), ('t', 'table'),
            ('x', 'int')) v(name, kind)""",
+    "q65_sample_fast" ->
+      """SELECT c_custkey, c_name FROM (
+           SELECT c_custkey, c_name,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM customer
+         ) ORDER BY h, c_custkey LIMIT 100""",
     "q61_json" ->
       """SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

@@ -182,6 +182,16 @@ final class PTable(val df: DataFrame, val meta: TableMeta) {
   def sampleByKey(key: Column, m: Int, keep: Int): PTable =
     sameMeta(df.filter(graft.functions.PF.keyedSample(key, m, keep)))
 
+  /** Deterministic `sample_fast` twin: the n rows with the smallest
+    * md5-derived uniforms over `key` — exactly n uniformly-chosen rows
+    * (order statistics of iid uniforms), reproducible across engines
+    * and partitionings, and planning as a heap top-k
+    * (TakeOrderedAndProject) with no count pass or top-up job.
+    */
+  def sampleFastKeyed(n: Int, key: Column): PTable =
+    sameMeta(df.orderBy(graft.ext.TextAnalysis.h60(key).asc, key.asc)
+      .limit(n))
+
   /** `sample_ratio_fast(t, ratio)` (reference __builtins__.pql:515-518:
     * `tbl[random() < ratio]`): Bernoulli row sampling, evaluated
     * scan-side per row — identical semantics, fully parallel. Pass a
