@@ -20,6 +20,7 @@ object GraftConf {
   val InlistLimitKey = "spark.graft.inlist.limit"
   val MinParallelismKey = "spark.graft.minParallelism"
   val RealDecodeKey = "spark.graft.multimodal.realDecode"
+  val CatalogLocalLimitKey = "spark.graft.catalog.localLimit"
 
   private def long(spark: SparkSession, key: String, default: Long): Long =
     spark.conf.getOption(key).map(_.trim.toLong).getOrElse(default)
@@ -66,4 +67,11 @@ object GraftConf {
     */
   def realDecode(spark: SparkSession): Boolean =
     spark.conf.getOption(RealDecodeKey).forall(_.trim.toBoolean)
+
+  /** Row count up to which a catalog table created empty and grown
+    * row-by-row stays a single driver-side LocalRelation (so probes
+    * over it fold to zero Spark jobs in interpreter loops).
+    */
+  def catalogLocalLimit(spark: SparkSession): Int =
+    long(spark, CatalogLocalLimitKey, 10000).toInt
 }

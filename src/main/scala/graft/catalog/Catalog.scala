@@ -32,6 +32,18 @@ final class Catalog(val spark: SparkSession) {
     * a sequence).
     */
   private val idCounters = mutable.Map[String, Long]()
+
+  /** Driver-known row buffer for tables created EMPTY and grown only
+    * via `insertRow` — each insert rebinds the table to ONE
+    * LocalRelation instead of an ever-longer union chain, so
+    * selections and emptiness probes over it fold driver-side
+    * (Catalyst's ConvertToLocalRelation) and an interpreter procedure
+    * loop costs ~zero Spark scheduling per probe. Conf-gated size
+    * (`spark.graft.catalog.localLimit`); past the limit — or on any
+    * plan-level rebind (register/insertAll/update/delete) — the
+    * buffer drops and mutation falls back to the union path.
+    */
+  private val localRows = mutable.Map[String, Vector[Row]]()
   /** Mutations since last compaction per table; every
     * `autoCompactEvery` mutations the plan is materialized so reads
     * never replay an unbounded mutation history.
@@ -46,6 +58,8 @@ final class Catalog(val spark: SparkSession) {
   }
 
   private def touched(name: String): Unit = {
+    if (localRows.contains(name)) return // single LocalRelation:
+                                         // nothing to compact
     val n = mutationCounts.getOrElse(name, 0) + 1
     if (n >= autoCompactEvery) {
       materialize(name)
@@ -55,6 +69,9 @@ final class Catalog(val spark: SparkSession) {
 
   def register(name: String, t: PTable): PTable = synchronized {
     val named = t.withMeta(t.meta.copy(name = name))
+    // identity-preserving re-register (same binding) keeps the
+    // driver-known row buffer; any real rebind invalidates it
+    if (!tables.get(name).exists(_.df eq t.df)) localRows.remove(name)
     tables(name) = named
     idCounters.remove(name) // unknown id domain for the new binding
     named
@@ -63,6 +80,14 @@ final class Catalog(val spark: SparkSession) {
   def get(name: String): PTable =
     tables.getOrElse(name, throw new graft.types.NameError(s"unknown table '$name'"))
 
+  /** The driver-known rows of a buffered table (created empty, grown
+    * via `insertRow` only), if any — callers can answer selections/
+    * emptiness probes over it without any Spark work.
+    */
+  def localRowsOf(name: String): Option[Vector[Row]] = synchronized {
+    localRows.get(name)
+  }
+
   /** Drop a table (reference drop_table) — a later `table name {...}`
     * creates fresh instead of re-attaching.
     */
@@ -70,6 +95,7 @@ final class Catalog(val spark: SparkSession) {
     tables -= name
     idCounters -= name
     mutationCounts -= name
+    localRows -= name
   }
 
   def names: Seq[String] = tables.keys.toSeq
@@ -87,6 +113,7 @@ final class Catalog(val spark: SparkSession) {
     val t = register(name, PTable(df,
       TableMeta(name, pk = if (bare) Nil else Seq("id"), fks = fks)))
     idCounters(name) = 0L // fresh empty table: no probe needed ever
+    localRows(name) = Vector.empty // content fully driver-known
     t
   }
 
@@ -169,8 +196,26 @@ final class Catalog(val spark: SparkSession) {
       if (idCol.contains(f.name)) fitId(idVal.get, f.dataType)
       else coerce(values.getOrElse(f.name, null), f.dataType)
     }.toSeq)
-    val newDf = spark.createDataFrame(java.util.Arrays.asList(row), t.schema)
-    tables(name) = PTable(t.df.unionByName(newDf), t.meta)
+    localRows.get(name) match {
+      case Some(rows)
+          if rows.length < graft.GraftConf.catalogLocalLimit(spark) =>
+        // driver-known table: rebuild as ONE LocalRelation — probes
+        // over it stay jobless in interpreter loops
+        val grown = rows :+ row
+        localRows(name) = grown
+        import scala.jdk.CollectionConverters._
+        tables(name) = PTable(
+          spark.createDataFrame(grown.asJava, t.schema), t.meta)
+      case Some(_) => // outgrew the buffer: fall back to union chains
+        localRows.remove(name)
+        val newDf =
+          spark.createDataFrame(java.util.Arrays.asList(row), t.schema)
+        tables(name) = PTable(t.df.unionByName(newDf), t.meta)
+      case None =>
+        val newDf =
+          spark.createDataFrame(java.util.Arrays.asList(row), t.schema)
+        tables(name) = PTable(t.df.unionByName(newDf), t.meta)
+    }
     touched(name)
     row
   }
@@ -200,6 +245,7 @@ final class Catalog(val spark: SparkSession) {
         rows
     }
     val merged = PTable(t.df.unionByName(withId, allowMissingColumns = true), t.meta)
+    localRows.remove(name) // bulk insert: content no longer driver-known
     tables(name) = merged
     touched(name)
     merged
@@ -208,6 +254,7 @@ final class Catalog(val spark: SparkSession) {
   /** `t update {col: expr} [conds]` — copy-on-write rebind. */
   def update(name: String, conds: Column, assignments: (String, Column)*): PTable = synchronized {
     val t = get(name).update(conds)(assignments: _*)
+    localRows.remove(name)
     tables(name) = t
     t
   }
@@ -215,6 +262,7 @@ final class Catalog(val spark: SparkSession) {
   /** `t delete [conds]` — keep non-matching rows, rebind. */
   def delete(name: String, conds: Column): PTable = synchronized {
     val t = get(name).delete(conds)
+    localRows.remove(name)
     tables(name) = t
     t
   }
@@ -330,6 +378,7 @@ final class Catalog(val spark: SparkSession) {
     snapshots match {
       case snap :: rest =>
         tables.clear(); tables ++= snap; snapshots = rest
+        localRows.clear() // restored bindings: buffers no longer match
       case Nil => ()
     }
   }

@@ -141,7 +141,12 @@ final class PTable(val df: DataFrame, val meta: TableMeta) {
   }
 
   /** LIMIT-1 existence probe (reference __builtins__.pql:192-197). */
-  def isEmpty: Boolean = df.isEmpty
+  /** take(1) instead of Dataset.isEmpty (limit+groupBy+count): on a
+    * driver-local plan (LocalRelation after ConvertToLocalRelation)
+    * this answers without launching a Spark job — interpreter loops
+    * probe emptiness per iteration.
+    */
+  def isEmpty: Boolean = df.take(1).isEmpty
 
   /** `first`: first value of the table's (single) leading column in
     * current order (reference __builtins__.pql:84-107).

@@ -790,7 +790,7 @@ object Interp {
         }
         scalarToAst(tt.df.agg(a).head().get(0))
       case Call("is_empty", Seq(Arg(None, te))) if isTableExpr(te) =>
-        BoolLit(evalTable(te).df.isEmpty)
+        BoolLit(tableEmpty(te))
       // `help()` / `help(obj)` — a brief summary string (reference
       // pql_functions.py:735-783)
       case Call("help", Seq()) =>
@@ -916,9 +916,58 @@ object Interp {
       * (reference `if (not primes)`), otherwise scalar truthiness.
       */
     private def condTruthy(e: Expr): Boolean = e match {
-      case Unary("not", te) if isTableExpr(te) => evalTable(te).df.isEmpty
-      case te if isTableExpr(te) => !evalTable(te).df.isEmpty
+      case Unary("not", te) if isTableExpr(te) => tableEmpty(te)
+      case te if isTableExpr(te) => !tableEmpty(te)
       case _ => truthyScalar(scalar(e))
+    }
+
+    /** Emptiness probe with a driver-side fast path: a (selection
+      * over a) catalog table whose rows are driver-known (single
+      * LocalRelation, Catalog.localRowsOf) evaluates its predicates
+      * with the SCALAR interpreter — zero Spark work per probe, so
+      * procedure loops like the reference's primes.pql cost
+      * microseconds per iteration instead of a plan-analysis pass.
+      * Any predicate the scalar evaluator can't decide falls back to
+      * the distributed path — correctness never depends on the cache.
+      */
+    private def tableEmpty(te: Expr): Boolean = {
+      def buffered(n: String): Option[(Vector[org.apache.spark.sql.Row], Seq[String])] =
+        env.get(n) match {
+          case Some(VT(t)) if cat.names.contains(n) &&
+              (cat.get(n).df eq t.df) =>
+            cat.localRowsOf(n).map(rows => (rows, t.columns))
+          case _ => None
+        }
+      def sparkEmpty: Boolean = evalTable(te).df.take(1).isEmpty
+      te match {
+        case Ident(n) =>
+          buffered(n).map(_._1.isEmpty).getOrElse(sparkEmpty)
+        case Selection(Ident(n), conds) =>
+          buffered(n) match {
+            case Some((rows, cols)) =>
+              val idx = cols.zipWithIndex.toMap
+              var unknown = false
+              var found = false
+              val it = rows.iterator
+              while (!found && it.hasNext) {
+                val row = it.next()
+                val verdicts = conds.map { c =>
+                  tryScalar(rewrite(c) {
+                    case Ident(cn) if idx.contains(cn) =>
+                      scalarToAst(row.get(idx(cn)))
+                  })
+                }
+                if (verdicts.forall(_.isDefined)) {
+                  if (verdicts.forall(v => truthyScalar(v.get))) found = true
+                } else unknown = true
+              }
+              if (found) false
+              else if (unknown) sparkEmpty
+              else true
+            case None => sparkEmpty
+          }
+        case _ => sparkEmpty
+      }
     }
 
     /** Execute a procedure: bind evaluated args over the params
