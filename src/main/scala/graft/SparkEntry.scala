@@ -452,6 +452,30 @@ object SparkEntry {
     // production fast-hash path (xxhash64): same pipeline as x07 minus
     // the md5 the oracle needs for cross-engine portability — recorded
     // rows-only so the bench shows the deployable throughput
+    // ---- ext: ANN at 100k vectors (scale probe) ---------------------------
+    // the sf0.1 embeddings table is 2k vectors — too small to show the
+    // bucketed paths beating brute force. A deterministic 100k-vector
+    // synthetic corpus (xxhash64-derived components, no data files)
+    // benches the scaling claim directly; rows-only by design.
+    "x22_ann_lsh_100k" -> ((s, d) => {
+      val corpus = synthEmbeddings(s, 100000, 32)
+      graft.ext.Similarity.lshTopK(
+        corpus.filter(col("vec_id") < 2000), corpus, 10, nPlanes = 12)
+    }),
+
+    "x23_ann_ivf_100k" -> ((s, d) => {
+      val corpus = synthEmbeddings(s, 100000, 32)
+      graft.ext.Similarity.ivfTopK(
+        corpus.filter(col("vec_id") < 2000), corpus, 10,
+        nCentroids = 64, nProbe = 4)
+    }),
+
+    "x24_ann_brute_100k" -> ((s, d) => {
+      val corpus = synthEmbeddings(s, 100000, 32)
+      graft.ext.Similarity.bruteForceTopK(
+        corpus.filter(col("vec_id") < 2000), corpus, 10)
+    }),
+
     "x19_minhash_fast" -> ((s, d) =>
       graft.ext.Dedup.minhashPairs(augDocs(s, d), "doc_id", "text", 0.8,
         hasher = graft.ext.Dedup.fastHasher)),
@@ -1229,6 +1253,18 @@ object SparkEntry {
       .unionAll(docs.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
   }
+
+  /** Deterministic synthetic embedding corpus for the ANN scale
+    * probes (x22-x24): unit-scale float components derived from
+    * xxhash64(vec_id, dim-index) — codegen'd, no data files, no
+    * driver-side randomness, identical across runs and engines.
+    */
+  private def synthEmbeddings(s: SparkSession, n: Long, dim: Int): DataFrame =
+    s.range(n).select(col("id").as("vec_id"),
+      F.transform(F.sequence(lit(0), lit(dim - 1)), i =>
+        ((F.pmod(F.xxhash64(col("id"), i), lit(2001L)) - 1000L) / 1000.0)
+          .cast(FloatType))
+        .as("embedding"))
 
   def oracleSql: Map[String, String] = Map(
     "q01_projection" ->

@@ -123,8 +123,27 @@ object Dedup {
     * partitions and this is a no-op.
     */
   def ensureParallelism(df: DataFrame): DataFrame = {
-    val want = graft.GraftConf.minParallelism(df.sparkSession)
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    val spark = df.sparkSession
+    val want = graft.GraftConf.minParallelism(spark)
+    // estimate the scan's partition count WITHOUT forcing physical
+    // planning (df.rdd built the whole RDD DAG on every call): file
+    // sources split at maxPartitionBytes, so logical-plan stats give
+    // the count directly. Post-shuffle/checkpointed inputs carry
+    // large or default stats and skip the guard — exactly the inputs
+    // that are already parallel.
+    val plan = df.queryExecution.optimizedPlan
+    val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
+    val parts: BigInt = plan.collectFirst {
+      // explicit repartitions and materialized (checkpointed) inputs
+      // carry their partition count in the plan
+      case r: Repartition => BigInt(r.numPartitions)
+      case r: RepartitionByExpression => BigInt(r.optNumPartitions
+        .getOrElse(spark.sessionState.conf.numShufflePartitions))
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        BigInt(lr.rdd.getNumPartitions)
+    }.getOrElse((plan.stats.sizeInBytes + maxBytes - 1) / maxBytes)
+    if (parts < want) df.repartition(want) else df
   }
 
   /** (id, sig) signature table: base hashes computed ONCE per row and

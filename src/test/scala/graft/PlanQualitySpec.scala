@@ -178,6 +178,21 @@ class PlanQualitySpec extends SparkSpec {
       s"dimensions not broadcast:\n$p")
   }
 
+  test("ensureParallelism decides from plan stats, not an RDD trip") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents").df
+    // under-partitioned file scan: the guard must still widen it
+    val widened = graft.ext.Dedup.ensureParallelism(docs)
+    assert(widened.rdd.getNumPartitions >=
+      graft.GraftConf.minParallelism(spark),
+      "small scan not widened")
+    // an already-parallel (checkpointed) input passes through
+    // UNCHANGED — same reference, no extra exchange in the plan
+    val parallel = docs.repartition(
+      graft.GraftConf.minParallelism(spark)).localCheckpoint(true)
+    assert(graft.ext.Dedup.ensureParallelism(parallel) eq parallel,
+      "already-parallel input should pass through untouched")
+  }
+
   test("LSH signature embeds the plane matrix — no per-row md5") {
     // the md5-derived plane constants must be computed at plan-build
     // time; an md5 call surviving into the plan means they re-evaluate
