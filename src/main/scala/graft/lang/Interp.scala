@@ -76,6 +76,32 @@ object Interp {
   def run(spark: SparkSession, src: String, tables: (String, PTable)*): PTable =
     runWithModules(spark, src, Map.empty, tables: _*)
 
+  /** A persistent interpreter session — the engine's analogue of the
+    * reference's `Preql()` handle: definitions, tables, and mutations
+    * persist across `run`/`exec` calls against ONE shared state, and
+    * calls from any thread marshal through one lock (the reference
+    * serializes every DB call through a single worker thread,
+    * sql_interface.py:95-193; pinned by test_threading's 100 threads
+    * against one interpreter).
+    */
+  final class Session(spark: SparkSession, tables: (String, PTable)*) {
+    private val st = new State(spark,
+      tables.map { case (n, t) => n -> (VT(t): V) }.toMap, Map.empty)
+
+    /** Run a program ending in an expression; returns its table. */
+    def run(src: String): PTable = st.synchronized {
+      val prog = Parser.parse(src)
+      prog.stmts.foreach(st.exec)
+      st.resultTable(prog.result)
+    }
+
+    /** Run statements only (definitions, mutations, procedure calls). */
+    def exec(src: String): Unit = st.synchronized {
+      val prog = Parser.parse(src + "\n0") // dummy result expression
+      prog.stmts.foreach(st.exec)
+    }
+  }
+
   /** As `run`, with user module sources: `import m` executes
     * `modules("m")` (falling back to an `m.pql` file in the working
     * directory) in a fresh namespace and binds its members under

@@ -624,6 +624,43 @@ class RefConformanceSpec extends SparkSpec {
     assert(out3.toSeq == Seq((1L, 2L), (3L, 14L), (5L, 6L)))
   }
 
+  // ---- test_threading (shared interpreter) ---------------------------------
+
+  test("shared interpreter: 100 threaded inserts through ONE session land exactly once") {
+    // reference test_threading (tests/test_basic.py): ThreadPool(10)
+    // maps p.add_n over range(100) against ONE Preql handle, then
+    // asserts len(a) == 101 and a{item} - [..100] == []
+    val sess = new Interp.Session(spark)
+    sess.exec(
+      """table a = [0]
+        |
+        |func add_n(n) = new a(n)""".stripMargin)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(10)
+    try {
+      val futures = (0 until 100).map { n =>
+        pool.submit(new Runnable {
+          def run(): Unit = sess.exec(s"add_n($n)")
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    assert(sess.run("count(a)").df.head.get(0).toString.toLong == 101L)
+    assert(sess.run("a{item} - [0..100]").df.count() == 0L)
+  }
+
+  test("session state persists definitions and mutations across runs") {
+    val sess = new Interp.Session(spark)
+    sess.exec("table Point { x: int, y: int }")
+    sess.exec("new Point(1, 2)")
+    sess.exec("func dbl(v) = v * 2")
+    assert(sess.run("one one Point[x == 1] {y}").df
+      .head.get(0).toString.toLong == 2L)
+    assert(sess.run("dbl(21)").df.head.get(0).toString.toLong == 42L)
+    sess.exec("Point[x == 1] update {y: y + 10}")
+    assert(sess.run("one one Point[x == 1] {y}").df
+      .head.get(0).toString.toLong == 12L)
+  }
+
   // ---- test_new_freezes_values (issue #7) ---------------------------------
 
   test("new freezes evaluated values: random() inserts a stable row") {
