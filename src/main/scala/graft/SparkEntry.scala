@@ -460,20 +460,20 @@ object SparkEntry {
     "x22_ann_lsh_100k" -> ((s, d) => {
       val corpus = synthEmbeddings(s, 100000, 32)
       graft.ext.Similarity.lshTopK(
-        corpus.filter(col("vec_id") < 2000), corpus, 10, nPlanes = 12)
+        corpus.filter(col("vec_id") < 1000), corpus, 10, nPlanes = 12)
     }),
 
     "x23_ann_ivf_100k" -> ((s, d) => {
       val corpus = synthEmbeddings(s, 100000, 32)
       graft.ext.Similarity.ivfTopK(
-        corpus.filter(col("vec_id") < 2000), corpus, 10,
+        corpus.filter(col("vec_id") < 1000), corpus, 10,
         nCentroids = 64, nProbe = 4)
     }),
 
     "x24_ann_brute_100k" -> ((s, d) => {
       val corpus = synthEmbeddings(s, 100000, 32)
       graft.ext.Similarity.bruteForceTopK(
-        corpus.filter(col("vec_id") < 2000), corpus, 10)
+        corpus.filter(col("vec_id") < 1000), corpus, 10)
     }),
 
     "x19_minhash_fast" -> ((s, d) =>
@@ -1265,6 +1265,12 @@ object SparkEntry {
         ((F.pmod(F.xxhash64(col("id"), i), lit(2001L)) - 1000L) / 1000.0)
           .cast(FloatType))
         .as("embedding"))
+      // materialized: the corpus fans out through a query-side
+      // self-join and the per-candidate projections — unevaluated,
+      // the hash transform would recompute per candidate row (and a
+      // self-join onto shared lineage misresolves join keys)
+      .repartition(graft.GraftConf.minParallelism(s))
+      .localCheckpoint(true)
 
   def oracleSql: Map[String, String] = Map(
     "q01_projection" ->

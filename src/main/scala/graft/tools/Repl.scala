@@ -297,6 +297,10 @@ object Repl {
           Option(StdIn.readLine())
         }
       }
+    // ONE persistent interpreter session (the reference's Preql()
+    // handle): statements execute exactly once, mutations persist,
+    // and units never replay — O(unit) per input, not O(history).
+    val sess = new Interp.Session(spark, env.toSeq: _*)
     var running = true
     while (running) {
       val unit = readUnit(readLine)
@@ -311,20 +315,20 @@ object Repl {
           try {
             prelude = loadScript(u.trim.split("\\s+", 2).lift(1).getOrElse(
               throw new graft.types.ValueError(":load needs a file path")),
-              spark, env, prelude)
+              sess, prelude)
           } catch { case e: Throwable => println(s"error: ${e.getMessage}") }
         case Some(u) if u.trim.startsWith(":") =>
-          try meta(u.trim, spark, env, prelude, previewRows)
+          try meta(u.trim, sess, env, prelude, previewRows)
             .foreach { case ("rows", n) => previewRows = n }
           catch { case e: Throwable => println(s"error: ${e.getMessage}") }
         case Some(u) =>
           try {
             if (isStatement(u)) {
-              prelude = prelude :+ u
+              sess.exec(u)
+              prelude = prelude :+ u // completion names only
               println("ok")
             } else {
-              val t = Interp.run(spark, (prelude :+ u).mkString("\n"),
-                env.toSeq: _*)
+              val t = sess.run(u)
               // implicit [..N] preview + true count, like the
               // reference's rich table display
               val total = t.df.count()
@@ -347,16 +351,16 @@ object Repl {
     spark.stop()
   }
 
-  /** `:load file.pql` — run a script file (the reference's example
-    * .pql scripts run verbatim); its definitions join the prelude so
-    * later REPL lines can use them. Returns the grown prelude.
+  /** `:load file.pql` — run a script file ONCE through the session
+    * (the reference's example .pql scripts run verbatim); its
+    * definitions persist in the session, and its text joins the
+    * completion prelude. Returns the grown prelude.
     */
-  private[graft] def loadScript(path: String, spark: SparkSession,
-                                env: Map[String, PTable],
+  private[graft] def loadScript(path: String, sess: Interp.Session,
                                 prelude: List[String]): List[String] = {
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), "UTF-8")
-    Interp.run(spark, (prelude :+ src).mkString("\n"), env.toSeq: _*)
+    sess.exec(src)
     println(s"loaded $path")
     prelude :+ src
   }
@@ -377,7 +381,7 @@ object Repl {
     Some(buf.toString)
   }
 
-  private def meta(cmd: String, spark: SparkSession,
+  private def meta(cmd: String, sess: Interp.Session,
                    env: Map[String, PTable], prelude: List[String],
                    previewRows: Int): Option[(String, Int)] = {
     val parts = cmd.split("\\s+", 2)
@@ -395,8 +399,7 @@ object Repl {
       case ":explain" =>
         val expr = parts.lift(1).getOrElse(
           throw new graft.types.ValueError(":explain needs an expression"))
-        Interp.run(spark, (prelude :+ expr).mkString("\n"), env.toSeq: _*)
-          .df.explain("formatted")
+        sess.run(expr).df.explain("formatted")
         None
       case ":rows" =>
         val n = parts.lift(1).map(_.toInt).getOrElse(previewRows)

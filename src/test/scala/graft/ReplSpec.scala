@@ -111,19 +111,17 @@ class ReplSpec extends SparkSpec {
     // fizzbuzz.pql ends in `print [1..100]{fizzbuzz(item)}`; :load
     // must print its output and keep the script's funcs available
     val out = new java.io.ByteArrayOutputStream()
+    val sess = new graft.lang.Interp.Session(spark)
     val prelude = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
-      Repl.loadScript("/root/reference/examples/fizzbuzz.pql",
-        spark, Map.empty, Nil)
+      Repl.loadScript("/root/reference/examples/fizzbuzz.pql", sess, Nil)
     }
     val printed = out.toString("UTF-8")
     assert(printed.contains("FizzBuzz") && printed.contains("Fizz") &&
       printed.contains("Buzz"), s"fizzbuzz output missing:\n$printed")
     assert(printed.contains("loaded /root/reference/examples/fizzbuzz.pql"))
-    // the loaded definitions are usable from later REPL units
+    // the loaded definitions persist in the session for later units
     assert(prelude.nonEmpty)
-    val r = graft.lang.Interp.run(spark,
-      (prelude :+ "[15] {fizzbuzz(item)}").mkString("\n"))
-      .df.collect()
+    val r = sess.run("[15] {fizzbuzz(item)}").df.collect()
     assert(r.map(_.getString(0)).toSeq == Seq("FizzBuzz"))
   }
 
