@@ -210,6 +210,32 @@ class JoinsCatalogSpec extends SparkSpec {
     assert(ids.toSeq == (1L to 25L))
   }
 
+  test("catalog: driver row buffer overflows to unions, invalidates on rebind") {
+    val cat = new Catalog(spark)
+    spark.conf.set(graft.GraftConf.CatalogLocalLimitKey, "3")
+    try {
+      cat.create("b", Seq(StructField("name", StringType)))
+      // inserts 1-3 stay in the LocalRelation buffer; 4-5 overflow to
+      // the union path — content must be identical either way
+      (1 to 5).foreach(i => cat.insertRow("b", Map("name" -> s"n$i")))
+      assert(cat.get("b").df.count() == 5)
+      assert(cat.localRowsOf("b").isEmpty, "buffer should have dropped")
+      val ids = cat.get("b").df.select("id").collect()
+        .map(_.getLong(0)).sorted
+      assert(ids.toSeq == (1L to 5L))
+      // a buffered table invalidates on update and keeps correct rows
+      cat.create("c", Seq(StructField("name", StringType)))
+      cat.insertRow("c", Map("name" -> "x"))
+      assert(cat.localRowsOf("c").exists(_.length == 1))
+      cat.update("c", org.apache.spark.sql.functions.col("id") === 1,
+        "name" -> org.apache.spark.sql.functions.lit("y"))
+      assert(cat.localRowsOf("c").isEmpty)
+      cat.insertRow("c", Map("name" -> "z")) // union path after rebind
+      assert(cat.get("c").df.orderBy("id").collect()
+        .map(_.getString(1)).toSeq == Seq("y", "z"))
+    } finally spark.conf.unset(graft.GraftConf.CatalogLocalLimitKey)
+  }
+
   test("catalog: auto-compaction keeps mutation chains shallow") {
     val cat = new Catalog(spark)
     cat.create("m", Seq(StructField("name", StringType)))
