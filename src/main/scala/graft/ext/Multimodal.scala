@@ -61,9 +61,12 @@ object Multimodal {
     val isRiff = hexAt(1, 4) === "52494646"
     val isWav = isRiff && riff4 === "57415645"
     val isWebp = isRiff && riff4 === "57454250"
+    val isAvi = isRiff && riff4 === "41564920"
+    val isMp4 = hexAt(5, 4) === "66747970" // ISO BMFF 'ftyp' box
     val format = F.when(isPng, "png").when(isJpeg, "jpeg")
       .when(isGif, "gif").when(isBmp, "bmp")
       .when(isWav, "wav").when(isWebp, "webp")
+      .when(isAvi, "avi").when(isMp4, "mp4")
       .otherwise("unknown")
     val width = F.when(isPng, beU32(17)).when(isGif, leU16(7))
       .when(isBmp, leU32(19)).otherwise(lit(0L))

@@ -398,7 +398,10 @@ class ExtSpec extends SparkSpec {
       (0L, png2x2), (1L, gif3x2),
       (2L, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)),
       (3L, "plain old text".getBytes("UTF-8")),
-      (4L, null.asInstanceOf[Array[Byte]]))
+      (4L, null.asInstanceOf[Array[Byte]]),
+      // minimal ISO BMFF: size box + 'ftyp' at offset 4
+      (5L, Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("US-ASCII")),
+      (6L, "RIFF    AVI LIST".getBytes("US-ASCII")))
       .toDF("doc_id", "blob")
     val out = blobs.select(col("doc_id"),
         Multimodal.blobMeta(col("blob")).as("m"))
@@ -412,6 +415,8 @@ class ExtSpec extends SparkSpec {
     assert(out(2).getString(1) == "jpeg" && out(2).getInt(2) == 0)
     assert(out(3).getString(1) == "unknown")
     assert(out(4).getString(1) == "unknown" && out(4).getLong(4) == 0L)
+    assert(out(5).getString(1) == "mp4")
+    assert(out(6).getString(1) == "avi")
   }
 
   test("multimodal: malformed and null blobs never fail the decode job") {
