@@ -112,11 +112,28 @@ object Similarity {
   /** The vector dimension, probed from the first row — plane matrices
     * and IVF buffers size off it at plan-build time.
     */
-  def probeDim(df: DataFrame, vecCol: String = "embedding"): Int =
-    df.select(F.size(col(vecCol))).head(1) match {
-      case Array(r) => r.getInt(0)
-      case _ => 1 // empty corpus: any dim yields an empty result set
+  /** Memo of probed dims, keyed weakly on the analyzed plan — repeat
+    * ANN calls over the same frame (per-microbatch wrappers, looped
+    * queries) skip the extra driver round-trip.
+    */
+  private val dimCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer]())
+
+  def probeDim(df: DataFrame, vecCol: String = "embedding"): Int = {
+    val key = df.queryExecution.analyzed
+    val hit = dimCache.get(key)
+    if (hit != null) hit.intValue()
+    else {
+      val dim = df.select(F.size(col(vecCol))).head(1) match {
+        case Array(r) => r.getInt(0)
+        case _ => 1 // empty corpus: any dim yields an empty result set
+      }
+      dimCache.put(key, dim)
+      dim
     }
+  }
 
   /** Bucketed ANN: exact cosine only within matching LSH buckets.
     * Trades recall for a single equi-join on the bucket id.
