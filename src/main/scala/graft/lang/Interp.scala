@@ -73,6 +73,11 @@ object Interp {
     "int", "float", "string", "bool", "text", "number", "primitive",
     "timestamp", "date", "nulltype", "any")
 
+  /** `exit(value?)` control flow (reference ExitInterp) — the REPL
+    * treats it as quit; embedding callers may catch it.
+    */
+  final class ExitInterp(val value: Option[Any]) extends RuntimeException
+
   def run(spark: SparkSession, src: String, tables: (String, PTable)*): PTable =
     runWithModules(spark, src, Map.empty, tables: _*)
 
@@ -524,6 +529,12 @@ object Interp {
           }
         case Call("rollback", _) => throw new graft.types.NotImplementedError(
           "rollback() outside transaction {}")
+        // `exit(value?)` (reference pql_functions.py:836-847): leave
+        // the current interpreter — the REPL quits, an embedding
+        // caller sees the typed control exception
+        case Call("exit", eargs) =>
+          throw new Interp.ExitInterp(
+            eargs.headOption.flatMap(a => tryScalar(substitute(a.value))))
         // drop a table binding (reference pql_functions.py:563-571)
         case Call(rm @ ("remove_table" | "remove_table_if_exists"), args) =>
           val n = args.headOption.map(_.value) match {
@@ -817,6 +828,10 @@ object Interp {
         scalarToAst(tt.df.agg(a).head().get(0))
       case Call("is_empty", Seq(Arg(None, te))) if isTableExpr(te) =>
         BoolLit(tableEmpty(te))
+      case Call("inspect_sql", Seq(Arg(None, te))) if isTableExpr(te) =>
+        // reference pql_functions.py inspect_sql returns the compiled
+        // SQL text; the engine's compiled form IS the Catalyst plan
+        StrLit(evalTable(te).df.queryExecution.optimizedPlan.toString)
       // `help()` / `help(obj)` — a brief summary string (reference
       // pql_functions.py:735-783)
       case Call("help", Seq()) =>
@@ -1310,7 +1325,8 @@ object Interp {
       "walk_tree", "graph.bfs", "graph.walk_tree", "SQL", "char_range",
       "limit_offset", "table_concat", "table_union", "table_intersect",
       "table_substract", "table_subtract", "force_eval", "describe",
-      "zipjoin", "zipjoin_left", "zipjoin_longest", "map_range")
+      "zipjoin", "zipjoin_left", "zipjoin_longest", "map_range",
+      "import_table", "import_json", "import_csv", "dir")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1548,7 +1564,7 @@ object Interp {
           val rows = env.collect { case (n, VT(_)) => Tuple1(n) }.toSeq
             .sortBy(_._1)
           PTable(spark.createDataFrame(rows).toDF("name"))
-        case "names" =>
+        case "names" | "dir" =>
           // reference pql_functions.py:786-803: names(obj) lists the
           // object's attributes (a table's columns + methods);
           // names() lists the current namespace. Columns: name, type,
@@ -1590,6 +1606,72 @@ object Interp {
             })
           }.sortBy(_._1)
           PTable(spark.createDataFrame(rows).toDF("name", "kind"))
+        case "import_table" =>
+          // reference pql_functions.py:689-711: import an existing DB
+          // table into the namespace, reflecting its type; an optional
+          // whitelist keeps only those columns
+          val tname = constString(args.head.value)
+          if (!cat.names.contains(tname))
+            throw new NameError(s"unknown table '$tname'")
+          val tab = cat.get(tname)
+          val picked = args.lift(1).map(_.value) match {
+            case None => tab
+            case Some(ListLit(items)) =>
+              val cols = items.map(constString)
+              cols.filterNot(tab.columns.contains).foreach(c =>
+                throw new NameError(
+                  s"import_table: no column '$c' in '$tname'"))
+              PTable(tab.df.select(cols.map(col): _*),
+                tab.meta.copy(pk = tab.meta.pk.filter(cols.contains),
+                  fks = tab.meta.fks.filter(f => cols.contains(f.column))))
+            case Some(o) => throw new TypeError(
+              s"import_table: expected a list of column names, got $o")
+          }
+          env = env + (tname -> VT(picked))
+          picked
+        case "import_json" =>
+          // reference pql_functions.py:875-899: create a NEW table
+          // from a JSON file, returning it
+          val tname = constString(args.head.value)
+          val uri = constString(args(1).value)
+          val tab = graft.sources.Tables.json(spark, uri, name = tname)
+          cat.register(tname, tab)
+          env = env + (tname -> VT(cat.get(tname)))
+          cat.get(tname)
+        case "import_csv" =>
+          // reference pql_functions.py:902-960: append a csv file's
+          // rows into an EXISTING table (header=true skips/uses the
+          // first line); headerless files bind positionally onto the
+          // table's non-id columns
+          val tname = args.head.value match {
+            case Ident(n) => n
+            case o => throw new TypeError(
+              s"import_csv: expected a table, got $o")
+          }
+          val path = constString(args(1).value)
+          val header = args.lift(2).map(_.value).exists {
+            case BoolLit(b) => b
+            case o => throw new TypeError(
+              s"import_csv: header must be a bool, got $o")
+          }
+          val base = lookupTable(tname)
+          if (!cat.names.contains(tname) || (cat.get(tname) ne base))
+            cat.register(tname, base)
+          val raw = graft.sources.Tables.csv(spark, path, header).df
+          val targets = base.schema.fields
+            .filterNot(f => base.meta.pk.contains(f.name))
+          val aligned =
+            if (header) raw
+            else raw.toDF(targets.map(_.name).take(raw.columns.length): _*)
+          // csv columns arrive as inferred types; cast to the table's
+          val casted = aligned.select(aligned.columns.map { c =>
+            targets.find(_.name == c)
+              .map(f => col(c).cast(f.dataType).as(c))
+              .getOrElse(col(c))
+          }: _*)
+          val merged = cat.insertAll(tname, casted)
+          env = env + (tname -> VT(merged))
+          merged
         // qualified `graph.bfs` forms come from the stdlib module
         // (reference `import graph` — graph.pql; builtins preloaded).
         // Column contracts follow graph.pql: initial is any one-column
@@ -2271,6 +2353,13 @@ object Interp {
         }
         constCall(target, args.take(1))
       case "get_db_type" => "spark"
+      // reference pql_functions.py:224-229: the backend-qualified
+      // quoted id — the engine has one flat namespace, so it's the
+      // quoted name itself
+      case "get_qualified_name" => a(0) match {
+        case s: String => "`" + s + "`"
+        case o => throw new TypeError(s"get_qualified_name of $o")
+      }
       case "str_notcontains" => (a(0), a(1)) match {
         case (sub: String, s: String) => !s.contains(sub)
         case (x, y) => throw new TypeError(s"str_notcontains of ($x, $y)")

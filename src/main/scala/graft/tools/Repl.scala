@@ -339,6 +339,8 @@ object Repl {
               else println(s"$total row(s)")
             }
           } catch {
+            // in-language `exit()` quits the shell (reference)
+            case _: Interp.ExitInterp => running = false
             // a void procedure call (`main()`) has side effects only
             case e: graft.types.ValueError
               if e.getMessage != null &&

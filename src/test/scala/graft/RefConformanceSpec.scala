@@ -624,6 +624,58 @@ class RefConformanceSpec extends SparkSpec {
     assert(out3.toSeq == Seq((1L, 2L), (3L, 14L), (5L, 6L)))
   }
 
+  // ---- namespace completeness: import_*/dir/exit/inspect_sql ---------------
+
+  test("import_table reflects a stored table, optionally whitelisting columns") {
+    // reference pql_functions.py:689-711 (import_table("name", [cols]))
+    val out = rows(
+      """table A { x: int, y: int }
+        |new A(1, 2)
+        |A = null
+        |import_table("A", ["x"])
+        |A""".stripMargin)
+    assert(out == Seq(Seq("x" -> 1L)))
+    assertThrows[NameError](rows("import_table(\"nope\")\n[0]"))
+    assertThrows[NameError](rows(
+      "table A { x: int }\nA = null\nimport_table(\"A\", [\"zz\"])\n[0]"))
+  }
+
+  test("import_csv appends file rows into an existing table; import_json creates one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_imp")
+    val csv = dir.resolve("rows.csv")
+    java.nio.file.Files.write(csv, "7,seven\n8,eight\n".getBytes("UTF-8"))
+    val out = rows(
+      s"""table A { x: int, name: string }
+         |new A(1, "one")
+         |import_csv(A, "$csv")
+         |A {x, name} order {x}""".stripMargin)
+    assert(out.map(_.map { case (k, v) => (k, v.toString) }) == Seq(
+      Seq("x" -> "1", "name" -> "one"),
+      Seq("x" -> "7", "name" -> "seven"),
+      Seq("x" -> "8", "name" -> "eight")))
+    val json = dir.resolve("rows.json")
+    java.nio.file.Files.write(json,
+      "{\"a\": 1, \"b\": \"p\"}\n{\"a\": 2, \"b\": \"q\"}\n".getBytes("UTF-8"))
+    val out2 = rows(
+      s"""import_json("J", "$json")
+         |J {a, b} order {a}""".stripMargin)
+    assert(out2.map(_.map { case (k, v) => (k, v.toString) }) == Seq(
+      Seq("a" -> "1", "b" -> "p"), Seq("a" -> "2", "b" -> "q")))
+  }
+
+  test("dir aliases names; inspect_sql returns the compiled plan; qualified name quotes") {
+    assert(col0("x = 5\ndir()[type == \"int\"]{name}") == Seq("x"))
+    val plan = one("inspect_sql([1, 2]{item + 1})").toString
+    assert(plan.contains("Project") || plan.contains("LocalRelation"),
+      s"not a plan: $plan")
+    assert(one("get_qualified_name(\"nation\")") == "`nation`")
+  }
+
+  test("exit() raises the interpreter-exit control signal") {
+    val e = intercept[Interp.ExitInterp](rows("x = 1\nexit(x)\n[99]"))
+    assert(e.value.contains(1L))
+  }
+
   // ---- test_threading (shared interpreter) ---------------------------------
 
   test("shared interpreter: 100 threaded inserts through ONE session land exactly once") {
