@@ -1326,7 +1326,8 @@ object Interp {
       "limit_offset", "table_concat", "table_union", "table_intersect",
       "table_substract", "table_subtract", "force_eval", "describe",
       "zipjoin", "zipjoin_left", "zipjoin_longest", "map_range",
-      "import_table", "import_json", "import_csv", "dir")
+      "import_table", "import_json", "import_csv", "dir",
+      "run_statement")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1453,7 +1454,7 @@ object Interp {
           PTable.fromList(spark,
             (from.head to to.head).map(_.toString))
 
-        case "SQL" =>
+        case "SQL" | "run_statement" =>
           // SQL(type, "code") escape hatch (reference
           // pql_functions.py:86-123): `$var` interpolates tables as
           // temp views and scalars as literals; `$self` recursion is
@@ -1502,8 +1503,12 @@ object Interp {
             }
             case _ => None
           }
-          graft.sqlesc.SqlEscape.sqlTyped(spark, text, 1000, selfCols,
-            tableVars.result(): _*)
+          val sqlRes = graft.sqlesc.SqlEscape.sqlTyped(spark, text, 1000,
+            selfCols, tableVars.result(): _*)
+          // run_statement(code) = force_eval(SQL(nulltype, code))
+          // (reference __builtins__.pql:559-561) — execute for effect
+          if (fn == "run_statement") { sqlRes.df.collect(); sqlRes }
+          else sqlRes
         case "temptable" =>
           PTable(t(args.head.value).df.localCheckpoint(true))
         case "force_eval" => // materialize NOW (reference

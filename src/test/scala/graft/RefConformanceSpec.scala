@@ -671,6 +671,12 @@ class RefConformanceSpec extends SparkSpec {
     assert(one("get_qualified_name(\"nation\")") == "`nation`")
   }
 
+  test("run_statement executes raw SQL for effect with $var interpolation") {
+    // reference __builtins__.pql:559-561: force_eval(SQL(nulltype, code))
+    assert(col0("x = 41\nrun_statement(\"SELECT $x + 1\")\n[7]")
+      .map(_.toString.toLong) == Seq(7L))
+  }
+
   test("exit() raises the interpreter-exit control signal") {
     val e = intercept[Interp.ExitInterp](rows("x = 1\nexit(x)\n[99]"))
     assert(e.value.contains(1L))
