@@ -1668,11 +1668,18 @@ object Interp {
           val aligned =
             if (header) raw
             else raw.toDF(targets.map(_.name).take(raw.columns.length): _*)
-          // csv columns arrive as inferred types; cast to the table's
-          val casted = aligned.select(aligned.columns.map { c =>
-            targets.find(_.name == c)
-              .map(f => col(c).cast(f.dataType).as(c))
-              .getOrElse(col(c))
+          // keep only the table's declared columns (a stray file
+          // column must not widen the table) and cast the inferred
+          // csv types to the table's
+          val keepCols = aligned.columns.filter(c =>
+            targets.exists(_.name == c))
+          if (keepCols.isEmpty)
+            throw new TypeError(
+              s"import_csv: no file column matches table '$tname' " +
+                s"(file: ${aligned.columns.mkString(", ")})")
+          val casted = aligned.select(keepCols.map { c =>
+            val f = targets.find(_.name == c).get
+            col(c).cast(f.dataType).as(c)
           }: _*)
           val merged = cat.insertAll(tname, casted)
           env = env + (tname -> VT(merged))

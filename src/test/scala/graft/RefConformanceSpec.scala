@@ -671,6 +671,32 @@ class RefConformanceSpec extends SparkSpec {
     assert(one("get_qualified_name(\"nation\")") == "`nation`")
   }
 
+  test("catalog roundtrip survives bare-only tables (all-empty pk/fk manifest)") {
+    val cat = new graft.catalog.Catalog(spark)
+    import org.apache.spark.sql.types.{StructField, StringType}
+    cat.create("b1", Seq(StructField("name", StringType)), bare = true)
+    cat.insertRow("b1", Map("name" -> "x"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bare").toString
+    cat.saveTo(dir)
+    val cat2 = new graft.catalog.Catalog(spark)
+    assert(cat2.attach(dir) == Seq("b1"))
+    assert(cat2.get("b1").columns == Seq("name"))
+    assert(cat2.get("b1").df.collect().map(_.getString(0)).toSeq == Seq("x"))
+  }
+
+  test("import_csv ignores file columns the table does not declare") {
+    val csv = java.nio.file.Files.createTempFile("graft_extra", ".csv")
+    java.nio.file.Files.write(csv, "x,name,extra\n7,seven,zzz\n".getBytes("UTF-8"))
+    val out = rows(
+      s"""table A { x: int, name: string }
+         |import_csv(A, "$csv", true)
+         |A""".stripMargin)
+    // the undeclared 'extra' column must NOT widen the table
+    assert(out.head.map(_._1) == Seq("id", "x", "name"))
+    assert(out.map(_.drop(1).map { case (k, v) => (k, v.toString) }) ==
+      Seq(Seq("x" -> "7", "name" -> "seven")))
+  }
+
   test("run_statement executes raw SQL for effect with $var interpolation") {
     // reference __builtins__.pql:559-561: force_eval(SQL(nulltype, code))
     assert(col0("x = 41\nrun_statement(\"SELECT $x + 1\")\n[7]")
