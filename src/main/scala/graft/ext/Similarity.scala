@@ -55,21 +55,25 @@ object Similarity {
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (fdot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))
-    // Two-stage top-k: a single window partitioned by query_id would
-    // funnel the WHOLE corpus through #queries partitions (a skew wall
-    // at 100 TB with few queries). Stage 1 takes a local top-k within
-    // each scan partition (parallelism = data partitions), so the
-    // global stage sees at most k rows per (query, partition).
-    val local = Window.partitionBy(col("query_id"), F.spark_partition_id())
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    val pruned = scored.withColumn("lrank", F.row_number().over(local))
-      .filter(col("lrank") <= k).drop("lrank")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    pruned.withColumn("rank", F.row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    rankTopK(scored, k)
   }
+
+  /** Grouped top-k over (query_id, neighbor_id, sim) candidate rows
+    * via the native bounded aggregate (graft.plans.TopKPairs): the
+    * aggregation state is k pairs, so map-side partials cut each
+    * partition's contribution to k rows per query and the shuffle
+    * carries queries × k × partitions pairs — a rank window would
+    * shuffle and SORT every candidate row (the 100 TB wall of the
+    * previous two-window implementation). Ties break by smaller
+    * neighbor_id, identical to rank-window (sim desc, id asc).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.plans.TopKPairs.topk(col("sim"), col("neighbor_id"), k)
+        .as("top"))
+      .select(col("query_id"), F.posexplode(col("top")))
+      .select(col("query_id"), col("col").as("neighbor_id"),
+        (col("pos") + 1).cast(IntegerType).as("rank"))
 
   /** Driver-side mirror of TextAnalysis.h60 (first 60 bits of md5),
     * so plane constants computed at plan-build time are bit-identical
@@ -156,17 +160,7 @@ object Similarity {
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (fdot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))
-    // two-stage top-k (see bruteForceTopK): local prune per scan
-    // partition, then global rank per query
-    val local = Window.partitionBy(col("query_id"), F.spark_partition_id())
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    val pruned = scored.withColumn("lrank", F.row_number().over(local))
-      .filter(col("lrank") <= k).drop("lrank")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    pruned.withColumn("rank", F.row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    rankTopK(scored, k) // bounded-state grouped top-k (see rankTopK)
   }
 
   /** IVF (inverted-file) ANN index: a deterministic sample of corpus
@@ -338,17 +332,7 @@ object Similarity {
       .filter(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         (fdot(col("qvec"), col(vecCol)) / fnorm(col(vecCol))).as("sim"))
-    // two-stage top-k (see bruteForceTopK): local prune per scan
-    // partition caps the per-query funnel at k rows per partition
-    val local = Window.partitionBy(col("query_id"), F.spark_partition_id())
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    val pruned = scored.withColumn("lrank", F.row_number().over(local))
-      .filter(col("lrank") <= k).drop("lrank")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    pruned.withColumn("rank", F.row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    rankTopK(scored, k) // bounded-state grouped top-k (see rankTopK)
   }
 
   /** Top-`p` dimensions of the L2-NORMALIZED vectors by variance —

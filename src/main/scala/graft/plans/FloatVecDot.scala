@@ -90,5 +90,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CentroidArgmax].getName,
         "graft_centroid_argmax"),
       (exprs: Seq[Expression]) => CentroidArgmax.fromArgs(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
+      (exprs: Seq[Expression]) => TopKPairs.fromArgs(exprs)))
   }
 }

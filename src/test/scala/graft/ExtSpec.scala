@@ -441,6 +441,38 @@ class ExtSpec extends SparkSpec {
     assert(feats.count() == 3)
   }
 
+  test("native topk aggregate == rank window, across partial merges") {
+    import org.apache.spark.sql.expressions.Window
+    // candidate rows with deliberate score ties and many partitions,
+    // so map-side partials and shuffled merges both exercise
+    val cand = spark.range(2000).select(
+      (col("id") % 7).as("query_id"),
+      col("id").as("neighbor_id"),
+      ((col("id") % 13).cast("double") / 13.0).as("sim"))
+      .repartition(11)
+    val viaAgg = cand.groupBy("query_id")
+      .agg(graft.plans.TopKPairs.topk(col("sim"), col("neighbor_id"), 5)
+        .as("top"))
+      .select(col("query_id"), org.apache.spark.sql.functions.posexplode(col("top")))
+      .select(col("query_id"), col("col").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val viaWindow = cand
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3).toLong)).toSet
+    assert(viaAgg == viaWindow)
+    // k larger than the group returns the whole group, ranked
+    val small = cand.filter(col("query_id") === 0).limit(3)
+    assert(small.groupBy("query_id")
+      .agg(graft.plans.TopKPairs.topk(col("sim"), col("neighbor_id"), 50)
+        .as("top"))
+      .select(org.apache.spark.sql.functions.size(col("top")))
+      .head.getInt(0) == 3)
+  }
+
   test("similarity: empty corpus yields empty ANN results, no throw") {
     val empty = emb.filter(col("vec_id") < 0)
     assert(Similarity.lshTopK(emb.limit(2), empty, 5).count() == 0)
