@@ -7,10 +7,13 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns plus typed metadata. Images decode for REAL via
-  * javax.imageio (`decodeImage` / `extractImageFeatures`, conf-gated);
-  * `decodeImageStub` / `extractFeaturesStub` keep a deterministic
-  * fake path for formats without a JVM codec (audio/video), with the
-  * same Spark-side plumbing — schema, batch shape, partition sizing.
+  * javax.imageio (`decodeImage` / `extractImageFeatures`), audio via
+  * javax.sound.sampled (`decodeAudio`, WAV/AU/AIFF), and video frames
+  * via hand-parsed containers + ImageIO (`decodeVideo`, MJPEG-in-AVI
+  * and animated GIF) — all conf-gated. `decodeImageStub` /
+  * `extractFeaturesStub` keep a deterministic fake path for formats
+  * with no JVM codec (e.g. H.264), with the same Spark-side plumbing
+  * — schema, batch shape, partition sizing.
   *
   * Scale design:
   *  - blobs stay in `binary` columns; Parquet stores them page-
@@ -151,22 +154,8 @@ object Multimodal {
         val id = r.getAs[Number](idIdx).longValue()
         tryImage(blob, real) match {
           case Some(im) =>
-            val (w, h) = (im.getWidth, im.getHeight)
-            val thumb = new Array[Byte](thumbSize * thumbSize * 3)
-            var ty = 0
-            while (ty < thumbSize) {
-              var tx = 0
-              while (tx < thumbSize) {
-                val px = im.getRGB(tx * w / thumbSize, ty * h / thumbSize)
-                val o = (ty * thumbSize + tx) * 3
-                thumb(o) = ((px >> 16) & 0xff).toByte
-                thumb(o + 1) = ((px >> 8) & 0xff).toByte
-                thumb(o + 2) = (px & 0xff).toByte
-                tx += 1
-              }
-              ty += 1
-            }
-            Row(id, blob.length.toLong, w, h, true, thumb)
+            Row(id, blob.length.toLong, im.getWidth, im.getHeight, true,
+              rgbThumb(im, thumbSize))
           case None => // stub fallback (same shape, deterministic)
             val thumb = if (blob.length >= 4) blob.take(4)
               else blob.padTo(4, 0.toByte)
@@ -343,6 +332,143 @@ object Multimodal {
           val rms =
             if (blob.isEmpty) 0.0 else math.sqrt(sumSq / blob.length)
           Row(id, blob.length.toLong, 0, 0, 0L, false, rms, peak)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, out)
+  }
+
+  /** Nearest-neighbor RGB downsample to `size`² — the fixed-size
+    * surviving payload of the image/video decode paths.
+    */
+  private def rgbThumb(im: java.awt.image.BufferedImage,
+                       size: Int): Array[Byte] = {
+    val (w, h) = (im.getWidth, im.getHeight)
+    val thumb = new Array[Byte](size * size * 3)
+    var ty = 0
+    while (ty < size) {
+      var tx = 0
+      while (tx < size) {
+        val px = im.getRGB(tx * w / size, ty * h / size)
+        val o = (ty * size + tx) * 3
+        thumb(o) = ((px >> 16) & 0xff).toByte
+        thumb(o + 1) = ((px >> 8) & 0xff).toByte
+        thumb(o + 2) = (px & 0xff).toByte
+        tx += 1
+      }
+      ty += 1
+    }
+    thumb
+  }
+
+  /** Video frame payloads of an AVI container: walks the RIFF chunk
+    * tree (recursing into LIST chunks) and collects the data of
+    * `##dc`/`##db` stream chunks — for MJPEG AVIs each is a complete
+    * JPEG image. Returns the payloads WITHOUT decoding them, so
+    * callers pay ImageIO cost only for the frames they sample.
+    */
+  private def aviVideoChunks(blob: Array[Byte]): Vector[(Int, Int)] = {
+    val out = Vector.newBuilder[(Int, Int)]
+    def leU32(p: Int): Long =
+      (blob(p) & 0xffL) | (blob(p + 1) & 0xffL) << 8 |
+        (blob(p + 2) & 0xffL) << 16 | (blob(p + 3) & 0xffL) << 24
+    def fourcc(p: Int): String =
+      new String(blob, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def walk(pos: Int, end: Int): Unit = {
+      var p = pos
+      while (p + 8 <= end) {
+        val id = fourcc(p)
+        val size = leU32(p + 4)
+        if (size < 0 || p + 8 + size > end) return // corrupt: stop
+        val sz = size.toInt
+        if (id == "LIST" && sz >= 4) walk(p + 12, p + 8 + sz)
+        else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+                 id(2) == 'd' && (id(3) == 'c' || id(3) == 'b') && sz > 0)
+          out += ((p + 8, sz))
+        p += 8 + sz + (sz & 1) // chunks are padded to even offsets
+      }
+    }
+    if (blob.length >= 12) walk(12, blob.length)
+    out.result()
+  }
+
+  /** REAL video frame decode, gated by the same
+    * `spark.graft.multimodal.realDecode` conf as images/audio. Two
+    * pure-JVM container paths: MJPEG-in-AVI (RIFF chunks parsed by
+    * hand, each `##dc` payload is a JPEG decoded via ImageIO) and
+    * animated GIF (the JDK GIF reader exposes every frame). Emits one
+    * row per SAMPLED frame (every `frameStep`th) with true
+    * dimensions and an RGB thumbnail; only sampled frames are ever
+    * decoded, so cost scales with frames-kept, not frames-stored —
+    * the property that matters when a 100 TB corpus stores hour-long
+    * clips but training wants 1 fps. Undecodable blobs (unsupported
+    * codecs, junk) emit a single deterministic stub row, so mixed
+    * corpora never fail the job.
+    */
+  def decodeVideo(df: DataFrame, blobCol: String, idCol: String,
+                  frameStep: Int = 1, thumbSize: Int = 2): DataFrame = {
+    require(frameStep > 0, s"frameStep must be positive, got $frameStep")
+    val out = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("thumb", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val real = graft.GraftConf.realDecode(df.sparkSession)
+    val step = frameStep
+    val ts = thumbSize
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = safeBytes(r.getAs[Array[Byte]](blobIdx))
+        val id = r.getAs[Number](idIdx).longValue()
+        val nb = blob.length.toLong
+        def stubRow = {
+          val thumb = if (blob.length >= 4) blob.take(4)
+            else blob.padTo(4, 0.toByte)
+          Seq(Row(id, nb, 0L, 0, 0, 0, false, thumb))
+        }
+        if (!real || blob.length < 12) stubRow
+        else {
+          val isAvi = blob(0) == 'R' && blob(1) == 'I' && blob(2) == 'F' &&
+            blob(3) == 'F' && blob(8) == 'A' && blob(9) == 'V' &&
+            blob(10) == 'I'
+          val isGif = blob(0) == 'G' && blob(1) == 'I' && blob(2) == 'F'
+          val frames: Seq[Row] =
+            try {
+              if (isAvi) {
+                val chunks = aviVideoChunks(blob)
+                chunks.indices.by(step).flatMap { i =>
+                  val (off, len) = chunks(i)
+                  Option(javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(blob, off, len)))
+                    .map(im => Row(id, nb, chunks.length.toLong, i,
+                      im.getWidth, im.getHeight, true, rgbThumb(im, ts)))
+                }
+              } else if (isGif) {
+                val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+                if (!it.hasNext) Seq.empty
+                else {
+                  val reader = it.next()
+                  val in = javax.imageio.ImageIO.createImageInputStream(
+                    new java.io.ByteArrayInputStream(blob))
+                  try {
+                    reader.setInput(in, false, true)
+                    val n = reader.getNumImages(true)
+                    (0 until n by step).map { i =>
+                      val im = reader.read(i)
+                      Row(id, nb, n.toLong, i, im.getWidth, im.getHeight,
+                        true, rgbThumb(im, ts))
+                    }
+                  } finally { reader.dispose(); in.close() }
+                }
+              } else Seq.empty
+            } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+          if (frames.nonEmpty) frames else stubRow
         }
       }
     }

@@ -378,6 +378,85 @@ class ExtSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.multimodal.realDecode")
   }
 
+  test("multimodal: REAL video frames decode from MJPEG-AVI and animated GIF") {
+    def jpeg(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) im.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      bos.toByteArray
+    }
+    // hand-built RIFF/AVI container: LIST('movi') of 00dc JPEG chunks
+    def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      val movi = new java.io.ByteArrayOutputStream()
+      movi.write("movi".getBytes)
+      frames.foreach { f =>
+        movi.write("00dc".getBytes); movi.write(le32(f.length)); movi.write(f)
+        if (f.length % 2 == 1) movi.write(0) // even-offset padding
+      }
+      val inner = new java.io.ByteArrayOutputStream()
+      inner.write("AVI ".getBytes)
+      inner.write("LIST".getBytes); inner.write(le32(movi.size)); movi.writeTo(inner)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes); out.write(le32(inner.size)); inner.writeTo(out)
+      out.toByteArray
+    }
+    def animGif(colors: Seq[Int], w: Int, h: Int): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      colors.foreach { c =>
+        val im = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h) im.setRGB(x, y, c)
+        writer.writeToSequence(new javax.imageio.IIOImage(im, null, null), null)
+      }
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    import spark.implicits._
+    val avi = mjpegAvi(Seq.fill(5)(jpeg(0x808080, 4, 2)))
+    val gif = animGif(Seq(0xff0000, 0x00ff00, 0x0000ff), 3, 2)
+    val blobs = Seq(
+      (0L, avi), (1L, gif),
+      (2L, "not a video at all......".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "blob")
+    val out = Multimodal.decodeVideo(blobs, "blob", "doc_id")
+      .orderBy("id", "frame_idx").collect()
+    val aviRows = out.filter(_.getLong(0) == 0L)
+    assert(aviRows.length == 5 && aviRows.forall(_.getBoolean(6)))
+    assert(aviRows.forall(r => r.getLong(2) == 5L)) // n_frames
+    assert(aviRows.map(_.getInt(3)).toSeq == Seq(0, 1, 2, 3, 4))
+    assert(aviRows.forall(r => r.getInt(4) == 4 && r.getInt(5) == 2))
+    val gifRows = out.filter(_.getLong(0) == 1L)
+    assert(gifRows.length == 3 && gifRows.forall(_.getBoolean(6)))
+    assert(gifRows.forall(r => r.getInt(4) == 3 && r.getInt(5) == 2))
+    // the first GIF frame is solid red: its thumbnail must be red-dominant
+    val t0 = gifRows(0).getAs[Array[Byte]](7)
+    assert((t0(0) & 0xff) > 200 && (t0(1) & 0xff) < 60 && (t0(2) & 0xff) < 60)
+    // junk and null blobs: one stub row each, never a job failure
+    Seq(2L, 3L).foreach { id =>
+      val s = out.filter(_.getLong(0) == id)
+      assert(s.length == 1 && !s(0).getBoolean(6) && s(0).getLong(2) == 0L)
+    }
+    // frame sampling: only every 2nd frame is DECODED (cost ∝ kept)
+    val sampled = Multimodal.decodeVideo(blobs, "blob", "doc_id", frameStep = 2)
+      .filter(col("id") === 0L).orderBy("frame_idx").collect()
+    assert(sampled.map(_.getInt(3)).toSeq == Seq(0, 2, 4))
+    assert(sampled.forall(r => r.getLong(2) == 5L))
+    // conf gate: realDecode=false forces the stub path
+    spark.conf.set("spark.graft.multimodal.realDecode", "false")
+    try assert(Multimodal.decodeVideo(blobs, "blob", "doc_id")
+      .collect().forall(!_.getBoolean(6)))
+    finally spark.conf.unset("spark.graft.multimodal.realDecode")
+  }
+
   test("multimodal: blobMeta sniffs real format headers") {
     def png2x2: Array[Byte] = {
       val im = new java.awt.image.BufferedImage(2, 2,
