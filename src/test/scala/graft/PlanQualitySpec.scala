@@ -111,6 +111,24 @@ class PlanQualitySpec extends SparkSpec {
         s"embedded centroid array (zero shuffle):\n$p")
   }
 
+  test("ANN ranking is a bounded partial aggregate, not a window sort") {
+    // TopKPairs keeps k pairs of state: the plan must show a partial
+    // (map-side) graft_topk before the exchange — so the shuffle
+    // carries queries × k × partitions rows — and NO Window/Sort over
+    // the full candidate set (the 100 TB wall of rank-window top-k)
+    for (q <- Seq("x10_ann_brute", "x17_ann_ivf")) {
+      val p = planOf(q)
+      assert(p.contains("partial_graft_topk"),
+        s"$q: expected map-side partial graft_topk:\n$p")
+    }
+    // brute-force has no window at all; IVF legitimately keeps ONE tiny
+    // window for nProbe centroid selection (queries × centroids rows,
+    // broadcast) — but never a second one over the candidate set
+    assert(!planOf("x10_ann_brute").contains("Window"))
+    assert("windowspecdefinition".r.findAllIn(planOf("x17_ann_ivf"))
+      .length <= 1, "x17: candidate ranking fell back to a window sort")
+  }
+
   test("preprocessing pipeline: one scan, shuffles only for dedup") {
     val p = planOf("x21_preprocess_pipeline")
     // every text signal (tokens/lang/quality) must compute in the scan
