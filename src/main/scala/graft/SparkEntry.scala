@@ -1157,6 +1157,18 @@ object SparkEntry {
         "supplier" -> t(s, d, "supplier"),
         "nation" -> t(s, d, "nation")).df),
 
+    // text-analysis scalars exposed in the language (engine extension):
+    // pipeline signals compose with ordinary projections/selections
+    "ql26_lang_text_scalars" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """documents{ doc_id,
+          |           n_tokens: token_count(text),
+          |           lang_pred: lang_id(text),
+          |           fp: fingerprint(text),
+          |           score: quality_score(text)
+          |         }[n_tokens > 2] order {doc_id}""".stripMargin,
+        "documents" -> t(s, d, "documents")).df),
+
     // ---- json scalar functions (extension; reference has none) -----------
     "q61_json" -> ((s, d) => {
       // parse the JSON column ONCE (from_json) and derive every output
@@ -1541,6 +1553,43 @@ object SparkEntry {
                 ELSE 'und' END AS lang_pred,
            en_score
          FROM sc""",
+    "ql26_lang_text_scalars" ->
+      """WITH f AS (
+           SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt,
+             CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tc,
+             length(regexp_replace(text, '\s+', '', 'g')) AS nws,
+             length(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS na
+           FROM documents
+         ), sc AS (
+           SELECT doc_id, text, tc, nws, na,
+             CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' a ', ''))) / 3
+               + (length(pt) - length(replace(pt, ' and ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' of ', ''))) / 4 AS BIGINT) AS en_score,
+             CAST((length(pt) - length(replace(pt, ' el ', ''))) / 4
+               + (length(pt) - length(replace(pt, ' la ', ''))) / 4
+               + (length(pt) - length(replace(pt, ' de ', ''))) / 4
+               + (length(pt) - length(replace(pt, ' y ', ''))) / 3 AS BIGINT) AS es_score,
+             CAST((length(pt) - length(replace(pt, ' der ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' die ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' und ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' das ', ''))) / 5 AS BIGINT) AS de_score
+           FROM f
+         )
+         SELECT doc_id, CAST(tc AS BIGINT) AS n_tokens,
+           CASE WHEN en_score >= es_score AND en_score >= de_score AND en_score > 0 THEN 'en'
+                WHEN es_score >= de_score AND es_score > 0 THEN 'es'
+                WHEN de_score > 0 THEN 'de'
+                ELSE 'und' END AS lang_pred,
+           md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp,
+           (least(CAST(tc AS DOUBLE) / 50.0, 1.0)
+             * least(1.0, 1000.0 / greatest(CAST(tc AS DOUBLE), 1.0))
+             * (CASE WHEN (CASE WHEN tc = 0 THEN 0.0 ELSE CAST(nws AS DOUBLE) / tc END) < 3.0
+                       OR (CASE WHEN tc = 0 THEN 0.0 ELSE CAST(nws AS DOUBLE) / tc END) > 10.0
+                     THEN 0.5 ELSE 1.0 END)
+             * (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(na AS DOUBLE) / length(text) END)) AS score
+         FROM sc WHERE tc > 2 ORDER BY doc_id""",
     "x21_preprocess_pipeline" ->
       """WITH f AS (
            SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt,

@@ -2484,9 +2484,11 @@ object Interp {
         case "length" | "int" | "char_ord" | "str_index" | "year" |
              "month" | "day" | "hour" | "minute" | "day_of_week" |
              "week_of_year" | "count" | "count_distinct" | "count_true" |
-             "count_false" => Some(LongType)
+             "count_false" | "token_count" => Some(LongType)
         case "float" | "mean" | "avg" | "stddev" | "median" | "pi" |
-             "random" | "product" | "approx_product" => Some(DoubleType)
+             "random" | "product" | "approx_product" |
+             "quality_score" => Some(DoubleType)
+        case "lang_id" | "fingerprint" => Some(StringType)
         case "bool" | "str_contains" => Some(BooleanType)
         case "iif" if args.length == 3 =>
           inferType(args(1).value, schema)
@@ -2764,6 +2766,15 @@ object Interp {
           case TypeLit(tn) => colCall(tn, args.take(1), schema, agg)
           case o => throw new TypeError(s"cast: expected a type, got $o")
         }
+      // engine extensions (beyond the reference): the text-analysis
+      // scalars of ext.TextAnalysis, so pipeline signals compose with
+      // ordinary language queries (`documents {lang: lang_id(text)}`)
+      case "token_count" => arity(1)
+        graft.ext.TextAnalysis.tokenCount(a(0)).cast(LongType)
+      case "lang_id" => arity(1); graft.ext.TextAnalysis.langId(a(0))
+      case "quality_score" => arity(1)
+        graft.ext.TextAnalysis.qualityScore(a(0))
+      case "fingerprint" => arity(1); graft.ext.TextAnalysis.fingerprint(a(0))
       case "year" => arity(1); PF.year(a(0))
       case "month" => arity(1); PF.month(a(0))
       case "day" => arity(1); PF.day(a(0))
