@@ -1169,6 +1169,22 @@ object SparkEntry {
           |         }[n_tokens > 2] order {doc_id}""".stripMargin,
         "documents" -> t(s, d, "documents")).df),
 
+    // table-level pipeline operators in the language (engine
+    // extension): an exact-dedup pass composed with ordinary
+    // selection/ordering, all inside one language program
+    "ql27_lang_dedup" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """dedup_exact(docs, "doc_id", "text")[n_copies > 1] order {fp}""",
+        "docs" -> graft.dsl.PTable(augDocs(s, d))).df),
+
+    // ANN in the language: the query side is an ordinary language
+    // selection, fed straight into the extension operator
+    "ql28_lang_ann" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """ann_topk(embeddings[vec_id < 3], embeddings, 5)
+          |  order {query_id, rank}""".stripMargin,
+        "embeddings" -> t(s, d, "embeddings")).df),
+
     // ---- json scalar functions (extension; reference has none) -----------
     "q61_json" -> ((s, d) => {
       // parse the JSON column ONCE (from_json) and derive every output
@@ -1553,6 +1569,31 @@ object SparkEntry {
                 ELSE 'und' END AS lang_pred,
            en_score
          FROM sc""",
+    "ql28_lang_ann" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum([CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)
+               for i in range(0, len(q.embedding))])
+             / (sqrt(list_sum([CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE)
+                 for i in range(0, len(q.embedding))]))
+               * sqrt(list_sum([CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)
+                 for i in range(0, len(c.embedding))]))) AS sim
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 3
+         )
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored
+         ) WHERE rank <= 5 ORDER BY query_id, rank""",
+    "ql27_lang_dedup" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0
+         )
+         SELECT md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp,
+           min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+         FROM docs GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""",
     "ql26_lang_text_scalars" ->
       """WITH f AS (
            SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt,

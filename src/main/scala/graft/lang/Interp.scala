@@ -1327,7 +1327,7 @@ object Interp {
       "table_substract", "table_subtract", "force_eval", "describe",
       "zipjoin", "zipjoin_left", "zipjoin_longest", "map_range",
       "import_table", "import_json", "import_csv", "dir",
-      "run_statement")
+      "run_statement", "dedup_exact", "near_dup_pairs", "ann_topk")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1398,6 +1398,32 @@ object Interp {
           val elem = sparkTypeOf(fn.substring(5, fn.length - 1))
           val tt = t(args.head.value)
           tt.project(NamedCol("item", col(tt.columns.head).cast(elem)))
+        // engine extensions (table position): the LLM-pipeline table
+        // operators, so a dedup/ANN pass composes with ordinary
+        // language queries. Column names are string literals (the
+        // language has no column-reference values in call position).
+        case "dedup_exact" =>
+          if (args.length != 3)
+            throw new TypeError("dedup_exact(t, \"id_col\", \"text_col\")")
+          PTable(graft.ext.Dedup.exact(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value)))
+        case "near_dup_pairs" =>
+          if (args.length != 4)
+            throw new TypeError(
+              "near_dup_pairs(t, \"id_col\", \"text_col\", threshold)")
+          val thr = args(3).value match {
+            case FloatLit(v) => v
+            case IntLit(v) => v.toDouble
+            case o => throw new TypeError(s"threshold must be a number, got $o")
+          }
+          PTable(graft.ext.Dedup.minhashPairs(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value), thr))
+        case "ann_topk" =>
+          if (args.length != 3)
+            throw new TypeError("ann_topk(queries, corpus, k)")
+          PTable(graft.ext.Similarity.bruteForceTopK(
+            t(args(0).value).df, t(args(1).value).df,
+            constLong(args(2).value).toInt))
         // positional joins (reference __builtins__.pql:211-257) —
         // sides may be named (`zipjoin(a: x, b: y)`) or positional
         case "zipjoin" | "zipjoin_left" | "zipjoin_longest" =>

@@ -1173,4 +1173,25 @@ class LangSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq == Seq("l1", "l2"))
     assert(rows.map(_.getDouble(2)).toSeq == Seq(2.0, 4.0))
   }
+
+  test("pipeline table operators callable from the language") {
+    val docs = Tables.load(spark, sf, "documents")
+    // near_dup_pairs == the Scala operator, row for row
+    val viaLang = Interp.run(spark,
+      """near_dup_pairs(documents, "doc_id", "text", 0.8)""",
+      "documents" -> docs).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = graft.ext.Dedup.minhashPairs(docs.df, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLang == direct)
+    // composes with downstream language ops (count the pairs)
+    val counted = Interp.run(spark,
+      """count(near_dup_pairs(documents, "doc_id", "text", 0.8))""",
+      "documents" -> docs).df.head.getLong(0)
+    assert(counted == direct.size)
+    // bad arity raises a language TypeError, not a Spark error
+    intercept[graft.types.TypeError] {
+      Interp.run(spark, """dedup_exact(documents)""", "documents" -> docs)
+    }
+  }
 }
