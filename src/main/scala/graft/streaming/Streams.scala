@@ -143,6 +143,26 @@ object Streams {
         col(s"r.$rightTs") <= col(s"l.$leftTs") + F.expr(s"INTERVAL $maxDelay"))
   }
 
+  /** Continuous similarity search: each micro-batch of incoming
+    * embeddings is ranked against a STATIC corpus via the batch ANN
+    * operator (stream-static composition — the corpus broadcast and
+    * the bounded TopKPairs ranking lift unchanged, so the streaming
+    * path shares one code path and one plan shape with the batch
+    * path). Stateless across batches: a batch's queries are answered
+    * within its trigger, so state never grows — at 100 TB/day the
+    * only scaling knob is trigger interval × corpus partitioning.
+    */
+  def annStream(queries: DataFrame, corpus: DataFrame, k: Int)
+               (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.ext.Similarity.bruteForceTopK(batch, corpus, k), id)
+      }
+      .start()
+
   /** Custom keyed state via mapGroupsWithState: running count + sum
     * per key, emitted on every trigger. State is a (count, sum) pair —
     * O(1) per key, watermark-free (runs forever); use timeouts for

@@ -99,6 +99,35 @@ class GraphStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming ANN: micro-batches rank against the static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.sources.Tables.load(spark, sf, "embeddings").df
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val queries = mem.toDF().toDF("vec_id", "embedding")
+    val got = scala.collection.mutable.Map[Long, Seq[Long]]()
+    val q = graft.streaming.Streams.annStream(queries, corpus, 3) {
+      (ranked, _) =>
+        ranked.collect().groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+          got.synchronized {
+            got(qid) = rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+          }
+        }
+    }
+    // stream two corpus vectors as queries: each must match the BATCH
+    // operator's answer exactly — one code path, streamed
+    val probe = corpus.filter(col("vec_id") < 2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    mem.addData(probe.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.ext.Similarity.bruteForceTopK(
+        corpus.filter(col("vec_id") < 2), corpus, 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    assert(got.toMap == batch)
+  }
+
   test("streaming simhash near-dup admits first doc, drops near-copies") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
