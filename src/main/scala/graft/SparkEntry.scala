@@ -859,6 +859,40 @@ object SparkEntry {
           "n_parts" -> F.countDistinct(col("p.p_partkey")))
         .orderBy("n_name", "l_year").df),
 
+    // qc6: TPC-H Q13 shape — two-LEVEL aggregation: left join keeps
+    // zero-order customers, per-customer count, then a histogram of
+    // the counts. Both aggs are partial-agg shuffles on small keys;
+    // the left join shuffles once on custkey.
+    "qc6_order_count_histogram" -> ((s, d) => {
+      val cust = t(s, d, "customer").df
+      val ord = t(s, d, "orders").df
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(F.count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(F.count(lit(1)).as("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    }),
+
+    // qc7: TPC-H Q22 shape — scalar subquery (broadcast 1-row cross
+    // join, never a driver collect) + anti-join to high-value orders,
+    // then a grouped decimal rollup. The anti-join shuffles on
+    // custkey; the average is one partial-agg pass over customer.
+    "qc7_dormant_rich_customers" -> ((s, d) => {
+      val cust = t(s, d, "customer").df
+      val avg1 = cust.filter(col("c_acctbal") > lit(0.0))
+        .agg(PF.davg(col("c_acctbal")).as("avg_bal"))
+      cust.join(F.broadcast(avg1))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(t(s, d, "orders").df.filter(col("o_totalprice") > lit(350000.0)),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(F.count(lit(1)).as("numcust"),
+          PF.dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // ---- language front-end: reference syntax → Catalyst ------------------
     "ql1_lang_groupby" -> ((s, d) =>
       graft.lang.Interp.run(s,
@@ -2023,6 +2057,26 @@ object SparkEntry {
          WHERE p_name LIKE '%red%'
          GROUP BY n_name, year(l_shipdate)
          ORDER BY n_name, l_year""",
+    "qc6_order_count_histogram" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+           SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+           FROM customer c LEFT JOIN orders o
+             ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+           GROUP BY c.c_custkey)
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "qc7_dormant_rich_customers" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer c
+         WHERE c_acctbal > (
+             SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(c_acctbal)
+             FROM customer WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_totalprice > 350000.0)
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "ql1_lang_groupby" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n FROM customer
          GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment""",

@@ -111,6 +111,30 @@ class PlanQualitySpec extends SparkSpec {
         s"embedded centroid array (zero shuffle):\n$p")
   }
 
+  test("qc6: priority filter pushes to the orders scan; partial aggs") {
+    val p = planOf("qc6_order_count_histogram")
+    assert(p.contains("o_orderpriority"),
+      s"priority filter missing:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderpriority)") ||
+      p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"priority filter not pushed to the orders scan:\n$p")
+    // both aggregation levels must plan map-side partials
+    assert("partial_count".r.findAllIn(p).length >= 2,
+      s"two-level aggregation lost its partial stages:\n$p")
+  }
+
+  test("qc7: 1-row average broadcasts; anti-join plans LeftAnti") {
+    val p = planOf("qc7_dormant_rich_customers")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS did not plan as an anti-join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the 1-row average was not broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,350000.0)") ||
+      p.contains("GreaterThan(o_totalprice,350000.0)"),
+      s"price filter not pushed to the orders scan:\n$p")
+  }
+
   test("ANN ranking is a bounded partial aggregate, not a window sort") {
     // TopKPairs keeps k pairs of state: the plan must show a partial
     // (map-side) graft_topk before the exchange — so the shuffle
