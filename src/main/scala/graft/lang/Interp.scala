@@ -529,6 +529,16 @@ object Interp {
           }
         case Call("rollback", _) => throw new graft.types.NotImplementedError(
           "rollback() outside transaction {}")
+        // `set_setting(name, value)` (reference pql_functions.py:
+        // 210-216): mutate a runtime display setting; names mirror
+        // the reference's settings.Display fields
+        case Call("set_setting", sargs) =>
+          (sargs.map(a => tryScalar(substitute(a.value))) match {
+            case Seq(Some(n: String), Some(v: Long)) =>
+              graft.tools.Display.set(n, v)
+            case _ => throw new TypeError(
+              "set_setting expects (string, int)")
+          }): Unit
         // `exit(value?)` (reference pql_functions.py:836-847): leave
         // the current interpreter — the REPL quits, an embedding
         // caller sees the typed control exception

@@ -258,7 +258,12 @@ object Repl {
       n -> Tables.load(spark, dir, n)
     }.toMap
     var prelude: List[String] = Nil // accumulated assignments + funcs
-    var previewRows = 20
+    // :rows overrides; otherwise the Display setting applies LIVE, so
+    // an in-language set_setting("TABLE_PREVIEW_SIZE_SHELL", n) takes
+    // effect on the next print (reference Display semantics)
+    var rowsOverride: Option[Int] = None
+    def previewRows: Int =
+      rowsOverride.getOrElse(graft.tools.Display.tablePreviewSizeShell)
 
     println(s"graft repl — tables: ${env.keys.toSeq.sorted.mkString(", ")}")
     println("multi-line blocks close on balanced brackets; " +
@@ -322,7 +327,7 @@ object Repl {
           } catch { case e: Throwable => println(s"error: ${e.getMessage}") }
         case Some(u) if u.trim.startsWith(":") =>
           try meta(u.trim, sess, env, prelude, previewRows)
-            .foreach { case ("rows", n) => previewRows = n }
+            .foreach { case ("rows", n) => rowsOverride = Some(n) }
           catch { case e: Throwable => println(s"error: ${e.getMessage}") }
         case Some(u) =>
           try {
@@ -335,9 +340,10 @@ object Repl {
               // implicit [..N] preview + true count, like the
               // reference's rich table display
               val total = t.df.count()
-              t.df.show(previewRows, truncate = false)
-              if (total > previewRows)
-                println(s"[..$previewRows] of $total rows " +
+              val pr = previewRows
+              t.df.show(pr, truncate = false)
+              if (total > pr)
+                println(s"[..$pr] of $total rows " +
                   s"(:rows n to widen)")
               else println(s"$total row(s)")
             }

@@ -1174,6 +1174,22 @@ class LangSpec extends SparkSpec {
     assert(rows.map(_.getDouble(2)).toSeq == Seq(2.0, 4.0))
   }
 
+  test("set_setting mutates runtime display settings") {
+    val before = graft.tools.Display.tablePreviewSizeShell
+    try {
+      Interp.run(spark,
+        """set_setting("TABLE_PREVIEW_SIZE_SHELL", 5) 0""",
+        "nation" -> nation)
+      assert(graft.tools.Display.tablePreviewSizeShell == 5)
+      intercept[graft.types.NameError] {
+        Interp.run(spark, """set_setting("NO_SUCH_SETTING", 1) 0""")
+      }
+      intercept[graft.types.TypeError] {
+        Interp.run(spark, """set_setting(5, 5) 0""")
+      }
+    } finally graft.tools.Display.tablePreviewSizeShell = before
+  }
+
   test("pipeline table operators callable from the language") {
     val docs = Tables.load(spark, sf, "documents")
     // near_dup_pairs == the Scala operator, row for row
