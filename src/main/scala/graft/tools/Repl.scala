@@ -339,13 +339,19 @@ object Repl {
               val t = sess.run(u)
               // implicit [..N] preview + true count, like the
               // reference's rich table display
-              val total = t.df.count()
+              // capped count (reference display.py table_repr /
+              // MAX_AUTO_COUNT): never full-scan a huge table just to
+              // print its row count — LocalLimit stops each partition
+              // early, so the probe reads at most maxAutoCount rows
+              val cap = graft.tools.Display.maxAutoCount
+              val total = t.df.limit(cap).count()
               val pr = previewRows
               t.df.show(pr, truncate = false)
+              val countStr = if (total >= cap) s">=$total" else s"$total"
               if (total > pr)
-                println(s"[..$pr] of $total rows " +
+                println(s"[..$pr] of $countStr rows " +
                   s"(:rows n to widen)")
-              else println(s"$total row(s)")
+              else println(s"$countStr row(s)")
             }
           } catch {
             // in-language `exit()` quits the shell (reference)
