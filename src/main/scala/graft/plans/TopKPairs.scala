@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -71,6 +72,15 @@ case class TopKPairs(score: Expression, id: Expression, k: Int,
   require(k > 0, s"topk: k must be positive, got $k")
 
   override def children: Seq[Expression] = Seq(score, id)
+  // analysis-time type errors instead of runtime ClassCastExceptions
+  // when called via raw SQL with uncast columns (the Column helper
+  // `TopKPairs.topk` casts for the caller)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (score.dataType, id.dataType) match {
+      case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (sT, iT) => TypeCheckResult.TypeCheckFailure(
+        s"graft_topk requires (double, bigint) inputs, got ($sT, $iT)")
+    }
   override def nullable: Boolean = false
   override def dataType: DataType =
     ArrayType(LongType, containsNull = false)
