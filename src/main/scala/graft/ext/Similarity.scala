@@ -37,6 +37,14 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine with an undefined-guard: zero-norm operands make the
+    * divisor 0, which under ANSI mode would fail the whole JOB with
+    * DIVIDE_BY_ZERO — "similarity undefined" becomes null, which the
+    * bounded top-k aggregate already skips.
+    */
+  private def cosSim(dot: Column, div: Column): Column =
+    F.when(div =!= 0.0, dot / div)
+
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * The query set is broadcast (small side); the corpus scan stays
     * fully partitioned — no corpus shuffle. Ranking happens per query
@@ -44,17 +52,35 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
-    // Norms are precomputed per ROW (not per pair): same IEEE value,
-    // n× less work. sim = dot/(qn*cn) matches cosine() bit-for-bit.
+                     vecCol: String = "embedding"): DataFrame =
+    bruteForceTopKPrepped(queries, prepCorpus(corpus, idCol, vecCol), k,
+      idCol, vecCol)
+
+  /** The corpus side of `bruteForceTopK` — (neighbor_id, cvec, cn)
+    * with the norm precomputed per ROW (not per pair): same IEEE
+    * value, n× less work. Repeated callers (streaming micro-batches)
+    * should prep + materialize ONCE and reuse via
+    * `bruteForceTopKPrepped`, instead of re-deriving every norm per
+    * call.
+    */
+  def prepCorpus(corpus: DataFrame, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame =
+    Dedup.ensureParallelism(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        fnorm(col(vecCol)).as("cn"))
+
+  /** `bruteForceTopK` against an already-prepped corpus projection.
+    * sim = dot/(qn*cn) matches cosine() bit-for-bit.
+    */
+  def bruteForceTopKPrepped(queries: DataFrame, prepped: DataFrame,
+                            k: Int, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
     val q = F.broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qvec"), fnorm(col(vecCol)).as("qn")))
-    val c = Dedup.ensureParallelism(corpus)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      fnorm(col(vecCol)).as("cn"))
-    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+    val scored = q.join(prepped, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (fdot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))
+        cosSim(fdot(col("qvec"), col("cvec")),
+          col("qn") * col("cn")).as("sim"))
     rankTopK(scored, k)
   }
 
@@ -66,6 +92,10 @@ object Similarity {
     * shuffle and SORT every candidate row (the 100 TB wall of the
     * previous two-window implementation). Ties break by smaller
     * neighbor_id, identical to rank-window (sim desc, id asc).
+    * Candidates with null or NaN similarity (null embeddings,
+    * zero-norm vectors) are EXCLUDED — "similarity undefined" never
+    * outranks a real neighbor — so a query whose candidates are all
+    * undefined returns no rows rather than garbage ranks.
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
@@ -159,7 +189,8 @@ object Similarity {
     val scored = q.join(c, col("qsig") === col("csig") &&
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (fdot(col("qvec"), col("cvec")) / (col("qn") * col("cn"))).as("sim"))
+        cosSim(fdot(col("qvec"), col("cvec")),
+          col("qn") * col("cn")).as("sim"))
     rankTopK(scored, k) // bounded-state grouped top-k (see rankTopK)
   }
 
@@ -190,12 +221,23 @@ object Similarity {
     // Driver-side centroid norms use the same IEEE ops as FloatVecDot
     // (left fold from 0.0, double accumulation) so an external engine
     // reproduces them bit-for-bit.
-    val cents: Seq[(Long, Seq[Float], Double)] = centRows.map { r =>
+    val sampled: Seq[(Long, Seq[Float], Double)] = centRows.map { r =>
       val v = r.getSeq[Float](1)
       var s = 0.0
       v.foreach(x => s += x.toDouble * x.toDouble)
       (r.getLong(0), v, math.sqrt(s))
     }.sortBy(_._1).toIndexedSeq
+    // a zero-norm centroid would put a literal 0 divisor in the
+    // assignment expression (ANSI: job-killing DIVIDE_BY_ZERO); for a
+    // fully-degenerate sample fall back to one unit centroid so the
+    // assignment stays total
+    val nonZero = sampled.filter(_._3 != 0.0)
+    val cents =
+      if (nonZero.nonEmpty) nonZero
+      else {
+        val dim = sampled.headOption.map(_._2.length).getOrElse(1)
+        IndexedSeq((0L, (1f +: Seq.fill(dim - 1)(0f)), 1.0))
+      }
     // Assignment is a per-row argmax over the EMBEDDED centroid array —
     // zero shuffle of the corpus (previously corpus×k rows were
     // exchanged by id for a window argmax; at 100 TB that shuffle IS
@@ -291,7 +333,11 @@ object Similarity {
       val byId = means.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
       cents = cents.map { case (id, v, n) =>
         byId.get(id) match {
-          case Some(m) => withNorm(id, m.map(_.toFloat))
+          case Some(m) =>
+            val w = withNorm(id, m.map(_.toFloat))
+            // zero-norm mean (all-zero cluster) would divide by zero
+            // in the next assignment round: keep the previous centroid
+            if (w._3 == 0.0) (id, v, n) else w
           case None => (id, v, n) // empty cluster: keep previous
         }
       }
@@ -331,7 +377,10 @@ object Similarity {
       .join(assigned, Seq("centroid_id"))
       .filter(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        (fdot(col("qvec"), col(vecCol)) / fnorm(col(vecCol))).as("sim"))
+        fdot(col("qvec"), col(vecCol)).as("_dot"),
+        fnorm(col(vecCol)).as("_cn"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosSim(col("_dot"), col("_cn")).as("sim"))
     rankTopK(scored, k) // bounded-state grouped top-k (see rankTopK)
   }
 
@@ -399,6 +448,8 @@ object Similarity {
     val base = Dedup.ensureParallelism(df)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
       fnorm(col(vecCol)).as("nv"), col(blockCol))
+      .filter(col("nv") =!= 0.0) // zero-norm: cosine undefined (and
+                                 // ANSI divide-by-zero kills the job)
     val sizes = base.groupBy(blockCol).agg(F.count(lit(1)).as("_bn"))
     val withN = base.join(F.broadcast(sizes), blockCol)
     def scored(pairs: DataFrame): DataFrame = pairs

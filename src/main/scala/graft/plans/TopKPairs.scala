@@ -38,6 +38,12 @@ final class TopKBuf(val k: Int) {
   }
 
   def insert(s: Double, id: Long): Unit = {
+    // NaN is uncomparable: it can never win isBetter, so once inside
+    // the buffer it would pin `worst` and freeze out every later
+    // candidate (and break the sort comparator's contract). A NaN
+    // score (0/0 cosine of a zero-norm vector) is "no similarity" —
+    // drop it here so the buffer only ever holds ordered values.
+    if (s.isNaN) return
     if (n < k) {
       scores(n) = s; ids(n) = id; n += 1
       if (n == k) recomputeWorst()

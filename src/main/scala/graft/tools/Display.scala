@@ -11,13 +11,18 @@ object Display {
   @volatile var listPreviewSize: Int = 128
   @volatile var maxAutoCount: Int = 10000
 
-  def set(name: String, value: Long): Unit = name match {
+  def set(name: String, value: Long): Unit = {
+    if (value < 1 || value > Int.MaxValue)
+      throw new graft.types.ValueError(
+        s"setting '$name' must be a positive int, got $value")
+    name match {
     case "TABLE_PREVIEW_SIZE_SHELL" => tablePreviewSizeShell = value.toInt
     case "TABLE_PREVIEW_SIZE_HTML" => tablePreviewSizeHtml = value.toInt
     case "LIST_PREVIEW_SIZE" => listPreviewSize = value.toInt
     case "MAX_AUTO_COUNT" => maxAutoCount = value.toInt
     case other =>
       throw new graft.types.NameError(s"unknown setting '$other'")
+    }
   }
 
   def get(name: String): Long = name match {

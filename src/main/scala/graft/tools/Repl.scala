@@ -342,10 +342,12 @@ object Repl {
               // capped count (reference display.py table_repr /
               // MAX_AUTO_COUNT): never full-scan a huge table just to
               // print its row count — LocalLimit stops each partition
-              // early, so the probe reads at most maxAutoCount rows
-              val cap = graft.tools.Display.maxAutoCount
-              val total = t.df.limit(cap).count()
+              // early, so the probe reads at most the cap. The probe
+              // always exceeds the preview size so the truncation
+              // footer stays accurate even when the cap is tiny.
               val pr = previewRows
+              val cap = math.max(graft.tools.Display.maxAutoCount, pr + 1)
+              val total = t.df.limit(cap).count()
               t.df.show(pr, truncate = false)
               val countStr = if (total >= cap) s">=$total" else s"$total"
               if (total > pr)
@@ -419,9 +421,13 @@ object Repl {
         sess.run(expr).df.explain("formatted")
         None
       case ":rows" =>
-        val n = parts.lift(1).map(_.toInt).getOrElse(previewRows)
-        println(s"preview rows: $n")
-        Some(("rows", n))
+        // bare ':rows' only REPORTS the current value — overriding
+        // with it would silently detach the live
+        // set_setting("TABLE_PREVIEW_SIZE_SHELL") linkage
+        parts.lift(1).map(_.toInt) match {
+          case Some(n) => println(s"preview rows: $n"); Some(("rows", n))
+          case None => println(s"preview rows: $previewRows"); None
+        }
       case ":complete" =>
         // completion at the cursor for terminals without readline —
         // `:complete nation.n_` lists matching columns

@@ -552,6 +552,38 @@ class ExtSpec extends SparkSpec {
       .head.getInt(0) == 3)
   }
 
+  test("similarity: zero-norm vectors are excluded, never ranked") {
+    import spark.implicits._
+    // vec 99 is all-zero: cosine against it is 0/0 = NaN — it must
+    // neither appear as a neighbor nor freeze out real candidates
+    val zero = Seq((99L, Seq.fill(4)(0f)),
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(zero.filter(col("vec_id") === 0),
+      zero, 3).collect()
+    assert(out.nonEmpty)
+    assert(!out.map(_.getLong(1)).contains(99L),
+      "NaN-similarity neighbor must not be ranked")
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L),
+      "real neighbors rank in similarity order")
+    // a zero-norm QUERY has no defined similarity to anything: no rows
+    assert(Similarity.bruteForceTopK(zero.filter(col("vec_id") === 99),
+      zero, 3).isEmpty)
+    // the bucketed paths survive zero vectors too (no ANSI
+    // divide-by-zero job failure), and never rank the zero vector
+    val lsh = Similarity.lshTopK(zero.filter(col("vec_id") === 0), zero, 3)
+      .collect()
+    assert(!lsh.map(_.getLong(1)).contains(99L))
+    val ivf = Similarity.ivfTopK(zero.filter(col("vec_id") === 0), zero, 3,
+      nCentroids = 2, nProbe = 2).collect()
+    assert(!ivf.map(_.getLong(1)).contains(99L))
+    // an ALL-zero corpus: degenerate but total — no crash
+    val allZero = spark.range(4).select(col("id").as("vec_id"),
+      org.apache.spark.sql.functions.typedlit(Seq.fill(4)(0f)).as("embedding"))
+    assert(Similarity.ivfTopK(allZero.limit(1), allZero, 2,
+      nCentroids = 2, nProbe = 1).collect() != null)
+  }
+
   test("similarity: empty corpus yields empty ANN results, no throw") {
     val empty = emb.filter(col("vec_id") < 0)
     assert(Similarity.lshTopK(emb.limit(2), empty, 5).count() == 0)

@@ -1187,6 +1187,11 @@ class LangSpec extends SparkSpec {
       intercept[graft.types.TypeError] {
         Interp.run(spark, """set_setting(5, 5) 0""")
       }
+      // a non-positive value would poison every later preview
+      // (df.limit(-1) fails analysis) — rejected at set time
+      intercept[graft.types.ValueError] {
+        Interp.run(spark, """set_setting("MAX_AUTO_COUNT", 0) 0""")
+      }
     } finally graft.tools.Display.tablePreviewSizeShell = before
   }
 

@@ -54,6 +54,27 @@ class TopKPairsSpec extends AnyFunSuite {
     })
   }
 
+  test("NaN scores never enter or poison the buffer") {
+    val buf = new TopKBuf(3)
+    buf.insert(0.1, 1); buf.insert(0.2, 2); buf.insert(Double.NaN, 3)
+    // NaN rejected while filling: only 2 entries so far
+    assert(buf.n == 2)
+    buf.insert(0.05, 4); buf.insert(Double.NaN, 5)
+    // full buffer: NaN must not block later displacement
+    buf.insert(0.9, 6)
+    assert(result(buf) == Seq(6L, 2L, 1L))
+    // NaN-heavy random streams still match the naive oracle over the
+    // non-NaN pairs
+    val nanGen = Gen.oneOf(pairGen,
+      Gen.chooseNum(0L, 50L).map(id => (Double.NaN, id)))
+    check(Prop.forAll(Gen.listOf(nanGen), Gen.chooseNum(1, 12)) {
+      (pairs, k) =>
+        val b = new TopKBuf(k)
+        pairs.foreach { case (s, id) => b.insert(s, id) }
+        result(b) == naiveTopK(pairs.filterNot(_._1.isNaN), k)
+    })
+  }
+
   test("serialize/deserialize round-trips the buffer") {
     check(Prop.forAll(Gen.listOf(pairGen), Gen.chooseNum(1, 12)) {
       (pairs, k) =>
