@@ -582,6 +582,9 @@ class ExtSpec extends SparkSpec {
       org.apache.spark.sql.functions.typedlit(Seq.fill(4)(0f)).as("embedding"))
     assert(Similarity.ivfTopK(allZero.limit(1), allZero, 2,
       nCentroids = 2, nProbe = 1).collect() != null)
+    // k-means refinement over zero clusters keeps previous centroids
+    val (az, _) = Similarity.ivfAssignKMeans(allZero, 2, iters = 2)
+    assert(az.count() == 4)
   }
 
   test("similarity: empty corpus yields empty ANN results, no throw") {
