@@ -476,6 +476,16 @@ object SparkEntry {
         corpus.filter(col("vec_id") < 1000), corpus, 10)
     }),
 
+    // one more order of magnitude: at 1M vectors brute force is
+    // ~40s (extrapolated from x24's measured q×n cost) — only the
+    // bucketed path is run, demonstrating sub-linear scaling where
+    // brute force has left the feasible range; rows-only by design
+    "x25_ann_lsh_1m" -> ((s, d) => {
+      val corpus = synthEmbeddings(s, 1000000L, 32)
+      graft.ext.Similarity.lshTopK(
+        corpus.filter(col("vec_id") < 1000), corpus, 10, nPlanes = 14)
+    }),
+
     "x19_minhash_fast" -> ((s, d) =>
       graft.ext.Dedup.minhashPairs(augDocs(s, d), "doc_id", "text", 0.8,
         hasher = graft.ext.Dedup.fastHasher)),
