@@ -110,11 +110,17 @@ final class Catalog(val spark: SparkSession) {
       else StructType(StructField("id", LongType, nullable = false) +: fields)
     val df = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
-    val t = register(name, PTable(df,
-      TableMeta(name, pk = if (bare) Nil else Seq("id"), fks = fks)))
-    idCounters(name) = 0L // fresh empty table: no probe needed ever
-    localRows(name) = Vector.empty // content fully driver-known
-    t
+    // one critical section: register + counter + row buffer must be
+    // atomic, or a concurrent insertRow between them sees no buffer,
+    // appends via the union path, and the late buffer write then
+    // claims the table is empty
+    synchronized {
+      val t = register(name, PTable(df,
+        TableMeta(name, pk = if (bare) Nil else Seq("id"), fks = fks)))
+      idCounters(name) = 0L // fresh empty table: no probe needed ever
+      localRows(name) = Vector.empty // content fully driver-known
+      t
+    }
   }
 
   private def maxId(t: PTable, idCol: String): Long = {

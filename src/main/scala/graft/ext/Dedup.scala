@@ -133,7 +133,8 @@ object Dedup {
     // that are already parallel.
     val plan = df.queryExecution.optimizedPlan
     val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join,
+      Repartition, RepartitionByExpression, Sort}
     val parts: BigInt = plan.collectFirst {
       // explicit repartitions and materialized (checkpointed) inputs
       // carry their partition count in the plan
@@ -142,6 +143,11 @@ object Dedup {
         .getOrElse(spark.sessionState.conf.numShufflePartitions))
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         BigInt(lr.rdd.getNumPartitions)
+      // a shuffle-introducing operator already spreads the frame over
+      // numShufflePartitions — the size estimate below would force a
+      // REDUNDANT full repartition of every aggregated/joined input
+      case _: Aggregate | _: Join | _: Sort =>
+        BigInt(spark.sessionState.conf.numShufflePartitions)
     }.getOrElse((plan.stats.sizeInBytes + maxBytes - 1) / maxBytes)
     if (parts < want) df.repartition(want) else df
   }

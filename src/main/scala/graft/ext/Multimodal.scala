@@ -71,10 +71,17 @@ object Multimodal {
       .when(isWav, "wav").when(isWebp, "webp")
       .when(isAvi, "avi").when(isMp4, "mp4")
       .otherwise("unknown")
+    // BMP biHeight is a SIGNED i32: top-down bitmaps store the
+    // negative height — report abs() so [height > N] filters never
+    // silently drop valid top-down BMPs
+    def leI32abs(pos: Int): org.apache.spark.sql.Column = {
+      val u = leU32(pos)
+      F.when(u > 2147483647L, lit(4294967296L) - u).otherwise(u)
+    }
     val width = F.when(isPng, beU32(17)).when(isGif, leU16(7))
       .when(isBmp, leU32(19)).otherwise(lit(0L))
     val height = F.when(isPng, beU32(21)).when(isGif, leU16(9))
-      .when(isBmp, leU32(23)).otherwise(lit(0L))
+      .when(isBmp, leI32abs(23)).otherwise(lit(0L))
     F.struct(
       F.coalesce(F.octet_length(blob).cast(LongType), lit(0L))
         .as("n_bytes"),

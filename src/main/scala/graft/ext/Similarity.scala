@@ -153,19 +153,23 @@ object Similarity {
   private val dimCache =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer]())
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        Map[String, Int]]())
 
   def probeDim(df: DataFrame, vecCol: String = "embedding"): Int = {
+    // keyed on (analyzed plan, vecCol): the same frame can carry
+    // vector columns of different dimensionality
     val key = df.queryExecution.analyzed
-    val hit = dimCache.get(key)
-    if (hit != null) hit.intValue()
-    else {
-      val dim = df.select(F.size(col(vecCol))).head(1) match {
-        case Array(r) => r.getInt(0)
-        case _ => 1 // empty corpus: any dim yields an empty result set
-      }
-      dimCache.put(key, dim)
-      dim
+    val cached = Option(dimCache.get(key)).getOrElse(Map.empty)
+    cached.get(vecCol) match {
+      case Some(d) => d
+      case None =>
+        val dim = df.select(F.size(col(vecCol))).head(1) match {
+          case Array(r) => r.getInt(0)
+          case _ => 1 // empty corpus: any dim yields an empty result
+        }
+        dimCache.put(key, cached + (vecCol -> dim))
+        dim
     }
   }
 

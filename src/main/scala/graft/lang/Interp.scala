@@ -517,11 +517,18 @@ object Interp {
         case Call("commit", _) =>
           // in-memory bindings commit incrementally (transaction {}
           // handles atomicity); when attached via connect(), flush
-          // mutated tables back to the directory (reference 'commit')
+          // mutated tables back to the directory (reference 'commit').
+          // Only bindings with the SAME column set sync back: a
+          // partial `table t {...}` re-declare or a whitelisted
+          // import_table binds a PROJECTION of the stored table — a
+          // namespace view in the reference — and registering it
+          // would permanently drop the undeclared columns from the
+          // database on persist().
           if (cat.attachedTo.nonEmpty) {
             cat.names.foreach { n =>
               env.get(n) match {
-                case Some(VT(t)) if cat.get(n) ne t => cat.register(n, t)
+                case Some(VT(t)) if (cat.get(n) ne t) &&
+                    t.columns == cat.get(n).columns => cat.register(n, t)
                 case _ => ()
               }
             }
@@ -753,6 +760,15 @@ object Interp {
         // a result-position mutation also writes through (reference
         // `A delete [x==1]` both returns and persists)
         case mut @ (_: Update | _: Delete) => return persistMutation(mut)
+        // effectful statement builtins typed as the WHOLE input (the
+        // REPL's `exit()` / `connect("dir")` / `commit()` case):
+        // parseProgram put the call in result position, where
+        // evalTable would raise NameError instead of acting — route
+        // through the statement handler and return an empty result
+        case c @ Call("exit" | "connect" | "commit" | "rollback" |
+                      "set_setting", _) =>
+          exec(ExprStmt(c))
+          return PTable(spark.range(0).select(lit("ok").as("status")))
         case _ => ()
       }
       try evalTable(sub)
@@ -1002,15 +1018,29 @@ object Interp {
               val it = rows.iterator
               while (!found && it.hasNext) {
                 val row = it.next()
-                val verdicts = conds.map { c =>
-                  tryScalar(rewrite(c) {
-                    case Ident(cn) if idx.contains(cn) =>
-                      scalarToAst(row.get(idx(cn)))
-                  })
+                // any evaluation failure — a cell type scalarToAst
+                // can't represent (Float/Decimal/Date/struct), an
+                // ordered compare against NULL — defers the row to
+                // the Spark evaluation instead of crashing the probe
+                // (null-safe ==/!= match Scala equality, so those
+                // stay on the fast path)
+                val verdict: Option[Boolean] =
+                  try {
+                    val vs = conds.map { c =>
+                      tryScalar(rewrite(c) {
+                        case Ident(cn) if idx.contains(cn) =>
+                          scalarToAst(row.get(idx(cn)))
+                      })
+                    }
+                    if (vs.forall(_.isDefined))
+                      Some(vs.forall(v => truthyScalar(v.get)))
+                    else None
+                  } catch { case _: TypeError => None }
+                verdict match {
+                  case Some(true) => found = true
+                  case Some(false) => ()
+                  case None => unknown = true
                 }
-                if (verdicts.forall(_.isDefined)) {
-                  if (verdicts.forall(v => truthyScalar(v.get))) found = true
-                } else unknown = true
               }
               if (found) false
               else if (unknown) sparkEmpty
@@ -1703,7 +1733,15 @@ object Interp {
             .filterNot(f => base.meta.pk.contains(f.name))
           val aligned =
             if (header) raw
-            else raw.toDF(targets.map(_.name).take(raw.columns.length): _*)
+            else {
+              // positional binding: stray TRAILING file columns drop
+              // (same drop-don't-widen rule as the header path —
+              // naively renaming would pass fewer names than columns
+              // and crash toDF)
+              val keepN = math.min(raw.columns.length, targets.length)
+              raw.select(raw.columns.take(keepN).map(col): _*)
+                .toDF(targets.map(_.name).take(keepN): _*)
+            }
           // keep only the table's declared columns (a stray file
           // column must not widen the table) and cast the inferred
           // csv types to the table's

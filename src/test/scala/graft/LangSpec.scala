@@ -1195,6 +1195,27 @@ class LangSpec extends SparkSpec {
     } finally graft.tools.Display.tablePreviewSizeShell = before
   }
 
+  test("emptiness probe: NULL cells defer to Spark instead of crashing") {
+    // the driver-side row-buffer fast path can't order-compare a NULL
+    // cell — it must fall back to the Spark evaluation, not throw
+    val out = Interp.run(spark,
+      """table T { d: float? }
+        |new T(null)
+        |new T(1.0)
+        |x = 0
+        |if (T[d < 2.0]) { x = 1 }
+        |[x]""".stripMargin).df.collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    // all-NULL: the Spark evaluation decides (d < 2.0 filters NULLs)
+    val out2 = Interp.run(spark,
+      """table U { d: float? }
+        |new U(null)
+        |x = 0
+        |if (U[d < 2.0]) { x = 1 }
+        |[x]""".stripMargin).df.collect()
+    assert(out2.map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
   test("pipeline table operators callable from the language") {
     val docs = Tables.load(spark, sf, "documents")
     // near_dup_pairs == the Scala operator, row for row

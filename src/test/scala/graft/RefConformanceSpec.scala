@@ -622,6 +622,20 @@ class RefConformanceSpec extends SparkSpec {
          |Point {x, y}""".stripMargin)
       .df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(out3.toSeq == Seq((1L, 2L), (3L, 14L), (5L, 6L)))
+    // a PARTIAL re-declare is a namespace VIEW: committing after it
+    // must NOT narrow the stored table (the projected binding would
+    // otherwise re-register and persist() would drop column x)
+    Interp.run(spark.newSession(),
+      s"""connect("$dir")
+         |table Point { y: int }
+         |commit()
+         |[0]""".stripMargin)
+    val out4 = Interp.run(spark.newSession(),
+      s"""connect("$dir")
+         |Point {x, y}""".stripMargin).df
+    assert(out4.columns.toSeq == Seq("x", "y"),
+      "commit() after a partial declare must keep every stored column")
+    assert(out4.count() == 3)
   }
 
   // ---- namespace completeness: import_*/dir/exit/inspect_sql ---------------
@@ -695,6 +709,17 @@ class RefConformanceSpec extends SparkSpec {
     assert(out.head.map(_._1) == Seq("id", "x", "name"))
     assert(out.map(_.drop(1).map { case (k, v) => (k, v.toString) }) ==
       Seq(Seq("x" -> "7", "name" -> "seven")))
+    // headerless positional binding: stray TRAILING columns drop the
+    // same way (naive renaming crashed toDF on the arity mismatch)
+    val csv2 = java.nio.file.Files.createTempFile("graft_extra2", ".csv")
+    java.nio.file.Files.write(csv2, "9,nine,zzz,17\n".getBytes("UTF-8"))
+    val out2 = rows(
+      s"""table B { x: int, name: string }
+         |import_csv(B, "$csv2")
+         |B""".stripMargin)
+    assert(out2.head.map(_._1) == Seq("id", "x", "name"))
+    assert(out2.map(_.drop(1).map { case (k, v) => (k, v.toString) }) ==
+      Seq(Seq("x" -> "9", "name" -> "nine")))
   }
 
   test("run_statement executes raw SQL for effect with $var interpolation") {
@@ -706,6 +731,10 @@ class RefConformanceSpec extends SparkSpec {
   test("exit() raises the interpreter-exit control signal") {
     val e = intercept[Interp.ExitInterp](rows("x = 1\nexit(x)\n[99]"))
     assert(e.value.contains(1L))
+    // typed as the WHOLE input (the REPL case) the call lands in
+    // result position — it must still raise, not NameError
+    val e2 = intercept[Interp.ExitInterp](Interp.run(spark, "exit()"))
+    assert(e2.value.isEmpty)
   }
 
   // ---- test_threading (shared interpreter) ---------------------------------
