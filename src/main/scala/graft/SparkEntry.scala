@@ -903,6 +903,82 @@ object SparkEntry {
         .orderBy(col("c_nationkey"))
     }),
 
+    // qc8: TPC-H Q17 shape — aggregate-then-rejoin. The per-part
+    // average is computed once over the brand-filtered lineitems and
+    // joined back; the threshold compare is multiplied out
+    // (5·qty·cnt < Σqty) so both engines compare exact decimals, never
+    // a rounded division. The agg side shrinks to one row per part —
+    // AQE broadcasts it back onto the same filtered scan.
+    "qc8_small_qty_revenue" -> ((s, d) => {
+      def brandLines() = t(s, d, "lineitem").df
+        .join(F.broadcast(t(s, d, "part").df
+          .where(col("p_brand") === "Brand#12" && col("p_size") <= 10)
+          .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+      val perPart = brandLines()
+        .groupBy(col("l_partkey").as("a_partkey"))
+        .agg(F.sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq"),
+          F.count(lit(1)).as("cq"))
+      brandLines()
+        .join(perPart, col("l_partkey") === col("a_partkey"))
+        .where(col("l_quantity").cast(DecimalType(18, 2)) * lit(5) * col("cq")
+          < col("sq"))
+        .agg((PF.dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // qc9: TPC-H Q18 shape — group-HAVING semi-join: the qualifying
+    // order keys come from a partial-agg groupBy over lineitem, orders
+    // semi-joins to them (no row growth), then the detail re-joins and
+    // re-aggregates. Two shuffles on orderkey, one on custkey — AQE
+    // coalesces; nothing is collected to the driver.
+    "qc9_large_volume_customers" -> ((s, d) => {
+      val big = t(s, d, "lineitem").df
+        .groupBy(col("l_orderkey").as("b_orderkey"))
+        .agg(F.sum(col("l_quantity").cast(DecimalType(18, 2))).as("b_qty"))
+        .where(col("b_qty") > lit(250))
+        .select("b_orderkey")
+      t(s, d, "orders").df
+        .join(big, col("o_orderkey") === col("b_orderkey"), "left_semi")
+        .join(t(s, d, "customer").df, col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "lineitem").df, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(PF.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // qc10: TPC-H Q21 shape — suppliers who alone were late on a
+    // multi-supplier order. "Late" adapts to this schema as shipping
+    // >365 days after the order date. One semi-join (another supplier
+    // exists) and one anti-join (no OTHER supplier was late) — both
+    // equi on orderkey with a suppkey<> residual, so they plan as
+    // shuffled semi/anti joins, never a correlated per-row probe.
+    "qc10_lone_late_suppliers" -> ((s, d) => {
+      def late(a: String) = t(s, d, "lineitem").df
+        .join(t(s, d, "orders").df.where(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
+        .select(col("l_orderkey").as(s"${a}_orderkey"),
+          col("l_suppkey").as(s"${a}_suppkey"))
+      val l1 = late("l1")
+      val others = t(s, d, "lineitem").df
+        .select(col("l_orderkey").as("l2_orderkey"),
+          col("l_suppkey").as("l2_suppkey"))
+      l1.join(others, col("l1_orderkey") === col("l2_orderkey") &&
+          col("l1_suppkey") =!= col("l2_suppkey"), "left_semi")
+        .join(late("l3"), col("l1_orderkey") === col("l3_orderkey") &&
+          col("l1_suppkey") =!= col("l3_suppkey"), "left_anti")
+        .join(t(s, d, "supplier").df, col("l1_suppkey") === col("s_suppkey"))
+        .join(F.broadcast(t(s, d, "nation").df
+          .where(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("s_name"))
+        .agg(F.count(lit(1)).as("numwait"))
+        .orderBy(F.desc("numwait"), col("s_name"))
+        .limit(100)
+    }),
+
     // ---- language front-end: reference syntax → Catalyst ------------------
     "ql1_lang_groupby" -> ((s, d) =>
       graft.lang.Interp.run(s,
@@ -2087,6 +2163,48 @@ object SparkEntry {
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_totalprice > 350000.0)
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "qc8_small_qty_revenue" ->
+      """WITH brand_lines AS (
+           SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE p_brand = 'Brand#12' AND p_size <= 10
+         ), per_part AS (
+           SELECT l_partkey AS a_partkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+             count(*) AS cq
+           FROM brand_lines GROUP BY l_partkey
+         )
+         SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                AS avg_yearly
+         FROM brand_lines JOIN per_part ON l_partkey = a_partkey
+         WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cq < sq""",
+    "qc9_large_volume_customers" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (
+             SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+             HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "qc10_lone_late_suppliers" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM lineitem l1
+           JOIN orders ON l1.l_orderkey = o_orderkey
+           JOIN supplier ON l1.l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+         WHERE o_orderstatus = 'F' AND n_name = 'NATION_7'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate + INTERVAL 365 DAY)
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
     "ql1_lang_groupby" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n FROM customer
          GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment""",

@@ -365,6 +365,16 @@ object Interp {
         rootTable(value).map(n => methodAlias.getOrElse(n, n))
           .filter(o => tableMethods.contains(o) || backrefs.contains(o))
           .foreach(owner => methodAlias += name -> owner)
+      case TableAssign(name, value) =>
+        // `table x = expr` — CTAS: register the result as a catalog
+        // table (reference evaluate.py:172-177 creates a DB table), so
+        // `x = null` drops only the BINDING and `table x {...}` can
+        // re-attach the stored rows (test_partial_table2)
+        val tt = evalTable(substitute(value)).named(name)
+        env = env + (name -> VT(cat.register(name, tt)))
+        rootTable(value).map(n => methodAlias.getOrElse(n, n))
+          .filter(o => tableMethods.contains(o) || backrefs.contains(o))
+          .foreach(owner => methodAlias += name -> owner)
       case fd: FuncDef =>
         funcs = funcs + (fd.name -> fd)
       case InsertRows(name, value) =>
@@ -1342,6 +1352,18 @@ object Interp {
 
         case Call(fn, args) => tableCall(fn, args)
 
+        // method call on a table expression — `Node[..].children()`
+        // (reference test_basic.py:732-744): the method body runs with
+        // `this` bound to the evaluated receiver, so `this.id` joins
+        // against the FILTERED rows, not the whole table
+        case Apply(Attr(te, m), args) if methodsOf(te).contains(m) =>
+          val ms = methodsOf(te)
+          val receiver = t(te)
+          val saved = env
+          env = env + ("this" -> VT(receiver))
+          try evalTable(inline(Call(m, args), funcs ++ ms))
+          finally env = saved
+
         // `tbl.column` in table position — a one-column projection
         // (reference: a column reference acts as a list, e.g.
         // `join(a: [1..10].item, ...)`, `list(A.col)`)
@@ -1375,6 +1397,7 @@ object Interp {
            _: Order | _: Slice | _: OneE => true
       case Call(fn, _) =>
         tableFns.contains(fn) || (fn.startsWith("list[") && fn.endsWith("]"))
+      case Apply(Attr(te, m), _) => methodsOf(te).contains(m)
       case _ => false
     }
 
@@ -2012,6 +2035,10 @@ object Interp {
       // reduces to an ordinary call (reference _test_user_functions)
       case Apply(Ident(fn), args) if funcs.contains(fn) =>
         inline(Call(fn, args), funcs)
+      // method call on a table expression (`Node[..].children()`) —
+      // resolved against the receiver's root table at EVAL time
+      // (evalTable), not here: table methods aren't in `funcs`
+      case a @ Apply(Attr(_, _), _) => a
       case Apply(f, _) =>
         throw new TypeError(s"not a function: $f")
     }

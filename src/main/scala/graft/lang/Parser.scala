@@ -201,6 +201,12 @@ object Ast {
     * into a temptable; tests/box_circle.pql const table tmp1/tmp2).
     */
   case class ConstTableDef(name: String, value: Expr) extends Stmt
+  /** `table x = expr` — CTAS: the result becomes a real catalog table
+    * (reference evaluate.py:172-177 creates a DB table), so dropping
+    * the name binding (`x = null`) leaves the stored rows reflectable
+    * via `table x {...}` (test_partial_table2).
+    */
+  case class TableAssign(name: String, value: Expr) extends Stmt
   /** `new Table(col: value, ...)` — single-row insert
     * (reference evaluate.py:884-947).
     */
@@ -530,7 +536,7 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
       }
       if (isOp("=")) { // `table x = expr` — CTAS-style assignment
         advance()
-        Assign(name, parseExpr())
+        TableAssign(name, parseExpr())
       } else {
         expectOp("{")
         val fields = Seq.newBuilder[ColDef]
@@ -882,6 +888,10 @@ final class Parser(toks: Vector[Lexer.Tok], src: String = "") {
         if (isOp("(") && sameLineAsPrev) {
           e match {
             case Attr(Ident(q), f) => e = Call(s"$q.$f", parseCallArgs())
+            // method call on a table EXPRESSION — `Node[..].children()`
+            // (reference test_basic.py:744); resolved against the
+            // expression's root table by the interpreter
+            case Attr(obj, f) => e = Apply(Attr(obj, f), parseCallArgs())
             case _ => throw ParseError(
               s"cannot call attribute '$name' of a non-name expression",
               cur.pos)

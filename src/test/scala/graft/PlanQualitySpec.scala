@@ -220,6 +220,41 @@ class PlanQualitySpec extends SparkSpec {
       s"dimensions not broadcast:\n$p")
   }
 
+  test("qc8: brand filter pushes to the part scan; agg side re-joins") {
+    val p = planOf("qc8_small_qty_revenue")
+    assert(p.contains("EqualTo(p_brand,Brand#12)") ||
+      p.contains("EqualNullSafe(p_brand,Brand#12)"),
+      s"brand filter not pushed into the part scan:\n$p")
+    assert(p.contains("LessThanOrEqual(p_size,10)"),
+      s"size filter not pushed into the part scan:\n$p")
+    // the per-part (sq, cq) aggregate must partial-agg before its shuffle
+    assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"filtered part dim not broadcast:\n$p")
+  }
+
+  test("qc9: HAVING keys semi-join orders — no row growth before detail") {
+    val p = planOf("qc9_large_volume_customers")
+    assert(p.contains("LeftSemi"),
+      s"qualifying-order membership did not plan as a semi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be a heap, not a global sort:\n$p")
+    assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
+  }
+
+  test("qc10: lone-late is one semi + one anti join, never a per-row probe") {
+    val p = planOf("qc10_lone_late_suppliers")
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as semi-join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not plan as anti-join:\n$p")
+    // the suppkey<> residual must ride the orderkey equi-join — a
+    // nested-loop fallback is the 100× disaster
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"semi/anti fell back to a nested-loop join:\n$p")
+    assert(p.contains("EqualTo(o_orderstatus,F)") ||
+      p.contains("EqualNullSafe(o_orderstatus,F)"),
+      s"order-status filter not pushed:\n$p")
+  }
+
   test("ensureParallelism decides from plan stats, not an RDD trip") {
     val docs = graft.sources.Tables.load(spark, sf, "documents").df
     // under-partitioned file scan: the guard must still widen it

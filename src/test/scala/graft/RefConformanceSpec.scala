@@ -1321,4 +1321,115 @@ class RefConformanceSpec extends SparkSpec {
     assert(agg.head.asInstanceOf[scala.collection.Seq[Any]].toSeq
       .map(_.toString.toLong) == Seq(-1L, -1L, 0L, 1L, 1L))
   }
+
+  // ---- test_nested2 (test_basic.py:556-562) -------------------------------
+
+  test("depth-2 nested projections and nested field access") {
+    val r = rows(" [1] {a:{b:{item}}} ")
+    assert(r.length == 1 && r.head.map(_._1) == Seq("a"))
+    val Row(inner: Row) = r.head.head._2
+    val Row(item) = inner
+    assert(item.toString.toLong == 1L)
+    // reprojecting the nested struct and drilling back down agree
+    assert(col0("([1] {a:{item}}) {a.item}").map(_.toString.toLong) == Seq(1L))
+    val reproj = rows("[1] {a:{item}} {a}")
+    assert(reproj.length == 1 && reproj.head.map(_._1) == Seq("a"))
+  }
+
+  // ---- test_table_def_dicts (test_basic.py:1501-1507) ---------------------
+
+  test("dict-literal rows form a table ([{a:1,b:2} {a:10,b:20}])") {
+    val r = rows(
+      """[
+        |  {a: 1, b: 2}
+        |  {a: 10, b: 20}
+        |]{c: a+b}""".stripMargin)
+    assert(r.map(_.map { case (k, v) => (k, v.toString.toLong) }) ==
+      Seq(Seq("c" -> 3L), Seq("c" -> 30L)))
+  }
+
+  // ---- test_struct_inline (test_basic.py:1083-1089) -----------------------
+
+  test("struct spread of a join alias ({...a}); collision renames item1") {
+    assert(col0("list(join(a:[1..10].item, b:[8..20].item) {...a})")
+      .map(_.toString.toLong).sorted == Seq(8L, 9L))
+    val r = rows("joinall(a:[1], b:[2]) {...a, ...b}")
+    assert(r.map(_.map { case (k, v) => (k, v.toString.toLong) }) ==
+      Seq(Seq("item" -> 1L, "item1" -> 2L)))
+  }
+
+  // ---- test_column_default (test_basic.py:1055-1068) ----------------------
+
+  test("DDL column defaults fill omitted trailing args") {
+    val pre =
+      """table A {
+        |    x: int
+        |    y: int = 2
+        |}
+        |a1 = new A(1)
+        |a2 = new A(2, 1)
+        |""".stripMargin
+    assert(col0(pre + "A{y} order {^y}").map(_.toString.toLong) == Seq(2L, 1L))
+    assert(one(pre + "a2.y").toString.toLong == 1L)
+  }
+
+  // ---- test_names (test_basic.py:1093-1105) -------------------------------
+
+  test("names(t) lists columns + methods; type filter drops functions") {
+    assert(col0(
+      """table a {x: int}
+        |list(names(a)[not (type ~ 'function%')]{name})""".stripMargin) ==
+      Seq("id", "x"))
+  }
+
+  // ---- test_methods (test_basic.py:701-744) -------------------------------
+
+  test("table methods: area()/is_area_larger() in filters and projections") {
+    val pre =
+      """table Square {
+        |    size: float
+        |    func area() = size * size
+        |    func is_area_larger(num) = area() > num
+        |}
+        |s = new Square(4)
+        |size4 = Square[size==4]
+        |""".stripMargin
+    val r = rows(pre + "size4{ area() }")
+    assert(r.map(_.map { case (k, v) => (k, v.toString.toDouble) }) ==
+      Seq(Seq("area" -> 16.0)))
+    assert(one(pre + "count(Square[area() > 18.0])").toString.toLong == 0L)
+    assert(one(pre + "count(Square[area() < 18.0])").toString.toLong == 1L)
+    assert(one(pre + "count(Square[is_area_larger(18.0)])").toString.toLong == 0L)
+    assert(one(pre + "count(Square[is_area_larger(14.0)])").toString.toLong == 1L)
+    // a method of ANOTHER table must not leak into this one's scope
+    intercept[graft.types.GraftError] {
+      rows(pre + "table b { size: int }\nb{area()}")
+    }
+  }
+
+  test("method call on a table expression: Node[..].children() via this.id") {
+    val pre =
+      """table Node {
+        |    parent: Node?
+        |    func children() = join(s:this.id, n:Node.parent) {n}
+        |}
+        |a = new Node(null)
+        |b = new Node(a)
+        |c = new Node(a)
+        |""".stripMargin
+    assert(one(pre + "count(Node[parent==null].children())")
+      .toString.toLong == 2L)
+  }
+
+  // ---- test_partial_table2 (test_basic.py:1278-1290) ----------------------
+
+  test("table x = expr is CTAS: x = null unbinds, table x {...} re-attaches") {
+    val r = rows(
+      """table A = [1, 2, 3]
+        |A = null
+        |table A {...}
+        |new A(10)
+        |A {item} order {item}""".stripMargin)
+    assert(r.map(_.head._2.toString.toLong) == Seq(1L, 2L, 3L, 10L))
+  }
 }
