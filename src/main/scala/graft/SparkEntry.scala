@@ -979,6 +979,67 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // qc11: TPC-H Q20 shape — majority shippers. Two-LEVEL aggregate:
+    // per-(part, supplier) quantity, then per-part totals derived from
+    // the pair aggregate itself (no second scan). The threshold is
+    // multiplied out (2·sq > tq) so both engines compare exact
+    // decimals, and the qualifying suppkeys semi-join supplier — the
+    // fact side never fans out.
+    "qc11_excess_shippers" -> ((s, d) => {
+      val pair = t(s, d, "lineitem").df
+        .where(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+        .join(F.broadcast(t(s, d, "part").df
+          .where(col("p_name").like("%bolt%")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(F.sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq"))
+      val tot = pair.groupBy(col("l_partkey").as("t_partkey"))
+        .agg(F.sum(col("sq")).as("tq"))
+      val excess = pair
+        .join(tot, col("l_partkey") === col("t_partkey"))
+        .where(col("sq") * lit(2) > col("tq"))
+        .select("l_suppkey")
+      t(s, d, "supplier").df
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(F.broadcast(t(s, d, "nation").df),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy("s_name")
+    }),
+
+    // qc12: TPC-H Q15/Q2 shape — argmax join-back. Revenue per
+    // supplier (exact decimal sum), per-nation max over those
+    // aggregates, then an equality join-back picks the winners (ties
+    // kept, like the reference's min-cost-supplier). The max side is
+    // one row per nation — broadcast — and the compare stays in
+    // DECIMAL on both engines so the join-back never equality-tests a
+    // rounded double.
+    "qc12_top_supplier_by_nation" -> ((s, d) => {
+      val rev = t(s, d, "lineitem").df
+        .where(col("l_shipdate") >= lit("1998-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-07-01").cast(TimestampType))
+        .groupBy(col("l_suppkey").as("r_suppkey"))
+        .agg(F.sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) -
+              col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DecimalType(38, 4))).as("rev"))
+      val bySupp = t(s, d, "supplier").df
+        .join(rev, col("s_suppkey") === col("r_suppkey"))
+        .join(F.broadcast(t(s, d, "nation").df),
+          col("s_nationkey") === col("n_nationkey"))
+      val maxRev = bySupp
+        .groupBy(col("n_nationkey").as("m_nationkey"))
+        .agg(F.max(col("rev")).as("mrev"))
+      bySupp
+        .join(F.broadcast(maxRev),
+          col("n_nationkey") === col("m_nationkey") &&
+            col("rev") === col("mrev"))
+        .select(col("n_name"), col("s_name"),
+          col("rev").cast(DoubleType).as("total_rev"))
+        .orderBy("n_name", "s_name")
+    }),
+
     // ---- language front-end: reference syntax → Catalyst ------------------
     "ql1_lang_groupby" -> ((s, d) =>
       graft.lang.Interp.run(s,
@@ -2205,6 +2266,48 @@ object SparkEntry {
                              AND l3.l_suppkey <> l1.l_suppkey
                              AND l3.l_shipdate > o_orderdate + INTERVAL 365 DAY)
          GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
+    "qc11_excess_shippers" ->
+      """WITH pair AS (
+           SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE p_name LIKE '%bolt%'
+             AND l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+           GROUP BY l_partkey, l_suppkey
+         ), tot AS (
+           SELECT l_partkey AS t_partkey, sum(sq) AS tq
+           FROM pair GROUP BY l_partkey
+         )
+         SELECT s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE s_suppkey IN (
+             SELECT l_suppkey FROM pair JOIN tot ON l_partkey = t_partkey
+             WHERE sq * 2 > tq)
+         ORDER BY s_name""",
+    "qc12_top_supplier_by_nation" ->
+      """WITH rev AS (
+           SELECT l_suppkey AS r_suppkey,
+             sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      AS DECIMAL(38,4))) AS rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+             AND l_shipdate < TIMESTAMP '1998-07-01'
+           GROUP BY l_suppkey
+         ), by_supp AS (
+           SELECT n_nationkey, n_name, s_name, rev
+           FROM supplier
+             JOIN rev ON s_suppkey = r_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+         ), max_rev AS (
+           SELECT n_nationkey AS m_nationkey, max(rev) AS mrev
+           FROM by_supp GROUP BY n_nationkey
+         )
+         SELECT n_name, s_name, CAST(rev AS DOUBLE) AS total_rev
+         FROM by_supp JOIN max_rev
+           ON n_nationkey = m_nationkey AND rev = mrev
+         ORDER BY n_name, s_name""",
     "ql1_lang_groupby" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n FROM customer
          GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment""",

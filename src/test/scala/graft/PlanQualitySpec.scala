@@ -255,6 +255,32 @@ class PlanQualitySpec extends SparkSpec {
       s"order-status filter not pushed:\n$p")
   }
 
+  test("qc11: name LIKE pushes to part scan; totals derive from the pair agg") {
+    val p = planOf("qc11_excess_shippers")
+    assert(p.contains("StringContains(p_name,bolt)"),
+      s"part-name LIKE not pushed into the part scan:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"qualifying suppliers did not plan as a semi-join:\n$p")
+    // two aggregate levels, both with map-side partials
+    assert("partial_sum".r.findAllIn(p).size >= 2,
+      s"two-level aggregate lost its partial stages:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part/nation dims not broadcast:\n$p")
+  }
+
+  test("qc12: argmax join-back broadcasts the per-nation max; dates push") {
+    val p = planOf("qc12_top_supplier_by_nation")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"ship-date range not pushed into the lineitem scan:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_sum"),
+      s"aggregates lost their partial stages:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"25-row max side not broadcast back:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"join-back fell off the equi-join path:\n$p")
+  }
+
   test("ensureParallelism decides from plan stats, not an RDD trip") {
     val docs = graft.sources.Tables.load(spark, sf, "documents").df
     // under-partitioned file scan: the guard must still widen it
