@@ -486,6 +486,17 @@ object SparkEntry {
         corpus.filter(col("vec_id") < 1000), corpus, 10, nPlanes = 14)
     }),
 
+    // dedup at scale: the sf0.1 documents table is 5k rows — the LSH
+    // claim ("bucketed, never all-pairs") needs a corpus where
+    // all-pairs is visibly impossible (300k docs = 45 BILLION pairs).
+    // Synthetic 30-token docs, one planted near-dup per pair of ids
+    // (token overlap 28/32 ≈ 0.875 > 0.8 threshold), production
+    // xxhash64 path; rows-only by design (detected-pair count scales
+    // with the corpus, wall-time with docs×shingles — never pairs²).
+    "x26_neardup_300k" -> ((s, d) =>
+      graft.ext.Dedup.minhashPairs(synthDocs(s, 150000L), "doc_id",
+        "text", 0.8, hasher = graft.ext.Dedup.fastHasher)),
+
     "x19_minhash_fast" -> ((s, d) =>
       graft.ext.Dedup.minhashPairs(augDocs(s, d), "doc_id", "text", 0.8,
         hasher = graft.ext.Dedup.fastHasher)),
@@ -1480,6 +1491,25 @@ object SparkEntry {
       // self-join onto shared lineage misresolves join keys)
       .repartition(graft.GraftConf.minParallelism(s))
       .localCheckpoint(true)
+
+  /** Deterministic synthetic document corpus for the dedup scale
+    * probe (x26): groups of two 30-token docs whose token sets share
+    * 28 of ~32 distinct tokens (Jaccard ≈ 0.875), so every id pair
+    * (2g, 2g+1) is a planted near-duplicate above a 0.8 threshold.
+    * Tokens come from xxhash64(group, position) over a 100k vocab —
+    * codegen'd, no data files, no driver-side randomness. No
+    * materialization here: minhashPairs checkpoints its tokenized
+    * projection as its first step.
+    */
+  private[graft] def synthDocs(s: SparkSession, nGroups: Long): DataFrame =
+    s.range(nGroups * 2).select(col("id").as("doc_id"),
+      F.concat_ws(" ", F.transform(F.sequence(lit(0), lit(29)), i =>
+        F.concat(lit("w"), F.pmod(
+          F.when(col("id") % 2 === 1 && i >= 28,
+              F.xxhash64(F.shiftright(col("id"), 1), i, lit(1)))
+            .otherwise(F.xxhash64(F.shiftright(col("id"), 1), i)),
+          lit(100000L)))))
+        .as("text"))
 
   def oracleSql: Map[String, String] = Map(
     "q01_projection" ->

@@ -69,6 +69,19 @@ class ExtSpec extends SparkSpec {
     assert(fast.count { case (a, b) => b - a == 1000 } == 5)
   }
 
+  test("x26 synthetic corpus: planted near-dups recalled, nothing else") {
+    // small-scale twin of the 300k probe: every pair (2g, 2g+1) is a
+    // planted near-dup at token-Jaccard ≈ 0.875; LSH at k=12/bands=4
+    // detects each with p ≈ 0.99, and the exact-verify stage must
+    // reject every cross-group candidate
+    val pairs = Dedup.minhashPairs(SparkEntry.synthDocs(spark, 500L),
+        "doc_id", "text", 0.8, hasher = Dedup.fastHasher)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.forall { case (a, b) => a % 2 == 0 && b == a + 1 },
+      s"non-planted pair survived exact verification: $pairs")
+    assert(pairs.size >= 450, s"recall too low: ${pairs.size}/500")
+  }
+
   test("jaccardPairs hot-block fallback: subset of exact, planted dups kept") {
     // one hot block (same lang+source) over the cap: LSH path engages
     val hot = docs.limit(40)
