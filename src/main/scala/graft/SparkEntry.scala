@@ -1051,6 +1051,118 @@ object SparkEntry {
         .orderBy("n_name", "s_name")
     }),
 
+    // qc13: TPC-H Q7 shape — two-nation volume. The nation-PAIR
+    // disjunction ((A,B) or (B,A)) can't push below the joins, but its
+    // implied membership CAN: both nation dims are pre-filtered to the
+    // two names before broadcast, so the fact rows thin at the 2-row
+    // dim joins and the disjunction only arbitrates direction.
+    "qc13_two_nation_volume" -> ((s, d) => {
+      def dim(p: String, a: String, b: String) = F.broadcast(
+        t(s, d, "nation").df
+          .where(col("n_name").isin("NATION_13", "NATION_19"))
+          .select(col("n_nationkey").as(s"${p}_key"),
+            col("n_name").as(s"${a}_nation")))
+      t(s, d, "lineitem").df
+        .where(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+        .join(t(s, d, "orders").df, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer").df, col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier").df, col("l_suppkey") === col("s_suppkey"))
+        .join(dim("n1", "supp", "cust"), col("s_nationkey") === col("n1_key"))
+        .join(dim("n2", "cust", "supp"), col("c_nationkey") === col("n2_key"))
+        .where((col("supp_nation") === "NATION_13" &&
+            col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" &&
+            col("cust_nation") === "NATION_13"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          F.year(col("l_shipdate")).as("l_year"))
+        .agg(PF.drevsum(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // qc14: TPC-H Q19 shape — a disjunction of cross-table conjunctions
+    // ((brand_i AND size_i AND qty_i) OR ...). The OR straddles the
+    // join so it can't move below it whole, but Catalyst derives the
+    // per-side unions (brand/size disjunction → part scan, quantity
+    // disjunction → lineitem scan) via PushPredicateThroughJoin — the
+    // scans thin BEFORE the join and the residual OR only arbitrates
+    // the cross pairs. The plan guard pins the derived pushdown.
+    "qc14_disjunctive_revenue" -> ((s, d) => {
+      val branch1 = col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+      val branch2 = col("p_brand") === "Brand#23" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+      val branch3 = col("p_brand") === "Brand#34" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+      t(s, d, "lineitem").df
+        .join(F.broadcast(t(s, d, "part").df),
+          col("l_partkey") === col("p_partkey"))
+        .where(branch1 || branch2 || branch3)
+        .agg(PF.drevsum(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
+    }),
+
+    // qc15: TPC-H Q8 shape — market share: of all order volume shipped
+    // into one region's customers, the fraction supplied by one nation,
+    // per year. Two nation dims play different roles (supplier origin
+    // vs customer region membership); the region filter prunes the
+    // customer-side dim to 5 rows before broadcast. The share is a
+    // conditional-sum / total-sum ratio — both sums exact DECIMAL(38,4),
+    // one IEEE division at the end, rounded to 6 so both engines
+    // compare the same digits.
+    "qc15_market_share" -> ((s, d) => {
+      val custNations = F.broadcast(t(s, d, "nation").df
+        .join(t(s, d, "region").df.where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key")))
+      val suppNations = F.broadcast(t(s, d, "nation").df
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation")))
+      val vol = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) -
+          col("l_discount").cast(DecimalType(18, 2))))
+        .cast(DecimalType(38, 4))
+      t(s, d, "lineitem").df
+        .where(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+        .join(t(s, d, "orders").df, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer").df, col("o_custkey") === col("c_custkey"))
+        .join(custNations, col("c_nationkey") === col("cn_key"), "left_semi")
+        .join(t(s, d, "supplier").df, col("l_suppkey") === col("s_suppkey"))
+        .join(suppNations, col("s_nationkey") === col("sn_key"))
+        .groupBy(F.year(col("l_shipdate")).as("o_year"))
+        .agg(F.round(
+          F.sum(F.when(col("supp_nation") === "NATION_12", vol)
+            .otherwise(lit(0).cast(DecimalType(38, 4)))).cast(DoubleType) /
+            F.sum(vol).cast(DoubleType), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // qc16: TPC-H Q11 shape — keep groups whose aggregate exceeds a
+    // fraction of the GLOBAL aggregate. The per-part aggregate is
+    // materialized ONCE (localCheckpoint — |parts| rows, tiny next to
+    // the fact scan) so the global total derives from it instead of
+    // re-scanning the fact table; the one-row total is broadcast
+    // cross-joined — never collected to the driver. The threshold
+    // compare is multiplied out (2000 · part_rev > total) so it stays
+    // in exact decimals.
+    "qc16_important_parts" -> ((s, d) => {
+      val perPart = t(s, d, "lineitem").df
+        .groupBy(col("l_partkey"))
+        .agg(F.sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) -
+              col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DecimalType(38, 4))).as("part_rev"))
+        .localCheckpoint()
+      val total = perPart.agg(F.sum(col("part_rev")).as("total_rev"))
+      perPart.join(F.broadcast(total))
+        .where(col("part_rev") * lit(2000) > col("total_rev"))
+        .select(col("l_partkey"),
+          col("part_rev").cast(DoubleType).as("value"))
+        .orderBy(F.desc("value"), col("l_partkey"))
+    }),
+
     // ---- language front-end: reference syntax → Catalyst ------------------
     "ql1_lang_groupby" -> ((s, d) =>
       graft.lang.Interp.run(s,
@@ -1376,6 +1488,28 @@ object SparkEntry {
         """ann_topk(embeddings[vec_id < 3], embeddings, 5)
           |  order {query_id, rank}""".stripMargin,
         "embeddings" -> t(s, d, "embeddings")).df),
+
+    // the x21 preprocessing pipeline expressed END-TO-END in the
+    // reference language: quality/length gating with the extension
+    // scalars, an exact-dedup keep-set, a semi-join back onto the gated
+    // rows (`in` → LeftSemi, no row growth), and a per-language rollup
+    // — one program, every stage a Catalyst plan. The gated stage is
+    // `temptable`d (the language's materialization, reference
+    // pql_functions.py temptable): it feeds BOTH the dedup keep-set
+    // and the probe side, so without the cut the text-scoring scan
+    // would run 3× — at 100 TB that's the whole job's cost.
+    "ql29_lang_pipeline" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """gated = temptable(docs{ doc_id, text,
+          |              n_tokens: token_count(text),
+          |              q: quality_score(text),
+          |              lang: lang_id(text)
+          |            }[q >= 0.15 and n_tokens >= 5])
+          |keepers = dedup_exact(gated, "doc_id", "text")
+          |kept = gated[doc_id in keepers{keep_id}]
+          |kept{lang => n_docs: count(), total_tokens: sum(n_tokens)} order {lang}
+          |""".stripMargin,
+        "docs" -> graft.dsl.PTable(augDocs(s, d))).df),
 
     // ---- json scalar functions (extension; reference has none) -----------
     "q61_json" -> ((s, d) => {
@@ -1842,6 +1976,56 @@ object SparkEntry {
                      THEN 0.5 ELSE 1.0 END)
              * (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(na AS DOUBLE) / length(text) END)) AS score
          FROM sc WHERE tc > 2 ORDER BY doc_id""",
+    "ql29_lang_pipeline" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0
+         ), f AS (
+           SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt,
+             CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tc,
+             length(regexp_replace(text, '\s+', '', 'g')) AS nws,
+             length(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS na
+           FROM docs
+         ), scored AS (
+           SELECT doc_id, text, CAST(tc AS BIGINT) AS n_tokens,
+             (least(CAST(tc AS DOUBLE) / 50.0, 1.0)
+               * least(1.0, 1000.0 / greatest(CAST(tc AS DOUBLE), 1.0))
+               * (CASE WHEN (CASE WHEN tc = 0 THEN 0.0 ELSE CAST(nws AS DOUBLE) / tc END) < 3.0
+                         OR (CASE WHEN tc = 0 THEN 0.0 ELSE CAST(nws AS DOUBLE) / tc END) > 10.0
+                       THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(na AS DOUBLE) / length(text) END)) AS q,
+             CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' a ', ''))) / 3
+               + (length(pt) - length(replace(pt, ' and ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' of ', ''))) / 4 AS BIGINT) AS en_score,
+             CAST((length(pt) - length(replace(pt, ' el ', ''))) / 4
+               + (length(pt) - length(replace(pt, ' la ', ''))) / 4
+               + (length(pt) - length(replace(pt, ' de ', ''))) / 4
+               + (length(pt) - length(replace(pt, ' y ', ''))) / 3 AS BIGINT) AS es_score,
+             CAST((length(pt) - length(replace(pt, ' der ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' die ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' und ', ''))) / 5
+               + (length(pt) - length(replace(pt, ' das ', ''))) / 5 AS BIGINT) AS de_score
+           FROM f
+         ), langed AS (
+           SELECT doc_id, text, n_tokens, q,
+             CASE WHEN en_score >= es_score AND en_score >= de_score AND en_score > 0 THEN 'en'
+                  WHEN es_score >= de_score AND es_score > 0 THEN 'es'
+                  WHEN de_score > 0 THEN 'de'
+                  ELSE 'und' END AS lang
+           FROM scored
+         ), gated AS (
+           SELECT * FROM langed WHERE q >= 0.15 AND n_tokens >= 5
+         ), keep AS (
+           SELECT min(doc_id) AS doc_id
+           FROM gated
+           GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
+         )
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM gated g JOIN keep k ON g.doc_id = k.doc_id
+         GROUP BY lang ORDER BY lang""",
     "x21_preprocess_pipeline" ->
       """WITH f AS (
            SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt,
@@ -2338,6 +2522,68 @@ object SparkEntry {
          FROM by_supp JOIN max_rev
            ON n_nationkey = m_nationkey AND rev = mrev
          ORDER BY n_name, s_name""",
+    "qc13_two_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19') OR
+                (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "qc14_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
+    "qc15_market_share" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS o_year,
+           round(
+             CAST(sum(CASE WHEN n1.n_name = 'NATION_12'
+               THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(38,4))
+               ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) /
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(38,4))) AS DOUBLE), 6) AS mkt_share
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           JOIN region ON n2.n_regionkey = r_regionkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         WHERE r_name = 'ASIA'
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY o_year ORDER BY o_year""",
+    "qc16_important_parts" ->
+      """WITH per_part AS (
+           SELECT l_partkey,
+             sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(38,4))) AS part_rev
+           FROM lineitem GROUP BY l_partkey)
+         SELECT l_partkey, CAST(part_rev AS DOUBLE) AS value
+         FROM per_part, (SELECT sum(part_rev) AS total_rev FROM per_part)
+         WHERE part_rev * 2000 > total_rev
+         ORDER BY value DESC, l_partkey""",
     "ql1_lang_groupby" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n FROM customer
          GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment""",

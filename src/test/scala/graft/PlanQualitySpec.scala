@@ -281,6 +281,68 @@ class PlanQualitySpec extends SparkSpec {
       s"join-back fell off the equi-join path:\n$p")
   }
 
+  test("qc13: nation-pair membership pre-filters both broadcast dims") {
+    val p = planOf("qc13_two_nation_volume")
+    // the disjunction's implied IN-list reaches both nation scans
+    assert("In\\(n_name, \\[NATION_13,NATION_19\\]\\)".r
+        .findAllIn(p).size >= 2 ||
+      "n_name IN \\(NATION_13,NATION_19\\)".r.findAllIn(p).size >= 2,
+      s"nation membership not pushed to both dim scans:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"2-row nation dims not broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"ship-date range not pushed into the lineitem scan:\n$p")
+    assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
+  }
+
+  test("qc14: Catalyst derives per-side unions from the cross-table OR") {
+    val p = planOf("qc14_disjunctive_revenue")
+    // quantity-range disjunction reaches the lineitem scan...
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"derived quantity union not pushed to the lineitem scan:\n$p")
+    // ...and the brand/size disjunction reaches the part scan
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      s"derived brand/size union not pushed to the part scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
+  }
+
+  test("qc15: region filter reaches its scan; semi-join prunes customers") {
+    val p = planOf("qc15_market_share")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      s"region filter not pushed into the region scan:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"customer region membership must be a semi-join (no row growth):\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"ship-date range not pushed into the lineitem scan:\n$p")
+    assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
+  }
+
+  test("qc16: global threshold derives from the materialized aggregate") {
+    val p = planOf("qc16_important_parts")
+    // the fact table was aggregated once, upstream of the checkpoint —
+    // the final plan must not re-scan it
+    assert(!p.contains("lineitem.parquet"),
+      s"fact table re-scanned for the global total:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
+      s"one-row total not broadcast:\n$p")
+    assert(p.contains("partial_sum"),
+      s"total over part_rev lost its partial stage:\n$p")
+  }
+
+  test("ql29: language pipeline materializes the gated stage once") {
+    val p = planOf("ql29_lang_pipeline")
+    // `gated` feeds both the dedup keep-set and the probe side; the
+    // temptable cut means the final plan never re-reads the file (the
+    // text-scoring scan would otherwise run 3×)
+    assert(!p.contains("documents.parquet"),
+      s"gated stage re-scans the documents file:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"keep-set membership must be a semi-join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-language rollup lost its partial stage:\n$p")
+  }
+
   test("ensureParallelism decides from plan stats, not an RDD trip") {
     val docs = graft.sources.Tables.load(spark, sf, "documents").df
     // under-partitioned file scan: the guard must still widen it
