@@ -36,9 +36,14 @@ object Bench {
     // blocks of every prior query stay pinned in storage memory, and
     // late queries in the run measure GC/eviction pressure instead of
     // their own work (observed: 4.6s -> 33s for the same query).
+    // BLOCKING unpersist: cleanup runs outside the timed window, and an
+    // async drop lets the next query race gigabytes of still-evicting
+    // checkpoint blocks for storage memory (observed: the 300k-doc
+    // near-dup probe 10s solo -> 52s downstream of the ANN probes).
     def cleanup(): Unit = {
       spark.sqlContext.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
     }
 
     // Warmup: exercise scan + shuffle + join + codegen paths once.
