@@ -70,17 +70,25 @@ object Bench {
         cleanup()
         (elapsed, ok)
       }
-      val median = times.map(_._1).sorted.apply((reps - 1) / 2)
-      (name, median, times.forall(_._2))
+      val sorted = times.map(_._1).sorted
+      val median = sorted((reps - 1) / 2)
+      (name, median, sorted.head, sorted.last, times.forall(_._2))
     }
     // Failed queries report value -1 (never a tiny elapsed time that
     // would read as a speedup) and are listed in "failed".
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
+    val qs = results.map { case (k, v, _, _, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, _, _, true) => v }.sum
+    // Per-query [min,max] across the reps: single-JVM timings on a
+    // shared host swing several-fold on unchanged code, and the spread
+    // is what separates a real regression from scheduler noise when
+    // rounds are compared.
+    val spread = results.collect { case (k, _, lo, hi, true) =>
+      "\"" + k + "\":[" + f"$lo%.3f" + "," + f"$hi%.3f" + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

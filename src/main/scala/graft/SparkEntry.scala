@@ -1163,6 +1163,42 @@ object SparkEntry {
         .orderBy(F.desc("value"), col("l_partkey"))
     }),
 
+    // qc17: TPC-H Q4 shape — EXISTS against the fact table: orders in
+    // a quarter with at least one line shipped >90 days after the
+    // order date, counted by priority. The EXISTS is a LeftSemi on
+    // orderkey with the cross-table date compare as a RESIDUAL on the
+    // equi-join — never a per-row correlated probe — so the fact side
+    // shuffles once on the join key and never fans out.
+    "qc17_priority_waiting" -> ((s, d) => {
+      t(s, d, "orders").df
+        .where(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-04-01").cast(TimestampType))
+        .join(t(s, d, "lineitem").df.select("l_orderkey", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(F.count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // qc18: TPC-H Q12 shape — two-way conditional aggregation: per
+    // return flag of late-shipped lines, how many came from
+    // high-priority orders vs not. One equi-join, then both counts
+    // come out of a single partial-aggregated pass (two conditional
+    // sums in one shuffle), not two scans or two joins.
+    "qc18_late_line_priority" -> ((s, d) => {
+      val high = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      t(s, d, "lineitem").df
+        .join(t(s, d, "orders").df, col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(F.sum(F.when(high, 1L).otherwise(0L)).as("high_line_count"),
+          F.sum(F.when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- language front-end: reference syntax → Catalyst ------------------
     "ql1_lang_groupby" -> ((s, d) =>
       graft.lang.Interp.run(s,
@@ -1510,6 +1546,24 @@ object SparkEntry {
           |kept{lang => n_docs: count(), total_tokens: sum(n_tokens)} order {lang}
           |""".stripMargin,
         "docs" -> graft.dsl.PTable(augDocs(s, d))).df),
+
+    // a TPC-H-composed query written entirely in the reference's
+    // syntax (Q18 shape): group-HAVING via selection on an aggregate,
+    // `in` membership → LeftSemi (no row growth), an explicit
+    // $on: join, re-aggregation over the joined structs, and a
+    // descending top-20 that plans as a bounded TakeOrdered, not a
+    // global sort. Quantities are integer-valued, so the double sums
+    // are exact and order-independent — oracle-safe without decimals.
+    "ql30_lang_composed" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """big = lineitem{l_orderkey => sum_qty: sum(l_quantity)}[sum_qty > 250]
+          |sel = orders[o_orderkey in big{l_orderkey}]
+          |join(o: sel, l: lineitem, $on: o.o_orderkey == l.l_orderkey) {
+          |  okey: o.o_orderkey, price: o.o_totalprice
+          |  => n_lines: count(), qty: sum(l.l_quantity)
+          |} order {^price, okey} [..20]
+          |""".stripMargin,
+        "lineitem" -> t(s, d, "lineitem"), "orders" -> t(s, d, "orders")).df),
 
     // ---- json scalar functions (extension; reference has none) -----------
     "q61_json" -> ((s, d) => {
@@ -1976,6 +2030,14 @@ object SparkEntry {
                      THEN 0.5 ELSE 1.0 END)
              * (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(na AS DOUBLE) / length(text) END)) AS score
          FROM sc WHERE tc > 2 ORDER BY doc_id""",
+    "ql30_lang_composed" ->
+      """SELECT o_orderkey AS okey, o_totalprice AS price,
+           CAST(count(*) AS BIGINT) AS n_lines, sum(l_quantity) AS qty
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+         GROUP BY okey, price ORDER BY price DESC, okey LIMIT 20""",
     "ql29_lang_pipeline" ->
       """WITH docs AS (
            SELECT doc_id, text FROM documents
@@ -2584,6 +2646,25 @@ object SparkEntry {
          FROM per_part, (SELECT sum(part_rev) AS total_rev FROM per_part)
          WHERE part_rev * 2000 > total_rev
          ORDER BY value DESC, l_partkey""",
+    "qc17_priority_waiting" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-04-01'
+           AND EXISTS (
+             SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey
+               AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "qc18_late_line_priority" ->
+      """SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "ql1_lang_groupby" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n FROM customer
          GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment""",

@@ -330,6 +330,35 @@ class PlanQualitySpec extends SparkSpec {
       s"total over part_rev lost its partial stage:\n$p")
   }
 
+  test("qc17: EXISTS plans as a residual-equi semi-join, not correlated") {
+    val p = planOf("qc17_priority_waiting")
+    assert(p.contains("LeftSemi"),
+      s"EXISTS must become a semi-join:\n$p")
+    assert(!p.contains("NestedLoop"),
+      s"cross-table date residual fell off the equi-join path:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date quarter not pushed into the orders scan:\n$p")
+    assert(p.contains("partial_count"), s"no partial aggregation:\n$p")
+  }
+
+  test("qc18: both conditional counts come from one aggregation pass") {
+    val p = planOf("qc18_late_line_priority")
+    assert("partial_sum".r.findAllIn(p).size >= 2,
+      s"expected both conditional sums in one partial pass:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size <= 4,
+      s"more than one aggregate pair — second scan/join crept in:\n$p")
+    assert(!p.contains("NestedLoop"), s"join fell off the equi path:\n$p")
+  }
+
+  test("ql30: language composition keeps the scale-shaped plan") {
+    val p = planOf("ql30_lang_composed")
+    assert(p.contains("LeftSemi"),
+      s"`in` membership must plan as a semi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"order+slice must plan as bounded top-k, not a global sort:\n$p")
+    assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
+  }
+
   test("ql29: language pipeline materializes the gated stage once") {
     val p = planOf("ql29_lang_pipeline")
     // `gated` feeds both the dedup keep-set and the probe side; the
