@@ -1199,6 +1199,91 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // qc19: TPC-H Q1 shape — the full pricing summary: one fact scan,
+    // one partial-aggregated pass producing eight aggregates. The
+    // charge chain price·(1−disc)·(1+tax) is computed in EXACT integer
+    // micro-units (all three factors have ≤2 decimals, so cents-scaled
+    // longs are exact and the sum stays inside int64) — no decimal
+    // rescale rounding, no >2^53 decimal→double double-rounding, and
+    // the compare is integer-exact on both engines.
+    "qc19_pricing_summary" -> ((s, d) => {
+      val pc = F.round(col("l_extendedprice") * 100).cast(LongType)
+      val dc = F.round(col("l_discount") * 100).cast(LongType)
+      val tc = F.round(col("l_tax") * 100).cast(LongType)
+      t(s, d, "lineitem").df
+        .where(col("l_shipdate") <= lit("2001-09-01").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          PF.dsum(col("l_quantity")).as("sum_qty"),
+          PF.dsum(col("l_extendedprice")).as("sum_base_price"),
+          PF.drevsum(col("l_extendedprice"), col("l_discount"))
+            .as("sum_disc_price"),
+          F.sum(pc * (lit(100L) - dc) * (lit(100L) + tc))
+            .as("sum_charge_micro"),
+          PF.davg(col("l_quantity")).as("avg_qty"),
+          PF.davg(col("l_extendedprice")).as("avg_price"),
+          PF.davg(col("l_discount")).as("avg_disc"),
+          F.count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // qc20: TPC-H Q6 shape — forecast revenue delta: pure
+    // filter-and-aggregate, no join at all. All three predicates are
+    // scan-pushable, so at 100 TB this is an embarrassingly parallel
+    // single pass whose partial sums collapse to one row.
+    "qc20_forecast_revenue" -> ((s, d) =>
+      t(s, d, "lineitem").df
+        .where(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(F.sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+            col("l_discount").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 4))).cast(DoubleType).as("revenue"))),
+
+    // qc21: TPC-H Q14 shape — promo revenue share: conditional-sum /
+    // total-sum ratio over one month of lineitems joined to the
+    // broadcast part dim. Both sums exact decimal out of ONE partial
+    // pass; one IEEE division at the end, rounded to 6.
+    "qc21_promo_effect" -> ((s, d) => {
+      val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) -
+          col("l_discount").cast(DecimalType(18, 2))))
+        .cast(DecimalType(38, 4))
+      t(s, d, "lineitem").df
+        .where(col("l_shipdate") >= lit("1997-03-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-04-01").cast(TimestampType))
+        .join(F.broadcast(t(s, d, "part").df.select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(F.round(lit(100.0) *
+          F.sum(F.when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast(DecimalType(38, 4)))).cast(DoubleType) /
+          F.sum(rev).cast(DoubleType), 6).as("promo_revenue"))
+    }),
+
+    // qc22: TPC-H Q16 shape — how many distinct suppliers serve each
+    // (brand, type, size) bucket, excluding a NOT-IN supplier set. The
+    // NOT IN plans as a broadcast LeftAnti (supplier exclusion list is
+    // tiny next to the fact), the part dim broadcasts, and
+    // count(distinct) runs as Spark's two-phase distinct aggregate —
+    // partial de-dup on (group, suppkey) before the shuffle, so the
+    // exchange carries distinct pairs, not raw fact rows.
+    "qc22_supplier_variety" -> ((s, d) => {
+      val excluded = t(s, d, "supplier").df
+        .where(col("s_acctbal") < 1000).select("s_suppkey")
+      t(s, d, "lineitem").df
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(excluded),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(F.broadcast(t(s, d, "part").df
+            .where(col("p_brand") =!= "Brand#45" && col("p_size") <= 20)
+            .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(F.countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
     // ---- language front-end: reference syntax → Catalyst ------------------
     "ql1_lang_groupby" -> ((s, d) =>
       graft.lang.Interp.run(s,
@@ -2665,6 +2750,58 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "qc19_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (1 - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                (100 - CAST(round(l_discount * 100) AS BIGINT)) *
+                (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT)
+             AS sum_charge_micro,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) /
+             count(l_quantity) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) /
+             count(l_extendedprice) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) /
+             count(l_discount) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "qc20_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+             AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+           AND l_quantity < 24""",
+    "qc21_promo_effect" ->
+      """SELECT round(100.0 *
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))
+             ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) /
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)))
+             AS DOUBLE), 6) AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+           AND l_shipdate < TIMESTAMP '1997-04-01'""",
+    "qc22_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#45' AND p_size <= 20
+           AND l_suppkey NOT IN (
+             SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
     "ql1_lang_groupby" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n FROM customer
          GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment""",

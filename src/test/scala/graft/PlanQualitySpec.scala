@@ -350,6 +350,53 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), s"join fell off the equi path:\n$p")
   }
 
+  test("qc19: pricing summary is one scan, one aggregation pass") {
+    val p = planOf("qc19_pricing_summary")
+    assert(!p.contains("Join"), s"Q1 must not join anything:\n$p")
+    assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
+    assert(p.contains("LessThanOrEqual(l_shipdate"),
+      s"shipdate bound not pushed into the scan:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"expected only the agg + sort exchanges:\n$p")
+  }
+
+  test("qc20: all three predicates reach the scan; no join") {
+    val p = planOf("qc20_forecast_revenue")
+    assert(!p.contains("Join"), s"Q6 must not join anything:\n$p")
+    // the PushedFilters render truncates long lists, so pin the scan
+    // pushdown via its head and the full predicate via the Filter node
+    assert(p.contains(
+      "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+        "IsNotNull(l_quantity)"),
+      s"predicates not pushed to the scan:\n$p")
+    assert(p.contains("< 24.0") && p.contains(">= 0.05"),
+      s"quantity/discount bounds missing from the filter:\n$p")
+    assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
+  }
+
+  test("qc21: promo ratio broadcasts the part dim, one agg pass") {
+    val p = planOf("qc21_promo_effect")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part dim must broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"month window not pushed to the fact scan:\n$p")
+    assert("partial_sum".r.findAllIn(p).size >= 2,
+      s"both conditional sums must come from one partial pass:\n$p")
+  }
+
+  test("qc22: NOT IN plans as broadcast anti-join; distinct is two-phase") {
+    val p = planOf("qc22_supplier_variety")
+    assert(p.contains("LeftAnti"),
+      s"NOT IN must become an anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"exclusion list and part dim must broadcast:\n$p")
+    assert(!p.contains("NestedLoop"), s"fell off the equi path:\n$p")
+    // two-phase distinct: a partial aggregate keyed on (group, suppkey)
+    // below the exchange, the count above it
+    assert("HashAggregate".r.findAllIn(p).size >= 3,
+      s"count(distinct) lost its partial de-dup stage:\n$p")
+  }
+
   test("ql30: language composition keeps the scale-shaped plan") {
     val p = planOf("ql30_lang_composed")
     assert(p.contains("LeftSemi"),
