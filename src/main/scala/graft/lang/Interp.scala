@@ -574,6 +574,20 @@ object Interp {
           env = env - n
           cat.remove(n) // reference drop_table: a later `table n {...}`
                         // creates fresh instead of re-attaching
+        // `t.add_index(col)` / `add_index(t, col)` (reference
+        // pql_functions.py:1043-1078, registered both as a table
+        // method and a global): on columnar storage an index IS
+        // clustering — the table is rebound to its repartitioned +
+        // sorted-within-partitions form, so later selective scans and
+        // merge joins on that column stay cheap at scale.
+        case Apply(Attr(Ident(n), "add_index"), iargs) =>
+          execAddIndex(n, iargs)
+        // a simple receiver parses as a dotted call name
+        case Call(dotted, iargs) if dotted.endsWith(".add_index") &&
+            !funcs.contains(dotted) =>
+          execAddIndex(dotted.stripSuffix(".add_index"), iargs)
+        case Call("add_index", Arg(None, Ident(n)) +: iargs) =>
+          execAddIndex(n, iargs)
         case other =>
           // evaluate for effect (e.g. `one t` as an assertion)
           val sub = substitute(other)
@@ -680,6 +694,33 @@ object Interp {
         s"$m.$k" -> fd.copy(body = qbody)
       }
       procs ++= sub.procs.map { case (k, pd) => s"$m.$k" -> pd }
+    }
+
+    /** `add_index` (reference pql_functions.py:1043-1078): requires a
+      * persistent (catalog) table; accepts one column name or a list
+      * of names; `unique` is accepted and ignored (uniqueness comes
+      * from the auto-id machinery, not a physical index, and the
+      * reference likewise delegates enforcement to the database).
+      */
+    private def execAddIndex(name: String, iargs: Seq[Arg]): Unit = {
+      if (!cat.names.contains(name))
+        throw new TypeError("Can only add indexes to persistent tables")
+      val cols: Seq[String] = iargs.headOption.map(_.value) match {
+        case Some(StrLit(s)) => Seq(s)
+        case Some(ListLit(items)) => items.map {
+          case StrLit(s) => s
+          case o => throw new TypeError(
+            s"add_index: expected column name strings, got $o")
+        }
+        case o => throw new TypeError(
+          s"add_index: expected a column name, got ${o.getOrElse("nothing")}")
+      }
+      val tab = cat.get(name)
+      cols.find(!tab.columns.contains(_)).foreach { c =>
+        throw new NameError(s"add_index: no column '$c' in $name")
+      }
+      cat.register(name, tab.addIndex(cols: _*))
+      env = env + (name -> VT(cat.get(name)))
     }
 
     /** `new T(args)`: insert one row (positional args fill non-pk

@@ -1050,6 +1050,28 @@ class RefConformanceSpec extends SparkSpec {
       "table A { x: int }\nremove_table_if_exists(B)\ncount(A)"), 0))
   }
 
+  test("add_index clusters a persistent table (pql_functions.py:1043-1078)") {
+    // the reference docstring example: a method of the table type
+    val out = Interp.run(spark,
+      "table x = [3,1,2]{item}\nx.add_index(\"item\")\nx")
+    assert(out.df.collect().map(_.get(0).toString.toLong).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // the rebound table is physically clustered on the indexed column
+    assert(out.df.queryExecution.optimizedPlan.toString
+      .contains("RepartitionByExpression"))
+    // also registered as a global (pql_functions.py:1081)
+    assert(numeq(one(
+      "table y = [1,2]{item}\nadd_index(y, \"item\", false)\ncount(y)"), 2))
+    // non-persistent receiver mirrors the reference TypeError
+    intercept[TypeError] {
+      Interp.run(spark, "z = [1,2]{item}\nz.add_index(\"item\")\nz")
+    }
+    // unknown column is a NameError
+    intercept[NameError] {
+      Interp.run(spark, "table w = [1]{item}\nw.add_index(\"nope\")\nw")
+    }
+  }
+
   // ---- examples/movie_recommender.pql -------------------------------------
 
   test("movie recommender example runs end-to-end") {
@@ -1219,6 +1241,29 @@ class RefConformanceSpec extends SparkSpec {
       Seq("Israel", "Israel", "England", "England", "United States"))
     assert(q("explicit_join {p.name} order {name}").map(_.head._2) ==
       Seq("Eric Blaire", "H.G. Wells", "John Steinbeck"))
+  }
+
+  // ---- tests/simple1.pql (funcs over tables, test_basic.py:1110-1127) -----
+
+  test("simple1.pql runs verbatim: table funcs, order, demography") {
+    val script = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/simple1.pql")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def q(result: String): Seq[Seq[(String, Any)]] =
+      rows(script + "\n" + result)
+    assert(q("english {name}").map(_.head._2).toSet ==
+      Set("Eric Blaire", "H.G. Wells"))
+    assert(q("by_country(\"Israel\") {name}").map(_.head._2) ==
+      Seq("Erez Shinan"))
+    assert(q("english2").map(_.head._2) ==
+      Seq("H.G. Wells", "Eric Blaire"))
+    assert(q("english3 {n}").map(_.head._2) ==
+      Seq("Eric Blaire", "H.G. Wells"))
+    // funcs that take TABLES as parameters chain (_f2 -> _table_func)
+    assert(q("f3").map(_.head._2) == Seq("Erez Shinan"))
+    assert(q("demography")
+      .map(r => (r.head._2, r.last._2.toString.toLong)) ==
+      Seq(("England", 2L), ("Israel", 1L)))
   }
 
   // ---- tests/box_circle.pql (struct columns, const tables) ----------------
