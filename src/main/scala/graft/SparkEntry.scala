@@ -1650,6 +1650,22 @@ object SparkEntry {
           |""".stripMargin,
         "lineitem" -> t(s, d, "lineitem"), "orders" -> t(s, d, "orders")).df),
 
+    // TPC-H Q4's EXISTS written the way a reference user would: build
+    // the correlated set with an explicit theta-join + selection, then
+    // `in` membership back onto the order window — which must still
+    // plan as a semi-join (no row growth, no correlated probe), with
+    // string literals coercing to the timestamp column.
+    "ql31_lang_exists" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """sel = orders[o_orderdate >= "1997-01-01", o_orderdate < "1997-07-01"]
+          |lk = join(o: sel, l: lineitem, $on: o.o_orderkey == l.l_orderkey)[
+          |  l.l_shipdate > o.o_orderdate]
+          |sel[o_orderkey in lk{okey: o.o_orderkey}] {
+          |  o_orderpriority => order_count: count()
+          |} order {o_orderpriority}
+          |""".stripMargin,
+        "lineitem" -> t(s, d, "lineitem"), "orders" -> t(s, d, "orders")).df),
+
     // ---- json scalar functions (extension; reference has none) -----------
     "q61_json" -> ((s, d) => {
       // parse the JSON column ONCE (from_json) and derive every output
@@ -2123,6 +2139,15 @@ object SparkEntry {
            SELECT l_orderkey FROM lineitem
            GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
          GROUP BY okey, price ORDER BY price DESC, okey LIMIT 20""",
+    "ql31_lang_exists" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-07-01'
+           AND EXISTS (
+             SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "ql29_lang_pipeline" ->
       """WITH docs AS (
            SELECT doc_id, text FROM documents

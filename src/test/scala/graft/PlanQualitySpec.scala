@@ -406,6 +406,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
   }
 
+  test("ql31: language EXISTS-as-membership still plans as a semi-join") {
+    val p = planOf("ql31_lang_exists")
+    assert(p.contains("LeftSemi"),
+      s"membership against the correlated set must be a semi-join:\n$p")
+    assert(!p.contains("NestedLoop"), s"fell off the equi path:\n$p")
+    assert(p.contains("partial_count"), s"no partial aggregation:\n$p")
+  }
+
   test("ql29: language pipeline materializes the gated stage once") {
     val p = planOf("ql29_lang_pipeline")
     // `gated` feeds both the dedup keep-set and the probe side; the
