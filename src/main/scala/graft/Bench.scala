@@ -86,7 +86,11 @@ object Bench {
     // is what separates a real regression from scheduler noise when
     // rounds are compared.
     val spread = results.collect { case (k, _, lo, hi, true) =>
-      "\"" + k + "\":[" + f"$lo%.3f" + "," + f"$hi%.3f" + "]"
+      // Locale.ROOT: a comma-decimal default locale would corrupt the
+      // JSON line
+      "\"" + k + "\":[" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(lo)) + "," +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(hi)) + "]"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()

@@ -1257,7 +1257,8 @@ object SparkEntry {
         .agg(F.round(lit(100.0) *
           F.sum(F.when(col("p_type") === "PROMO", rev)
             .otherwise(lit(0).cast(DecimalType(38, 4)))).cast(DoubleType) /
-          F.sum(rev).cast(DoubleType), 6).as("promo_revenue"))
+          PF.drevsum(col("l_extendedprice"), col("l_discount")), 6)
+          .as("promo_revenue"))
     }),
 
     // qc22: TPC-H Q16 shape — how many distinct suppliers serve each

@@ -703,8 +703,19 @@ object Interp {
       * reference likewise delegates enforcement to the database).
       */
     private def execAddIndex(name: String, iargs: Seq[Arg]): Unit = {
-      if (!cat.names.contains(name))
-        throw new TypeError("Can only add indexes to persistent tables")
+      // resolve the RECEIVER'S VALUE, as the reference does (it reads
+      // table.type.options['name']): an alias bound to a persistent
+      // table indexes that table; a derived binding (selection,
+      // projection) has no backing table and is a TypeError; an
+      // unknown name is a NameError before any persistence check
+      val bound = lookupTable(name)
+      // plan identity, not instance identity: aliasing (`q = p`)
+      // renames the PTable wrapper but shares the plan, while any
+      // derived binding (selection/projection) builds a new one
+      val target = (name +: cat.names).distinct
+        .find(n => cat.names.contains(n) && (cat.get(n).df eq bound.df))
+        .getOrElse(throw new TypeError(
+          "Can only add indexes to persistent tables"))
       val cols: Seq[String] = iargs.headOption.map(_.value) match {
         case Some(StrLit(s)) => Seq(s)
         case Some(ListLit(items)) => items.map {
@@ -715,12 +726,17 @@ object Interp {
         case o => throw new TypeError(
           s"add_index: expected a column name, got ${o.getOrElse("nothing")}")
       }
-      val tab = cat.get(name)
+      val tab = cat.get(target)
       cols.find(!tab.columns.contains(_)).foreach { c =>
-        throw new NameError(s"add_index: no column '$c' in $name")
+        throw new NameError(s"add_index: no column '$c' in $target")
       }
-      cat.register(name, tab.addIndex(cols: _*))
-      env = env + (name -> VT(cat.get(name)))
+      cat.register(target, tab.addIndex(cols: _*))
+      env = env + (name -> VT(cat.get(target)))
+      if (target != name) env.get(target) match {
+        case Some(VT(t0)) if t0 eq tab =>
+          env = env + (target -> VT(cat.get(target)))
+        case _ => ()
+      }
     }
 
     /** `new T(args)`: insert one row (positional args fill non-pk

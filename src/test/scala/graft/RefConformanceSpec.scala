@@ -1066,6 +1066,26 @@ class RefConformanceSpec extends SparkSpec {
     intercept[TypeError] {
       Interp.run(spark, "z = [1,2]{item}\nz.add_index(\"item\")\nz")
     }
+    // the receiver resolves by VALUE (reference reads the table's
+    // options['name']): an alias to a persistent table indexes it...
+    assert(numeq(one(
+      "table p = [1,2]{item}\nq2 = p\nq2.add_index(\"item\")\ncount(p)"), 2))
+    // ...while a DERIVED rebinding of the name is no longer the
+    // persistent table — TypeError, and the binding is untouched
+    assert(numeq(one(
+      """table v = [1,2,3]{item}
+        |v = v[item > 1]
+        |caught = 0
+        |try {
+        |  v.add_index("item")
+        |} catch (e: TypeError) {
+        |  caught = 1
+        |}
+        |count(v) + caught""".stripMargin), 3))
+    // unknown receiver is a NameError, not a persistence complaint
+    intercept[NameError] {
+      Interp.run(spark, "nosuch.add_index(\"c\")\n[1]{item}")
+    }
     // unknown column is a NameError
     intercept[NameError] {
       Interp.run(spark, "table w = [1]{item}\nw.add_index(\"nope\")\nw")
