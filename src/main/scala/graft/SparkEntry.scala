@@ -1194,8 +1194,10 @@ object SparkEntry {
         .join(t(s, d, "orders").df, col("l_orderkey") === col("o_orderkey"))
         .where(col("l_shipdate") > col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .groupBy(col("l_returnflag"))
+        // low = when(high, 0).otherwise(1), NOT when(!high, 1): a NULL
+        // priority must count as low on both engines (CASE ... ELSE 1)
         .agg(F.sum(F.when(high, 1L).otherwise(0L)).as("high_line_count"),
-          F.sum(F.when(!high, 1L).otherwise(0L)).as("low_line_count"))
+          F.sum(F.when(high, 0L).otherwise(1L)).as("low_line_count"))
         .orderBy("l_returnflag")
     }),
 
@@ -1650,6 +1652,18 @@ object SparkEntry {
           |} order {^price, okey} [..20]
           |""".stripMargin,
         "lineitem" -> t(s, d, "lineitem"), "orders" -> t(s, d, "orders")).df),
+
+    // add_index under the oracle: clustering is a physical rewrite, so
+    // a grouped scan over the clustered table must return exactly what
+    // the unclustered scan returns (and the repartition+sort it adds
+    // is what co-locates later per-key work at scale).
+    "q74_cluster_scan" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """table li = lineitem[l_quantity > 45]
+          |li.add_index("l_partkey")
+          |li{l_partkey => n: count(), qty: sum(l_quantity)} order {l_partkey}
+          |""".stripMargin,
+        "lineitem" -> t(s, d, "lineitem")).df),
 
     // TPC-H Q4's EXISTS written the way a reference user would: build
     // the correlated set with an explicit theta-join + selection, then
@@ -2140,6 +2154,11 @@ object SparkEntry {
            SELECT l_orderkey FROM lineitem
            GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
          GROUP BY okey, price ORDER BY price DESC, okey LIMIT 20""",
+    "q74_cluster_scan" ->
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+           sum(l_quantity) AS qty
+         FROM lineitem WHERE l_quantity > 45
+         GROUP BY l_partkey ORDER BY l_partkey""",
     "ql31_lang_exists" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
          FROM orders
