@@ -556,6 +556,11 @@ object Interp {
             case _ => throw new TypeError(
               "set_setting expects (string, int)")
           }): Unit
+        // `debug()` / `_breakpoint()` (reference pql_functions.py:
+        // 231-243): pause execution, read program units from stdin
+        // against the CURRENT state — bindings made in the debugger
+        // persist when execution continues; `c()` (or EOF) resumes
+        case Call(bp @ ("debug" | "_breakpoint"), _) => debugRepl(bp)
         // `exit(value?)` (reference pql_functions.py:836-847): leave
         // the current interpreter — the REPL quits, an embedding
         // caller sees the typed control exception
@@ -694,6 +699,45 @@ object Interp {
         s"$m.$k" -> fd.copy(body = qbody)
       }
       procs ++= sub.procs.map { case (k, pd) => s"$m.$k" -> pd }
+    }
+
+    /** `debug()` / `_breakpoint()` (reference pql_functions.py:
+      * 231-243): an interactive pause. Units read from stdin run
+      * against THIS state (statements mutate it for the rest of the
+      * program; expressions preview up to 5 rows). Prompts, previews
+      * and errors go to stderr so the paused program's stdout stays
+      * clean; `c()`, `c` or EOF continues, `exit()` still exits the
+      * whole interpreter (the reference's debugger is the REPL
+      * environment with a continue binding added).
+      */
+    private def debugRepl(kind: String): Unit = {
+      val in = new java.io.BufferedReader(Console.in)
+      Console.err.println(s"-- $kind: paused; c() continues --")
+      var going = true
+      while (going) {
+        Console.err.print(s"$kind> "); Console.err.flush()
+        Option(in.readLine()).map(_.trim) match {
+          case None => going = false
+          case Some("c()") | Some("c") => going = false
+          case Some("") => ()
+          case Some(line) =>
+            try {
+              if (graft.tools.Repl.isStatement(line)) {
+                Parser.parse(line + "\n0").stmts.foreach(exec)
+                Console.err.println("ok")
+              } else {
+                val rows = resultTable(Parser.parse(line).result).df.take(6)
+                rows.take(5).foreach(r => Console.err.println(r.toString))
+                if (rows.length > 5) Console.err.println("...")
+              }
+            } catch {
+              case e: Interp.ExitInterp => throw e
+              case scala.util.control.NonFatal(e) =>
+                Console.err.println(
+                  s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
+        }
+      }
     }
 
     /** `add_index` (reference pql_functions.py:1043-1078): requires a

@@ -91,7 +91,7 @@ object Repl {
     "month", "day", "hour", "minute", "day_of_week", "week_of_year",
     "iif", "pi", "now", "random", "int", "float", "string", "bool",
     "type", "isa", "repr", "fmt", "is_empty", "one", "print",
-    "connect", "commit",
+    "connect", "commit", "add_index", "debug", "_breakpoint",
     // engine extensions: pipeline scalars + table operators
     "token_count", "lang_id", "quality_score", "fingerprint",
     "dedup_exact", "near_dup_pairs", "ann_topk")

@@ -1236,4 +1236,32 @@ class LangSpec extends SparkSpec {
       Interp.run(spark, """dedup_exact(documents)""", "documents" -> docs)
     }
   }
+
+  test("debug() pauses into a live-state REPL; bindings persist") {
+    // reference pql_functions.py:231-243: the debugger IS the REPL
+    // environment — statements mutate the paused program's state,
+    // expressions preview it, c() continues
+    val input = new java.io.StringReader("x = x + 1\n[1]{v: x}\nc()\n")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val out = Console.withIn(input) {
+      Console.withErr(errBuf) {
+        Interp.run(spark, "x = 41\ndebug()\n[1]{v: x}")
+      }
+    }
+    assert(out.df.head().getLong(0) == 42,
+      "binding made inside the debugger must persist after continue")
+    val err = errBuf.toString
+    assert(err.contains("debug>"))
+    assert(err.contains("ok"), s"statement ack missing from: $err")
+    assert(err.contains("[42]"), s"live-state preview missing from: $err")
+    // _breakpoint spelling; EOF also continues; errors don't kill it
+    val errBuf2 = new java.io.ByteArrayOutputStream()
+    val out2 = Console.withIn(new java.io.StringReader("nosuch_fn()\n")) {
+      Console.withErr(errBuf2) {
+        Interp.run(spark, "y = 7\n_breakpoint()\n[1]{v: y}")
+      }
+    }
+    assert(out2.df.head().getLong(0) == 7)
+    assert(errBuf2.toString.contains("_breakpoint>"))
+  }
 }
