@@ -711,18 +711,23 @@ object Interp {
       * environment with a continue binding added).
       */
     private def debugRepl(kind: String): Unit = {
-      val in = new java.io.BufferedReader(Console.in)
+      // Console.in is already a BufferedReader; wrapping it again
+      // would read ahead and swallow stdin destined for code AFTER
+      // the pause (a second debug() in the same piped program)
+      val in = Console.in
       Console.err.println(s"-- $kind: paused; c() continues --")
       var going = true
       while (going) {
         Console.err.print(s"$kind> "); Console.err.flush()
         Option(in.readLine()).map(_.trim) match {
           case None => going = false
-          case Some("c()") | Some("c") => going = false
+          // only the CALL continues (reference binds the callable
+          // c()) — a bare `c` must still preview a binding named c
+          case Some("c()") => going = false
           case Some("") => ()
           case Some(line) =>
             try {
-              if (graft.tools.Repl.isStatement(line)) {
+              if (Parser.isStatement(line)) {
                 Parser.parse(line + "\n0").stmts.foreach(exec)
                 Console.err.println("ok")
               } else {
@@ -877,7 +882,7 @@ object Interp {
         // evalTable would raise NameError instead of acting — route
         // through the statement handler and return an empty result
         case c @ Call("exit" | "connect" | "commit" | "rollback" |
-                      "set_setting", _) =>
+                      "set_setting" | "debug" | "_breakpoint", _) =>
           exec(ExprStmt(c))
           return PTable(spark.range(0).select(lit("ok").as("status")))
         case _ => ()

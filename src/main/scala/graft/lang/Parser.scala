@@ -1103,4 +1103,23 @@ object Parser {
     new Parser(Lexer.lex(src), src).parseSingle()
   def parseModule(src: String): Seq[Ast.Stmt] =
     new Parser(Lexer.lex(src), src).parseModule()
+
+  /** Classify a unit: true when it consists of statements only (so a
+    * driver should exec it), false when it ends in an expression to
+    * evaluate/preview. Shared by the REPL loop and the in-language
+    * debugger.
+    */
+  def isStatement(unit: String): Boolean = {
+    try {
+      val prog = parse(unit + "\n0") // dummy result
+      prog.stmts.nonEmpty &&
+        prog.stmts.forall {
+          case _: Ast.ExprStmt => false // bare expression: evaluate it
+          case _ => true
+        } && (prog.result match {
+          case Ast.IntLit(0) => true
+          case _ => false
+        })
+    } catch { case _: Throwable => false }
+  }
 }

@@ -61,19 +61,8 @@ object Repl {
     * statements only (assignments, funcs, DDL, imports — not bare
     * expressions) and leaves no final expression.
     */
-  private[graft] def isStatement(unit: String): Boolean = {
-    try {
-      val prog = Parser.parse(unit + "\n0") // dummy result
-      prog.stmts.nonEmpty &&
-        prog.stmts.forall {
-          case _: Ast.ExprStmt => false // bare expression: evaluate it
-          case _ => true
-        } && (prog.result match {
-          case Ast.IntLit(0) => true
-          case _ => false
-        })
-    } catch { case _: Throwable => false }
-  }
+  private[graft] def isStatement(unit: String): Boolean =
+    Parser.isStatement(unit)
 
   /** Function names the completer offers alongside tables/columns —
     * the §2 builtin surface (reference autocomplete offers ALL names

@@ -1263,5 +1263,33 @@ class LangSpec extends SparkSpec {
     }
     assert(out2.df.head().getLong(0) == 7)
     assert(errBuf2.toString.contains("_breakpoint>"))
+    // TWO pauses sharing one piped stdin: the first must not read
+    // ahead and swallow the second's commands
+    val errBuf3 = new java.io.ByteArrayOutputStream()
+    val out3 = Console.withIn(new java.io.StringReader(
+      "a = 10\nc()\nb = a + 1\nc()\n")) {
+      Console.withErr(errBuf3) {
+        Interp.run(spark, "debug()\ndebug()\n[1]{v: b}")
+      }
+    }
+    assert(out3.df.head().getLong(0) == 11,
+      "second pause lost its piped commands")
+    // a bare `c` previews a binding named c — only the CALL continues
+    val errBuf4 = new java.io.ByteArrayOutputStream()
+    Console.withIn(new java.io.StringReader("c\nc()\n")) {
+      Console.withErr(errBuf4) {
+        Interp.run(spark, "c = 5\ndebug()\n[1]{v: c}")
+      }
+    }
+    assert(errBuf4.toString.contains("[5]"),
+      s"bare c must preview the binding: ${errBuf4.toString}")
+    // result-position debug() (a REPL unit / final statement) pauses
+    // too, instead of raising NameError
+    val errBuf5 = new java.io.ByteArrayOutputStream()
+    val out5 = Console.withIn(new java.io.StringReader("c()\n")) {
+      Console.withErr(errBuf5) { Interp.run(spark, "debug()") }
+    }
+    assert(errBuf5.toString.contains("debug>"))
+    assert(out5.df.columns.toSeq == Seq("status"))
   }
 }
