@@ -450,4 +450,46 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.toLowerCase.contains("md5"),
       s"plane constants not embedded at plan-build time:\n$p")
   }
+
+  test("AQE splits a skewed join partition at runtime (100 TB posture)") {
+    import org.apache.spark.sql.{functions => F}
+    // the engine's equi-join paths must stay AQE-eligible: when one
+    // key dwarfs the rest, the runtime re-plan splits that partition
+    // across tasks instead of funneling it through one straggler —
+    // the thresholds here shrink "skewed" to test size
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) =>
+      // get can return null for unset null-default confs — treat as
+      // absent so restore unsets instead of set(null)
+      k -> scala.util.Try(spark.conf.get(k)).toOption.flatMap(Option(_)) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 95% of left rows share key 0 — one shuffle partition carries
+      // ~190k rows against a ~KB median
+      val left = spark.range(0, 200000).select(
+        F.when(F.col("id") % 20 =!= 0, F.lit(0L))
+          .otherwise(F.col("id")).as("k"),
+        F.concat(F.lit("payload_"), F.col("id")).as("p"))
+      val right = spark.range(0, 1000)
+        .select(F.col("id").as("k"), (F.col("id") * 2).as("v"))
+      val joined = left.join(right, "k")
+      // drive THIS DataFrame's queryExecution (count()/write execute a
+      // derived plan and leave this one un-finalized)
+      assert(joined.collect().length > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected an SMJ:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
