@@ -421,7 +421,9 @@ object SparkEntry {
 
     "x02_token_count" -> ((s, d) =>
       t(s, d, "documents").df.select(col("doc_id"),
-        graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+        graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        graft.ext.TextAnalysis.subwordCount(col("text")).cast(LongType)
+          .as("n_subwords"))),
 
     "x03_fingerprint" -> ((s, d) =>
       t(s, d, "documents").df.select(col("doc_id"),
@@ -2055,7 +2057,10 @@ object SparkEntry {
          FROM docs GROUP BY 1""",
     "x02_token_count" ->
       """SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
-           ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) END AS n_tokens
+           ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) END AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+             ' ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\s]+')) AS BIGINT)
+             AS n_subwords
          FROM documents""",
     "x03_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp

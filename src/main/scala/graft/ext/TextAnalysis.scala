@@ -36,6 +36,22 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(F.trim(text) === "", lit(0)).otherwise(F.size(tokens(text)))
 
+  /** BPE-ish pre-tokenization pattern: word pieces (leading space
+    * merges into the token, as BPE vocabularies do), 1-3 digit number
+    * chunks, and punctuation runs. Restricted to constructs with
+    * identical semantics in Java regex and RE2, so the count is
+    * reproducible in any engine.
+    */
+  val subwordPattern: String = " ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\\s]+"
+
+  /** Subword-token count estimate — the budget-planning twin of
+    * `tokenCount` (whitespace words under-count what a BPE tokenizer
+    * bills for punctuation/number-heavy text). Pure codegen'd regexp
+    * count, scan-speed.
+    */
+  def subwordCount(text: Column): Column =
+    F.regexp_count(text, lit(subwordPattern))
+
   /** Document fingerprint: md5 over the text normalized to
     * [a-z0-9] — catches whitespace/punctuation-only variants.
     */

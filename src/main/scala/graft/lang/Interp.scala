@@ -2978,6 +2978,8 @@ object Interp {
       // ordinary language queries (`documents {lang: lang_id(text)}`)
       case "token_count" => arity(1)
         graft.ext.TextAnalysis.tokenCount(a(0)).cast(LongType)
+      case "subword_count" => arity(1)
+        graft.ext.TextAnalysis.subwordCount(a(0)).cast(LongType)
       case "lang_id" => arity(1); graft.ext.TextAnalysis.langId(a(0))
       case "quality_score" => arity(1)
         graft.ext.TextAnalysis.qualityScore(a(0))

@@ -82,7 +82,8 @@ object Repl {
     "type", "isa", "repr", "fmt", "is_empty", "one", "print",
     "connect", "commit", "add_index", "debug", "_breakpoint",
     // engine extensions: pipeline scalars + table operators
-    "token_count", "lang_id", "quality_score", "fingerprint",
+    "token_count", "subword_count", "lang_id", "quality_score",
+    "fingerprint",
     "dedup_exact", "near_dup_pairs", "ann_topk")
 
   /** The position of the innermost still-open `{` or `[` (outside

@@ -16,6 +16,22 @@ class ExtSpec extends SparkSpec {
     assert(out.toSeq == Seq(0, 0, 3))
   }
 
+  test("subwordCount: BPE-ish pre-tokens — words, digit chunks, punct runs") {
+    val out = Seq("Hello, world! 12345", "", "don't stop", "a b")
+      .toDF("t").select(TextAnalysis.subwordCount(col("t")))
+      .collect().map(_.getInt(0))
+    // "Hello" "," " world" "!" " 123" "45" = 6
+    // "don" "'" "t" " stop" = 4 (punct run splits the contraction)
+    assert(out.toSeq == Seq(6, 0, 4, 2))
+    // bills punctuation/number-heavy text that whitespace counting
+    // underestimates (the budget-planning use case)
+    val Seq(ws, sw) = Seq("x=1;y=2;z=3").toDF("t")
+      .select(TextAnalysis.tokenCount(col("t")).cast("int"),
+        TextAnalysis.subwordCount(col("t")))
+      .collect().map(r => Seq(r.getInt(0), r.getInt(1))).head
+    assert(ws == 1 && sw > ws)
+  }
+
   test("fingerprint is whitespace/punct-invariant") {
     val fps = Seq("Hello,  World!", "hello world", "HELLO-WORLD").toDF("t")
       .select(TextAnalysis.fingerprint(col("t"))).collect().map(_.getString(0))
