@@ -1593,6 +1593,7 @@ object SparkEntry {
       graft.lang.Interp.run(s,
         """documents{ doc_id,
           |           n_tokens: token_count(text),
+          |           n_subwords: subword_count(text),
           |           lang_pred: lang_id(text),
           |           fp: fingerprint(text),
           |           score: quality_score(text)
@@ -2059,8 +2060,8 @@ object SparkEntry {
       """SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
            ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) END AS n_tokens,
            CAST(len(regexp_extract_all(text,
-             ' ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\s]+')) AS BIGINT)
-             AS n_subwords
+             ' ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9 \t\n\f\r\x0B]+'))
+             AS BIGINT) AS n_subwords
          FROM documents""",
     "x03_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
@@ -2139,6 +2140,9 @@ object SparkEntry {
            FROM f
          )
          SELECT doc_id, CAST(tc AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+             ' ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9 \t\n\f\r\x0B]+'))
+             AS BIGINT) AS n_subwords,
            CASE WHEN en_score >= es_score AND en_score >= de_score AND en_score > 0 THEN 'en'
                 WHEN es_score >= de_score AND es_score > 0 THEN 'es'
                 WHEN de_score > 0 THEN 'de'

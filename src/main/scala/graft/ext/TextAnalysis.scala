@@ -40,9 +40,12 @@ object TextAnalysis {
     * merges into the token, as BPE vocabularies do), 1-3 digit number
     * chunks, and punctuation runs. Restricted to constructs with
     * identical semantics in Java regex and RE2, so the count is
-    * reproducible in any engine.
+    * reproducible in any engine — whitespace is spelled as an
+    * EXPLICIT set because `\s` itself diverges (Java includes
+    * vertical tab \x0B, RE2 does not).
     */
-  val subwordPattern: String = " ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\\s]+"
+  val subwordPattern: String =
+    " ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9 \\t\\n\\f\\r\\x0B]+"
 
   /** Subword-token count estimate — the budget-planning twin of
     * `tokenCount` (whitespace words under-count what a BPE tokenizer

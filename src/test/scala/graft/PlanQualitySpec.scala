@@ -73,9 +73,7 @@ class PlanQualitySpec extends SparkSpec {
       .saveAsTable("bkt_customer")
     // disable broadcast so the planner uses the bucket layout (at real
     // scale neither fact side fits a broadcast anyway)
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    try withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val joined = spark.table("bkt_orders").join(spark.table("bkt_customer"),
         org.apache.spark.sql.functions.col("o_custkey") ===
           org.apache.spark.sql.functions.col("c_custkey"))
@@ -84,7 +82,6 @@ class PlanQualitySpec extends SparkSpec {
         s"bucketed join should not shuffle either side:\n$p")
       assert(joined.count() == orders.count()) // FK: every order matches
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS bkt_orders")
       spark.sql("DROP TABLE IF EXISTS bkt_customer")
     }
@@ -457,20 +454,14 @@ class PlanQualitySpec extends SparkSpec {
     // key dwarfs the rest, the runtime re-plan splits that partition
     // across tasks instead of funneling it through one straggler —
     // the thresholds here shrink "skewed" to test size
-    val confs = Seq(
+    withConfs(
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    val saved = confs.map { case (k, _) =>
-      // get can return null for unset null-default confs — treat as
-      // absent so restore unsets instead of set(null)
-      k -> scala.util.Try(spark.conf.get(k)).toOption.flatMap(Option(_)) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
       // 95% of left rows share key 0 — one shuffle partition carries
       // ~190k rows against a ~KB median
       val left = spark.range(0, 200000).select(
@@ -487,9 +478,6 @@ class PlanQualitySpec extends SparkSpec {
       assert(plan.contains("SortMergeJoin"), s"expected an SMJ:\n$plan")
       assert(plan.contains("skew=true"),
         s"AQE did not split the skewed partition:\n$plan")
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 }

@@ -23,4 +23,18 @@ object SparkTestSession {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   lazy val sf: String = "/root/testdata/sf0.001"
+
+  /** Run `body` with the given session confs set, UNSETTING them
+    * after. Unset (not save/re-set) is the correct restore for keys
+    * absent from the session builder: conf.get returns a default for
+    * registered-but-unset keys, and re-setting that value explicitly
+    * would pin a fallback conf (e.g. adaptive.autoBroadcastJoinThreshold)
+    * to a snapshot, severing its link to its base conf for every
+    * later suite in the shared session.
+    */
+  def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
 }
