@@ -1263,6 +1263,37 @@ class RefConformanceSpec extends SparkSpec {
       Seq("Eric Blaire", "H.G. Wells", "John Steinbeck"))
   }
 
+  // ---- docs/tutorial.md REPL snippets -------------------------------------
+
+  test("tutorial: statement-bodied func vectorizes into a projection") {
+    // docs/tutorial.md:200-231 — `sign` uses if/else-if/return, and
+    // must run BOTH scalar-position and compiled to a vectorized
+    // conditional inside a table operation
+    val pre =
+      """func sign(x) {
+        |  if (x == 0) {
+        |    return 0
+        |  } else if (x > 0) {
+        |    return 1
+        |  } else {
+        |    return -1
+        |  }
+        |}
+        |""".stripMargin
+    assert(numeq(one(pre + "sign(-100)"), -1))
+    assert(numeq(one(pre + "sign(100)"), 1))
+    assert(col0(pre + "[-20, 0, 30]{ sign(item) }")
+      .map(_.toString.toLong) == Seq(-1L, 0L, 1L))
+  }
+
+  test("tutorial: user func in aggregate position (sqrsum)") {
+    // docs/tutorial.md — `func sqrsum(x) = sum(x*x)` then
+    // `[1,2,3,4]{ => sqrsum(item)}`: the func body's aggregate
+    // applies over the grouped column expression
+    assert(numeq(one(
+      "func sqrsum(x) = sum(x*x)\n[1,2,3,4]{ => sqrsum(item)}"), 30))
+  }
+
   // ---- tests/simple1.pql (funcs over tables, test_basic.py:1110-1127) -----
 
   test("simple1.pql runs verbatim: table funcs, order, demography") {
