@@ -2233,6 +2233,9 @@ object Interp {
     case _: Double => "float"
     case _: String => "string"
     case _: Boolean => "bool"
+    // language.md Structs: `type({a:1, b:2})` prints the field types
+    case DictV(fs) => fs.map { case (k, v) => s"$k: ${scalarTypeName(v)}" }
+      .mkString("struct[", ", ", "]")
     case _ => "object"
   }
 
@@ -2400,6 +2403,11 @@ object Interp {
       case _ => throw new NotConst
     }
     case DictLit(fs) => DictV(fs.map { case (k, v) => (k, constEval(v)) })
+    // free-standing struct literal `x = {a:1, b:2}` (language.md
+    // Structs: "essentially dictionaries") — binds as a dict value,
+    // so `x.a` resolves through the DictV attribute path
+    case StructLit(fs) => DictV(fs.map(f =>
+      (f.name.getOrElse(fieldName(f)), constEval(f.value))))
     case RowLit(t, fs) => RowV(t, fs.map { case (k, v) => (k, constEval(v)) })
     case Attr(o, n) => constEval(o) match {
       case DictV(fs) =>

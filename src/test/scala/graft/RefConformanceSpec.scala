@@ -1263,6 +1263,17 @@ class RefConformanceSpec extends SparkSpec {
       Seq("Eric Blaire", "H.G. Wells", "John Steinbeck"))
   }
 
+  // ---- docs/language.md: free-standing struct values ----------------------
+
+  test("struct literal binds as a value; attr access and type()") {
+    // language.md Structs: "essentially dictionaries" — created on
+    // the fly, keys are strings, attr access reads fields
+    assert(numeq(one("x = {a:1, b:2}\nx.a"), 1))
+    assert(numeq(one("{a:1, b:2}.b"), 2))
+    assert(one("x = {a:1, b:2.5}\ntype(x)").toString ==
+      "struct[a: int, b: float]")
+  }
+
   // ---- docs/tutorial.md REPL snippets -------------------------------------
 
   test("tutorial: statement-bodied func vectorizes into a projection") {
