@@ -3,13 +3,26 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main: times every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  * SPARK_GRAFT_SF_DIR and prints ONE compact JSON line.
+  *
+  * OUTPUT CONTRACT (learned the hard way): the round driver keeps only
+  * the LAST ~2000 characters of stdout. Rounds 1-5 printed a single
+  * ~7 KB JSON line with all per-query timings -> the line was always
+  * truncated mid-stream and the driver recorded `parsed: null` five
+  * rounds in a row. So the FINAL line printed here is a compact
+  * envelope guaranteed to fit (family totals + slowest queries,
+  * budget-capped), and the full per-query detail (median/min/max,
+  * full names) is written to `bench_detail.json` in the working
+  * directory instead.
   *
   * A warmup action runs first so the timings measure query execution,
   * not JVM/codegen/classloading warmup (~10s on first action
   * otherwise).
   */
 object Bench {
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, if (v >= 100) "%.0f" else if (v >= 10) "%.1f" else "%.2f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -61,38 +74,74 @@ object Bench {
     // cache, compilation), which has false-flagged regressions before.
     // The cache is cleared between reps, so each rep stays cold-cache;
     // the median drops the one-off outliers.
+    //
+    // Adaptive cutoff: a query whose FIRST rep already ran longer than
+    // SPARK_GRAFT_SLOW_CUTOFF seconds (default 6) is not repeated — the
+    // synthetic scale probes (100k/1M-vector ANN, 300k-doc near-dup)
+    // run 10-60s each and tripling them costs minutes of wall per
+    // round for noise protection that matters most on sub-second
+    // queries.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val slowCutoff = sys.env.getOrElse("SPARK_GRAFT_SLOW_CUTOFF", "6.0").toDouble
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      var err: String = null
+      def rep(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        val ok = try { run(fn); true } catch { case _: Throwable => false }
+        val ok = try { run(fn); true } catch {
+          case e: Throwable =>
+            err = (e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage).takeWhile(_ != '\n').take(160))
+            false
+        }
         val elapsed = (System.nanoTime() - t0) / 1e9
         cleanup()
         (elapsed, ok)
       }
+      val first = rep()
+      val times =
+        if (first._1 > slowCutoff || !first._2) Seq(first)
+        else first +: (2 to reps).map(_ => rep())
       val sorted = times.map(_._1).sorted
-      val median = sorted((reps - 1) / 2)
-      (name, median, sorted.head, sorted.last, times.forall(_._2))
+      val median = sorted((sorted.size - 1) / 2)
+      (name, median, sorted.head, sorted.last, times.forall(_._2), Option(err))
     }
-    // Failed queries report value -1 (never a tiny elapsed time that
-    // would read as a speedup) and are listed in "failed".
-    val qs = results.map { case (k, v, _, _, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
+    val total = results.collect { case (_, v, _, _, true, _) => v }.sum
+    val failed = results.collect { case (k, _, _, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _, _, true) => v }.sum
-    // Per-query [min,max] across the reps: single-JVM timings on a
-    // shared host swing several-fold on unchanged code, and the spread
-    // is what separates a real regression from scheduler noise when
-    // rounds are compared.
-    val spread = results.collect { case (k, _, lo, hi, true) =>
-      // Locale.ROOT: a comma-decimal default locale would corrupt the
-      // JSON line
-      "\"" + k + "\":[" +
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(lo)) + "," +
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(hi)) + "]"
+
+    // Full per-query detail -> file (full names, median/min/max). The
+    // stdout tail budget can't hold 150+ entries; this file can.
+    val detail = results.map { case (k, v, lo, hi, ok, err) =>
+      // error text is JSON-sanitized: backslashes doubled, quotes -> '
+      val e = err.map(m => "\"err\":\"" +
+        m.replace("\\", "\\\\").replace("\"", "'") + "\",").getOrElse("")
+      s""""$k":{$e"median":${fmt(v)},"min":${fmt(lo)},"max":${fmt(hi)},"ok":$ok}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"spread":$spread,"sf":"$sfDir"}""")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "bench_detail.json")
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"cpus":$cpus,"sf":"$sfDir","failed":$failed,"queries":$detail}""")
+      finally w.close()
+    } catch { case _: Throwable => () } // bench output must not die on an unwritable CWD
+
+    // Compact envelope: per-family totals (q=core operators, qb=baseline
+    // micro-benchmarks, qc=composed TPC-H-style, ql=language, x=pipeline
+    // extensions) + the slowest individual queries, added in descending
+    // cost until a hard character budget is hit so the line ALWAYS fits
+    // the driver's 2000-char stdout tail.
+    def family(n: String): String = n.takeWhile(!_.isDigit)
+    val fams = results.filter(_._5).groupBy(r => family(r._1)).toSeq.sortBy(_._1)
+      .map { case (f, rs) => s""""$f":${fmt(rs.map(_._2).sum)}""" }.mkString("{", ",", "}")
+    val slowDesc = results.filter(_._5).sortBy(-_._2)
+    val budget = 1100
+    val slowEntries = scala.collection.mutable.ArrayBuffer[String]()
+    var used = 0
+    slowDesc.foreach { case (k, v, _, _, _, _) =>
+      val e = s""""$k":${fmt(v)}"""
+      if (used + e.length + 1 <= budget && v >= 0.25) { slowEntries += e; used += e.length + 1 }
+    }
+    val slow = slowEntries.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"reps":$reps,"failed":$failed,"families":$fams,"queries":$slow,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,6 +26,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Write an error-marker result anyway: a query that throws must
+        // surface as a LOUD per-query mismatch in the driver's compare,
+        // not silently vanish from the correctness file (round 5 lost
+        // q51_asof/x14_window_hourly exactly this way — no parquet dir,
+        // no CORRECTNESS row, nobody noticed).
+        try {
+          import spark.implicits._
+          Seq("QUERY FAILED: " + String.valueOf(e.getMessage).take(500))
+            .toDF("__verify_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -2190,6 +2190,7 @@ object Interp {
 
   private def makeError(tn: String, msg: String): graft.types.GraftError =
     tn match {
+      case "Exception" => new graft.types.UserError(msg)
       case "TypeError" => new TypeError(msg)
       case "CastError" => new graft.types.CastError(msg)
       case "ValueError" => new ValueError(msg)

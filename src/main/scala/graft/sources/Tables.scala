@@ -46,12 +46,26 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): PTable = {
     var df = spark.read.parquet(s"$dir/$name.parquet")
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema.fields.filter(f => f.name == "ts" && f.dataType == LongType)
       .foreach { f =>
         df = df.withColumn(f.name,
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr(s"${f.name} div 1000")))
+      }
+    // Micros-precision parquet timestamps with no tz annotation read as
+    // TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default, which
+    // unix_micros()/double casts downstream reject. The session tz is
+    // pinned to UTC everywhere, so reinterpreting as TIMESTAMP (LTZ) is
+    // exact and matches both the old nanos-payload path above and the
+    // DuckDB oracle's naive-timestamp arithmetic. (This silently broke
+    // q51_asof/x14_window_hourly in round 5 when the testdata switched
+    // from nanos to micros — the two queries just vanished from
+    // CORRECTNESS_r05.json.)
+    df.schema.fields.filter(f => f.name == "ts" && f.dataType == TimestampNTZType)
+      .foreach { f =>
+        df = df.withColumn(f.name,
+          df.col(f.name).cast(TimestampType))
       }
     PTable(df, metas.getOrElse(name, TableMeta(name)))
   }

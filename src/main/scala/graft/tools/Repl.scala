@@ -119,14 +119,82 @@ object Repl {
     * `item` for list/range literals and `.item` projections.
     */
   private def baseColumns(s: String, at: Int,
-                          env: Map[String, PTable]): Seq[String] = {
-    val before = s.substring(0, at).trim
-    val identTail = "([A-Za-z_][A-Za-z0-9_]*)\\s*(?:\\[[^\\[\\]]*\\])?$".r
-    identTail.findFirstMatchIn(before) match {
-      case Some(m) if env.contains(m.group(1)) => env(m.group(1)).columns.toSeq
-      case _ if before.endsWith("]") => Seq("item") // list/range literal
-      case _ => Seq.empty
+                          cols: String => Option[Seq[String]]): Seq[String] = {
+    // postfix keywords between a base table and its open bracket
+    // (`x order {`, `t update {`) — skip back over them to the base
+    val kw = Set("order", "update", "delete", "new", "by", "asc", "desc",
+      "and", "or", "not", "in")
+    // Walk LEFT over trailing balanced {..}/[..] groups (chained
+    // projections/selections: `x{... !a}{` completes over x —
+    // reference test_exclude_columns) until an ident resolves; a pure
+    // bracket literal with no base (`[1,2]{`) scopes to `item`.
+    def resolve(str0: String, sawList: Boolean): Seq[String] = {
+      val str = str0.trim
+      if (str.isEmpty) { if (sawList) Seq("item") else Seq.empty }
+      else if (str.last == '}' || str.last == ']') {
+        val close = str.last
+        val open = if (close == '}') '{' else '['
+        var depth = 0; var i = str.length - 1; var cut = -1
+        while (i >= 0 && cut < 0) {
+          if (str(i) == close) depth += 1
+          else if (str(i) == open) { depth -= 1; if (depth == 0) cut = i }
+          i -= 1
+        }
+        if (cut < 0) { if (sawList) Seq("item") else Seq.empty }
+        else resolve(str.substring(0, cut), sawList || close == ']')
+      } else "([A-Za-z_][A-Za-z0-9_]*)$".r.findFirstMatchIn(str) match {
+        case Some(m) if kw(m.group(1)) =>
+          resolve(str.dropRight(m.group(1).length), sawList)
+        case Some(m) =>
+          cols(m.group(1)).getOrElse(if (sawList) Seq("item") else Seq.empty)
+        case None => if (sawList) Seq("item") else Seq.empty
+      }
     }
+    resolve(s.substring(0, at), false)
+  }
+
+  /** Columns statically known for a name WITHOUT running anything: a
+    * closed DDL body declared in the text (auto-id unless `bare` —
+    * reference test_expr completes `x{three}` right after `table x
+    * {..}`), or `item` for a list/range-literal binding (test_range's
+    * `x=[1,2,3]` → `x order {item}`).
+    */
+  private def declaredColumns(units: Seq[String]): Map[String, Seq[String]] = {
+    val listBind = "(\\w+)\\s*=\\s*\\[".r
+    val listCols = units.flatMap(u =>
+      listBind.findAllMatchIn(u).map(_.group(1) -> Seq("item"))).toMap
+    val ddl = "(?s)(bare\\s+)?table\\s+(\\w+)\\s*\\{([^{}]*)\\}".r
+    val ddlCols = units.flatMap { u =>
+      ddl.findAllMatchIn(u).map { m =>
+        val cs = "(\\w+)\\s*:".r.findAllMatchIn(m.group(3)).map(_.group(1)).toSeq
+        m.group(2) -> (if (m.group(1) == null) "id" +: cs else cs)
+      }
+    }.toMap
+    listCols ++ ddlCols
+  }
+
+  /** alias → columns for aliases declared in a join-family CALL in the
+    * text, open or closed (reference test_attr: `join(c: Country.name,
+    * n: [..].item) {n.<item> => c.<name>}` completes through the
+    * call's own aliases, not just join-assigned variables).
+    */
+  private def inlineJoinAliases(units: Seq[String],
+                                cols: String => Option[Seq[String]]): Map[String, Seq[String]] = {
+    val call = "(?:left|outer)?join(?:all)?\\s*\\(".r
+    units.flatMap { u =>
+      call.findAllMatchIn(u).flatMap { m =>
+        var depth = 1; var i = m.end
+        while (i < u.length && depth > 0) {
+          u(i) match { case '(' => depth += 1; case ')' => depth -= 1; case _ => }
+          i += 1
+        }
+        val span = u.substring(m.end, i) // balanced close, or end while typing
+        "(\\w+)\\s*:\\s*([A-Za-z_][A-Za-z0-9_]*|\\[)".r.findAllMatchIn(span).map { am =>
+          am.group(1) -> (if (am.group(2) == "[") Seq("item")
+                          else cols(am.group(2)).getOrElse(Seq.empty))
+        }
+      }
+    }.toMap
   }
 
   /** Parameters of every `func`/`catch` whose body brace is still OPEN
@@ -201,12 +269,26 @@ object Repl {
       "(?m)^\\s*(?:const\\s+table\\s+)?(\\w+)\\s*=[^=]".r
         .findAllMatchIn(u).map(_.group(1))
     }
+    val declared = declaredColumns(units)
+    // static name→columns resolution: loaded tables, closed DDL bodies,
+    // list-literal bindings, then one level of plain alias (`c = Country`)
+    def colsOf0(n: String): Option[Seq[String]] =
+      env.get(n).map(_.columns.toSeq).orElse(declared.get(n))
+    def colsOf(n: String): Option[Seq[String]] =
+      colsOf0(n).orElse {
+        units.reverseIterator.flatMap(u =>
+          ("(?m)^\\s*" + n + "\\s*=\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*$").r
+            .findAllMatchIn(u).toSeq.lastOption)
+          .nextOption().flatMap(m => colsOf0(m.group(1)))
+      }
     val dotted = "([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z0-9_]*)$".r
     val bare = "([A-Za-z_][A-Za-z0-9_]*)$".r
     dotted.findFirstMatchIn(text) match {
       case Some(m) =>
         val (tbl, prefix) = (m.group(1), m.group(2))
-        env.get(tbl).map(_.columns.filter(_.startsWith(prefix)).sorted.toSeq)
+        colsOf(tbl).map(_.filter(_.startsWith(prefix)).sorted)
+          .orElse(inlineJoinAliases(units, colsOf).get(tbl)
+            .map(_.filter(_.startsWith(prefix)).sorted).filter(_.nonEmpty))
           .orElse(Some(joinAliases(tbl, units)
             .filter(_.startsWith(prefix)).sorted)
             .filter(_.nonEmpty))
@@ -219,14 +301,18 @@ object Repl {
         val inScope = lastOpenBracket(text) match {
           case -1 => Seq.empty
           case p =>
-            val base = baseColumns(text, p, env)
+            val base = baseColumns(text, p, colsOf)
             if (base.nonEmpty) base
             else "([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
               .findFirstMatchIn(text.substring(0, p))
               .map(m => joinAliases(m.group(1), units))
               .getOrElse(Seq.empty)
         }
-        (inScope ++ env.keys.toSeq ++ userNames ++
+        // loop variables of any `for (i in ...)` in scope complete in
+        // the body (reference test_statements)
+        val loopVars = units.flatMap(u =>
+          "for\\s*\\(?\\s*(\\w+)\\s+in\\b".r.findAllMatchIn(u).map(_.group(1)))
+        (inScope ++ env.keys.toSeq ++ userNames ++ loopVars ++
           openScopeParams(text) ++ builtinFns)
           .filter(_.startsWith(prefix)).distinct.sorted
     }

@@ -22,6 +22,13 @@ package graft.types
   */
 sealed abstract class GraftError(msg: String) extends RuntimeException(msg)
 
+/** A user-thrown generic signal: `throw new Exception("...")` in the
+  * language constructs an instance of the ROOT type (reference
+  * T.Exception, tests/test_basic.py test_transaction1) — caught only
+  * by `catch(Exception)`, never by any subtype pattern.
+  */
+final class UserError(msg: String) extends GraftError(msg)
+
 /** Failures due to inherently unexecutable code (T.CodeError). */
 sealed abstract class CodeError(msg: String) extends GraftError(msg)
 final class NotImplementedError(msg: String) extends CodeError(msg)

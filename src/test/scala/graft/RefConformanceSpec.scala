@@ -774,6 +774,39 @@ class RefConformanceSpec extends SparkSpec {
       .head.get(0).toString.toLong == 12L)
   }
 
+  // ---- test_transaction1 / test_transaction2 ------------------------------
+  // (reference tests/test_basic.py: a signal ESCAPING the transaction
+  // block rolls its mutations back; a signal caught INSIDE the block
+  // lets the transaction complete and its mutations persist)
+
+  test("transaction1: uncaught throw inside transaction rolls back the insert") {
+    val out = col0(
+      """table a { x: int }
+        |try {
+        |  transaction {
+        |    new a(4)
+        |    throw new Exception("Some Error")
+        |  }
+        |} catch (Exception) {
+        |}
+        |[1]{c: count(a)}""".stripMargin)
+    assert(out.map(_.toString.toLong) == Seq(0L)) // `assert not p.a`
+  }
+
+  test("transaction2: throw caught inside the transaction commits the insert") {
+    val out = col0(
+      """table a { x: int }
+        |transaction {
+        |  try {
+        |    new a(5)
+        |    throw new Exception("A")
+        |  } catch (Exception) {
+        |  }
+        |}
+        |a{x}""".stripMargin)
+    assert(out.map(_.toString.toLong) == Seq(5L)) // list(a{x}) == [5]
+  }
+
   // ---- test_new_freezes_values (issue #7) ---------------------------------
 
   test("new freezes evaluated values: random() inserts a stable row") {

@@ -107,6 +107,50 @@ class ReplSpec extends SparkSpec {
     assert(Repl.complete("a = [1,2,3]{.", env).isEmpty)
   }
 
+  test("complete: DDL columns, agg position, chained exclude (test_expr/test_exclude_columns)") {
+    val env = Map.empty[String, graft.dsl.PTable]
+    val ddl = "table x {\n    a: int\n    two: int\n    three: int\n}\n"
+    // reference test_expr: `x{<three>}` and `x{ => min(<two>), max(<three>)}`
+    assert(Repl.complete(ddl + "x{thr", env).contains("three"))
+    assert(Repl.complete(ddl + "x{ => min(tw", env).contains("two"))
+    assert(Repl.complete(ddl + "x{ => min(two), max(thr", env).contains("three"))
+    // non-bare DDL implies the auto-id column
+    assert(Repl.complete(ddl + "x{i", env).contains("id"))
+    // reference test_exclude_columns: `x{... !<a> !<two>}{<three>}`
+    assert(Repl.complete(ddl + "a = x{... !a !tw", env).contains("two"))
+    assert(Repl.complete(ddl + "a = x{... !a !two}{thr", env).contains("three"))
+  }
+
+  test("complete: inline join aliases + list bindings (test_attr/test_range)") {
+    val env = Map.empty[String, graft.dsl.PTable]
+    val ddl = "table Country {name: string}\n"
+    // reference test_attr: aliases of the join CALL itself complete,
+    // dotted, inside its trailing projection
+    val j = ddl + "a = join(c: Country.name, n: [\"Palau\", \"Nauru\"].item) {"
+    assert(Repl.complete(ddl + "a = join(c: Country.na", env).contains("name"))
+    assert(Repl.complete(j + "n.it", env).contains("item"))
+    assert(Repl.complete(j + "n.item => c.na", env).contains("name"))
+    assert(Repl.complete(j + "c.i", env).contains("id"))
+    // one level of plain aliasing resolves too (`c = Country; c.<name>`)
+    assert(Repl.complete(ddl + "c = Country\nc.na", env).contains("name"))
+    // reference test_range: a list-literal binding scopes `item` in a
+    // postfix-keyword bracket (`x order {<item>}`)
+    val r = "x=[1,2,3,3,10]\n"
+    assert(Repl.complete(r + "x order {it", env).contains("item"))
+    assert(Repl.complete(r + "x order {item} [(cou", env).contains("count"))
+  }
+
+  test("complete: loop variables in statement bodies (test_statements)") {
+    val env = Map.empty[String, graft.dsl.PTable]
+    // reference test_statements: `for (i in [1, 2]) { <print> <i> }`
+    assert(Repl.complete("for (i in [1, 2]) {\n    pri", env).contains("print"))
+    assert(Repl.complete("for (i in [1, 2]) {\n    print ", env).contains("i"))
+    // `while (True) { <print> 1 }`
+    assert(Repl.complete("while (True) {\n    pri", env).contains("print"))
+    // reference test_assert: `hello = 10; assert <hello>`
+    assert(Repl.complete("hello = 10\nassert hel", env).contains("hello"))
+  }
+
   test(":load runs a reference example script and grows the prelude") {
     // fizzbuzz.pql ends in `print [1..100]{fizzbuzz(item)}`; :load
     // must print its output and keep the script's funcs available
