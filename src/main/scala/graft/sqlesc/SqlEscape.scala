@@ -50,6 +50,13 @@ object SqlEscape {
                selfCols: Option[Seq[String]],
                vars: (String, PTable)*): PTable = {
     var text = code
+    val recursive = code.matches("(?s).*\\$self(?![A-Za-z0-9_]).*")
+    // A $self fixpoint re-evaluates every $var view ONCE PER LEVEL — a
+    // 20-deep BFS re-scanned its edges source 20 times. Persist the
+    // var inputs for the loop's duration (MEMORY_AND_DISK, so a big
+    // edges table spills instead of OOMing — the same trade a Pregel
+    // superstep loop makes) and drop them when the fixpoint returns.
+    val pinned = if (recursive) vars.map(_._2.df.persist()) else Seq.empty
     vars.foreach { case (name, t) =>
       val view = s"graft_sqlesc_${name}_${counter.incrementAndGet()}"
       t.df.createOrReplaceTempView(view)
@@ -58,9 +65,10 @@ object SqlEscape {
         "\\$" + java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_])",
         java.util.regex.Matcher.quoteReplacement(view))
     }
-    if (!text.matches("(?s).*\\$self(?![A-Za-z0-9_]).*"))
-      PTable(spark.sql(text))
-    else PTable(recursiveFixpoint(spark, text, maxIter, selfCols))
+    if (!recursive) PTable(spark.sql(text))
+    else
+      try PTable(recursiveFixpoint(spark, text, maxIter, selfCols))
+      finally pinned.foreach(_.unpersist(false))
   }
 
   private def castTo(df: DataFrame,
@@ -158,10 +166,13 @@ object SqlEscape {
         .createOrReplaceTempView(v)
       // CTE column names AND types come from the seed: rename the
       // step output positionally and cast to the seed schema
-      // (standard recursive-CTE behavior)
+      // (standard recursive-CTE behavior). Dedup DRIVER-side: the
+      // level's rows are bounded by driverLimit anyway, and a
+      // .distinct() here costs a 32-partition exchange per level —
+      // the dominant cost of a deep, narrow recursion.
       val stepped = castTo(spark.sql(subSelf(stepSql, v)).toDF(cols: _*),
-        schema).distinct().collect()
-      frontierRows = stepped.filterNot(seen.contains)
+        schema).collect()
+      frontierRows = stepped.distinct.filterNot(seen.contains)
       seen ++= frontierRows
     }
     if (frontierRows.isEmpty || iter >= maxIter)

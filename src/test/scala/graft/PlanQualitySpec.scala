@@ -448,6 +448,18 @@ class PlanQualitySpec extends SparkSpec {
       s"plane constants not embedded at plan-build time:\n$p")
   }
 
+  test("$self fixpoint pins its var inputs for the loop, then releases them") {
+    // Each fixpoint level re-evaluates every $var view; SqlEscape
+    // persists them for the loop's duration (a 20-level BFS otherwise
+    // re-scans its edges source 20 times) and MUST unpersist on return
+    // — a leaked cached RDD would pin executor storage across queries.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = SparkEntry.queries("q68_sql_self_bfs")(spark, sf)
+    assert(out.collect().length > 0)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "fixpoint left var inputs cached after returning")
+  }
+
   test("AQE splits a skewed join partition at runtime (100 TB posture)") {
     import org.apache.spark.sql.{functions => F}
     // the engine's equi-join paths must stay AQE-eligible: when one

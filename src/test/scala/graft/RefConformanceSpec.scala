@@ -774,6 +774,44 @@ class RefConformanceSpec extends SparkSpec {
       .head.get(0).toString.toLong == 12L)
   }
 
+  // ---- examples/airports.pql (local-fixture twin) -------------------------
+  // (reference imports a JSON of airports from a URL, strips fields
+  // with ellipsis-exclude, sorts by elevation desc, and counts per
+  // country; zero-egress here, so the same script runs on a local file)
+
+  test("airports.pql shape: import_json, exclude, order desc, grouped count") {
+    val f = java.nio.file.Files.createTempFile("airports", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"code":"BPX","name":"Bangda","country":"China","elev":14219,"url":"x","tz":"t","phone":"p","email":"e","type":"intl"}
+        |{"code":"LPB","name":"El Alto","country":"Bolivia","elev":13325,"url":"x","tz":"t","phone":"p","email":"e","type":"intl"}
+        |{"code":"JUL","name":"Juliaca","country":"Peru","elev":12552,"url":"x","tz":"t","phone":"p","email":"e","type":"dom"}
+        |{"code":"CUZ","name":"Velazco Astete","country":"Peru","elev":10860,"url":"x","tz":"t","phone":"p","email":"e","type":"intl"}
+        |""".stripMargin)
+    try {
+      val pre =
+        s"""import_json("airports", "${f}")
+           |airports_short = airports{... !url !tz !phone !email !type}
+           |airports_by_highest = airports order {^elev}
+           |airports_by_country = airports {country => airport_count: count()} order {^airport_count}
+           |""".stripMargin
+      // unhelpful fields dropped, order preserved otherwise
+      val shortCols = Interp.run(spark, pre + "airports_short").df.columns.toSeq
+      assert(!shortCols.exists(Set("url", "tz", "phone", "email", "type")))
+      assert(shortCols.contains("code") && shortCols.contains("elev"))
+      // highest-first ordering
+      assert(col0(pre + "airports_by_highest {code}").map(_.toString) ==
+        Seq("BPX", "LPB", "JUL", "CUZ"))
+      // per-country counts, most airports first
+      assert(rows(pre + "airports_by_country").map(_.map {
+        case (k, v) => (k, v.toString) }) == Seq(
+        Seq("country" -> "Peru", "airport_count" -> "2"),
+        Seq("country" -> "Bolivia", "airport_count" -> "1"),
+        Seq("country" -> "China", "airport_count" -> "1")) ||
+        // China/Bolivia tie at 1 — either order is a correct sort
+        rows(pre + "airports_by_country").head.head._2 == "Peru")
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
   // ---- test_transaction1 / test_transaction2 ------------------------------
   // (reference tests/test_basic.py: a signal ESCAPING the transaction
   // block rolls its mutations back; a signal caught INSIDE the block
