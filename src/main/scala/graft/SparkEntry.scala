@@ -535,6 +535,33 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("q"))
     }),
 
+    // ---- ext: corpus preparation (split / chunk / pack) ------------------
+    // deterministic md5 train/val/test split: re-running the pipeline
+    // must never move a document between splits
+    "x27_train_split" -> ((s, d) =>
+      graft.ext.Corpus.trainSplit(t(s, d, "documents").df, col("doc_id"))
+        .groupBy("split").agg(F.count(F.lit(1)).as("n"),
+          F.min("doc_id").as("first_id"))),
+
+    // token-window chunking (size 32, overlap 8): the long-context
+    // preprocessing move, one codegen'd explode, zero shuffles
+    "x28_chunk_docs" -> ((s, d) =>
+      graft.ext.Corpus.chunk(t(s, d, "documents").df,
+        col("doc_id"), col("text"), size = 32, overlap = 8)
+        .filter(col("doc_id") < 200)),
+
+    // sequence packing at budget 2048, concat-and-split attribution;
+    // global prefix sum runs as bounded per-group windows + broadcast
+    // offsets (never a single-partition window)
+    "x29_pack_sequences" -> ((s, d) =>
+      graft.ext.Corpus.packSequences(
+        t(s, d, "documents").df.select(col("doc_id"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).as("nt")),
+        col("doc_id"), col("nt"), budget = 2048,
+        groupEvery = 1024) // several groups even at sf0.01 — the
+                           // multi-group two-pass path is what runs at scale
+        .select(col("ord").as("doc_id"), col("n_tokens"), col("seq_id"))),
+
     // deployable signature throughput (xxhash64) — the x06 twin minus
     // the md5 oracle-portability tax; rows-only like x19
     "x20_minhash_sig_fast" -> ((s, d) =>
@@ -1608,6 +1635,15 @@ object SparkEntry {
         """dedup_exact(docs, "doc_id", "text")[n_copies > 1] order {fp}""",
         "docs" -> graft.dsl.PTable(augDocs(s, d))).df),
 
+    // corpus preparation in the language: chunking composed with an
+    // ordinary selection + projection, deterministic split counts
+    "ql32_lang_corpus" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """chunked = chunk_docs(documents, "doc_id", "text", 32, 8)
+          |sp = train_split(documents, "doc_id")
+          |join(c: chunked.doc_id, s: sp.doc_id)[s.split == "train", c.doc_id < 100] {doc_id: c.doc_id, chunk_id: c.chunk_id, n: c.chunk_tokens} order {doc_id, chunk_id}""".stripMargin,
+        "documents" -> t(s, d, "documents")).df),
+
     // ANN in the language: the query side is an ordinary language
     // selection, fed straight into the extension operator
     "ql28_lang_ann" -> ((s, d) =>
@@ -2115,6 +2151,31 @@ object SparkEntry {
          SELECT md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp,
            min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
          FROM docs GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""",
+    "ql32_lang_corpus" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents WHERE doc_id < 100
+         ), c AS (
+           SELECT doc_id, toks,
+             GREATEST(1, CAST(floor((len(toks) - 9) / 24.0) AS BIGINT) + 1) AS nc
+           FROM d
+         ), e AS (
+           SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_id
+           FROM c
+         ), ch AS (
+           SELECT doc_id, chunk_id,
+             CAST(len(toks[CAST(chunk_id*24+1 AS BIGINT):CAST(chunk_id*24+32 AS BIGINT)]) AS BIGINT) AS n
+           FROM e
+         ), sp AS (
+           SELECT doc_id FROM (
+             SELECT doc_id,
+               ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+             FROM documents)
+           WHERE b < 80
+         )
+         SELECT ch.doc_id, ch.chunk_id, ch.n
+         FROM ch JOIN sp ON ch.doc_id = sp.doc_id
+         ORDER BY ch.doc_id, ch.chunk_id""",
     "ql26_lang_text_scalars" ->
       """WITH f AS (
            SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt,
@@ -2267,6 +2328,47 @@ object SparkEntry {
          )
          SELECT g.doc_id, g.n_tokens, g.q
          FROM gated g JOIN keep k ON g.doc_id = k.doc_id""",
+    "x27_train_split" ->
+      """SELECT split, count(*) AS n, min(doc_id) AS first_id FROM (
+           SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (
+             SELECT doc_id,
+               ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+             FROM documents)
+         ) GROUP BY split""",
+    "x28_chunk_docs" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents WHERE doc_id < 200
+         ), c AS (
+           SELECT doc_id, toks,
+             GREATEST(1, CAST(floor((len(toks) - 9) / 24.0) AS BIGINT) + 1) AS nc
+           FROM d
+         ), e AS (
+           SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_id
+           FROM c
+         )
+         SELECT doc_id, chunk_id,
+           array_to_string(toks[CAST(chunk_id*24+1 AS BIGINT):CAST(chunk_id*24+32 AS BIGINT)], ' ') AS chunk_text,
+           CAST(len(toks[CAST(chunk_id*24+1 AS BIGINT):CAST(chunk_id*24+32 AS BIGINT)]) AS BIGINT) AS chunk_tokens
+         FROM e""",
+    "x29_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+           FROM documents
+         ), c AS (
+           SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+             COALESCE(SUM(nt) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM t
+         )
+         SELECT doc_id, n_tokens,
+           CAST(floor(cb / 2048.0) AS BIGINT) AS seq_id
+         FROM c""",
     "x05_quality" ->
       """WITH f AS (
            SELECT doc_id, text,

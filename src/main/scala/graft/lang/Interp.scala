@@ -1495,7 +1495,8 @@ object Interp {
       "table_substract", "table_subtract", "force_eval", "describe",
       "zipjoin", "zipjoin_left", "zipjoin_longest", "map_range",
       "import_table", "import_json", "import_csv", "dir",
-      "run_statement", "dedup_exact", "near_dup_pairs", "ann_topk")
+      "run_statement", "dedup_exact", "near_dup_pairs", "ann_topk",
+      "train_split", "chunk_docs", "pack_sequences")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1593,6 +1594,30 @@ object Interp {
           PTable(graft.ext.Similarity.bruteForceTopK(
             t(args(0).value).df, t(args(1).value).df,
             constLong(args(2).value).toInt))
+        case "train_split" =>
+          if (args.length != 2)
+            throw new TypeError("train_split(t, \"id_col\")")
+          val tab = t(args(0).value)
+          PTable(graft.ext.Corpus.trainSplit(tab.df,
+            tab.df.col(litString(args(1).value))))
+        case "chunk_docs" =>
+          if (args.length != 5)
+            throw new TypeError(
+              "chunk_docs(t, \"id_col\", \"text_col\", size, overlap)")
+          val tab = t(args(0).value)
+          PTable(graft.ext.Corpus.chunk(tab.df,
+            tab.df.col(litString(args(1).value)),
+            tab.df.col(litString(args(2).value)),
+            constLong(args(3).value).toInt, constLong(args(4).value).toInt))
+        case "pack_sequences" =>
+          if (args.length != 4)
+            throw new TypeError(
+              "pack_sequences(t, \"order_col\", \"tokens_col\", budget)")
+          val tab = t(args(0).value)
+          PTable(graft.ext.Corpus.packSequences(tab.df,
+            tab.df.col(litString(args(1).value)),
+            tab.df.col(litString(args(2).value)),
+            constLong(args(3).value)))
         // positional joins (reference __builtins__.pql:211-257) —
         // sides may be named (`zipjoin(a: x, b: y)`) or positional
         case "zipjoin" | "zipjoin_left" | "zipjoin_longest" =>

@@ -84,7 +84,8 @@ object Repl {
     // engine extensions: pipeline scalars + table operators
     "token_count", "subword_count", "lang_id", "quality_score",
     "fingerprint",
-    "dedup_exact", "near_dup_pairs", "ann_topk")
+    "dedup_exact", "near_dup_pairs", "ann_topk",
+    "train_split", "chunk_docs", "pack_sequences")
 
   /** The position of the innermost still-open `{` or `[` (outside
     * strings/comments), or -1 — its base expression scopes completion

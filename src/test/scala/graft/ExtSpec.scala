@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.ext.{Corpus, Dedup, Similarity, TextAnalysis, Multimodal}
 import graft.sources.Tables
 
 class ExtSpec extends SparkSpec {
@@ -627,5 +627,68 @@ class ExtSpec extends SparkSpec {
       (col("id") % 5).as("video"), col("id").as("frame"))
     val out = Multimodal.sampleFrames(frames, "video", "frame", 4)
     assert(out.count() == 25) // 20 frames per video / 4
+  }
+
+  // ---- corpus preparation: split / chunk / pack ---------------------------
+
+  test("corpus: trainSplit is deterministic, covering, and ~80/10/10") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents").df
+    val s1 = Corpus.trainSplit(docs, col("doc_id"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every document lands in exactly one split
+    assert(s1.values.sum == docs.count())
+    // proportions near 80/10/10 (md5 uniformity; generous tolerance)
+    val total = s1.values.sum.toDouble
+    assert(math.abs(s1("train") / total - 0.80) < 0.06, s1)
+    assert(math.abs(s1("val") / total - 0.10) < 0.05, s1)
+    // re-running the pipeline must not move documents between splits
+    val a = Corpus.trainSplit(docs, col("doc_id")).select("doc_id", "split")
+    assert(a.except(Corpus.trainSplit(docs, col("doc_id"))
+      .select("doc_id", "split")).count() == 0)
+  }
+
+  test("corpus: chunks cover every token and overlap by exactly `overlap`") {
+    import spark.implicits._
+    val docs = Seq(
+      // 100 toks, stride 24: chunks start at 1/25/49/73 → 4 windows
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 32).map(i => s"v$i").mkString(" ")),  // exactly one window
+      (3L, "solo"),                                    // shorter than size
+      (4L, "")                                         // empty text
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunk(docs, col("doc_id"), col("text"),
+      size = 32, overlap = 8).collect()
+      .groupBy(_.getLong(0)).view.mapValues(
+        _.sortBy(_.getLong(1)).map(_.getString(2)).toSeq).toMap
+    assert(out(1L).length == 4 && out(2L).length == 1 &&
+      out(3L).length == 1 && out(4L).length == 1)
+    // reconstruction: drop each successor's leading overlap, concat ==
+    // the original token stream (no token lost, none duplicated)
+    val rebuilt = (out(1L).head +: out(1L).tail.map(
+      _.split(" ").drop(8).mkString(" "))).mkString(" ")
+    assert(rebuilt == (1 to 100).map(i => s"w$i").mkString(" "))
+    // consecutive chunks share exactly the overlap suffix/prefix
+    assert(out(1L)(0).split(" ").takeRight(8).toSeq ==
+      out(1L)(1).split(" ").take(8).toSeq)
+  }
+
+  test("corpus: packSequences == driver prefix sum, invariant to grouping") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, (i % 37) + 1)).toDF("doc_id", "nt")
+    val got = Corpus.packSequences(docs, col("doc_id"), col("nt"),
+      budget = 100, groupEvery = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    // reference: plain sequential greedy concat-and-split attribution
+    var cum = 0L
+    val want = (1L to 500L).map { i =>
+      val s = cum / 100; cum += (i % 37) + 1; (i, s)
+    }
+    assert(got.toSeq == want)
+    // the grouping knob changes the PLAN (bounded windows), never the result
+    val alt = Corpus.packSequences(docs, col("doc_id"), col("nt"),
+      budget = 100, groupEvery = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(alt.toSeq == want)
   }
 }
