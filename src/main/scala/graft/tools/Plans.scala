@@ -14,7 +14,9 @@ object Plans {
       "q60_cube", "x16_sessionize", "x10_ann_brute",
       // round-3 shapes: skew-sliced as-of, epsilon-grid cosine,
       // expression-level global index, IVF zero-shuffle assignment
-      "q51_asof", "x12_cosine_pairs", "q20_enum", "x17_ann_ivf")
+      "q51_asof", "x12_cosine_pairs", "q20_enum", "x17_ann_ivf",
+      // round-6 shapes: corpus preparation (split/chunk/pack)
+      "x27_train_split", "x28_chunk_docs", "x29_pack_sequences")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -99,6 +99,35 @@ class GraphStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("corpus split + chunking lift to streams unchanged") {
+    // trainSplit and chunk are stateless scan expressions (md5 bucket,
+    // per-row explode) — the batch operators apply to a readStream
+    // with zero adaptation, and streamed answers equal the batch ones
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val out = graft.ext.Corpus.chunk(
+      graft.ext.Corpus.trainSplit(df, col("doc_id")),
+      col("doc_id"), col("text"), size = 4, overlap = 1)
+    val q = out.writeStream.format("memory").queryName("stream_corpus_test")
+      .outputMode(OutputMode.Append()).start()
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "just four tokens here"))
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val streamed = spark.table("stream_corpus_test")
+      .select("doc_id", "chunk_id", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val batch = graft.ext.Corpus.chunk(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), size = 4, overlap = 1)
+      .select("doc_id", "chunk_id", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming ANN: micro-batches rank against the static corpus") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = graft.sources.Tables.load(spark, sf, "embeddings").df

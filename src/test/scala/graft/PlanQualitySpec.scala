@@ -448,6 +448,24 @@ class PlanQualitySpec extends SparkSpec {
       s"plane constants not embedded at plan-build time:\n$p")
   }
 
+  test("chunking pushes its filter to the scan and never shuffles") {
+    val p = planOf("x28_chunk_docs")
+    assert(p.contains("LessThan(doc_id,200)"), s"filter not pushed:\n$p")
+    assert(!p.contains("Exchange"),
+      s"chunking must be scan-parallel (no shuffle):\n$p")
+    assert(p.contains("Generate"), s"expected one explode:\n$p")
+  }
+
+  test("sequence packing: broadcast offsets + bounded windows, never 1 partition") {
+    val p = planOf("x29_pack_sequences")
+    assert(p.contains("BroadcastExchange"),
+      s"group offsets must broadcast:\n$p")
+    // the window shuffle hash-partitions on grp — a SinglePartition
+    // exchange would funnel the whole corpus through one task
+    assert(!p.contains("SinglePartition"),
+      s"global prefix sum funneled into one partition:\n$p")
+  }
+
   test("$self fixpoint pins its var inputs for the loop, then releases them") {
     // Each fixpoint level re-evaluates every $var view; SqlEscape
     // persists them for the loop's duration (a 20-level BFS otherwise
