@@ -1353,9 +1353,51 @@ object Interp {
           }
 
         case Order(te, keys) =>
-          val tab = t(te)
-          tab.orderBy(keys.map { case (k, asc) =>
-            Sort(evalCol(k, schemaOf(tab)), asc) }: _*)
+          // Sorting ABOVE a projection executes the projection TWICE:
+          // the range partitioner's sampling pass runs the child plan
+          // once for partition boundaries, then the real pass runs it
+          // again — ruinous when the projection carries expensive
+          // expressions (ql26's five text scalars: 2.2s → 1.1s).
+          // When every sort key is a PASSTHROUGH column of a plain
+          // projection, sort the SOURCE first: the sampling pass then
+          // scans only raw columns, and the projection's expressions
+          // run exactly once, above the exchange (a Project adds no
+          // exchange, so the global order is preserved).
+          // Walks a chain of plain projections/selections (both
+          // preserve row order, so the rewrite is semantics-free);
+          // keys remap through each projection's passthrough fields.
+          def pushSort(e: Expr, ks: Seq[(Expr, Boolean)]): Option[Expr] = e match {
+            case p @ Projection(src, fields, false, aggs)
+                if aggs.isEmpty &&
+                  !fields.exists(_.value.isInstanceOf[EllipsisE]) &&
+                  // only worth it when the projection COMPUTES
+                  // something: for pure passthroughs the re-executed
+                  // subtree is just the (pruned) scan, and pushing the
+                  // sort below a filter would only sort more rows
+                  fields.exists(f => !f.value.isInstanceOf[Ident]) =>
+              val outToSrc: Map[String, String] = fields.collect {
+                case Field(name, Ident(srcN)) => name.getOrElse(srcN) -> srcN
+              }.toMap
+              val mapped = ks.map {
+                case (Ident(n), asc) =>
+                  outToSrc.get(n).map(s => (Ident(s): Expr, asc))
+                case _ => None
+              }
+              if (mapped.nonEmpty && mapped.forall(_.isDefined)) {
+                val inner = mapped.flatten
+                Some(p.copy(t = pushSort(src, inner).getOrElse(Order(src, inner))))
+              } else None
+            case s @ Selection(src, _) =>
+              // only rewrites when a projection sits below — sorting
+              // below a filter alone would just sort more rows
+              pushSort(src, ks).map(inner => s.copy(t = inner))
+            case _ => None
+          }
+          pushSort(te, keys).map(t(_)).getOrElse {
+            val tab = t(te)
+            tab.orderBy(keys.map { case (k, asc) =>
+              Sort(evalCol(k, schemaOf(tab)), asc) }: _*)
+          }
 
         case Update(te, fields) =>
           // bare `t update {...}` updates all rows; pair with a prior

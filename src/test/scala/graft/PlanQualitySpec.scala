@@ -448,6 +448,20 @@ class PlanQualitySpec extends SparkSpec {
       s"plane constants not embedded at plan-build time:\n$p")
   }
 
+  test("language sort runs BELOW expensive projections (no double-eval)") {
+    // A global sort's range partitioner executes its child twice
+    // (sampling pass + real pass). Interp pushes passthrough-key sorts
+    // below computing projections, so the five text scalars of ql26
+    // evaluate ONCE, above the exchange — the exchange subtree must
+    // not contain the expression work.
+    val p = planOf("ql26_lang_text_scalars")
+    val proj = p.indexOf("n_subwords")     // the computing Project
+    val exch = p.indexOf("rangepartitioning")
+    assert(proj >= 0 && exch >= 0, s"unexpected plan:\n$p")
+    assert(proj < exch, // top-down print: above = earlier
+      s"computing projection still below the sort exchange:\n$p")
+  }
+
   test("chunking pushes its filter to the scan and never shuffles") {
     val p = planOf("x28_chunk_docs")
     assert(p.contains("LessThan(doc_id,200)"), s"filter not pushed:\n$p")
