@@ -1794,6 +1794,13 @@ object SparkEntry {
         .agg(PF.approxCountDistinct(col("user_id")).as("approx_users"),
           PF.hllEstimate(PF.hllSketch(col("user_id"))).as("hll_users"))),
 
+    // the md5-register HLL twin of q66: deterministic hash → the
+    // ESTIMATE itself sits under the full DuckDB oracle (the
+    // DataSketches/xxhash built-ins above can only ever be rows-only)
+    "x30_hll_md5" -> ((s, d) =>
+      graft.functions.PF.hllMd5(t(s, d, "events").df, "event_type",
+        col("user_id"), p = 12, outCol = "hll_users")),
+
     // ---- §2.6 first / first_or_null / is_empty as values -----------------
     "q56_first_scalars" -> ((s, d) => {
       val c = t(s, d, "customer").orderBy("c_custkey")
@@ -2328,6 +2335,31 @@ object SparkEntry {
          )
          SELECT g.doc_id, g.n_tokens, g.q
          FROM gated g JOIN keep k ON g.doc_id = k.doc_id""",
+    "x30_hll_md5" ->
+      """WITH h AS (
+           SELECT event_type,
+             ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+           FROM events
+         ), r AS (
+           SELECT event_type, hv % 4096 AS bucket,
+             max(CASE WHEN hv // 4096 = 0 THEN 49
+                      ELSE 49 - length(bin(hv // 4096)) END) AS mj
+           FROM h GROUP BY 1, 2
+         ), s AS (
+           SELECT event_type,
+             CAST(sum(CAST(pow(2.0, 49 - mj) AS BIGINT))
+               + (4096 - count(*)) * CAST(pow(2.0, 49) AS BIGINT) AS BIGINT) AS sm,
+             4096 - count(*) AS v
+           FROM r GROUP BY 1
+         )
+         SELECT event_type,
+           round(CASE WHEN (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                             / (CAST(sm AS DOUBLE) / pow(2.0, 49)) <= 2.5 * 4096
+                           AND v > 0
+                      THEN 4096.0 * ln(4096.0 / v)
+                      ELSE (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                             / (CAST(sm AS DOUBLE) / pow(2.0, 49)) END, 3) AS hll_users
+         FROM s""",
     "x27_train_split" ->
       """SELECT split, count(*) AS n, min(doc_id) AS first_id FROM (
            SELECT doc_id,

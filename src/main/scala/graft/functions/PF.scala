@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.{functions => F}
-import org.apache.spark.sql.functions.{lit, when}
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.apache.spark.sql.types._
 
 /** Scalar + aggregate function library with the reference engine's
@@ -143,6 +143,57 @@ object PF {
     F.hll_union_agg(sketches, lit(allowDifferentLgK))
 
   def hllEstimate(sketch: Column): Column = F.hll_sketch_estimate(sketch)
+
+  /** ORACLE-ABLE HyperLogLog: the same two-level aggregation shape as
+    * the DataSketches path (per-(group,bucket) max-rank registers →
+    * per-group estimate; both stages partial-aggregate map-side, so
+    * the shuffle carries at most m register rows per group), but every
+    * intermediate is a deterministic integer derived from the engine's
+    * portable md5 hash — so DuckDB can replicate the ESTIMATE bit-for-
+    * bit, unlike the xxhash/murmur-based built-ins (q66 stays
+    * rows-only for exactly that reason).
+    *
+    * Determinism engineering: the 60-bit h60 hash splits into p bucket
+    * bits + (60-p) value bits; rank comes from `length(bin(w))`
+    * (integer, no float log2); the register sum accumulates
+    * 2^(maxRho - M_j) as LONGS (max m·2^maxRho = 2^61 — order-
+    * independent integer addition), and only the final estimate
+    * touches doubles, rounded to 3 decimals so a last-ulp `ln`
+    * difference between engines cannot flip the hash compare.
+    */
+  def hllMd5(df: org.apache.spark.sql.DataFrame, groupCol: String,
+             key: Column, p: Int = 12,
+             outCol: String = "approx_distinct"): org.apache.spark.sql.DataFrame = {
+    require(p >= 7 && p <= 16, s"hllMd5: p in [7,16], got $p")
+    val m = 1 << p
+    val maxRho = 61 - p // (60-p) value bits, rank in [1, 61-p]; 0 reserved
+    val hv = graft.ext.TextAnalysis.h60(
+      F.concat(lit("hll:"), key.cast(StringType)))
+    val w = F.shiftright(hv, p) // integer shift — hv wouldn't survive a double division
+    // rank of the leftmost 1-bit in the (60-p)-bit word: leading zeros
+    // + 1 = (60-p) - bitlen + 1 = maxRho - bitlen; all-zeros → maxRho.
+    // length(bin(w)) is the float-free bit length (same in DuckDB).
+    val rho = when(w === 0L, lit(maxRho))
+      .otherwise(lit(maxRho) - F.length(F.bin(w)))
+    val regs = df
+      .select(col(groupCol), hv.bitwiseAND(lit(m - 1)).as("_bucket"), rho.as("_rho"))
+      .groupBy(col(groupCol), col("_bucket"))
+      .agg(F.max("_rho").as("_mj"))
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val est = regs.groupBy(col(groupCol)).agg(
+      F.sum(F.pow(lit(2.0), lit(maxRho) - col("_mj")).cast(LongType)).as("_s0"),
+      F.count(lit(1)).as("_cnt"))
+      .select(col(groupCol),
+        (col("_s0") + (lit(m.toLong) - col("_cnt")) *
+          F.pow(lit(2.0), lit(maxRho)).cast(LongType)).as("_s"),
+        (lit(m.toLong) - col("_cnt")).as("_v"))
+    val eRaw = lit(alpha * m.toDouble * m.toDouble) /
+      (col("_s").cast(DoubleType) / F.pow(lit(2.0), lit(maxRho)))
+    est.select(col(groupCol),
+      F.round(when(eRaw <= lit(2.5 * m) && col("_v") > 0,
+          lit(m.toDouble) * F.log(lit(m.toDouble) / col("_v")))
+        .otherwise(eRaw), 3).as(outCol))
+  }
 
   /** Exact multiplicative aggregate — the reference needs a custom UDAF
     * for this too (reference: preql/core/sql_interface.py:799-807).

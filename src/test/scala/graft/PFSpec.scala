@@ -86,4 +86,28 @@ class PFSpec extends SparkSpec {
     val kept = a.count(identity)
     assert(kept > 50 && kept < 200) // ~10%
   }
+
+  test("hllMd5: estimate within 5% of exact, invariant to partitioning") {
+    import spark.implicits._
+    // 3 groups with known cardinalities (duplicated memberships)
+    val rows = (1 to 20000).map { i =>
+      val g = i % 3
+      val card = Seq(500, 3000, 9000)(g)
+      (s"g$g", (i * 2654435761L) % card)
+    }
+    val df = rows.toDF("grp", "uid")
+    val est = graft.functions.PF.hllMd5(df, "grp", col("uid"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = df.groupBy("grp").agg(countDistinct("uid")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) / n.toDouble < 0.05,
+        s"$g: est ${est(g)} vs exact $n")
+    }
+    // the integer register sums make the estimate independent of
+    // partitioning / aggregation order (no float accumulation)
+    val est32 = graft.functions.PF.hllMd5(df.repartition(32), "grp", col("uid"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est == est32)
+  }
 }
