@@ -1801,6 +1801,83 @@ object SparkEntry {
       graft.functions.PF.hllMd5(t(s, d, "events").df, "event_type",
         col("user_id"), p = 12, outCol = "hll_users")),
 
+    // ---- ext: corpus quality / hygiene (repetition, decontamination,
+    // PII) — the remaining standard gates of a web-corpus pipeline ----------
+    // Gopher-style repetition signals. The testdata documents are
+    // single-line, so the query first reshapes each into 8-token lines
+    // (portably, same construction in the oracle) and plants an exact
+    // duplicate line on every 10th doc; the 2-gram signal runs on the
+    // natural text.
+    "x31_repetition" -> ((s, d) => {
+      val toks = F.split(F.trim(col("text")), "\\s+")
+      val nLines = F.floor((F.size(toks) - 1) / F.lit(8)) + 1
+      val ml0 = F.array_join(
+        F.transform(F.sequence(lit(0L), nLines - 1),
+          i => F.array_join(
+            F.slice(toks, (i * 8 + 1).cast(IntegerType), lit(8)), " ")), "\n")
+      val ml = F.when(col("doc_id") % 10 === 0,
+          F.concat(ml0, lit("\n"),
+            F.array_join(F.slice(toks, 1, 8), " ")))
+        .otherwise(ml0)
+      graft.ext.Corpus.repetitionSignals(
+        t(s, d, "documents").df.select(col("doc_id"), ml.as("text")),
+        "doc_id", "text")
+    }),
+
+    // benchmark decontamination: every 97th doc is the "eval set"; a
+    // shared 10-token canary is planted on all eval docs and on
+    // training docs with doc_id%9==1, which must therefore be dropped
+    // (plus any natural 8-gram overlaps — the oracle recomputes both)
+    "x32_decontaminate" -> ((s, d) => {
+      val canary = F.concat_ws(" ",
+        F.transform(F.sequence(lit(0), lit(9)),
+          i => F.concat(lit("c"), (col("doc_id") % 5).cast(StringType),
+            lit("_"), i.cast(StringType))))
+      val aug = t(s, d, "documents").df.select(col("doc_id"),
+        F.when(col("doc_id") % 97 === 0 || col("doc_id") % 9 === 1,
+            F.concat(col("text"), lit(" "), canary))
+          .otherwise(col("text")).as("text"))
+      graft.ext.Corpus.decontaminate(
+        aug.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        aug.filter(col("doc_id") % 97 === 0), "text", n = 8)
+        .select(col("doc_id"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    }),
+
+    // PII redaction over planted emails / phone digit runs / IPv4
+    // (the natural text is alphabetic — plants give true positives;
+    // the oracle recomputes the same planting + RE2-compatible chain)
+    "x33_redact_pii" -> ((s, d) => {
+      val planted = F.concat(col("text"),
+        F.when(col("doc_id") % 11 === 0,
+          F.concat(lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@example.com now"))).otherwise(lit("")),
+        F.when(col("doc_id") % 13 === 0, lit(" call 5551234567"))
+          .otherwise(lit("")),
+        F.when(col("doc_id") % 17 === 0, lit(" ip 10.0.0.1 end"))
+          .otherwise(lit("")))
+      t(s, d, "documents").df.select(col("doc_id"),
+        graft.ext.TextAnalysis.piiCount(planted).as("n_pii"),
+        graft.ext.TextAnalysis.redactPii(planted).as("redacted"))
+    }),
+
+    // the end-to-end FUZZY dedup move (x21 is the exact-dup twin):
+    // MinHash-LSH pairs → connected components → drop every non-minimum
+    // cluster member → kept corpus. Entirely bucketed joins; the full
+    // chain sits under one DuckDB oracle (LSH + verify + recursive
+    // closure + anti-join).
+    "x34_fuzzy_keep" -> ((s, d) => {
+      val docs = augDocs(s, d)
+      val pairs = graft.ext.Dedup.minhashPairs(docs, "doc_id", "text", 0.8)
+        .select("id_a", "id_b")
+      val removed = graft.ext.Dedup.connectedComponents(pairs)
+        .filter(col("id") =!= col("label"))
+        .select(col("id").as("doc_id"))
+      docs.join(removed, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    }),
+
     // ---- §2.6 first / first_or_null / is_empty as values -----------------
     "q56_first_scalars" -> ((s, d) => {
       val c = t(s, d, "customer").orderBy("c_custkey")
@@ -2360,6 +2437,174 @@ object SparkEntry {
                       ELSE (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
                              / (CAST(sm AS DOUBLE) / pow(2.0, 49)) END, 3) AS hll_users
          FROM s""",
+    "x31_repetition" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tks
+           FROM documents
+         ), ml AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+               THEN base || chr(10) || array_to_string(tks[1:8], ' ')
+               ELSE base END AS text
+           FROM (
+             SELECT doc_id, tks,
+               array_to_string([array_to_string(tks[i*8+1:i*8+8], ' ')
+                 for i in range(0, CAST(floor((len(tks)-1)/8) AS BIGINT) + 1)],
+                 chr(10)) AS base
+             FROM tk)
+         ), units AS (
+           SELECT doc_id, 'l' AS kind, u.v AS v
+           FROM ml, unnest([trim(x) for x in string_split(text, chr(10))
+                            if trim(x) <> '']) AS u(v)
+           UNION ALL
+           SELECT doc_id, 'g' AS kind, u.v AS v
+           FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS t2 FROM ml),
+             unnest(CASE WHEN len(t2) < 2 THEN CAST([] AS VARCHAR[])
+               ELSE [array_to_string(t2[i+1:i+2], ' ')
+                     for i in range(0, len(t2) - 1)] END) AS u(v)
+         ), counted AS (
+           SELECT doc_id, kind, v, count(*) AS cnt
+           FROM units GROUP BY doc_id, kind, v
+         ), agg AS (
+           -- left join from the doc list: a doc with no units still
+           -- gets an all-zeros row (mirrors the engine's explode_outer)
+           SELECT m.doc_id,
+             CAST(COALESCE(sum(CASE WHEN c.kind='l' THEN c.cnt END), 0) AS BIGINT) AS n_lines,
+             CAST(COALESCE(sum(CASE WHEN c.kind='l' AND c.cnt>1 THEN c.cnt END), 0) AS BIGINT) AS dup_lines,
+             CAST(COALESCE(sum(CASE WHEN c.kind='l' THEN c.cnt*len(c.v) END), 0) AS BIGINT) AS line_chars,
+             CAST(COALESCE(sum(CASE WHEN c.kind='l' AND c.cnt>1 THEN c.cnt*len(c.v) END), 0) AS BIGINT) AS dup_line_chars,
+             CAST(COALESCE(sum(CASE WHEN c.kind='g' THEN c.cnt END), 0) AS BIGINT) AS n_grams,
+             CAST(COALESCE(max(CASE WHEN c.kind='g' THEN c.cnt END), 0) AS BIGINT) AS top_gram
+           FROM ml m LEFT JOIN counted c ON m.doc_id = c.doc_id
+           GROUP BY m.doc_id
+         )
+         SELECT doc_id, n_lines,
+           CASE WHEN n_lines = 0 THEN 0.0
+             ELSE CAST(dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) END AS dup_line_frac,
+           CASE WHEN line_chars = 0 THEN 0.0
+             ELSE CAST(dup_line_chars AS DOUBLE) / CAST(line_chars AS DOUBLE) END AS dup_line_char_frac,
+           CASE WHEN n_grams = 0 THEN 0.0
+             ELSE CAST(top_gram AS DOUBLE) / CAST(n_grams AS DOUBLE) END AS top_2gram_frac
+         FROM agg""",
+    "x32_decontaminate" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0 OR doc_id % 9 = 1
+               THEN text || ' ' || array_to_string(
+                 ['c' || CAST(doc_id % 5 AS VARCHAR) || '_' || CAST(i AS VARCHAR)
+                  for i in range(0, 10)], ' ')
+               ELSE text END AS text
+           FROM documents
+         ), grams AS (
+           SELECT doc_id,
+             [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647
+               for s in (CASE WHEN len(tks) < 8 THEN [tt]
+                 ELSE [array_to_string(tks[ii:ii+7], ' ')
+                       for ii in range(1, len(tks) - 6)] END)] AS gh
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tks,
+                   trim(text) AS tt FROM aug)
+         ), benchg AS (
+           SELECT DISTINCT u.g AS gh
+           FROM grams, unnest(grams.gh) AS u(g) WHERE doc_id % 97 = 0
+         ), contaminated AS (
+           SELECT DISTINCT t.doc_id
+           FROM (SELECT doc_id, u.g AS gh
+                 FROM grams, unnest(grams.gh) AS u(g)
+                 WHERE doc_id % 97 <> 0) t
+           JOIN benchg b ON t.gh = b.gh
+         )
+         SELECT a.doc_id,
+           CASE WHEN trim(a.text) = '' THEN 0
+             ELSE CAST(len(regexp_split_to_array(trim(a.text), '\s+')) AS INT)
+           END AS n_tokens
+         FROM aug a
+         WHERE a.doc_id % 97 <> 0
+           AND a.doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+    "x33_redact_pii" ->
+      """WITH p0 AS (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 11 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN ' call 5551234567' ELSE '' END
+             || CASE WHEN doc_id % 17 = 0 THEN ' ip 10.0.0.1 end' ELSE '' END
+             AS t0
+           FROM documents
+         ), p1 AS (
+           SELECT doc_id, t0, regexp_replace(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+             '<EMAIL>', 'g') AS t1
+           FROM p0
+         ), p2 AS (
+           SELECT doc_id, t0, t1, regexp_replace(t1,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+             '<IP>', 'g') AS t2
+           FROM p1
+         )
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t0,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+             + len(regexp_extract_all(t1,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+             + len(regexp_extract_all(t2, '\b[0-9]{9,}\b')) AS BIGINT) AS n_pii,
+           regexp_replace(t2, '\b[0-9]{9,}\b', '<PHONE>', 'g') AS redacted
+         FROM p2""",
+    "x34_fuzzy_keep" ->
+      """WITH RECURSIVE docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0
+         ), toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk, trim(text) AS tt
+           FROM docs
+         ), hb AS (
+           SELECT doc_id,
+             [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647
+               for s in (CASE WHEN len(tk) < 3 THEN [tt]
+                 ELSE [array_to_string(tk[ii:ii+2], ' ') for ii in range(1, len(tk) - 1)] END)] AS hs
+           FROM toks
+         ), sig AS (
+           SELECT doc_id,
+             [list_min([((('0x' || substr(md5('a_' || CAST(i AS VARCHAR)), 1, 7))::BIGINT * 2 + 1) * h
+                 + ('0x' || substr(md5('b_' || CAST(i AS VARCHAR)), 1, 7))::BIGINT) % 2147483647
+               for h in hs]) for i in range(0, 12)] AS sg
+           FROM hb
+         ), buckets AS (
+           SELECT doc_id, b.b AS band,
+             md5(array_to_string([CAST(x AS VARCHAR) for x in sg[b.b*3+1:b.b*3+3]], ',')) AS bucket
+           FROM sig, (SELECT unnest(range(0, 4)) AS b) b
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM buckets a JOIN buckets c
+             ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+         ), tsets AS (
+           SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ts
+           FROM docs
+         ), pairs AS (
+           SELECT id_a, id_b FROM (
+             SELECT id_a, id_b,
+               CASE WHEN len(list_distinct(list_concat(ta.ts, tb.ts))) = 0 THEN 0.0
+                 ELSE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                   / len(list_distinct(list_concat(ta.ts, tb.ts))) END AS jac
+             FROM cand JOIN tsets ta ON id_a = ta.doc_id JOIN tsets tb ON id_b = tb.doc_id
+           ) WHERE jac >= 0.8
+         ), edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs
+         ), reach(src, dst) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         ), canon AS (
+           SELECT src AS doc_id, min(dst) AS canonical FROM reach GROUP BY src
+         )
+         SELECT d.doc_id,
+           CASE WHEN trim(d.text) = '' THEN 0
+             ELSE CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS INT)
+           END AS n_tokens
+         FROM docs d
+         WHERE NOT EXISTS (SELECT 1 FROM canon c
+           WHERE c.doc_id = d.doc_id AND c.canonical <> d.doc_id)""",
     "x27_train_split" ->
       """SELECT split, count(*) AS n, min(doc_id) AS first_id FROM (
            SELECT doc_id,

@@ -64,6 +64,101 @@ object Corpus {
         F.size(F.split(F.col("chunk_text"), " ")).cast(LongType))
   }
 
+  /** Gopher-style repetition signals (the standard quality filters for
+    * web corpora: Rae et al. 2021 §A1.1): per-document fraction of
+    * duplicated lines, fraction of characters in duplicated lines, and
+    * the share of word 2-grams taken by the most frequent 2-gram.
+    *
+    * Scale shape: one scan → one explode of kind-tagged units
+    * (lines + 2-grams from the same projection — no second pass over
+    * the text) → two hash aggregations, both with map-side partials.
+    * Shuffle volume ∝ tokens, never pairs²; a per-row HOF counting
+    * duplicates inside the arrays would be shuffle-free but O(len²)
+    * per document — unbounded on the long documents exactly where
+    * repetition filtering matters, so the linear explode+agg wins at
+    * 100 TB.
+    *
+    * Values are kind-tagged ("l:" / "g:" prefix) instead of struct
+    * fields: named_struct inside HOF lambdas next to a generator is
+    * fragile (field names drop), and one string column shuffles
+    * smaller than a struct anyway.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = F.col(textCol)
+    val lines = F.filter(
+      F.transform(F.split(text, "\n"), l => F.trim(l)), l => l =!= "")
+    val toks = TextAnalysis.tokens(text) // \s+ covers newlines too
+    val grams = F.when(F.size(toks) < 2, F.array().cast("array<string>"))
+      .otherwise(F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
+        i => F.concat_ws(" ", F.slice(toks, i + 1, F.lit(2)))))
+    // explode_outer: a document with no lines and no grams (empty /
+    // whitespace text) must still produce an all-zeros output row —
+    // quality gates join per-document, a silently vanished doc would
+    // slip past a `signals.dup_line_frac < x` filter. The null unit
+    // row matches neither kind tag, so it contributes nothing.
+    val units = Dedup.ensureParallelism(df)
+      .select(F.col(idCol).as("doc_id"),
+        F.explode_outer(F.concat(
+          F.transform(lines, l => F.concat(F.lit("l:"), l)),
+          F.transform(grams, g => F.concat(F.lit("g:"), g)))).as("tv"))
+      .select(F.col("doc_id"),
+        F.substring(F.col("tv"), 1, 1).as("kind"),
+        // the payload after "l:"/"g:"; its length = line char count
+        F.expr("substring(tv, 3)").as("v"))
+    val counted = units.groupBy("doc_id", "kind", "v")
+      .agg(F.count(F.lit(1)).as("cnt"))
+    val isL = F.col("kind") === "l"
+    val isG = F.col("kind") === "g"
+    val dup = F.col("cnt") > 1
+    val chars = F.col("cnt") * F.length(F.col("v"))
+    def zsum(c: Column): Column = F.coalesce(F.sum(c), F.lit(0L))
+    counted.groupBy("doc_id").agg(
+        zsum(F.when(isL, F.col("cnt"))).as("n_lines"),
+        zsum(F.when(isL && dup, F.col("cnt"))).as("dup_lines"),
+        zsum(F.when(isL, chars)).as("line_chars"),
+        zsum(F.when(isL && dup, chars)).as("dup_line_chars"),
+        zsum(F.when(isG, F.col("cnt"))).as("n_grams"),
+        F.coalesce(F.max(F.when(isG, F.col("cnt"))), F.lit(0L)).as("top_gram"))
+      .select(F.col("doc_id"), F.col("n_lines"),
+        F.when(F.col("n_lines") === 0, 0.0)
+          .otherwise(F.col("dup_lines").cast("double") / F.col("n_lines"))
+          .as("dup_line_frac"),
+        F.when(F.col("line_chars") === 0, 0.0)
+          .otherwise(F.col("dup_line_chars").cast("double") / F.col("line_chars"))
+          .as("dup_line_char_frac"),
+        F.when(F.col("n_grams") === 0, 0.0)
+          .otherwise(F.col("top_gram").cast("double") / F.col("n_grams"))
+          .as("top_2gram_frac"))
+  }
+
+  /** Benchmark decontamination: drop every training document sharing
+    * at least one word n-gram with the evaluation set — the standard
+    * guard against test-set leakage into training corpora.
+    *
+    * Scale shape: the eval side reduces to DISTINCT n-gram hashes
+    * (small — eval suites are MBs, corpora are TBs) and BROADCASTS;
+    * the corpus side streams its n-gram hashes through the broadcast
+    * semi-join (no corpus shuffle), and the surviving ids anti-join
+    * back. Documents shorter than n tokens hash as one whole-text
+    * shingle (`Dedup.shinglesFromTokens`), so a verbatim short eval
+    * doc still contaminates its copies.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String, n: Int = 8,
+                    hasher: Column => Column = Dedup.portableHasher): DataFrame = {
+    def gramHashes(text: Column): Column =
+      F.transform(
+        Dedup.shinglesFromTokens(TextAnalysis.tokens(text), F.trim(text), n),
+        s => hasher(s))
+    val benchGrams = bench
+      .select(F.explode(gramHashes(F.col(benchTextCol))).as("gh")).distinct()
+    val contaminated = Dedup.ensureParallelism(docs)
+      .select(F.col(idCol), F.explode(gramHashes(F.col(textCol))).as("gh"))
+      .join(F.broadcast(benchGrams), "gh")
+      .select(F.col(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Sequence packing, concat-and-split attribution: documents are
     * laid out contiguously in `order` and cut every `budget` tokens;
     * a document belongs to the sequence where it STARTS

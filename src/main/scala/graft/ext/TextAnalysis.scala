@@ -111,6 +111,43 @@ object TextAnalysis {
     when(F.length(text) === 0, lit(0.0))
       .otherwise(nAlnum(text).cast(DoubleType) / F.length(text).cast(DoubleType))
 
+  /** PII patterns, restricted to constructs with identical semantics
+    * in Java regex and RE2 (same discipline as `subwordPattern`) so
+    * redaction counts and outputs reproduce in any engine: explicit
+    * character classes, bounded/unbounded repetition, `\b` word
+    * boundaries (same definition in both). Order matters: emails are
+    * matched before bare digit runs so an address is one `<EMAIL>`,
+    * not an email plus a phone; IPv4 dots keep them out of the
+    * digit-run pattern naturally.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+    "\\b[0-9]{9,}\\b" -> "<PHONE>")
+
+  /** Redact emails / IPv4 addresses / long digit runs. A chain of
+    * codegen'd regexp_replace calls — pure per-row expression,
+    * scan-speed, no shuffle; the 100 TB cost is the regex engine, not
+    * the plan.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (pat, rep)) =>
+      F.regexp_replace(acc, pat, rep)
+    }
+
+  /** How many PII spans `redactPii` would replace. Counted
+    * sequentially on the partially-redacted text (matching the
+    * replacement chain), so overlapping patterns are not
+    * double-counted.
+    */
+  def piiCount(text: Column): Column = {
+    val (counts, _) = piiPatterns.foldLeft((Seq.empty[Column], text)) {
+      case ((cs, t), (pat, rep)) =>
+        (cs :+ F.regexp_count(t, lit(pat)), F.regexp_replace(t, pat, rep))
+    }
+    counts.reduce(_ + _).cast(LongType)
+  }
+
   /** Composite quality: prefers 50..1000 tokens, mean token length
     * 3..10, high alnum ratio. Clamped linear pieces, all portable.
     */

@@ -691,4 +691,100 @@ class ExtSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
     assert(alt.toSeq == want)
   }
+
+  test("repetitionSignals: hand-computed fractions on a known doc") {
+    // doc 1: lines ["a b","a b","c d"] → dup_line_frac 2/3,
+    //        chars 3+3+3 of which 6 duplicated → 2/3
+    //        tokens a,b,a,b,c,d → grams "a b","b a","a b","b c","c d"
+    //        → top gram "a b" ×2 of 5 → 0.4
+    // doc 2: no duplicate lines, all distinct grams
+    // doc 3: empty-ish text (whitespace) → all zeros
+    val df = Seq((1L, "a b\na b\nc d"), (2L, "p q\nr s"), (3L, "  "))
+      .toDF("doc_id", "text")
+    val got = Corpus.repetitionSignals(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) == ((3L, 2.0 / 3, 2.0 / 3, 0.4)))
+    assert(got(2L) == ((2L, 0.0, 0.0, 1.0 / 3)))
+    // doc 2 grams: "p q","q r","r s" all distinct → top 1/3
+    assert(got(3L) == ((0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("repetitionSignals flags a repetition-heavy doc, passes a clean one") {
+    val spammy = (1 to 20).map(_ => "buy now cheap").mkString("\n")
+    val clean = (1 to 20).map(i => s"line$i unique words here").mkString("\n")
+    val got = Corpus.repetitionSignals(
+      Seq((1L, spammy), (2L, clean)).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) == 1.0 && got(2L) == 0.0)
+  }
+
+  test("decontaminate drops n-gram overlaps and whole-short-doc copies") {
+    val benchDoc = (1 to 12).map(i => s"e$i").mkString(" ")
+    val bench = Seq((100L, benchDoc), (101L, "tiny leak")).toDF("bid", "btext")
+    val train = Seq(
+      1L -> ("clean words only " + (1 to 12).map(i => s"w$i").mkString(" ")),
+      2L -> ("prefix text " + (1 to 12).map(i => s"e$i").mkString(" ")), // 8-gram overlap
+      3L -> "tiny leak",            // < n tokens, whole-text shingle match
+      4L -> "tiny leakage different" // shares no whole-text shingle
+    ).toDF("doc_id", "text")
+    val kept = Corpus.decontaminate(train, "doc_id", "text", bench, "btext", n = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+  }
+
+  test("redactPii: planted spans redacted, counts match, idempotent, clean text untouched") {
+    val df = Seq(
+      (1L, "mail me at alice.smith+x@mail.example.org today"),
+      (2L, "server at 192.168.0.12 answered"),
+      (3L, "call 0123456789 or 98765432101"),
+      (4L, "no pii here, just words and 123 small numbers"),
+      (5L, "mixed bob@x.io and 10.0.0.1 and 5551234567")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.piiCount(col("text")).as("n"),
+        TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    assert(got(1L) == ((1L, "mail me at <EMAIL> today")))
+    assert(got(2L) == ((1L, "server at <IP> answered")))
+    assert(got(3L) == ((2L, "call <PHONE> or <PHONE>")))
+    assert(got(4L) == ((0L, "no pii here, just words and 123 small numbers")))
+    assert(got(5L) == ((3L, "mixed <EMAIL> and <IP> and <PHONE>")))
+    // idempotent: redacting redacted text changes nothing
+    val twice = df.select(
+      TextAnalysis.redactPii(TextAnalysis.redactPii(col("text"))).as("r2"),
+      TextAnalysis.redactPii(col("text")).as("r1"))
+      .collect().forall(r => r.getString(0) == r.getString(1))
+    assert(twice)
+  }
+
+  test("fuzzy keep-list keeps exactly one representative per planted cluster") {
+    val base = docs.select(col("doc_id"), col("text")).limit(40)
+    // plant: two extra near-exact copies of every 10th doc
+    val aug = base
+      .unionAll(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      .unionAll(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000).as("doc_id"), col("text")))
+    val pairs = Dedup.minhashPairs(aug, "doc_id", "text", 0.9)
+      .select("id_a", "id_b")
+    val removed = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("label")).select(col("id").as("doc_id"))
+    val kept = aug.join(removed, Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    // every planted copy gone, its original kept
+    (0L until 40L by 10L).foreach { i =>
+      assert(kept.contains(i) && !kept.contains(i + 1000) && !kept.contains(i + 2000),
+        s"cluster of $i not resolved to one representative: $kept")
+    }
+    // a NATURAL doc may only be removed if the pair graph links it to a
+    // smaller-id duplicate (the testdata contains organic near-dups)
+    val pairSet = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    ((0L until 40L).toSet -- kept).foreach { i =>
+      assert(pairSet.exists { case (a, b) => b == i && a < i },
+        s"natural doc $i removed without a smaller-id near-dup partner")
+    }
+  }
 }

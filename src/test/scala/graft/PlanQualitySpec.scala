@@ -524,4 +524,35 @@ class PlanQualitySpec extends SparkSpec {
         s"AQE did not split the skewed partition:\n$plan")
     }
   }
+
+  test("repetition signals: one explode, both agg levels partial") {
+    val p = planOf("x31_repetition")
+    assert("Generate explode".r.findAllIn(p).size == 1,
+      s"lines+grams must share ONE explode pass:\n$p")
+    assert("partial_sum".r.findAllIn(p).nonEmpty &&
+      "partial_count".r.findAllIn(p).nonEmpty,
+      s"both aggregation levels need map-side partials:\n$p")
+  }
+
+  test("decontamination: broadcast gram semi-probe + anti-join, no corpus shuffle join") {
+    val p = planOf("x32_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval-set gram probe must broadcast:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"contaminated ids must anti-join back:\n$p")
+    assert(!p.contains("NestedLoop"), s"nested loop in decontamination:\n$p")
+  }
+
+  test("PII redaction is a pure scan-level projection (no shuffle)") {
+    val p = planOf("x33_redact_pii")
+    assert(!p.contains("Exchange"),
+      s"redaction must not shuffle:\n$p")
+  }
+
+  test("fuzzy keep-list: bucketed LSH joins only, anti-join back") {
+    val p = planOf("x34_fuzzy_keep")
+    assert(p.contains("LeftAnti"), s"kept set must anti-join removals:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"fuzzy dedup must never plan all-pairs:\n$p")
+  }
 }
