@@ -1644,6 +1644,21 @@ object SparkEntry {
           |join(c: chunked.doc_id, s: sp.doc_id)[s.split == "train", c.doc_id < 100] {doc_id: c.doc_id, chunk_id: c.chunk_id, n: c.chunk_tokens} order {doc_id, chunk_id}""".stripMargin,
         "documents" -> t(s, d, "documents")).df),
 
+    // corpus HYGIENE in the language: plant PII with ordinary string
+    // expressions, flag repetition-heavy docs with the extension table
+    // fn, then redact/count with the extension scalars — the whole
+    // hygiene pass is one language program over Catalyst plans
+    "ql33_lang_hygiene" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """aug = documents{ doc_id,
+          |  text: text + iif(doc_id % 11 == 0,
+          |    " contact user" + string(doc_id) + "@example.com now", "") }
+          |sigs = repetition_signals(aug, "doc_id", "text")
+          |flagged = aug[doc_id in sigs[top_2gram_frac >= 0.06]{doc_id}]
+          |flagged{ doc_id, n_pii: pii_count(text), clean: redact_pii(text) }
+          |  order {doc_id}""".stripMargin,
+        "documents" -> t(s, d, "documents")).df),
+
     // ANN in the language: the query side is an ordinary language
     // selection, fed straight into the extension operator
     "ql28_lang_ann" -> ((s, d) =>
@@ -1859,6 +1874,17 @@ object SparkEntry {
       t(s, d, "documents").df.select(col("doc_id"),
         graft.ext.TextAnalysis.piiCount(planted).as("n_pii"),
         graft.ext.TextAnalysis.redactPii(planted).as("redacted"))
+    }),
+
+    // quality-weighted sampling: keep docs with probability equal to
+    // their quality score — deterministic md5 uniforms, so the sample
+    // itself sits under the oracle
+    "x35_weighted_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      graft.ext.Corpus.weightedSample(docs, col("doc_id"),
+        graft.ext.TextAnalysis.qualityScore(col("text")))
+        .select(col("doc_id"),
+          graft.ext.TextAnalysis.qualityScore(col("text")).as("q"))
     }),
 
     // the end-to-end FUZZY dedup move (x21 is the exact-dup twin):
@@ -2260,6 +2286,50 @@ object SparkEntry {
          SELECT ch.doc_id, ch.chunk_id, ch.n
          FROM ch JOIN sp ON ch.doc_id = sp.doc_id
          ORDER BY ch.doc_id, ch.chunk_id""",
+    "ql33_lang_hygiene" ->
+      """WITH aug AS (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 11 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                ELSE '' END AS text
+           FROM documents
+         ), tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t2
+           FROM aug
+         ), counted AS (
+           SELECT doc_id, v, count(*) AS cnt FROM (
+             SELECT doc_id, u.v AS v
+             FROM tk, unnest(CASE WHEN len(t2) < 2 THEN CAST([] AS VARCHAR[])
+               ELSE [array_to_string(t2[i+1:i+2], ' ')
+                     for i in range(0, len(t2) - 1)] END) AS u(v))
+           GROUP BY doc_id, v
+         ), frac AS (
+           SELECT a.doc_id,
+             CASE WHEN COALESCE(sum(c.cnt), 0) = 0 THEN 0.0
+               ELSE CAST(COALESCE(max(c.cnt), 0) AS DOUBLE)
+                 / CAST(sum(c.cnt) AS DOUBLE) END AS f
+           FROM aug a LEFT JOIN counted c ON a.doc_id = c.doc_id
+           GROUP BY a.doc_id
+         ), p1 AS (
+           SELECT a.doc_id, a.text AS t0, regexp_replace(a.text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+             '<EMAIL>', 'g') AS t1
+           FROM aug a JOIN frac ON a.doc_id = frac.doc_id
+           WHERE frac.f >= 0.06
+         ), p2 AS (
+           SELECT doc_id, t0, t1, regexp_replace(t1,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+             '<IP>', 'g') AS t2
+           FROM p1
+         )
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t0,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+             + len(regexp_extract_all(t1,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+             + len(regexp_extract_all(t2, '\b[0-9]{9,}\b')) AS BIGINT) AS n_pii,
+           regexp_replace(t2, '\b[0-9]{9,}\b', '<PHONE>', 'g') AS clean
+         FROM p2 ORDER BY doc_id""",
     "ql26_lang_text_scalars" ->
       """WITH f AS (
            SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt,
@@ -2665,6 +2735,27 @@ object SparkEntry {
                      THEN 0.5 ELSE 1.0 END)
              * (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(na AS DOUBLE) / length(text) END)) AS score
          FROM f""",
+    "x35_weighted_sample" ->
+      """WITH f AS (
+           SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tc,
+             length(regexp_replace(text, '\s+', '', 'g')) AS nws,
+             length(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS na
+           FROM documents
+         ), q AS (
+           SELECT doc_id,
+             (least(CAST(tc AS DOUBLE) / 50.0, 1.0)
+               * least(1.0, 1000.0 / greatest(CAST(tc AS DOUBLE), 1.0))
+               * (CASE WHEN (CASE WHEN tc = 0 THEN 0.0 ELSE CAST(nws AS DOUBLE) / tc END) < 3.0
+                         OR (CASE WHEN tc = 0 THEN 0.0 ELSE CAST(nws AS DOUBLE) / tc END) > 10.0
+                       THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(na AS DOUBLE) / length(text) END)) AS q
+           FROM f
+         )
+         SELECT doc_id, q FROM q
+         WHERE CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS DOUBLE)
+               / 1000000.0 < greatest(0.0, least(1.0, q))""",
     "x06_minhash_sig" ->
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk, trim(text) AS tt

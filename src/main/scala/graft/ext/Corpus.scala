@@ -64,6 +64,21 @@ object Corpus {
         F.size(F.split(F.col("chunk_text"), " ")).cast(LongType))
   }
 
+  /** Quality-weighted sampling: keep each row with probability equal
+    * to its weight column (clamped to [0,1]) — the standard
+    * "sample proportional to quality score" corpus move. The uniform
+    * is an md5-derived function of the row key (domain-separated), so
+    * the decision is deterministic per document: re-runs keep exactly
+    * the same rows, and the sample is reproducible in any engine.
+    * Pure per-row predicate — scan-parallel, join-free, no shuffle.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column): DataFrame = {
+    val u = (TextAnalysis.h60(
+      F.concat(F.lit("wsample:"), key.cast("string"))) % 1000000L)
+      .cast("double") / 1000000.0
+    df.filter(u < F.greatest(F.lit(0.0), F.least(F.lit(1.0), weight)))
+  }
+
   /** Gopher-style repetition signals (the standard quality filters for
     * web corpora: Rae et al. 2021 §A1.1): per-document fraction of
     * duplicated lines, fraction of characters in duplicated lines, and

@@ -1538,7 +1538,8 @@ object Interp {
       "zipjoin", "zipjoin_left", "zipjoin_longest", "map_range",
       "import_table", "import_json", "import_csv", "dir",
       "run_statement", "dedup_exact", "near_dup_pairs", "ann_topk",
-      "train_split", "chunk_docs", "pack_sequences")
+      "train_split", "chunk_docs", "pack_sequences",
+      "repetition_signals", "decontaminate", "weighted_sample")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1651,6 +1652,27 @@ object Interp {
             tab.df.col(litString(args(1).value)),
             tab.df.col(litString(args(2).value)),
             constLong(args(3).value).toInt, constLong(args(4).value).toInt))
+        case "weighted_sample" =>
+          if (args.length != 3)
+            throw new TypeError(
+              "weighted_sample(t, \"key_col\", \"weight_col\")")
+          val tab = t(args(0).value)
+          PTable(graft.ext.Corpus.weightedSample(tab.df,
+            tab.df.col(litString(args(1).value)),
+            tab.df.col(litString(args(2).value))))
+        case "repetition_signals" =>
+          if (args.length != 3)
+            throw new TypeError(
+              "repetition_signals(t, \"id_col\", \"text_col\")")
+          PTable(graft.ext.Corpus.repetitionSignals(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value)))
+        case "decontaminate" =>
+          if (args.length != 5)
+            throw new TypeError(
+              "decontaminate(t, \"id_col\", \"text_col\", bench_t, \"bench_text_col\")")
+          PTable(graft.ext.Corpus.decontaminate(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value),
+            t(args(3).value).df, litString(args(4).value)))
         case "pack_sequences" =>
           if (args.length != 4)
             throw new TypeError(
@@ -2767,11 +2789,11 @@ object Interp {
         case "length" | "int" | "char_ord" | "str_index" | "year" |
              "month" | "day" | "hour" | "minute" | "day_of_week" |
              "week_of_year" | "count" | "count_distinct" | "count_true" |
-             "count_false" | "token_count" => Some(LongType)
+             "count_false" | "token_count" | "pii_count" => Some(LongType)
         case "float" | "mean" | "avg" | "stddev" | "median" | "pi" |
              "random" | "product" | "approx_product" |
              "quality_score" => Some(DoubleType)
-        case "lang_id" | "fingerprint" => Some(StringType)
+        case "lang_id" | "fingerprint" | "redact_pii" => Some(StringType)
         case "bool" | "str_contains" => Some(BooleanType)
         case "iif" if args.length == 3 =>
           inferType(args(1).value, schema)
@@ -3060,6 +3082,8 @@ object Interp {
       case "quality_score" => arity(1)
         graft.ext.TextAnalysis.qualityScore(a(0))
       case "fingerprint" => arity(1); graft.ext.TextAnalysis.fingerprint(a(0))
+      case "redact_pii" => arity(1); graft.ext.TextAnalysis.redactPii(a(0))
+      case "pii_count" => arity(1); graft.ext.TextAnalysis.piiCount(a(0))
       case "year" => arity(1); PF.year(a(0))
       case "month" => arity(1); PF.month(a(0))
       case "day" => arity(1); PF.day(a(0))

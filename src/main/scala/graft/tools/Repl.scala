@@ -83,9 +83,10 @@ object Repl {
     "connect", "commit", "add_index", "debug", "_breakpoint",
     // engine extensions: pipeline scalars + table operators
     "token_count", "subword_count", "lang_id", "quality_score",
-    "fingerprint",
+    "fingerprint", "redact_pii", "pii_count",
     "dedup_exact", "near_dup_pairs", "ann_topk",
-    "train_split", "chunk_docs", "pack_sequences")
+    "train_split", "chunk_docs", "pack_sequences",
+    "repetition_signals", "decontaminate", "weighted_sample")
 
   /** The position of the innermost still-open `{` or `[` (outside
     * strings/comments), or -1 — its base expression scopes completion

@@ -760,6 +760,21 @@ class ExtSpec extends SparkSpec {
     assert(twice)
   }
 
+  test("weightedSample: deterministic, clamps, roughly proportional") {
+    val df = spark.range(2000).toDF("id")
+    // weight 0 keeps nothing, weight 2 (clamped to 1) keeps all
+    assert(Corpus.weightedSample(df, col("id"), lit(0.0)).count() == 0)
+    assert(Corpus.weightedSample(df, col("id"), lit(2.0)).count() == 2000)
+    // deterministic: same rows on re-run
+    val a = Corpus.weightedSample(df, col("id"), lit(0.3))
+      .collect().map(_.getLong(0)).toSet
+    val b = Corpus.weightedSample(df, col("id"), lit(0.3))
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // roughly proportional (md5 uniforms: ±5 pp at n=2000)
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05, s"kept ${a.size}")
+  }
+
   test("fuzzy keep-list keeps exactly one representative per planted cluster") {
     val base = docs.select(col("doc_id"), col("text")).limit(40)
     // plant: two extra near-exact copies of every 10th doc

@@ -293,4 +293,28 @@ class GraphStreamingSpec extends SparkSpec {
     assert(last.getLong(1) == 3L && last.getDouble(2) == 10.0)
     q.stop()
   }
+
+  test("hygiene gates (redaction + weighted sampling) lift to streams unchanged") {
+    // redactPii/piiCount and the weightedSample predicate are pure
+    // per-row expressions — continuous-ingestion hygiene needs no
+    // state, no watermark, no adaptation
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val gated = graft.ext.Corpus.weightedSample(
+      df, col("doc_id"), when(col("doc_id") < 100, 1.0).otherwise(0.0))
+    val out = gated.select(col("doc_id"),
+      graft.ext.TextAnalysis.piiCount(col("text")).as("n_pii"),
+      graft.ext.TextAnalysis.redactPii(col("text")).as("clean"))
+    val q = out.writeStream.format("memory").queryName("stream_hygiene_test")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((1L, "mail a@b.io now"), (2L, "clean words"),
+      (500L, "weight-zero row must drop"))
+    q.processAllAvailable()
+    val rows = spark.table("stream_hygiene_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, 1L, "mail <EMAIL> now"), (2L, 0L, "clean words")))
+    q.stop()
+  }
 }

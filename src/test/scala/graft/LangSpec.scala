@@ -1237,6 +1237,35 @@ class LangSpec extends SparkSpec {
     }
   }
 
+  test("corpus hygiene operators callable from the language") {
+    val docs = Tables.load(spark, sf, "documents")
+    // repetition_signals == the Scala operator, row for row
+    val viaLang = Interp.run(spark,
+      """repetition_signals(documents, "doc_id", "text")""",
+      "documents" -> docs).df.collect()
+      .map(r => (r.getLong(0), r.getDouble(4))).toMap
+    val direct = graft.ext.Corpus.repetitionSignals(docs.df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toMap
+    assert(viaLang == direct)
+    // redact_pii / pii_count as projection scalars
+    val red = Interp.run(spark,
+      """rows = [{id: 1, t: "mail a@b.io now"}, {id: 2, t: "clean"}]
+        |rows {id, n: pii_count(t), r: redact_pii(t)} order {id}""".stripMargin)
+      .df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(red.toSeq == Seq((1L, 1L, "mail <EMAIL> now"), (2L, 0L, "clean")))
+    // decontaminate drops the doc sharing the eval set's text
+    val kept = Interp.run(spark,
+      """bench = documents[doc_id == 3] {btext: text}
+        |decontaminate(documents[doc_id < 10], "doc_id", "text", bench, "btext")
+        |""".stripMargin, "documents" -> docs).df
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(3L) && kept.contains(1L))
+    intercept[graft.types.TypeError] {
+      Interp.run(spark, """repetition_signals(documents)""",
+        "documents" -> docs)
+    }
+  }
+
   test("debug() pauses into a live-state REPL; bindings persist") {
     // reference pql_functions.py:231-243: the debugger IS the REPL
     // environment — statements mutate the paused program's state,
