@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // a full bench/verify pass JIT-compiles hundreds of generated
+  // whole-stage-codegen classes; give the code cache headroom over
+  // the 240 MB default so late-run compilation never degrades
+  "-XX:ReservedCodeCacheSize=1g",
 )

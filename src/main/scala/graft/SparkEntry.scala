@@ -499,6 +499,21 @@ object SparkEntry {
       graft.ext.Dedup.minhashPairs(synthDocs(s, 150000L), "doc_id",
         "text", 0.8, hasher = graft.ext.Dedup.fastHasher)),
 
+    // decontamination at scale: 300k synthetic docs (the x26 corpus),
+    // every 2000th doc is the "eval set" (150 docs); each eval doc's
+    // planted near-dup partner shares 8-grams and must drop. The eval
+    // side reduces to a broadcast DISTINCT gram table — the 300k-doc
+    // corpus streams through the probe without shuffling. Production
+    // xxhash64 path; rows-only by design.
+    "x36_decontam_300k" -> ((s, d) => {
+      val all = synthDocs(s, 150000L)
+      graft.ext.Corpus.decontaminate(
+        all.filter(col("doc_id") % 2000 =!= 0), "doc_id", "text",
+        all.filter(col("doc_id") % 2000 === 0), "text", n = 8,
+        hasher = graft.ext.Dedup.fastHasher)
+        .agg(F.count(lit(1)).as("kept"))
+    }),
+
     "x19_minhash_fast" -> ((s, d) =>
       graft.ext.Dedup.minhashPairs(augDocs(s, d), "doc_id", "text", 0.8,
         hasher = graft.ext.Dedup.fastHasher)),
@@ -612,6 +627,19 @@ object SparkEntry {
       val emb = t(s, d, "embeddings").df
       graft.ext.Similarity.ivfTopK(
         emb.filter(col("vec_id") < 5), emb, 10, nCentroids = 16, nProbe = 4)
+    }),
+
+    // the persisted-index twin of x17: build the IVF index to parquet
+    // (inverted lists partitioned by centroid_id), query via static
+    // partition pruning — identical results (round-trip is lossless),
+    // but the corpus scan reads only probed lists
+    "x37_ann_ivf_indexed" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_ivf_idx_" + new java.io.File(d).getName).getAbsolutePath
+      graft.ext.Similarity.buildIvfIndex(emb, dir, nCentroids = 16)
+      graft.ext.Similarity.ivfTopKIndexed(
+        emb.filter(col("vec_id") < 5), dir, 10, nProbe = 4)
     }),
 
     // ---- ext: range join (binned equi-join, no nested loop) --------------
@@ -1964,6 +1992,52 @@ object SparkEntry {
           lit(100000L)))))
         .as("text"))
 
+  /** Shared by x17 (in-memory IVF) and x37 (persisted, partition-
+    * pruned IVF): the parquet index round-trip is lossless, so both
+    * must produce bit-identical results.
+    */
+  private val ivfOracleSql: String =
+    """WITH cent AS (
+           SELECT vec_id AS centroid_id, embedding AS cvec,
+             sqrt(list_reduce(list_prepend(0.0, [CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)
+               for i in range(0, len(embedding))]), (acc, v) -> acc + v)) AS cn
+           FROM embeddings
+           WHERE (vec_id * 2654435761) % 1000000 < 62500
+           ORDER BY vec_id LIMIT 16
+         ), assigned AS (
+           SELECT vec_id, embedding, centroid_id FROM (
+             SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_reduce(list_prepend(0.0, [CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cvec[i+1] AS DOUBLE)
+                   for i in range(0, len(e.embedding))]), (acc, v) -> acc + v) / c.cn DESC,
+                 c.centroid_id) AS rn
+             FROM embeddings e CROSS JOIN cent c
+           ) WHERE rn = 1
+         ), probes AS (
+           SELECT query_id, qvec, centroid_id FROM (
+             SELECT q.vec_id AS query_id, q.embedding AS qvec, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_reduce(list_prepend(0.0, [CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.cvec[i+1] AS DOUBLE)
+                   for i in range(0, len(q.embedding))]), (acc, v) -> acc + v) / c.cn DESC,
+                 c.centroid_id) AS rn
+             FROM embeddings q CROSS JOIN cent c
+             WHERE q.vec_id < 5
+           ) WHERE rn <= 4
+         ), scored AS (
+           SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_reduce(list_prepend(0.0, [CAST(p.qvec[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE)
+               for i in range(0, len(p.qvec))]), (acc, v) -> acc + v)
+             / sqrt(list_reduce(list_prepend(0.0, [CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE)
+               for i in range(0, len(a.embedding))]), (acc, v) -> acc + v)) AS sim
+           FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+           WHERE p.query_id <> a.vec_id
+         )
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored
+         ) WHERE rank <= 10"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_projection" ->
       "SELECT c_custkey, upper(c_name) AS name_upper, c_acctbal AS bal FROM customer",
@@ -2872,47 +2946,8 @@ object SparkEntry {
     // 0.0 = FloatVecDot's accumulation), dot/cn centroid ranking (norm
     // of the probing vector is a positive constant — argmax-invariant),
     // row_number ties broken by id everywhere.
-    "x17_ann_ivf" ->
-      """WITH cent AS (
-           SELECT vec_id AS centroid_id, embedding AS cvec,
-             sqrt(list_reduce(list_prepend(0.0, [CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)
-               for i in range(0, len(embedding))]), (acc, v) -> acc + v)) AS cn
-           FROM embeddings
-           WHERE (vec_id * 2654435761) % 1000000 < 62500
-           ORDER BY vec_id LIMIT 16
-         ), assigned AS (
-           SELECT vec_id, embedding, centroid_id FROM (
-             SELECT e.vec_id, e.embedding, c.centroid_id,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_reduce(list_prepend(0.0, [CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cvec[i+1] AS DOUBLE)
-                   for i in range(0, len(e.embedding))]), (acc, v) -> acc + v) / c.cn DESC,
-                 c.centroid_id) AS rn
-             FROM embeddings e CROSS JOIN cent c
-           ) WHERE rn = 1
-         ), probes AS (
-           SELECT query_id, qvec, centroid_id FROM (
-             SELECT q.vec_id AS query_id, q.embedding AS qvec, c.centroid_id,
-               row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                 list_reduce(list_prepend(0.0, [CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.cvec[i+1] AS DOUBLE)
-                   for i in range(0, len(q.embedding))]), (acc, v) -> acc + v) / c.cn DESC,
-                 c.centroid_id) AS rn
-             FROM embeddings q CROSS JOIN cent c
-             WHERE q.vec_id < 5
-           ) WHERE rn <= 4
-         ), scored AS (
-           SELECT p.query_id, a.vec_id AS neighbor_id,
-             list_reduce(list_prepend(0.0, [CAST(p.qvec[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE)
-               for i in range(0, len(p.qvec))]), (acc, v) -> acc + v)
-             / sqrt(list_reduce(list_prepend(0.0, [CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE)
-               for i in range(0, len(a.embedding))]), (acc, v) -> acc + v)) AS sim
-           FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
-           WHERE p.query_id <> a.vec_id
-         )
-         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
-           SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-           FROM scored
-         ) WHERE rank <= 10""",
+    "x17_ann_ivf" -> ivfOracleSql,
+    "x37_ann_ivf_indexed" -> ivfOracleSql,
     "x12_cosine_pairs" ->
       """WITH aug AS (
            SELECT vec_id, embedding, label FROM embeddings

@@ -158,21 +158,40 @@ object Corpus {
     * shingle (`Dedup.shinglesFromTokens`), so a verbatim short eval
     * doc still contaminates its copies.
     */
-  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
-                    bench: DataFrame, benchTextCol: String, n: Int = 8,
-                    hasher: Column => Column = Dedup.portableHasher): DataFrame = {
-    def gramHashes(text: Column): Column =
-      F.transform(
-        Dedup.shinglesFromTokens(TextAnalysis.tokens(text), F.trim(text), n),
-        s => hasher(s))
-    val benchGrams = bench
-      .select(F.explode(gramHashes(F.col(benchTextCol))).as("gh")).distinct()
+  private def gramHashes(text: Column, n: Int,
+                         hasher: Column => Column): Column =
+    F.transform(
+      Dedup.shinglesFromTokens(TextAnalysis.tokens(text), F.trim(text), n),
+      s => hasher(s))
+
+  /** The eval set reduced to its DISTINCT n-gram hashes — one `gh`
+    * column. Computed once and reused (the streaming twin materializes
+    * it so per-trigger batches don't re-hash the eval suite).
+    */
+  def benchGramSet(bench: DataFrame, benchTextCol: String, n: Int = 8,
+                   hasher: Column => Column = Dedup.portableHasher): DataFrame =
+    bench.select(F.explode(gramHashes(F.col(benchTextCol), n, hasher))
+      .as("gh")).distinct()
+
+  /** Decontamination against an already-prepared gram set (see
+    * `benchGramSet`).
+    */
+  def decontaminateWithGrams(docs: DataFrame, idCol: String, textCol: String,
+                             benchGrams: DataFrame, n: Int = 8,
+                             hasher: Column => Column = Dedup.portableHasher): DataFrame = {
     val contaminated = Dedup.ensureParallelism(docs)
-      .select(F.col(idCol), F.explode(gramHashes(F.col(textCol))).as("gh"))
+      .select(F.col(idCol),
+        F.explode(gramHashes(F.col(textCol), n, hasher)).as("gh"))
       .join(F.broadcast(benchGrams), "gh")
       .select(F.col(idCol)).distinct()
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String, n: Int = 8,
+                    hasher: Column => Column = Dedup.portableHasher): DataFrame =
+    decontaminateWithGrams(docs, idCol, textCol,
+      benchGramSet(bench, benchTextCol, n, hasher), n, hasher)
 
   /** Sequence packing, concat-and-split attribution: documents are
     * laid out contiguously in `order` and cut every `budget` tokens;

@@ -388,6 +388,68 @@ object Similarity {
     rankTopK(scored, k) // bounded-state grouped top-k (see rankTopK)
   }
 
+  /** Persist an IVF index: the assigned corpus written PARTITIONED BY
+    * centroid_id — each inverted list is its own parquet
+    * directory — plus the centroid table. The production "build once,
+    * query many" shape: the expensive pass (centroid fit + assignment)
+    * runs once; every later query batch reads ONLY its probed lists
+    * via partition pruning.
+    */
+  def buildIvfIndex(corpus: DataFrame, dir: String, nCentroids: Int = 16,
+                    kmeansIters: Int = 0, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val (assigned, centroids) =
+      if (kmeansIters > 0)
+        ivfAssignKMeans(corpus, nCentroids, kmeansIters, idCol, vecCol)
+      else ivfAssign(corpus, nCentroids, idCol, vecCol)
+    assigned.write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(dir + "/lists")
+    centroids.write.mode("overwrite").parquet(dir + "/centroids")
+  }
+
+  /** IVF top-k against a PERSISTED index (see `buildIvfIndex`):
+    * identical results to `ivfTopK` over the same corpus/centroids
+    * (the parquet round-trip is lossless), but the corpus scan reads
+    * only the probed partitions — `PartitionFilters: centroid_id IN
+    * (...)` in the plan, so at 100 TB a query batch touches
+    * nProbe-ish/nCentroids of the files instead of all of them.
+    *
+    * The probed-centroid set is collected to the driver (≤ queries ×
+    * nProbe ids — query batches are bounded; the query side already
+    * broadcasts) and embedded as an IN-list literal: STATIC pruning,
+    * visible and assertable in the plan, rather than runtime DPP.
+    */
+  def ivfTopKIndexed(queries: DataFrame, dir: String, k: Int,
+                     nProbe: Int = 4, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(dir + "/centroids")
+    val lists = spark.read.parquet(dir + "/lists")
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("_qsim").desc, col("centroid_id").asc)
+    val probes = F.broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .join(centroids)
+      .select(col("query_id"), col("qvec"), col("centroid_id"),
+        (fdot(col("qvec"), col("cvec")) / col("cn")).as("_qsim"))
+      .withColumn("_r", F.row_number().over(qw))
+      .filter(col("_r") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("centroid_id"))
+      .localCheckpoint(true)) // probed twice: the id collect + the join
+    val probedIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0))
+    val pruned = lists.filter(col("centroid_id").isin(probedIds: _*))
+    val scored = probes
+      .join(pruned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        fdot(col("qvec"), col(vecCol)).as("_dot"),
+        fnorm(col(vecCol)).as("_cn"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosSim(col("_dot"), col("_cn")).as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** Top-`p` dimensions of the L2-NORMALIZED vectors by variance —
     * the dims where the data spreads most, hence where an epsilon-grid
     * prunes best. One posexplode scan + a dim-keyed partial aggregation

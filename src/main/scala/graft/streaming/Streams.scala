@@ -95,6 +95,32 @@ object Streams {
     nearDupStreamSimhash(gated, tsCol, watermark, textCol)
   }
 
+  /** Continuous benchmark decontamination: each micro-batch of
+    * incoming documents runs the BATCH decontamination operator
+    * against a static eval set (stream-static composition, one code
+    * path). The eval set reduces to its distinct n-gram hashes ONCE at
+    * start and is materialized — per-trigger recomputation would
+    * re-hash the whole eval suite on every batch. Stateless across
+    * batches (a doc's verdict depends only on itself and the static
+    * gram set), so state never grows; the broadcast probe shape is
+    * identical to the batch plan.
+    */
+  def decontaminateStream(docs: DataFrame, idCol: String, textCol: String,
+                          bench: DataFrame, benchTextCol: String, n: Int = 8)
+                         (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val benchGrams = graft.ext.Corpus.benchGramSet(bench, benchTextCol, n)
+      .localCheckpoint(true)
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.ext.Corpus.decontaminateWithGrams(
+            batch, idCol, textCol, benchGrams, n), id)
+      }
+      .start()
+  }
+
   /** Streaming MinHash-LSH near-dup band admissions: each document
     * explodes to its (band, bucket) keys; a band row is ADMITTED if
     * that (band, bucket) was not seen within the watermark horizon.

@@ -760,6 +760,29 @@ class ExtSpec extends SparkSpec {
     assert(twice)
   }
 
+  test("persisted IVF index: identical results to in-memory ivfTopK; probed-partition scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec")
+      .toString
+    Similarity.buildIvfIndex(emb, dir, nCentroids = 8)
+    val queries = emb.filter(col("vec_id") < 3)
+    val indexed = Similarity.ivfTopKIndexed(queries, dir, 5, nProbe = 2)
+    val direct = Similarity.ivfTopK(queries, emb, 5, nCentroids = 8, nProbe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows(indexed) == rows(direct))
+    // the lists scan must carry a partition filter on centroid_id —
+    // only probed inverted lists are read
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("centroid_id"),
+      s"no partition pruning on the inverted lists:\n$plan")
+    // build once, query twice: a second batch reuses the same index
+    val q2 = Similarity.ivfTopKIndexed(
+      emb.filter(col("vec_id") >= 3 && col("vec_id") < 5), dir, 5, nProbe = 2)
+    assert(q2.select("query_id").distinct().count() == 2)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("weightedSample: deterministic, clamps, roughly proportional") {
     val df = spark.range(2000).toDF("id")
     // weight 0 keeps nothing, weight 2 (clamped to 1) keeps all

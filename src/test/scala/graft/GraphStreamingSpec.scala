@@ -294,6 +294,29 @@ class GraphStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming decontamination == batch operator, per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val benchDoc = (1 to 12).map(i => s"e$i").mkString(" ")
+    val bench = Seq((100L, benchDoc)).toDF("bid", "btext")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = graft.streaming.Streams.decontaminateStream(
+      docs, "doc_id", "text", bench, "btext") { (kept, _) =>
+        got.synchronized { got ++= kept.collect().map(_.getLong(0)) }
+      }
+    val batchRows = Seq(
+      1L -> ("clean words " + (1 to 12).map(i => s"w$i").mkString(" ")),
+      2L -> ("leaky prefix " + (1 to 12).map(i => s"e$i").mkString(" ")))
+    mem.addData(batchRows: _*)
+    q.processAllAvailable()
+    // second micro-batch: decisions are independent, state never grows
+    mem.addData(3L -> ("also clean " + (1 to 12).map(i => s"v$i").mkString(" ")))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("hygiene gates (redaction + weighted sampling) lift to streams unchanged") {
     // redactPii/piiCount and the weightedSample predicate are pure
     // per-row expressions — continuous-ingestion hygiene needs no

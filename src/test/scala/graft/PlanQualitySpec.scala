@@ -549,6 +549,14 @@ class PlanQualitySpec extends SparkSpec {
       s"redaction must not shuffle:\n$p")
   }
 
+  test("persisted IVF query prunes to the probed inverted-list partitions") {
+    val p = planOf("x37_ann_ivf_indexed")
+    assert(p.contains("PartitionFilters") && p.contains("centroid_id"),
+      s"lists scan must prune on centroid_id:\n$p")
+    assert(p.contains("partial_graft_topk"),
+      s"ranking must stay the bounded aggregate:\n$p")
+  }
+
   test("fuzzy keep-list: bucketed LSH joins only, anti-join back") {
     val p = planOf("x34_fuzzy_keep")
     assert(p.contains("LeftAnti"), s"kept set must anti-join removals:\n$p")
