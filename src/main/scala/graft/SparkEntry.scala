@@ -1932,6 +1932,73 @@ object SparkEntry {
           graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
     }),
 
+    // CCNet-style cross-document line dedup: drop units appearing in
+    // more than maxDocs distinct documents, reassemble in order.
+    // Delimiter " " makes words the unit on this corpus (it has no
+    // newlines) — the machinery (explode, doc-frequency count,
+    // anti-join, ordered reassembly) is delimiter-independent.
+    "x38_line_dedup" -> ((s, d) =>
+      graft.ext.Corpus.lineDedup(t(s, d, "documents").df,
+        "doc_id", "text", maxDocs = 300, delim = " ")),
+
+    // weighted corpus mixing under a token budget: heads sources
+    // 3x-weighted, rates = min(1, budget*share/tokens), md5-uniform
+    // keep decisions — the whole mixture sits under the oracle
+    "x39_corpus_mix" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val weights = (0 until 20)
+        .map(i => s"src$i" -> (if (i < 4) 3.0 else 1.0)).toMap
+      graft.ext.Corpus.mixBySource(docs, "doc_id", "source",
+          graft.ext.TextAnalysis.tokenCount(col("text")),
+          weights, budgetTokens = 20000L)
+        .groupBy("source").agg(F.count(lit(1)).as("n_docs"),
+          F.sum(graft.ext.TextAnalysis.tokenCount(col("text"))
+            .cast(LongType)).as("kept_tokens"))
+    }),
+
+    // incremental dedup against a persisted fingerprint index: batch
+    // docs removed either by the index (historical dup) or by
+    // first-in-batch (intra-batch dup) — both paths exercised
+    "x40_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_fp_idx_" + new java.io.File(d).getName).getAbsolutePath
+      graft.ext.Dedup.buildFpIndex(
+        docs.filter(col("doc_id") % 3 === 0), "text", dir)
+      val incoming = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      graft.ext.Dedup.dedupAgainstIndex(incoming, "doc_id", "text", dir)
+        .select(col("doc_id"))
+    }),
+
+    // deterministic shard assignment for training export: md5 mod n,
+    // per-shard stats incl. the md5-order head doc (what writeShards
+    // physically lays out first)
+    "x41_shuffle_shards" -> ((s, d) => {
+      val sharded = graft.ext.Corpus.shardAssign(
+        t(s, d, "documents").df, col("doc_id"), 8)
+      sharded.withColumn("h", graft.ext.TextAnalysis.h60(
+          F.concat(lit("ord:"), col("doc_id").cast(StringType))))
+        .groupBy("shard").agg(F.count(lit(1)).as("n_docs"),
+          F.min("doc_id").as("min_id"),
+          F.min_by(col("doc_id"), col("h")).as("first_doc"))
+    }),
+
+    // SemDeDup-style semantic dedup: cosine pair graph -> connected
+    // components -> keep the minimum id per cluster; the full chain
+    // (pairs + recursive closure + anti-join) under one oracle
+    "x42_semantic_dedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val aug = emb.select(col("vec_id"), col("embedding"), col("label"))
+        .unionAll(emb.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            col("embedding"), col("label")))
+      graft.ext.Similarity.semanticDedup(aug, 0.999, "label")
+        .select(col("vec_id"), col("label"))
+    }),
+
     // ---- §2.6 first / first_or_null / is_empty as values -----------------
     "q56_first_scalars" -> ((s, d) => {
       val c = t(s, d, "customer").orderBy("c_custkey")
@@ -3547,6 +3614,123 @@ object SparkEntry {
       """SELECT (SELECT c_name FROM customer ORDER BY c_custkey LIMIT 1) AS first_name,
            CAST(1 AS BOOLEAN) AS empty_is_empty,
            CAST(NULL AS VARCHAR) AS first_of_empty""",
+    "x38_line_dedup" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents
+         ), ex AS (
+           SELECT doc_id, unnest(toks) AS w,
+             unnest(range(1, len(toks) + 1)) AS pos
+           FROM tk
+         ), exf AS (
+           SELECT * FROM ex WHERE w <> ''
+         ), bad AS (
+           SELECT w FROM (
+             SELECT w, count(DISTINCT doc_id) AS dfreq FROM exf GROUP BY w
+           ) WHERE dfreq > 300
+         ), kept AS (
+           SELECT e.doc_id, e.pos, e.w
+           FROM exf e LEFT JOIN bad b ON e.w = b.w WHERE b.w IS NULL
+         ), reb AS (
+           SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+           FROM kept GROUP BY doc_id
+         ), tot AS (
+           SELECT doc_id, count(*) AS n_tot FROM exf GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+           coalesce(reb.clean_text, '') AS clean_text,
+           coalesce(reb.n_kept, 0) AS n_kept,
+           coalesce(tot.n_tot, 0) - coalesce(reb.n_kept, 0) AS n_removed
+         FROM documents d
+         LEFT JOIN reb ON d.doc_id = reb.doc_id
+         LEFT JOIN tot ON d.doc_id = tot.doc_id""",
+
+    "x39_corpus_mix" ->
+      """WITH f AS (
+           SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+           FROM documents
+         ), tot AS (
+           SELECT source, sum(nt) AS t FROM f GROUP BY source
+         ), r AS (
+           SELECT source,
+             least(1.0, (CAST(20000 AS DOUBLE) *
+               ((CASE WHEN source IN ('src0','src1','src2','src3')
+                      THEN 3.0 ELSE 1.0 END) / 28.0)) / CAST(t AS DOUBLE))
+               AS rate
+           FROM tot
+         )
+         SELECT f.source, count(*) AS n_docs,
+           CAST(sum(f.nt) AS BIGINT) AS kept_tokens
+         FROM f JOIN r ON f.source = r.source
+         WHERE CAST((('0x' || substr(md5('mix:' || f.source || ':' ||
+             CAST(f.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) AS DOUBLE)
+             / 1000000.0 < r.rate
+         GROUP BY f.source""",
+
+    "x40_dedup_incremental" ->
+      """WITH fp AS (
+           SELECT doc_id,
+             md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+           FROM documents
+         ), idx AS (
+           SELECT DISTINCT fp FROM fp WHERE doc_id % 3 = 0
+         ), inc AS (
+           SELECT doc_id, fp FROM fp WHERE doc_id % 3 <> 0
+           UNION ALL
+           SELECT doc_id + 10000, fp FROM fp WHERE doc_id % 50 = 0
+         ), firsts AS (
+           SELECT fp, min(doc_id) AS doc_id FROM inc GROUP BY fp
+         )
+         SELECT f.doc_id FROM firsts f
+         LEFT JOIN idx i ON f.fp = i.fp WHERE i.fp IS NULL""",
+
+    "x41_shuffle_shards" ->
+      """WITH h AS (
+           SELECT doc_id,
+             ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 8 AS shard,
+             ('0x' || substr(md5('ord:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hh
+           FROM documents
+         )
+         SELECT shard, count(*) AS n_docs, min(doc_id) AS min_id,
+           arg_min(doc_id, hh) AS first_doc
+         FROM h GROUP BY shard""",
+
+    "x42_semantic_dedup" ->
+      """WITH RECURSIVE aug AS (
+           SELECT vec_id, embedding, label FROM embeddings
+           UNION ALL SELECT vec_id + 10000, embedding, label
+           FROM embeddings WHERE vec_id % 20 = 0
+         ), pairs AS (
+           SELECT id_a, id_b FROM (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum([CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)
+                 for i in range(0, len(a.embedding))])
+               / (sqrt(list_sum([CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE)
+                   for i in range(0, len(a.embedding))]))
+                 * sqrt(list_sum([CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)
+                   for i in range(0, len(b.embedding))]))) AS sim
+             FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+           ) WHERE sim >= 0.999
+         ), edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs
+         ), reach(src, dst) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         ), canon AS (
+           SELECT src AS id, min(dst) AS cl FROM reach GROUP BY src
+         ), dropped AS (
+           SELECT id FROM canon WHERE cl <> id
+         )
+         SELECT a.vec_id, a.label FROM aug a
+         LEFT JOIN dropped dr ON a.vec_id = dr.id WHERE dr.id IS NULL""",
+
     "x15_dup_clusters" ->
       """WITH RECURSIVE docs AS (
            SELECT doc_id, text FROM documents

@@ -193,6 +193,132 @@ object Corpus {
     decontaminateWithGrams(docs, idCol, textCol,
       benchGramSet(bench, benchTextCol, n, hasher), n, hasher)
 
+  /** CCNet-style cross-document line deduplication (Wenzek et al.
+    * 2020 §3.1): drop every line whose normalized form appears in more
+    * than `maxDocs` distinct documents — the standard boilerplate
+    * remover (headers, cookie banners, navigation chrome) for web
+    * corpora — and reassemble each document from its surviving lines
+    * in original order.
+    *
+    * Scale shape (everything linear in corpus size, nothing
+    * quadratic):
+    *  1. one scan → posexplode(lines) — positions ride along so
+    *     reassembly needs no second look at the text;
+    *  2. document frequency per line via two hash aggregations
+    *     ((line-hash, doc) dedup then count), both with map-side
+    *     partials — shuffle keys are 60-bit md5 hashes, not line text;
+    *  3. the frequent set (df > maxDocs) is tiny by construction —
+    *     AQE turns the anti-join into a broadcast at runtime;
+    *  4. reassembly shuffles (doc_id, pos, line) once and rebuilds
+    *     with sort_array(collect_list(struct(pos, line))) — per-doc
+    *     arrays, bounded by document size.
+    * Fully-boilerplate documents come back as empty text (a join back
+    * to the id spine keeps them visible to downstream gates), mirroring
+    * the explode_outer guard in `repetitionSignals`.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                maxDocs: Long, delim: String = "\n"): DataFrame = {
+    val lines = F.split(F.col(textCol),
+      java.util.regex.Pattern.quote(delim))
+    val keyed = Dedup.ensureParallelism(df)
+      .select(F.col(idCol).as("doc_id"),
+        F.posexplode(lines).as(Seq("pos", "line")))
+      .filter(F.trim(F.col("line")) =!= "")
+      .withColumn("lk", TextAnalysis.h60(F.trim(F.col("line"))))
+    val frequent = keyed.select("lk", "doc_id").distinct()
+      .groupBy("lk").agg(F.count(F.lit(1)).as("docfreq"))
+      .filter(F.col("docfreq") > maxDocs)
+      .select(F.col("lk"), F.lit(1).as("_bad"))
+    val flagged = keyed.join(frequent, Seq("lk"), "left")
+    val rebuilt = flagged.groupBy("doc_id").agg(
+      F.sum(F.when(F.col("_bad").isNull, 1L).otherwise(0L)).as("n_kept"),
+      F.sum(F.when(F.col("_bad").isNull, 0L).otherwise(1L)).as("n_removed"),
+      F.array_join(
+        F.transform(
+          F.array_sort(F.collect_list(
+            F.when(F.col("_bad").isNull,
+              F.struct(F.col("pos"), F.col("line"))))),
+          s => s.getField("line")), delim).as("clean_text"))
+    df.select(F.col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(F.col("doc_id"),
+        F.coalesce(F.col("clean_text"), F.lit("")).as("clean_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0L)).as("n_kept"),
+        F.coalesce(F.col("n_removed"), F.lit(0L)).as("n_removed"))
+  }
+
+  /** Weighted corpus mixing under a token budget (the data-mixture
+    * move: sample each source at a rate proportional to its mixture
+    * weight, capped at 1.0 — cf. the fixed mixture weights of
+    * GPT-3/Pile-style training setups). Per-source keep rate =
+    * min(1, budget·(wᵢ/Σw) / tokensᵢ); the keep decision is an
+    * md5-derived uniform of (source, id), so re-runs and engines agree
+    * row-for-row.
+    *
+    * Scale shape: pass 1 aggregates per-source token totals (one row
+    * per source — the collect is #sources, not data); pass 2 is a pure
+    * per-row filter with the rates baked into the plan as a CASE
+    * chain. Two scans total, zero joins, zero shuffles on the data
+    * path (the totals agg shuffles #sources partial rows).
+    *
+    * Keep weights exactly representable in binary (integers, halves)
+    * if cross-engine bit-identical rate doubles matter — the engine
+    * itself doesn't care.
+    */
+  def mixBySource(df: DataFrame, idCol: String, sourceCol: String,
+                  tokens: Column, weights: Map[String, Double],
+                  budgetTokens: Long,
+                  defaultWeight: Double = 1.0): DataFrame = {
+    val base = df.withColumn("_nt", tokens.cast(LongType))
+    val totals = base.groupBy(sourceCol).agg(F.sum("_nt").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def w(s: String): Double = weights.getOrElse(s, defaultWeight)
+    val wsum = totals.keys.toSeq.sorted.map(w).sum
+    require(wsum > 0, "mixBySource: total weight must be positive")
+    val rates: Seq[(String, Double)] = totals.toSeq.sortBy(_._1).map {
+      case (s, t) =>
+        val target = budgetTokens * (w(s) / wsum)
+        s -> (if (t == 0L) 0.0 else math.min(1.0, target / t))
+    }
+    val rateCol = rates.foldLeft(F.lit(0.0): Column) { case (acc, (s, r)) =>
+      F.when(F.col(sourceCol) === s, r).otherwise(acc)
+    }
+    val u = (TextAnalysis.h60(F.concat(F.lit("mix:"), F.col(sourceCol),
+      F.lit(":"), F.col(idCol).cast("string"))) % 1000000L)
+      .cast("double") / 1000000.0
+    base.filter(u < rateCol).drop("_nt")
+  }
+
+  /** Deterministic shard assignment for training export: shard =
+    * md5-hash(key) mod nShards. A pure per-row expression — the global
+    * shuffle that training pipelines need (break source/time locality
+    * before sequence packing) without ever sorting the corpus: the
+    * hash IS the permutation.
+    */
+  def shardAssign(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, s"shardAssign: nShards must be positive, got $nShards")
+    df.withColumn("shard",
+      TextAnalysis.h60(F.concat(F.lit("shard:"), key.cast("string")))
+        % nShards.toLong)
+  }
+
+  /** Sharded training export: one directory per shard
+    * (`shard=N/part-*.parquet`), rows within each shard in
+    * deterministic md5 order. One Exchange on `shard` (nShards
+    * partitions), sortWithinPartitions for the order — no global sort,
+    * no driver funnel. Byte-stable across re-runs given stable input:
+    * the standard contract for resumable 100 TB exports.
+    */
+  def writeShards(df: DataFrame, key: Column, dir: String,
+                  nShards: Int): Unit =
+    shardAssign(df, key, nShards)
+      .withColumn("_ord",
+        TextAnalysis.h60(F.concat(F.lit("ord:"), key.cast("string"))))
+      .repartition(nShards, F.col("shard"))
+      .sortWithinPartitions("shard", "_ord")
+      .drop("_ord")
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
   /** Sequence packing, concat-and-split attribution: documents are
     * laid out contiguously in `order` and cut every `budget` tokens;
     * a document belongs to the sequence where it STARTS

@@ -31,6 +31,48 @@ object Dedup {
       .groupBy("fp").agg(F.min(col(idCol)).as("keep_id"),
         F.count(lit(1)).as("n_copies"))
 
+  // ---- incremental exact dedup against a persisted index -----------------
+  /** Persist the corpus's distinct fingerprints to `dir` — the seen-set
+    * a later ingest batch dedups against. Stored as bare 32-hex-char
+    * fingerprints (16 bytes of payload per historical document class),
+    * so a 100 TB corpus's index is a few hundred GB of parquet — small
+    * enough to shuffle, far too big to broadcast, which is why
+    * `dedupAgainstIndex` uses a plain equi-join and lets AQE pick the
+    * strategy.
+    */
+  def buildFpIndex(df: DataFrame, textCol: String, dir: String): Unit =
+    df.select(fingerprint(col(textCol)).as("fp")).distinct()
+      .write.mode("overwrite").parquet(dir)
+
+  /** Incremental exact dedup: keep each incoming document that is (a)
+    * the first occurrence of its fingerprint WITHIN the batch and (b)
+    * novel against the persisted index — the steady-state shape of a
+    * continuously-ingesting corpus (daily crawl appends vs. an
+    * all-history seen-set). With `updateIndex = true` the surviving
+    * fingerprints append to the index, so consecutive batches
+    * accumulate exactly-once semantics.
+    *
+    * Scale shape: the batch reduces to (fp, min id) with map-side
+    * partials, then one equi-join against the index on the 16-byte
+    * fingerprint — shuffle payload is fingerprints and ids, never
+    * text. The kept-id semi-join back to the batch is id-only.
+    */
+  def dedupAgainstIndex(incoming: DataFrame, idCol: String, textCol: String,
+                        dir: String, updateIndex: Boolean = false): DataFrame = {
+    val spark = incoming.sparkSession
+    val idx = spark.read.parquet(dir)
+    val firsts = incoming
+      .select(fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp").agg(F.min(col(idCol)).as(idCol))
+    val novel0 = firsts.join(idx, Seq("fp"), "left_anti")
+    // when also appending to the index, materialize once so the append
+    // and the result semi-join don't each recompute the anti-join
+    val novel = if (updateIndex) novel0.localCheckpoint(true) else novel0
+    if (updateIndex)
+      novel.select("fp").write.mode("append").parquet(dir)
+    incoming.join(novel.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
   // ---- shingling -----------------------------------------------------------
   /** Word n-gram shingles; texts shorter than n words → one shingle
     * (the whole trimmed text).

@@ -507,6 +507,32 @@ object Similarity {
     * to one cell), but a low-threshold all-pairs output is itself
     * near-quadratic — the grid only costs when the answer does.
     */
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): documents whose embeddings are near-identical
+    * in cosine are semantic duplicates; keep one representative per
+    * duplicate cluster. Composition of the engine's exact machinery —
+    * `cosinePairs` (blocked + epsilon-grid, exact at any block size)
+    * for the pair graph, `Dedup.connectedComponents` (driver
+    * union-find below the conf gate, distributed min-label above) for
+    * the clusters, canonical survivor = minimum id — so unlike the
+    * original's per-cluster argmin-to-centroid heuristic the keep rule
+    * is deterministic and engine-independent.
+    *
+    * Scale shape: inherits cosinePairs' guarantees (no all-pairs
+    * expansion above maxBlock, candidates via grid-cell equi-join);
+    * the final keep is an id-only anti-join against the non-canonical
+    * member set.
+    */
+  def semanticDedup(df: DataFrame, threshold: Double, blockCol: String,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    maxBlock: Int = 5000): DataFrame = {
+    val pairs = cosinePairs(df, threshold, blockCol, idCol, vecCol, maxBlock)
+    val canon = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+    val drop = canon.filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   def cosinePairs(df: DataFrame, threshold: Double,
                   blockCol: String, idCol: String = "vec_id",
                   vecCol: String = "embedding",

@@ -825,4 +825,101 @@ class ExtSpec extends SparkSpec {
         s"natural doc $i removed without a smaller-id near-dup partner")
     }
   }
+
+  test("lineDedup: frequent lines drop, order preserved, hollow docs survive") {
+    val df = Seq(
+      (1L, "boiler\nalpha\nfooter"),
+      (2L, "boiler\nbeta\nfooter"),
+      (3L, "boiler\ngamma delta\nfooter"),
+      (4L, "boiler\nboiler\nfooter"), // within-doc repeat: one doc for docfreq
+      (5L, ""),
+      (6L, "z\na\nm")).toDF("doc_id", "text")
+    val out = Corpus.lineDedup(df, "doc_id", "text", maxDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // "boiler"/"footer" in 4 distinct docs > 3 -> dropped everywhere
+    assert(out(1L) == (("alpha", 1L, 2L)))
+    assert(out(2L) == (("beta", 1L, 2L)))
+    assert(out(3L) == (("gamma delta", 1L, 2L)))
+    // doc 4: all three lines boilerplate -> hollow but present
+    assert(out(4L) == (("", 0L, 3L)))
+    // empty doc: no lines at all
+    assert(out(5L) == (("", 0L, 0L)))
+    // unique lines come back in original order, not sorted
+    assert(out(6L) == (("z\na\nm", 3L, 0L)))
+  }
+
+  test("mixBySource: rate caps at 1, low-weight source thins, deterministic") {
+    val a = (1 to 3).map(i => (i.toLong, "A", "w w"))
+    val b = (100 to 299).map(i => (i.toLong, "B", "w w w w w w w w w w"))
+    val df = (a ++ b).toDF("doc_id", "source", "text")
+    def run() = Corpus.mixBySource(df, "doc_id", "source",
+      TextAnalysis.tokenCount(col("text")),
+      Map("A" -> 1.0, "B" -> 1.0), budgetTokens = 200L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val kept = run()
+    // A: target 100 tokens vs 6 present -> rate 1.0, all kept
+    assert(kept.count(_._2 == "A") == 3)
+    // B: target 100 vs 2000 present -> rate 0.05, most dropped
+    val nb = kept.count(_._2 == "B")
+    assert(nb > 0 && nb < 60, s"B kept $nb of 200 at rate 0.05")
+    // md5 uniforms: the sample is exactly reproducible
+    assert(run() == kept)
+  }
+
+  test("dedupAgainstIndex: historical + intra-batch dups drop; updateIndex accumulates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpidx").toString
+    Dedup.buildFpIndex(Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text"),
+      "text", dir)
+    val batch1 = Seq((3L, "aaa"), (4L, "ccc"), (5L, "ccc"), (6L, "ddd"))
+      .toDF("doc_id", "text")
+    val out1 = Dedup.dedupAgainstIndex(batch1, "doc_id", "text", dir,
+      updateIndex = true).collect().map(_.getLong(0)).toSet
+    // 3 is a historical dup of 1; 5 loses first-in-batch to 4
+    assert(out1 == Set(4L, 6L))
+    // the index accumulated batch1's survivors: "ccc" is now historical
+    val batch2 = Seq((7L, "ccc"), (8L, "eee")).toDF("doc_id", "text")
+    val out2 = Dedup.dedupAgainstIndex(batch2, "doc_id", "text", dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(out2 == Set(8L))
+  }
+
+  test("writeShards: round-trip complete, shard = shardAssign, md5-ordered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val base = docs.select(col("doc_id"), col("lang")).limit(100)
+      .localCheckpoint(true)
+    Corpus.writeShards(base, col("doc_id"), dir, nShards = 4)
+    val back = spark.read.parquet(dir)
+    // complete and shard-correct
+    val expected = Corpus.shardAssign(base, col("doc_id"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = back.collect().map(r =>
+      r.getLong(r.fieldIndex("doc_id")) ->
+        r.getAs[Number]("shard").longValue()).toMap
+    assert(got == expected)
+    // within each shard, file order is the md5 order writeShards promises
+    val ordH = TextAnalysis.h60(concat(lit("ord:"), col("doc_id").cast("string")))
+    (0L until 4L).foreach { sh =>
+      val gotOrder = back.filter(col("shard") === sh)
+        .collect().map(_.getLong(0)).toSeq
+      val wantOrder = Corpus.shardAssign(base, col("doc_id"), 4)
+        .filter(col("shard") === sh).withColumn("_h", ordH)
+        .orderBy("_h").collect().map(_.getLong(0)).toSeq
+      assert(gotOrder == wantOrder, s"shard $sh order mismatch")
+    }
+  }
+
+  test("semanticDedup: duplicate embeddings collapse to min id within a block") {
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f), 0),
+      (3L, Array(1f, 0f, 0f), 0),     // dup of 1, same block
+      (4L, Array(1f, 0f, 0f), 1),     // dup vector, DIFFERENT block -> kept
+      (5L, Array(0.9999f, 0.0001f, 0f), 0), // near-dup of 1 -> dropped
+      (6L, Array(0f, 0f, 0f), 0))     // zero-norm: never paired, kept
+      .toDF("vec_id", "embedding", "label")
+    val kept = Similarity.semanticDedup(df, 0.999, "label")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L, 6L))
+  }
 }
