@@ -1663,6 +1663,24 @@ object SparkEntry {
         """dedup_exact(docs, "doc_id", "text")[n_copies > 1] order {fp}""",
         "docs" -> graft.dsl.PTable(augDocs(s, d))).df),
 
+    // cross-document line dedup IN the language, composed with an
+    // ordinary selection + global aggregation over the cleaned corpus
+    "ql34_lang_linededup" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """clean = line_dedup(documents, "doc_id", "text", 300, " ")
+          |clean[n_kept > 0] {=> n_docs: count(), kept: sum(n_kept), removed: sum(n_removed)}""".stripMargin,
+        "documents" -> t(s, d, "documents")).df),
+
+    // semantic dedup + shard assignment in the language: the kept set
+    // rolls up per (label, shard) — dedup, export layout and
+    // aggregation composing as plain language stages
+    "ql35_lang_semdedup" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """kept = semantic_dedup(embeddings, 0.999, "label")
+          |sh = shard_assign(kept, "vec_id", 4)
+          |sh {shard => n: count(), min_id: min(vec_id)} order {shard}""".stripMargin,
+        "embeddings" -> t(s, d, "embeddings")).df),
+
     // corpus preparation in the language: chunking composed with an
     // ordinary selection + projection, deterministic split counts
     "ql32_lang_corpus" -> ((s, d) =>
@@ -2377,6 +2395,71 @@ object SparkEntry {
                 ELSE 'und' END AS lang_pred,
            en_score
          FROM sc""",
+    "ql34_lang_linededup" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents
+         ), ex AS (
+           SELECT doc_id, unnest(toks) AS w,
+             unnest(range(1, len(toks) + 1)) AS pos
+           FROM tk
+         ), exf AS (
+           SELECT * FROM ex WHERE w <> ''
+         ), bad AS (
+           SELECT w FROM (
+             SELECT w, count(DISTINCT doc_id) AS dfreq FROM exf GROUP BY w
+           ) WHERE dfreq > 300
+         ), keptl AS (
+           SELECT e.doc_id FROM exf e
+           LEFT JOIN bad b ON e.w = b.w WHERE b.w IS NULL
+         ), reb AS (
+           SELECT doc_id, count(*) AS n_kept FROM keptl GROUP BY doc_id
+         ), tot AS (
+           SELECT doc_id, count(*) AS n_tot FROM exf GROUP BY doc_id
+         ), perdoc AS (
+           SELECT d.doc_id, coalesce(reb.n_kept, 0) AS n_kept,
+             coalesce(tot.n_tot, 0) - coalesce(reb.n_kept, 0) AS n_removed
+           FROM documents d
+           LEFT JOIN reb ON d.doc_id = reb.doc_id
+           LEFT JOIN tot ON d.doc_id = tot.doc_id
+         )
+         SELECT count(*) AS n_docs, CAST(sum(n_kept) AS BIGINT) AS kept,
+           CAST(sum(n_removed) AS BIGINT) AS removed
+         FROM perdoc WHERE n_kept > 0""",
+
+    "ql35_lang_semdedup" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT id_a, id_b FROM (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum([CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)
+                 for i in range(0, len(a.embedding))])
+               / (sqrt(list_sum([CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE)
+                   for i in range(0, len(a.embedding))]))
+                 * sqrt(list_sum([CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)
+                   for i in range(0, len(b.embedding))]))) AS sim
+             FROM embeddings a JOIN embeddings b
+               ON a.label = b.label AND a.vec_id < b.vec_id
+           ) WHERE sim >= 0.999
+         ), edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs
+         ), reach(src, dst) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         ), canon AS (
+           SELECT src AS id, min(dst) AS cl FROM reach GROUP BY src
+         ), dropped AS (
+           SELECT id FROM canon WHERE cl <> id
+         ), kept AS (
+           SELECT e.vec_id FROM embeddings e
+           LEFT JOIN dropped dr ON e.vec_id = dr.id WHERE dr.id IS NULL
+         )
+         SELECT ('0x' || substr(md5('shard:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+             % 4 AS shard,
+           count(*) AS n, min(vec_id) AS min_id
+         FROM kept GROUP BY shard""",
+
     "ql28_lang_ann" ->
       """WITH scored AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -1539,7 +1539,8 @@ object Interp {
       "import_table", "import_json", "import_csv", "dir",
       "run_statement", "dedup_exact", "near_dup_pairs", "ann_topk",
       "train_split", "chunk_docs", "pack_sequences",
-      "repetition_signals", "decontaminate", "weighted_sample")
+      "repetition_signals", "decontaminate", "weighted_sample",
+      "line_dedup", "mix_corpus", "semantic_dedup", "shard_assign")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1682,6 +1683,43 @@ object Interp {
             tab.df.col(litString(args(1).value)),
             tab.df.col(litString(args(2).value)),
             constLong(args(3).value)))
+        case "line_dedup" =>
+          if (args.length < 4 || args.length > 5)
+            throw new TypeError(
+              "line_dedup(t, \"id_col\", \"text_col\", max_docs, \"delim\"?)")
+          val delim =
+            if (args.length == 5) litString(args(4).value) else "\n"
+          PTable(graft.ext.Corpus.lineDedup(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value),
+            constLong(args(3).value), delim))
+        case "mix_corpus" =>
+          if (args.length != 5)
+            throw new TypeError(
+              "mix_corpus(t, \"id_col\", \"source_col\", \"text_col\", budget_tokens)")
+          val tab = t(args(0).value)
+          PTable(graft.ext.Corpus.mixBySource(tab.df,
+            litString(args(1).value), litString(args(2).value),
+            graft.ext.TextAnalysis.tokenCount(
+              tab.df.col(litString(args(3).value))),
+            Map.empty, constLong(args(4).value)))
+        case "semantic_dedup" =>
+          if (args.length != 3)
+            throw new TypeError(
+              "semantic_dedup(t, threshold, \"block_col\")")
+          val thr = args(1).value match {
+            case FloatLit(v) => v
+            case IntLit(v) => v.toDouble
+            case o => throw new TypeError(s"threshold must be a number, got $o")
+          }
+          PTable(graft.ext.Similarity.semanticDedup(t(args(0).value).df,
+            thr, litString(args(2).value)))
+        case "shard_assign" =>
+          if (args.length != 3)
+            throw new TypeError("shard_assign(t, \"key_col\", n_shards)")
+          val tab = t(args(0).value)
+          PTable(graft.ext.Corpus.shardAssign(tab.df,
+            tab.df.col(litString(args(1).value)),
+            constLong(args(2).value).toInt))
         // positional joins (reference __builtins__.pql:211-257) —
         // sides may be named (`zipjoin(a: x, b: y)`) or positional
         case "zipjoin" | "zipjoin_left" | "zipjoin_longest" =>

@@ -563,4 +563,54 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       s"fuzzy dedup must never plan all-pairs:\n$p")
   }
+
+  test("line dedup: partial doc-frequency aggs, no all-pairs, hash keys in the shuffle") {
+    val p = planOf("x38_line_dedup")
+    // both aggregation levels (distinct + count) keep map-side partials
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"doc-frequency count lost its partial stage:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"line dedup must never plan all-pairs:\n$p")
+    // the doc-frequency side shuffles 60-bit line hashes (lk), not text
+    assert(p.contains("lk"), s"frequency path must key on the line hash:\n$p")
+  }
+
+  test("corpus mixing: the data path is a pure filtered scan — zero joins") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents").df
+    val p = graft.ext.Corpus.mixBySource(docs, "doc_id", "source",
+        graft.ext.TextAnalysis.tokenCount(org.apache.spark.sql.functions.col("text")),
+        Map("src0" -> 2.0), budgetTokens = 10000L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"mix data path must not join:\n$p")
+    assert(!p.contains("Exchange"), s"mix data path must not shuffle:\n$p")
+  }
+
+  test("incremental index dedup: fingerprint anti-join + id semi-join, partial min") {
+    val p = planOf("x40_dedup_incremental")
+    assert(p.contains("LeftAnti"), s"novel set must anti-join the index:\n$p")
+    assert(p.contains("LeftSemi"), s"kept rows must semi-join back by id:\n$p")
+    assert(p.contains("partial_min"),
+      s"first-in-batch must be a partial min aggregate:\n$p")
+  }
+
+  test("shard export: one exchange on shard, in-partition sort only") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents").df
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+    val plan = graft.ext.Corpus.shardAssign(docs,
+        org.apache.spark.sql.functions.col("doc_id"), 8)
+      .repartition(8, org.apache.spark.sql.functions.col("shard"))
+      .sortWithinPartitions("shard")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"shard layout must cost exactly one exchange:\n$plan")
+    assert(!plan.contains("Sort [shard") || !plan.contains("global=true"),
+      s"shard sort must stay within partitions:\n$plan")
+  }
+
+  test("semantic dedup: grid/blocked equi-joins only, anti-join keeps the survivors") {
+    val p = planOf("x42_semantic_dedup")
+    assert(p.contains("LeftAnti"), s"kept set must anti-join dropped ids:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"semantic dedup must never plan all-pairs:\n$p")
+  }
 }
