@@ -2004,6 +2004,18 @@ object SparkEntry {
           F.min_by(col("doc_id"), col("h")).as("first_doc"))
     }),
 
+    // fastText-style hashed-linear quality classifier: margin = bias +
+    // sum of md5-hashed token-feature weights. Dyadic md5 pseudo-model
+    // => margins are EXACT doubles in any engine/summation order; the
+    // filtering decision thresholds the margin (sigmoid is for humans)
+    "x43_quality_classifier" -> ((s, d) => {
+      val w = graft.ext.TextAnalysis.md5Weights(1024)
+      val margin = graft.ext.TextAnalysis.linearMargin(col("text"), w, 0.25)
+      t(s, d, "documents").df.select(col("doc_id"),
+        margin.as("margin"),
+        (margin > 0.0).cast(IntegerType).as("keep"))
+    }),
+
     // SemDeDup-style semantic dedup: cosine pair graph -> connected
     // components -> keep the minimum id per cluster; the full chain
     // (pairs + recursive closure + anti-join) under one oracle
@@ -3782,6 +3794,25 @@ object SparkEntry {
          SELECT shard, count(*) AS n_docs, min(doc_id) AS min_id,
            arg_min(doc_id, hh) AS first_doc
          FROM h GROUP BY shard""",
+
+    "x43_quality_classifier" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+               ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+           FROM documents
+         ), sc AS (
+           SELECT doc_id,
+             0.25 + coalesce(list_sum([
+               ((('0x' || substr(md5('w:' || CAST(
+                     (('0x' || substr(md5(t), 1, 15))::BIGINT % 1024)
+                     AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000) / 1024.0
+               for t in toks]), 0.0) AS margin
+           FROM tk
+         )
+         SELECT doc_id, margin,
+           CAST(margin > 0.0 AS INT) AS keep
+         FROM sc""",
 
     "x42_semantic_dedup" ->
       """WITH RECURSIVE aug AS (

@@ -412,9 +412,13 @@ object Dedup {
     // (LSH has already pruned). Below `driverLimit` edges, finish with
     // driver-side union-find: exact min-label components in one pass,
     // no per-round job latency. Above it, the distributed min-label
-    // rounds below take over (the 100 TB path).
-    if (edges.count() <= dl) {
-      val rows = edges.collect()
+    // rounds below take over (the 100 TB path). ONE probe job decides
+    // AND fetches: collect limit+1 rows — a full count() followed by
+    // collect() would run two jobs over the checkpointed edges.
+    val lim = (math.min(dl, Int.MaxValue - 2L) + 1).toInt
+    val probe = edges.limit(lim).collect()
+    if (probe.length < lim) {
+      val rows = probe
       val parent = scala.collection.mutable.Map[Any, Any]()
       def find(x: Any): Any = { // iterative + path compression
         var r = x

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions.{lit, when, concat}
 import org.apache.spark.sql.types._
@@ -159,4 +159,92 @@ object TextAnalysis {
     val mtlScore = when(mtl < 3.0 || mtl > 10.0, lit(0.5)).otherwise(lit(1.0))
     (lenScore * mtlScore * alnumRatio(text))
   }
+
+  // ---- model-based quality scoring (fastText-style hashed linear) -------
+  /** Driver-side mirror of `h60` (first 60 bits of md5) for plan-build-
+    * time constants — bit-identical to the engine/oracle derivation.
+    */
+  private[ext] def h60Value(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Hashed bag-of-words feature ids: md5-hash(token) mod nFeatures —
+    * the fastText / Vowpal-Wabbit hashing trick, portable across
+    * engines. Pure per-row expression.
+    */
+  def hashedFeatures(text: Column, nFeatures: Int): Column =
+    F.transform(tokens(text), t => h60(t) % nFeatures.toLong)
+
+  /** Linear classifier MARGIN over hashed token features: bias +
+    * Σ weights(h(token)). The standard model-based quality filter
+    * (CCNet/LLaMA-style fastText quality classifiers) with the weight
+    * vector supplied by the caller (trained offline). Keeping the
+    * margin (not the sigmoid) makes thresholding decisions exactly
+    * portable: +,*,/ are IEEE-deterministic across engines while
+    * libm's exp differs in final ulps. `sigmoidOf` is available when a
+    * probability is wanted for humans.
+    *
+    * The weight vector embeds into the plan as one array literal —
+    * computed ONCE at plan-build time (never per row/element), shipped
+    * once per stage. Fine to ~1M features; above that use
+    * `linearScoreJoined`, which broadcasts the weights as a table.
+    * Scale shape: pure scan-level expression, whole-stage codegen'd,
+    * zero shuffles.
+    */
+  def linearMargin(text: Column, weights: Array[Double],
+                   bias: Double): Column = {
+    val warr = F.typedlit(weights)
+    F.when(F.trim(text) === "", lit(bias)).otherwise(
+      F.aggregate(hashedFeatures(text, weights.length), lit(bias),
+        (acc, fid) => acc + F.element_at(warr, fid.cast("int") + 1)))
+  }
+
+  /** Logistic squash of a margin (for display/probabilities — exp's
+    * final ulp varies by libm, so don't hash-compare this across
+    * engines; threshold the margin instead).
+    */
+  def sigmoidOf(margin: Column): Column =
+    lit(1.0) / (lit(1.0) + F.exp(-margin))
+
+  /** `linearMargin` for models too large to inline: weights as a
+    * (fid, w) table. Explode features → broadcast hash join on fid →
+    * per-document sum. Shuffle ∝ tokens (the groupBy), model ships
+    * once per executor as a broadcast — the right shape when the
+    * vocabulary is tens of millions of buckets.
+    *
+    * Summation note: the distributed sum is order-insensitive only up
+    * to double rounding; for cross-engine hash checks round the
+    * result (the margin's sign — the filtering decision — is stable
+    * far beyond that).
+    */
+  def linearMarginJoined(df: DataFrame, idCol: String, textCol: String,
+                         weights: DataFrame, nFeatures: Int,
+                         bias: Double): DataFrame = {
+    // blank text must contribute no features (mirror linearMargin's
+    // guard — a bare split("") would hash "" as a feature)
+    val fcol = F.when(F.trim(F.col(textCol)) === "",
+        F.array().cast("array<bigint>"))
+      .otherwise(hashedFeatures(F.col(textCol), nFeatures))
+    val feats = df.select(F.col(idCol), F.explode_outer(fcol).as("fid"))
+    feats.join(F.broadcast(weights), Seq("fid"), "left")
+      .groupBy(idCol)
+      .agg((F.coalesce(F.sum(F.col("w")), lit(0.0)) + bias).as("margin"))
+  }
+
+  /** Deterministic pseudo-model for tests/oracles: weight(i) ∈
+    * [-1000/1024, 1000/1024] derived from md5("w:" + i) — any engine
+    * reproduces it exactly. The 1024 denominator is deliberate: each
+    * weight is a dyadic rational (k/2^10, |k| ≤ 1000), so every
+    * partial sum of document-scale margins is EXACTLY representable in
+    * a double — summation order cannot change the result by even an
+    * ulp, and cross-engine hash checks need no rounding. Real
+    * deployments pass their trained vector instead (and round margins
+    * if they need cross-engine bit equality).
+    */
+  def md5Weights(nFeatures: Int): Array[Double] =
+    Array.tabulate(nFeatures)(i =>
+      (h60Value(s"w:$i") % 2001L - 1000L).toDouble / 1024.0)
 }

@@ -909,6 +909,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("linearMargin: joined variant matches inlined model EXACTLY; blank text is bias") {
+    val w = TextAnalysis.md5Weights(256)
+    val df = docs.select(col("doc_id"), col("text")).limit(50)
+      .unionAll(Seq((9999L, ""), (9998L, "   ")).toDF("doc_id", "text"))
+    val inl = df.select(col("doc_id"),
+        TextAnalysis.linearMargin(col("text"), w, 0.5).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wdf = spark.createDataFrame(
+      w.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq)
+      .toDF("fid", "w")
+    val joined = TextAnalysis.linearMarginJoined(df, "doc_id", "text",
+        wdf, 256, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // dyadic md5 weights: partial sums are exact, so any summation
+    // order (inlined fold vs distributed partial sums) agrees to the bit
+    assert(inl == joined)
+    assert(inl(9999L) == 0.5 && inl(9998L) == 0.5)
+    // sigmoid maps margins monotonically into (0,1)
+    val sig = df.select(TextAnalysis.sigmoidOf(
+        TextAnalysis.linearMargin(col("text"), w, 0.5)))
+      .collect().map(_.getDouble(0))
+    assert(sig.forall(p => p > 0.0 && p < 1.0))
+  }
+
   test("semanticDedup: duplicate embeddings collapse to min id within a block") {
     val df = Seq(
       (1L, Array(1f, 0f, 0f), 0),
