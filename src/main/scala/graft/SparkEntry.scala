@@ -2016,6 +2016,32 @@ object SparkEntry {
         (margin > 0.0).cast(IntegerType).as("keep"))
     }),
 
+    // the CAPSTONE corpus lifecycle: model gate -> cross-doc line
+    // dedup -> exact dedup of the CLEANED text -> train/val/test split
+    // -> shard layout, one oracle over the whole chain. The cleaned
+    // table materializes once (localCheckpoint) because dedup fans it
+    // out (fingerprint agg + keep semi-join)
+    "x44_corpus_lifecycle" -> ((s, d) => {
+      val TA = graft.ext.TextAnalysis
+      val docs = t(s, d, "documents").df
+      val w = TA.md5Weights(1024)
+      val gated = docs.filter(TA.linearMargin(col("text"), w, 0.25) > 0.0)
+      val clean = graft.ext.Corpus.lineDedup(gated, "doc_id", "text",
+          maxDocs = 100, delim = " ")
+        .filter(col("n_kept") > 0)
+        .localCheckpoint(true)
+      val keep = graft.ext.Dedup.exact(clean, "doc_id", "clean_text")
+        .select(col("keep_id").as("doc_id"))
+      val deduped = clean.join(keep, Seq("doc_id"), "left_semi")
+      val laid = graft.ext.Corpus.shardAssign(
+        graft.ext.Corpus.trainSplit(deduped, col("doc_id")),
+        col("doc_id"), 4)
+      laid.groupBy("split", "shard")
+        .agg(F.count(lit(1)).as("n_docs"),
+          F.sum(TA.tokenCount(col("clean_text")).cast(LongType))
+            .as("n_tokens"))
+    }),
+
     // SemDeDup-style semantic dedup: cosine pair graph -> connected
     // components -> keep the minimum id per cluster; the full chain
     // (pairs + recursive closure + anti-join) under one oracle
@@ -3813,6 +3839,68 @@ object SparkEntry {
          SELECT doc_id, margin,
            CAST(margin > 0.0 AS INT) AS keep
          FROM sc""",
+
+    "x44_corpus_lifecycle" ->
+      """WITH g AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+               0.25 + coalesce(list_sum([
+                 ((('0x' || substr(md5('w:' || CAST(
+                       (('0x' || substr(md5(t), 1, 15))::BIGINT % 1024)
+                       AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000) / 1024.0
+                 for t in toks]), 0.0) AS margin
+             FROM (
+               SELECT doc_id, text,
+                 CASE WHEN trim(text) = '' THEN []
+                   ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents)
+           ) WHERE margin > 0.0
+         ), tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM g
+         ), ex AS (
+           SELECT doc_id, unnest(toks) AS w2,
+             unnest(range(1, len(toks) + 1)) AS pos
+           FROM tk
+         ), exf AS (
+           SELECT * FROM ex WHERE w2 <> ''
+         ), bad AS (
+           SELECT w2 FROM (
+             SELECT w2, count(DISTINCT doc_id) AS df2 FROM exf GROUP BY w2
+           ) WHERE df2 > 100
+         ), kept AS (
+           SELECT e.doc_id, e.pos, e.w2
+           FROM exf e LEFT JOIN bad b ON e.w2 = b.w2 WHERE b.w2 IS NULL
+         ), reb AS (
+           SELECT doc_id, string_agg(w2, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+           FROM kept GROUP BY doc_id
+         ), fpt AS (
+           SELECT doc_id, clean_text,
+             md5(regexp_replace(lower(clean_text), '[^a-z0-9]+', '', 'g')) AS fp
+           FROM reb WHERE n_kept > 0
+         ), keepids AS (
+           SELECT min(doc_id) AS doc_id FROM fpt GROUP BY fp
+         ), ded AS (
+           SELECT f.doc_id, f.clean_text
+           FROM fpt f JOIN keepids k ON f.doc_id = k.doc_id
+         ), lab AS (
+           SELECT doc_id, clean_text,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 4 AS shard
+           FROM (
+             SELECT doc_id, clean_text,
+               ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 100 AS b
+             FROM ded)
+         )
+         SELECT split, shard, count(*) AS n_docs,
+           CAST(sum(CASE WHEN trim(clean_text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(clean_text), '\s+')) END)
+             AS BIGINT) AS n_tokens
+         FROM lab GROUP BY split, shard""",
 
     "x42_semantic_dedup" ->
       """WITH RECURSIVE aug AS (

@@ -95,6 +95,20 @@ object Streams {
     nearDupStreamSimhash(gated, tsCol, watermark, textCol)
   }
 
+  /** Model-based streaming quality gate: the hashed-linear classifier
+    * margin (TextAnalysis.linearMargin) is a pure scan expression, so
+    * it gates a stream with ZERO state — the model runs at ingest
+    * speed, needs no watermark, and composes in front of any stateful
+    * op (dedup admission, windowed aggregation). Same expression as
+    * the batch path: one classifier, two execution modes.
+    */
+  def classifierGateStream(docs: DataFrame, textCol: String,
+                           weights: Array[Double], bias: Double,
+                           minMargin: Double = 0.0): DataFrame =
+    docs.withColumn("margin",
+        graft.ext.TextAnalysis.linearMargin(col(textCol), weights, bias))
+      .filter(col("margin") >= minMargin)
+
   /** Continuous benchmark decontamination: each micro-batch of
     * incoming documents runs the BATCH decontamination operator
     * against a static eval set (stream-static composition, one code

@@ -86,7 +86,8 @@ object Repl {
     "fingerprint", "redact_pii", "pii_count",
     "dedup_exact", "near_dup_pairs", "ann_topk",
     "train_split", "chunk_docs", "pack_sequences",
-    "repetition_signals", "decontaminate", "weighted_sample")
+    "repetition_signals", "decontaminate", "weighted_sample",
+    "line_dedup", "mix_corpus", "semantic_dedup", "shard_assign")
 
   /** The position of the innermost still-open `{` or `[` (outside
     * strings/comments), or -1 — its base expression scopes completion

@@ -340,4 +340,31 @@ class GraphStreamingSpec extends SparkSpec {
       (1L, 1L, "mail <EMAIL> now"), (2L, 0L, "clean words")))
     q.stop()
   }
+
+  test("streaming classifier gate: stateless margin filter matches the batch decision") {
+    implicit val sqlCtx = spark.sqlContext
+    val w = graft.ext.TextAnalysis.md5Weights(256)
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val gated = Streams.classifierGateStream(df, "text", w, bias = 0.25)
+    val q = gated.writeStream.format("memory").queryName("clf_gate_test")
+      .outputMode(OutputMode.Append()).start()
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "spark rows shuffle merge batch window scan",
+      3L -> "alpha beta gamma delta epsilon zeta",
+      4L -> "completely different words entirely unrelated")
+    mem.addData(texts: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("clf_gate_test")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    // the identical expression over the identical rows, batch mode
+    val batch = texts.toDF("doc_id", "text")
+      .filter(graft.ext.TextAnalysis.linearMargin(col("text"), w, 0.25) >= 0.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    // the margin rides along for downstream weighting
+    assert(spark.table("clf_gate_test").columns.contains("margin"))
+  }
 }
