@@ -103,7 +103,10 @@ object Bench {
       val first = rep()
       val times =
         if (!first._2) Seq(first)
-        else if (first._1 > slowCutoff) Seq(first, rep())
+        // slow probes: two steady-state reps, report the min — a single
+        // post-warmup rep still swung 2x between full runs (x24 9.5s vs
+        // 19.5s with identical code); the min of two bounds that noise
+        else if (first._1 > slowCutoff) Seq(first, rep(), rep())
         else first +: (2 to reps).map(_ => rep())
       val sorted = times.map(_._1).sorted
       // slow queries report the min (steady state); fast ones the median

@@ -505,6 +505,22 @@ object SparkEntry {
     // side reduces to a broadcast DISTINCT gram table — the 300k-doc
     // corpus streams through the probe without shuffling. Production
     // xxhash64 path; rows-only by design.
+    // line-dedup scale probe: 300k docs x 35 tokens (10.5M line
+    // instances, 100k-word organic vocab) + a planted 5-word
+    // boilerplate suffix on EVERY doc. The doc-frequency pass shuffles
+    // 60-bit hashes for all 10.5M instances; only the planted words
+    // cross the threshold, so removed == 5 * n_docs exactly.
+    // rows-only by design (xxhash64 synthetic corpus, like x26/x36)
+    "x45_linededup_300k" -> ((s, d) => {
+      val docs = synthDocs(s, 150000L).select(col("doc_id"),
+        F.concat(col("text"), lit(" promo banner click here now"))
+          .as("text"))
+      graft.ext.Corpus.lineDedup(docs, "doc_id", "text",
+          maxDocs = 1000, delim = " ")
+        .agg(F.count(lit(1)).as("n_docs"),
+          F.sum("n_kept").as("kept"), F.sum("n_removed").as("removed"))
+    }),
+
     "x36_decontam_300k" -> ((s, d) => {
       val all = synthDocs(s, 150000L)
       graft.ext.Corpus.decontaminate(
@@ -1663,6 +1679,15 @@ object SparkEntry {
         """dedup_exact(docs, "doc_id", "text")[n_copies > 1] order {fp}""",
         "docs" -> graft.dsl.PTable(augDocs(s, d))).df),
 
+    // weighted corpus mixing in the language: per-source weights as
+    // NAMED call args (the language's varargs-dict convention),
+    // rollup of the kept mixture under the oracle
+    "ql36_lang_mix" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """m = mix_corpus(documents, "doc_id", "source", "text", 20000, src0: 3.0, src1: 3.0)
+          |m {source => n_docs: count(), kept_tokens: sum(token_count(text))}""".stripMargin,
+        "documents" -> t(s, d, "documents")).df),
+
     // cross-document line dedup IN the language, composed with an
     // ordinary selection + global aggregation over the cleaned corpus
     "ql34_lang_linededup" -> ((s, d) =>
@@ -2433,6 +2458,30 @@ object SparkEntry {
                 ELSE 'und' END AS lang_pred,
            en_score
          FROM sc""",
+    "ql36_lang_mix" ->
+      """WITH f AS (
+           SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+           FROM documents
+         ), tot AS (
+           SELECT source, sum(nt) AS t FROM f GROUP BY source
+         ), r AS (
+           SELECT source,
+             least(1.0, (CAST(20000 AS DOUBLE) *
+               ((CASE WHEN source IN ('src0','src1')
+                      THEN 3.0 ELSE 1.0 END) / 24.0)) / CAST(t AS DOUBLE))
+               AS rate
+           FROM tot
+         )
+         SELECT f.source, count(*) AS n_docs,
+           CAST(sum(f.nt) AS BIGINT) AS kept_tokens
+         FROM f JOIN r ON f.source = r.source
+         WHERE CAST((('0x' || substr(md5('mix:' || f.source || ':' ||
+             CAST(f.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) AS DOUBLE)
+             / 1000000.0 < r.rate
+         GROUP BY f.source""",
+
     "ql34_lang_linededup" ->
       """WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

@@ -1693,15 +1693,27 @@ object Interp {
             litString(args(1).value), litString(args(2).value),
             constLong(args(3).value), delim))
         case "mix_corpus" =>
-          if (args.length != 5)
+          // named extra args are the per-source mixture weights
+          // (mix_corpus(t, ..., budget, src0: 3.0, src1: 3.0));
+          // unnamed sources default to weight 1
+          val pos = args.filter(_.name.isEmpty)
+          if (pos.length != 5)
             throw new TypeError(
-              "mix_corpus(t, \"id_col\", \"source_col\", \"text_col\", budget_tokens)")
-          val tab = t(args(0).value)
+              "mix_corpus(t, \"id_col\", \"source_col\", \"text_col\", budget_tokens, source: weight, ...)")
+          val weights = args.filter(_.name.isDefined).map { a =>
+            val v = a.value match {
+              case FloatLit(x) => x
+              case IntLit(x) => x.toDouble
+              case o => throw new TypeError(s"mix weight must be a number, got $o")
+            }
+            a.name.get -> v
+          }.toMap
+          val tab = t(pos(0).value)
           PTable(graft.ext.Corpus.mixBySource(tab.df,
-            litString(args(1).value), litString(args(2).value),
+            litString(pos(1).value), litString(pos(2).value),
             graft.ext.TextAnalysis.tokenCount(
-              tab.df.col(litString(args(3).value))),
-            Map.empty, constLong(args(4).value)))
+              tab.df.col(litString(pos(3).value))),
+            weights, constLong(pos(4).value)))
         case "semantic_dedup" =>
           if (args.length != 3)
             throw new TypeError(

@@ -849,6 +849,17 @@ class ExtSpec extends SparkSpec {
     assert(out(6L) == (("z\na\nm", 3L, 0L)))
   }
 
+  test("lineDedup removes exactly the planted boilerplate (scale-probe invariant)") {
+    // organic vocab is 100k words over a few hundred docs -> organic
+    // doc frequency ~0; only the planted 5-word suffix crosses the
+    // threshold, so removed == 5 * n_docs exactly (pins x45's claim)
+    val docs = SparkEntry.synthDocs(spark, 200L).select(col("doc_id"),
+      concat(col("text"), lit(" promo banner click here now")).as("text"))
+    val r = Corpus.lineDedup(docs, "doc_id", "text", maxDocs = 300, delim = " ")
+      .agg(sum("n_removed").as("rm"), count(lit(1)).as("n")).collect()(0)
+    assert(r.getLong(0) == 5 * r.getLong(1) && r.getLong(1) == 400L)
+  }
+
   test("mixBySource: rate caps at 1, low-weight source thins, deterministic") {
     val a = (1 to 3).map(i => (i.toLong, "A", "w w"))
     val b = (100 to 299).map(i => (i.toLong, "B", "w w w w w w w w w w"))
