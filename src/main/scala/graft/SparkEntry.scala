@@ -2029,6 +2029,37 @@ object SparkEntry {
           F.min_by(col("doc_id"), col("h")).as("first_doc"))
     }),
 
+    // contamination REPORT (the audit twin of x32's drop): per-doc
+    // n-gram hit counts and fraction against the same planted eval
+    // set — severity grading instead of a blunt drop
+    "x46_contamination" -> ((s, d) => {
+      val canary = F.concat_ws(" ",
+        F.transform(F.sequence(lit(0), lit(9)),
+          i => F.concat(lit("c"), (col("doc_id") % 5).cast(StringType),
+            lit("_"), i.cast(StringType))))
+      val aug = t(s, d, "documents").df.select(col("doc_id"),
+        F.when(col("doc_id") % 97 === 0 || col("doc_id") % 9 === 1,
+            F.concat(col("text"), lit(" "), canary))
+          .otherwise(col("text")).as("text"))
+      graft.ext.Corpus.contaminationScore(
+        aug.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        aug.filter(col("doc_id") % 97 === 0), "text", n = 8)
+    }),
+
+    // cross-document repeated spans: every-offset 8-token shingles
+    // counted by distinct docs — the scalable approximation of exact
+    // substring dedup; a 10-token canary planted at UNALIGNED offsets
+    // (document tails) must surface as its 3 interior windows
+    "x47_repeated_spans" -> ((s, d) => {
+      val planted = t(s, d, "documents").df.select(col("doc_id"),
+        F.when(col("doc_id") % 7 === 0,
+            F.concat(col("text"),
+              lit(" boiler plate terms of service apply all rights reserved today")))
+          .otherwise(col("text")).as("text"))
+      graft.ext.Dedup.repeatedSpans(planted, "doc_id", "text",
+        n = 8, minDocs = 2)
+    }),
+
     // fastText-style hashed-linear quality classifier: margin = bias +
     // sum of md5-hashed token-feature weights. Dyadic md5 pseudo-model
     // => margins are EXACT doubles in any engine/summation order; the
@@ -3869,6 +3900,61 @@ object SparkEntry {
          SELECT shard, count(*) AS n_docs, min(doc_id) AS min_id,
            arg_min(doc_id, hh) AS first_doc
          FROM h GROUP BY shard""",
+
+    "x46_contamination" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0 OR doc_id % 9 = 1
+               THEN text || ' ' || array_to_string(
+                 ['c' || CAST(doc_id % 5 AS VARCHAR) || '_' || CAST(i AS VARCHAR)
+                  for i in range(0, 10)], ' ')
+               ELSE text END AS text
+           FROM documents
+         ), grams AS (
+           SELECT doc_id,
+             [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647
+               for s in (CASE WHEN len(tks) < 8 THEN [tt]
+                 ELSE [array_to_string(tks[ii:ii+7], ' ')
+                       for ii in range(1, len(tks) - 6)] END)] AS gh
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tks,
+                   trim(text) AS tt FROM aug)
+         ), benchg AS (
+           SELECT DISTINCT u.g AS gh
+           FROM grams, unnest(grams.gh) AS u(g) WHERE doc_id % 97 = 0
+         ), t AS (
+           SELECT doc_id, u.g AS gh
+           FROM grams, unnest(grams.gh) AS u(g) WHERE doc_id % 97 <> 0
+         ), hit AS (
+           SELECT t.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN b.gh IS NULL THEN 0 ELSE 1 END) AS n_hit
+           FROM t LEFT JOIN benchg b ON t.gh = b.gh GROUP BY t.doc_id
+         )
+         SELECT doc_id, n_grams, CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_hit AS DOUBLE) / n_grams AS contamination
+         FROM hit""",
+
+    "x47_repeated_spans" ->
+      """WITH planted AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+               THEN text || ' boiler plate terms of service apply all rights reserved today'
+               ELSE text END AS text
+           FROM documents
+         ), tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tks,
+             trim(text) AS tt
+           FROM planted
+         ), sp AS (
+           SELECT doc_id, u.s AS span
+           FROM tk, unnest(CASE WHEN len(tks) < 8 THEN [tt]
+             ELSE [array_to_string(tks[ii:ii+7], ' ')
+                   for ii in range(1, len(tks) - 6)] END) AS u(s)
+         ), g AS (
+           SELECT span, count(DISTINCT doc_id) AS n_docs,
+             min(doc_id) AS first_doc
+           FROM sp GROUP BY span
+         )
+         SELECT span, n_docs, first_doc FROM g WHERE n_docs >= 2""",
 
     "x43_quality_classifier" ->
       """WITH tk AS (

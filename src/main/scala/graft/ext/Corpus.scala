@@ -193,6 +193,33 @@ object Corpus {
     decontaminateWithGrams(docs, idCol, textCol,
       benchGramSet(bench, benchTextCol, n, hasher), n, hasher)
 
+  /** Per-document contamination REPORT (the audit twin of
+    * `decontaminate`'s drop): how many of a document's word n-grams
+    * appear in the eval set, and what fraction. Drop decisions are
+    * blunt; the score lets a pipeline grade severity (one shared
+    * phrase vs a verbatim test copy), threshold per benchmark, or just
+    * measure leakage before deciding anything.
+    *
+    * Same scale shape as decontaminate: corpus grams stream through a
+    * BROADCAST probe of the eval gram set; the per-document rollup is
+    * one partial-agg groupBy on the id. Never shuffles text.
+    */
+  def contaminationScore(docs: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String, n: Int = 8,
+                         hasher: Column => Column = Dedup.portableHasher): DataFrame = {
+    val benchGrams = benchGramSet(bench, benchTextCol, n, hasher)
+    val grams = Dedup.ensureParallelism(docs)
+      .select(F.col(idCol),
+        F.explode(gramHashes(F.col(textCol), n, hasher)).as("gh"))
+    grams.join(F.broadcast(benchGrams.withColumn("_hit", F.lit(1))),
+        Seq("gh"), "left")
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_grams"),
+        F.sum(F.when(F.col("_hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("contamination",
+        F.col("n_hit").cast("double") / F.col("n_grams"))
+  }
+
   /** CCNet-style cross-document line deduplication (Wenzek et al.
     * 2020 §3.1): drop every line whose normalized form appears in more
     * than `maxDocs` distinct documents — the standard boilerplate

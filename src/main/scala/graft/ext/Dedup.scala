@@ -383,6 +383,37 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  // ---- cross-document repeated spans --------------------------------------
+  /** Cross-document repeated n-token spans: every n-gram window (all
+    * offsets — this is the shingle set, not strided chunks, so span
+    * alignment never matters) counted by DISTINCT containing
+    * documents; spans in ≥ minDocs docs are the candidates exact
+    * substring dedup would cut (the scalable n-token-resolution
+    * approximation of the suffix-array approach in Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * a distributed suffix array over 100 TB is not a Spark shape;
+    * shingle counting is).
+    *
+    * Scale shape: one explode (output ∝ tokens), then the two-level
+    * count-distinct partial aggregation keyed on the 60-bit span HASH
+    * — span text never shuffles (it rides as min(span), equal within
+    * a hash group). Output is only the repeated tail, tiny by
+    * construction.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8, minDocs: Long = 2): DataFrame =
+    ensureParallelism(df)
+      .select(col(idCol).as("doc_id"),
+        F.explode(shinglesFromTokens(tokens(col(textCol)),
+          F.trim(col(textCol)), n)).as("span"))
+      .select(col("doc_id"), col("span"), h60(col("span")).as("sh"))
+      .groupBy("sh")
+      .agg(F.min("span").as("span"),
+        F.countDistinct("doc_id").as("n_docs"),
+        F.min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .select("span", "n_docs", "first_doc")
+
   // ---- cluster resolution --------------------------------------------------
   /** Connected components over near-dup pairs: assigns every id the
     * minimum id of its duplicate cluster (the canonical survivor).

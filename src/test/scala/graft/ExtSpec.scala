@@ -849,6 +849,37 @@ class ExtSpec extends SparkSpec {
     assert(out(6L) == (("z\na\nm", 3L, 0L)))
   }
 
+  test("contaminationScore: verbatim copy scores 1.0, clean doc 0.0") {
+    val bench = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c d e f g h i j"),              // verbatim copy
+      (2L, "a b c d e f g h i j k l m n o p"),  // prefix overlap only
+      (3L, "zz yy xx ww vv uu tt ss rr qq")).toDF("doc_id", "text")
+    val out = Corpus.contaminationScore(train, "doc_id", "text",
+        bench, "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0)))      // all 3 windows hit
+    // doc 2: 9 windows, only the 3 bench windows hit
+    assert(out(2L) == ((9L, 3L, 3.0 / 9.0)))
+    assert(out(3L) == ((3L, 0L, 0.0)))
+  }
+
+  test("repeatedSpans surfaces unaligned cross-document repeats only") {
+    val tail = "boiler plate terms of service apply all rights reserved"
+    val df = Seq(
+      (1L, s"u1 u2 u3 $tail"),   // shared 9-token suffix at offset 3
+      (2L, s"v1 $tail"),         // ... and at offset 1: unaligned
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(df, "doc_id", "text", n = 8, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the 9-token shared suffix contains exactly 2 interior 8-grams
+    val expect = Set(
+      ("boiler plate terms of service apply all rights", 2L, 1L),
+      ("plate terms of service apply all rights reserved", 2L, 1L))
+    assert(out.toSet == expect)
+  }
+
   test("lineDedup removes exactly the planted boilerplate (scale-probe invariant)") {
     // organic vocab is 100k words over a few hundred docs -> organic
     // doc frequency ~0; only the planted 5-word suffix crosses the
