@@ -76,8 +76,8 @@ object Bench {
     // the median drops the one-off outliers.
     //
     // Adaptive cutoff: a query whose FIRST rep already ran longer than
-    // SPARK_GRAFT_SLOW_CUTOFF seconds (default 6) runs only ONE more
-    // rep (not the full count) and reports the MINIMUM of the two —
+    // SPARK_GRAFT_SLOW_CUTOFF seconds (default 6) runs TWO more reps
+    // (not the full count) and reports the MINIMUM of the three —
     // the synthetic scale probes (100k/1M-vector ANN, 300k-doc
     // near-dup) pay a 10-70s first-execution cost that is JIT/codegen
     // warmup of their giant generated loops, not data-path work

@@ -2515,21 +2515,22 @@ object SparkEntry {
 
     "ql34_lang_linededup" ->
       """WITH tk AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           SELECT doc_id, string_split(text, ' ') AS toks
            FROM documents
          ), ex AS (
            SELECT doc_id, unnest(toks) AS w,
              unnest(range(1, len(toks) + 1)) AS pos
            FROM tk
          ), exf AS (
-           SELECT * FROM ex WHERE w <> ''
+           SELECT * FROM ex WHERE trim(w) <> ''
          ), bad AS (
-           SELECT w FROM (
-             SELECT w, count(DISTINCT doc_id) AS dfreq FROM exf GROUP BY w
+           SELECT wk FROM (
+             SELECT trim(w) AS wk, count(DISTINCT doc_id) AS dfreq
+             FROM exf GROUP BY trim(w)
            ) WHERE dfreq > 300
          ), keptl AS (
            SELECT e.doc_id FROM exf e
-           LEFT JOIN bad b ON e.w = b.w WHERE b.w IS NULL
+           LEFT JOIN bad b ON trim(e.w) = b.wk WHERE b.wk IS NULL
          ), reb AS (
            SELECT doc_id, count(*) AS n_kept FROM keptl GROUP BY doc_id
          ), tot AS (
@@ -3817,21 +3818,22 @@ object SparkEntry {
            CAST(NULL AS VARCHAR) AS first_of_empty""",
     "x38_line_dedup" ->
       """WITH tk AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           SELECT doc_id, string_split(text, ' ') AS toks
            FROM documents
          ), ex AS (
            SELECT doc_id, unnest(toks) AS w,
              unnest(range(1, len(toks) + 1)) AS pos
            FROM tk
          ), exf AS (
-           SELECT * FROM ex WHERE w <> ''
+           SELECT * FROM ex WHERE trim(w) <> ''
          ), bad AS (
-           SELECT w FROM (
-             SELECT w, count(DISTINCT doc_id) AS dfreq FROM exf GROUP BY w
+           SELECT wk FROM (
+             SELECT trim(w) AS wk, count(DISTINCT doc_id) AS dfreq
+             FROM exf GROUP BY trim(w)
            ) WHERE dfreq > 300
          ), kept AS (
            SELECT e.doc_id, e.pos, e.w
-           FROM exf e LEFT JOIN bad b ON e.w = b.w WHERE b.w IS NULL
+           FROM exf e LEFT JOIN bad b ON trim(e.w) = b.wk WHERE b.wk IS NULL
          ), reb AS (
            SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
              count(*) AS n_kept
@@ -3991,21 +3993,22 @@ object SparkEntry {
                FROM documents)
            ) WHERE margin > 0.0
          ), tk AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           SELECT doc_id, string_split(text, ' ') AS toks
            FROM g
          ), ex AS (
            SELECT doc_id, unnest(toks) AS w2,
              unnest(range(1, len(toks) + 1)) AS pos
            FROM tk
          ), exf AS (
-           SELECT * FROM ex WHERE w2 <> ''
+           SELECT * FROM ex WHERE trim(w2) <> ''
          ), bad AS (
-           SELECT w2 FROM (
-             SELECT w2, count(DISTINCT doc_id) AS df2 FROM exf GROUP BY w2
+           SELECT wk FROM (
+             SELECT trim(w2) AS wk, count(DISTINCT doc_id) AS df2
+             FROM exf GROUP BY trim(w2)
            ) WHERE df2 > 100
          ), kept AS (
            SELECT e.doc_id, e.pos, e.w2
-           FROM exf e LEFT JOIN bad b ON e.w2 = b.w2 WHERE b.w2 IS NULL
+           FROM exf e LEFT JOIN bad b ON trim(e.w2) = b.wk WHERE b.wk IS NULL
          ), reb AS (
            SELECT doc_id, string_agg(w2, ' ' ORDER BY pos) AS clean_text,
              count(*) AS n_kept

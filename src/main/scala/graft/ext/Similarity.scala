@@ -105,23 +105,13 @@ object Similarity {
       .select(col("query_id"), col("col").as("neighbor_id"),
         (col("pos") + 1).cast(IntegerType).as("rank"))
 
-  /** Driver-side mirror of TextAnalysis.h60 (first 60 bits of md5),
-    * so plane constants computed at plan-build time are bit-identical
-    * to the engine/oracle expression derivation.
-    */
-  private def h60Value(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
-
   /** Deterministic pseudo-random hyperplane component: plane j,
     * dimension i ↦ uniform-ish value in [-1, 1], derived from md5 so
-    * any engine reproduces the same planes.
+    * any engine reproduces the same planes (driver-side md5 mirror:
+    * TextAnalysis.h60Value).
     */
   private def planeValue(j: Int, i: Int): Double =
-    (h60Value(s"${j}_$i") % 2001L).toDouble / 1000.0 - 1.0
+    (TextAnalysis.h60Value(s"${j}_$i") % 2001L).toDouble / 1000.0 - 1.0
 
   /** Random-hyperplane LSH signature: bit j = sign(v · plane_j).
     * Pure per-row expression — computed during the scan.
