@@ -2098,6 +2098,35 @@ object SparkEntry {
             .as("n_tokens"))
     }),
 
+    // ANN recall@k: IVF's approximate top-k scored against the exact
+    // brute-force top-k — the parameter-tuning measurement, with BOTH
+    // pipelines replicated in one composed DuckDB oracle
+    "x48_ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val queries = emb.filter(col("vec_id") < 5)
+      graft.ext.Similarity.recallAtK(
+        graft.ext.Similarity.ivfTopK(queries, emb, 10,
+          nCentroids = 16, nProbe = 4),
+        graft.ext.Similarity.bruteForceTopK(queries, emb, 10))
+    }),
+
+    // semantic-dedup scale probe: 102k vectors in 8 blocks of ~12.7k
+    // (all above maxBlock -> the epsilon-grid path, never all-pairs),
+    // 2000 planted exact duplicates; every planted dup must die and
+    // every original survive. rows-only by design (xxhash64 corpus)
+    "x49_semdedup_100k" -> ((s, d) => {
+      val base = synthEmbeddings(s, 100000, 32)
+        .select(col("vec_id"), col("embedding"),
+          F.pmod(col("vec_id"), lit(8L)).as("label"))
+      val aug = base.unionAll(base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          col("embedding"), col("label")))
+      graft.ext.Similarity.semanticDedup(aug, 0.999, "label")
+        .agg(F.count(lit(1)).as("n_kept"),
+          F.sum(F.when(col("vec_id") >= 1000000L, 1L).otherwise(0L))
+            .as("dups_survived"))
+    }),
+
     // SemDeDup-style semantic dedup: cosine pair graph -> connected
     // components -> keep the minimum id per cluster; the full chain
     // (pairs + recursive closure + anti-join) under one oracle
@@ -2175,6 +2204,46 @@ object SparkEntry {
     * pruned IVF): the parquet index round-trip is lossless, so both
     * must produce bit-identical results.
     */
+  /** x48: the IVF top-k (ivfOracleSql's proven CTE chain, re-wrapped
+    * as a CTE) recalled against the brute-force top-k (x10's proven
+    * pipeline) — per-query hit counts and fractions, composed
+    * programmatically so the two oracles can never drift apart.
+    */
+  private lazy val annRecallOracleSql: String = {
+    val body = ivfOracleSql.trim.stripPrefix("WITH")
+    val marker = "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ("
+    val selIdx = body.lastIndexOf(marker)
+    require(selIdx > 0, "ivfOracleSql final-select shape changed")
+    val ctes = body.substring(0, selIdx).trim
+    val finalSel = body.substring(selIdx)
+    s"""WITH $ctes,
+         ivf AS ($finalSel),
+         bsc AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum([CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)
+               for i in range(0, len(q.embedding))])
+             / (sqrt(list_sum([CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE)
+                 for i in range(0, len(q.embedding))]))
+               * sqrt(list_sum([CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)
+                 for i in range(0, len(c.embedding))]))) AS sim
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 5
+         ), bf AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             FROM bsc
+           ) WHERE rank <= 10
+         )
+         SELECT b.query_id, CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(CASE WHEN i.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN i.neighbor_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*) AS recall
+         FROM bf b LEFT JOIN ivf i
+           ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         GROUP BY b.query_id"""
+  }
+
   private val ivfOracleSql: String =
     """WITH cent AS (
            SELECT vec_id AS centroid_id, embedding AS cvec,
@@ -3217,6 +3286,7 @@ object SparkEntry {
     // row_number ties broken by id everywhere.
     "x17_ann_ivf" -> ivfOracleSql,
     "x37_ann_ivf_indexed" -> ivfOracleSql,
+    "x48_ann_recall" -> annRecallOracleSql,
     "x12_cosine_pairs" ->
       """WITH aug AS (
            SELECT vec_id, embedding, label FROM embeddings

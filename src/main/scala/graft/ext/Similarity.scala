@@ -497,6 +497,23 @@ object Similarity {
     * to one cell), but a low-threshold all-pairs output is itself
     * near-quadratic — the grid only costs when the answer does.
     */
+  /** Recall@k of an approximate ANN result against the exact top-k:
+    * per-query hit count and fraction. The tuning loop for LSH/IVF
+    * parameters (nPlanes, nCentroids, nProbe) — measure recall, don't
+    * guess it. Inputs are the two (query_id, neighbor_id, ...) top-k
+    * tables — already tiny regardless of corpus size, so the join is
+    * broadcast-sized by construction.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.join(
+        approx.select(col("query_id"), col("neighbor_id"),
+          F.lit(1).as("_hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(F.count(F.lit(1)).as("k"),
+        F.sum(F.when(col("_hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast(DoubleType) / col("k"))
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): documents whose embeddings are near-identical
     * in cosine are semantic duplicates; keep one representative per

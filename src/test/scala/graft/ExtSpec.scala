@@ -849,6 +849,20 @@ class ExtSpec extends SparkSpec {
     assert(out(6L) == (("z\na\nm", 3L, 0L)))
   }
 
+  test("recallAtK: self-recall is 1.0; a degraded approximation scores the hit fraction") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(queries, emb, 10)
+      .localCheckpoint(true)
+    val self = Similarity.recallAtK(exact, exact)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(self.length == 3 && self.forall(_ == ((10L, 10L, 1.0))))
+    // drop the odd-ranked half of the neighbors -> recall exactly 0.5
+    val degraded = exact.filter(col("rank") % 2 === 1)
+    val deg = Similarity.recallAtK(degraded, exact)
+      .collect().map(r => r.getDouble(3))
+    assert(deg.forall(_ == 0.5))
+  }
+
   test("contaminationScore: verbatim copy scores 1.0, clean doc 0.0") {
     val bench = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val train = Seq(
