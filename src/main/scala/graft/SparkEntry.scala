@@ -1999,6 +1999,24 @@ object SparkEntry {
             .cast(LongType)).as("kept_tokens"))
     }),
 
+    // mixture with UPSAMPLING: scarce sources repeat (multiple
+    // epochs) while abundant ones thin, both from the same rate
+    // arithmetic — budget 100k makes every source upsample at sf0.01
+    // and head sources mix DOWN at sf0.1 (both regimes exercised)
+    "x50_corpus_mix_upsampled" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val weights = (0 until 20)
+        .map(i => s"src$i" -> (if (i < 4) 3.0 else 1.0)).toMap
+      graft.ext.Corpus.mixBySourceUpsampled(docs, "doc_id", "source",
+          graft.ext.TextAnalysis.tokenCount(col("text")),
+          weights, budgetTokens = 100000L)
+        .groupBy("source").agg(F.count(lit(1)).as("n_rows"),
+          F.countDistinct("doc_id").as("n_docs"),
+          F.max("epoch").as("max_epoch"),
+          F.sum(graft.ext.TextAnalysis.tokenCount(col("text"))
+            .cast(LongType)).as("kept_tokens"))
+    }),
+
     // incremental dedup against a persisted fingerprint index: batch
     // docs removed either by the index (historical dup) or by
     // first-in-batch (intra-batch dup) — both paths exercised
@@ -3942,6 +3960,40 @@ object SparkEntry {
              CAST(f.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) AS DOUBLE)
              / 1000000.0 < r.rate
          GROUP BY f.source""",
+
+    "x50_corpus_mix_upsampled" ->
+      """WITH f AS (
+           SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+           FROM documents
+         ), tot AS (
+           SELECT source, sum(nt) AS t FROM f GROUP BY source
+         ), r AS (
+           SELECT source,
+             (CAST(100000 AS DOUBLE) *
+               ((CASE WHEN source IN ('src0','src1','src2','src3')
+                      THEN 3.0 ELSE 1.0 END) / 28.0)) / CAST(t AS DOUBLE)
+               AS rate
+           FROM tot
+         ), rws AS (
+           SELECT f.doc_id, f.source, f.nt,
+             CAST(floor(r.rate) AS BIGINT) +
+               CASE WHEN CAST((('0x' || substr(md5('mix:' || f.source || ':' ||
+                   CAST(f.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) AS DOUBLE)
+                   / 1000000.0 < r.rate - floor(r.rate)
+                 THEN 1 ELSE 0 END AS copies
+           FROM f JOIN r ON f.source = r.source
+         ), e AS (
+           SELECT doc_id, source, nt,
+             unnest(range(1, copies + 1)) AS epoch
+           FROM rws
+         )
+         SELECT source, count(*) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           max(epoch) AS max_epoch,
+           CAST(sum(nt) AS BIGINT) AS kept_tokens
+         FROM e GROUP BY source""",
 
     "x40_dedup_incremental" ->
       """WITH fp AS (

@@ -296,6 +296,48 @@ object Corpus {
                   tokens: Column, weights: Map[String, Double],
                   budgetTokens: Long,
                   defaultWeight: Double = 1.0): DataFrame = {
+    val (base, rateCol, u) =
+      mixRates(df, idCol, sourceCol, tokens, weights, budgetTokens,
+        defaultWeight, cap = true)
+    base.filter(u < rateCol).drop("_nt")
+  }
+
+  /** `mixBySource` with UPSAMPLING: a source whose target exceeds its
+    * stock repeats — the standard mixture move for scarce high-quality
+    * sources (e.g. an encyclopedia sampled ~3 epochs while the crawl
+    * is sub-sampled, as in published GPT-3-style mixture tables). Each
+    * row yields floor(rate) whole epochs plus one more when its
+    * md5-uniform falls under the fractional part, exploded with an
+    * `epoch` column (1-based) so downstream packing can interleave or
+    * separate epochs. Expected output tokens per source =
+    * rate × stock = the budget share, exactly as in the capped
+    * operator — but now from both directions.
+    *
+    * Scale shape: unchanged — per-row arithmetic off the same baked-in
+    * rate CASE chain; the explode produces output ∝ sampled tokens.
+    */
+  def mixBySourceUpsampled(df: DataFrame, idCol: String, sourceCol: String,
+                           tokens: Column, weights: Map[String, Double],
+                           budgetTokens: Long,
+                           defaultWeight: Double = 1.0): DataFrame = {
+    val (base, rateCol, u) =
+      mixRates(df, idCol, sourceCol, tokens, weights, budgetTokens,
+        defaultWeight, cap = false)
+    val whole = F.floor(rateCol).cast(LongType)
+    val copies = whole + F.when(u < rateCol - F.floor(rateCol), 1L)
+      .otherwise(0L)
+    // sequence(1, 0) would run DESCENDING in Spark, not empty — guard
+    // the zero-copies case explicitly
+    base.withColumn("epoch",
+        F.explode(F.when(copies >= 1L, F.sequence(F.lit(1L), copies))
+          .otherwise(F.array().cast("array<bigint>"))))
+      .drop("_nt")
+  }
+
+  private def mixRates(df: DataFrame, idCol: String, sourceCol: String,
+                       tokens: Column, weights: Map[String, Double],
+                       budgetTokens: Long, defaultWeight: Double,
+                       cap: Boolean): (DataFrame, Column, Column) = {
     val base = df.withColumn("_nt", tokens.cast(LongType))
     val totals = base.groupBy(sourceCol).agg(F.sum("_nt").as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -305,7 +347,8 @@ object Corpus {
     val rates: Seq[(String, Double)] = totals.toSeq.sortBy(_._1).map {
       case (s, t) =>
         val target = budgetTokens * (w(s) / wsum)
-        s -> (if (t == 0L) 0.0 else math.min(1.0, target / t))
+        val r = if (t == 0L) 0.0 else target / t
+        s -> (if (cap) math.min(1.0, r) else r)
     }
     val rateCol = rates.foldLeft(F.lit(0.0): Column) { case (acc, (s, r)) =>
       F.when(F.col(sourceCol) === s, r).otherwise(acc)
@@ -313,7 +356,7 @@ object Corpus {
     val u = (TextAnalysis.h60(F.concat(F.lit("mix:"), F.col(sourceCol),
       F.lit(":"), F.col(idCol).cast("string"))) % 1000000L)
       .cast("double") / 1000000.0
-    base.filter(u < rateCol).drop("_nt")
+    (base, rateCol, u)
   }
 
   /** Deterministic shard assignment for training export: shard =

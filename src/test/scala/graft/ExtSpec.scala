@@ -923,6 +923,26 @@ class ExtSpec extends SparkSpec {
     assert(run() == kept)
   }
 
+  test("mixBySourceUpsampled: scarce source repeats exact epochs, abundant thins, deterministic") {
+    val a = (1 to 2).map(i => (i.toLong, "A", "w w w w w"))
+    val b = (100 to 199).map(i => (i.toLong, "B", "w w w w w w w w w w"))
+    val df = (a ++ b).toDF("doc_id", "source", "text")
+    def run() = Corpus.mixBySourceUpsampled(df, "doc_id", "source",
+      TextAnalysis.tokenCount(col("text")),
+      Map("A" -> 1.0, "B" -> 1.0), budgetTokens = 600L)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Long]("epoch")))
+    val out = run()
+    // A: target 300 vs stock 10 -> rate 30.0 exactly: each doc 30 epochs
+    val aRows = out.filter(_._2 == "A")
+    assert(aRows.length == 60 &&
+      aRows.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq == (1L to 30L)))
+    // B: rate 0.3 -> thinned, epoch always 1
+    val bRows = out.filter(_._2 == "B")
+    assert(bRows.nonEmpty && bRows.length < 60 && bRows.forall(_._3 == 1L))
+    assert(run().toSeq == out.toSeq)
+  }
+
   test("dedupAgainstIndex: historical + intra-batch dups drop; updateIndex accumulates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fpidx").toString
     Dedup.buildFpIndex(Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text"),
