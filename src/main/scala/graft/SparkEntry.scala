@@ -2078,6 +2078,19 @@ object SparkEntry {
         n = 8, minDocs = 2)
     }),
 
+    // per-doc span-duplication score: fraction of each doc's 8-token
+    // windows shared with other docs — planted-tail docs score high,
+    // organic repeats measured identically on both sides
+    "x51_span_dup_frac" -> ((s, d) => {
+      val planted = t(s, d, "documents").df.select(col("doc_id"),
+        F.when(col("doc_id") % 7 === 0,
+            F.concat(col("text"),
+              lit(" boiler plate terms of service apply all rights reserved today")))
+          .otherwise(col("text")).as("text"))
+      graft.ext.Dedup.spanDupFraction(planted, "doc_id", "text",
+        n = 8, minDocs = 2)
+    }),
+
     // fastText-style hashed-linear quality classifier: margin = bias +
     // sum of md5-hashed token-feature weights. Dyadic md5 pseudo-model
     // => margins are EXACT doubles in any engine/summation order; the
@@ -4079,6 +4092,34 @@ object SparkEntry {
            FROM sp GROUP BY span
          )
          SELECT span, n_docs, first_doc FROM g WHERE n_docs >= 2""",
+
+    "x51_span_dup_frac" ->
+      """WITH planted AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+               THEN text || ' boiler plate terms of service apply all rights reserved today'
+               ELSE text END AS text
+           FROM documents
+         ), tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tks,
+             trim(text) AS tt
+           FROM planted
+         ), sp AS (
+           SELECT doc_id, u.s AS span
+           FROM tk, unnest(CASE WHEN len(tks) < 8 THEN [tt]
+             ELSE [array_to_string(tks[ii:ii+7], ' ')
+                   for ii in range(1, len(tks) - 6)] END) AS u(s)
+         ), rep AS (
+           SELECT span FROM (
+             SELECT span, count(DISTINCT doc_id) AS nd FROM sp GROUP BY span
+           ) WHERE nd >= 2
+         )
+         SELECT s.doc_id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN r.span IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+           CAST(sum(CASE WHEN r.span IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*) AS span_dup_frac
+         FROM sp s LEFT JOIN rep r ON s.span = r.span
+         GROUP BY s.doc_id""",
 
     "x43_quality_classifier" ->
       """WITH tk AS (

@@ -414,6 +414,38 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
       .select("span", "n_docs", "first_doc")
 
+  /** Per-document cross-corpus span duplication: the fraction of a
+    * document's n-token windows that occur in ≥ minDocs DISTINCT
+    * documents corpus-wide (itself included; a window repeated only
+    * within one doc does not count) — the per-doc filtering signal
+    * built on
+    * `repeatedSpans`' detection (completes the duplication-signal
+    * family: intra-doc repetition → Corpus.repetitionSignals,
+    * whole-doc exact → exact, near → minhashPairs, span-level → this).
+    *
+    * Scale shape: one explode; the repeated-span set is the tiny tail
+    * of the (sh, doc) distinct count, so its join back is
+    * AQE-broadcastable; per-doc rollup is one partial-agg groupBy.
+    */
+  def spanDupFraction(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8, minDocs: Long = 2): DataFrame = {
+    val spans = ensureParallelism(df)
+      .select(col(idCol).as("doc_id"),
+        F.explode(shinglesFromTokens(tokens(col(textCol)),
+          F.trim(col(textCol)), n)).as("span"))
+      .select(col("doc_id"), h60(col("span")).as("sh"))
+    val rep = spans.distinct()
+      .groupBy("sh").agg(F.count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("sh"), lit(1).as("_rep"))
+    spans.join(rep, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(F.count(lit(1)).as("n_spans"),
+        F.sum(F.when(col("_rep").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("span_dup_frac",
+        col("n_dup").cast("double") / col("n_spans"))
+  }
+
   // ---- cluster resolution --------------------------------------------------
   /** Connected components over near-dup pairs: assigns every id the
     * minimum id of its duplicate cluster (the canonical survivor).

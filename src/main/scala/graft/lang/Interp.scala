@@ -1540,7 +1540,8 @@ object Interp {
       "run_statement", "dedup_exact", "near_dup_pairs", "ann_topk",
       "train_split", "chunk_docs", "pack_sequences",
       "repetition_signals", "decontaminate", "weighted_sample",
-      "line_dedup", "mix_corpus", "semantic_dedup", "shard_assign")
+      "line_dedup", "mix_corpus", "semantic_dedup", "shard_assign",
+      "repeated_spans", "contamination_score", "span_dup_frac")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1732,6 +1733,26 @@ object Interp {
           PTable(graft.ext.Corpus.shardAssign(tab.df,
             tab.df.col(litString(args(1).value)),
             constLong(args(2).value).toInt))
+        case "repeated_spans" =>
+          if (args.length < 3 || args.length > 4)
+            throw new TypeError(
+              "repeated_spans(t, \"id_col\", \"text_col\", min_docs?)")
+          val md = if (args.length == 4) constLong(args(3).value) else 2L
+          PTable(graft.ext.Dedup.repeatedSpans(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value),
+            minDocs = md))
+        case "span_dup_frac" =>
+          if (args.length != 3)
+            throw new TypeError("span_dup_frac(t, \"id_col\", \"text_col\")")
+          PTable(graft.ext.Dedup.spanDupFraction(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value)))
+        case "contamination_score" =>
+          if (args.length != 5)
+            throw new TypeError(
+              "contamination_score(t, \"id_col\", \"text_col\", bench_t, \"bench_text_col\")")
+          PTable(graft.ext.Corpus.contaminationScore(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value),
+            t(args(3).value).df, litString(args(4).value)))
         // positional joins (reference __builtins__.pql:211-257) —
         // sides may be named (`zipjoin(a: x, b: y)`) or positional
         case "zipjoin" | "zipjoin_left" | "zipjoin_longest" =>

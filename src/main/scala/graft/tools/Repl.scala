@@ -87,7 +87,8 @@ object Repl {
     "dedup_exact", "near_dup_pairs", "ann_topk",
     "train_split", "chunk_docs", "pack_sequences",
     "repetition_signals", "decontaminate", "weighted_sample",
-    "line_dedup", "mix_corpus", "semantic_dedup", "shard_assign")
+    "line_dedup", "mix_corpus", "semantic_dedup", "shard_assign",
+    "repeated_spans", "contamination_score", "span_dup_frac")
 
   /** The position of the innermost still-open `{` or `[` (outside
     * strings/comments), or -1 — its base expression scopes completion

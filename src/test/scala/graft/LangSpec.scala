@@ -1237,6 +1237,37 @@ class LangSpec extends SparkSpec {
     }
   }
 
+  test("audit table functions in the language: repeated_spans / span_dup_frac / contamination_score") {
+    import spark.implicits._
+    val tail = "boiler plate terms of service apply all rights reserved"
+    val docs = graft.dsl.PTable(Seq(
+      (1L, s"u1 u2 u3 $tail"),
+      (2L, s"v1 $tail"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text"))
+    // repeated_spans composes with selection + ordering
+    val spans = Interp.run(spark,
+      """repeated_spans(docs, "doc_id", "text")[n_docs >= 2] order {span} {span}""",
+      "docs" -> docs).df.collect().map(_.getString(0))
+    assert(spans.toSeq == Seq(
+      "boiler plate terms of service apply all rights",
+      "plate terms of service apply all rights reserved"))
+    // span_dup_frac: the clean doc scores 0, the shared-tail docs > 0
+    val frac = Interp.run(spark,
+      """span_dup_frac(docs, "doc_id", "text")""", "docs" -> docs).df
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(frac(3L) == 0.0 && frac(1L) > 0.0 && frac(2L) > 0.0)
+    // contamination_score against a bench table
+    val bench = graft.dsl.PTable(Seq((9L, s"x $tail y")).toDF("doc_id", "text"))
+    val cont = Interp.run(spark,
+      """contamination_score(docs, "doc_id", "text", bench, "text")""",
+      "docs" -> docs, "bench" -> bench).df
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(cont(3L) == 0.0 && cont(1L) > 0.0)
+    intercept[graft.types.TypeError] {
+      Interp.run(spark, """span_dup_frac(docs)""", "docs" -> docs)
+    }
+  }
+
   test("corpus hygiene operators callable from the language") {
     val docs = Tables.load(spark, sf, "documents")
     // repetition_signals == the Scala operator, row for row
