@@ -1268,6 +1268,19 @@ class LangSpec extends SparkSpec {
     }
   }
 
+  test("examples/corpus_pipeline.pql runs verbatim over the testdata") {
+    val script = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/corpus_pipeline.pql")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val docs = Tables.load(spark, sf, "documents")
+    val out = Interp.run(spark, script + "\nsummary",
+      "documents" -> docs).df.collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    // every surviving (split, shard) cell is non-empty with real tokens
+    assert(out.forall(r => r.getLong(2) > 0 && r.getLong(3) > 0))
+  }
+
   test("corpus hygiene operators callable from the language") {
     val docs = Tables.load(spark, sf, "documents")
     // repetition_signals == the Scala operator, row for row
