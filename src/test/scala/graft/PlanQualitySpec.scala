@@ -613,4 +613,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       s"semantic dedup must never plan all-pairs:\n$p")
   }
+
+  test("corpus lifecycle capstone: dedup semi-join over the ONE materialized clean table") {
+    val p = planOf("x44_corpus_lifecycle")
+    assert(p.contains("LeftSemi"), s"dedup keep must semi-join back:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"lifecycle chain must never plan all-pairs:\n$p")
+    // the cleaned table is localCheckpointed once; both dedup branches
+    // read the materialized scan, not a recomputed line-dedup pipeline
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"clean stage must be materialized, not recomputed per branch:\n$p")
+  }
+
+  test("contamination score: broadcast gram probe, partial per-doc rollup") {
+    val p = planOf("x46_contamination")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"eval gram set must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-doc rollup must keep map-side partials:\n$p")
+  }
+
+  test("upsampled mixing: rate chain + explode, zero joins on the data path") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents").df
+    val p = graft.ext.Corpus.mixBySourceUpsampled(docs, "doc_id", "source",
+        graft.ext.TextAnalysis.tokenCount(org.apache.spark.sql.functions.col("text")),
+        Map("src0" -> 2.0), budgetTokens = 100000L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"upsampling must not join:\n$p")
+    assert(!p.contains("Exchange"), s"upsampling must not shuffle:\n$p")
+    assert(p.contains("Generate explode"), s"epochs must explode per row:\n$p")
+  }
+
+  test("span-dup fraction: hash-keyed repeated set joins back, no all-pairs") {
+    val p = planOf("x51_span_dup_frac")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"span scoring must never plan all-pairs:\n$p")
+    assert(p.contains("sh"), s"repeated set must key on the span hash:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-doc rollup must keep map-side partials:\n$p")
+  }
 }
