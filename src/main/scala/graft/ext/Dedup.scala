@@ -429,11 +429,15 @@ object Dedup {
     */
   def spanDupFraction(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 8, minDocs: Long = 2): DataFrame = {
+    // hash once, materialize, fan out: the repeated-set aggregation
+    // AND the probe side both read the md5'd windows — unevaluated,
+    // every window would be concatenated + hashed twice
     val spans = ensureParallelism(df)
       .select(col(idCol).as("doc_id"),
         F.explode(shinglesFromTokens(tokens(col(textCol)),
           F.trim(col(textCol)), n)).as("span"))
       .select(col("doc_id"), h60(col("span")).as("sh"))
+      .localCheckpoint(true)
     val rep = spans.distinct()
       .groupBy("sh").agg(F.count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)

@@ -506,8 +506,11 @@ object Similarity {
     */
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
     exact.join(
-        approx.select(col("query_id"), col("neighbor_id"),
-          F.lit(1).as("_hit")),
+        // distinct: a duplicated (query, neighbor) in the approx set
+        // (e.g. a union of probe settings) must not fan out the exact
+        // rows and inflate both k and n_hit
+        approx.select(col("query_id"), col("neighbor_id")).distinct()
+          .withColumn("_hit", F.lit(1)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(F.count(F.lit(1)).as("k"),
