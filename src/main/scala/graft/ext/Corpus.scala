@@ -339,8 +339,11 @@ object Corpus {
                        budgetTokens: Long, defaultWeight: Double,
                        cap: Boolean): (DataFrame, Column, Column) = {
     val base = df.withColumn("_nt", tokens.cast(LongType))
+    // null-source rows get no weight bucket: excluded from the totals
+    // (the rate CASE chain already falls through to 0.0 for them)
     val totals = base.groupBy(sourceCol).agg(F.sum("_nt").as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     def w(s: String): Double = weights.getOrElse(s, defaultWeight)
     val wsum = totals.keys.toSeq.sorted.map(w).sum
     require(wsum > 0, "mixBySource: total weight must be positive")

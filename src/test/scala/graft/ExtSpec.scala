@@ -849,6 +849,34 @@ class ExtSpec extends SparkSpec {
     assert(out(6L) == (("z\na\nm", 3L, 0L)))
   }
 
+  test("corpus operators survive null/blank text and null source rows") {
+    val df = Seq((1L, Option("alpha beta gamma"), Option("A")),
+      (2L, None: Option[String], Option("A")),
+      (3L, Option(""), None: Option[String]),
+      (4L, Option("alpha beta gamma delta"), Option("B")))
+      .toDF("doc_id", "text", "source")
+    // line dedup: null/blank docs come back hollow, not dropped/crashed
+    val ld = Corpus.lineDedup(df, "doc_id", "text", maxDocs = 10, delim = " ")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ld.keySet == Set(1L, 2L, 3L, 4L) && ld(2L) == 0L && ld(3L) == 0L)
+    // mixing: null-source rows drop deterministically (no weight bucket)
+    val mix = Corpus.mixBySource(df, "doc_id", "source",
+      TextAnalysis.tokenCount(col("text")), Map("A" -> 1.0, "B" -> 1.0),
+      budgetTokens = 1000L).collect().map(_.getLong(0)).toSet
+    assert(mix.subsetOf(Set(1L, 2L, 4L)))
+    // span scoring: null text scores zero spans... (whole-text shingle
+    // of a null is null -> explode skips), doc absent from output but
+    // the join-free API never throws
+    val sdf = Dedup.spanDupFraction(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!sdf.contains(2L) && sdf(1L) == 2L)
+    // classifier: null text scores null margin (unknown, not a crash)
+    val m = df.select(col("doc_id"),
+        TextAnalysis.linearMargin(col("text"), TextAnalysis.md5Weights(64), 0.0)
+          .as("m")).collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(m(2L) && !m(1L))
+  }
+
   test("recallAtK: self-recall is 1.0; a degraded approximation scores the hit fraction") {
     val queries = emb.filter(col("vec_id") < 3)
     val exact = Similarity.bruteForceTopK(queries, emb, 10)

@@ -151,6 +151,50 @@ class ReplSpec extends SparkSpec {
     assert(Repl.complete("hello = 10\nassert hel", env).contains("hello"))
   }
 
+  test(":load runs the corpus-pipeline example over the bound testdata") {
+    val out = new java.io.ByteArrayOutputStream()
+    val sess = new graft.lang.Interp.Session(spark,
+      "documents" -> graft.sources.Tables.load(spark, sf, "documents"))
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Repl.loadScript("examples/corpus_pipeline.pql", sess, Nil)
+    }
+    val printed = out.toString("UTF-8")
+    assert(printed.contains("loaded examples/corpus_pipeline.pql"), printed)
+    assert(printed.contains("train"), s"summary not printed:\n$printed")
+    // the pipeline's bindings persist for follow-up queries
+    val n = sess.run("count(summary)").df.head.getLong(0)
+    assert(n > 0)
+  }
+
+  test("parser fuzz: garbage inputs throw typed errors, never hang or crash the JVM") {
+    // deterministic pseudo-random token soup: the parser must reject
+    // (typed ParseError / graft error) or accept, within bounds —
+    // no StackOverflow, no infinite loop, no unclassified exception
+    val atoms = Array("{", "}", "[", "]", "(", ")", "..", ",", ":", "=>",
+      "=", "+", "-", "*", "/", "^", "!", "~", "order", "table", "func",
+      "if", "else", "while", "new", "in", "and", "or", "not", "x", "y",
+      "1", "2.5", "\"s\"", "null", "true", "$p", ".", "<", ">=", "==")
+    val rnd = new scala.util.Random(42)
+    (1 to 300).foreach { _ =>
+      val src = Seq.fill(1 + rnd.nextInt(40))(atoms(rnd.nextInt(atoms.length)))
+        .mkString(" ")
+      try { graft.lang.Parser.parse(src); () }
+      catch {
+        case _: graft.lang.ParseError => ()
+        case _: graft.types.GraftError => ()
+      }
+    }
+    // deep nesting parses or fails cleanly instead of blowing the stack
+    val deep = "[" * 300 + "1" + "]" * 300
+    try { graft.lang.Parser.parse(deep); () }
+    catch {
+      case _: graft.lang.ParseError => ()
+      case _: graft.types.GraftError => ()
+      case _: StackOverflowError =>
+        fail("parser must not blow the stack on deep nesting")
+    }
+  }
+
   test(":load runs a reference example script and grows the prelude") {
     // fizzbuzz.pql ends in `print [1..100]{fizzbuzz(item)}`; :load
     // must print its output and keep the script's funcs available
