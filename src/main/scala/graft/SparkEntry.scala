@@ -521,6 +521,21 @@ object SparkEntry {
           F.sum("n_kept").as("kept"), F.sum("n_removed").as("removed"))
     }),
 
+    // EXACT-Jaccard (PPJoin) scale probe: 300k docs, 16 synthetic
+    // blocks of ~19k (real corpora block on lang/source the same
+    // way); the planted (2g, 2g+1) near-dup pairs share a block by
+    // construction. Exactness check rides along: every found pair
+    // must be a planted one (pure == n_pairs). rows-only by design
+    "x52_jaccard_300k" -> ((s, d) => {
+      val docs = synthDocs(s, 150000L)
+        .withColumn("blk", F.pmod(F.floor(col("doc_id") / 2), lit(16L)))
+      graft.ext.Dedup.jaccardPairsExact(docs, "doc_id", "text",
+          Seq("blk"), 0.8)
+        .agg(F.count(lit(1)).as("n_pairs"),
+          F.sum(F.when(col("id_b") === col("id_a") + 1, 1L).otherwise(0L))
+            .as("planted"))
+    }),
+
     "x36_decontam_300k" -> ((s, d) => {
       val all = synthDocs(s, 150000L)
       graft.ext.Corpus.decontaminate(
