@@ -2144,6 +2144,19 @@ object SparkEntry {
             .as("n_tokens"))
     }),
 
+    // corpus composition analytics: nearest-centroid clustering of
+    // the embedding corpus + per-cluster stats (size, head id, mean
+    // label) — what a mixture report over a 100 TB corpus looks like;
+    // the assignment CTEs are shared verbatim with the IVF oracle
+    "x53_cluster_stats" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val (assigned, _) = graft.ext.Similarity.ivfAssign(emb, nCentroids = 16)
+      assigned.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy("centroid_id")
+        .agg(F.count(lit(1)).as("n_docs"), F.min("vec_id").as("min_id"),
+          F.sum(col("label").cast(LongType)).as("label_sum"))
+    }),
+
     // ANN recall@k: IVF's approximate top-k scored against the exact
     // brute-force top-k — the parameter-tuning measurement, with BOTH
     // pipelines replicated in one composed DuckDB oracle
@@ -2288,6 +2301,21 @@ object SparkEntry {
          FROM bf b LEFT JOIN ivf i
            ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
          GROUP BY b.query_id"""
+  }
+
+  /** x53: the IVF oracle's cent+assigned CTEs (shared verbatim — they
+    * cannot drift from x17/x37's assignment) rolled up per cluster,
+    * joined back to the labels.
+    */
+  private lazy val clusterStatsOracleSql: String = {
+    val cut = ivfOracleSql.indexOf("), probes AS (")
+    require(cut > 0, "ivfOracleSql CTE shape changed")
+    ivfOracleSql.substring(0, cut) + ")\n" +
+      """SELECT a.centroid_id, count(*) AS n_docs,
+           min(a.vec_id) AS min_id,
+           CAST(sum(e.label) AS BIGINT) AS label_sum
+         FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+         GROUP BY a.centroid_id"""
   }
 
   private val ivfOracleSql: String =
@@ -3333,6 +3361,7 @@ object SparkEntry {
     "x17_ann_ivf" -> ivfOracleSql,
     "x37_ann_ivf_indexed" -> ivfOracleSql,
     "x48_ann_recall" -> annRecallOracleSql,
+    "x53_cluster_stats" -> clusterStatsOracleSql,
     "x12_cosine_pairs" ->
       """WITH aug AS (
            SELECT vec_id, embedding, label FROM embeddings
