@@ -60,7 +60,18 @@ object Dedup {
   def dedupAgainstIndex(incoming: DataFrame, idCol: String, textCol: String,
                         dir: String, updateIndex: Boolean = false): DataFrame = {
     val spark = incoming.sparkSession
-    val idx = spark.read.parquet(dir)
+    // bootstrap: a missing/empty index dir means "nothing seen yet" —
+    // the first batch of a continuous ingest must not need a separate
+    // buildFpIndex call
+    val idx = {
+      val d = new java.io.File(dir)
+      val hasData = d.isDirectory &&
+        Option(d.listFiles).exists(_.exists(_.getName.endsWith(".parquet")))
+      if (hasData) spark.read.parquet(dir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("fp", StringType))))
+    }
     val firsts = incoming
       .select(fingerprint(col(textCol)).as("fp"), col(idCol))
       .groupBy("fp").agg(F.min(col(idCol)).as(idCol))

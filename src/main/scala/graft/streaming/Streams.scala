@@ -135,6 +135,28 @@ object Streams {
       .start()
   }
 
+  /** Continuous incremental exact dedup: every micro-batch runs the
+    * BATCH `Dedup.dedupAgainstIndex` against the persisted
+    * fingerprint index with `updateIndex = true` — survivors'
+    * fingerprints append, so the all-history seen-set accumulates
+    * exactly-once across batches AND restarts (the index is durable
+    * parquet, unlike in-memory streaming state, and has no watermark
+    * horizon: a duplicate of a document seen a year ago still drops).
+    * First batch bootstraps an empty index automatically.
+    */
+  def dedupAgainstIndexStream(docs: DataFrame, idCol: String, textCol: String,
+                              indexDir: String)
+                             (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.ext.Dedup.dedupAgainstIndex(batch, idCol, textCol,
+            indexDir, updateIndex = true), id)
+      }
+      .start()
+
   /** Streaming MinHash-LSH near-dup band admissions: each document
     * explodes to its (band, bucket) keys; a band row is ADMITTED if
     * that (band, bucket) was not seen within the watermark horizon.

@@ -341,6 +341,31 @@ class GraphStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming incremental dedup: the index accumulates across micro-batches from a cold start") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpidx_stream").toString + "/idx"
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = Streams.dedupAgainstIndexStream(df, "doc_id", "text", dir) {
+      (kept, _) => out ++= kept.collect().map(_.getLong(0))
+    }
+    // batch 1 bootstraps the empty index: both docs are novel
+    mem.addData(1L -> "aaa", 2L -> "bbb")
+    q.processAllAvailable()
+    assert(out.toSet == Set(1L, 2L))
+    // batch 2: 3 duplicates batch 1's "aaa" (historical), 4+5 collide
+    // within the batch, 6 is novel
+    mem.addData(3L -> "aaa", 4L -> "ccc", 5L -> "ccc", 6L -> "ddd")
+    q.processAllAvailable()
+    assert(out.toSet == Set(1L, 2L, 4L, 6L))
+    // batch 3: everything seen before drops
+    mem.addData(7L -> "ccc", 8L -> "ddd", 9L -> "bbb")
+    q.processAllAvailable()
+    q.stop()
+    assert(out.toSet == Set(1L, 2L, 4L, 6L))
+  }
+
   test("streaming classifier gate: stateless margin filter matches the batch decision") {
     implicit val sqlCtx = spark.sqlContext
     val w = graft.ext.TextAnalysis.md5Weights(256)
