@@ -1268,6 +1268,27 @@ class LangSpec extends SparkSpec {
     }
   }
 
+  test("examples/dedup_audit.pql runs verbatim: corpus-level audit counts") {
+    import spark.implicits._
+    val script = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/dedup_audit.pql")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val base = Tables.load(spark, sf, "documents").df
+      .select(col("doc_id"), col("text")).limit(60)
+    // plant: one exact copy, so classes/pairs/spans are all non-zero
+    val docs = graft.dsl.PTable(base.unionAll(
+      base.filter(col("doc_id") === 0)
+        .select((col("doc_id") + 5000).as("doc_id"), col("text"))))
+    val evalset = graft.dsl.PTable(
+      base.filter(col("doc_id") === 1).select(col("doc_id"), col("text")))
+    val r = Interp.run(spark, script + "\nreport",
+      "documents" -> docs, "evalset" -> evalset).df.head
+    // the planted copy: >=1 exact class, >=1 near-dup pair, 2 docs
+    // wholly span-duplicated; doc 1 is verbatim in the eval set
+    assert(r.getLong(0) >= 1L && r.getLong(1) >= 1L)
+    assert(r.getLong(2) >= 2L && r.getLong(3) >= 1L)
+  }
+
   test("examples/corpus_pipeline.pql runs verbatim over the testdata") {
     val script = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("examples/corpus_pipeline.pql")),
