@@ -2043,8 +2043,10 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 0), "text", dir)
       val incoming = docs.filter(col("doc_id") % 3 =!= 0)
         .select(col("doc_id"), col("text"))
+        // 1e8 offset: far above any real doc_id at any scale factor,
+        // so a shifted copy can never collide with a genuine id
         .unionAll(docs.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
       graft.ext.Dedup.dedupAgainstIndex(incoming, "doc_id", "text", dir)
         .select(col("doc_id"))
     }),
@@ -2193,7 +2195,7 @@ object SparkEntry {
       val emb = t(s, d, "embeddings").df
       val aug = emb.select(col("vec_id"), col("embedding"), col("label"))
         .unionAll(emb.filter(col("vec_id") % 20 === 0)
-          .select((col("vec_id") + 10000).as("vec_id"),
+          .select((col("vec_id") + 100000000L).as("vec_id"),
             col("embedding"), col("label")))
       graft.ext.Similarity.semanticDedup(aug, 0.999, "label")
         .select(col("vec_id"), col("label"))
@@ -4062,7 +4064,7 @@ object SparkEntry {
          ), inc AS (
            SELECT doc_id, fp FROM fp WHERE doc_id % 3 <> 0
            UNION ALL
-           SELECT doc_id + 10000, fp FROM fp WHERE doc_id % 50 = 0
+           SELECT doc_id + 100000000, fp FROM fp WHERE doc_id % 50 = 0
          ), firsts AS (
            SELECT fp, min(doc_id) AS doc_id FROM inc GROUP BY fp
          )
@@ -4173,11 +4175,12 @@ object SparkEntry {
            FROM documents
          ), sc AS (
            SELECT doc_id,
-             0.25 + coalesce(list_sum([
-               ((('0x' || substr(md5('w:' || CAST(
-                     (('0x' || substr(md5(t), 1, 15))::BIGINT % 1024)
-                     AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000) / 1024.0
-               for t in toks]), 0.0) AS margin
+             CASE WHEN toks IS NULL THEN NULL
+               ELSE 0.25 + coalesce(list_sum([
+                 ((('0x' || substr(md5('w:' || CAST(
+                       (('0x' || substr(md5(t), 1, 15))::BIGINT % 1024)
+                       AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000) / 1024.0
+                 for t in toks]), 0.0) END AS margin
            FROM tk
          )
          SELECT doc_id, margin,
@@ -4188,11 +4191,12 @@ object SparkEntry {
       """WITH g AS (
            SELECT doc_id, text FROM (
              SELECT doc_id, text,
-               0.25 + coalesce(list_sum([
-                 ((('0x' || substr(md5('w:' || CAST(
-                       (('0x' || substr(md5(t), 1, 15))::BIGINT % 1024)
-                       AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000) / 1024.0
-                 for t in toks]), 0.0) AS margin
+               CASE WHEN toks IS NULL THEN NULL
+                 ELSE 0.25 + coalesce(list_sum([
+                   ((('0x' || substr(md5('w:' || CAST(
+                         (('0x' || substr(md5(t), 1, 15))::BIGINT % 1024)
+                         AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000) / 1024.0
+                   for t in toks]), 0.0) END AS margin
              FROM (
                SELECT doc_id, text,
                  CASE WHEN trim(text) = '' THEN []
@@ -4250,7 +4254,7 @@ object SparkEntry {
     "x42_semantic_dedup" ->
       """WITH RECURSIVE aug AS (
            SELECT vec_id, embedding, label FROM embeddings
-           UNION ALL SELECT vec_id + 10000, embedding, label
+           UNION ALL SELECT vec_id + 100000000, embedding, label
            FROM embeddings WHERE vec_id % 20 = 0
          ), pairs AS (
            SELECT id_a, id_b FROM (

@@ -247,17 +247,22 @@ object Corpus {
                 maxDocs: Long, delim: String = "\n"): DataFrame = {
     val lines = F.split(F.col(textCol),
       java.util.regex.Pattern.quote(delim))
+    // explode + trim + md5 once, materialized: the doc-frequency
+    // aggregate AND the probe side both read `keyed` — unevaluated,
+    // the whole hash pipeline would run twice (same rule as
+    // Dedup.spanDupFraction's hash-once-materialize)
     val keyed = Dedup.ensureParallelism(df)
-      .select(F.col(idCol).as("doc_id"),
+      .select(F.col(idCol),
         F.posexplode(lines).as(Seq("pos", "line")))
       .filter(F.trim(F.col("line")) =!= "")
       .withColumn("lk", TextAnalysis.h60(F.trim(F.col("line"))))
-    val frequent = keyed.select("lk", "doc_id").distinct()
+      .localCheckpoint(true)
+    val frequent = keyed.select("lk", idCol).distinct()
       .groupBy("lk").agg(F.count(F.lit(1)).as("docfreq"))
       .filter(F.col("docfreq") > maxDocs)
       .select(F.col("lk"), F.lit(1).as("_bad"))
     val flagged = keyed.join(frequent, Seq("lk"), "left")
-    val rebuilt = flagged.groupBy("doc_id").agg(
+    val rebuilt = flagged.groupBy(idCol).agg(
       F.sum(F.when(F.col("_bad").isNull, 1L).otherwise(0L)).as("n_kept"),
       F.sum(F.when(F.col("_bad").isNull, 0L).otherwise(1L)).as("n_removed"),
       F.array_join(
@@ -266,9 +271,9 @@ object Corpus {
             F.when(F.col("_bad").isNull,
               F.struct(F.col("pos"), F.col("line"))))),
           s => s.getField("line")), delim).as("clean_text"))
-    df.select(F.col(idCol).as("doc_id"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(F.col("doc_id"),
+    df.select(F.col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(F.col(idCol), // the caller's id name is preserved
         F.coalesce(F.col("clean_text"), F.lit("")).as("clean_text"),
         F.coalesce(F.col("n_kept"), F.lit(0L)).as("n_kept"),
         F.coalesce(F.col("n_removed"), F.lit(0L)).as("n_removed"))
@@ -343,7 +348,10 @@ object Corpus {
     // (the rate CASE chain already falls through to 0.0 for them)
     val totals = base.groupBy(sourceCol).agg(F.sum("_nt").as("t"))
       .collect().filter(!_.isNullAt(0))
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // a source whose every token count is null sums to null:
+      // zero stock, rate 0 — not an NPE
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
     def w(s: String): Double = weights.getOrElse(s, defaultWeight)
     val wsum = totals.keys.toSeq.sorted.map(w).sum
     require(wsum > 0, "mixBySource: total weight must be positive")

@@ -444,17 +444,17 @@ object Dedup {
     // AND the probe side both read the md5'd windows — unevaluated,
     // every window would be concatenated + hashed twice
     val spans = ensureParallelism(df)
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol),
         F.explode(shinglesFromTokens(tokens(col(textCol)),
           F.trim(col(textCol)), n)).as("span"))
-      .select(col("doc_id"), h60(col("span")).as("sh"))
+      .select(col(idCol), h60(col("span")).as("sh"))
       .localCheckpoint(true)
     val rep = spans.distinct()
       .groupBy("sh").agg(F.count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("sh"), lit(1).as("_rep"))
     spans.join(rep, Seq("sh"), "left")
-      .groupBy("doc_id")
+      .groupBy(idCol) // the caller's id name is preserved
       .agg(F.count(lit(1)).as("n_spans"),
         F.sum(F.when(col("_rep").isNotNull, 1L).otherwise(0L)).as("n_dup"))
       .withColumn("span_dup_frac",

@@ -135,14 +135,51 @@ object Streams {
       .start()
   }
 
-  /** Continuous incremental exact dedup: every micro-batch runs the
-    * BATCH `Dedup.dedupAgainstIndex` against the persisted
-    * fingerprint index with `updateIndex = true` — survivors'
-    * fingerprints append, so the all-history seen-set accumulates
-    * exactly-once across batches AND restarts (the index is durable
-    * parquet, unlike in-memory streaming state, and has no watermark
-    * horizon: a duplicate of a document seen a year ago still drops).
-    * First batch bootstraps an empty index automatically.
+  /** One micro-batch of incremental exact dedup, REPLAY-SAFE. The
+    * index is laid out one subdirectory per batch (`b<batchId>/`);
+    * the current batch dedups against every OTHER batch's
+    * fingerprints and then OVERWRITES its own subdirectory. foreachBatch
+    * is at-least-once — if the sink fails after the index write, Spark
+    * replays the same batchId: excluding the batch's own subdir from
+    * the seen-set makes the replay compute the identical kept-set (a
+    * naive append-then-sink would anti-join the batch against its own
+    * fingerprints on replay and silently drop every document), and the
+    * overwrite makes the index write idempotent.
+    */
+  def dedupBatchAgainstIndex(batch: DataFrame, idCol: String,
+                             textCol: String, indexDir: String,
+                             batchId: Long): DataFrame = {
+    import graft.ext.{Dedup, TextAnalysis}
+    val spark = batch.sparkSession
+    val root = new java.io.File(indexDir)
+    val others = Option(root.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("b") &&
+        f.getName != s"b$batchId")
+      .map(_.getAbsolutePath)
+    val idx =
+      if (others.nonEmpty) spark.read.parquet(others.toIndexedSeq: _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.StringType))))
+    val firsts = batch
+      .select(TextAnalysis.fingerprint(F.col(textCol)).as("fp"), F.col(idCol))
+      .groupBy("fp").agg(F.min(F.col(idCol)).as(idCol))
+    val novel = firsts.join(idx, Seq("fp"), "left_anti").localCheckpoint(true)
+    novel.select("fp").write.mode("overwrite")
+      .parquet(s"$indexDir/b$batchId")
+    batch.join(novel.select(F.col(idCol)), Seq(idCol), "left_semi")
+  }
+
+  /** Continuous incremental exact dedup: every micro-batch dedups
+    * against the persisted all-history fingerprint index and adds its
+    * own novel fingerprints — durable parquet, so unlike in-memory
+    * streaming state there is no watermark horizon (a duplicate of a
+    * document seen a year ago still drops) and the seen-set survives
+    * restarts. Batch replays are idempotent (see
+    * `dedupBatchAgainstIndex`); a cold start bootstraps an empty
+    * index.
     */
   def dedupAgainstIndexStream(docs: DataFrame, idCol: String, textCol: String,
                               indexDir: String)
@@ -152,8 +189,7 @@ object Streams {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty)
-          sink(graft.ext.Dedup.dedupAgainstIndex(batch, idCol, textCol,
-            indexDir, updateIndex = true), id)
+          sink(dedupBatchAgainstIndex(batch, idCol, textCol, indexDir, id), id)
       }
       .start()
 

@@ -364,6 +364,16 @@ class GraphStreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     assert(out.toSet == Set(1L, 2L, 4L, 6L))
+    // REPLAY SAFETY: foreachBatch is at-least-once — re-running batch 1
+    // (same batchId, same rows, e.g. after a sink failure) must return
+    // the SAME kept set, not anti-join the batch against its own
+    // just-written fingerprints and drop everything
+    val replay = Streams.dedupBatchAgainstIndex(
+      Seq(3L -> "aaa", 4L -> "ccc", 5L -> "ccc", 6L -> "ddd")
+        .toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchId = 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(replay == Set(4L, 6L), s"replay must be idempotent, got $replay")
   }
 
   test("streaming classifier gate: stateless margin filter matches the batch decision") {
