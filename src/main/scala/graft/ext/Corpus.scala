@@ -247,16 +247,17 @@ object Corpus {
                 maxDocs: Long, delim: String = "\n"): DataFrame = {
     val lines = F.split(F.col(textCol),
       java.util.regex.Pattern.quote(delim))
-    // explode + trim + md5 once, materialized: the doc-frequency
-    // aggregate AND the probe side both read `keyed` — unevaluated,
-    // the whole hash pipeline would run twice (same rule as
-    // Dedup.spanDupFraction's hash-once-materialize)
+    // `keyed` fans out (doc-frequency aggregate + probe side) and is
+    // deliberately NOT materialized: recomputing the explode+md5 twice
+    // MEASURED faster than checkpointing the exploded rows at every
+    // tested scale (x45, 10.5M instances: 4.3s recomputed vs 5.8s
+    // checkpointed) — the explode output carries the line text, which
+    // is bigger than the compute it would save
     val keyed = Dedup.ensureParallelism(df)
       .select(F.col(idCol),
         F.posexplode(lines).as(Seq("pos", "line")))
       .filter(F.trim(F.col("line")) =!= "")
       .withColumn("lk", TextAnalysis.h60(F.trim(F.col("line"))))
-      .localCheckpoint(true)
     val frequent = keyed.select("lk", idCol).distinct()
       .groupBy("lk").agg(F.count(F.lit(1)).as("docfreq"))
       .filter(F.col("docfreq") > maxDocs)

@@ -648,14 +648,13 @@ class PlanQualitySpec extends SparkSpec {
     val p = planOf("x51_span_dup_frac")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       s"span scoring must never plan all-pairs:\n$p")
-    // hash-once-materialize: the md5'd spans are checkpointed, so both
-    // the repeated-set aggregation and the probe read the SAME
-    // materialized scan, joined on the hash column (sh#NNN — the bare
-    // substring "sh" would match inside "HashAggregate")
-    assert(p.contains("Scan ExistingRDD"),
-      s"spans must be hashed once and materialized:\n$p")
+    // the shuffle/join key must be the 60-bit md5 span hash (the conv
+    // of the md5 prefix), never the raw span text ("sh" alone would
+    // match inside "HashAggregate", so assert the hash chain itself)
+    assert(p.contains("md5(") && p.contains("conv("),
+      s"repeated set must key on the 60-bit md5 span hash:\n$p")
     assert(p.contains("sh#"),
-      s"repeated set must join back on the 60-bit span hash column:\n$p")
+      s"repeated set must join back on the span hash column:\n$p")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"per-doc rollup must keep map-side partials:\n$p")
   }
