@@ -754,6 +754,19 @@ object SparkEntry {
         .project("r_regionkey", "r_name").orderBy("r_regionkey").df
     }),
 
+    // raw-corpus text ingestion (one doc per line): write the document
+    // texts out as .txt, read back through Tables.text, re-key by
+    // content hash (line order is not a scan contract)
+    "q75_text_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_text").toString
+      t(s, d, "documents").df.select(col("text")).coalesce(1)
+        .write.mode("overwrite").text(out)
+      graft.sources.Tables.text(s, out, name = "docs_text")
+        .df.select(col("line"),
+          graft.ext.TextAnalysis.tokenCount(col("line")).as("n_tokens"))
+    }),
+
     // ---- §2.1 introspection: columns() -----------------------------------
     "q50_columns" -> ((s, d) =>
       graft.sources.Tables.columns(t(s, d, "region"))),
@@ -3412,6 +3425,12 @@ object SparkEntry {
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
     "q49_json_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q75_text_roundtrip" ->
+      """SELECT text AS line,
+           CASE WHEN trim(text) = '' THEN 0
+             ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+           END AS n_tokens
+         FROM documents""",
     "q50_columns" ->
       """SELECT * FROM (VALUES
            ('r_regionkey', 'int', true),

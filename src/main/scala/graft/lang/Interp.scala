@@ -1536,7 +1536,7 @@ object Interp {
       "limit_offset", "table_concat", "table_union", "table_intersect",
       "table_substract", "table_subtract", "force_eval", "describe",
       "zipjoin", "zipjoin_left", "zipjoin_longest", "map_range",
-      "import_table", "import_json", "import_csv", "dir",
+      "import_table", "import_json", "import_csv", "import_text", "dir",
       "run_statement", "dedup_exact", "near_dup_pairs", "ann_topk",
       "train_split", "chunk_docs", "pack_sequences",
       "repetition_signals", "decontaminate", "weighted_sample",
@@ -1995,6 +1995,17 @@ object Interp {
           val tname = constString(args.head.value)
           val uri = constString(args(1).value)
           val tab = graft.sources.Tables.json(spark, uri, name = tname)
+          cat.register(tname, tab)
+          env = env + (tname -> VT(cat.get(tname)))
+          cat.get(tname)
+        case "import_text" =>
+          // raw-corpus ingestion (engine extension): one document per
+          // line, a single `line` column
+          if (args.length != 2)
+            throw new TypeError("import_text(\"name\", \"path\")")
+          val tname = constString(args.head.value)
+          val uri = constString(args(1).value)
+          val tab = graft.sources.Tables.text(spark, uri, name = tname)
           cat.register(tname, tab)
           env = env + (tname -> VT(cat.get(tname)))
           cat.get(tname)

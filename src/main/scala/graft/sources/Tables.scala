@@ -78,6 +78,16 @@ object Tables {
   def json(spark: SparkSession, path: String, name: String = ""): PTable =
     PTable(spark.read.json(path), TableMeta(name))
 
+  /** Raw text ingestion, one document per line — the standard format
+    * for crawled/raw corpora. A single `line` column; splittable
+    * file scan, so a directory of .txt shards parallelizes like any
+    * other source. Assign ids downstream (`enum`, or a hash of the
+    * line) — line order inside a distributed scan is not a contract.
+    */
+  def text(spark: SparkSession, path: String, name: String = ""): PTable =
+    PTable(spark.read.text(path).withColumnRenamed("value", "line"),
+      TableMeta(name))
+
   /** Catalog introspection (reference pql_functions.py:786-828). */
   def tables(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -1268,6 +1268,21 @@ class LangSpec extends SparkSpec {
     }
   }
 
+  test("import_text ingests one document per line into the catalog") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_txt").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part1.txt"),
+      "alpha beta\ngamma\n".getBytes("UTF-8"))
+    val out = Interp.run(spark,
+      s"""t = import_text("raw", "$dir")
+         |t {line, n: token_count(line)} order {line}""".stripMargin)
+      .df.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("alpha beta", 2L), ("gamma", 1L)))
+    intercept[graft.types.TypeError] {
+      Interp.run(spark, """import_text("x")""")
+    }
+  }
+
   test("examples/dedup_audit.pql runs verbatim: corpus-level audit counts") {
     import spark.implicits._
     val script = new String(java.nio.file.Files.readAllBytes(
