@@ -2077,6 +2077,18 @@ object SparkEntry {
           F.min_by(col("doc_id"), col("h")).as("first_doc"))
     }),
 
+    // mojibake detection: planted replacement-char + control-char
+    // residue must score exactly 2 garbage chars; clean docs 0. The
+    // oracle mirrors the ratio arithmetically (2 / planted length),
+    // so a regex miscount on either side mismatches
+    "x54_garbage_ratio" -> ((s, d) => {
+      val planted = F.when(col("doc_id") % 13 === 0,
+          F.concat(col("text"), lit(" bad\uFFFD\u0001tail")))
+        .otherwise(col("text"))
+      t(s, d, "documents").df.select(col("doc_id"),
+        graft.ext.TextAnalysis.garbageRatio(planted).as("garbage"))
+    }),
+
     // contamination REPORT (the audit twin of x32's drop): per-doc
     // n-gram hit counts and fraction against the same planted eval
     // set — severity grading instead of a blunt drop
@@ -4102,6 +4114,13 @@ object SparkEntry {
          SELECT shard, count(*) AS n_docs, min(doc_id) AS min_id,
            arg_min(doc_id, hh) AS first_doc
          FROM h GROUP BY shard""",
+
+    "x54_garbage_ratio" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0
+             THEN 2.0 / (length(text) + 10)
+             ELSE 0.0 END AS garbage
+         FROM documents""",
 
     "x46_contamination" ->
       """WITH aug AS (

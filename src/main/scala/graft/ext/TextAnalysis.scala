@@ -160,6 +160,27 @@ object TextAnalysis {
     (lenScore * mtlScore * alnumRatio(text))
   }
 
+  /** Mojibake / broken-encoding signal: fraction of characters that
+    * are control codes (excluding tab/newline/CR) or the Unicode
+    * replacement character U+FFFD — the classic residue of a bad
+    * decode. Pure scan expression; the character class embeds the
+    * literal replacement char (not an engine-specific \\u escape) so
+    * the same pattern runs under Java regex and RE2 alike.
+    */
+  def garbageRatio(text: Column): Column = {
+    // C0 controls minus tab/LF/CR, DEL, and the literal replacement
+    // char (substituted at build time below -- both Java regex and
+    // RE2 read a plain character, unlike engine-specific \\u or
+    // \\x{..} escapes); two-digit \\xNN escapes parse in both engines
+    val pattern =
+      "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f" + '\uFFFD' + "]"
+    val bad = F.length(text) -
+      F.length(F.regexp_replace(text, pattern, ""))
+    when(F.length(text) === 0, lit(0.0))
+      .otherwise(bad.cast(DoubleType) / F.length(text))
+  }
+
+
   // ---- model-based quality scoring (fastText-style hashed linear) -------
   /** Driver-side mirror of `h60` (first 60 bits of md5) for plan-build-
     * time constants — bit-identical to the engine/oracle derivation.

@@ -2874,7 +2874,7 @@ object Interp {
              "count_false" | "token_count" | "pii_count" => Some(LongType)
         case "float" | "mean" | "avg" | "stddev" | "median" | "pi" |
              "random" | "product" | "approx_product" |
-             "quality_score" => Some(DoubleType)
+             "quality_score" | "garbage_ratio" => Some(DoubleType)
         case "lang_id" | "fingerprint" | "redact_pii" => Some(StringType)
         case "bool" | "str_contains" => Some(BooleanType)
         case "iif" if args.length == 3 =>
@@ -3163,6 +3163,8 @@ object Interp {
       case "lang_id" => arity(1); graft.ext.TextAnalysis.langId(a(0))
       case "quality_score" => arity(1)
         graft.ext.TextAnalysis.qualityScore(a(0))
+      case "garbage_ratio" => arity(1)
+        graft.ext.TextAnalysis.garbageRatio(a(0))
       case "fingerprint" => arity(1); graft.ext.TextAnalysis.fingerprint(a(0))
       case "redact_pii" => arity(1); graft.ext.TextAnalysis.redactPii(a(0))
       case "pii_count" => arity(1); graft.ext.TextAnalysis.piiCount(a(0))

@@ -83,7 +83,7 @@ object Repl {
     "connect", "commit", "add_index", "debug", "_breakpoint",
     // engine extensions: pipeline scalars + table operators
     "token_count", "subword_count", "lang_id", "quality_score",
-    "fingerprint", "redact_pii", "pii_count",
+    "garbage_ratio", "fingerprint", "redact_pii", "pii_count",
     "dedup_exact", "near_dup_pairs", "ann_topk",
     "train_split", "chunk_docs", "pack_sequences",
     "repetition_signals", "decontaminate", "weighted_sample",

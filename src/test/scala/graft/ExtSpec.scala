@@ -891,6 +891,14 @@ class ExtSpec extends SparkSpec {
     assert(deg.forall(_ == 0.5))
   }
 
+  test("garbageRatio: counts control/replacement chars, clean text is 0") {
+    val out = Seq("clean words", "a\uFFFDb", "x\u0001\u0002y", "", "\ttabs ok\n")
+      .toDF("t").select(TextAnalysis.garbageRatio(col("t")))
+      .collect().map(_.getDouble(0))
+    assert(out(0) == 0.0 && out(1) == 1.0 / 3.0 && out(2) == 0.5)
+    assert(out(3) == 0.0 && out(4) == 0.0) // tab/newline are not garbage
+  }
+
   test("contaminationScore: verbatim copy scores 1.0, clean doc 0.0") {
     val bench = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val train = Seq(
