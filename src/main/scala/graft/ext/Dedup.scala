@@ -62,12 +62,12 @@ object Dedup {
     val spark = incoming.sparkSession
     // bootstrap: a missing/empty index dir means "nothing seen yet" —
     // the first batch of a continuous ingest must not need a separate
-    // buildFpIndex call
+    // buildFpIndex call. Probed via the Hadoop FileSystem API so the
+    // index can live where a 100 TB seen-set actually lives (HDFS/S3);
+    // a java.io.File probe would silently read any non-local index as
+    // empty and readmit every historical duplicate.
     val idx = {
-      val d = new java.io.File(dir)
-      val hasData = d.isDirectory &&
-        Option(d.listFiles).exists(_.exists(_.getName.endsWith(".parquet")))
-      if (hasData) spark.read.parquet(dir)
+      if (graft.sources.Fs.hasParquet(spark, dir)) spark.read.parquet(dir)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("fp", StringType))))

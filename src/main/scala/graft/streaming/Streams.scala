@@ -151,11 +151,11 @@ object Streams {
                              batchId: Long): DataFrame = {
     import graft.ext.{Dedup, TextAnalysis}
     val spark = batch.sparkSession
-    val root = new java.io.File(indexDir)
-    val others = Option(root.listFiles).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("b") &&
-        f.getName != s"b$batchId")
-      .map(_.getAbsolutePath)
+    // Hadoop-FS discovery (works on HDFS/S3, not just local disk) and a
+    // strict b<digits> name match, so an unrelated subdirectory under
+    // indexDir (say "backup/") can never be read as fingerprints.
+    val others = graft.sources.Fs.subdirs(spark, indexDir, "b\\d+")
+      .filterNot(_.stripSuffix("/").endsWith(s"/b$batchId"))
     val idx =
       if (others.nonEmpty) spark.read.parquet(others.toIndexedSeq: _*)
       else spark.createDataFrame(

@@ -996,6 +996,26 @@ class ExtSpec extends SparkSpec {
     assert(out2 == Set(8L))
   }
 
+  test("dedupAgainstIndex: index attached via a file: URI (Hadoop Path codepath, not java.io.File)") {
+    // The discovery probe must resolve through the Hadoop FileSystem
+    // API — a java.io.File probe sees a "file:/..." URI as a relative
+    // path that doesn't exist, reads the seen-set as empty, and
+    // readmits every historical duplicate. Same failure shape as
+    // hdfs:// or s3a:// at deployment.
+    val local = java.nio.file.Files.createTempDirectory("graft_fpidx_uri").toString
+    val uri = "file:" + local
+    Dedup.buildFpIndex(Seq((1L, "aaa")).toDF("doc_id", "text"), "text", uri)
+    val kept = Dedup.dedupAgainstIndex(
+      Seq((2L, "aaa"), (3L, "zzz")).toDF("doc_id", "text"),
+      "doc_id", "text", uri).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L), s"historical dup must drop through the URI index, got $kept")
+    // missing dir through a URI still bootstraps cleanly as empty
+    val cold = Dedup.dedupAgainstIndex(
+      Seq((4L, "qqq")).toDF("doc_id", "text"),
+      "doc_id", "text", uri + "_never_written").collect().map(_.getLong(0)).toSet
+    assert(cold == Set(4L))
+  }
+
   test("writeShards: round-trip complete, shard = shardAssign, md5-ordered") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
     val base = docs.select(col("doc_id"), col("lang")).limit(100)

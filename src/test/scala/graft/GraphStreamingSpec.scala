@@ -374,6 +374,20 @@ class GraphStreamingSpec extends SparkSpec {
       "doc_id", "text", dir, batchId = 1L)
       .collect().map(_.getLong(0)).toSet
     assert(replay == Set(4L, 6L), s"replay must be idempotent, got $replay")
+    // an unrelated subdirectory under the index root (e.g. "backup/")
+    // must be IGNORED by sibling-batch discovery — only b<digits> dirs
+    // are fingerprint batches; anything else would poison or crash the
+    // seen-set read
+    val junk = new java.io.File(dir, "backup")
+    junk.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(junk.getPath, "notes.txt"),
+      "not parquet".getBytes)
+    val afterJunk = Streams.dedupBatchAgainstIndex(
+      Seq(7L -> "ccc", 10L -> "new doc").toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchId = 9L)
+      .collect().map(_.getLong(0)).toSet
+    assert(afterJunk == Set(10L), s"junk subdir must not affect dedup, got $afterJunk")
   }
 
   test("streaming classifier gate: stateless margin filter matches the batch decision") {
