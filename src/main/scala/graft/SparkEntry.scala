@@ -459,23 +459,28 @@ object SparkEntry {
     // bucketed paths beating brute force. A deterministic 100k-vector
     // synthetic corpus (xxhash64-derived components, no data files)
     // benches the scaling claim directly; rows-only by design.
+    // Each probe reduces its (query_id, neighbor_id, rank) result to an
+    // order-insensitive checksum so the driver's oracle gate can
+    // hash-check the full neighbor assignment against frozen constants
+    // (the corpus is a pure xxhash64 function of vec_id — engine-stable;
+    // per-row term < 2^31 and 10k rows keep the sum far inside 2^53).
     "x22_ann_lsh_100k" -> ((s, d) => {
       val corpus = synthEmbeddings(s, 100000, 32)
-      graft.ext.Similarity.lshTopK(
-        corpus.filter(col("vec_id") < 1000), corpus, 10, nPlanes = 12)
+      annChecksum(graft.ext.Similarity.lshTopK(
+        corpus.filter(col("vec_id") < 1000), corpus, 10, nPlanes = 12))
     }),
 
     "x23_ann_ivf_100k" -> ((s, d) => {
       val corpus = synthEmbeddings(s, 100000, 32)
-      graft.ext.Similarity.ivfTopK(
+      annChecksum(graft.ext.Similarity.ivfTopK(
         corpus.filter(col("vec_id") < 1000), corpus, 10,
-        nCentroids = 64, nProbe = 4)
+        nCentroids = 64, nProbe = 4))
     }),
 
     "x24_ann_brute_100k" -> ((s, d) => {
       val corpus = synthEmbeddings(s, 100000, 32)
-      graft.ext.Similarity.bruteForceTopK(
-        corpus.filter(col("vec_id") < 1000), corpus, 10)
+      annChecksum(graft.ext.Similarity.bruteForceTopK(
+        corpus.filter(col("vec_id") < 1000), corpus, 10))
     }),
 
     // one more order of magnitude: at 1M vectors brute force is
@@ -484,8 +489,8 @@ object SparkEntry {
     // brute force has left the feasible range; rows-only by design
     "x25_ann_lsh_1m" -> ((s, d) => {
       val corpus = synthEmbeddings(s, 1000000L, 32)
-      graft.ext.Similarity.lshTopK(
-        corpus.filter(col("vec_id") < 1000), corpus, 10, nPlanes = 14)
+      annChecksum(graft.ext.Similarity.lshTopK(
+        corpus.filter(col("vec_id") < 1000), corpus, 10, nPlanes = 14))
     }),
 
     // dedup at scale: the sf0.1 documents table is 5k rows — the LSH
@@ -495,9 +500,16 @@ object SparkEntry {
     // (token overlap 28/32 ≈ 0.875 > 0.8 threshold), production
     // xxhash64 path; rows-only by design (detected-pair count scales
     // with the corpus, wall-time with docs×shingles — never pairs²).
+    // Output is the planted-truth summary (pair count + how many are
+    // the planted (2g, 2g+1) near-dups), so the driver's oracle gate
+    // can hash-check the probe against its frozen expected constants
+    // instead of recording rows-only.
     "x26_neardup_300k" -> ((s, d) =>
       graft.ext.Dedup.minhashPairs(synthDocs(s, 150000L), "doc_id",
-        "text", 0.8, hasher = graft.ext.Dedup.fastHasher)),
+        "text", 0.8, hasher = graft.ext.Dedup.fastHasher)
+        .agg(F.count(lit(1)).as("n_pairs"),
+          F.sum(F.when(col("id_b") === col("id_a") + 1, 1L).otherwise(0L))
+            .as("planted"))),
 
     // decontamination at scale: 300k synthetic docs (the x26 corpus),
     // every 2000th doc is the "eval set" (150 docs); each eval doc's
@@ -2249,6 +2261,18 @@ object SparkEntry {
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
   }
 
+  /** Order-insensitive checksum of an ANN result (query_id,
+    * neighbor_id, rank): the full neighbor assignment folds to one
+    * hash-checkable row, so the synthetic ANN probes get constant
+    * oracles instead of rows-only records. Per-row term stays under
+    * 2^31 (query_id < 1000, neighbor_id < 2^20, rank <= 10), so the
+    * 10k-row sum is exact in both BIGINT and double.
+    */
+  private def annChecksum(res: DataFrame): DataFrame =
+    res.agg(F.count(lit(1)).as("n_rows"),
+      F.sum(col("query_id") * lit(1000003L)
+        + col("neighbor_id") * col("rank").cast(LongType)).as("chk"))
+
   /** Deterministic synthetic embedding corpus for the ANN scale
     * probes (x22-x24): unit-scale float components derived from
     * xxhash64(vec_id, dim-index) — codegen'd, no data files, no
@@ -3389,6 +3413,40 @@ object SparkEntry {
     "x37_ann_ivf_indexed" -> ivfOracleSql,
     "x48_ann_recall" -> annRecallOracleSql,
     "x53_cluster_stats" -> clusterStatsOracleSql,
+    // ---- synthetic scale probes: constant expected tables -----------------
+    // These corpora are pure xxhash64 functions of the row id (zero
+    // testdata dependence), so the probe outputs are engine-stable
+    // constants. Each constant was frozen from a run whose planted-truth
+    // relations hold by construction and are re-assertable by eye here:
+    //   x26: every found pair is a planted (2g, 2g+1) near-dup
+    //        (planted == n_pairs; LSH recall 147763/150000 = 98.5%)
+    //   x36: 299850 corpus docs - 159 contaminated = 299691 kept
+    //   x45: removed == 5 * n_docs (exactly the planted 5-word
+    //        boilerplate), kept == 30 * n_docs organic tokens
+    //   x49: all 2000 planted dups die, all 100000 originals survive
+    //   x52: PPJoin finds EXACTLY the planted pairs (perfect P/R)
+    "x26_neardup_300k" ->
+      "SELECT CAST(147763 AS BIGINT) AS n_pairs, CAST(147763 AS BIGINT) AS planted",
+    "x36_decontam_300k" ->
+      "SELECT CAST(299691 AS BIGINT) AS kept",
+    "x45_linededup_300k" ->
+      """SELECT CAST(300000 AS BIGINT) AS n_docs, CAST(9000000 AS BIGINT) AS kept,
+         CAST(1500000 AS BIGINT) AS removed""",
+    "x49_semdedup_100k" ->
+      "SELECT CAST(100000 AS BIGINT) AS n_kept, CAST(0 AS BIGINT) AS dups_survived",
+    "x52_jaccard_300k" ->
+      "SELECT CAST(150000 AS BIGINT) AS n_pairs, CAST(150000 AS BIGINT) AS planted",
+    // ANN probe checksums (see annChecksum): n_rows counts (query,
+    // neighbor) assignments, chk folds the full assignment — any
+    // changed neighbor or rank shifts the sum
+    "x22_ann_lsh_100k" ->
+      "SELECT CAST(9690 AS BIGINT) AS n_rows, CAST(4861636425125 AS BIGINT) AS chk",
+    "x23_ann_ivf_100k" ->
+      "SELECT CAST(10000 AS BIGINT) AS n_rows, CAST(4997781969336 AS BIGINT) AS chk",
+    "x24_ann_brute_100k" ->
+      "SELECT CAST(10000 AS BIGINT) AS n_rows, CAST(4997764936759 AS BIGINT) AS chk",
+    "x25_ann_lsh_1m" ->
+      "SELECT CAST(9945 AS BIGINT) AS n_rows, CAST(5004062787162 AS BIGINT) AS chk",
     "x12_cosine_pairs" ->
       """WITH aug AS (
            SELECT vec_id, embedding, label FROM embeddings
