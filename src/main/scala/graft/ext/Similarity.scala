@@ -188,6 +188,65 @@ object Similarity {
     rankTopK(scored, k) // bounded-state grouped top-k (see rankTopK)
   }
 
+  /** OR-amplified multi-table LSH top-k: `nTables` independent
+    * signature tables of `nPlanes` bits each; a corpus vector is a
+    * candidate for a query if they collide in ANY table. Single-table
+    * LSH (`lshTopK`) has per-neighbor recall p^b (p = per-bit match
+    * probability, b = nPlanes) — tiny once b is large enough to keep
+    * buckets selective; OR-amplification lifts it to 1-(1-p^b)^L
+    * while random-pair candidates stay near L/2^b of the corpus. The
+    * standard recall/cost dial when the corpus has no cluster
+    * structure for IVF to exploit.
+    *
+    * Scale shape: both sides posexplode to (table, signature) keys —
+    * ids and 8-byte sigs only, never a vector replication in a
+    * shuffle (queries are broadcast; the corpus explode is a scan
+    * multiplier, not an exchange). Matches score immediately off the
+    * carried per-row norms; the (query, neighbor) dedup happens on
+    * scored id pairs (expected table-duplication of a true candidate
+    * is barely above 1 — cheaper than a dedup-then-rejoin of vectors).
+    */
+  def lshTopKMulti(queries: DataFrame, corpus: DataFrame, k: Int,
+                   nPlanes: Int = 8, nTables: Int = 16,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val dim = probeDim(corpus, vecCol)
+    // table t uses plane rows [t*nPlanes, (t+1)*nPlanes) of the shared
+    // md5-derived plane matrix — embedded as literals at plan-build
+    // time (in-lambda derivation would re-run per row x plane x dim)
+    def sigs(vec: Column): Column =
+      F.array((0 until nTables).map { tbl =>
+        (0 until nPlanes).map { j =>
+          val plane = F.typedlit(
+            (0 until dim).map(i => planeValue(tbl * nPlanes + j, i)))
+          when(
+            F.aggregate(
+              F.zip_with(vec, plane, (x, p) => x.cast(DoubleType) * p),
+              lit(0.0), (s, v) => s + v) >= 0,
+            lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }: _*)
+    val q = F.broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        fnorm(col(vecCol)).as("qn"),
+        F.posexplode(sigs(col(vecCol))).as(Seq("qtbl", "qsig"))))
+    val c = Dedup.ensureParallelism(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        fnorm(col(vecCol)).as("cn"),
+        F.posexplode(sigs(col(vecCol))).as(Seq("ctbl", "csig")))
+    val scored = q.join(c, col("qtbl") === col("ctbl") &&
+        col("qsig") === col("csig") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosSim(fdot(col("qvec"), col("cvec")),
+          col("qn") * col("cn")).as("sim"))
+    // a pair colliding in multiple tables scored identically each
+    // time: max() collapses the duplicates before ranking
+    val uniq = scored.groupBy("query_id", "neighbor_id")
+      .agg(F.max("sim").as("sim"))
+    rankTopK(uniq, k)
+  }
+
   /** IVF (inverted-file) ANN index: a deterministic sample of corpus
     * vectors becomes the centroid set; every vector is assigned to its
     * nearest centroid (one broadcast join — the corpus never

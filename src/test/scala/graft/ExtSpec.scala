@@ -231,6 +231,28 @@ class ExtSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("lshTopKMulti: OR-amplification dominates single-table recall; ranks well-formed") {
+    val qs = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(qs, emb, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(brute).size
+    val single = hits(Similarity.lshTopK(qs, emb, 10, nPlanes = 6))
+    val multi = Similarity.lshTopKMulti(qs, emb, 10, nPlanes = 6,
+      nTables = 24)
+    val multiRows = multi.collect()
+    // candidate-if-ANY-table-collides can only widen the single-table
+    // candidate set (table 0 IS the single-table signature)
+    assert(hits(multi) >= single)
+    assert(hits(multi) >= brute.size / 2)
+    // per-query ranks are 1..n with no duplicate neighbors
+    multiRows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(2)).sorted.toSeq == (1 to g.length))
+      assert(g.map(_.getLong(1)).distinct.length == g.length)
+    }
+  }
+
   test("ivfTopK: assignment covers corpus; results overlap brute force") {
     val (assigned, _) = Similarity.ivfAssign(emb, nCentroids = 8)
     assert(assigned.count() == emb.count()) // every vector gets one list
