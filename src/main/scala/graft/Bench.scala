@@ -37,6 +37,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Probe budget: the synthetic scale probes dominate the round's
+    // wall-clock at full size (x-family was 93s of a 146s round-6
+    // total and still growing). Default to 1/5 scale (queries AND
+    // corpora) — the per-round signal is plan-shape + relative cost,
+    // which survives the scale cut (measured at 1/3: every probe kept
+    // its ranking) — and keep the full-scale headline numbers
+    // reproducible via SPARK_GRAFT_PROBES=full (or any divisor, e.g.
+    // =3). Verify is unaffected: its frozen constant oracles require
+    // scale 1.0, which is SparkEntry's default.
+    val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES", "5")
+    SparkEntry.probeScale = probes match {
+      case "full" => 1.0
+      case "third" => 1.0 / 3
+      case n => 1.0 / n.toDouble.max(1.0)
+    }
+
     // Force FULL evaluation: a noop-format write materializes every
     // output column (count() would let Catalyst prune unreferenced
     // projections, so projection-heavy queries would measure scan+count
@@ -130,7 +146,7 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "bench_detail.json")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"cpus":$cpus,"sf":"$sfDir","failed":$failed,"queries":$detail}""")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"cpus":$cpus,"probes":"$probes","sf":"$sfDir","failed":$failed,"queries":$detail}""")
       finally w.close()
     } catch { case _: Throwable => () } // bench output must not die on an unwritable CWD
 
@@ -151,7 +167,7 @@ object Bench {
       if (used + e.length + 1 <= budget && v >= 0.25) { slowEntries += e; used += e.length + 1 }
     }
     val slow = slowEntries.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"reps":$reps,"failed":$failed,"families":$fams,"queries":$slow,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"reps":$reps,"probes":"$probes","failed":$failed,"families":$fams,"queries":$slow,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -466,20 +466,20 @@ object SparkEntry {
     "x22_ann_lsh_100k" -> ((s, d) => {
       val corpus = synthEmbeddings(s, scaled(100000), 32)
       annChecksum(graft.ext.Similarity.lshTopK(
-        corpus.filter(col("vec_id") < 1000), corpus, 10, nPlanes = 12))
+        corpus.filter(col("vec_id") < scaled(1000)), corpus, 10, nPlanes = 12))
     }),
 
     "x23_ann_ivf_100k" -> ((s, d) => {
       val corpus = synthEmbeddings(s, scaled(100000), 32)
       annChecksum(graft.ext.Similarity.ivfTopK(
-        corpus.filter(col("vec_id") < 1000), corpus, 10,
+        corpus.filter(col("vec_id") < scaled(1000)), corpus, 10,
         nCentroids = 64, nProbe = 4))
     }),
 
     "x24_ann_brute_100k" -> ((s, d) => {
       val corpus = synthEmbeddings(s, scaled(100000), 32)
       annChecksum(graft.ext.Similarity.bruteForceTopK(
-        corpus.filter(col("vec_id") < 1000), corpus, 10))
+        corpus.filter(col("vec_id") < scaled(1000)), corpus, 10))
     }),
 
     // one more order of magnitude: at 1M vectors brute force is
@@ -489,7 +489,7 @@ object SparkEntry {
     "x25_ann_lsh_1m" -> ((s, d) => {
       val corpus = synthEmbeddings(s, scaled(1000000), 32)
       annChecksum(graft.ext.Similarity.lshTopK(
-        corpus.filter(col("vec_id") < 1000), corpus, 10, nPlanes = 14))
+        corpus.filter(col("vec_id") < scaled(1000)), corpus, 10, nPlanes = 14))
     }),
 
     // recall@10 AT PROBE SCALE: the 100k-corpus scaling claim must
@@ -505,7 +505,7 @@ object SparkEntry {
     // per union branch (shared-lineage rule).
     "x55_ann_recall_100k" -> ((s, d) => {
       val corpus = synthEmbeddings(s, scaled(100000), 32)
-      val qs = corpus.filter(col("vec_id") < 1000)
+      val qs = corpus.filter(col("vec_id") < scaled(1000))
       val exact0 = graft.ext.Similarity.bruteForceTopK(qs, corpus, 10)
         .localCheckpoint(true)
       def branch(method: String, approx: DataFrame) =
@@ -1759,6 +1759,33 @@ object SparkEntry {
           |m {source => n_docs: count(), kept_tokens: sum(token_count(text))}""".stripMargin,
         "documents" -> t(s, d, "documents")).df),
 
+    // cross-session persistence THROUGH THE LANGUAGE (reference
+    // connect()/commit(): a .pql script written for the reference
+    // round-trips): session 1 connects a fresh dir, declares,
+    // inserts, mutates, commits; session 2 is a brand-new
+    // interpreter on a fresh Spark session that reopens the same dir
+    // and reads the mutated rows back
+    "ql37_connect_persist" -> ((s, d) => {
+      val dir = runScratch("ql37_db", d)
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rmrf)
+        f.delete(): Unit
+      }
+      rmrf(new java.io.File(dir)) // fresh DB per invocation (bench reps)
+      graft.lang.Interp.run(s,
+        s"""connect("$dir")
+           |table Pt { name: string, score: int }
+           |new Pt("alpha", 10)
+           |new Pt("beta", 20)
+           |Pt[name == "beta"] update {score: score + 5}
+           |commit()
+           |[0]""".stripMargin)
+      graft.lang.Interp.run(s.newSession(),
+        s"""connect("$dir")
+           |Pt {name, score} order {name}""".stripMargin).df
+    }),
+
     // cross-document line dedup IN the language, composed with an
     // ordinary selection + global aggregation over the cleaned corpus
     "ql34_lang_linededup" -> ((s, d) =>
@@ -2765,6 +2792,12 @@ object SparkEntry {
              CAST(f.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) AS DOUBLE)
              / 1000000.0 < r.rate
          GROUP BY f.source""",
+
+    // language-level connect()/commit() roundtrip: the reopened table
+    // must carry exactly the committed rows incl. the pre-commit update
+    "ql37_connect_persist" ->
+      """SELECT * FROM (VALUES ('alpha', 10), ('beta', 25)) v(name, score)
+         ORDER BY name""",
 
     "ql34_lang_linededup" ->
       """WITH tk AS (

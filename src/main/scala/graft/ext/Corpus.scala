@@ -305,7 +305,7 @@ object Corpus {
     val (base, rateCol, u) =
       mixRates(df, idCol, sourceCol, tokens, weights, budgetTokens,
         defaultWeight, cap = true)
-    base.filter(u < rateCol).drop("_nt")
+    base.filter(u < rateCol).drop("_nt", "_rate")
   }
 
   /** `mixBySource` with UPSAMPLING: a source whose target exceeds its
@@ -337,8 +337,15 @@ object Corpus {
     base.withColumn("epoch",
         F.explode(F.when(copies >= 1L, F.sequence(F.lit(1L), copies))
           .otherwise(F.array().cast("array<bigint>"))))
-      .drop("_nt")
+      .drop("_nt", "_rate")
   }
+
+  /** Above this many sources the per-source rates join in via a
+    * broadcast table instead of a baked-in CASE chain — plan size
+    * stays O(1) instead of O(#sources) (a thousands-branch CASE blows
+    * up analysis/codegen long before it misbehaves at runtime).
+    */
+  private val maxInlineRates = 1000
 
   private def mixRates(df: DataFrame, idCol: String, sourceCol: String,
                        tokens: Column, weights: Map[String, Double],
@@ -362,13 +369,24 @@ object Corpus {
         val r = if (t == 0L) 0.0 else target / t
         s -> (if (cap) math.min(1.0, r) else r)
     }
-    val rateCol = rates.foldLeft(F.lit(0.0): Column) { case (acc, (s, r)) =>
-      F.when(F.col(sourceCol) === s, r).otherwise(acc)
-    }
     val u = (TextAnalysis.h60(F.concat(F.lit("mix:"), F.col(sourceCol),
       F.lit(":"), F.col(idCol).cast("string"))) % 1000000L)
       .cast("double") / 1000000.0
-    (base, rateCol, u)
+    if (rates.size <= maxInlineRates) {
+      // few sources: bake the rates into the plan — the data path is a
+      // pure filtered scan, zero joins
+      val rateCol = rates.foldLeft(F.lit(0.0): Column) { case (acc, (s, r)) =>
+        F.when(F.col(sourceCol) === s, r).otherwise(acc)
+      }
+      (base, rateCol, u)
+    } else {
+      // many sources: one broadcast (source, rate) join; unmatched /
+      // null-source rows fall through to rate 0.0 like the CASE chain
+      val rateDf = df.sparkSession.createDataFrame(rates)
+        .toDF(sourceCol, "_rate")
+      val joined = base.join(F.broadcast(rateDf), Seq(sourceCol), "left")
+      (joined, F.coalesce(F.col("_rate"), F.lit(0.0)), u)
+    }
   }
 
   /** Deterministic shard assignment for training export: shard =
@@ -408,28 +426,48 @@ object Corpus {
     * when packed training sequences are sliced from a concatenated
     * stream). The global prefix sum is the scale-critical part: a
     * single-partition window would funnel 100 TB through one task, so
-    * it runs as the standard two-pass — bounded per-group windows over
-    * a PURE partition function of the row (`order div groupEvery`;
-    * range-repartition sampling is nondeterministic across plan
-    * re-executions), per-group totals collected to the driver (one row
-    * per group), prefix offsets broadcast back.
+    * it runs as a fully-distributed two-LEVEL decomposition — bounded
+    * per-group windows over a PURE partition function of the row
+    * (`order div groupEvery`; range-repartition sampling is
+    * nondeterministic across plan re-executions), then the same trick
+    * again on the per-group totals (1 row per 65k docs): per-super-
+    * group windows, with the super-group offsets closed by a
+    * broadcast triangular self-join over the SUPER totals — by then
+    * 1 row per groupEvery² ≈ 4.3e9 docs, so the quadratic pair count
+    * is trivial at any real corpus size. No driver collect and no
+    * single-partition funnel anywhere; offsets rejoin via broadcast.
     */
   def packSequences(df: DataFrame, order: Column, tokens: Column,
                     budget: Long, groupEvery: Long = 65536): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
     val grp = (order / groupEvery).cast(LongType)
     val base = df.select(order.cast(LongType).as("ord"),
       tokens.cast(LongType).as("n_tokens"), grp.as("grp"))
     // pass 1: per-group token totals — one small row per 65k docs
     val totals = base.groupBy("grp").agg(F.sum("n_tokens").as("t"))
-      .orderBy("grp").collect()
-    var acc = 0L
-    val offsets = totals.map { r =>
-      val o = r.getLong(0) -> acc; acc += r.getLong(1); o
-    }.toMap
-    val offsetDf = spark.createDataFrame(
-      offsets.toSeq.map { case (g, o) => (g, o) }).toDF("grp", "grp_offset")
+      .withColumn("sgrp", (F.col("grp") / groupEvery).cast(LongType))
+    // within-super-group exclusive prefix over group totals (bounded:
+    // groupEvery rows per super-group)
+    val wIn = Window.partitionBy("sgrp").orderBy("grp")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inPrefix = totals.withColumn("in_off",
+      F.coalesce(F.sum("t").over(wIn), F.lit(0L)))
+    // super-group offsets: exclusive prefix over the super totals via
+    // a broadcast triangular self-join (full column rename on the
+    // build side — unrenamed exprIds would misresolve the self-join).
+    // An unpartitioned window would be simpler but funnels through a
+    // SinglePartition exchange; at 1 row per groupEvery² docs the
+    // pair count here is trivial instead.
+    val superTotals = totals.groupBy("sgrp").agg(F.sum("t").as("st"))
+    val earlier = superTotals
+      .select(F.col("sgrp").as("sgrp_b"), F.col("st").as("st_b"))
+    val superOff = superTotals
+      .join(F.broadcast(earlier), F.col("sgrp_b") < F.col("sgrp"), "left")
+      .groupBy("sgrp")
+      .agg(F.coalesce(F.sum("st_b"), F.lit(0L)).as("s_off"))
+    val offsetDf = inPrefix.join(F.broadcast(superOff), "sgrp")
+      .select(F.col("grp"),
+        (F.col("in_off") + F.col("s_off")).as("grp_offset"))
     // pass 2: within-group running sum (bounded window) + group offset
     val w = Window.partitionBy("grp").orderBy("ord")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -1536,7 +1536,8 @@ object Interp {
       "limit_offset", "table_concat", "table_union", "table_intersect",
       "table_substract", "table_subtract", "force_eval", "describe",
       "zipjoin", "zipjoin_left", "zipjoin_longest", "map_range",
-      "import_table", "import_json", "import_csv", "import_text", "dir",
+      "import_table", "import_json", "import_csv", "import_text",
+      "import_jdbc", "dir",
       "run_statement", "dedup_exact", "near_dup_pairs", "ann_topk",
       "train_split", "chunk_docs", "pack_sequences",
       "repetition_signals", "decontaminate", "weighted_sample",
@@ -2006,6 +2007,21 @@ object Interp {
           val tname = constString(args.head.value)
           val uri = constString(args(1).value)
           val tab = graft.sources.Tables.text(spark, uri, name = tname)
+          cat.register(tname, tab)
+          env = env + (tname -> VT(cat.get(tname)))
+          cat.get(tname)
+        case "import_jdbc" =>
+          // foreign-database ingestion (the Spark-side analog of the
+          // reference's external SQL dialect layer): bind a JDBC
+          // table/subquery as a catalog table
+          if (args.length != 3)
+            throw new TypeError(
+              "import_jdbc(\"name\", \"jdbc:...\", \"table\")")
+          val tname = constString(args.head.value)
+          val url = constString(args(1).value)
+          val dbtable = constString(args(2).value)
+          val tab = graft.sources.Tables.jdbc(spark, url, dbtable,
+            name = tname)
           cat.register(tname, tab)
           env = env + (tname -> VT(cat.get(tname)))
           cat.get(tname)

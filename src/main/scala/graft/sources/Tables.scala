@@ -88,6 +88,29 @@ object Tables {
     PTable(spark.read.text(path).withColumnRenamed("value", "line"),
       TableMeta(name))
 
+  /** JDBC import_table passthrough — the Spark-side analog of the
+    * reference's external SQL dialect adapters (reference
+    * sql_interface.py:218-949 connects TO mysql/postgres/...; here
+    * Spark IS the engine, so a foreign database is just another
+    * source, read through the built-in JDBC DataSource with its
+    * predicate/column pushdown intact).
+    *
+    * `table` may be a bare table name or a `(SELECT ...) alias`
+    * subquery — whatever the driver accepts as a dbtable. For
+    * parallel reads at scale pass the standard partitioning options
+    * (partitionColumn/lowerBound/upperBound/numPartitions) via
+    * `options`; the default single-partition read is only right for
+    * dimension-sized tables.
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           options: Map[String, String] = Map.empty,
+           name: String = ""): PTable = {
+    val props = new java.util.Properties()
+    options.foreach { case (k, v) => props.setProperty(k, v) }
+    PTable(spark.read.jdbc(url, table, props),
+      TableMeta(if (name.nonEmpty) name else table))
+  }
+
   /** Catalog introspection (reference pql_functions.py:786-828). */
   def tables(spark: SparkSession): DataFrame = {
     import spark.implicits._

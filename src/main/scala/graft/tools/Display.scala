@@ -25,6 +25,41 @@ object Display {
     }
   }
 
+  /** Reference-style table rendering (display.py:118-153 _rich_table,
+    * rendered as plain text): a `table <name> =<count>` title line,
+    * a box-drawn grid with column-name headers, numeric columns
+    * right-justified, nulls shown as `-`, and a `...` row when the
+    * preview truncates. Empty results render the title line alone,
+    * exactly like the reference's no-rows branch.
+    *
+    * `columns` carries (name, isNumeric); `rows` carries the
+    * stringified cells (None = SQL null).
+    */
+  def renderTable(name: String, countStr: String,
+                  columns: Seq[(String, Boolean)],
+                  rows: Seq[Seq[Option[String]]],
+                  hasMore: Boolean): String = {
+    val title = (if (name != null && name.nonEmpty) s"table $name"
+                 else "table") + s" $countStr"
+    if (rows.isEmpty && !hasMore) return title
+    val body = rows.map(_.map(_.getOrElse("-"))) ++
+      (if (hasMore) Seq(columns.map(_ => "...")) else Nil)
+    val widths = columns.zipWithIndex.map { case ((h, _), i) =>
+      (h.length +: body.map(_(i).length)).max
+    }
+    def pad(s: String, i: Int): String =
+      if (columns(i)._2) (" " * (widths(i) - s.length)) + s
+      else s + (" " * (widths(i) - s.length))
+    def rule(l: String, m: String, r: String): String =
+      widths.map("─" * _).mkString(s"$l─", s"─$m─", s"─$r")
+    val header = columns.map(_._1).zipWithIndex
+      .map { case (h, i) => pad(h, i) }.mkString("│ ", " │ ", " │")
+    val lines = body.map(r => r.zipWithIndex
+      .map { case (c, i) => pad(c, i) }.mkString("│ ", " │ ", " │"))
+    (Seq(title, rule("┌", "┬", "┐"), header, rule("├", "┼", "┤")) ++
+      lines :+ rule("└", "┴", "┘")).mkString("\n")
+  }
+
   def get(name: String): Long = name match {
     case "TABLE_PREVIEW_SIZE_SHELL" => tablePreviewSizeShell.toLong
     case "TABLE_PREVIEW_SIZE_HTML" => tablePreviewSizeHtml.toLong

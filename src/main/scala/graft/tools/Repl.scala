@@ -428,12 +428,19 @@ object Repl {
               val pr = previewRows
               val cap = math.max(graft.tools.Display.maxAutoCount, pr + 1)
               val total = t.df.limit(cap).count()
-              t.df.show(pr, truncate = false)
-              val countStr = if (total >= cap) s">=$total" else s"$total"
+              // reference-style rendering (display.py _rich_table):
+              // "table <name> =<count>" title + box grid, numbers
+              // right-justified, nulls as '-', '...' truncation row
+              val fields = t.df.schema.fields
+              val cols = fields.map(f => f.name ->
+                f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).toSeq
+              val cells = t.df.limit(pr).collect().toSeq.map(r =>
+                cols.indices.map(i => Option(r.get(i)).map(String.valueOf(_))))
+              val countStr = if (total >= cap) s">=$total" else s"=$total"
+              println(graft.tools.Display.renderTable(
+                t.meta.name, countStr, cols, cells, total > cells.length))
               if (total > pr)
-                println(s"[..$pr] of $countStr rows " +
-                  s"(:rows n to widen)")
-              else println(s"$countStr row(s)")
+                println(s"[..$pr] of $countStr rows (:rows n to widen)")
             }
           } catch {
             // in-language `exit()` quits the shell (reference)

@@ -137,6 +137,34 @@ class PTableSpec extends SparkSpec {
     assert(s.contains("Physical Plan"))
   }
 
+  test("Tables.jdbc reads an external SQL database (embedded Derby)") {
+    // Derby ships in /opt/spark/jars — a real in-JVM JDBC database, so
+    // the passthrough is exercised end-to-end (connection, schema
+    // reflection, row transfer), not mocked
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby")
+      .resolve("db").toString
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE ext_nation (nkey INT PRIMARY KEY, nname VARCHAR(32))")
+      st.executeUpdate(
+        "INSERT INTO ext_nation VALUES (0, 'ALGERIA'), (1, 'ARGENTINA'), (2, 'BRAZIL')")
+      st.close()
+    } finally conn.close()
+    val t = graft.sources.Tables.jdbc(spark, url, "ext_nation",
+      name = "ext_nation")
+    assert(t.meta.name == "ext_nation")
+    val rows = t.df.collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq(0 -> "ALGERIA", 1 -> "ARGENTINA", 2 -> "BRAZIL"))
+    // a dbtable subquery pushes the predicate to the database side
+    val sub = graft.sources.Tables.jdbc(spark, url,
+      "(SELECT nkey, nname FROM ext_nation WHERE nkey > 0) q")
+    assert(sub.df.count() == 2)
+  }
+
   test("addIndex clusters rows: each partition sorted by the column") {
     val t = graft.sources.Tables.load(spark, sf, "customer")
     val idx = t.addIndex("c_nationkey")

@@ -474,10 +474,37 @@ class PlanQualitySpec extends SparkSpec {
     val p = planOf("x29_pack_sequences")
     assert(p.contains("BroadcastExchange"),
       s"group offsets must broadcast:\n$p")
-    // the window shuffle hash-partitions on grp — a SinglePartition
-    // exchange would funnel the whole corpus through one task
+    // the window shuffles hash-partition on grp/sgrp — a
+    // SinglePartition exchange would funnel the whole corpus (or the
+    // totals) through one task. The super-offset closure is a
+    // broadcast self-join over the twice-reduced totals, NOT an
+    // unpartitioned window and NOT a driver collect.
     assert(!p.contains("SinglePartition"),
       s"global prefix sum funneled into one partition:\n$p")
+    // two window levels: per-group over rows, per-super-group over
+    // group totals (the driver-free replacement for the old collect)
+    assert(p.split("Window").length - 1 >= 2,
+      s"prefix sum must decompose into two bounded window levels:\n$p")
+  }
+
+  test("mixing with 2000 sources: broadcast rate join, no O(#sources) CASE chain") {
+    import spark.implicits._
+    val docs = (1L to 4000L)
+      .map(i => (i, s"src${i % 2000}", "three word text"))
+      .toDF("doc_id", "source", "text")
+    val weights = (0 until 2000).map(i => s"src$i" -> 1.0).toMap
+    val df = graft.ext.Corpus.mixBySource(docs, "doc_id", "source",
+      graft.ext.TextAnalysis.tokenCount(
+        org.apache.spark.sql.functions.col("text")),
+      weights, budgetTokens = 1000000L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"above the inline cap the rates must join via broadcast:\n$p")
+    assert(!p.contains("src1999"),
+      s"rates must not bake into the plan above the inline cap:\n$p")
+    // budget >> stock: every row keeps (rate caps at 1.0), so the
+    // broadcast path is behaviorally identical to the CASE chain
+    assert(df.count() == 4000)
   }
 
   test("$self fixpoint pins its var inputs for the loop, then releases them") {

@@ -4,6 +4,31 @@ import graft.tools.Repl
 
 class ReplSpec extends SparkSpec {
 
+  test("display: reference-style table rendering (golden)") {
+    // display.py _rich_table parity: title "table <name> =<count>",
+    // box grid, numeric right-justify, null as '-', '...' truncation
+    val out = graft.tools.Display.renderTable("pt", "=3",
+      Seq("id" -> true, "name" -> false),
+      Seq(Seq(Some("1"), Some("ALGERIA")), Seq(Some("25"), None)),
+      hasMore = true)
+    assert(out ==
+      """table pt =3
+        |┌─────┬─────────┐
+        |│  id │ name    │
+        |├─────┼─────────┤
+        |│   1 │ ALGERIA │
+        |│  25 │ -       │
+        |│ ... │ ...     │
+        |└─────┴─────────┘""".stripMargin, s"got:\n$out")
+    // empty result renders the bare title (reference no-rows branch)
+    assert(graft.tools.Display.renderTable("e", "=0",
+      Seq("x" -> true), Nil, hasMore = false) == "table e =0")
+    // capped count renders the reference's >= marker
+    assert(graft.tools.Display.renderTable("big", ">=10000",
+      Seq("x" -> true), Seq(Seq(Some("7"))), hasMore = true)
+      .startsWith("table big >=10000\n"))
+  }
+
   test("openDepth: balanced detection across lines, strings, comments") {
     assert(Repl.openDepth("func f(x) {") == 1)
     assert(Repl.openDepth("func f(x) {\n  return x\n}") == 0)
