@@ -47,7 +47,14 @@ object GraftConf {
     * typedlit fold to the native CentroidArgmax expression.
     */
   def nativeArgmaxThreshold(spark: SparkSession): Int =
-    long(spark, NativeArgmaxThresholdKey, 1024).toInt
+    // native CentroidArgmax from 16 centroids up: results are
+    // bit-identical to the typedlit fold either way, but the fold
+    // runs interpreted HOF closures per row x centroid x dim
+    // (measured ~2x slower at 64 centroids on the 100k probe) and
+    // its plan carries k x dim literal nodes; the tiny-k fold is
+    // kept below the threshold where its plan is trivially small
+    // (and as the cross-checkable twin ExtSpec compares against)
+    long(spark, NativeArgmaxThresholdKey, 16).toInt
 
   /** Max distinct RHS values a projection-position `in`-table
     * membership may inline as an IN-list (graft.lang).

@@ -123,15 +123,17 @@ object Similarity {
     * element) — 8×dim md5 calls per row, a scan multiplier at 100 TB.
     * `dim` must match the vector length (probe with `size()` once).
     */
-  def lshSignature(vec: Column, dim: Int, nPlanes: Int = 8): Column =
-    (0 until nPlanes).map { j =>
-      val plane = F.typedlit((0 until dim).map(i => planeValue(j, i)))
-      when(
-        F.aggregate(
-          F.zip_with(vec, plane, (x, p) => x.cast(DoubleType) * p),
-          lit(0.0), (s, v) => s + v) >= 0,
-        lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def lshSignature(vec: Column, dim: Int, nPlanes: Int = 8): Column = {
+    // one native PlaneSigs pass (bit-identical to the per-plane
+    // aggregate/zip_with fold, which runs interpreted closures per
+    // element — measured 2x on the 100k probe); null vectors yield a
+    // null signature (no bucket) instead of the fold's accidental 0,
+    // matching the SQL oracle's null propagation
+    val planes = Array.tabulate(nPlanes * dim)(idx =>
+      planeValue(idx / dim, idx % dim))
+    F.element_at(
+      graft.plans.PlaneSigs(vec, 1, nPlanes, dim, planes), 1)
+  }
 
   /** The vector dimension, probed from the first row — plane matrices
     * and IVF buffers size off it at plan-build time.
@@ -212,20 +214,19 @@ object Similarity {
                    vecCol: String = "embedding"): DataFrame = {
     val dim = probeDim(corpus, vecCol)
     // table t uses plane rows [t*nPlanes, (t+1)*nPlanes) of the shared
-    // md5-derived plane matrix — embedded as literals at plan-build
-    // time (in-lambda derivation would re-run per row x plane x dim)
+    // md5-derived plane matrix. The matrix rides as a packed payload on
+    // ONE native expression (PlaneSigs): a per-plane HOF fold would put
+    // T×P aggregate nodes (each with a dim-wide literal) in the plan —
+    // at OR-amplification scale (192 planes) its analysis/codegen time
+    // alone exceeded the whole data path. Signatures are bit-identical
+    // to the fold (same left-to-right double accumulation).
+    val planes = Array.tabulate(nTables * nPlanes * dim) { idx =>
+      val tbl = idx / (nPlanes * dim)
+      val rem = idx % (nPlanes * dim)
+      planeValue(tbl * nPlanes + rem / dim, rem % dim)
+    }
     def sigs(vec: Column): Column =
-      F.array((0 until nTables).map { tbl =>
-        (0 until nPlanes).map { j =>
-          val plane = F.typedlit(
-            (0 until dim).map(i => planeValue(tbl * nPlanes + j, i)))
-          when(
-            F.aggregate(
-              F.zip_with(vec, plane, (x, p) => x.cast(DoubleType) * p),
-              lit(0.0), (s, v) => s + v) >= 0,
-            lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _)
-      }: _*)
+      graft.plans.PlaneSigs(vec, nTables, nPlanes, dim, planes)
     val q = F.broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         fnorm(col(vecCol)).as("qn"),

@@ -94,5 +94,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
       (exprs: Seq[Expression]) => TopKPairs.fromArgs(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_plane_sigs"),
+      new ExpressionInfo(classOf[PlaneSigs].getName, "graft_plane_sigs"),
+      (exprs: Seq[Expression]) => PlaneSigs.fromArgs(exprs)))
   }
 }

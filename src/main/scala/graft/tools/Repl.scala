@@ -81,6 +81,7 @@ object Repl {
     "iif", "pi", "now", "random", "int", "float", "string", "bool",
     "type", "isa", "repr", "fmt", "is_empty", "one", "print",
     "connect", "commit", "add_index", "debug", "_breakpoint",
+    "import_jdbc",
     // engine extensions: pipeline scalars + table operators
     "token_count", "subword_count", "lang_id", "quality_score",
     "garbage_ratio", "fingerprint", "redact_pii", "pii_count",
