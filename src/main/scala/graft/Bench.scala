@@ -46,11 +46,13 @@ object Bench {
     // reproducible via SPARK_GRAFT_PROBES=full (or any divisor, e.g.
     // =3). Verify is unaffected: its frozen constant oracles require
     // scale 1.0, which is SparkEntry's default.
+    // a typo'd env var must not kill the whole bench round before a
+    // single query runs — unparseable values fall back to the default
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES", "5")
     SparkEntry.probeScale = probes match {
       case "full" => 1.0
       case "third" => 1.0 / 3
-      case n => 1.0 / n.toDouble.max(1.0)
+      case n => 1.0 / scala.util.Try(n.toDouble).getOrElse(5.0).max(1.0)
     }
 
     // Force FULL evaluation: a noop-format write materializes every

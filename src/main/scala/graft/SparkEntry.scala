@@ -457,7 +457,9 @@ object SparkEntry {
     // the sf0.1 embeddings table is 2k vectors — too small to show the
     // bucketed paths beating brute force. A deterministic 100k-vector
     // synthetic corpus (xxhash64-derived components, no data files)
-    // benches the scaling claim directly; rows-only by design.
+    // benches the scaling claim directly; hash-checked against a
+    // FROZEN constant oracle (valid only at probeScale 1.0 — changing
+    // the synthesis or settings requires re-capturing the constants).
     // Each probe reduces its (query_id, neighbor_id, rank) result to an
     // order-insensitive checksum so the driver's oracle gate can
     // hash-check the full neighbor assignment against frozen constants
@@ -485,7 +487,7 @@ object SparkEntry {
     // one more order of magnitude: at 1M vectors brute force is
     // ~40s (extrapolated from x24's measured q×n cost) — only the
     // bucketed path is run, demonstrating sub-linear scaling where
-    // brute force has left the feasible range; rows-only by design
+    // brute force has left the feasible range; frozen constant oracle
     "x25_ann_lsh_1m" -> ((s, d) => {
       val corpus = synthEmbeddings(s, scaled(1000000), 32)
       annChecksum(graft.ext.Similarity.lshTopK(
@@ -530,8 +532,9 @@ object SparkEntry {
     // all-pairs is visibly impossible (300k docs = 45 BILLION pairs).
     // Synthetic 30-token docs, one planted near-dup per pair of ids
     // (token overlap 28/32 ≈ 0.875 > 0.8 threshold), production
-    // xxhash64 path; rows-only by design (detected-pair count scales
-    // with the corpus, wall-time with docs×shingles — never pairs²).
+    // xxhash64 path; frozen constant oracle (detected-pair count
+    // scales with the corpus, wall-time with docs×shingles — never
+    // pairs²).
     // Output is the planted-truth summary (pair count + how many are
     // the planted (2g, 2g+1) near-dups), so the driver's oracle gate
     // can hash-check the probe against its frozen expected constants
@@ -548,13 +551,13 @@ object SparkEntry {
     // planted near-dup partner shares 8-grams and must drop. The eval
     // side reduces to a broadcast DISTINCT gram table — the 300k-doc
     // corpus streams through the probe without shuffling. Production
-    // xxhash64 path; rows-only by design.
+    // xxhash64 path; frozen constant oracle.
     // line-dedup scale probe: 300k docs x 35 tokens (10.5M line
     // instances, 100k-word organic vocab) + a planted 5-word
     // boilerplate suffix on EVERY doc. The doc-frequency pass shuffles
     // 60-bit hashes for all 10.5M instances; only the planted words
     // cross the threshold, so removed == 5 * n_docs exactly.
-    // rows-only by design (xxhash64 synthetic corpus, like x26/x36)
+    // frozen constant oracle (xxhash64 synthetic corpus, like x26/x36)
     "x45_linededup_300k" -> ((s, d) => {
       val docs = synthDocs(s, scaled(150000)).select(col("doc_id"),
         F.concat(col("text"), lit(" promo banner click here now"))
@@ -569,7 +572,7 @@ object SparkEntry {
     // blocks of ~19k (real corpora block on lang/source the same
     // way); the planted (2g, 2g+1) near-dup pairs share a block by
     // construction. Exactness check rides along: every found pair
-    // must be a planted one (pure == n_pairs). rows-only by design
+    // must be a planted one (pure == n_pairs). frozen constant oracle
     "x52_jaccard_300k" -> ((s, d) => {
       val docs = synthDocs(s, scaled(150000))
         .withColumn("blk", F.pmod(F.floor(col("doc_id") / 2), lit(16L)))
@@ -2268,7 +2271,7 @@ object SparkEntry {
     // semantic-dedup scale probe: 102k vectors in 8 blocks of ~12.7k
     // (all above maxBlock -> the epsilon-grid path, never all-pairs),
     // 2000 planted exact duplicates; every planted dup must die and
-    // every original survive. rows-only by design (xxhash64 corpus)
+    // every original survive. frozen constant oracle (xxhash64 corpus)
     "x49_semdedup_100k" -> ((s, d) => {
       val base = synthEmbeddings(s, scaled(100000), 32)
         .select(col("vec_id"), col("embedding"),
@@ -2339,7 +2342,7 @@ object SparkEntry {
   /** Scale multiplier for the synthetic scale probes (x22-x26, x36,
     * x45, x49, x52, x55). Verify NEVER touches it — the frozen
     * constant oracles hold only at scale 1.0 — but Bench dials it to
-    * 1/3 by default so the per-round perf signal stays cheap
+    * 1/5 by default so the per-round perf signal stays cheap
     * (SPARK_GRAFT_PROBES=full restores full scale for reproducing the
     * headline numbers on demand).
     */

@@ -381,10 +381,15 @@ object Corpus {
       (base, rateCol, u)
     } else {
       // many sources: one broadcast (source, rate) join; unmatched /
-      // null-source rows fall through to rate 0.0 like the CASE chain
+      // null-source rows fall through to rate 0.0 like the CASE chain.
+      // Re-select the input column order — the using-column join puts
+      // sourceCol first, and the two paths must emit IDENTICAL schemas
+      // or positional consumers break when the source count crosses
+      // the inline cap.
       val rateDf = df.sparkSession.createDataFrame(rates)
         .toDF(sourceCol, "_rate")
       val joined = base.join(F.broadcast(rateDf), Seq(sourceCol), "left")
+        .select((base.columns :+ "_rate").map(F.col).toIndexedSeq: _*)
       (joined, F.coalesce(F.col("_rate"), F.lit(0.0)), u)
     }
   }

@@ -440,8 +440,10 @@ object Repl {
               val countStr = if (total >= cap) s">=$total" else s"=$total"
               println(graft.tools.Display.renderTable(
                 t.meta.name, countStr, cols, cells, total > cells.length))
+              // bare number in the English trailer ('=' belongs only
+              // in the reference-style title)
               if (total > pr)
-                println(s"[..$pr] of $countStr rows (:rows n to widen)")
+                println(s"[..$pr] of ${if (total >= cap) ">=" else ""}$total rows (:rows n to widen)")
             }
           } catch {
             // in-language `exit()` quits the shell (reference)

@@ -196,6 +196,45 @@ class ExtSpec extends SparkSpec {
     assert(bigDf.collect().length == 200)
   }
 
+  test("native PlaneSigs is bit-identical to the per-plane HOF fold; plan stays flat") {
+    import org.apache.spark.sql.types.DoubleType
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val (nTables, nPlanes) = (6, 8)
+    // the HOF formula PlaneSigs replaced, reconstructed verbatim with
+    // the same md5-derived plane values (planeValue is private, so
+    // mirror its h60 derivation here)
+    def planeValue(j: Int, i: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${j}_$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001L)
+        .toDouble / 1000.0 - 1.0
+    }
+    val foldSigs = array((0 until nTables).map { tbl =>
+      (0 until nPlanes).map { j =>
+        val plane = typedlit((0 until dim).map(i => planeValue(tbl * nPlanes + j, i)))
+        when(
+          aggregate(
+            zip_with(col("embedding"), plane, (x, p) => x.cast(DoubleType) * p),
+            lit(0.0), (s, v) => s + v) >= 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val planes = Array.tabulate(nTables * nPlanes * dim) { idx =>
+      val tbl = idx / (nPlanes * dim); val rem = idx % (nPlanes * dim)
+      planeValue(tbl * nPlanes + rem / dim, rem % dim)
+    }
+    val nativeDf = emb.limit(100).select(col("vec_id"),
+      graft.plans.PlaneSigs(col("embedding"), nTables, nPlanes, dim, planes).as("s"))
+    val native = nativeDf.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fold = emb.limit(100).select(col("vec_id"), foldSigs.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == fold)
+    // the payload keeps the plan O(1) in tables x planes
+    val p = nativeDf.queryExecution.executedPlan.toString
+    assert(p.length < 20000, s"plan blew up: ${p.length} chars")
+  }
+
   test("native FloatVecDot is bit-identical to the HOF dot") {
     val both = emb.limit(100).select(
       Similarity.fdot(col("embedding"), col("embedding")).as("native"),

@@ -505,6 +505,11 @@ class PlanQualitySpec extends SparkSpec {
     // budget >> stock: every row keeps (rate caps at 1.0), so the
     // broadcast path is behaviorally identical to the CASE chain
     assert(df.count() == 4000)
+    // the two paths must emit IDENTICAL schemas: the rate join must
+    // not let the using-column reorder leak (positional consumers —
+    // unions across the threshold, parquet appends — would break)
+    assert(df.columns.toSeq == Seq("doc_id", "source", "text"),
+      s"broadcast path reordered columns: ${df.columns.toSeq}")
   }
 
   test("$self fixpoint pins its var inputs for the loop, then releases them") {
