@@ -1635,11 +1635,26 @@ object Interp {
           PTable(graft.ext.Dedup.minhashPairs(t(args(0).value).df,
             litString(args(1).value), litString(args(2).value), thr))
         case "ann_topk" =>
-          if (args.length != 3)
-            throw new TypeError("ann_topk(queries, corpus, k)")
-          PTable(graft.ext.Similarity.bruteForceTopK(
-            t(args(0).value).df, t(args(1).value).df,
-            constLong(args(2).value).toInt))
+          // optional 4th arg picks the engine's ANN strategy: exact
+          // brute force (default), single-table LSH, OR-amplified
+          // multi-table LSH (the recall dial), or IVF
+          if (args.length < 3 || args.length > 4)
+            throw new TypeError("ann_topk(queries, corpus, k, method?)")
+          val (qdf, cdf) = (t(args(0).value).df, t(args(1).value).df)
+          val k = constLong(args(2).value).toInt
+          val method =
+            if (args.length == 4) litString(args(3).value) else "brute"
+          PTable(method match {
+            case "brute" =>
+              graft.ext.Similarity.bruteForceTopK(qdf, cdf, k)
+            case "lsh" => graft.ext.Similarity.lshTopK(qdf, cdf, k)
+            case "lsh_multi" =>
+              graft.ext.Similarity.lshTopKMulti(qdf, cdf, k)
+            case "ivf" => graft.ext.Similarity.ivfTopK(qdf, cdf, k)
+            case other => throw new graft.types.ValueError(
+              s"ann_topk: unknown method '$other' " +
+                "(brute | lsh | lsh_multi | ivf)")
+          })
         case "train_split" =>
           if (args.length != 2)
             throw new TypeError("train_split(t, \"id_col\")")

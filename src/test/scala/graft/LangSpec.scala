@@ -1283,6 +1283,30 @@ class LangSpec extends SparkSpec {
     }
   }
 
+  test("ann_topk method arg selects the ANN strategy (brute | lsh | lsh_multi | ivf)") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    def run(m: String) = Interp.run(spark,
+      s"""q = embeddings[vec_id < 3]
+         |ann_topk(q, embeddings, 5, "$m")""".stripMargin,
+      "embeddings" -> emb).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = run("brute")
+    assert(brute.size == 15) // 3 queries x top-5, exact
+    // default (no method) is exact brute force
+    val default = Interp.run(spark,
+      """q = embeddings[vec_id < 3]
+        |ann_topk(q, embeddings, 5)""".stripMargin,
+      "embeddings" -> emb).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(default == brute)
+    // approximate strategies run and stay within the corpus id space;
+    // multi-table LSH recall dominates single-table (OR-amplification)
+    val lsh = run("lsh"); val multi = run("lsh_multi"); val ivf = run("ivf")
+    assert((multi intersect brute).size >= (lsh intersect brute).size)
+    assert(ivf.nonEmpty && multi.nonEmpty)
+    intercept[graft.types.ValueError] { run("bogus") }
+  }
+
   test("examples/dedup_audit.pql runs verbatim: corpus-level audit counts") {
     import spark.implicits._
     val script = new String(java.nio.file.Files.readAllBytes(
