@@ -151,17 +151,19 @@ object Dedup {
     * sig[i] = min over shingles of (a_i*h + b_i) mod P.
     */
   def signatureFromHashes(hs: Column, k: Int = 12): Column =
-    F.array((0 until k).map { i =>
-      val (a, b) = fam(i)
-      F.array_min(F.transform(hs, h => (lit(a) * h + lit(b)) % P))
-    }: _*)
+    // one native pass over the base hashes (bit-identical exact long
+    // arithmetic — see AffineMinHash); the k-way array_min/transform
+    // fold ran ~k x |hs| interpreted lambda calls per row on the
+    // hottest scan of the dedup pipeline
+    graft.plans.AffineMinHash(hs, P, (0 until k).map(fam))
 
   /** k-wide MinHash signature straight from text.
     *
-    * NOTE: as a single expression the base-hash subtree is duplicated
-    * into each of the k mins — Catalyst has no let-binding, so the md5
-    * pipeline would run k times per row. Prefer `signatures()` (hash
-    * once, materialize, then expand) anywhere the input isn't tiny.
+    * NOTE: AffineMinHash takes the base-hash array as its single
+    * child, so the md5/xxhash pipeline runs once per row here — but
+    * the signature still recomputes per USE SITE (join fan-out).
+    * Prefer `signatures()` (hash once, materialize, then expand)
+    * anywhere the frame feeds a self-join.
     */
   def minhashSignature(text: Column, k: Int = 12, shingleN: Int = 3): Column =
     signatureFromHashes(shingleHashes(text, shingleN), k)

@@ -98,5 +98,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_plane_sigs"),
       new ExpressionInfo(classOf[PlaneSigs].getName, "graft_plane_sigs"),
       (exprs: Seq[Expression]) => PlaneSigs.fromArgs(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_affine_minhash"),
+      new ExpressionInfo(classOf[AffineMinHash].getName,
+        "graft_affine_minhash"),
+      (exprs: Seq[Expression]) => AffineMinHash.fromArgs(exprs)))
   }
 }

@@ -235,6 +235,38 @@ class ExtSpec extends SparkSpec {
     assert(p.length < 20000, s"plan blew up: ${p.length} chars")
   }
 
+  test("native AffineMinHash is bit-identical to the k-way array_min fold") {
+    val base = docs.limit(100).select(col("doc_id"),
+      Dedup.shingleHashes(col("text")).as("hs")).localCheckpoint(true)
+    val k = 12
+    // the HOF formula the native expression replaced, verbatim
+    val fold = array((0 until k).map { i =>
+      val (a, b) = Dedup.fam(i)
+      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % Dedup.P))
+    }: _*)
+    val native = base.select(col("doc_id"),
+        Dedup.signatureFromHashes(col("hs"), k).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = base.select(col("doc_id"), fold.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == hof)
+    // array_min semantics preserved: null elements skip, empty/all-null
+    // arrays yield null signature entries
+    val edge = spark.sql(
+      "SELECT graft_affine_minhash(array(CAST(NULL AS BIGINT), 7L), " +
+        s"${edgePayloadSql(k)}) AS a, " +
+        s"graft_affine_minhash(array(CAST(NULL AS BIGINT)), ${edgePayloadSql(k)}) AS b")
+      .collect().head
+    assert(edge.getSeq[Any](0).forall(_ != null))
+    assert(edge.getSeq[Any](1).forall(_ == null))
+  }
+
+  private def edgePayloadSql(k: Int): String = {
+    val bytes = graft.plans.AffineMinHash.pack(Dedup.P,
+      (0 until k).map(Dedup.fam))
+    "X'" + bytes.map(b => f"$b%02x").mkString + "'"
+  }
+
   test("native FloatVecDot is bit-identical to the HOF dot") {
     val both = emb.limit(100).select(
       Similarity.fdot(col("embedding"), col("embedding")).as("native"),
