@@ -96,10 +96,12 @@ object Dedup {
     * verification — they both start from the same split).
     */
   def shinglesFromTokens(toks: Column, trimmed: Column, n: Int = 3): Column =
+    // main branch is one native pass (WordNgrams — byte-identical
+    // strings to the transform/slice/concat_ws chain, which walked an
+    // index array through an interpreted lambda per shingle); the
+    // short-text fallback stays engine-side
     when(F.size(toks) < n, F.array(trimmed))
-      .otherwise(F.transform(
-        F.sequence(lit(0), F.size(toks) - n),
-        i => F.concat_ws(" ", F.slice(toks, i + 1, lit(n)))))
+      .otherwise(graft.plans.WordNgrams(toks, n))
 
   // ---- MinHash + LSH -------------------------------------------------------
   /** Mersenne prime 2^31-1: the minhash value domain. Base shingle

@@ -103,5 +103,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[AffineMinHash].getName,
         "graft_affine_minhash"),
       (exprs: Seq[Expression]) => AffineMinHash.fromArgs(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
+      (exprs: Seq[Expression]) => WordNgrams.fromArgs(exprs)))
   }
 }

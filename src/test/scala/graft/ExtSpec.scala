@@ -235,6 +235,33 @@ class ExtSpec extends SparkSpec {
     assert(p.length < 20000, s"plan blew up: ${p.length} chars")
   }
 
+  test("native WordNgrams is byte-identical to the transform/slice/concat_ws chain") {
+    val base = docs.limit(200).select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("tok")).localCheckpoint(true)
+    def run(c: org.apache.spark.sql.Column) =
+      base.select(col("doc_id"), c.as("g")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    for (n <- Seq(2, 3, 8)) {
+      // the HOF formula the native expression replaced, verbatim
+      val hof = transform(
+        sequence(lit(0), size(col("tok")) - n),
+        i => concat_ws(" ", slice(col("tok"), i + 1, lit(n))))
+      val long = base.filter(size(col("tok")) >= n)
+      val native = long.select(col("doc_id"),
+          graft.plans.WordNgrams(col("tok"), n).as("g")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val fold = long.select(col("doc_id"), hof.as("g")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native == fold, s"n=$n diverged")
+    }
+    // short arrays produce an empty ngram list; null input stays null
+    val edge = spark.sql(
+      "SELECT graft_word_ngrams(array('a', 'b'), 3) AS a, " +
+        "graft_word_ngrams(CAST(NULL AS ARRAY<STRING>), 3) AS b")
+      .collect().head
+    assert(edge.getSeq[String](0).isEmpty && edge.isNullAt(1))
+  }
+
   test("native AffineMinHash is bit-identical to the k-way array_min fold") {
     val base = docs.limit(100).select(col("doc_id"),
       Dedup.shingleHashes(col("text")).as("hs")).localCheckpoint(true)
