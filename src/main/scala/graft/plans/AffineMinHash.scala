@@ -22,8 +22,12 @@ import org.apache.spark.sql.{functions => F}
   * with a < 2^30, h < P < 2^31 — no overflow), so signatures are
   * bit-identical to the HOF chain and the frozen probe constants and
   * SQL oracle mirrors are unaffected. Null ELEMENTS are skipped
-  * exactly like array_min; an all-null/empty array yields null
-  * entries (and a null input array yields null, as before).
+  * exactly like array_min; an all-null/empty array yields an array
+  * of k nulls. A NULL input array yields NULL — an intentional
+  * semantic change from the HOF fold, which produced an array of k
+  * nulls for null input (engine-wide convention: null text/tokens
+  * propagate as null, like PlaneSigs and the SQL mirrors; both forms
+  * collapse identically under the concat_ws the consumers apply).
   */
 case class AffineMinHash(child: Expression, packed: Array[Byte])
   extends UnaryExpression {
@@ -44,29 +48,33 @@ case class AffineMinHash(child: Expression, packed: Array[Byte])
 
   @transient private lazy val (p, as, bs) = AffineMinHash.decode(packed)
 
-  /** Tight primitive loop shared by eval and codegen. */
+  /** Tight primitive loop shared by eval and codegen. Any non-null
+    * element updates EVERY min, so one flag covers all k entries —
+    * values are < P << Long.MaxValue, so MaxValue is a safe identity.
+    */
   def sig(hs: ArrayData): ArrayData = {
     val n = hs.numElements()
     val k = as.length
     val out = new Array[Long](k)
-    val seen = new Array[Boolean](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var any = false
     var j = 0
     while (j < n) {
       if (!hs.isNullAt(j)) {
+        any = true
         val h = hs.getLong(j)
         var i = 0
         while (i < k) {
           val v = (as(i) * h + bs(i)) % p
-          if (!seen(i) || v < out(i)) { out(i) = v; seen(i) = true }
+          if (v < out(i)) out(i) = v
           i += 1
         }
       }
       j += 1
     }
-    // array_min semantics: no non-null element => null entry
-    if (seen.forall(identity)) new GenericArrayData(out)
-    else new GenericArrayData(
-      out.indices.map(i => if (seen(i)) Long.box(out(i)) else null).toArray[Any])
+    // array_min semantics: no non-null element => all-null entries
+    if (any) new GenericArrayData(out)
+    else new GenericArrayData(new Array[Any](k))
   }
 
   override def nullSafeEval(a: Any): Any =

@@ -47,9 +47,11 @@ case class WordNgrams(child: Expression, n: Int)
     val len = toks.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](len - n + 1)
+    // concatWs copies bytes and does not retain its inputs — one
+    // buffer serves every window (no per-shingle allocation)
+    val parts = new Array[UTF8String](n)
     var i = 0
     while (i <= len - n) {
-      val parts = new Array[UTF8String](n)
       var j = 0
       while (j < n) {
         parts(j) = if (toks.isNullAt(i + j)) null

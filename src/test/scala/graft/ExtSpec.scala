@@ -238,9 +238,6 @@ class ExtSpec extends SparkSpec {
   test("native WordNgrams is byte-identical to the transform/slice/concat_ws chain") {
     val base = docs.limit(200).select(col("doc_id"),
       TextAnalysis.tokens(col("text")).as("tok")).localCheckpoint(true)
-    def run(c: org.apache.spark.sql.Column) =
-      base.select(col("doc_id"), c.as("g")).collect()
-        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     for (n <- Seq(2, 3, 8)) {
       // the HOF formula the native expression replaced, verbatim
       val hof = transform(
@@ -282,10 +279,15 @@ class ExtSpec extends SparkSpec {
     val edge = spark.sql(
       "SELECT graft_affine_minhash(array(CAST(NULL AS BIGINT), 7L), " +
         s"${edgePayloadSql(k)}) AS a, " +
-        s"graft_affine_minhash(array(CAST(NULL AS BIGINT)), ${edgePayloadSql(k)}) AS b")
+        s"graft_affine_minhash(array(CAST(NULL AS BIGINT)), ${edgePayloadSql(k)}) AS b, " +
+        s"graft_affine_minhash(CAST(NULL AS ARRAY<BIGINT>), ${edgePayloadSql(k)}) AS c")
       .collect().head
     assert(edge.getSeq[Any](0).forall(_ != null))
-    assert(edge.getSeq[Any](1).forall(_ == null))
+    assert(edge.getSeq[Any](1).forall(_ == null) &&
+      edge.getSeq[Any](1).length == k)
+    // null INPUT array -> NULL signature (engine-wide null
+    // propagation; intentionally not the old fold's array of nulls)
+    assert(edge.isNullAt(2))
   }
 
   private def edgePayloadSql(k: Int): String = {
