@@ -527,6 +527,139 @@ object SparkEntry {
           S.ivfTopK(qs, corpus, 10, nCentroids = 64, nProbe = 16)))
     }),
 
+    // ---- ext: ranked text retrieval (Search) ------------------------------
+    // BM25 top-k: per-term tfs are scan expressions (query terms are
+    // plan constants), corpus stats reduce to ONE broadcast row,
+    // ranking is a TakeOrderedAndProject — zero corpus shuffle
+    "x56_bm25_search" -> ((s, d) =>
+      graft.ext.Search.bm25Search(t(s, d, "documents").df,
+        "doc_id", "text", Seq("spark", "join", "vector"), 20)),
+
+    // TF-IDF keyword extraction: 3 most distinctive terms per doc
+    "x57_top_terms" -> ((s, d) =>
+      graft.ext.Search.topTermsPerDoc(t(s, d, "documents").df,
+        "doc_id", "text", 3)),
+
+    // exact corpus heavy hitters (the baseline x59/x60 approximate)
+    "x58_top_tokens" -> ((s, d) =>
+      graft.ext.Search.topTokens(t(s, d, "documents").df, "text", 25)),
+
+    // Misra-Gries sketch in its provably-exact regime: capacity far
+    // above the corpus vocabulary means no decrement ever fires, so
+    // the sketch equals the exact per-term counts and the oracle can
+    // hash-check it (the approximation regime is x60's probe)
+    "x59_freq_sketch" -> ((s, d) =>
+      t(s, d, "documents").df
+        .select(F.explode(
+          graft.ext.TextAnalysis.tokens(col("text"))).as("term"))
+        .agg(graft.plans.FreqSketch.freqSketch(col("term"), 4096).as("sk"))
+        .select(F.explode(col("sk")).as("e"))
+        .select(col("e.term").as("term"), col("e.est").as("n"))),
+
+    // Misra-Gries at scale: 5M-row stream, 10 planted heavy terms
+    // (2% of the stream each) in a ~4M-term unique tail, capacity 256.
+    // The output is the GUARANTEE, not the raw estimates (those are
+    // legitimately merge-order-dependent): every planted heavy must
+    // be tracked (freq n/50 >> n/(cap+1)) with its estimate inside
+    // the Misra-Gries error band, and the state must stay bounded.
+    // Frozen constant oracle (valid only at probeScale 1.0).
+    "x60_freq_sketch_5m" -> ((s, d) => {
+      val n = scaled(5000000L)
+      val cap = 256
+      val stream = s.range(n).select(
+        F.when(col("id") % 5 === 0,
+            F.concat(lit("h"), F.floor((col("id") % 50) / 5).cast(LongType)))
+          .otherwise(F.concat(lit("t"), col("id"))).as("term"))
+      val sk0 = stream
+        .agg(graft.plans.FreqSketch.freqSketch(col("term"), cap).as("sk"))
+        .select(F.explode(col("sk")).as("e"))
+        .select(col("e.term").as("term"), col("e.est").as("est"))
+        .localCheckpoint(true) // tiny (<= cap rows); fans out below
+      val sk2 = s.createDataFrame(sk0.rdd, sk0.schema)
+      val exact = stream.filter(col("term").startsWith("h"))
+        .groupBy("term").agg(F.count(lit(1)).as("exact"))
+      val bound = n / (cap + 1)
+      exact.join(sk0, Seq("term"), "left")
+        .agg(
+          F.sum(F.when(col("est").isNotNull, 1L).otherwise(0L))
+            .as("n_heavy_found"),
+          F.sum(F.when(col("est").isNotNull && col("est") <= col("exact") &&
+              col("est") + lit(bound) >= col("exact"), 1L).otherwise(0L))
+            .as("n_bound_ok"))
+        .crossJoin(sk2.agg(
+          F.when(F.count(lit(1)) <= cap, 1L).otherwise(0L).as("tracked_ok")))
+        .withColumn("n_rows", lit(n))
+    }),
+
+    // persisted inverted index: build term-bucketed postings, then
+    // answer BM25 from the index alone — the scan touches only the
+    // query terms' bucket partitions (static pruning), and the scores
+    // are bit-identical to the direct scan path, which is exactly
+    // what the oracle checks (same SQL as x56, different terms)
+    "x61_index_search" -> ((s, d) => {
+      val dir = runScratch("searchidx", d)
+      graft.ext.Search.buildIndex(t(s, d, "documents").df,
+        "doc_id", "text", dir)
+      graft.ext.Search.searchIndex(s, dir, Seq("customer", "window"), 15)
+    }),
+
+    // search at scale: BM25 over the 300k-doc synthetic corpus (9M
+    // token instances, 100k vocab) BOTH ways — direct zero-shuffle
+    // scan and the persisted term-bucketed index (built in-query:
+    // the 9M-posting explode+shuffle is the measured cost; the
+    // pruned query afterwards is ~free). The constant oracle is the
+    // bit-identity of the two paths (every direct hit joins an index
+    // hit on doc_id AND the double score), which holds at ANY scale —
+    // no frozen synthesis-dependent constants
+    "x62_search_300k" -> ((s, d) => {
+      val docs = synthDocs(s, scaled(150000L))
+      val terms = Seq("w123", "w4567", "w89")
+      val dir = runScratch("searchidx300k", d)
+      val direct = graft.ext.Search.bm25Search(docs, "doc_id", "text",
+        terms, 20).localCheckpoint(true) // tiny; fans out below
+      val d2 = s.createDataFrame(direct.rdd, direct.schema)
+      graft.ext.Search.buildIndex(docs, "doc_id", "text", dir)
+      val indexed = graft.ext.Search.searchIndex(s, dir, terms, 20)
+        .localCheckpoint(true)
+      val i2 = s.createDataFrame(indexed.rdd, indexed.schema)
+      direct.alias("a").join(indexed.alias("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("a.score") === col("b.score"))
+        .agg(F.count(lit(1)).as("n_match"))
+        .crossJoin(d2.agg(F.count(lit(1)).as("n_direct")))
+        .crossJoin(i2.agg(F.count(lit(1)).as("n_indexed")))
+    }),
+
+    // unicode canonicalization: planted decomposed/precomposed forms
+    // normalize to identical bytes (UAX#15 — DuckDB nfc_normalize
+    // byte-agrees) and accents fold the way ICU strip_accents does
+    "x63_normalize" -> ((s, d) =>
+      t(s, d, "documents").df.filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          // decomposed Cafe+U+0301 / nai+U+0308ve next to precomposed
+          // forms — the real-crawl mix NFC must canonicalize
+          F.concat(lit("Cafe\u0301 caf\u00e9 Z\u00fcrich nai\u0308ve doc"),
+            col("doc_id").cast(StringType)).as("aug"))
+        .select(col("doc_id"),
+          graft.ext.TextAnalysis.normalizeText(col("aug")).as("nfc"),
+          graft.ext.TextAnalysis.foldAccents(col("aug")).as("folded"),
+          F.length(col("aug")).as("len_raw"),
+          F.length(graft.ext.TextAnalysis.normalizeText(col("aug")))
+            .as("len_nfc"))),
+
+    // URL domain extraction + per-domain rollup (domain-level
+    // filtering/mixing is how web corpora are actually curated)
+    "x64_url_domains" -> ((s, d) =>
+      t(s, d, "documents").df
+        .select(F.concat(lit("http://ex"),
+          (col("doc_id") % 7).cast(StringType),
+          lit(".org/a b https://www.site"),
+          (col("doc_id") % 3).cast(StringType),
+          lit(".com/x")).as("aug"))
+        .select(F.explode(
+          graft.ext.TextAnalysis.urlDomains(col("aug"))).as("domain"))
+        .groupBy("domain").agg(F.count(lit(1)).as("n"))),
+
     // dedup at scale: the sf0.1 documents table is 5k rows — the LSH
     // claim ("bucketed, never all-pairs") needs a corpus where
     // all-pairs is visibly impossible (300k docs = 45 BILLION pairs).
@@ -1789,6 +1922,14 @@ object SparkEntry {
            |Pt {name, score} order {name}""".stripMargin).df
     }),
 
+    // ranked retrieval in the language: BM25 hits join back to the
+    // corpus for display columns — search as an ordinary table stage
+    "ql38_lang_search" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """hits = bm25_search(documents, "doc_id", "text", "spark join vector", 20)
+          |join(h: hits.doc_id, d: documents.doc_id) {doc_id: h.doc_id, score: h.score, source: d.source} order {^score, doc_id}""".stripMargin,
+        "documents" -> t(s, d, "documents")).df),
+
     // cross-document line dedup IN the language, composed with an
     // ordinary selection + global aggregation over the cleaned corpus
     "ql34_lang_linededup" -> ((s, d) =>
@@ -2340,7 +2481,7 @@ object SparkEntry {
       kind + "_" + new java.io.File(d).getName).getAbsolutePath
 
   /** Scale multiplier for the synthetic scale probes (x22-x26, x36,
-    * x45, x49, x52, x55). Verify NEVER touches it — the frozen
+    * x45, x49, x52, x55, x60, x62). Verify NEVER touches it — the frozen
     * constant oracles hold only at scale 1.0 — but Bench dials it to
     * 1/5 by default so the per-round perf signal stays cheap
     * (SPARK_GRAFT_PROBES=full restores full scale for reproducing the
@@ -2456,6 +2597,44 @@ object SparkEntry {
            CAST(sum(e.label) AS BIGINT) AS label_sum
          FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
          GROUP BY a.centroid_id"""
+  }
+
+  /** x56/x61: BM25 oracle composed per (terms, k) — the index-backed
+    * path (x61) must score bit-identically to the direct scan path
+    * (x56), so both oracles come from the same builder and mirror
+    * Search.bm25Search's EXACT association order (rational idf,
+    * left-to-right term sum; see Search.scala's determinism note).
+    */
+  private def bm25OracleSql(terms: Seq[String], k: Int): String = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tok, x -> x = '$t')) AS tf_$i"
+    }.mkString(",\n             ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+      .mkString(",\n             ")
+    val scoreTerms = terms.indices.map { i =>
+      s"""((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+             * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0))
+             / (CAST(tf_$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
+    }.mkString("\n           + ")
+    s"""WITH tk AS (
+           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+           FROM documents
+         ), f AS (
+           SELECT doc_id, len(tok) AS dl,
+             $tfCols
+           FROM tk
+         ), st AS (
+           SELECT count(*) AS n_docs, sum(dl) AS sdl,
+             $dfCols
+           FROM f
+         )
+         SELECT doc_id, score FROM (
+           SELECT f.doc_id,
+             round($scoreTerms, 6) AS score
+           FROM f CROSS JOIN st
+         ) WHERE score > 0
+         ORDER BY score DESC, doc_id LIMIT $k"""
   }
 
   private val ivfOracleSql: String =
@@ -3551,6 +3730,104 @@ object SparkEntry {
          UNION ALL SELECT 'lsh_multi', 8385, 10000, CAST(0.8385 AS DOUBLE)
          UNION ALL SELECT 'ivf_speed', 4867, 10000, CAST(0.4867 AS DOUBLE)
          UNION ALL SELECT 'ivf_deep', 8531, 10000, CAST(0.8531 AS DOUBLE)""",
+
+    "x56_bm25_search" -> bm25OracleSql(Seq("spark", "join", "vector"), 20),
+
+    "ql38_lang_search" ->
+      s"""WITH hits AS (
+           ${bm25OracleSql(Seq("spark", "join", "vector"), 20)}
+         )
+         SELECT h.doc_id, h.score, d.source
+         FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+         ORDER BY h.score DESC, h.doc_id""",
+
+    "x57_top_terms" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok
+           FROM documents
+         ), p AS (
+           SELECT doc_id, unnest(tok) AS term FROM tk
+         ), tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM p GROUP BY doc_id, term
+         ), dfq AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY term
+         ), nd AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf FROM (
+           SELECT t.doc_id, t.term,
+             round(CAST(t.tf AS DOUBLE)
+               * (CAST(n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)), 6) AS tfidf,
+             row_number() OVER (PARTITION BY t.doc_id ORDER BY
+               round(CAST(t.tf AS DOUBLE)
+                 * (CAST(n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)), 6) DESC,
+               t.term) AS rank
+           FROM tf t JOIN dfq d ON t.term = d.term CROSS JOIN nd
+         ) WHERE rank <= 3""",
+
+    "x58_top_tokens" ->
+      """WITH p AS (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM documents
+         )
+         SELECT term, CAST(count(*) AS BIGINT) AS n FROM p
+         GROUP BY term ORDER BY n DESC, term LIMIT 25""",
+
+    // exact-regime Misra-Gries == the exact per-term counts
+    "x59_freq_sketch" ->
+      """WITH p AS (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM documents
+         )
+         SELECT term, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY term""",
+
+    // frozen constants (probeScale 1.0): the Misra-Gries guarantee is
+    // deterministic even though the raw estimates are merge-order-
+    // dependent — all 10 planted heavies tracked, all inside the
+    // error band, state bounded
+    "x60_freq_sketch_5m" ->
+      """SELECT CAST(10 AS BIGINT) AS n_heavy_found,
+                CAST(10 AS BIGINT) AS n_bound_ok,
+                CAST(1 AS BIGINT) AS tracked_ok,
+                CAST(5000000 AS BIGINT) AS n_rows""",
+
+    "x61_index_search" -> bm25OracleSql(Seq("customer", "window"), 15),
+
+    // scale-invariant constants: top-20 exists on both paths and the
+    // (doc_id, score) join matches row-for-row
+    "x62_search_300k" ->
+      """SELECT CAST(20 AS BIGINT) AS n_match,
+                CAST(20 AS BIGINT) AS n_direct,
+                CAST(20 AS BIGINT) AS n_indexed""",
+
+    // chr(769)/chr(776) are the combining acute/diaeresis — the oracle
+    // plants the same decomposed-next-to-precomposed mix; UAX#15 NFC
+    // and ICU strip_accents must byte-agree with the engine
+    "x63_normalize" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             'Cafe' || chr(769) || ' café Zürich nai' || chr(776) ||
+               've doc' || CAST(doc_id AS VARCHAR) AS aug
+           FROM documents WHERE doc_id < 200
+         )
+         SELECT doc_id, nfc_normalize(aug) AS nfc,
+           strip_accents(aug) AS folded,
+           CAST(length(aug) AS INT) AS len_raw,
+           CAST(length(nfc_normalize(aug)) AS INT) AS len_nfc
+         FROM aug""",
+
+    "x64_url_domains" ->
+      """WITH aug AS (
+           SELECT 'http://ex' || CAST(doc_id % 7 AS VARCHAR) ||
+             '.org/a b https://www.site' || CAST(doc_id % 3 AS VARCHAR) ||
+             '.com/x' AS aug
+           FROM documents
+         ), ex AS (
+           SELECT unnest(regexp_extract_all(aug,
+             'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+           FROM aug
+         )
+         SELECT domain, CAST(count(*) AS BIGINT) AS n
+         FROM ex GROUP BY domain""",
+
     "x12_cosine_pairs" ->
       """WITH aug AS (
            SELECT vec_id, embedding, label FROM embeddings

@@ -1,0 +1,212 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+import TextAnalysis.{tokens, h60}
+
+/** Ranked text retrieval over a document corpus: BM25 search, TF-IDF
+  * keyword extraction, corpus-frequency analytics, and a persisted
+  * term-bucketed inverted index for build-once/query-many deployments.
+  * (The reference engine has no search operator; this extends the
+  * corpus-pipeline family the same way the ANN/dedup modules do.)
+  *
+  * Scale shapes:
+  *  - `bm25Search` is ZERO-shuffle on the corpus: per-term tfs are
+  *    scan-level expressions (the query's terms are plan-build-time
+  *    constants, so "probe the inverted index" becomes "count matches
+  *    inside the token array"), corpus statistics reduce to ONE
+  *    broadcast row, and ranking is a TakeOrderedAndProject — at
+  *    100 TB the cost is the parquet scan, same as a filter.
+  *  - `topTermsPerDoc` / `topTokens` shuffle ∝ tokens once (the
+  *    partial-agg groupBy), never ∝ docs² — document frequency joins
+  *    back via a broadcastable per-term table.
+  *  - `buildIndex`/`searchIndex` persist term-bucketed postings so
+  *    repeated queries skip the corpus scan entirely: bucket ids are
+  *    pure functions of the query terms, so Spark prunes every
+  *    non-matching partition statically (same discipline as the
+  *    persisted IVF index).
+  *
+  * Determinism: scoring is RATIONAL arithmetic only (the classic BM25
+  * `ln((N-df+0.5)/(df+0.5) + 1)` idf is replaced by its argument —
+  * a strictly monotone per-term transform; libm's log differs in
+  * final ulps across engines, +,*,/ do not), association order is
+  * fixed, and scores round to 6 decimals before the rank sort, so
+  * cross-engine hash checks are exact. `classicIdf = true` restores
+  * the log form when Lucene-parity matters more than bit equality.
+  */
+object Search {
+
+  /** Per-term raw term frequency inside a whitespace-token array —
+    * a pure scan expression (no explode, no shuffle).
+    */
+  def termFreq(text: Column, term: String): Column =
+    F.size(F.filter(tokens(text), t => t === lit(term)))
+
+  /** BM25 top-k ranked retrieval for a bag of query terms.
+    *
+    * Plan: one scan computing (dl, tf_i...) per doc; a single-row
+    * corpus-stats aggregate (N, Σdl, df_i...) broadcast back via
+    * cross join; fixed-order per-term scoring; top-k via
+    * TakeOrderedAndProject on (score desc, id) — never a global sort.
+    */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75,
+                 classicIdf: Boolean = false): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Search: empty query")
+    val terms = queryTerms.distinct
+    val fCols = col(idCol) +: F.size(tokens(col(textCol))).as("dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        termFreq(col(textCol), t).as(s"tf_$i")
+      }
+    val feat = df.select(fCols: _*)
+    val stats = feat.agg(
+      F.count(lit(1)).as("n_docs"),
+      F.sum(col("dl")).as("sdl") +:
+        terms.indices.map(i =>
+          F.sum(F.when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
+    val n = col("n_docs").cast(DoubleType)
+    val avgdl = col("sdl").cast(DoubleType) / n
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast(DoubleType)
+      val dfr = col(s"df_$i").cast(DoubleType)
+      val rational = (n - dfr + lit(0.5)) / (dfr + lit(0.5))
+      val idf = if (classicIdf) F.log(rational + lit(1.0)) else rational
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
+    }.reduce(_ + _)
+    feat.crossJoin(F.broadcast(stats))
+      .select(col(idCol), F.round(score, 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** TF-IDF keyword extraction: the `m` most distinctive terms per
+    * document, scored tf * (N / df) (rational idf — same determinism
+    * rationale as `bm25Search`), ties broken lexicographically.
+    *
+    * Plan: explode → (id, term) partial-agg count (the one shuffle,
+    * ∝ tokens); per-term document frequency is a second partial agg
+    * over the already-grouped postings and joins back broadcastable;
+    * per-doc top-m is a window PARTITIONED BY doc — thousands of
+    * parallel partitions, never a global sort.
+    */
+  def topTermsPerDoc(df: DataFrame, idCol: String, textCol: String,
+                     m: Int): DataFrame = {
+    val postings = df
+      .select(col(idCol), F.explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(F.count(lit(1)).as("tf"))
+    val ndocs = df.agg(F.count(lit(1)).as("n_docs"))
+    val dfreq = postings.groupBy("term")
+      .agg(F.count(lit(1)).as("df"))
+    val scored = postings
+      .join(dfreq, "term")
+      .crossJoin(F.broadcast(ndocs))
+      .select(col(idCol), col("term"),
+        F.round(col("tf").cast(DoubleType) *
+          (col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)), 6)
+          .as("tfidf"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(col("rank") <= m)
+      .select(col(idCol), col("rank"), col("term"), col("tfidf"))
+  }
+
+  /** Exact corpus heavy hitters: the `k` most frequent tokens with
+    * their counts. One partial-agg shuffle on the term, then a
+    * TakeOrderedAndProject — the exact baseline the Misra-Gries
+    * sketch approximates.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(F.explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(F.count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+
+  // ---- persisted inverted index -----------------------------------------
+
+  /** Build a term-bucketed inverted index under `dir`:
+    *  - `postings/` (bucket, term, doc_id, tf, dl) partitioned by
+    *    bucket = md5-hash(term) mod nBuckets,
+    *  - `stats/` the single corpus-stats row (n_docs, sdl).
+    * Per-term document frequency is NOT materialized separately: it
+    * folds out of the postings at query time after partition pruning
+    * (the pruned slice is tiny), which keeps the index build one
+    * explode + one shuffle.
+    */
+  def buildIndex(df: DataFrame, idCol: String, textCol: String,
+                 dir: String, nBuckets: Int = 64): Unit = {
+    val base = df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("tok"))
+    base.select(col("doc_id"), F.size(col("tok")).as("dl"),
+        F.explode(col("tok")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(F.count(lit(1)).as("tf"))
+      .withColumn("bucket", F.pmod(h60(col("term")), lit(nBuckets.toLong)))
+      // co-locate each bucket into one task before the partitioned
+      // write: without this every task writes a sliver of every
+      // bucket (tasks × buckets files, thousands of open handles per
+      // executor at scale); with it the layout is one well-sized file
+      // per bucket
+      .repartition(nBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(dir + "/postings")
+    base.agg(F.count(lit(1)).as("n_docs"), F.sum(F.size(col("tok"))).as("sdl"))
+      .write.mode("overwrite").parquet(dir + "/stats")
+  }
+
+  /** BM25 top-k over a persisted index — bit-identical scores to
+    * `bm25Search` on the source corpus (the parquet round-trip is
+    * lossless and the arithmetic is identical), but the scan touches
+    * ONLY the partitions holding the query's term buckets: bucket ids
+    * are literal IN-list constants, so pruning is static and the cost
+    * is ∝ matching postings, not corpus size.
+    *
+    * Per-doc aggregation pivots each term's (tf, df) into fixed
+    * columns (max of a guarded case — at most one posting per
+    * (doc, term)) so the cross-term sum happens in ONE fixed-order
+    * expression: no float-sum over a nondeterministic row order.
+    */
+  def searchIndex(spark: SparkSession, dir: String,
+                  queryTerms: Seq[String], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  nBuckets: Int = 64): DataFrame = {
+    require(queryTerms.nonEmpty, "searchIndex: empty query")
+    val terms = queryTerms.distinct
+    val buckets = terms.map(t => TextAnalysis.h60Value(t) % nBuckets).distinct
+    val post = spark.read.parquet(dir + "/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    // per-term document frequency from the pruned slice (tiny), then
+    // pivot tf/df into fixed per-term columns keyed by doc
+    val dfreq = post.groupBy("term").agg(F.count(lit(1)).as("df"))
+    val joined = post.join(F.broadcast(dfreq), "term")
+    val pivoted = joined.groupBy("doc_id")
+      .agg(F.max(col("dl")).as("dl"),
+        terms.zipWithIndex.flatMap { case (t, i) =>
+          Seq(F.max(F.when(col("term") === t, col("tf"))).as(s"tf_$i"),
+            F.max(F.when(col("term") === t, col("df"))).as(s"df_$i"))
+        }: _*)
+    val stats = spark.read.parquet(dir + "/stats")
+    val n = col("n_docs").cast(DoubleType)
+    val avgdl = col("sdl").cast(DoubleType) / n
+    val score = terms.indices.map { i =>
+      val tf = F.coalesce(col(s"tf_$i"), lit(0L)).cast(DoubleType)
+      val dfr = F.coalesce(col(s"df_$i"), lit(0L)).cast(DoubleType)
+      val idf = (n - dfr + lit(0.5)) / (dfr + lit(0.5))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
+    }.reduce(_ + _)
+    pivoted.crossJoin(F.broadcast(stats))
+      .select(col("doc_id"), F.round(score, 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -255,6 +255,35 @@ object TextAnalysis {
       .agg((F.coalesce(F.sum(F.col("w")), lit(0.0)) + bias).as("margin"))
   }
 
+  // ---- unicode canonicalization -----------------------------------------
+  /** Unicode normalization (default NFC) via the native codegen'd
+    * UnicodeNorm expression. The canonicalization step BEFORE any
+    * hashing/dedup: real crawls carry the same text precomposed and
+    * decomposed, and without NFC those hash apart and every
+    * fingerprint/minhash silently misses the duplicate. UAX#15 fully
+    * specifies the result, so DuckDB's nfc_normalize (and any ICU)
+    * byte-agrees.
+    */
+  def normalizeText(text: Column, form: String = "NFC"): Column =
+    graft.plans.UnicodeNorm(text, form)
+
+  /** Accent folding: NFD then strip combining marks (\\p{Mn}) —
+    * "Café" → "Cafe". Same result as DuckDB/ICU strip_accents on
+    * alphabetic scripts (both decompose per UAX#15 and drop marks),
+    * which is what the oracle checks. Pure scan expression.
+    */
+  def foldAccents(text: Column): Column =
+    F.regexp_replace(normalizeText(text, "NFD"), "\\p{Mn}", "")
+
+  /** URL domain mentions. Restricted to Java/RE2-identical constructs
+    * (explicit classes, no lookaround) so extraction reproduces in
+    * any engine; capture group 1 is the host.
+    */
+  val urlDomainPattern: String = "https?://([A-Za-z0-9.-]+)"
+
+  def urlDomains(text: Column): Column =
+    F.regexp_extract_all(text, lit(urlDomainPattern), lit(1))
+
   /** Deterministic pseudo-model for tests/oracles: weight(i) ∈
     * [-1000/1024, 1000/1024] derived from md5("w:" + i) — any engine
     * reproduces it exactly. The 1024 denominator is deliberate: each

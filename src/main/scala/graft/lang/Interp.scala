@@ -1542,7 +1542,8 @@ object Interp {
       "train_split", "chunk_docs", "pack_sequences",
       "repetition_signals", "decontaminate", "weighted_sample",
       "line_dedup", "mix_corpus", "semantic_dedup", "shard_assign",
-      "repeated_spans", "contamination_score", "span_dup_frac")
+      "repeated_spans", "contamination_score", "span_dup_frac",
+      "bm25_search", "top_terms", "top_tokens", "freq_tokens")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1769,6 +1770,43 @@ object Interp {
           PTable(graft.ext.Corpus.contaminationScore(t(args(0).value).df,
             litString(args(1).value), litString(args(2).value),
             t(args(3).value).df, litString(args(4).value)))
+        // ranked text retrieval (ext/Search): query terms are one
+        // whitespace-separated string literal (plan-build-time
+        // constants — that is what makes the scan zero-shuffle)
+        case "bm25_search" =>
+          if (args.length != 5)
+            throw new TypeError(
+              "bm25_search(t, \"id_col\", \"text_col\", \"terms\", k)")
+          val terms = litString(args(3).value).trim.split("\\s+").toSeq
+            .filter(_.nonEmpty)
+          if (terms.isEmpty)
+            throw new graft.types.ValueError("bm25_search: empty query")
+          PTable(graft.ext.Search.bm25Search(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value),
+            terms, constLong(args(4).value).toInt))
+        case "top_terms" =>
+          if (args.length != 4)
+            throw new TypeError(
+              "top_terms(t, \"id_col\", \"text_col\", m)")
+          PTable(graft.ext.Search.topTermsPerDoc(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value),
+            constLong(args(3).value).toInt))
+        case "top_tokens" =>
+          if (args.length != 3)
+            throw new TypeError("top_tokens(t, \"text_col\", k)")
+          PTable(graft.ext.Search.topTokens(t(args(0).value).df,
+            litString(args(1).value), constLong(args(2).value).toInt))
+        case "freq_tokens" =>
+          if (args.length != 3)
+            throw new TypeError("freq_tokens(t, \"text_col\", capacity)")
+          val tab = t(args(0).value)
+          PTable(tab.df
+            .select(F.explode(graft.ext.TextAnalysis.tokens(
+              col(litString(args(1).value)))).as("term"))
+            .agg(graft.plans.FreqSketch.freqSketch(col("term"),
+              constLong(args(2).value).toInt).as("sk"))
+            .select(F.explode(col("sk")).as("e"))
+            .select(col("e.term").as("term"), col("e.est").as("n")))
         // positional joins (reference __builtins__.pql:211-257) —
         // sides may be named (`zipjoin(a: x, b: y)`) or positional
         case "zipjoin" | "zipjoin_left" | "zipjoin_longest" =>
@@ -2906,7 +2944,8 @@ object Interp {
         case "float" | "mean" | "avg" | "stddev" | "median" | "pi" |
              "random" | "product" | "approx_product" |
              "quality_score" | "garbage_ratio" => Some(DoubleType)
-        case "lang_id" | "fingerprint" | "redact_pii" => Some(StringType)
+        case "lang_id" | "fingerprint" | "redact_pii" |
+             "normalize_text" | "fold_accents" => Some(StringType)
         case "bool" | "str_contains" => Some(BooleanType)
         case "iif" if args.length == 3 =>
           inferType(args(1).value, schema)
@@ -3199,6 +3238,16 @@ object Interp {
       case "fingerprint" => arity(1); graft.ext.TextAnalysis.fingerprint(a(0))
       case "redact_pii" => arity(1); graft.ext.TextAnalysis.redactPii(a(0))
       case "pii_count" => arity(1); graft.ext.TextAnalysis.piiCount(a(0))
+      case "normalize_text" =>
+        if (args.length < 1 || args.length > 2)
+          throw new TypeError("normalize_text(text, \"form\"?)")
+        val form =
+          if (args.length == 2) litString(args(1).value) else "NFC"
+        graft.ext.TextAnalysis.normalizeText(a(0), form)
+      case "fold_accents" => arity(1)
+        graft.ext.TextAnalysis.foldAccents(a(0))
+      case "url_domains" => arity(1)
+        graft.ext.TextAnalysis.urlDomains(a(0))
       case "year" => arity(1); PF.year(a(0))
       case "month" => arity(1); PF.month(a(0))
       case "day" => arity(1); PF.day(a(0))

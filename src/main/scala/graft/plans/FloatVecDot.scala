@@ -107,5 +107,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
       (exprs: Seq[Expression]) => WordNgrams.fromArgs(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketch].getName, "graft_freq_sketch"),
+      (exprs: Seq[Expression]) => FreqSketch.fromArgs(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_unicode_norm"),
+      new ExpressionInfo(classOf[UnicodeNorm].getName, "graft_unicode_norm"),
+      (exprs: Seq[Expression]) => UnicodeNorm.fromArgs(exprs)))
   }
 }

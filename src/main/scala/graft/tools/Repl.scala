@@ -89,7 +89,9 @@ object Repl {
     "train_split", "chunk_docs", "pack_sequences",
     "repetition_signals", "decontaminate", "weighted_sample",
     "line_dedup", "mix_corpus", "semantic_dedup", "shard_assign",
-    "repeated_spans", "contamination_score", "span_dup_frac")
+    "repeated_spans", "contamination_score", "span_dup_frac",
+    "bm25_search", "top_terms", "top_tokens", "freq_tokens",
+    "normalize_text", "fold_accents", "url_domains")
 
   /** The position of the innermost still-open `{` or `[` (outside
     * strings/comments), or -1 — its base expression scopes completion

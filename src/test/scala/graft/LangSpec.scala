@@ -1328,6 +1328,20 @@ class LangSpec extends SparkSpec {
     assert(r.getLong(2) >= 2L && r.getLong(3) >= 1L)
   }
 
+  test("examples/search_explore.pql runs verbatim over the testdata") {
+    val script = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/search_explore.pql")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val docs = Tables.load(spark, sf, "documents")
+    val r = Interp.run(spark, script + "\nreport",
+      "documents" -> docs).df.head
+    // exact-regime sketch tracks the whole vocabulary; 5 ranked hits,
+    // each contributing its TF-IDF keywords
+    assert(r.getLong(0) == r.getLong(1), "sketch must equal exact vocab")
+    assert(r.getLong(2) == 5L)
+    assert(r.getLong(3) >= 5L && r.getLong(3) <= 10L)
+  }
+
   test("examples/corpus_pipeline.pql runs verbatim over the testdata") {
     val script = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("examples/corpus_pipeline.pql")),

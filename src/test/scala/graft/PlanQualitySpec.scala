@@ -690,4 +690,45 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"per-doc rollup must keep map-side partials:\n$p")
   }
+
+  test("bm25: zero corpus shuffle — stats broadcast, heap top-k") {
+    val p = planOf("x56_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ranking must be a heap top-k, not a global sort:\n$p")
+    // the ONLY exchange is the single-row corpus-stats aggregate; the
+    // scored corpus itself must flow scan → score → top-k unshuffled
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus must not shuffle for scoring:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("IdentityBroadcastMode"),
+      s"stats row must broadcast:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to (doc_id, text):\n$p")
+  }
+
+  test("index search: static bucket pruning + term pushdown") {
+    val p = planOf("x61_index_search")
+    assert(p.contains("PartitionFilters: [bucket"),
+      s"query-term buckets must prune partitions statically:\n$p")
+    assert(p.contains("PushedFilters: [In(term"),
+      s"term IN-list must push into the postings scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-term df table must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ranking must be a heap top-k:\n$p")
+  }
+
+  test("tf-idf keywords: per-doc window, never a single partition") {
+    val p = planOf("x57_top_terms")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"top-m window must partition by document:\n$p")
+    assert(p.contains("partial_count"),
+      s"postings must keep map-side partials:\n$p")
+  }
+
+  test("freq sketch aggregates map-side partial state") {
+    val p = planOf("x59_freq_sketch")
+    assert(p.contains("partial_graft_freq_sketch"),
+      s"sketch must reduce per-partition before the shuffle:\n$p")
+  }
 }

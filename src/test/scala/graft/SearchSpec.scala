@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Search
+import graft.plans.FreqSketch
+import graft.sources.Tables
+
+/** Behavioral specs for the ranked-retrieval module (ext/Search) and
+  * the Misra-Gries frequent-items aggregate (plans/FreqSketch).
+  */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf, "documents").df
+
+  test("termFreq counts duplicate tokens; blank text has none") {
+    val out = Seq("a b a a", "b", "", "   ").toDF("t")
+      .select(Search.termFreq(col("t"), "a")).collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(3, 0, 0, 0))
+  }
+
+  test("bm25: higher tf of a rarer term wins; non-matching docs excluded") {
+    val corpus = Seq(
+      (1L, "rare rare common filler filler"),
+      (2L, "rare common filler filler filler"),
+      (3L, "common filler filler filler filler"),
+      (4L, "filler filler filler filler filler"),
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val res = Search.bm25Search(corpus, "id", "text",
+      Seq("rare", "common"), 10).collect()
+    val ids = res.map(_.getLong(0)).toSeq
+    // doc 4 matches nothing, doc 5 is null — both excluded
+    assert(ids.toSet == Set(1L, 2L, 3L))
+    // two 'rare' hits beat one beat zero; doc3 has only the commoner term
+    assert(ids == Seq(1L, 2L, 3L))
+    // scores strictly ordered
+    val scores = res.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse && scores.distinct == scores)
+  }
+
+  test("bm25: length normalization prefers the shorter doc at equal tf") {
+    val corpus = Seq(
+      (1L, "hit pad"),
+      (2L, "hit pad pad pad pad pad pad pad")).toDF("id", "text")
+    val res = Search.bm25Search(corpus, "id", "text", Seq("hit"), 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(res == Seq(1L, 2L))
+  }
+
+  test("bm25: classic log idf keeps the rational ranking (monotone)") {
+    val rational = Search.bm25Search(docs, "doc_id", "text",
+      Seq("spark"), 15).collect().map(_.getLong(0)).toSeq
+    val classic = Search.bm25Search(docs, "doc_id", "text",
+      Seq("spark"), 15, classicIdf = true).collect().map(_.getLong(0)).toSeq
+    assert(rational == classic)
+  }
+
+  test("searchIndex is bit-identical to the direct bm25 scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_searchidx")
+      .toString
+    try {
+      Search.buildIndex(docs, "doc_id", "text", dir)
+      val terms = Seq("customer", "window", "spark")
+      val direct = Search.bm25Search(docs, "doc_id", "text", terms, 30)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val indexed = Search.searchIndex(spark, dir, terms, 30)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(direct == indexed)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
+
+  test("topTermsPerDoc surfaces the distinctive term first") {
+    val corpus = Seq(
+      (1L, "apple apple shared"),
+      (2L, "shared banana")).toDF("id", "text")
+    val res = Search.topTermsPerDoc(corpus, "id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val top1 = res.filter(r => r._1 == 1L && r._2 == 1).head._3
+    val top2 = res.filter(r => r._1 == 2L && r._2 == 1).head._3
+    assert(top1 == "apple" && top2 == "banana")
+  }
+
+  test("topTokens matches an exact groupBy count") {
+    val expect = docs
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("t").count()
+      .orderBy(col("count").desc, col("t")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = Search.topTokens(docs, "text", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("freq sketch: exact regime equals the exact counts") {
+    val exact = docs
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketch = docs
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("t"))
+      .agg(FreqSketch.freqSketch(col("t"), 4096).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch == exact)
+  }
+
+  test("freq sketch: Misra-Gries guarantee holds under partition merges") {
+    val n = 40000L
+    val cap = 16
+    // 4 heavies at n/8 each, the rest a unique tail — repartition(7)
+    // forces partial buffers to merge in a nondeterministic order
+    val stream = spark.range(n).repartition(7).select(
+      when(col("id") % 2 === 0,
+          concat(lit("h"), floor((col("id") % 8) / 2).cast("long")))
+        .otherwise(concat(lit("t"), col("id"))).as("term"))
+    val heavies = stream.filter(col("term").startsWith("h"))
+      .groupBy("term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketch = stream.agg(FreqSketch.freqSketch(col("term"), cap).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.size <= cap)
+    val bound = n / (cap + 1)
+    // every heavy (freq n/8 >> n/17) must be tracked, inside the band
+    heavies.foreach { case (t, exact) =>
+      assert(sketch.contains(t), s"heavy $t missing from sketch")
+      val est = sketch(t)
+      assert(est <= exact && est + bound >= exact,
+        s"estimate $est outside [${exact - bound}, $exact] for $t")
+    }
+    // no estimate may exceed its true count (downward-biased only)
+    val allExact = stream.groupBy("term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sketch.foreach { case (t, est) =>
+      assert(est <= allExact(t), s"overestimate for $t")
+    }
+  }
+
+  test("unicode normalization: NFC equates decomposed and precomposed") {
+    import graft.ext.TextAnalysis
+    val out = Seq("Cafe\u0301", "Caf\u00e9").toDF("t")
+      .select(TextAnalysis.normalizeText(col("t")))
+      .collect().map(_.getString(0))
+    assert(out(0) == out(1) && out(0) == "Caf\u00e9")
+    val nfd = Seq("Caf\u00e9").toDF("t")
+      .select(TextAnalysis.normalizeText(col("t"), "NFD"))
+      .head.getString(0)
+    assert(nfd == "Cafe\u0301")
+    // NFKC also folds compatibility forms (ﬁ ligature → fi)
+    val nfkc = Seq("\ufb01ne").toDF("t")
+      .select(TextAnalysis.normalizeText(col("t"), "NFKC"))
+      .head.getString(0)
+    assert(nfkc == "fine")
+    val n = Seq(null.asInstanceOf[String]).toDF("t")
+      .select(TextAnalysis.normalizeText(col("t"))).head
+    assert(n.isNullAt(0))
+    // canonicalization makes the dedup fingerprint agree
+    val fps = Seq("Cafe\u0301 x", "Caf\u00e9 x").toDF("t")
+      .select(TextAnalysis.fingerprint(
+        TextAnalysis.normalizeText(col("t"))))
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("fold_accents strips marks, keeps base letters") {
+    import graft.ext.TextAnalysis
+    val out = Seq("Caf\u00e9 Z\u00fcrich naïve", "plain ascii")
+      .toDF("t").select(TextAnalysis.foldAccents(col("t")))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("Cafe Zurich naive", "plain ascii"))
+  }
+
+  test("url domain extraction") {
+    import graft.ext.TextAnalysis
+    val out = Seq("see https://a.example.org/x and http://b.io, done",
+        "no urls here").toDF("t")
+      .select(TextAnalysis.urlDomains(col("t")))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a.example.org", "b.io"))
+    assert(out(1).isEmpty)
+  }
+
+  test("freq sketch: nulls ignored, empty input yields empty array") {
+    val out = Seq(Some("a"), None, Some("a"), Some("b")).toDF("t")
+      .agg(FreqSketch.freqSketch(col("t"), 8).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term"), col("e.est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 2L), ("b", 1L)))
+    val empty = spark.range(0).select(col("id").cast("string").as("t"))
+      .agg(FreqSketch.freqSketch(col("t"), 8).as("sk"))
+      .select(size(col("sk"))).collect().head.getInt(0)
+    assert(empty == 0)
+  }
+}
