@@ -269,6 +269,24 @@ object Streams {
       .start()
   }
 
+  /** Windowed heavy-hitter terms over a continuous document stream:
+    * per tumbling window, the Misra-Gries sketch of the token stream —
+    * the streaming face of Search.topTokens/FreqSketch. Aggregation
+    * state per window is BOUNDED at `cap` counters regardless of
+    * vocabulary (an exact streaming top-k would hold every distinct
+    * term in the state store forever); the watermark bounds how many
+    * windows hold state. Same guarantee as batch:
+    * `true − n/(cap+1) ≤ est ≤ true` per window.
+    */
+  def topTermsStream(docs: DataFrame, tsCol: String, textCol: String,
+                     window: String, watermark: String,
+                     cap: Int): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol), F.explode(
+        graft.ext.TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(F.window(col(tsCol), window))
+      .agg(graft.plans.FreqSketch.freqSketch(col("term"), cap).as("heavy"))
+
   /** Custom keyed state via mapGroupsWithState: running count + sum
     * per key, emitted on every trigger. State is a (count, sum) pair —
     * O(1) per key, watermark-free (runs forever); use timeouts for

@@ -59,6 +59,31 @@ class GraphStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming heavy hitters: windowed Misra-Gries sketch over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val out = Streams.topTermsStream(df, "ts", "text",
+        "10 minutes", "5 minutes", cap = 8)
+      .select(col("window.start").as("ws"), explode(col("heavy")).as("e"))
+      .select(col("ws"), col("e.term").as("term"), col("e.est").as("est"))
+    val q = out.writeStream.format("memory").queryName("hh_stream")
+      .outputMode(OutputMode.Update()).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // window 1: a is heavy; window 2: separate counts
+    mem.addData((ts(1), "a a a b"), (ts(2), "a c"))
+    mem.addData((ts(12), "b b"))
+    q.processAllAvailable()
+    val rows = spark.table("hh_stream")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    // cap 8 >= distinct terms per window -> the sketch is exact
+    val w1 = rows.filter(_._1 == ts(0)).map(r => r._2 -> r._3).toMap
+    assert(w1 == Map("a" -> 4L, "b" -> 1L, "c" -> 1L))
+    val w2 = rows.filter(_._1 == ts(10)).map(r => r._2 -> r._3).toMap
+    assert(w2 == Map("b" -> 2L))
+    q.stop()
+  }
+
   test("dedupStreamWithinWatermark drops retried ids with DIFFERENT timestamps") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
