@@ -159,6 +159,10 @@ object Search {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(dir + "/postings")
     base.agg(F.count(lit(1)).as("n_docs"), F.sum(F.size(col("tok"))).as("sdl"))
+      // the bucket count is INDEX METADATA, not a query parameter: a
+      // querier guessing a different B would compute wrong bucket ids
+      // and silently prune away real postings
+      .withColumn("n_buckets", lit(nBuckets))
       .write.mode("overwrite").parquet(dir + "/stats")
   }
 
@@ -176,10 +180,13 @@ object Search {
     */
   def searchIndex(spark: SparkSession, dir: String,
                   queryTerms: Seq[String], k: Int,
-                  k1: Double = 1.2, b: Double = 0.75,
-                  nBuckets: Int = 64): DataFrame = {
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "searchIndex: empty query")
     val terms = queryTerms.distinct
+    val stats = spark.read.parquet(dir + "/stats")
+    // bucket count comes from the index's own metadata (one-row read
+    // at plan-build time) — never from a caller's guess
+    val nBuckets = stats.select("n_buckets").head.getInt(0)
     val buckets = terms.map(t => TextAnalysis.h60Value(t) % nBuckets).distinct
     val post = spark.read.parquet(dir + "/postings")
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
@@ -193,7 +200,6 @@ object Search {
           Seq(F.max(F.when(col("term") === t, col("tf"))).as(s"tf_$i"),
             F.max(F.when(col("term") === t, col("df"))).as(s"df_$i"))
         }: _*)
-    val stats = spark.read.parquet(dir + "/stats")
     val n = col("n_docs").cast(DoubleType)
     val avgdl = col("sdl").cast(DoubleType) / n
     val score = terms.indices.map { i =>

@@ -59,7 +59,9 @@ class SearchSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_searchidx")
       .toString
     try {
-      Search.buildIndex(docs, "doc_id", "text", dir)
+      // non-default bucket count: the querier must recover it from
+      // the index metadata, never guess it
+      Search.buildIndex(docs, "doc_id", "text", dir, nBuckets = 16)
       val terms = Seq("customer", "window", "spark")
       val direct = Search.bm25Search(docs, "doc_id", "text", terms, 30)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
