@@ -549,12 +549,7 @@ object SparkEntry {
     // the sketch equals the exact per-term counts and the oracle can
     // hash-check it (the approximation regime is x60's probe)
     "x59_freq_sketch" -> ((s, d) =>
-      t(s, d, "documents").df
-        .select(F.explode(
-          graft.ext.TextAnalysis.tokens(col("text"))).as("term"))
-        .agg(graft.plans.FreqSketch.freqSketch(col("term"), 4096).as("sk"))
-        .select(F.explode(col("sk")).as("e"))
-        .select(col("e.term").as("term"), col("e.est").as("n"))),
+      graft.ext.Search.freqTokens(t(s, d, "documents").df, "text", 4096)),
 
     // Misra-Gries at scale: 5M-row stream, 10 planted heavy terms
     // (2% of the stream each) in a ~4M-term unique tail, capacity 256.
@@ -2481,7 +2476,10 @@ object SparkEntry {
       kind + "_" + new java.io.File(d).getName).getAbsolutePath
 
   /** Scale multiplier for the synthetic scale probes (x22-x26, x36,
-    * x45, x49, x52, x55, x60, x62). Verify NEVER touches it — the frozen
+    * x45, x49, x52, x55, x60 — all with FROZEN constant oracles that
+    * hold only at scale 1.0 — plus x62, which is dialed the same way
+    * but whose oracle is scale-invariant, no re-capture ever needed).
+    * Verify NEVER touches it — the frozen
     * constant oracles hold only at scale 1.0 — but Bench dials it to
     * 1/5 by default so the per-round perf signal stays cheap
     * (SPARK_GRAFT_PROBES=full restores full scale for reproducing the
@@ -2605,7 +2603,10 @@ object SparkEntry {
     * Search.bm25Search's EXACT association order (rational idf,
     * left-to-right term sum; see Search.scala's determinism note).
     */
-  private def bm25OracleSql(terms: Seq[String], k: Int): String = {
+  private def bm25OracleSql(queryTerms: Seq[String], k: Int): String = {
+    // mirror the engine's SET semantics: bm25Search collapses
+    // duplicate query terms, so the oracle must score each term once
+    val terms = queryTerms.distinct
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(tok, x -> x = '$t')) AS tf_$i"
     }.mkString(",\n             ")

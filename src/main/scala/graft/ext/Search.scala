@@ -19,7 +19,8 @@ import TextAnalysis.{tokens, h60}
   *    constants, so "probe the inverted index" becomes "count matches
   *    inside the token array"), corpus statistics reduce to ONE
   *    broadcast row, and ranking is a TakeOrderedAndProject — at
-  *    100 TB the cost is the parquet scan, same as a filter.
+  *    100 TB the cost is two projection-pruned scans (stats pass +
+  *    scoring pass) and nothing else.
   *  - `topTermsPerDoc` / `topTokens` shuffle ∝ tokens once (the
   *    partial-agg groupBy), never ∝ docs² — document frequency joins
   *    back via a broadcastable per-term table.
@@ -45,11 +46,38 @@ object Search {
   def termFreq(text: Column, term: String): Column =
     F.size(F.filter(tokens(text), t => t === lit(term)))
 
-  /** BM25 top-k ranked retrieval for a bag of query terms.
+  /** The ONE BM25 per-term scoring expression, shared verbatim by the
+    * direct scan path and the index-backed path — their bit-identity
+    * (asserted by x61/x62 and SearchSpec) must be structural, not
+    * maintained by copy-paste. `tf`/`dfr` supply each term's columns;
+    * the association order here is the cross-engine contract mirrored
+    * by SparkEntry.bm25OracleSql.
+    */
+  private def bm25ScoreExpr(nTerms: Int, tf: Int => Column,
+                            dfr: Int => Column, dl: Column,
+                            n: Column, sdl: Column,
+                            k1: Double, b: Double,
+                            classicIdf: Boolean): Column = {
+    val nD = n.cast(DoubleType)
+    val avgdl = sdl.cast(DoubleType) / nD
+    (0 until nTerms).map { i =>
+      val tfD = tf(i).cast(DoubleType)
+      val dfD = dfr(i).cast(DoubleType)
+      val rational = (nD - dfD + lit(0.5)) / (dfD + lit(0.5))
+      val idf = if (classicIdf) F.log(rational + lit(1.0)) else rational
+      idf * (tfD * lit(k1 + 1.0)) /
+        (tfD + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * (dl.cast(DoubleType) / avgdl)))
+    }.reduce(_ + _)
+  }
+
+  /** BM25 top-k ranked retrieval for a bag of query terms (duplicate
+    * terms collapse — SET semantics, mirrored by the oracle builder).
     *
-    * Plan: one scan computing (dl, tf_i...) per doc; a single-row
-    * corpus-stats aggregate (N, Σdl, df_i...) broadcast back via
-    * cross join; fixed-order per-term scoring; top-k via
+    * Plan: two projection-pruned corpus scans, zero corpus shuffles —
+    * one scan folds to the single-row stats aggregate (N, Σdl,
+    * df_i...) broadcast back via cross join, the other computes
+    * (dl, tf_i...) per doc and scores; top-k via
     * TakeOrderedAndProject on (score desc, id) — never a global sort.
     */
   def bm25Search(df: DataFrame, idCol: String, textCol: String,
@@ -68,16 +96,9 @@ object Search {
       F.sum(col("dl")).as("sdl") +:
         terms.indices.map(i =>
           F.sum(F.when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
-    val n = col("n_docs").cast(DoubleType)
-    val avgdl = col("sdl").cast(DoubleType) / n
-    val score = terms.indices.map { i =>
-      val tf = col(s"tf_$i").cast(DoubleType)
-      val dfr = col(s"df_$i").cast(DoubleType)
-      val rational = (n - dfr + lit(0.5)) / (dfr + lit(0.5))
-      val idf = if (classicIdf) F.log(rational + lit(1.0)) else rational
-      idf * (tf * lit(k1 + 1.0)) /
-        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
-    }.reduce(_ + _)
+    val score = bm25ScoreExpr(terms.length,
+      i => col(s"tf_$i"), i => col(s"df_$i"), col("dl"),
+      col("n_docs"), col("sdl"), k1, b, classicIdf)
     feat.crossJoin(F.broadcast(stats))
       .select(col(idCol), F.round(score, 6).as("score"))
       .filter(col("score") > 0)
@@ -102,8 +123,15 @@ object Search {
       .groupBy(col(idCol), col("term"))
       .agg(F.count(lit(1)).as("tf"))
     val ndocs = df.agg(F.count(lit(1)).as("n_docs"))
-    val dfreq = postings.groupBy("term")
-      .agg(F.count(lit(1)).as("df"))
+    // document frequency derives from the BASE table as a sibling
+    // branch, not from `postings` itself — joining a frame onto a
+    // subplan of its own lineage misresolves join keys (CLAUDE.md
+    // shared-exprId rule); recomputing the explode is the measured-
+    // cheaper side of the checkpoint economics anyway
+    val dfreq = df
+      .select(col(idCol), F.explode(tokens(col(textCol))).as("term"))
+      .distinct()
+      .groupBy("term").agg(F.count(lit(1)).as("df"))
     val scored = postings
       .join(dfreq, "term")
       .crossJoin(F.broadcast(ndocs))
@@ -129,6 +157,18 @@ object Search {
       .groupBy("term").agg(F.count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term"))
       .limit(k)
+
+  /** Misra-Gries frequent tokens as (term, n) rows — the bounded-state
+    * face of `topTokens` (state capped at `cap` counters per partition
+    * regardless of vocabulary; exact while the vocabulary fits the
+    * capacity, a guaranteed-band estimate beyond it). The one pipeline
+    * behind both the x59 query and the in-language `freq_tokens`.
+    */
+  def freqTokens(df: DataFrame, textCol: String, cap: Int): DataFrame =
+    df.select(F.explode(tokens(col(textCol))).as("term"))
+      .agg(graft.plans.FreqSketch.freqSketch(col("term"), cap).as("sk"))
+      .select(F.explode(col("sk")).as("e"))
+      .select(col("e.term").as("term"), col("e.est").as("n"))
 
   // ---- persisted inverted index -----------------------------------------
 
@@ -180,7 +220,8 @@ object Search {
     */
   def searchIndex(spark: SparkSession, dir: String,
                   queryTerms: Seq[String], k: Int,
-                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                  k1: Double = 1.2, b: Double = 0.75,
+                  classicIdf: Boolean = false): DataFrame = {
     require(queryTerms.nonEmpty, "searchIndex: empty query")
     val terms = queryTerms.distinct
     val stats = spark.read.parquet(dir + "/stats")
@@ -188,11 +229,15 @@ object Search {
     // at plan-build time) — never from a caller's guess
     val nBuckets = stats.select("n_buckets").head.getInt(0)
     val buckets = terms.map(t => TextAnalysis.h60Value(t) % nBuckets).distinct
-    val post = spark.read.parquet(dir + "/postings")
+    // `def`: each call builds a FRESH pruned-scan plan, so the df
+    // aggregate below is a sibling branch, not a subplan of the
+    // posting side's own lineage (CLAUDE.md shared-exprId rule)
+    def pruned = spark.read.parquet(dir + "/postings")
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val post = pruned
     // per-term document frequency from the pruned slice (tiny), then
     // pivot tf/df into fixed per-term columns keyed by doc
-    val dfreq = post.groupBy("term").agg(F.count(lit(1)).as("df"))
+    val dfreq = pruned.groupBy("term").agg(F.count(lit(1)).as("df"))
     val joined = post.join(F.broadcast(dfreq), "term")
     val pivoted = joined.groupBy("doc_id")
       .agg(F.max(col("dl")).as("dl"),
@@ -200,15 +245,13 @@ object Search {
           Seq(F.max(F.when(col("term") === t, col("tf"))).as(s"tf_$i"),
             F.max(F.when(col("term") === t, col("df"))).as(s"df_$i"))
         }: _*)
-    val n = col("n_docs").cast(DoubleType)
-    val avgdl = col("sdl").cast(DoubleType) / n
-    val score = terms.indices.map { i =>
-      val tf = F.coalesce(col(s"tf_$i"), lit(0L)).cast(DoubleType)
-      val dfr = F.coalesce(col(s"df_$i"), lit(0L)).cast(DoubleType)
-      val idf = (n - dfr + lit(0.5)) / (dfr + lit(0.5))
-      idf * (tf * lit(k1 + 1.0)) /
-        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
-    }.reduce(_ + _)
+    // a doc missing term i has NULL tf_i/df_i → coalesce to 0: the
+    // zero numerator makes the term contribute exactly what the
+    // direct path computes for tf = 0
+    val score = bm25ScoreExpr(terms.length,
+      i => F.coalesce(col(s"tf_$i"), lit(0L)),
+      i => F.coalesce(col(s"df_$i"), lit(0L)),
+      col("dl"), col("n_docs"), col("sdl"), k1, b, classicIdf)
     pivoted.crossJoin(F.broadcast(stats))
       .select(col("doc_id"), F.round(score, 6).as("score"))
       .filter(col("score") > 0)

@@ -1799,14 +1799,8 @@ object Interp {
         case "freq_tokens" =>
           if (args.length != 3)
             throw new TypeError("freq_tokens(t, \"text_col\", capacity)")
-          val tab = t(args(0).value)
-          PTable(tab.df
-            .select(F.explode(graft.ext.TextAnalysis.tokens(
-              col(litString(args(1).value)))).as("term"))
-            .agg(graft.plans.FreqSketch.freqSketch(col("term"),
-              constLong(args(2).value).toInt).as("sk"))
-            .select(F.explode(col("sk")).as("e"))
-            .select(col("e.term").as("term"), col("e.est").as("n")))
+          PTable(graft.ext.Search.freqTokens(t(args(0).value).df,
+            litString(args(1).value), constLong(args(2).value).toInt))
         // positional joins (reference __builtins__.pql:211-257) —
         // sides may be named (`zipjoin(a: x, b: y)`) or positional
         case "zipjoin" | "zipjoin_left" | "zipjoin_longest" =>
