@@ -655,6 +655,29 @@ object SparkEntry {
           graft.ext.TextAnalysis.urlDomains(col("aug"))).as("domain"))
         .groupBy("domain").agg(F.count(lit(1)).as("n"))),
 
+    // HTML visible-text extraction: each doc's text wrapped in a
+    // deterministic page skeleton (doctype, head/style block,
+    // comments, a conditional script with a '<' inside, entities);
+    // stripHtml must recover exactly the prose plus the decoded
+    // entity line — the first transform of every web-crawl corpus
+    "x65_html_extract" -> ((s, d) =>
+      t(s, d, "documents").df
+        .select(col("doc_id"), F.concat(
+          lit("<!DOCTYPE html><html><head><title>Doc "),
+          col("doc_id").cast(StringType),
+          lit("</title><style>body { color: #333; }</style></head>"),
+          lit("<body><!-- rendered\n page "),
+          col("doc_id").cast(StringType),
+          lit(" --><h1>Doc "), col("doc_id").cast(StringType),
+          lit("</h1>\n<p>"), col("text"), lit("</p>"),
+          F.when(col("doc_id") % 3 === 0,
+            lit("<script type=\"text/javascript\">var x = 1 < 2;" +
+              "</script>")).otherwise(lit("")),
+          lit("<div>Tom &amp; Jerry say 1 &lt; 2 &amp;amp; more" +
+            "&nbsp;&#39;quoted&#39;</div></body></html>")).as("html"))
+        .select(col("doc_id"),
+          graft.ext.TextAnalysis.stripHtml(col("html")).as("extracted"))),
+
     // dedup at scale: the sf0.1 documents table is 5k rows — the LSH
     // claim ("bucketed, never all-pairs") needs a corpus where
     // all-pairs is visibly impossible (300k docs = 45 BILLION pairs).
@@ -3828,6 +3851,39 @@ object SparkEntry {
          )
          SELECT domain, CAST(count(*) AS BIGINT) AS n
          FROM ex GROUP BY domain""",
+
+    "x65_html_extract" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             '<!DOCTYPE html><html><head><title>Doc ' ||
+             CAST(doc_id AS VARCHAR) ||
+             '</title><style>body { color: #333; }</style></head>' ||
+             '<body><!-- rendered' || chr(10) || ' page ' ||
+             CAST(doc_id AS VARCHAR) ||
+             ' --><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+             '</h1>' || chr(10) || '<p>' || text || '</p>' ||
+             CASE WHEN doc_id % 3 = 0
+               THEN '<script type="text/javascript">var x = 1 < 2;</script>'
+               ELSE '' END ||
+             '<div>Tom &amp; Jerry say 1 &lt; 2 &amp;amp; more' ||
+             '&nbsp;&#39;quoted&#39;</div></body></html>' AS html
+           FROM documents
+         )
+         SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+                     '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                   '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                 '</?[A-Za-z!][^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+               '&amp;', '&'),
+             '[ \t\n\f\r]+', ' ', 'g')) AS extracted
+         FROM aug""",
 
     "x12_cosine_pairs" ->
       """WITH aug AS (

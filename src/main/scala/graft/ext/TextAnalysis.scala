@@ -275,6 +275,54 @@ object TextAnalysis {
   def foldAccents(text: Column): Column =
     F.regexp_replace(normalizeText(text, "NFD"), "\\p{Mn}", "")
 
+  // ---- HTML text extraction ---------------------------------------------
+  /** Strip-order for HTML visible-text extraction. Every pattern is
+    * restricted to Java/RE2-shared semantics (inline (?is) flags,
+    * non-greedy repetition, explicit classes — no lookaround, no
+    * backreferences) so an oracle engine reproduces the bytes:
+    *  1. comments (dotall — comments span lines);
+    *  2. script/style ELEMENTS including their content (their text is
+    *     code, not prose — tag-stripping alone would leak it);
+    *  3. remaining tags → a space ("a<br>b" must read "a b", not
+    *     "ab"). The tag must open with a letter, `/` or `!` so stray
+    *     prose like "a < b and c > d" is not eaten;
+    *  4. entity decode AFTER tag removal (so "&lt;b&gt;" in prose
+    *     decodes to the visible "<b>" instead of becoming a tag),
+    *     with `&amp;` LAST (so "&amp;lt;" decodes to the literal
+    *     "&lt;" the author wrote);
+    *  5. whitespace-run collapse with an EXPLICIT class (`\s` itself
+    *     diverges between Java and RE2 over \x0B) + trim.
+    */
+  private val htmlBlockPatterns: Seq[String] = Seq(
+    "(?s)<!--.*?-->",
+    "(?is)<script\\b[^>]*>.*?</script\\s*>",
+    "(?is)<style\\b[^>]*>.*?</style\\s*>")
+
+  private val htmlTagPattern: String = "</?[A-Za-z!][^>]*>"
+
+  /** (entity, replacement) decode table — `&amp;` deliberately last. */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+    "&amp;" -> "&")
+
+  /** Visible-text extraction from HTML/markup — the first transform a
+    * web-crawl corpus runs. A chain of codegen'd regexp_replace /
+    * replace calls: pure per-row scan expression, no shuffle, no UDF;
+    * at 100 TB the cost is the regex engine at scan speed. (This is a
+    * markup STRIPPER, not a DOM parser — malformed nesting degrades
+    * to extra whitespace, never to an error.)
+    */
+  def stripHtml(text: Column): Column = {
+    val noBlocks = htmlBlockPatterns.foldLeft(text)(
+      (acc, p) => F.regexp_replace(acc, p, " "))
+    val noTags = F.regexp_replace(noBlocks, htmlTagPattern, " ")
+    val decoded = htmlEntities.foldLeft(noTags) {
+      case (acc, (ent, rep)) => F.replace(acc, lit(ent), lit(rep))
+    }
+    F.trim(F.regexp_replace(decoded, "[ \\t\\n\\f\\r]+", " "))
+  }
+
   /** URL domain mentions. Restricted to Java/RE2-identical constructs
     * (explicit classes, no lookaround) so extraction reproduces in
     * any engine; capture group 1 is the host.

@@ -2939,7 +2939,8 @@ object Interp {
              "random" | "product" | "approx_product" |
              "quality_score" | "garbage_ratio" => Some(DoubleType)
         case "lang_id" | "fingerprint" | "redact_pii" |
-             "normalize_text" | "fold_accents" => Some(StringType)
+             "normalize_text" | "fold_accents" | "strip_html" =>
+          Some(StringType)
         case "bool" | "str_contains" => Some(BooleanType)
         case "iif" if args.length == 3 =>
           inferType(args(1).value, schema)
@@ -3240,6 +3241,8 @@ object Interp {
         graft.ext.TextAnalysis.normalizeText(a(0), form)
       case "fold_accents" => arity(1)
         graft.ext.TextAnalysis.foldAccents(a(0))
+      case "strip_html" => arity(1)
+        graft.ext.TextAnalysis.stripHtml(a(0))
       case "url_domains" => arity(1)
         graft.ext.TextAnalysis.urlDomains(a(0))
       case "year" => arity(1); PF.year(a(0))

@@ -1371,6 +1371,12 @@ class LangSpec extends SparkSpec {
         |rows {id, n: pii_count(t), r: redact_pii(t)} order {id}""".stripMargin)
       .df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(red.toSeq == Seq((1L, 1L, "mail <EMAIL> now"), (2L, 0L, "clean")))
+    // strip_html as a projection scalar
+    val stripped = Interp.run(spark,
+      """rows = [{id: 1, t: "<p>a &amp; b</p><script>x()</script>"}]
+        |rows {id, v: strip_html(t)}""".stripMargin)
+      .df.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(stripped.toSeq == Seq((1L, "a & b")))
     // decontaminate drops the doc sharing the eval set's text
     val kept = Interp.run(spark,
       """bench = documents[doc_id == 3] {btext: text}

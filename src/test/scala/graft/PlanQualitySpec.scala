@@ -581,6 +581,14 @@ class PlanQualitySpec extends SparkSpec {
       s"redaction must not shuffle:\n$p")
   }
 
+  test("HTML extraction is a pure scan-level projection (no shuffle)") {
+    val p = planOf("x65_html_extract")
+    assert(!p.contains("Exchange"),
+      s"strip_html must not shuffle:\n$p")
+    assert(p.contains("*(1) Project"),
+      s"strip_html must stay inside whole-stage codegen:\n$p")
+  }
+
   test("persisted IVF query prunes to the probed inverted-list partitions") {
     val p = planOf("x37_ann_ivf_indexed")
     assert(p.contains("PartitionFilters") && p.contains("centroid_id"),

@@ -177,6 +177,33 @@ class SearchSpec extends SparkSpec {
     assert(out.toSeq == Seq("Cafe Zurich naive", "plain ascii"))
   }
 
+  test("strip_html extracts visible text") {
+    import graft.ext.TextAnalysis
+    def strip(s: String): String =
+      Seq(s).toDF("t").select(TextAnalysis.stripHtml(col("t")))
+        .head.getString(0)
+    // tags become word separators; comments and script/style content
+    // (incl. a '<' inside code) vanish entirely
+    assert(strip("<html><body><h1>Title</h1><p>a<br>b</p>" +
+      "<script>if (1 < 2) { x(); }</script>" +
+      "<style>p { color: red; }</style>" +
+      "<!-- hidden\nnote --></body></html>") == "Title a b")
+    // entities decode AFTER tag stripping; &amp; decodes LAST so
+    // "&amp;lt;" yields the literal "&lt;" the author wrote
+    assert(strip("<p>Tom &amp; Jerry: 1 &lt; 2, &amp;lt; stays," +
+      " &#39;q&#39;&nbsp;end</p>") ==
+      "Tom & Jerry: 1 < 2, &lt; stays, 'q' end")
+    // stray prose comparisons are NOT tags; attributes are dropped
+    assert(strip("x < y and y > z <a href=\"u\">link</a>") ==
+      "x < y and y > z link")
+    // malformed input degrades to whitespace, never errors
+    assert(strip("a <b unclosed") == "a <b unclosed")
+    assert(strip("") == "")
+    val n = Seq(null.asInstanceOf[String]).toDF("t")
+      .select(TextAnalysis.stripHtml(col("t"))).head
+    assert(n.isNullAt(0))
+  }
+
   test("url domain extraction") {
     import graft.ext.TextAnalysis
     val out = Seq("see https://a.example.org/x and http://b.io, done",
