@@ -678,6 +678,23 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.ext.TextAnalysis.stripHtml(col("html")).as("extracted"))),
 
+    // exact-substring dedup with REMOVAL: the x47 planting (10-token
+    // boilerplate tail on every 7th doc, unaligned offsets) — the
+    // repeated interior windows must be CUT from the text, boundary
+    // windows (unique per doc) must survive, untouched docs keep
+    // their original bytes
+    "x66_remove_spans" -> ((s, d) => {
+      val planted = t(s, d, "documents").df.select(col("doc_id"),
+        F.when(col("doc_id") % 7 === 0,
+            F.concat(col("text"),
+              lit(" boiler plate terms of service apply all rights reserved today")))
+          .otherwise(col("text")).as("text"))
+      graft.ext.Dedup.removeRepeatedSpans(planted, "doc_id", "text",
+        n = 8, minDocs = 2)
+        .select(col("doc_id"), col("text"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    }),
+
     // dedup at scale: the sf0.1 documents table is 5k rows — the LSH
     // claim ("bucketed, never all-pairs") needs a corpus where
     // all-pairs is visibly impossible (300k docs = 45 BILLION pairs).
@@ -3884,6 +3901,51 @@ object SparkEntry {
                '&amp;', '&'),
              '[ \t\n\f\r]+', ' ', 'g')) AS extracted
          FROM aug""",
+
+    "x66_remove_spans" ->
+      """WITH aug AS (
+           SELECT doc_id, CASE WHEN doc_id % 7 = 0
+             THEN text || ' boiler plate terms of service apply all rights reserved today'
+             ELSE text END AS text
+           FROM documents
+         ), tok AS (
+           SELECT doc_id, text, trim(text) AS tt,
+             regexp_split_to_array(trim(text), '\s+') AS tks
+           FROM aug
+         ), gr AS (
+           SELECT doc_id, CASE WHEN len(tks) < 8 THEN [tt]
+             ELSE [array_to_string(tks[ii:ii+7], ' ')
+                   for ii in range(1, len(tks) - 6)] END AS grams
+           FROM tok
+         ), spans AS (
+           SELECT doc_id, unnest(range(0, len(grams))) AS pos,
+             ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT AS sh
+           FROM gr
+         ), rep AS (
+           SELECT sh FROM (SELECT DISTINCT sh, doc_id FROM spans)
+           GROUP BY sh HAVING count(*) >= 2
+         ), cuts AS (
+           SELECT s.doc_id, list(s.pos) AS starts
+           FROM spans s JOIN rep r ON s.sh = r.sh
+           GROUP BY s.doc_id
+         ), cleaned AS (
+           SELECT t.doc_id,
+             CASE WHEN c.starts IS NULL THEN t.text
+               -- coalesce: DuckDB array_to_string([]) is NULL, but a
+               -- fully-cut doc must read as EMPTY text (t.text is
+               -- necessarily non-null when cuts exist)
+               ELSE coalesce(array_to_string(
+                 [t.tks[ii] for ii in range(1, len(t.tks) + 1)
+                  if len([s for s in c.starts
+                          if s <= ii - 1 and ii - 1 < s + 8]) = 0], ' '), '')
+             END AS text
+           FROM tok t LEFT JOIN cuts c ON t.doc_id = c.doc_id
+         )
+         SELECT doc_id, text,
+           CASE WHEN trim(text) = '' THEN 0
+             ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+           END AS n_tokens
+         FROM cleaned""",
 
     "x12_cosine_pairs" ->
       """WITH aug AS (

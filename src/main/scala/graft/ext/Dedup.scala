@@ -429,6 +429,55 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
       .select("span", "n_docs", "first_doc")
 
+  /** Exact substring dedup with REMOVAL: cut from each document the
+    * tokens covered by any n-token span that occurs in ≥ minDocs
+    * DISTINCT documents — the surgery step `repeatedSpans` only
+    * detects (Lee et al. 2022 remove duplicated substrings rather
+    * than whole documents; boilerplate lives mid-document where
+    * doc-level dedup can't see it). With `keepFirst` the
+    * lowest-id containing document keeps its copy (the paper's
+    * keep-one-occurrence form); default cuts everywhere (the
+    * boilerplate-removal form, like CCNet line dedup).
+    *
+    * Scale shape — the text NEVER shuffles:
+    *  1. one scan → posexplode of 60-bit span hashes (id, pos, sh);
+    *  2. repeated set via (sh, id)-distinct partials then count — the
+    *     output is the tiny repeated tail, AQE-broadcast on join-back;
+    *  3. cut positions roll up per doc (ints only) and broadcast-join
+    *     back to the id spine;
+    *  4. reconstruction is a pure array expression over the original
+    *     text: keep token i unless some repeated span start s covers
+    *     it (s ≤ i < s+n), concat_ws — codegen'd, per-row.
+    * Documents with nothing to cut keep their ORIGINAL bytes
+    * (reconstruction would normalize whitespace); fully-boilerplate
+    * documents come back as empty text, staying visible downstream.
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 8, minDocs: Long = 2,
+                          keepFirst: Boolean = false): DataFrame = {
+    val spans = ensureParallelism(df)
+      .select(col(idCol),
+        F.posexplode(F.transform(
+          shinglesFromTokens(tokens(col(textCol)), F.trim(col(textCol)), n),
+          s => h60(s))).as(Seq("pos", "sh")))
+    val rep = spans.select(col(idCol), col("sh")).distinct()
+      .groupBy("sh")
+      .agg(F.count(lit(1)).as("nd"), F.min(idCol).as("_first_doc"))
+      .filter(col("nd") >= minDocs)
+      .select(col("sh"), col("_first_doc"))
+    val hits = spans.join(rep, Seq("sh"))
+    val cuts = (if (keepFirst) hits.filter(col(idCol) =!= col("_first_doc"))
+                else hits)
+      .groupBy(idCol).agg(F.collect_list("pos").as("_starts"))
+    df.join(cuts, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("_starts").isNull, col(textCol))
+          .otherwise(F.concat_ws(" ",
+            F.filter(tokens(col(textCol)), (t, i) =>
+              !F.exists(col("_starts"), s => s <= i && i < s + n)))))
+      .drop("_starts")
+  }
+
   /** Per-document cross-corpus span duplication: the fraction of a
     * document's n-token windows that occur in ≥ minDocs DISTINCT
     * documents corpus-wide (itself included; a window repeated only

@@ -1543,6 +1543,7 @@ object Interp {
       "repetition_signals", "decontaminate", "weighted_sample",
       "line_dedup", "mix_corpus", "semantic_dedup", "shard_assign",
       "repeated_spans", "contamination_score", "span_dup_frac",
+      "remove_repeated_spans",
       "bm25_search", "top_terms", "top_tokens", "freq_tokens")
 
     private def isTableExpr(e: Expr): Boolean = e match {
@@ -1763,6 +1764,15 @@ object Interp {
             throw new TypeError("span_dup_frac(t, \"id_col\", \"text_col\")")
           PTable(graft.ext.Dedup.spanDupFraction(t(args(0).value).df,
             litString(args(1).value), litString(args(2).value)))
+        case "remove_repeated_spans" =>
+          if (args.length < 3 || args.length > 5)
+            throw new TypeError(
+              "remove_repeated_spans(t, \"id_col\", \"text_col\", min_docs?, keep_first?)")
+          val md = if (args.length >= 4) constLong(args(3).value) else 2L
+          val kf = args.length == 5 && constBool(args(4).value)
+          PTable(graft.ext.Dedup.removeRepeatedSpans(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value),
+            minDocs = md, keepFirst = kf))
         case "contamination_score" =>
           if (args.length != 5)
             throw new TypeError(
@@ -2388,6 +2398,11 @@ object Interp {
     case IntLit(v) => v
     case Unary("-", IntLit(v)) => -v
     case o => throw new TypeError(s"expected integer literal, got $o")
+  }
+
+  private def constBool(e: Expr): Boolean = e match {
+    case BoolLit(v) => v
+    case o => throw new TypeError(s"expected boolean literal, got $o")
   }
 
   private def constDouble(e: Expr): Double = e match {

@@ -1052,6 +1052,38 @@ class ExtSpec extends SparkSpec {
     assert(out.toSet == expect)
   }
 
+  test("removeRepeatedSpans cuts repeated windows from the text") {
+    val tail = "boiler plate terms of service apply all rights reserved"
+    val df = Seq(
+      (1L, s"u1 u2 u3 $tail"),   // shared 9-token suffix at offset 3
+      (2L, s"v1 $tail"),         // ... and at offset 1: unaligned
+      (3L, "w1  w2 w3 w4 w5 w6 w7 w8 w9 w10")). // double space: bytes kept
+      toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(df, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // interior windows start at suffix offsets 0 and 1, covering
+    // suffix tokens 0..8 = the whole 9-token tail; unique prefixes
+    // survive, and the boundary windows (mixing u*/v1 with the tail)
+    // are per-doc unique so they cut nothing extra
+    assert(out(1L) == "u1 u2 u3")
+    assert(out(2L) == "v1")
+    // untouched docs keep their ORIGINAL bytes (no renormalization)
+    assert(out(3L) == "w1  w2 w3 w4 w5 w6 w7 w8 w9 w10")
+    // keepFirst: the lowest containing doc keeps its copy
+    val kf = Dedup.removeRepeatedSpans(df, "doc_id", "text", n = 8,
+        keepFirst = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(kf(1L) == s"u1 u2 u3 $tail")
+    assert(kf(2L) == "v1")
+    // short docs (< n tokens) repeat as whole-text shingles and empty
+    // out entirely; null text passes through untouched
+    val short = Seq((1L, "tiny doc"), (2L, "tiny doc"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val so = Dedup.removeRepeatedSpans(short, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(so(1L) == Some("") && so(2L) == Some("") && so(3L) == None)
+  }
+
   test("lineDedup removes exactly the planted boilerplate (scale-probe invariant)") {
     // organic vocab is 100k words over a few hundred docs -> organic
     // doc frequency ~0; only the planted 5-word suffix crosses the

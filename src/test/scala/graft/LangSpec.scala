@@ -1266,6 +1266,18 @@ class LangSpec extends SparkSpec {
     intercept[graft.types.TypeError] {
       Interp.run(spark, """span_dup_frac(docs)""", "docs" -> docs)
     }
+    // remove_repeated_spans cuts the shared tail, keep_first spares
+    // the lowest containing doc
+    val cut = Interp.run(spark,
+      """remove_repeated_spans(docs, "doc_id", "text") order {doc_id}""",
+      "docs" -> docs).df.collect().map(_.getString(1))
+    assert(cut.toSeq == Seq("u1 u2 u3", "v1",
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+    val kf = Interp.run(spark,
+      """remove_repeated_spans(docs, "doc_id", "text", 2, true) order {doc_id}""",
+      "docs" -> docs).df.collect().map(_.getString(1))
+    assert(kf.toSeq == Seq(s"u1 u2 u3 $tail", "v1",
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
   }
 
   test("import_text ingests one document per line into the catalog") {

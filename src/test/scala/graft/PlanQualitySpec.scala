@@ -604,6 +604,19 @@ class PlanQualitySpec extends SparkSpec {
       s"fuzzy dedup must never plan all-pairs:\n$p")
   }
 
+  test("span removal: hash-keyed shuffles only, text rebuilt scan-side") {
+    val p = planOf("x66_remove_spans")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"span removal must never plan all-pairs:\n$p")
+    // distinct + count keep map-side partials on the 60-bit span hash
+    assert(p.contains("partial"),
+      s"repeated-set aggregation lost its partial stage:\n$p")
+    assert(p.contains("sh"), s"span path must key on the span hash:\n$p")
+    // cut positions join back to the untouched doc spine
+    assert(p.contains("LeftOuter"),
+      s"cut positions must left-join the id spine:\n$p")
+  }
+
   test("line dedup: partial doc-frequency aggs, no all-pairs, hash keys in the shuffle") {
     val p = planOf("x38_line_dedup")
     // both aggregation levels (distinct + count) keep map-side partials
