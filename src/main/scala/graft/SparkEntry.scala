@@ -695,6 +695,27 @@ object SparkEntry {
           graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
     }),
 
+    // bloom-filter decontamination: the x32 planting through the
+    // BOUNDED-memory path — eval grams fold into a 2^20-bit literal
+    // filter, the corpus probe is a pure filtered scan (zero joins at
+    // query time); false positives are deterministic and mirrored by
+    // the oracle's identical double-hash arithmetic
+    "x67_decontam_bloom" -> ((s, d) => {
+      val canary = F.concat_ws(" ",
+        F.transform(F.sequence(lit(0), lit(9)),
+          i => F.concat(lit("c"), (col("doc_id") % 5).cast(StringType),
+            lit("_"), i.cast(StringType))))
+      val aug = t(s, d, "documents").df.select(col("doc_id"),
+        F.when(col("doc_id") % 97 === 0 || col("doc_id") % 9 === 1,
+            F.concat(col("text"), lit(" "), canary))
+          .otherwise(col("text")).as("text"))
+      graft.ext.Corpus.decontaminateBloom(
+        aug.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        aug.filter(col("doc_id") % 97 === 0), "text", n = 8)
+        .select(col("doc_id"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    }),
+
     // dedup at scale: the sf0.1 documents table is 5k rows — the LSH
     // claim ("bucketed, never all-pairs") needs a corpus where
     // all-pairs is visibly impossible (300k docs = 45 BILLION pairs).
@@ -757,6 +778,24 @@ object SparkEntry {
         all.filter(col("doc_id") % 2000 =!= 0), "doc_id", "text",
         all.filter(col("doc_id") % 2000 === 0), "text", n = 8,
         hasher = graft.ext.Dedup.fastHasher)
+        .agg(F.count(lit(1)).as("kept"))
+    }),
+
+    // bloom decontamination at scale: the x36 corpus through the
+    // bounded-memory path — the 150-doc eval set folds to a 512 KiB
+    // literal filter and the 300k-doc probe is a PURE SCAN (x36's
+    // broadcast DISTINCT gram relation grows with the eval suite;
+    // this never does). 2^22 bits / ~3.5k grams → expected FPs ≈ 0.1
+    // across 7M probes: zero FP docs at this scale (kept = 299700 =
+    // the true-gram-overlap count; see the oracle note on x36's 9
+    // mod-P collision drops). Frozen constant oracle (valid only at
+    // probeScale 1.0).
+    "x68_decontam_bloom_300k" -> ((s, d) => {
+      val all = synthDocs(s, scaled(150000))
+      graft.ext.Corpus.decontaminateBloom(
+        all.filter(col("doc_id") % 2000 =!= 0), "doc_id", "text",
+        all.filter(col("doc_id") % 2000 === 0), "text", n = 8,
+        nBits = 1 << 22, hasher = (c: Column) => F.xxhash64(c))
         .agg(F.count(lit(1)).as("kept"))
     }),
 
@@ -3744,6 +3783,12 @@ object SparkEntry {
       "SELECT CAST(147763 AS BIGINT) AS n_pairs, CAST(147763 AS BIGINT) AS planted",
     "x36_decontam_300k" ->
       "SELECT CAST(299691 AS BIGINT) AS kept",
+    // 299700 vs x36's 299691: x36 matches grams in the 31-bit mod-P
+    // domain (≈9 collision drops over 7M×3.5k probes); the bloom path
+    // probes full 64-bit xxhash64 where both collision terms round to
+    // zero — the wider filter is strictly MORE precise here.
+    "x68_decontam_bloom_300k" ->
+      "SELECT CAST(299700 AS BIGINT) AS kept",
     "x45_linededup_300k" ->
       """SELECT CAST(300000 AS BIGINT) AS n_docs, CAST(9000000 AS BIGINT) AS kept,
          CAST(1500000 AS BIGINT) AS removed""",
@@ -3946,6 +3991,57 @@ object SparkEntry {
              ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
            END AS n_tokens
          FROM cleaned""",
+
+    "x67_decontam_bloom" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0 OR doc_id % 9 = 1
+               THEN text || ' ' || array_to_string(
+                 ['c' || CAST(doc_id % 5 AS VARCHAR) || '_' || CAST(i AS VARCHAR)
+                  for i in range(0, 10)], ' ')
+               ELSE text END AS text
+           FROM documents
+         ), grams AS (
+           SELECT doc_id,
+             [('0x' || substr(md5(s), 1, 15))::BIGINT
+               for s in (CASE WHEN len(tks) < 8 THEN [tt]
+                 ELSE [array_to_string(tks[ii:ii+7], ' ')
+                       for ii in range(1, len(tks) - 6)] END)] AS gh
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tks,
+                   trim(text) AS tt FROM aug)
+         ), benchg AS (
+           SELECT DISTINCT u.g AS gh
+           FROM grams, unnest(grams.gh) AS u(g) WHERE doc_id % 97 = 0
+         ), words AS (
+           SELECT (p >> 5) AS wi,
+             bit_or(1::BIGINT << CAST((p & 31) AS INT)) AS bits
+           FROM (SELECT unnest(
+               [((gh & 1048575) + i * (((gh >> 20) & 1048575) | 1)) & 1048575
+                for i in range(0, 3)]) AS p
+             FROM benchg)
+           GROUP BY wi
+         ), probe AS (
+           SELECT doc_id, gh,
+             unnest([((gh & 1048575) + i * (((gh >> 20) & 1048575) | 1)) & 1048575
+                     for i in range(0, 3)]) AS p
+           FROM (SELECT t.doc_id, u.g AS gh
+                 FROM grams t, unnest(t.gh) AS u(g)
+                 WHERE t.doc_id % 97 <> 0)
+         ), contaminated AS (
+           SELECT DISTINCT doc_id FROM (
+             SELECT pr.doc_id, pr.gh
+             FROM probe pr LEFT JOIN words w ON (pr.p >> 5) = w.wi
+             GROUP BY pr.doc_id, pr.gh
+             HAVING count(*) FILTER (WHERE
+               ((coalesce(w.bits, 0) >> CAST((pr.p & 31) AS INT)) & 1) = 1) = 3)
+         )
+         SELECT a.doc_id,
+           CASE WHEN trim(a.text) = '' THEN 0
+             ELSE CAST(len(regexp_split_to_array(trim(a.text), '\s+')) AS INT)
+           END AS n_tokens
+         FROM aug a
+         WHERE a.doc_id % 97 <> 0
+           AND a.doc_id NOT IN (SELECT doc_id FROM contaminated)""",
 
     "x12_cosine_pairs" ->
       """WITH aug AS (

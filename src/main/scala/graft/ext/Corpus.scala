@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Corpus-preparation operators for training-data pipelines: the three
   * standard moves between "filtered documents" and "model input" —
@@ -218,6 +218,82 @@ object Corpus {
         F.sum(F.when(F.col("_hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
       .withColumn("contamination",
         F.col("n_hit").cast("double") / F.col("n_grams"))
+  }
+
+  // ---- bloom-filter decontamination -------------------------------------
+  /** Double-hashing position family over a power-of-two bloom filter,
+    * shared verbatim by build and probe (and mirrored by the oracle):
+    * from the 60-bit md5 gram hash, h1 = low b bits, h2 = the NEXT b
+    * bits forced odd (odd steps cycle the full 2^b ring), position_i
+    * = (h1 + i*h2) mod 2^b. Exact long arithmetic in any engine.
+    */
+  private def bloomPositions(gh: Column, nBits: Int, k: Int): Seq[Column] = {
+    val b = java.lang.Integer.numberOfTrailingZeros(nBits)
+    val mask = F.lit((nBits - 1).toLong)
+    val h1 = gh.bitwiseAND(mask)
+    val h2 = F.shiftright(gh, b).bitwiseAND(mask).bitwiseOR(F.lit(1L))
+    (0 until k).map(i => (h1 + F.lit(i.toLong) * h2).bitwiseAND(mask))
+  }
+
+  /** Build the bloom filter over a gram-hash set as a dense word
+    * array (32 bits per long-stored word — no sign games in any
+    * engine). Distributed bit_or partials per word, then ONE bounded
+    * driver collect of ≤ nBits/32 rows — the index-build step, same
+    * grain as collecting k-means centroids. nBits must be a power of
+    * two; 2^20 (128 KiB) holds ~10^5 grams at k=3 under 1e-5 FP,
+    * 2^27 (16 MiB) holds ~10^7.
+    */
+  def bloomWords(gramSet: DataFrame, nBits: Int, k: Int = 3): Array[Long] = {
+    require(nBits >= 64 && Integer.bitCount(nBits) == 1,
+      s"nBits must be a power of two >= 64, got $nBits")
+    val gh = F.col("gh")
+    val pos = gramSet.select(
+      F.explode(F.array(bloomPositions(gh, nBits, k): _*)).as("p"))
+    val words = pos.select(F.shiftright(F.col("p"), 5).as("wi"),
+        F.call_function("shiftleft", F.lit(1L),
+          F.col("p").bitwiseAND(F.lit(31L))).as("m"))
+      .groupBy("wi").agg(F.call_function("bit_or", F.col("m")).as("bits"))
+      .collect()
+    val dense = new Array[Long](nBits / 32)
+    words.foreach(r => dense(r.getLong(0).toInt) = r.getLong(1))
+    dense
+  }
+
+  /** All-k-bits-set membership probe against a plan-literal word
+    * array — a pure scalar expression, codegen'd on the scan.
+    */
+  private def bloomHit(gh: Column, words: Column,
+                       nBits: Int, k: Int): Column =
+    bloomPositions(gh, nBits, k).map { p =>
+      val word = F.element_at(words,
+        F.shiftright(p, 5).cast(IntegerType) + 1)
+      F.call_function("shiftright", word, p.bitwiseAND(F.lit(31L)))
+        .bitwiseAND(F.lit(1L)) === 1L
+    }.reduce(_ && _)
+
+  /** Decontamination through a bloom filter of the eval set's gram
+    * hashes — the BOUNDED-memory twin of `decontaminate`. The
+    * broadcast DISTINCT gram set grows with the eval suite (10^7
+    * 8-gram hashes ≈ a multi-hundred-MB broadcast hash relation); the
+    * bloom filter is a FIXED nBits/8 bytes regardless, and the probe
+    * is a pure filtered scan — zero joins, zero shuffle, no broadcast
+    * at query time. The price is deterministic false positives
+    * (clean docs whose grams collide all k positions get dropped
+    * too): strictly conservative for decontamination, rate set by
+    * nBits. Uses the full 60-bit hash (not the mod-P minhash
+    * domain) so both halves of the double-hash family carry real
+    * entropy.
+    */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         n: Int = 8, nBits: Int = 1 << 20, k: Int = 3,
+                         hasher: Column => Column = TextAnalysis.h60)
+      : DataFrame = {
+    val grams = benchGramSet(bench, benchTextCol, n, hasher)
+    val words = F.typedlit(bloomWords(grams, nBits, k).toSeq)
+    docs.filter(!F.exists(
+      gramHashes(F.col(textCol), n, hasher),
+      gh => bloomHit(gh, words, nBits, k)))
   }
 
   /** CCNet-style cross-document line deduplication (Wenzek et al.

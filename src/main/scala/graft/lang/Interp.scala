@@ -1540,7 +1540,8 @@ object Interp {
       "import_jdbc", "dir",
       "run_statement", "dedup_exact", "near_dup_pairs", "ann_topk",
       "train_split", "chunk_docs", "pack_sequences",
-      "repetition_signals", "decontaminate", "weighted_sample",
+      "repetition_signals", "decontaminate", "decontaminate_bloom",
+      "weighted_sample",
       "line_dedup", "mix_corpus", "semantic_dedup", "shard_assign",
       "repeated_spans", "contamination_score", "span_dup_frac",
       "remove_repeated_spans",
@@ -1693,6 +1694,15 @@ object Interp {
           PTable(graft.ext.Corpus.decontaminate(t(args(0).value).df,
             litString(args(1).value), litString(args(2).value),
             t(args(3).value).df, litString(args(4).value)))
+        case "decontaminate_bloom" =>
+          if (args.length < 5 || args.length > 6)
+            throw new TypeError(
+              "decontaminate_bloom(t, \"id_col\", \"text_col\", bench_t, \"bench_text_col\", n_bits?)")
+          val nb = if (args.length == 6) constLong(args(5).value).toInt
+                   else 1 << 20
+          PTable(graft.ext.Corpus.decontaminateBloom(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value),
+            t(args(3).value).df, litString(args(4).value), nBits = nb))
         case "pack_sequences" =>
           if (args.length != 4)
             throw new TypeError(

@@ -857,6 +857,47 @@ class ExtSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("decontaminateBloom: no false negatives, conservative vs exact, FP rate bounded by nBits") {
+    val benchDoc = (1 to 12).map(i => s"e$i").mkString(" ")
+    val bench = Seq((100L, benchDoc), (101L, "tiny leak")).toDF("bid", "btext")
+    val train = (Seq(
+      1L -> ("clean words only " + (1 to 12).map(i => s"w$i").mkString(" ")),
+      2L -> ("prefix text " + (1 to 12).map(i => s"e$i").mkString(" ")),
+      3L -> "tiny leak",
+      4L -> "tiny leakage different") ++
+      // 200 clean docs to make the FP rate measurable at tiny nBits
+      (10L to 209L).map(i => i ->
+        (1 to 12).map(j => s"c${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val exact = Corpus.decontaminate(train, "doc_id", "text", bench, "btext",
+      n = 8).collect().map(_.getLong(0)).toSet
+    val bloom = Corpus.decontaminateBloom(train, "doc_id", "text", bench,
+      "btext", n = 8).collect().map(_.getLong(0)).toSet
+    // a bloom filter NEVER misses a real member: every doc the exact
+    // path drops, the bloom path drops too (kept sets: bloom ⊆ exact)
+    assert(bloom.subsetOf(exact))
+    assert(!bloom.contains(2L) && !bloom.contains(3L))
+    // at 2^20 bits / ~15 bench grams, collisions are ~1e-15 per gram:
+    // no clean doc drops
+    assert(bloom == exact)
+    // a deliberately tiny filter shows the deterministic FP tradeoff:
+    // still zero false negatives, some clean docs collide away
+    val tiny = Corpus.decontaminateBloom(train, "doc_id", "text", bench,
+      "btext", n = 8, nBits = 64).collect().map(_.getLong(0)).toSet
+    assert(tiny.subsetOf(exact))
+    // determinism: the same call yields the same kept set
+    val tiny2 = Corpus.decontaminateBloom(train, "doc_id", "text", bench,
+      "btext", n = 8, nBits = 64).collect().map(_.getLong(0)).toSet
+    assert(tiny == tiny2)
+    // 64 bits / 6 bench grams / k=3 fills ~25% of the filter → ~1.6%
+    // FP per gram, ~8% per 5-gram doc: a measurable bite into the 200
+    // clean docs (deterministically 14 here), while the 2^20 filter
+    // above dropped none
+    assert(tiny.size <= exact.size - 5)
+    intercept[IllegalArgumentException] {
+      Corpus.bloomWords(bench.select(lit(1L).as("gh")), 100)
+    }
+  }
+
   test("redactPii: planted spans redacted, counts match, idempotent, clean text untouched") {
     val df = Seq(
       (1L, "mail me at alice.smith+x@mail.example.org today"),

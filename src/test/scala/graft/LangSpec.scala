@@ -1396,6 +1396,13 @@ class LangSpec extends SparkSpec {
         |""".stripMargin, "documents" -> docs).df
       .collect().map(_.getLong(0)).toSet
     assert(!kept.contains(3L) && kept.contains(1L))
+    // the bloom path agrees at default width on this tiny eval set
+    val keptB = Interp.run(spark,
+      """bench = documents[doc_id == 3] {btext: text}
+        |decontaminate_bloom(documents[doc_id < 10], "doc_id", "text", bench, "btext")
+        |""".stripMargin, "documents" -> docs).df
+      .collect().map(_.getLong(0)).toSet
+    assert(keptB == kept)
     intercept[graft.types.TypeError] {
       Interp.run(spark, """repetition_signals(documents)""",
         "documents" -> docs)

@@ -604,6 +604,14 @@ class PlanQualitySpec extends SparkSpec {
       s"fuzzy dedup must never plan all-pairs:\n$p")
   }
 
+  test("bloom decontamination probes as a pure filtered scan (no join, no shuffle)") {
+    val p = planOf("x67_decontam_bloom")
+    assert(!p.contains("Join"),
+      s"bloom probe must not join at query time:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bloom probe must not shuffle:\n$p")
+  }
+
   test("span removal: hash-keyed shuffles only, text rebuilt scan-side") {
     val p = planOf("x66_remove_spans")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
