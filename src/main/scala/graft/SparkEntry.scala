@@ -781,6 +781,18 @@ object SparkEntry {
         .agg(F.count(lit(1)).as("kept"))
     }),
 
+    // bigram-LM quality scoring (the CCNet perplexity-filter shape):
+    // train on 80% of the docs, score the held-out 20% — low scores
+    // mark text unlike the reference. Deterministic via per-gram
+    // round-9 decimal sums; the oracle retrains the same model in SQL
+    "x69_lm_score" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val model = graft.ext.Corpus.lmTrain(
+        docs.filter(col("doc_id") % 10 < 8), "text", minCount = 2)
+      graft.ext.Corpus.lmScore(
+        docs.filter(col("doc_id") % 10 >= 8), "doc_id", "text", model)
+    }),
+
     // bloom decontamination at scale: the x36 corpus through the
     // bounded-memory path — the 150-doc eval set folds to a 512 KiB
     // literal filter and the 300k-doc probe is a PURE SCAN (x36's
@@ -3783,6 +3795,49 @@ object SparkEntry {
       "SELECT CAST(147763 AS BIGINT) AS n_pairs, CAST(147763 AS BIGINT) AS planted",
     "x36_decontam_300k" ->
       "SELECT CAST(299691 AS BIGINT) AS kept",
+    "x69_lm_score" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tks
+           FROM documents
+         ), tr AS (SELECT * FROM tok WHERE doc_id % 10 < 8),
+         sc AS (SELECT * FROM tok WHERE doc_id % 10 >= 8),
+         uni AS (
+           SELECT ('0x' || substr(md5(u.t), 1, 15))::BIGINT AS ch,
+             CAST(count(*) AS BIGINT) AS cc
+           FROM tr, unnest(tr.tks) AS u(t) GROUP BY 1
+         ), vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         bi AS (
+           SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS bh,
+             CAST(count(*) AS BIGINT) AS cb
+           FROM (SELECT unnest([array_to_string(tks[ii:ii+1], ' ')
+                                for ii in range(1, len(tks))]) AS g
+                 FROM tr)
+           GROUP BY 1 HAVING count(*) >= 2
+         ), grams AS (
+           SELECT doc_id,
+             unnest([('0x' || substr(md5(array_to_string(tks[ii:ii+1], ' ')),
+                       1, 15))::BIGINT for ii in range(1, len(tks))]) AS bh,
+             unnest([('0x' || substr(md5(tks[ii]), 1, 15))::BIGINT
+                     for ii in range(1, len(tks))]) AS ch
+           FROM sc
+         ), per AS (
+           SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN b.cb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+             sum(CAST(round(ln(coalesce(b.cb, 0) + 1)
+               - ln(coalesce(u.cc, 0) + (SELECT v FROM vv)), 9)
+               AS DECIMAL(28,9))) AS slp
+           FROM grams g
+           LEFT JOIN bi b ON g.bh = b.bh
+           LEFT JOIN uni u ON g.ch = u.ch
+           GROUP BY g.doc_id
+         )
+         SELECT s.doc_id,
+           CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+           round(CAST(p.slp AS DOUBLE) / p.n_grams, 6) AS lm_score
+         FROM sc s LEFT JOIN per p ON s.doc_id = p.doc_id""",
+
     // 299700 vs x36's 299691: x36 matches grams in the 31-bit mod-P
     // domain (≈9 collision drops over 7M×3.5k probes); the bloom path
     // probes full 64-bit xxhash64 where both collision terms round to

@@ -220,6 +220,92 @@ object Corpus {
         F.col("n_hit").cast("double") / F.col("n_grams"))
   }
 
+  // ---- n-gram language-model quality scoring ----------------------------
+  /** A trained bigram language model: hashed bigram counts, hashed
+    * context (unigram) counts, and the vocabulary size for add-one
+    * smoothing. Both count tables are id→long pairs — broadcastable
+    * after `minCount` pruning (the KenLM-style pruning CCNet applies);
+    * text never leaves the training scan.
+    */
+  final case class NgramLm(bigrams: DataFrame, contexts: DataFrame,
+                           vocabSize: Long)
+
+  private def bigramIdx(toks: Column): Column =
+    F.when(F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2))
+      .otherwise(F.array().cast("array<int>"))
+
+  /** Train a bigram LM over a reference corpus (the CCNet move: score
+    * the crawl against a model of the clean reference; Wenzek et al.
+    * 2020 §3.2 use KenLM perplexity — a smoothed n-gram model exactly
+    * like this one, which is the distributable, oracle-able core of
+    * it). One scan of the reference: word 2-grams and unigrams count
+    * under partial aggregation on 60-bit hashes; `minCount` prunes
+    * the bigram tail so the model stays broadcast-sized no matter how
+    * big the reference is.
+    */
+  def lmTrain(ref: DataFrame, textCol: String,
+              minCount: Long = 1): NgramLm = {
+    val toks = TextAnalysis.tokens(F.col(textCol))
+    val uni = Dedup.ensureParallelism(ref)
+      .select(F.explode(toks).as("tok"))
+      .select(TextAnalysis.h60(F.col("tok")).as("ch"))
+      .groupBy("ch").agg(F.count(F.lit(1)).as("cc"))
+    val bi = Dedup.ensureParallelism(ref)
+      .select(F.explode(graft.plans.WordNgrams(toks, 2)).as("g"))
+      .select(TextAnalysis.h60(F.col("g")).as("bh"))
+      .groupBy("bh").agg(F.count(F.lit(1)).as("cb"))
+      .filter(F.col("cb") >= minCount)
+    NgramLm(bi, uni, uni.count())
+  }
+
+  /** Score documents under a trained bigram model: mean add-one
+    * log-likelihood per bigram, ln((c(w1 w2)+1) / (c(w1)+V)) — the
+    * perplexity-filter signal (low score = unlike the reference:
+    * gibberish, boilerplate, wrong language). Deterministic across
+    * engines/partitionings: each per-gram log term is rounded to 9
+    * decimals and summed EXACTLY as DECIMAL(28,9) (float sums reorder
+    * under partial aggregation; ln of the same small integer agrees
+    * across engines far below 1e-9), with one IEEE division at the
+    * end rounded to `roundTo`.
+    *
+    * Scale shape: the corpus explodes (id, bh, ch) hashes only, both
+    * model joins BROADCAST (pruned model), rollup is one partial-agg
+    * groupBy on the id; docs with no bigram (< 2 tokens) surface with
+    * n_grams = 0 and a null score via the id-spine left join.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+              model: NgramLm, roundTo: Int = 6): DataFrame = {
+    val toks = TextAnalysis.tokens(F.col(textCol))
+    val grams = Dedup.ensureParallelism(docs)
+      .select(F.col(idCol), toks.as("_tks"))
+      .select(F.col(idCol), F.explode(bigramIdx(F.col("_tks"))).as("_i"),
+        F.col("_tks"))
+      .select(F.col(idCol),
+        TextAnalysis.h60(F.concat_ws(" ",
+          F.element_at(F.col("_tks"), F.col("_i") + 1),
+          F.element_at(F.col("_tks"), F.col("_i") + 2))).as("bh"),
+        TextAnalysis.h60(F.element_at(F.col("_tks"), F.col("_i") + 1))
+          .as("ch"))
+    val lp = F.round(
+      F.log(F.coalesce(F.col("cb"), F.lit(0L)) + 1) -
+        F.log(F.coalesce(F.col("cc"), F.lit(0L)) + model.vocabSize),
+      9).cast(org.apache.spark.sql.types.DecimalType(28, 9))
+    val scored = grams
+      .join(F.broadcast(model.bigrams), Seq("bh"), "left")
+      .join(F.broadcast(model.contexts), Seq("ch"), "left")
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_grams"),
+        F.sum(F.when(F.col("cb").isNull, 1L).otherwise(0L)).as("n_oov"),
+        F.sum(lp).as("_slp"))
+      .withColumn("lm_score",
+        F.round((F.col("_slp").cast("double") / F.col("n_grams")), roundTo))
+      .drop("_slp")
+    docs.select(F.col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .withColumn("n_grams", F.coalesce(F.col("n_grams"), F.lit(0L)))
+      .withColumn("n_oov", F.coalesce(F.col("n_oov"), F.lit(0L)))
+  }
+
   // ---- bloom-filter decontamination -------------------------------------
   /** Double-hashing position family over a power-of-two bloom filter,
     * shared verbatim by build and probe (and mirrored by the oracle):

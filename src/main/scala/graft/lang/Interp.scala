@@ -1541,7 +1541,7 @@ object Interp {
       "run_statement", "dedup_exact", "near_dup_pairs", "ann_topk",
       "train_split", "chunk_docs", "pack_sequences",
       "repetition_signals", "decontaminate", "decontaminate_bloom",
-      "weighted_sample",
+      "lm_score", "weighted_sample",
       "line_dedup", "mix_corpus", "semantic_dedup", "shard_assign",
       "repeated_spans", "contamination_score", "span_dup_frac",
       "remove_repeated_spans",
@@ -1694,6 +1694,15 @@ object Interp {
           PTable(graft.ext.Corpus.decontaminate(t(args(0).value).df,
             litString(args(1).value), litString(args(2).value),
             t(args(3).value).df, litString(args(4).value)))
+        case "lm_score" =>
+          if (args.length < 5 || args.length > 6)
+            throw new TypeError(
+              "lm_score(t, \"id_col\", \"text_col\", ref_t, \"ref_text_col\", min_count?)")
+          val mc = if (args.length == 6) constLong(args(5).value) else 1L
+          val model = graft.ext.Corpus.lmTrain(t(args(3).value).df,
+            litString(args(4).value), minCount = mc)
+          PTable(graft.ext.Corpus.lmScore(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value), model))
         case "decontaminate_bloom" =>
           if (args.length < 5 || args.length > 6)
             throw new TypeError(

@@ -857,6 +857,40 @@ class ExtSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("bigram LM: hand-computed add-one scores, OOV floor, short docs null") {
+    val ref = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val model = Corpus.lmTrain(ref, "text")
+    // uni: a=3 b=2 c=1 → V=3; bigrams: (a b)=2 (b a)=2 (a c)=1
+    assert(model.vocabSize == 3L)
+    val docs = Seq(
+      (10L, "a b"),   // ln((2+1)/(3+3)) = ln(.5)
+      (11L, "z z"),   // full OOV: ln((0+1)/(0+3))
+      (12L, "a c"),   // ln((1+1)/(3+3))
+      (13L, "a")      // no bigram
+    ).toDF("doc_id", "text")
+    val out = Corpus.lmScore(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out(10L) == ((1L, 0L, Some(r6(math.log(0.5))))))
+    assert(out(11L) == ((1L, 1L, Some(r6(math.log(1.0 / 3))))))
+    assert(out(12L) == ((1L, 0L, Some(r6(math.log(2.0 / 6))))))
+    assert(out(13L) == ((0L, 0L, None)))
+    // minCount prunes the singleton bigram → (a c) scores as unseen
+    val pruned = Corpus.lmTrain(ref, "text", minCount = 2)
+    val po = Corpus.lmScore(Seq((12L, "a c")).toDF("doc_id", "text"),
+      "doc_id", "text", pruned)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(po.head == ((1L, 1L, r6(math.log(1.0 / 6)))))
+    // the reference scores itself higher than shuffled gibberish
+    val self = Corpus.lmScore(ref, "doc_id", "text", model)
+      .head.getDouble(3)
+    val gib = Corpus.lmScore(Seq((2L, "c c b b b a")).toDF("doc_id", "text"),
+      "doc_id", "text", model).head.getDouble(3)
+    assert(self > gib)
+  }
+
   test("decontaminateBloom: no false negatives, conservative vs exact, FP rate bounded by nBits") {
     val benchDoc = (1 to 12).map(i => s"e$i").mkString(" ")
     val bench = Seq((100L, benchDoc), (101L, "tiny leak")).toDF("bid", "btext")

@@ -1396,6 +1396,13 @@ class LangSpec extends SparkSpec {
         |""".stripMargin, "documents" -> docs).df
       .collect().map(_.getLong(0)).toSet
     assert(!kept.contains(3L) && kept.contains(1L))
+    // lm_score trains on the ref table and scores in one call
+    val lm = Interp.run(spark,
+      """ref = [{id: 1, t: "a b a b a c"}]
+        |docs = [{id: 10, t: "a b"}]
+        |lm_score(docs, "id", "t", ref, "t")""".stripMargin)
+      .df.collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(lm.toSeq == Seq((1L, -0.693147)))
     // the bloom path agrees at default width on this tiny eval set
     val keptB = Interp.run(spark,
       """bench = documents[doc_id == 3] {btext: text}

@@ -604,6 +604,16 @@ class PlanQualitySpec extends SparkSpec {
       s"fuzzy dedup must never plan all-pairs:\n$p")
   }
 
+  test("LM scoring: broadcast model joins, partial-agg rollup, no all-pairs") {
+    val p = planOf("x69_lm_score")
+    assert(p.contains("BroadcastHashJoin"),
+      s"model count tables must broadcast:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"LM scoring must never plan all-pairs:\n$p")
+    assert(p.contains("partial"),
+      s"per-doc rollup lost its partial stage:\n$p")
+  }
+
   test("bloom decontamination probes as a pure filtered scan (no join, no shuffle)") {
     val p = planOf("x67_decontam_bloom")
     assert(!p.contains("Join"),
