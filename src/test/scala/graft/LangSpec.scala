@@ -1338,6 +1338,9 @@ class LangSpec extends SparkSpec {
     // wholly span-duplicated; doc 1 is verbatim in the eval set
     assert(r.getLong(0) >= 1L && r.getLong(1) >= 1L)
     assert(r.getLong(2) >= 2L && r.getLong(3) >= 1L)
+    // span-cut token delta is non-negative; every multi-token doc
+    // gets an LM score
+    assert(r.getLong(4) >= 0L && r.getLong(5) >= 1L)
   }
 
   test("examples/search_explore.pql runs verbatim over the testdata") {
