@@ -757,6 +757,25 @@ object SparkEntry {
           F.sum("n_kept").as("kept"), F.sum("n_removed").as("removed"))
     }),
 
+    // span REMOVAL at scale: the x45 corpus (300k docs, 5-token
+    // boilerplate suffix everywhere, 100k organic vocab) through
+    // removeRepeatedSpans with 4-token windows — the two all-planted
+    // windows repeat 300k-fold and cut EXACTLY the 5 suffix tokens
+    // per doc; organic-boundary windows peak at ~20 docs (λ≈3 docs
+    // share a last token), far under minDocs=1000. kept == 9M ==
+    // x45's constant: the span surgery and line dedup agree on this
+    // planting. Frozen constant oracle (valid only at probeScale 1.0).
+    "x70_spanremove_300k" -> ((s, d) => {
+      val docs = synthDocs(s, scaled(150000)).select(col("doc_id"),
+        F.concat(col("text"), lit(" promo banner click here now"))
+          .as("text"))
+      graft.ext.Dedup.removeRepeatedSpans(docs, "doc_id", "text",
+          n = 4, minDocs = 1000)
+        .agg(F.count(lit(1)).as("n_docs"),
+          F.sum(graft.ext.TextAnalysis.tokenCount(col("text"))
+            .cast(LongType)).as("kept"))
+    }),
+
     // EXACT-Jaccard (PPJoin) scale probe: 300k docs, 16 synthetic
     // blocks of ~19k (real corpora block on lang/source the same
     // way); the planted (2g, 2g+1) near-dup pairs share a block by
@@ -3847,6 +3866,8 @@ object SparkEntry {
     "x45_linededup_300k" ->
       """SELECT CAST(300000 AS BIGINT) AS n_docs, CAST(9000000 AS BIGINT) AS kept,
          CAST(1500000 AS BIGINT) AS removed""",
+    "x70_spanremove_300k" ->
+      "SELECT CAST(300000 AS BIGINT) AS n_docs, CAST(9000000 AS BIGINT) AS kept",
     "x49_semdedup_100k" ->
       "SELECT CAST(100000 AS BIGINT) AS n_kept, CAST(0 AS BIGINT) AS dups_survived",
     "x52_jaccard_300k" ->
