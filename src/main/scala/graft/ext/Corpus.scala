@@ -370,17 +370,30 @@ object Corpus {
     * domain) so both halves of the double-hash family carry real
     * entropy.
     */
+  /** The clean-document predicate as a standalone Column: builds the
+    * bloom (one batch job over the bench side, at plan-build time)
+    * and returns a pure filter expression. Because it carries NO
+    * joins or state it applies unchanged to a STREAMING DataFrame —
+    * `Streams.decontaminateBloomStream` is literally this predicate.
+    */
+  def bloomKeepPredicate(text: Column, bench: DataFrame,
+                         benchTextCol: String, n: Int = 8,
+                         nBits: Int = 1 << 20, k: Int = 3,
+                         hasher: Column => Column = TextAnalysis.h60)
+      : Column = {
+    val grams = benchGramSet(bench, benchTextCol, n, hasher)
+    val words = F.typedlit(bloomWords(grams, nBits, k).toSeq)
+    !F.exists(gramHashes(text, n, hasher),
+      gh => bloomHit(gh, words, nBits, k))
+  }
+
   def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
                          bench: DataFrame, benchTextCol: String,
                          n: Int = 8, nBits: Int = 1 << 20, k: Int = 3,
                          hasher: Column => Column = TextAnalysis.h60)
-      : DataFrame = {
-    val grams = benchGramSet(bench, benchTextCol, n, hasher)
-    val words = F.typedlit(bloomWords(grams, nBits, k).toSeq)
-    docs.filter(!F.exists(
-      gramHashes(F.col(textCol), n, hasher),
-      gh => bloomHit(gh, words, nBits, k)))
-  }
+      : DataFrame =
+    docs.filter(bloomKeepPredicate(F.col(textCol), bench, benchTextCol,
+      n, nBits, k, hasher))
 
   /** CCNet-style cross-document line deduplication (Wenzek et al.
     * 2020 §3.1): drop every line whose normalized form appears in more

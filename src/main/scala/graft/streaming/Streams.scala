@@ -109,6 +109,23 @@ object Streams {
         graft.ext.TextAnalysis.linearMargin(col(textCol), weights, bias))
       .filter(col("margin") >= minMargin)
 
+  /** Bloom-filter decontamination as a stateless streaming FILTER:
+    * the eval set folds into a plan-literal bloom once at stream
+    * definition (one batch job over the static bench side), and the
+    * streaming plan is a pure filter expression — no foreachBatch, no
+    * state store, no broadcast per trigger; works in any output mode
+    * and composes with every downstream streaming operator. The
+    * bounded-memory twin of `decontaminateStream` (whose broadcast
+    * gram relation grows with the eval suite); false positives are
+    * deterministic and conservative, identical to the batch path.
+    */
+  def decontaminateBloomStream(docs: DataFrame, textCol: String,
+                               bench: DataFrame, benchTextCol: String,
+                               n: Int = 8, nBits: Int = 1 << 20)
+      : DataFrame =
+    docs.filter(graft.ext.Corpus.bloomKeepPredicate(col(textCol),
+      bench, benchTextCol, n, nBits))
+
   /** Continuous benchmark decontamination: each micro-batch of
     * incoming documents runs the BATCH decontamination operator
     * against a static eval set (stream-static composition, one code

@@ -441,4 +441,33 @@ class GraphStreamingSpec extends SparkSpec {
     // the margin rides along for downstream weighting
     assert(spark.table("clf_gate_test").columns.contains("margin"))
   }
+
+  test("streaming bloom decontamination: stateless filter matches the batch keep-set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bench = Seq((100L, "leaked eval question about spark shuffles here now"))
+      .toDF("bid", "btext")
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val kept = Streams.decontaminateBloomStream(df, "text", bench, "btext")
+    val q = kept.writeStream.format("memory").queryName("bloom_gate_test")
+      .outputMode(OutputMode.Append()).start()
+    val texts = Seq(
+      1L -> "a clean document with its own words one two three four five",
+      2L -> "prefix then leaked eval question about spark shuffles here now",
+      3L -> "another clean one entirely unrelated to the benchmark suite",
+      4L -> "leaked eval question about spark shuffles here now verbatim tail")
+    mem.addData(texts.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(texts.drop(2): _*) // second trigger: same static filter
+    q.processAllAvailable()
+    val streamed = spark.table("bloom_gate_test")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    val batch = graft.ext.Corpus.decontaminateBloom(
+      texts.toDF("doc_id", "text"), "doc_id", "text", bench, "btext")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(streamed == Set(1L, 3L)) // both contaminated docs dropped
+  }
 }
