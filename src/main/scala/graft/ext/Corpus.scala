@@ -227,39 +227,45 @@ object Corpus {
     * after `minCount` pruning (the KenLM-style pruning CCNet applies);
     * text never leaves the training scan.
     */
+  /** A trained order-n model: hashed n-gram counts, hashed
+    * (n-1)-gram context counts, the smoothing vocabulary size, and
+    * the order itself (scoring must window the same n).
+    */
   final case class NgramLm(bigrams: DataFrame, contexts: DataFrame,
-                           vocabSize: Long)
+                           vocabSize: Long, order: Int = 2)
 
-  private def bigramIdx(toks: Column): Column =
-    F.when(F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2))
+  private def gramIdx(toks: Column, n: Int): Column =
+    F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n))
       .otherwise(F.array().cast("array<int>"))
 
-  /** Train a bigram LM over a reference corpus (the CCNet move: score
-    * the crawl against a model of the clean reference; Wenzek et al.
-    * 2020 §3.2 use KenLM perplexity — a smoothed n-gram model exactly
-    * like this one, which is the distributable, oracle-able core of
-    * it). One scan of the reference: word 2-grams and unigrams count
-    * under partial aggregation on 60-bit hashes; `minCount` prunes
-    * the bigram tail so the model stays broadcast-sized no matter how
-    * big the reference is.
+  /** Train an order-n LM over a reference corpus (the CCNet move:
+    * score the crawl against a model of the clean reference; Wenzek
+    * et al. 2020 §3.2 use KenLM perplexity — a smoothed n-gram model
+    * exactly like this one, which is the distributable, oracle-able
+    * core of it). One scan of the reference: word n-grams and
+    * (n-1)-gram contexts count under partial aggregation on 60-bit
+    * hashes; `minCount` prunes the n-gram tail so the model stays
+    * broadcast-sized no matter how big the reference is.
     */
   def lmTrain(ref: DataFrame, textCol: String,
-              minCount: Long = 1): NgramLm = {
+              minCount: Long = 1, n: Int = 2): NgramLm = {
+    require(n >= 2, s"lmTrain: order must be >= 2, got $n")
     val toks = TextAnalysis.tokens(F.col(textCol))
+    // n=2 contexts are the tokens themselves (WordNgrams at width 1)
     val uni = Dedup.ensureParallelism(ref)
-      .select(F.explode(toks).as("tok"))
-      .select(TextAnalysis.h60(F.col("tok")).as("ch"))
+      .select(F.explode(graft.plans.WordNgrams(toks, n - 1)).as("c"))
+      .select(TextAnalysis.h60(F.col("c")).as("ch"))
       .groupBy("ch").agg(F.count(F.lit(1)).as("cc"))
     val bi = Dedup.ensureParallelism(ref)
-      .select(F.explode(graft.plans.WordNgrams(toks, 2)).as("g"))
+      .select(F.explode(graft.plans.WordNgrams(toks, n)).as("g"))
       .select(TextAnalysis.h60(F.col("g")).as("bh"))
       .groupBy("bh").agg(F.count(F.lit(1)).as("cb"))
       .filter(F.col("cb") >= minCount)
-    NgramLm(bi, uni, uni.count())
+    NgramLm(bi, uni, uni.count(), n)
   }
 
-  /** Score documents under a trained bigram model: mean add-one
-    * log-likelihood per bigram, ln((c(w1 w2)+1) / (c(w1)+V)) — the
+  /** Score documents under a trained model: mean add-one
+    * log-likelihood per n-gram, ln((c(w..)+1) / (c(ctx)+V)) — the
     * perplexity-filter signal (low score = unlike the reference:
     * gibberish, boilerplate, wrong language). Deterministic across
     * engines/partitionings: each per-gram log term is rounded to 9
@@ -270,22 +276,22 @@ object Corpus {
     *
     * Scale shape: the corpus explodes (id, bh, ch) hashes only, both
     * model joins BROADCAST (pruned model), rollup is one partial-agg
-    * groupBy on the id; docs with no bigram (< 2 tokens) surface with
+    * groupBy on the id; docs with no n-gram (< n tokens) surface with
     * n_grams = 0 and a null score via the id-spine left join.
     */
   def lmScore(docs: DataFrame, idCol: String, textCol: String,
               model: NgramLm, roundTo: Int = 6): DataFrame = {
+    val n = model.order
     val toks = TextAnalysis.tokens(F.col(textCol))
     val grams = Dedup.ensureParallelism(docs)
       .select(F.col(idCol), toks.as("_tks"))
-      .select(F.col(idCol), F.explode(bigramIdx(F.col("_tks"))).as("_i"),
+      .select(F.col(idCol), F.explode(gramIdx(F.col("_tks"), n)).as("_i"),
         F.col("_tks"))
       .select(F.col(idCol),
         TextAnalysis.h60(F.concat_ws(" ",
-          F.element_at(F.col("_tks"), F.col("_i") + 1),
-          F.element_at(F.col("_tks"), F.col("_i") + 2))).as("bh"),
-        TextAnalysis.h60(F.element_at(F.col("_tks"), F.col("_i") + 1))
-          .as("ch"))
+          F.slice(F.col("_tks"), F.col("_i") + 1, F.lit(n)))).as("bh"),
+        TextAnalysis.h60(F.concat_ws(" ",
+          F.slice(F.col("_tks"), F.col("_i") + 1, F.lit(n - 1)))).as("ch"))
     val lp = F.round(
       F.log(F.coalesce(F.col("cb"), F.lit(0L)) + 1) -
         F.log(F.coalesce(F.col("cc"), F.lit(0L)) + model.vocabSize),

@@ -1695,12 +1695,14 @@ object Interp {
             litString(args(1).value), litString(args(2).value),
             t(args(3).value).df, litString(args(4).value)))
         case "lm_score" =>
-          if (args.length < 5 || args.length > 6)
+          if (args.length < 5 || args.length > 7)
             throw new TypeError(
-              "lm_score(t, \"id_col\", \"text_col\", ref_t, \"ref_text_col\", min_count?)")
-          val mc = if (args.length == 6) constLong(args(5).value) else 1L
+              "lm_score(t, \"id_col\", \"text_col\", ref_t, \"ref_text_col\", min_count?, n?)")
+          val mc = if (args.length >= 6) constLong(args(5).value) else 1L
+          val order = if (args.length == 7) constLong(args(6).value).toInt
+                      else 2
           val model = graft.ext.Corpus.lmTrain(t(args(3).value).df,
-            litString(args(4).value), minCount = mc)
+            litString(args(4).value), minCount = mc, n = order)
           PTable(graft.ext.Corpus.lmScore(t(args(0).value).df,
             litString(args(1).value), litString(args(2).value), model))
         case "decontaminate_bloom" =>

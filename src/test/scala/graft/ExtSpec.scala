@@ -889,6 +889,19 @@ class ExtSpec extends SparkSpec {
     val gib = Corpus.lmScore(Seq((2L, "c c b b b a")).toDF("doc_id", "text"),
       "doc_id", "text", model).head.getDouble(3)
     assert(self > gib)
+    // trigram order: contexts are 2-grams — ref trigrams give
+    // c(a b a)=2, context c(a b)=2, V = |distinct 2-grams| = 3 →
+    // ln((2+1)/(2+3)); a doc of 2 tokens has no trigram
+    val tri = Corpus.lmTrain(ref, "text", n = 3)
+    assert(tri.vocabSize == 3L)
+    val to = Corpus.lmScore(Seq((20L, "a b a"), (21L, "a b"))
+        .toDF("doc_id", "text"), "doc_id", "text", tri)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    assert(to(20L) == ((1L, Some(r6(math.log(3.0 / 5))))))
+    assert(to(21L) == ((0L, None)))
+    intercept[IllegalArgumentException] { Corpus.lmTrain(ref, "text", n = 1) }
   }
 
   test("decontaminateBloom: no false negatives, conservative vs exact, FP rate bounded by nBits") {
