@@ -800,6 +800,33 @@ object SparkEntry {
         .agg(F.count(lit(1)).as("kept"))
     }),
 
+    // the Gopher lexical gate (Rae et al. 2021 §A1.1): type-token
+    // ratio, stop-word fraction + distinct-hit count, alpha-word
+    // fraction, and the composite keep rule — planted spam (one word
+    // ×30) and a numeric table must fail, natural prose must pass
+    "x71_gopher_signals" -> ((s, d) => {
+      val TA = graft.ext.TextAnalysis
+      val spam = F.concat_ws(" ",
+        F.transform(F.sequence(lit(0), lit(29)), _ => lit("buy")))
+      val nums = F.concat_ws(" ",
+        F.transform(F.sequence(lit(1), lit(30)), i => i.cast(StringType)))
+      val aug = t(s, d, "documents").df.select(col("doc_id"),
+        F.when(col("doc_id") % 13 === 0, spam)
+          .when(col("doc_id") % 17 === 0, nums)
+          .otherwise(F.concat(lit("the start of "), col("text"),
+            lit(" that ends with them"))).as("text"))
+      val nStop = F.size(F.array_distinct(F.filter(
+        F.transform(TA.tokens(col("text")), t => F.lower(t)),
+        t => t.isInCollection(TA.stopWords)))).cast(LongType)
+      aug.select(col("doc_id"),
+          TA.typeTokenRatio(col("text")).as("ttr"),
+          TA.stopwordFraction(col("text")).as("stop_frac"),
+          TA.alphaWordFraction(col("text")).as("alpha_frac"),
+          nStop.as("n_stop"))
+        .withColumn("keep",
+          col("n_stop") >= 2 && col("alpha_frac") >= 0.8)
+    }),
+
     // bigram-LM quality scoring (the CCNet perplexity-filter shape):
     // train on 80% of the docs, score the held-out 20% — low scores
     // mark text unlike the reference. Deterministic via per-gram
@@ -3814,6 +3841,44 @@ object SparkEntry {
       "SELECT CAST(147763 AS BIGINT) AS n_pairs, CAST(147763 AS BIGINT) AS planted",
     "x36_decontam_300k" ->
       "SELECT CAST(299691 AS BIGINT) AS kept",
+    "x71_gopher_signals" ->
+      """WITH aug AS (
+           SELECT doc_id, CASE
+             WHEN doc_id % 13 = 0
+               THEN array_to_string(['buy' for i in range(0, 30)], ' ')
+             WHEN doc_id % 17 = 0
+               THEN array_to_string([CAST(i AS VARCHAR)
+                                     for i in range(1, 31)], ' ')
+             ELSE 'the start of ' || text || ' that ends with them'
+           END AS text
+           FROM documents
+         ), tok AS (
+           SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\s+') AS tks
+           FROM aug
+         ), sig AS (
+           SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0.0
+               ELSE CAST(len(list_distinct(tks)) AS DOUBLE) / len(tks)
+             END AS ttr,
+             CASE WHEN trim(text) = '' THEN 0.0
+               ELSE CAST(len([t for t in tks if lower(t) IN
+                 ('the','be','to','of','and','that','have','with')])
+                 AS DOUBLE) / len(tks)
+             END AS stop_frac,
+             CASE WHEN trim(text) = '' THEN 0.0
+               ELSE CAST(len([t for t in tks
+                 if regexp_matches(t, '[A-Za-z]')]) AS DOUBLE) / len(tks)
+             END AS alpha_frac,
+             CAST(len(list_distinct([lower(t) for t in tks if lower(t) IN
+               ('the','be','to','of','and','that','have','with')]))
+               AS BIGINT) AS n_stop
+           FROM tok
+         )
+         SELECT doc_id, ttr, stop_frac, alpha_frac, n_stop,
+           (n_stop >= 2 AND alpha_frac >= 0.8) AS keep
+         FROM sig""",
+
     "x69_lm_score" ->
       """WITH tok AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tks

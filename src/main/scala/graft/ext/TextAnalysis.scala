@@ -148,6 +148,45 @@ object TextAnalysis {
     counts.reduce(_ + _).cast(LongType)
   }
 
+  // ---- Gopher-rule lexical signals (Rae et al. 2021 §A1.1) --------------
+  /** Type-token ratio: distinct tokens / tokens — near 0 means the
+    * document is a handful of words repeated (keyword-stuffing spam).
+    * Single IEEE division of two exact ints; blank text → 0.
+    */
+  def typeTokenRatio(text: Column): Column =
+    when(F.trim(text) === "", lit(0.0))
+      .otherwise(F.size(F.array_distinct(tokens(text))).cast(DoubleType) /
+        F.size(tokens(text)))
+
+  /** Gopher's stop-word gate vocabulary ("the, be, to, of, and, that,
+    * have, with"): natural prose contains them; machine lists, menus
+    * and code mostly don't.
+    */
+  val stopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Fraction of tokens (lowercased) that are Gopher stop words; the
+    * paper's rule keeps docs with >= 2 distinct hits — expose the
+    * fraction and the distinct-hit count composes from it cheaply.
+    */
+  def stopwordFraction(text: Column): Column = {
+    val hits = F.size(F.filter(tokens(text),
+      t => F.lower(t).isInCollection(stopWords)))
+    when(F.trim(text) === "", lit(0.0))
+      .otherwise(hits.cast(DoubleType) / F.size(tokens(text)))
+  }
+
+  /** Fraction of tokens containing at least one alphabetic character
+    * (Gopher keeps docs with >= 80%): tables of numbers and symbol
+    * runs fail this where prose passes.
+    */
+  def alphaWordFraction(text: Column): Column = {
+    val hits = F.size(F.filter(tokens(text),
+      t => t.rlike("[A-Za-z]")))
+    when(F.trim(text) === "", lit(0.0))
+      .otherwise(hits.cast(DoubleType) / F.size(tokens(text)))
+  }
+
   /** Composite quality: prefers 50..1000 tokens, mean token length
     * 3..10, high alnum ratio. Clamped linear pieces, all portable.
     */

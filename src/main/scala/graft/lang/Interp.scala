@@ -2973,7 +2973,8 @@ object Interp {
              "count_false" | "token_count" | "pii_count" => Some(LongType)
         case "float" | "mean" | "avg" | "stddev" | "median" | "pi" |
              "random" | "product" | "approx_product" |
-             "quality_score" | "garbage_ratio" => Some(DoubleType)
+             "quality_score" | "garbage_ratio" | "type_token_ratio" |
+             "stopword_frac" | "alpha_word_frac" => Some(DoubleType)
         case "lang_id" | "fingerprint" | "redact_pii" |
              "normalize_text" | "fold_accents" | "strip_html" =>
           Some(StringType)
@@ -3279,6 +3280,12 @@ object Interp {
         graft.ext.TextAnalysis.foldAccents(a(0))
       case "strip_html" => arity(1)
         graft.ext.TextAnalysis.stripHtml(a(0))
+      case "type_token_ratio" => arity(1)
+        graft.ext.TextAnalysis.typeTokenRatio(a(0))
+      case "stopword_frac" => arity(1)
+        graft.ext.TextAnalysis.stopwordFraction(a(0))
+      case "alpha_word_frac" => arity(1)
+        graft.ext.TextAnalysis.alphaWordFraction(a(0))
       case "url_domains" => arity(1)
         graft.ext.TextAnalysis.urlDomains(a(0))
       case "year" => arity(1); PF.year(a(0))

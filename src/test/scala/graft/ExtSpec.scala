@@ -857,6 +857,28 @@ class ExtSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("Gopher lexical signals: hand-computed ratios, degenerate docs fail the gate") {
+    val df = Seq(
+      (1L, "a a a a"),                       // spam: 1 distinct / 4
+      (2L, "the cat sat with the dog"),      // prose-ish
+      (3L, "1 2 3 4"),                       // numeric table
+      (4L, ""),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.typeTokenRatio(col("text")).as("ttr"),
+        TextAnalysis.stopwordFraction(col("text")).as("sf"),
+        TextAnalysis.alphaWordFraction(col("text")).as("af"))
+      .collect().map(r => r.getLong(0) ->
+        ((0 to 2).map(i => if (r.isNullAt(i + 1)) None
+         else Some(r.getDouble(i + 1))))).toMap
+    assert(out(1L) == Seq(Some(0.25), Some(0.0), Some(1.0)))
+    assert(out(2L) == Seq(Some(5.0 / 6), Some(3.0 / 6), Some(1.0)))
+    assert(out(3L) == Seq(Some(1.0), Some(0.0), Some(0.0)))
+    assert(out(4L) == Seq(Some(0.0), Some(0.0), Some(0.0)))
+    assert(out(5L) == Seq(None, None, None))
+  }
+
   test("bigram LM: hand-computed add-one scores, OOV floor, short docs null") {
     val ref = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
     val model = Corpus.lmTrain(ref, "text")

@@ -1399,6 +1399,14 @@ class LangSpec extends SparkSpec {
         |""".stripMargin, "documents" -> docs).df
       .collect().map(_.getLong(0)).toSet
     assert(!kept.contains(3L) && kept.contains(1L))
+    // Gopher lexical signals as projection scalars
+    val gop = Interp.run(spark,
+      """rows = [{id: 1, t: "the cat with the dog"}]
+        |rows {id, s: stopword_frac(t), r: type_token_ratio(t),
+        |      a: alpha_word_frac(t)}""".stripMargin)
+      .df.head
+    assert(gop.getDouble(1) == 0.6 && gop.getDouble(2) == 0.8 &&
+      gop.getDouble(3) == 1.0)
     // lm_score trains on the ref table and scores in one call
     val lm = Interp.run(spark,
       """ref = [{id: 1, t: "a b a b a c"}]

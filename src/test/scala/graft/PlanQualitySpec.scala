@@ -604,6 +604,12 @@ class PlanQualitySpec extends SparkSpec {
       s"fuzzy dedup must never plan all-pairs:\n$p")
   }
 
+  test("Gopher signals compute as a pure scan projection (no shuffle)") {
+    val p = planOf("x71_gopher_signals")
+    assert(!p.contains("Exchange"),
+      s"lexical signals must not shuffle:\n$p")
+  }
+
   test("LM scoring: broadcast model joins, partial-agg rollup, no all-pairs") {
     val p = planOf("x69_lm_score")
     assert(p.contains("BroadcastHashJoin"),
