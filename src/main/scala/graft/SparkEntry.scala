@@ -800,6 +800,35 @@ object SparkEntry {
         .agg(F.count(lit(1)).as("kept"))
     }),
 
+    // the WEB-CRAWL lifecycle capstone: raw HTML pages → visible-text
+    // extraction → Gopher lexical gate → exact-substring span surgery
+    // (the injected newsletter div becomes post-strip boilerplate the
+    // surgery must cut) → corpus rollup. One DuckDB oracle covers the
+    // whole composition, so the operators are proven to CHAIN, not
+    // just to work in isolation.
+    "x72_crawl_lifecycle" -> ((s, d) => {
+      val TA = graft.ext.TextAnalysis
+      val html = t(s, d, "documents").df.select(col("doc_id"), F.concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast(StringType),
+        lit("</title><style>p{}</style></head><body><h1>Doc "),
+        col("doc_id").cast(StringType), lit("</h1><p>"), col("text"),
+        lit("</p><script>var x = 1 < 2;</script>"),
+        lit("<div>please subscribe to our newsletter today for more" +
+          " updates</div></body></html>")).as("html"))
+      val stripped = html.select(col("doc_id"),
+        TA.stripHtml(col("html")).as("text"))
+      val nStop = F.size(F.array_distinct(F.filter(
+        F.transform(TA.tokens(col("text")), t => F.lower(t)),
+        t => t.isInCollection(TA.stopWords)))).cast(LongType)
+      val gated = stripped.filter(nStop >= 2 &&
+        TA.alphaWordFraction(col("text")) >= 0.8)
+      graft.ext.Dedup.removeRepeatedSpans(gated, "doc_id", "text",
+          n = 8, minDocs = 2)
+        .agg(F.count(lit(1)).as("n_docs"),
+          F.sum(TA.tokenCount(col("text")).cast(LongType))
+            .as("total_tokens"))
+    }),
+
     // the Gopher lexical gate (Rae et al. 2021 §A1.1): type-token
     // ratio, stop-word fraction + distinct-hit count, alpha-word
     // fraction, and the composite keep rule — planted spam (one word
@@ -3841,6 +3870,77 @@ object SparkEntry {
       "SELECT CAST(147763 AS BIGINT) AS n_pairs, CAST(147763 AS BIGINT) AS planted",
     "x36_decontam_300k" ->
       "SELECT CAST(299691 AS BIGINT) AS kept",
+    "x72_crawl_lifecycle" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+             '</title><style>p{}</style></head><body><h1>Doc ' ||
+             CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+             '</p><script>var x = 1 < 2;</script>' ||
+             '<div>please subscribe to our newsletter today for more' ||
+             ' updates</div></body></html>' AS html
+           FROM documents
+         ), stripped AS (
+           SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+                       '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                     '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                   '</?[A-Za-z!][^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+                 '&amp;', '&'),
+               '[ \t\n\f\r]+', ' ', 'g')) AS text
+           FROM aug
+         ), tok0 AS (
+           SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\s+') AS tks
+           FROM stripped
+         ), gated AS (
+           SELECT doc_id, text, tks FROM tok0
+           WHERE CAST(len(list_distinct([lower(t) for t in tks
+               if lower(t) IN ('the','be','to','of','and','that','have',
+               'with')])) AS BIGINT) >= 2
+             AND (CASE WHEN trim(text) = '' THEN 0.0
+               ELSE CAST(len([t for t in tks
+                 if regexp_matches(t, '[A-Za-z]')]) AS DOUBLE) / len(tks)
+               END) >= 0.8
+         ), gr AS (
+           SELECT doc_id, CASE WHEN len(tks) < 8 THEN [trim(text)]
+             ELSE [array_to_string(tks[ii:ii+7], ' ')
+                   for ii in range(1, len(tks) - 6)] END AS grams
+           FROM gated
+         ), spans AS (
+           SELECT doc_id, unnest(range(0, len(grams))) AS pos,
+             ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT AS sh
+           FROM gr
+         ), rep AS (
+           SELECT sh FROM (SELECT DISTINCT sh, doc_id FROM spans)
+           GROUP BY sh HAVING count(*) >= 2
+         ), cuts AS (
+           SELECT s.doc_id, list(s.pos) AS starts
+           FROM spans s JOIN rep r ON s.sh = r.sh
+           GROUP BY s.doc_id
+         ), cleaned AS (
+           SELECT t.doc_id,
+             CASE WHEN c.starts IS NULL THEN t.text
+               ELSE coalesce(array_to_string(
+                 [t.tks[ii] for ii in range(1, len(t.tks) + 1)
+                  if len([s for s in c.starts
+                          if s <= ii - 1 and ii - 1 < s + 8]) = 0], ' '), '')
+             END AS text
+           FROM gated t LEFT JOIN cuts c ON t.doc_id = c.doc_id
+         )
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+'))
+           END) AS BIGINT) AS total_tokens
+         FROM cleaned""",
+
     "x71_gopher_signals" ->
       """WITH aug AS (
            SELECT doc_id, CASE

@@ -604,6 +604,18 @@ class PlanQualitySpec extends SparkSpec {
       s"fuzzy dedup must never plan all-pairs:\n$p")
   }
 
+  test("crawl lifecycle capstone: strip+gate fused into the scan, hash-keyed span shuffles only") {
+    val p = planOf("x72_crawl_lifecycle")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"lifecycle must never plan all-pairs:\n$p")
+    assert(p.contains("partial"),
+      s"span aggregation lost its partial stage:\n$p")
+    // the strip + Gopher gate are pure expressions: they must fuse
+    // into the scan stage, not require their own exchange
+    assert(p.contains("FileScan") || p.contains("Scan parquet"),
+      s"lifecycle must start from the parquet scan:\n$p")
+  }
+
   test("Gopher signals compute as a pure scan projection (no shuffle)") {
     val p = planOf("x71_gopher_signals")
     assert(!p.contains("Exchange"),
