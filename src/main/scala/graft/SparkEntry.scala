@@ -2438,6 +2438,35 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // incremental NEAR-dup dedup against the persisted LSH index: the
+    // fuzzy twin of x40 — exact copies of indexed docs (shifted ids)
+    // must drop on signature estimate 1.0, novel synthetic docs
+    // survive, and the intra-batch duplicate of each novel doc drops
+    // against its lower-id twin. The oracle rebuilds the ENTIRE
+    // minhash/band/estimate machinery in SQL for both sides.
+    "x73_neardup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val dir = runScratch("lsh_idx", d)
+      graft.ext.Dedup.buildLshIndex(docs, "doc_id", "text", dir)
+      val novel = F.concat_ws(" ", F.transform(F.sequence(lit(0), lit(4)),
+        j => F.concat(lit("q"), col("doc_id").cast(StringType),
+          lit("_"), j.cast(StringType))))
+      // novel text computed BEFORE the id shift: shifting and text in
+      // one select would let lateral-column-alias resolution bind the
+      // text's doc_id to the SHIFTED value and the twins would differ
+      val novelDocs = docs.filter(col("doc_id") % 70 === 3)
+        .select(col("doc_id"), novel.as("text"))
+      val incoming = docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+        .unionAll(novelDocs.select(
+          (col("doc_id") + 200000000L).as("doc_id"), col("text")))
+        .unionAll(novelDocs.select(
+          (col("doc_id") + 300000000L).as("doc_id"), col("text")))
+      graft.ext.Dedup.neardupAgainstIndex(incoming, "doc_id", "text",
+          dir, threshold = 0.9)
+        .select(col("doc_id"))
+    }),
+
     // deterministic shard assignment for training export: md5 mod n,
     // per-shard stats incl. the md5-order head doc (what writeShards
     // physically lays out first)
@@ -4979,6 +5008,72 @@ object SparkEntry {
            max(epoch) AS max_epoch,
            CAST(sum(nt) AS BIGINT) AS kept_tokens
          FROM e GROUP BY source""",
+
+    "x73_neardup_incremental" ->
+      """WITH uni AS (
+           SELECT 0 AS side, doc_id, text FROM documents
+           UNION ALL
+           SELECT 1, doc_id + 100000000, text FROM documents
+           WHERE doc_id % 50 = 0
+           UNION ALL
+           SELECT 1, doc_id + 200000000,
+             array_to_string(['q' || CAST(doc_id AS VARCHAR) || '_' ||
+               CAST(j AS VARCHAR) for j in range(0, 5)], ' ')
+           FROM documents WHERE doc_id % 70 = 3
+           UNION ALL
+           SELECT 1, doc_id + 300000000,
+             array_to_string(['q' || CAST(doc_id AS VARCHAR) || '_' ||
+               CAST(j AS VARCHAR) for j in range(0, 5)], ' ')
+           FROM documents WHERE doc_id % 70 = 3
+         ), toks AS (
+           SELECT side, doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS tk,
+             trim(text) AS tt
+           FROM uni
+         ), hb AS (
+           SELECT side, doc_id,
+             [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647
+               for s in (CASE WHEN len(tk) < 3 THEN [tt]
+                 ELSE [array_to_string(tk[ii:ii+2], ' ')
+                       for ii in range(1, len(tk) - 1)] END)] AS hs
+           FROM toks
+         ), sig AS (
+           SELECT side, doc_id,
+             [list_min([((('0x' || substr(md5('a_' || CAST(i AS VARCHAR)),
+                 1, 7))::BIGINT * 2 + 1) * h
+                 + ('0x' || substr(md5('b_' || CAST(i AS VARCHAR)),
+                 1, 7))::BIGINT) % 2147483647
+               for h in hs]) for i in range(0, 12)] AS sg
+           FROM hb
+         ), buckets AS (
+           SELECT side, doc_id, b.b AS band,
+             md5(array_to_string([CAST(x AS VARCHAR)
+               for x in sg[b.b*3+1:b.b*3+3]], ',')) AS bucket
+           FROM sig, (SELECT unnest(range(0, 4)) AS b) b
+         ), vs_index AS (
+           SELECT DISTINCT b1.doc_id
+           FROM buckets b1
+           JOIN buckets b0 ON b1.side = 1 AND b0.side = 0
+             AND b1.band = b0.band AND b1.bucket = b0.bucket
+           JOIN sig sa ON sa.side = 1 AND sa.doc_id = b1.doc_id
+           JOIN sig sb ON sb.side = 0 AND sb.doc_id = b0.doc_id
+           WHERE CAST(len([i for i in range(1, 13)
+             if sa.sg[i] = sb.sg[i]]) AS DOUBLE) / 12 >= 0.9
+         ), vs_batch AS (
+           SELECT DISTINCT b2.doc_id
+           FROM buckets b1
+           JOIN buckets b2 ON b1.side = 1 AND b2.side = 1
+             AND b1.band = b2.band AND b1.bucket = b2.bucket
+             AND b1.doc_id < b2.doc_id
+           JOIN sig sa ON sa.side = 1 AND sa.doc_id = b1.doc_id
+           JOIN sig sb ON sb.side = 1 AND sb.doc_id = b2.doc_id
+           WHERE CAST(len([i for i in range(1, 13)
+             if sa.sg[i] = sb.sg[i]]) AS DOUBLE) / 12 >= 0.9
+         )
+         SELECT doc_id FROM uni
+         WHERE side = 1
+           AND doc_id NOT IN (SELECT doc_id FROM vs_index)
+           AND doc_id NOT IN (SELECT doc_id FROM vs_batch)""",
 
     "x40_dedup_incremental" ->
       """WITH fp AS (

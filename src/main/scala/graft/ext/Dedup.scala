@@ -84,6 +84,107 @@ object Dedup {
     incoming.join(novel.select(col(idCol)), Seq(idCol), "left_semi")
   }
 
+  /** Build (or rebuild) the persisted NEAR-dup index: one row per
+    * (band, bucket) per document, carrying the full minhash signature
+    * for probe-time verification. Text is NOT stored — at 100 TB the
+    * index is k longs + bands buckets per doc (~150 bytes), not the
+    * corpus; the price is that probe verification is the signature
+    * ESTIMATE of Jaccard (E[est] = J, sd = sqrt(J(1-J)/k)) instead of
+    * the exact token intersection `minhashPairs` can afford when both
+    * texts are in hand.
+    */
+  def buildLshIndex(df: DataFrame, idCol: String, textCol: String,
+                    dir: String, k: Int = 12, bands: Int = 4,
+                    hasher: Column => Column = portableHasher): Unit = {
+    val r = k / bands
+    val hashed = ensureParallelism(df).select(col(idCol).as("id"),
+        shingleHashes(col(textCol), hasher = hasher).as("hs"))
+      .localCheckpoint(true)
+    hashed.select(col("id"), signatureFromHashes(col("hs"), k).as("sig"))
+      .select(col("id"), col("sig"),
+        F.posexplode(bandBuckets(col("sig"), bands, r))
+          .as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("id"), col("sig"))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Incremental NEAR-dup dedup: keep each incoming document that (a)
+    * has no lower-id near-duplicate WITHIN the batch and (b) matches
+    * nothing in the persisted index — the fuzzy twin of
+    * `dedupAgainstIndex` (daily crawl vs all-history corpus, where
+    * re-LSHing 100 TB per batch is not an option).
+    *
+    * Scale shape — the INDEX NEVER SHUFFLES: the batch's (band,
+    * bucket) keys broadcast (a batch is small by definition), the
+    * index streams through its scan into a broadcast hash join, and
+    * only matching candidate rows survive to the signature-estimate
+    * check. Intra-batch candidates come from the same bucket table
+    * self-joined (batch-sized). Greedy keep rule: a doc drops if it
+    * estimates >= threshold against the index OR against ANY lower-id
+    * batch doc — deterministic and engine-independent.
+    *
+    * With `updateIndex` the survivors' bucket rows append, so
+    * consecutive batches accumulate. NOTE: plain append is for
+    * DRIVEN batch loops; under an at-least-once trigger (foreachBatch)
+    * key the append by batchId with overwrite instead, as
+    * `Streams.dedupBatchAgainstIndex` does for the exact index —
+    * a replayed trigger would otherwise double-append.
+    */
+  def neardupAgainstIndex(incoming: DataFrame, idCol: String,
+                          textCol: String, dir: String,
+                          threshold: Double, k: Int = 12, bands: Int = 4,
+                          hasher: Column => Column = portableHasher,
+                          updateIndex: Boolean = false): DataFrame = {
+    val spark = incoming.sparkSession
+    val r = k / bands
+    val idx =
+      if (graft.sources.Fs.hasParquet(spark, dir)) spark.read.parquet(dir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("band", IntegerType),
+          StructField("bucket", StringType),
+          StructField("id", LongType),
+          StructField("sig", ArrayType(LongType)))))
+    // materialize the batch bucket table once: it fans out to the
+    // index probe, BOTH sides of the intra-batch self-join (severed
+    // lineage also keeps the self-join's exprIds distinct), and the
+    // optional index append
+    val bbuck = ensureParallelism(incoming)
+      .select(col(idCol).as("bid"),
+        shingleHashes(col(textCol), hasher = hasher).as("hs"))
+      .localCheckpoint(true)
+      .select(col("bid"), signatureFromHashes(col("hs"), k).as("bsig"))
+      .select(col("bid"), col("bsig"),
+        F.posexplode(bandBuckets(col("bsig"), bands, r))
+          .as(Seq("band", "bucket")))
+      .localCheckpoint(true)
+    def est(a: Column, b: Column): Column =
+      F.size(F.filter(F.zip_with(a, b, (x, y) => x === y),
+        v => v)).cast(DoubleType) / k
+    val vsIndex = idx.join(F.broadcast(bbuck), Seq("band", "bucket"))
+      .filter(est(col("bsig"), col("sig")) >= threshold)
+      .select(col("bid")).distinct()
+    val vsBatch = bbuck.alias("a")
+      .join(bbuck.alias("b"), col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.bid") < col("b.bid"))
+      .filter(est(col("a.bsig"), col("b.bsig")) >= threshold)
+      .select(col("b.bid")).distinct()
+    val survivors0 = incoming.select(col(idCol).as("bid"))
+      .join(vsIndex, Seq("bid"), "left_anti")
+      .join(vsBatch, Seq("bid"), "left_anti")
+    // when also appending, materialize so the append and the result
+    // semi-join don't each recompute the anti-joins
+    val survivors =
+      if (updateIndex) survivors0.localCheckpoint(true) else survivors0
+    if (updateIndex)
+      bbuck.join(survivors, Seq("bid"), "left_semi")
+        .select(col("band"), col("bucket"), col("bid").as("id"),
+          col("bsig").as("sig"))
+        .write.mode("append").parquet(dir)
+    incoming.join(survivors.withColumnRenamed("bid", idCol),
+      Seq(idCol), "left_semi")
+  }
+
   // ---- shingling -----------------------------------------------------------
   /** Word n-gram shingles; texts shorter than n words → one shingle
     * (the whole trimmed text).

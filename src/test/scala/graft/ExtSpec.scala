@@ -1260,6 +1260,45 @@ class ExtSpec extends SparkSpec {
     assert(out2 == Set(8L))
   }
 
+  test("neardupAgainstIndex: fuzzy matches drop vs index and in-batch; updateIndex accumulates; cold start keeps all") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx")
+      .toString + "/idx"
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "spark shuffles merge batch windows over sorted rows"))
+      .toDF("doc_id", "text")
+    Dedup.buildLshIndex(hist, "doc_id", "text", dir)
+    val batch1 = Seq(
+      // exact copy of 1 → estimate 1.0, drops at any threshold
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      // near-variant of 2 (1 of 10 tokens changed): most signature
+      // components agree — drops at the 0.5 estimate threshold
+      (11L, "spark shuffles merge batch windows over sorted data"),
+      // novel
+      (12L, "completely different words entirely unrelated here now"),
+      // intra-batch twin of 12 → loses to the lower id
+      (13L, "completely different words entirely unrelated here now"))
+      .toDF("doc_id", "text")
+    val out1 = Dedup.neardupAgainstIndex(batch1, "doc_id", "text", dir,
+        threshold = 0.5, updateIndex = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(out1 == Set(12L))
+    // accumulation: 12's signature is now historical — its copy drops
+    val batch2 = Seq(
+      (20L, "completely different words entirely unrelated here now"),
+      (21L, "yet another brand new document with fresh words inside"))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.neardupAgainstIndex(batch2, "doc_id", "text", dir,
+        threshold = 0.5).collect().map(_.getLong(0)).toSet
+    assert(out2 == Set(21L))
+    // cold start: missing index dir bootstraps as empty — nothing
+    // historical, only the intra-batch rule applies
+    val cold = Dedup.neardupAgainstIndex(batch2, "doc_id", "text",
+        dir + "_never_written", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(cold == Set(20L, 21L))
+  }
+
   test("dedupAgainstIndex: index attached via a file: URI (Hadoop Path codepath, not java.io.File)") {
     // The discovery probe must resolve through the Hadoop FileSystem
     // API — a java.io.File probe sees a "file:/..." URI as a relative

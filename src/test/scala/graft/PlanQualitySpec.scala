@@ -604,6 +604,16 @@ class PlanQualitySpec extends SparkSpec {
       s"fuzzy dedup must never plan all-pairs:\n$p")
   }
 
+  test("incremental near-dup: the index never shuffles (batch buckets broadcast)") {
+    val p = planOf("x73_neardup_incremental")
+    assert(p.contains("BroadcastHashJoin"),
+      s"batch bucket keys must broadcast against the index scan:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"index probe must never plan all-pairs:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"dup ids must anti-join the batch spine:\n$p")
+  }
+
   test("crawl lifecycle capstone: strip+gate fused into the scan, hash-keyed span shuffles only") {
     val p = planOf("x72_crawl_lifecycle")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
