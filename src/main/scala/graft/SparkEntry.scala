@@ -1013,6 +1013,31 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), dir, 10, nProbe = 4)
     }),
 
+    // IVF index APPEND (build-once/append-many): exact copies of every
+    // 25th vector append under shifted ids, assigned by the index's
+    // OWN centroids — so each original vector, queried back, must find
+    // its appended twin in the probed lists (identical embedding →
+    // same centroid, maximal dot). The all_found check is
+    // scale-invariant (the oracle never needs re-capture).
+    "x74_ivf_append" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val dir = runScratch("ivf_app", d)
+      graft.ext.Similarity.buildIvfIndex(emb, dir, nCentroids = 16)
+      graft.ext.Similarity.appendToIvfIndex(
+        emb.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 100000000L).as("vec_id"),
+            col("embedding")),
+        dir)
+      val queries = emb.filter(col("vec_id") % 25 === 0)
+      val res = graft.ext.Similarity.ivfTopKIndexed(queries, dir, 3,
+        nProbe = 4)
+      res.filter(col("neighbor_id") === col("query_id") + 100000000L)
+        .agg(F.count(lit(1)).as("n_hits"))
+        .crossJoin(queries.agg(F.count(lit(1)).as("n_q")))
+        .select((col("n_hits") === col("n_q")).as("all_found"),
+          (col("n_q") > 0).as("nonempty"))
+    }),
+
     // ---- ext: range join (binned equi-join, no nested loop) --------------
     "x18_range_join" -> ((s, d) => {
       val bands = s.range(0, 40).select(col("id").as("band"),
@@ -5008,6 +5033,11 @@ object SparkEntry {
            max(epoch) AS max_epoch,
            CAST(sum(nt) AS BIGINT) AS kept_tokens
          FROM e GROUP BY source""",
+
+    // scale-invariant self-check (like x62): every appended twin is
+    // found through the index regardless of corpus size
+    "x74_ivf_append" ->
+      "SELECT true AS all_found, true AS nonempty",
 
     "x73_neardup_incremental" ->
       """WITH uni AS (

@@ -457,6 +457,29 @@ object Similarity {
     centroids.write.mode("overwrite").parquet(dir + "/centroids")
   }
 
+  /** Append new vectors to a persisted IVF index — the
+    * build-once/append-many contract of a real vector store. The new
+    * batch assigns against the INDEX'S OWN centroids (read once,
+    * k×dim rows) so the index stays queryable mid-append and existing
+    * inverted lists keep their meaning; centroid quality degrades
+    * gracefully as the corpus drifts — rebuild at the cadence
+    * `recallAtK` tells you to, not per batch. The append writes only
+    * the batch's rows into their `centroid_id=` partitions; untouched
+    * lists are not rewritten.
+    */
+  def appendToIvfIndex(newVecs: DataFrame, dir: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = spark.read.parquet(dir + "/centroids").collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+      .sortBy(_._1)
+    newVecs.select(col(idCol), col(vecCol),
+        assignId(cents, vecCol).as("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(dir + "/lists")
+  }
+
   /** IVF top-k against a PERSISTED index (see `buildIvfIndex`):
     * identical results to `ivfTopK` over the same corpus/centroids
     * (the parquet round-trip is lossless), but the corpus scan reads

@@ -1260,6 +1260,34 @@ class ExtSpec extends SparkSpec {
     assert(out2 == Set(8L))
   }
 
+  test("appendToIvfIndex: twins found post-append, prior results unchanged, partition layout extended") {
+    import graft.ext.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfapp")
+      .toString + "/idx"
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings").df
+    Similarity.buildIvfIndex(emb, dir, nCentroids = 8)
+    val q = emb.filter(col("vec_id") < 3)
+    val before = Similarity.ivfTopKIndexed(q, dir, 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // append exact twins of the queries under shifted ids
+    Similarity.appendToIvfIndex(
+      q.select((col("vec_id") + 100000000L).as("vec_id"), col("embedding")),
+      dir)
+    val after = Similarity.ivfTopKIndexed(q, dir, 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // each query's twin surfaces at rank 1 (identical vector, max dot)
+    val rank1 = after.filter(_._3 == 1).map(t => (t._1, t._2)).toMap
+    assert((0L until 3L).forall(i => rank1(i) == i + 100000000L))
+    // prior neighbors are still present, shifted down by the twin
+    val afterIds = after.map(t => (t._1, t._2)).toSet
+    val beforeTop = before.filter(_._3 <= 4).map(t => (t._1, t._2))
+    assert(beforeTop.forall(afterIds.contains))
+    // appended rows landed inside centroid_id= partition dirs
+    val parts = new java.io.File(dir + "/lists").listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+    assert(parts.nonEmpty)
+  }
+
   test("neardupAgainstIndex: fuzzy matches drop vs index and in-batch; updateIndex accumulates; cold start keeps all") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lshidx")
       .toString + "/idx"
