@@ -130,25 +130,31 @@ object Dedup {
     * `Streams.dedupBatchAgainstIndex` does for the exact index —
     * a replayed trigger would otherwise double-append.
     */
-  def neardupAgainstIndex(incoming: DataFrame, idCol: String,
-                          textCol: String, dir: String,
-                          threshold: Double, k: Int = 12, bands: Int = 4,
-                          hasher: Column => Column = portableHasher,
-                          updateIndex: Boolean = false): DataFrame = {
-    val spark = incoming.sparkSession
+  /** Empty-index frame with the `buildLshIndex` schema — the cold-
+    * start bootstrap for both the batch and streaming probes.
+    */
+  def emptyLshIndex(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("band", IntegerType),
+        StructField("bucket", StringType),
+        StructField("id", LongType),
+        StructField("sig", ArrayType(LongType)))))
+
+  /** Shared probe core for the batch and streaming incremental
+    * near-dup paths: returns the batch's materialized bucket table
+    * (bid, bsig, band, bucket) and the surviving-id frame (bid).
+    */
+  private[graft] def neardupProbe(incoming: DataFrame, idCol: String,
+                                  textCol: String, idx: DataFrame,
+                                  threshold: Double, k: Int, bands: Int,
+                                  hasher: Column => Column)
+      : (DataFrame, DataFrame) = {
     val r = k / bands
-    val idx =
-      if (graft.sources.Fs.hasParquet(spark, dir)) spark.read.parquet(dir)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("band", IntegerType),
-          StructField("bucket", StringType),
-          StructField("id", LongType),
-          StructField("sig", ArrayType(LongType)))))
     // materialize the batch bucket table once: it fans out to the
     // index probe, BOTH sides of the intra-batch self-join (severed
     // lineage also keeps the self-join's exprIds distinct), and the
-    // optional index append
+    // caller's index write
     val bbuck = ensureParallelism(incoming)
       .select(col(idCol).as("bid"),
         shingleHashes(col(textCol), hasher = hasher).as("hs"))
@@ -172,6 +178,20 @@ object Dedup {
     val survivors0 = incoming.select(col(idCol).as("bid"))
       .join(vsIndex, Seq("bid"), "left_anti")
       .join(vsBatch, Seq("bid"), "left_anti")
+    (bbuck, survivors0)
+  }
+
+  def neardupAgainstIndex(incoming: DataFrame, idCol: String,
+                          textCol: String, dir: String,
+                          threshold: Double, k: Int = 12, bands: Int = 4,
+                          hasher: Column => Column = portableHasher,
+                          updateIndex: Boolean = false): DataFrame = {
+    val spark = incoming.sparkSession
+    val idx =
+      if (graft.sources.Fs.hasParquet(spark, dir)) spark.read.parquet(dir)
+      else emptyLshIndex(spark)
+    val (bbuck, survivors0) = neardupProbe(incoming, idCol, textCol, idx,
+      threshold, k, bands, hasher)
     // when also appending, materialize so the append and the result
     // semi-join don't each recompute the anti-joins
     val survivors =

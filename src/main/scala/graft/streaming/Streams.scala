@@ -189,6 +189,62 @@ object Streams {
     batch.join(novel.select(F.col(idCol)), Seq(idCol), "left_semi")
   }
 
+  /** One micro-batch of incremental NEAR-dup dedup, REPLAY-SAFE — the
+    * fuzzy twin of `dedupBatchAgainstIndex`, same durable layout: one
+    * `b<batchId>/` subdirectory of (band, bucket, id, sig) rows per
+    * batch, the current batch probing every OTHER batch's rows and
+    * OVERWRITING its own. A replayed trigger excludes its own subdir
+    * from the seen-set, so it computes the identical kept-set and the
+    * write is idempotent. Streams default to the cheap xxhash64
+    * hasher (signatures need no cross-engine portability inside a
+    * stream; the estimate threshold semantics are unchanged).
+    */
+  def neardupBatchAgainstIndex(batch: DataFrame, idCol: String,
+                               textCol: String, indexDir: String,
+                               batchId: Long, threshold: Double,
+                               k: Int = 12, bands: Int = 4,
+                               hasher: org.apache.spark.sql.Column =>
+                                 org.apache.spark.sql.Column =
+                                 graft.ext.Dedup.fastHasher): DataFrame = {
+    import graft.ext.Dedup
+    val spark = batch.sparkSession
+    val others = graft.sources.Fs.subdirs(spark, indexDir, "b\\d+")
+      .filterNot(_.stripSuffix("/").endsWith(s"/b$batchId"))
+    val idx =
+      if (others.nonEmpty) spark.read.parquet(others.toIndexedSeq: _*)
+      else Dedup.emptyLshIndex(spark)
+    val (bbuck, survivors0) = Dedup.neardupProbe(batch, idCol, textCol,
+      idx, threshold, k, bands, hasher)
+    val survivors = survivors0.localCheckpoint(true)
+    bbuck.join(survivors, Seq("bid"), "left_semi")
+      .select(F.col("band"), F.col("bucket"), F.col("bid").as("id"),
+        F.col("bsig").as("sig"))
+      .write.mode("overwrite").parquet(s"$indexDir/b$batchId")
+    batch.join(survivors.withColumnRenamed("bid", idCol),
+      Seq(idCol), "left_semi")
+  }
+
+  /** Continuous incremental NEAR-dup dedup: every micro-batch drops
+    * documents whose minhash-signature estimate clears `threshold`
+    * against ANY prior batch (durable parquet seen-set — no watermark
+    * horizon, survives restarts) or against a lower-id doc within the
+    * batch, then persists its own survivors' bucket rows. Replay-safe
+    * (see `neardupBatchAgainstIndex`); cold start bootstraps empty.
+    */
+  def neardupAgainstIndexStream(docs: DataFrame, idCol: String,
+                                textCol: String, indexDir: String,
+                                threshold: Double)
+                               (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          sink(neardupBatchAgainstIndex(batch, idCol, textCol, indexDir,
+            id, threshold), id)
+      }
+      .start()
+
   /** Continuous incremental exact dedup: every micro-batch dedups
     * against the persisted all-history fingerprint index and adds its
     * own novel fingerprints — durable parquet, so unlike in-memory

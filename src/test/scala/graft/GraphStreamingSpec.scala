@@ -415,6 +415,47 @@ class GraphStreamingSpec extends SparkSpec {
     assert(afterJunk == Set(10L), s"junk subdir must not affect dedup, got $afterJunk")
   }
 
+  test("streaming incremental NEAR-dup: fuzzy seen-set accumulates across batches, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_slsh")
+      .toString + "/idx"
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = Streams.neardupAgainstIndexStream(df, "doc_id", "text", dir,
+      threshold = 0.5) { (kept, _) =>
+      out ++= kept.collect().map(_.getLong(0))
+    }
+    // batch 1 bootstraps the empty index
+    mem.addData(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "spark shuffles merge batch windows over sorted rows")
+    q.processAllAvailable()
+    assert(out.toSet == Set(1L, 2L))
+    // batch 2: 3 is a one-token variant of 1 (historical NEAR-dup),
+    // 4+5 are intra-batch twins, 6 is novel
+    mem.addData(
+      3L -> "the quick brown fox jumps over the lazy cat today",
+      4L -> "completely different words entirely unrelated here now",
+      5L -> "completely different words entirely unrelated here now",
+      6L -> "yet another brand new document with fresh words inside")
+    q.processAllAvailable()
+    q.stop()
+    assert(out.toSet == Set(1L, 2L, 4L, 6L))
+    // replay of batch 1 (same batchId) returns the same kept set —
+    // its own subdir is excluded from the seen-set
+    val replay = Streams.neardupBatchAgainstIndex(
+      Seq(3L -> "the quick brown fox jumps over the lazy cat today",
+        4L -> "completely different words entirely unrelated here now",
+        5L -> "completely different words entirely unrelated here now",
+        6L -> "yet another brand new document with fresh words inside")
+        .toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchId = 1L, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(replay == Set(4L, 6L), s"replay must be idempotent, got $replay")
+  }
+
   test("streaming classifier gate: stateless margin filter matches the batch decision") {
     implicit val sqlCtx = spark.sqlContext
     val w = graft.ext.TextAnalysis.md5Weights(256)
