@@ -189,6 +189,38 @@ object Streams {
     batch.join(novel.select(F.col(idCol)), Seq(idCol), "left_semi")
   }
 
+  /** LM quality gate on a stream: each micro-batch runs the BATCH
+    * `lmScore` against a model trained once on a static reference
+    * (stream-static, one code path). Pass the model through
+    * `materializeLm` so per-trigger batches broadcast the two tiny
+    * count tables instead of re-counting the reference every trigger.
+    * Stateless across batches — a doc's score depends only on itself
+    * and the static model.
+    */
+  def lmGateStream(docs: DataFrame, idCol: String, textCol: String,
+                   model: graft.ext.Corpus.NgramLm, minScore: Double)
+                  (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val m = materializeLm(model)
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.ext.Corpus.lmScore(batch, idCol, textCol, m)
+            .filter(F.col("lm_score") >= minScore), id)
+      }
+      .start()
+  }
+
+  /** Materialize a trained LM's count tables (they are tiny after
+    * pruning) so streaming triggers don't recompute the reference
+    * aggregation per batch.
+    */
+  def materializeLm(model: graft.ext.Corpus.NgramLm)
+      : graft.ext.Corpus.NgramLm =
+    model.copy(bigrams = model.bigrams.localCheckpoint(true),
+      contexts = model.contexts.localCheckpoint(true))
+
   /** One micro-batch of incremental NEAR-dup dedup, REPLAY-SAFE — the
     * fuzzy twin of `dedupBatchAgainstIndex`, same durable layout: one
     * `b<batchId>/` subdirectory of (band, bucket, id, sig) rows per

@@ -415,6 +415,33 @@ class GraphStreamingSpec extends SparkSpec {
     assert(afterJunk == Set(10L), s"junk subdir must not affect dedup, got $afterJunk")
   }
 
+  test("streaming LM gate: per-batch scores match the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ref = Seq((1L, "the quick brown fox jumps over the lazy dog " +
+      "and the dog sleeps under the tree")).toDF("doc_id", "text")
+    val model = graft.ext.Corpus.lmTrain(ref, "text")
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val q = Streams.lmGateStream(df, "doc_id", "text", model,
+      minScore = -2.2) { (kept, _) =>
+      out ++= kept.collect().map(r => (r.getLong(0), r.getDouble(3)))
+    }
+    val texts = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog", // in-model
+      11L -> "zz yy xx ww vv uu tt ss")                     // full OOV
+    mem.addData(texts: _*)
+    q.processAllAvailable()
+    q.stop()
+    val batchKept = graft.ext.Corpus.lmScore(
+      texts.toDF("doc_id", "text"), "doc_id", "text", model)
+      .filter(col("lm_score") >= -2.2)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out.toSet == batchKept.toSet)
+    assert(out.map(_._1).toSet == Set(10L)) // gibberish gated out
+  }
+
   test("streaming incremental NEAR-dup: fuzzy seen-set accumulates across batches, replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
