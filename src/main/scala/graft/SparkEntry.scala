@@ -770,7 +770,11 @@ object SparkEntry {
         F.concat(col("text"), lit(" promo banner click here now"))
           .as("text"))
       graft.ext.Dedup.removeRepeatedSpans(docs, "doc_id", "text",
-          n = 4, minDocs = 1000)
+          n = 4, minDocs = 1000,
+          // full 64-bit xxhash64 (not the mod-P minhash domain):
+          // 9.6M spans birthday-collide ~0 at 2^64, and the frozen
+          // oracle needs determinism, not md5 portability
+          hasher = (c: Column) => F.xxhash64(c))
         .agg(F.count(lit(1)).as("n_docs"),
           F.sum(graft.ext.TextAnalysis.tokenCount(col("text"))
             .cast(LongType)).as("kept"))
@@ -798,6 +802,31 @@ object SparkEntry {
         all.filter(col("doc_id") % 2000 === 0), "text", n = 8,
         hasher = graft.ext.Dedup.fastHasher)
         .agg(F.count(lit(1)).as("kept"))
+    }),
+
+    // script detection: crawls route by WRITING SYSTEM before
+    // word-level language ID (n-gram tables are per-script) — planted
+    // Cyrillic/CJK tails and one pure-Cyrillic doc must profile and
+    // dominate correctly; ranges are explicit code points so Java
+    // regex and RE2 agree
+    "x75_script_profile" -> ((s, d) => {
+      val TA = graft.ext.TextAnalysis
+      val aug = t(s, d, "documents").df.select(col("doc_id"),
+        F.when(col("doc_id") % 97 === 1,
+            lit("привет мир" +
+              " снова"))
+          .when(col("doc_id") % 5 === 0,
+            F.concat(col("text"),
+              lit(" привет мир")))
+          .when(col("doc_id") % 7 === 0,
+            F.concat(col("text"),
+              lit(" 你好世界 こんにちは")))
+          .otherwise(col("text")).as("text"))
+      aug.select(col("doc_id"),
+        TA.scriptFraction(col("text"), "latin").as("latin_frac"),
+        TA.scriptFraction(col("text"), "cyrillic").as("cyr_frac"),
+        TA.scriptFraction(col("text"), "cjk").as("cjk_frac"),
+        TA.dominantScript(col("text")).as("script"))
     }),
 
     // the WEB-CRAWL lifecycle capstone: raw HTML pages → visible-text
@@ -3924,6 +3953,51 @@ object SparkEntry {
       "SELECT CAST(147763 AS BIGINT) AS n_pairs, CAST(147763 AS BIGINT) AS planted",
     "x36_decontam_300k" ->
       "SELECT CAST(299691 AS BIGINT) AS kept",
+    "x75_script_profile" ->
+      """WITH aug AS (
+           SELECT doc_id, CASE
+             WHEN doc_id % 97 = 1 THEN 'привет мир снова'
+             WHEN doc_id % 5 = 0 THEN text || ' привет мир'
+             WHEN doc_id % 7 = 0 THEN text || ' 你好世界 こんにちは'
+             ELSE text END AS text
+           FROM documents
+         ), c AS (
+           SELECT doc_id,
+             length(text) - length(regexp_replace(text,
+               '[A-Za-z\x{00c0}-\x{024f}]', '', 'g')) AS c_lat,
+             length(text) - length(regexp_replace(text,
+               '[\x{0400}-\x{04ff}]', '', 'g')) AS c_cyr,
+             length(text) - length(regexp_replace(text,
+               '[\x{0370}-\x{03ff}]', '', 'g')) AS c_grk,
+             length(text) - length(regexp_replace(text,
+               '[\x{0600}-\x{06ff}]', '', 'g')) AS c_ara,
+             length(text) - length(regexp_replace(text,
+               '[\x{0900}-\x{097f}]', '', 'g')) AS c_dev,
+             length(text) - length(regexp_replace(text,
+               '[\x{3040}-\x{30ff}\x{4e00}-\x{9fff}\x{ac00}-\x{d7af}]',
+               '', 'g')) AS c_cjk,
+             length(regexp_replace(text, '[ \t\n\f\r]+', '', 'g')) AS nw
+           FROM aug
+         ), g AS (
+           SELECT *, greatest(c_lat, c_cyr, c_grk, c_ara, c_dev, c_cjk)
+             AS top FROM c
+         )
+         SELECT doc_id,
+           CASE WHEN nw = 0 THEN 0.0
+             ELSE CAST(c_lat AS DOUBLE) / nw END AS latin_frac,
+           CASE WHEN nw = 0 THEN 0.0
+             ELSE CAST(c_cyr AS DOUBLE) / nw END AS cyr_frac,
+           CASE WHEN nw = 0 THEN 0.0
+             ELSE CAST(c_cjk AS DOUBLE) / nw END AS cjk_frac,
+           CASE WHEN c_lat = top AND top > 0 THEN 'latin'
+             WHEN c_cyr = top AND top > 0 THEN 'cyrillic'
+             WHEN c_grk = top AND top > 0 THEN 'greek'
+             WHEN c_ara = top AND top > 0 THEN 'arabic'
+             WHEN c_dev = top AND top > 0 THEN 'devanagari'
+             WHEN c_cjk = top AND top > 0 THEN 'cjk'
+             ELSE 'unknown' END AS script
+         FROM g""",
+
     "x72_crawl_lifecycle" ->
       """WITH aug AS (
            SELECT doc_id,

@@ -575,12 +575,13 @@ object Dedup {
     */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 8, minDocs: Long = 2,
-                          keepFirst: Boolean = false): DataFrame = {
+                          keepFirst: Boolean = false,
+                          hasher: Column => Column = h60(_)): DataFrame = {
     val spans = ensureParallelism(df)
       .select(col(idCol),
         F.posexplode(F.transform(
           shinglesFromTokens(tokens(col(textCol)), F.trim(col(textCol)), n),
-          s => h60(s))).as(Seq("pos", "sh")))
+          s => hasher(s))).as(Seq("pos", "sh")))
     val rep = spans.select(col(idCol), col("sh")).distinct()
       .groupBy("sh")
       .agg(F.count(lit(1)).as("nd"), F.min(idCol).as("_first_doc"))

@@ -187,6 +187,52 @@ object TextAnalysis {
       .otherwise(hits.cast(DoubleType) / F.size(tokens(text)))
   }
 
+  // ---- script detection -------------------------------------------------
+  /** Unicode-script character classes as EXPLICIT code-point ranges —
+    * `\p{Script=Han}` spells differently under Java regex and RE2,
+    * `\x{...}` ranges parse identically in both, so the fractions
+    * reproduce in any engine. Coarse blocks (the routing signal needs
+    * "which writing system", not full Unicode property fidelity).
+    */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{00c0}-\\x{024f}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04ff}]",
+    "greek" -> "[\\x{0370}-\\x{03ff}]",
+    "arabic" -> "[\\x{0600}-\\x{06ff}]",
+    "devanagari" -> "[\\x{0900}-\\x{097f}]",
+    // Hiragana/Katakana + unified CJK + Hangul syllables
+    "cjk" -> "[\\x{3040}-\\x{30ff}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7af}]")
+
+  private def countMatching(text: Column, cls: String): Column =
+    F.length(text) - F.length(F.regexp_replace(text, cls, ""))
+
+  /** Fraction of non-whitespace characters in a script class — crawls
+    * route by writing system BEFORE word-level language ID (langId's
+    * n-gram tables are per-script; a CJK page scored against Latin
+    * trigrams is noise). Pure scan expression; blank text → 0.
+    */
+  def scriptFraction(text: Column, script: String): Column = {
+    val cls = scriptRanges.toMap.getOrElse(script,
+      throw new IllegalArgumentException(
+        s"unknown script '$script' (have ${scriptRanges.map(_._1).mkString(", ")})"))
+    val nonWs = F.length(F.regexp_replace(text, "[ \\t\\n\\f\\r]+", ""))
+    when(nonWs === 0, lit(0.0))
+      .otherwise(countMatching(text, cls).cast(DoubleType) / nonWs)
+  }
+
+  /** Dominant script name by character count ("unknown" when no
+    * class matches); ties break in `scriptRanges` order — the same
+    * deterministic ladder the oracle mirrors.
+    */
+  def dominantScript(text: Column): Column = {
+    val counts = scriptRanges.map { case (n, cls) =>
+      n -> countMatching(text, cls) }
+    val top = F.greatest(counts.map(_._2): _*)
+    counts.foldRight(lit("unknown"): Column) { case ((n, c), acc) =>
+      when(c === top && top > 0, lit(n)).otherwise(acc)
+    }
+  }
+
   /** Composite quality: prefers 50..1000 tokens, mean token length
     * 3..10, high alnum ratio. Clamped linear pieces, all portable.
     */

@@ -2974,10 +2974,11 @@ object Interp {
         case "float" | "mean" | "avg" | "stddev" | "median" | "pi" |
              "random" | "product" | "approx_product" |
              "quality_score" | "garbage_ratio" | "type_token_ratio" |
-             "stopword_frac" | "alpha_word_frac" => Some(DoubleType)
+             "stopword_frac" | "alpha_word_frac" | "script_frac" =>
+          Some(DoubleType)
         case "lang_id" | "fingerprint" | "redact_pii" |
-             "normalize_text" | "fold_accents" | "strip_html" =>
-          Some(StringType)
+             "normalize_text" | "fold_accents" | "strip_html" |
+             "dominant_script" => Some(StringType)
         case "bool" | "str_contains" => Some(BooleanType)
         case "iif" if args.length == 3 =>
           inferType(args(1).value, schema)
@@ -3286,6 +3287,10 @@ object Interp {
         graft.ext.TextAnalysis.stopwordFraction(a(0))
       case "alpha_word_frac" => arity(1)
         graft.ext.TextAnalysis.alphaWordFraction(a(0))
+      case "script_frac" => arity(2)
+        graft.ext.TextAnalysis.scriptFraction(a(0), litString(args(1).value))
+      case "dominant_script" => arity(1)
+        graft.ext.TextAnalysis.dominantScript(a(0))
       case "url_domains" => arity(1)
         graft.ext.TextAnalysis.urlDomains(a(0))
       case "year" => arity(1); PF.year(a(0))

@@ -857,6 +857,37 @@ class ExtSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("script detection: fractions over non-whitespace chars, dominant with deterministic ties") {
+    val df = Seq(
+      (1L, "hello world"),              // pure latin: 10 letters / 10
+      (2L, "привет мир"),               // pure cyrillic
+      (3L, "hello мир"),                // latin 5, cyrillic 3 → latin
+      (4L, "你好 こんにちは"),            // cjk
+      (5L, "12345 !!!"),                // no script chars → unknown
+      (6L, ""),
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.scriptFraction(col("text"), "latin").as("lat"),
+        TextAnalysis.scriptFraction(col("text"), "cyrillic").as("cyr"),
+        TextAnalysis.dominantScript(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1.0 else r.getDouble(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2),
+          r.getString(3)))).toMap
+    assert(out(1L) == ((1.0, 0.0, "latin")))
+    assert(out(2L) == ((0.0, 1.0, "cyrillic")))
+    assert(out(3L)._1 == 5.0 / 8 && out(3L)._2 == 3.0 / 8 &&
+      out(3L)._3 == "latin")
+    assert(out(4L)._3 == "cjk")
+    assert(out(5L) == ((0.0, 0.0, "unknown")))
+    assert(out(6L) == ((0.0, 0.0, "unknown")))
+    assert(out(7L)._1 == -1.0 && out(7L)._2 == -1.0) // null text → null
+    intercept[IllegalArgumentException] {
+      TextAnalysis.scriptFraction(col("text"), "klingon")
+    }
+  }
+
   test("Gopher lexical signals: hand-computed ratios, degenerate docs fail the gate") {
     val df = Seq(
       (1L, "a a a a"),                       // spam: 1 distinct / 4
