@@ -1407,6 +1407,12 @@ class LangSpec extends SparkSpec {
       .df.head
     assert(gop.getDouble(1) == 0.6 && gop.getDouble(2) == 0.8 &&
       gop.getDouble(3) == 1.0)
+    // script routing scalars
+    val scr = Interp.run(spark,
+      """rows = [{id: 1, t: "hello мир"}]
+        |rows {id, f: script_frac(t, "latin"), s: dominant_script(t)}"""
+        .stripMargin).df.head
+    assert(scr.getDouble(1) == 5.0 / 8 && scr.getString(2) == "latin")
     // lm_score trains on the ref table and scores in one call
     val lm = Interp.run(spark,
       """ref = [{id: 1, t: "a b a b a c"}]
