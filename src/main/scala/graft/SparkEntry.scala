@@ -2145,6 +2145,20 @@ object SparkEntry {
           |join(h: hits.doc_id, d: documents.doc_id) {doc_id: h.doc_id, score: h.score, source: d.source} order {^score, doc_id}""".stripMargin,
         "documents" -> t(s, d, "documents")).df),
 
+    // the crawl-hygiene scalars composed IN the language: HTML strip
+    // feeds the Gopher stopword/alpha gate and script routing, then an
+    // ordinary group-by — exercises the interpreter path of the whole
+    // round-7 scalar family under one oracle
+    "ql39_lang_crawl" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """pages = documents {doc_id, raw: "<p>" + text + "</p><script>x()</script>"}
+          |txt = pages {doc_id, t: strip_html(raw)}
+          |sig = txt {doc_id, scr: dominant_script(t), sf: stopword_frac(t),
+          |           af: alpha_word_frac(t), ttr: type_token_ratio(t)}
+          |sig[af >= 0.8] {scr => n: count(), hi_ttr: count_true(ttr > 0.5)}
+          |""".stripMargin,
+        "documents" -> t(s, d, "documents")).df),
+
     // cross-document line dedup IN the language, composed with an
     // ordinary selection + global aggregation over the cleaned corpus
     "ql34_lang_linededup" -> ((s, d) =>
@@ -4187,6 +4201,67 @@ object SparkEntry {
          UNION ALL SELECT 'ivf_deep', 8531, 10000, CAST(0.8531 AS DOUBLE)""",
 
     "x56_bm25_search" -> bm25OracleSql(Seq("spark", "join", "vector"), 20),
+
+    "ql39_lang_crawl" ->
+      """WITH pages AS (
+           SELECT doc_id,
+             '<p>' || text || '</p><script>x()</script>' AS raw
+           FROM documents
+         ), txt AS (
+           SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(raw, '(?s)<!--.*?-->', ' ', 'g'),
+                       '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                     '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                   '</?[A-Za-z!][^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+                 '&amp;', '&'),
+               '[ \t\n\f\r]+', ' ', 'g')) AS t
+           FROM pages
+         ), tok AS (
+           SELECT doc_id, t,
+             regexp_split_to_array(trim(t), '\s+') AS tks,
+             length(t) - length(regexp_replace(t,
+               '[A-Za-z\x{00c0}-\x{024f}]', '', 'g')) AS c_lat,
+             length(t) - length(regexp_replace(t,
+               '[\x{0400}-\x{04ff}]', '', 'g')) AS c_cyr,
+             length(t) - length(regexp_replace(t,
+               '[\x{0370}-\x{03ff}]', '', 'g')) AS c_grk,
+             length(t) - length(regexp_replace(t,
+               '[\x{0600}-\x{06ff}]', '', 'g')) AS c_ara,
+             length(t) - length(regexp_replace(t,
+               '[\x{0900}-\x{097f}]', '', 'g')) AS c_dev,
+             length(t) - length(regexp_replace(t,
+               '[\x{3040}-\x{30ff}\x{4e00}-\x{9fff}\x{ac00}-\x{d7af}]',
+               '', 'g')) AS c_cjk
+           FROM txt
+         ), sig AS (
+           SELECT doc_id,
+             CASE WHEN c_lat = top AND top > 0 THEN 'latin'
+               WHEN c_cyr = top AND top > 0 THEN 'cyrillic'
+               WHEN c_grk = top AND top > 0 THEN 'greek'
+               WHEN c_ara = top AND top > 0 THEN 'arabic'
+               WHEN c_dev = top AND top > 0 THEN 'devanagari'
+               WHEN c_cjk = top AND top > 0 THEN 'cjk'
+               ELSE 'unknown' END AS scr,
+             CASE WHEN trim(t) = '' THEN 0.0
+               ELSE CAST(len([x for x in tks
+                 if regexp_matches(x, '[A-Za-z]')]) AS DOUBLE) / len(tks)
+             END AS af,
+             CASE WHEN trim(t) = '' THEN 0.0
+               ELSE CAST(len(list_distinct(tks)) AS DOUBLE) / len(tks)
+             END AS ttr
+           FROM (SELECT *, greatest(c_lat, c_cyr, c_grk, c_ara, c_dev,
+                   c_cjk) AS top FROM tok)
+         )
+         SELECT scr, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE ttr > 0.5) AS BIGINT) AS hi_ttr
+         FROM sig WHERE af >= 0.8 GROUP BY scr""",
 
     "ql38_lang_search" ->
       s"""WITH hits AS (
