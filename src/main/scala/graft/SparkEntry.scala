@@ -1139,6 +1139,21 @@ object SparkEntry {
         .project("n_nationkey", "n_name").orderBy("n_nationkey").df
     }),
 
+    // sharded JSONL training export: write documents as shard=K JSONL,
+    // read back and roll up per shard — counts and id checksums must
+    // equal shardAssign's (the layout IS the assignment)
+    "x76_jsonl_shards" -> ((s, d) => {
+      val out = runScratch("jsonl", d)
+      val docs = t(s, d, "documents").df.select(col("doc_id"), col("text"))
+      graft.ext.Corpus.writeJsonlShards(docs, col("doc_id"), out, 8)
+      // group by the DIRECTORY-derived partition value: the rollup
+      // checks rows physically landed in their assigned shard dirs,
+      // not just that they survived the roundtrip
+      s.read.json(out)
+        .groupBy(col("shard").cast(LongType).as("shard"))
+        .agg(F.count(lit(1)).as("n_docs"), F.sum("doc_id").as("id_sum"))
+    }),
+
     "q49_json_roundtrip" -> ((s, d) => {
       val out = runScratch("json", d)
       t(s, d, "region").df.coalesce(1).write.mode("overwrite").json(out)
@@ -5270,6 +5285,13 @@ object SparkEntry {
          )
          SELECT f.doc_id FROM firsts f
          LEFT JOIN idx i ON f.fp = i.fp WHERE i.fp IS NULL""",
+
+    "x76_jsonl_shards" ->
+      """SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+             1, 15))::BIGINT % 8 AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM documents GROUP BY 1""",
 
     "x41_shuffle_shards" ->
       """WITH h AS (

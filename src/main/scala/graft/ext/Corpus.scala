@@ -605,6 +605,24 @@ object Corpus {
       .drop("_ord")
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
 
+  /** Sharded JSONL export — the standard interchange format training
+    * loaders read. Same deterministic layout contract as
+    * `writeShards` (md5-mod shard = the global permutation without a
+    * global sort; in-shard md5 order; exactly ONE Exchange), written
+    * as `shard=K/part-*.json` with one JSON object per line. Spark's
+    * json sink IS JSONL per part file, so this is the parquet writer
+    * swapped for the line-oriented one — nothing bespoke to maintain.
+    */
+  def writeJsonlShards(df: DataFrame, key: Column, dir: String,
+                       nShards: Int): Unit =
+    shardAssign(df, key, nShards)
+      .withColumn("_ord",
+        TextAnalysis.h60(F.concat(F.lit("ord:"), key.cast("string"))))
+      .repartition(nShards, F.col("shard"))
+      .sortWithinPartitions("shard", "_ord")
+      .drop("_ord")
+      .write.mode("overwrite").partitionBy("shard").json(dir)
+
   /** Sequence packing, concat-and-split attribution: documents are
     * laid out contiguously in `order` and cut every `budget` tokens;
     * a document belongs to the sequence where it STARTS
