@@ -389,8 +389,11 @@ object Corpus {
       : Column = {
     val grams = benchGramSet(bench, benchTextCol, n, hasher)
     val words = F.typedlit(bloomWords(grams, nBits, k).toSeq)
-    !F.exists(gramHashes(text, n, hasher),
-      gh => bloomHit(gh, words, nBits, k))
+    // coalesce: null text → null gram array → null exists → a bare
+    // filter would silently DROP the doc, where the exact path's
+    // anti-join keeps it (null text cannot be contaminated)
+    F.coalesce(!F.exists(gramHashes(text, n, hasher),
+      gh => bloomHit(gh, words, nBits, k)), F.lit(true))
   }
 
   def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,

@@ -474,7 +474,12 @@ object Similarity {
     val cents = spark.read.parquet(dir + "/centroids").collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
       .sortBy(_._1)
-    newVecs.select(col(idCol), col(vecCol),
+    // bind to the INDEX'S column names (parquet appends by name — a
+    // caller whose id/vec names differ from the build call would
+    // otherwise write a disjoint schema the search can't read)
+    val listCols = spark.read.parquet(dir + "/lists").schema.fieldNames
+      .filter(_ != "centroid_id")
+    newVecs.select(col(idCol).as(listCols(0)), col(vecCol).as(listCols(1)),
         assignId(cents, vecCol).as("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(dir + "/lists")

@@ -996,6 +996,13 @@ class ExtSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Corpus.bloomWords(bench.select(lit(1L).as("gh")), 100)
     }
+    // null text is KEPT (matches the exact path's anti-join; a bare
+    // filter on the null exists() would silently drop it)
+    val withNull = Seq((500L, null.asInstanceOf[String]), (501L, "ok doc"))
+      .toDF("doc_id", "text")
+    val nk = Corpus.decontaminateBloom(withNull, "doc_id", "text", bench,
+      "btext", n = 8).collect().map(_.getLong(0)).toSet
+    assert(nk == Set(500L, 501L))
   }
 
   test("redactPii: planted spans redacted, counts match, idempotent, clean text untouched") {
