@@ -89,9 +89,12 @@ object Repl {
     "train_split", "chunk_docs", "pack_sequences",
     "repetition_signals", "decontaminate", "weighted_sample",
     "line_dedup", "mix_corpus", "semantic_dedup", "shard_assign",
-    "repeated_spans", "contamination_score", "span_dup_frac",
+    "repeated_spans", "remove_repeated_spans", "contamination_score",
+    "span_dup_frac", "decontaminate_bloom", "lm_score",
     "bm25_search", "top_terms", "top_tokens", "freq_tokens",
-    "normalize_text", "fold_accents", "url_domains")
+    "normalize_text", "fold_accents", "url_domains", "strip_html",
+    "type_token_ratio", "stopword_frac", "alpha_word_frac",
+    "script_frac", "dominant_script")
 
   /** The position of the innermost still-open `{` or `[` (outside
     * strings/comments), or -1 — its base expression scopes completion
