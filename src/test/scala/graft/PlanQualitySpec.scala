@@ -632,6 +632,12 @@ class PlanQualitySpec extends SparkSpec {
       s"lexical signals must not shuffle:\n$p")
   }
 
+  test("script profile computes as a pure scan projection (no shuffle)") {
+    val p = planOf("x75_script_profile")
+    assert(!p.contains("Exchange"),
+      s"script detection must not shuffle:\n$p")
+  }
+
   test("LM scoring: broadcast model joins, partial-agg rollup, no all-pairs") {
     val p = planOf("x69_lm_score")
     assert(p.contains("BroadcastHashJoin"),
