@@ -535,6 +535,12 @@ object SparkEntry {
       graft.ext.Search.bm25Search(t(s, d, "documents").df,
         "doc_id", "text", Seq("spark", "join", "vector"), 20)),
 
+    // conjunctive (AND) BM25: only docs containing EVERY query term
+    // rank — same corpus-wide statistics, restricted candidate set
+    "x77_bm25_all" -> ((s, d) =>
+      graft.ext.Search.bm25Search(t(s, d, "documents").df,
+        "doc_id", "text", Seq("spark", "join"), 15, requireAll = true)),
+
     // TF-IDF keyword extraction: 3 most distinctive terms per doc
     "x57_top_terms" -> ((s, d) =>
       graft.ext.Search.topTermsPerDoc(t(s, d, "documents").df,
@@ -2881,10 +2887,15 @@ object SparkEntry {
     * Search.bm25Search's EXACT association order (rational idf,
     * left-to-right term sum; see Search.scala's determinism note).
     */
-  private def bm25OracleSql(queryTerms: Seq[String], k: Int): String = {
+  private def bm25OracleSql(queryTerms: Seq[String], k: Int,
+                            requireAll: Boolean = false): String = {
     // mirror the engine's SET semantics: bm25Search collapses
     // duplicate query terms, so the oracle must score each term once
     val terms = queryTerms.distinct
+    val gate =
+      if (requireAll)
+        terms.indices.map(i => s"f.tf_$i > 0").mkString(" AND ", " AND ", "")
+      else ""
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(tok, x -> x = '$t')) AS tf_$i"
     }.mkString(",\n             ")
@@ -2911,7 +2922,7 @@ object SparkEntry {
          SELECT doc_id, score FROM (
            SELECT f.doc_id,
              round($scoreTerms, 6) AS score
-           FROM f CROSS JOIN st
+           FROM f CROSS JOIN st WHERE 1 = 1$gate
          ) WHERE score > 0
          ORDER BY score DESC, doc_id LIMIT $k"""
   }
@@ -4216,6 +4227,8 @@ object SparkEntry {
          UNION ALL SELECT 'ivf_deep', 8531, 10000, CAST(0.8531 AS DOUBLE)""",
 
     "x56_bm25_search" -> bm25OracleSql(Seq("spark", "join", "vector"), 20),
+    "x77_bm25_all" ->
+      bm25OracleSql(Seq("spark", "join"), 15, requireAll = true),
 
     "ql39_lang_crawl" ->
       """WITH pages AS (

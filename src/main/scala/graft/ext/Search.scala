@@ -83,7 +83,8 @@ object Search {
   def bm25Search(df: DataFrame, idCol: String, textCol: String,
                  queryTerms: Seq[String], k: Int,
                  k1: Double = 1.2, b: Double = 0.75,
-                 classicIdf: Boolean = false): DataFrame = {
+                 classicIdf: Boolean = false,
+                 requireAll: Boolean = false): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Search: empty query")
     val terms = queryTerms.distinct
     val fCols = col(idCol) +: F.size(tokens(col(textCol))).as("dl") +:
@@ -99,7 +100,16 @@ object Search {
     val score = bm25ScoreExpr(terms.length,
       i => col(s"tf_$i"), i => col(s"df_$i"), col("dl"),
       col("n_docs"), col("sdl"), k1, b, classicIdf)
+    // conjunctive (AND) mode gates on every term present; corpus
+    // statistics stay corpus-wide either way (the standard BM25-AND:
+    // same scores, restricted candidate set) — still a pure scan
+    // predicate, no extra shuffle
+    val gate =
+      if (requireAll)
+        terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ && _)
+      else lit(true)
     feat.crossJoin(F.broadcast(stats))
+      .filter(gate)
       .select(col(idCol), F.round(score, 6).as("score"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col(idCol))

@@ -1805,16 +1805,17 @@ object Interp {
         // whitespace-separated string literal (plan-build-time
         // constants — that is what makes the scan zero-shuffle)
         case "bm25_search" =>
-          if (args.length != 5)
+          if (args.length < 5 || args.length > 6)
             throw new TypeError(
-              "bm25_search(t, \"id_col\", \"text_col\", \"terms\", k)")
+              "bm25_search(t, \"id_col\", \"text_col\", \"terms\", k, all?)")
           val terms = litString(args(3).value).trim.split("\\s+").toSeq
             .filter(_.nonEmpty)
           if (terms.isEmpty)
             throw new graft.types.ValueError("bm25_search: empty query")
+          val all = args.length == 6 && constBool(args(5).value)
           PTable(graft.ext.Search.bm25Search(t(args(0).value).df,
             litString(args(1).value), litString(args(2).value),
-            terms, constLong(args(4).value).toInt))
+            terms, constLong(args(4).value).toInt, requireAll = all))
         case "top_terms" =>
           if (args.length != 4)
             throw new TypeError(

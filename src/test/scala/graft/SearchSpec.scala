@@ -177,6 +177,26 @@ class SearchSpec extends SparkSpec {
     assert(out.toSeq == Seq("Cafe Zurich naive", "plain ascii"))
   }
 
+  test("bm25 conjunctive mode: only all-term docs rank, scores unchanged") {
+    import graft.ext.Search
+    val docs = Seq(
+      (1L, "spark joins the batch"),      // "spark" yes, "joins" != "join"
+      (2L, "spark join spark join here"), // both
+      (3L, "spark only here"),            // one
+      (4L, "join only here"),             // one
+      (5L, "neither word present")).toDF("doc_id", "text")
+    val both = Search.bm25Search(docs, "doc_id", "text",
+      Seq("spark", "join"), 10, requireAll = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(both.map(_._1).toSeq == Seq(2L))
+    val any = Search.bm25Search(docs, "doc_id", "text",
+      Seq("spark", "join"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // conjunctive hits keep their disjunctive scores (same stats)
+    assert(both.forall { case (id, s) => any(id) == s })
+    assert(any.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("strip_html extracts visible text") {
     import graft.ext.TextAnalysis
     def strip(s: String): String =
