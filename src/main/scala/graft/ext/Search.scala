@@ -231,7 +231,8 @@ object Search {
   def searchIndex(spark: SparkSession, dir: String,
                   queryTerms: Seq[String], k: Int,
                   k1: Double = 1.2, b: Double = 0.75,
-                  classicIdf: Boolean = false): DataFrame = {
+                  classicIdf: Boolean = false,
+                  requireAll: Boolean = false): DataFrame = {
     require(queryTerms.nonEmpty, "searchIndex: empty query")
     val terms = queryTerms.distinct
     val stats = spark.read.parquet(dir + "/stats")
@@ -262,7 +263,17 @@ object Search {
       i => F.coalesce(col(s"tf_$i"), lit(0L)),
       i => F.coalesce(col(s"df_$i"), lit(0L)),
       col("dl"), col("n_docs"), col("sdl"), k1, b, classicIdf)
+    // conjunctive gate mirrors bm25Search's: every term's (coalesced)
+    // tf must be positive — bit-identical candidate set to the direct
+    // scan path in AND mode
+    val gate =
+      if (requireAll)
+        terms.indices
+          .map(i => F.coalesce(col(s"tf_$i"), lit(0L)) > 0)
+          .reduce(_ && _)
+      else lit(true)
     pivoted.crossJoin(F.broadcast(stats))
+      .filter(gate)
       .select(col("doc_id"), F.round(score, 6).as("score"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))

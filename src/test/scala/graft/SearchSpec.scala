@@ -68,6 +68,15 @@ class SearchSpec extends SparkSpec {
       val indexed = Search.searchIndex(spark, dir, terms, 30)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(direct == indexed)
+      // conjunctive mode agrees bit-for-bit too
+      val directAll = Search.bm25Search(docs, "doc_id", "text", terms, 30,
+        requireAll = true)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val indexedAll = Search.searchIndex(spark, dir, terms, 30,
+        requireAll = true)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(directAll == indexedAll)
+      assert(directAll.map(_._1).toSet.subsetOf(direct.map(_._1).toSet))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(dir))
