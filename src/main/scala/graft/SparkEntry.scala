@@ -541,6 +541,64 @@ object SparkEntry {
       graft.ext.Search.bm25Search(t(s, d, "documents").df,
         "doc_id", "text", Seq("spark", "join"), 15, requireAll = true)),
 
+    // ---- ext: link-graph analytics (Graph) --------------------------------
+    // PageRank over a deterministic 400-domain link graph derived from
+    // documents (2 out-links per doc): crawl-frontier prioritization.
+    // Fixed 6 power iterations, damping 0.85 — deterministic, so the
+    // oracle replays the exact iteration as an unrolled CTE chain.
+    "x78_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val e = docs.select((col("doc_id") % 400).as("src"),
+          ((col("doc_id") * 31 + 7) % 400).as("dst"))
+        .unionAll(docs.select((col("doc_id") % 400).as("src"),
+          ((col("doc_id") * 17 + 3) % 400).as("dst")))
+      graft.rec.Graph.pageRank(e, iters = 6, damping = 0.85)
+        .select(col("node"), F.round(col("rank"), 6).as("rank"))
+    }),
+
+    // PageRank at scale: 1M-edge hub+ring graph (every node links to
+    // the hub and to its ring successor; the hub is dangling), forced
+    // through the DISTRIBUTED power iteration (driverLimit = 0). The
+    // symmetry gives closed-form truth: all non-hub nodes stay exactly
+    // equal (each receives ONE ring contribution — identical double
+    // ops), and the hub follows the scalar recurrence h' = base +
+    // d·N·(r/2) up to summation-tree reordering (1e-9 relative
+    // tolerance). Output is three scale-invariant booleans, so —
+    // like x62 — the oracle never needs re-capture when probeScale
+    // or the testdata changes.
+    "x79_pagerank_1m" -> ((s, d) => {
+      val n = scaled(500000)
+      val iters = 5
+      val ids = s.range(1, n + 1).toDF("i")
+      val edges = ids.select(col("i").as("src"), lit(0L).as("dst"))
+        .unionAll(ids.select(col("i").as("src"),
+          ((col("i") % n) + 1).as("dst")))
+      val pr = graft.rec.Graph.pageRank(edges, iters = iters,
+        damping = 0.85, driverLimit = 0)
+      // scalar recurrence (same arithmetic as the engine per node)
+      val nn = (n + 1).toDouble
+      val base = (1.0 - 0.85) / nn
+      var r = 1.0 / nn
+      var h = r
+      for (_ <- 1 to iters) {
+        val nr = base + 0.85 * (0.5 * r)
+        h = base + 0.85 * (n.toDouble * (0.5 * r))
+        r = nr
+      }
+      pr.agg(
+          F.max(F.when(col("node") === 0, col("rank"))).as("hub"),
+          F.max(F.when(col("node") =!= 0, col("rank"))).as("leaf_max"),
+          F.min(F.when(col("node") =!= 0, col("rank"))).as("leaf_min"),
+          F.count(lit(1)).as("n_nodes"))
+        .select(
+          (F.abs(col("hub") - h) < lit(h * 1e-9)).as("hub_ok"),
+          (col("leaf_max") === col("leaf_min") &&
+            F.abs(col("leaf_max") - r) < lit(r * 1e-9))
+            .as("leaves_uniform"),
+          (col("hub") > col("leaf_max") * 1000).as("hub_dominates"),
+          (col("n_nodes") === (n + 1)).as("nodes_complete"))
+    }),
+
     // TF-IDF keyword extraction: 3 most distinctive terms per doc
     "x57_top_terms" -> ((s, d) =>
       graft.ext.Search.topTermsPerDoc(t(s, d, "documents").df,
@@ -2170,6 +2228,18 @@ object SparkEntry {
     // feeds the Gopher stopword/alpha gate and script routing, then an
     // ordinary group-by — exercises the interpreter path of the whole
     // round-7 scalar family under one oracle
+    // PageRank in the language: edge synthesis, graph iteration, and
+    // top-k ranking composing as plain stages — the crawl-frontier
+    // "which domains matter" question end to end
+    "ql40_lang_pagerank" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """e1 = documents {src: doc_id % 400, dst: (doc_id*31 + 7) % 400}
+          |e2 = documents {src: doc_id % 400, dst: (doc_id*17 + 3) % 400}
+          |pr = page_rank(e1 + e2, 6, 0.85)
+          |pr {node, r: round(rank, 6)} order {^r, node} [..10]
+          |""".stripMargin,
+        "documents" -> t(s, d, "documents")).df),
+
     "ql39_lang_crawl" -> ((s, d) =>
       graft.lang.Interp.run(s,
         """pages = documents {doc_id, raw: "<p>" + text + "</p><script>x()</script>"}
@@ -2879,6 +2949,49 @@ object SparkEntry {
            CAST(sum(e.label) AS BIGINT) AS label_sum
          FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
          GROUP BY a.centroid_id"""
+  }
+
+  /** x78: PageRank oracle — the fixed-iteration power method unrolled
+    * as a CTE chain (pr0 → pr6), mirroring Graph.pageRank's exact
+    * arithmetic: rank' = (1-d)/N + d·Σ rank·(1/outdeg), dangling mass
+    * dropped, multi-edges contributing per occurrence. Every constant
+    * is CAST to DOUBLE so DuckDB never routes through DECIMAL, and the
+    * output is ROUND 6 (double sum order differs across engines).
+    */
+  private def pageRankOracleSql(mod: Int, iters: Int,
+                                damping: Double): String = {
+    val d = s"CAST($damping AS DOUBLE)"
+    val prs = (1 to iters).map { i =>
+      s"""pr$i AS (
+           SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - $d)/nn.n + $d*COALESCE(c.contrib,
+               CAST(0.0 AS DOUBLE)) AS rank
+           FROM nodes n CROSS JOIN nn
+           LEFT JOIN (SELECT w.dst AS node,
+                        sum(p.rank * w.invdeg) AS contrib
+                      FROM pr${i - 1} p JOIN ew w ON p.node = w.src
+                      GROUP BY w.dst) c ON n.node = c.node)"""
+    }.mkString(", ")
+    s"""WITH edges AS (
+         SELECT doc_id % $mod AS src, (doc_id*31+7) % $mod AS dst
+         FROM documents
+         UNION ALL
+         SELECT doc_id % $mod AS src, (doc_id*17+3) % $mod AS dst
+         FROM documents
+       ), nodes AS (
+         SELECT DISTINCT node FROM (
+           SELECT src AS node FROM edges
+           UNION ALL SELECT dst AS node FROM edges)
+       ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       deg AS (SELECT src, CAST(1.0 AS DOUBLE)/CAST(count(*) AS DOUBLE)
+                 AS invdeg
+               FROM edges GROUP BY src),
+       ew AS (SELECT e.src, e.dst, d.invdeg
+              FROM edges e JOIN deg d ON e.src = d.src),
+       pr0 AS (SELECT node, CAST(1.0 AS DOUBLE)/nn.n AS rank
+               FROM nodes CROSS JOIN nn),
+       $prs
+       SELECT node, ROUND(rank, 6) AS rank FROM pr$iters"""
   }
 
   /** x56/x61: BM25 oracle composed per (terms, k) — the index-backed
@@ -4229,6 +4342,18 @@ object SparkEntry {
     "x56_bm25_search" -> bm25OracleSql(Seq("spark", "join", "vector"), 20),
     "x77_bm25_all" ->
       bm25OracleSql(Seq("spark", "join"), 15, requireAll = true),
+
+    "x78_pagerank" -> pageRankOracleSql(400, 6, 0.85),
+
+    "ql40_lang_pagerank" ->
+      (s"SELECT node, rank AS r FROM (${pageRankOracleSql(400, 6, 0.85)})" +
+        " ORDER BY r DESC, node LIMIT 10"),
+
+    // scale-invariant planted truth (see the query comment): valid at
+    // every probeScale, never needs re-capture
+    "x79_pagerank_1m" ->
+      """SELECT TRUE AS hub_ok, TRUE AS leaves_uniform,
+                TRUE AS hub_dominates, TRUE AS nodes_complete""",
 
     "ql39_lang_crawl" ->
       """WITH pages AS (

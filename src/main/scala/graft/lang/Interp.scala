@@ -1532,7 +1532,8 @@ object Interp {
       "join", "leftjoin", "outerjoin", "joinall", "distinct", "limit",
       "enum", "list", "temptable", "sample_ratio_fast", "sample_fast",
       "page", "tables", "names", "columns", "env_vars", "bfs",
-      "walk_tree", "graph.bfs", "graph.walk_tree", "SQL", "char_range",
+      "walk_tree", "graph.bfs", "graph.walk_tree", "page_rank",
+      "graph.page_rank", "SQL", "char_range",
       "limit_offset", "table_concat", "table_union", "table_intersect",
       "table_substract", "table_subtract", "force_eval", "describe",
       "zipjoin", "zipjoin_left", "zipjoin_longest", "map_range",
@@ -2168,6 +2169,17 @@ object Interp {
           PTable(graft.rec.Graph.walkTree(t(args.head.value).df,
             initDf, constLong(args(2).value).toInt)
             .select(col("node").as("id"), col("rank")))
+        case "page_rank" | "graph.page_rank" =>
+          // page_rank(edges, iters?, damping?) — edges must expose
+          // (src, dst); returns (node, rank)
+          if (args.isEmpty || args.length > 3)
+            throw new TypeError("page_rank(edges, iters?, damping?)")
+          val iters =
+            if (args.length >= 2) constLong(args(1).value).toInt else 10
+          val damping =
+            if (args.length == 3) constDouble(args(2).value) else 0.85
+          PTable(graft.rec.Graph.pageRank(t(args.head.value).df,
+            iters, damping))
         case other => throw new NameError(s"unknown table function '$other'")
       }
     }

@@ -104,6 +104,114 @@ object Graph {
     visited
   }
 
+  /** PageRank by power iteration — link-graph analytics for crawl
+    * prioritization (which domains/pages matter enough to fetch,
+    * keep, or upsample). Column contract: edges(src, dst); output
+    * (node, rank). Multi-edges count once per occurrence (a page
+    * linking twice contributes twice, matching a raw link table).
+    *
+    * Semantics: the classic simplified formulation (Page et al. 1999,
+    * and the canonical Spark example) — rank' = (1-d)/N + d * Σ
+    * rank(in)/outdeg(in); mass at dangling nodes (no out-links) is
+    * dropped rather than redistributed, so Σ rank < 1 when dangling
+    * nodes exist. Fixed `iters`, no convergence test: the result is a
+    * deterministic function of the graph, which is what makes it
+    * oracle-checkable.
+    *
+    * Scale design (the graph is the big thing, ranks are node-sized):
+    *  - edges are persisted ONCE with 1/outdeg pre-joined — the
+    *    per-iteration work never recomputes degrees;
+    *  - each iteration is one shuffle join (node-sized ranks into the
+    *    edge table — AQE broadcasts it when small), one partial-agg
+    *    groupBy(dst), and one node-sized left join;
+    *  - ranks are materialized per iteration (localCheckpoint +
+    *    rebuild) so the plan stays O(1) in `iters`, not O(iters) —
+    *    and the checkpointed frame is 16 bytes/node, the cheap case
+    *    of CLAUDE.md's checkpoint economics;
+    *  - graphs under `driverLimit` edges finish driver-side: one
+    *    collect + array-indexed scalar loop (zero jobs per iteration)
+    *    — identical arithmetic, same as the bfs shortcut.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
+               driverLimit: Long = -1): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = edges.sparkSession
+    import org.apache.spark.sql.types.DoubleType
+    val e = edges.select(F.col("src"), F.col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dl =
+      if (driverLimit >= 0) driverLimit
+      else graft.GraftConf.graphDriverLimit(spark)
+    val nEdges = e.count()
+    if (nEdges <= dl) {
+      // Driver path: same math, array-indexed.
+      val rows = e.collect()
+      val idx = scala.collection.mutable.LinkedHashMap[Any, Int]()
+      def id(n: Any): Int = idx.getOrElseUpdate(n, idx.size)
+      val srcs = new Array[Int](rows.length)
+      val dsts = new Array[Int](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        srcs(i) = id(rows(i).get(0)); dsts(i) = id(rows(i).get(1)); i += 1
+      }
+      e.unpersist()
+      val n = idx.size
+      val outdeg = new Array[Long](n)
+      srcs.foreach(s => outdeg(s) += 1)
+      val invdeg = outdeg.map(d => if (d == 0) 0.0 else 1.0 / d.toDouble)
+      var ranks = Array.fill(n)(1.0 / n.toDouble)
+      val base = (1.0 - damping) / n.toDouble
+      for (_ <- 1 to iters) {
+        val contrib = new Array[Double](n)
+        var j = 0
+        while (j < srcs.length) {
+          contrib(dsts(j)) += ranks(srcs(j)) * invdeg(srcs(j)); j += 1
+        }
+        ranks = contrib.map(c => base + damping * c)
+      }
+      val nodeType = edges.schema("src").dataType
+      return spark.createDataFrame(
+        java.util.Arrays.asList(
+          idx.toSeq.map { case (node, k) =>
+            org.apache.spark.sql.Row(node, ranks(k)) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", nodeType),
+          org.apache.spark.sql.types.StructField("rank", DoubleType,
+            nullable = false))))
+    }
+    val nodes = materialize(
+      e.select(F.col("src").as("node"))
+        .unionAll(e.select(F.col("dst").as("node"))).distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count().toDouble
+    val withDeg = e.alias("e")
+      .join(e.groupBy("src").agg(F.count(F.lit(1)).as("outdeg")).alias("d"),
+        F.col("e.src") === F.col("d.src"))
+      .select(F.col("e.src").as("src"), F.col("e.dst").as("dst"),
+        (F.lit(1.0) / F.col("d.outdeg").cast(DoubleType)).as("invdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    withDeg.count() // materialize before dropping the raw edge cache
+    e.unpersist()
+    val base = (1.0 - damping) / n
+    var ranks = materialize(
+      nodes.select(F.col("node"), F.lit(1.0 / n).as("rank")))
+    for (_ <- 1 to iters) {
+      val contribs = ranks.alias("r")
+        .join(withDeg.alias("w"), F.col("r.node") === F.col("w.src"))
+        .groupBy(F.col("w.dst").as("node"))
+        .agg(F.sum(F.col("r.rank") * F.col("w.invdeg")).as("contrib"))
+      ranks = materialize(
+        nodes.alias("n")
+          .join(contribs.alias("c"), F.col("n.node") === F.col("c.node"),
+            "left")
+          .select(F.col("n.node").as("node"),
+            (F.lit(base) + F.lit(damping) *
+              F.coalesce(F.col("c.contrib"), F.lit(0.0))).as("rank")))
+    }
+    withDeg.unpersist(); nodes.unpersist()
+    ranks
+  }
+
   /** walk_tree: all paths from `initial` following edges up to
     * `maxRank` steps; unlike bfs, re-visits are allowed (it walks, not
     * marks) — reference graph.pql:23-36.  Output (node, rank).

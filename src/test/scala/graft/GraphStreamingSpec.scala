@@ -34,6 +34,37 @@ class GraphStreamingSpec extends SparkSpec {
     assert(run(1 << 20) == run(0)) // driver BFS vs distributed rounds
   }
 
+  test("pageRank: hub of a star graph dominates; ranks follow the closed form") {
+    // star: 1..5 each link to 0; 0 is dangling. After >=2 iterations,
+    // every leaf sits at base=(1-d)/6 and the hub at base*(1+5d).
+    val edges = (1L to 5L).map(i => (i, 0L)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, iters = 4, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val base = 0.15 / 6.0
+    assert(math.abs(out(0L) - base * (1 + 5 * 0.85)) < 1e-12)
+    (1L to 5L).foreach(i => assert(math.abs(out(i) - base) < 1e-12))
+  }
+
+  test("pageRank: driver path equals the distributed power iteration") {
+    // small cyclic graph with a dangling node (4) and a multi-edge
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (1L, 2L))
+      .toDF("src", "dst")
+    def run(limit: Long) = Graph.pageRank(edges, iters = 5,
+        driverLimit = limit)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = run(1 << 20) // driver loop
+    val b = run(0)       // distributed
+    assert(a.keySet == b.keySet)
+    a.keySet.foreach(k => assert(math.abs(a(k) - b(k)) < 1e-12))
+  }
+
+  test("pageRank: zero iterations returns the uniform prior") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, iters = 0)
+      .collect().map(_.getDouble(1))
+    assert(out.length == 3 && out.forall(r => math.abs(r - 1.0 / 3) < 1e-12))
+  }
+
   test("walkTree revisits nodes on cycles up to maxRank") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val out = Graph.walkTree(edges, Seq(1L).toDF("node"), maxRank = 4)

@@ -1433,6 +1433,20 @@ class LangSpec extends SparkSpec {
     }
   }
 
+  test("page_rank composes in the language: star hub wins") {
+    import spark.implicits._
+    val edges = graft.dsl.PTable(
+      Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)).toDF("src", "dst"))
+    val out = Interp.run(spark,
+      "page_rank(edges, 4) {node, r: round(rank, 6)} order {^r} [..1]",
+      "edges" -> edges)
+    assert(out.columns == Seq("node", "r"))
+    val top = out.df.collect().head
+    assert(top.getLong(0) == 0L)
+    // star closed form: hub = base*(1 + 4d) with base = 0.15/5
+    assert(math.abs(top.getDouble(1) - 0.132) < 1e-6)
+  }
+
   test("debug() pauses into a live-state REPL; bindings persist") {
     // reference pql_functions.py:231-243: the debugger IS the REPL
     // environment — statements mutate the paused program's state,
