@@ -599,6 +599,25 @@ object SparkEntry {
           (col("n_nodes") === (n + 1)).as("nodes_complete"))
     }),
 
+    // ---- ext: relational reshape (Reshape) --------------------------------
+    // pivot long→wide: per-user-bucket event_type × sum(value) matrix.
+    // Explicit value list → ONE hash aggregate, no discovery pre-pass;
+    // exact decimal sums so the wide cells hash-match the oracle's
+    // conditional aggregation.
+    "x80_pivot" -> ((s, d) =>
+      graft.ext.Reshape.pivot(
+        t(s, d, "events").df.select((col("user_id") % 50).as("bucket"),
+          col("event_type"), col("value")),
+        Seq("bucket"), "event_type",
+        Seq("click", "error", "purchase", "signup", "view"),
+        PF.dsum(_), col("value"))),
+
+    // unpivot wide→long: part's numeric measures melted to
+    // (p_partkey, metric, value) — pure Expand, zero shuffle
+    "x81_unpivot" -> ((s, d) =>
+      graft.ext.Reshape.unpivot(t(s, d, "part").df,
+        Seq("p_partkey"), Seq("p_size", "p_retailprice"))),
+
     // TF-IDF keyword extraction: 3 most distinctive terms per doc
     "x57_top_terms" -> ((s, d) =>
       graft.ext.Search.topTermsPerDoc(t(s, d, "documents").df,
@@ -1238,6 +1257,22 @@ object SparkEntry {
       graft.sources.Tables.text(s, out, name = "docs_text")
         .df.select(col("line"),
           graft.ext.TextAnalysis.tokenCount(col("line")).as("n_tokens"))
+    }),
+
+    // ORC source (the Hive-side columnar format): write lineitem's hot
+    // columns out as ORC, read back through Tables.orc, aggregate —
+    // proves types (incl. date/decimal-free doubles) survive the
+    // format and the scan prunes like parquet
+    "q76_orc_roundtrip" -> ((s, d) => {
+      val out = runScratch("orc", d)
+      t(s, d, "lineitem").df
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate")
+        .write.mode("overwrite").orc(out)
+      graft.sources.Tables.orc(s, out, name = "lineitem_orc").df
+        .groupBy(col("l_returnflag"))
+        .agg(F.count(lit(1)).as("n"),
+          PF.dsum(col("l_quantity")).as("sum_qty"),
+          F.max(col("l_shipdate")).as("max_ship"))
     }),
 
     // ---- §2.1 introspection: columns() -----------------------------------
@@ -2231,6 +2266,16 @@ object SparkEntry {
     // PageRank in the language: edge synthesis, graph iteration, and
     // top-k ranking composing as plain stages — the crawl-frontier
     // "which domains matter" question end to end
+    // pivot in the language: reshape + downstream projection compose
+    // like any other table stage
+    "ql41_lang_pivot" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """long = events {bucket: user_id % 20, event_type, value}
+          |wide = pivot(long, "bucket", "event_type", "click purchase", "sum", "value")
+          |wide {bucket, click, purchase, spend: iif(purchase == null, 0.0, purchase)}
+          |""".stripMargin,
+        "events" -> t(s, d, "events")).df),
+
     "ql40_lang_pagerank" -> ((s, d) =>
       graft.lang.Interp.run(s,
         """e1 = documents {src: doc_id % 400, dst: (doc_id*31 + 7) % 400}
@@ -4343,6 +4388,44 @@ object SparkEntry {
     "x77_bm25_all" ->
       bm25OracleSql(Seq("spark", "join"), 15, requireAll = true),
 
+    // pivot mirrors SQL conditional aggregation exactly: no-match
+    // cells are NULL (sum over zero rows), unlisted types contribute
+    // nothing; decimal sums for cross-engine bit-identity
+    "ql41_lang_pivot" ->
+      """SELECT bucket, click, purchase,
+           COALESCE(purchase, CAST(0.0 AS DOUBLE)) AS spend
+         FROM (
+           SELECT user_id % 20 AS bucket,
+             CAST(sum(CASE WHEN event_type = 'click'
+               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase
+           FROM events GROUP BY 1)""",
+
+    "x80_pivot" ->
+      """SELECT user_id % 50 AS bucket,
+           CAST(sum(CASE WHEN event_type = 'click'
+             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+           CAST(sum(CASE WHEN event_type = 'error'
+             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup'
+             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view'
+             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+         FROM events GROUP BY 1""",
+
+    // unpivot KEEPS null cells (a missing measurement is still a row),
+    // so the mirror is a plain UNION ALL, not SQL's null-dropping
+    // UNPIVOT
+    "x81_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS metric,
+           CAST(p_size AS DOUBLE) AS value FROM part
+         UNION ALL
+         SELECT p_partkey, 'p_retailprice' AS metric,
+           CAST(p_retailprice AS DOUBLE) AS value FROM part""",
+
     "x78_pagerank" -> pageRankOracleSql(400, 6, 0.85),
 
     "ql40_lang_pagerank" ->
@@ -4694,6 +4777,13 @@ object SparkEntry {
              ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
            END AS n_tokens
          FROM documents WHERE text IS NOT NULL""",
+    // the roundtrip is the thing under test; the oracle aggregates the
+    // parquet original — identical iff ORC preserved every value
+    "q76_orc_roundtrip" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           max(l_shipdate) AS max_ship
+         FROM lineitem GROUP BY l_returnflag""",
     "q50_columns" ->
       """SELECT * FROM (VALUES
            ('r_regionkey', 'int', true),

@@ -1538,7 +1538,7 @@ object Interp {
       "table_substract", "table_subtract", "force_eval", "describe",
       "zipjoin", "zipjoin_left", "zipjoin_longest", "map_range",
       "import_table", "import_json", "import_csv", "import_text",
-      "import_jdbc", "dir",
+      "import_orc", "import_jdbc", "dir",
       "run_statement", "dedup_exact", "near_dup_pairs", "ann_topk",
       "train_split", "chunk_docs", "pack_sequences",
       "repetition_signals", "decontaminate", "decontaminate_bloom",
@@ -1546,7 +1546,8 @@ object Interp {
       "line_dedup", "mix_corpus", "semantic_dedup", "shard_assign",
       "repeated_spans", "contamination_score", "span_dup_frac",
       "remove_repeated_spans",
-      "bm25_search", "top_terms", "top_tokens", "freq_tokens")
+      "bm25_search", "top_terms", "top_tokens", "freq_tokens",
+      "pivot", "unpivot")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1805,6 +1806,41 @@ object Interp {
         // ranked text retrieval (ext/Search): query terms are one
         // whitespace-separated string literal (plan-build-time
         // constants — that is what makes the scan zero-shuffle)
+        case "pivot" =>
+          // pivot(t, "group cols", "pivot_col", "v1 v2 ...", "agg",
+          // "val_col") — long→wide reshape; agg ∈ sum|avg|count|min|max
+          // (sum/avg run through exact decimal sums, the engine's
+          // determinism rule for aggregated doubles)
+          if (args.length != 6)
+            throw new TypeError(
+              "pivot(t, \"group cols\", \"pivot_col\", \"values\", " +
+                "\"agg\", \"val_col\")")
+          val groups = litString(args(1).value).trim.split("\\s+").toSeq
+          val values = litString(args(3).value).trim.split("\\s+").toSeq
+          val vc = col(litString(args(5).value))
+          val agg: Column => Column = litString(args(4).value) match {
+            case "sum"   => graft.functions.PF.dsum(_)
+            case "avg"   => graft.functions.PF.davg(_)
+            case "count" => F.count
+            case "min"   => F.min
+            case "max"   => F.max
+            case other   => throw new TypeError(s"pivot: unknown agg '$other'")
+          }
+          PTable(graft.ext.Reshape.pivot(t(args(0).value).df,
+            groups, litString(args(2).value), values, agg, vc))
+        case "unpivot" =>
+          // unpivot(t, "id cols", "value cols", "var_name"?, "val_name"?)
+          if (args.length < 3 || args.length > 5)
+            throw new TypeError(
+              "unpivot(t, \"id cols\", \"value cols\", \"var\"?, \"val\"?)")
+          val ids = litString(args(1).value).trim.split("\\s+").toSeq
+          val vals = litString(args(2).value).trim.split("\\s+").toSeq
+          val varName =
+            if (args.length >= 4) litString(args(3).value) else "metric"
+          val valName =
+            if (args.length == 5) litString(args(4).value) else "value"
+          PTable(graft.ext.Reshape.unpivot(t(args(0).value).df,
+            ids, vals, varName, valName))
         case "bm25_search" =>
           if (args.length < 5 || args.length > 6)
             throw new TypeError(
@@ -2087,6 +2123,17 @@ object Interp {
           val tname = constString(args.head.value)
           val uri = constString(args(1).value)
           val tab = graft.sources.Tables.text(spark, uri, name = tname)
+          cat.register(tname, tab)
+          env = env + (tname -> VT(cat.get(tname)))
+          cat.get(tname)
+        case "import_orc" =>
+          // columnar warehouse ingestion (engine extension): ORC reads
+          // with the same pushdown/pruning as parquet
+          if (args.length != 2)
+            throw new TypeError("import_orc(\"name\", \"path\")")
+          val tname = constString(args.head.value)
+          val uri = constString(args(1).value)
+          val tab = graft.sources.Tables.orc(spark, uri, name = tname)
           cat.register(tname, tab)
           env = env + (tname -> VT(cat.get(tname)))
           cat.get(tname)

@@ -88,6 +88,14 @@ object Tables {
     PTable(spark.read.text(path).withColumnRenamed("value", "line"),
       TableMeta(name))
 
+  /** ORC ingestion — the other columnar warehouse format (built into
+    * spark-sql; Hive-ecosystem corpora commonly arrive as ORC).
+    * Same splittable scan, predicate pushdown, and column pruning
+    * as parquet, so downstream plans are format-agnostic.
+    */
+  def orc(spark: SparkSession, path: String, name: String = ""): PTable =
+    PTable(spark.read.orc(path), TableMeta(name))
+
   /** JDBC import_table passthrough — the Spark-side analog of the
     * reference's external SQL dialect adapters (reference
     * sql_interface.py:218-949 connects TO mysql/postgres/...; here

@@ -1447,4 +1447,41 @@ class ExtSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L, 4L, 6L))
   }
+
+  test("pivot: explicit values, missing cells NULL, unlisted values dropped") {
+    val df = Seq((1L, "a", 10.0), (1L, "a", 5.0), (1L, "b", 2.0),
+      (2L, "b", 7.0), (2L, "zz", 99.0)).toDF("k", "cat", "v")
+    val out = graft.ext.Reshape.pivot(df, Seq("k"), "cat",
+      Seq("a", "b", "c"), sum, col("v"))
+    assert(out.columns.toSeq == Seq("k", "a", "b", "c"))
+    val m = out.collect().map(r => r.getLong(0) ->
+      (0 to 2).map(i => if (r.isNullAt(i + 1)) None
+                        else Some(r.getDouble(i + 1)))).toMap
+    assert(m(1L) == Seq(Some(15.0), Some(2.0), None))
+    assert(m(2L) == Seq(None, Some(7.0), None)) // "zz" not a column
+  }
+
+  test("pivotAuto discovers sorted values and caps the fan-out") {
+    val df = Seq((1L, "b", 1.0), (1L, "a", 2.0), (2L, "a", 3.0))
+      .toDF("k", "cat", "v")
+    val out = graft.ext.Reshape.pivotAuto(df, Seq("k"), "cat",
+      sum, col("v"))
+    assert(out.columns.toSeq == Seq("k", "a", "b"))
+    intercept[IllegalArgumentException] {
+      graft.ext.Reshape.pivotAuto(df, Seq("k"), "cat", sum, col("v"),
+        maxValues = 1)
+    }
+  }
+
+  test("unpivot keeps NULL cells and casts to one type") {
+    val df = Seq((1L, Some(3), Some(1.5)), (2L, None, Some(2.5)))
+      .toDF("id", "a", "b")
+    val out = graft.ext.Reshape.unpivot(df, Seq("id"), Seq("a", "b"))
+    assert(out.columns.toSeq == Seq("id", "metric", "value"))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows == Set((1L, "a", Some(3.0)), (1L, "b", Some(1.5)),
+      (2L, "a", None), (2L, "b", Some(2.5))))
+  }
 }

@@ -1433,6 +1433,28 @@ class LangSpec extends SparkSpec {
     }
   }
 
+  test("pivot and unpivot compose in the language") {
+    import spark.implicits._
+    val sales = graft.dsl.PTable(
+      Seq((1L, "red", 2.0), (1L, "red", 3.0), (1L, "blue", 4.0),
+        (2L, "blue", 7.0)).toDF("store", "color", "amt"))
+    val wide = Interp.run(spark,
+      """pivot(sales, "store", "color", "red blue", "sum", "amt") order {store}""",
+      "sales" -> sales)
+    assert(wide.columns == Seq("store", "red", "blue"))
+    val r = wide.df.collect()
+    assert(r(0).getDouble(1) == 5.0 && r(0).getDouble(2) == 4.0)
+    assert(r(1).isNullAt(1) && r(1).getDouble(2) == 7.0)
+    // melt it back: 2 stores × 2 colors = 4 rows, nulls KEPT
+    val long = Interp.run(spark,
+      """w = pivot(sales, "store", "color", "red blue", "sum", "amt")
+        |unpivot(w, "store", "red blue", "color", "amt")
+        |""".stripMargin, "sales" -> sales)
+    assert(long.columns == Seq("store", "color", "amt"))
+    assert(long.df.count() == 4)
+    assert(long.df.filter("amt IS NULL").count() == 1)
+  }
+
   test("page_rank composes in the language: star hub wins") {
     import spark.implicits._
     val edges = graft.dsl.PTable(

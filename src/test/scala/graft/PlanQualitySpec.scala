@@ -804,4 +804,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_graft_freq_sketch"),
       s"sketch must reduce per-partition before the shuffle:\n$p")
   }
+
+  test("pivot compiles to ONE hash aggregate: single shuffle, partial combine") {
+    val p = planOf("x80_pivot")
+    val shuffles = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(shuffles == 1, s"pivot must shuffle exactly once:\n$p")
+    assert(p.contains("partial_pivotfirst") || p.contains("partial_sum"),
+      s"pivot lost map-side partial aggregation:\n$p")
+  }
+
+  test("unpivot is a pure Expand: zero shuffle, pruned scan") {
+    val p = planOf("x81_unpivot")
+    assert(p.contains("Expand"), s"unpivot must plan an Expand:\n$p")
+    assert(!p.contains("Exchange"), s"unpivot must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_size:int,p_retailprice:double>"),
+      s"unpivot scan must prune to id+value columns:\n$p")
+  }
 }
