@@ -618,6 +618,56 @@ object SparkEntry {
       graft.ext.Reshape.unpivot(t(s, d, "part").df,
         Seq("p_partkey"), Seq("p_size", "p_retailprice"))),
 
+    // ---- ext: time-series resample / gap-fill / forward-fill --------------
+    // 35 series (event_type × user bucket), 1-hour buckets over the
+    // 30-day span: aggregate once, densify the grid, carry the level
+    // metric forward through gaps while the count keeps its gap NULLs.
+    // Sparse at small sf (fill does real work), dense at sf0.1.
+    "x82_resample_ffill" -> ((s, d) =>
+      graft.ext.TimeSeries.resampleFill(
+        t(s, d, "events").df.select(col("event_type"),
+          (col("user_id") % 7).as("ug"), col("ts"), col("value")),
+        "ts", Seq("event_type", "ug"), 3600000000L,
+        Seq(PF.dsum(col("value")).as("total"),
+          F.count(lit(1)).as("n")),
+        ffillCols = Seq("total"))),
+
+    // ---- ext: fuzzy (edit-distance) join ----------------------------------
+    // Typo-tolerant entity matching: all customer-name pairs within
+    // levenshtein 1, via FastSS deletion-neighborhood blocking +
+    // exact threshold verify. FIXED id bound (not sf-scaled) because
+    // the oracle is the quadratic ground truth — the engine result
+    // must equal brute force exactly, whatever blocking did inside.
+    "x83_fuzzy_join" -> ((s, d) =>
+      graft.ext.Dedup.fuzzyPairs(
+        t(s, d, "customer").df.filter(col("c_custkey") < 2000),
+        "c_custkey", "c_name", maxDist = 1)),
+
+    // Fuzzy-join scale probe: 2×150k strings — 150k distinct 18-digit
+    // bases (6-digit group id repeated 3×) plus one planted typo twin
+    // each (one substitution, 'X' at position 8). The construction
+    // makes the truth exact: cross-group edit distance is provably
+    // ≥ 2 (any two ids differ in ≥1 digit, tripled → ≥3 substitutions
+    // under identity alignment; any shifted alignment costs an
+    // insert+delete pair; the X survives every alignment), so the
+    // ONLY pairs within distance 1 are the 150k base→twin plants.
+    // Scale-invariant boolean oracle — never needs re-capture.
+    "x84_fuzzy_300k" -> ((s, d) => {
+      val n = scaled(150000)
+      val base = s.range(100000, 100000 + n).toDF("gid")
+        .select(col("gid"),
+          F.repeat(F.lpad(col("gid").cast("string"), 6, "0"), 3).as("str"))
+      val both = base.select(col("gid").as("id"), col("str"))
+        .unionAll(base.select((col("gid") + 1000000000L).as("id"),
+          F.overlay(col("str"), lit("X"), lit(8)).as("str")))
+      graft.ext.Dedup.fuzzyPairs(both, "id", "str", maxDist = 1)
+        .agg(F.count(lit(1)).as("n_pairs"),
+          F.sum(F.when(col("id2") - col("id1") === 1000000000L &&
+            col("dist") === 1, 1L).otherwise(0L)).as("n_twin"))
+        .select((col("n_pairs") === n).as("pairs_exact"),
+          (col("n_twin") === col("n_pairs")).as("all_twins"))
+    }),
+
     // TF-IDF keyword extraction: 3 most distinctive terms per doc
     "x57_top_terms" -> ((s, d) =>
       graft.ext.Search.topTermsPerDoc(t(s, d, "documents").df,
@@ -2273,6 +2323,15 @@ object SparkEntry {
         """long = events {bucket: user_id % 20, event_type, value}
           |wide = pivot(long, "bucket", "event_type", "click purchase", "sum", "value")
           |wide {bucket, click, purchase, spend: iif(purchase == null, 0.0, purchase)}
+          |""".stripMargin,
+        "events" -> t(s, d, "events")).df),
+
+    // resample in the language: hourly per-type series, gaps densified
+    // and the level carried forward, then an ordinary filter on top
+    "ql42_lang_resample" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """series = resample_fill(events, "ts", "event_type", 3600000000, "value")
+          |series[n == null] {event_type, bucket, carried: total}
           |""".stripMargin,
         "events" -> t(s, d, "events")).df),
 
@@ -4425,6 +4484,80 @@ object SparkEntry {
          UNION ALL
          SELECT p_partkey, 'p_retailprice' AS metric,
            CAST(p_retailprice AS DOUBLE) AS value FROM part""",
+
+    // the gap rows only: buckets with no observation, showing the
+    // carried-forward level (n == null is the gap predicate)
+    "ql42_lang_resample" ->
+      """WITH res AS (
+           SELECT event_type,
+             CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         spans AS (
+           SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+           FROM res GROUP BY 1),
+         grid AS (
+           SELECT event_type, unnest(generate_series(mn, mx)) AS bucket
+           FROM spans),
+         joined AS (
+           SELECT g.event_type, g.bucket, r.total,
+             (r.n IS NOT NULL) AS observed
+           FROM grid g
+           LEFT JOIN res r ON g.event_type = r.event_type
+             AND g.bucket = r.bucket),
+         filled AS (
+           SELECT event_type, bucket, observed,
+             last_value(total IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+           FROM joined)
+         SELECT event_type, bucket, carried
+         FROM filled WHERE NOT observed""",
+
+    // mirrors the engine stage-for-stage: bucket agg (decimal sums),
+    // per-series span grid, left join, running last_value IGNORE NULLS;
+    // the count column keeps its gap NULLs by design
+    "x82_resample_ffill" ->
+      """WITH res AS (
+           SELECT event_type, user_id % 7 AS ug,
+             CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2, 3),
+         spans AS (
+           SELECT event_type, ug, min(bucket) AS mn, max(bucket) AS mx
+           FROM res GROUP BY 1, 2),
+         grid AS (
+           SELECT event_type, ug,
+             unnest(generate_series(mn, mx)) AS bucket
+           FROM spans),
+         joined AS (
+           SELECT g.event_type, g.ug, g.bucket, r.total, r.n
+           FROM grid g
+           LEFT JOIN res r ON g.event_type = r.event_type
+             AND g.ug = r.ug AND g.bucket = r.bucket)
+         SELECT event_type, ug, bucket,
+           last_value(total IGNORE NULLS) OVER (
+             PARTITION BY event_type, ug ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total,
+           n
+         FROM joined""",
+
+    // quadratic ground truth: the engine's blocked path must match
+    // brute force exactly (same exactness contract as x52's PPJoin)
+    "x83_fuzzy_join" ->
+      """SELECT id1, id2, dist FROM (
+           SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+             CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+           FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+           WHERE a.c_custkey < 2000 AND b.c_custkey < 2000)
+         WHERE dist <= 1""",
+
+    // planted truth asserted in-query (see the query comment);
+    // scale-invariant booleans, valid at every probeScale
+    "x84_fuzzy_300k" ->
+      "SELECT TRUE AS pairs_exact, TRUE AS all_twins",
 
     "x78_pagerank" -> pageRankOracleSql(400, 6, 0.85),
 

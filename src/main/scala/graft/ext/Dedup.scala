@@ -798,4 +798,72 @@ object Dedup {
 
     smallPairs.unionAll(bigPairs)
   }
+
+  // ---- fuzzy (edit-distance) join ------------------------------------------
+  /** All single-character deletions of `s` as an array expression:
+    * position i dropped → prefix [1..i] + suffix [i+2..]. Pure HOF
+    * Column — computed in the scan projection, codegen'd, no UDF.
+    */
+  private def delVariants1(s: Column): Column =
+    F.transform(
+      F.sequence(lit(0), F.greatest(F.length(s) - 1, lit(0))),
+      i => F.concat(s.substr(lit(1), i), s.substr(i + lit(2), F.length(s))))
+
+  /** Exact edit-distance-≤-k pair join via FastSS deletion
+    * neighborhoods (Bocek et al. 2007, "Fast Similarity Search in
+    * Large Dictionaries"): two strings with levenshtein ≤ k always
+    * share a member of their depth-k deletion neighborhoods
+    * (pigeonhole on the edit script), so candidates from a plain
+    * equi-join on neighborhood hashes have GUARANTEED recall; an exact
+    * threshold levenshtein then restores precision. Typo-tolerant
+    * entity matching / fuzzy dedup for short strings (names, titles,
+    * urls — neighborhood size is len+1 at k=1, O(len²) at k=2; not
+    * meant for document bodies, where token-level MinHash is the
+    * right tool).
+    *
+    * Scale shape: the candidate shuffle carries (60-bit md5 variant
+    * hash, id) — 16 bytes per variant, the TEXT never enters the
+    * wide shuffle; texts join back per-id only for the candidate
+    * verify, which runs Spark's codegen'd threshold levenshtein
+    * (early-exit above `maxDist`). Hash collisions only add
+    * candidates (killed by the verify), never lose pairs. Rows with
+    * NULL strings never match (SQL null semantics). Exact-duplicate
+    * heavy inputs should run [[exact]] first — m identical strings
+    * are m·(m−1)/2 genuine dist-0 pairs, a semantic blowup no
+    * blocking can avoid.
+    *
+    * Output: (id1, id2, dist) with id1 < id2, dist ≤ maxDist.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
+                 maxDist: Int): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"fuzzyPairs: maxDist must be 1 or 2, got $maxDist")
+    val rows = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val d1 = F.array_union(F.array(col("s")), delVariants1(col("s")))
+    val neighborhood =
+      if (maxDist == 1) d1
+      else F.array_distinct(F.flatten(
+        F.transform(d1, v => F.array_union(F.array(v), delVariants1(v)))))
+    // the (vh, id) signature table feeds BOTH sides of the self-join;
+    // at 16 bytes/row it is far smaller than its compute (len+1 md5s
+    // per string) — the materialize case of the checkpoint economics,
+    // same as minhash signatures
+    val sigs = {
+      val s = rows
+        .select(col("id"), F.explode(neighborhood).as("v"))
+        .select(col("id"), h60(col("v")).as("vh"))
+      val ckpt = s.localCheckpoint(true)
+      s.sparkSession.createDataFrame(ckpt.rdd, ckpt.schema)
+    }
+    val cand = sigs.alias("a").join(sigs.alias("b"),
+        col("a.vh") === col("b.vh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val texts1 = rows.select(col("id").as("id1"), col("s").as("s1"))
+    val texts2 = rows.select(col("id").as("id2"), col("s").as("s2"))
+    cand.join(texts1, "id1").join(texts2, "id2")
+      .select(col("id1"), col("id2"),
+        F.levenshtein(col("s1"), col("s2"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+  }
 }

@@ -1547,7 +1547,7 @@ object Interp {
       "repeated_spans", "contamination_score", "span_dup_frac",
       "remove_repeated_spans",
       "bm25_search", "top_terms", "top_tokens", "freq_tokens",
-      "pivot", "unpivot")
+      "pivot", "unpivot", "resample_fill", "fuzzy_pairs")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1841,6 +1841,32 @@ object Interp {
             if (args.length == 5) litString(args(4).value) else "value"
           PTable(graft.ext.Reshape.unpivot(t(args(0).value).df,
             ids, vals, varName, valName))
+        case "fuzzy_pairs" =>
+          // fuzzy_pairs(t, "id_col", "str_col", k) — typo-tolerant
+          // entity matching: all row pairs within levenshtein k (1|2)
+          if (args.length != 4)
+            throw new TypeError(
+              "fuzzy_pairs(t, \"id_col\", \"str_col\", k)")
+          PTable(graft.ext.Dedup.fuzzyPairs(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value),
+            constLong(args(3).value).toInt))
+        case "resample_fill" =>
+          // resample_fill(t, "ts_col", "key cols", interval_us,
+          // "val_col") — fixed-width buckets per key, gaps densified,
+          // the summed level forward-filled; the per-bucket count `n`
+          // keeps its gap NULLs (an absent observation is not zero)
+          if (args.length != 5)
+            throw new TypeError(
+              "resample_fill(t, \"ts_col\", \"key cols\", interval_us, " +
+                "\"val_col\")")
+          val keys = litString(args(2).value).trim.split("\\s+").toSeq
+          val vc = col(litString(args(4).value))
+          PTable(graft.ext.TimeSeries.resampleFill(t(args(0).value).df,
+            litString(args(1).value), keys,
+            constLong(args(3).value),
+            Seq(graft.functions.PF.dsum(vc).as("total"),
+              F.count(F.lit(1)).as("n")),
+            ffillCols = Seq("total")))
         case "bm25_search" =>
           if (args.length < 5 || args.length > 6)
             throw new TypeError(

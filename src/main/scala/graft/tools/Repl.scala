@@ -75,7 +75,8 @@ object Repl {
     "leftjoin", "outerjoin", "joinall", "zipjoin", "zipjoin_left",
     "zipjoin_longest", "temptable", "sample_fast", "sample_ratio_fast",
     "page", "tables", "names", "columns", "env_vars", "bfs", "walk_tree",
-    "page_rank", "pivot", "unpivot", "import_orc",
+    "page_rank", "pivot", "unpivot", "resample_fill", "fuzzy_pairs",
+    "import_orc",
     "SQL", "upper", "lower", "length", "round", "repeat", "char",
     "char_ord", "char_range", "str_index", "str_contains", "year",
     "month", "day", "hour", "minute", "day_of_week", "week_of_year",

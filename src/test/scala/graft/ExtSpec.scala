@@ -1448,6 +1448,67 @@ class ExtSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 4L, 6L))
   }
 
+  test("fuzzyPairs finds substitution, insertion and deletion pairs at k=1") {
+    val df = Seq(
+      (1L, "kitten"), (2L, "kitteX"),  // substitution: dist 1
+      (3L, "kitte"),                   // deletion of 1: dist 1
+      (4L, "kittenn"),                 // insertion into 1: dist 1
+      (5L, "sitting"),                 // far from everything
+      (6L, null.asInstanceOf[String])  // null never matches
+    ).toDF("id", "s")
+    val got = graft.ext.Dedup.fuzzyPairs(df, "id", "s", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // 3 and 4 are distance 2 from each other (delete + insert);
+    // 2 and 3 are distance 1 (drop the X)
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1), (2L, 3L, 1)))
+  }
+
+  test("fuzzyPairs k=2 equals brute force on a dictionary sample") {
+    val words = Seq("grapht", "graph", "grph", "graphs", "garph",
+      "spark", "spork", "sparkk", "park", "lark", "query", "queue")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "s")
+    val got = graft.ext.Dedup.fuzzyPairs(df, "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      i <- words.indices; j <- words.indices if i < j
+      d = levRef(words(i), words(j)) if d <= 2
+    } yield (i.toLong, j.toLong, d)).toSet
+    assert(got == brute)
+  }
+
+  private def levRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  test("resampleFill densifies gaps and forward-fills only the asked columns") {
+    val df = Seq(
+      ("a", 1000000L, 10.0), // bucket 1 (interval = 1s)
+      ("a", 1100000L, 20.0), // bucket 1
+      ("a", 4000000L, 5.0),  // bucket 4 — gap at 2, 3
+      ("b", 2000000L, 7.0)   // single-bucket series: no gaps
+    ).toDF("k", "us", "v")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("v"))
+    val out = graft.ext.TimeSeries.resampleFill(df, "ts", Seq("k"),
+      1000000L, Seq(sum(col("v")).as("total"), count(lit(1)).as("n")),
+      ffillCols = Seq("total"))
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(rows == Set(
+      ("a", 1L, Some(30.0), Some(2L)),
+      ("a", 2L, Some(30.0), None), // gap: total carried, n stays NULL
+      ("a", 3L, Some(30.0), None),
+      ("a", 4L, Some(5.0), Some(1L)),
+      ("b", 2L, Some(7.0), Some(1L))))
+  }
+
   test("pivot: explicit values, missing cells NULL, unlisted values dropped") {
     val df = Seq((1L, "a", 10.0), (1L, "a", 5.0), (1L, "b", 2.0),
       (2L, "b", 7.0), (2L, "zz", 99.0)).toDF("k", "cat", "v")

@@ -1455,6 +1455,26 @@ class LangSpec extends SparkSpec {
     assert(long.df.filter("amt IS NULL").count() == 1)
   }
 
+  test("fuzzy_pairs and resample_fill are callable from the language") {
+    import spark.implicits._
+    val names = graft.dsl.PTable(
+      Seq((1L, "anna"), (2L, "anne"), (3L, "bob")).toDF("id", "nm"))
+    val out = Interp.run(spark,
+      """fuzzy_pairs(names, "id", "nm", 1)""", "names" -> names)
+    assert(out.columns == Seq("id1", "id2", "dist"))
+    assert(out.df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet == Set((1L, 2L)))
+    val ev = graft.dsl.PTable(
+      Seq((1000000L, "a", 1.0), (3500000L, "a", 2.0))
+        .toDF("us", "k", "value")
+        .select(org.apache.spark.sql.functions.timestamp_micros(
+          col("us")).as("ts"), col("k"), col("value")))
+    val ts = Interp.run(spark,
+      """resample_fill(ev, "ts", "k", 1000000, "value")""", "ev" -> ev)
+    assert(ts.columns == Seq("k", "bucket", "total", "n"))
+    assert(ts.df.count() == 3) // buckets 1, 2 (gap, filled), 3
+  }
+
   test("page_rank composes in the language: star hub wins") {
     import spark.implicits._
     val edges = graft.dsl.PTable(

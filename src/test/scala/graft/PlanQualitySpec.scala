@@ -805,6 +805,29 @@ class PlanQualitySpec extends SparkSpec {
       s"sketch must reduce per-partition before the shuffle:\n$p")
   }
 
+  test("resampleFill reads raw events ONCE; fill window is key-partitioned") {
+    // the single raw scan + resample aggregate ran inside the
+    // checkpoint job; the final plan must fan out over the
+    // materialized bucket-grain frame, never re-scanning parquet
+    val p = planOf("x82_resample_ffill")
+    assert(!p.contains("Scan parquet"),
+      s"raw table re-scanned after materialization:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"expected the checkpointed bucket-grain frame:\n$p")
+    assert(p.contains("windowspecdefinition(event_type"),
+      s"fill window must partition by series key:\n$p")
+  }
+
+  test("fuzzy join: candidates from a hash equi-join, never a cartesian") {
+    val p = planOf("x83_fuzzy_join")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"fuzzy join must block, not compare all pairs:\n$p")
+    assert(p.contains("levenshtein"),
+      s"exact threshold verify missing:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"candidate pairs must dedupe before the text join-back:\n$p")
+  }
+
   test("pivot compiles to ONE hash aggregate: single shuffle, partial combine") {
     val p = planOf("x80_pivot")
     val shuffles = "Exchange".r.findAllIn(p).length -
