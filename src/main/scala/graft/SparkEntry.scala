@@ -668,6 +668,48 @@ object SparkEntry {
           (col("n_twin") === col("n_pairs")).as("all_twins"))
     }),
 
+    // ---- ext: generic connected components ---------------------------------
+    // Components of a block-structured synthetic graph (each node
+    // links inside its own 50-node block), forced through the
+    // DISTRIBUTED min-label rounds (driverLimit = 0). The oracle is a
+    // genuine independent computation: DuckDB's recursive transitive
+    // closure — no density or structure assumption shared with the
+    // engine path.
+    "x85_components" -> ((s, d) => {
+      val nodes = t(s, d, "documents").df
+        .select((col("doc_id") % 5000).as("a")).distinct()
+      val edges = nodes.select(col("a").as("id_a"),
+        (col("a") - col("a") % 50 + (col("a") * 7 + 3) % 50).as("id_b"))
+      graft.ext.Dedup.connectedComponents(edges, driverLimit = 0)
+        .groupBy(col("label").as("component"))
+        .agg(F.count(lit(1)).as("n_nodes"))
+    }),
+
+    // ---- ext: one-pass column statistics (Stats) ----------------------------
+    // Pairwise Pearson matrix over lineitem's numeric measures: 6
+    // correlations from ONE aggregate over ONE scan, exact decimal sums
+    "x86_corr_matrix" -> ((s, d) =>
+      graft.ext.Stats.corrMatrix(t(s, d, "lineitem").df,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // Equi-width histogram: bounds job reduces to one row, counting
+    // pass is a partial-agg groupBy on a 12-value key
+    "x87_histogram" -> ((s, d) =>
+      graft.ext.Stats.histogram(t(s, d, "lineitem").df,
+        "l_extendedprice", 12)
+        .select(col("bin"), F.round(col("lo"), 6).as("lo"),
+          F.round(col("hi"), 6).as("hi"), col("n"))),
+
+    // Trailing 4-row moving average per user over the event stream —
+    // the monitoring smooth, windowed per key (never one partition)
+    "x88_rolling_mean" -> ((s, d) =>
+      t(s, d, "events").df
+        .filter(col("user_id") % 19 === 0)
+        .select(col("event_id"), col("user_id"),
+          F.round(graft.ext.TimeSeries.rollingMean(Seq("user_id"),
+            Seq(col("ts"), col("event_id")), 4, col("value")), 6)
+            .as("ma4"))),
+
     // TF-IDF keyword extraction: 3 most distinctive terms per doc
     "x57_top_terms" -> ((s, d) =>
       graft.ext.Search.topTermsPerDoc(t(s, d, "documents").df,
@@ -3055,6 +3097,21 @@ object SparkEntry {
          GROUP BY a.centroid_id"""
   }
 
+  /** x86: Pearson correlation mirroring PF.dcorr exactly — exact
+    * decimal co-moments, count(x)-based n, sample (n−1) normalization.
+    */
+  private def corrOracleSql(x: String, y: String): String = {
+    def s1(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+    def s2(a: String, b: String) =
+      s"CAST(sum(CAST(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)"
+    def n(c: String) = s"CAST(count($c) AS DOUBLE)"
+    val cov =
+      s"((${s2(x, y)} - ${s1(x)} * ${s1(y)} / ${n(x)}) / (${n(x)} - 1.0))"
+    def sd(c: String) =
+      s"sqrt((${s2(c, c)} - ${s1(c)} * ${s1(c)} / ${n(c)}) / (${n(c)} - 1.0))"
+    s"round($cov / (${sd(x)} * ${sd(y)}), 8)"
+  }
+
   /** x78: PageRank oracle — the fixed-iteration power method unrolled
     * as a CTE chain (pr0 → pr6), mirroring Graph.pageRank's exact
     * arithmetic: rank' = (1-d)/N + d·Σ rank·(1/outdeg), dangling mass
@@ -4558,6 +4615,58 @@ object SparkEntry {
     // scale-invariant booleans, valid at every probeScale
     "x84_fuzzy_300k" ->
       "SELECT TRUE AS pairs_exact, TRUE AS all_twins",
+
+    // truly independent ground truth: recursive transitive closure +
+    // min over the reach set (the engine runs min-label rounds)
+    "x85_components" ->
+      """WITH RECURSIVE nodes AS (
+           SELECT DISTINCT doc_id % 5000 AS a FROM documents),
+         e AS (SELECT a AS s, a - a % 50 + (a * 7 + 3) % 50 AS t
+               FROM nodes),
+         und AS (SELECT s, t FROM e UNION SELECT t, s FROM e),
+         reach(s, t) AS (
+           SELECT s, t FROM und
+           UNION
+           SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s),
+         lbl AS (SELECT s AS id, least(s, min(t)) AS label
+                 FROM reach GROUP BY s)
+         SELECT label AS component, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM lbl GROUP BY 1""",
+
+    "x86_corr_matrix" -> Seq(
+      ("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+      ("l_quantity", "l_tax"), ("l_extendedprice", "l_discount"),
+      ("l_extendedprice", "l_tax"), ("l_discount", "l_tax"))
+      .map { case (x, y) =>
+        s"SELECT '${x}__$y' AS pair, ${corrOracleSql(x, y)} AS corr FROM lineitem"
+      }.mkString("\n UNION ALL \n"),
+
+    // identical double arithmetic in the same evaluation order:
+    // width = (max-min)/nbins, bin = least(floor((v-min)/width), last)
+    "x87_histogram" ->
+      """WITH b AS (
+           SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+                  CAST(max(l_extendedprice) AS DOUBLE) AS mx
+           FROM lineitem),
+         binned AS (
+           SELECT CASE WHEN (b.mx - b.mn) / 12 = 0 THEN 0
+             ELSE least(CAST(floor(
+               (CAST(l_extendedprice AS DOUBLE) - b.mn) /
+                 ((b.mx - b.mn) / 12)) AS BIGINT), 11) END AS bin,
+             b.mn AS mn, b.mx AS mx
+           FROM lineitem, b WHERE l_extendedprice IS NOT NULL)
+         SELECT bin, round(mn + bin * ((mx - mn) / 12), 6) AS lo,
+           round(mn + (bin + 1) * ((mx - mn) / 12), 6) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+         FROM binned GROUP BY bin, mn, mx""",
+
+    "x88_rolling_mean" ->
+      """SELECT event_id, user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / count(value) OVER w, 6) AS ma4
+         FROM events WHERE user_id % 19 = 0
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
 
     "x78_pagerank" -> pageRankOracleSql(400, 6, 0.85),
 

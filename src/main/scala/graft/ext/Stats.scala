@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, functions => F}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.DoubleType
+import graft.functions.PF
+
+/** Columnar statistics beyond single aggregates: pairwise correlation
+  * matrices and equi-width histograms — the profiling pass a feature
+  * pipeline runs before modeling. No reference counterpart beyond
+  * per-pair `corr` (which q58 mirrors); these are the multi-column
+  * one-pass versions.
+  */
+object Stats {
+
+  /** Pearson correlation for every pair of `cols`, computed in ONE
+    * aggregate over ONE scan — k·(k−1)/2 dcorr expressions share the
+    * same partial-aggregation pass, so the cost is one shuffle of a
+    * single combine row regardless of how many pairs there are (the
+    * naive per-pair loop would scan the table k·(k−1)/2 times). All
+    * sums are exact decimals (PF.dcorr), deterministic under any
+    * partitioning. Output long: (pair, corr), pair = "x__y".
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+                 roundTo: Int = 8): DataFrame = {
+    require(cols.size >= 2, "corrMatrix: need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (x, y) =>
+      F.round(PF.dcorr(col(x), col(y)), roundTo).as(s"${x}__$y")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    Reshape.unpivot(wide, Seq.empty,
+      pairs.map { case (x, y) => s"${x}__$y" }, "pair", "corr")
+  }
+
+  /** Equi-width histogram of `c` into `nbins` buckets between the
+    * column's min and max (both included; the max lands in the last
+    * bin). Two jobs by necessity — bounds cannot be known before
+    * assignment — but the bounds job reduces to ONE row (index-build
+    * grain) and the counting pass is a partial-agg groupBy on a
+    * ≤ nbins-value key: one scan, one tiny shuffle. NULLs are
+    * excluded (they have no position on the axis).
+    *
+    * All bin arithmetic is plain IEEE double in a fixed evaluation
+    * order — width = (max−min)/nbins, bin = floor((v−min)/width) —
+    * so any engine reproducing the same order reproduces the exact
+    * same bin boundaries, including ties ON a boundary.
+    *
+    * Output: (bin, lo, hi, n) for non-empty bins.
+    */
+  def histogram(df: DataFrame, c: String, nbins: Int): DataFrame = {
+    require(nbins >= 1, s"histogram: nbins must be >= 1, got $nbins")
+    val bounds = df.agg(F.min(col(c)).cast(DoubleType),
+      F.max(col(c)).cast(DoubleType)).head()
+    if (bounds.isNullAt(0)) {
+      // all-NULL (or empty) input: an empty histogram, typed
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("bin"), lit(0.0).as("lo"), lit(0.0).as("hi"),
+          lit(0L).as("n"))
+        .limit(0)
+    }
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    val w = (mx - mn) / nbins
+    val bin =
+      if (w == 0.0) lit(0L) // degenerate single-value column
+      else F.least(
+        F.floor((col(c).cast(DoubleType) - lit(mn)) / lit(w)),
+        lit(nbins - 1L))
+    df.filter(col(c).isNotNull)
+      .select(bin.as("bin"))
+      .groupBy("bin")
+      .agg(F.count(lit(1)).as("n"))
+      .select(col("bin"), (lit(mn) + col("bin") * lit(w)).as("lo"),
+        (lit(mn) + (col("bin") + 1) * lit(w)).as("hi"), col("n"))
+  }
+}

@@ -82,6 +82,29 @@ object TimeSeries {
     }
   }
 
+  /** Rolling (trailing-window) mean of `valCol` over the last `n`
+    * rows per series, in `orderCols` order: the moving-average smooth
+    * every monitoring/trend query wants. One key-partitioned window —
+    * never a single-partition sort — with exact decimal sums inside
+    * the frame, so the result is bit-deterministic under any
+    * partitioning. `orderCols` must be a total order within a key
+    * (include a unique tiebreaker) or frame contents are undefined.
+    */
+  def rollingMean(keyCols: Seq[String], orderCols: Seq[Column], n: Int,
+                  valCol: Column): Column = {
+    require(n >= 1, s"rollingMean: n must be >= 1, got $n")
+    require(keyCols.nonEmpty,
+      "rollingMean: need a partition key — an unkeyed rolling window " +
+        "is a single-partition sort (use a bucketed two-stage rank " +
+        "for global order at scale)")
+    val w = Window.partitionBy(keyCols.map(F.col): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(-(n - 1L), Window.currentRow)
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    F.sum(valCol.cast(DecimalType(18, 2))).over(w).cast(DoubleType) /
+      F.count(valCol).over(w)
+  }
+
   /** The composed operator: resample, densify, forward-fill
     * `ffillCols` (other aggregated columns keep their gap NULLs —
     * a count is genuinely absent in a gap; a level-like metric

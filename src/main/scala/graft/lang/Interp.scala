@@ -1547,7 +1547,8 @@ object Interp {
       "repeated_spans", "contamination_score", "span_dup_frac",
       "remove_repeated_spans",
       "bm25_search", "top_terms", "top_tokens", "freq_tokens",
-      "pivot", "unpivot", "resample_fill", "fuzzy_pairs")
+      "pivot", "unpivot", "resample_fill", "fuzzy_pairs",
+      "components", "corr_matrix", "histogram", "rolling_mean")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1841,6 +1842,45 @@ object Interp {
             if (args.length == 5) litString(args(4).value) else "value"
           PTable(graft.ext.Reshape.unpivot(t(args(0).value).df,
             ids, vals, varName, valName))
+        case "components" =>
+          // components(edges) — connected components over (src, dst)
+          // or (id_a, id_b) pairs; returns (id, label = min id in
+          // component)
+          if (args.length != 1)
+            throw new TypeError("components(edges)")
+          val e = t(args.head.value).df
+          val pairs =
+            if (e.columns.contains("id_a")) e
+            else e.select(col(e.columns(0)).as("id_a"),
+              col(e.columns(1)).as("id_b"))
+          PTable(graft.ext.Dedup.connectedComponents(pairs))
+        case "corr_matrix" =>
+          // corr_matrix(t, "col col ...") — every pairwise Pearson
+          // correlation in one aggregate pass
+          if (args.length != 2)
+            throw new TypeError("corr_matrix(t, \"cols\")")
+          val cols = litString(args(1).value).trim.split("\\s+").toSeq
+          PTable(graft.ext.Stats.corrMatrix(t(args.head.value).df, cols))
+        case "histogram" =>
+          // histogram(t, "col", nbins) — equi-width histogram
+          if (args.length != 3)
+            throw new TypeError("histogram(t, \"col\", nbins)")
+          PTable(graft.ext.Stats.histogram(t(args.head.value).df,
+            litString(args(1).value), constLong(args(2).value).toInt))
+        case "rolling_mean" =>
+          // rolling_mean(t, "key cols", "order cols", n, "val_col") —
+          // trailing n-row moving average per series, appended as `ma`
+          if (args.length != 5)
+            throw new TypeError(
+              "rolling_mean(t, \"key cols\", \"order cols\", n, \"val\")")
+          val keys = litString(args(1).value).trim.split("\\s+").toSeq
+          val ord = litString(args(2).value).trim.split("\\s+").toSeq
+            .map(col)
+          val src = t(args.head.value).df
+          PTable(src.withColumn("ma",
+            graft.ext.TimeSeries.rollingMean(keys, ord.toIndexedSeq,
+              constLong(args(3).value).toInt,
+              col(litString(args(4).value)))))
         case "fuzzy_pairs" =>
           // fuzzy_pairs(t, "id_col", "str_col", k) — typo-tolerant
           // entity matching: all row pairs within levenshtein k (1|2)

@@ -76,6 +76,7 @@ object Repl {
     "zipjoin_longest", "temptable", "sample_fast", "sample_ratio_fast",
     "page", "tables", "names", "columns", "env_vars", "bfs", "walk_tree",
     "page_rank", "pivot", "unpivot", "resample_fill", "fuzzy_pairs",
+    "components", "corr_matrix", "histogram", "rolling_mean",
     "import_orc",
     "SQL", "upper", "lower", "length", "round", "repeat", "char",
     "char_ord", "char_range", "str_index", "str_contains", "year",

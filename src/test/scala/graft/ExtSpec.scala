@@ -1448,6 +1448,52 @@ class ExtSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 4L, 6L))
   }
 
+  test("corrMatrix: one pass, perfect/anti/known correlations") {
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
+      (4.0, 8.0, -4.0)).toDF("x", "y", "z")
+    val m = graft.ext.Stats.corrMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("x__y") == 1.0)   // y = 2x
+    assert(m("x__z") == -1.0)  // z = -x
+    assert(m("y__z") == -1.0)
+  }
+
+  test("histogram: equi-width bins, max in last bin, nulls excluded") {
+    val df = Seq[java.lang.Double](0.0, 1.0, 2.5, 5.0, 9.9, 10.0, null)
+      .toDF("v")
+    val bins = graft.ext.Stats.histogram(df, "v", 5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).toMap
+    // width 2: [0,2):{0,1} [2,4):{2.5} [4,6):{5} [8,10]:{9.9, 10}
+    assert(bins(0L) == ((0.0, 2.0, 2L)))
+    assert(bins(1L) == ((2.0, 4.0, 1L)))
+    assert(bins(2L) == ((4.0, 6.0, 1L)))
+    assert(bins(4L) == ((8.0, 10.0, 2L)))
+    assert(!bins.contains(3L)) // empty bin absent
+  }
+
+  test("histogram: degenerate single-value column lands in bin 0") {
+    val df = Seq(7.0, 7.0, 7.0).toDF("v")
+    val bins = graft.ext.Stats.histogram(df, "v", 4).collect()
+    assert(bins.length == 1 && bins.head.getLong(0) == 0L &&
+      bins.head.getLong(3) == 3L)
+  }
+
+  test("rollingMean: trailing frame, per-key isolation") {
+    val df = Seq(("a", 1L, 2.0), ("a", 2L, 4.0), ("a", 3L, 6.0),
+      ("a", 4L, 8.0), ("b", 1L, 100.0)).toDF("k", "i", "v")
+    val out = df.select(col("k"), col("i"),
+      graft.ext.TimeSeries.rollingMean(Seq("k"), Seq(col("i")), 2,
+        col("v")).as("ma"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(out(("a", 1L)) == 2.0)        // frame = {2}
+    assert(out(("a", 2L)) == 3.0)        // {2,4}
+    assert(out(("a", 3L)) == 5.0)        // {4,6}
+    assert(out(("a", 4L)) == 7.0)        // {6,8}
+    assert(out(("b", 1L)) == 100.0)      // keys never mix
+  }
+
   test("fuzzyPairs finds substitution, insertion and deletion pairs at k=1") {
     val df = Seq(
       (1L, "kitten"), (2L, "kitteX"),  // substitution: dist 1

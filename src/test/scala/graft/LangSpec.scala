@@ -1370,6 +1370,16 @@ class LangSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(2) > 0 && r.getLong(3) > 0))
   }
 
+  test("examples/analytics_tour.pql runs verbatim over the testdata") {
+    val script = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/analytics_tour.pql")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val out = Interp.run(spark, script + "\ngap_summary",
+      "events" -> Tables.load(spark, sf, "events"),
+      "documents" -> Tables.load(spark, sf, "documents")).df.collect()
+    assert(out.nonEmpty && out.forall(_.getLong(1) > 0))
+  }
+
   test("corpus hygiene operators callable from the language") {
     val docs = Tables.load(spark, sf, "documents")
     // repetition_signals == the Scala operator, row for row
@@ -1473,6 +1483,32 @@ class LangSpec extends SparkSpec {
       """resample_fill(ev, "ts", "k", 1000000, "value")""", "ev" -> ev)
     assert(ts.columns == Seq("k", "bucket", "total", "n"))
     assert(ts.df.count() == 3) // buckets 1, 2 (gap, filled), 3
+  }
+
+  test("components, corr_matrix, histogram, rolling_mean in the language") {
+    import spark.implicits._
+    val edges = graft.dsl.PTable(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst"))
+    val comp = Interp.run(spark, "components(edges)", "edges" -> edges)
+      .df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L))
+    val nums = graft.dsl.PTable(
+      Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y"))
+    val cm = Interp.run(spark, """corr_matrix(nums, "x y")""",
+      "nums" -> nums).df.collect()
+    assert(cm.length == 1 && cm.head.getDouble(1) == 1.0)
+    val h = Interp.run(spark, """histogram(nums, "x", 2)""",
+      "nums" -> nums).df.collect()
+    assert(h.map(_.getLong(3)).sum == 3L)
+    val keyed = graft.dsl.PTable(
+      Seq(("a", 1.0, 2.0), ("a", 2.0, 4.0)).toDF("k", "x", "y"))
+    val rm = Interp.run(spark,
+      """rolling_mean(keyed, "k", "x", 2, "y") {x, ma}""",
+      "keyed" -> keyed)
+    assert(rm.columns == Seq("x", "ma"))
+    assert(rm.df.collect().map(_.getDouble(1)).sorted.toSeq ==
+      Seq(2.0, 3.0))
   }
 
   test("page_rank composes in the language: star hub wins") {

@@ -818,6 +818,24 @@ class PlanQualitySpec extends SparkSpec {
       s"fill window must partition by series key:\n$p")
   }
 
+  test("corr matrix: all pairs from ONE scan and ONE aggregate pass") {
+    val p = planOf("x86_corr_matrix")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"k(k-1)/2 correlations must share one scan:\n$p")
+    assert(p.contains("partial_sum"),
+      s"corr sums lost map-side partials:\n$p")
+    assert(p.contains("Expand"),
+      s"wide->long melt must be the Expand node, not a join:\n$p")
+  }
+
+  test("rolling mean: window partitioned by series key") {
+    val p = planOf("x88_rolling_mean")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"rolling window must partition by key:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(user_id)"),
+      s"key filter not pushed to the scan:\n$p")
+  }
+
   test("fuzzy join: candidates from a hash equi-join, never a cartesian") {
     val p = planOf("x83_fuzzy_join")
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
