@@ -14,6 +14,7 @@ import org.apache.spark.sql.SparkSession
 object GraftConf {
 
   val GraphDriverLimitKey = "spark.graft.graph.driverLimit"
+  val GraphBroadcastNodesKey = "spark.graft.graph.broadcastNodes"
   val DedupDriverLimitKey = "spark.graft.dedup.driverLimit"
   val AutoCompactEveryKey = "spark.graft.catalog.autoCompactEvery"
   val NativeArgmaxThresholdKey = "spark.graft.ivf.nativeArgmaxThreshold"
@@ -30,6 +31,15 @@ object GraftConf {
     */
   def graphDriverLimit(spark: SparkSession): Long =
     long(spark, GraphDriverLimitKey, 1L << 20)
+
+  /** Node count below which iterative graph algorithms broadcast the
+    * node-sized rank/label table into the edge join (the edge table —
+    * the big thing — then never shuffles per iteration). 1M nodes ×
+    * 16 bytes ≈ 16 MB broadcast, well under executor memory; above
+    * this the shuffle join is the right plan.
+    */
+  def graphBroadcastNodes(spark: SparkSession): Long =
+    long(spark, GraphBroadcastNodesKey, 1L << 20)
 
   /** Edge count below which duplicate-cluster resolution runs
     * driver-side union-find instead of distributed min-label rounds.

@@ -193,17 +193,26 @@ object Graph {
     withDeg.count() // materialize before dropping the raw edge cache
     e.unpersist()
     val base = (1.0 - damping) / n
+    // When the node-sized tables fit a broadcast (default ≤ 1M nodes,
+    // ~16 MB), broadcast ranks INTO the edge join and contribs into
+    // the rank rebuild: the edge table — the big thing — then never
+    // shuffles per iteration (only the node-grain partial-agg
+    // combine does). Above the threshold both joins shuffle, which
+    // is the right plan at billions of nodes.
+    val bcast = n <= graft.GraftConf.graphBroadcastNodes(spark)
+    def small(df: DataFrame): DataFrame =
+      if (bcast) F.broadcast(df) else df
     var ranks = materialize(
       nodes.select(F.col("node"), F.lit(1.0 / n).as("rank")))
     for (_ <- 1 to iters) {
-      val contribs = ranks.alias("r")
-        .join(withDeg.alias("w"), F.col("r.node") === F.col("w.src"))
+      val contribs = withDeg.alias("w")
+        .join(small(ranks.alias("r")), F.col("r.node") === F.col("w.src"))
         .groupBy(F.col("w.dst").as("node"))
         .agg(F.sum(F.col("r.rank") * F.col("w.invdeg")).as("contrib"))
       ranks = materialize(
         nodes.alias("n")
-          .join(contribs.alias("c"), F.col("n.node") === F.col("c.node"),
-            "left")
+          .join(small(contribs.alias("c")),
+            F.col("n.node") === F.col("c.node"), "left")
           .select(F.col("n.node").as("node"),
             (F.lit(base) + F.lit(damping) *
               F.coalesce(F.col("c.contrib"), F.lit(0.0))).as("rank")))

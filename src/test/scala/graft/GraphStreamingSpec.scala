@@ -58,6 +58,21 @@ class GraphStreamingSpec extends SparkSpec {
     a.keySet.foreach(k => assert(math.abs(a(k) - b(k)) < 1e-12))
   }
 
+  test("pageRank: broadcast and shuffle-join iteration paths agree") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (1L, 2L))
+      .toDF("src", "dst")
+    def run() = Graph.pageRank(edges, iters = 5, driverLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaBroadcast = run() // default threshold: node tables broadcast
+    spark.conf.set(graft.GraftConf.GraphBroadcastNodesKey, "0")
+    try {
+      val viaShuffle = run()
+      assert(viaBroadcast.keySet == viaShuffle.keySet)
+      viaBroadcast.keySet.foreach(k =>
+        assert(math.abs(viaBroadcast(k) - viaShuffle(k)) < 1e-12))
+    } finally spark.conf.unset(graft.GraftConf.GraphBroadcastNodesKey)
+  }
+
   test("pageRank: zero iterations returns the uniform prior") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val out = Graph.pageRank(edges, iters = 0)
