@@ -710,6 +710,33 @@ object SparkEntry {
             Seq(col("ts"), col("event_id")), 4, col("value")), 6)
             .as("ma4"))),
 
+    // Personalized PageRank: teleport restricted to seed domains 0..9
+    // — "what matters NEAR these seeds", the topic-focused crawl
+    // variant. Same unrolled-CTE oracle family as x78.
+    "x89_pagerank_seeded" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val e = docs.select((col("doc_id") % 400).as("src"),
+          ((col("doc_id") * 31 + 7) % 400).as("dst"))
+        .unionAll(docs.select((col("doc_id") % 400).as("src"),
+          ((col("doc_id") * 17 + 3) % 400).as("dst")))
+      graft.rec.Graph.pageRank(e, iters = 6, damping = 0.85,
+          sources = s.range(0, 10).toDF("node"))
+        .select(col("node"), F.round(col("rank"), 6).as("rank"))
+    }),
+
+    // Triangle count via degree-ordered orientation (compact-forward):
+    // block-ring graph with skip-2 chords — every consecutive triple
+    // closes. The oracle is an independent canonical 3-way join.
+    "x90_triangles" -> ((s, d) => {
+      val nodes = t(s, d, "documents").df
+        .select((col("doc_id") % 5000).as("a")).distinct()
+      val e = nodes.select(col("a").as("src"),
+          (col("a") - col("a") % 50 + (col("a") + 1) % 50).as("dst"))
+        .unionAll(nodes.select(col("a").as("src"),
+          (col("a") - col("a") % 50 + (col("a") + 2) % 50).as("dst")))
+      graft.rec.Graph.triangles(e)
+    }),
+
     // TF-IDF keyword extraction: 3 most distinctive terms per doc
     "x57_top_terms" -> ((s, d) =>
       graft.ext.Search.topTermsPerDoc(t(s, d, "documents").df,
@@ -3112,20 +3139,35 @@ object SparkEntry {
     s"round($cov / (${sd(x)} * ${sd(y)}), 8)"
   }
 
-  /** x78: PageRank oracle — the fixed-iteration power method unrolled
-    * as a CTE chain (pr0 → pr6), mirroring Graph.pageRank's exact
-    * arithmetic: rank' = (1-d)/N + d·Σ rank·(1/outdeg), dangling mass
-    * dropped, multi-edges contributing per occurrence. Every constant
-    * is CAST to DOUBLE so DuckDB never routes through DECIMAL, and the
-    * output is ROUND 6 (double sum order differs across engines).
+  /** x78/x89: PageRank oracle — the fixed-iteration power method
+    * unrolled as a CTE chain (pr0 → pr6), mirroring Graph.pageRank's
+    * exact arithmetic: rank' = base(node) + d·Σ rank·(1/outdeg),
+    * dangling mass dropped, multi-edges contributing per occurrence.
+    * `seeds` > 0 switches to the personalized teleport: base and the
+    * initial vector are uniform over nodes < seeds, zero elsewhere.
+    * Every constant is CAST to DOUBLE so DuckDB never routes through
+    * DECIMAL, and the output is ROUND 6 (double sum order differs
+    * across engines).
     */
-  private def pageRankOracleSql(mod: Int, iters: Int,
-                                damping: Double): String = {
+  private def pageRankOracleSql(mod: Int, iters: Int, damping: Double,
+                                seeds: Int = 0): String = {
     val d = s"CAST($damping AS DOUBLE)"
+    val base =
+      if (seeds > 0)
+        s"""CASE WHEN n.node < $seeds
+              THEN (CAST(1.0 AS DOUBLE) - $d)/CAST($seeds AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END"""
+      else s"(CAST(1.0 AS DOUBLE) - $d)/nn.n"
+    val init =
+      if (seeds > 0)
+        s"""CASE WHEN node < $seeds
+              THEN CAST(1.0 AS DOUBLE)/CAST($seeds AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END"""
+      else "CAST(1.0 AS DOUBLE)/nn.n"
     val prs = (1 to iters).map { i =>
       s"""pr$i AS (
            SELECT n.node,
-             (CAST(1.0 AS DOUBLE) - $d)/nn.n + $d*COALESCE(c.contrib,
+             $base + $d*COALESCE(c.contrib,
                CAST(0.0 AS DOUBLE)) AS rank
            FROM nodes n CROSS JOIN nn
            LEFT JOIN (SELECT w.dst AS node,
@@ -3149,7 +3191,7 @@ object SparkEntry {
                FROM edges GROUP BY src),
        ew AS (SELECT e.src, e.dst, d.invdeg
               FROM edges e JOIN deg d ON e.src = d.src),
-       pr0 AS (SELECT node, CAST(1.0 AS DOUBLE)/nn.n AS rank
+       pr0 AS (SELECT node, $init AS rank
                FROM nodes CROSS JOIN nn),
        $prs
        SELECT node, ROUND(rank, 6) AS rank FROM pr$iters"""
@@ -4669,6 +4711,23 @@ object SparkEntry {
            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
 
     "x78_pagerank" -> pageRankOracleSql(400, 6, 0.85),
+
+    "x89_pagerank_seeded" -> pageRankOracleSql(400, 6, 0.85, seeds = 10),
+
+    // independent canonical 3-way join over the normalized simple
+    // graph (the engine runs degree-ordered orientation)
+    "x90_triangles" ->
+      """WITH nodes AS (SELECT DISTINCT doc_id % 5000 AS a FROM documents),
+         e0 AS (
+           SELECT a AS s, a - a % 50 + (a + 1) % 50 AS t FROM nodes
+           UNION ALL
+           SELECT a AS s, a - a % 50 + (a + 2) % 50 AS t FROM nodes),
+         und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+                 FROM e0 WHERE s <> t)
+         SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         FROM und e1
+         JOIN und e2 ON e1.b = e2.a
+         JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""",
 
     "ql40_lang_pagerank" ->
       (s"SELECT node, rank AS r FROM (${pageRankOracleSql(400, 6, 0.85)})" +

@@ -1533,7 +1533,8 @@ object Interp {
       "enum", "list", "temptable", "sample_ratio_fast", "sample_fast",
       "page", "tables", "names", "columns", "env_vars", "bfs",
       "walk_tree", "graph.bfs", "graph.walk_tree", "page_rank",
-      "graph.page_rank", "SQL", "char_range",
+      "graph.page_rank", "triangles", "graph.triangles", "SQL",
+      "char_range",
       "limit_offset", "table_concat", "table_union", "table_intersect",
       "table_substract", "table_subtract", "force_eval", "describe",
       "zipjoin", "zipjoin_left", "zipjoin_longest", "map_range",
@@ -2283,16 +2284,26 @@ object Interp {
             initDf, constLong(args(2).value).toInt)
             .select(col("node").as("id"), col("rank")))
         case "page_rank" | "graph.page_rank" =>
-          // page_rank(edges, iters?, damping?) — edges must expose
-          // (src, dst); returns (node, rank)
-          if (args.isEmpty || args.length > 3)
-            throw new TypeError("page_rank(edges, iters?, damping?)")
+          // page_rank(edges, iters?, damping?, seeds?) — edges must
+          // expose (src, dst); returns (node, rank). A 4th table arg
+          // personalizes the teleport to its (first-column) node set.
+          if (args.isEmpty || args.length > 4)
+            throw new TypeError(
+              "page_rank(edges, iters?, damping?, seeds?)")
           val iters =
             if (args.length >= 2) constLong(args(1).value).toInt else 10
           val damping =
-            if (args.length == 3) constDouble(args(2).value) else 0.85
+            if (args.length >= 3) constDouble(args(2).value) else 0.85
+          val seeds =
+            if (args.length == 4) t(args(3).value).df else null
           PTable(graft.rec.Graph.pageRank(t(args.head.value).df,
-            iters, damping))
+            iters, damping, sources = seeds))
+        case "triangles" | "graph.triangles" =>
+          // triangles(edges) — triangle count of the undirected
+          // simple graph (one-row result)
+          if (args.length != 1)
+            throw new TypeError("triangles(edges)")
+          PTable(graft.rec.Graph.triangles(t(args.head.value).df))
         case other => throw new NameError(s"unknown table function '$other'")
       }
     }

@@ -1,6 +1,6 @@
 package graft.rec
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.storage.StorageLevel
 
@@ -131,9 +131,18 @@ object Graph {
     *  - graphs under `driverLimit` edges finish driver-side: one
     *    collect + array-indexed scalar loop (zero jobs per iteration)
     *    — identical arithmetic, same as the bfs shortcut.
+    *
+    * `sources` (optional, one column of node ids) switches to
+    * PERSONALIZED PageRank: the teleport vector is uniform over the
+    * source set instead of all nodes — rank' = (1-d)/|S|·[node∈S] +
+    * d·Σ rank·(1/outdeg), init rank = 1/|S| on S, 0 elsewhere. The
+    * topic/seed-focused variant of crawl prioritization ("what
+    * matters NEAR these seeds"). Sources are unioned into the node
+    * set, so an isolated seed still collects its teleport mass.
     */
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
-               driverLimit: Long = -1): DataFrame = {
+               driverLimit: Long = -1,
+               sources: DataFrame = null): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val spark = edges.sparkSession
     import org.apache.spark.sql.types.DoubleType
@@ -155,19 +164,36 @@ object Graph {
         srcs(i) = id(rows(i).get(0)); dsts(i) = id(rows(i).get(1)); i += 1
       }
       e.unpersist()
+      val srcIds: Option[Set[Int]] = Option(sources).map(
+        _.select(F.col(sources.columns.head)).distinct().collect()
+          .map(r => id(r.get(0))).toSet)
+      srcIds.foreach(s => require(s.nonEmpty,
+        "pageRank: personalized source set is empty"))
       val n = idx.size
       val outdeg = new Array[Long](n)
       srcs.foreach(s => outdeg(s) += 1)
       val invdeg = outdeg.map(d => if (d == 0) 0.0 else 1.0 / d.toDouble)
-      var ranks = Array.fill(n)(1.0 / n.toDouble)
-      val base = (1.0 - damping) / n.toDouble
+      val baseOf: Int => Double = srcIds match {
+        case None =>
+          val b = (1.0 - damping) / n.toDouble; _ => b
+        case Some(s) =>
+          val b = (1.0 - damping) / s.size.toDouble
+          k => if (s.contains(k)) b else 0.0
+      }
+      val initOf: Int => Double = srcIds match {
+        case None => _ => 1.0 / n.toDouble
+        case Some(s) =>
+          val v = 1.0 / s.size.toDouble
+          k => if (s.contains(k)) v else 0.0
+      }
+      var ranks = Array.tabulate(n)(initOf)
       for (_ <- 1 to iters) {
         val contrib = new Array[Double](n)
         var j = 0
         while (j < srcs.length) {
           contrib(dsts(j)) += ranks(srcs(j)) * invdeg(srcs(j)); j += 1
         }
-        ranks = contrib.map(c => base + damping * c)
+        ranks = Array.tabulate(n)(k => baseOf(k) + damping * contrib(k))
       }
       val nodeType = edges.schema("src").dataType
       return spark.createDataFrame(
@@ -179,11 +205,19 @@ object Graph {
           org.apache.spark.sql.types.StructField("rank", DoubleType,
             nullable = false))))
     }
-    val nodes = materialize(
-      e.select(F.col("src").as("node"))
-        .unionAll(e.select(F.col("dst").as("node"))).distinct())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcSet = Option(sources).map(s => materialize(
+      s.select(F.col(s.columns.head).as("node")).distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val nodes = materialize {
+      val fromEdges = e.select(F.col("src").as("node"))
+        .unionAll(e.select(F.col("dst").as("node")))
+      srcSet.fold(fromEdges)(s =>
+        fromEdges.unionAll(s.select(F.col("node")))).distinct()
+    }.persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count().toDouble
+    val nSrc = srcSet.map(_.count().toDouble)
+    nSrc.foreach(c => require(c > 0,
+      "pageRank: personalized source set is empty"))
     val withDeg = e.alias("e")
       .join(e.groupBy("src").agg(F.count(F.lit(1)).as("outdeg")).alias("d"),
         F.col("e.src") === F.col("d.src"))
@@ -192,7 +226,27 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     withDeg.count() // materialize before dropping the raw edge cache
     e.unpersist()
-    val base = (1.0 - damping) / n
+    // teleport flag per node: uniform everywhere, or over the seed set
+    val flagged = srcSet match {
+      case None => nodes.select(F.col("node"), F.lit(true).as("in_s"))
+      case Some(s) => nodes.alias("n")
+        .join(F.broadcast(s.select(F.col("node"), F.lit(1).as("_s"))
+          .alias("s")), F.col("n.node") === F.col("s.node"), "left")
+        .select(F.col("n.node").as("node"),
+          F.col("_s").isNotNull.as("in_s"))
+    }
+    val baseCol = nSrc match {
+      case None => F.lit((1.0 - damping) / n)
+      case Some(c) => F.when(F.col("in_s"),
+        F.lit((1.0 - damping) / c)).otherwise(0.0)
+    }
+    val initCol = nSrc match {
+      case None => F.lit(1.0 / n)
+      case Some(c) => F.when(F.col("in_s"), F.lit(1.0 / c)).otherwise(0.0)
+    }
+    val based = materialize(
+      flagged.select(F.col("node"), baseCol.as("base"), initCol.as("init")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // When the node-sized tables fit a broadcast (default ≤ 1M nodes,
     // ~16 MB), broadcast ranks INTO the edge join and contribs into
     // the rank rebuild: the edge table — the big thing — then never
@@ -203,22 +257,83 @@ object Graph {
     def small(df: DataFrame): DataFrame =
       if (bcast) F.broadcast(df) else df
     var ranks = materialize(
-      nodes.select(F.col("node"), F.lit(1.0 / n).as("rank")))
+      based.select(F.col("node"), F.col("init").as("rank")))
     for (_ <- 1 to iters) {
       val contribs = withDeg.alias("w")
         .join(small(ranks.alias("r")), F.col("r.node") === F.col("w.src"))
         .groupBy(F.col("w.dst").as("node"))
         .agg(F.sum(F.col("r.rank") * F.col("w.invdeg")).as("contrib"))
       ranks = materialize(
-        nodes.alias("n")
+        based.alias("n")
           .join(small(contribs.alias("c")),
             F.col("n.node") === F.col("c.node"), "left")
           .select(F.col("n.node").as("node"),
-            (F.lit(base) + F.lit(damping) *
+            (F.col("n.base") + F.lit(damping) *
               F.coalesce(F.col("c.contrib"), F.lit(0.0))).as("rank")))
     }
-    withDeg.unpersist(); nodes.unpersist()
+    withDeg.unpersist(); nodes.unpersist(); based.unpersist()
+    srcSet.foreach(_.unpersist())
     ranks
+  }
+
+  /** Triangle count of the UNDIRECTED simple graph induced by `edges`
+    * (direction, multiplicity and self-loops are normalized away).
+    * The classic degree-ordered orientation (compact-forward): orient
+    * every edge from the lower (degree, id) endpoint to the higher,
+    * join the out-edge list with itself to enumerate each triangle's
+    * unique 2-path (from its smallest vertex in that order), then
+    * semi-join the closing edge. Orientation bounds every node's
+    * out-degree by O(√m) on any graph, so the 2-path fan-out — the
+    * only super-linear term — is O(m^1.5) worst case and near-linear
+    * on real sparse graphs, instead of the unbounded Σdeg² of the
+    * naive neighbor join. Three shuffles total (normalize, 2-path,
+    * close); every join is an equi hash join.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    // normalize: undirected, simple (a < b), deduped
+    val und = materialize(
+      edges.select(F.least(F.col("src"), F.col("dst")).as("a"),
+          F.greatest(F.col("src"), F.col("dst")).as("b"))
+        .filter(F.col("a") =!= F.col("b"))
+        .distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(F.col("a").as("node"))
+      .unionAll(und.select(F.col("b").as("node")))
+      .groupBy("node").agg(F.count(F.lit(1)).as("deg"))
+    // total order (deg, id): orient light → heavy. Ordinal structs
+    // carry (d, n) named fields so both when-branches share one type.
+    def ord(d: Column, node: Column): Column =
+      F.named_struct(F.lit("d"), d, F.lit("n"), node)
+    val oriented = materialize(
+      und.alias("e")
+        .join(deg.alias("da"), F.col("e.a") === F.col("da.node"))
+        .join(deg.alias("db"), F.col("e.b") === F.col("db.node"))
+        .select(
+          F.when(ord(F.col("da.deg"), F.col("e.a")) <
+              ord(F.col("db.deg"), F.col("e.b")),
+            F.col("e.a")).otherwise(F.col("e.b")).as("u"),
+          F.when(ord(F.col("da.deg"), F.col("e.a")) <
+              ord(F.col("db.deg"), F.col("e.b")),
+            ord(F.col("db.deg"), F.col("e.b")))
+            .otherwise(ord(F.col("da.deg"), F.col("e.a")))
+            .as("vord")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    oriented.count()
+    und.unpersist()
+    // 2-paths from each triangle's smallest vertex; close with the
+    // oriented (v, w) edge — each triangle counted exactly once
+    val paths = oriented.alias("p1").join(oriented.alias("p2"),
+        F.col("p1.u") === F.col("p2.u") &&
+          F.col("p1.vord") < F.col("p2.vord"))
+      .select(F.col("p1.vord.n").as("v"), F.col("p2.vord.n").as("w"))
+    val closing = oriented.select(F.col("u").as("v"),
+      F.col("vord.n").as("w"))
+    val out = paths.join(closing, Seq("v", "w"), "left_semi")
+      .agg(F.count(F.lit(1)).as("n_triangles"))
+    val res = materialize(out)
+    oriented.unpersist()
+    res
   }
 
   /** walk_tree: all paths from `initial` following edges up to

@@ -75,7 +75,8 @@ object Repl {
     "leftjoin", "outerjoin", "joinall", "zipjoin", "zipjoin_left",
     "zipjoin_longest", "temptable", "sample_fast", "sample_ratio_fast",
     "page", "tables", "names", "columns", "env_vars", "bfs", "walk_tree",
-    "page_rank", "pivot", "unpivot", "resample_fill", "fuzzy_pairs",
+    "page_rank", "triangles", "pivot", "unpivot", "resample_fill",
+    "fuzzy_pairs",
     "components", "corr_matrix", "histogram", "rolling_mean",
     "import_orc",
     "SQL", "upper", "lower", "length", "round", "repeat", "char",

@@ -73,6 +73,54 @@ class GraphStreamingSpec extends SparkSpec {
     } finally spark.conf.unset(graft.GraftConf.GraphBroadcastNodesKey)
   }
 
+  test("personalized pageRank: teleport mass stays near the seed set") {
+    // chain 0→1→2→3 plus an off-seed island 8↔9; seed = {0}
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (8L, 9L), (9L, 8L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    def run(limit: Long) = Graph.pageRank(edges, iters = 8,
+        driverLimit = limit, sources = seeds)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pr = run(1 << 20)
+    // island nodes get zero (no path from the seed, no teleport)
+    assert(pr(8L) == 0.0 && pr(9L) == 0.0)
+    // the seed holds the full teleport mass; rank decays along chain
+    assert(math.abs(pr(0L) - 0.15) < 1e-12)
+    assert(pr(0L) > pr(1L) && pr(1L) > pr(2L) && pr(2L) > pr(3L))
+    // distributed path: identical arithmetic
+    val dist = run(0)
+    assert(pr.keySet == dist.keySet)
+    pr.keySet.foreach(k => assert(math.abs(pr(k) - dist(k)) < 1e-12))
+  }
+
+  test("personalized pageRank: isolated seeds still collect teleport mass") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(7L).toDF("node") // not in the edge set at all
+    val pr = Graph.pageRank(edges, iters = 3, driverLimit = 0,
+        sources = seeds)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet == Set(1L, 2L, 7L))
+    assert(math.abs(pr(7L) - 0.15) < 1e-12) // base, no in-links
+    assert(pr(1L) == 0.0)
+  }
+
+  test("triangles: counts each triangle once on a known graph") {
+    // K4 has 4 triangles; plus a disjoint path (none); direction,
+    // multi-edges and self-loops normalized away
+    val k4 = for {
+      a <- 0L to 3L; b <- 0L to 3L if a != b
+    } yield (a, b) // both directions = multi after normalize
+    val edges = (k4 ++ Seq((10L, 11L), (11L, 12L), (5L, 5L)))
+      .toDF("src", "dst")
+    val n = Graph.triangles(edges).collect().head.getLong(0)
+    assert(n == 4L)
+  }
+
+  test("triangles: zero on a triangle-free graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.triangles(edges).collect().head.getLong(0) == 0L)
+  }
+
   test("pageRank: zero iterations returns the uniform prior") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val out = Graph.pageRank(edges, iters = 0)

@@ -1511,6 +1511,22 @@ class LangSpec extends SparkSpec {
       Seq(2.0, 3.0))
   }
 
+  test("triangles and seeded page_rank in the language") {
+    import spark.implicits._
+    val edges = graft.dsl.PTable(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst"))
+    val tri = Interp.run(spark, "triangles(edges)", "edges" -> edges)
+    assert(tri.df.collect().head.getLong(0) == 1L)
+    val seeds = graft.dsl.PTable(Seq(Tuple1(1L)).toDF("node"))
+    val pr = Interp.run(spark,
+      "page_rank(edges, 4, 0.85, seeds) order {node}",
+      "edges" -> edges, "seeds" -> seeds)
+    val ranks = pr.df.collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    // teleport restricted to node 1; node 4 only reachable via 3
+    assert(ranks(1L) > ranks(4L) && ranks(4L) > 0.0)
+  }
+
   test("page_rank composes in the language: star hub wins") {
     import spark.implicits._
     val edges = graft.dsl.PTable(
