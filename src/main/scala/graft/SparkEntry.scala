@@ -737,6 +737,38 @@ object SparkEntry {
       graft.rec.Graph.triangles(e)
     }),
 
+    // Per-source document cap: at most 5 docs per (lang, source) —
+    // the de-biasing "no domain dominates" operator; kept subset is
+    // the 5 lowest md5 hashes, stable across runs and engines
+    "x92_cap_per_source" -> ((s, d) =>
+      graft.ext.Corpus.capPerGroup(
+        t(s, d, "documents").df.select("doc_id", "lang", "source"),
+        Seq("lang", "source"), "doc_id", 5)),
+
+    // Raw aggregation throughput probe: group-by over 100M generated
+    // rows (bench dials to 20M), with the planted closed form checked
+    // in-query — count per residue class and 2·sum both have exact
+    // integer formulas, so the booleans are scale-invariant.
+    "x91_agg_100m" -> ((s, d) => {
+      val n = scaled(100000000L)
+      def idiv(a: Column, b: Long): Column =
+        F.call_function("div", a, lit(b))
+      s.range(0, n).toDF("i")
+        .groupBy((col("i") % 1000).as("g"))
+        .agg(F.count(lit(1)).as("cnt"), F.sum(col("i")).as("s"))
+        .select(col("g"), col("cnt"), col("s"),
+          (idiv(lit(n) - 1 - col("g"), 1000L) + 1).as("m"))
+        .select(
+          (col("cnt") === col("m")).as("cnt_ok"),
+          (col("s") * 2 === col("m") * col("g") * 2 +
+            lit(1000L) * col("m") * (col("m") - 1)).as("sum_ok"))
+        .agg(F.count(lit(1)).as("n_groups"),
+          F.sum(F.when(col("cnt_ok") && col("sum_ok"), 1L)
+            .otherwise(0L)).as("n_ok"))
+        .select((col("n_groups") === math.min(n, 1000L)).as("groups_complete"),
+          (col("n_ok") === col("n_groups")).as("all_exact"))
+    }),
+
     // TF-IDF keyword extraction: 3 most distinctive terms per doc
     "x57_top_terms" -> ((s, d) =>
       graft.ext.Search.topTermsPerDoc(t(s, d, "documents").df,
@@ -1998,6 +2030,31 @@ object SparkEntry {
     // count(distinct) runs as Spark's two-phase distinct aggregate —
     // partial de-dup on (group, suppkey) before the shuffle, so the
     // exchange carries distinct pairs, not raw fact rows.
+    // Composed: star-join chain → monthly revenue per region →
+    // trailing 3-month trend via the rollingMean window operator —
+    // broadcasts the dimension chain, one fact shuffle for the
+    // monthly aggregate, one key-partitioned trend window
+    "qc23_region_trend" -> ((s, d) => {
+      val o = t(s, d, "orders").df
+      val monthly = o
+        .join(F.broadcast(t(s, d, "customer").df
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(F.broadcast(t(s, d, "nation").df
+          .select("n_nationkey", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(F.broadcast(t(s, d, "region").df
+          .select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"),
+          (F.year(col("o_orderdate")) * 12 + F.month(col("o_orderdate")) - 1)
+            .cast(LongType).as("m"))
+        .agg(PF.dsum(col("o_totalprice")).as("revenue"))
+      monthly.select(col("r_name"), col("m"), col("revenue"),
+        F.round(graft.ext.TimeSeries.rollingMean(Seq("r_name"),
+          Seq(col("m")), 3, col("revenue")), 6).as("trend3"))
+    }),
+
     "qc22_supplier_variety" -> ((s, d) => {
       val excluded = t(s, d, "supplier").df
         .where(col("s_acctbal") < 1000).select("s_suppkey")
@@ -4714,6 +4771,19 @@ object SparkEntry {
 
     "x89_pagerank_seeded" -> pageRankOracleSql(400, 6, 0.85, seeds = 10),
 
+    // same md5-order row_number in DuckDB (q65's hash idiom)
+    "x92_cap_per_source" ->
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                 doc_id) AS rn
+           FROM documents) WHERE rn <= 5""",
+
+    // planted closed form asserted in-query; scale-invariant booleans
+    "x91_agg_100m" ->
+      "SELECT TRUE AS groups_complete, TRUE AS all_exact",
+
     // independent canonical 3-way join over the normalized simple
     // graph (the engine runs degree-ordered orientation)
     "x90_triangles" ->
@@ -5450,6 +5520,22 @@ object SparkEntry {
              SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
          GROUP BY p_brand, p_type, p_size
          ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "qc23_region_trend" ->
+      """WITH monthly AS (
+           SELECT r_name,
+             CAST(year(o_orderdate)*12 + month(o_orderdate) - 1 AS BIGINT) AS m,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2)
+         SELECT r_name, m, revenue,
+           round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / count(revenue) OVER w, 6) AS trend3
+         FROM monthly
+         WINDOW w AS (PARTITION BY r_name ORDER BY m
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
     "ql1_lang_groupby" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n FROM customer
          GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment""",

@@ -684,4 +684,26 @@ object Corpus {
       .select(F.col("ord"), F.col("n_tokens"),
         (F.col("tokens_before") / budget).cast(LongType).as("seq_id"))
   }
+
+  /** Cap every group at `k` rows, deterministically: the kept subset
+    * is the k lowest md5-hash rows per group — a per-domain /
+    * per-source document cap ("no single domain dominates the mix"),
+    * the de-biasing counterpart of weighted mixing. Reproducible
+    * across runs, engines, partitionings and cluster sizes (unlike a
+    * LIMIT inside a group, which is order-undefined), and re-runs on
+    * a grown corpus keep a stable preference order — a document only
+    * leaves the cap when k genuinely lower-hash newcomers arrive.
+    * One key-partitioned window; the hash is computed in the scan
+    * projection.
+    */
+  def capPerGroup(df: DataFrame, keyCols: Seq[String], idCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, s"capPerGroup: k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(F.col): _*)
+      .orderBy(TextAnalysis.h60(F.col(idCol)), F.col(idCol))
+    df.withColumn("_rn", F.row_number().over(w))
+      .filter(F.col("_rn") <= k)
+      .drop("_rn")
+  }
 }

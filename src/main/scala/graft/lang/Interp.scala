@@ -1549,7 +1549,8 @@ object Interp {
       "remove_repeated_spans",
       "bm25_search", "top_terms", "top_tokens", "freq_tokens",
       "pivot", "unpivot", "resample_fill", "fuzzy_pairs",
-      "components", "corr_matrix", "histogram", "rolling_mean")
+      "components", "corr_matrix", "histogram", "rolling_mean",
+      "cap_per_group")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1843,6 +1844,16 @@ object Interp {
             if (args.length == 5) litString(args(4).value) else "value"
           PTable(graft.ext.Reshape.unpivot(t(args(0).value).df,
             ids, vals, varName, valName))
+        case "cap_per_group" =>
+          // cap_per_group(t, "key cols", "id_col", k) — keep at most
+          // k rows per group, deterministic (lowest md5 hashes win)
+          if (args.length != 4)
+            throw new TypeError(
+              "cap_per_group(t, \"key cols\", \"id_col\", k)")
+          val keys = litString(args(1).value).trim.split("\\s+").toSeq
+          PTable(graft.ext.Corpus.capPerGroup(t(args(0).value).df,
+            keys, litString(args(2).value),
+            constLong(args(3).value).toInt))
         case "components" =>
           // components(edges) — connected components over (src, dst)
           // or (id_a, id_b) pairs; returns (id, label = min id in

@@ -1448,6 +1448,30 @@ class ExtSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 4L, 6L))
   }
 
+  test("capPerGroup: deterministic, stable under growth, exact cap") {
+    val df = (1L to 20L).map(i => (i, if (i <= 12) "a" else "b"))
+      .toDF("id", "grp")
+    val out = Corpus.capPerGroup(df, Seq("grp"), "id", 3)
+    val byGrp = out.collect().map(r => r.getString(1) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byGrp("a").size == 3 && byGrp("b").size == 3)
+    // deterministic: same result on re-run
+    val again = Corpus.capPerGroup(df, Seq("grp"), "id", 3)
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toSet
+    assert(again == out.collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toSet)
+    // growth stability: adding rows can only replace members whose
+    // hash loses — the kept set for the UNCHANGED group is identical
+    val grown = df.unionAll(Seq((100L, "b"), (101L, "b")).toDF("id", "grp"))
+    val after = Corpus.capPerGroup(grown, Seq("grp"), "id", 3)
+      .filter(col("grp") === "a").collect().map(_.getLong(0)).toSet
+    assert(after == byGrp("a"))
+    // groups under the cap keep everything
+    val small = Corpus.capPerGroup(df.filter(col("id") <= 2),
+      Seq("grp"), "id", 3)
+    assert(small.count() == 2)
+  }
+
   test("corrMatrix: one pass, perfect/anti/known correlations") {
     val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
       (4.0, 8.0, -4.0)).toDF("x", "y", "z")

@@ -818,6 +818,26 @@ class PlanQualitySpec extends SparkSpec {
       s"fill window must partition by series key:\n$p")
   }
 
+  test("cap-per-group: partitioned window over a pruned scan") {
+    val p = planOf("x92_cap_per_source")
+    assert(p.contains("windowspecdefinition(lang"),
+      s"cap window must partition by the group key:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"),
+      s"scan must prune to key+id columns:\n$p")
+  }
+
+  test("region trend: dimension chain broadcasts, one fact shuffle") {
+    val p = planOf("qc23_region_trend")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj == 3, s"all three dimension joins must broadcast:\n$p")
+    val shuffles = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(shuffles <= 2, // monthly agg + trend window partitioning
+      s"fact table must shuffle at most twice (agg + window):\n$p")
+    assert(p.contains("windowspecdefinition(r_name"),
+      s"trend window must partition by region:\n$p")
+  }
+
   test("corr matrix: all pairs from ONE scan and ONE aggregate pass") {
     val p = planOf("x86_corr_matrix")
     assert("Scan parquet".r.findAllIn(p).length == 1,
