@@ -2452,6 +2452,17 @@ object SparkEntry {
           |""".stripMargin,
         "events" -> t(s, d, "events")).df),
 
+    // cap-then-profile composed in the language: de-bias the corpus
+    // (≤5 docs per lang×source), then the length distribution of what
+    // survived — the mixture-audit query a data curator runs
+    "ql43_lang_capped_profile" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """capped = cap_per_group(documents, "lang source", "doc_id", 5)
+          |h = histogram(capped, "n_chars", 8)
+          |h {bin, lo: round(lo, 6), hi: round(hi, 6), n}
+          |""".stripMargin,
+        "documents" -> t(s, d, "documents")).df),
+
     // resample in the language: hourly per-type series, gaps densified
     // and the level carried forward, then an ordinary filter on top
     "ql42_lang_resample" -> ((s, d) =>
@@ -4770,6 +4781,28 @@ object SparkEntry {
     "x78_pagerank" -> pageRankOracleSql(400, 6, 0.85),
 
     "x89_pagerank_seeded" -> pageRankOracleSql(400, 6, 0.85, seeds = 10),
+
+    "ql43_lang_capped_profile" ->
+      """WITH capped AS (
+           SELECT doc_id, lang, source, n_chars FROM (
+             SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (PARTITION BY lang, source
+                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                   doc_id) AS rn
+             FROM documents) WHERE rn <= 5),
+         b AS (SELECT CAST(min(n_chars) AS DOUBLE) AS mn,
+                      CAST(max(n_chars) AS DOUBLE) AS mx FROM capped),
+         binned AS (
+           SELECT CASE WHEN (b.mx - b.mn) / 8 = 0 THEN 0
+             ELSE least(CAST(floor(
+               (CAST(n_chars AS DOUBLE) - b.mn) /
+                 ((b.mx - b.mn) / 8)) AS BIGINT), 7) END AS bin,
+             b.mn AS mn, b.mx AS mx
+           FROM capped, b WHERE n_chars IS NOT NULL)
+         SELECT bin, round(mn + bin * ((mx - mn) / 8), 6) AS lo,
+           round(mn + (bin + 1) * ((mx - mn) / 8), 6) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+         FROM binned GROUP BY bin, mn, mx""",
 
     // same md5-order row_number in DuckDB (q65's hash idiom)
     "x92_cap_per_source" ->

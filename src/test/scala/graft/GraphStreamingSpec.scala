@@ -153,6 +153,45 @@ class GraphStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("pivot cells run unchanged on a windowed stream (batch == stream)") {
+    // conditional aggregation is stateless per group, so the same
+    // pivot plan shape works under a streaming window — the wide
+    // per-window row a live dashboard reads
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "kind", "v")
+    val cells = Seq("click", "buy").map(k =>
+      sum(when(col("kind") === k, col("v"))).as(k))
+    val agg = df.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(cells.head, cells.tail: _*)
+      .select(col("window.start").as("ws"), col("click"), col("buy"))
+    val q = agg.writeStream.format("memory").queryName("pivot_stream")
+      .outputMode(OutputMode.Update()).start()
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((ts(0, 5), "click", 1.0), (ts(0, 20), "buy", 10.0),
+      (ts(0, 30), "click", 2.0), (ts(1, 10), "buy", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("pivot_stream").collect()
+      .map(r => r.getTimestamp(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1))),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rows(ts(0, 0)) == ((Some(3.0), Some(10.0))))
+    assert(rows(ts(1, 0)) == ((None, Some(5.0))))
+    q.stop()
+    // and the BATCH pivot over the same rows produces the same cells
+    val batch = graft.ext.Reshape.pivot(
+      Seq((0, "click", 1.0), (0, "buy", 10.0), (0, "click", 2.0),
+        (1, "buy", 5.0)).toDF("h", "kind", "v"),
+      Seq("h"), "kind", Seq("click", "buy"), sum, col("v"))
+      .collect().map(r => r.getInt(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1))),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(batch(0) == ((Some(3.0), Some(10.0))))
+    assert(batch(1) == ((None, Some(5.0))))
+  }
+
   test("streaming heavy hitters: windowed Misra-Gries sketch over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
