@@ -769,6 +769,19 @@ object SparkEntry {
           (col("n_ok") === col("n_groups")).as("all_exact"))
     }),
 
+    // One-pass table profile: count/nulls/exact-distinct/min/max per
+    // column from ONE scan (the data-engineer's first query)
+    "x93_profile" -> ((s, d) =>
+      graft.ext.Stats.profile(t(s, d, "customer").df)),
+
+    // z-score outliers per event_type: exact decimal mean/stddev
+    // broadcast back into the scan-shaped probe
+    "x94_anomalies" -> ((s, d) =>
+      graft.ext.Stats.anomalies(
+        t(s, d, "events").df.select("event_id", "event_type", "value"),
+        Seq("event_type"), "value", z = 2.5)
+        .select("event_id", "event_type", "value")),
+
     // TF-IDF keyword extraction: 3 most distinctive terms per doc
     "x57_top_terms" -> ((s, d) =>
       graft.ext.Search.topTermsPerDoc(t(s, d, "documents").df,
@@ -4803,6 +4816,35 @@ object SparkEntry {
            round(mn + (bin + 1) * ((mx - mn) / 8), 6) AS hi,
            CAST(count(*) AS BIGINT) AS n
          FROM binned GROUP BY bin, mn, mx""",
+
+    "x93_profile" -> Seq("c_custkey", "c_name", "c_nationkey",
+      "c_acctbal", "c_mktsegment").map { c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+            CAST(count(*) - count($c) AS BIGINT) AS nulls,
+            CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+            CAST(min($c) AS VARCHAR) AS min_s,
+            CAST(max($c) AS VARCHAR) AS max_s
+          FROM customer"""
+    }.mkString("\n UNION ALL \n"),
+
+    // same exact-decimal mean/stddev formulas as PF.davg/dstddev;
+    // n>=2 guard mirrors the engine's no-sample-stddev rule
+    "x94_anomalies" ->
+      """WITH stats AS (
+           SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(count(value) AS DOUBLE) AS mean,
+             sqrt((CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
+                 * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)
+               - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(count(value) AS DOUBLE))
+               / (CAST(count(value) AS DOUBLE) - 1.0)) AS sd,
+             count(value) AS nv
+           FROM events GROUP BY event_type)
+         SELECT event_id, e.event_type, value
+         FROM events e JOIN stats s ON e.event_type = s.event_type
+         WHERE s.nv >= 2 AND abs(value - s.mean) > 2.5 * s.sd""",
 
     // same md5-order row_number in DuckDB (q65's hash idiom)
     "x92_cap_per_source" ->

@@ -35,6 +35,64 @@ object Stats {
       pairs.map { case (x, y) => s"${x}__$y" }, "pair", "corr")
   }
 
+  /** One-pass table profile: per column — row count, nulls, exact
+    * distinct count, min and max (rendered as strings so every column
+    * type fits one output schema). The whole profile is ONE logical
+    * aggregate over ONE scan; Spark plans the multiple exact
+    * count-distincts via a single Expand (one duplication of the
+    * input per distinct column, partial-agged before the shuffle),
+    * which is the standard exact plan — swap in approx_count_distinct
+    * upstream when an estimate is enough at the 100 TB grain.
+    * Output long: (col_name, n, nulls, n_distinct, min_s, max_s).
+    */
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val use = if (cols.nonEmpty) cols else df.columns.toSeq
+    require(use.nonEmpty, "profile: no columns")
+    val aggs = use.flatMap { c =>
+      Seq(F.count(col(c)).as(s"__cnt_$c"),
+        F.count_distinct(col(c)).as(s"__nd_$c"),
+        F.min(col(c)).cast("string").as(s"__mn_$c"),
+        F.max(col(c)).cast("string").as(s"__mx_$c"))
+    } :+ F.count(lit(1)).as("__rows")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = use.map { c =>
+      F.named_struct(lit("col_name"), lit(c),
+        lit("n"), col("__rows"),
+        lit("nulls"), col("__rows") - col(s"__cnt_$c"),
+        lit("n_distinct"), col(s"__nd_$c"),
+        lit("min_s"), col(s"__mn_$c"),
+        lit("max_s"), col(s"__mx_$c"))
+    }
+    wide.select(F.explode(F.array(entries: _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.n").as("n"),
+        col("p.nulls").as("nulls"),
+        col("p.n_distinct").as("n_distinct"),
+        col("p.min_s").as("min_s"), col("p.max_s").as("max_s"))
+  }
+
+  /** Flag rows whose `valCol` sits more than `z` sample standard
+    * deviations from their group's mean — the filter-the-outliers
+    * pass before training or reporting. Two passes by necessity
+    * (the stats must exist before the comparison), but the stats
+    * table is group-grain and broadcast back into the scan-shaped
+    * probe; mean and stddev come from exact decimal sums (PF), so
+    * the flag is deterministic under any partitioning. Groups with
+    * fewer than 2 rows have no sample stddev and are never flagged.
+    */
+  def anomalies(df: DataFrame, keyCols: Seq[String], valCol: String,
+                z: Double): DataFrame = {
+    require(keyCols.nonEmpty, "anomalies: need at least one key column")
+    require(z > 0, s"anomalies: z must be positive, got $z")
+    val stats = df.groupBy(keyCols.map(col): _*)
+      .agg(PF.davg(col(valCol)).as("__mean"),
+        PF.dstddev(col(valCol)).as("__sd"),
+        F.count(col(valCol)).as("__n"))
+    df.join(F.broadcast(stats), keyCols)
+      .filter(col("__n") >= 2 &&
+        F.abs(col(valCol) - col("__mean")) > lit(z) * col("__sd"))
+      .drop("__mean", "__sd", "__n")
+  }
+
   /** Equi-width histogram of `c` into `nbins` buckets between the
     * column's min and max (both included; the max lands in the last
     * bin). Two jobs by necessity — bounds cannot be known before

@@ -1550,7 +1550,7 @@ object Interp {
       "bm25_search", "top_terms", "top_tokens", "freq_tokens",
       "pivot", "unpivot", "resample_fill", "fuzzy_pairs",
       "components", "corr_matrix", "histogram", "rolling_mean",
-      "cap_per_group")
+      "cap_per_group", "profile", "anomalies")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1844,6 +1844,26 @@ object Interp {
             if (args.length == 5) litString(args(4).value) else "value"
           PTable(graft.ext.Reshape.unpivot(t(args(0).value).df,
             ids, vals, varName, valName))
+        case "profile" =>
+          // profile(t, "cols"?) — per-column count/nulls/distinct/
+          // min/max in one pass
+          if (args.isEmpty || args.length > 2)
+            throw new TypeError("profile(t, \"cols\"?)")
+          val cols =
+            if (args.length == 2)
+              litString(args(1).value).trim.split("\\s+").toSeq
+            else Nil
+          PTable(graft.ext.Stats.profile(t(args.head.value).df, cols))
+        case "anomalies" =>
+          // anomalies(t, "key cols", "val_col", z) — rows beyond z
+          // sample stddevs from their group mean
+          if (args.length != 4)
+            throw new TypeError(
+              "anomalies(t, \"key cols\", \"val_col\", z)")
+          val keys = litString(args(1).value).trim.split("\\s+").toSeq
+          PTable(graft.ext.Stats.anomalies(t(args(0).value).df,
+            keys, litString(args(2).value),
+            constDouble(args(3).value)))
         case "cap_per_group" =>
           // cap_per_group(t, "key cols", "id_col", k) — keep at most
           // k rows per group, deterministic (lowest md5 hashes win)

@@ -1472,6 +1472,29 @@ class ExtSpec extends SparkSpec {
     assert(small.count() == 2)
   }
 
+  test("profile: nulls, exact distinct, string-rendered extremes") {
+    val df = Seq((1L, Some("a"), Some(1.5)), (2L, None, Some(2.5)),
+      (3L, Some("a"), None)).toDF("id", "s", "v")
+    val p = graft.ext.Stats.profile(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.getString(4)), Option(r.getString(5)))).toMap
+    assert(p("id") == ((3L, 0L, 3L, Some("1"), Some("3"))))
+    assert(p("s") == ((3L, 1L, 1L, Some("a"), Some("a"))))
+    assert(p("v") == ((3L, 1L, 2L, Some("1.5"), Some("2.5"))))
+  }
+
+  test("anomalies: z-gate, tiny groups never flagged") {
+    val df = (Seq.fill(9)(("a", 10.0)) :+ ("a", 100.0) :+ ("b", 999.0))
+      .zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+      .toDF("id", "k", "v")
+    // join-with-using puts the key columns first: (k, id, v)
+    val out = graft.ext.Stats.anomalies(df, Seq("k"), "v", z = 2.0)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    // group a: the 100.0 spike is >2 sigma; group b has n=1 -> never
+    assert(out == Set(("a", 100.0)))
+  }
+
   test("corrMatrix: one pass, perfect/anti/known correlations") {
     val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
       (4.0, 8.0, -4.0)).toDF("x", "y", "z")

@@ -1511,6 +1511,20 @@ class LangSpec extends SparkSpec {
       Seq(2.0, 3.0))
   }
 
+  test("profile and anomalies in the language") {
+    import spark.implicits._
+    val tbl = graft.dsl.PTable(
+      Seq(("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 50.0))
+        .toDF("k", "v"))
+    val prof = Interp.run(spark, """profile(tbl, "v")""", "tbl" -> tbl)
+      .df.collect()
+    assert(prof.length == 1 && prof.head.getLong(1) == 5L &&
+      prof.head.getLong(3) == 2L)
+    val an = Interp.run(spark, """anomalies(tbl, "k", "v", 1.5)""",
+      "tbl" -> tbl).df.collect()
+    assert(an.length == 1 && an.head.getDouble(1) == 50.0)
+  }
+
   test("triangles and seeded page_rank in the language") {
     import spark.implicits._
     val edges = graft.dsl.PTable(

@@ -838,6 +838,22 @@ class PlanQualitySpec extends SparkSpec {
       s"trend window must partition by region:\n$p")
   }
 
+  test("profile: every column's stats from ONE scan") {
+    val p = planOf("x93_profile")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"profile must scan once:\n$p")
+    assert(p.contains("Expand"),
+      s"exact multi-distinct should plan one Expand:\n$p")
+  }
+
+  test("anomalies: group stats broadcast back, fact scans twice max") {
+    val p = planOf("x94_anomalies")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stats table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"scan-shaped probe must not sort-merge:\n$p")
+  }
+
   test("corr matrix: all pairs from ONE scan and ONE aggregate pass") {
     val p = planOf("x86_corr_matrix")
     assert("Scan parquet".r.findAllIn(p).length == 1,
