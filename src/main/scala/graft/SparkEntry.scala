@@ -782,6 +782,16 @@ object SparkEntry {
         Seq("event_type"), "value", z = 2.5)
         .select("event_id", "event_type", "value")),
 
+    // Grouped top-k: 3 biggest orders per priority class, total order
+    // via the (price desc, key) tiebreak — the per-partition window
+    // prune, never a global sort
+    "x95_top_per_group" -> ((s, d) =>
+      graft.ext.Ranks.topPerGroup(
+        t(s, d, "orders").df
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)),
+
     // TF-IDF keyword extraction: 3 most distinctive terms per doc
     "x57_top_terms" -> ((s, d) =>
       graft.ext.Search.topTermsPerDoc(t(s, d, "documents").df,
@@ -4816,6 +4826,13 @@ object SparkEntry {
            round(mn + (bin + 1) * ((mx - mn) / 8), 6) AS hi,
            CAST(count(*) AS BIGINT) AS n
          FROM binned GROUP BY bin, mn, mx""",
+
+    "x95_top_per_group" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+           SELECT o_orderkey, o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
 
     "x93_profile" -> Seq("c_custkey", "c_name", "c_nationkey",
       "c_acctbal", "c_mktsegment").map { c =>

@@ -75,4 +75,22 @@ object Ranks {
         if (n <= 1) lit(0.0)
         else (rank - 1).cast(DoubleType) / lit((n - 1).toDouble))
   }
+
+  /** Top `k` rows per group by `orderCols` (the caller supplies a
+    * TOTAL order — include a unique tiebreaker — so the kept set is
+    * deterministic and oracle-able). One key-partitioned window, the
+    * grouped counterpart of the global top-k: Spark's window row_number
+    * with a filter prunes per partition before any data concentrates.
+    */
+  def topPerGroup(df: DataFrame, keyCols: Seq[String],
+                  orderCols: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1, s"topPerGroup: k must be >= 1, got $k")
+    require(keyCols.nonEmpty, "topPerGroup: need a group key " +
+      "(use order + limit for a global top-k)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("_rn", F.row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
 }

@@ -1550,7 +1550,8 @@ object Interp {
       "bm25_search", "top_terms", "top_tokens", "freq_tokens",
       "pivot", "unpivot", "resample_fill", "fuzzy_pairs",
       "components", "corr_matrix", "histogram", "rolling_mean",
-      "cap_per_group", "profile", "anomalies")
+      "cap_per_group", "profile", "anomalies", "top_per_group",
+      "asof_join", "range_join")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1844,6 +1845,39 @@ object Interp {
             if (args.length == 5) litString(args(4).value) else "value"
           PTable(graft.ext.Reshape.unpivot(t(args(0).value).df,
             ids, vals, varName, valName))
+        case "top_per_group" =>
+          // top_per_group(t, "key cols", "order cols", k) — order cols
+          // may carry a ^ prefix for descending, reference-style
+          if (args.length != 4)
+            throw new TypeError(
+              "top_per_group(t, \"key cols\", \"order cols\", k)")
+          val keys = litString(args(1).value).trim.split("\\s+").toSeq
+          val ord = litString(args(2).value).trim.split("\\s+").toSeq
+            .map(c => if (c.startsWith("^")) col(c.drop(1)).desc
+                      else col(c).asc)
+          PTable(graft.ext.Ranks.topPerGroup(t(args(0).value).df,
+            keys, ord.toIndexedSeq, constLong(args(3).value).toInt))
+        case "asof_join" =>
+          // asof_join(l, r, "key cols", "l_ts", "r_ts", "value cols")
+          // — attach each left row the LAST right row at or before it
+          if (args.length != 6)
+            throw new TypeError(
+              "asof_join(l, r, \"keys\", \"l_ts\", \"r_ts\", \"vals\")")
+          val keys = litString(args(2).value).trim.split("\\s+").toSeq
+          val vals = litString(args(5).value).trim.split("\\s+").toSeq
+          PTable(graft.joins.Joins.asofJoin(t(args(0).value).df,
+            t(args(1).value).df, keys, litString(args(3).value),
+            litString(args(4).value), vals))
+        case "range_join" =>
+          // range_join(l, "v", r, "lo", "hi", bin) — l rows joined to
+          // r intervals containing v, via binned equi-join
+          if (args.length != 6)
+            throw new TypeError(
+              "range_join(l, \"v\", r, \"lo\", \"hi\", bin)")
+          PTable(graft.joins.Joins.rangeJoin(t(args(0).value).df,
+            litString(args(1).value), t(args(2).value).df,
+            litString(args(3).value), litString(args(4).value),
+            constDouble(args(5).value)))
         case "profile" =>
           // profile(t, "cols"?) — per-column count/nulls/distinct/
           // min/max in one pass

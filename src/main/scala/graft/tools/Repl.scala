@@ -78,7 +78,8 @@ object Repl {
     "page_rank", "triangles", "pivot", "unpivot", "resample_fill",
     "fuzzy_pairs",
     "components", "corr_matrix", "histogram", "rolling_mean",
-    "cap_per_group", "profile", "anomalies",
+    "cap_per_group", "profile", "anomalies", "top_per_group",
+    "asof_join", "range_join",
     "import_orc",
     "SQL", "upper", "lower", "length", "round", "repeat", "char",
     "char_ord", "char_range", "str_index", "str_contains", "year",

@@ -1511,6 +1511,34 @@ class LangSpec extends SparkSpec {
       Seq(2.0, 3.0))
   }
 
+  test("top_per_group, asof_join, range_join in the language") {
+    import spark.implicits._
+    val sales = graft.dsl.PTable(
+      Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0),
+        ("b", 4L, 5.0)).toDF("seg", "id", "amt"))
+    val top = Interp.run(spark,
+      """top_per_group(sales, "seg", "^amt id", 2)""", "sales" -> sales)
+      .df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(top == Set(("a", 2L), ("a", 3L), ("b", 4L)))
+    val quotes = graft.dsl.PTable(
+      Seq(("a", 1L, 100.0), ("a", 5L, 105.0)).toDF("k", "t", "px"))
+    val trades = graft.dsl.PTable(
+      Seq(("a", 3L), ("a", 6L)).toDF("k", "t"))
+    val aj = Interp.run(spark,
+      """asof_join(trades, quotes, "k", "t", "t", "px")""",
+      "trades" -> trades, "quotes" -> quotes)
+      .df.collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(aj == Map(3L -> 100.0, 6L -> 105.0))
+    val pts = graft.dsl.PTable(Seq(Tuple1(5.0), Tuple1(25.0)).toDF("v"))
+    val ivs = graft.dsl.PTable(
+      Seq((0.0, 10.0, "lo"), (20.0, 30.0, "hi")).toDF("lo", "hi", "tag"))
+    val rj = Interp.run(spark,
+      """range_join(pts, "v", ivs, "lo", "hi", 10.0)""",
+      "pts" -> pts, "ivs" -> ivs)
+      .df.collect().map(r => r.getDouble(0) -> r.getString(3)).toMap
+    assert(rj == Map(5.0 -> "lo", 25.0 -> "hi"))
+  }
+
   test("profile and anomalies in the language") {
     import spark.implicits._
     val tbl = graft.dsl.PTable(
