@@ -1378,6 +1378,11 @@ class LangSpec extends SparkSpec {
       "events" -> Tables.load(spark, sf, "events"),
       "documents" -> Tables.load(spark, sf, "documents")).df.collect()
     assert(out.nonEmpty && out.forall(_.getLong(1) > 0))
+    val kept = Interp.run(spark, script + "\nkept_by_lang",
+      "events" -> Tables.load(spark, sf, "events"),
+      "documents" -> Tables.load(spark, sf, "documents")).df.collect()
+    // top_per_group keeps exactly 2 per language on this corpus
+    assert(kept.nonEmpty && kept.forall(_.getLong(1) == 2L))
   }
 
   test("corpus hygiene operators callable from the language") {
