@@ -792,6 +792,143 @@ object SparkEntry {
         Seq("o_orderpriority"),
         Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)),
 
+    // Bucketed co-located join: both sides written bucketed+sorted on
+    // the join key (one file per bucket), so the sort-merge join runs
+    // with ZERO exchanges and ZERO sorts — the layout IS the shuffle,
+    // paid once at write time and amortized over every subsequent
+    // join. At 100 TB this is the difference between re-shuffling the
+    // fact table per query and never shuffling it at all
+    // (PlanQualitySpec pins the exchange-free plan).
+    "x96_bucketed_join" -> ((s, d) => {
+      val dir = runScratch("bkt", d)
+      val nB = 8
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val to = s"graft_bkt_orders_$tag"
+      val tc = s"graft_bkt_cust_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $to")
+      s.sql(s"DROP TABLE IF EXISTS $tc")
+      // repartition into nB by the key first: the write then lays down
+      // exactly ONE file per bucket (repartition and bucketBy share
+      // Murmur3 pmod), which is what lets the scan report the per-
+      // bucket sort order and elide the SMJ's sorts
+      t(s, d, "orders").df
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(nB, col("o_custkey"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", dir + "/orders")
+        .bucketBy(nB, "o_custkey").sortBy("o_custkey").saveAsTable(to)
+      t(s, d, "customer").df.select("c_custkey", "c_mktsegment")
+        .repartition(nB, col("c_custkey"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", dir + "/customer")
+        .bucketBy(nB, "c_custkey").sortBy("c_custkey").saveAsTable(tc)
+      // merge hint: keep the demonstration honest — without it the
+      // small dim would broadcast and the bucketing would be untested
+      s.table(to).hint("merge")
+        .join(s.table(tc), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(F.count(lit(1)).as("n_orders"),
+          F.round(PF.dsum(col("o_totalprice")), 6).as("revenue"))
+    }),
+
+    // Weighted shortest paths (Bellman–Ford) on a deterministic
+    // md5-derived graph over nation; 3 relaxation rounds = exact
+    // min-cost over walks of ≤3 edges, which the oracle enumerates
+    "x97_sssp" -> ((s, d) => {
+      import graft.ext.TextAnalysis.h60
+      val n = t(s, d, "nation").df
+        .select(col("n_nationkey").cast(LongType).as("k"))
+      val a = n.select(col("k").as("a"))
+      val b = n.select(col("k").as("b"))
+      def key = F.concat(col("a").cast(StringType), lit("_"),
+        col("b").cast(StringType))
+      val edges = a.crossJoin(b)
+        .filter(col("a") =!= col("b") && (h60(key) % 5 === 0))
+        .select(col("a").as("src"), col("b").as("dst"),
+          ((h60(key) % 9) + 1).cast(DoubleType).as("weight"))
+      val src = s.range(0, 1).toDF("node")
+      graft.rec.Graph.sssp(edges, src, maxIters = 3)
+        .select(col("node"), F.round(col("dist"), 6).as("dist"))
+    }),
+
+    // SSSP scale probe, distributed path forced: a 20-layer ladder
+    // (W nodes per layer, straight edge w=1 + diagonal w=3); the true
+    // distance to every node is exactly its layer index, asserted
+    // in-query — the oracle booleans are scale-invariant, so this
+    // probe never needs re-capture when probeScale dials W
+    "x98_sssp_probe" -> ((s, d) => {
+      val W = scaled(5000)
+      val L = 20
+      val base = s.range(0, (L - 1) * W).toDF("id")
+      val layer = F.floor(col("id") / lit(W)).cast(LongType)
+      val j = col("id") % lit(W)
+      val edges = base.select(col("id").as("src"),
+          (col("id") + lit(W)).as("dst"), lit(1.0).as("weight"))
+        .unionAll(base.select(col("id").as("src"),
+          ((layer + 1) * lit(W) + (j + 1) % lit(W)).as("dst"),
+          lit(3.0).as("weight")))
+      val sources = s.range(0, W).toDF("node")
+      val dist = graft.rec.Graph.sssp(edges, sources,
+        maxIters = L + 5, driverLimit = 0)
+      dist.agg(
+        (F.count(lit(1)) === lit(L * W)).as("n_ok"),
+        F.max(col("dist")).cast(LongType).as("max_dist"),
+        (F.sum(when(col("dist") ===
+            F.floor(col("node") / lit(W)).cast(DoubleType), 0L)
+          .otherwise(1L)) === 0L).as("all_exact"))
+    }),
+
+    // Small-file compaction: fragment the corpus into 64 files, compact
+    // to 4 (shuffle-free coalesce), and prove the data came through
+    // unchanged AND the file count actually shrank (input_file_name
+    // distinct-count, asserted in-query)
+    "x99_compact" -> ((s, d) => {
+      val in = runScratch("cpt_in", d)
+      val out = runScratch("cpt_out", d)
+      t(s, d, "documents").df.select("doc_id", "text")
+        .repartition(64).write.mode("overwrite").parquet(in)
+      graft.sources.Maintenance.compactTo(s, in, out, 4)
+      // project the file name first: Spark 4 forbids nondeterministic
+      // expressions directly inside aggregate arguments
+      s.read.parquet(out).withColumn("__f", F.input_file_name()).agg(
+        F.count(lit(1)).as("n_docs"),
+        F.sum(F.length(col("text"))).as("sum_chars"),
+        (F.countDistinct(col("__f")) <= 4).as("files_ok"))
+    }),
+
+    // Z-order (Morton) interleave checked bit-for-bit against the
+    // oracle's shift/and/or mirror
+    "x100_zvalue" -> ((s, d) =>
+      t(s, d, "events").df
+        .filter(col("event_id") % 101 === 0)
+        .select(col("event_id"),
+          PF.zvalue(col("user_id") % 1024, col("event_id") % 1024, 10)
+            .as("z"))),
+
+    // Z-order data skipping, end to end: write events clustered by the
+    // (user, event) Z-value, then a conjunctive 2-D range filter must
+    // touch ≤¼ of the files (each file covers an aligned rectangle of
+    // the dimension space; the low corner lives in ONE bucket). The
+    // filtered aggregate itself is oracle-checked against the raw
+    // table — the layout must never change answers, only file counts
+    "x101_zorder_skip" -> ((s, d) => {
+      val dir = runScratch("zord", d)
+      val e = t(s, d, "events").df.select(col("event_id"),
+        (col("user_id") % 1024).as("a"), (col("event_id") % 1024).as("b"),
+        col("value"))
+      graft.sources.Maintenance.writeZOrdered(e, dir, "a", "b",
+        bits = 10, bucketBits = 6)
+      val r = s.read.parquet(dir).withColumn("__f", F.input_file_name())
+      val tot = r.agg(
+        F.countDistinct(col("__f")).as("files_total"))
+      val hit = r.filter(col("a") < 32 && col("b") < 32)
+        .agg(F.count(lit(1)).as("n_rows"),
+          F.round(PF.dsum(col("value")), 6).as("sum_v"),
+          F.countDistinct(col("__f")).as("files_hit"))
+      hit.crossJoin(tot).select(col("n_rows"), col("sum_v"),
+        (col("files_hit") * 4 <= col("files_total")).as("pruned_ok"))
+    }),
+
     // TF-IDF keyword extraction: 3 most distinctive terms per doc
     "x57_top_terms" -> ((s, d) =>
       graft.ext.Search.topTermsPerDoc(t(s, d, "documents").df,
@@ -2504,6 +2641,20 @@ object SparkEntry {
           |""".stripMargin,
         "documents" -> t(s, d, "documents")).df),
 
+    // weighted shortest paths composed in the language: modular link
+    // graph with derived edge costs, 3 relaxation rounds (= exact
+    // min-cost over ≤3-hop walks, which the oracle enumerates)
+    "ql44_lang_sssp" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """e1 = documents {src: doc_id % 100, dst: (doc_id*31 + 7) % 100,
+          |                weight: float(doc_id % 5 + 1)}
+          |e2 = documents {src: doc_id % 100, dst: (doc_id*17 + 3) % 100,
+          |                weight: float(doc_id % 7 + 2)}
+          |d = sssp(distinct(e1 + e2), [0], 3)
+          |d {node, dist: round(dist, 6)}
+          |""".stripMargin,
+        "documents" -> t(s, d, "documents")).df),
+
     "ql39_lang_crawl" -> ((s, d) =>
       graft.lang.Interp.run(s,
         """pages = documents {doc_id, raw: "<p>" + text + "</p><script>x()</script>"}
@@ -3095,8 +3246,9 @@ object SparkEntry {
 
   /** Scale multiplier for the synthetic scale probes (x22-x26, x36,
     * x45, x49, x52, x55, x60 — all with FROZEN constant oracles that
-    * hold only at scale 1.0 — plus x62, which is dialed the same way
-    * but whose oracle is scale-invariant, no re-capture ever needed).
+    * hold only at scale 1.0 — plus x62 and x98, which are dialed the
+    * same way but whose oracles are scale-invariant, no re-capture
+    * ever needed).
     * Verify NEVER touches it — the frozen
     * constant oracles hold only at scale 1.0 — but Bench dials it to
     * 1/5 by default so the per-round perf signal stays cheap
@@ -4834,6 +4986,69 @@ object SparkEntry {
                ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) WHERE rn <= 3""",
 
+    // the bucketed layout must not change the ANSWER — the oracle is
+    // the plain join over the raw tables
+    "x96_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+
+    // min-cost over walks of ≤3 edges from node 0, enumerated hop by
+    // hop; the edge set mirrors the engine's md5-derived synthesis
+    // exactly (h60 = first 15 md5 hex chars as a 60-bit int)
+    "x97_sssp" -> {
+      def h60sql(e: String) =
+        s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+      val key = "CAST(a.k AS VARCHAR) || '_' || CAST(b.k AS VARCHAR)"
+      s"""WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+         e AS (
+           SELECT a.k AS src, b.k AS dst,
+             CAST(${h60sql(key)} % 9 + 1 AS DOUBLE) AS w
+           FROM n a, n b
+           WHERE a.k <> b.k AND ${h60sql(key)} % 5 = 0),
+         p1 AS (SELECT dst AS node, w AS dist FROM e WHERE src = 0),
+         p2 AS (SELECT e2.dst AS node, p1.dist + e2.w AS dist
+                FROM p1 JOIN e e2 ON e2.src = p1.node),
+         p3 AS (SELECT e3.dst AS node, p2.dist + e3.w AS dist
+                FROM p2 JOIN e e3 ON e3.src = p2.node),
+         allp AS (
+           SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS DOUBLE) AS dist
+           UNION ALL SELECT * FROM p1
+           UNION ALL SELECT * FROM p2
+           UNION ALL SELECT * FROM p3)
+         SELECT node, round(min(dist), 6) AS dist FROM allp GROUP BY node"""
+    },
+
+    // scale-invariant planted truth: every ladder node's distance is
+    // its layer index (max layer = 19), at ANY probeScale
+    "x98_sssp_probe" ->
+      "SELECT TRUE AS n_ok, CAST(19 AS BIGINT) AS max_dist, TRUE AS all_exact",
+
+    // compaction must preserve the data exactly; the file-count check
+    // is computed (and asserted) inside the engine query
+    "x99_compact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           TRUE AS files_ok
+         FROM documents""",
+
+    "x100_zvalue" ->
+      (s"SELECT event_id, ${PF.zvalueSql("user_id % 1024",
+        "event_id % 1024", 10)} AS z" +
+        " FROM events WHERE event_id % 101 = 0"),
+
+    // the filtered aggregate over the Z-ordered copy must equal the
+    // same filter over the raw table; pruning is asserted in-query
+    "x101_zorder_skip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS sum_v,
+           TRUE AS pruned_ok
+         FROM events
+         WHERE user_id % 1024 < 32 AND event_id % 1024 < 32""",
+
     "x93_profile" -> Seq("c_custkey", "c_name", "c_nationkey",
       "c_acctbal", "c_mktsegment").map { c =>
       s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
@@ -4894,6 +5109,26 @@ object SparkEntry {
     "ql40_lang_pagerank" ->
       (s"SELECT node, rank AS r FROM (${pageRankOracleSql(400, 6, 0.85)})" +
         " ORDER BY r DESC, node LIMIT 10"),
+
+    "ql44_lang_sssp" ->
+      """WITH e AS (
+           SELECT DISTINCT src, dst, w FROM (
+             SELECT doc_id % 100 AS src, (doc_id*31 + 7) % 100 AS dst,
+               CAST(doc_id % 5 + 1 AS DOUBLE) AS w FROM documents
+             UNION ALL
+             SELECT doc_id % 100 AS src, (doc_id*17 + 3) % 100 AS dst,
+               CAST(doc_id % 7 + 2 AS DOUBLE) AS w FROM documents)),
+         p1 AS (SELECT dst AS node, w AS dist FROM e WHERE src = 0),
+         p2 AS (SELECT e2.dst AS node, p1.dist + e2.w AS dist
+                FROM p1 JOIN e e2 ON e2.src = p1.node),
+         p3 AS (SELECT e3.dst AS node, p2.dist + e3.w AS dist
+                FROM p2 JOIN e e3 ON e3.src = p2.node),
+         allp AS (
+           SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS DOUBLE) AS dist
+           UNION ALL SELECT * FROM p1
+           UNION ALL SELECT * FROM p2
+           UNION ALL SELECT * FROM p3)
+         SELECT node, round(min(dist), 6) AS dist FROM allp GROUP BY node""",
 
     // scale-invariant planted truth (see the query comment): valid at
     // every probeScale, never needs re-capture

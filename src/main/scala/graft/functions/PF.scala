@@ -270,6 +270,35 @@ object PF {
   def dcorr(x: Column, y: Column, scale: Int = 2): Column =
     dcovar(x, y, scale) / (dstddev(x, scale) * dstddev(y, scale))
 
+  // ---- multi-dimensional clustering --------------------------------------
+  /** Z-order (Morton) interleave of two non-negative dimensions into
+    * one long: bit i of `a` lands at bit 2i, bit i of `b` at bit 2i+1.
+    * Pure bit arithmetic unrolled at plan-build time (2·bits shift/and
+    * terms, all codegen'd; no UDF, no loop at runtime) — and exactly
+    * mirrorable in any engine with `>> & <<` for the oracle. Sorting
+    * or bucketing by the result clusters rows so each file covers an
+    * aligned rectangle of (a, b) space: the layout that makes 2-D
+    * range predicates prune files (Maintenance.writeZOrdered).
+    */
+  def zvalue(a: Column, b: Column, bits: Int = 10): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val al = a.cast(LongType)
+    val bl = b.cast(LongType)
+    (0 until bits).map { i =>
+      F.shiftleft(F.shiftright(al, i).bitwiseAND(lit(1L)), 2 * i) +
+        F.shiftleft(F.shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** The DuckDB-SQL mirror of `zvalue` over column expressions `a`,
+    * `b` — used by oracle queries so the gate checks the interleave
+    * bit-for-bit.
+    */
+  def zvalueSql(a: String, b: String, bits: Int = 10): String =
+    (0 until bits).map { i =>
+      s"(((($a) >> $i) & 1) << ${2 * i}) + (((($b) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+
   // ---- sampling ----------------------------------------------------------
   /** Deterministic arithmetic sampling by key: keeps rows where
     * (key * prime) mod m < keep. Unlike `df.sample`, reproducible across

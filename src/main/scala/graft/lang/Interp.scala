@@ -1551,7 +1551,7 @@ object Interp {
       "pivot", "unpivot", "resample_fill", "fuzzy_pairs",
       "components", "corr_matrix", "histogram", "rolling_mean",
       "cap_per_group", "profile", "anomalies", "top_per_group",
-      "asof_join", "range_join")
+      "asof_join", "range_join", "sssp", "graph.sssp")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -2369,6 +2369,16 @@ object Interp {
           if (args.length != 1)
             throw new TypeError("triangles(edges)")
           PTable(graft.rec.Graph.triangles(t(args.head.value).df))
+        case "sssp" | "graph.sssp" =>
+          // sssp(edges, sources, max_iters?) — weighted shortest
+          // paths; edges must expose (src, dst, weight), sources'
+          // first column is the seed node set; returns (node, dist)
+          if (args.length < 2 || args.length > 3)
+            throw new TypeError("sssp(edges, sources, max_iters?)")
+          val mi =
+            if (args.length == 3) constLong(args(2).value).toInt else 50
+          PTable(graft.rec.Graph.sssp(t(args.head.value).df,
+            t(args(1).value).df, maxIters = mi))
         case other => throw new NameError(s"unknown table function '$other'")
       }
     }

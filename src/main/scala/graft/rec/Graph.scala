@@ -289,6 +289,124 @@ object Graph {
     * naive neighbor join. Three shuffles total (normalize, 2-path,
     * close); every join is an equi hash join.
     */
+  /** Weighted single/multi-source shortest paths by Bellman–Ford
+    * relaxation (extension; the reference's graph module stops at
+    * unweighted bfs/walk_tree, preql/modules/graph.pql:3-36).
+    * Column contract: edges(src, dst, weight ≥ 0), sources(node);
+    * output (node, dist) for REACHED nodes only, where dist is the
+    * minimum total weight over walks of at most `maxIters` edges —
+    * i.e. the true shortest distance once the loop converges, which
+    * it detects (a round that improves nothing ends the loop early).
+    *
+    * Scale design mirrors pageRank: below `driverLimit` edges the
+    * whole relaxation runs driver-side (one collect, array-indexed —
+    * no per-round job latency on the tiny dedup-cluster graphs this
+    * mostly sees). Above it, each round is ONE edge⋈dist join + a
+    * (dst, min) partial-agg combine + a node-sized merge, eagerly
+    * materialized so the plan stays O(1) in rounds; below
+    * `spark.graft.graph.broadcastNodes` the node-sized dist table
+    * broadcasts INTO the edge join, so the edge table — the big
+    * thing — never shuffles per round.
+    */
+  def sssp(edges: DataFrame, sources: DataFrame, maxIters: Int = 50,
+           driverLimit: Long = -1): DataFrame = {
+    require(maxIters >= 0, s"maxIters must be >= 0, got $maxIters")
+    val spark = edges.sparkSession
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val e = edges.select(F.col("src"), F.col("dst"),
+        F.col("weight").cast(DoubleType).as("weight"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dl =
+      if (driverLimit >= 0) driverLimit
+      else graft.GraftConf.graphDriverLimit(spark)
+    val nodeType = edges.schema("src").dataType
+    val outSchema = StructType(Seq(
+      StructField("node", nodeType),
+      StructField("dist", DoubleType, nullable = false)))
+    if (e.count() <= dl) {
+      // Driver path: same math, array-indexed.
+      val rows = e.collect()
+      e.unpersist()
+      val idx = scala.collection.mutable.LinkedHashMap[Any, Int]()
+      def id(n: Any): Int = idx.getOrElseUpdate(n, idx.size)
+      val srcs = new Array[Int](rows.length)
+      val dsts = new Array[Int](rows.length)
+      val ws = new Array[Double](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        srcs(i) = id(rows(i).get(0)); dsts(i) = id(rows(i).get(1))
+        ws(i) = rows(i).getDouble(2); i += 1
+      }
+      val srcIds = sources.select(F.col(sources.columns.head))
+        .distinct().collect().map(r => id(r.get(0)))
+      var dist = Array.fill(idx.size)(Double.PositiveInfinity)
+      srcIds.foreach(s => dist(s) = 0.0)
+      var changed = true
+      var round = 0
+      while (changed && round < maxIters) {
+        // SYNCHRONOUS rounds (relax against the previous round's
+        // snapshot): after r rounds dist = min over walks of ≤ r
+        // edges, exactly — the same semantics as the distributed
+        // path, so a hop-bounded call gives identical answers on
+        // either path. In-place relaxation would leak multiple hops
+        // per round depending on edge order.
+        changed = false
+        val next = dist.clone()
+        var j = 0
+        while (j < srcs.length) {
+          val nd = dist(srcs(j)) + ws(j)
+          if (nd < next(dsts(j))) { next(dsts(j)) = nd; changed = true }
+          j += 1
+        }
+        dist = next
+        round += 1
+      }
+      return spark.createDataFrame(
+        java.util.Arrays.asList(
+          idx.toSeq.filter(kv => dist(kv._2) < Double.PositiveInfinity)
+            .map { case (node, k) =>
+              org.apache.spark.sql.Row(node, dist(k)) }: _*),
+        outSchema)
+    }
+    val bcast = {
+      val nNodes = e.select(F.col("src").as("node"))
+        .unionAll(e.select(F.col("dst").as("node"))).distinct().count()
+      nNodes <= graft.GraftConf.graphBroadcastNodes(spark)
+    }
+    def small(df: DataFrame): DataFrame =
+      if (bcast) F.broadcast(df) else df
+    var dist = materialize(
+      sources.select(F.col(sources.columns.head).as("node")).distinct()
+        .select(F.col("node"), F.lit(0.0).as("dist")))
+    var round = 0
+    var changed = true
+    while (changed && round < maxIters) {
+      // relax: best candidate distance per destination this round
+      val cand = e.alias("e")
+        .join(small(dist.alias("d")), F.col("d.node") === F.col("e.src"))
+        .groupBy(F.col("e.dst").as("node"))
+        .agg(F.min(F.col("d.dist") + F.col("e.weight")).as("nd"))
+      // merge: keep the better of (old dist, candidate); track whether
+      // anything improved so the loop can stop at convergence. The
+      // merged frame is materialized BEFORE the improvement count, so
+      // the count is a cheap scan of the checkpoint, not a recompute.
+      val merged = materialize(
+        dist.alias("d").join(small(cand.alias("c")),
+            F.col("d.node") === F.col("c.node"), "full_outer")
+          .select(
+            F.coalesce(F.col("d.node"), F.col("c.node")).as("node"),
+            F.least(F.col("d.dist"), F.col("c.nd")).as("dist"),
+            (F.col("d.dist").isNull ||
+              (F.col("c.nd").isNotNull &&
+                F.col("c.nd") < F.col("d.dist"))).as("improved")))
+      changed = merged.filter(F.col("improved")).limit(1).count() > 0
+      dist = merged.select(F.col("node"), F.col("dist"))
+      round += 1
+    }
+    e.unpersist()
+    dist
+  }
+
   def triangles(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     // normalize: undirected, simple (a < b), deduped

@@ -79,7 +79,7 @@ object Repl {
     "fuzzy_pairs",
     "components", "corr_matrix", "histogram", "rolling_mean",
     "cap_per_group", "profile", "anomalies", "top_per_group",
-    "asof_join", "range_join",
+    "asof_join", "range_join", "sssp",
     "import_orc",
     "SQL", "upper", "lower", "length", "round", "repeat", "char",
     "char_ord", "char_range", "str_index", "str_contains", "year",

@@ -121,6 +121,50 @@ class GraphStreamingSpec extends SparkSpec {
     assert(Graph.triangles(edges).collect().head.getLong(0) == 0L)
   }
 
+  test("sssp: known weighted graph, exact distances, unreachable excluded") {
+    // 1 -(1)-> 2 -(1)-> 3, and a heavy direct 1 -(5)-> 3; 9 isolated
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 5.0),
+      (8L, 9L, 2.0)).toDF("src", "dst", "weight")
+    val out = Graph.sssp(edges, Seq(1L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0)) // not 5.0; no 8/9
+  }
+
+  test("sssp: driver path equals the distributed fixpoint") {
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 5.0),
+      (3L, 4L, 0.5), (2L, 1L, 1.0), (4L, 2L, 0.25)) // cyclic
+      .toDF("src", "dst", "weight")
+    def run(limit: Long) =
+      Graph.sssp(edges, Seq(1L).toDF("node"), driverLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(run(1 << 20) == run(0))
+  }
+
+  test("sssp: maxIters bounds the walk length on BOTH paths") {
+    // 3 only reachable in 2 hops: invisible at maxIters=1; the direct
+    // heavy edge to 4 must win at 1 hop, then improve at 2
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 4L, 9.0),
+      (2L, 4L, 1.0)).toDF("src", "dst", "weight")
+    for (limit <- Seq(1L << 20, 0L)) {
+      val h1 = Graph.sssp(edges, Seq(1L).toDF("node"), maxIters = 1,
+          driverLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(h1 == Map(1L -> 0.0, 2L -> 1.0, 4L -> 9.0), s"limit=$limit")
+      val h2 = Graph.sssp(edges, Seq(1L).toDF("node"), maxIters = 2,
+          driverLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(h2 == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> 2.0),
+        s"limit=$limit")
+    }
+  }
+
+  test("sssp: multi-source takes the minimum over sources") {
+    val edges = Seq((1L, 5L, 4.0), (2L, 5L, 1.0)).toDF("src", "dst", "weight")
+    val out = Graph.sssp(edges, Seq(1L, 2L).toDF("node"), driverLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 0.0, 2L -> 0.0, 5L -> 1.0))
+  }
+
   test("pageRank: zero iterations returns the uniform prior") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val out = Graph.pageRank(edges, iters = 0)

@@ -1544,6 +1544,22 @@ class LangSpec extends SparkSpec {
     assert(rj == Map(5.0 -> "lo", 25.0 -> "hi"))
   }
 
+  test("sssp in the language") {
+    import spark.implicits._
+    val edges = graft.dsl.PTable(
+      Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 5.0))
+        .toDF("src", "dst", "weight"))
+    val out = Interp.run(spark, """sssp(edges, [1], 10)""",
+      "edges" -> edges)
+      .df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0))
+    // hop bound honored through the language face
+    val one = Interp.run(spark, """sssp(edges, [1], 1)""",
+      "edges" -> edges)
+      .df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one == Map(1L -> 0.0, 2L -> 1.0, 3L -> 5.0))
+  }
+
   test("profile and anomalies in the language") {
     import spark.implicits._
     val tbl = graft.dsl.PTable(

@@ -87,6 +87,23 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("x96: bucketed join keeps one shuffle total (the groupBy), no sorts") {
+    val p = planOf("x96_bucketed_join")
+    assert(p.contains("SortMergeJoin"),
+      s"merge hint ignored — bucketing untested:\n$p")
+    // the ONLY exchange allowed is the 5-row groupBy combine above the
+    // join; the join itself must ride the bucket layout
+    assert("Exchange".r.findAllMatchIn(p).length == 1,
+      s"bucketed join should not shuffle either side:\n$p")
+    // Spark ≥3 no longer reports bucket sort order to the planner
+    // (multi-file buckets can interleave), so the SMJ keeps local
+    // sorts — but they must stay IN-PARTITION (global=false): cheap,
+    // shuffle-free, and linear-ish on the already-bucket-sorted files
+    assert(p.linesIterator.filter(_.contains("Sort ["))
+      .forall(_.contains("false, 0")),
+      s"bucketed join must never need a GLOBAL sort:\n$p")
+  }
+
   test("cosine pairs plan as equi hash joins, never nested loops") {
     val p = planOf("x12_cosine_pairs")
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
