@@ -858,7 +858,13 @@ object SparkEntry {
     // probe never needs re-capture when probeScale dials W
     "x98_sssp_probe" -> ((s, d) => {
       val W = scaled(5000)
-      val L = 20
+      // the LAYER count dials with probeScale too: each layer is a
+      // full distributed relaxation round (~3 jobs of scheduler
+      // latency), so at the bench's 1/5 dial the probe was pure
+      // per-round overhead (11s). Verify always runs probeScale=1.0,
+      // where L=20 and the frozen oracle constants (max_dist = L-1 =
+      // 19) hold; W changes alone can never invalidate them.
+      val L = math.max(4, scaled(20).toInt)
       val base = s.range(0, (L - 1) * W).toDF("id")
       val layer = F.floor(col("id") / lit(W)).cast(LongType)
       val j = col("id") % lit(W)
@@ -928,6 +934,77 @@ object SparkEntry {
       hit.crossJoin(tot).select(col("n_rows"), col("sum_v"),
         (col("files_hit") * 4 <= col("files_total")).as("pruned_ok"))
     }),
+
+    // Partition-pruned MERGE on a keyed table: write orders hashed
+    // into 16 key buckets, upsert (reprice every 7th, insert synthetic
+    // +1e8 keys), then delete every 13th original key — each change
+    // job reads/rewrites ONLY the buckets its keys hash into (static
+    // kb IN (...) pruning; MaintenanceSpec proves untouched bucket
+    // files survive byte-identical). The oracle is the end state.
+    "x102_upsert" -> ((s, d) => {
+      val dir = runScratch("ups", d)
+      val base = t(s, d, "orders").df
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      graft.sources.Maintenance.writeKeyed(base, dir, "o_orderkey", 16)
+      val repriced = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      val inserts = base.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+          col("o_custkey"), lit(1.5).as("o_totalprice"))
+      graft.sources.Maintenance.upsertKeyed(s, dir,
+        repriced.unionByName(inserts), "o_orderkey", 16)
+      graft.sources.Maintenance.deleteKeyed(s, dir,
+        base.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"),
+        "o_orderkey", 16)
+      s.read.parquet(dir).select("o_orderkey", "o_totalprice")
+    }),
+
+    // Row-level table diff (reconciliation): direct null-safe column
+    // compare, no hashes to collide, one full-outer equi-join
+    "x103_diff" -> ((s, d) => {
+      val a = t(s, d, "orders").df
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val b = a.filter(col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(7.25))
+            .otherwise(col("o_totalprice")))
+        .unionByName(a.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+            col("o_orderpriority"), col("o_totalprice")))
+      graft.sources.Maintenance.diff(a, b, Seq("o_orderkey"))
+    }),
+
+    // Incremental aggregate maintenance: persisted (keys, cnt, decimal
+    // sum) state + one O(batch) merge must equal the full recompute —
+    // the oracle IS the full recompute over all of orders
+    "x104_incr_agg" -> ((s, d) => {
+      val dir = runScratch("mvs", d)
+      val orders = t(s, d, "orders").df
+      graft.sources.Maintenance.buildAggState(
+        orders.filter(col("o_orderkey") % 10 =!= 0),
+        Seq("o_orderpriority"), "o_totalprice", dir)
+      val st = graft.sources.Maintenance.mergeAggState(s, dir,
+        orders.filter(col("o_orderkey") % 10 === 0),
+        Seq("o_orderpriority"), "o_totalprice")
+      graft.sources.Maintenance.finalizeAgg(st, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n"),
+          F.round(col("total"), 6).as("total"),
+          F.round(col("mean"), 6).as("mean"))
+    }),
+
+    // Anchored funnel over the events stream: view -> click ->
+    // purchase within 7 days of the user's FIRST view; greedy
+    // earliest-completion semantics, mirrored as a min()-chain oracle
+    "x105_funnel" -> ((s, d) =>
+      graft.ext.Events.funnel(t(s, d, "events").df,
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), 7L * 86400000000L)),
+
+    // Daily cohort retention: cohort = day of first event, one row per
+    // (cohort, offset) with distinct active users
+    "x106_retention" -> ((s, d) =>
+      graft.ext.Events.retention(t(s, d, "events").df,
+        "user_id", "ts", 86400000000L)),
 
     // TF-IDF keyword extraction: 3 most distinctive terms per doc
     "x57_top_terms" -> ((s, d) =>
@@ -2654,6 +2731,16 @@ object SparkEntry {
           |d {node, dist: round(dist, 6)}
           |""".stripMargin,
         "documents" -> t(s, d, "documents")).df),
+
+    // funnel composed in the language: per-user depth, then the
+    // depth histogram via the language's group-by projection
+    "ql45_lang_funnel" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """f = funnel(events, "user_id", "ts", "event_type",
+          |           "view click purchase", 604800000000)
+          |f {depth => n_users: count()}
+          |""".stripMargin,
+        "events" -> t(s, d, "events")).df),
 
     "ql39_lang_crawl" -> ((s, d) =>
       graft.lang.Interp.run(s,
@@ -5021,8 +5108,9 @@ object SparkEntry {
          SELECT node, round(min(dist), 6) AS dist FROM allp GROUP BY node"""
     },
 
-    // scale-invariant planted truth: every ladder node's distance is
-    // its layer index (max layer = 19), at ANY probeScale
+    // planted truth: every ladder node's distance is its layer index.
+    // n_ok/all_exact hold at ANY dial; max_dist = L-1 = 19 requires
+    // probeScale = 1.0 (L dials with it), which Verify always uses
     "x98_sssp_probe" ->
       "SELECT TRUE AS n_ok, CAST(19 AS BIGINT) AS max_dist, TRUE AS all_exact",
 
@@ -5048,6 +5136,76 @@ object SparkEntry {
            TRUE AS pruned_ok
          FROM events
          WHERE user_id % 1024 < 32 AND event_id % 1024 < 32""",
+
+    // the merge/delete end state in closed form: repriced unless
+    // deleted, plus the synthetic inserts (whose +1e8 keys are never
+    // in the delete set)
+    "x102_upsert" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey % 13 <> 0
+         UNION ALL
+         SELECT o_orderkey + 100000000 AS o_orderkey, 1.5 AS o_totalprice
+         FROM orders WHERE o_orderkey % 97 = 0""",
+
+    // diff statuses in closed form; the %11 removal wins over the %5
+    // reprice (the b side filtered FIRST), + 7.25 always changes a
+    // finite price
+    "x103_diff" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN 'removed'
+                WHEN o_orderkey % 5 = 0 THEN 'changed'
+                ELSE 'same' END AS status
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey + 100000000 AS o_orderkey, 'added' AS status
+         FROM orders WHERE o_orderkey % 97 = 0""",
+
+    // incremental state + merge must equal the full recompute
+    "x104_incr_agg" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 6)
+             AS total,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+             / count(*), 6) AS mean
+         FROM orders GROUP BY o_orderpriority""",
+
+    // the greedy anchored funnel as a min()-chain: t1 = first view,
+    // t2 = first later click within the window, t3 = first later
+    // purchase within the window of t1
+    "x105_funnel" ->
+      """WITH f AS (
+           SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+         u AS (SELECT DISTINCT user_id FROM f),
+         s1 AS (SELECT user_id, min(us) AS t1 FROM f
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT f.user_id, min(us) AS t2 FROM f
+                JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND us > t1
+                  AND us <= t1 + 604800000000 GROUP BY f.user_id),
+         s3 AS (SELECT f.user_id, min(us) AS t3 FROM f
+                JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+                WHERE event_type = 'purchase' AND us > t2
+                  AND us <= t1 + 604800000000 GROUP BY f.user_id)
+         SELECT u.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3
+                WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1
+                ELSE 0 END AS depth
+         FROM u LEFT JOIN s1 USING (user_id)
+                LEFT JOIN s2 USING (user_id)
+                LEFT JOIN s3 USING (user_id)""",
+
+    "x106_retention" ->
+      """WITH a AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS b
+           FROM events),
+         c AS (SELECT user_id, min(b) AS cohort FROM a GROUP BY user_id)
+         SELECT cohort, b - cohort AS "offset",
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM a JOIN c USING (user_id) GROUP BY cohort, b - cohort""",
 
     "x93_profile" -> Seq("c_custkey", "c_name", "c_nationkey",
       "c_acctbal", "c_mktsegment").map { c =>
@@ -5109,6 +5267,33 @@ object SparkEntry {
     "ql40_lang_pagerank" ->
       (s"SELECT node, rank AS r FROM (${pageRankOracleSql(400, 6, 0.85)})" +
         " ORDER BY r DESC, node LIMIT 10"),
+
+    "ql45_lang_funnel" ->
+      """WITH f AS (
+           SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+         u AS (SELECT DISTINCT user_id FROM f),
+         s1 AS (SELECT user_id, min(us) AS t1 FROM f
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT f.user_id, min(us) AS t2 FROM f
+                JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND us > t1
+                  AND us <= t1 + 604800000000 GROUP BY f.user_id),
+         s3 AS (SELECT f.user_id, min(us) AS t3 FROM f
+                JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+                WHERE event_type = 'purchase' AND us > t2
+                  AND us <= t1 + 604800000000 GROUP BY f.user_id),
+         d AS (
+           SELECT u.user_id,
+             CASE WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2
+                  WHEN t1 IS NOT NULL THEN 1
+                  ELSE 0 END AS depth
+           FROM u LEFT JOIN s1 USING (user_id)
+                  LEFT JOIN s2 USING (user_id)
+                  LEFT JOIN s3 USING (user_id))
+         SELECT depth, CAST(count(*) AS BIGINT) AS n_users
+         FROM d GROUP BY depth""",
 
     "ql44_lang_sssp" ->
       """WITH e AS (

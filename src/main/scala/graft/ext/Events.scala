@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.LongType
+
+/** Event-sequence analytics over (user, timestamp, type) streams —
+  * extension surface with no reference counterpart (the reference has
+  * no event/funnel module; these are the product-analytics staples a
+  * general engine is expected to own — cf. ClickHouse's windowFunnel /
+  * retention aggregate combinators, which define the de-facto
+  * semantics).
+  *
+  * Both operators are one-shuffle designs: events group by user once;
+  * everything per-user happens inside bounded per-user state (an array
+  * fold or a distinct-bucket set), never a cross-user window.
+  */
+object Events {
+
+  /** Anchored funnel: for each user, how deep into the ordered `steps`
+    * sequence they progressed, where the funnel ANCHORS at the user's
+    * FIRST step-0 event and each later step must occur STRICTLY after
+    * the previous step and within `windowUs` microseconds of the
+    * anchor. (Greedy earliest-completion semantics: step i's time is
+    * the MINIMUM eligible timestamp — deterministic, and exactly
+    * mirrorable as a chain of min() subqueries in any SQL engine.)
+    *
+    * Returns one row per user that has ANY event of a step type:
+    * (userCol, depth) with depth in [1, steps.length]; users with
+    * events but none matching step 0 report depth 0 only if they have
+    * at least one event of some step type — callers wanting the full
+    * user universe left-join this result.
+    *
+    * Scale shape: the scan keeps only events whose type IS a step
+    * (pushed filter), projects (user, ts, step-index) — 20 bytes/row
+    * into the ONE user shuffle; the per-user fold is a codegen'd
+    * `aggregate` HOF over the time-sorted array, state a 3-field
+    * struct. No windows, no joins, no per-step re-scan of the corpus.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             windowUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.length == steps.length,
+      s"funnel steps must be distinct, got $steps")
+    require(windowUs > 0, s"windowUs must be > 0, got $windowUs")
+    val k = steps.length
+    // step name -> index as a CASE chain (plan-time constant, codegen'd)
+    val idx = steps.zipWithIndex.tail.foldLeft(
+      F.when(F.col(typeCol) === steps.head, F.lit(0))) {
+      case (acc, (s, i)) => acc.when(F.col(typeCol) === s, F.lit(i))
+    }
+    val folded = events
+      .filter(F.col(typeCol).isin(steps.map(x => x: Any): _*))
+      .select(F.col(userCol),
+        F.unix_micros(F.col(tsCol)).as("__ts"), idx.as("__i"))
+      .groupBy(F.col(userCol))
+      .agg(F.array_sort(F.collect_list(
+        // named_struct, not struct().as: HOF lambdas lose struct()
+        // aliases next to generators (CLAUDE.md); sort orders by
+        // (ts, i), so same-timestamp events process in step order —
+        // irrelevant to the result (matches need STRICT ts increase)
+        // but keeps the fold input deterministic
+        F.expr("named_struct('ts', __ts, 'i', __i)"))).as("__evs"))
+    folded.select(F.col(userCol),
+      F.expr(
+        s"""aggregate(__evs,
+           |  named_struct('d', 0, 'last', CAST(0 AS BIGINT),
+           |               'anchor', CAST(0 AS BIGINT)),
+           |  (acc, e) -> CASE
+           |    WHEN acc.d = 0 AND e.i = 0 THEN
+           |      named_struct('d', 1, 'last', e.ts, 'anchor', e.ts)
+           |    WHEN acc.d > 0 AND acc.d < $k AND e.i = acc.d
+           |         AND e.ts > acc.last
+           |         AND e.ts <= acc.anchor + ${windowUs}L THEN
+           |      named_struct('d', acc.d + 1, 'last', e.ts,
+           |                   'anchor', acc.anchor)
+           |    ELSE acc END).d""".stripMargin).as("depth"))
+  }
+
+  /** Cohort retention: bucket time into `bucketUs`-microsecond periods
+    * (e.g. days); a user's cohort is the bucket of their FIRST event;
+    * output one row per (cohort, offset ≥ 0) with the count of
+    * DISTINCT users from that cohort active `offset` buckets later
+    * (offset 0 = the cohort size itself). Buckets are absolute
+    * (floor(epoch_us / bucketUs)) — pure per-row arithmetic, no
+    * timezone/session state, identical in any engine.
+    *
+    * Scale shape: ONE user-keyed shuffle — per-user active buckets
+    * collect as a set (bounded by the time span / bucket size, e.g.
+    * ≤366 for daily buckets over a year; map-side partials dedup
+    * before the exchange), the cohort is the set's min, offsets
+    * explode from the set, and because (user, bucket) is unique after
+    * the set, the per-(cohort, offset) distinct-user count is a plain
+    * count — no second distinct, no join, no window. The final rollup
+    * is buckets² rows at most.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be > 0, got $bucketUs")
+    // integral `div`, not floor(double /): an epoch just under a
+    // bucket boundary could round UP through the double quotient and
+    // land in the wrong bucket. Exact for epochs >= 0 (all real event
+    // data; pre-1970 timestamps would truncate toward zero instead of
+    // flooring, same as DuckDB's // only for non-negatives).
+    val bucket = F.expr(s"unix_micros(`$tsCol`) div ${bucketUs}L")
+      .cast(LongType)
+    events.select(F.col(userCol), bucket.as("__b"))
+      .groupBy(F.col(userCol))
+      .agg(F.collect_set(F.col("__b")).as("__bs"))
+      .select(F.array_min(F.col("__bs")).as("cohort"),
+        F.explode(F.col("__bs")).as("__b"))
+      .groupBy(F.col("cohort"), (F.col("__b") - F.col("cohort")).as("offset"))
+      .agg(F.count(F.lit(1)).as("n_users"))
+  }
+}

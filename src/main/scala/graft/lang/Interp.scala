@@ -1551,7 +1551,8 @@ object Interp {
       "pivot", "unpivot", "resample_fill", "fuzzy_pairs",
       "components", "corr_matrix", "histogram", "rolling_mean",
       "cap_per_group", "profile", "anomalies", "top_per_group",
-      "asof_join", "range_join", "sssp", "graph.sssp")
+      "asof_join", "range_join", "sssp", "graph.sssp",
+      "funnel", "retention", "diff_tables")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -2379,6 +2380,34 @@ object Interp {
             if (args.length == 3) constLong(args(2).value).toInt else 50
           PTable(graft.rec.Graph.sssp(t(args.head.value).df,
             t(args(1).value).df, maxIters = mi))
+        case "funnel" =>
+          // funnel(events, "user", "ts", "type", "step1 step2 ...",
+          //        window_us) — anchored greedy funnel depth per user
+          if (args.length != 6)
+            throw new TypeError(
+              "funnel(events, \"user\", \"ts\", \"type\", \"steps\", window_us)")
+          PTable(graft.ext.Events.funnel(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value),
+            litString(args(3).value),
+            litString(args(4).value).trim.split("\\s+").toSeq,
+            constLong(args(5).value)))
+        case "retention" =>
+          // retention(events, "user", "ts", bucket_us) — cohort
+          // retention counts per (cohort, offset)
+          if (args.length != 4)
+            throw new TypeError(
+              "retention(events, \"user\", \"ts\", bucket_us)")
+          PTable(graft.ext.Events.retention(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value),
+            constLong(args(3).value)))
+        case "diff_tables" =>
+          // diff_tables(a, b, "key cols") — row-level reconciliation:
+          // (keys..., status in added/removed/changed/same)
+          if (args.length != 3)
+            throw new TypeError("diff_tables(a, b, \"key cols\")")
+          PTable(graft.sources.Maintenance.diff(t(args(0).value).df,
+            t(args(1).value).df,
+            litString(args(2).value).trim.split("\\s+").toSeq))
         case other => throw new NameError(s"unknown table function '$other'")
       }
     }

@@ -61,6 +61,181 @@ object Maintenance {
     nFiles
   }
 
+  // ---- keyed tables: partition-pruned upsert / delete ---------------------
+
+  /** The key-bucket partition column: md5-derived (portable, never
+    * tied to Spark's internal hash), pure per-row — the same layout
+    * contract as the persisted IVF/LSH indexes.
+    */
+  private def kb(keyCol: String, nBuckets: Int): Column =
+    F.pmod(graft.ext.TextAnalysis.h60(F.col(keyCol)), F.lit(nBuckets.toLong))
+      // IntegerType to MATCH what partition-column inference reads back
+      // (small numeric dir names infer as int; a long here would make
+      // the upsert union fail on type mismatch)
+      .cast(org.apache.spark.sql.types.IntegerType)
+
+  /** Write `df` as a KEYED table: hash-partitioned into `nBuckets`
+    * directories on `kb = h60(key) mod nBuckets`. The layout is what
+    * makes `upsertKeyed`/`deleteKeyed` proportional to the BATCH, not
+    * the table: a change batch touches only the bucket directories its
+    * keys hash into, and the merge job reads exactly those via static
+    * partition pruning. Size nBuckets so one bucket ≈ one comfortable
+    * rewrite (e.g. 100 TB / 10k buckets = 10 GB merges).
+    */
+  def writeKeyed(df: DataFrame, dir: String, keyCol: String,
+                 nBuckets: Int): Unit = {
+    require(nBuckets > 0, s"nBuckets must be > 0, got $nBuckets")
+    df.withColumn("kb", kb(keyCol, nBuckets))
+      .repartition(F.col("kb"))
+      .write.mode("overwrite").partitionBy("kb").parquet(dir)
+  }
+
+  /** MERGE (upsert) `updates` into the keyed table at `dir`: rows whose
+    * key matches an update are replaced, new keys are inserted, and —
+    * the scale contract — only the bucket partitions the batch's keys
+    * hash into are read or rewritten. The plan reads the base through a
+    * static `kb IN (...)` partition filter (the untouched 99.x% of a
+    * 100 TB table contributes zero IO), merges via anti-join + union,
+    * and commits through dynamic partition overwrite so unrelated
+    * partitions are never deleted. The merged frame is materialized
+    * (localCheckpoint) before the write — severed lineage is what makes
+    * overwriting a directory we just read from safe.
+    * `updates` must carry the base schema (minus `kb`); later duplicate
+    * keys WITHIN the batch are the caller's contract to avoid (both
+    * copies land, same as inserting twice).
+    */
+  def upsertKeyed(spark: SparkSession, dir: String, updates: DataFrame,
+                  keyCol: String, nBuckets: Int): Unit = {
+    val up = updates.withColumn("kb", kb(keyCol, nBuckets))
+      .localCheckpoint()
+    val touched = up.select("kb").distinct().collect()
+      .map(_.getInt(0)).sorted
+    val base = spark.read.parquet(dir)
+      .filter(F.col("kb").isin(touched.map(Int.box): _*))
+    val merged = base
+      .join(up.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+      .unionByName(up.select(base.columns.map(F.col).toIndexedSeq: _*))
+      .localCheckpoint()
+    merged.repartition(F.col("kb"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("kb").parquet(dir)
+  }
+
+  /** Delete by key from the keyed table at `dir`; `keys` is a 1-column
+    * frame. Same pruned-read + dynamic-overwrite shape as upsertKeyed,
+    * plus the empty-bucket edge: dynamic overwrite only replaces
+    * partitions PRESENT in the written data, so a bucket whose every
+    * row was deleted would silently survive — those are removed
+    * explicitly through the Hadoop FS.
+    */
+  def deleteKeyed(spark: SparkSession, dir: String, keys: DataFrame,
+                  keyCol: String, nBuckets: Int): Unit = {
+    val ks = keys.select(F.col(keys.columns.head).as(keyCol))
+      .withColumn("kb", kb(keyCol, nBuckets)).localCheckpoint()
+    val touched = ks.select("kb").distinct().collect()
+      .map(_.getInt(0)).sorted
+    val base = spark.read.parquet(dir)
+      .filter(F.col("kb").isin(touched.map(Int.box): _*))
+    val merged = base.join(ks.select(keyCol).distinct(),
+      Seq(keyCol), "left_anti").localCheckpoint()
+    val kept = merged.select("kb").distinct().collect()
+      .map(_.getInt(0)).toSet
+    merged.repartition(F.col("kb"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("kb").parquet(dir)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(kept).foreach { b =>
+      fs.delete(new Path(p, s"kb=$b"), true)
+    }
+  }
+
+  // ---- reconciliation ------------------------------------------------------
+
+  /** Row-level diff of two keyed frames: one row per key present on
+    * either side, with status `added` (b only), `removed` (a only),
+    * `changed` (both, any shared non-key column differs null-safely) or
+    * `same`. Columns are compared DIRECTLY (null-safe `<=>` conjunction
+    * over the shared non-key columns) — no hashing, so there is nothing
+    * to mirror and no collision caveat. One shuffle per side (the
+    * full-outer equi-join); at 100 TB both sides stream through a
+    * sort-merge join with no row amplification.
+    */
+  def diff(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diff needs at least one key column")
+    val shared = a.columns.filter(b.columns.contains).filterNot(keyCols.contains)
+    val aa = a.select((keyCols ++ shared).map(F.col): _*)
+      .withColumn("__pa", F.lit(1)).alias("a")
+    val bb = b.select((keyCols ++ shared).map(F.col): _*)
+      .withColumn("__pb", F.lit(1)).alias("b")
+    val cond = keyCols.map(k => F.col(s"a.$k") === F.col(s"b.$k"))
+      .reduce(_ && _)
+    val sameCols =
+      if (shared.isEmpty) F.lit(true)
+      else shared.map(c => F.col(s"a.$c") <=> F.col(s"b.$c")).reduce(_ && _)
+    aa.join(bb, cond, "full_outer").select(
+      keyCols.map(k =>
+        F.coalesce(F.col(s"a.$k"), F.col(s"b.$k")).as(k)) :+
+        F.when(F.col("__pb").isNull, F.lit("removed"))
+          .when(F.col("__pa").isNull, F.lit("added"))
+          .when(sameCols, F.lit("same"))
+          .otherwise(F.lit("changed")).as("status"): _*)
+  }
+
+  // ---- incremental aggregation (materialized-view maintenance) ------------
+
+  /** Build the persisted partial-aggregate state for an incrementally
+    * maintained `group by keys → count / sum(valueCol)` view: one
+    * (keys, cnt, sum) row per group, sums held EXACTLY as
+    * DECIMAL(28,2) so merge order can never change results. The state
+    * is the one full pass over history; every refresh after that is
+    * `mergeAggState`, whose cost is O(batch + state) — at 100 TB the
+    * difference between a daily full recompute and a minutes-long
+    * merge.
+    */
+  def buildAggState(df: DataFrame, keys: Seq[String], valueCol: String,
+                    dir: String): Unit =
+    partialAgg(df, keys, valueCol)
+      .write.mode("overwrite").parquet(dir)
+
+  private def partialAgg(df: DataFrame, keys: Seq[String],
+                         valueCol: String): DataFrame =
+    df.groupBy(keys.map(F.col): _*).agg(
+      F.count(F.lit(1)).as("__cnt"),
+      F.sum(F.col(valueCol).cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+        .as("__sum"))
+
+  /** Fold a new batch into the persisted state at `dir` and write the
+    * merged state back (localCheckpoint severs the read-write cycle).
+    * Counts and decimal sums are associative, so state ∪ batch-partial
+    * re-aggregated IS the state of history ∪ batch — bit-for-bit, in
+    * any merge order. Returns the merged state.
+    */
+  def mergeAggState(spark: SparkSession, dir: String, batch: DataFrame,
+                    keys: Seq[String], valueCol: String): DataFrame = {
+    val merged = spark.read.parquet(dir)
+      .unionByName(partialAgg(batch, keys, valueCol))
+      .groupBy(keys.map(F.col): _*)
+      .agg(F.sum(F.col("__cnt")).as("__cnt"), F.sum(F.col("__sum")).as("__sum"))
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(dir)
+    merged
+  }
+
+  /** Finalize a state frame into the user-facing view:
+    * (keys, n, total, mean). */
+  def finalizeAgg(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(
+      keys.map(F.col) ++ Seq(
+        F.col("__cnt").as("n"),
+        F.col("__sum").cast(org.apache.spark.sql.types.DoubleType).as("total"),
+        // ONE IEEE division over the exact decimal sum (not decimal
+        // division, whose result scale differs across engines)
+        (F.col("__sum").cast(org.apache.spark.sql.types.DoubleType) /
+          F.col("__cnt")).as("mean")): _*)
+
   /** Write `df` clustered by the Z-order (Morton) interleave of two
     * integer dimension columns. Rows whose Z-values share the top
     * `bucketBits` bits land in the same file, so every file covers a

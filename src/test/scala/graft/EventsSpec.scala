@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ext.Events
+
+/** Behavior of the event-sequence analytics (ext/Events.scala):
+  * anchored funnel and cohort retention.
+  */
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // microsecond-exact (a plain ms constructor would floor us=10 to 0)
+  private def ts(us: Long) = {
+    val t = new Timestamp(us / 1000000 * 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    t
+  }
+  private val DAY = 86400000000L
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.map { case (u, t, k) => (u, ts(t), k) }.toDF("user_id", "ts", "etype")
+
+  private def depths(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+    df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("funnel: anchored greedy semantics, strict ordering, window cap") {
+    val e = ev(
+      // u1 completes: view, click, purchase in order
+      (1L, 1000L, "view"), (1L, 2000L, "click"), (1L, 3000L, "purchase"),
+      // u2 skips click: purchase cannot advance without it
+      (2L, 1000L, "view"), (2L, 3000L, "purchase"),
+      // u3: click BEFORE the first view never counts; no later click
+      (3L, 500L, "click"), (3L, 1000L, "view"),
+      // u4: click at the SAME us as the anchor view fails strict >
+      (4L, 1000L, "view"), (4L, 1000L, "click"),
+      // u5: click outside the window of the FIRST view (greedy anchor)
+      (5L, 1000L, "view"), (5L, 1000L + 2 * DAY, "click"),
+      // u6: no view at all, only later steps -> depth 0
+      (6L, 1000L, "click"), (6L, 2000L, "purchase"),
+      // u7: full chain, purchase just inside the window
+      (7L, 0L, "view"), (7L, 10L, "click"), (7L, DAY, "purchase"))
+    val got = depths(Events.funnel(e, "user_id", "ts", "etype",
+      Seq("view", "click", "purchase"), DAY))
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 1,
+      6L -> 0, 7L -> 3))
+  }
+
+  test("funnel: window anchors at the FIRST step-0 event, not the best one") {
+    // a later view WOULD complete the funnel, but greedy anchors at us=0
+    val e = ev(
+      (1L, 0L, "view"), (1L, 5 * DAY, "view"), (1L, 5 * DAY + 1, "click"))
+    val got = depths(Events.funnel(e, "user_id", "ts", "etype",
+      Seq("view", "click"), DAY))
+    assert(got == Map(1L -> 1))
+  }
+
+  test("funnel: single-step funnel and step-order validation") {
+    val e = ev((1L, 10L, "a"), (2L, 10L, "b"))
+    val got = depths(Events.funnel(e, "user_id", "ts", "etype", Seq("a"), 100L))
+    assert(got == Map(1L -> 1)) // u2 has no step-type event at all -> no row
+    intercept[IllegalArgumentException] {
+      Events.funnel(e, "user_id", "ts", "etype", Seq("a", "a"), 100L)
+    }
+  }
+
+  test("retention: cohort by first-event day, offsets count distinct users") {
+    val e = ev(
+      // u1: days 0, 1, 3 (two events on day 1 count once)
+      (1L, 0L, "x"), (1L, DAY + 5L, "x"), (1L, DAY + 6L, "x"),
+      (1L, 3 * DAY, "x"),
+      // u2: cohort day 1, returns day 3 (offset 2)
+      (2L, DAY + 1L, "x"), (2L, 3 * DAY + 1L, "x"),
+      // u3: cohort day 0 only
+      (3L, 10L, "x"))
+    val got = Events.retention(e, "user_id", "ts", DAY)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+  }
+
+  test("retention: bucket boundary is exact (no double-division drift)") {
+    // one event 1 us before the day boundary, one exactly on it
+    val e = ev((1L, DAY - 1L, "x"), (2L, DAY, "x"))
+    val got = Events.retention(e, "user_id", "ts", DAY)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 1L, (1L, 0L) -> 1L))
+  }
+}

@@ -1560,6 +1560,32 @@ class LangSpec extends SparkSpec {
     assert(one == Map(1L -> 0.0, 2L -> 1.0, 3L -> 5.0))
   }
 
+  test("funnel, retention and diff_tables in the language") {
+    import spark.implicits._
+    val us = 1000000L
+    def ts(u: Long) = new java.sql.Timestamp(u / 1000)
+    val events = graft.dsl.PTable(
+      Seq((1L, ts(1 * us), "a"), (1L, ts(2 * us), "b"),
+        (2L, ts(1 * us), "a"), (3L, ts(5 * us), "b"))
+        .toDF("user_id", "ts", "etype"))
+    val f = Interp.run(spark,
+      """funnel(events, "user_id", "ts", "etype", "a b", 10000000)""",
+      "events" -> events)
+      .df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(f == Map(1L -> 2, 2L -> 1, 3L -> 0))
+    val r = Interp.run(spark,
+      """retention(events, "user_id", "ts", 1000000)""",
+      "events" -> events)
+      .df.collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r((1L, 0L)) == 2L && r((1L, 1L)) == 1L && r((5L, 0L)) == 1L)
+    val a = graft.dsl.PTable(Seq((1L, "x"), (2L, "y")).toDF("k", "v"))
+    val b = graft.dsl.PTable(Seq((1L, "x"), (3L, "z")).toDF("k", "v"))
+    val d = Interp.run(spark, """diff_tables(a, b, "k")""",
+      "a" -> a, "b" -> b)
+      .df.collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(d == Map(1L -> "same", 2L -> "removed", 3L -> "added"))
+  }
+
   test("profile and anomalies in the language") {
     import spark.implicits._
     val tbl = graft.dsl.PTable(

@@ -88,4 +88,110 @@ class MaintenanceSpec extends SparkSpec {
       Maintenance.writeZOrdered(df, "/tmp/never", "a", "b", 4, 9)
     }
   }
+
+  // (path, length, mtime) fingerprint of every data file under dir
+  private def fileState(dir: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+    walk(new java.io.File(dir))
+      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+  }
+
+  private def kbOf(key: Long, nBuckets: Int): Int =
+    Seq(key).toDF("k")
+      .select(pmod(graft.ext.TextAnalysis.h60(col("k")), lit(nBuckets.toLong))
+        .cast("int")).head().getInt(0)
+
+  test("upsertKeyed merges the batch and leaves untouched buckets byte-identical") {
+    val dir = tmp("graft_ups")
+    val base = spark.range(0, 200).select(col("id").as("k"),
+      (col("id") * 10).as("v"))
+    Maintenance.writeKeyed(base, dir, "k", 8)
+    val before = fileState(dir)
+    // one repriced key + one brand-new key
+    val updates = Seq((7L, 777L), (1000L, 42L)).toDF("k", "v")
+    Maintenance.upsertKeyed(spark, dir, updates, "k", 8)
+    val got = spark.read.parquet(dir).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 201 && got(7L) == 777L && got(1000L) == 42L &&
+      got(8L) == 80L)
+    // buckets NOT containing k=7 or k=1000 must be untouched on disk
+    val touched = Set(kbOf(7L, 8), kbOf(1000L, 8)).map(b => s"kb=$b")
+    val after = fileState(dir)
+    val untouchedBefore = before.filterNot { case (p, _) =>
+      touched.exists(p.contains) }
+    assert(untouchedBefore.nonEmpty, "test needs some untouched bucket")
+    untouchedBefore.foreach { case (p, st) =>
+      assert(after.get(p).contains(st), s"untouched file rewritten: $p")
+    }
+  }
+
+  test("upsertKeyed reads the base through static partition pruning") {
+    val dir = tmp("graft_upsp")
+    Maintenance.writeKeyed(
+      spark.range(0, 100).select(col("id").as("k"), col("id").as("v")),
+      dir, "k", 8)
+    // the pruned-read shape upsertKeyed builds: kb IN-list must land in
+    // PartitionFilters (metadata-only), never in the data filters
+    val p = spark.read.parquet(dir).filter(col("kb").isin(0, 3))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("kb"),
+      s"kb filter did not become a partition filter:\n$p")
+  }
+
+  test("deleteKeyed removes keys and prunes emptied bucket directories") {
+    val dir = tmp("graft_del")
+    val base = spark.range(0, 64).select(col("id").as("k"), col("id").as("v"))
+    Maintenance.writeKeyed(base, dir, "k", 4)
+    // wipe out bucket 2 entirely, plus one key from another bucket
+    val b2keys = (0L until 64L).filter(k => kbOf(k, 4) == 2)
+    val other = (0L until 64L).find(k => kbOf(k, 4) != 2).get
+    Maintenance.deleteKeyed(spark, dir,
+      (b2keys :+ other).toDF("k"), "k", 4)
+    val left = spark.read.parquet(dir).select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(left == (0L until 64L).toSet -- b2keys - other)
+    // the emptied partition dir is gone (dynamic overwrite alone would
+    // have silently left it behind)
+    assert(!new java.io.File(dir, "kb=2").exists())
+  }
+
+  test("diff: added/removed/changed/same with null-safe column compare") {
+    val a = Seq((1L, Some("x"), 1.0), (2L, None, 2.0), (3L, Some("z"), 3.0),
+        (4L, None, 4.0))
+      .toDF("k", "s", "v")
+    val b = Seq((1L, Some("x"), 1.0), (2L, Some("y"), 2.0),
+        (4L, None, 4.0), (5L, Some("n"), 5.0))
+      .toDF("k", "s", "v")
+    val got = Maintenance.diff(a, b, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1: identical; 2: null -> y = changed; 3: removed; 4: null == null
+    // null-safely = same; 5: added
+    assert(got == Map(1L -> "same", 2L -> "changed", 3L -> "removed",
+      4L -> "same", 5L -> "added"))
+  }
+
+  test("incremental agg state: two merges equal the full recompute exactly") {
+    val dir = tmp("graft_mv")
+    val full = spark.range(0, 300).select(
+      (col("id") % 3).cast("string").as("g"), (col("id") % 17 + 0.25).as("v"))
+    Maintenance.buildAggState(full.filter(col("id") % 5 === 0),
+      Seq("g"), "v", dir)
+    Maintenance.mergeAggState(spark, dir,
+      full.filter(col("id") % 5 === 1), Seq("g"), "v")
+    val st = Maintenance.mergeAggState(spark, dir,
+      full.filter(col("id") % 5 >= 2), Seq("g"), "v")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    val inc = snap(Maintenance.finalizeAgg(st, Seq("g")))
+    val direct = snap(Maintenance.finalizeAgg(
+      full.groupBy("g").agg(count(lit(1)).as("__cnt"),
+        sum(col("v").cast("decimal(28,2)")).as("__sum")), Seq("g")))
+    assert(inc == direct)
+    // and the state on disk IS the returned state
+    val disk = spark.read.parquet(dir)
+    assert(snap(Maintenance.finalizeAgg(disk, Seq("g"))) == inc)
+  }
 }

@@ -104,6 +104,24 @@ class PlanQualitySpec extends SparkSpec {
       s"bucketed join must never need a GLOBAL sort:\n$p")
   }
 
+  test("x105: funnel is ONE user shuffle — no window, no join, steps pushed") {
+    val p = planOf("x105_funnel")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"funnel must fold per-user state, not window/join:\n$p")
+    assert("Exchange".r.findAllMatchIn(p).length == 1,
+      s"funnel should shuffle exactly once (on the user key):\n$p")
+    assert(p.contains("In(event_type"),
+      s"step-type filter not pushed to the scan:\n$p")
+  }
+
+  test("x106: retention is one user shuffle + the tiny rollup, no join") {
+    val p = planOf("x106_retention")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"retention must not join or window:\n$p")
+    assert("Exchange".r.findAllMatchIn(p).length == 2,
+      s"retention = user shuffle + (cohort, offset) rollup only:\n$p")
+  }
+
   test("cosine pairs plan as equi hash joins, never nested loops") {
     val p = planOf("x12_cosine_pairs")
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
