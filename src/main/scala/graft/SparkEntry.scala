@@ -1006,6 +1006,13 @@ object SparkEntry {
       graft.ext.Events.retention(t(s, d, "events").df,
         "user_id", "ts", 86400000000L)),
 
+    // Top user journeys: first 8 event types per user in (ts, type)
+    // order, counted across users — same one-user-shuffle shape as
+    // the funnel, mirrored as a row_number + ordered string_agg
+    "x107_event_paths" -> ((s, d) =>
+      graft.ext.Events.eventPaths(t(s, d, "events").df,
+        "user_id", "ts", "event_type", 8)),
+
     // TF-IDF keyword extraction: 3 most distinctive terms per doc
     "x57_top_terms" -> ((s, d) =>
       graft.ext.Search.topTermsPerDoc(t(s, d, "documents").df,
@@ -5206,6 +5213,19 @@ object SparkEntry {
          SELECT cohort, b - cohort AS "offset",
            CAST(count(*) AS BIGINT) AS n_users
          FROM a JOIN c USING (user_id) GROUP BY cohort, b - cohort""",
+
+    // the engine's (ts, type) struct sort == ORDER BY ts, type
+    "x107_event_paths" ->
+      """WITH o AS (
+           SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_type) AS rn
+           FROM events),
+         p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
+                 AS path
+               FROM o WHERE rn <= 8 GROUP BY user_id)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_users
+         FROM p GROUP BY path""",
 
     "x93_profile" -> Seq("c_custkey", "c_name", "c_nationkey",
       "c_acctbal", "c_mktsegment").map { c =>

@@ -78,6 +78,46 @@ object Events {
            |    ELSE acc END).d""".stripMargin).as("depth"))
   }
 
+  /** Top user journeys: each user's first `maxLen` event types in
+    * time order joined into a path string (`a>b>c`), counted across
+    * users. Same one-user-shuffle shape as `funnel` — the per-user
+    * array sorts/slices/joins inside codegen'd array expressions; the
+    * path rollup is the second (small) exchange. Ties at the same
+    * timestamp order by event type, so the path is deterministic and
+    * exactly mirrorable as `ORDER BY ts, type` in any SQL engine.
+    */
+  def eventPaths(events: DataFrame, userCol: String, tsCol: String,
+                 typeCol: String, maxLen: Int): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    events.select(F.col(userCol),
+        F.unix_micros(F.col(tsCol)).as("__ts"), F.col(typeCol).as("__t"))
+      .groupBy(F.col(userCol))
+      .agg(F.array_sort(F.collect_list(
+        F.expr("named_struct('ts', __ts, 't', __t)"))).as("__evs"))
+      .select(F.array_join(
+        F.transform(F.slice(F.col("__evs"), 1, maxLen), e => e("t")),
+        ">").as("path"))
+      .groupBy(F.col("path"))
+      .agg(F.count(F.lit(1)).as("n_users"))
+  }
+
+  /** Batch sessionization: split each user's events into sessions
+    * separated by ≥ `gapUs` of inactivity; one row per session with
+    * its start and event count. Declarative `session_window` — the
+    * same operator the streaming twin runs with a watermark, so batch
+    * and stream agree by construction (x16's oracle pins the window
+    * semantics against an independent lag/cumsum formulation).
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"gapUs must be > 0, got $gapUs")
+    events.groupBy(F.col(userCol),
+        F.session_window(F.col(tsCol), s"$gapUs microseconds"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .select(F.col(userCol),
+        F.col("session_window.start").as("session_start"), F.col("n"))
+  }
+
   /** Cohort retention: bucket time into `bucketUs`-microsecond periods
     * (e.g. days); a user's cohort is the bucket of their FIRST event;
     * output one row per (cohort, offset ≥ 0) with the count of

@@ -1552,7 +1552,7 @@ object Interp {
       "components", "corr_matrix", "histogram", "rolling_mean",
       "cap_per_group", "profile", "anomalies", "top_per_group",
       "asof_join", "range_join", "sssp", "graph.sssp",
-      "funnel", "retention", "diff_tables")
+      "funnel", "retention", "diff_tables", "event_paths", "sessionize")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -2398,6 +2398,24 @@ object Interp {
             throw new TypeError(
               "retention(events, \"user\", \"ts\", bucket_us)")
           PTable(graft.ext.Events.retention(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value),
+            constLong(args(3).value)))
+        case "event_paths" =>
+          // event_paths(events, "user", "ts", "type", max_len) — top
+          // user journeys: (path, n_users)
+          if (args.length != 5)
+            throw new TypeError(
+              "event_paths(events, \"user\", \"ts\", \"type\", max_len)")
+          PTable(graft.ext.Events.eventPaths(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value),
+            litString(args(3).value), constLong(args(4).value).toInt))
+        case "sessionize" =>
+          // sessionize(events, "user", "ts", gap_us) — one row per
+          // inactivity-gap session: (user, session_start, n)
+          if (args.length != 4)
+            throw new TypeError(
+              "sessionize(events, \"user\", \"ts\", gap_us)")
+          PTable(graft.ext.Events.sessionize(t(args(0).value).df,
             litString(args(1).value), litString(args(2).value),
             constLong(args(3).value)))
         case "diff_tables" =>

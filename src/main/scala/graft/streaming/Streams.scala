@@ -392,6 +392,41 @@ object Streams {
       .groupBy(F.window(col(tsCol), window))
       .agg(graft.plans.FreqSketch.freqSketch(col("term"), cap).as("heavy"))
 
+  /** Streaming twin of `ext.Events.funnel`: the SAME greedy anchored
+    * state machine ((depth, last, anchor) transitions, strict time
+    * order, window from the anchor), run as O(1) per-user keyed state
+    * via mapGroupsWithState and emitted on every update. Input is
+    * (user, tsUs, stepIdx) with stepIdx pre-resolved (filter to step
+    * types and map names → indexes upstream, exactly what the batch
+    * operator's scan projection does). Rows are applied in (ts, idx)
+    * order WITHIN each micro-batch; across batches the machine is
+    * monotone, so an in-order feed reproduces the batch result
+    * row-for-row (spec'd) and a late event that missed its slot is
+    * ignored — the standard streaming-funnel tradeoff, made explicit.
+    */
+  case class FunnelDepth(user: Long, depth: Int)
+
+  def funnelStream(events: Dataset[(Long, Long, Int)], k: Int,
+                   windowUs: Long): Dataset[FunnelDepth] = {
+    require(k >= 1 && windowUs > 0, s"need k >= 1, windowUs > 0")
+    implicit val stateEnc: Encoder[(Int, Long, Long)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc: Encoder[FunnelDepth] = Encoders.product[FunnelDepth]
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroupsWithState[(Int, Long, Long), FunnelDepth](
+        GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[(Int, Long, Long)]) =>
+          var (d, last, anchor) = state.getOption.getOrElse((0, 0L, 0L))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, i) =>
+            if (d == 0 && i == 0) { d = 1; last = ts; anchor = ts }
+            else if (d > 0 && d < k && i == d && ts > last &&
+              ts <= anchor + windowUs) { d += 1; last = ts }
+          }
+          state.update((d, last, anchor))
+          FunnelDepth(user, d)
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: running count + sum
     * per key, emitted on every trigger. State is a (count, sum) pair —
     * O(1) per key, watermark-free (runs forever); use timeouts for

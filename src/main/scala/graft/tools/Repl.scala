@@ -80,7 +80,7 @@ object Repl {
     "components", "corr_matrix", "histogram", "rolling_mean",
     "cap_per_group", "profile", "anomalies", "top_per_group",
     "asof_join", "range_join", "sssp",
-    "funnel", "retention", "diff_tables",
+    "funnel", "retention", "diff_tables", "event_paths", "sessionize",
     "import_orc",
     "SQL", "upper", "lower", "length", "round", "repeat", "char",
     "char_ord", "char_range", "str_index", "str_contains", "year",

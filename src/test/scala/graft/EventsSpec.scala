@@ -80,6 +80,30 @@ class EventsSpec extends SparkSpec {
       (1L, 0L) -> 1L, (1L, 2L) -> 1L))
   }
 
+  test("eventPaths: first-N types in (ts, type) order, counted across users") {
+    val e = ev(
+      (1L, 100L, "a"), (1L, 200L, "b"), (1L, 300L, "c"),
+      (2L, 10L, "a"), (2L, 20L, "b"), (2L, 30L, "c"),
+      // u3: same path but truncated at maxLen=2
+      (3L, 1L, "a"), (3L, 2L, "b"), (3L, 3L, "z"),
+      // u4: tie at the same us orders by type name (b before c)
+      (4L, 5L, "c"), (4L, 5L, "b"))
+    val got = Events.eventPaths(e, "user_id", "ts", "etype", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a>b" -> 3L, "b>c" -> 1L))
+  }
+
+  test("sessionize: gap splits sessions, counts per session") {
+    val e = ev(
+      (1L, 0L, "x"), (1L, 1000L, "x"),          // session 1: 2 events
+      (1L, 10000000L, "x"),                     // > 5s gap -> session 2
+      (2L, 500L, "x"))
+    val got = Events.sessionize(e, "user_id", "ts", 5000000L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getLong(2))).toSet
+    assert(got == Set((1L, 0L, 2L), (1L, 10000L, 1L), (2L, 0L, 1L)))
+  }
+
   test("retention: bucket boundary is exact (no double-division drift)") {
     // one event 1 us before the day boundary, one exactly on it
     val e = ev((1L, DAY - 1L, "x"), (2L, DAY, "x"))

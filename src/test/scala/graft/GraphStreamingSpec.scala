@@ -480,6 +480,42 @@ class GraphStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming funnel == batch funnel on an in-order feed; state crosses batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val DAY = 86400000000L
+    // (user, tsUs, stepIdx) with steps view=0, click=1, purchase=2
+    val batch1 = Seq((1L, 1000L, 0), (1L, 2000L, 1), (2L, 1000L, 0),
+      (3L, 500L, 1))
+    val batch2 = Seq((1L, 3000L, 2), (2L, 2000L + 2 * DAY, 1))
+    val mem = MemoryStream[(Long, Long, Int)]
+    val out = Streams.funnelStream(mem.toDS(), k = 3, windowUs = DAY)
+    val q = out.writeStream.format("memory").queryName("funnel_stream_test")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // latest state per user (depth only ever grows)
+    val got = spark.table("funnel_stream_test")
+      .groupBy(col("user")).agg(max(col("depth")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the batch operator over the union of both batches
+    def ts(us: Long) = {
+      val t = new java.sql.Timestamp(us / 1000000 * 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt); t
+    }
+    val names = Seq("view", "click", "purchase")
+    val all = (batch1 ++ batch2).map { case (u, t, i) => (u, ts(t), names(i)) }
+      .toDF("user_id", "ts", "etype")
+    val batch = graft.ext.Events.funnel(all, "user_id", "ts", "etype",
+      names, DAY)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // u1 completes ACROSS batches (state persisted); u2's click is
+    // outside the window; u3 never saw step 0
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 0) && got == batch)
+  }
+
   test("mapGroupsWithState keeps running per-key aggregates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]

@@ -1584,6 +1584,16 @@ class LangSpec extends SparkSpec {
       "a" -> a, "b" -> b)
       .df.collect().map(x => x.getLong(0) -> x.getString(1)).toMap
     assert(d == Map(1L -> "same", 2L -> "removed", 3L -> "added"))
+    val p = Interp.run(spark,
+      """event_paths(events, "user_id", "ts", "etype", 2)""",
+      "events" -> events)
+      .df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(p == Map("a>b" -> 1L, "a" -> 1L, "b" -> 1L))
+    val sess = Interp.run(spark,
+      """sessionize(events, "user_id", "ts", 10000000)""",
+      "events" -> events)
+      .df.collect().map(x => (x.getLong(0), x.getLong(2)))
+    assert(sess.toSet == Set((1L, 2L), (2L, 1L), (3L, 1L)))
   }
 
   test("profile and anomalies in the language") {

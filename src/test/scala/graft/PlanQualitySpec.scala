@@ -114,6 +114,14 @@ class PlanQualitySpec extends SparkSpec {
       s"step-type filter not pushed to the scan:\n$p")
   }
 
+  test("x107: event paths are one user shuffle + the path rollup, no window") {
+    val p = planOf("x107_event_paths")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"event paths must not window or join:\n$p")
+    assert("Exchange".r.findAllMatchIn(p).length == 2,
+      s"event paths = user shuffle + path rollup only:\n$p")
+  }
+
   test("x106: retention is one user shuffle + the tiny rollup, no join") {
     val p = planOf("x106_retention")
     assert(!p.contains("Join") && !p.contains("Window"),
