@@ -1013,6 +1013,18 @@ object SparkEntry {
       graft.ext.Events.eventPaths(t(s, d, "events").df,
         "user_id", "ts", "event_type", 8)),
 
+    // Per-group OLS fit in one aggregated pass: exact decimal
+    // co-moments, fixed-order IEEE formula mirrored token-for-token
+    "x108_linfit" -> ((s, d) =>
+      graft.ext.Stats.linfit(t(s, d, "lineitem").df,
+        Seq("l_returnflag"), "l_quantity", "l_extendedprice")),
+
+    // First-order Markov transition counts over each user's event
+    // stream; adjacent pairs from a per-user array fold, no lag window
+    "x109_transitions" -> ((s, d) =>
+      graft.ext.Events.transitions(t(s, d, "events").df,
+        "user_id", "ts", "event_type")),
+
     // TF-IDF keyword extraction: 3 most distinctive terms per doc
     "x57_top_terms" -> ((s, d) =>
       graft.ext.Search.topTermsPerDoc(t(s, d, "documents").df,
@@ -5213,6 +5225,50 @@ object SparkEntry {
          SELECT cohort, b - cohort AS "offset",
            CAST(count(*) AS BIGINT) AS n_users
          FROM a JOIN c USING (user_id) GROUP BY cohort, b - cohort""",
+
+    // same co-moments (exact decimal sums cast to double), same
+    // fixed-order IEEE formula, same degenerate-group NULLs
+    "x108_linfit" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+               AS DOUBLE) AS sxy,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+               CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+               AS DOUBLE) AS sxx,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+               AS DOUBLE) AS syy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round(CASE WHEN n < 2 OR (sxx - sx * sx / n) = 0 THEN NULL
+             ELSE (sxy - sx * sy / n) / (sxx - sx * sx / n) END, 6)
+             AS slope,
+           round(CASE WHEN n < 2 OR (sxx - sx * sx / n) = 0 THEN NULL
+             ELSE sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+               * (sx / n) END, 6) AS intercept,
+           round(CASE WHEN n < 2 OR (sxx - sx * sx / n) = 0
+                        OR (syy - sy * sy / n) = 0 THEN NULL
+             ELSE (sxy - sx * sy / n) * (sxy - sx * sy / n)
+               / ((sxx - sx * sx / n) * (syy - sy * sy / n)) END, 6)
+             AS r2
+         FROM m""",
+
+    // adjacent-pair counts via lag over the same (ts, type) order
+    "x109_transitions" ->
+      """WITH o AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_type) AS prev_type
+           FROM events)
+         SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+         FROM o WHERE prev_type IS NOT NULL
+         GROUP BY prev_type, event_type""",
 
     // the engine's (ts, type) struct sort == ORDER BY ts, type
     "x107_event_paths" ->

@@ -101,6 +101,36 @@ object Events {
       .agg(F.count(F.lit(1)).as("n_users"))
   }
 
+  /** First-order Markov transition counts: how often event type `a`
+    * is IMMEDIATELY followed by type `b` within the same user's
+    * stream (ordered by (ts, type) — deterministic under timestamp
+    * ties). Same one-user-shuffle shape as `funnel`/`eventPaths`:
+    * adjacent pairs come from an index fold over the per-user sorted
+    * array (`transform(sequence(...))`), never a lag window — the
+    * window alternative shuffles AND sorts every event globally per
+    * partition key; this sorts bounded per-user arrays inside the
+    * aggregate.
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String): DataFrame =
+    events.select(F.col(userCol),
+        F.unix_micros(F.col(tsCol)).as("__ts"), F.col(typeCol).as("__t"))
+      .groupBy(F.col(userCol))
+      .agg(F.array_sort(F.collect_list(
+        F.expr("named_struct('ts', __ts, 't', __t)"))).as("__evs"))
+      .select(F.explode(F.expr(
+        // pairs for i in [2, size] only — sequence(2, 1) would count
+        // DOWN in Spark (implicit step -1) and fabricate reversed
+        // pairs for single-event users, so index from 1 and null out
+        // i=1 instead
+        """filter(transform(sequence(1, size(__evs)),
+          |  i -> CASE WHEN i >= 2 THEN
+          |    named_struct('a', __evs[i-2].t, 'b', __evs[i-1].t) END),
+          |  p -> p IS NOT NULL)""".stripMargin)).as("__p"))
+      .select(F.col("__p.a").as("from_type"), F.col("__p.b").as("to_type"))
+      .groupBy(F.col("from_type"), F.col("to_type"))
+      .agg(F.count(F.lit(1)).as("n"))
+
   /** Batch sessionization: split each user's events into sessions
     * separated by ≥ `gapUs` of inactivity; one row per session with
     * its start and event count. Declarative `session_window` — the

@@ -35,6 +35,48 @@ object Stats {
       pairs.map { case (x, y) => s"${x}__$y" }, "pair", "corr")
   }
 
+  /** Per-group ordinary-least-squares fit y = slope·x + intercept,
+    * plus r², in ONE aggregate over ONE scan. The five co-moments
+    * (Σx, Σy, Σxy, Σx², Σy²) accumulate as EXACT decimals (scaled
+    * integers — associative, partial-agg safe, identical in any
+    * engine), then one fixed-order IEEE formula per group; degenerate
+    * groups (zero x-variance, or n < 2) yield NULLs, never
+    * Inf/NaN. Rounded to `roundTo` decimals for cross-engine
+    * repr-stability of the final few ulps.
+    *
+    * Scale shape: map-side partial sums → one combine row per group —
+    * the same single-shuffle profile as any groupBy sum; regression
+    * over 100 TB costs exactly one aggregated pass.
+    */
+  def linfit(df: DataFrame, keyCols: Seq[String], xCol: String,
+             yCol: String, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dx = col(xCol).cast(DecimalType(18, 2))
+    val dy = col(yCol).cast(DecimalType(18, 2))
+    val base = df.groupBy(keyCols.map(col): _*).agg(
+      F.count(lit(1)).cast(DoubleType).as("__n"),
+      F.sum(dx).cast(DoubleType).as("__sx"),
+      F.sum(dy).cast(DoubleType).as("__sy"),
+      F.sum((dx * dy).cast(DecimalType(38, 4))).cast(DoubleType).as("__sxy"),
+      F.sum((dx * dx).cast(DecimalType(38, 4))).cast(DoubleType).as("__sxx"),
+      F.sum((dy * dy).cast(DecimalType(38, 4))).cast(DoubleType).as("__syy"))
+    // fixed-order IEEE arithmetic over the exact co-moments: written
+    // once here and mirrored token-for-token in oracle SQL
+    val cxy = col("__sxy") - col("__sx") * col("__sy") / col("__n")
+    val vx = col("__sxx") - col("__sx") * col("__sx") / col("__n")
+    val vy = col("__syy") - col("__sy") * col("__sy") / col("__n")
+    val slope = F.when(col("__n") < 2 || vx === 0.0, lit(null))
+      .otherwise(cxy / vx)
+    base.select(keyCols.map(col) ++ Seq(
+      col("__n").cast("long").as("n"),
+      F.round(slope, roundTo).as("slope"),
+      F.round(F.when(col("__n") < 2 || vx === 0.0, lit(null))
+        .otherwise(col("__sy") / col("__n") -
+          (cxy / vx) * (col("__sx") / col("__n"))), roundTo).as("intercept"),
+      F.round(F.when(col("__n") < 2 || vx === 0.0 || vy === 0.0, lit(null))
+        .otherwise(cxy * cxy / (vx * vy)), roundTo).as("r2")): _*)
+  }
+
   /** One-pass table profile: per column — row count, nulls, exact
     * distinct count, min and max (rendered as strings so every column
     * type fits one output schema). The whole profile is ONE logical

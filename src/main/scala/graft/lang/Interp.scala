@@ -1552,7 +1552,8 @@ object Interp {
       "components", "corr_matrix", "histogram", "rolling_mean",
       "cap_per_group", "profile", "anomalies", "top_per_group",
       "asof_join", "range_join", "sssp", "graph.sssp",
-      "funnel", "retention", "diff_tables", "event_paths", "sessionize")
+      "funnel", "retention", "diff_tables", "event_paths", "sessionize",
+      "linfit", "transitions")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -2400,6 +2401,23 @@ object Interp {
           PTable(graft.ext.Events.retention(t(args(0).value).df,
             litString(args(1).value), litString(args(2).value),
             constLong(args(3).value)))
+        case "linfit" =>
+          // linfit(t, "key cols", "x", "y") — per-group OLS:
+          // (keys..., n, slope, intercept, r2)
+          if (args.length != 4)
+            throw new TypeError("linfit(t, \"key cols\", \"x\", \"y\")")
+          PTable(graft.ext.Stats.linfit(t(args(0).value).df,
+            litString(args(1).value).trim.split("\\s+").toSeq,
+            litString(args(2).value), litString(args(3).value)))
+        case "transitions" =>
+          // transitions(events, "user", "ts", "type") — first-order
+          // Markov transition counts: (from_type, to_type, n)
+          if (args.length != 4)
+            throw new TypeError(
+              "transitions(events, \"user\", \"ts\", \"type\")")
+          PTable(graft.ext.Events.transitions(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value),
+            litString(args(3).value)))
         case "event_paths" =>
           // event_paths(events, "user", "ts", "type", max_len) — top
           // user journeys: (path, n_users)

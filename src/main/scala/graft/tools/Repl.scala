@@ -81,6 +81,7 @@ object Repl {
     "cap_per_group", "profile", "anomalies", "top_per_group",
     "asof_join", "range_join", "sssp",
     "funnel", "retention", "diff_tables", "event_paths", "sessionize",
+    "linfit", "transitions",
     "import_orc",
     "SQL", "upper", "lower", "length", "round", "repeat", "char",
     "char_ord", "char_range", "str_index", "str_contains", "year",

@@ -1505,6 +1505,40 @@ class ExtSpec extends SparkSpec {
     assert(m("y__z") == -1.0)
   }
 
+  test("linfit: exact line recovered; degenerate groups yield NULLs") {
+    // group a: y = 3x + 1 exactly; group b: constant x (no fit);
+    // group c: single point (n < 2)
+    val df = Seq(
+      ("a", 1.0, 4.0), ("a", 2.0, 7.0), ("a", 3.0, 10.0), ("a", 4.0, 13.0),
+      ("b", 5.0, 1.0), ("b", 5.0, 9.0),
+      ("c", 2.0, 2.0)).toDF("g", "x", "y")
+    val out = graft.ext.Stats.linfit(df, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+      .toMap
+    assert(out("a") == ((4L, Some(3.0), Some(1.0), Some(1.0))))
+    assert(out("b") == ((2L, None, None, None)))
+    assert(out("c") == ((1L, None, None, None)))
+  }
+
+  test("transitions: adjacent pairs per user, single-event users contribute none") {
+    def ts(us: Long) = {
+      val t = new java.sql.Timestamp(us / 1000000 * 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt); t
+    }
+    val df = Seq(
+      (1L, ts(1L), "a"), (1L, ts(2L), "b"), (1L, ts(3L), "a"),
+      (2L, ts(1L), "a"), (2L, ts(2L), "b"),
+      (3L, ts(9L), "z"), // lone event: no pair (and no reversed pair)
+      // same-us tie orders by type: c then d
+      (4L, ts(5L), "d"), (4L, ts(5L), "c"))
+      .toDF("user_id", "ts", "etype")
+    val got = graft.ext.Events.transitions(df, "user_id", "ts", "etype")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("a", "b") -> 2L, ("b", "a") -> 1L, ("c", "d") -> 1L))
+  }
+
   test("histogram: equi-width bins, max in last bin, nulls excluded") {
     val df = Seq[java.lang.Double](0.0, 1.0, 2.5, 5.0, 9.9, 10.0, null)
       .toDF("v")

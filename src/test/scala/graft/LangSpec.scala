@@ -1383,6 +1383,15 @@ class LangSpec extends SparkSpec {
       "documents" -> Tables.load(spark, sf, "documents")).df.collect()
     // top_per_group keeps exactly 2 per language on this corpus
     assert(kept.nonEmpty && kept.forall(_.getLong(1) == 2L))
+    // the product-analytics stage: every user with a step-type event
+    // lands in exactly one depth bucket (never more than the universe)
+    val conv = Interp.run(spark, script + "\nconversion",
+      "events" -> Tables.load(spark, sf, "events"),
+      "documents" -> Tables.load(spark, sf, "documents")).df.collect()
+    val users = Tables.load(spark, sf, "events").df
+      .select("user_id").distinct().count()
+    val funneled = conv.map(_.getLong(1)).sum
+    assert(conv.nonEmpty && funneled > 0 && funneled <= users)
   }
 
   test("corpus hygiene operators callable from the language") {
@@ -1594,6 +1603,20 @@ class LangSpec extends SparkSpec {
       "events" -> events)
       .df.collect().map(x => (x.getLong(0), x.getLong(2)))
     assert(sess.toSet == Set((1L, 2L), (2L, 1L), (3L, 1L)))
+    val tr = Interp.run(spark,
+      """transitions(events, "user_id", "ts", "etype")""",
+      "events" -> events)
+      .df.collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    assert(tr == Map(("a", "b") -> 1L))
+    val lf = Interp.run(spark,
+      """fit = linfit(pts, "g", "x", "y")
+        |fit {g, slope, intercept}""".stripMargin,
+      "pts" -> graft.dsl.PTable(
+        Seq(("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0))
+          .toDF("g", "x", "y")))
+      .df.collect().map(x => (x.getString(0), x.getDouble(1), x.getDouble(2)))
+    assert(lf.toSeq == Seq(("a", 2.0, 1.0)))
   }
 
   test("profile and anomalies in the language") {

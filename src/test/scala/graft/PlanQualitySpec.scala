@@ -114,6 +114,23 @@ class PlanQualitySpec extends SparkSpec {
       s"step-type filter not pushed to the scan:\n$p")
   }
 
+  test("x108: linfit is one aggregated pass — one scan, partials, no join") {
+    val p = planOf("x108_linfit")
+    assert("Scan parquet".r.findAllMatchIn(p).length == 1,
+      s"linfit must read the table once:\n$p")
+    assert(p.contains("partial_"), s"no map-side partials:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"linfit must be a pure aggregate:\n$p")
+  }
+
+  test("x109: transitions fold per-user arrays — no lag window, no join") {
+    val p = planOf("x109_transitions")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"transitions must not window or join:\n$p")
+    assert("Exchange".r.findAllMatchIn(p).length == 2,
+      s"transitions = user shuffle + pair rollup only:\n$p")
+  }
+
   test("x107: event paths are one user shuffle + the path rollup, no window") {
     val p = planOf("x107_event_paths")
     assert(!p.contains("Window") && !p.contains("Join"),
