@@ -1025,6 +1025,53 @@ object SparkEntry {
       graft.ext.Events.transitions(t(s, d, "events").df,
         "user_id", "ts", "event_type")),
 
+    // MERGE scale probe: 1M-row keyed table, ~1k-key change batch —
+    // the merge reads/rewrites only the touched buckets; the end
+    // state is verified IN-QUERY by diffing against the expected
+    // frame with the (x103-oracled) diff operator. Booleans are
+    // scale-invariant: never needs re-capture.
+    "x110_upsert_1m" -> ((s, d) => {
+      val dir = runScratch("upsl", d)
+      val n = scaled(1000000)
+      val base = s.range(0, n).select(col("id").as("k"),
+        (col("id") % 1000).cast(DoubleType).as("v"))
+      graft.sources.Maintenance.writeKeyed(base, dir, "k", 32)
+      val updates = s.range(0, n, 997).select(col("id").as("k"),
+        lit(-1.0).as("v"))
+      graft.sources.Maintenance.upsertKeyed(s, dir, updates, "k", 32)
+      val expected = base.join(updates.select("k"), Seq("k"), "left_anti")
+        .unionByName(updates)
+      val dif = graft.sources.Maintenance.diff(
+        s.read.parquet(dir).select("k", "v"), expected, Seq("k"))
+      dif.agg((F.count(lit(1)) === n).as("n_ok"),
+        (F.sum(when(col("status") === "same", 0L).otherwise(1L)) === 0L)
+          .as("all_same"))
+    }),
+
+    // Funnel scale probe: 300k users × up to 3 planted events; depth
+    // distribution is closed-form (every 2nd user clicks, every 6th
+    // converts), asserted in-query at ANY dial — never re-capture
+    "x111_funnel_300k" -> ((s, d) => {
+      val u = scaled(300000)
+      val evs = s.range(0, u).select(col("id").as("user_id"), F.explode(
+        F.expr("""filter(array(
+            named_struct('ts', id * 10L,     't', 'view'),
+            named_struct('ts', id * 10L + 1, 't', IF(id % 2 = 0, 'click', NULL)),
+            named_struct('ts', id * 10L + 2, 't', IF(id % 6 = 0, 'purchase', NULL))),
+          e -> e.t IS NOT NULL)""")).as("e"))
+        .select(col("user_id"),
+          F.timestamp_micros(col("e.ts")).as("ts"), col("e.t").as("etype"))
+      val n3 = (u + 5) / 6
+      val n2 = (u + 1) / 2 - n3
+      val n1 = u - (u + 1) / 2
+      graft.ext.Events.funnel(evs, "user_id", "ts", "etype",
+        Seq("view", "click", "purchase"), 5L)
+        .agg(
+          (F.sum(when(col("depth") === 1, 1L).otherwise(0L)) === n1).as("d1_ok"),
+          (F.sum(when(col("depth") === 2, 1L).otherwise(0L)) === n2).as("d2_ok"),
+          (F.sum(when(col("depth") === 3, 1L).otherwise(0L)) === n3).as("d3_ok"))
+    }),
+
     // TF-IDF keyword extraction: 3 most distinctive terms per doc
     "x57_top_terms" -> ((s, d) =>
       graft.ext.Search.topTermsPerDoc(t(s, d, "documents").df,
@@ -5257,6 +5304,12 @@ object SparkEntry {
                / ((sxx - sx * sx / n) * (syy - sy * sy / n)) END, 6)
              AS r2
          FROM m""",
+
+    // scale-invariant planted truths (see the query comments)
+    "x110_upsert_1m" ->
+      "SELECT TRUE AS n_ok, TRUE AS all_same",
+    "x111_funnel_300k" ->
+      "SELECT TRUE AS d1_ok, TRUE AS d2_ok, TRUE AS d3_ok",
 
     // adjacent-pair counts via lag over the same (ts, type) order
     "x109_transitions" ->
