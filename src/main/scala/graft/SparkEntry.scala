@@ -1048,6 +1048,20 @@ object SparkEntry {
           .as("all_same"))
     }),
 
+    // Layout health report over a keyed table: per-bucket rows (the
+    // md5 bucket assignment mirrored exactly in the oracle) and the
+    // one-file-per-bucket invariant writeKeyed guarantees, asserted
+    // in-query
+    "x112_table_stats" -> ((s, d) => {
+      val dir = runScratch("tstats", d)
+      graft.sources.Maintenance.writeKeyed(
+        t(s, d, "orders").df.select("o_orderkey", "o_totalprice"),
+        dir, "o_orderkey", 8)
+      graft.sources.Maintenance.tableStats(s, dir, "kb")
+        .select(col("kb").cast(LongType).as("kb"), col("n_rows"),
+          (col("n_files") === 1L).as("one_file_each"))
+    }),
+
     // Funnel scale probe: 300k users × up to 3 planted events; depth
     // distribution is closed-form (every 2nd user clicks, every 6th
     // converts), asserted in-query at ANY dial — never re-capture
@@ -2337,6 +2351,23 @@ object SparkEntry {
     // trailing 3-month trend via the rollingMean window operator —
     // broadcasts the dimension chain, one fact shuffle for the
     // monthly aggregate, one key-partitioned trend window
+    // Composed event + relational analytics: anchored funnel depth
+    // per user, joined onto the (broadcast) customer dimension,
+    // conversion counts per market segment — the event operators must
+    // compose with the star schema without extra shuffles
+    "qc24_segment_conversion" -> ((s, d) => {
+      val f = graft.ext.Events.funnel(t(s, d, "events").df,
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), 7L * 86400000000L)
+      f.join(F.broadcast(t(s, d, "customer").df
+          .select("c_custkey", "c_mktsegment")),
+          col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(F.count(lit(1)).as("n_users"),
+          F.sum(when(col("depth") >= 2, 1L).otherwise(0L)).as("n_clicked"),
+          F.sum(when(col("depth") === 3, 1L).otherwise(0L)).as("n_converted"))
+    }),
+
     "qc23_region_trend" -> ((s, d) => {
       val o = t(s, d, "orders").df
       val monthly = o
@@ -5216,12 +5247,14 @@ object SparkEntry {
          FROM orders WHERE o_orderkey % 97 = 0""",
 
     // diff statuses in closed form; the %11 removal wins over the %5
-    // reprice (the b side filtered FIRST), + 7.25 always changes a
-    // finite price
+    // reprice (the b side filtered FIRST); + 7.25 always changes a
+    // finite price but a NULL price stays NULL on both sides, which
+    // the null-safe compare correctly calls 'same'
     "x103_diff" ->
       """SELECT o_orderkey,
            CASE WHEN o_orderkey % 11 = 0 THEN 'removed'
-                WHEN o_orderkey % 5 = 0 THEN 'changed'
+                WHEN o_orderkey % 5 = 0 AND o_totalprice IS NOT NULL
+                  THEN 'changed'
                 ELSE 'same' END AS status
          FROM orders
          UNION ALL
@@ -5243,7 +5276,8 @@ object SparkEntry {
     "x105_funnel" ->
       """WITH f AS (
            SELECT user_id, epoch_us(ts) AS us, event_type FROM events
-           WHERE event_type IN ('view', 'click', 'purchase')),
+           WHERE event_type IN ('view', 'click', 'purchase')
+             AND ts IS NOT NULL),
          u AS (SELECT DISTINCT user_id FROM f),
          s1 AS (SELECT user_id, min(us) AS t1 FROM f
                 WHERE event_type = 'view' GROUP BY user_id),
@@ -5267,7 +5301,7 @@ object SparkEntry {
     "x106_retention" ->
       """WITH a AS (
            SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS b
-           FROM events),
+           FROM events WHERE ts IS NOT NULL),
          c AS (SELECT user_id, min(b) AS cohort FROM a GROUP BY user_id)
          SELECT cohort, b - cohort AS "offset",
            CAST(count(*) AS BIGINT) AS n_users
@@ -5290,7 +5324,9 @@ object SparkEntry {
              CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
                AS DOUBLE) AS syy
-           FROM lineitem GROUP BY l_returnflag)
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+           GROUP BY l_returnflag)
          SELECT l_returnflag, CAST(n AS BIGINT) AS n,
            round(CASE WHEN n < 2 OR (sxx - sx * sx / n) = 0 THEN NULL
              ELSE (sxy - sx * sy / n) / (sxx - sx * sx / n) END, 6)
@@ -5305,6 +5341,15 @@ object SparkEntry {
              AS r2
          FROM m""",
 
+    // the md5 bucket assignment (h60 mod 8) mirrored bit-for-bit;
+    // the file-count invariant is asserted in the engine query
+    "x112_table_stats" ->
+      """SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+               1, 15)) AS BIGINT) % 8 AS kb,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS one_file_each
+         FROM orders GROUP BY 1""",
+
     // scale-invariant planted truths (see the query comments)
     "x110_upsert_1m" ->
       "SELECT TRUE AS n_ok, TRUE AS all_same",
@@ -5317,7 +5362,8 @@ object SparkEntry {
            SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id
                ORDER BY epoch_us(ts), event_type) AS prev_type
-           FROM events)
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL)
          SELECT prev_type AS from_type, event_type AS to_type,
            CAST(count(*) AS BIGINT) AS n
          FROM o WHERE prev_type IS NOT NULL
@@ -5329,7 +5375,8 @@ object SparkEntry {
            SELECT user_id, event_type,
              row_number() OVER (PARTITION BY user_id
                ORDER BY epoch_us(ts), event_type) AS rn
-           FROM events),
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL),
          p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
                  AS path
                FROM o WHERE rn <= 8 GROUP BY user_id)
@@ -5400,7 +5447,8 @@ object SparkEntry {
     "ql45_lang_funnel" ->
       """WITH f AS (
            SELECT user_id, epoch_us(ts) AS us, event_type FROM events
-           WHERE event_type IN ('view', 'click', 'purchase')),
+           WHERE event_type IN ('view', 'click', 'purchase')
+             AND ts IS NOT NULL),
          u AS (SELECT DISTINCT user_id FROM f),
          s1 AS (SELECT user_id, min(us) AS t1 FROM f
                 WHERE event_type = 'view' GROUP BY user_id),
@@ -6161,6 +6209,40 @@ object SparkEntry {
              SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
          GROUP BY p_brand, p_type, p_size
          ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "qc24_segment_conversion" ->
+      """WITH f AS (
+           SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')
+             AND ts IS NOT NULL),
+         u AS (SELECT DISTINCT user_id FROM f),
+         s1 AS (SELECT user_id, min(us) AS t1 FROM f
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT f.user_id, min(us) AS t2 FROM f
+                JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND us > t1
+                  AND us <= t1 + 604800000000 GROUP BY f.user_id),
+         s3 AS (SELECT f.user_id, min(us) AS t3 FROM f
+                JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+                WHERE event_type = 'purchase' AND us > t2
+                  AND us <= t1 + 604800000000 GROUP BY f.user_id),
+         dep AS (
+           SELECT u.user_id,
+             CASE WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2
+                  WHEN t1 IS NOT NULL THEN 1
+                  ELSE 0 END AS depth
+           FROM u LEFT JOIN s1 USING (user_id)
+                  LEFT JOIN s2 USING (user_id)
+                  LEFT JOIN s3 USING (user_id))
+         SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN depth >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clicked,
+           CAST(sum(CASE WHEN depth = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted
+         FROM dep JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment""",
+
     "qc23_region_trend" ->
       """WITH monthly AS (
            SELECT r_name,

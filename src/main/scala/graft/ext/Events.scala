@@ -51,7 +51,13 @@ object Events {
       case (acc, (s, i)) => acc.when(F.col(typeCol) === s, F.lit(i))
     }
     val folded = events
-      .filter(F.col(typeCol).isin(steps.map(x => x: Any): _*))
+      // the isin already drops null types; null TIMESTAMPS must go
+      // too — a null-ts step-0 event would otherwise claim the anchor
+      // slot with a null anchor and freeze the user at depth 1, while
+      // SQL oracles' min(ts) skips nulls (CLAUDE.md: oracle semantics
+      // must never depend on null-free testdata)
+      .filter(F.col(typeCol).isin(steps.map(x => x: Any): _*) &&
+        F.col(tsCol).isNotNull)
       .select(F.col(userCol),
         F.unix_micros(F.col(tsCol)).as("__ts"), idx.as("__i"))
       .groupBy(F.col(userCol))
@@ -89,7 +95,12 @@ object Events {
   def eventPaths(events: DataFrame, userCol: String, tsCol: String,
                  typeCol: String, maxLen: Int): DataFrame = {
     require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
-    events.select(F.col(userCol),
+    events
+      // null types/timestamps drop explicitly: array_join silently
+      // SKIPS null elements but they'd still consume a slice slot,
+      // silently shortening paths relative to any SQL mirror
+      .filter(F.col(typeCol).isNotNull && F.col(tsCol).isNotNull)
+      .select(F.col(userCol),
         F.unix_micros(F.col(tsCol)).as("__ts"), F.col(typeCol).as("__t"))
       .groupBy(F.col(userCol))
       .agg(F.array_sort(F.collect_list(
@@ -113,7 +124,12 @@ object Events {
     */
   def transitions(events: DataFrame, userCol: String, tsCol: String,
                   typeCol: String): DataFrame =
-    events.select(F.col(userCol),
+    events
+      // null-type/-ts events are not observations of a transition;
+      // dropping them is also the only semantics a lag-window SQL
+      // mirror can express without engine-specific null ordering
+      .filter(F.col(typeCol).isNotNull && F.col(tsCol).isNotNull)
+      .select(F.col(userCol),
         F.unix_micros(F.col(tsCol)).as("__ts"), F.col(typeCol).as("__t"))
       .groupBy(F.col(userCol))
       .agg(F.array_sort(F.collect_list(
@@ -175,7 +191,11 @@ object Events {
     // flooring, same as DuckDB's // only for non-negatives).
     val bucket = F.expr(s"unix_micros(`$tsCol`) div ${bucketUs}L")
       .cast(LongType)
-    events.select(F.col(userCol), bucket.as("__b"))
+    events
+      // collect_set would skip the null bucket anyway; the explicit
+      // filter keeps the SQL mirror trivial (DISTINCT keeps null rows)
+      .filter(F.col(tsCol).isNotNull)
+      .select(F.col(userCol), bucket.as("__b"))
       .groupBy(F.col(userCol))
       .agg(F.collect_set(F.col("__b")).as("__bs"))
       .select(F.array_min(F.col("__bs")).as("cohort"),

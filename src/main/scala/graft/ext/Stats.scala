@@ -53,7 +53,11 @@ object Stats {
     import org.apache.spark.sql.types.DecimalType
     val dx = col(xCol).cast(DecimalType(18, 2))
     val dy = col(yCol).cast(DecimalType(18, 2))
-    val base = df.groupBy(keyCols.map(col): _*).agg(
+    // only complete (x, y) observations: without this, count(1) would
+    // include rows the null-skipping sums exclude and every co-moment
+    // would silently mix denominators
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(keyCols.map(col): _*).agg(
       F.count(lit(1)).cast(DoubleType).as("__n"),
       F.sum(dx).cast(DoubleType).as("__sx"),
       F.sum(dy).cast(DoubleType).as("__sy"),

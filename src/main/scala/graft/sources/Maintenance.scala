@@ -152,6 +152,21 @@ object Maintenance {
     }
   }
 
+  /** Layout report for a partitioned dataset: rows and file count per
+    * partition value — the "is my table healthy" probe that decides
+    * when to compact (files per partition creeping up) or re-bucket
+    * (row skew across partitions). One aggregated scan; the file name
+    * is projected before the aggregate (Spark 4 rejects
+    * nondeterministic expressions inside aggregate arguments).
+    */
+  def tableStats(spark: SparkSession, dir: String,
+                 partCol: String): DataFrame =
+    spark.read.parquet(dir)
+      .select(F.col(partCol), F.input_file_name().as("__f"))
+      .groupBy(F.col(partCol))
+      .agg(F.count(F.lit(1)).as("n_rows"),
+        F.countDistinct(F.col("__f")).as("n_files"))
+
   // ---- reconciliation ------------------------------------------------------
 
   /** Row-level diff of two keyed frames: one row per key present on

@@ -104,6 +104,31 @@ class EventsSpec extends SparkSpec {
     assert(got == Set((1L, 0L, 2L), (1L, 10000L, 1L), (2L, 0L, 1L)))
   }
 
+  test("null types/timestamps never shift funnel, paths, transitions or retention") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("etype", StringType)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, ts(1000L), "view"), Row(1L, null, "click"), // null ts
+      Row(1L, ts(2000L), "click"), Row(1L, ts(2500L), null), // null type
+      Row(1L, ts(3000L), "purchase"))
+    val e = spark.createDataFrame(rows, schema)
+    val clean = ev((1L, 1000L, "view"), (1L, 2000L, "click"),
+      (1L, 3000L, "purchase"))
+    def all(df: org.apache.spark.sql.DataFrame) = (
+      depths(Events.funnel(df, "user_id", "ts", "etype",
+        Seq("view", "click", "purchase"), DAY)),
+      Events.eventPaths(df, "user_id", "ts", "etype", 5)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      Events.transitions(df, "user_id", "ts", "etype")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      Events.retention(df, "user_id", "ts", DAY)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap)
+    assert(all(e) == all(clean))
+  }
+
   test("retention: bucket boundary is exact (no double-division drift)") {
     // one event 1 us before the day boundary, one exactly on it
     val e = ev((1L, DAY - 1L, "x"), (2L, DAY, "x"))

@@ -157,6 +157,17 @@ class MaintenanceSpec extends SparkSpec {
     assert(!new java.io.File(dir, "kb=2").exists())
   }
 
+  test("tableStats reports rows and files per partition value") {
+    val dir = tmp("graft_tst")
+    Maintenance.writeKeyed(
+      spark.range(0, 120).select(col("id").as("k"), col("id").as("v")),
+      dir, "k", 4)
+    val st = Maintenance.tableStats(spark, dir, "kb")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(st.values.map(_._1).sum == 120L)
+    assert(st.values.forall(_._2 == 1L), s"one file per bucket: $st")
+  }
+
   test("diff: added/removed/changed/same with null-safe column compare") {
     val a = Seq((1L, Some("x"), 1.0), (2L, None, 2.0), (3L, Some("z"), 3.0),
         (4L, None, 4.0))

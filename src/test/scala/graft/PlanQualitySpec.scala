@@ -114,6 +114,16 @@ class PlanQualitySpec extends SparkSpec {
       s"step-type filter not pushed to the scan:\n$p")
   }
 
+  test("qc24: funnel composes with the star schema — broadcast dim, no extra shuffle") {
+    val p = planOf("qc24_segment_conversion")
+    assert(p.contains("BroadcastHashJoin"),
+      s"customer dim must broadcast into the funnel output:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join anywhere in the composition:\n$p")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).length == 2,
+      s"only the funnel's user shuffle + the segment rollup:\n$p")
+  }
+
   test("x108: linfit is one aggregated pass — one scan, partials, no join") {
     val p = planOf("x108_linfit")
     assert("Scan parquet".r.findAllMatchIn(p).length == 1,
