@@ -935,6 +935,33 @@ object SparkEntry {
         (col("files_hit") * 4 <= col("files_total")).as("pruned_ok"))
     }),
 
+    // 3-D Z-order skipping: same contract as x101 with a third
+    // dimension — the conjunctive 3-D range's aggregate must equal
+    // the raw table while touching ≤1/16 of the files (the low corner
+    // of a 3-way interleave lives in ONE top-bucket)
+    "x113_zorder3_skip" -> ((s, d) => {
+      val dir = runScratch("zord3", d)
+      // odd multipliers permute residues mod 256, so every dimension
+      // is uniform at ANY sf (user_id%256 collapses at sf0.001 — a
+      // 15-user table left too few top-bucket values for the pruning
+      // ratio to mean anything)
+      val e = t(s, d, "events").df.select(
+        (col("event_id") * 61 % 256).as("a"),
+        (col("event_id") * 131 % 256).as("b"),
+        (col("event_id") * 197 % 256).as("c"),
+        col("value"))
+      graft.sources.Maintenance.writeZOrderedN(e, dir,
+        Seq("a", "b", "c"), bits = 8, bucketBits = 6)
+      val r = s.read.parquet(dir).withColumn("__f", F.input_file_name())
+      val tot = r.agg(F.countDistinct(col("__f")).as("files_total"))
+      val hit = r.filter(col("a") < 32 && col("b") < 32 && col("c") < 32)
+        .agg(F.count(lit(1)).as("n_rows"),
+          F.round(PF.dsum(col("value")), 6).as("sum_v"),
+          F.countDistinct(col("__f")).as("files_hit"))
+      hit.crossJoin(tot).select(col("n_rows"), col("sum_v"),
+        (col("files_hit") * 16 <= col("files_total")).as("pruned_ok"))
+    }),
+
     // Partition-pruned MERGE on a keyed table: write orders hashed
     // into 16 key buckets, upsert (reprice every 7th, insert synthetic
     // +1e8 keys), then delete every 13th original key — each change
@@ -5340,6 +5367,17 @@ object SparkEntry {
                / ((sxx - sx * sx / n) * (syy - sy * sy / n)) END, 6)
              AS r2
          FROM m""",
+
+    // layout must never change answers: the 3-D filtered aggregate
+    // over the clustered copy equals the same filter over raw events
+    "x113_zorder3_skip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS sum_v,
+           TRUE AS pruned_ok
+         FROM events
+         WHERE event_id * 61 % 256 < 32 AND event_id * 131 % 256 < 32
+           AND event_id * 197 % 256 < 32""",
 
     // the md5 bucket assignment (h60 mod 8) mirrored bit-for-bit;
     // the file-count invariant is asserted in the engine query

@@ -299,6 +299,33 @@ object PF {
       s"(((($a) >> $i) & 1) << ${2 * i}) + (((($b) >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", " + ", ")")
 
+  /** N-dimensional Morton interleave: bit i of dimension d lands at
+    * bit i·k + d (k = number of dimensions). `zvalue(a, b, bits)` is
+    * exactly `zvalueN(Seq(a, b), bits)`. k·bits must fit a long.
+    * Same plan-build-time unrolling — k·bits codegen'd shift/and
+    * terms, no UDF, no loop at runtime.
+    */
+  def zvalueN(dims: Seq[Column], bits: Int = 10): Column = {
+    val k = dims.length
+    require(k >= 2, s"zvalueN needs at least 2 dimensions, got $k")
+    require(bits >= 1 && k * bits <= 62,
+      s"need 1 <= bits and dims*bits <= 62, got $k x $bits")
+    (for {
+      i <- 0 until bits; (dim, d) <- dims.zipWithIndex
+    } yield F.shiftleft(
+      F.shiftright(dim.cast(LongType), i).bitwiseAND(lit(1L)), i * k + d))
+      .reduce(_ + _)
+  }
+
+  /** SQL mirror of `zvalueN`. */
+  def zvalueNSql(dims: Seq[String], bits: Int = 10): String = {
+    val k = dims.length
+    (for {
+      i <- 0 until bits; (dim, d) <- dims.zipWithIndex
+    } yield s"(((($dim) >> $i) & 1) << ${i * k + d})")
+      .mkString("(", " + ", ")")
+  }
+
   // ---- sampling ----------------------------------------------------------
   /** Deterministic arithmetic sampling by key: keeps rows where
     * (key * prime) mod m < keep. Unlike `df.sample`, reproducible across

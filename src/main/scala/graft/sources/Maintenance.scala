@@ -264,12 +264,23 @@ object Maintenance {
     * raw dimensions down with `%`/`div` first).
     */
   def writeZOrdered(df: DataFrame, dir: String, aCol: String, bCol: String,
-                    bits: Int = 10, bucketBits: Int = 6): Unit = {
-    require(bucketBits >= 1 && bucketBits <= 2 * bits,
-      s"bucketBits must be in [1, ${2 * bits}], got $bucketBits")
+                    bits: Int = 10, bucketBits: Int = 6): Unit =
+    writeZOrderedN(df, dir, Seq(aCol, bCol), bits, bucketBits)
+
+  /** N-dimensional variant: cluster files by the top `bucketBits`
+    * bits of the k-way Morton interleave, so every file covers an
+    * aligned k-rectangle of the dimension space and a conjunctive
+    * range predicate over ANY subset of the dimensions prunes files.
+    * More dimensions split the same skipping budget — 2-3 is the
+    * sweet spot (the same guidance as Delta's OPTIMIZE ZORDER).
+    */
+  def writeZOrderedN(df: DataFrame, dir: String, cols: Seq[String],
+                     bits: Int = 10, bucketBits: Int = 6): Unit = {
+    require(bucketBits >= 1 && bucketBits <= cols.length * bits,
+      s"bucketBits must be in [1, ${cols.length * bits}], got $bucketBits")
     val zb = F.shiftright(
-      graft.functions.PF.zvalue(F.col(aCol), F.col(bCol), bits),
-      2 * bits - bucketBits)
+      graft.functions.PF.zvalueN(cols.map(F.col), bits),
+      cols.length * bits - bucketBits)
     df.withColumn("__zb", zb)
       .repartition(1 << bucketBits, F.col("__zb"))
       .drop("__zb")

@@ -39,6 +39,43 @@ class MaintenanceSpec extends SparkSpec {
     assert(mismatch == 0)
   }
 
+  test("zvalueN: 2-dim case equals zvalue; SQL mirror agrees; 3-dim bijection") {
+    val df = spark.range(0, 300)
+      .select((col("id") * 7 % 1024).as("a"), (col("id") * 13 % 1024).as("b"),
+        (col("id") * 31 % 1024).as("c"))
+    val bad2 = df.select(PF.zvalue(col("a"), col("b"), 10).as("z2"),
+        PF.zvalueN(Seq(col("a"), col("b")), 10).as("zn"))
+      .filter(col("z2") =!= col("zn")).count()
+    assert(bad2 == 0)
+    val badSql = df.select(
+        PF.zvalueN(Seq(col("a"), col("b"), col("c")), 10).as("zc"),
+        expr(PF.zvalueNSql(Seq("a", "b", "c"), 10)).as("zs"))
+      .filter(col("zc") =!= col("zs")).count()
+    assert(badSql == 0)
+    // 4x4x4 grid -> 64 distinct interleaves in [0, 64)
+    val grid = spark.range(0, 64).select((col("id") % 4).as("a"),
+        (col("id") / 4 % 4).cast("long").as("b"),
+        (col("id") / 16).cast("long").as("c"))
+      .select(PF.zvalueN(Seq(col("a"), col("b"), col("c")), 2).as("z"))
+      .collect().map(_.getLong(0))
+    assert(grid.distinct.length == 64 && grid.forall(z => z >= 0 && z < 64))
+  }
+
+  test("writeZOrderedN: 3-D low corner lives in one file, data intact") {
+    val dir = tmp("graft_zord3")
+    val df = spark.range(0, 4096).select(col("id"),
+      (col("id") % 16).as("a"), (col("id") / 16 % 16).cast("long").as("b"),
+      (col("id") / 256).cast("long").as("c"))
+    Maintenance.writeZOrderedN(df, dir, Seq("a", "b", "c"),
+      bits = 4, bucketBits = 6)
+    val r = spark.read.parquet(dir).withColumn("f", input_file_name())
+    assert(r.count() == 4096)
+    val hit = r.filter(col("a") < 4 && col("b") < 4 && col("c") < 4)
+      .agg(countDistinct(col("f"))).head().getLong(0)
+    // low corner: top 6 of 12 bits all zero -> exactly one bucket
+    assert(hit == 1, s"3-D low corner should live in one file, hit=$hit")
+  }
+
   test("compactTo rewrites many small files into the exact count, data intact") {
     val in = tmp("graft_cpt_in"); val out = tmp("graft_cpt_out")
     val df = spark.range(0, 1000).select(col("id"), (col("id") * 3).as("v"))
