@@ -935,6 +935,19 @@ object SparkEntry {
         (col("files_hit") * 4 <= col("files_total")).as("pruned_ok"))
     }),
 
+    // Data-quality expectations: N rules validated in ONE aggregated
+    // pass (a conditional partial sum per rule, never a scan per
+    // rule); violation = predicate FALSE or NULL, mirrored as the
+    // same CASE in the oracle. Two rules planted to fail.
+    "x114_check_constraints" -> ((s, d) =>
+      graft.ext.Checks.checkConstraints(t(s, d, "orders").df, Seq(
+        "key_positive" -> (col("o_orderkey") > 0),
+        "price_nonneg" -> (col("o_totalprice") >= 0.0),
+        "price_below_1k" -> (col("o_totalprice") < 1000.0),
+        "status_known" -> col("o_orderstatus").isin("O", "F", "P"),
+        "priority_dashed" ->
+          (F.instr(col("o_orderpriority"), "-") === 2)))),
+
     // 3-D Z-order skipping: same contract as x101 with a third
     // dimension — the conjunctive 3-D range's aggregate must equal
     // the raw table while touching ≤1/16 of the files (the low corner
@@ -5367,6 +5380,23 @@ object SparkEntry {
                / ((sxx - sx * sx / n) * (syy - sy * sy / n)) END, 6)
              AS r2
          FROM m""",
+
+    // same FALSE-or-NULL violation semantics (CASE ELSE catches both)
+    "x114_check_constraints" -> {
+      val rules = Seq(
+        "key_positive" -> "o_orderkey > 0",
+        "price_nonneg" -> "o_totalprice >= 0.0",
+        "price_below_1k" -> "o_totalprice < 1000.0",
+        "status_known" -> "o_orderstatus IN ('O', 'F', 'P')",
+        "priority_dashed" -> "strpos(o_orderpriority, '-') = 2")
+      val sums = rules.map { case (n, p) =>
+        s"CAST(sum(CASE WHEN $p THEN 0 ELSE 1 END) AS BIGINT) AS $n"
+      }.mkString(", ")
+      val arms = rules.map { case (n, _) =>
+        s"SELECT '$n' AS rule, n AS n_rows, $n AS n_violations, $n = 0 AS pass FROM m"
+      }.mkString(" UNION ALL ")
+      s"WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, $sums FROM orders) $arms"
+    },
 
     // layout must never change answers: the 3-D filtered aggregate
     // over the clustered copy equals the same filter over raw events

@@ -1505,6 +1505,26 @@ class ExtSpec extends SparkSpec {
     assert(m("y__z") == -1.0)
   }
 
+  test("checkConstraints: one pass, FALSE-or-NULL violates, name validation") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, null),
+      (null, "c"), (-5L, "d")).toDF("k", "s")
+    val out = graft.ext.Checks.checkConstraints(df, Seq(
+      "k_pos" -> (col("k") > 0),      // -5 false, null null -> 2
+      "s_set" -> col("s").isin("a", "c", "d"), // null -> 1
+      "any" -> lit(true)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out == Map("k_pos" -> ((4L, 2L, false)),
+      "s_set" -> ((4L, 1L, false)), "any" -> ((4L, 0L, true))))
+    intercept[IllegalArgumentException] {
+      graft.ext.Checks.checkConstraints(df, Seq("bad name" -> lit(true)))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Checks.checkConstraints(df,
+        Seq("d" -> lit(true), "d" -> lit(false)))
+    }
+  }
+
   test("linfit: exact line recovered; degenerate groups yield NULLs") {
     // group a: y = 3x + 1 exactly; group b: constant x (no fit);
     // group c: single point (n < 2)

@@ -114,6 +114,14 @@ class PlanQualitySpec extends SparkSpec {
       s"step-type filter not pushed to the scan:\n$p")
   }
 
+  test("x114: N expectations validate in ONE scan, partial sums, no join") {
+    val p = planOf("x114_check_constraints")
+    assert("Scan parquet".r.findAllMatchIn(p).length == 1,
+      s"rules must share one pass, never a scan per rule:\n$p")
+    assert(p.contains("partial_"), s"no map-side partials:\n$p")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+  }
+
   test("qc24: funnel composes with the star schema — broadcast dim, no extra shuffle") {
     val p = planOf("qc24_segment_conversion")
     assert(p.contains("BroadcastHashJoin"),
