@@ -390,8 +390,11 @@ object Graph {
       // anything improved so the loop can stop at convergence. The
       // merged frame is materialized BEFORE the improvement count, so
       // the count is a cheap scan of the checkpoint, not a recompute.
+      // no broadcast hint on the merge: Spark cannot broadcast a side
+      // of a FULL OUTER join (the hint was ignored with a warning);
+      // both sides here are node-sized anyway
       val merged = materialize(
-        dist.alias("d").join(small(cand.alias("c")),
+        dist.alias("d").join(cand.alias("c"),
             F.col("d.node") === F.col("c.node"), "full_outer")
           .select(
             F.coalesce(F.col("d.node"), F.col("c.node")).as("node"),

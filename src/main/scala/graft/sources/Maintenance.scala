@@ -102,7 +102,11 @@ object Maintenance {
     * overwriting a directory we just read from safe.
     * `updates` must carry the base schema (minus `kb`); later duplicate
     * keys WITHIN the batch are the caller's contract to avoid (both
-    * copies land, same as inserting twice).
+    * copies land, same as inserting twice). SINGLE WRITER: like every
+    * directory-level table format without a commit log, concurrent
+    * merges into the same dir race on the partition overwrite —
+    * serialize writers per table (readers are safe: parquet commits
+    * are atomic per partition directory).
     */
   def upsertKeyed(spark: SparkSession, dir: String, updates: DataFrame,
                   keyCol: String, nBuckets: Int): Unit = {
@@ -176,7 +180,9 @@ object Maintenance {
     * over the shared non-key columns) — no hashing, so there is nothing
     * to mirror and no collision caveat. One shuffle per side (the
     * full-outer equi-join); at 100 TB both sides stream through a
-    * sort-merge join with no row amplification.
+    * sort-merge join with no row amplification. Keys are assumed
+    * UNIQUE per side (the keyed-table contract); duplicate keys
+    * multiply through the full-outer join like in any SQL diff.
     */
   def diff(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "diff needs at least one key column")

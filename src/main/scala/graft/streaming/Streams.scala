@@ -427,6 +427,78 @@ object Streams {
       }
   }
 
+  /** The production variant of `funnelStream`: same transition
+    * function, but per-user state EXPIRES once the user's funnel can
+    * no longer change — at `anchor + windowUs` past the watermark for
+    * anchored users, or one window past their last event for users
+    * still waiting on step 0. funnelStream's state is only 3 longs
+    * per user, but "per user, forever" is unbounded on an unbounded
+    * stream; with expiry the store holds just the users whose window
+    * is still open (≈ active users per window, not all users ever
+    * seen). Append semantics: the final depth is emitted exactly
+    * once, when the user's window closes (use funnelStream for
+    * emit-on-every-update dashboards). Input needs the raw TIMESTAMP
+    * column (the watermark must be declared on event time before the
+    * grouping).
+    */
+  def funnelStreamExpiring(events: DataFrame, userCol: String,
+                           tsCol: String, typeCol: String,
+                           steps: Seq[String], windowUs: Long,
+                           watermark: String): Dataset[FunnelDepth] = {
+    require(steps.nonEmpty && windowUs > 0, "need steps and windowUs > 0")
+    val k = steps.length
+    val idx = steps.zipWithIndex.tail.foldLeft(
+      F.when(col(typeCol) === steps.head, F.lit(0))) {
+      case (acc, (s, i)) => acc.when(col(typeCol) === s, F.lit(i))
+    }
+    implicit val inEnc: Encoder[(Long, java.sql.Timestamp, Int)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaInt)
+    implicit val stateEnc: Encoder[(Int, Long, Long)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc: Encoder[FunnelDepth] = Encoders.product[FunnelDepth]
+    // the WATERMARKED column itself must reach the grouping (Spark
+    // tracks the watermark on the attribute — projecting it into
+    // unix_micros silently discards the tag and event-time timeouts
+    // are rejected), so micros derive from the Timestamp in the fold
+    val prepared = events
+      .withWatermark(tsCol, watermark)
+      .filter(col(typeCol).isin(steps.map(x => x: Any): _*) &&
+        col(tsCol).isNotNull)
+      .select(col(userCol).cast("long"), col(tsCol), idx.cast("int"))
+      .as[(Long, java.sql.Timestamp, Int)]
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    prepared.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Int, Long, Long), FunnelDepth](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[(Int, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // the window is closed past the watermark: final answer
+            val d = state.get._1
+            state.remove()
+            Iterator.single(FunnelDepth(user, d))
+          } else {
+            var (d, last, anchor) = state.getOption.getOrElse((0, 0L, 0L))
+            var maxTs = 0L
+            rows.toSeq.map(r => (us(r._2), r._3))
+              .sortBy(identity).foreach { case (ts, i) =>
+                maxTs = math.max(maxTs, ts)
+                if (d == 0 && i == 0) { d = 1; last = ts; anchor = ts }
+                else if (d > 0 && d < k && i == d && ts > last &&
+                  ts <= anchor + windowUs) { d += 1; last = ts }
+              }
+            state.update((d, last, anchor))
+            // anchored: nothing can change after anchor+window; not
+            // yet anchored: keep the user one window past their last
+            // event (a later step-0 could still arrive)
+            val closesUs = (if (d > 0) anchor else maxTs) + windowUs
+            state.setTimeoutTimestamp(closesUs / 1000 + 1)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: running count + sum
     * per key, emitted on every trigger. State is a (count, sum) pair —
     * O(1) per key, watermark-free (runs forever); use timeouts for

@@ -516,6 +516,41 @@ class GraphStreamingSpec extends SparkSpec {
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 0) && got == batch)
   }
 
+  test("expiring streaming funnel: final depth emitted once when the window closes") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(us: Long) = {
+      val t = new java.sql.Timestamp(us / 1000000 * 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt); t
+    }
+    val W = 1000000L // 1s funnel window, zero-delay watermark
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = Streams.funnelStreamExpiring(
+      mem.toDF().toDF("user_id", "ts", "etype"),
+      "user_id", "ts", "etype", Seq("view", "click"), W, "0 seconds")
+    val q = out.writeStream.format("memory").queryName("funnel_exp_test")
+      .outputMode(OutputMode.Append()).start()
+    // u1 completes inside the window; u2 anchors only
+    mem.addData((1L, ts(1000L), "view"), (1L, ts(2000L), "click"),
+      (2L, ts(1500L), "view"))
+    q.processAllAvailable()
+    // nothing final yet — the watermark hasn't passed anchor+W
+    assert(spark.table("funnel_exp_test").count() == 0)
+    // a far-future event pushes the watermark past both windows
+    mem.addData((9L, ts(10L * W), "view"))
+    q.processAllAvailable()
+    // one more batch so the timeout fires after the watermark advances
+    mem.addData((9L, ts(11L * W), "view"))
+    q.processAllAvailable()
+    val fin = spark.table("funnel_exp_test")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fin.get(1L).contains(2) && fin.get(2L).contains(1),
+      s"expected closed funnels for u1/u2, got $fin")
+    // exactly once per closed user
+    assert(spark.table("funnel_exp_test").count() ==
+      spark.table("funnel_exp_test").select("user").distinct().count())
+    q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key aggregates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
