@@ -95,11 +95,10 @@ object Maintenance {
     * the scale contract — only the bucket partitions the batch's keys
     * hash into are read or rewritten. The plan reads the base through a
     * static `kb IN (...)` partition filter (the untouched 99.x% of a
-    * 100 TB table contributes zero IO), merges via anti-join + union,
-    * and commits through dynamic partition overwrite so unrelated
-    * partitions are never deleted. The merged frame is materialized
-    * (localCheckpoint) before the write — severed lineage is what makes
-    * overwriting a directory we just read from safe.
+    * 100 TB table contributes zero IO), merges via anti-join + union
+    * into a STAGING sibling, and swaps each touched bucket directory
+    * into place by rename (see swapBuckets) — unrelated partitions
+    * are never read, written, or deleted.
     * `updates` must carry the base schema (minus `kb`); later duplicate
     * keys WITHIN the batch are the caller's contract to avoid (both
     * copies land, same as inserting twice). SINGLE WRITER: like every
@@ -119,19 +118,47 @@ object Maintenance {
     val merged = base
       .join(up.select(keyCol).distinct(), Seq(keyCol), "left_anti")
       .unionByName(up.select(base.columns.map(F.col).toIndexedSeq: _*))
-      .localCheckpoint()
+    swapBuckets(spark, dir, merged, touched)
+  }
+
+  /** Write `merged` (rows of the `touched` buckets only, `kb` column
+    * included) to a staging sibling, then swap each touched bucket
+    * directory into place by rename. This is how the merge reads and
+    * replaces the SAME directory without materializing anything: the
+    * staging write is an ordinary job to a different path (no
+    * read-write cycle, so no localCheckpoint holding whole buckets in
+    * executor block storage — non-replicated and memory-bound, the
+    * wrong tool for a TB-sized bucket), and the swap is per-bucket
+    * metadata renames (instant on HDFS/local; a copy on S3A — there,
+    * point `dir` at a rename-capable layer). Readers racing the swap
+    * can observe a bucket mid-rename; the documented single-writer /
+    * quiesced-reader contract covers it.
+    */
+  private def swapBuckets(spark: SparkSession, dir: String,
+                          merged: DataFrame, touched: Seq[Int]): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(dir + s".staging_${ProcessHandle.current().pid()}")
+    fs.delete(staging, true)
     merged.repartition(F.col("kb"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("kb").parquet(dir)
+      .write.mode("overwrite").partitionBy("kb").parquet(staging.toString)
+    touched.foreach { b =>
+      val dst = new Path(p, s"kb=$b")
+      val src = new Path(staging, s"kb=$b")
+      fs.delete(dst, true)
+      // a touched bucket absent from staging lost ALL its rows
+      // (delete path) — removing the old dir above is the whole swap
+      if (fs.exists(src)) fs.rename(src, dst)
+    }
+    fs.delete(staging, true)
   }
 
   /** Delete by key from the keyed table at `dir`; `keys` is a 1-column
-    * frame. Same pruned-read + dynamic-overwrite shape as upsertKeyed,
-    * plus the empty-bucket edge: dynamic overwrite only replaces
-    * partitions PRESENT in the written data, so a bucket whose every
-    * row was deleted would silently survive — those are removed
-    * explicitly through the Hadoop FS.
+    * frame. Same pruned-read + staged-swap shape as upsertKeyed; a
+    * bucket whose every row was deleted simply has no staging dir, so
+    * the swap removes it outright (a dynamic partition overwrite
+    * would have silently left it behind — it only replaces partitions
+    * PRESENT in the written data).
     */
   def deleteKeyed(spark: SparkSession, dir: String, keys: DataFrame,
                   keyCol: String, nBuckets: Int): Unit = {
@@ -142,18 +169,8 @@ object Maintenance {
     val base = spark.read.parquet(dir)
       .filter(F.col("kb").isin(touched.map(Int.box): _*))
     val merged = base.join(ks.select(keyCol).distinct(),
-      Seq(keyCol), "left_anti").localCheckpoint()
-    val kept = merged.select("kb").distinct().collect()
-      .map(_.getInt(0)).toSet
-    merged.repartition(F.col("kb"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("kb").parquet(dir)
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.filterNot(kept).foreach { b =>
-      fs.delete(new Path(p, s"kb=$b"), true)
-    }
+      Seq(keyCol), "left_anti")
+    swapBuckets(spark, dir, merged, touched)
   }
 
   /** Layout report for a partitioned dataset: rows and file count per
@@ -229,10 +246,14 @@ object Maintenance {
         .as("__sum"))
 
   /** Fold a new batch into the persisted state at `dir` and write the
-    * merged state back (localCheckpoint severs the read-write cycle).
-    * Counts and decimal sums are associative, so state ∪ batch-partial
-    * re-aggregated IS the state of history ∪ batch — bit-for-bit, in
-    * any merge order. Returns the merged state.
+    * merged state back. The read-write cycle is broken by a staging
+    * write + whole-directory rename swap (a durable job to a sibling
+    * path, then two metadata ops) — never a localCheckpoint, whose
+    * non-replicated executor blocks are the wrong place for a state
+    * table that can reach many GB at 100 TB grain. Counts and decimal
+    * sums are associative, so state ∪ batch-partial re-aggregated IS
+    * the state of history ∪ batch — bit-for-bit, in any merge order.
+    * Returns the merged state (reading the swapped-in directory).
     */
   def mergeAggState(spark: SparkSession, dir: String, batch: DataFrame,
                     keys: Seq[String], valueCol: String): DataFrame = {
@@ -240,9 +261,14 @@ object Maintenance {
       .unionByName(partialAgg(batch, keys, valueCol))
       .groupBy(keys.map(F.col): _*)
       .agg(F.sum(F.col("__cnt")).as("__cnt"), F.sum(F.col("__sum")).as("__sum"))
-      .localCheckpoint()
-    merged.write.mode("overwrite").parquet(dir)
-    merged
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(dir + s".staging_${ProcessHandle.current().pid()}")
+    fs.delete(staging, true)
+    merged.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(p, true)
+    fs.rename(staging, p)
+    spark.read.parquet(dir)
   }
 
   /** Finalize a state frame into the user-facing view:
