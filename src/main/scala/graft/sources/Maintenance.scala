@@ -136,9 +136,13 @@ object Maintenance {
     */
   private def swapBuckets(spark: SparkSession, dir: String,
                           merged: DataFrame, touched: Seq[Int]): Unit = {
-    val p = new Path(dir)
+    // strip trailing slashes: "dir/" + ".staging" would nest the
+    // staging INSIDE the table and later reads would scan it as data
+    val clean = dir.replaceAll("/+$", "")
+    val p = new Path(clean)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(dir + s".staging_${ProcessHandle.current().pid()}")
+    val staging =
+      new Path(clean + s".staging_${ProcessHandle.current().pid()}")
     fs.delete(staging, true)
     merged.repartition(F.col("kb"))
       .write.mode("overwrite").partitionBy("kb").parquet(staging.toString)
@@ -147,8 +151,11 @@ object Maintenance {
       val src = new Path(staging, s"kb=$b")
       fs.delete(dst, true)
       // a touched bucket absent from staging lost ALL its rows
-      // (delete path) — removing the old dir above is the whole swap
-      if (fs.exists(src)) fs.rename(src, dst)
+      // (delete path) — removing the old dir above is the whole swap.
+      // rename returns FALSE on failure instead of throwing; a silent
+      // false here would drop the bucket
+      if (fs.exists(src))
+        require(fs.rename(src, dst), s"bucket swap failed: $src -> $dst")
     }
     fs.delete(staging, true)
   }
@@ -261,14 +268,16 @@ object Maintenance {
       .unionByName(partialAgg(batch, keys, valueCol))
       .groupBy(keys.map(F.col): _*)
       .agg(F.sum(F.col("__cnt")).as("__cnt"), F.sum(F.col("__sum")).as("__sum"))
-    val p = new Path(dir)
+    val clean = dir.replaceAll("/+$", "")
+    val p = new Path(clean)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(dir + s".staging_${ProcessHandle.current().pid()}")
+    val staging =
+      new Path(clean + s".staging_${ProcessHandle.current().pid()}")
     fs.delete(staging, true)
     merged.write.mode("overwrite").parquet(staging.toString)
     fs.delete(p, true)
-    fs.rename(staging, p)
-    spark.read.parquet(dir)
+    require(fs.rename(staging, p), s"state swap failed: $staging -> $p")
+    spark.read.parquet(clean)
   }
 
   /** Finalize a state frame into the user-facing view:

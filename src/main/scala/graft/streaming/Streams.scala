@@ -491,9 +491,15 @@ object Streams {
             state.update((d, last, anchor))
             // anchored: nothing can change after anchor+window; not
             // yet anchored: keep the user one window past their last
-            // event (a later step-0 could still arrive)
+            // event (a later step-0 could still arrive). CLAMP to
+            // just past the current watermark: a late event can put
+            // anchor+window BELOW the watermark, and Spark throws on
+            // a timeout timestamp that isn't beyond it — the clamp
+            // turns "late user" into "expires at the next trigger"
+            // instead of killing the query
             val closesUs = (if (d > 0) anchor else maxTs) + windowUs
-            state.setTimeoutTimestamp(closesUs / 1000 + 1)
+            state.setTimeoutTimestamp(math.max(closesUs / 1000 + 1,
+              state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }
