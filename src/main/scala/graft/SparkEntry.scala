@@ -996,7 +996,8 @@ object SparkEntry {
       graft.sources.Maintenance.deleteKeyed(s, dir,
         base.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"),
         "o_orderkey", 16)
-      s.read.parquet(dir).select("o_orderkey", "o_totalprice")
+      graft.sources.Maintenance.readKeyed(s, dir)
+        .select("o_orderkey", "o_totalprice")
     }),
 
     // Row-level table diff (reconciliation): direct null-safe column
@@ -1032,6 +1033,29 @@ object SparkEntry {
           F.round(col("mean"), 6).as("mean"))
     }),
 
+    // Generalized incremental aggregate state: count/sum/mean PLUS
+    // mergeable min/max and md5-HLL approx-distinct registers — the
+    // persisted state + one O(batch) merge must equal the full
+    // recompute; the oracle recomputes everything (including the HLL
+    // estimate, bit-for-bit) from raw orders in SQL
+    "x116_incr_profile" -> ((s, d) => {
+      val dir = runScratch("mvp", d)
+      val orders = t(s, d, "orders").df
+      graft.sources.Maintenance.buildAggState(
+        orders.filter(col("o_orderkey") % 10 =!= 0),
+        Seq("o_orderpriority"), "o_totalprice", dir,
+        distinctKey = Some("o_custkey"))
+      val st = graft.sources.Maintenance.mergeAggState(s, dir,
+        orders.filter(col("o_orderkey") % 10 === 0),
+        Seq("o_orderpriority"), "o_totalprice",
+        distinctKey = Some("o_custkey"))
+      graft.sources.Maintenance.finalizeAgg(st, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n"),
+          F.round(col("total"), 6).as("total"),
+          F.round(col("mean"), 6).as("mean"),
+          col("vmin"), col("vmax"), col("approx_distinct"))
+    }),
+
     // Anchored funnel over the events stream: view -> click ->
     // purchase within 7 days of the user's FIRST view; greedy
     // earliest-completion semantics, mirrored as a min()-chain oracle
@@ -1039,6 +1063,18 @@ object SparkEntry {
       graft.ext.Events.funnel(t(s, d, "events").df,
         "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"), 7L * 86400000000L)),
+
+    // Bot-bounded funnel: same anchored semantics, but the depth is
+    // computed over each user's EARLIEST 4 step-events via the
+    // bounded graft_earliest_k heap aggregate — per-user state is 4
+    // entries no matter how many events a user has. The oracle ranks
+    // by the same (ts, step) order and replays the min-chain on the
+    // prefix.
+    "x115_funnel_capped" -> ((s, d) =>
+      graft.ext.Events.funnel(t(s, d, "events").df,
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), 7L * 86400000000L,
+        maxEventsPerUser = 4)),
 
     // Daily cohort retention: cohort = day of first event, one row per
     // (cohort, offset) with distinct active users
@@ -1082,7 +1118,8 @@ object SparkEntry {
       val expected = base.join(updates.select("k"), Seq("k"), "left_anti")
         .unionByName(updates)
       val dif = graft.sources.Maintenance.diff(
-        s.read.parquet(dir).select("k", "v"), expected, Seq("k"))
+        graft.sources.Maintenance.readKeyed(s, dir).select("k", "v"),
+        expected, Seq("k"))
       dif.agg((F.count(lit(1)) === n).as("n_ok"),
         (F.sum(when(col("status") === "same", 0L).otherwise(1L)) === 0L)
           .as("all_same"))
@@ -1097,7 +1134,7 @@ object SparkEntry {
       graft.sources.Maintenance.writeKeyed(
         t(s, d, "orders").df.select("o_orderkey", "o_totalprice"),
         dir, "o_orderkey", 8)
-      graft.sources.Maintenance.tableStats(s, dir, "kb")
+      graft.sources.Maintenance.keyedStats(s, dir)
         .select(col("kb").cast(LongType).as("kb"), col("n_rows"),
           (col("n_files") === 1L).as("one_file_each"))
     }),
@@ -5310,6 +5347,46 @@ object SparkEntry {
              / count(*), 6) AS mean
          FROM orders GROUP BY o_orderpriority""",
 
+    // the generalized state finalized == the full recompute: exact
+    // decimal sums, raw min/max, and the x30-style md5-HLL estimate
+    // replayed bit-for-bit over ALL of orders
+    "x116_incr_profile" ->
+      """WITH h AS (
+           SELECT o_orderpriority,
+             ('0x' || substr(md5('hll:' || CAST(o_custkey AS VARCHAR)),
+               1, 15))::BIGINT AS hv
+           FROM orders WHERE o_custkey IS NOT NULL
+         ), r AS (
+           SELECT o_orderpriority, hv % 4096 AS bucket,
+             max(CASE WHEN hv // 4096 = 0 THEN 49
+                      ELSE 49 - length(bin(hv // 4096)) END) AS mj
+           FROM h GROUP BY 1, 2
+         ), sk AS (
+           SELECT o_orderpriority,
+             CAST(sum(CAST(pow(2.0, 49 - mj) AS BIGINT))
+               + (4096 - count(*)) * CAST(pow(2.0, 49) AS BIGINT)
+               AS BIGINT) AS sm,
+             4096 - count(*) AS v
+           FROM r GROUP BY 1
+         ), b AS (
+           SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2)))
+               AS DOUBLE), 6) AS total,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2)))
+               AS DOUBLE) / count(*), 6) AS mean,
+             min(o_totalprice) AS vmin, max(o_totalprice) AS vmax
+           FROM orders GROUP BY 1
+         )
+         SELECT b.o_orderpriority, n, total, mean, vmin, vmax,
+           round(CASE WHEN (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                             / (CAST(sm AS DOUBLE) / pow(2.0, 49))
+                             <= 2.5 * 4096 AND v > 0
+                      THEN 4096.0 * ln(4096.0 / v)
+                      ELSE (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                             / (CAST(sm AS DOUBLE) / pow(2.0, 49)) END, 3)
+             AS approx_distinct
+         FROM b JOIN sk USING (o_orderpriority)""",
+
     // the greedy anchored funnel as a min()-chain: t1 = first view,
     // t2 = first later click within the window, t3 = first later
     // purchase within the window of t1
@@ -5318,6 +5395,40 @@ object SparkEntry {
            SELECT user_id, epoch_us(ts) AS us, event_type FROM events
            WHERE event_type IN ('view', 'click', 'purchase')
              AND ts IS NOT NULL),
+         u AS (SELECT DISTINCT user_id FROM f),
+         s1 AS (SELECT user_id, min(us) AS t1 FROM f
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT f.user_id, min(us) AS t2 FROM f
+                JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND us > t1
+                  AND us <= t1 + 604800000000 GROUP BY f.user_id),
+         s3 AS (SELECT f.user_id, min(us) AS t3 FROM f
+                JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+                WHERE event_type = 'purchase' AND us > t2
+                  AND us <= t1 + 604800000000 GROUP BY f.user_id)
+         SELECT u.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3
+                WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1
+                ELSE 0 END AS depth
+         FROM u LEFT JOIN s1 USING (user_id)
+                LEFT JOIN s2 USING (user_id)
+                LEFT JOIN s3 USING (user_id)""",
+
+    // the capped funnel's prefix mirrored as a row_number over the
+    // SAME (ts, step-index) order the heap aggregate keeps, then the
+    // identical min-chain on the prefix
+    "x115_funnel_capped" ->
+      """WITH f0 AS (
+           SELECT user_id, epoch_us(ts) AS us, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts),
+                 CASE event_type WHEN 'view' THEN 0
+                      WHEN 'click' THEN 1 ELSE 2 END) AS rn
+           FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')
+             AND ts IS NOT NULL),
+         f AS (SELECT user_id, us, event_type FROM f0 WHERE rn <= 4),
          u AS (SELECT DISTINCT user_id FROM f),
          s1 AS (SELECT user_id, min(us) AS t1 FROM f
                 WHERE event_type = 'view' GROUP BY user_id),

@@ -39,7 +39,7 @@ object Events {
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String],
-             windowUs: Long): DataFrame = {
+             windowUs: Long, maxEventsPerUser: Int = 0): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.length == steps.length,
       s"funnel steps must be distinct, got $steps")
@@ -50,7 +50,7 @@ object Events {
       F.when(F.col(typeCol) === steps.head, F.lit(0))) {
       case (acc, (s, i)) => acc.when(F.col(typeCol) === s, F.lit(i))
     }
-    val folded = events
+    val byUser = events
       // the isin already drops null types; null TIMESTAMPS must go
       // too — a null-ts step-0 event would otherwise claim the anchor
       // slot with a null anchor and freeze the user at depth 1, while
@@ -60,14 +60,33 @@ object Events {
         F.col(tsCol).isNotNull)
       .select(F.col(userCol),
         F.unix_micros(F.col(tsCol)).as("__ts"), idx.as("__i"))
-      .groupBy(F.col(userCol))
-      .agg(F.array_sort(F.collect_list(
-        // named_struct, not struct().as: HOF lambdas lose struct()
-        // aliases next to generators (CLAUDE.md); sort orders by
-        // (ts, i), so same-timestamp events process in step order —
-        // irrelevant to the result (matches need STRICT ts increase)
-        // but keeps the fold input deterministic
-        F.expr("named_struct('ts', __ts, 'i', __i)"))).as("__evs"))
+    val folded =
+      if (maxEventsPerUser > 0) {
+        // BOUNDED per-user state: the depth is computed over each
+        // user's EARLIEST maxEventsPerUser step-events (by (ts, step)),
+        // via the graft_earliest_k heap aggregate — one bot user with
+        // 10^8 events costs a k-entry buffer, not a multi-GB array.
+        // The step index rides as a zero-padded string payload so the
+        // heap's (ts, payload) tie-order IS the (ts, i) sort order.
+        require(k <= 10000,
+          s"capped funnel supports at most 10000 steps, got $k")
+        byUser.groupBy(F.col(userCol))
+          .agg(graft.plans.EarliestK.earliestK(F.col("__ts"),
+            F.format_string("%04d", F.col("__i")), maxEventsPerUser)
+            .as("__raw"))
+          .select(F.col(userCol), F.expr(
+            """transform(__raw,
+              |  e -> named_struct('ts', e.ts, 'i', CAST(e.p AS INT)))"""
+              .stripMargin).as("__evs"))
+      } else byUser
+        .groupBy(F.col(userCol))
+        .agg(F.array_sort(F.collect_list(
+          // named_struct, not struct().as: HOF lambdas lose struct()
+          // aliases next to generators (CLAUDE.md); sort orders by
+          // (ts, i), so same-timestamp events process in step order —
+          // irrelevant to the result (matches need STRICT ts increase)
+          // but keeps the fold input deterministic
+          F.expr("named_struct('ts', __ts, 'i', __i)"))).as("__evs"))
     folded.select(F.col(userCol),
       F.expr(
         s"""aggregate(__evs,
@@ -86,28 +105,30 @@ object Events {
 
   /** Top user journeys: each user's first `maxLen` event types in
     * time order joined into a path string (`a>b>c`), counted across
-    * users. Same one-user-shuffle shape as `funnel` — the per-user
-    * array sorts/slices/joins inside codegen'd array expressions; the
-    * path rollup is the second (small) exchange. Ties at the same
-    * timestamp order by event type, so the path is deterministic and
-    * exactly mirrorable as `ORDER BY ts, type` in any SQL engine.
+    * users. Same one-user-shuffle shape as `funnel`, but the per-user
+    * state is BOUNDED BY CONSTRUCTION: the path depends only on the
+    * user's earliest `maxLen` events, so the graft_earliest_k heap
+    * aggregate holds at most maxLen entries per user (and map-side
+    * partials cap each partition's contribution the same way) — a
+    * collect_list here would have been the unbounded-bot-user trap.
+    * Ties at the same timestamp order by event type, so the path is
+    * deterministic and exactly mirrorable as `ORDER BY ts, type`.
     */
   def eventPaths(events: DataFrame, userCol: String, tsCol: String,
                  typeCol: String, maxLen: Int): DataFrame = {
     require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
     events
       // null types/timestamps drop explicitly: array_join silently
-      // SKIPS null elements but they'd still consume a slice slot,
+      // SKIPS null elements but they'd still consume a slot,
       // silently shortening paths relative to any SQL mirror
       .filter(F.col(typeCol).isNotNull && F.col(tsCol).isNotNull)
       .select(F.col(userCol),
         F.unix_micros(F.col(tsCol)).as("__ts"), F.col(typeCol).as("__t"))
       .groupBy(F.col(userCol))
-      .agg(F.array_sort(F.collect_list(
-        F.expr("named_struct('ts', __ts, 't', __t)"))).as("__evs"))
+      .agg(graft.plans.EarliestK.earliestK(
+        F.col("__ts"), F.col("__t"), maxLen).as("__evs"))
       .select(F.array_join(
-        F.transform(F.slice(F.col("__evs"), 1, maxLen), e => e("t")),
-        ">").as("path"))
+        F.transform(F.col("__evs"), e => e("p")), ">").as("path"))
       .groupBy(F.col("path"))
       .agg(F.count(F.lit(1)).as("n_users"))
   }
@@ -123,17 +144,30 @@ object Events {
     * aggregate.
     */
   def transitions(events: DataFrame, userCol: String, tsCol: String,
-                  typeCol: String): DataFrame =
-    events
+                  typeCol: String, maxEventsPerUser: Int = 0): DataFrame = {
+    val byUser = events
       // null-type/-ts events are not observations of a transition;
       // dropping them is also the only semantics a lag-window SQL
       // mirror can express without engine-specific null ordering
       .filter(F.col(typeCol).isNotNull && F.col(tsCol).isNotNull)
       .select(F.col(userCol),
         F.unix_micros(F.col(tsCol)).as("__ts"), F.col(typeCol).as("__t"))
-      .groupBy(F.col(userCol))
-      .agg(F.array_sort(F.collect_list(
-        F.expr("named_struct('ts', __ts, 't', __t)"))).as("__evs"))
+    val grouped =
+      if (maxEventsPerUser > 0)
+        // BOUNDED per-user state: transitions observed within each
+        // user's earliest maxEventsPerUser events only (documented
+        // prefix semantics — the bot-user cap, like funnel's)
+        byUser.groupBy(F.col(userCol))
+          .agg(graft.plans.EarliestK.earliestK(F.col("__ts"), F.col("__t"),
+            maxEventsPerUser).as("__raw"))
+          .select(F.col(userCol), F.expr(
+            "transform(__raw, e -> named_struct('ts', e.ts, 't', e.p))")
+            .as("__evs"))
+      else byUser
+        .groupBy(F.col(userCol))
+        .agg(F.array_sort(F.collect_list(
+          F.expr("named_struct('ts', __ts, 't', __t)"))).as("__evs"))
+    grouped
       .select(F.explode(F.expr(
         // pairs for i in [2, size] only — sequence(2, 1) would count
         // DOWN in Spark (implicit step -1) and fabricate reversed
@@ -146,6 +180,7 @@ object Events {
       .select(F.col("__p.a").as("from_type"), F.col("__p.b").as("to_type"))
       .groupBy(F.col("from_type"), F.col("to_type"))
       .agg(F.count(F.lit(1)).as("n"))
+  }
 
   /** Batch sessionization: split each user's events into sessions
     * separated by ≥ `gapUs` of inactivity; one row per session with

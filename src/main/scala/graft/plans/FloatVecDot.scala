@@ -115,5 +115,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_unicode_norm"),
       new ExpressionInfo(classOf[UnicodeNorm].getName, "graft_unicode_norm"),
       (exprs: Seq[Expression]) => UnicodeNorm.fromArgs(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_earliest_k"),
+      new ExpressionInfo(classOf[EarliestK].getName, "graft_earliest_k"),
+      (exprs: Seq[Expression]) => EarliestK.fromArgs(exprs)))
   }
 }

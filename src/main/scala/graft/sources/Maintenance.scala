@@ -61,139 +61,302 @@ object Maintenance {
     nFiles
   }
 
-  // ---- keyed tables: partition-pruned upsert / delete ---------------------
+  // ---- keyed tables: manifest-committed snapshot upsert / delete ----------
+  //
+  // Layout (a minimal table FORMAT, not just table ops):
+  //   dir/
+  //     b00003_g000000001/part-*.parquet   immutable bucket-generation dirs
+  //     b00007_g000000002/...              (kb kept as a DATA column)
+  //     _manifests/v000000001.json         {"version":1,"buckets":{"3":"b00003_g000000001",...}}
+  //     _manifests/v000000002.json
+  //
+  // A commit writes NEW bucket-generation dirs (never visible to any
+  // reader until committed — even S3A's copy-rename has no visibility
+  // window, because nothing references the paths yet) and then
+  // publishes ONE new manifest file. Readers resolve the latest
+  // manifest and scan exactly the dirs it lists, so a reader racing a
+  // writer sees either the old or the new COMPLETE snapshot — never a
+  // missing bucket. Old snapshots stay readable (time travel) until
+  // `vacuumKeyed` garbage-collects their unreferenced dirs. Writers
+  // remain single-writer per table (manifest version allocation is
+  // not locked); readers need no coordination at all.
 
-  /** The key-bucket partition column: md5-derived (portable, never
-    * tied to Spark's internal hash), pure per-row — the same layout
-    * contract as the persisted IVF/LSH indexes.
+  /** The key-bucket column: md5-derived (portable, never tied to
+    * Spark's internal hash), pure per-row — the same layout contract
+    * as the persisted IVF/LSH indexes.
     */
   private def kb(keyCol: String, nBuckets: Int): Column =
     F.pmod(graft.ext.TextAnalysis.h60(F.col(keyCol)), F.lit(nBuckets.toLong))
-      // IntegerType to MATCH what partition-column inference reads back
-      // (small numeric dir names infer as int; a long here would make
-      // the upsert union fail on type mismatch)
       .cast(org.apache.spark.sql.types.IntegerType)
 
-  /** Write `df` as a KEYED table: hash-partitioned into `nBuckets`
-    * directories on `kb = h60(key) mod nBuckets`. The layout is what
-    * makes `upsertKeyed`/`deleteKeyed` proportional to the BATCH, not
-    * the table: a change batch touches only the bucket directories its
-    * keys hash into, and the merge job reads exactly those via static
-    * partition pruning. Size nBuckets so one bucket ≈ one comfortable
-    * rewrite (e.g. 100 TB / 10k buckets = 10 GB merges).
+  /** A resolved table snapshot: manifest version → live dir per bucket. */
+  final case class KeyedManifest(version: Int, buckets: Map[Int, String])
+
+  private def cleanDir(dir: String): String = dir.replaceAll("/+$", "")
+
+  private def hadoopFs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(clean: String) = new Path(clean, "_manifests")
+
+  private def bucketDirName(bucket: Int, version: Int): String =
+    f"b$bucket%05d_g$version%09d"
+
+  private val ManifestName = """v(\d{9})\.json""".r
+  private val BucketEntry = """"(\d+)"\s*:\s*"([^"]+)"""".r
+
+  /** All committed manifest versions at `dir`, ascending. */
+  def manifestVersions(spark: SparkSession, dir: String): Seq[Int] = {
+    val md = manifestDir(cleanDir(dir))
+    val fs = hadoopFs(spark, md)
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq.map(_.getPath.getName).collect {
+      case ManifestName(v) => v.toInt
+    }.sorted
+  }
+
+  /** Resolve the manifest at `version` (latest when None). The JSON is
+    * engine-written with a fixed shape, so a two-regex parse is exact.
+    */
+  def readManifest(spark: SparkSession, dir: String,
+                   version: Option[Int] = None): KeyedManifest = {
+    val clean = cleanDir(dir)
+    val versions = manifestVersions(spark, dir)
+    require(versions.nonEmpty, s"no keyed-table manifest under $clean")
+    val v = version.getOrElse(versions.last)
+    require(versions.contains(v),
+      s"manifest version $v not found under $clean (have $versions)")
+    val p = new Path(manifestDir(clean), f"v$v%09d.json")
+    val fs = hadoopFs(spark, p)
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val buckets = BucketEntry.findAllMatchIn(txt)
+      .map(m => m.group(1).toInt -> m.group(2)).toMap
+    KeyedManifest(v, buckets)
+  }
+
+  /** Publish a manifest: write to a dot-temp in `_manifests`, then one
+    * rename to the final `v<N>.json` (on an object store, a single PUT
+    * of the final name is equivalently atomic). This rename IS the
+    * commit point — everything else a commit did is invisible until it.
+    */
+  private def writeManifest(spark: SparkSession, clean: String,
+                            m: KeyedManifest): Unit = {
+    val md = manifestDir(clean)
+    val fs = hadoopFs(spark, md)
+    fs.mkdirs(md)
+    val body = m.buckets.toSeq.sortBy(_._1)
+      .map { case (b, d) => s""""$b": "$d"""" }
+      .mkString(s"""{"version": ${m.version}, "buckets": {""", ", ", "}}")
+    val tmp = new Path(md, s".tmp_v${m.version}_${ProcessHandle.current().pid()}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(md, f"v${m.version}%09d.json")
+    require(fs.rename(tmp, dst), s"manifest commit failed: $tmp -> $dst")
+  }
+
+  /** Read the keyed table's snapshot at `version` (latest when None).
+    * Scans exactly the bucket dirs the manifest lists; `kb` is a data
+    * column in the files. Falls back to a plain partitioned read for
+    * pre-manifest directories.
+    */
+  def readKeyed(spark: SparkSession, dir: String,
+                version: Option[Int] = None): DataFrame = {
+    val clean = cleanDir(dir)
+    if (manifestVersions(spark, dir).isEmpty)
+      return spark.read.parquet(clean) // legacy kb=N layout
+    val m = readManifest(spark, dir, version)
+    require(m.buckets.nonEmpty,
+      s"snapshot v${m.version} of $clean is empty (every key deleted)")
+    spark.read.parquet(
+      m.buckets.values.toSeq.sorted.map(d => s"$clean/$d"): _*)
+  }
+
+  /** Write `df` as a KEYED table: hash-bucketed into `nBuckets` dirs on
+    * `kb = h60(key) mod nBuckets`, committed as manifest v1. The layout
+    * is what makes `upsertKeyed`/`deleteKeyed` proportional to the
+    * BATCH, not the table: a change batch touches only the buckets its
+    * keys hash into, and the merge job reads exactly those dirs via the
+    * manifest (path-level pruning — the untouched 99.x% of a 100 TB
+    * table contributes zero IO, not even footer reads). Size nBuckets
+    * so one bucket ≈ one comfortable rewrite (e.g. 100 TB / 10k buckets
+    * = 10 GB merges).
     */
   def writeKeyed(df: DataFrame, dir: String, keyCol: String,
                  nBuckets: Int): Unit = {
     require(nBuckets > 0, s"nBuckets must be > 0, got $nBuckets")
-    df.withColumn("kb", kb(keyCol, nBuckets))
-      .repartition(F.col("kb"))
-      .write.mode("overwrite").partitionBy("kb").parquet(dir)
+    val spark = df.sparkSession
+    val clean = cleanDir(dir)
+    val fs = hadoopFs(spark, new Path(clean))
+    fs.delete(new Path(clean), true)
+    val staged = stageBuckets(spark, clean,
+      df.withColumn("kb", kb(keyCol, nBuckets)), version = 1)
+    writeManifest(spark, clean, KeyedManifest(1, staged))
   }
+
+  /** Write `withKb` (any frame carrying the int `kb` column) as one
+    * generation's bucket dirs: a staging job partitioned by a DUPLICATE
+    * of kb (so kb survives as a data column), then per-bucket renames
+    * into `b<bucket>_g<version>` names. The renames move dirs no reader
+    * can reference yet, so they need no atomicity; one file per bucket
+    * because the hash repartition puts each kb in exactly one task.
+    * Returns bucket → dir-name for the buckets that got any rows.
+    */
+  private def stageBuckets(spark: SparkSession, clean: String,
+                           withKb: DataFrame, version: Int): Map[Int, String] = {
+    val fs = hadoopFs(spark, new Path(clean))
+    val staging =
+      new Path(clean + s".staging_${ProcessHandle.current().pid()}")
+    fs.delete(staging, true)
+    withKb.withColumn("__kbp", F.col("kb"))
+      .repartition(F.col("kb"))
+      .write.mode("overwrite").partitionBy("__kbp").parquet(staging.toString)
+    fs.mkdirs(new Path(clean))
+    val out = fs.listStatus(staging).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("__kbp=")).map { src =>
+        val b = src.getName.stripPrefix("__kbp=").toInt
+        val name = bucketDirName(b, version)
+        require(fs.rename(src, new Path(clean, name)),
+          s"bucket stage failed: $src -> $clean/$name")
+        b -> name
+      }.toMap
+    fs.delete(staging, true)
+    out
+  }
+
+  /** A staged-but-uncommitted merge: every new bucket-generation dir is
+    * on disk, the next manifest is computed, and NO reader can see any
+    * of it until `commitKeyed` publishes the manifest. Split out so the
+    * snapshot-isolation property is directly testable.
+    */
+  private[graft] final case class PendingCommit(clean: String,
+                                                manifest: KeyedManifest)
+
+  private[graft] def stageMerge(spark: SparkSession, dir: String,
+                                merged: DataFrame,
+                                touched: Seq[Int]): PendingCommit = {
+    val clean = cleanDir(dir)
+    val cur = readManifest(spark, dir)
+    val staged = stageBuckets(spark, clean, merged, cur.version + 1)
+    // a touched bucket absent from staging lost ALL its rows (delete
+    // path): it simply leaves the manifest
+    val next = cur.buckets -- touched ++ staged
+    PendingCommit(clean, KeyedManifest(cur.version + 1, next))
+  }
+
+  private[graft] def commitKeyed(spark: SparkSession,
+                                 pending: PendingCommit): Unit =
+    writeManifest(spark, pending.clean, pending.manifest)
 
   /** MERGE (upsert) `updates` into the keyed table at `dir`: rows whose
     * key matches an update are replaced, new keys are inserted, and —
-    * the scale contract — only the bucket partitions the batch's keys
-    * hash into are read or rewritten. The plan reads the base through a
-    * static `kb IN (...)` partition filter (the untouched 99.x% of a
-    * 100 TB table contributes zero IO), merges via anti-join + union
-    * into a STAGING sibling, and swaps each touched bucket directory
-    * into place by rename (see swapBuckets) — unrelated partitions
-    * are never read, written, or deleted.
+    * the scale contract — only the buckets the batch's keys hash into
+    * are read or rewritten (the manifest gives path-level pruning).
+    * The merge is anti-join + union into new bucket-generation dirs;
+    * the commit is one manifest publish, so concurrent READERS always
+    * see a complete snapshot (old until the commit, new after).
     * `updates` must carry the base schema (minus `kb`); later duplicate
     * keys WITHIN the batch are the caller's contract to avoid (both
-    * copies land, same as inserting twice). SINGLE WRITER: like every
-    * directory-level table format without a commit log, concurrent
-    * merges into the same dir race on the partition overwrite —
-    * serialize writers per table (readers are safe: parquet commits
-    * are atomic per partition directory).
+    * copies land, same as inserting twice). SINGLE WRITER per table:
+    * manifest version allocation is not locked, so serialize writers.
     */
   def upsertKeyed(spark: SparkSession, dir: String, updates: DataFrame,
                   keyCol: String, nBuckets: Int): Unit = {
     val up = updates.withColumn("kb", kb(keyCol, nBuckets))
       .localCheckpoint()
     val touched = up.select("kb").distinct().collect()
-      .map(_.getInt(0)).sorted
-    val base = spark.read.parquet(dir)
-      .filter(F.col("kb").isin(touched.map(Int.box): _*))
+      .map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return
+    val base = readTouched(spark, dir, touched, up)
     val merged = base
       .join(up.select(keyCol).distinct(), Seq(keyCol), "left_anti")
       .unionByName(up.select(base.columns.map(F.col).toIndexedSeq: _*))
-    swapBuckets(spark, dir, merged, touched)
-  }
-
-  /** Write `merged` (rows of the `touched` buckets only, `kb` column
-    * included) to a staging sibling, then swap each touched bucket
-    * directory into place by rename. This is how the merge reads and
-    * replaces the SAME directory without materializing anything: the
-    * staging write is an ordinary job to a different path (no
-    * read-write cycle, so no localCheckpoint holding whole buckets in
-    * executor block storage — non-replicated and memory-bound, the
-    * wrong tool for a TB-sized bucket), and the swap is per-bucket
-    * metadata renames (instant on HDFS/local; a copy on S3A — there,
-    * point `dir` at a rename-capable layer). Readers racing the swap
-    * can observe a bucket mid-rename; the documented single-writer /
-    * quiesced-reader contract covers it.
-    */
-  private def swapBuckets(spark: SparkSession, dir: String,
-                          merged: DataFrame, touched: Seq[Int]): Unit = {
-    // strip trailing slashes: "dir/" + ".staging" would nest the
-    // staging INSIDE the table and later reads would scan it as data
-    val clean = dir.replaceAll("/+$", "")
-    val p = new Path(clean)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging =
-      new Path(clean + s".staging_${ProcessHandle.current().pid()}")
-    fs.delete(staging, true)
-    merged.repartition(F.col("kb"))
-      .write.mode("overwrite").partitionBy("kb").parquet(staging.toString)
-    touched.foreach { b =>
-      val dst = new Path(p, s"kb=$b")
-      val src = new Path(staging, s"kb=$b")
-      fs.delete(dst, true)
-      // a touched bucket absent from staging lost ALL its rows
-      // (delete path) — removing the old dir above is the whole swap.
-      // rename returns FALSE on failure instead of throwing; a silent
-      // false here would drop the bucket
-      if (fs.exists(src))
-        require(fs.rename(src, dst), s"bucket swap failed: $src -> $dst")
-    }
-    fs.delete(staging, true)
+    commitKeyed(spark, stageMerge(spark, dir, merged, touched))
   }
 
   /** Delete by key from the keyed table at `dir`; `keys` is a 1-column
-    * frame. Same pruned-read + staged-swap shape as upsertKeyed; a
-    * bucket whose every row was deleted simply has no staging dir, so
-    * the swap removes it outright (a dynamic partition overwrite
-    * would have silently left it behind — it only replaces partitions
-    * PRESENT in the written data).
+    * frame. Same pruned-read + staged-commit shape as upsertKeyed; a
+    * bucket whose every row was deleted has no staged dir and leaves
+    * the manifest outright.
     */
   def deleteKeyed(spark: SparkSession, dir: String, keys: DataFrame,
                   keyCol: String, nBuckets: Int): Unit = {
     val ks = keys.select(F.col(keys.columns.head).as(keyCol))
       .withColumn("kb", kb(keyCol, nBuckets)).localCheckpoint()
     val touched = ks.select("kb").distinct().collect()
-      .map(_.getInt(0)).sorted
-    val base = spark.read.parquet(dir)
-      .filter(F.col("kb").isin(touched.map(Int.box): _*))
+      .map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return
+    val base = readTouched(spark, dir, touched, ks)
     val merged = base.join(ks.select(keyCol).distinct(),
       Seq(keyCol), "left_anti")
-    swapBuckets(spark, dir, merged, touched)
+    commitKeyed(spark, stageMerge(spark, dir, merged, touched))
   }
 
-  /** Layout report for a partitioned dataset: rows and file count per
-    * partition value — the "is my table healthy" probe that decides
-    * when to compact (files per partition creeping up) or re-bucket
-    * (row skew across partitions). One aggregated scan; the file name
-    * is projected before the aggregate (Spark 4 rejects
-    * nondeterministic expressions inside aggregate arguments).
+  /** The pruned base read: exactly the touched buckets' live dirs. When
+    * none of the touched buckets exists yet (pure-insert batch into new
+    * buckets), an empty frame in the STORED column order (from any live
+    * bucket, or the batch itself on an emptied table) keeps the merge's
+    * union aligned.
     */
-  def tableStats(spark: SparkSession, dir: String,
-                 partCol: String): DataFrame =
-    spark.read.parquet(dir)
-      .select(F.col(partCol), F.input_file_name().as("__f"))
+  private def readTouched(spark: SparkSession, dir: String,
+                          touched: Seq[Int], batch: DataFrame): DataFrame = {
+    val clean = cleanDir(dir)
+    val m = readManifest(spark, dir)
+    val live = touched.flatMap(m.buckets.get).map(d => s"$clean/$d")
+    if (live.nonEmpty) spark.read.parquet(live: _*)
+    else if (m.buckets.nonEmpty)
+      spark.read.parquet(s"$clean/${m.buckets.head._2}").limit(0)
+    else batch.limit(0)
+  }
+
+  /** Garbage-collect snapshots: keep the newest `keepVersions`
+    * manifests, delete older manifest files and every bucket dir no
+    * kept manifest references. Run after a grace period longer than
+    * any reader's job (a reader holding a dropped snapshot loses its
+    * files) — the standard vacuum contract.
+    */
+  def vacuumKeyed(spark: SparkSession, dir: String,
+                  keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1")
+    val clean = cleanDir(dir)
+    val fs = hadoopFs(spark, new Path(clean))
+    val versions = manifestVersions(spark, dir)
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    val referenced = keep
+      .flatMap(v => readManifest(spark, dir, Some(v)).buckets.values).toSet
+    fs.listStatus(new Path(clean)).toSeq.map(_.getPath)
+      .filter(p => p.getName.matches("""b\d{5}_g\d{9}""") &&
+        !referenced.contains(p.getName))
+      .foreach(p => fs.delete(p, true))
+    drop.foreach(v =>
+      fs.delete(new Path(manifestDir(clean), f"v$v%09d.json"), false))
+  }
+
+  /** Layout report over any frame carrying a partition/bucket column:
+    * rows and file count per value — the "is my table healthy" probe
+    * that decides when to compact (files per value creeping up) or
+    * re-bucket (row skew). One aggregated scan; the file name is
+    * projected before the aggregate (Spark 4 rejects nondeterministic
+    * expressions inside aggregate arguments).
+    */
+  def tableStats(df: DataFrame, partCol: String): DataFrame =
+    df.select(F.col(partCol), F.input_file_name().as("__f"))
       .groupBy(F.col(partCol))
       .agg(F.count(F.lit(1)).as("n_rows"),
         F.countDistinct(F.col("__f")).as("n_files"))
+
+  /** tableStats over a raw partitioned dataset directory. */
+  def tableStats(spark: SparkSession, dir: String,
+                 partCol: String): DataFrame =
+    tableStats(spark.read.parquet(dir), partCol)
+
+  /** tableStats over a keyed table's LIVE snapshot (manifest-resolved;
+    * stale generations don't pollute the report).
+    */
+  def keyedStats(spark: SparkSession, dir: String): DataFrame =
+    tableStats(readKeyed(spark, dir), "kb")
 
   // ---- reconciliation ------------------------------------------------------
 
@@ -232,65 +395,170 @@ object Maintenance {
   // ---- incremental aggregation (materialized-view maintenance) ------------
 
   /** Build the persisted partial-aggregate state for an incrementally
-    * maintained `group by keys → count / sum(valueCol)` view: one
-    * (keys, cnt, sum) row per group, sums held EXACTLY as
-    * DECIMAL(28,2) so merge order can never change results. The state
-    * is the one full pass over history; every refresh after that is
-    * `mergeAggState`, whose cost is O(batch + state) — at 100 TB the
-    * difference between a daily full recompute and a minutes-long
-    * merge.
+    * maintained `group by keys → count / sum / mean / min / max
+    * [/ approx distinct]` view: one row per group with
+    *   __cnt, __sum (EXACT DECIMAL(28,2) — merge order can never
+    *   change results), __min/__max (mergeable under min/max), and,
+    *   when `distinctKey` is set, __regs — the 2^p md5-HLL max-rank
+    *   registers of `PF.hllMd5` as an int array, mergeable under
+    *   element-wise max (so the estimate after any merge sequence is
+    *   BIT-IDENTICAL to the full recompute, and DuckDB can mirror it).
+    * The state is the one full pass over history; every refresh after
+    * that is `mergeAggState`, whose cost is O(batch + state) — at
+    * 100 TB the difference between a daily full recompute and a
+    * minutes-long merge.
     */
   def buildAggState(df: DataFrame, keys: Seq[String], valueCol: String,
-                    dir: String): Unit =
-    partialAgg(df, keys, valueCol)
+                    dir: String, distinctKey: Option[String] = None,
+                    p: Int = 12): Unit =
+    partialAgg(df, keys, valueCol, distinctKey, p)
       .write.mode("overwrite").parquet(dir)
 
-  private def partialAgg(df: DataFrame, keys: Seq[String],
-                         valueCol: String): DataFrame =
-    df.groupBy(keys.map(F.col): _*).agg(
-      F.count(F.lit(1)).as("__cnt"),
-      F.sum(F.col(valueCol).cast(org.apache.spark.sql.types.DecimalType(28, 2)))
-        .as("__sum"))
+  private def basicAggs(valueCol: String) = Seq(
+    F.count(F.lit(1)).as("__cnt"),
+    F.sum(F.col(valueCol).cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+      .as("__sum"),
+    F.min(F.col(valueCol)).as("__min"),
+    F.max(F.col(valueCol)).as("__max"))
+
+  private def partialAgg(df: DataFrame, keys: Seq[String], valueCol: String,
+                         distinctKey: Option[String], p: Int): DataFrame =
+    distinctKey match {
+      case None =>
+        df.groupBy(keys.map(F.col): _*).agg(basicAggs(valueCol).head,
+          basicAggs(valueCol).tail: _*)
+      case Some(dk) =>
+        require(p >= 7 && p <= 16, s"hll p in [7,16], got $p")
+        val m = 1 << p
+        val maxRho = 61 - p
+        // the exact hash/rank pipeline of PF.hllMd5 (portable md5 —
+        // a DuckDB oracle replays the ESTIMATE bit-for-bit)
+        val hv = graft.ext.TextAnalysis.h60(F.concat(F.lit("hll:"),
+          F.col("__dk").cast(org.apache.spark.sql.types.StringType)))
+        val w = F.shiftright(hv, p)
+        val rho = F.when(w === 0L, F.lit(maxRho))
+          .otherwise(F.lit(maxRho) - F.length(F.bin(w)))
+        // two-level rollup: (keys, bucket) → max rank, then per key the
+        // dense m-register array (≤ m rows per key feed level 2 — the
+        // collect is bounded by the sketch size, never the data)
+        df.select(F.col(valueCol) +: F.col(dk).as("__dk") +:
+            keys.map(F.col): _*)
+          .withColumn("__bucket",
+            F.when(F.col("__dk").isNotNull,
+              hv.bitwiseAND(F.lit((m - 1).toLong))
+                .cast(org.apache.spark.sql.types.IntegerType)))
+          .withColumn("__rho", rho
+            .cast(org.apache.spark.sql.types.IntegerType))
+          .groupBy((keys :+ "__bucket").map(F.col): _*)
+          .agg(basicAggs(valueCol).head,
+            basicAggs(valueCol).tail :+ F.max(F.col("__rho")).as("__mj"): _*)
+          .groupBy(keys.map(F.col): _*)
+          .agg(
+            F.sum(F.col("__cnt")).as("__cnt"), F.sum(F.col("__sum")).as("__sum"),
+            F.min(F.col("__min")).as("__min"), F.max(F.col("__max")).as("__max"),
+            F.map_from_entries(F.sort_array(F.collect_list(
+              F.when(F.col("__bucket").isNotNull, F.expr(
+                "named_struct('b', __bucket, 'mj', __mj)"))))).as("__rm"))
+          .select(keys.map(F.col) ++ Seq(F.col("__cnt"), F.col("__sum"),
+            F.col("__min"), F.col("__max"),
+            F.expr(s"""transform(sequence(0, ${m - 1}),
+                      |  b -> coalesce(element_at(__rm, b), 0))"""
+              .stripMargin).as("__regs")): _*)
+    }
+
+  private def aggOfState(state: DataFrame, keys: Seq[String]): DataFrame = {
+    val aggs = Seq(
+      F.sum(F.col("__cnt")).as("__cnt"), F.sum(F.col("__sum")).as("__sum")) ++
+      (if (state.columns.contains("__min"))
+        Seq(F.min(F.col("__min")).as("__min"), F.max(F.col("__max")).as("__max"))
+      else Nil) ++
+      (if (state.columns.contains("__regs"))
+        // at most (sources being merged) arrays per key reach the
+        // fold — bounded collect, element-wise max merge
+        Seq(F.expr(
+          """aggregate(collect_list(__regs),
+            |  CAST(array() AS ARRAY<INT>),
+            |  (acc, r) -> CASE WHEN size(acc) = 0 THEN r
+            |    ELSE zip_with(acc, r, (x, y) -> greatest(x, y)) END)"""
+            .stripMargin).as("__regs"))
+      else Nil)
+    state.groupBy(keys.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Fold a new batch into the persisted state at `dir` and write the
     * merged state back. The read-write cycle is broken by a staging
     * write + whole-directory rename swap (a durable job to a sibling
     * path, then two metadata ops) — never a localCheckpoint, whose
     * non-replicated executor blocks are the wrong place for a state
-    * table that can reach many GB at 100 TB grain. Counts and decimal
-    * sums are associative, so state ∪ batch-partial re-aggregated IS
-    * the state of history ∪ batch — bit-for-bit, in any merge order.
+    * table that can reach many GB at 100 TB grain. Every state column
+    * is associative (counts, decimal sums, min/max, register-wise
+    * max), so state ∪ batch-partial re-aggregated IS the state of
+    * history ∪ batch — bit-for-bit, in any merge order.
     * Returns the merged state (reading the swapped-in directory).
     */
   def mergeAggState(spark: SparkSession, dir: String, batch: DataFrame,
-                    keys: Seq[String], valueCol: String): DataFrame = {
-    val merged = spark.read.parquet(dir)
-      .unionByName(partialAgg(batch, keys, valueCol))
-      .groupBy(keys.map(F.col): _*)
-      .agg(F.sum(F.col("__cnt")).as("__cnt"), F.sum(F.col("__sum")).as("__sum"))
-    val clean = dir.replaceAll("/+$", "")
-    val p = new Path(clean)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                    keys: Seq[String], valueCol: String,
+                    distinctKey: Option[String] = None,
+                    p: Int = 12): DataFrame = {
+    val prev = spark.read.parquet(dir)
+    val merged = aggOfState(
+      prev.unionByName(partialAgg(batch, keys, valueCol, distinctKey, p)
+        // legacy (cnt, sum)-only states merge with a richer batch
+        // partial by dropping what the state never tracked
+        .select(prev.columns.map(F.col).toIndexedSeq: _*)), keys)
+    val clean = cleanDir(dir)
+    val p2 = new Path(clean)
+    val fs = hadoopFs(spark, p2)
     val staging =
       new Path(clean + s".staging_${ProcessHandle.current().pid()}")
     fs.delete(staging, true)
     merged.write.mode("overwrite").parquet(staging.toString)
-    fs.delete(p, true)
-    require(fs.rename(staging, p), s"state swap failed: $staging -> $p")
+    fs.delete(p2, true)
+    require(fs.rename(staging, p2), s"state swap failed: $staging -> $p2")
     spark.read.parquet(clean)
   }
 
   /** Finalize a state frame into the user-facing view:
-    * (keys, n, total, mean). */
-  def finalizeAgg(state: DataFrame, keys: Seq[String]): DataFrame =
-    state.select(
-      keys.map(F.col) ++ Seq(
-        F.col("__cnt").as("n"),
-        F.col("__sum").cast(org.apache.spark.sql.types.DoubleType).as("total"),
-        // ONE IEEE division over the exact decimal sum (not decimal
-        // division, whose result scale differs across engines)
-        (F.col("__sum").cast(org.apache.spark.sql.types.DoubleType) /
-          F.col("__cnt")).as("mean")): _*)
+    * (keys, n, total, mean[, vmin, vmax][, approx_distinct]) — the
+    * extra columns appear when the state tracks them. `p` must match
+    * the build's (the register count is 2^p).
+    */
+  def finalizeAgg(state: DataFrame, keys: Seq[String],
+                  p: Int = 12): DataFrame = {
+    val m = 1 << p
+    val maxRho = 61 - p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val base = Seq(
+      F.col("__cnt").as("n"),
+      F.col("__sum").cast(org.apache.spark.sql.types.DoubleType).as("total"),
+      // ONE IEEE division over the exact decimal sum (not decimal
+      // division, whose result scale differs across engines)
+      (F.col("__sum").cast(org.apache.spark.sql.types.DoubleType) /
+        F.col("__cnt")).as("mean"))
+    val minmax =
+      if (state.columns.contains("__min"))
+        Seq(F.col("__min").as("vmin"), F.col("__max").as("vmax"))
+      else Nil
+    val distinct =
+      if (state.columns.contains("__regs")) {
+        // PF.hllMd5's estimate replayed over the register array:
+        // integer register sum (empty register = 2^maxRho), linear
+        // counting below 2.5m — identical branches, identical bits
+        val s = F.expr(
+          s"""aggregate(__regs, CAST(0 AS BIGINT),
+             |  (acc, mj) -> acc + CAST(pow(2.0, $maxRho - mj) AS BIGINT))"""
+            .stripMargin)
+        val v = F.expr("size(filter(__regs, r -> r = 0))")
+          .cast(org.apache.spark.sql.types.DoubleType)
+        val eRaw = F.lit(alpha * m.toDouble * m.toDouble) /
+          (s.cast(org.apache.spark.sql.types.DoubleType) /
+            math.pow(2.0, maxRho))
+        Seq(F.round(F.when(eRaw <= F.lit(2.5 * m) && v > 0,
+            F.lit(m.toDouble) * F.log(F.lit(m.toDouble) / v))
+          .otherwise(eRaw), 3).as("approx_distinct"))
+      } else Nil
+    state.select(keys.map(F.col) ++ base ++ minmax ++ distinct: _*)
+  }
 
   /** Write `df` clustered by the Z-order (Morton) interleave of two
     * integer dimension columns. Rows whose Z-values share the top

@@ -136,4 +136,57 @@ class EventsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == Map((0L, 0L) -> 1L, (1L, 0L) -> 1L))
   }
+
+  test("capped funnel: depth is computed over the EARLIEST cap events only") {
+    val e = ev(
+      // u1: click arrives as the 5th event — visible uncapped, not
+      // under cap 4 (the 4 earliest are all views)
+      (1L, 1000L, "view"), (1L, 1100L, "view"), (1L, 1200L, "view"),
+      (1L, 1300L, "view"), (1L, 1400L, "click"),
+      // u2: completes within the first 3 events; the later flood of
+      // views cannot change the prefix
+      (2L, 1000L, "view"), (2L, 2000L, "click"), (2L, 3000L, "purchase"),
+      (2L, 4000L, "view"), (2L, 5000L, "view"), (2L, 6000L, "view"))
+    val steps = Seq("view", "click", "purchase")
+    val un = depths(Events.funnel(e, "user_id", "ts", "etype", steps, DAY))
+    val cap = depths(Events.funnel(e, "user_id", "ts", "etype", steps, DAY,
+      maxEventsPerUser = 4))
+    assert(un == Map(1L -> 2, 2L -> 3))
+    assert(cap == Map(1L -> 1, 2L -> 3))
+  }
+
+  test("capped funnel/transitions: a 1M-event bot user runs in bounded state") {
+    // one bot with 1M events (completing the funnel in its first 3),
+    // one small user — the heap aggregate holds <= 8 entries per user
+    val bot = spark.range(0, 1000000).select(lit(1L).as("user_id"),
+      (col("id") * 1000 + 1000).as("us"),
+      when(col("id") === 0, "view").when(col("id") === 1, "click")
+        .when(col("id") === 2, "purchase").otherwise("view").as("etype"))
+      .select(col("user_id"), to_timestamp(col("us") / 1000000.0).as("ts"),
+        col("etype"))
+    val small = ev((2L, 1000L, "view"), (2L, 2000L, "click"))
+    val e = bot.unionByName(small)
+    val cap = depths(Events.funnel(e, "user_id", "ts", "etype",
+      Seq("view", "click", "purchase"), 7L * DAY, maxEventsPerUser = 8))
+    assert(cap == Map(1L -> 3, 2L -> 2))
+    val tr = Events.transitions(e, "user_id", "ts", "etype",
+      maxEventsPerUser = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // bot prefix: view>click>purchase>view; small: view>click
+    assert(tr == Map(("view", "click") -> 2L, ("click", "purchase") -> 1L,
+      ("purchase", "view") -> 1L))
+  }
+
+  test("capped funnel ties at the same timestamp keep step order (like uncapped)") {
+    // 5 events at the SAME us; cap 3 must keep (view, click, purchase)
+    // by the zero-padded step payload, not arbitrary heap order
+    val e = ev((1L, 1000L, "purchase"), (1L, 1000L, "view"),
+      (1L, 1000L, "click"), (1L, 1000L, "purchase"), (1L, 1000L, "view"))
+    val steps = Seq("view", "click", "purchase")
+    val cap = depths(Events.funnel(e, "user_id", "ts", "etype", steps, DAY,
+      maxEventsPerUser = 3))
+    // all same ts: anchor = view, but strict ts increase blocks click
+    assert(cap == Map(1L -> 1))
+    assert(cap == depths(Events.funnel(e, "user_id", "ts", "etype", steps, DAY)))
+  }
 }

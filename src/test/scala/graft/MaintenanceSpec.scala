@@ -149,35 +149,49 @@ class MaintenanceSpec extends SparkSpec {
     // one repriced key + one brand-new key
     val updates = Seq((7L, 777L), (1000L, 42L)).toDF("k", "v")
     Maintenance.upsertKeyed(spark, dir, updates, "k", 8)
-    val got = spark.read.parquet(dir).select("k", "v")
+    val got = Maintenance.readKeyed(spark, dir).select("k", "v")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 201 && got(7L) == 777L && got(1000L) == 42L &&
       got(8L) == 80L)
     // buckets NOT containing k=7 or k=1000 must be untouched on disk
-    val touched = Set(kbOf(7L, 8), kbOf(1000L, 8)).map(b => s"kb=$b")
+    // AND still the dirs the new manifest points at
+    val touched = Set(kbOf(7L, 8), kbOf(1000L, 8))
+    val touchedNames = touched.map(b => f"b$b%05d_")
     val after = fileState(dir)
     val untouchedBefore = before.filterNot { case (p, _) =>
-      touched.exists(p.contains) }
+      touchedNames.exists(p.contains) }
     assert(untouchedBefore.nonEmpty, "test needs some untouched bucket")
     untouchedBefore.foreach { case (p, st) =>
       assert(after.get(p).contains(st), s"untouched file rewritten: $p")
     }
+    val m = Maintenance.readManifest(spark, dir)
+    assert(m.version == 2)
+    m.buckets.foreach { case (b, d) =>
+      val wantGen = if (touched.contains(b)) 2 else 1
+      assert(d.endsWith(f"_g$wantGen%09d"), s"bucket $b at wrong gen: $d")
+    }
   }
 
-  test("upsertKeyed reads the base through static partition pruning") {
+  test("merge job reads only the touched buckets' live dirs") {
     val dir = tmp("graft_upsp")
     Maintenance.writeKeyed(
       spark.range(0, 100).select(col("id").as("k"), col("id").as("v")),
       dir, "k", 8)
-    // the pruned-read shape upsertKeyed builds: kb IN-list must land in
-    // PartitionFilters (metadata-only), never in the data filters
-    val p = spark.read.parquet(dir).filter(col("kb").isin(0, 3))
-      .queryExecution.executedPlan.toString
-    assert(p.contains("PartitionFilters") && p.contains("kb"),
-      s"kb filter did not become a partition filter:\n$p")
+    // manifest-resolved path pruning: a snapshot read of the table
+    // lists every live bucket; the merge base reads ONLY touched dirs
+    val allFiles = Maintenance.readKeyed(spark, dir).inputFiles.toSet
+    val b7 = kbOf(7L, 8)
+    Maintenance.upsertKeyed(spark, dir, Seq((7L, -1L)).toDF("k", "v"), "k", 8)
+    val m = Maintenance.readManifest(spark, dir)
+    val liveNow = Maintenance.readKeyed(spark, dir).inputFiles.toSet
+    // every untouched bucket's files are the SAME file paths as v1 —
+    // the merge never opened (let alone rewrote) them
+    val untouched = allFiles.filterNot(_.contains(f"b$b7%05d_"))
+    assert(untouched.subsetOf(liveNow), "untouched bucket files replaced")
+    assert(m.buckets(b7).endsWith(f"_g${2}%09d"))
   }
 
-  test("deleteKeyed removes keys and prunes emptied bucket directories") {
+  test("deleteKeyed removes keys and drops emptied buckets from the manifest") {
     val dir = tmp("graft_del")
     val base = spark.range(0, 64).select(col("id").as("k"), col("id").as("v"))
     Maintenance.writeKeyed(base, dir, "k", 4)
@@ -186,20 +200,68 @@ class MaintenanceSpec extends SparkSpec {
     val other = (0L until 64L).find(k => kbOf(k, 4) != 2).get
     Maintenance.deleteKeyed(spark, dir,
       (b2keys :+ other).toDF("k"), "k", 4)
-    val left = spark.read.parquet(dir).select("k")
+    val left = Maintenance.readKeyed(spark, dir).select("k")
       .collect().map(_.getLong(0)).toSet
     assert(left == (0L until 64L).toSet -- b2keys - other)
-    // the emptied partition dir is gone (dynamic overwrite alone would
-    // have silently left it behind)
-    assert(!new java.io.File(dir, "kb=2").exists())
+    // the emptied bucket leaves the manifest (a dynamic overwrite alone
+    // would have silently left it behind) …
+    assert(!Maintenance.readManifest(spark, dir).buckets.contains(2))
+    // … and vacuum reclaims its v1 generation dir
+    Maintenance.vacuumKeyed(spark, dir, keepVersions = 1)
+    assert(!new java.io.File(dir).listFiles.exists(f =>
+      f.getName.startsWith("b00002_")), "emptied bucket dir not vacuumed")
   }
 
-  test("tableStats reports rows and files per partition value") {
+  test("commit is atomic: a reader mid-merge sees a complete old or new snapshot") {
+    val dir = tmp("graft_iso")
+    val base = spark.range(0, 100).select(col("id").as("k"), col("id").as("v"))
+    Maintenance.writeKeyed(base, dir, "k", 4)
+    // stage a merge (all bucket-generation dirs written) WITHOUT the
+    // manifest publish — exactly the writer's state mid-commit
+    val merged = Maintenance.readKeyed(spark, dir)
+      .withColumn("v", col("v") + 1000L)
+    val pending = Maintenance.stageMerge(spark, dir, merged, Seq(0, 1, 2, 3))
+    // a racing reader resolves the OLD manifest: complete, correct
+    val mid = Maintenance.readKeyed(spark, dir).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mid.size == 100 && (0L until 100L).forall(k => mid(k) == k))
+    // the publish flips every reader to the complete NEW snapshot
+    Maintenance.commitKeyed(spark, pending)
+    val after = Maintenance.readKeyed(spark, dir).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.size == 100 && (0L until 100L).forall(k => after(k) == k + 1000))
+  }
+
+  test("time travel: old snapshots stay readable until vacuumed") {
+    val dir = tmp("graft_tt")
+    Maintenance.writeKeyed(
+      spark.range(0, 50).select(col("id").as("k"), col("id").as("v")),
+      dir, "k", 4)
+    Maintenance.upsertKeyed(spark, dir, Seq((1L, -1L), (999L, 9L)).toDF("k", "v"),
+      "k", 4)
+    assert(Maintenance.manifestVersions(spark, dir) == Seq(1, 2))
+    val v1 = Maintenance.readKeyed(spark, dir, Some(1)).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v1.size == 50 && v1(1L) == 1L)
+    val v2 = Maintenance.readKeyed(spark, dir).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v2.size == 51 && v2(1L) == -1L && v2(999L) == 9L)
+    Maintenance.vacuumKeyed(spark, dir, keepVersions = 1)
+    intercept[IllegalArgumentException] {
+      Maintenance.readKeyed(spark, dir, Some(1))
+    }
+    // the live snapshot survives the vacuum intact
+    assert(Maintenance.readKeyed(spark, dir).count() == 51)
+  }
+
+  test("keyedStats reports rows and files per bucket of the live snapshot") {
     val dir = tmp("graft_tst")
     Maintenance.writeKeyed(
       spark.range(0, 120).select(col("id").as("k"), col("id").as("v")),
       dir, "k", 4)
-    val st = Maintenance.tableStats(spark, dir, "kb")
+    // a second generation for one bucket must not double-count
+    Maintenance.upsertKeyed(spark, dir, Seq((7L, 7L)).toDF("k", "v"), "k", 4)
+    val st = Maintenance.keyedStats(spark, dir)
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(st.values.map(_._1).sum == 120L)
     assert(st.values.forall(_._2 == 1L), s"one file per bucket: $st")
@@ -241,5 +303,52 @@ class MaintenanceSpec extends SparkSpec {
     // and the state on disk IS the returned state
     val disk = spark.read.parquet(dir)
     assert(snap(Maintenance.finalizeAgg(disk, Seq("g"))) == inc)
+  }
+
+  test("generalized agg state: min/max and HLL registers merge == full recompute bit-for-bit") {
+    val dir = tmp("graft_mvp")
+    val dir2 = tmp("graft_mvp_full")
+    val full = spark.range(0, 5000).select(
+      (col("id") % 3).cast("string").as("g"),
+      (col("id") % 17 + 0.25).as("v"),
+      (col("id") % 537).as("u"))
+    Maintenance.buildAggState(full.filter(col("id") % 5 === 0),
+      Seq("g"), "v", dir, distinctKey = Some("u"))
+    Maintenance.mergeAggState(spark, dir,
+      full.filter(col("id") % 5 === 1), Seq("g"), "v",
+      distinctKey = Some("u"))
+    val st = Maintenance.mergeAggState(spark, dir,
+      full.filter(col("id") % 5 >= 2), Seq("g"), "v",
+      distinctKey = Some("u"))
+    // the full single-pass state over everything, same builder
+    Maintenance.buildAggState(full, Seq("g"), "v", dir2,
+      distinctKey = Some("u"))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6))).toSet
+    val inc = snap(Maintenance.finalizeAgg(st, Seq("g")))
+    val direct = snap(Maintenance.finalizeAgg(
+      spark.read.parquet(dir2), Seq("g")))
+    assert(inc == direct)
+    // sanity on the estimate: each group has ~min(537, distinct u per g)
+    val est = Maintenance.finalizeAgg(st, Seq("g"))
+      .select("g", "approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // distinct u per g: 537 = 3·179 and id ≡ g (mod 3) forces
+    // u = id % 537 ≡ g (mod 3) too → exactly 179 distinct u per group
+    est.values.foreach(e => assert(math.abs(e - 179) / 179.0 < 0.15,
+      s"estimate off: $est"))
+    // a merge ORDER cannot change bits: merge the two halves reversed
+    val dir3 = tmp("graft_mvp_rev")
+    Maintenance.buildAggState(full.filter(col("id") % 5 >= 2),
+      Seq("g"), "v", dir3, distinctKey = Some("u"))
+    Maintenance.mergeAggState(spark, dir3,
+      full.filter(col("id") % 5 === 1), Seq("g"), "v",
+      distinctKey = Some("u"))
+    val st3 = Maintenance.mergeAggState(spark, dir3,
+      full.filter(col("id") % 5 === 0), Seq("g"), "v",
+      distinctKey = Some("u"))
+    assert(snap(Maintenance.finalizeAgg(st3, Seq("g"))) == inc)
   }
 }
