@@ -3392,9 +3392,15 @@ object SparkEntry {
       val TA = graft.ext.TextAnalysis
       val docs = t(s, d, "documents").df
       val w = TA.md5Weights(1024)
+      // keepEmpty=false: the restore-join for no-surviving-line docs
+      // would be dropped by `n_kept > 0` anyway, and skipping it saves
+      // one evaluation of the gated corpus inside the checkpointed
+      // plan (head-to-head same-process bench r8: 1.63s vs 1.70s;
+      // id-list-checkpoint and no-checkpoint variants measured 1.99s /
+      // 2.15s, confirming the r6 clean-checkpoint decision)
       val gated = docs.filter(TA.linearMargin(col("text"), w, 0.25) > 0.0)
       val clean = graft.ext.Corpus.lineDedup(gated, "doc_id", "text",
-          maxDocs = 100, delim = " ")
+          maxDocs = 100, delim = " ", keepEmpty = false)
         .filter(col("n_kept") > 0)
         .localCheckpoint(true)
       val keep = graft.ext.Dedup.exact(clean, "doc_id", "clean_text")

@@ -428,7 +428,8 @@ object Corpus {
     * the explode_outer guard in `repetitionSignals`.
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-                maxDocs: Long, delim: String = "\n"): DataFrame = {
+                maxDocs: Long, delim: String = "\n",
+                keepEmpty: Boolean = true): DataFrame = {
     val lines = F.split(F.col(textCol),
       java.util.regex.Pattern.quote(delim))
     // `keyed` fans out (doc-frequency aggregate + probe side) and is
@@ -456,12 +457,21 @@ object Corpus {
             F.when(F.col("_bad").isNull,
               F.struct(F.col("pos"), F.col("line"))))),
           s => s.getField("line")), delim).as("clean_text"))
-    df.select(F.col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(F.col(idCol), // the caller's id name is preserved
-        F.coalesce(F.col("clean_text"), F.lit("")).as("clean_text"),
-        F.coalesce(F.col("n_kept"), F.lit(0L)).as("n_kept"),
-        F.coalesce(F.col("n_removed"), F.lit(0L)).as("n_removed"))
+    // the restore-join re-admits docs with NO non-blank line (absent
+    // from `keyed`, so from `rebuilt` too) as (id, "", 0, 0) rows — a
+    // THIRD evaluation of `df`. Callers that filter n_kept > 0 anyway
+    // (the lifecycle pipelines) pass keepEmpty = false and skip that
+    // whole input pass; all-bad-line docs are unaffected either way
+    // (they sit in `rebuilt` with n_kept = 0).
+    if (keepEmpty)
+      df.select(F.col(idCol))
+        .join(rebuilt, Seq(idCol), "left")
+        .select(F.col(idCol), // the caller's id name is preserved
+          F.coalesce(F.col("clean_text"), F.lit("")).as("clean_text"),
+          F.coalesce(F.col("n_kept"), F.lit(0L)).as("n_kept"),
+          F.coalesce(F.col("n_removed"), F.lit(0L)).as("n_removed"))
+    else rebuilt.select(F.col(idCol), F.col("clean_text"),
+      F.col("n_kept"), F.col("n_removed"))
   }
 
   /** Weighted corpus mixing under a token budget (the data-mixture

@@ -1117,6 +1117,14 @@ class ExtSpec extends SparkSpec {
     assert(out(5L) == (("", 0L, 0L)))
     // unique lines come back in original order, not sorted
     assert(out(6L) == (("z\na\nm", 3L, 0L)))
+    // keepEmpty=false: only docs that HAD at least one non-blank line
+    // come back (doc 5 vanishes, hollow-but-lined doc 4 stays), with
+    // identical values for every surviving doc
+    val noEmpty = Corpus.lineDedup(df, "doc_id", "text", maxDocs = 3,
+        keepEmpty = false)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(noEmpty == out - 5L)
   }
 
   test("corpus operators survive null/blank text and null source rows") {
