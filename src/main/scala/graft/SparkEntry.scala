@@ -774,6 +774,16 @@ object SparkEntry {
     "x93_profile" -> ((s, d) =>
       graft.ext.Stats.profile(t(s, d, "customer").df)),
 
+    // the 100 TB profile: distinct counts via the native md5-HLL
+    // register aggregate — NO Expand (exact mode duplicates the scan
+    // once per column), one bounded buffer per column, and the
+    // estimate is deterministic enough for the DuckDB oracle to
+    // recompute it bit-for-bit (x30's guarantee, now inside profile)
+    "x117_profile_approx" -> ((s, d) =>
+      graft.ext.Stats.profile(t(s, d, "customer").df,
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+        approx = true)),
+
     // z-score outliers per event_type: exact decimal mean/stddev
     // broadcast back into the scan-shaped probe
     "x94_anomalies" -> ((s, d) =>
@@ -5577,6 +5587,38 @@ object SparkEntry {
             CAST(max($c) AS VARCHAR) AS max_s
           FROM customer"""
     }.mkString("\n UNION ALL \n"),
+
+    // per column: counts/min/max plus the x30-style md5-HLL estimate
+    // replayed from raw values (the engine aggregates registers in one
+    // pass; both sides round the one float step to 3 decimals)
+    "x117_profile_approx" ->
+      Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment").map { c =>
+        s"""SELECT '$c' AS col_name,
+              (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n,
+              (SELECT CAST(count(*) - count($c) AS BIGINT) FROM customer)
+                AS nulls,
+              (SELECT round(CASE
+                 WHEN (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                        / (CAST(sm AS DOUBLE) / pow(2.0, 49)) <= 2.5 * 4096
+                      AND v > 0
+                 THEN 4096.0 * ln(4096.0 / v)
+                 ELSE (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                        / (CAST(sm AS DOUBLE) / pow(2.0, 49)) END, 3)
+               FROM (SELECT CAST(sum(CAST(pow(2.0, 49 - mj) AS BIGINT))
+                       + (4096 - count(*)) * CAST(pow(2.0, 49) AS BIGINT)
+                       AS BIGINT) AS sm,
+                       4096 - count(*) AS v
+                     FROM (SELECT hv % 4096 AS bucket,
+                             max(CASE WHEN hv // 4096 = 0 THEN 49
+                                 ELSE 49 - length(bin(hv // 4096)) END) AS mj
+                           FROM (SELECT ('0x' || substr(md5('hll:'
+                                   || CAST($c AS VARCHAR)), 1, 15))::BIGINT
+                                   AS hv
+                                 FROM customer WHERE $c IS NOT NULL)
+                           GROUP BY 1))) AS n_distinct,
+              (SELECT CAST(min($c) AS VARCHAR) FROM customer) AS min_s,
+              (SELECT CAST(max($c) AS VARCHAR) FROM customer) AS max_s"""
+      }.mkString("\n UNION ALL \n"),
 
     // same exact-decimal mean/stddev formulas as PF.davg/dstddev;
     // n>=2 guard mirrors the engine's no-sample-stddev rule

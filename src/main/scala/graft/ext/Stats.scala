@@ -81,22 +81,30 @@ object Stats {
         .otherwise(cxy * cxy / (vx * vy)), roundTo).as("r2")): _*)
   }
 
-  /** One-pass table profile: per column — row count, nulls, exact
-    * distinct count, min and max (rendered as strings so every column
-    * type fits one output schema). The whole profile is ONE logical
-    * aggregate over ONE scan; Spark plans the multiple exact
-    * count-distincts via a single Expand (one duplication of the
-    * input per distinct column, partial-agged before the shuffle),
-    * which is the standard exact plan — swap in approx_count_distinct
-    * upstream when an estimate is enough at the 100 TB grain.
+  /** One-pass table profile: per column — row count, nulls, distinct
+    * count, min and max (rendered as strings so every column type
+    * fits one output schema). The whole profile is ONE logical
+    * aggregate over ONE scan.
+    *
+    * Exact mode plans the multiple exact count-distincts via a single
+    * Expand — one duplication of the input per profiled column before
+    * the shuffle, the standard exact plan but the one genuinely
+    * expensive stat at 100 TB. `approx = true` swaps each distinct for
+    * the native md5-HLL register aggregate (graft_hll_regs): NO
+    * Expand, no input duplication, a 2^p-byte buffer per column, and
+    * the estimate stays cross-engine deterministic (same rounded value
+    * a DuckDB oracle computes — unlike approx_count_distinct's
+    * xxhash sketch). n_distinct is a double in approx mode.
     * Output long: (col_name, n, nulls, n_distinct, min_s, max_s).
     */
-  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String] = Nil,
+              approx: Boolean = false, p: Int = 12): DataFrame = {
     val use = if (cols.nonEmpty) cols else df.columns.toSeq
     require(use.nonEmpty, "profile: no columns")
     val aggs = use.flatMap { c =>
       Seq(F.count(col(c)).as(s"__cnt_$c"),
-        F.count_distinct(col(c)).as(s"__nd_$c"),
+        (if (approx) graft.plans.HllRegs.approxDistinctMd5(col(c), p)
+         else F.count_distinct(col(c))).as(s"__nd_$c"),
         F.min(col(c)).cast("string").as(s"__mn_$c"),
         F.max(col(c)).cast("string").as(s"__mx_$c"))
     } :+ F.count(lit(1)).as("__rows")

@@ -119,5 +119,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_earliest_k"),
       new ExpressionInfo(classOf[EarliestK].getName, "graft_earliest_k"),
       (exprs: Seq[Expression]) => EarliestK.fromArgs(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hll_regs"),
+      new ExpressionInfo(classOf[HllRegs].getName, "graft_hll_regs"),
+      (exprs: Seq[Expression]) => HllRegs.fromArgs(exprs)))
   }
 }

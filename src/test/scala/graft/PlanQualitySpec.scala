@@ -924,6 +924,16 @@ class PlanQualitySpec extends SparkSpec {
       s"exact multi-distinct should plan one Expand:\n$p")
   }
 
+  test("approx profile: one scan, NO Expand (HLL registers replace exact distinct)") {
+    val p = planOf("x117_profile_approx")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"approx profile must scan once:\n$p")
+    assert(!p.contains("Expand"),
+      s"approx profile must not duplicate the input per column:\n$p")
+    assert(p.contains("graft_hll_regs"),
+      s"distinct must come from the register aggregate:\n$p")
+  }
+
   test("anomalies: group stats broadcast back, fact scans twice max") {
     val p = planOf("x94_anomalies")
     assert(p.contains("BroadcastHashJoin"),
