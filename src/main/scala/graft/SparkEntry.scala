@@ -1236,6 +1236,26 @@ object SparkEntry {
       graft.ext.Search.searchIndex(s, dir, Seq("customer", "window"), 15)
     }),
 
+    // Exact-phrase retrieval on the direct scan path: consecutive-
+    // token match as a pure scan expression (overlaps count), no
+    // shuffle — the phrase predicate never leaves the row
+    "x118_phrase_scan" -> ((s, d) =>
+      graft.ext.Search.phraseSearch(t(s, d, "documents").df,
+        "doc_id", "text", Seq("scan", "query"))),
+
+    // The SAME phrase semantics over the positional inverted index:
+    // postings carry sorted token positions, the scan touches only
+    // the phrase terms' buckets (static pruning), and the occurrence
+    // count folds out of per-slot position arrays — row-identical to
+    // the scan path, under the same DuckDB oracle
+    "x119_phrase_index" -> ((s, d) => {
+      val dir = runScratch("phraseidx", d)
+      graft.ext.Search.buildIndex(t(s, d, "documents").df,
+        "doc_id", "text", dir)
+      graft.ext.Search.phraseSearchIndex(s, dir,
+        Seq("value", "table", "part"))
+    }),
+
     // search at scale: BM25 over the 300k-doc synthetic corpus (9M
     // token instances, 100k vocab) BOTH ways — direct zero-shuffle
     // scan and the persisted term-bucketed index (built in-query:
@@ -3763,6 +3783,21 @@ object SparkEntry {
          ORDER BY score DESC, doc_id LIMIT $k"""
   }
 
+  private def phraseOracleSql(phrase: Seq[String]): String = {
+    val L = phrase.length
+    val conds = phrase.zipWithIndex
+      .map { case (t, j) => s"tok[i + $j] = '$t'" }.mkString(" AND ")
+    s"""WITH tk AS (
+           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+           FROM documents
+         )
+         SELECT doc_id, CAST(n_occ AS INT) AS n_occ FROM (
+           SELECT doc_id,
+             len([i for i in range(1, len(tok) - $L + 2) if $conds]) AS n_occ
+           FROM tk
+         ) WHERE n_occ > 0"""
+  }
+
   private val ivfOracleSql: String =
     """WITH cent AS (
            SELECT vec_id AS centroid_id, embedding AS cvec,
@@ -5843,6 +5878,11 @@ object SparkEntry {
                 CAST(5000000 AS BIGINT) AS n_rows""",
 
     "x61_index_search" -> bm25OracleSql(Seq("customer", "window"), 15),
+
+    // the same consecutive-token count over 1-based list indexing;
+    // range(1, len-L+2) is empty for docs shorter than the phrase
+    "x118_phrase_scan" -> phraseOracleSql(Seq("scan", "query")),
+    "x119_phrase_index" -> phraseOracleSql(Seq("value", "table", "part")),
 
     // scale-invariant constants: top-20 exists on both paths and the
     // (doc_id, score) join matches row-for-row

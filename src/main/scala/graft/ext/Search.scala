@@ -116,6 +116,35 @@ object Search {
       .limit(k)
   }
 
+  /** Count of exact CONSECUTIVE occurrences of `phrase` inside the
+    * whitespace-token array — a pure scan expression like `termFreq`
+    * (the phrase is a plan-build-time constant; no explode, no
+    * shuffle). Overlapping occurrences each count ("a a a" contains
+    * "a a" twice).
+    */
+  def phraseCount(text: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "phraseCount: empty phrase")
+    val L = phrase.length
+    val tok = tokens(text)
+    // guard n < L explicitly: sequence(0, n-L) would COUNT DOWN for
+    // n < L (implicit step -1) and fabricate start positions
+    F.when(F.size(tok) < L, lit(0)).otherwise(
+      F.size(F.filter(F.sequence(lit(0), F.size(tok) - L), i =>
+        phrase.zipWithIndex.map { case (t, j) =>
+          F.element_at(tok, i + j + 1) === lit(t) // element_at is 1-based
+        }.reduce(_ && _))))
+  }
+
+  /** Exact-phrase retrieval on the direct scan path: every doc
+    * containing `phrase` as consecutive tokens, with its occurrence
+    * count. One projection-pruned scan, no shuffle at all — the
+    * phrase test never leaves the row.
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame =
+    df.select(col(idCol), phraseCount(col(textCol), phrase).as("n_occ"))
+      .filter(col("n_occ") > 0)
+
   /** TF-IDF keyword extraction: the `m` most distinctive terms per
     * document, scored tf * (N / df) (rational idf — same determinism
     * rationale as `bm25Search`), ties broken lexicographically.
@@ -183,8 +212,11 @@ object Search {
   // ---- persisted inverted index -----------------------------------------
 
   /** Build a term-bucketed inverted index under `dir`:
-    *  - `postings/` (bucket, term, doc_id, tf, dl) partitioned by
-    *    bucket = md5-hash(term) mod nBuckets,
+    *  - `postings/` (bucket, term, doc_id, tf, dl, positions)
+    *    partitioned by bucket = md5-hash(term) mod nBuckets; the
+    *    sorted 0-based token positions make the same index serve
+    *    phrase/proximity queries (`phraseSearchIndex`) — Lucene's
+    *    positional-postings layout, one array per (doc, term),
     *  - `stats/` the single corpus-stats row (n_docs, sdl).
     * Per-term document frequency is NOT materialized separately: it
     * folds out of the postings at query time after partition pruning
@@ -196,9 +228,10 @@ object Search {
     val base = df.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("tok"))
     base.select(col("doc_id"), F.size(col("tok")).as("dl"),
-        F.explode(col("tok")).as("term"))
+        F.posexplode(col("tok")).as(Seq("pos", "term")))
       .groupBy("doc_id", "dl", "term")
-      .agg(F.count(lit(1)).as("tf"))
+      .agg(F.count(lit(1)).as("tf"),
+        F.sort_array(F.collect_list(col("pos"))).as("positions"))
       .withColumn("bucket", F.pmod(h60(col("term")), lit(nBuckets.toLong)))
       // co-locate each bucket into one task before the partitioned
       // write: without this every task writes a sliver of every
@@ -278,5 +311,44 @@ object Search {
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Exact-phrase retrieval over the persisted index — row-identical
+    * to `phraseSearch` on the source corpus, but the scan touches only
+    * the partitions holding the phrase terms' buckets (static IN-list
+    * pruning, like `searchIndex`). Each phrase term's sorted position
+    * array pivots into a fixed per-slot column keyed by doc (at most
+    * one posting per (doc, term)); the occurrence count is then ONE
+    * array expression — starts q in slot-0's positions such that
+    * q + j sits in slot-j's positions — with no join fan-out and no
+    * per-occurrence rows. Overlaps count, duplicate phrase terms
+    * reuse the same position array (correct by construction).
+    */
+  def phraseSearchIndex(spark: SparkSession, dir: String,
+                        phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearchIndex: empty phrase")
+    val terms = phrase.distinct
+    val slotOf = phrase.map(terms.indexOf) // phrase slot j -> term index
+    val stats = spark.read.parquet(dir + "/stats")
+    val nBuckets = stats.select("n_buckets").head.getInt(0)
+    val buckets = terms.map(t => TextAnalysis.h60Value(t) % nBuckets).distinct
+    val pruned = spark.read.parquet(dir + "/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val pivoted = pruned.groupBy("doc_id")
+      .agg(
+        F.max(F.when(col("term") === terms.head, col("positions")))
+          .as("pos_0"),
+        terms.zipWithIndex.tail.map { case (t, i) =>
+          F.max(F.when(col("term") === t, col("positions"))).as(s"pos_$i")
+        }: _*)
+    // a doc missing ANY phrase term cannot match (null array gate)
+    val gate = terms.indices.map(i => col(s"pos_$i").isNotNull).reduce(_ && _)
+    val count = F.size(F.filter(col(s"pos_${slotOf.head}"), q =>
+      slotOf.zipWithIndex.tail.map { case (ti, j) =>
+        F.array_contains(col(s"pos_$ti"), q + j)
+      }.foldLeft(lit(true): Column)(_ && _)))
+    pivoted.filter(gate)
+      .select(col("doc_id"), count.as("n_occ"))
+      .filter(col("n_occ") > 0)
   }
 }

@@ -869,6 +869,22 @@ class PlanQualitySpec extends SparkSpec {
       s"ranking must be a heap top-k:\n$p")
   }
 
+  test("phrase scan: pure scan expression, zero exchanges") {
+    val p = planOf("x118_phrase_scan")
+    assert(!p.contains("Exchange"),
+      s"the phrase predicate must never leave the row:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"phrase scan reads the corpus once:\n$p")
+  }
+
+  test("phrase index: static bucket pruning + term pushdown, no corpus scan") {
+    val p = planOf("x119_phrase_index")
+    assert(p.contains("PartitionFilters: [bucket"),
+      s"phrase-term buckets must prune partitions statically:\n$p")
+    assert(p.contains("PushedFilters: [In(term"),
+      s"term IN-list must push into the postings scan:\n$p")
+  }
+
   test("tf-idf keywords: per-doc window, never a single partition") {
     val p = planOf("x57_top_terms")
     assert(p.contains("windowspecdefinition(doc_id"),

@@ -83,6 +83,48 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("phraseCount: consecutive matches only, overlaps count, short docs safe") {
+    val df = Seq(
+      (1L, "a b c a b"),   // "a b" twice
+      (2L, "a a a"),       // "a a" twice (overlapping)
+      (3L, "b a"),         // reversed -> no "a b"
+      (4L, "a"),           // shorter than the phrase
+      (5L, "")).toDF("id", "t")
+    val ab = df.select(Search.phraseCount(col("t"), Seq("a", "b")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(ab == Seq(2, 0, 0, 0, 0))
+    val aa = df.select(Search.phraseCount(col("t"), Seq("a", "a")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(aa == Seq(0, 2, 0, 0, 0))
+    // single-term phrase degenerates to termFreq
+    val a1 = df.select(Search.phraseCount(col("t"), Seq("a")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(a1 == Seq(2, 3, 1, 1, 0))
+  }
+
+  test("phraseSearchIndex is row-identical to the phrase scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_phraseidx")
+      .toString
+    try {
+      Search.buildIndex(docs, "doc_id", "text", dir, nBuckets = 16)
+      for (phrase <- Seq(Seq("scan", "query"), Seq("table", "table"),
+        Seq("value", "table", "part"), Seq("spark"),
+        Seq("nosuchterm", "table"))) {
+        val direct = Search.phraseSearch(docs, "doc_id", "text", phrase)
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+        val indexed = Search.phraseSearchIndex(spark, dir, phrase)
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+        assert(direct == indexed, s"phrase $phrase disagrees")
+      }
+      // and the testdata really exercises it (non-empty somewhere)
+      assert(Search.phraseSearch(docs, "doc_id", "text",
+        Seq("table", "table")).count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
+
   test("topTermsPerDoc surfaces the distinctive term first") {
     val corpus = Seq(
       (1L, "apple apple shared"),
