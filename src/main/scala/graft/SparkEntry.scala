@@ -2946,6 +2946,61 @@ object SparkEntry {
           |""".stripMargin,
         "events" -> t(s, d, "events")).df),
 
+    // the keyed-table lifecycle driven from the LANGUAGE: write,
+    // MERGE (reprice every 7th key), DELETE (every 13th), read the
+    // snapshot back — the x102 machinery behind a .pql face, same
+    // closed-form oracle shape
+    "ql46_lang_keyed" -> ((s, d) => {
+      val dir = runScratch("qlkeyed", d)
+      graft.lang.Interp.run(s,
+        s"""base = orders {o_orderkey, o_custkey, o_totalprice}
+           |snap = write_keyed(base, "$dir", "o_orderkey", 16)
+           |ups = base[o_orderkey % 7 == 0] {o_orderkey, o_custkey,
+           |                                 o_totalprice: o_totalprice + 1000.0}
+           |merged = upsert_keyed("$dir", ups, "o_orderkey", 16)
+           |fin = delete_keyed("$dir", base[o_orderkey % 13 == 0] {o_orderkey},
+           |                   "o_orderkey", 16)
+           |fin {o_orderkey, o_totalprice}
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+    }),
+
+    // keyed-layout health from the language: per-bucket rows (md5
+    // bucket assignment mirrored in the oracle) and the one-file
+    // invariant
+    "ql47_lang_maintenance" -> ((s, d) => {
+      val kdir = runScratch("qlc_keyed", d)
+      graft.lang.Interp.run(s,
+        s"""small = orders {o_orderkey, o_totalprice}
+           |snap = write_keyed(small, "$kdir", "o_orderkey", 8)
+           |st = keyed_stats("$kdir")
+           |st {kb: int(kb), n_rows, one_file: n_files == 1}
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+    }),
+
+    // exact-phrase retrieval from the language
+    "ql48_lang_phrase" -> ((s, d) =>
+      graft.lang.Interp.run(s,
+        """phrase_search(documents, "doc_id", "text", "scan query")
+          |""".stripMargin,
+        "documents" -> t(s, d, "documents")).df),
+
+    // Z-order write + compaction from the language; the layout report
+    // is closed-form (per-a row counts; 3 output files bound n_files)
+    "ql49_lang_layout" -> ((s, d) => {
+      val zdir = runScratch("qlz", d)
+      val cdir = runScratch("qlcmp", d)
+      graft.lang.Interp.run(s,
+        s"""e = events {a: event_id % 256, b: event_id * 131 % 256, value}
+           |z = write_zordered(e, "$zdir", "a b", 8, 4)
+           |c = compact_table("$zdir", "$cdir", 3)
+           |st = table_stats("$cdir", "a")
+           |st {a, n_rows, files_ok: n_files <= 3}
+           |""".stripMargin,
+        "events" -> t(s, d, "events")).df
+    }),
+
     "ql39_lang_crawl" -> ((s, d) =>
       graft.lang.Interp.run(s,
         """pages = documents {doc_id, raw: "<p>" + text + "</p><script>x()</script>"}
@@ -5733,6 +5788,30 @@ object SparkEntry {
                   LEFT JOIN s3 USING (user_id))
          SELECT depth, CAST(count(*) AS BIGINT) AS n_users
          FROM d GROUP BY depth""",
+
+    // language keyed lifecycle: reprice-unless-deleted in closed form
+    "ql46_lang_keyed" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey % 13 <> 0""",
+
+    // the md5 bucket assignment (h60 mod 8) mirrored bit-for-bit
+    "ql47_lang_maintenance" ->
+      """SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+               1, 15)) AS BIGINT) % 8 AS kb,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS one_file
+         FROM orders GROUP BY 1""",
+
+    "ql48_lang_phrase" -> phraseOracleSql(Seq("scan", "query")),
+
+    // per-a row counts survive the z-order + compaction round trip;
+    // 3 output files bound every group's file count
+    "ql49_lang_layout" ->
+      """SELECT event_id % 256 AS a, CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS files_ok
+         FROM events GROUP BY 1""",
 
     "ql44_lang_sssp" ->
       """WITH e AS (

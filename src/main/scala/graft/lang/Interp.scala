@@ -1553,7 +1553,10 @@ object Interp {
       "cap_per_group", "profile", "anomalies", "top_per_group",
       "asof_join", "range_join", "sssp", "graph.sssp",
       "funnel", "retention", "diff_tables", "event_paths", "sessionize",
-      "linfit", "transitions")
+      "linfit", "transitions",
+      "compact_table", "write_zordered", "write_keyed", "read_keyed",
+      "upsert_keyed", "delete_keyed", "vacuum_keyed", "table_stats",
+      "keyed_stats", "phrase_search")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -1881,15 +1884,18 @@ object Interp {
             litString(args(3).value), litString(args(4).value),
             constDouble(args(5).value)))
         case "profile" =>
-          // profile(t, "cols"?) — per-column count/nulls/distinct/
-          // min/max in one pass
-          if (args.isEmpty || args.length > 2)
-            throw new TypeError("profile(t, \"cols\"?)")
+          // profile(t, "cols"?, approx?) — per-column count/nulls/
+          // distinct/min/max in one pass; approx=true swaps exact
+          // distinct for the md5-HLL register aggregate (no Expand)
+          if (args.isEmpty || args.length > 3)
+            throw new TypeError("profile(t, \"cols\"?, approx?)")
           val cols =
-            if (args.length == 2)
+            if (args.length >= 2)
               litString(args(1).value).trim.split("\\s+").toSeq
             else Nil
-          PTable(graft.ext.Stats.profile(t(args.head.value).df, cols))
+          val approx = args.length == 3 && constBool(args(2).value)
+          PTable(graft.ext.Stats.profile(t(args.head.value).df, cols,
+            approx = approx))
         case "anomalies" =>
           // anomalies(t, "key cols", "val_col", z) — rows beyond z
           // sample stddevs from their group mean
@@ -2444,6 +2450,110 @@ object Interp {
           PTable(graft.sources.Maintenance.diff(t(args(0).value).df,
             t(args(1).value).df,
             litString(args(2).value).trim.split("\\s+").toSeq))
+        case "compact_table" =>
+          // compact_table(in_dir, out_dir, n_files) — rewrite a parquet
+          // dataset into exactly n files; returns the chosen count
+          if (args.length != 3)
+            throw new TypeError("compact_table(\"in_dir\", \"out_dir\", n_files)")
+          val n = graft.sources.Maintenance.compactTo(spark,
+            litString(args(0).value), litString(args(1).value),
+            constLong(args(2).value).toInt)
+          PTable(spark.range(1).select(F.lit(n.toLong).as("n_files")))
+        case "write_zordered" =>
+          // write_zordered(t, dir, "cols", bits?, bucket_bits?) — write
+          // clustered by the N-dim Morton interleave; returns the
+          // written rows read back
+          if (args.length < 3 || args.length > 5)
+            throw new TypeError(
+              "write_zordered(t, \"dir\", \"cols\", bits?, bucket_bits?)")
+          val zc = litString(args(2).value).trim.split("\\s+").toSeq
+          val bits =
+            if (args.length >= 4) constLong(args(3).value).toInt else 10
+          val bb =
+            if (args.length == 5) constLong(args(4).value).toInt else 6
+          graft.sources.Maintenance.writeZOrderedN(t(args(0).value).df,
+            litString(args(1).value), zc, bits, bb)
+          PTable(spark.read.parquet(litString(args(1).value)))
+        case "write_keyed" =>
+          // write_keyed(t, dir, "key", n_buckets) — persist as a
+          // manifest-committed keyed table; returns the live snapshot
+          if (args.length != 4)
+            throw new TypeError("write_keyed(t, \"dir\", \"key\", n_buckets)")
+          graft.sources.Maintenance.writeKeyed(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value),
+            constLong(args(3).value).toInt)
+          PTable(graft.sources.Maintenance.readKeyed(spark,
+            litString(args(1).value)))
+        case "read_keyed" =>
+          // read_keyed(dir, version?) — the manifest-resolved snapshot
+          // (time travel with an explicit version)
+          if (args.isEmpty || args.length > 2)
+            throw new TypeError("read_keyed(\"dir\", version?)")
+          val ver =
+            if (args.length == 2) Some(constLong(args(1).value).toInt)
+            else None
+          PTable(graft.sources.Maintenance.readKeyed(spark,
+            litString(args(0).value), ver))
+        case "upsert_keyed" =>
+          // upsert_keyed(dir, updates, "key", n_buckets) — MERGE the
+          // batch in (touched buckets only); returns the new snapshot
+          if (args.length != 4)
+            throw new TypeError(
+              "upsert_keyed(\"dir\", updates, \"key\", n_buckets)")
+          graft.sources.Maintenance.upsertKeyed(spark,
+            litString(args(0).value), t(args(1).value).df,
+            litString(args(2).value), constLong(args(3).value).toInt)
+          PTable(graft.sources.Maintenance.readKeyed(spark,
+            litString(args(0).value)))
+        case "delete_keyed" =>
+          // delete_keyed(dir, keys, "key", n_buckets) — keyed DELETE;
+          // returns the new snapshot
+          if (args.length != 4)
+            throw new TypeError(
+              "delete_keyed(\"dir\", keys, \"key\", n_buckets)")
+          graft.sources.Maintenance.deleteKeyed(spark,
+            litString(args(0).value), t(args(1).value).df,
+            litString(args(2).value), constLong(args(3).value).toInt)
+          PTable(graft.sources.Maintenance.readKeyed(spark,
+            litString(args(0).value)))
+        case "vacuum_keyed" =>
+          // vacuum_keyed(dir, keep?) — GC old snapshots; returns the
+          // surviving manifest versions
+          if (args.isEmpty || args.length > 2)
+            throw new TypeError("vacuum_keyed(\"dir\", keep_versions?)")
+          val keep =
+            if (args.length == 2) constLong(args(1).value).toInt else 1
+          graft.sources.Maintenance.vacuumKeyed(spark,
+            litString(args(0).value), keep)
+          PTable(PTable.fromList(spark,
+            graft.sources.Maintenance.manifestVersions(spark,
+              litString(args(0).value)).map(_.toLong)).df
+            .withColumnRenamed("item", "version"))
+        case "table_stats" =>
+          // table_stats(dir, "part_col") — rows/files per partition
+          if (args.length != 2)
+            throw new TypeError("table_stats(\"dir\", \"part_col\")")
+          PTable(graft.sources.Maintenance.tableStats(spark,
+            litString(args(0).value), litString(args(1).value)))
+        case "keyed_stats" =>
+          // keyed_stats(dir) — rows/files per bucket of the LIVE
+          // keyed-table snapshot
+          if (args.length != 1)
+            throw new TypeError("keyed_stats(\"dir\")")
+          PTable(graft.sources.Maintenance.keyedStats(spark,
+            litString(args(0).value)))
+        case "phrase_search" =>
+          // phrase_search(t, "id_col", "text_col", "exact phrase") —
+          // consecutive-token match with occurrence counts
+          if (args.length != 4)
+            throw new TypeError(
+              "phrase_search(t, \"id_col\", \"text_col\", \"phrase\")")
+          val ph = litString(args(3).value).trim.split("\\s+").toSeq
+            .filter(_.nonEmpty)
+          if (ph.isEmpty)
+            throw new graft.types.ValueError("phrase_search: empty phrase")
+          PTable(graft.ext.Search.phraseSearch(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value), ph))
         case other => throw new NameError(s"unknown table function '$other'")
       }
     }

@@ -82,6 +82,9 @@ object Repl {
     "asof_join", "range_join", "sssp",
     "funnel", "retention", "diff_tables", "event_paths", "sessionize",
     "linfit", "transitions",
+    "compact_table", "write_zordered", "write_keyed", "read_keyed",
+    "upsert_keyed", "delete_keyed", "vacuum_keyed", "table_stats",
+    "keyed_stats", "phrase_search",
     "import_orc",
     "SQL", "upper", "lower", "length", "round", "repeat", "char",
     "char_ord", "char_range", "str_index", "str_contains", "year",

@@ -1392,6 +1392,18 @@ class LangSpec extends SparkSpec {
       .select("user_id").distinct().count()
     val funneled = conv.map(_.getLong(1)).sum
     assert(conv.nonEmpty && funneled > 0 && funneled <= users)
+    // the maintenance stage: every doc lands in exactly one bucket,
+    // one file per bucket, and vacuum keeps the latest snapshot only
+    val layout = Interp.run(spark, script + "\nlayout",
+      "events" -> Tables.load(spark, sf, "events"),
+      "documents" -> Tables.load(spark, sf, "documents")).df.collect()
+    val nd = Tables.load(spark, sf, "documents").df.count()
+    assert(layout.map(_.getLong(1)).sum == nd &&
+      layout.forall(_.getLong(2) == 1L))
+    val vers = Interp.run(spark, script + "\nversions",
+      "events" -> Tables.load(spark, sf, "events"),
+      "documents" -> Tables.load(spark, sf, "documents")).df.collect()
+    assert(vers.length == 1)
   }
 
   test("corpus hygiene operators callable from the language") {
