@@ -410,9 +410,12 @@ object Maintenance {
     */
   def buildAggState(df: DataFrame, keys: Seq[String], valueCol: String,
                     dir: String, distinctKey: Option[String] = None,
-                    p: Int = 12): Unit =
-    partialAgg(df, keys, valueCol, distinctKey, p)
-      .write.mode("overwrite").parquet(dir)
+                    p: Int = 12): Unit = {
+    val spark = df.sparkSession
+    val clean = cleanDir(dir)
+    hadoopFs(spark, new Path(clean)).delete(new Path(clean), true)
+    writeVersioned(partialAgg(df, keys, valueCol, distinctKey, p), dir)
+  }
 
   private def basicAggs(valueCol: String) = Seq(
     F.count(F.lit(1)).as("__cnt"),
@@ -485,37 +488,91 @@ object Maintenance {
     state.groupBy(keys.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Fold a new batch into the persisted state at `dir` and write the
-    * merged state back. The read-write cycle is broken by a staging
-    * write + whole-directory rename swap (a durable job to a sibling
-    * path, then two metadata ops) — never a localCheckpoint, whose
-    * non-replicated executor blocks are the wrong place for a state
-    * table that can reach many GB at 100 TB grain. Every state column
-    * is associative (counts, decimal sums, min/max, register-wise
-    * max), so state ∪ batch-partial re-aggregated IS the state of
-    * history ∪ batch — bit-for-bit, in any merge order.
-    * Returns the merged state (reading the swapped-in directory).
+  // ---- generic versioned dataset (snapshot-swapped whole tables) ----------
+  //
+  // The same commit discipline as the keyed table, for UNKEYED whole
+  // datasets that are periodically rewritten (agg state, model tables):
+  //   dir/g000000001/part-*.parquet     immutable generation dirs
+  //   dir/_manifests/v000000001.json    {"version":1,"buckets":{"0":"g..."}}
+  // A writer stages the new generation (invisible), then publishes one
+  // manifest — readers mid-rewrite see the old or new COMPLETE dataset,
+  // never a half-deleted directory. Reuses the keyed manifest format
+  // with a single pseudo-bucket.
+
+  /** Commit `df` as the next generation of the versioned dataset at
+    * `dir`; returns the committed version. */
+  def writeVersioned(df: DataFrame, dir: String): Int = {
+    val spark = df.sparkSession
+    val clean = cleanDir(dir)
+    val fs = hadoopFs(spark, new Path(clean))
+    val next = manifestVersions(spark, dir).lastOption.getOrElse(0) + 1
+    val gen = f"g$next%09d"
+    val staging =
+      new Path(clean + s".staging_${ProcessHandle.current().pid()}")
+    fs.delete(staging, true)
+    df.write.mode("overwrite").parquet(staging.toString)
+    fs.mkdirs(new Path(clean))
+    require(fs.rename(staging, new Path(clean, gen)),
+      s"generation stage failed: $staging -> $clean/$gen")
+    writeManifest(spark, clean, KeyedManifest(next, Map(0 -> gen)))
+    next
+  }
+
+  /** The versioned dataset's snapshot at `version` (latest when None);
+    * falls back to a plain read for pre-manifest directories. */
+  def readVersioned(spark: SparkSession, dir: String,
+                    version: Option[Int] = None): DataFrame = {
+    val clean = cleanDir(dir)
+    if (manifestVersions(spark, dir).isEmpty) spark.read.parquet(clean)
+    else spark.read.parquet(
+      s"$clean/${readManifest(spark, dir, version).buckets(0)}")
+  }
+
+  /** GC old generations of a versioned dataset (same contract as
+    * `vacuumKeyed`). Generation dirs are `g\d{9}` at the top level. */
+  def vacuumVersioned(spark: SparkSession, dir: String,
+                      keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1")
+    val clean = cleanDir(dir)
+    val fs = hadoopFs(spark, new Path(clean))
+    val versions = manifestVersions(spark, dir)
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    val referenced = keep
+      .flatMap(v => readManifest(spark, dir, Some(v)).buckets.values).toSet
+    fs.listStatus(new Path(clean)).toSeq.map(_.getPath)
+      .filter(p => p.getName.matches("""g\d{9}""") &&
+        !referenced.contains(p.getName))
+      .foreach(p => fs.delete(p, true))
+    drop.foreach(v =>
+      fs.delete(new Path(manifestDir(clean), f"v$v%09d.json"), false))
+  }
+
+  /** Fold a new batch into the persisted state at `dir` and commit the
+    * merged state as the next snapshot (see writeVersioned — a reader
+    * racing the refresh always resolves a complete state, and the
+    * previous state stays readable until vacuumed). Never a
+    * localCheckpoint: non-replicated executor blocks are the wrong
+    * place for a state table that can reach many GB at 100 TB grain.
+    * Every state column is associative (counts, decimal sums, min/max,
+    * register-wise max), so state ∪ batch-partial re-aggregated IS the
+    * state of history ∪ batch — bit-for-bit, in any merge order.
+    * Returns the merged state (reading the committed snapshot).
     */
   def mergeAggState(spark: SparkSession, dir: String, batch: DataFrame,
                     keys: Seq[String], valueCol: String,
                     distinctKey: Option[String] = None,
                     p: Int = 12): DataFrame = {
-    val prev = spark.read.parquet(dir)
+    val prev = readVersioned(spark, dir)
     val merged = aggOfState(
       prev.unionByName(partialAgg(batch, keys, valueCol, distinctKey, p)
         // legacy (cnt, sum)-only states merge with a richer batch
         // partial by dropping what the state never tracked
         .select(prev.columns.map(F.col).toIndexedSeq: _*)), keys)
-    val clean = cleanDir(dir)
-    val p2 = new Path(clean)
-    val fs = hadoopFs(spark, p2)
-    val staging =
-      new Path(clean + s".staging_${ProcessHandle.current().pid()}")
-    fs.delete(staging, true)
-    merged.write.mode("overwrite").parquet(staging.toString)
-    fs.delete(p2, true)
-    require(fs.rename(staging, p2), s"state swap failed: $staging -> $p2")
-    spark.read.parquet(clean)
+    writeVersioned(merged, dir)
+    // old generations GC here by default: agg state is refresh-heavy
+    // and callers wanting time travel can vacuum on their own cadence
+    vacuumVersioned(spark, dir, keepVersions = 2)
+    readVersioned(spark, dir)
   }
 
   /** Finalize a state frame into the user-facing view:

@@ -301,8 +301,24 @@ class MaintenanceSpec extends SparkSpec {
         sum(col("v").cast("decimal(28,2)")).as("__sum")), Seq("g")))
     assert(inc == direct)
     // and the state on disk IS the returned state
-    val disk = spark.read.parquet(dir)
+    val disk = Maintenance.readVersioned(spark, dir)
     assert(snap(Maintenance.finalizeAgg(disk, Seq("g"))) == inc)
+  }
+
+  test("versioned dataset: commit is atomic, old snapshot readable until vacuum") {
+    val dir = tmp("graft_ver")
+    val v1 = Maintenance.writeVersioned(
+      spark.range(0, 10).toDF("x"), dir)
+    val v2 = Maintenance.writeVersioned(
+      spark.range(0, 20).toDF("x"), dir)
+    assert(v1 == 1 && v2 == 2)
+    assert(Maintenance.readVersioned(spark, dir).count() == 20)
+    assert(Maintenance.readVersioned(spark, dir, Some(1)).count() == 10)
+    Maintenance.vacuumVersioned(spark, dir, keepVersions = 1)
+    intercept[IllegalArgumentException] {
+      Maintenance.readVersioned(spark, dir, Some(1))
+    }
+    assert(Maintenance.readVersioned(spark, dir).count() == 20)
   }
 
   test("generalized agg state: min/max and HLL registers merge == full recompute bit-for-bit") {
@@ -329,7 +345,7 @@ class MaintenanceSpec extends SparkSpec {
         r.getDouble(6))).toSet
     val inc = snap(Maintenance.finalizeAgg(st, Seq("g")))
     val direct = snap(Maintenance.finalizeAgg(
-      spark.read.parquet(dir2), Seq("g")))
+      Maintenance.readVersioned(spark, dir2), Seq("g")))
     assert(inc == direct)
     // sanity on the estimate: each group has ~min(537, distinct u per g)
     val est = Maintenance.finalizeAgg(st, Seq("g"))
