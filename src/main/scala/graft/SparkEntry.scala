@@ -1043,6 +1043,36 @@ object SparkEntry {
           F.round(col("mean"), 6).as("mean"))
     }),
 
+    // CDC MERGE semantics (the batch inside Streams.upsertKeyedStream):
+    // last-wins per key by sequence, tombstones delete — every 7th key
+    // sees two updates (the +1000 one wins), every 13th a tombstone
+    // (13*7ths get BOTH: the tombstone's higher seq wins). Closed-form
+    // oracle, same shape as ql46
+    "x120_cdc_merge" -> ((s, d) => {
+      val dir = runScratch("cdc", d)
+      val S = graft.streaming.Streams
+      val orders = t(s, d, "orders").df
+        .select("o_orderkey", "o_totalprice")
+      S.upsertKeyedBatch(
+        orders.withColumn("seq", lit(0L)).withColumn("del", lit(false)),
+        dir, "o_orderkey", 16, seqCol = Some("seq"), deleteCol = Some("del"))
+      val sevens = orders.filter(col("o_orderkey") % 7 === 0)
+      val cdc = sevens
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + lit(100.0)).as("o_totalprice"),
+          lit(1L).as("seq"), lit(false).as("del"))
+        .unionByName(sevens.select(col("o_orderkey"),
+          (col("o_totalprice") + lit(1000.0)).as("o_totalprice"),
+          lit(2L).as("seq"), lit(false).as("del")))
+        .unionByName(orders.filter(col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            lit(3L).as("seq"), lit(true).as("del")))
+      S.upsertKeyedBatch(cdc, dir, "o_orderkey", 16,
+        seqCol = Some("seq"), deleteCol = Some("del"))
+      graft.sources.Maintenance.readKeyed(s, dir)
+        .select("o_orderkey", "o_totalprice")
+    }),
+
     // Generalized incremental aggregate state: count/sum/mean PLUS
     // mergeable min/max and md5-HLL approx-distinct registers — the
     // persisted state + one O(batch) merge must equal the full
@@ -5452,6 +5482,15 @@ object SparkEntry {
            round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
              / count(*), 6) AS mean
          FROM orders GROUP BY o_orderpriority""",
+
+    // CDC end state in closed form: the seq-2 reprice wins for 7ths,
+    // tombstones remove 13ths (including 91ths, where the tombstone's
+    // seq outranks the reprice)
+    "x120_cdc_merge" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey % 13 <> 0""",
 
     // the generalized state finalized == the full recompute: exact
     // decimal sums, raw min/max, and the x30-style md5-HLL estimate

@@ -18,6 +18,67 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** One micro-batch of streaming CDC MERGE into a manifest-committed
+    * keyed table (sources/Maintenance layout). Semantics per batch:
+    *  - `seqCol` (if set): last-wins per key — only the row with the
+    *    highest sequence value applies (CDC batches carry several
+    *    updates per key; sequence values must be unique per key).
+    *  - `deleteCol` (if set): a boolean tombstone — a key whose last
+    *    row has it true is DELETED, the column itself never lands in
+    *    the table.
+    * The first batch bootstraps the table. REPLAY-SAFE the way the
+    * manifest makes everything replay-safe: foreachBatch is
+    * at-least-once, and re-merging the same batch produces a new
+    * manifest version with IDENTICAL content (anti-join + union of
+    * the same rows) — readers see the same table either way, and
+    * mid-batch crashes (after the upsert commit, before the delete
+    * commit) re-run to the same end state.
+    */
+  def upsertKeyedBatch(batch: DataFrame, dir: String, keyCol: String,
+                       nBuckets: Int, seqCol: Option[String] = None,
+                       deleteCol: Option[String] = None): Unit = {
+    import graft.sources.Maintenance
+    val spark = batch.sparkSession
+    val last = seqCol match {
+      case Some(sc) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(keyCol)).orderBy(F.col(sc).desc)
+        batch.withColumn("__rn", F.row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => batch
+    }
+    val (ups, dels) = deleteCol match {
+      case Some(dc) =>
+        (last.filter(!F.coalesce(col(dc), F.lit(false))).drop(dc),
+          Some(last.filter(F.coalesce(col(dc), F.lit(false)))
+            .select(col(keyCol))))
+      case None => (last, None)
+    }
+    if (Maintenance.manifestVersions(spark, dir).isEmpty)
+      Maintenance.writeKeyed(ups, dir, keyCol, nBuckets)
+    else
+      Maintenance.upsertKeyed(spark, dir, ups, keyCol, nBuckets)
+    dels.filter(!_.isEmpty)
+      .foreach(d => Maintenance.deleteKeyed(spark, dir, d, keyCol, nBuckets))
+  }
+
+  /** Continuous CDC MERGE: every micro-batch folds into the keyed
+    * table via `upsertKeyedBatch`; concurrent readers always resolve a
+    * complete snapshot (the manifest commit), so the table is live
+    * while the stream runs.
+    */
+  def upsertKeyedStream(updates: DataFrame, dir: String, keyCol: String,
+                        nBuckets: Int, seqCol: Option[String] = None,
+                        deleteCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          upsertKeyedBatch(batch, dir, keyCol, nBuckets, seqCol, deleteCol)
+      }
+      .start()
+
   /** Tumbling-window counts/sums per key with late-data handling. */
   def tumblingAgg(events: DataFrame, tsCol: String, window: String,
                   watermark: String, keys: Seq[String],
