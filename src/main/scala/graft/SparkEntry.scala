@@ -1273,6 +1273,37 @@ object SparkEntry {
       graft.ext.Search.phraseSearch(t(s, d, "documents").df,
         "doc_id", "text", Seq("scan", "query"))),
 
+    // Ordered proximity (slop) retrieval: terms in order with at most
+    // slop-1 intervening tokens between consecutive terms — the
+    // generalization of the phrase operator (slop=1), counted as
+    // distinct chain starts; pure scan expression, no shuffle
+    "x122_near_scan" -> ((s, d) =>
+      graft.ext.Search.nearSearch(t(s, d, "documents").df,
+        "doc_id", "text", Seq("scan", "query"), 3)),
+
+    // The same proximity semantics over the positional index (static
+    // bucket pruning; identical chain expression -> identical rows)
+    "x123_near_index" -> ((s, d) => {
+      val dir = runScratch("nearidx", d)
+      graft.ext.Search.buildIndex(t(s, d, "documents").df,
+        "doc_id", "text", dir)
+      graft.ext.Search.nearSearchIndex(s, dir,
+        Seq("vector", "table"), 4)
+    }),
+
+    // Keyed point lookup: reads ONLY the buckets the probe keys hash
+    // into (keyCol/nBuckets from the table's own manifest metadata) —
+    // the read-side twin of the merge's path pruning
+    "x121_keyed_lookup" -> ((s, d) => {
+      val dir = runScratch("klook", d)
+      graft.sources.Maintenance.writeKeyed(
+        t(s, d, "orders").df.select("o_orderkey", "o_totalprice"),
+        dir, "o_orderkey", 16)
+      graft.sources.Maintenance.lookupKeyed(s, dir,
+        Seq(1L, 7L, 32L, 33L, 65L, 98L, 100L, 999999L))
+        .select("o_orderkey", "o_totalprice")
+    }),
+
     // The SAME phrase semantics over the positional inverted index:
     // postings carry sorted token positions, the scan touches only
     // the phrase terms' buckets (static pruning), and the occurrence
@@ -3883,6 +3914,29 @@ object SparkEntry {
          ) WHERE n_occ > 0"""
   }
 
+  /** Ordered-proximity mirror: nested list comprehensions over
+    * 1-based positions replay the chain-start count exactly.
+    */
+  private def nearOracleSql(terms: Seq[String], slop: Int): String = {
+    def posExpr(t: String) =
+      s"[i for i in range(1, len(tok) + 1) if tok[i] = '$t']"
+    def chain(j: Int, prev: String): String =
+      if (j == terms.length) "TRUE"
+      else s"len([q$j for q$j in ${posExpr(terms(j))} " +
+        s"if q$j > $prev AND q$j <= $prev + $slop " +
+        s"AND ${chain(j + 1, s"q$j")}]) > 0"
+    s"""WITH tk AS (
+           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+           FROM documents
+         )
+         SELECT doc_id, CAST(n_occ AS INT) AS n_occ FROM (
+           SELECT doc_id,
+             len([q0 for q0 in ${posExpr(terms.head)}
+                  if ${chain(1, "q0")}]) AS n_occ
+           FROM tk
+         ) WHERE n_occ > 0"""
+  }
+
   private val ivfOracleSql: String =
     """WITH cent AS (
            SELECT vec_id AS centroid_id, embedding AS cvec,
@@ -6001,6 +6055,13 @@ object SparkEntry {
     // range(1, len-L+2) is empty for docs shorter than the phrase
     "x118_phrase_scan" -> phraseOracleSql(Seq("scan", "query")),
     "x119_phrase_index" -> phraseOracleSql(Seq("value", "table", "part")),
+    "x122_near_scan" -> nearOracleSql(Seq("scan", "query"), 3),
+    "x123_near_index" -> nearOracleSql(Seq("vector", "table"), 4),
+
+    // the probed keys that exist, straight off the base table
+    "x121_keyed_lookup" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey IN (1, 7, 32, 33, 65, 98, 100, 999999)""",
 
     // scale-invariant constants: top-20 exists on both paths and the
     // (doc_id, score) join matches row-for-row

@@ -145,6 +145,58 @@ object Search {
     df.select(col(idCol), phraseCount(col(textCol), phrase).as("n_occ"))
       .filter(col("n_occ") > 0)
 
+  /** 0-based positions of `term` inside the token array — the scan
+    * expression the near/proximity operators chain over (the index
+    * path reads the same positions from the postings instead).
+    */
+  private def posOf(tok: Column, term: String): Column =
+    F.filter(F.sequence(lit(0), F.size(tok) - 1),
+      p => F.element_at(tok, p + 1) === lit(term))
+
+  /** Count of ORDERED proximity chains: positions q_0 < q_1 < ... with
+    * q_{j+1} - q_j <= slop, q_j a position of terms(j). slop = 1 is
+    * exactly the phrase semantics; larger slop allows up to slop-1
+    * intervening tokens between consecutive terms. The count is the
+    * number of chain STARTS (distinct q_0 that can begin a full
+    * chain), so it is deterministic and oracle-mirrorable. Built as
+    * nested EXISTS lambdas over the per-term position arrays — shared
+    * verbatim by the scan and index paths (their bit-identity is
+    * structural).
+    */
+  private def chainCount(posOfSlot: Int => Column, nSlots: Int,
+                         slop: Int): Column = {
+    def rest(j: Int, prev: Column): Column =
+      if (j == nSlots) lit(true)
+      else F.exists(posOfSlot(j),
+        q => q > prev && q <= prev + slop && rest(j + 1, q))
+    F.size(F.filter(posOfSlot(0), q0 => rest(1, q0)))
+  }
+
+  /** Ordered-proximity retrieval on the direct scan path: docs where
+    * the terms occur in order with at most `slop - 1` intervening
+    * tokens between consecutive terms, with the chain-start count.
+    * Same zero-shuffle shape as `phraseSearch` (which this equals at
+    * slop = 1).
+    */
+  def nearSearch(df: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], slop: Int): DataFrame = {
+    require(terms.nonEmpty, "nearSearch: empty query")
+    require(slop >= 1, s"nearSearch: slop must be >= 1, got $slop")
+    val tok = tokens(col(textCol))
+    // bind each slot's positions to a named column ONCE (a doc-side
+    // let): inlining posOf into every nested exists would recompute
+    // the slot-0 scan per candidate chain
+    val uniq = terms.distinct
+    val withPos = df.select(col(idCol) +: uniq.zipWithIndex.map {
+      case (t, i) => posOf(tok, t).as(s"__pos_$i")
+    }: _*)
+    val slotCol = terms.map(t => col(s"__pos_${uniq.indexOf(t)}"))
+    withPos
+      .select(col(idCol),
+        chainCount(slotCol(_), terms.length, slop).as("n_occ"))
+      .filter(col("n_occ") > 0)
+  }
+
   /** TF-IDF keyword extraction: the `m` most distinctive terms per
     * document, scored tf * (N / df) (rational idf — same determinism
     * rationale as `bm25Search`), ties broken lexicographically.
@@ -349,6 +401,36 @@ object Search {
       }.foldLeft(lit(true): Column)(_ && _)))
     pivoted.filter(gate)
       .select(col("doc_id"), count.as("n_occ"))
+      .filter(col("n_occ") > 0)
+  }
+
+  /** Ordered-proximity retrieval over the positional index —
+    * row-identical to `nearSearch` (the same chainCount expression
+    * runs over the stored position arrays), touching only the query
+    * terms' buckets.
+    */
+  def nearSearchIndex(spark: SparkSession, dir: String,
+                      terms: Seq[String], slop: Int): DataFrame = {
+    require(terms.nonEmpty, "nearSearchIndex: empty query")
+    require(slop >= 1, s"nearSearchIndex: slop must be >= 1, got $slop")
+    val uniq = terms.distinct
+    val stats = spark.read.parquet(dir + "/stats")
+    val nBuckets = stats.select("n_buckets").head.getInt(0)
+    val buckets = uniq.map(t => TextAnalysis.h60Value(t) % nBuckets).distinct
+    val pruned = spark.read.parquet(dir + "/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(uniq: _*))
+    val pivoted = pruned.groupBy("doc_id")
+      .agg(
+        F.max(F.when(col("term") === uniq.head, col("positions")))
+          .as("__pos_0"),
+        uniq.zipWithIndex.tail.map { case (t, i) =>
+          F.max(F.when(col("term") === t, col("positions"))).as(s"__pos_$i")
+        }: _*)
+    val gate = uniq.indices.map(i => col(s"__pos_$i").isNotNull).reduce(_ && _)
+    val slotCol = terms.map(t => col(s"__pos_${uniq.indexOf(t)}"))
+    pivoted.filter(gate)
+      .select(col("doc_id"),
+        chainCount(slotCol(_), terms.length, slop).as("n_occ"))
       .filter(col("n_occ") > 0)
   }
 }

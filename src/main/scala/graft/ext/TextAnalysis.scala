@@ -270,7 +270,7 @@ object TextAnalysis {
   /** Driver-side mirror of `h60` (first 60 bits of md5) for plan-build-
     * time constants — bit-identical to the engine/oracle derivation.
     */
-  private[ext] def h60Value(s: String): Long = {
+  private[graft] def h60Value(s: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString

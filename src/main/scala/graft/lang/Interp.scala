@@ -1556,7 +1556,7 @@ object Interp {
       "linfit", "transitions",
       "compact_table", "write_zordered", "write_keyed", "read_keyed",
       "upsert_keyed", "delete_keyed", "vacuum_keyed", "table_stats",
-      "keyed_stats", "phrase_search")
+      "keyed_stats", "phrase_search", "near_search")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -2554,6 +2554,20 @@ object Interp {
             throw new graft.types.ValueError("phrase_search: empty phrase")
           PTable(graft.ext.Search.phraseSearch(t(args(0).value).df,
             litString(args(1).value), litString(args(2).value), ph))
+        case "near_search" =>
+          // near_search(t, "id_col", "text_col", "terms", slop) —
+          // ordered proximity: terms in order, <= slop-1 intervening
+          // tokens between consecutive terms (slop 1 == phrase)
+          if (args.length != 5)
+            throw new TypeError(
+              "near_search(t, \"id_col\", \"text_col\", \"terms\", slop)")
+          val nt = litString(args(3).value).trim.split("\\s+").toSeq
+            .filter(_.nonEmpty)
+          if (nt.isEmpty)
+            throw new graft.types.ValueError("near_search: empty query")
+          PTable(graft.ext.Search.nearSearch(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value), nt,
+            constLong(args(4).value).toInt))
         case other => throw new NameError(s"unknown table function '$other'")
       }
     }

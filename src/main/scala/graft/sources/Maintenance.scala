@@ -89,8 +89,15 @@ object Maintenance {
     F.pmod(graft.ext.TextAnalysis.h60(F.col(keyCol)), F.lit(nBuckets.toLong))
       .cast(org.apache.spark.sql.types.IntegerType)
 
-  /** A resolved table snapshot: manifest version → live dir per bucket. */
-  final case class KeyedManifest(version: Int, buckets: Map[Int, String])
+  /** A resolved table snapshot: manifest version → live dir per bucket.
+    * `keyCol`/`nBuckets` are TABLE METADATA recorded at writeKeyed time
+    * (empty/0 for versioned datasets and pre-metadata manifests) — a
+    * querier guessing a different bucket count would compute wrong
+    * bucket ids and silently prune away real rows, the same rule as
+    * the inverted index's n_buckets.
+    */
+  final case class KeyedManifest(version: Int, buckets: Map[Int, String],
+                                 keyCol: String = "", nBuckets: Int = 0)
 
   private def cleanDir(dir: String): String = dir.replaceAll("/+$", "")
 
@@ -104,6 +111,8 @@ object Maintenance {
 
   private val ManifestName = """v(\d{9})\.json""".r
   private val BucketEntry = """"(\d+)"\s*:\s*"([^"]+)"""".r
+  private val KeyColEntry = """"keyCol"\s*:\s*"([^"]*)"""".r
+  private val NBucketsEntry = """"nBuckets"\s*:\s*(\d+)""".r
 
   /** All committed manifest versions at `dir`, ascending. */
   def manifestVersions(spark: SparkSession, dir: String): Seq[Int] = {
@@ -134,7 +143,9 @@ object Maintenance {
       finally in.close()
     val buckets = BucketEntry.findAllMatchIn(txt)
       .map(m => m.group(1).toInt -> m.group(2)).toMap
-    KeyedManifest(v, buckets)
+    KeyedManifest(v, buckets,
+      KeyColEntry.findFirstMatchIn(txt).map(_.group(1)).getOrElse(""),
+      NBucketsEntry.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0))
   }
 
   /** Publish a manifest: write to a dot-temp in `_manifests`, then one
@@ -147,9 +158,12 @@ object Maintenance {
     val md = manifestDir(clean)
     val fs = hadoopFs(spark, md)
     fs.mkdirs(md)
+    val meta =
+      if (m.nBuckets > 0) s""""keyCol": "${m.keyCol}", "nBuckets": ${m.nBuckets}, """
+      else ""
     val body = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, d) => s""""$b": "$d"""" }
-      .mkString(s"""{"version": ${m.version}, "buckets": {""", ", ", "}}")
+      .mkString(s"""{"version": ${m.version}, $meta"buckets": {""", ", ", "}}")
     val tmp = new Path(md, s".tmp_v${m.version}_${ProcessHandle.current().pid()}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -193,7 +207,7 @@ object Maintenance {
     fs.delete(new Path(clean), true)
     val staged = stageBuckets(spark, clean,
       df.withColumn("kb", kb(keyCol, nBuckets)), version = 1)
-    writeManifest(spark, clean, KeyedManifest(1, staged))
+    writeManifest(spark, clean, KeyedManifest(1, staged, keyCol, nBuckets))
   }
 
   /** Write `withKb` (any frame carrying the int `kb` column) as one
@@ -243,7 +257,8 @@ object Maintenance {
     // a touched bucket absent from staging lost ALL its rows (delete
     // path): it simply leaves the manifest
     val next = cur.buckets -- touched ++ staged
-    PendingCommit(clean, KeyedManifest(cur.version + 1, next))
+    PendingCommit(clean,
+      KeyedManifest(cur.version + 1, next, cur.keyCol, cur.nBuckets))
   }
 
   private[graft] def commitKeyed(spark: SparkSession,
@@ -269,7 +284,7 @@ object Maintenance {
     val touched = up.select("kb").distinct().collect()
       .map(_.getInt(0)).sorted.toSeq
     if (touched.isEmpty) return
-    val base = readTouched(spark, dir, touched, up)
+    val base = readTouched(spark, dir, touched, up, keyCol, nBuckets)
     val merged = base
       .join(up.select(keyCol).distinct(), Seq(keyCol), "left_anti")
       .unionByName(up.select(base.columns.map(F.col).toIndexedSeq: _*))
@@ -288,7 +303,7 @@ object Maintenance {
     val touched = ks.select("kb").distinct().collect()
       .map(_.getInt(0)).sorted.toSeq
     if (touched.isEmpty) return
-    val base = readTouched(spark, dir, touched, ks)
+    val base = readTouched(spark, dir, touched, ks, keyCol, nBuckets)
     val merged = base.join(ks.select(keyCol).distinct(),
       Seq(keyCol), "left_anti")
     commitKeyed(spark, stageMerge(spark, dir, merged, touched))
@@ -301,14 +316,46 @@ object Maintenance {
     * union aligned.
     */
   private def readTouched(spark: SparkSession, dir: String,
-                          touched: Seq[Int], batch: DataFrame): DataFrame = {
+                          touched: Seq[Int], batch: DataFrame,
+                          keyCol: String, nBuckets: Int): DataFrame = {
     val clean = cleanDir(dir)
     val m = readManifest(spark, dir)
+    // a mismatched bucket count or key would hash the batch into the
+    // WRONG buckets and silently merge against the wrong base slices
+    require(m.nBuckets == 0 || (m.nBuckets == nBuckets && m.keyCol == keyCol),
+      s"keyed table $clean is (${m.keyCol}, ${m.nBuckets}) buckets; " +
+        s"caller passed ($keyCol, $nBuckets)")
     val live = touched.flatMap(m.buckets.get).map(d => s"$clean/$d")
     if (live.nonEmpty) spark.read.parquet(live: _*)
     else if (m.buckets.nonEmpty)
       spark.read.parquet(s"$clean/${m.buckets.head._2}").limit(0)
     else batch.limit(0)
+  }
+
+  /** Point lookup on the keyed table: the rows whose key is in `keys`,
+    * reading ONLY the bucket dirs those keys hash into — the read-side
+    * twin of the merge's path pruning. The table's own manifest
+    * metadata supplies keyCol and bucket count (never a caller guess),
+    * so the cost is O(|keys| buckets' files), independent of table
+    * size: this is what a 100 TB key-value probe should cost.
+    * Key hashing matches `kb` exactly: md5 of the key's STRING form
+    * (Spark's cast and JVM toString agree for longs/ints/strings).
+    */
+  def lookupKeyed(spark: SparkSession, dir: String,
+                  keys: Seq[Any]): DataFrame = {
+    require(keys.nonEmpty, "lookupKeyed: no keys")
+    val clean = cleanDir(dir)
+    val m = readManifest(spark, dir)
+    require(m.nBuckets > 0,
+      s"$clean has no keyed metadata (pre-r8 table or versioned dataset)")
+    val touched = keys
+      .map(k => (graft.ext.TextAnalysis.h60Value(k.toString) % m.nBuckets).toInt)
+      .distinct.flatMap(m.buckets.get).map(d => s"$clean/$d")
+    if (touched.isEmpty)
+      readKeyed(spark, dir).limit(0)
+    else spark.read.parquet(touched: _*)
+      .filter(F.col(m.keyCol).cast(org.apache.spark.sql.types.StringType)
+        .isin(keys.map(_.toString): _*))
   }
 
   /** Garbage-collect snapshots: keep the newest `keepVersions`

@@ -254,6 +254,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.readKeyed(spark, dir).count() == 51)
   }
 
+  test("lookupKeyed reads only the probed keys' buckets, via manifest metadata") {
+    val dir = tmp("graft_lk")
+    val base = spark.range(0, 400).select(col("id").as("k"),
+      (col("id") * 3).as("v"))
+    Maintenance.writeKeyed(base, dir, "k", 16)
+    val keys = Seq(5L, 9L, 123L, 9999L)
+    val got = Maintenance.lookupKeyed(spark, dir, keys)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 15L, 9L -> 27L, 123L -> 369L))
+    // the scan lists ONLY the probed buckets' dirs
+    val touched = keys.map(k =>
+      f"b${kbOf(k, 16)}%05d_").toSet
+    val files = Maintenance.lookupKeyed(spark, dir, keys).inputFiles
+    assert(files.nonEmpty && files.forall(f => touched.exists(f.contains)),
+      s"lookup read untouched buckets: ${files.mkString(",")}")
+    // a caller passing the wrong bucket count to a merge is refused
+    intercept[IllegalArgumentException] {
+      Maintenance.upsertKeyed(spark, dir, Seq((1L, 1L)).toDF("k", "v"),
+        "k", 8)
+    }
+  }
+
   test("keyedStats reports rows and files per bucket of the live snapshot") {
     val dir = tmp("graft_tst")
     Maintenance.writeKeyed(

@@ -125,6 +125,48 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("nearSearch: ordered chains within slop; slop=1 equals the phrase") {
+    val df = Seq(
+      (1L, "a x b"),       // a..b with one gap: slop 2 matches, 1 not
+      (2L, "a b"),         // consecutive
+      (3L, "b x x a"),     // wrong order
+      (4L, "a x x x b"),   // gap 4: only slop >= 4
+      (5L, "a x b x b")).toDF("id", "t") // one start, two chain ends -> 1
+    def near(slop: Int) = Search.nearSearch(df, "id", "t", Seq("a", "b"), slop)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(near(1) == Map(2L -> 1))
+    assert(near(2) == Map(1L -> 1, 2L -> 1, 5L -> 1))
+    assert(near(4) == Map(1L -> 1, 2L -> 1, 4L -> 1, 5L -> 1))
+    // slop=1 == phrase semantics on the corpus
+    val p = Search.phraseSearch(docs, "doc_id", "text", Seq("scan", "query"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val n1 = Search.nearSearch(docs, "doc_id", "text",
+      Seq("scan", "query"), 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(p == n1)
+  }
+
+  test("nearSearchIndex is row-identical to the near scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nearidx")
+      .toString
+    try {
+      Search.buildIndex(docs, "doc_id", "text", dir, nBuckets = 16)
+      for ((terms, slop) <- Seq((Seq("scan", "query"), 3),
+        (Seq("vector", "table"), 4), (Seq("key", "value", "key"), 5),
+        (Seq("table"), 2))) {
+        val direct = Search.nearSearch(docs, "doc_id", "text", terms, slop)
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+        val indexed = Search.nearSearchIndex(spark, dir, terms, slop)
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+        assert(direct == indexed, s"near $terms/$slop disagrees")
+        assert(direct.nonEmpty || terms.contains("nosuch"))
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
+
   test("topTermsPerDoc surfaces the distinctive term first") {
     val corpus = Seq(
       (1L, "apple apple shared"),
