@@ -123,5 +123,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_hll_regs"),
       new ExpressionInfo(classOf[HllRegs].getName, "graft_hll_regs"),
       (exprs: Seq[Expression]) => HllRegs.fromArgs(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hll_regs_state"),
+      new ExpressionInfo(classOf[HllRegsState].getName,
+        "graft_hll_regs_state"),
+      (exprs: Seq[Expression]) => HllRegs.stateFromArgs(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hll_regs_union"),
+      new ExpressionInfo(classOf[HllRegsUnion].getName,
+        "graft_hll_regs_union"),
+      (exprs: Seq[Expression]) => HllRegs.unionFromArgs(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hll_est"),
+      new ExpressionInfo(classOf[HllEstimate].getName, "graft_hll_est"),
+      (exprs: Seq[Expression]) => HllRegs.estFromArgs(exprs)))
   }
 }

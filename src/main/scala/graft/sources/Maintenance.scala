@@ -479,58 +479,27 @@ object Maintenance {
           basicAggs(valueCol).tail: _*)
       case Some(dk) =>
         require(p >= 7 && p <= 16, s"hll p in [7,16], got $p")
-        val m = 1 << p
-        val maxRho = 61 - p
-        // the exact hash/rank pipeline of PF.hllMd5 (portable md5 —
-        // a DuckDB oracle replays the ESTIMATE bit-for-bit)
-        val hv = graft.ext.TextAnalysis.h60(F.concat(F.lit("hll:"),
-          F.col("__dk").cast(org.apache.spark.sql.types.StringType)))
-        val w = F.shiftright(hv, p)
-        val rho = F.when(w === 0L, F.lit(maxRho))
-          .otherwise(F.lit(maxRho) - F.length(F.bin(w)))
-        // two-level rollup: (keys, bucket) → max rank, then per key the
-        // dense m-register array (≤ m rows per key feed level 2 — the
-        // collect is bounded by the sketch size, never the data)
-        df.select(F.col(valueCol) +: F.col(dk).as("__dk") +:
-            keys.map(F.col): _*)
-          .withColumn("__bucket",
-            F.when(F.col("__dk").isNotNull,
-              hv.bitwiseAND(F.lit((m - 1).toLong))
-                .cast(org.apache.spark.sql.types.IntegerType)))
-          .withColumn("__rho", rho
-            .cast(org.apache.spark.sql.types.IntegerType))
-          .groupBy((keys :+ "__bucket").map(F.col): _*)
+        // the native register aggregate (plans.HllRegsState): ONE
+        // aggregation, a bounded 2^p-byte buffer per group, registers
+        // persisted as BINARY. (A first cut densified a per-bucket
+        // rollup with element_at-on-a-map inside a transform lambda —
+        // CollapseProject inlined the map construction INTO the lambda
+        // and rebuilt it per array element: 41 s for five rows.)
+        df.groupBy(keys.map(F.col): _*)
           .agg(basicAggs(valueCol).head,
-            basicAggs(valueCol).tail :+ F.max(F.col("__rho")).as("__mj"): _*)
-          .groupBy(keys.map(F.col): _*)
-          .agg(
-            F.sum(F.col("__cnt")).as("__cnt"), F.sum(F.col("__sum")).as("__sum"),
-            F.min(F.col("__min")).as("__min"), F.max(F.col("__max")).as("__max"),
-            F.map_from_entries(F.sort_array(F.collect_list(
-              F.when(F.col("__bucket").isNotNull, F.expr(
-                "named_struct('b', __bucket, 'mj', __mj)"))))).as("__rm"))
-          .select(keys.map(F.col) ++ Seq(F.col("__cnt"), F.col("__sum"),
-            F.col("__min"), F.col("__max"),
-            F.expr(s"""transform(sequence(0, ${m - 1}),
-                      |  b -> coalesce(element_at(__rm, b), 0))"""
-              .stripMargin).as("__regs")): _*)
+            basicAggs(valueCol).tail :+
+              graft.plans.HllRegs.stateMd5(F.col(dk), p).as("__regs"): _*)
     }
 
-  private def aggOfState(state: DataFrame, keys: Seq[String]): DataFrame = {
+  private def aggOfState(state: DataFrame, keys: Seq[String],
+                         p: Int): DataFrame = {
     val aggs = Seq(
       F.sum(F.col("__cnt")).as("__cnt"), F.sum(F.col("__sum")).as("__sum")) ++
       (if (state.columns.contains("__min"))
         Seq(F.min(F.col("__min")).as("__min"), F.max(F.col("__max")).as("__max"))
       else Nil) ++
       (if (state.columns.contains("__regs"))
-        // at most (sources being merged) arrays per key reach the
-        // fold — bounded collect, element-wise max merge
-        Seq(F.expr(
-          """aggregate(collect_list(__regs),
-            |  CAST(array() AS ARRAY<INT>),
-            |  (acc, r) -> CASE WHEN size(acc) = 0 THEN r
-            |    ELSE zip_with(acc, r, (x, y) -> greatest(x, y)) END)"""
-            .stripMargin).as("__regs"))
+        Seq(graft.plans.HllRegs.unionState(F.col("__regs"), p).as("__regs"))
       else Nil)
     state.groupBy(keys.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -614,7 +583,7 @@ object Maintenance {
       prev.unionByName(partialAgg(batch, keys, valueCol, distinctKey, p)
         // legacy (cnt, sum)-only states merge with a richer batch
         // partial by dropping what the state never tracked
-        .select(prev.columns.map(F.col).toIndexedSeq: _*)), keys)
+        .select(prev.columns.map(F.col).toIndexedSeq: _*)), keys, p)
     writeVersioned(merged, dir)
     // old generations GC here by default: agg state is refresh-heavy
     // and callers wanting time travel can vacuum on their own cadence
@@ -629,9 +598,6 @@ object Maintenance {
     */
   def finalizeAgg(state: DataFrame, keys: Seq[String],
                   p: Int = 12): DataFrame = {
-    val m = 1 << p
-    val maxRho = 61 - p
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
     val base = Seq(
       F.col("__cnt").as("n"),
       F.col("__sum").cast(org.apache.spark.sql.types.DoubleType).as("total"),
@@ -644,23 +610,13 @@ object Maintenance {
         Seq(F.col("__min").as("vmin"), F.col("__max").as("vmax"))
       else Nil
     val distinct =
-      if (state.columns.contains("__regs")) {
-        // PF.hllMd5's estimate replayed over the register array:
-        // integer register sum (empty register = 2^maxRho), linear
-        // counting below 2.5m — identical branches, identical bits
-        val s = F.expr(
-          s"""aggregate(__regs, CAST(0 AS BIGINT),
-             |  (acc, mj) -> acc + CAST(pow(2.0, $maxRho - mj) AS BIGINT))"""
-            .stripMargin)
-        val v = F.expr("size(filter(__regs, r -> r = 0))")
-          .cast(org.apache.spark.sql.types.DoubleType)
-        val eRaw = F.lit(alpha * m.toDouble * m.toDouble) /
-          (s.cast(org.apache.spark.sql.types.DoubleType) /
-            math.pow(2.0, maxRho))
-        Seq(F.round(F.when(eRaw <= F.lit(2.5 * m) && v > 0,
-            F.lit(m.toDouble) * F.log(F.lit(m.toDouble) / v))
-          .otherwise(eRaw), 3).as("approx_distinct"))
-      } else Nil
+      if (state.columns.contains("__regs"))
+        // PF.hllMd5's estimate over the persisted registers — the
+        // native scalar shares its arithmetic with graft_hll_regs
+        // (and the DuckDB oracle replays it bit-for-bit)
+        Seq(graft.plans.HllRegs.estimate(F.col("__regs"), p)
+          .as("approx_distinct"))
+      else Nil
     state.select(keys.map(F.col) ++ base ++ minmax ++ distinct: _*)
   }
 
