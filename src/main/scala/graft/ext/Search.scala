@@ -116,6 +116,24 @@ object Search {
       .limit(k)
   }
 
+  /** Evaluate `cols` ONCE per row and let `body` reference the bound
+    * values — a let-binding via array(struct(...)) + transform.
+    * Catalyst has no let, and CollapseProject inlines a projected
+    * subexpression INTO downstream HOF lambdas, re-evaluating it per
+    * array element (a tokenizing split inside a position lambda
+    * re-splits the text per candidate position — measured 3-10x on
+    * the phrase/proximity scans). Binding through a single-element
+    * transform forces one evaluation: the HOF argument is computed
+    * once, the lambda references the bound element.
+    */
+  private def let(cols: Seq[Column])(body: Seq[Column] => Column): Column =
+    F.element_at(
+      F.transform(F.array(F.struct(cols.zipWithIndex.map {
+        case (c, i) => c.as(s"_l$i")
+      }: _*)),
+        s => body(cols.indices.map(i => s.getField(s"_l$i")))),
+      1)
+
   /** Count of exact CONSECUTIVE occurrences of `phrase` inside the
     * whitespace-token array — a pure scan expression like `termFreq`
     * (the phrase is a plan-build-time constant; no explode, no
@@ -125,14 +143,15 @@ object Search {
   def phraseCount(text: Column, phrase: Seq[String]): Column = {
     require(phrase.nonEmpty, "phraseCount: empty phrase")
     val L = phrase.length
-    val tok = tokens(text)
-    // guard n < L explicitly: sequence(0, n-L) would COUNT DOWN for
-    // n < L (implicit step -1) and fabricate start positions
-    F.when(F.size(tok) < L, lit(0)).otherwise(
-      F.size(F.filter(F.sequence(lit(0), F.size(tok) - L), i =>
-        phrase.zipWithIndex.map { case (t, j) =>
-          F.element_at(tok, i + j + 1) === lit(t) // element_at is 1-based
-        }.reduce(_ && _))))
+    let(Seq(tokens(text))) { case Seq(tok) =>
+      // guard n < L explicitly: sequence(0, n-L) would COUNT DOWN for
+      // n < L (implicit step -1) and fabricate start positions
+      F.when(F.size(tok) < L, lit(0)).otherwise(
+        F.size(F.filter(F.sequence(lit(0), F.size(tok) - L), i =>
+          phrase.zipWithIndex.map { case (t, j) =>
+            F.element_at(tok, i + j + 1) === lit(t) // element_at is 1-based
+          }.reduce(_ && _))))
+    }
   }
 
   /** Exact-phrase retrieval on the direct scan path: every doc
@@ -182,18 +201,16 @@ object Search {
                  terms: Seq[String], slop: Int): DataFrame = {
     require(terms.nonEmpty, "nearSearch: empty query")
     require(slop >= 1, s"nearSearch: slop must be >= 1, got $slop")
-    val tok = tokens(col(textCol))
-    // bind each slot's positions to a named column ONCE (a doc-side
-    // let): inlining posOf into every nested exists would recompute
-    // the slot-0 scan per candidate chain
     val uniq = terms.distinct
-    val withPos = df.select(col(idCol) +: uniq.zipWithIndex.map {
-      case (t, i) => posOf(tok, t).as(s"__pos_$i")
-    }: _*)
-    val slotCol = terms.map(t => col(s"__pos_${uniq.indexOf(t)}"))
-    withPos
-      .select(col(idCol),
-        chainCount(slotCol(_), terms.length, slop).as("n_occ"))
+    // nested lets: the token split binds once per row, then each
+    // slot's position array binds once — the nested exists chains
+    // reference BOUND arrays, never re-derive them per candidate
+    val cnt = let(Seq(tokens(col(textCol)))) { case Seq(tok) =>
+      let(uniq.map(t => posOf(tok, t))) { poss =>
+        chainCount(j => poss(uniq.indexOf(terms(j))), terms.length, slop)
+      }
+    }
+    df.select(col(idCol), cnt.as("n_occ"))
       .filter(col("n_occ") > 0)
   }
 
