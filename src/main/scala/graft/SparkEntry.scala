@@ -1332,7 +1332,10 @@ object SparkEntry {
       val direct = graft.ext.Search.bm25Search(docs, "doc_id", "text",
         terms, 20).localCheckpoint(true) // tiny; fans out below
       val d2 = s.createDataFrame(direct.rdd, direct.schema)
-      graft.ext.Search.buildIndex(docs, "doc_id", "text", dir)
+      // positions = false: this probe measures the BM25 build+query
+      // paths; the positional layout's cost/capability is x119's
+      graft.ext.Search.buildIndex(docs, "doc_id", "text", dir,
+        positions = false)
       val indexed = graft.ext.Search.searchIndex(s, dir, terms, 20)
         .localCheckpoint(true)
       val i2 = s.createDataFrame(indexed.rdd, indexed.schema)

@@ -293,14 +293,21 @@ object Search {
     * explode + one shuffle.
     */
   def buildIndex(df: DataFrame, idCol: String, textCol: String,
-                 dir: String, nBuckets: Int = 64): Unit = {
+                 dir: String, nBuckets: Int = 64,
+                 positions: Boolean = true): Unit = {
     val base = df.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("tok"))
+    val posAgg =
+      // positions roughly double the posting payload; a pure-BM25
+      // deployment can skip them (phrase/near queries then need a
+      // positional rebuild — they fail fast on the missing column)
+      if (positions)
+        Seq(F.sort_array(F.collect_list(col("pos"))).as("positions"))
+      else Nil
     base.select(col("doc_id"), F.size(col("tok")).as("dl"),
         F.posexplode(col("tok")).as(Seq("pos", "term")))
       .groupBy("doc_id", "dl", "term")
-      .agg(F.count(lit(1)).as("tf"),
-        F.sort_array(F.collect_list(col("pos"))).as("positions"))
+      .agg(F.count(lit(1)).as("tf"), posAgg: _*)
       .withColumn("bucket", F.pmod(h60(col("term")), lit(nBuckets.toLong)))
       // co-locate each bucket into one task before the partitioned
       // write: without this every task writes a sliver of every
@@ -403,6 +410,9 @@ object Search {
     val buckets = terms.map(t => TextAnalysis.h60Value(t) % nBuckets).distinct
     val pruned = spark.read.parquet(dir + "/postings")
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    require(pruned.columns.contains("positions"),
+      s"index at $dir was built with positions = false — phrase " +
+        "queries need a positional rebuild")
     val pivoted = pruned.groupBy("doc_id")
       .agg(
         F.max(F.when(col("term") === terms.head, col("positions")))
@@ -436,6 +446,9 @@ object Search {
     val buckets = uniq.map(t => TextAnalysis.h60Value(t) % nBuckets).distinct
     val pruned = spark.read.parquet(dir + "/postings")
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(uniq: _*))
+    require(pruned.columns.contains("positions"),
+      s"index at $dir was built with positions = false — proximity " +
+        "queries need a positional rebuild")
     val pivoted = pruned.groupBy("doc_id")
       .agg(
         F.max(F.when(col("term") === uniq.head, col("positions")))
