@@ -206,7 +206,7 @@ object Maintenance {
     val fs = hadoopFs(spark, new Path(clean))
     fs.delete(new Path(clean), true)
     val staged = stageBuckets(spark, clean,
-      df.withColumn("kb", kb(keyCol, nBuckets)), version = 1)
+      df.withColumn("kb", kb(keyCol, nBuckets)), version = 1, keyCol)
     writeManifest(spark, clean, KeyedManifest(1, staged, keyCol, nBuckets))
   }
 
@@ -216,16 +216,21 @@ object Maintenance {
     * into `b<bucket>_g<version>` names. The renames move dirs no reader
     * can reference yet, so they need no atomicity; one file per bucket
     * because the hash repartition puts each kb in exactly one task.
+    * Rows sort by key WITHIN each bucket, so the parquet row-group
+    * min/max stats on the key column are narrow and a point lookup's
+    * pushed IN-list skips most row groups inside the bucket too.
     * Returns bucket → dir-name for the buckets that got any rows.
     */
   private def stageBuckets(spark: SparkSession, clean: String,
-                           withKb: DataFrame, version: Int): Map[Int, String] = {
+                           withKb: DataFrame, version: Int,
+                           keyCol: String): Map[Int, String] = {
     val fs = hadoopFs(spark, new Path(clean))
     val staging =
       new Path(clean + s".staging_${ProcessHandle.current().pid()}")
     fs.delete(staging, true)
     withKb.withColumn("__kbp", F.col("kb"))
       .repartition(F.col("kb"))
+      .sortWithinPartitions(F.col("kb"), F.col(keyCol))
       .write.mode("overwrite").partitionBy("__kbp").parquet(staging.toString)
     fs.mkdirs(new Path(clean))
     val out = fs.listStatus(staging).toSeq.map(_.getPath)
@@ -253,7 +258,8 @@ object Maintenance {
                                 touched: Seq[Int]): PendingCommit = {
     val clean = cleanDir(dir)
     val cur = readManifest(spark, dir)
-    val staged = stageBuckets(spark, clean, merged, cur.version + 1)
+    val staged = stageBuckets(spark, clean, merged, cur.version + 1,
+      if (cur.keyCol.nonEmpty) cur.keyCol else "kb")
     // a touched bucket absent from staging lost ALL its rows (delete
     // path): it simply leaves the manifest
     val next = cur.buckets -- touched ++ staged
@@ -354,8 +360,10 @@ object Maintenance {
     if (touched.isEmpty)
       readKeyed(spark, dir).limit(0)
     else spark.read.parquet(touched: _*)
-      .filter(F.col(m.keyCol).cast(org.apache.spark.sql.types.StringType)
-        .isin(keys.map(_.toString): _*))
+      // native-typed IN-list (not a string cast) so the predicate
+      // PUSHES into the parquet scan and the within-bucket key sort
+      // lets row-group min/max stats skip most of each bucket file
+      .filter(F.col(m.keyCol).isin(keys: _*))
   }
 
   /** Garbage-collect snapshots: keep the newest `keepVersions`

@@ -269,6 +269,12 @@ class MaintenanceSpec extends SparkSpec {
     val files = Maintenance.lookupKeyed(spark, dir, keys).inputFiles
     assert(files.nonEmpty && files.forall(f => touched.exists(f.contains)),
       s"lookup read untouched buckets: ${files.mkString(",")}")
+    // the native-typed key IN-list pushes into the parquet scan (a
+    // string-cast filter would read every row group of the bucket)
+    val plan = Maintenance.lookupKeyed(spark, dir, keys)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(k"),
+      s"key IN-list did not push down:\n$plan")
     // a caller passing the wrong bucket count to a merge is refused
     intercept[IllegalArgumentException] {
       Maintenance.upsertKeyed(spark, dir, Seq((1L, 1L)).toDF("k", "v"),
