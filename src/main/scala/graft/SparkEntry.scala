@@ -1010,6 +1010,30 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice")
     }),
 
+    // COMPOSED: snapshot reconciliation — three commits build the
+    // table's history (write v1, MERGE v2, DELETE v3), then the x103
+    // diff operator runs between TIME-TRAVELED snapshot v1 and the
+    // live table: "what changed since the morning snapshot" without
+    // ever having kept a copy. Closed-form status counts
+    "qc25_snapshot_reconcile" -> ((s, d) => {
+      val dir = runScratch("snapdiff", d)
+      val M = graft.sources.Maintenance
+      val base = t(s, d, "orders").df
+        .select("o_orderkey", "o_totalprice")
+      M.writeKeyed(base, dir, "o_orderkey", 16)
+      M.upsertKeyed(s, dir, base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+        "o_orderkey", 16)
+      M.deleteKeyed(s, dir,
+        base.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"),
+        "o_orderkey", 16)
+      M.diff(
+        M.readKeyed(s, dir, Some(1)).select("o_orderkey", "o_totalprice"),
+        M.readKeyed(s, dir).select("o_orderkey", "o_totalprice"),
+        Seq("o_orderkey"))
+        .groupBy("status").agg(F.count(lit(1)).as("n"))
+    }),
+
     // Row-level table diff (reconciliation): direct null-safe column
     // compare, no hashes to collide, one full-outer equi-join
     "x103_diff" -> ((s, d) => {
@@ -5515,6 +5539,17 @@ object SparkEntry {
          UNION ALL
          SELECT o_orderkey + 100000000 AS o_orderkey, 1.5 AS o_totalprice
          FROM orders WHERE o_orderkey % 97 = 0""",
+
+    // snapshot-vs-live statuses in closed form: deletions beat the
+    // reprice on 91ths; a NULL price stays NULL through +1000 and the
+    // null-safe compare correctly calls it 'same'
+    "qc25_snapshot_reconcile" ->
+      """SELECT status, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'removed'
+                       WHEN o_orderkey % 7 = 0
+                            AND o_totalprice IS NOT NULL THEN 'changed'
+                       ELSE 'same' END AS status
+           FROM orders) GROUP BY status""",
 
     // diff statuses in closed form; the %11 removal wins over the %5
     // reprice (the b side filtered FIRST); + 7.25 always changes a
