@@ -184,7 +184,10 @@ object Maintenance {
     val m = readManifest(spark, dir, version)
     require(m.buckets.nonEmpty,
       s"snapshot v${m.version} of $clean is empty (every key deleted)")
-    spark.read.parquet(
+    // mergeSchema: generations written before an additive schema
+    // change lack the new columns — the snapshot surfaces them as
+    // nulls (Delta-style additive evolution; see upsertKeyed)
+    spark.read.option("mergeSchema", "true").parquet(
       m.buckets.values.toSeq.sorted.map(d => s"$clean/$d"): _*)
   }
 
@@ -278,10 +281,15 @@ object Maintenance {
     * The merge is anti-join + union into new bucket-generation dirs;
     * the commit is one manifest publish, so concurrent READERS always
     * see a complete snapshot (old until the commit, new after).
-    * `updates` must carry the base schema (minus `kb`); later duplicate
-    * keys WITHIN the batch are the caller's contract to avoid (both
-    * copies land, same as inserting twice). SINGLE WRITER per table:
-    * manifest version allocation is not locked, so serialize writers.
+    * Schema evolves ADDITIVELY: an update batch may carry columns the
+    * table doesn't have yet (they land for the merged rows; untouched
+    * generations surface them as NULL through readKeyed's mergeSchema)
+    * and may omit table columns (the batch's rows get NULL there).
+    * Dropping or retyping a column is NOT supported — rewrite.
+    * Later duplicate keys WITHIN the batch are the caller's contract
+    * to avoid (both copies land, same as inserting twice). SINGLE
+    * WRITER per table: manifest version allocation is not locked, so
+    * serialize writers.
     */
   def upsertKeyed(spark: SparkSession, dir: String, updates: DataFrame,
                   keyCol: String, nBuckets: Int): Unit = {
@@ -293,7 +301,7 @@ object Maintenance {
     val base = readTouched(spark, dir, touched, up, keyCol, nBuckets)
     val merged = base
       .join(up.select(keyCol).distinct(), Seq(keyCol), "left_anti")
-      .unionByName(up.select(base.columns.map(F.col).toIndexedSeq: _*))
+      .unionByName(up, allowMissingColumns = true)
     commitKeyed(spark, stageMerge(spark, dir, merged, touched))
   }
 
@@ -332,7 +340,9 @@ object Maintenance {
       s"keyed table $clean is (${m.keyCol}, ${m.nBuckets}) buckets; " +
         s"caller passed ($keyCol, $nBuckets)")
     val live = touched.flatMap(m.buckets.get).map(d => s"$clean/$d")
-    if (live.nonEmpty) spark.read.parquet(live: _*)
+    // mergeSchema: touched buckets may span an additive schema change
+    if (live.nonEmpty)
+      spark.read.option("mergeSchema", "true").parquet(live: _*)
     else if (m.buckets.nonEmpty)
       spark.read.parquet(s"$clean/${m.buckets.head._2}").limit(0)
     else batch.limit(0)
@@ -359,7 +369,7 @@ object Maintenance {
       .distinct.flatMap(m.buckets.get).map(d => s"$clean/$d")
     if (touched.isEmpty)
       readKeyed(spark, dir).limit(0)
-    else spark.read.parquet(touched: _*)
+    else spark.read.option("mergeSchema", "true").parquet(touched: _*)
       // native-typed IN-list (not a string cast) so the predicate
       // PUSHES into the parquet scan and the within-bucket key sort
       // lets row-group min/max stats skip most of each bucket file

@@ -282,6 +282,34 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("keyed schema evolves additively: new columns land, old rows read NULL") {
+    val dir = tmp("graft_evo")
+    Maintenance.writeKeyed(
+      spark.range(0, 40).select(col("id").as("k"), (col("id") * 2).as("v")),
+      dir, "k", 4)
+    // batch carries a NEW column w
+    Maintenance.upsertKeyed(spark, dir,
+      Seq((1L, -2L, "x"), (100L, 9L, "y")).toDF("k", "v", "w"), "k", 4)
+    val got = Maintenance.readKeyed(spark, dir)
+      .select("k", "v", "w").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.getString(2))))).toMap
+    assert(got.size == 41)
+    assert(got(1L) == ((-2L, Some("x"))) && got(100L) == ((9L, Some("y"))))
+    // untouched rows surface the new column as NULL
+    assert(got(2L) == ((4L, None)))
+    // a later batch may OMIT a table column: its rows read NULL there
+    Maintenance.upsertKeyed(spark, dir,
+      Seq((200L, "z")).toDF("k", "w"), "k", 4)
+    val r200 = Maintenance.readKeyed(spark, dir)
+      .filter(col("k") === 200L).select("v", "w").head()
+    assert(r200.isNullAt(0) && r200.getString(1) == "z")
+    // point lookup across mixed-schema generations still works
+    val lk = Maintenance.lookupKeyed(spark, dir, Seq(2L, 200L))
+      .select("k", "w").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(lk == Map(2L -> None, 200L -> Some("z")))
+  }
+
   test("keyedStats reports rows and files per bucket of the live snapshot") {
     val dir = tmp("graft_tst")
     Maintenance.writeKeyed(
