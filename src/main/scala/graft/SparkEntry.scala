@@ -1034,6 +1034,25 @@ object SparkEntry {
         .groupBy("status").agg(F.count(lit(1)).as("n"))
     }),
 
+    // CDC changelog between snapshots: only buckets whose GENERATION
+    // changed between the manifests are read on either side — the
+    // O(changed-data) incremental-consumer feed (same history as qc25;
+    // same closed-form truth, minus the same-rows)
+    "x124_keyed_changes" -> ((s, d) => {
+      val dir = runScratch("kchg", d)
+      val M = graft.sources.Maintenance
+      val base = t(s, d, "orders").df
+        .select("o_orderkey", "o_totalprice")
+      M.writeKeyed(base, dir, "o_orderkey", 16)
+      M.upsertKeyed(s, dir, base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+        "o_orderkey", 16)
+      M.deleteKeyed(s, dir,
+        base.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"),
+        "o_orderkey", 16)
+      M.keyedChanges(s, dir, 1, M.manifestVersions(s, dir).last)
+    }),
+
     // Row-level table diff (reconciliation): direct null-safe column
     // compare, no hashes to collide, one full-outer equi-join
     "x103_diff" -> ((s, d) => {
@@ -5539,6 +5558,16 @@ object SparkEntry {
          UNION ALL
          SELECT o_orderkey + 100000000 AS o_orderkey, 1.5 AS o_totalprice
          FROM orders WHERE o_orderkey % 97 = 0""",
+
+    // the non-same rows of the qc25 reconciliation, in closed form
+    "x124_keyed_changes" ->
+      """SELECT o_orderkey, status FROM (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'removed'
+                  WHEN o_orderkey % 7 = 0
+                       AND o_totalprice IS NOT NULL THEN 'changed'
+                  ELSE 'same' END AS status
+           FROM orders) WHERE status <> 'same'""",
 
     // snapshot-vs-live statuses in closed form: deletions beat the
     // reprice on 91ths; a NULL price stays NULL through +1000 and the

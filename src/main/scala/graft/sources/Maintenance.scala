@@ -376,6 +376,33 @@ object Maintenance {
       .filter(F.col(m.keyCol).isin(keys: _*))
   }
 
+  /** Changelog between two snapshots of the keyed table: one row per
+    * key that was added / removed / changed between `fromV` and `toV`
+    * (same-rows are omitted — this is a CDC feed, not a diff report).
+    * The decisive property: the manifests tell which buckets changed
+    * generation, so ONLY those buckets' dirs are read on either side —
+    * the cost is O(changed data), never table size. A downstream
+    * incremental consumer processes `keyedChanges(v_yesterday, v_now)`
+    * instead of re-scanning 100 TB.
+    */
+  def keyedChanges(spark: SparkSession, dir: String,
+                   fromV: Int, toV: Int): DataFrame = {
+    val clean = cleanDir(dir)
+    val m1 = readManifest(spark, dir, Some(fromV))
+    val m2 = readManifest(spark, dir, Some(toV))
+    require(m1.keyCol.nonEmpty, s"$clean has no keyed metadata")
+    val changed = (m1.buckets.keySet ++ m2.buckets.keySet)
+      .filter(b => m1.buckets.get(b) != m2.buckets.get(b)).toSeq.sorted
+    def side(m: KeyedManifest) = {
+      val dirs = changed.flatMap(m.buckets.get).map(d => s"$clean/$d")
+      if (dirs.nonEmpty)
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      else readKeyed(spark, dir, Some(m.version)).limit(0)
+    }
+    diff(side(m1).drop("kb"), side(m2).drop("kb"), Seq(m1.keyCol))
+      .filter(F.col("status") =!= "same")
+  }
+
   /** Garbage-collect snapshots: keep the newest `keepVersions`
     * manifests, delete older manifest files and every bucket dir no
     * kept manifest references. Run after a grace period longer than

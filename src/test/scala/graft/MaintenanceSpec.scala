@@ -310,6 +310,32 @@ class MaintenanceSpec extends SparkSpec {
     assert(lk == Map(2L -> None, 200L -> Some("z")))
   }
 
+  test("keyedChanges: CDC feed reads only generation-changed buckets") {
+    val dir = tmp("graft_chg")
+    val base = spark.range(0, 100).select(col("id").as("k"),
+      (col("id") * 10).as("v"))
+    Maintenance.writeKeyed(base, dir, "k", 8)
+    Maintenance.upsertKeyed(spark, dir,
+      Seq((7L, -1L), (1000L, 5L)).toDF("k", "v"), "k", 8)
+    Maintenance.deleteKeyed(spark, dir, Seq(3L).toDF("k"), "k", 8)
+    val ch = Maintenance.keyedChanges(spark, dir, 1,
+      Maintenance.manifestVersions(spark, dir).last)
+    val got = ch.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(7L -> "changed", 1000L -> "added", 3L -> "removed"))
+    // only the touched buckets' dirs are listed on either side
+    val touched = Seq(7L, 1000L, 3L).map(k => f"b${kbOf(k, 8)}%05d_").toSet
+    val files = ch.inputFiles
+    assert(files.nonEmpty && files.forall(f => touched.exists(f.contains)),
+      s"changelog read unchanged buckets: ${files.mkString(",")}")
+    // and it equals the full snapshot diff's non-same rows
+    val full = Maintenance.diff(
+        Maintenance.readKeyed(spark, dir, Some(1)).drop("kb"),
+        Maintenance.readKeyed(spark, dir).drop("kb"), Seq("k"))
+      .filter(col("status") =!= "same")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full == got)
+  }
+
   test("keyedStats reports rows and files per bucket of the live snapshot") {
     val dir = tmp("graft_tst")
     Maintenance.writeKeyed(
