@@ -1556,7 +1556,7 @@ object Interp {
       "linfit", "transitions",
       "compact_table", "write_zordered", "write_keyed", "read_keyed",
       "upsert_keyed", "delete_keyed", "vacuum_keyed", "table_stats",
-      "keyed_stats", "phrase_search", "near_search")
+      "keyed_stats", "phrase_search", "near_search", "keyed_changes")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -2389,15 +2389,20 @@ object Interp {
             t(args(1).value).df, maxIters = mi))
         case "funnel" =>
           // funnel(events, "user", "ts", "type", "step1 step2 ...",
-          //        window_us) — anchored greedy funnel depth per user
-          if (args.length != 6)
+          //        window_us, max_events?) — anchored greedy funnel
+          // depth per user; the optional cap bounds per-user state
+          // (depth over the EARLIEST cap step-events)
+          if (args.length < 6 || args.length > 7)
             throw new TypeError(
-              "funnel(events, \"user\", \"ts\", \"type\", \"steps\", window_us)")
+              "funnel(events, \"user\", \"ts\", \"type\", \"steps\", " +
+                "window_us, max_events?)")
+          val cap =
+            if (args.length == 7) constLong(args(6).value).toInt else 0
           PTable(graft.ext.Events.funnel(t(args(0).value).df,
             litString(args(1).value), litString(args(2).value),
             litString(args(3).value),
             litString(args(4).value).trim.split("\\s+").toSeq,
-            constLong(args(5).value)))
+            constLong(args(5).value), cap))
         case "retention" =>
           // retention(events, "user", "ts", bucket_us) — cohort
           // retention counts per (cohort, offset)
@@ -2516,6 +2521,14 @@ object Interp {
             litString(args(2).value), constLong(args(3).value).toInt)
           PTable(graft.sources.Maintenance.readKeyed(spark,
             litString(args(0).value)))
+        case "keyed_changes" =>
+          // keyed_changes(dir, from_version, to_version) — CDC feed of
+          // added/removed/changed keys, reading only changed buckets
+          if (args.length != 3)
+            throw new TypeError("keyed_changes(\"dir\", from_v, to_v)")
+          PTable(graft.sources.Maintenance.keyedChanges(spark,
+            litString(args(0).value), constLong(args(1).value).toInt,
+            constLong(args(2).value).toInt))
         case "vacuum_keyed" =>
           // vacuum_keyed(dir, keep?) — GC old snapshots; returns the
           // surviving manifest versions

@@ -84,7 +84,7 @@ object Repl {
     "linfit", "transitions",
     "compact_table", "write_zordered", "write_keyed", "read_keyed",
     "upsert_keyed", "delete_keyed", "vacuum_keyed", "table_stats",
-    "keyed_stats", "phrase_search", "near_search",
+    "keyed_stats", "phrase_search", "near_search", "keyed_changes",
     "import_orc",
     "SQL", "upper", "lower", "length", "round", "repeat", "char",
     "char_ord", "char_range", "str_index", "str_contains", "year",

@@ -1730,4 +1730,31 @@ class LangSpec extends SparkSpec {
     assert(errBuf5.toString.contains("debug>"))
     assert(out5.df.columns.toSeq == Seq("status"))
   }
+
+  test("keyed_changes and capped funnel from the language") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_qlchg").toString + "/t"
+    val out = Interp.run(spark,
+      s"""base = [1..50] {k: item, v: item * 10}
+         |s0 = write_keyed(base, "$dir", "k", 4)
+         |s1 = upsert_keyed("$dir", [1] {k: 7, v: 0 - 1}, "k", 4)
+         |keyed_changes("$dir", 1, 2) order {k}
+         |""".stripMargin).df.collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((7L, "changed")))
+    // the 7th funnel arg caps per-user state: user 1's click is its
+    // 3rd event — invisible under cap 2
+    val ev = Seq(
+      (1L, new java.sql.Timestamp(1000L), "view"),
+      (1L, new java.sql.Timestamp(2000L), "view"),
+      (1L, new java.sql.Timestamp(3000L), "click"))
+      .toDF("user_id", "ts", "etype")
+    val capped = Interp.run(spark,
+      """funnel(ev, "user_id", "ts", "etype", "view click",
+        |       604800000000, 2)""".stripMargin,
+      "ev" -> graft.dsl.PTable(ev)).df.collect()
+    assert(capped.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 1)))
+  }
 }
