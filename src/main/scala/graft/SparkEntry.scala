@@ -1139,6 +1139,24 @@ object SparkEntry {
           col("vmin"), col("vmax"), col("approx_distinct"))
     }),
 
+    // Mergeable approx quantiles in the incremental state: the
+    // md5-order bottom-k sample is a pure function of the value
+    // multiset (any merge order, same sample — and the oracle rebuilds
+    // it as ORDER BY hash LIMIT k), so the state-table median is
+    // bit-reproducible in SQL
+    "x125_incr_quantile" -> ((s, d) => {
+      val dir = runScratch("mvq", d)
+      val orders = t(s, d, "orders").df
+      graft.sources.Maintenance.buildAggState(
+        orders.filter(col("o_orderkey") % 10 =!= 0),
+        Seq("o_orderpriority"), "o_totalprice", dir, sampleK = 512)
+      val st = graft.sources.Maintenance.mergeAggState(s, dir,
+        orders.filter(col("o_orderkey") % 10 === 0),
+        Seq("o_orderpriority"), "o_totalprice", sampleK = 512)
+      graft.sources.Maintenance.finalizeAgg(st, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n"), col("approx_median"))
+    }),
+
     // Anchored funnel over the events stream: view -> click ->
     // purchase within 7 days of the user's FIRST view; greedy
     // earliest-completion semantics, mirrored as a min()-chain oracle
@@ -5612,6 +5630,31 @@ object SparkEntry {
            CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
                 ELSE o_totalprice END AS o_totalprice
          FROM orders WHERE o_orderkey % 13 <> 0""",
+
+    // the md5-order bottom-512 sample rebuilt with a rank window, its
+    // median via the same explicit middle/average arithmetic
+    "x125_incr_quantile" ->
+      """WITH s AS (
+           SELECT o_orderpriority, CAST(o_totalprice AS VARCHAR) AS vs,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY ('0x' || substr(md5('smp:'
+                 || CAST(o_totalprice AS VARCHAR)), 1, 15))::BIGINT,
+                 CAST(o_totalprice AS VARCHAR)) AS rn
+           FROM orders WHERE o_totalprice IS NOT NULL
+         ), sm AS (
+           SELECT o_orderpriority, CAST(vs AS DOUBLE) AS v
+           FROM s WHERE rn <= 512
+         ), med AS (
+           SELECT o_orderpriority, list(v ORDER BY v) AS arr
+           FROM sm GROUP BY 1
+         ), b AS (
+           SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1
+         )
+         SELECT b.o_orderpriority, n,
+           round((arr[(len(arr) + 1) // 2]
+             + arr[len(arr) // 2 + 1]) / 2.0, 6) AS approx_median
+         FROM b JOIN med USING (o_orderpriority)""",
 
     // the generalized state finalized == the full recompute: exact
     // decimal sums, raw min/max, and the x30-style md5-HLL estimate

@@ -502,11 +502,12 @@ object Maintenance {
     */
   def buildAggState(df: DataFrame, keys: Seq[String], valueCol: String,
                     dir: String, distinctKey: Option[String] = None,
-                    p: Int = 12): Unit = {
+                    p: Int = 12, sampleK: Int = 0): Unit = {
     val spark = df.sparkSession
     val clean = cleanDir(dir)
     hadoopFs(spark, new Path(clean)).delete(new Path(clean), true)
-    writeVersioned(partialAgg(df, keys, valueCol, distinctKey, p), dir)
+    writeVersioned(partialAgg(df, keys, valueCol, distinctKey, p, sampleK),
+      dir)
   }
 
   private def basicAggs(valueCol: String) = Seq(
@@ -517,27 +518,37 @@ object Maintenance {
     F.max(F.col(valueCol)).as("__max"))
 
   private def partialAgg(df: DataFrame, keys: Seq[String], valueCol: String,
-                         distinctKey: Option[String], p: Int): DataFrame =
-    distinctKey match {
-      case None =>
-        df.groupBy(keys.map(F.col): _*).agg(basicAggs(valueCol).head,
-          basicAggs(valueCol).tail: _*)
-      case Some(dk) =>
-        require(p >= 7 && p <= 16, s"hll p in [7,16], got $p")
-        // the native register aggregate (plans.HllRegsState): ONE
-        // aggregation, a bounded 2^p-byte buffer per group, registers
-        // persisted as BINARY. (A first cut densified a per-bucket
-        // rollup with element_at-on-a-map inside a transform lambda —
-        // CollapseProject inlined the map construction INTO the lambda
-        // and rebuilt it per array element: 41 s for five rows.)
-        df.groupBy(keys.map(F.col): _*)
-          .agg(basicAggs(valueCol).head,
-            basicAggs(valueCol).tail :+
-              graft.plans.HllRegs.stateMd5(F.col(dk), p).as("__regs"): _*)
-    }
+                         distinctKey: Option[String], p: Int,
+                         sampleK: Int = 0): DataFrame = {
+    require(p >= 7 && p <= 16, s"hll p in [7,16], got $p")
+    val extra =
+      // the native register aggregate (plans.HllRegsState): ONE
+      // aggregation, a bounded 2^p-byte buffer per group, registers
+      // persisted as BINARY. (A first cut densified a per-bucket
+      // rollup with element_at-on-a-map inside a transform lambda —
+      // CollapseProject inlined the map construction INTO the lambda
+      // and rebuilt it per array element: 41 s for five rows.)
+      distinctKey.map(dk =>
+        graft.plans.HllRegs.stateMd5(F.col(dk), p).as("__regs")).toSeq ++
+        // mergeable deterministic sample: the sampleK rows whose
+        // md5("smp:" || value-string) is SMALLEST — a pure function of
+        // the value multiset, so ANY merge order (and a DuckDB ORDER
+        // BY hash LIMIT k mirror) reproduces the identical sample;
+        // bounded per-group state via the EarliestK heap. Quantiles
+        // finalize from the uniform sample (see finalizeAgg).
+        (if (sampleK > 0)
+          Seq(graft.plans.EarliestK.earliestK(
+            graft.ext.TextAnalysis.h60(F.concat(F.lit("smp:"),
+              F.col(valueCol).cast(org.apache.spark.sql.types.StringType))),
+            F.col(valueCol).cast(org.apache.spark.sql.types.StringType),
+            sampleK).as("__smp"))
+        else Nil)
+    df.groupBy(keys.map(F.col): _*)
+      .agg(basicAggs(valueCol).head, basicAggs(valueCol).tail ++ extra: _*)
+  }
 
   private def aggOfState(state: DataFrame, keys: Seq[String],
-                         p: Int): DataFrame = {
+                         p: Int, sampleK: Int): DataFrame = {
     val aggs = Seq(
       F.sum(F.col("__cnt")).as("__cnt"), F.sum(F.col("__sum")).as("__sum")) ++
       (if (state.columns.contains("__min"))
@@ -545,6 +556,13 @@ object Maintenance {
       else Nil) ++
       (if (state.columns.contains("__regs"))
         Seq(graft.plans.HllRegs.unionState(F.col("__regs"), p).as("__regs"))
+      else Nil) ++
+      (if (state.columns.contains("__smp"))
+        // k smallest of the union of the (≤ sources) bounded samples —
+        // a tiny interpreted sort over ≤ 2k entries per key; the sort
+        // order (hash, value-string) is exactly the heap's
+        Seq(F.slice(F.array_sort(F.flatten(F.collect_list(F.col("__smp")))),
+          1, sampleK).as("__smp"))
       else Nil)
     state.groupBy(keys.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -622,13 +640,14 @@ object Maintenance {
   def mergeAggState(spark: SparkSession, dir: String, batch: DataFrame,
                     keys: Seq[String], valueCol: String,
                     distinctKey: Option[String] = None,
-                    p: Int = 12): DataFrame = {
+                    p: Int = 12, sampleK: Int = 0): DataFrame = {
     val prev = readVersioned(spark, dir)
     val merged = aggOfState(
-      prev.unionByName(partialAgg(batch, keys, valueCol, distinctKey, p)
+      prev.unionByName(
+        partialAgg(batch, keys, valueCol, distinctKey, p, sampleK)
         // legacy (cnt, sum)-only states merge with a richer batch
         // partial by dropping what the state never tracked
-        .select(prev.columns.map(F.col).toIndexedSeq: _*)), keys, p)
+        .select(prev.columns.map(F.col).toIndexedSeq: _*)), keys, p, sampleK)
     writeVersioned(merged, dir)
     // old generations GC here by default: agg state is refresh-heavy
     // and callers wanting time travel can vacuum on their own cadence
@@ -662,7 +681,22 @@ object Maintenance {
         Seq(graft.plans.HllRegs.estimate(F.col("__regs"), p)
           .as("approx_distinct"))
       else Nil
-    state.select(keys.map(F.col) ++ base ++ minmax ++ distinct: _*)
+    val median =
+      if (state.columns.contains("__smp"))
+        // the sample is uniform over the value multiset (md5-order
+        // bottom-k), so its median estimates the population's; the
+        // explicit middle/average arithmetic is what any SQL engine's
+        // continuous median does over the same sample
+        Seq(F.round(F.expr(
+          """CASE WHEN size(__smp) = 0 THEN NULL ELSE (
+            |  CAST(array_sort(transform(__smp,
+            |    e -> CAST(e.p AS DOUBLE)))[CAST((size(__smp) + 1) / 2 AS INT) - 1]
+            |    AS DOUBLE)
+            |  + array_sort(transform(__smp,
+            |    e -> CAST(e.p AS DOUBLE)))[CAST(size(__smp) / 2 + 1 AS INT) - 1]
+            |) / 2.0 END""".stripMargin), 6).as("approx_median"))
+      else Nil
+    state.select(keys.map(F.col) ++ base ++ minmax ++ distinct ++ median: _*)
   }
 
   /** Write `df` clustered by the Z-order (Morton) interleave of two

@@ -387,6 +387,33 @@ class MaintenanceSpec extends SparkSpec {
     assert(snap(Maintenance.finalizeAgg(disk, Seq("g"))) == inc)
   }
 
+  test("sampled agg state: merge order cannot change the sample or its median") {
+    val dir = tmp("graft_smp")
+    val dir2 = tmp("graft_smp_rev")
+    val full = spark.range(0, 3000).select(
+      (col("id") % 2).cast("string").as("g"),
+      (col("id") % 701 + 0.5).as("v"))
+    def medians(d: String, parts: Seq[org.apache.spark.sql.DataFrame]) = {
+      Maintenance.buildAggState(parts.head, Seq("g"), "v", d, sampleK = 64)
+      val st = parts.tail.foldLeft(
+        Maintenance.readVersioned(spark, d)) { (_, b) =>
+        Maintenance.mergeAggState(spark, d, b, Seq("g"), "v", sampleK = 64)
+      }
+      Maintenance.finalizeAgg(st, Seq("g"))
+        .select("g", "approx_median").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    val a = full.filter(col("id") % 3 === 0)
+    val b = full.filter(col("id") % 3 === 1)
+    val c = full.filter(col("id") % 3 === 2)
+    val fwd = medians(dir, Seq(a, b, c))
+    val rev = medians(dir2, Seq(c, b, a))
+    assert(fwd == rev, s"merge order changed the sample: $fwd vs $rev")
+    // the 64-point sample's median lands near the true median (~350.5)
+    fwd.values.foreach(m => assert(math.abs(m - 350.5) < 80,
+      s"median estimate off: $fwd"))
+  }
+
   test("versioned dataset: commit is atomic, old snapshot readable until vacuum") {
     val dir = tmp("graft_ver")
     val v1 = Maintenance.writeVersioned(
