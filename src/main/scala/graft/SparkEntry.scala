@@ -1154,7 +1154,8 @@ object SparkEntry {
         orders.filter(col("o_orderkey") % 10 === 0),
         Seq("o_orderpriority"), "o_totalprice", sampleK = 512)
       graft.sources.Maintenance.finalizeAgg(st, Seq("o_orderpriority"))
-        .select(col("o_orderpriority"), col("n"), col("approx_median"))
+        .select(col("o_orderpriority"), col("n"), col("approx_p25"),
+          col("approx_median"), col("approx_p90"))
     }),
 
     // Anchored funnel over the events stream: view -> click ->
@@ -5652,8 +5653,10 @@ object SparkEntry {
            FROM orders GROUP BY 1
          )
          SELECT b.o_orderpriority, n,
+           round(arr[CAST(ceil(0.25 * len(arr)) AS INT)], 6) AS approx_p25,
            round((arr[(len(arr) + 1) // 2]
-             + arr[len(arr) // 2 + 1]) / 2.0, 6) AS approx_median
+             + arr[len(arr) // 2 + 1]) / 2.0, 6) AS approx_median,
+           round(arr[CAST(ceil(0.9 * len(arr)) AS INT)], 6) AS approx_p90
          FROM b JOIN med USING (o_orderpriority)""",
 
     // the generalized state finalized == the full recompute: exact

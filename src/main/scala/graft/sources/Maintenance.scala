@@ -681,22 +681,28 @@ object Maintenance {
         Seq(graft.plans.HllRegs.estimate(F.col("__regs"), p)
           .as("approx_distinct"))
       else Nil
-    val median =
-      if (state.columns.contains("__smp"))
+    val quantiles =
+      if (state.columns.contains("__smp")) {
         // the sample is uniform over the value multiset (md5-order
-        // bottom-k), so its median estimates the population's; the
-        // explicit middle/average arithmetic is what any SQL engine's
-        // continuous median does over the same sample
-        Seq(F.round(F.expr(
-          """CASE WHEN size(__smp) = 0 THEN NULL ELSE (
-            |  CAST(array_sort(transform(__smp,
-            |    e -> CAST(e.p AS DOUBLE)))[CAST((size(__smp) + 1) / 2 AS INT) - 1]
-            |    AS DOUBLE)
-            |  + array_sort(transform(__smp,
-            |    e -> CAST(e.p AS DOUBLE)))[CAST(size(__smp) / 2 + 1 AS INT) - 1]
-            |) / 2.0 END""".stripMargin), 6).as("approx_median"))
-      else Nil
-    state.select(keys.map(F.col) ++ base ++ minmax ++ distinct ++ median: _*)
+        // bottom-k), so its order statistics estimate the
+        // population's; the median uses explicit middle/average
+        // arithmetic, other quantiles nearest-rank v[ceil(q·n)] —
+        // both exactly replayable in any SQL engine
+        val sorted = "array_sort(transform(__smp, e -> CAST(e.p AS DOUBLE)))"
+        def rank(q: Double) = F.round(F.expr(
+          s"""CASE WHEN size(__smp) = 0 THEN NULL ELSE
+             |  $sorted[CAST(ceil($q * size(__smp)) AS INT) - 1]
+             |END""".stripMargin), 6)
+        Seq(
+          rank(0.25).as("approx_p25"),
+          F.round(F.expr(
+            s"""CASE WHEN size(__smp) = 0 THEN NULL ELSE (
+               |  $sorted[CAST((size(__smp) + 1) / 2 AS INT) - 1]
+               |  + $sorted[CAST(size(__smp) / 2 + 1 AS INT) - 1]
+               |) / 2.0 END""".stripMargin), 6).as("approx_median"),
+          rank(0.9).as("approx_p90"))
+      } else Nil
+    state.select(keys.map(F.col) ++ base ++ minmax ++ distinct ++ quantiles: _*)
   }
 
   /** Write `df` clustered by the Z-order (Morton) interleave of two
