@@ -106,8 +106,23 @@ object Maintenance {
 
   private def manifestDir(clean: String) = new Path(clean, "_manifests")
 
+  /** Thrown when a concurrent writer committed the manifest version
+    * this commit was built against — the optimistic-concurrency
+    * signal. upsert/delete/merge catch it and recompute against the
+    * fresh snapshot; callers driving commits manually should too.
+    */
+  final class CommitConflict(msg: String) extends RuntimeException(msg)
+
+  private val stageCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Generation dir names carry a WRITER-UNIQUE suffix so two
+    * concurrent writers staging the same version never collide on a
+    * rename — the manifest publish is then the ONLY contention point,
+    * and it is atomic (rename-if-absent).
+    */
   private def bucketDirName(bucket: Int, version: Int): String =
-    f"b$bucket%05d_g$version%09d"
+    f"b$bucket%05d_g$version%09d" +
+      s"-${ProcessHandle.current().pid()}x${stageCounter.incrementAndGet()}"
 
   private val ManifestName = """v(\d{9})\.json""".r
   private val BucketEntry = """"(\d+)"\s*:\s*"([^"]+)"""".r
@@ -149,9 +164,13 @@ object Maintenance {
   }
 
   /** Publish a manifest: write to a dot-temp in `_manifests`, then one
-    * rename to the final `v<N>.json` (on an object store, a single PUT
-    * of the final name is equivalently atomic). This rename IS the
-    * commit point — everything else a commit did is invisible until it.
+    * rename to the final `v<N>.json` (on an object store, use a
+    * conditional PUT — same atomicity). This rename IS the commit
+    * point — everything else a commit did is invisible until it — and
+    * because HDFS/local rename FAILS when the destination exists, a
+    * concurrent writer racing to the same version loses cleanly: the
+    * loser gets a CommitConflict and retries against the fresh
+    * snapshot (optimistic concurrency, Delta-style).
     */
   private def writeManifest(spark: SparkSession, clean: String,
                             m: KeyedManifest): Unit = {
@@ -164,11 +183,38 @@ object Maintenance {
     val body = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, d) => s""""$b": "$d"""" }
       .mkString(s"""{"version": ${m.version}, $meta"buckets": {""", ", ", "}}")
-    val tmp = new Path(md, s".tmp_v${m.version}_${ProcessHandle.current().pid()}")
+    val tmp = new Path(md,
+      s".tmp_v${m.version}_${ProcessHandle.current().pid()}x${stageCounter.incrementAndGet()}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val dst = new Path(md, f"v${m.version}%09d.json")
-    require(fs.rename(tmp, dst), s"manifest commit failed: $tmp -> $dst")
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new CommitConflict(
+        s"version ${m.version} of $clean was committed by a concurrent " +
+          "writer; recompute against the fresh snapshot and retry")
+    }
+  }
+
+  /** Optimistic-concurrency retry: re-run `body` (which must re-read
+    * the manifest each attempt) until its commit wins or `attempts`
+    * conflicts pass through. Staged dirs of losing attempts are
+    * unreferenced and reclaimed by vacuum.
+    */
+  private def withCommitRetry[T](what: String, attempts: Int = 5)
+                                (body: => T): T = {
+    var i = 1
+    while (true) {
+      try return body
+      catch {
+        case c: CommitConflict =>
+          if (i >= attempts)
+            throw new CommitConflict(
+              s"$what lost $attempts optimistic-commit races: ${c.getMessage}")
+          i += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Read the keyed table's snapshot at `version` (latest when None).
@@ -287,9 +333,12 @@ object Maintenance {
     * and may omit table columns (the batch's rows get NULL there).
     * Dropping or retyping a column is NOT supported — rewrite.
     * Later duplicate keys WITHIN the batch are the caller's contract
-    * to avoid (both copies land, same as inserting twice). SINGLE
-    * WRITER per table: manifest version allocation is not locked, so
-    * serialize writers.
+    * to avoid (both copies land, same as inserting twice).
+    * CONCURRENT WRITERS are safe on any FS with atomic
+    * rename-if-absent (HDFS/local; object stores need a conditional
+    * PUT): staged dirs are writer-unique, the manifest publish is the
+    * only contention point, and a losing writer transparently
+    * recomputes its merge against the winner's snapshot and retries.
     */
   def upsertKeyed(spark: SparkSession, dir: String, updates: DataFrame,
                   keyCol: String, nBuckets: Int): Unit = {
@@ -298,11 +347,13 @@ object Maintenance {
     val touched = up.select("kb").distinct().collect()
       .map(_.getInt(0)).sorted.toSeq
     if (touched.isEmpty) return
-    val base = readTouched(spark, dir, touched, up, keyCol, nBuckets)
-    val merged = base
-      .join(up.select(keyCol).distinct(), Seq(keyCol), "left_anti")
-      .unionByName(up, allowMissingColumns = true)
-    commitKeyed(spark, stageMerge(spark, dir, merged, touched))
+    withCommitRetry(s"upsertKeyed($dir)") {
+      val base = readTouched(spark, dir, touched, up, keyCol, nBuckets)
+      val merged = base
+        .join(up.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+        .unionByName(up, allowMissingColumns = true)
+      commitKeyed(spark, stageMerge(spark, dir, merged, touched))
+    }
   }
 
   /** Delete by key from the keyed table at `dir`; `keys` is a 1-column
@@ -317,10 +368,12 @@ object Maintenance {
     val touched = ks.select("kb").distinct().collect()
       .map(_.getInt(0)).sorted.toSeq
     if (touched.isEmpty) return
-    val base = readTouched(spark, dir, touched, ks, keyCol, nBuckets)
-    val merged = base.join(ks.select(keyCol).distinct(),
-      Seq(keyCol), "left_anti")
-    commitKeyed(spark, stageMerge(spark, dir, merged, touched))
+    withCommitRetry(s"deleteKeyed($dir)") {
+      val base = readTouched(spark, dir, touched, ks, keyCol, nBuckets)
+      val merged = base.join(ks.select(keyCol).distinct(),
+        Seq(keyCol), "left_anti")
+      commitKeyed(spark, stageMerge(spark, dir, merged, touched))
+    }
   }
 
   /** The pruned base read: exactly the touched buckets' live dirs. When
@@ -419,7 +472,7 @@ object Maintenance {
     val referenced = keep
       .flatMap(v => readManifest(spark, dir, Some(v)).buckets.values).toSet
     fs.listStatus(new Path(clean)).toSeq.map(_.getPath)
-      .filter(p => p.getName.matches("""b\d{5}_g\d{9}""") &&
+      .filter(p => p.getName.matches("""b\d{5}_g\d{9}(-.*)?""") &&
         !referenced.contains(p.getName))
       .foreach(p => fs.delete(p, true))
     drop.foreach(v =>
@@ -579,22 +632,28 @@ object Maintenance {
   // with a single pseudo-bucket.
 
   /** Commit `df` as the next generation of the versioned dataset at
-    * `dir`; returns the committed version. */
+    * `dir`; returns the committed version. Concurrent writers race on
+    * the manifest publish only (writer-unique generation names); the
+    * loser recomputes against the fresh version chain and retries.
+    */
   def writeVersioned(df: DataFrame, dir: String): Int = {
     val spark = df.sparkSession
     val clean = cleanDir(dir)
     val fs = hadoopFs(spark, new Path(clean))
-    val next = manifestVersions(spark, dir).lastOption.getOrElse(0) + 1
-    val gen = f"g$next%09d"
-    val staging =
-      new Path(clean + s".staging_${ProcessHandle.current().pid()}")
-    fs.delete(staging, true)
-    df.write.mode("overwrite").parquet(staging.toString)
-    fs.mkdirs(new Path(clean))
-    require(fs.rename(staging, new Path(clean, gen)),
-      s"generation stage failed: $staging -> $clean/$gen")
-    writeManifest(spark, clean, KeyedManifest(next, Map(0 -> gen)))
-    next
+    withCommitRetry(s"writeVersioned($dir)") {
+      val next = manifestVersions(spark, dir).lastOption.getOrElse(0) + 1
+      val gen = f"g$next%09d" +
+        s"-${ProcessHandle.current().pid()}x${stageCounter.incrementAndGet()}"
+      val staging = new Path(clean +
+        s".staging_${ProcessHandle.current().pid()}x${stageCounter.incrementAndGet()}")
+      fs.delete(staging, true)
+      df.write.mode("overwrite").parquet(staging.toString)
+      fs.mkdirs(new Path(clean))
+      require(fs.rename(staging, new Path(clean, gen)),
+        s"generation stage failed: $staging -> $clean/$gen")
+      writeManifest(spark, clean, KeyedManifest(next, Map(0 -> gen)))
+      next
+    }
   }
 
   /** The versioned dataset's snapshot at `version` (latest when None);
@@ -619,7 +678,7 @@ object Maintenance {
     val referenced = keep
       .flatMap(v => readManifest(spark, dir, Some(v)).buckets.values).toSet
     fs.listStatus(new Path(clean)).toSeq.map(_.getPath)
-      .filter(p => p.getName.matches("""g\d{9}""") &&
+      .filter(p => p.getName.matches("""g\d{9}(-.*)?""") &&
         !referenced.contains(p.getName))
       .foreach(p => fs.delete(p, true))
     drop.foreach(v =>

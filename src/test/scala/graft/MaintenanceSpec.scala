@@ -168,7 +168,7 @@ class MaintenanceSpec extends SparkSpec {
     assert(m.version == 2)
     m.buckets.foreach { case (b, d) =>
       val wantGen = if (touched.contains(b)) 2 else 1
-      assert(d.endsWith(f"_g$wantGen%09d"), s"bucket $b at wrong gen: $d")
+      assert(d.contains(f"_g$wantGen%09d"), s"bucket $b at wrong gen: $d")
     }
   }
 
@@ -188,7 +188,7 @@ class MaintenanceSpec extends SparkSpec {
     // the merge never opened (let alone rewrote) them
     val untouched = allFiles.filterNot(_.contains(f"b$b7%05d_"))
     assert(untouched.subsetOf(liveNow), "untouched bucket files replaced")
-    assert(m.buckets(b7).endsWith(f"_g${2}%09d"))
+    assert(m.buckets(b7).contains(f"_g${2}%09d"))
   }
 
   test("deleteKeyed removes keys and drops emptied buckets from the manifest") {
@@ -230,6 +230,41 @@ class MaintenanceSpec extends SparkSpec {
     val after = Maintenance.readKeyed(spark, dir).select("k", "v")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(after.size == 100 && (0L until 100L).forall(k => after(k) == k + 1000))
+  }
+
+  test("optimistic concurrency: the losing commit conflicts cleanly, orphans vacuum away") {
+    val dir = tmp("graft_occ")
+    val base = spark.range(0, 64).select(col("id").as("k"), col("id").as("v"))
+    Maintenance.writeKeyed(base, dir, "k", 4)
+    // two writers build merges against the SAME snapshot v1
+    val mergedA = Maintenance.readKeyed(spark, dir)
+      .withColumn("v", col("v") + 100L)
+    val mergedB = Maintenance.readKeyed(spark, dir)
+      .withColumn("v", col("v") + 1000L)
+    val pendA = Maintenance.stageMerge(spark, dir, mergedA, Seq(0, 1, 2, 3))
+    val pendB = Maintenance.stageMerge(spark, dir, mergedB, Seq(0, 1, 2, 3))
+    // writer-unique staged names: both staged fine, nothing visible yet
+    assert(Maintenance.readKeyed(spark, dir)
+      .agg(sum("v")).head().getLong(0) == (0L until 64L).sum)
+    Maintenance.commitKeyed(spark, pendB) // B wins
+    val conflict = intercept[Maintenance.CommitConflict] {
+      Maintenance.commitKeyed(spark, pendA)
+    }
+    assert(conflict.getMessage.contains("concurrent"))
+    // the table is exactly B's snapshot — A's staged dirs are invisible
+    val got = Maintenance.readKeyed(spark, dir).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 64L).forall(k => got(k) == k + 1000))
+    // vacuum reclaims A's orphaned generation dirs
+    Maintenance.vacuumKeyed(spark, dir, keepVersions = 1)
+    val live = Maintenance.readManifest(spark, dir).buckets.values.toSet
+    val onDisk = new java.io.File(dir).listFiles
+      .map(_.getName).filter(_.startsWith("b")).toSet
+    assert(onDisk == live, s"orphans survived vacuum: ${onDisk -- live}")
+    // and the END-TO-END retry: a normal upsert after the race works
+    Maintenance.upsertKeyed(spark, dir, Seq((1L, 5L)).toDF("k", "v"), "k", 4)
+    assert(Maintenance.readKeyed(spark, dir)
+      .filter(col("k") === 1L).head().getLong(1) == 5L)
   }
 
   test("time travel: old snapshots stay readable until vacuumed") {
