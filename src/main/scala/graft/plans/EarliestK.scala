@@ -53,6 +53,11 @@ final class EarliestKBuf(val k: Int) {
     }
   }
 
+  /** true when (t, s) would enter the buffer — the O(1) hot-path test
+    * callers use to avoid paying for a payload copy on rejects. */
+  def wouldAccept(t: Long, s: UTF8String): Boolean =
+    n < k || worse(ts(0), p(0), t, s)
+
   def insert(t: Long, s: UTF8String): Unit =
     if (n < k) {
       ts(n) = t; p(n) = s; n += 1; siftUp(n - 1)
@@ -103,9 +108,15 @@ case class EarliestK(tsExpr: Expression, payload: Expression, k: Int,
   override def update(buf: EarliestKBuf, input: InternalRow): EarliestKBuf = {
     val t = tsExpr.eval(input)
     val s = payload.eval(input)
-    if (t != null && s != null)
-      // copy: the UTF8String may point into a reused row buffer
-      buf.insert(t.asInstanceOf[Long], s.asInstanceOf[UTF8String].clone())
+    if (t != null && s != null) {
+      val tv = t.asInstanceOf[Long]
+      val sv = s.asInstanceOf[UTF8String]
+      // test BEFORE cloning: on the bot-user hot path (buffer full,
+      // event later than the worst entry) the reject is O(1) with
+      // zero allocation; the copy (the UTF8String may point into a
+      // reused row buffer) happens only on actual inserts
+      if (buf.wouldAccept(tv, sv)) buf.insert(tv, sv.clone())
+    }
     buf
   }
 

@@ -83,10 +83,17 @@ object Maintenance {
 
   /** The key-bucket column: md5-derived (portable, never tied to
     * Spark's internal hash), pure per-row — the same layout contract
-    * as the persisted IVF/LSH indexes.
+    * as the persisted IVF/LSH indexes. A NULL key fails the job with
+    * a clear message (without the guard it would hash to a NULL
+    * bucket, land in Hive's default-partition dir and crash the stage
+    * listing AFTER the write job ran).
     */
   private def kb(keyCol: String, nBuckets: Int): Column =
-    F.pmod(graft.ext.TextAnalysis.h60(F.col(keyCol)), F.lit(nBuckets.toLong))
+    F.when(F.col(keyCol).isNull, F.raise_error(F.lit(
+        s"keyed table: key column '$keyCol' must not be NULL")))
+      .otherwise(
+        F.pmod(graft.ext.TextAnalysis.h60(F.col(keyCol)),
+          F.lit(nBuckets.toLong)))
       .cast(org.apache.spark.sql.types.IntegerType)
 
   /** A resolved table snapshot: manifest version → live dir per bucket.
@@ -228,8 +235,19 @@ object Maintenance {
     if (manifestVersions(spark, dir).isEmpty)
       return spark.read.parquet(clean) // legacy kb=N layout
     val m = readManifest(spark, dir, version)
-    require(m.buckets.nonEmpty,
-      s"snapshot v${m.version} of $clean is empty (every key deleted)")
+    if (m.buckets.isEmpty) {
+      // a fully-emptied table is a legal snapshot: return an EMPTY
+      // frame with the schema of the latest earlier non-empty
+      // snapshot (manifests retain the lineage until vacuum)
+      val prior = manifestVersions(spark, dir).filter(_ < m.version)
+        .reverse.map(v => readManifest(spark, dir, Some(v)))
+        .find(_.buckets.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException(
+          s"snapshot v${m.version} of $clean is empty and no prior " +
+            "snapshot remains to supply a schema"))
+      return spark.read
+        .parquet(s"$clean/${prior.buckets.head._2}").limit(0)
+    }
     // mergeSchema: generations written before an additive schema
     // change lack the new columns — the snapshot surfaces them as
     // nulls (Delta-style additive evolution; see upsertKeyed)
@@ -274,8 +292,11 @@ object Maintenance {
                            withKb: DataFrame, version: Int,
                            keyCol: String): Map[Int, String] = {
     val fs = hadoopFs(spark, new Path(clean))
-    val staging =
-      new Path(clean + s".staging_${ProcessHandle.current().pid()}")
+    // pid + counter: two concurrent writers IN THE SAME JVM (a CDC
+    // stream sink plus an ad-hoc merge) must never share a staging
+    // dir — the first's delete would wipe the second's in-flight job
+    val staging = new Path(clean +
+      s".staging_${ProcessHandle.current().pid()}x${stageCounter.incrementAndGet()}")
     fs.delete(staging, true)
     withKb.withColumn("__kbp", F.col("kb"))
       .repartition(F.col("kb"))
@@ -303,17 +324,22 @@ object Maintenance {
                                                 manifest: KeyedManifest)
 
   private[graft] def stageMerge(spark: SparkSession, dir: String,
-                                merged: DataFrame,
-                                touched: Seq[Int]): PendingCommit = {
+                                merged: DataFrame, touched: Seq[Int],
+                                base: KeyedManifest): PendingCommit = {
     val clean = cleanDir(dir)
-    val cur = readManifest(spark, dir)
-    val staged = stageBuckets(spark, clean, merged, cur.version + 1,
-      if (cur.keyCol.nonEmpty) cur.keyCol else "kb")
+    // the commit targets base.version + 1 — NOT a re-read of the
+    // latest manifest: the merge was computed against `base`'s data,
+    // and if a concurrent commit landed since, publishing on top of it
+    // would silently drop that writer's changes. Targeting base+1
+    // makes the manifest rename fail instead (CommitConflict → the
+    // caller recomputes against the fresh snapshot).
+    val staged = stageBuckets(spark, clean, merged, base.version + 1,
+      if (base.keyCol.nonEmpty) base.keyCol else "kb")
     // a touched bucket absent from staging lost ALL its rows (delete
     // path): it simply leaves the manifest
-    val next = cur.buckets -- touched ++ staged
+    val next = base.buckets -- touched ++ staged
     PendingCommit(clean,
-      KeyedManifest(cur.version + 1, next, cur.keyCol, cur.nBuckets))
+      KeyedManifest(base.version + 1, next, base.keyCol, base.nBuckets))
   }
 
   private[graft] def commitKeyed(spark: SparkSession,
@@ -348,11 +374,15 @@ object Maintenance {
       .map(_.getInt(0)).sorted.toSeq
     if (touched.isEmpty) return
     withCommitRetry(s"upsertKeyed($dir)") {
-      val base = readTouched(spark, dir, touched, up, keyCol, nBuckets)
+      // ONE manifest read per attempt, threaded through base read AND
+      // commit: the publish targets exactly the version the merge was
+      // computed against
+      val m = readManifest(spark, dir)
+      val base = readTouched(spark, dir, m, touched, up, keyCol, nBuckets)
       val merged = base
         .join(up.select(keyCol).distinct(), Seq(keyCol), "left_anti")
         .unionByName(up, allowMissingColumns = true)
-      commitKeyed(spark, stageMerge(spark, dir, merged, touched))
+      commitKeyed(spark, stageMerge(spark, dir, merged, touched, m))
     }
   }
 
@@ -369,10 +399,11 @@ object Maintenance {
       .map(_.getInt(0)).sorted.toSeq
     if (touched.isEmpty) return
     withCommitRetry(s"deleteKeyed($dir)") {
-      val base = readTouched(spark, dir, touched, ks, keyCol, nBuckets)
+      val m = readManifest(spark, dir)
+      val base = readTouched(spark, dir, m, touched, ks, keyCol, nBuckets)
       val merged = base.join(ks.select(keyCol).distinct(),
         Seq(keyCol), "left_anti")
-      commitKeyed(spark, stageMerge(spark, dir, merged, touched))
+      commitKeyed(spark, stageMerge(spark, dir, merged, touched, m))
     }
   }
 
@@ -383,10 +414,10 @@ object Maintenance {
     * union aligned.
     */
   private def readTouched(spark: SparkSession, dir: String,
-                          touched: Seq[Int], batch: DataFrame,
+                          m: KeyedManifest, touched: Seq[Int],
+                          batch: DataFrame,
                           keyCol: String, nBuckets: Int): DataFrame = {
     val clean = cleanDir(dir)
-    val m = readManifest(spark, dir)
     // a mismatched bucket count or key would hash the batch into the
     // WRONG buckets and silently merge against the wrong base slices
     require(m.nBuckets == 0 || (m.nBuckets == nBuckets && m.keyCol == keyCol),
@@ -399,6 +430,21 @@ object Maintenance {
     else if (m.buckets.nonEmpty)
       spark.read.parquet(s"$clean/${m.buckets.head._2}").limit(0)
     else batch.limit(0)
+  }
+
+  /** The live rows of the buckets a key frame hashes into — the
+    * pruned read CDC consumers use to compare incoming sequence
+    * numbers against stored ones (same bucket set the merge itself
+    * will read).
+    */
+  def readKeyBuckets(spark: SparkSession, dir: String, keys: DataFrame,
+                     keyCol: String, nBuckets: Int): DataFrame = {
+    val ks = keys.select(F.col(keyCol))
+      .withColumn("kb", kb(keyCol, nBuckets)).localCheckpoint()
+    val touched = ks.select("kb").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq
+    val m = readManifest(spark, dir)
+    readTouched(spark, dir, m, touched, ks, keyCol, nBuckets)
   }
 
   /** Point lookup on the keyed table: the rows whose key is in `keys`,
@@ -458,25 +504,53 @@ object Maintenance {
 
   /** Garbage-collect snapshots: keep the newest `keepVersions`
     * manifests, delete older manifest files and every bucket dir no
-    * kept manifest references. Run after a grace period longer than
-    * any reader's job (a reader holding a dropped snapshot loses its
-    * files) — the standard vacuum contract.
+    * kept manifest references — but ONLY when the dir is older than
+    * `graceMs`. The grace window protects (a) readers still holding a
+    * dropped snapshot and (b) a concurrent writer's freshly-staged
+    * dirs whose manifest publish has not landed yet (without it, a
+    * vacuum racing a commit would delete dirs the imminent manifest
+    * references). Crashed-writer residue — orphaned `.tmp_*` manifest
+    * files and `<table>.staging_*` sibling dirs — is reclaimed under
+    * the same age rule.
     */
   def vacuumKeyed(spark: SparkSession, dir: String,
-                  keepVersions: Int = 1): Unit = {
+                  keepVersions: Int = 1,
+                  graceMs: Long = 15 * 60 * 1000L): Unit =
+    vacuumGenerations(spark, dir, keepVersions, graceMs,
+      """b\d{5}_g\d{9}(-.*)?""")
+
+  private def vacuumGenerations(spark: SparkSession, dir: String,
+                                keepVersions: Int, graceMs: Long,
+                                genPattern: String): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1")
     val clean = cleanDir(dir)
-    val fs = hadoopFs(spark, new Path(clean))
+    val p = new Path(clean)
+    val fs = hadoopFs(spark, p)
+    val cutoff = System.currentTimeMillis() - graceMs
     val versions = manifestVersions(spark, dir)
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
     val referenced = keep
       .flatMap(v => readManifest(spark, dir, Some(v)).buckets.values).toSet
-    fs.listStatus(new Path(clean)).toSeq.map(_.getPath)
-      .filter(p => p.getName.matches("""b\d{5}_g\d{9}(-.*)?""") &&
-        !referenced.contains(p.getName))
-      .foreach(p => fs.delete(p, true))
+    fs.listStatus(p).toSeq
+      .filter(s => s.getPath.getName.matches(genPattern) &&
+        !referenced.contains(s.getPath.getName) &&
+        s.getModificationTime < cutoff)
+      .foreach(s => fs.delete(s.getPath, true))
     drop.foreach(v =>
       fs.delete(new Path(manifestDir(clean), f"v$v%09d.json"), false))
+    // crashed-writer residue: manifest temps + staging siblings
+    val md = manifestDir(clean)
+    if (fs.exists(md))
+      fs.listStatus(md).toSeq
+        .filter(s => s.getPath.getName.startsWith(".tmp_") &&
+          s.getModificationTime < cutoff)
+        .foreach(s => fs.delete(s.getPath, false))
+    val parent = p.getParent
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent).toSeq
+        .filter(s => s.getPath.getName.startsWith(p.getName + ".staging_") &&
+          s.getModificationTime < cutoff)
+        .foreach(s => fs.delete(s.getPath, true))
   }
 
   /** Layout report over any frame carrying a partition/bucket column:
@@ -636,24 +710,29 @@ object Maintenance {
     * the manifest publish only (writer-unique generation names); the
     * loser recomputes against the fresh version chain and retries.
     */
-  def writeVersioned(df: DataFrame, dir: String): Int = {
+  def writeVersioned(df: DataFrame, dir: String): Int =
+    // the internal retry is safe here because `df` does not depend on
+    // the version chain; a caller whose frame DERIVES from the current
+    // version (mergeAggState) must use writeVersionedOnce inside its
+    // own retry so a conflict re-reads the fresh state
+    withCommitRetry(s"writeVersioned($dir)")(writeVersionedOnce(df, dir))
+
+  private def writeVersionedOnce(df: DataFrame, dir: String): Int = {
     val spark = df.sparkSession
     val clean = cleanDir(dir)
     val fs = hadoopFs(spark, new Path(clean))
-    withCommitRetry(s"writeVersioned($dir)") {
-      val next = manifestVersions(spark, dir).lastOption.getOrElse(0) + 1
-      val gen = f"g$next%09d" +
-        s"-${ProcessHandle.current().pid()}x${stageCounter.incrementAndGet()}"
-      val staging = new Path(clean +
-        s".staging_${ProcessHandle.current().pid()}x${stageCounter.incrementAndGet()}")
-      fs.delete(staging, true)
-      df.write.mode("overwrite").parquet(staging.toString)
-      fs.mkdirs(new Path(clean))
-      require(fs.rename(staging, new Path(clean, gen)),
-        s"generation stage failed: $staging -> $clean/$gen")
-      writeManifest(spark, clean, KeyedManifest(next, Map(0 -> gen)))
-      next
-    }
+    val next = manifestVersions(spark, dir).lastOption.getOrElse(0) + 1
+    val gen = f"g$next%09d" +
+      s"-${ProcessHandle.current().pid()}x${stageCounter.incrementAndGet()}"
+    val staging = new Path(clean +
+      s".staging_${ProcessHandle.current().pid()}x${stageCounter.incrementAndGet()}")
+    fs.delete(staging, true)
+    df.write.mode("overwrite").parquet(staging.toString)
+    fs.mkdirs(new Path(clean))
+    require(fs.rename(staging, new Path(clean, gen)),
+      s"generation stage failed: $staging -> $clean/$gen")
+    writeManifest(spark, clean, KeyedManifest(next, Map(0 -> gen)))
+    next
   }
 
   /** The versioned dataset's snapshot at `version` (latest when None);
@@ -666,24 +745,14 @@ object Maintenance {
       s"$clean/${readManifest(spark, dir, version).buckets(0)}")
   }
 
-  /** GC old generations of a versioned dataset (same contract as
-    * `vacuumKeyed`). Generation dirs are `g\d{9}` at the top level. */
+  /** GC old generations of a versioned dataset (same contract and
+    * grace rule as `vacuumKeyed`). Generation dirs are `g\d{9}-…` at
+    * the top level. */
   def vacuumVersioned(spark: SparkSession, dir: String,
-                      keepVersions: Int = 1): Unit = {
-    require(keepVersions >= 1, s"keepVersions must be >= 1")
-    val clean = cleanDir(dir)
-    val fs = hadoopFs(spark, new Path(clean))
-    val versions = manifestVersions(spark, dir)
-    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
-    val referenced = keep
-      .flatMap(v => readManifest(spark, dir, Some(v)).buckets.values).toSet
-    fs.listStatus(new Path(clean)).toSeq.map(_.getPath)
-      .filter(p => p.getName.matches("""g\d{9}(-.*)?""") &&
-        !referenced.contains(p.getName))
-      .foreach(p => fs.delete(p, true))
-    drop.foreach(v =>
-      fs.delete(new Path(manifestDir(clean), f"v$v%09d.json"), false))
-  }
+                      keepVersions: Int = 1,
+                      graceMs: Long = 15 * 60 * 1000L): Unit =
+    vacuumGenerations(spark, dir, keepVersions, graceMs,
+      """g\d{9}(-.*)?""")
 
   /** Fold a new batch into the persisted state at `dir` and commit the
     * merged state as the next snapshot (see writeVersioned — a reader
@@ -700,14 +769,21 @@ object Maintenance {
                     keys: Seq[String], valueCol: String,
                     distinctKey: Option[String] = None,
                     p: Int = 12, sampleK: Int = 0): DataFrame = {
-    val prev = readVersioned(spark, dir)
-    val merged = aggOfState(
-      prev.unionByName(
-        partialAgg(batch, keys, valueCol, distinctKey, p, sampleK)
-        // legacy (cnt, sum)-only states merge with a richer batch
-        // partial by dropping what the state never tracked
-        .select(prev.columns.map(F.col).toIndexedSeq: _*)), keys, p, sampleK)
-    writeVersioned(merged, dir)
+    // the WHOLE read-merge-commit sits in the retry: the merged frame
+    // derives from the previous state, so after a losing race it must
+    // be rebuilt from the winner's snapshot (committing the stale
+    // frame under a new version would silently drop the winner's
+    // batch)
+    withCommitRetry(s"mergeAggState($dir)") {
+      val prev = readVersioned(spark, dir)
+      val merged = aggOfState(
+        prev.unionByName(
+          partialAgg(batch, keys, valueCol, distinctKey, p, sampleK)
+          // legacy (cnt, sum)-only states merge with a richer batch
+          // partial by dropping what the state never tracked
+          .select(prev.columns.map(F.col).toIndexedSeq: _*)), keys, p, sampleK)
+      writeVersionedOnce(merged, dir)
+    }
     // old generations GC here by default: agg state is refresh-heavy
     // and callers wanting time travel can vacuum on their own cadence
     vacuumVersioned(spark, dir, keepVersions = 2)

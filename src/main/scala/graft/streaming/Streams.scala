@@ -39,13 +39,31 @@ object Streams {
                        deleteCol: Option[String] = None): Unit = {
     import graft.sources.Maintenance
     val spark = batch.sparkSession
-    val last = seqCol match {
+    val reduced = seqCol match {
       case Some(sc) =>
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col(keyCol)).orderBy(F.col(sc).desc)
         batch.withColumn("__rn", F.row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       case None => batch
+    }
+    // last-wins must hold ACROSS batches too: a late batch carrying an
+    // older sequence for a stored key (out-of-order source data, or a
+    // replay interleaved with newer batches) must not regress the row.
+    // The stored seq comes from the same pruned bucket read the merge
+    // will do; `>=` keeps exact replays idempotent.
+    val last = seqCol match {
+      case Some(sc) if Maintenance.manifestVersions(spark, dir).nonEmpty =>
+        val cur = Maintenance.readKeyBuckets(spark, dir,
+          reduced.select(keyCol), keyCol, nBuckets)
+        if (cur.columns.contains(sc))
+          reduced.join(
+            cur.select(col(keyCol), col(sc).as("__curseq")),
+            Seq(keyCol), "left")
+            .filter(F.col("__curseq").isNull || col(sc) >= F.col("__curseq"))
+            .drop("__curseq")
+        else reduced
+      case _ => reduced
     }
     val (ups, dels) = deleteCol match {
       case Some(dc) =>

@@ -826,5 +826,14 @@ class GraphStreamingSpec extends SparkSpec {
     // time travel still resolves the pre-replay snapshot
     assert(Maintenance.readKeyed(spark, dir, Some(vBefore))
       .count() == 3)
+    // CROSS-BATCH last-wins: a late batch carrying OLDER sequences
+    // (out-of-order source) must not regress stored rows — neither an
+    // older update (k=1 seq 5 < stored 20) nor an older tombstone
+    // (k=2 del at seq 5 < stored 11); a genuinely newer row applies
+    Streams.upsertKeyedBatch(
+      Seq((1L, 5L, 99.0, false), (2L, 5L, 0.0, true), (4L, 30L, 4.5, false))
+        .toDF("k", "seq", "v", "del"),
+      dir, "k", 4, seqCol = Some("seq"), deleteCol = Some("del"))
+    assert(snap() == Map(1L -> 1.5, 2L -> 2.5, 4L -> 4.5))
   }
 }

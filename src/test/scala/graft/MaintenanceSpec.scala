@@ -207,7 +207,7 @@ class MaintenanceSpec extends SparkSpec {
     // would have silently left it behind) …
     assert(!Maintenance.readManifest(spark, dir).buckets.contains(2))
     // … and vacuum reclaims its v1 generation dir
-    Maintenance.vacuumKeyed(spark, dir, keepVersions = 1)
+    Maintenance.vacuumKeyed(spark, dir, keepVersions = 1, graceMs = 0L)
     assert(!new java.io.File(dir).listFiles.exists(f =>
       f.getName.startsWith("b00002_")), "emptied bucket dir not vacuumed")
   }
@@ -220,7 +220,8 @@ class MaintenanceSpec extends SparkSpec {
     // manifest publish — exactly the writer's state mid-commit
     val merged = Maintenance.readKeyed(spark, dir)
       .withColumn("v", col("v") + 1000L)
-    val pending = Maintenance.stageMerge(spark, dir, merged, Seq(0, 1, 2, 3))
+    val pending = Maintenance.stageMerge(spark, dir, merged, Seq(0, 1, 2, 3),
+      Maintenance.readManifest(spark, dir))
     // a racing reader resolves the OLD manifest: complete, correct
     val mid = Maintenance.readKeyed(spark, dir).select("k", "v")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -241,8 +242,9 @@ class MaintenanceSpec extends SparkSpec {
       .withColumn("v", col("v") + 100L)
     val mergedB = Maintenance.readKeyed(spark, dir)
       .withColumn("v", col("v") + 1000L)
-    val pendA = Maintenance.stageMerge(spark, dir, mergedA, Seq(0, 1, 2, 3))
-    val pendB = Maintenance.stageMerge(spark, dir, mergedB, Seq(0, 1, 2, 3))
+    val m1 = Maintenance.readManifest(spark, dir)
+    val pendA = Maintenance.stageMerge(spark, dir, mergedA, Seq(0, 1, 2, 3), m1)
+    val pendB = Maintenance.stageMerge(spark, dir, mergedB, Seq(0, 1, 2, 3), m1)
     // writer-unique staged names: both staged fine, nothing visible yet
     assert(Maintenance.readKeyed(spark, dir)
       .agg(sum("v")).head().getLong(0) == (0L until 64L).sum)
@@ -256,7 +258,7 @@ class MaintenanceSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L until 64L).forall(k => got(k) == k + 1000))
     // vacuum reclaims A's orphaned generation dirs
-    Maintenance.vacuumKeyed(spark, dir, keepVersions = 1)
+    Maintenance.vacuumKeyed(spark, dir, keepVersions = 1, graceMs = 0L)
     val live = Maintenance.readManifest(spark, dir).buckets.values.toSet
     val onDisk = new java.io.File(dir).listFiles
       .map(_.getName).filter(_.startsWith("b")).toSet
@@ -265,6 +267,58 @@ class MaintenanceSpec extends SparkSpec {
     Maintenance.upsertKeyed(spark, dir, Seq((1L, 5L)).toDF("k", "v"), "k", 4)
     assert(Maintenance.readKeyed(spark, dir)
       .filter(col("k") === 1L).head().getLong(1) == 5L)
+  }
+
+  test("a commit built against a stale manifest conflicts instead of dropping the interleaved write") {
+    val dir = tmp("graft_lostupd")
+    Maintenance.writeKeyed(
+      spark.range(0, 32).select(col("id").as("k"), col("id").as("v")),
+      dir, "k", 4)
+    val stale = Maintenance.readManifest(spark, dir) // v1
+    // a concurrent writer lands v2
+    Maintenance.upsertKeyed(spark, dir, Seq((1L, -1L)).toDF("k", "v"), "k", 4)
+    // a merge computed against v1 must NOT publish on top of v2
+    val merged = Maintenance.readKeyed(spark, dir, Some(1))
+      .withColumn("v", col("v") + 7L)
+    val pend = Maintenance.stageMerge(spark, dir, merged,
+      Seq(0, 1, 2, 3), stale)
+    intercept[Maintenance.CommitConflict] {
+      Maintenance.commitKeyed(spark, pend)
+    }
+    // v2's update survives
+    assert(Maintenance.readKeyed(spark, dir)
+      .filter(col("k") === 1L).head().getLong(1) == -1L)
+  }
+
+  test("vacuum grace spares fresh unreferenced dirs; empty snapshot reads as empty; null keys fail fast") {
+    val dir = tmp("graft_grace")
+    Maintenance.writeKeyed(
+      spark.range(0, 16).select(col("id").as("k"), col("id").as("v")),
+      dir, "k", 2)
+    Maintenance.upsertKeyed(spark, dir, Seq((1L, 9L)).toDF("k", "v"), "k", 2)
+    val before = new java.io.File(dir).listFiles
+      .map(_.getName).count(_.startsWith("b"))
+    // default grace: the just-orphaned v1 dirs are FRESH -> untouched
+    Maintenance.vacuumKeyed(spark, dir, keepVersions = 1)
+    val after = new java.io.File(dir).listFiles
+      .map(_.getName).count(_.startsWith("b"))
+    assert(after == before, "default-grace vacuum deleted fresh dirs")
+    // deleting every key yields a legal EMPTY snapshot readable as
+    // an empty frame with the prior schema
+    Maintenance.deleteKeyed(spark, dir,
+      spark.range(0, 16).select(col("id").as("k")), "k", 2)
+    val empty = Maintenance.readKeyed(spark, dir)
+    assert(empty.columns.toSeq == Seq("k", "v", "kb") && empty.count() == 0)
+    // a NULL key is rejected with a clear message, not a partition
+    // crash after the write job
+    val err = intercept[Exception] {
+      Maintenance.upsertKeyed(spark, dir,
+        Seq((Option.empty[Long], 1L)).toDF("k", "v"), "k", 2)
+    }
+    val messages = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .map(e => String.valueOf(e.getMessage)).mkString("\n")
+    assert(messages.contains("must not be NULL"), messages.take(400))
   }
 
   test("time travel: old snapshots stay readable until vacuumed") {
@@ -281,7 +335,7 @@ class MaintenanceSpec extends SparkSpec {
     val v2 = Maintenance.readKeyed(spark, dir).select("k", "v")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(v2.size == 51 && v2(1L) == -1L && v2(999L) == 9L)
-    Maintenance.vacuumKeyed(spark, dir, keepVersions = 1)
+    Maintenance.vacuumKeyed(spark, dir, keepVersions = 1, graceMs = 0L)
     intercept[IllegalArgumentException] {
       Maintenance.readKeyed(spark, dir, Some(1))
     }
@@ -458,7 +512,7 @@ class MaintenanceSpec extends SparkSpec {
     assert(v1 == 1 && v2 == 2)
     assert(Maintenance.readVersioned(spark, dir).count() == 20)
     assert(Maintenance.readVersioned(spark, dir, Some(1)).count() == 10)
-    Maintenance.vacuumVersioned(spark, dir, keepVersions = 1)
+    Maintenance.vacuumVersioned(spark, dir, keepVersions = 1, graceMs = 0L)
     intercept[IllegalArgumentException] {
       Maintenance.readVersioned(spark, dir, Some(1))
     }
