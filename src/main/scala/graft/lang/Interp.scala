@@ -1556,7 +1556,9 @@ object Interp {
       "linfit", "transitions",
       "compact_table", "write_zordered", "write_keyed", "read_keyed",
       "upsert_keyed", "delete_keyed", "vacuum_keyed", "table_stats",
-      "keyed_stats", "phrase_search", "near_search", "keyed_changes")
+      "keyed_stats", "phrase_search", "near_search", "keyed_changes",
+      "build_search_index", "search_idx", "phrase_search_idx",
+      "near_search_idx")
 
     private def isTableExpr(e: Expr): Boolean = e match {
       case Ident(n) => env.get(n).exists(_.isInstanceOf[VT])
@@ -2567,6 +2569,55 @@ object Interp {
             throw new graft.types.ValueError("phrase_search: empty phrase")
           PTable(graft.ext.Search.phraseSearch(t(args(0).value).df,
             litString(args(1).value), litString(args(2).value), ph))
+        case "phrase_search_idx" =>
+          // phrase_search_idx(dir, "exact phrase") — the positional
+          // inverted index answers row-identically to phrase_search
+          if (args.length != 2)
+            throw new TypeError("phrase_search_idx(\"dir\", \"phrase\")")
+          val pidx = litString(args(1).value).trim.split("\\s+").toSeq
+            .filter(_.nonEmpty)
+          if (pidx.isEmpty)
+            throw new graft.types.ValueError("phrase_search_idx: empty phrase")
+          PTable(graft.ext.Search.phraseSearchIndex(spark,
+            litString(args(0).value), pidx))
+        case "near_search_idx" =>
+          // near_search_idx(dir, "terms", slop) — ordered proximity
+          // over the positional index
+          if (args.length != 3)
+            throw new TypeError("near_search_idx(\"dir\", \"terms\", slop)")
+          val nidx = litString(args(1).value).trim.split("\\s+").toSeq
+            .filter(_.nonEmpty)
+          if (nidx.isEmpty)
+            throw new graft.types.ValueError("near_search_idx: empty query")
+          PTable(graft.ext.Search.nearSearchIndex(spark,
+            litString(args(0).value), nidx, constLong(args(2).value).toInt))
+        case "build_search_index" =>
+          // build_search_index(t, "id", "text", dir, n_buckets?) —
+          // persist the positional term-bucketed index; returns the
+          // corpus-stats row
+          if (args.length < 4 || args.length > 5)
+            throw new TypeError(
+              "build_search_index(t, \"id\", \"text\", \"dir\", n_buckets?)")
+          val nb =
+            if (args.length == 5) constLong(args(4).value).toInt else 64
+          graft.ext.Search.buildIndex(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value),
+            litString(args(3).value), nb)
+          PTable(spark.read.parquet(litString(args(3).value) + "/stats"))
+        case "search_idx" =>
+          // search_idx(dir, "terms", k, all?) — BM25 over the
+          // persisted index (bit-identical to bm25_search on the
+          // source corpus)
+          if (args.length < 3 || args.length > 4)
+            throw new TypeError("search_idx(\"dir\", \"terms\", k, all?)")
+          val sterms = litString(args(1).value).trim.split("\\s+").toSeq
+            .filter(_.nonEmpty)
+          if (sterms.isEmpty)
+            throw new graft.types.ValueError("search_idx: empty query")
+          val sall = args.length == 4 && constBool(args(3).value)
+          PTable(graft.ext.Search.searchIndex(spark,
+            litString(args(0).value), sterms,
+            constLong(args(2).value).toInt, requireAll = sall))
         case "near_search" =>
           // near_search(t, "id_col", "text_col", "terms", slop) —
           // ordered proximity: terms in order, <= slop-1 intervening

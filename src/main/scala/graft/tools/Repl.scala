@@ -85,6 +85,8 @@ object Repl {
     "compact_table", "write_zordered", "write_keyed", "read_keyed",
     "upsert_keyed", "delete_keyed", "vacuum_keyed", "table_stats",
     "keyed_stats", "phrase_search", "near_search", "keyed_changes",
+    "build_search_index", "search_idx", "phrase_search_idx",
+    "near_search_idx",
     "import_orc",
     "SQL", "upper", "lower", "length", "round", "repeat", "char",
     "char_ord", "char_range", "str_index", "str_contains", "year",

@@ -1757,4 +1757,31 @@ class LangSpec extends SparkSpec {
     assert(capped.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
       Seq((1L, 1)))
   }
+
+  test("index-backed search from the language: build, bm25, phrase, near") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_qlsidx").toString + "/idx"
+    val docs = Seq(
+      (1L, "spark shuffles wide joins fast"),
+      (2L, "spark joins spark joins spark"),
+      (3L, "narrow scans only")).toDF("doc_id", "text")
+    val stats = Interp.run(spark,
+      s"""build_search_index(corpus, "doc_id", "text", "$dir", 8)""",
+      "corpus" -> graft.dsl.PTable(docs)).df.collect()
+    assert(stats.head.getLong(0) == 3L) // n_docs
+    val bm = Interp.run(spark,
+      s"""search_idx("$dir", "spark joins", 10)""").df.collect()
+    assert(bm.nonEmpty && bm.head.getLong(0) == 2L) // tf-heavy doc wins
+    val ph = Interp.run(spark,
+      s"""phrase_search_idx("$dir", "spark joins")""").df.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ph == Map(2L -> 2))
+    val nr = Interp.run(spark,
+      s"""near_search_idx("$dir", "spark joins", 3)""").df.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // doc 1: spark ... joins with one intervening token (slop 3); doc
+    // 2: chains from each of the three spark positions
+    assert(nr.keySet == Set(1L, 2L) && nr(1L) == 1)
+  }
 }
