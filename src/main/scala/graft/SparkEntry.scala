@@ -1053,6 +1053,92 @@ object SparkEntry {
       M.keyedChanges(s, dir, 1, M.manifestVersions(s, dir).last)
     }),
 
+    // MERGE-ON-READ delta path: small CDC batches append per-bucket
+    // DELTA dirs (bytes written ∝ batch — the base generations are
+    // never read or rewritten) and readers resolve base ⊕ deltas
+    // last-wins, tombstones deleting. Three sequential delta batches
+    // must end bit-identical to the one-shot copy-on-write merge —
+    // the same closed-form oracle as x120
+    "x126_delta_merge" -> ((s, d) => {
+      val dir = runScratch("mord", d)
+      val M = graft.sources.Maintenance
+      val base = t(s, d, "orders").df
+        .select("o_orderkey", "o_totalprice")
+      M.writeKeyed(base, dir, "o_orderkey", 16)
+      val sevens = base.filter(col("o_orderkey") % 7 === 0)
+      M.appendDeltaKeyed(s, dir, sevens
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0)),
+        "o_orderkey", 16)
+      M.appendDeltaKeyed(s, dir, sevens
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+        "o_orderkey", 16)
+      M.appendDeltaKeyed(s, dir,
+        base.limit(0), "o_orderkey", 16,
+        tombstoneKeys = Some(base.filter(col("o_orderkey") % 13 === 0)
+          .select("o_orderkey")))
+      M.readKeyed(s, dir).select("o_orderkey", "o_totalprice")
+    }),
+
+    // compactKeyed folds the delta chains back into base generations
+    // through the same snapshot-isolated commit path — the compacted
+    // table must hash-match the same closed-form end state (and the
+    // manifest carries no deltas afterwards, spec-asserted)
+    "x127_delta_compact" -> ((s, d) => {
+      val dir = runScratch("mordc", d)
+      val M = graft.sources.Maintenance
+      val base = t(s, d, "orders").df
+        .select("o_orderkey", "o_totalprice")
+      M.writeKeyed(base, dir, "o_orderkey", 16)
+      val sevens = base.filter(col("o_orderkey") % 7 === 0)
+      M.appendDeltaKeyed(s, dir, sevens
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0)),
+        "o_orderkey", 16)
+      M.appendDeltaKeyed(s, dir, sevens
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+        "o_orderkey", 16)
+      M.appendDeltaKeyed(s, dir,
+        base.limit(0), "o_orderkey", 16,
+        tombstoneKeys = Some(base.filter(col("o_orderkey") % 13 === 0)
+          .select("o_orderkey")))
+      M.compactKeyed(s, dir)
+      M.readKeyed(s, dir).select("o_orderkey", "o_totalprice")
+    }),
+
+    // Delta scale probe: 1M-row keyed table, three ~1k-key delta
+    // batches (disjoint key sets). Planted truths, all scale-invariant
+    // booleans (never re-capture): the resolved table equals the
+    // anti-join + union expectation; the delta dirs together cost a
+    // small fraction of the base bytes (copy-on-write would rewrite
+    // every touched bucket ≈ 3× the whole table here, since ~1k
+    // spread keys touch all 32 buckets); and NO base generation moved
+    "x128_delta_probe" -> ((s, d) => {
+      val dir = runScratch("morp", d)
+      val M = graft.sources.Maintenance
+      val n = scaled(1000000)
+      val base = s.range(0, n).select(col("id").as("k"),
+        (col("id") % 1000).cast(DoubleType).as("v"))
+      M.writeKeyed(base, dir, "k", 32)
+      val baseBytes = M.dirBytes(s, dir)
+      val m1 = M.readManifest(s, dir)
+      val batches = (1 to 3).map(i =>
+        s.range(i, n, 997).select(col("id").as("k"), lit(-i.toDouble).as("v")))
+      batches.foreach(b => M.appendDeltaKeyed(s, dir, b, "k", 32))
+      val m2 = M.readManifest(s, dir)
+      val deltaBytes = m2.deltas.values.flatten
+        .map(dd => M.dirBytes(s, dir + "/" + dd)).sum
+      val expected = base
+        .join(batches.reduce(_.unionByName(_)).select("k"),
+          Seq("k"), "left_anti")
+        .unionByName(batches.reduce(_.unionByName(_)))
+      val dif = M.diff(M.readKeyed(s, dir).select("k", "v"), expected,
+        Seq("k"))
+      dif.agg((F.count(lit(1)) === n).as("n_ok"),
+        (F.sum(when(col("status") === "same", 0L).otherwise(1L)) === 0L)
+          .as("all_same"))
+        .withColumn("delta_small", lit(deltaBytes < baseBytes / 2))
+        .withColumn("bases_untouched", lit(m1.buckets == m2.buckets))
+    }),
+
     // Row-level table diff (reconciliation): direct null-safe column
     // compare, no hashes to collide, one full-outer equi-join
     "x103_diff" -> ((s, d) => {
@@ -5844,6 +5930,24 @@ object SparkEntry {
     // scale-invariant planted truths (see the query comments)
     "x110_upsert_1m" ->
       "SELECT TRUE AS n_ok, TRUE AS all_same",
+    "x128_delta_probe" ->
+      """SELECT TRUE AS n_ok, TRUE AS all_same,
+           TRUE AS delta_small, TRUE AS bases_untouched""",
+
+    // merge-on-read deltas and their compaction both end at x120's
+    // closed-form state: the later delta wins the 7ths' reprice,
+    // tombstones remove the 13ths (including 91ths, where the
+    // tombstone sits at the highest precedence level)
+    "x126_delta_merge" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey % 13 <> 0""",
+    "x127_delta_compact" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey % 13 <> 0""",
     "x111_funnel_300k" ->
       "SELECT TRUE AS d1_ok, TRUE AS d2_ok, TRUE AS d3_ok",
 

@@ -2532,14 +2532,21 @@ object Interp {
             litString(args(0).value), constLong(args(1).value).toInt,
             constLong(args(2).value).toInt))
         case "vacuum_keyed" =>
-          // vacuum_keyed(dir, keep?) — GC old snapshots; returns the
-          // surviving manifest versions
-          if (args.isEmpty || args.length > 2)
-            throw new TypeError("vacuum_keyed(\"dir\", keep_versions?)")
+          // vacuum_keyed(dir, keep?, grace_seconds?) — GC old
+          // snapshots; returns the surviving manifest versions. The
+          // default 15-minute grace protects readers still holding a
+          // dropped snapshot and concurrent writers' staged dirs;
+          // pass 0 to reclaim immediately (single-writer cleanup)
+          if (args.isEmpty || args.length > 3)
+            throw new TypeError(
+              "vacuum_keyed(\"dir\", keep_versions?, grace_seconds?)")
           val keep =
-            if (args.length == 2) constLong(args(1).value).toInt else 1
+            if (args.length >= 2) constLong(args(1).value).toInt else 1
+          val grace =
+            if (args.length == 3) constLong(args(2).value) * 1000L
+            else 15 * 60 * 1000L
           graft.sources.Maintenance.vacuumKeyed(spark,
-            litString(args(0).value), keep)
+            litString(args(0).value), keep, grace)
           PTable(PTable.fromList(spark,
             graft.sources.Maintenance.manifestVersions(spark,
               litString(args(0).value)).map(_.toLong)).df

@@ -102,9 +102,26 @@ object Maintenance {
     * querier guessing a different bucket count would compute wrong
     * bucket ids and silently prune away real rows, the same rule as
     * the inverted index's n_buckets.
+    *
+    * r9 additions (all optional — pre-r9 manifests parse with the
+    * defaults and newly-written manifests stay readable by shape):
+    *  - `schemaDdl`: the snapshot's schema as Spark DDL, so a legally
+    *    EMPTY snapshot stays self-describing after vacuum GCs every
+    *    prior generation (it used to borrow a prior manifest's files).
+    *  - `deltas`: per-bucket ordered MERGE-ON-READ delta dirs — a
+    *    small CDC batch appends one delta dir per touched bucket
+    *    instead of rewriting the whole bucket (bytes written ∝ batch,
+    *    not bucket); readers resolve base ⊕ deltas last-wins and
+    *    `compactKeyed` folds chains back into base generations.
+    *  - `rows`: row count per referenced dir, recorded at commit time
+    *    from the staged parquet footers, so `keyedStats` and merge
+    *    planning read the MANIFEST instead of scanning the table.
     */
   final case class KeyedManifest(version: Int, buckets: Map[Int, String],
-                                 keyCol: String = "", nBuckets: Int = 0)
+                                 keyCol: String = "", nBuckets: Int = 0,
+                                 schemaDdl: String = "",
+                                 deltas: Map[Int, Seq[String]] = Map.empty,
+                                 rows: Map[String, Long] = Map.empty)
 
   private def cleanDir(dir: String): String = dir.replaceAll("/+$", "")
 
@@ -135,6 +152,31 @@ object Maintenance {
   private val BucketEntry = """"(\d+)"\s*:\s*"([^"]+)"""".r
   private val KeyColEntry = """"keyCol"\s*:\s*"([^"]*)"""".r
   private val NBucketsEntry = """"nBuckets"\s*:\s*(\d+)""".r
+  private val SchemaEntry = """"schemaB64"\s*:\s*"([^"]*)"""".r
+  // section bodies: every value inside is a string / number / flat
+  // array (never an object), so the first '}' closes the section
+  private val BucketsSection = """"buckets"\s*:\s*\{([^}]*)\}""".r
+  private val DeltasSection = """"deltas"\s*:\s*\{([^}]*)\}""".r
+  private val RowsSection = """"rows"\s*:\s*\{([^}]*)\}""".r
+  private val DeltaEntry = """"(\d+)"\s*:\s*\[([^\]]*)\]""".r
+  private val QuotedString = """"([^"]+)"""".r
+  private val RowEntry = """"([^"]+)"\s*:\s*(\d+)""".r
+
+  private def b64enc(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def b64dec(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  /** Union two snapshot schemas field-by-name (additive evolution:
+    * the recorded schema only ever grows; types never change).
+    */
+  private def unionSchema(a: org.apache.spark.sql.types.StructType,
+                          b: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val have = a.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      a.fields ++ b.fields.filterNot(f => have.contains(f.name)))
+  }
 
   /** All committed manifest versions at `dir`, ascending. */
   def manifestVersions(spark: SparkSession, dir: String): Seq[Int] = {
@@ -163,11 +205,29 @@ object Maintenance {
     val txt =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val buckets = BucketEntry.findAllMatchIn(txt)
+    // sectioned parse: `rows` keys are dir names and `deltas` values
+    // are arrays, so the flat "digits": "string" regex is scoped to
+    // the buckets section (pre-r9 manifests have no sections beyond
+    // buckets — the same extraction still matches them)
+    val bucketsBody = BucketsSection.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse(txt)
+    val buckets = BucketEntry.findAllMatchIn(bucketsBody)
       .map(m => m.group(1).toInt -> m.group(2)).toMap
+    val deltas = DeltasSection.findFirstMatchIn(txt).map(_.group(1))
+      .map(body => DeltaEntry.findAllMatchIn(body).map { m =>
+        m.group(1).toInt ->
+          QuotedString.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
+      }.toMap).getOrElse(Map.empty[Int, Seq[String]])
+    val rows = RowsSection.findFirstMatchIn(txt).map(_.group(1))
+      .map(body => RowEntry.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap)
+      .getOrElse(Map.empty[String, Long])
     KeyedManifest(v, buckets,
       KeyColEntry.findFirstMatchIn(txt).map(_.group(1)).getOrElse(""),
-      NBucketsEntry.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0))
+      NBucketsEntry.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0),
+      SchemaEntry.findFirstMatchIn(txt).map(m => b64dec(m.group(1)))
+        .getOrElse(""),
+      deltas, rows)
   }
 
   /** Publish a manifest: write to a dot-temp in `_manifests`, then one
@@ -187,9 +247,22 @@ object Maintenance {
     val meta =
       if (m.nBuckets > 0) s""""keyCol": "${m.keyCol}", "nBuckets": ${m.nBuckets}, """
       else ""
+    val schema =
+      if (m.schemaDdl.nonEmpty) s""""schemaB64": "${b64enc(m.schemaDdl)}", """
+      else ""
+    val deltas =
+      if (m.deltas.isEmpty) ""
+      else m.deltas.toSeq.sortBy(_._1).map { case (b, ds) =>
+        s""""$b": ${ds.map(d => s""""$d"""").mkString("[", ", ", "]")}"""
+      }.mkString(""", "deltas": {""", ", ", "}")
+    val rows =
+      if (m.rows.isEmpty) ""
+      else m.rows.toSeq.sortBy(_._1).map { case (d, n) => s""""$d": $n""" }
+        .mkString(""", "rows": {""", ", ", "}")
     val body = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, d) => s""""$b": "$d"""" }
-      .mkString(s"""{"version": ${m.version}, $meta"buckets": {""", ", ", "}}")
+      .mkString(s"""{"version": ${m.version}, $meta$schema"buckets": {""",
+        ", ", "}") + deltas + rows + "}"
     val tmp = new Path(md,
       s".tmp_v${m.version}_${ProcessHandle.current().pid()}x${stageCounter.incrementAndGet()}")
     val out = fs.create(tmp, true)
@@ -206,9 +279,13 @@ object Maintenance {
   /** Optimistic-concurrency retry: re-run `body` (which must re-read
     * the manifest each attempt) until its commit wins or `attempts`
     * conflicts pass through. Staged dirs of losing attempts are
-    * unreferenced and reclaimed by vacuum.
+    * unreferenced and reclaimed by vacuum. Every conflict round has a
+    * winner, so N contending writers each need at most ~N×(their
+    * queue) attempts — the default bounds a realistic writer pool,
+    * and the jittered backoff de-synchronizes retriers so the same
+    * two writers stop losing to each other in lockstep.
     */
-  private def withCommitRetry[T](what: String, attempts: Int = 5)
+  private def withCommitRetry[T](what: String, attempts: Int = 20)
                                 (body: => T): T = {
     var i = 1
     while (true) {
@@ -218,6 +295,8 @@ object Maintenance {
           if (i >= attempts)
             throw new CommitConflict(
               s"$what lost $attempts optimistic-commit races: ${c.getMessage}")
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(20L + 30L * math.min(i, 10)))
           i += 1
       }
     }
@@ -226,8 +305,10 @@ object Maintenance {
 
   /** Read the keyed table's snapshot at `version` (latest when None).
     * Scans exactly the bucket dirs the manifest lists; `kb` is a data
-    * column in the files. Falls back to a plain partitioned read for
-    * pre-manifest directories.
+    * column in the files. Buckets with merge-on-read delta chains are
+    * resolved last-wins (see `resolveBuckets`); buckets without deltas
+    * read straight through with NO resolution shuffle. Falls back to a
+    * plain partitioned read for pre-manifest directories.
     */
   def readKeyed(spark: SparkSession, dir: String,
                 version: Option[Int] = None): DataFrame = {
@@ -235,24 +316,89 @@ object Maintenance {
     if (manifestVersions(spark, dir).isEmpty)
       return spark.read.parquet(clean) // legacy kb=N layout
     val m = readManifest(spark, dir, version)
-    if (m.buckets.isEmpty) {
-      // a fully-emptied table is a legal snapshot: return an EMPTY
-      // frame with the schema of the latest earlier non-empty
-      // snapshot (manifests retain the lineage until vacuum)
-      val prior = manifestVersions(spark, dir).filter(_ < m.version)
-        .reverse.map(v => readManifest(spark, dir, Some(v)))
-        .find(_.buckets.nonEmpty)
-        .getOrElse(throw new IllegalArgumentException(
-          s"snapshot v${m.version} of $clean is empty and no prior " +
-            "snapshot remains to supply a schema"))
-      return spark.read
-        .parquet(s"$clean/${prior.buckets.head._2}").limit(0)
+    val live = (m.buckets.keySet ++ m.deltas.keySet).toSeq.sorted
+    if (live.isEmpty) return emptySnapshot(spark, clean, m)
+    resolveBuckets(spark, clean, m, live, None)
+  }
+
+  /** A fully-emptied table is a legal snapshot: an EMPTY frame with
+    * the schema the manifest records (r9+ manifests are
+    * self-describing, so this survives vacuuming every prior
+    * generation); pre-r9 manifests fall back to the latest earlier
+    * non-empty snapshot's files.
+    */
+  private def emptySnapshot(spark: SparkSession, clean: String,
+                            m: KeyedManifest): DataFrame = {
+    if (m.schemaDdl.nonEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+    val prior = manifestVersions(spark, clean).filter(_ < m.version)
+      .reverse.map(v => readManifest(spark, clean, Some(v)))
+      .find(_.buckets.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot v${m.version} of $clean is empty and no prior " +
+          "snapshot remains to supply a schema"))
+    spark.read.parquet(s"$clean/${prior.buckets.head._2}").limit(0)
+  }
+
+  /** The live rows of `buckets` under manifest `m`: plain buckets read
+    * straight from their generation dir; buckets carrying a delta
+    * chain resolve LAST-WINS per key — precedence 0 is the base
+    * generation, precedence i the i-th delta, the highest precedence
+    * row wins, and a winning tombstone (`__tomb`) removes the key.
+    * The resolution window shuffles ONLY the delta-carrying buckets'
+    * rows (a same-bucket chain never spans buckets, so the per-key
+    * window is correct across the multi-bucket union); `keyFilter`
+    * (point lookups) pushes into every level's parquet scan BEFORE
+    * the window. Levels union by name so delta batches may carry
+    * additive schema changes like any merge.
+    */
+  private def resolveBuckets(spark: SparkSession, clean: String,
+                             m: KeyedManifest, buckets: Seq[Int],
+                             keyFilter: Option[Column]): DataFrame = {
+    def rd(dirs: Seq[String]): DataFrame = {
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(dirs.sorted.map(d => s"$clean/$d"): _*)
+      keyFilter.fold(df)(df.filter)
     }
-    // mergeSchema: generations written before an additive schema
-    // change lack the new columns — the snapshot surfaces them as
-    // nulls (Delta-style additive evolution; see upsertKeyed)
-    spark.read.option("mergeSchema", "true").parquet(
-      m.buckets.values.toSeq.sorted.map(d => s"$clean/$d"): _*)
+    val (deltaB, plainB) = buckets.partition(b =>
+      m.deltas.get(b).exists(_.nonEmpty))
+    val plain = plainB.flatMap(m.buckets.get) match {
+      case Nil => None
+      case dirs => Some(rd(dirs))
+    }
+    val resolved =
+      if (deltaB.isEmpty) None
+      else {
+        val maxChain = deltaB.map(b => m.deltas(b).length).max
+        // level 0 = the base generations (a bucket born from a pure
+        // delta insert has none), level i = every bucket's i-th delta
+        val levels = (0 -> deltaB.flatMap(m.buckets.get)) +:
+          (1 to maxChain).map(i =>
+            i -> deltaB.flatMap(b => m.deltas(b).lift(i - 1)))
+        val parts = levels.filter(_._2.nonEmpty).map { case (i, dirs) =>
+          rd(dirs).withColumn("__prec", F.lit(i))
+        }
+        val un = parts.reduce(
+          _.unionByName(_, allowMissingColumns = true))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(F.col(m.keyCol))
+          .orderBy(F.col("__prec").desc)
+        val top = un.withColumn("__rn", F.row_number().over(w))
+          .filter(F.col("__rn") === 1)
+        val alive =
+          if (un.columns.contains("__tomb"))
+            top.filter(!F.coalesce(F.col("__tomb"), F.lit(false)))
+          else top
+        Some(alive.drop("__prec", "__rn", "__tomb"))
+      }
+    (plain, resolved) match {
+      case (Some(p), Some(r)) => p.unionByName(r, allowMissingColumns = true)
+      case (Some(p), None) => p
+      case (None, Some(r)) => r
+      case (None, None) => emptySnapshot(spark, clean, m)
+    }
   }
 
   /** Write `df` as a KEYED table: hash-bucketed into `nBuckets` dirs on
@@ -270,11 +416,46 @@ object Maintenance {
     require(nBuckets > 0, s"nBuckets must be > 0, got $nBuckets")
     val spark = df.sparkSession
     val clean = cleanDir(dir)
-    val fs = hadoopFs(spark, new Path(clean))
-    fs.delete(new Path(clean), true)
-    val staged = stageBuckets(spark, clean,
-      df.withColumn("kb", kb(keyCol, nBuckets)), version = 1, keyCol)
-    writeManifest(spark, clean, KeyedManifest(1, staged, keyCol, nBuckets))
+    val withKb = df.withColumn("kb", kb(keyCol, nBuckets))
+    if (manifestVersions(spark, dir).isEmpty) {
+      val fs = hadoopFs(spark, new Path(clean))
+      fs.delete(new Path(clean), true)
+      val (staged, rows) = stageBuckets(spark, clean, withKb, 1, keyCol)
+      writeManifest(spark, clean, KeyedManifest(1, staged, keyCol, nBuckets,
+        withKb.schema.toDDL, rows = rows))
+    } else {
+      // re-bootstrap over an EXISTING keyed table stays snapshot-
+      // isolated: stage the replacement generations (invisible) and
+      // publish the next manifest — a racing reader sees the old or
+      // the new COMPLETE table, never a half-deleted directory (the
+      // pre-r9 delete-then-restage violated exactly that); the old
+      // generations vacuum away later
+      withCommitRetry(s"writeKeyed($dir)") {
+        val m = readManifest(spark, dir)
+        val (staged, rows) = stageBuckets(spark, clean, withKb,
+          m.version + 1, keyCol)
+        writeManifest(spark, clean, KeyedManifest(m.version + 1, staged,
+          keyCol, nBuckets, withKb.schema.toDDL, rows = rows))
+      }
+    }
+  }
+
+  /** Row count of the parquet files directly under `dir`, from the
+    * file FOOTERS alone — no Spark job, no data pages read. This is
+    * how staged dirs report their counts into the manifest `rows`
+    * map: O(files) metadata reads at commit time buy every later
+    * `keyedStats`/planning call an O(manifest) answer.
+    */
+  private def parquetRows(spark: SparkSession, dir: Path): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = hadoopFs(spark, dir)
+    fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet")).map { st =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf))
+        try rd.getRecordCount finally rd.close()
+      }.sum
   }
 
   /** Write `withKb` (any frame carrying the int `kb` column) as one
@@ -286,11 +467,13 @@ object Maintenance {
     * Rows sort by key WITHIN each bucket, so the parquet row-group
     * min/max stats on the key column are narrow and a point lookup's
     * pushed IN-list skips most row groups inside the bucket too.
-    * Returns bucket → dir-name for the buckets that got any rows.
+    * Returns bucket → dir-name for the buckets that got any rows,
+    * plus dir-name → row count (from the staged footers).
     */
   private def stageBuckets(spark: SparkSession, clean: String,
-                           withKb: DataFrame, version: Int,
-                           keyCol: String): Map[Int, String] = {
+                           withKb: DataFrame, version: Int, keyCol: String,
+                           prefix: Char = 'b')
+      : (Map[Int, String], Map[String, Long]) = {
     val fs = hadoopFs(spark, new Path(clean))
     // pid + counter: two concurrent writers IN THE SAME JVM (a CDC
     // stream sink plus an ad-hoc merge) must never share a staging
@@ -306,13 +489,15 @@ object Maintenance {
     val out = fs.listStatus(staging).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("__kbp=")).map { src =>
         val b = src.getName.stripPrefix("__kbp=").toInt
-        val name = bucketDirName(b, version)
+        val name = prefix + bucketDirName(b, version).drop(1)
         require(fs.rename(src, new Path(clean, name)),
           s"bucket stage failed: $src -> $clean/$name")
         b -> name
       }.toMap
     fs.delete(staging, true)
-    out
+    val rows = out.values.map(d =>
+      d -> parquetRows(spark, new Path(clean, d))).toMap
+    (out, rows)
   }
 
   /** A staged-but-uncommitted merge: every new bucket-generation dir is
@@ -333,13 +518,27 @@ object Maintenance {
     // would silently drop that writer's changes. Targeting base+1
     // makes the manifest rename fail instead (CommitConflict → the
     // caller recomputes against the fresh snapshot).
-    val staged = stageBuckets(spark, clean, merged, base.version + 1,
-      if (base.keyCol.nonEmpty) base.keyCol else "kb")
+    val (staged, stagedRows) = stageBuckets(spark, clean, merged,
+      base.version + 1, if (base.keyCol.nonEmpty) base.keyCol else "kb")
     // a touched bucket absent from staging lost ALL its rows (delete
     // path): it simply leaves the manifest
     val next = base.buckets -- touched ++ staged
+    // a full merge of a bucket FOLDS its delta chain into the new
+    // base generation (readTouched resolved it), so touched buckets'
+    // deltas leave the manifest
+    val nextDeltas = base.deltas -- touched
+    val liveDirs = next.values.toSet ++ nextDeltas.values.flatten
+    val nextRows = base.rows.filter { case (d, _) => liveDirs(d) } ++ stagedRows
+    // snapshot schema grows additively across merges: prior schema
+    // ∪ the merged frame's (which carries any new batch columns)
+    val schema =
+      if (base.schemaDdl.isEmpty) merged.schema.toDDL
+      else unionSchema(
+        org.apache.spark.sql.types.StructType.fromDDL(base.schemaDdl),
+        merged.schema).toDDL
     PendingCommit(clean,
-      KeyedManifest(base.version + 1, next, base.keyCol, base.nBuckets))
+      KeyedManifest(base.version + 1, next, base.keyCol, base.nBuckets,
+        schema, nextDeltas, nextRows))
   }
 
   private[graft] def commitKeyed(spark: SparkSession,
@@ -367,24 +566,8 @@ object Maintenance {
     * recomputes its merge against the winner's snapshot and retries.
     */
   def upsertKeyed(spark: SparkSession, dir: String, updates: DataFrame,
-                  keyCol: String, nBuckets: Int): Unit = {
-    val up = updates.withColumn("kb", kb(keyCol, nBuckets))
-      .localCheckpoint()
-    val touched = up.select("kb").distinct().collect()
-      .map(_.getInt(0)).sorted.toSeq
-    if (touched.isEmpty) return
-    withCommitRetry(s"upsertKeyed($dir)") {
-      // ONE manifest read per attempt, threaded through base read AND
-      // commit: the publish targets exactly the version the merge was
-      // computed against
-      val m = readManifest(spark, dir)
-      val base = readTouched(spark, dir, m, touched, up, keyCol, nBuckets)
-      val merged = base
-        .join(up.select(keyCol).distinct(), Seq(keyCol), "left_anti")
-        .unionByName(up, allowMissingColumns = true)
-      commitKeyed(spark, stageMerge(spark, dir, merged, touched, m))
-    }
-  }
+                  keyCol: String, nBuckets: Int): Unit =
+    mergeKeyed(spark, dir, Some(updates), None, keyCol, nBuckets)
 
   /** Delete by key from the keyed table at `dir`; `keys` is a 1-column
     * frame. Same pruned-read + staged-commit shape as upsertKeyed; a
@@ -392,26 +575,124 @@ object Maintenance {
     * the manifest outright.
     */
   def deleteKeyed(spark: SparkSession, dir: String, keys: DataFrame,
-                  keyCol: String, nBuckets: Int): Unit = {
-    val ks = keys.select(F.col(keys.columns.head).as(keyCol))
-      .withColumn("kb", kb(keyCol, nBuckets)).localCheckpoint()
-    val touched = ks.select("kb").distinct().collect()
-      .map(_.getInt(0)).sorted.toSeq
+                  keyCol: String, nBuckets: Int): Unit =
+    mergeKeyed(spark, dir, None,
+      Some(keys.select(F.col(keys.columns.head).as(keyCol))),
+      keyCol, nBuckets)
+
+  /** The ONE merge body behind upsert, delete, and the CDC batch sink:
+    * upserts and deletes land in a SINGLE staged commit (one manifest
+    * publish), so a reader racing a tombstone-carrying batch never
+    * observes the updates-applied/deletes-pending intermediate state
+    * that two sequential commits would expose.
+    */
+  def mergeKeyed(spark: SparkSession, dir: String,
+                 updates: Option[DataFrame], deleteKeys: Option[DataFrame],
+                 keyCol: String, nBuckets: Int): Unit = {
+    val up = updates.map(_.withColumn("kb", kb(keyCol, nBuckets))
+      .localCheckpoint())
+    val dk = deleteKeys.map(_.select(F.col(keyCol))
+      .withColumn("kb", kb(keyCol, nBuckets)).localCheckpoint())
+    val touched = (up.toSeq ++ dk.toSeq)
+      .flatMap(_.select("kb").distinct().collect().map(_.getInt(0)))
+      .distinct.sorted
     if (touched.isEmpty) return
-    withCommitRetry(s"deleteKeyed($dir)") {
+    val batchForSchema = up.orElse(dk).get
+    withCommitRetry(s"mergeKeyed($dir)") {
+      // ONE manifest read per attempt, threaded through base read AND
+      // commit: the publish targets exactly the version the merge was
+      // computed against
       val m = readManifest(spark, dir)
-      val base = readTouched(spark, dir, m, touched, ks, keyCol, nBuckets)
-      val merged = base.join(ks.select(keyCol).distinct(),
-        Seq(keyCol), "left_anti")
+      val base = readTouched(spark, dir, m, touched, batchForSchema,
+        keyCol, nBuckets)
+      val gone = (up.map(_.select(keyCol)).toSeq ++
+        dk.map(_.select(keyCol)).toSeq)
+        .reduce(_.unionByName(_)).distinct()
+      val kept = base.join(gone, Seq(keyCol), "left_anti")
+      val merged = up.fold(kept)(u =>
+        kept.unionByName(u, allowMissingColumns = true))
       commitKeyed(spark, stageMerge(spark, dir, merged, touched, m))
     }
   }
 
-  /** The pruned base read: exactly the touched buckets' live dirs. When
-    * none of the touched buckets exists yet (pure-insert batch into new
-    * buckets), an empty frame in the STORED column order (from any live
-    * bucket, or the batch itself on an emptied table) keeps the merge's
-    * union aligned.
+  /** One CDC micro-batch, merged ATOMICALLY (one manifest commit) with
+    * the cross-batch last-wins guard INSIDE the optimistic-commit
+    * retry — a losing race recomputes the guard against the winner's
+    * snapshot, so concurrent writers can't resurrect a stale sequence
+    * (the pre-r9 shape read the guard once outside the retry).
+    * Semantics (same contract as streaming/Streams.upsertKeyedBatch,
+    * which delegates here):
+    *  - `seqCol`: last-wins per key within the batch AND against the
+    *    stored row (`>=` keeps exact replays idempotent);
+    *  - `deleteCol`: boolean tombstone — the key's winning row being a
+    *    tombstone DELETES it; the column itself never lands.
+    */
+  def cdcMergeKeyed(spark: SparkSession, dir: String, batch: DataFrame,
+                    keyCol: String, nBuckets: Int,
+                    seqCol: Option[String] = None,
+                    deleteCol: Option[String] = None): Unit = {
+    val reduced0 = seqCol match {
+      case Some(sc) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(F.col(keyCol)).orderBy(F.col(sc).desc)
+        batch.withColumn("__rn", F.row_number().over(w))
+          .filter(F.col("__rn") === 1).drop("__rn")
+      case None => batch
+    }
+    val reduced = reduced0.withColumn("kb", kb(keyCol, nBuckets))
+      .localCheckpoint()
+    val touched = reduced.select("kb").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return
+    def split(last: DataFrame): (DataFrame, Option[DataFrame]) =
+      deleteCol match {
+        case Some(dc) =>
+          (last.filter(!F.coalesce(F.col(dc), F.lit(false))).drop(dc),
+            Some(last.filter(F.coalesce(F.col(dc), F.lit(false)))
+              .select(F.col(keyCol))))
+        case None => (last, None)
+      }
+    if (manifestVersions(spark, dir).isEmpty) {
+      // bootstrap: no stored rows to guard against; tombstones in the
+      // very first batch simply don't insert
+      val (ups, _) = split(reduced)
+      writeKeyed(ups.drop("kb"), dir, keyCol, nBuckets)
+      return
+    }
+    withCommitRetry(s"cdcMergeKeyed($dir)") {
+      val m = readManifest(spark, dir)
+      val base = readTouched(spark, dir, m, touched, reduced,
+        keyCol, nBuckets)
+      // cross-batch last-wins: a late batch carrying an older sequence
+      // for a stored key (out-of-order source, or a replay interleaved
+      // with newer batches) must not regress the row — compare against
+      // the SAME snapshot this attempt will merge into
+      val last = seqCol match {
+        case Some(sc) if base.columns.contains(sc) =>
+          reduced.join(
+            base.select(F.col(keyCol), F.col(sc).as("__curseq")),
+            Seq(keyCol), "left")
+            .filter(F.col("__curseq").isNull ||
+              F.col(sc) >= F.col("__curseq"))
+            .drop("__curseq")
+        case _ => reduced
+      }
+      val (ups, dels) = split(last)
+      val gone = dels.fold(ups.select(keyCol))(d =>
+        ups.select(keyCol).unionByName(d)).distinct()
+      val merged = base.join(gone, Seq(keyCol), "left_anti")
+        .unionByName(ups, allowMissingColumns = true)
+      commitKeyed(spark, stageMerge(spark, dir, merged, touched, m))
+    }
+  }
+
+  /** The pruned base read: exactly the touched buckets' live rows,
+    * with any delta chains RESOLVED (so a full merge of a bucket folds
+    * its merge-on-read deltas into the staged generation — stageMerge
+    * then drops them from the manifest). When none of the touched
+    * buckets exists yet (pure-insert batch into new buckets), an empty
+    * frame in the STORED column order (from any live bucket, or the
+    * batch itself on an emptied table) keeps the merge's union aligned.
     */
   private def readTouched(spark: SparkSession, dir: String,
                           m: KeyedManifest, touched: Seq[Int],
@@ -423,13 +704,93 @@ object Maintenance {
     require(m.nBuckets == 0 || (m.nBuckets == nBuckets && m.keyCol == keyCol),
       s"keyed table $clean is (${m.keyCol}, ${m.nBuckets}) buckets; " +
         s"caller passed ($keyCol, $nBuckets)")
-    val live = touched.flatMap(m.buckets.get).map(d => s"$clean/$d")
-    // mergeSchema: touched buckets may span an additive schema change
+    val live = touched.filter(b =>
+      m.buckets.contains(b) || m.deltas.get(b).exists(_.nonEmpty))
     if (live.nonEmpty)
-      spark.read.option("mergeSchema", "true").parquet(live: _*)
+      resolveBuckets(spark, clean, m, live, None)
     else if (m.buckets.nonEmpty)
       spark.read.parquet(s"$clean/${m.buckets.head._2}").limit(0)
+    else if (m.schemaDdl.nonEmpty)
+      emptySnapshot(spark, clean, m) // emptied table keeps its schema
     else batch.limit(0)
+  }
+
+  /** MERGE-ON-READ upsert: append the batch as per-bucket DELTA dirs
+    * and publish a manifest whose delta chains grew — the base
+    * generations are NEVER read or rewritten, so bytes written are
+    * ∝ THE BATCH, not the touched buckets (the copy-on-write
+    * `upsertKeyed` pays O(bucket) per batch, which a high-frequency
+    * CDC stream into 10 GB buckets cannot afford). Readers resolve
+    * base ⊕ deltas last-wins per key (`resolveBuckets`); read cost
+    * grows with chain length until `compactKeyed` folds the chains
+    * back into base generations. `tombstoneKeys` rows delete their
+    * keys at resolution (the classic merge-on-read delete vector).
+    *
+    * Contracts: keys must be UNIQUE within one call (duplicate keys at
+    * the same precedence level have no resolution order — reduce CDC
+    * batches by sequence first, as `cdcMergeKeyed` does); cross-batch
+    * ordering is DELTA ORDER (append order), so out-of-order sequence
+    * delivery needs the copy-on-write CDC path's stored-seq guard.
+    * The staged delta dirs don't depend on the base snapshot, so a
+    * losing commit race just re-publishes against the fresh manifest —
+    * no recompute, no restage.
+    */
+  def appendDeltaKeyed(spark: SparkSession, dir: String, updates: DataFrame,
+                       keyCol: String, nBuckets: Int,
+                       tombstoneKeys: Option[DataFrame] = None): Unit = {
+    val clean = cleanDir(dir)
+    val ups = updates.withColumn("__tomb", F.lit(false))
+    val all = tombstoneKeys.fold(ups)(tk =>
+      ups.unionByName(
+        tk.select(F.col(tk.columns.head).as(keyCol))
+          .withColumn("__tomb", F.lit(true)),
+        allowMissingColumns = true))
+    val withKb = all.withColumn("kb", kb(keyCol, nBuckets)).localCheckpoint()
+    val touched = withKb.select("kb").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return
+    val m0 = readManifest(spark, dir)
+    require(m0.nBuckets == 0 ||
+      (m0.nBuckets == nBuckets && m0.keyCol == keyCol),
+      s"keyed table $clean is (${m0.keyCol}, ${m0.nBuckets}) buckets; " +
+        s"caller passed ($keyCol, $nBuckets)")
+    val (staged, stagedRows) = stageBuckets(spark, clean, withKb,
+      m0.version + 1, keyCol, prefix = 'd')
+    withCommitRetry(s"appendDeltaKeyed($dir)") {
+      val m = readManifest(spark, dir)
+      val nextDeltas = m.deltas ++ staged.map { case (b, d) =>
+        b -> (m.deltas.getOrElse(b, Seq.empty) :+ d)
+      }
+      val schema =
+        if (m.schemaDdl.isEmpty) withKb.drop("__tomb").schema.toDDL
+        else unionSchema(
+          org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl),
+          withKb.drop("__tomb").schema).toDDL
+      writeManifest(spark, clean, KeyedManifest(m.version + 1, m.buckets,
+        m.keyCol, m.nBuckets, schema, nextDeltas, m.rows ++ stagedRows))
+    }
+  }
+
+  /** Fold merge-on-read delta chains back into base generations: the
+    * resolved rows of each target bucket stage as a new generation and
+    * ONE manifest commit drops the chains — exactly a full merge whose
+    * batch is empty, through the same snapshot-isolated commit path.
+    * Defaults to every bucket carrying deltas; pass `buckets` to
+    * compact incrementally (e.g. only chains past a length threshold,
+    * read straight off the manifest).
+    */
+  def compactKeyed(spark: SparkSession, dir: String,
+                   buckets: Option[Seq[Int]] = None): Unit = {
+    val clean = cleanDir(dir)
+    if (manifestVersions(spark, dir).isEmpty) return
+    withCommitRetry(s"compactKeyed($dir)") {
+      val m = readManifest(spark, dir)
+      val target = buckets.getOrElse(m.deltas.keys.toSeq)
+        .filter(b => m.deltas.get(b).exists(_.nonEmpty)).sorted
+      if (target.nonEmpty)
+        commitKeyed(spark, stageMerge(spark, clean,
+          resolveBuckets(spark, clean, m, target, None), target, m))
+    }
   }
 
   /** The live rows of the buckets a key frame hashes into — the
@@ -463,16 +824,36 @@ object Maintenance {
     val m = readManifest(spark, dir)
     require(m.nBuckets > 0,
       s"$clean has no keyed metadata (pre-r8 table or versioned dataset)")
+    // the probe hash uses the key's JVM string form, which matches the
+    // stored kb (md5 of Spark's string CAST) only for integral and
+    // string keys — a float/decimal/timestamp key would silently hash
+    // into the WRONG bucket and return zero rows, so reject it loudly
+    if (m.schemaDdl.nonEmpty) {
+      import org.apache.spark.sql.types._
+      StructType.fromDDL(m.schemaDdl).fields
+        .find(_.name == m.keyCol).map(_.dataType).foreach {
+          case StringType | LongType | IntegerType | ShortType
+               | ByteType => ()
+          case dt => throw new IllegalArgumentException(
+            s"lookupKeyed: key column '${m.keyCol}' is $dt — driver-side " +
+              "key hashing matches the stored buckets only for integral " +
+              "and string keys; probe by DataFrame filter instead")
+        }
+    }
     val touched = keys
       .map(k => (graft.ext.TextAnalysis.h60Value(k.toString) % m.nBuckets).toInt)
-      .distinct.flatMap(m.buckets.get).map(d => s"$clean/$d")
+      .distinct
+      .filter(b => m.buckets.contains(b) ||
+        m.deltas.get(b).exists(_.nonEmpty)).sorted
     if (touched.isEmpty)
       readKeyed(spark, dir).limit(0)
-    else spark.read.option("mergeSchema", "true").parquet(touched: _*)
-      // native-typed IN-list (not a string cast) so the predicate
-      // PUSHES into the parquet scan and the within-bucket key sort
-      // lets row-group min/max stats skip most of each bucket file
-      .filter(F.col(m.keyCol).isin(keys: _*))
+    // native-typed IN-list (not a string cast) so the predicate
+    // PUSHES into the parquet scan of EVERY chain level and the
+    // within-bucket key sort lets row-group min/max stats skip most
+    // of each bucket file; delta chains resolve AFTER the pushed
+    // filter, over the probe keys' rows only
+    else resolveBuckets(spark, clean, m, touched,
+      Some(F.col(m.keyCol).isin(keys: _*)))
   }
 
   /** Changelog between two snapshots of the keyed table: one row per
@@ -490,12 +871,16 @@ object Maintenance {
     val m1 = readManifest(spark, dir, Some(fromV))
     val m2 = readManifest(spark, dir, Some(toV))
     require(m1.keyCol.nonEmpty, s"$clean has no keyed metadata")
-    val changed = (m1.buckets.keySet ++ m2.buckets.keySet)
-      .filter(b => m1.buckets.get(b) != m2.buckets.get(b)).toSeq.sorted
+    // a bucket changed if its base generation OR its delta chain moved
+    val changed = (m1.buckets.keySet ++ m2.buckets.keySet ++
+      m1.deltas.keySet ++ m2.deltas.keySet)
+      .filter(b => m1.buckets.get(b) != m2.buckets.get(b) ||
+        m1.deltas.getOrElse(b, Nil) != m2.deltas.getOrElse(b, Nil))
+      .toSeq.sorted
     def side(m: KeyedManifest) = {
-      val dirs = changed.flatMap(m.buckets.get).map(d => s"$clean/$d")
-      if (dirs.nonEmpty)
-        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      val live = changed.filter(b => m.buckets.contains(b) ||
+        m.deltas.get(b).exists(_.nonEmpty))
+      if (live.nonEmpty) resolveBuckets(spark, clean, m, live, None)
       else readKeyed(spark, dir, Some(m.version)).limit(0)
     }
     diff(side(m1).drop("kb"), side(m2).drop("kb"), Seq(m1.keyCol))
@@ -517,7 +902,7 @@ object Maintenance {
                   keepVersions: Int = 1,
                   graceMs: Long = 15 * 60 * 1000L): Unit =
     vacuumGenerations(spark, dir, keepVersions, graceMs,
-      """b\d{5}_g\d{9}(-.*)?""")
+      """[bd]\d{5}_g\d{9}(-.*)?""")
 
   private def vacuumGenerations(spark: SparkSession, dir: String,
                                 keepVersions: Int, graceMs: Long,
@@ -529,15 +914,25 @@ object Maintenance {
     val cutoff = System.currentTimeMillis() - graceMs
     val versions = manifestVersions(spark, dir)
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
-    val referenced = keep
-      .flatMap(v => readManifest(spark, dir, Some(v)).buckets.values).toSet
+    // dropped manifest FILES get the same grace as generation dirs: a
+    // time traveler that listed versions just before the vacuum can
+    // still resolve its snapshot while the grace holds. Deletion
+    // happens FIRST so `referenced` can then protect the data dirs of
+    // every manifest that survives this pass (kept OR grace-retained) —
+    // a graced old manifest must never outlive its own data.
+    drop.foreach { v =>
+      val mf = new Path(manifestDir(clean), f"v$v%09d.json")
+      if (fs.exists(mf) && fs.getFileStatus(mf).getModificationTime < cutoff)
+        fs.delete(mf, false)
+    }
+    val referenced = manifestVersions(spark, dir)
+      .map(v => readManifest(spark, dir, Some(v)))
+      .flatMap(m => m.buckets.values ++ m.deltas.values.flatten).toSet
     fs.listStatus(p).toSeq
       .filter(s => s.getPath.getName.matches(genPattern) &&
         !referenced.contains(s.getPath.getName) &&
         s.getModificationTime < cutoff)
       .foreach(s => fs.delete(s.getPath, true))
-    drop.foreach(v =>
-      fs.delete(new Path(manifestDir(clean), f"v$v%09d.json"), false))
     // crashed-writer residue: manifest temps + staging siblings
     val md = manifestDir(clean)
     if (fs.exists(md))
@@ -572,10 +967,46 @@ object Maintenance {
     tableStats(spark.read.parquet(dir), partCol)
 
   /** tableStats over a keyed table's LIVE snapshot (manifest-resolved;
-    * stale generations don't pollute the report).
+    * stale generations don't pollute the report). Buckets whose row
+    * counts the manifest records (every r9+ commit) and that carry no
+    * delta chain answer from the MANIFEST + a file listing — zero data
+    * IO; only delta-carrying or legacy buckets fall back to the
+    * resolved scan (a chain's live count isn't the sum of its levels).
+    * The fs listing per bucket is bounded metadata work (≤ nBuckets
+    * dirs), same class as the manifest read itself.
     */
-  def keyedStats(spark: SparkSession, dir: String): DataFrame =
-    tableStats(readKeyed(spark, dir), "kb")
+  def keyedStats(spark: SparkSession, dir: String): DataFrame = {
+    val clean = cleanDir(dir)
+    if (manifestVersions(spark, dir).isEmpty)
+      return tableStats(spark.read.parquet(clean), "kb")
+    val m = readManifest(spark, dir)
+    val (fast, slow) = (m.buckets.keySet ++ m.deltas.keySet).toSeq.sorted
+      .partition(b => !m.deltas.get(b).exists(_.nonEmpty) &&
+        m.buckets.get(b).exists(m.rows.contains))
+    val fs = hadoopFs(spark, new Path(clean))
+    val fastRows = fast.map { b =>
+      val d = m.buckets(b)
+      val nFiles = fs.listStatus(new Path(clean, d))
+        .count(_.getPath.getName.endsWith(".parquet")).toLong
+      (b, m.rows(d), nFiles)
+    }
+    val fastDf =
+      if (fastRows.isEmpty) None
+      else Some(spark.createDataFrame(fastRows)
+        .toDF("kb", "n_rows", "n_files"))
+    val slowDf =
+      if (slow.isEmpty) None
+      else Some(tableStats(
+        resolveBuckets(spark, clean, m, slow, None), "kb")
+        .select(F.col("kb"), F.col("n_rows"), F.col("n_files")))
+    (fastDf, slowDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        tableStats(readKeyed(spark, dir).limit(0), "kb")
+    }
+  }
 
   // ---- reconciliation ------------------------------------------------------
 

@@ -21,64 +21,26 @@ object Streams {
   /** One micro-batch of streaming CDC MERGE into a manifest-committed
     * keyed table (sources/Maintenance layout). Semantics per batch:
     *  - `seqCol` (if set): last-wins per key — only the row with the
-    *    highest sequence value applies (CDC batches carry several
-    *    updates per key; sequence values must be unique per key).
+    *    highest sequence value applies, within the batch AND against
+    *    the stored row (CDC batches carry several updates per key;
+    *    sequence values must be unique per key).
     *  - `deleteCol` (if set): a boolean tombstone — a key whose last
     *    row has it true is DELETED, the column itself never lands in
     *    the table.
-    * The first batch bootstraps the table. REPLAY-SAFE the way the
-    * manifest makes everything replay-safe: foreachBatch is
-    * at-least-once, and re-merging the same batch produces a new
-    * manifest version with IDENTICAL content (anti-join + union of
-    * the same rows) — readers see the same table either way, and
-    * mid-batch crashes (after the upsert commit, before the delete
-    * commit) re-run to the same end state.
+    * The first batch bootstraps the table. Upserts and tombstones land
+    * in ONE manifest commit (Maintenance.cdcMergeKeyed), so a racing
+    * reader never observes updates-applied/deletes-pending, and the
+    * stored-seq guard sits INSIDE the optimistic-commit retry — safe
+    * under concurrent writers, not just the single stream. REPLAY-SAFE
+    * the way the manifest makes everything replay-safe: foreachBatch
+    * is at-least-once, and re-merging the same batch produces a new
+    * manifest version with IDENTICAL content.
     */
   def upsertKeyedBatch(batch: DataFrame, dir: String, keyCol: String,
                        nBuckets: Int, seqCol: Option[String] = None,
-                       deleteCol: Option[String] = None): Unit = {
-    import graft.sources.Maintenance
-    val spark = batch.sparkSession
-    val reduced = seqCol match {
-      case Some(sc) =>
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col(keyCol)).orderBy(F.col(sc).desc)
-        batch.withColumn("__rn", F.row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-      case None => batch
-    }
-    // last-wins must hold ACROSS batches too: a late batch carrying an
-    // older sequence for a stored key (out-of-order source data, or a
-    // replay interleaved with newer batches) must not regress the row.
-    // The stored seq comes from the same pruned bucket read the merge
-    // will do; `>=` keeps exact replays idempotent.
-    val last = seqCol match {
-      case Some(sc) if Maintenance.manifestVersions(spark, dir).nonEmpty =>
-        val cur = Maintenance.readKeyBuckets(spark, dir,
-          reduced.select(keyCol), keyCol, nBuckets)
-        if (cur.columns.contains(sc))
-          reduced.join(
-            cur.select(col(keyCol), col(sc).as("__curseq")),
-            Seq(keyCol), "left")
-            .filter(F.col("__curseq").isNull || col(sc) >= F.col("__curseq"))
-            .drop("__curseq")
-        else reduced
-      case _ => reduced
-    }
-    val (ups, dels) = deleteCol match {
-      case Some(dc) =>
-        (last.filter(!F.coalesce(col(dc), F.lit(false))).drop(dc),
-          Some(last.filter(F.coalesce(col(dc), F.lit(false)))
-            .select(col(keyCol))))
-      case None => (last, None)
-    }
-    if (Maintenance.manifestVersions(spark, dir).isEmpty)
-      Maintenance.writeKeyed(ups, dir, keyCol, nBuckets)
-    else
-      Maintenance.upsertKeyed(spark, dir, ups, keyCol, nBuckets)
-    dels.filter(!_.isEmpty)
-      .foreach(d => Maintenance.deleteKeyed(spark, dir, d, keyCol, nBuckets))
-  }
+                       deleteCol: Option[String] = None): Unit =
+    graft.sources.Maintenance.cdcMergeKeyed(batch.sparkSession, dir,
+      batch, keyCol, nBuckets, seqCol, deleteCol)
 
   /** Continuous CDC MERGE: every micro-batch folds into the keyed
     * table via `upsertKeyedBatch`; concurrent readers always resolve a

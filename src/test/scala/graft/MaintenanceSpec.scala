@@ -503,6 +503,184 @@ class MaintenanceSpec extends SparkSpec {
       s"median estimate off: $fwd"))
   }
 
+  test("merge-on-read deltas: N small appends resolve to the one-shot merge, bases untouched") {
+    val dir = tmp("graft_mor"); val dir2 = tmp("graft_mor_cow")
+    val base = spark.range(0, 300).select(col("id").as("k"),
+      (col("id") * 10).as("v"))
+    Maintenance.writeKeyed(base, dir, "k", 8)
+    Maintenance.writeKeyed(base, dir2, "k", 8)
+    val before = fileState(dir)
+    // three delta batches: reprice, re-reprice (later wins), tombstone
+    val u1 = Seq((7L, 700L), (9L, 900L), (1000L, 1L)).toDF("k", "v")
+    val u2 = Seq((7L, 777L), (11L, 111L)).toDF("k", "v")
+    Maintenance.appendDeltaKeyed(spark, dir, u1, "k", 8)
+    Maintenance.appendDeltaKeyed(spark, dir, u2, "k", 8,
+      tombstoneKeys = Some(Seq(9L, 13L).toDF("k")))
+    // NO base generation was read or rewritten: every pre-append file
+    // is byte-identical (bytes written ∝ batches, not buckets)
+    val after = fileState(dir)
+    before.foreach { case (p, st) =>
+      assert(after.get(p).contains(st), s"delta append rewrote base: $p")
+    }
+    // the copy-on-write twin of the same history
+    Maintenance.upsertKeyed(spark, dir2, u1, "k", 8)
+    Maintenance.upsertKeyed(spark, dir2, u2, "k", 8)
+    Maintenance.deleteKeyed(spark, dir2, Seq(9L, 13L).toDF("k"), "k", 8)
+    def snap(d: String) = Maintenance.readKeyed(spark, d).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mor = snap(dir)
+    assert(mor == snap(dir2), "merge-on-read != copy-on-write end state")
+    assert(mor(7L) == 777L && mor(11L) == 111L && mor(1000L) == 1L &&
+      !mor.contains(9L) && !mor.contains(13L) && mor(8L) == 80L)
+    // point lookup resolves the chains too (tombstone honored)
+    val lk = Maintenance.lookupKeyed(spark, dir, Seq(7L, 9L, 8L))
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lk == Map(7L -> 777L, 8L -> 80L))
+    // compaction folds chains through the same commit path: identical
+    // rows, manifest carries no deltas, vacuum reclaims the delta dirs
+    Maintenance.compactKeyed(spark, dir)
+    assert(snap(dir) == mor, "compaction changed the resolved rows")
+    assert(Maintenance.readManifest(spark, dir).deltas.isEmpty)
+    Maintenance.vacuumKeyed(spark, dir, keepVersions = 1, graceMs = 0L)
+    assert(!new java.io.File(dir).listFiles.exists(_.getName.startsWith("d")),
+      "delta dirs survived compact+vacuum")
+    assert(snap(dir) == mor)
+    // keyedChanges across the delta history stays O(changed buckets)
+    val ch = Maintenance.keyedChanges(spark, dir2, 1,
+      Maintenance.manifestVersions(spark, dir2).last)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ch == Map(7L -> "changed", 9L -> "removed", 11L -> "changed",
+      13L -> "removed", 1000L -> "added"))
+  }
+
+  test("CDC batch with tombstones is ONE commit; stats fast-path agrees with scan") {
+    val dir = tmp("graft_cdc1c")
+    val base = spark.range(0, 100).select(col("id").as("k"),
+      (col("id") * 2).as("v"), lit(0L).as("seq"))
+    graft.streaming.Streams.upsertKeyedBatch(
+      base.withColumn("del", lit(false)), dir, "k", 4,
+      seqCol = Some("seq"), deleteCol = Some("del"))
+    val v0 = Maintenance.manifestVersions(spark, dir).last
+    // one batch carrying BOTH updates and tombstones
+    val batch = Seq((7L, 700L, 1L, false), (9L, 0L, 1L, true),
+      (7L, 7000L, 2L, false)).toDF("k", "v", "seq", "del")
+    graft.streaming.Streams.upsertKeyedBatch(batch, dir, "k", 4,
+      seqCol = Some("seq"), deleteCol = Some("del"))
+    // exactly ONE manifest version: a reader can never observe
+    // updates-applied/deletes-pending (two commits would leave v0+2)
+    assert(Maintenance.manifestVersions(spark, dir).last == v0 + 1,
+      "CDC batch took more than one commit")
+    val got = Maintenance.readKeyed(spark, dir).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(7L) == 7000L && !got.contains(9L) && got.size == 99)
+    // a LATE batch with an older seq for k=7 must not regress it
+    graft.streaming.Streams.upsertKeyedBatch(
+      Seq((7L, 1L, 1L, false)).toDF("k", "v", "seq", "del"), dir, "k", 4,
+      seqCol = Some("seq"), deleteCol = Some("del"))
+    assert(Maintenance.readKeyed(spark, dir).filter(col("k") === 7L)
+      .head().getLong(1) == 7000L, "stale seq regressed the row")
+    // keyedStats answers from the manifest here (no deltas): cross-check
+    // against the direct scan
+    val fast = Maintenance.keyedStats(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val scan = Maintenance.tableStats(
+        Maintenance.readKeyed(spark, dir), "kb")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fast == scan, s"manifest stats $fast != scan stats $scan")
+  }
+
+  test("re-bootstrap over a live keyed table is snapshot-isolated") {
+    val dir = tmp("graft_reboot")
+    Maintenance.writeKeyed(
+      spark.range(0, 50).select(col("id").as("k"), col("id").as("v")),
+      dir, "k", 4)
+    val v1files = Maintenance.readKeyed(spark, dir).inputFiles.toSet
+    // full replacement write over the EXISTING table
+    Maintenance.writeKeyed(
+      spark.range(100, 130).select(col("id").as("k"), (col("id") * 5).as("v")),
+      dir, "k", 4)
+    // the old snapshot's files were never deleted (a racing reader
+    // holding v1 still resolves complete data) and time travel works
+    v1files.foreach(f => assert(new java.io.File(new java.net.URI(f)).exists,
+      s"re-bootstrap deleted a live v1 file: $f"))
+    assert(Maintenance.readKeyed(spark, dir, Some(1)).count() == 50)
+    val now = Maintenance.readKeyed(spark, dir).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(now.size == 30 && now(100L) == 500L && !now.contains(1L))
+  }
+
+  test("vacuum graces dropped manifests; emptied table stays readable AFTER vacuum") {
+    val dir = tmp("graft_mgrace")
+    Maintenance.writeKeyed(
+      spark.range(0, 20).select(col("id").as("k"), col("id").as("v")),
+      dir, "k", 2)
+    Maintenance.upsertKeyed(spark, dir, Seq((1L, -1L)).toDF("k", "v"), "k", 2)
+    // default grace: the dropped v1 manifest is FRESH -> retained, and
+    // its data dirs are retained WITH it (a graced manifest must never
+    // outlive its own data)
+    Maintenance.vacuumKeyed(spark, dir, keepVersions = 1)
+    assert(Maintenance.manifestVersions(spark, dir) == Seq(1, 2))
+    assert(Maintenance.readKeyed(spark, dir, Some(1)).count() == 20)
+    // delete EVERY key, vacuum to just the empty head with zero grace:
+    // the manifest's recorded schema keeps the table readable even
+    // though no generation dir remains anywhere
+    Maintenance.deleteKeyed(spark, dir,
+      spark.range(0, 20).select(col("id").as("k")), "k", 2)
+    Maintenance.vacuumKeyed(spark, dir, keepVersions = 1, graceMs = 0L)
+    assert(Maintenance.manifestVersions(spark, dir).size == 1)
+    val empty = Maintenance.readKeyed(spark, dir)
+    assert(empty.columns.toSeq == Seq("k", "v", "kb") && empty.count() == 0)
+    // and the emptied table accepts new writes with the kept schema
+    Maintenance.upsertKeyed(spark, dir, Seq((5L, 50L)).toDF("k", "v"), "k", 2)
+    assert(Maintenance.readKeyed(spark, dir).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 50L)))
+  }
+
+  test("lookupKeyed rejects non-integral/string key types loudly") {
+    val dir = tmp("graft_lkguard")
+    Maintenance.writeKeyed(
+      spark.range(0, 10).select((col("id") + 0.5).as("k"), col("id").as("v")),
+      dir, "k", 2)
+    val err = intercept[IllegalArgumentException] {
+      Maintenance.lookupKeyed(spark, dir, Seq(0.5))
+    }
+    assert(err.getMessage.contains("integral"), err.getMessage)
+  }
+
+  test("multi-writer hammer: every batch lands exactly once, versions gapless") {
+    val dir = tmp("graft_hammer")
+    Maintenance.writeKeyed(
+      spark.range(0, 8).select((col("id") + 1000000L).as("k"),
+        lit(-1L).as("v")), dir, "k", 4)
+    val threads = 4; val batches = 3
+    val errs = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Throwable]())
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        try {
+          for (b <- 0 until batches) {
+            val lo = (t * batches + b) * 100
+            Maintenance.upsertKeyed(spark, dir,
+              spark.range(lo, lo + 10).select(col("id").as("k"),
+                lit(t.toLong).as("v")), "k", 4)
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${errs}")
+    // all 12 batches × 10 distinct keys + the 8 seed keys, exactly once
+    val got = Maintenance.readKeyed(spark, dir).groupBy("k")
+      .count().filter(col("count") =!= 1L).count()
+    assert(got == 0, "duplicate keys after concurrent merges")
+    assert(Maintenance.readKeyed(spark, dir).count() ==
+      threads * batches * 10 + 8)
+    // gapless version chain: 1 bootstrap + one commit per batch
+    val vs = Maintenance.manifestVersions(spark, dir)
+    assert(vs == (1 to threads * batches + 1),
+      s"version chain has gaps: $vs")
+  }
+
   test("versioned dataset: commit is atomic, old snapshot readable until vacuum") {
     val dir = tmp("graft_ver")
     val v1 = Maintenance.writeVersioned(
