@@ -1414,6 +1414,22 @@ object SparkEntry {
       graft.ext.Search.searchIndex(s, dir, Seq("customer", "window"), 15)
     }),
 
+    // Incremental index maintenance: build on a THIRD of the corpus,
+    // append the rest as a new segment (existing segments never read
+    // or rewritten; one manifest commit), then answer BM25 from the
+    // grown index — the oracle recomputes the scan-path BM25 over the
+    // FULL corpus in SQL, so segment-folded statistics (n_docs, sdl,
+    // df) must be bit-identical to a from-scratch build
+    "x129_index_append" -> ((s, d) => {
+      val dir = runScratch("appendidx", d)
+      val docs = t(s, d, "documents").df
+      graft.ext.Search.buildIndex(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", dir)
+      graft.ext.Search.appendIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", dir)
+      graft.ext.Search.searchIndex(s, dir, Seq("customer", "index"), 15)
+    }),
+
     // Exact-phrase retrieval on the direct scan path: consecutive-
     // token match as a pure scan expression (overlaps count), no
     // shuffle — the phrase predicate never leaves the row
@@ -3211,6 +3227,59 @@ object SparkEntry {
            |st {a, n_rows, files_ok: n_files <= 3}
            |""".stripMargin,
         "events" -> t(s, d, "events")).df
+    }),
+
+    // the incremental agg-state family from the language: build the
+    // persisted state on 90% of orders, merge the rest in (O(batch +
+    // state)), finalize — the oracle is the full recompute, exactly
+    // x104's family plus the mergeable min/max (rounding applied
+    // engine-side after the faces run, same expressions as x104)
+    "ql50_lang_aggstate" -> ((s, d) => {
+      val dir = runScratch("qlaggst", d)
+      graft.lang.Interp.run(s,
+        s"""b = build_agg_state(orders[o_orderkey % 10 != 0],
+           |                    "o_orderpriority", "o_totalprice", "$dir")
+           |m = merge_agg_state("$dir", orders[o_orderkey % 10 == 0],
+           |                    "o_orderpriority", "o_totalprice")
+           |finalize_agg("$dir", "o_orderpriority")
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+        .select(col("o_orderpriority"), col("n"),
+          F.round(col("total"), 6).as("total"),
+          F.round(col("mean"), 6).as("mean"),
+          col("vmin"), col("vmax"))
+    }),
+
+    // merge-on-read deltas + compaction from the language: the delta
+    // append never rewrites bases, compact folds the chain, and the
+    // end state is the closed-form reprice
+    "ql51_lang_delta" -> ((s, d) => {
+      val dir = runScratch("qldelta", d)
+      graft.lang.Interp.run(s,
+        s"""base = orders {o_orderkey, o_totalprice}
+           |snap = write_keyed(base, "$dir", "o_orderkey", 16)
+           |ups = base[o_orderkey % 7 == 0] {o_orderkey,
+           |                                 o_totalprice: o_totalprice + 1000.0}
+           |d1 = append_delta_keyed("$dir", ups, "o_orderkey", 16)
+           |fin = compact_keyed("$dir")
+           |fin {o_orderkey, o_totalprice}
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+    }),
+
+    // segment-append index maintenance from the language: build on a
+    // third of the corpus, append the rest, query the grown index —
+    // the oracle recomputes full-corpus BM25 in SQL (x61's builder)
+    "ql52_lang_idxappend" -> ((s, d) => {
+      val dir = runScratch("qlidxapp", d)
+      graft.lang.Interp.run(s,
+        s"""a = build_search_index(documents[doc_id % 3 == 0],
+           |                       "doc_id", "text", "$dir")
+           |b = append_search_index(documents[doc_id % 3 != 0],
+           |                        "doc_id", "text", "$dir")
+           |search_idx("$dir", "customer window", 15)
+           |""".stripMargin,
+        "documents" -> t(s, d, "documents")).df
     }),
 
     "ql39_lang_crawl" -> ((s, d) =>
@@ -6116,6 +6185,24 @@ object SparkEntry {
 
     "ql48_lang_phrase" -> phraseOracleSql(Seq("scan", "query")),
 
+    // the language faces run the same engines the x-queries oracle:
+    // ql50 == x104's recompute + min/max; ql51 == the delta reprice in
+    // closed form; ql52 == x61's full-corpus BM25 recompute
+    "ql50_lang_aggstate" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 6)
+             AS total,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+             / count(*), 6) AS mean,
+           min(o_totalprice) AS vmin, max(o_totalprice) AS vmax
+         FROM orders GROUP BY o_orderpriority""",
+    "ql51_lang_delta" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+         FROM orders""",
+    "ql52_lang_idxappend" -> bm25OracleSql(Seq("customer", "window"), 15),
+
     // per-a row counts survive the z-order + compaction round trip;
     // 3 output files bound every group's file count
     "ql49_lang_layout" ->
@@ -6267,6 +6354,8 @@ object SparkEntry {
                 CAST(5000000 AS BIGINT) AS n_rows""",
 
     "x61_index_search" -> bm25OracleSql(Seq("customer", "window"), 15),
+    // the appended index must equal the full-corpus scan recompute
+    "x129_index_append" -> bm25OracleSql(Seq("customer", "index"), 15),
 
     // the same consecutive-token count over 1-based list indexing;
     // range(1, len-L+2) is empty for docs shorter than the phrase

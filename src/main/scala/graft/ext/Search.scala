@@ -280,21 +280,84 @@ object Search {
 
   // ---- persisted inverted index -----------------------------------------
 
-  /** Build a term-bucketed inverted index under `dir`:
-    *  - `postings/` (bucket, term, doc_id, tf, dl, positions)
+  /** Build a term-bucketed inverted index under `dir`, committed as a
+    * SEGMENTED dataset (sources/Maintenance manifest): the manifest
+    * lists immutable segment dirs, each holding
+    *  - `postings/` (bucket, term, doc_id, tf, dl[, positions])
     *    partitioned by bucket = md5-hash(term) mod nBuckets; the
     *    sorted 0-based token positions make the same index serve
     *    phrase/proximity queries (`phraseSearchIndex`) — Lucene's
     *    positional-postings layout, one array per (doc, term),
-    *  - `stats/` the single corpus-stats row (n_docs, sdl).
+    *  - `stats/` the segment's corpus-stats row (n_docs, sdl) —
+    *    ADDITIVE across segments, so `appendIndex` can grow the index
+    *    without touching existing segments (Lucene's segment model),
+    *    and queries fold the per-segment rows into corpus statistics.
     * Per-term document frequency is NOT materialized separately: it
     * folds out of the postings at query time after partition pruning
-    * (the pruned slice is tiny), which keeps the index build one
-    * explode + one shuffle.
+    * (the pruned slice is tiny), which keeps a segment build one
+    * explode + one shuffle. A rebuild REPLACES the segment list in one
+    * manifest commit (readers mid-rebuild resolve the old or new
+    * complete index); old segments GC via `vacuumIndex`.
+    *
+    * `filesPerBucket` decouples the build's write parallelism from the
+    * pruning granularity: the pre-write exchange used to be exactly
+    * nBuckets tasks, which bounds BOTH parallelism and file size by
+    * the bucket count — a sub-split key keeps one bucket = one
+    * partition DIR (pruning unchanged) while spreading its rows over
+    * several tasks/files.
     */
   def buildIndex(df: DataFrame, idCol: String, textCol: String,
                  dir: String, nBuckets: Int = 64,
-                 positions: Boolean = true): Unit = {
+                 positions: Boolean = true,
+                 filesPerBucket: Int = 1): Unit = {
+    val spark = df.sparkSession
+    val seg = stageSegment(df, idCol, textCol, dir, nBuckets, positions,
+      filesPerBucket)
+    graft.sources.Maintenance.commitSegment(spark, dir, seg, replace = true)
+  }
+
+  /** Append `df`'s documents to an EXISTING index as a new segment:
+    * existing segments are never read or rewritten (bytes ∝ the new
+    * documents), one manifest commit makes the grown index visible
+    * atomically. Bucket count and positional layout come from the
+    * index's own metadata — never a caller guess. Doc ids must be
+    * disjoint from those already indexed (same contract as appending
+    * rows to any corpus; duplicate ids would double-count df/tf).
+    */
+  def appendIndex(df: DataFrame, idCol: String, textCol: String,
+                  dir: String, filesPerBucket: Int = 1): Unit = {
+    val spark = df.sparkSession
+    val segs = graft.sources.Maintenance.listSegments(spark, dir)
+    val st = readIndexStats(spark, segs)
+    val nBuckets = st.select("n_buckets").head.getInt(0)
+    val positions = spark.read
+      .parquet(segs.head + "/postings").columns.contains("positions")
+    val seg = stageSegment(df, idCol, textCol, dir, nBuckets, positions,
+      filesPerBucket)
+    graft.sources.Maintenance.commitSegment(spark, dir, seg, replace = false)
+  }
+
+  /** GC segments no kept manifest references (a rebuild's predecessors,
+    * losing stage attempts) — same grace contract as the keyed table.
+    */
+  def vacuumIndex(spark: SparkSession, dir: String,
+                  keepVersions: Int = 1,
+                  graceMs: Long = 15 * 60 * 1000L): Unit =
+    graft.sources.Maintenance.vacuumSegments(spark, dir, keepVersions,
+      graceMs)
+
+  /** Stage one segment (postings + stats) under a writer-unique dir —
+    * invisible until the manifest commit references it.
+    */
+  private def stageSegment(df: DataFrame, idCol: String, textCol: String,
+                           dir: String, nBuckets: Int, positions: Boolean,
+                           filesPerBucket: Int): String = {
+    require(filesPerBucket >= 1,
+      s"filesPerBucket must be >= 1, got $filesPerBucket")
+    val spark = df.sparkSession
+    val M = graft.sources.Maintenance
+    val seg = M.nextSegmentName(spark, dir)
+    val segPath = s"$dir/$seg"
     val base = df.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("tok"))
     val posAgg =
@@ -309,21 +372,64 @@ object Search {
       .groupBy("doc_id", "dl", "term")
       .agg(F.count(lit(1)).as("tf"), posAgg: _*)
       .withColumn("bucket", F.pmod(h60(col("term")), lit(nBuckets.toLong)))
-      // co-locate each bucket into one task before the partitioned
+      // co-locate each bucket into few tasks before the partitioned
       // write: without this every task writes a sliver of every
       // bucket (tasks × buckets files, thousands of open handles per
-      // executor at scale); with it the layout is one well-sized file
-      // per bucket
-      .repartition(nBuckets, col("bucket"))
+      // executor at scale); with it the layout is filesPerBucket
+      // well-sized files per bucket dir (the sub-split key widens the
+      // exchange without fragmenting the layout or the pruning)
+      .withColumn("__sub", F.pmod(h60(col("doc_id")),
+        lit(filesPerBucket.toLong)))
+      .repartition(nBuckets * filesPerBucket, col("bucket"), col("__sub"))
+      .drop("__sub")
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(dir + "/postings")
+      .parquet(segPath + "/postings")
     base.agg(F.count(lit(1)).as("n_docs"), F.sum(F.size(col("tok"))).as("sdl"))
       // the bucket count is INDEX METADATA, not a query parameter: a
       // querier guessing a different B would compute wrong bucket ids
       // and silently prune away real postings
       .withColumn("n_buckets", lit(nBuckets))
-      .write.mode("overwrite").parquet(dir + "/stats")
+      .write.mode("overwrite").parquet(segPath + "/stats")
+    seg
   }
+
+  /** Public face of the folded corpus-stats row (n_docs, sdl,
+    * n_buckets) of the index at `dir` — what the language's
+    * build/append faces return.
+    */
+  def indexStats(spark: SparkSession, dir: String): DataFrame =
+    readIndexStats(spark,
+      graft.sources.Maintenance.listSegments(spark, dir))
+
+  /** The corpus-stats row folded over a segment list: n_docs and sdl
+    * are additive; the bucket count must agree across segments (it is
+    * layout metadata — `appendIndex` always reuses the base's).
+    */
+  private def readIndexStats(spark: SparkSession,
+                             segs: Seq[String]): DataFrame = {
+    val per = segs.map(s => spark.read.parquet(s + "/stats"))
+      .reduce(_.unionByName(_))
+    per.agg(F.sum(col("n_docs")).as("n_docs"), F.sum(col("sdl")).as("sdl"),
+      F.min(col("n_buckets")).as("n_buckets"),
+      F.max(col("n_buckets")).as("__nbmax"))
+      .select(col("n_docs"), col("sdl"),
+        F.when(col("n_buckets") === col("__nbmax"), col("n_buckets"))
+          .otherwise(F.raise_error(F.lit(
+            "index segments disagree on n_buckets — rebuild the index")))
+          .as("n_buckets"))
+  }
+
+  /** The pruned postings scan over every live segment: bucket ids are
+    * literal IN-list constants per segment, so partition pruning is
+    * static in each, and the union's cost is ∝ matching postings
+    * across segments, not corpus size.
+    */
+  private def prunedPostings(spark: SparkSession, segs: Seq[String],
+                             buckets: Seq[Long],
+                             terms: Seq[String]): DataFrame =
+    segs.map(s => spark.read.parquet(s + "/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** BM25 top-k over a persisted index — bit-identical scores to
     * `bm25Search` on the source corpus (the parquet round-trip is
@@ -344,7 +450,8 @@ object Search {
                   requireAll: Boolean = false): DataFrame = {
     require(queryTerms.nonEmpty, "searchIndex: empty query")
     val terms = queryTerms.distinct
-    val stats = spark.read.parquet(dir + "/stats")
+    val segs = graft.sources.Maintenance.listSegments(spark, dir)
+    val stats = readIndexStats(spark, segs)
     // bucket count comes from the index's own metadata (one-row read
     // at plan-build time) — never from a caller's guess
     val nBuckets = stats.select("n_buckets").head.getInt(0)
@@ -352,8 +459,7 @@ object Search {
     // `def`: each call builds a FRESH pruned-scan plan, so the df
     // aggregate below is a sibling branch, not a subplan of the
     // posting side's own lineage (CLAUDE.md shared-exprId rule)
-    def pruned = spark.read.parquet(dir + "/postings")
-      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    def pruned = prunedPostings(spark, segs, buckets, terms)
     val post = pruned
     // per-term document frequency from the pruned slice (tiny), then
     // pivot tf/df into fixed per-term columns keyed by doc
@@ -405,11 +511,11 @@ object Search {
     require(phrase.nonEmpty, "phraseSearchIndex: empty phrase")
     val terms = phrase.distinct
     val slotOf = phrase.map(terms.indexOf) // phrase slot j -> term index
-    val stats = spark.read.parquet(dir + "/stats")
-    val nBuckets = stats.select("n_buckets").head.getInt(0)
+    val segs = graft.sources.Maintenance.listSegments(spark, dir)
+    val nBuckets = readIndexStats(spark, segs)
+      .select("n_buckets").head.getInt(0)
     val buckets = terms.map(t => TextAnalysis.h60Value(t) % nBuckets).distinct
-    val pruned = spark.read.parquet(dir + "/postings")
-      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val pruned = prunedPostings(spark, segs, buckets, terms)
     require(pruned.columns.contains("positions"),
       s"index at $dir was built with positions = false — phrase " +
         "queries need a positional rebuild")
@@ -441,11 +547,11 @@ object Search {
     require(terms.nonEmpty, "nearSearchIndex: empty query")
     require(slop >= 1, s"nearSearchIndex: slop must be >= 1, got $slop")
     val uniq = terms.distinct
-    val stats = spark.read.parquet(dir + "/stats")
-    val nBuckets = stats.select("n_buckets").head.getInt(0)
+    val segs = graft.sources.Maintenance.listSegments(spark, dir)
+    val nBuckets = readIndexStats(spark, segs)
+      .select("n_buckets").head.getInt(0)
     val buckets = uniq.map(t => TextAnalysis.h60Value(t) % nBuckets).distinct
-    val pruned = spark.read.parquet(dir + "/postings")
-      .filter(col("bucket").isin(buckets: _*) && col("term").isin(uniq: _*))
+    val pruned = prunedPostings(spark, segs, buckets, uniq)
     require(pruned.columns.contains("positions"),
       s"index at $dir was built with positions = false — proximity " +
         "queries need a positional rebuild")

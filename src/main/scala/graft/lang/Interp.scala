@@ -1557,7 +1557,9 @@ object Interp {
       "compact_table", "write_zordered", "write_keyed", "read_keyed",
       "upsert_keyed", "delete_keyed", "vacuum_keyed", "table_stats",
       "keyed_stats", "phrase_search", "near_search", "keyed_changes",
-      "build_search_index", "search_idx", "phrase_search_idx",
+      "append_delta_keyed", "compact_keyed", "build_agg_state",
+      "merge_agg_state", "finalize_agg",
+      "build_search_index", "append_search_index", "search_idx", "phrase_search_idx",
       "near_search_idx")
 
     private def isTableExpr(e: Expr): Boolean = e match {
@@ -2523,6 +2525,79 @@ object Interp {
             litString(args(2).value), constLong(args(3).value).toInt)
           PTable(graft.sources.Maintenance.readKeyed(spark,
             litString(args(0).value)))
+        case "append_delta_keyed" =>
+          // append_delta_keyed(dir, updates, "key", n_buckets) —
+          // MERGE-ON-READ upsert: the batch lands as per-bucket delta
+          // dirs (bytes ∝ batch, bases never rewritten); returns the
+          // resolved snapshot
+          if (args.length != 4)
+            throw new TypeError(
+              "append_delta_keyed(\"dir\", updates, \"key\", n_buckets)")
+          graft.sources.Maintenance.appendDeltaKeyed(spark,
+            litString(args(0).value), t(args(1).value).df,
+            litString(args(2).value), constLong(args(3).value).toInt)
+          PTable(graft.sources.Maintenance.readKeyed(spark,
+            litString(args(0).value)))
+        case "compact_keyed" =>
+          // compact_keyed(dir) — fold every delta chain back into base
+          // generations (one snapshot-isolated commit); returns the
+          // compacted snapshot
+          if (args.length != 1)
+            throw new TypeError("compact_keyed(\"dir\")")
+          graft.sources.Maintenance.compactKeyed(spark,
+            litString(args(0).value))
+          PTable(graft.sources.Maintenance.readKeyed(spark,
+            litString(args(0).value)))
+        case "build_agg_state" =>
+          // build_agg_state(t, "keys", "value", dir, "distinct_key"?,
+          // sample_k?) — the one full pass of an incrementally
+          // maintained group-by view; returns the finalized view
+          if (args.length < 4 || args.length > 6)
+            throw new TypeError(
+              "build_agg_state(t, \"keys\", \"value\", \"dir\", " +
+                "\"distinct_key\"?, sample_k?)")
+          val bkeys = litString(args(1).value).trim.split("\\s+").toSeq
+          val bdk = if (args.length >= 5) {
+            val v = litString(args(4).value).trim
+            if (v.isEmpty) None else Some(v)
+          } else None
+          val bsk =
+            if (args.length == 6) constLong(args(5).value).toInt else 0
+          graft.sources.Maintenance.buildAggState(t(args(0).value).df,
+            bkeys, litString(args(2).value), litString(args(3).value),
+            distinctKey = bdk, sampleK = bsk)
+          PTable(graft.sources.Maintenance.finalizeAgg(
+            graft.sources.Maintenance.readVersioned(spark,
+              litString(args(3).value)), bkeys))
+        case "merge_agg_state" =>
+          // merge_agg_state(dir, batch, "keys", "value",
+          // "distinct_key"?, sample_k?) — fold one batch into the
+          // persisted state, O(batch + state); returns the finalized
+          // refreshed view
+          if (args.length < 4 || args.length > 6)
+            throw new TypeError(
+              "merge_agg_state(\"dir\", batch, \"keys\", \"value\", " +
+                "\"distinct_key\"?, sample_k?)")
+          val mkeys = litString(args(2).value).trim.split("\\s+").toSeq
+          val mdk = if (args.length >= 5) {
+            val v = litString(args(4).value).trim
+            if (v.isEmpty) None else Some(v)
+          } else None
+          val msk =
+            if (args.length == 6) constLong(args(5).value).toInt else 0
+          val mst = graft.sources.Maintenance.mergeAggState(spark,
+            litString(args(0).value), t(args(1).value).df, mkeys,
+            litString(args(3).value), distinctKey = mdk, sampleK = msk)
+          PTable(graft.sources.Maintenance.finalizeAgg(mst, mkeys))
+        case "finalize_agg" =>
+          // finalize_agg(dir, "keys") — the user-facing view of a
+          // persisted agg state without touching it (read-only)
+          if (args.length != 2)
+            throw new TypeError("finalize_agg(\"dir\", \"keys\")")
+          PTable(graft.sources.Maintenance.finalizeAgg(
+            graft.sources.Maintenance.readVersioned(spark,
+              litString(args(0).value)),
+            litString(args(1).value).trim.split("\\s+").toSeq))
         case "keyed_changes" =>
           // keyed_changes(dir, from_version, to_version) — CDC feed of
           // added/removed/changed keys, reading only changed buckets
@@ -2610,7 +2685,21 @@ object Interp {
           graft.ext.Search.buildIndex(t(args(0).value).df,
             litString(args(1).value), litString(args(2).value),
             litString(args(3).value), nb)
-          PTable(spark.read.parquet(litString(args(3).value) + "/stats"))
+          PTable(graft.ext.Search.indexStats(spark,
+            litString(args(3).value)))
+        case "append_search_index" =>
+          // append_search_index(t, "id", "text", dir) — grow an
+          // existing index with a new segment (existing segments are
+          // never rewritten; one manifest commit); returns the folded
+          // corpus-stats row of the grown index
+          if (args.length != 4)
+            throw new TypeError(
+              "append_search_index(t, \"id\", \"text\", \"dir\")")
+          graft.ext.Search.appendIndex(t(args(0).value).df,
+            litString(args(1).value), litString(args(2).value),
+            litString(args(3).value))
+          PTable(graft.ext.Search.indexStats(spark,
+            litString(args(3).value)))
         case "search_idx" =>
           // search_idx(dir, "terms", k, all?) — BM25 over the
           // persisted index (bit-identical to bm25_search on the

@@ -1185,6 +1185,72 @@ object Maintenance {
     vacuumGenerations(spark, dir, keepVersions, graceMs,
       """g\d{9}(-.*)?""")
 
+  // ---- segmented datasets (additive segment lists: search indexes) --------
+  //
+  // A third commit discipline for ADDITIVE datasets (the inverted
+  // index): the manifest lists SEGMENT dirs, a rebuild replaces the
+  // list, an append extends it — readers always resolve a complete
+  // segment set, appends never rewrite existing segments, and old
+  // snapshots time-travel/vacuum exactly like the keyed table.
+  // Reuses the keyed manifest format with buckets = ordinal → segment.
+
+  /** Stage-side helper: the writer-unique segment dir name for the
+    * next commit at `dir` (the version in the name is cosmetic — the
+    * suffix guarantees uniqueness; the manifest is the truth).
+    */
+  private[graft] def nextSegmentName(spark: SparkSession,
+                                     dir: String): String = {
+    val v = manifestVersions(spark, dir).lastOption.getOrElse(0) + 1
+    f"s$v%09d" +
+      s"-${ProcessHandle.current().pid()}x${stageCounter.incrementAndGet()}"
+  }
+
+  /** Publish the manifest adding `segDir` (an already-staged dir name
+    * under `dir`) — `replace = true` makes it the ONLY segment (a full
+    * rebuild), otherwise it appends to the current list. Optimistic
+    * retry is cheap here: a losing race just re-reads the manifest and
+    * re-publishes; the staged segment never depends on the base.
+    * Returns the committed version.
+    */
+  private[graft] def commitSegment(spark: SparkSession, dir: String,
+                                   segDir: String,
+                                   replace: Boolean): Int = {
+    val clean = cleanDir(dir)
+    withCommitRetry(s"commitSegment($dir)") {
+      val versions = manifestVersions(spark, dir)
+      val next = versions.lastOption.getOrElse(0) + 1
+      val segs =
+        if (replace || versions.isEmpty) Map(0 -> segDir)
+        else {
+          val m = readManifest(spark, dir)
+          m.buckets + ((m.buckets.keySet.maxOption.getOrElse(-1) + 1)
+            -> segDir)
+        }
+      writeManifest(spark, clean, KeyedManifest(next, segs))
+      next
+    }
+  }
+
+  /** The live segment dirs (full paths, ordinal order) at `version`
+    * (latest when None). Pre-manifest layouts resolve to `dir` itself —
+    * the caller's legacy single-segment fallback.
+    */
+  def listSegments(spark: SparkSession, dir: String,
+                   version: Option[Int] = None): Seq[String] = {
+    val clean = cleanDir(dir)
+    if (manifestVersions(spark, dir).isEmpty) Seq(clean)
+    else readManifest(spark, dir, version).buckets.toSeq.sortBy(_._1)
+      .map { case (_, d) => s"$clean/$d" }
+  }
+
+  /** GC unreferenced segments (same contract and grace rule as
+    * `vacuumKeyed`). Segment dirs are `s\d{9}-…` at the top level. */
+  def vacuumSegments(spark: SparkSession, dir: String,
+                     keepVersions: Int = 1,
+                     graceMs: Long = 15 * 60 * 1000L): Unit =
+    vacuumGenerations(spark, dir, keepVersions, graceMs,
+      """s\d{9}(-.*)?""")
+
   /** Fold a new batch into the persisted state at `dir` and commit the
     * merged state as the next snapshot (see writeVersioned — a reader
     * racing the refresh always resolves a complete state, and the

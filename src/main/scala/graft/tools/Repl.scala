@@ -85,7 +85,9 @@ object Repl {
     "compact_table", "write_zordered", "write_keyed", "read_keyed",
     "upsert_keyed", "delete_keyed", "vacuum_keyed", "table_stats",
     "keyed_stats", "phrase_search", "near_search", "keyed_changes",
-    "build_search_index", "search_idx", "phrase_search_idx",
+    "append_delta_keyed", "compact_keyed", "build_agg_state",
+    "merge_agg_state", "finalize_agg",
+    "build_search_index", "append_search_index", "search_idx", "phrase_search_idx",
     "near_search_idx",
     "import_orc",
     "SQL", "upper", "lower", "length", "round", "repeat", "char",

@@ -12,6 +12,38 @@ class PlanQualitySpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("keyed read: delta-free snapshots plan a pure scan; delta chains a pruned pushed-down resolve") {
+    import org.apache.spark.sql.functions._
+    val M = graft.sources.Maintenance
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_mor").toString
+    M.writeKeyed(spark.range(0, 200).select(col("id").as("k"),
+      col("id").as("v")), dir, "k", 4)
+    // without deltas the snapshot read is a plain multi-dir scan:
+    // no exchange, no window — resolution costs nothing until a
+    // delta chain exists
+    val p0 = M.readKeyed(spark, dir).queryExecution.executedPlan.toString
+    assert(!p0.contains("Exchange") && !p0.contains("Window"),
+      s"delta-free keyed read gained a shuffle:\n$p0")
+    M.appendDeltaKeyed(spark, dir,
+      spark.range(7, 8).select(col("id").as("k"), lit(-1L).as("v")),
+      "k", 4)
+    // with one delta chain, the resolve window appears ONCE and the
+    // other buckets still scan clean (their dirs sit outside the
+    // windowed union)
+    val p1 = M.readKeyed(spark, dir).queryExecution.executedPlan.toString
+    assert("RunningWindowFunction|Window".r.findAllIn(p1).nonEmpty,
+      s"delta chain not resolved via window:\n$p1")
+    // a point lookup pushes the key IN-list into EVERY chain level's
+    // parquet scan (base + delta = 2 pushed scans here)
+    val p2 = M.lookupKeyed(spark, dir, Seq(7L))
+      .queryExecution.executedPlan.toString
+    // a single-key IN-list folds to EqualTo; either way the key
+    // predicate must reach BOTH levels' parquet scans
+    assert("PushedFilters: \\[[^\\]]*(In|EqualTo)\\(k".r
+      .findAllIn(p2).size == 2,
+      s"lookup key filter not pushed into every level:\n$p2")
+  }
+
   test("selection pushes predicates into the parquet scan") {
     val p = planOf("q02_selection")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"),

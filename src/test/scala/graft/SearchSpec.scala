@@ -83,6 +83,78 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("appendIndex: grown index == full-corpus scan, segments immutable, rebuild + vacuum") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_appendidx")
+      .toString
+    def fileState(d: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new java.io.File(d)).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    try {
+      val a = docs.filter(col("doc_id") % 3 === 0)
+      val b = docs.filter(col("doc_id") % 3 =!= 0)
+      Search.buildIndex(a, "doc_id", "text", dir, nBuckets = 16)
+      val before = fileState(dir)
+      Search.appendIndex(b, "doc_id", "text", dir)
+      // the base segment was never rewritten — bytes ∝ appended docs
+      val after = fileState(dir)
+      before.foreach { case (p, t) =>
+        assert(after.get(p).contains(t), s"append rewrote base segment: $p")
+      }
+      // BM25 and phrase/near queries over the grown index are
+      // bit-identical to the direct scan of the FULL corpus
+      val terms = Seq("customer", "window", "spark")
+      assert(Search.searchIndex(spark, dir, terms, 30)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        Search.bm25Search(docs, "doc_id", "text", terms, 30)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+      assert(Search.phraseSearchIndex(spark, dir, Seq("scan", "query"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+        Search.phraseSearch(docs, "doc_id", "text", Seq("scan", "query"))
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+      // static pruning holds across segments: EVERY postings scan in
+      // the executed plan (one per segment) carries the bucket
+      // partition filter (inputFiles can't show this — it lists the
+      // relation's files before partition pruning applies)
+      val plan = Search.searchIndex(spark, dir, terms, 30)
+        .queryExecution.executedPlan.toString
+      val nPostingScans = "Location:.*postings".r.findAllIn(plan).size
+      val nPruned = "PartitionFilters: \\[bucket".r.findAllIn(plan).size
+      // 2 segments × 2 branches (postings + the df fold) = 4 scans
+      assert(nPostingScans == 4 && nPruned == nPostingScans,
+        s"append broke pruning: $nPostingScans scans, $nPruned pruned\n$plan")
+      // a rebuild REPLACES the segment list; vacuum reclaims the old
+      // segments and the rebuilt index still answers identically
+      Search.buildIndex(docs, "doc_id", "text", dir, nBuckets = 8,
+        filesPerBucket = 2)
+      Search.vacuumIndex(spark, dir, keepVersions = 1, graceMs = 0L)
+      val live = graft.sources.Maintenance.listSegments(spark, dir)
+      assert(live.size == 1)
+      val onDisk = new java.io.File(dir).listFiles
+        .map(_.getName).filter(_.startsWith("s")).toSet
+      assert(onDisk == live.map(_.split('/').last).toSet,
+        s"stale segments survived vacuum: $onDisk")
+      assert(Search.searchIndex(spark, dir, terms, 30)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        Search.bm25Search(docs, "doc_id", "text", terms, 30)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+      // filesPerBucket widened the write without fragmenting pruning:
+      // the segment holds more files than buckets (each bucket ≤ 2),
+      // and every file still lives under its bucket dir
+      val bdirs = new java.io.File(live.head + "/postings").listFiles
+        .filter(_.getName.startsWith("bucket="))
+      val perBucket = bdirs.map(
+        _.listFiles.count(_.getName.endsWith(".parquet")))
+      assert(perBucket.sum > bdirs.length && perBucket.forall(_ <= 2),
+        s"sub-split did not widen the layout: ${perBucket.toSeq}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
+
   test("phraseCount: consecutive matches only, overlaps count, short docs safe") {
     val df = Seq(
       (1L, "a b c a b"),   // "a b" twice
