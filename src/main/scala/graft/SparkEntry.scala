@@ -1244,6 +1244,27 @@ object SparkEntry {
           col("approx_median"), col("approx_p90"))
     }),
 
+    // ROW-uniform variant of the mergeable sample: the hash salts in
+    // the row-unique o_orderkey, so duplicate values are sampled in
+    // proportion to their multiplicity — the right grain for multiset
+    // quantiles on skewed data (x125's default grain is uniform over
+    // DISTINCT values; see Maintenance.partialAgg's sample-grain note)
+    "x130_incr_quantile_rows" -> ((s, d) => {
+      val dir = runScratch("mvqr", d)
+      val orders = t(s, d, "orders").df
+      graft.sources.Maintenance.buildAggState(
+        orders.filter(col("o_orderkey") % 10 =!= 0),
+        Seq("o_orderpriority"), "o_totalprice", dir, sampleK = 512,
+        sampleUnique = Some("o_orderkey"))
+      val st = graft.sources.Maintenance.mergeAggState(s, dir,
+        orders.filter(col("o_orderkey") % 10 === 0),
+        Seq("o_orderpriority"), "o_totalprice", sampleK = 512,
+        sampleUnique = Some("o_orderkey"))
+      graft.sources.Maintenance.finalizeAgg(st, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n"), col("approx_p25"),
+          col("approx_median"), col("approx_p90"))
+    }),
+
     // Anchored funnel over the events stream: view -> click ->
     // purchase within 7 days of the user's FIRST view; greedy
     // earliest-completion semantics, mirrored as a min()-chain oracle
@@ -5795,6 +5816,34 @@ object SparkEntry {
              row_number() OVER (PARTITION BY o_orderpriority
                ORDER BY ('0x' || substr(md5('smp:'
                  || CAST(o_totalprice AS VARCHAR)), 1, 15))::BIGINT,
+                 CAST(o_totalprice AS VARCHAR)) AS rn
+           FROM orders WHERE o_totalprice IS NOT NULL
+         ), sm AS (
+           SELECT o_orderpriority, CAST(vs AS DOUBLE) AS v
+           FROM s WHERE rn <= 512
+         ), med AS (
+           SELECT o_orderpriority, list(v ORDER BY v) AS arr
+           FROM sm GROUP BY 1
+         ), b AS (
+           SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1
+         )
+         SELECT b.o_orderpriority, n,
+           round(arr[CAST(ceil(0.25 * len(arr)) AS INT)], 6) AS approx_p25,
+           round((arr[(len(arr) + 1) // 2]
+             + arr[len(arr) // 2 + 1]) / 2.0, 6) AS approx_median,
+           round(arr[CAST(ceil(0.9 * len(arr)) AS INT)], 6) AS approx_p90
+         FROM b JOIN med USING (o_orderpriority)""",
+
+    // x125's mirror at ROW grain: the sample hash salts in the
+    // row-unique key, replayed identically in SQL
+    "x130_incr_quantile_rows" ->
+      """WITH s AS (
+           SELECT o_orderpriority, CAST(o_totalprice AS VARCHAR) AS vs,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY ('0x' || substr(md5('smp:'
+                 || CAST(o_totalprice AS VARCHAR) || ':'
+                 || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT,
                  CAST(o_totalprice AS VARCHAR)) AS rn
            FROM orders WHERE o_totalprice IS NOT NULL
          ), sm AS (

@@ -1060,12 +1060,13 @@ object Maintenance {
     */
   def buildAggState(df: DataFrame, keys: Seq[String], valueCol: String,
                     dir: String, distinctKey: Option[String] = None,
-                    p: Int = 12, sampleK: Int = 0): Unit = {
+                    p: Int = 12, sampleK: Int = 0,
+                    sampleUnique: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val clean = cleanDir(dir)
     hadoopFs(spark, new Path(clean)).delete(new Path(clean), true)
-    writeVersioned(partialAgg(df, keys, valueCol, distinctKey, p, sampleK),
-      dir)
+    writeVersioned(partialAgg(df, keys, valueCol, distinctKey, p, sampleK,
+      sampleUnique), dir)
   }
 
   private def basicAggs(valueCol: String) = Seq(
@@ -1077,7 +1078,8 @@ object Maintenance {
 
   private def partialAgg(df: DataFrame, keys: Seq[String], valueCol: String,
                          distinctKey: Option[String], p: Int,
-                         sampleK: Int = 0): DataFrame = {
+                         sampleK: Int = 0,
+                         sampleUnique: Option[String] = None): DataFrame = {
     require(p >= 7 && p <= 16, s"hll p in [7,16], got $p")
     val extra =
       // the native register aggregate (plans.HllRegsState): ONE
@@ -1088,19 +1090,41 @@ object Maintenance {
       // and rebuilt it per array element: 41 s for five rows.)
       distinctKey.map(dk =>
         graft.plans.HllRegs.stateMd5(F.col(dk), p).as("__regs")).toSeq ++
-        // mergeable deterministic sample: the sampleK rows whose
-        // md5("smp:" || value-string) is SMALLEST — a pure function of
-        // the value multiset, so ANY merge order (and a DuckDB ORDER
-        // BY hash LIMIT k mirror) reproduces the identical sample;
-        // bounded per-group state via the EarliestK heap. Quantiles
-        // finalize from the uniform sample (see finalizeAgg).
-        (if (sampleK > 0)
+        // mergeable deterministic sample: the sampleK rows with the
+        // SMALLEST sample hash — a pure function of the rows, so ANY
+        // merge order (and a DuckDB ORDER BY hash LIMIT k mirror)
+        // reproduces the identical sample; bounded per-group state
+        // via the EarliestK heap. Quantiles finalize from the sample
+        // (see finalizeAgg).
+        //
+        // SAMPLE GRAIN — the caller's one modeling decision:
+        //  - default (sampleUnique = None): the hash is md5("smp:" ||
+        //    value-string), so DUPLICATE VALUES share one hash key and
+        //    the sample is uniform over DISTINCT VALUES, not rows. On
+        //    skewed data (one value holding 99% of rows) the
+        //    finalized quantiles estimate the distinct-value
+        //    distribution — a value's multiplicity never raises its
+        //    chance of being sampled.
+        //  - sampleUnique = Some(rowKey): the hash salts in the
+        //    row-unique key, making the sample UNIFORM OVER ROWS —
+        //    the right grain for multiset quantiles on skewed data.
+        //    The key must be unique per row and stable across
+        //    refreshes (re-processing a row reproduces its hash), and
+        //    the DuckDB mirror replays the same concatenation.
+        (if (sampleK > 0) {
+          val hashIn = sampleUnique match {
+            case Some(u) => F.concat(F.lit("smp:"),
+              F.col(valueCol).cast(org.apache.spark.sql.types.StringType),
+              F.lit(":"),
+              F.col(u).cast(org.apache.spark.sql.types.StringType))
+            case None => F.concat(F.lit("smp:"),
+              F.col(valueCol).cast(org.apache.spark.sql.types.StringType))
+          }
           Seq(graft.plans.EarliestK.earliestK(
-            graft.ext.TextAnalysis.h60(F.concat(F.lit("smp:"),
-              F.col(valueCol).cast(org.apache.spark.sql.types.StringType))),
+            graft.ext.TextAnalysis.h60(hashIn),
             F.col(valueCol).cast(org.apache.spark.sql.types.StringType),
             sampleK).as("__smp"))
-        else Nil)
+        } else Nil)
     df.groupBy(keys.map(F.col): _*)
       .agg(basicAggs(valueCol).head, basicAggs(valueCol).tail ++ extra: _*)
   }
@@ -1265,7 +1289,8 @@ object Maintenance {
   def mergeAggState(spark: SparkSession, dir: String, batch: DataFrame,
                     keys: Seq[String], valueCol: String,
                     distinctKey: Option[String] = None,
-                    p: Int = 12, sampleK: Int = 0): DataFrame = {
+                    p: Int = 12, sampleK: Int = 0,
+                    sampleUnique: Option[String] = None): DataFrame = {
     // the WHOLE read-merge-commit sits in the retry: the merged frame
     // derives from the previous state, so after a losing race it must
     // be rebuilt from the winner's snapshot (committing the stale
@@ -1275,7 +1300,8 @@ object Maintenance {
       val prev = readVersioned(spark, dir)
       val merged = aggOfState(
         prev.unionByName(
-          partialAgg(batch, keys, valueCol, distinctKey, p, sampleK)
+          partialAgg(batch, keys, valueCol, distinctKey, p, sampleK,
+            sampleUnique)
           // legacy (cnt, sum)-only states merge with a richer batch
           // partial by dropping what the state never tracked
           .select(prev.columns.map(F.col).toIndexedSeq: _*)), keys, p, sampleK)
@@ -1315,9 +1341,10 @@ object Maintenance {
       else Nil
     val quantiles =
       if (state.columns.contains("__smp")) {
-        // the sample is uniform over the value multiset (md5-order
-        // bottom-k), so its order statistics estimate the
-        // population's; the median uses explicit middle/average
+        // the sample's order statistics estimate the population's at
+        // the sample's GRAIN — distinct values by default, rows when
+        // the state was built with sampleUnique (see partialAgg's
+        // sample-grain note); the median uses explicit middle/average
         // arithmetic, other quantiles nearest-rank v[ceil(q·n)] —
         // both exactly replayable in any SQL engine
         val sorted = "array_sort(transform(__smp, e -> CAST(e.p AS DOUBLE)))"

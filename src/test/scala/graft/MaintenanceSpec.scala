@@ -681,6 +681,40 @@ class MaintenanceSpec extends SparkSpec {
       s"version chain has gaps: $vs")
   }
 
+  test("sample grain: default is distinct-value-uniform; sampleUnique makes it row-uniform") {
+    // skew: value 1000.0 holds 99% of rows; values 1..100 once each
+    val skewed = spark.range(0, 10000).select(lit("g").as("g"),
+      when(col("id") < 100, col("id").cast("double") + 1.0)
+        .otherwise(lit(1000.0)).as("v"),
+      col("id").as("rk"))
+    val dV = tmp("graft_grain_v"); val dR = tmp("graft_grain_r")
+    // distinct-value grain: the dominant value is ONE sample point, so
+    // the median estimates the distinct-value distribution (~50)
+    Maintenance.buildAggState(skewed, Seq("g"), "v", dV, sampleK = 64)
+    val mV = Maintenance.finalizeAgg(
+        Maintenance.readVersioned(spark, dV), Seq("g"))
+      .select("approx_median").head().getDouble(0)
+    assert(mV < 500, s"distinct-grain median should ignore multiplicity: $mV")
+    // row grain: 99% of sampled rows carry the dominant value, so the
+    // median is the true multiset median
+    Maintenance.buildAggState(skewed, Seq("g"), "v", dR, sampleK = 64,
+      sampleUnique = Some("rk"))
+    val mR = Maintenance.finalizeAgg(
+        Maintenance.readVersioned(spark, dR), Seq("g"))
+      .select("approx_median").head().getDouble(0)
+    assert(mR == 1000.0, s"row-grain median should track the multiset: $mR")
+    // row-grain merges stay order-free too (the hash is a pure
+    // function of (value, row key))
+    val dR2 = tmp("graft_grain_r2")
+    Maintenance.buildAggState(skewed.filter(col("rk") % 2 === 0),
+      Seq("g"), "v", dR2, sampleK = 64, sampleUnique = Some("rk"))
+    val st2 = Maintenance.mergeAggState(spark, dR2,
+      skewed.filter(col("rk") % 2 === 1), Seq("g"), "v",
+      sampleK = 64, sampleUnique = Some("rk"))
+    assert(Maintenance.finalizeAgg(st2, Seq("g"))
+      .select("approx_median").head().getDouble(0) == mR)
+  }
+
   test("versioned dataset: commit is atomic, old snapshot readable until vacuum") {
     val dir = tmp("graft_ver")
     val v1 = Maintenance.writeVersioned(
