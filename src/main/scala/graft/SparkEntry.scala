@@ -1061,22 +1061,9 @@ object SparkEntry {
     // the same closed-form oracle as x120
     "x126_delta_merge" -> ((s, d) => {
       val dir = runScratch("mord", d)
-      val M = graft.sources.Maintenance
-      val base = t(s, d, "orders").df
+      plantDeltaHistory(s, d, dir)
+      graft.sources.Maintenance.readKeyed(s, dir)
         .select("o_orderkey", "o_totalprice")
-      M.writeKeyed(base, dir, "o_orderkey", 16)
-      val sevens = base.filter(col("o_orderkey") % 7 === 0)
-      M.appendDeltaKeyed(s, dir, sevens
-        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0)),
-        "o_orderkey", 16)
-      M.appendDeltaKeyed(s, dir, sevens
-        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
-        "o_orderkey", 16)
-      M.appendDeltaKeyed(s, dir,
-        base.limit(0), "o_orderkey", 16,
-        tombstoneKeys = Some(base.filter(col("o_orderkey") % 13 === 0)
-          .select("o_orderkey")))
-      M.readKeyed(s, dir).select("o_orderkey", "o_totalprice")
     }),
 
     // compactKeyed folds the delta chains back into base generations
@@ -1085,23 +1072,10 @@ object SparkEntry {
     // manifest carries no deltas afterwards, spec-asserted)
     "x127_delta_compact" -> ((s, d) => {
       val dir = runScratch("mordc", d)
-      val M = graft.sources.Maintenance
-      val base = t(s, d, "orders").df
+      plantDeltaHistory(s, d, dir)
+      graft.sources.Maintenance.compactKeyed(s, dir)
+      graft.sources.Maintenance.readKeyed(s, dir)
         .select("o_orderkey", "o_totalprice")
-      M.writeKeyed(base, dir, "o_orderkey", 16)
-      val sevens = base.filter(col("o_orderkey") % 7 === 0)
-      M.appendDeltaKeyed(s, dir, sevens
-        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0)),
-        "o_orderkey", 16)
-      M.appendDeltaKeyed(s, dir, sevens
-        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
-        "o_orderkey", 16)
-      M.appendDeltaKeyed(s, dir,
-        base.limit(0), "o_orderkey", 16,
-        tombstoneKeys = Some(base.filter(col("o_orderkey") % 13 === 0)
-          .select("o_orderkey")))
-      M.compactKeyed(s, dir)
-      M.readKeyed(s, dir).select("o_orderkey", "o_totalprice")
     }),
 
     // Delta scale probe: 1M-row keyed table, three ~1k-key delta
@@ -3878,6 +3852,30 @@ object SparkEntry {
     docs.select(col("doc_id"), col("text"))
       .unionAll(docs.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  /** The planted merge-on-read history x126/x127 share (and ql51
+    * mirrors in the language): bootstrap orders as a keyed table, two
+    * delta repricings of the 7ths (the later wins), one tombstone
+    * batch for the 13ths — the closed-form end state is x120's. The
+    * %7/%13 constants are mirrored by both queries' frozen oracles;
+    * change them HERE and in both SQL strings together.
+    */
+  private def plantDeltaHistory(s: SparkSession, d: String,
+                                dir: String): Unit = {
+    val M = graft.sources.Maintenance
+    val base = t(s, d, "orders").df.select("o_orderkey", "o_totalprice")
+    M.writeKeyed(base, dir, "o_orderkey", 16)
+    val sevens = base.filter(col("o_orderkey") % 7 === 0)
+    M.appendDeltaKeyed(s, dir, sevens
+      .withColumn("o_totalprice", col("o_totalprice") + lit(100.0)),
+      "o_orderkey", 16)
+    M.appendDeltaKeyed(s, dir, sevens
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      "o_orderkey", 16)
+    M.appendDeltaKeyed(s, dir, base.limit(0), "o_orderkey", 16,
+      tombstoneKeys = Some(base.filter(col("o_orderkey") % 13 === 0)
+        .select("o_orderkey")))
   }
 
   /** Per-run scratch dirs for queries that materialize side state

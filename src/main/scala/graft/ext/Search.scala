@@ -327,6 +327,12 @@ object Search {
   def appendIndex(df: DataFrame, idCol: String, textCol: String,
                   dir: String, filesPerBucket: Int = 1): Unit = {
     val spark = df.sparkSession
+    // fail BEFORE staging: an append onto a legacy (pre-manifest)
+    // index would otherwise publish a manifest listing only the new
+    // segment and silently drop the old corpus from every query
+    require(graft.sources.Maintenance.manifestVersions(spark, dir).nonEmpty,
+      s"$dir is a pre-manifest index — rebuild it (buildIndex) before " +
+        "appending")
     val segs = graft.sources.Maintenance.listSegments(spark, dir)
     val st = readIndexStats(spark, segs)
     val nBuckets = st.select("n_buckets").head.getInt(0)

@@ -2550,44 +2550,57 @@ object Interp {
             litString(args(0).value)))
         case "build_agg_state" =>
           // build_agg_state(t, "keys", "value", dir, "distinct_key"?,
-          // sample_k?) — the one full pass of an incrementally
-          // maintained group-by view; returns the finalized view
-          if (args.length < 4 || args.length > 6)
+          // sample_k?, "sample_unique"?) — the one full pass of an
+          // incrementally maintained group-by view; returns the
+          // finalized view. sample_unique (a row-unique column) makes
+          // the quantile sample ROW-uniform; default is uniform over
+          // distinct values — merges must reuse the build's grain
+          if (args.length < 4 || args.length > 7)
             throw new TypeError(
               "build_agg_state(t, \"keys\", \"value\", \"dir\", " +
-                "\"distinct_key\"?, sample_k?)")
+                "\"distinct_key\"?, sample_k?, \"sample_unique\"?)")
           val bkeys = litString(args(1).value).trim.split("\\s+").toSeq
           val bdk = if (args.length >= 5) {
             val v = litString(args(4).value).trim
             if (v.isEmpty) None else Some(v)
           } else None
           val bsk =
-            if (args.length == 6) constLong(args(5).value).toInt else 0
+            if (args.length >= 6) constLong(args(5).value).toInt else 0
+          val bsu = if (args.length == 7) {
+            val v = litString(args(6).value).trim
+            if (v.isEmpty) None else Some(v)
+          } else None
           graft.sources.Maintenance.buildAggState(t(args(0).value).df,
             bkeys, litString(args(2).value), litString(args(3).value),
-            distinctKey = bdk, sampleK = bsk)
+            distinctKey = bdk, sampleK = bsk, sampleUnique = bsu)
           PTable(graft.sources.Maintenance.finalizeAgg(
             graft.sources.Maintenance.readVersioned(spark,
               litString(args(3).value)), bkeys))
         case "merge_agg_state" =>
           // merge_agg_state(dir, batch, "keys", "value",
-          // "distinct_key"?, sample_k?) — fold one batch into the
-          // persisted state, O(batch + state); returns the finalized
-          // refreshed view
-          if (args.length < 4 || args.length > 6)
+          // "distinct_key"?, sample_k?, "sample_unique"?) — fold one
+          // batch into the persisted state, O(batch + state); returns
+          // the finalized refreshed view. The sample grain must match
+          // the build's (a mismatch fails loudly at the state align)
+          if (args.length < 4 || args.length > 7)
             throw new TypeError(
               "merge_agg_state(\"dir\", batch, \"keys\", \"value\", " +
-                "\"distinct_key\"?, sample_k?)")
+                "\"distinct_key\"?, sample_k?, \"sample_unique\"?)")
           val mkeys = litString(args(2).value).trim.split("\\s+").toSeq
           val mdk = if (args.length >= 5) {
             val v = litString(args(4).value).trim
             if (v.isEmpty) None else Some(v)
           } else None
           val msk =
-            if (args.length == 6) constLong(args(5).value).toInt else 0
+            if (args.length >= 6) constLong(args(5).value).toInt else 0
+          val msu = if (args.length == 7) {
+            val v = litString(args(6).value).trim
+            if (v.isEmpty) None else Some(v)
+          } else None
           val mst = graft.sources.Maintenance.mergeAggState(spark,
             litString(args(0).value), t(args(1).value).df, mkeys,
-            litString(args(3).value), distinctKey = mdk, sampleK = msk)
+            litString(args(3).value), distinctKey = mdk, sampleK = msk,
+            sampleUnique = msu)
           PTable(graft.sources.Maintenance.finalizeAgg(mst, mkeys))
         case "finalize_agg" =>
           // finalize_agg(dir, "keys") — the user-facing view of a

@@ -419,10 +419,30 @@ object Maintenance {
     val withKb = df.withColumn("kb", kb(keyCol, nBuckets))
     if (manifestVersions(spark, dir).isEmpty) {
       val fs = hadoopFs(spark, new Path(clean))
-      fs.delete(new Path(clean), true)
+      // reclaim LEGACY (pre-format plain-parquet) files only — never
+      // `_manifests` or generation dirs, which a RACING bootstrap may
+      // have just committed (a recursive dir delete here was a TOCTOU
+      // hole: writer B could wipe writer A's committed v1 between A's
+      // publish and B's stage)
+      if (fs.exists(new Path(clean)))
+        fs.listStatus(new Path(clean)).toSeq
+          .filterNot(s => s.getPath.getName == "_manifests" ||
+            s.getPath.getName.matches("""[bd]\d{5}_g\d{9}(-.*)?"""))
+          .foreach(s => fs.delete(s.getPath, true))
       val (staged, rows) = stageBuckets(spark, clean, withKb, 1, keyCol)
-      writeManifest(spark, clean, KeyedManifest(1, staged, keyCol, nBuckets,
-        withKb.schema.toDDL, rows = rows))
+      try writeManifest(spark, clean, KeyedManifest(1, staged, keyCol,
+        nBuckets, withKb.schema.toDDL, rows = rows))
+      catch {
+        case _: CommitConflict =>
+          // another bootstrap won v1 — our staged dirs (writer-unique
+          // names, version digits cosmetic) become the next full
+          // replacement through the ordinary optimistic path
+          withCommitRetry(s"writeKeyed($dir)") {
+            val m = readManifest(spark, dir)
+            writeManifest(spark, clean, KeyedManifest(m.version + 1,
+              staged, keyCol, nBuckets, withKb.schema.toDDL, rows = rows))
+          }
+      }
     } else {
       // re-bootstrap over an EXISTING keyed table stays snapshot-
       // isolated: stage the replacement generations (invisible) and
@@ -456,6 +476,19 @@ object Maintenance {
             .fromStatus(st, conf))
         try rd.getRecordCount finally rd.close()
       }.sum
+  }
+
+  /** Footer row counts for many staged dirs, opened in PARALLEL — a
+    * 32-bucket commit pays one footer round-trip, not 32 serial ones
+    * (measured: the serial loop added ~1s per commit on local disk;
+    * on an object store each open is a network round-trip).
+    */
+  private def parquetRowsAll(spark: SparkSession, clean: String,
+                             dirs: Iterable[String]): Map[String, Long] = {
+    import scala.collection.parallel.CollectionConverters._
+    dirs.toSeq.par
+      .map(d => d -> parquetRows(spark, new Path(clean, d)))
+      .seq.toMap
   }
 
   /** Write `withKb` (any frame carrying the int `kb` column) as one
@@ -495,9 +528,7 @@ object Maintenance {
         b -> name
       }.toMap
     fs.delete(staging, true)
-    val rows = out.values.map(d =>
-      d -> parquetRows(spark, new Path(clean, d))).toMap
-    (out, rows)
+    (out, parquetRowsAll(spark, clean, out.values))
   }
 
   /** A staged-but-uncommitted merge: every new bucket-generation dir is
@@ -758,6 +789,15 @@ object Maintenance {
       m0.version + 1, keyCol, prefix = 'd')
     withCommitRetry(s"appendDeltaKeyed($dir)") {
       val m = readManifest(spark, dir)
+      // re-validate against the FRESH manifest: a concurrent
+      // re-bootstrap may have changed the bucket layout since m0, and
+      // publishing deltas hashed under the OLD layout would park keys
+      // in buckets they no longer hash to (silently unreachable rows)
+      require(m.nBuckets == 0 ||
+        (m.nBuckets == nBuckets && m.keyCol == keyCol),
+        s"keyed table $clean re-bootstrapped to (${m.keyCol}, " +
+          s"${m.nBuckets}) buckets mid-append; caller staged for " +
+          s"($keyCol, $nBuckets) — re-run the append")
       val nextDeltas = m.deltas ++ staged.map { case (b, d) =>
         b -> (m.deltas.getOrElse(b, Seq.empty) :+ d)
       }
@@ -984,28 +1024,28 @@ object Maintenance {
       .partition(b => !m.deltas.get(b).exists(_.nonEmpty) &&
         m.buckets.get(b).exists(m.rows.contains))
     val fs = hadoopFs(spark, new Path(clean))
-    val fastRows = fast.map { b =>
-      val d = m.buckets(b)
-      val nFiles = fs.listStatus(new Path(clean, d))
-        .count(_.getPath.getName.endsWith(".parquet")).toLong
-      (b, m.rows(d), nFiles)
+    def filesIn(d: String): Long = fs.listStatus(new Path(clean, d))
+      .count(_.getPath.getName.endsWith(".parquet")).toLong
+    val fastRows = fast.map(b => (b, m.rows(m.buckets(b)),
+      filesIn(m.buckets(b))))
+    // slow buckets (delta chains / legacy commits without recorded
+    // rows): live row counts need the resolved scan, but the FILE
+    // count comes from the manifest's dir list — input_file_name()
+    // above the resolve window's exchange reads empty (the file-block
+    // context doesn't cross a shuffle), which under-reported exactly
+    // the chained buckets a compaction policy watches
+    val slowCounts =
+      if (slow.isEmpty) Map.empty[Int, Long]
+      else resolveBuckets(spark, clean, m, slow, None)
+        .groupBy("kb").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val slowRows = slow.map { b =>
+      val dirs = m.buckets.get(b).toSeq ++ m.deltas.getOrElse(b, Nil)
+      (b, slowCounts.getOrElse(b, 0L), dirs.map(filesIn).sum)
     }
-    val fastDf =
-      if (fastRows.isEmpty) None
-      else Some(spark.createDataFrame(fastRows)
-        .toDF("kb", "n_rows", "n_files"))
-    val slowDf =
-      if (slow.isEmpty) None
-      else Some(tableStats(
-        resolveBuckets(spark, clean, m, slow, None), "kb")
-        .select(F.col("kb"), F.col("n_rows"), F.col("n_files")))
-    (fastDf, slowDf) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None) => a
-      case (None, Some(b)) => b
-      case (None, None) =>
-        tableStats(readKeyed(spark, dir).limit(0), "kb")
-    }
+    val all = (fastRows ++ slowRows).sortBy(_._1)
+    if (all.isEmpty) tableStats(readKeyed(spark, dir).limit(0), "kb")
+    else spark.createDataFrame(all).toDF("kb", "n_rows", "n_files")
   }
 
   // ---- reconciliation ------------------------------------------------------
@@ -1111,6 +1151,11 @@ object Maintenance {
         //    The key must be unique per row and stable across
         //    refreshes (re-processing a row reproduces its hash), and
         //    the DuckDB mirror replays the same concatenation.
+        // the GRAIN is part of the state's identity: the row-uniform
+        // sample persists as __smpr, the distinct-value one as __smp,
+        // so a refresh built with the WRONG grain fails loudly at the
+        // merge's legacy-align select (missing column) instead of
+        // silently mixing two hash functions into one heap
         (if (sampleK > 0) {
           val hashIn = sampleUnique match {
             case Some(u) => F.concat(F.lit("smp:"),
@@ -1123,7 +1168,8 @@ object Maintenance {
           Seq(graft.plans.EarliestK.earliestK(
             graft.ext.TextAnalysis.h60(hashIn),
             F.col(valueCol).cast(org.apache.spark.sql.types.StringType),
-            sampleK).as("__smp"))
+            sampleK).as(
+            if (sampleUnique.isDefined) "__smpr" else "__smp"))
         } else Nil)
     df.groupBy(keys.map(F.col): _*)
       .agg(basicAggs(valueCol).head, basicAggs(valueCol).tail ++ extra: _*)
@@ -1139,13 +1185,12 @@ object Maintenance {
       (if (state.columns.contains("__regs"))
         Seq(graft.plans.HllRegs.unionState(F.col("__regs"), p).as("__regs"))
       else Nil) ++
-      (if (state.columns.contains("__smp"))
+      (Seq("__smp", "__smpr").filter(state.columns.contains).map(c =>
         // k smallest of the union of the (≤ sources) bounded samples —
         // a tiny interpreted sort over ≤ 2k entries per key; the sort
         // order (hash, value-string) is exactly the heap's
-        Seq(F.slice(F.array_sort(F.flatten(F.collect_list(F.col("__smp")))),
-          1, sampleK).as("__smp"))
-      else Nil)
+        F.slice(F.array_sort(F.flatten(F.collect_list(F.col(c)))),
+          1, sampleK).as(c)))
     state.groupBy(keys.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -1242,6 +1287,12 @@ object Maintenance {
     val clean = cleanDir(dir)
     withCommitRetry(s"commitSegment($dir)") {
       val versions = manifestVersions(spark, dir)
+      // an append onto a pre-manifest (legacy single-dir) dataset must
+      // not publish a manifest listing ONLY the new segment — that
+      // would silently drop the legacy data from every future read
+      require(replace || versions.nonEmpty,
+        s"$clean has no segment manifest (pre-r9 layout) — appends " +
+          "need one; rebuild the dataset first")
       val next = versions.lastOption.getOrElse(0) + 1
       val segs =
         if (replace || versions.isEmpty) Map(0 -> segDir)
@@ -1340,27 +1391,27 @@ object Maintenance {
           .as("approx_distinct"))
       else Nil
     val quantiles =
-      if (state.columns.contains("__smp")) {
+      Seq("__smp", "__smpr").find(state.columns.contains).toSeq.flatMap { sc =>
         // the sample's order statistics estimate the population's at
-        // the sample's GRAIN — distinct values by default, rows when
-        // the state was built with sampleUnique (see partialAgg's
+        // the sample's GRAIN — distinct values (__smp, the default) or
+        // rows (__smpr, built with sampleUnique; see partialAgg's
         // sample-grain note); the median uses explicit middle/average
         // arithmetic, other quantiles nearest-rank v[ceil(q·n)] —
         // both exactly replayable in any SQL engine
-        val sorted = "array_sort(transform(__smp, e -> CAST(e.p AS DOUBLE)))"
+        val sorted = s"array_sort(transform($sc, e -> CAST(e.p AS DOUBLE)))"
         def rank(q: Double) = F.round(F.expr(
-          s"""CASE WHEN size(__smp) = 0 THEN NULL ELSE
-             |  $sorted[CAST(ceil($q * size(__smp)) AS INT) - 1]
+          s"""CASE WHEN size($sc) = 0 THEN NULL ELSE
+             |  $sorted[CAST(ceil($q * size($sc)) AS INT) - 1]
              |END""".stripMargin), 6)
         Seq(
           rank(0.25).as("approx_p25"),
           F.round(F.expr(
-            s"""CASE WHEN size(__smp) = 0 THEN NULL ELSE (
-               |  $sorted[CAST((size(__smp) + 1) / 2 AS INT) - 1]
-               |  + $sorted[CAST(size(__smp) / 2 + 1 AS INT) - 1]
+            s"""CASE WHEN size($sc) = 0 THEN NULL ELSE (
+               |  $sorted[CAST((size($sc) + 1) / 2 AS INT) - 1]
+               |  + $sorted[CAST(size($sc) / 2 + 1 AS INT) - 1]
                |) / 2.0 END""".stripMargin), 6).as("approx_median"),
           rank(0.9).as("approx_p90"))
-      } else Nil
+      }
     state.select(keys.map(F.col) ++ base ++ minmax ++ distinct ++ quantiles: _*)
   }
 

@@ -715,6 +715,24 @@ class MaintenanceSpec extends SparkSpec {
       .select("approx_median").head().getDouble(0) == mR)
   }
 
+  test("sample-grain mismatch between build and merge fails loudly") {
+    val dir = tmp("graft_grainmix")
+    val df = spark.range(0, 500).select(lit("g").as("g"),
+      (col("id") % 31).cast("double").as("v"), col("id").as("rk"))
+    Maintenance.buildAggState(df, Seq("g"), "v", dir, sampleK = 32,
+      sampleUnique = Some("rk"))
+    // a refresh with the DEFAULT grain would mix two different hash
+    // functions into one heap — it must fail at the state align, not
+    // silently corrupt the sample
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Maintenance.mergeAggState(spark, dir, df, Seq("g"), "v",
+        sampleK = 32)
+    }
+    // the matching grain refreshes fine
+    Maintenance.mergeAggState(spark, dir, df, Seq("g"), "v",
+      sampleK = 32, sampleUnique = Some("rk"))
+  }
+
   test("versioned dataset: commit is atomic, old snapshot readable until vacuum") {
     val dir = tmp("graft_ver")
     val v1 = Maintenance.writeVersioned(
