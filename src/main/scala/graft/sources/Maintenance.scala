@@ -820,13 +820,19 @@ object Maintenance {
     * read straight off the manifest).
     */
   def compactKeyed(spark: SparkSession, dir: String,
-                   buckets: Option[Seq[Int]] = None): Unit = {
+                   buckets: Option[Seq[Int]] = None,
+                   minChain: Int = 1): Unit = {
+    require(minChain >= 1, s"minChain must be >= 1, got $minChain")
     val clean = cleanDir(dir)
     if (manifestVersions(spark, dir).isEmpty) return
     withCommitRetry(s"compactKeyed($dir)") {
       val m = readManifest(spark, dir)
+      // `minChain` is the maintenance policy knob: compact only the
+      // buckets whose chain reached the threshold — planned entirely
+      // from the MANIFEST (zero data IO), so a scheduler can call this
+      // every few batches and it no-ops until chains build up
       val target = buckets.getOrElse(m.deltas.keys.toSeq)
-        .filter(b => m.deltas.get(b).exists(_.nonEmpty)).sorted
+        .filter(b => m.deltas.get(b).exists(_.length >= minChain)).sorted
       if (target.nonEmpty)
         commitKeyed(spark, stageMerge(spark, clean,
           resolveBuckets(spark, clean, m, target, None), target, m))

@@ -551,6 +551,24 @@ class MaintenanceSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(ch == Map(7L -> "changed", 9L -> "removed", 11L -> "changed",
       13L -> "removed", 1000L -> "added"))
+    // minChain policy: compaction planned from the manifest alone —
+    // chains below the threshold are left in place
+    val dir3 = tmp("graft_mor_pol")
+    Maintenance.writeKeyed(base, dir3, "k", 8)
+    Maintenance.appendDeltaKeyed(spark, dir3,
+      Seq((7L, 1L)).toDF("k", "v"), "k", 8)          // chain 1 on b(7)
+    Maintenance.appendDeltaKeyed(spark, dir3,
+      Seq((7L, 2L), (9L, 9L)).toDF("k", "v"), "k", 8) // b(7)=2, b(9)<=2
+    val before3 = Maintenance.readManifest(spark, dir3).deltas
+    Maintenance.compactKeyed(spark, dir3, minChain = 2)
+    val after3 = Maintenance.readManifest(spark, dir3).deltas
+    assert(before3.exists(_._2.length >= 2) &&
+      after3.forall(_._2.length < 2),
+      s"minChain=2 left a long chain: $after3")
+    assert(after3.keySet == before3.filter(_._2.length < 2).keySet,
+      "minChain compacted short chains it should have left")
+    assert(Maintenance.readKeyed(spark, dir3).filter(col("k") === 7L)
+      .head().getLong(1) == 2L)
   }
 
   test("CDC batch with tombstones is ONE commit; stats fast-path agrees with scan") {
