@@ -733,6 +733,49 @@ class MaintenanceSpec extends SparkSpec {
       .select("approx_median").head().getDouble(0) == mR)
   }
 
+  test("delta appends racing compactions and merges: last-wins holds, nothing lost") {
+    val dir = tmp("graft_morrace")
+    Maintenance.writeKeyed(
+      spark.range(0, 100).select(col("id").as("k"), lit(0L).as("v")),
+      dir, "k", 4)
+    // writer A: 6 delta batches, each bumping a disjoint key range to
+    // its batch number; writer B: compactions interleaved; writer C:
+    // a copy-on-write upsert of its own key range. Whatever the
+    // interleaving, the final resolved table must show every batch's
+    // LAST write (ranges are disjoint, so last == only).
+    val errs = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Throwable]())
+    val a = new Thread(() => {
+      try for (i <- 1 to 6)
+        Maintenance.appendDeltaKeyed(spark, dir,
+          spark.range(i * 200, i * 200 + 10)
+            .select(col("id").as("k"), lit(i.toLong).as("v")), "k", 4)
+      catch { case e: Throwable => errs.add(e) }
+    })
+    val b = new Thread(() => {
+      try for (_ <- 1 to 4) {
+        Maintenance.compactKeyed(spark, dir); Thread.sleep(30)
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    val c = new Thread(() => {
+      try Maintenance.upsertKeyed(spark, dir,
+        spark.range(50, 60).select(col("id").as("k"), lit(-5L).as("v")),
+        "k", 4)
+      catch { case e: Throwable => errs.add(e) }
+    })
+    a.start(); b.start(); c.start(); a.join(); b.join(); c.join()
+    assert(errs.isEmpty, s"racing writer failed: $errs")
+    Maintenance.compactKeyed(spark, dir) // fold any residue
+    val got = Maintenance.readKeyed(spark, dir).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 100 + 60, s"rows lost/duplicated: ${got.size}")
+    for (i <- 1 to 6; k <- i * 200 until i * 200 + 10)
+      assert(got(k.toLong) == i.toLong, s"delta batch $i lost key $k")
+    for (k <- 50L until 60L) assert(got(k) == -5L, s"upsert lost key $k")
+    for (k <- 0L until 50L) assert(got(k) == 0L)
+    assert(Maintenance.readManifest(spark, dir).deltas.isEmpty)
+  }
+
   test("sample-grain mismatch between build and merge fails loudly") {
     val dir = tmp("graft_grainmix")
     val df = spark.range(0, 500).select(lit("g").as("g"),
