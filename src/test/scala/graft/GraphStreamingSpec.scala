@@ -850,11 +850,7 @@ class GraphStreamingSpec extends SparkSpec {
     mem.addData((1L, 10L, 1.0, false), (2L, 10L, 2.0, false),
       (3L, 10L, 3.0, false))
     q.processAllAvailable()
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
-      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
-    val baseFiles = walk(new java.io.File(dir))
-      .map(f => f.getPath -> f.lastModified()).toMap
+    val baseFiles = parquetFileState(dir)
     // batch 2: update k=1 (within-batch seq reduce picks 21), delete
     // k=3, insert k=4 — lands as DELTA dirs, bases byte-identical
     mem.addData((1L, 20L, 1.2, false), (1L, 21L, 1.5, false),
@@ -864,9 +860,8 @@ class GraphStreamingSpec extends SparkSpec {
     def snap() = Maintenance.readKeyed(spark, dir).select("k", "v")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(snap() == Map(1L -> 1.5, 2L -> 2.0, 4L -> 4.0))
-    baseFiles.foreach { case (p, t) =>
-      assert(new java.io.File(p).exists &&
-        new java.io.File(p).lastModified() == t,
+    baseFiles.foreach { case (p, st) =>
+      assert(parquetFileState(dir).get(p).contains(st),
         s"delta-mode batch rewrote a base file: $p")
     }
     assert(Maintenance.readManifest(spark, dir).deltas.nonEmpty)

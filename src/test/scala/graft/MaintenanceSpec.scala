@@ -126,14 +126,8 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
-  // (path, length, mtime) fingerprint of every data file under dir
-  private def fileState(dir: String): Map[String, (Long, Long)] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
-      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
-    walk(new java.io.File(dir))
-      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
-  }
+  private def fileState(dir: String): Map[String, (Long, Long)] =
+    parquetFileState(dir)
 
   private def kbOf(key: Long, nBuckets: Int): Int =
     Seq(key).toDF("k")

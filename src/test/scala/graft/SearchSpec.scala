@@ -86,20 +86,14 @@ class SearchSpec extends SparkSpec {
   test("appendIndex: grown index == full-corpus scan, segments immutable, rebuild + vacuum") {
     val dir = java.nio.file.Files.createTempDirectory("graft_appendidx")
       .toString
-    def fileState(d: String): Map[String, Long] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
-        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
-      walk(new java.io.File(d)).map(f => f.getPath -> f.lastModified()).toMap
-    }
     try {
       val a = docs.filter(col("doc_id") % 3 === 0)
       val b = docs.filter(col("doc_id") % 3 =!= 0)
       Search.buildIndex(a, "doc_id", "text", dir, nBuckets = 16)
-      val before = fileState(dir)
+      val before = parquetFileState(dir)
       Search.appendIndex(b, "doc_id", "text", dir)
       // the base segment was never rewritten — bytes ∝ appended docs
-      val after = fileState(dir)
+      val after = parquetFileState(dir)
       before.foreach { case (p, t) =>
         assert(after.get(p).contains(t), s"append rewrote base segment: $p")
       }

@@ -37,4 +37,16 @@ abstract class SparkSpec extends AnyFunSuite {
     try body
     finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
   }
+
+  /** (path → (length, mtime)) of every parquet data file under `dir` —
+    * the immutability fingerprint the "bases/segments never rewritten"
+    * assertions compare before and after an append.
+    */
+  def parquetFileState(dir: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+    walk(new java.io.File(dir))
+      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+  }
 }
