@@ -1555,7 +1555,7 @@ object Interp {
       "funnel", "retention", "diff_tables", "event_paths", "sessionize",
       "linfit", "transitions",
       "compact_table", "write_zordered", "write_keyed", "read_keyed",
-      "upsert_keyed", "delete_keyed", "vacuum_keyed", "table_stats",
+      "upsert_keyed", "delete_keyed", "vacuum_keyed", "read_keyed_at", "table_stats",
       "keyed_stats", "phrase_search", "near_search", "keyed_changes",
       "append_delta_keyed", "compact_keyed", "build_agg_state",
       "merge_agg_state", "finalize_agg",
@@ -2503,6 +2503,15 @@ object Interp {
             else None
           PTable(graft.sources.Maintenance.readKeyed(spark,
             litString(args(0).value), ver))
+        case "read_keyed_at" =>
+          // read_keyed_at(dir, epoch_millis) — timestamp time travel:
+          // the snapshot whose commit was live at that instant
+          if (args.length != 2)
+            throw new TypeError("read_keyed_at(\"dir\", epoch_millis)")
+          PTable(graft.sources.Maintenance.readKeyed(spark,
+            litString(args(0).value),
+            Some(graft.sources.Maintenance.versionAt(spark,
+              litString(args(0).value), constLong(args(1).value)))))
         case "upsert_keyed" =>
           // upsert_keyed(dir, updates, "key", n_buckets) — MERGE the
           // batch in (touched buckets only); returns the new snapshot

@@ -303,6 +303,24 @@ object Maintenance {
     throw new IllegalStateException("unreachable")
   }
 
+  /** The newest manifest version whose COMMIT TIME (the manifest
+    * file's mtime — set by the atomic publish rename) is ≤ `tsMillis`:
+    * timestamp-based time travel, `readKeyed(dir, Some(versionAt(…)))`.
+    * Errors when the table didn't exist yet at that time.
+    */
+  def versionAt(spark: SparkSession, dir: String, tsMillis: Long): Int = {
+    val clean = cleanDir(dir)
+    val fs = hadoopFs(spark, manifestDir(clean))
+    val at = manifestVersions(spark, dir).filter { v =>
+      fs.getFileStatus(new Path(manifestDir(clean), f"v$v%09d.json"))
+        .getModificationTime <= tsMillis
+    }
+    require(at.nonEmpty,
+      s"no snapshot of $clean existed at $tsMillis (oldest retained " +
+        s"commit is newer — vacuumed, or the table is younger)")
+    at.last
+  }
+
   /** Read the keyed table's snapshot at `version` (latest when None).
     * Scans exactly the bucket dirs the manifest lists; `kb` is a data
     * column in the files. Buckets with merge-on-read delta chains are

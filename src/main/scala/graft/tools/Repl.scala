@@ -83,7 +83,7 @@ object Repl {
     "funnel", "retention", "diff_tables", "event_paths", "sessionize",
     "linfit", "transitions",
     "compact_table", "write_zordered", "write_keyed", "read_keyed",
-    "upsert_keyed", "delete_keyed", "vacuum_keyed", "table_stats",
+    "upsert_keyed", "delete_keyed", "vacuum_keyed", "read_keyed_at", "table_stats",
     "keyed_stats", "phrase_search", "near_search", "keyed_changes",
     "append_delta_keyed", "compact_keyed", "build_agg_state",
     "merge_agg_state", "finalize_agg",

@@ -315,6 +315,25 @@ class MaintenanceSpec extends SparkSpec {
     assert(messages.contains("must not be NULL"), messages.take(400))
   }
 
+  test("versionAt: timestamp time travel resolves the commit live at that instant") {
+    val dir = tmp("graft_vat")
+    Maintenance.writeKeyed(
+      spark.range(0, 10).select(col("id").as("k"), col("id").as("v")),
+      dir, "k", 2)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(1100) // local-FS mtime granularity can be 1s
+    Maintenance.upsertKeyed(spark, dir, Seq((1L, -1L)).toDF("k", "v"), "k", 2)
+    assert(Maintenance.versionAt(spark, dir, t1) == 1)
+    assert(Maintenance.versionAt(spark, dir, System.currentTimeMillis()) == 2)
+    assert(Maintenance.readKeyed(spark, dir,
+      Some(Maintenance.versionAt(spark, dir, t1)))
+      .filter(col("k") === 1L).head().getLong(1) == 1L)
+    // before the table existed -> loud error
+    intercept[IllegalArgumentException] {
+      Maintenance.versionAt(spark, dir, t1 - 86400000L)
+    }
+  }
+
   test("time travel: old snapshots stay readable until vacuumed") {
     val dir = tmp("graft_tt")
     Maintenance.writeKeyed(
