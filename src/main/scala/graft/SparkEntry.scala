@@ -1476,6 +1476,36 @@ object SparkEntry {
         Seq("value", "table", "part"))
     }),
 
+    // index APPEND at scale: build on half the 200k-doc synthetic
+    // corpus, append the other half as a second segment (existing
+    // segment untouched), then prove the grown index answers
+    // bit-identically to the direct full-corpus scan — x62's parity
+    // pattern, so the oracle holds at ANY scale (no re-capture). The
+    // segments split by doc id parity, so every near-duplicate pair
+    // (2g, 2g+1) straddles the two segments — the cross-segment stats
+    // fold is load-bearing, not incidental.
+    "x131_index_append_200k" -> ((s, d) => {
+      val docs = synthDocs(s, scaled(100000L))
+      val terms = Seq("w123", "w4567", "w89")
+      val dir = runScratch("appendidx200k", d)
+      val direct = graft.ext.Search.bm25Search(docs, "doc_id", "text",
+        terms, 20).localCheckpoint(true) // tiny; fans out below
+      val d2 = s.createDataFrame(direct.rdd, direct.schema)
+      graft.ext.Search.buildIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir, positions = false)
+      graft.ext.Search.appendIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", dir)
+      val indexed = graft.ext.Search.searchIndex(s, dir, terms, 20)
+        .localCheckpoint(true)
+      val i2 = s.createDataFrame(indexed.rdd, indexed.schema)
+      direct.alias("a").join(indexed.alias("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("a.score") === col("b.score"))
+        .agg(F.count(lit(1)).as("n_match"))
+        .crossJoin(d2.agg(F.count(lit(1)).as("n_direct")))
+        .crossJoin(i2.agg(F.count(lit(1)).as("n_indexed")))
+    }),
+
     // search at scale: BM25 over the 300k-doc synthetic corpus (9M
     // token instances, 100k vocab) BOTH ways — direct zero-shuffle
     // scan and the persisted term-bucketed index (built in-query:
@@ -3898,7 +3928,7 @@ object SparkEntry {
 
   /** Scale multiplier for the synthetic scale probes (x22-x26, x36,
     * x45, x49, x52, x55, x60 — all with FROZEN constant oracles that
-    * hold only at scale 1.0 — plus x62 and x98, which are dialed the
+    * hold only at scale 1.0 — plus x62/x98/x128/x131, which are dialed the
     * same way but whose oracles are scale-invariant, no re-capture
     * ever needed).
     * Verify NEVER touches it — the frozen
@@ -6419,6 +6449,11 @@ object SparkEntry {
     // scale-invariant constants: top-20 exists on both paths and the
     // (doc_id, score) join matches row-for-row
     "x62_search_300k" ->
+      """SELECT CAST(20 AS BIGINT) AS n_match,
+                CAST(20 AS BIGINT) AS n_direct,
+                CAST(20 AS BIGINT) AS n_indexed""",
+    // same bit-parity contract over the build-then-append index
+    "x131_index_append_200k" ->
       """SELECT CAST(20 AS BIGINT) AS n_match,
                 CAST(20 AS BIGINT) AS n_direct,
                 CAST(20 AS BIGINT) AS n_indexed""",
