@@ -584,6 +584,45 @@ class MaintenanceSpec extends SparkSpec {
       .head().getLong(1) == 2L)
   }
 
+  test("delta batches evolve the schema additively, like merges do") {
+    val dir = tmp("graft_morevo")
+    Maintenance.writeKeyed(
+      spark.range(0, 40).select(col("id").as("k"), (col("id") * 2).as("v")),
+      dir, "k", 4)
+    // a delta batch carries a NEW column w; an older key keeps NULL
+    Maintenance.appendDeltaKeyed(spark, dir,
+      Seq((1L, -2L, "x"), (100L, 9L, "y")).toDF("k", "v", "w"), "k", 4)
+    val got = Maintenance.readKeyed(spark, dir)
+      .select("k", "v", "w").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.getString(2)))))
+      .toMap
+    assert(got.size == 41 && got(1L) == ((-2L, Some("x"))) &&
+      got(100L) == ((9L, Some("y"))) && got(2L) == ((4L, None)))
+    // a later delta may OMIT a table column (its rows read NULL there)
+    Maintenance.appendDeltaKeyed(spark, dir,
+      Seq((200L, "z")).toDF("k", "w"), "k", 4)
+    val r200 = Maintenance.readKeyed(spark, dir)
+      .filter(col("k") === 200L).select("v", "w").head()
+    assert(r200.isNullAt(0) && r200.getString(1) == "z")
+    // lookup through the evolved chain; compaction preserves it all
+    val lk = Maintenance.lookupKeyed(spark, dir, Seq(1L, 2L, 200L))
+      .select("k", "w").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(lk == Map(1L -> Some("x"), 2L -> None, 200L -> Some("z")))
+    Maintenance.compactKeyed(spark, dir)
+    val after = Maintenance.readKeyed(spark, dir)
+      .select("k", "v", "w").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          Option(r.getString(2))))).toMap
+    assert(after.size == 42 && after(1L) == ((Some(-2L), Some("x"))) &&
+      after(200L) == ((None, Some("z"))) && after(2L) == ((Some(4L), None)))
+    // the manifest's recorded schema grew to include w
+    assert(Maintenance.readManifest(spark, dir).schemaDdl
+      .contains("w STRING"),
+      Maintenance.readManifest(spark, dir).schemaDdl)
+  }
+
   test("CDC batch with tombstones is ONE commit; stats fast-path agrees with scan") {
     val dir = tmp("graft_cdc1c")
     val base = spark.range(0, 100).select(col("id").as("k"),
