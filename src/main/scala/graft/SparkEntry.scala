@@ -3307,6 +3307,24 @@ object SparkEntry {
         "documents" -> t(s, d, "documents")).df
     }),
 
+    // version time travel from the language: after a repricing merge,
+    // read_keyed(dir, 1) still resolves the ORIGINAL snapshot — the
+    // oracle is simply the unmodified orders slice (rep-safe in bench:
+    // v1 is always the deterministic bootstrap content)
+    "ql53_lang_timetravel" -> ((s, d) => {
+      val dir = runScratch("qltt", d)
+      graft.lang.Interp.run(s,
+        s"""base = orders {o_orderkey, o_totalprice}
+           |snap = write_keyed(base, "$dir", "o_orderkey", 8)
+           |ups = base[o_orderkey % 7 == 0] {o_orderkey,
+           |                                 o_totalprice: o_totalprice + 1000.0}
+           |merged = upsert_keyed("$dir", ups, "o_orderkey", 8)
+           |old = read_keyed("$dir", 1)
+           |old {o_orderkey, o_totalprice}
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+    }),
+
     "ql39_lang_crawl" -> ((s, d) =>
       graft.lang.Interp.run(s,
         """pages = documents {doc_id, raw: "<p>" + text + "</p><script>x()</script>"}
@@ -6278,6 +6296,9 @@ object SparkEntry {
            CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
                 ELSE o_totalprice END AS o_totalprice
          FROM orders""",
+    // version 1 is always the unmodified bootstrap
+    "ql53_lang_timetravel" ->
+      "SELECT o_orderkey, o_totalprice FROM orders",
     "ql52_lang_idxappend" -> bm25OracleSql(Seq("customer", "window"), 15),
 
     // per-a row counts survive the z-order + compaction round trip;
