@@ -83,18 +83,47 @@ object Maintenance {
 
   /** The key-bucket column: md5-derived (portable, never tied to
     * Spark's internal hash), pure per-row — the same layout contract
-    * as the persisted IVF/LSH indexes. A NULL key fails the job with
-    * a clear message (without the guard it would hash to a NULL
-    * bucket, land in Hive's default-partition dir and crash the stage
-    * listing AFTER the write job ran).
+    * as the persisted IVF/LSH indexes. A NULL key component fails the
+    * job with a clear message (without the guard it would hash to a
+    * NULL bucket, land in Hive's default-partition dir and crash the
+    * stage listing AFTER the write job ran) — unless `nullSafe`, where
+    * a NULL component hashes as a reserved sentinel (the bucketed
+    * agg-state path: a NULL GROUP key is a legal group, not a broken
+    * primary key).
+    *
+    * COMPOSITE keys hash the components' string casts joined on
+    * `\u0001` (single-column tables keep the exact pre-r10 bytes —
+    * `md5(cast(key))` — so every existing layout stays valid). A key
+    * component whose string form CONTAINS `\u0001` is out of contract
+    * (it could alias another composite); real keys never carry \u0001.
     */
-  private def kb(keyCol: String, nBuckets: Int): Column =
-    F.when(F.col(keyCol).isNull, F.raise_error(F.lit(
-        s"keyed table: key column '$keyCol' must not be NULL")))
-      .otherwise(
-        F.pmod(graft.ext.TextAnalysis.h60(F.col(keyCol)),
-          F.lit(nBuckets.toLong)))
+  private def kb(keyCols: Seq[String], nBuckets: Int,
+                 nullSafe: Boolean = false): Column = {
+    import org.apache.spark.sql.types.StringType
+    require(keyCols.nonEmpty, "keyed table: no key columns")
+    val joined =
+      if (keyCols.length == 1) F.col(keyCols.head).cast(StringType)
+      else F.concat_ws("\u0001",
+        keyCols.map(c => F.col(c).cast(StringType)): _*)
+    val h = graft.ext.TextAnalysis.h60(
+      if (nullSafe)
+        // the sentinel marks WHICH components were null (concat_ws
+        // silently skips nulls, which would alias ("a", null) with
+        // ("a")); \u0000 never appears in a real value's string form
+        keyCols.map(c => F.coalesce(F.col(c).cast(StringType),
+          F.lit("\u0000"))).reduceLeft((a, b) =>
+          F.concat(a, F.lit("\u0001"), b))
+      else joined)
+    val anyNull = keyCols.map(c => F.col(c).isNull).reduce(_ || _)
+    val bucket = F.pmod(h, F.lit(nBuckets.toLong))
       .cast(org.apache.spark.sql.types.IntegerType)
+    if (nullSafe) bucket
+    else F.when(anyNull, F.raise_error(F.lit(
+        s"keyed table: key column(s) ${keyCols.mkString(",")} must not " +
+          "be NULL")))
+      .otherwise(bucket)
+      .cast(org.apache.spark.sql.types.IntegerType)
+  }
 
   /** A resolved table snapshot: manifest version → live dir per bucket.
     * `keyCol`/`nBuckets` are TABLE METADATA recorded at writeKeyed time
@@ -116,12 +145,34 @@ object Maintenance {
     *  - `rows`: row count per referenced dir, recorded at commit time
     *    from the staged parquet footers, so `keyedStats` and merge
     *    planning read the MANIFEST instead of scanning the table.
+    *
+    * r10 additions (same compatibility rule):
+    *  - `ts`: the commit wall-clock millis, stamped at publish — so
+    *    `versionAt` timestamp time travel reads the manifest BODY
+    *    instead of trusting FS mtime semantics (object-store "rename"
+    *    is a copy that rewrites times; pre-r10 manifests fall back to
+    *    mtime, which the atomic rename does set on HDFS/local).
+    *  - `statsCols` + `colstats`: per-dir MIN/MAX zone maps for a
+    *    column list declared at writeKeyed time, folded from the same
+    *    commit-time footer pass that records `rows` — `readKeyedRange`
+    *    prunes whole buckets against non-key range predicates
+    *    (Iceberg/Delta-style data skipping).
     */
   final case class KeyedManifest(version: Int, buckets: Map[Int, String],
                                  keyCol: String = "", nBuckets: Int = 0,
                                  schemaDdl: String = "",
                                  deltas: Map[Int, Seq[String]] = Map.empty,
-                                 rows: Map[String, Long] = Map.empty)
+                                 rows: Map[String, Long] = Map.empty,
+                                 tsMillis: Long = 0L,
+                                 statsCols: Seq[String] = Seq.empty,
+                                 colStats: Map[String, Map[String, (String, String)]] = Map.empty) {
+    /** The key as a COLUMN LIST: r10 composite keys store the names
+      * comma-joined in `keyCol` (column names in this engine never
+      * carry commas — the DDL round-trip would reject them).
+      */
+    def keyCols: Seq[String] =
+      if (keyCol.isEmpty) Seq.empty else keyCol.split(",").toSeq
+  }
 
   private def cleanDir(dir: String): String = dir.replaceAll("/+$", "")
 
@@ -161,6 +212,10 @@ object Maintenance {
   private val DeltaEntry = """"(\d+)"\s*:\s*\[([^\]]*)\]""".r
   private val QuotedString = """"([^"]+)"""".r
   private val RowEntry = """"([^"]+)"\s*:\s*(\d+)""".r
+  private val TsEntry = """"ts"\s*:\s*(\d+)""".r
+  private val StatsColsEntry = """"statsCols"\s*:\s*"([^"]*)"""".r
+  private val ColStatsSection = """"colstats"\s*:\s*\{([^}]*)\}""".r
+  private val ColStatEntry = """"([^"]+)\|([^"]+)"\s*:\s*"([^",]*),([^"]*)"""".r
 
   private def b64enc(s: String): String =
     java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
@@ -168,12 +223,18 @@ object Maintenance {
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
   /** Union two snapshot schemas field-by-name (additive evolution:
-    * the recorded schema only ever grows; types never change).
+    * the recorded schema only ever grows; types never change — a batch
+    * retyping an existing column FAILS here, loudly, instead of the
+    * recorded schema silently disagreeing with the data files).
     */
   private def unionSchema(a: org.apache.spark.sql.types.StructType,
                           b: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
-    val have = a.fieldNames.toSet
+    val have = a.fields.map(f => f.name -> f.dataType).toMap
+    b.fields.foreach(f => have.get(f.name).foreach(t =>
+      require(t == f.dataType,
+        s"column '${f.name}' is $t in the table but ${f.dataType} in " +
+          "the batch — types never change; rewrite the table to retype")))
     org.apache.spark.sql.types.StructType(
       a.fields ++ b.fields.filterNot(f => have.contains(f.name)))
   }
@@ -189,7 +250,8 @@ object Maintenance {
   }
 
   /** Resolve the manifest at `version` (latest when None). The JSON is
-    * engine-written with a fixed shape, so a two-regex parse is exact.
+    * engine-written with a fixed shape, so a sectioned-regex parse is
+    * exact.
     */
   def readManifest(spark: SparkSession, dir: String,
                    version: Option[Int] = None): KeyedManifest = {
@@ -199,12 +261,24 @@ object Maintenance {
     val v = version.getOrElse(versions.last)
     require(versions.contains(v),
       s"manifest version $v not found under $clean (have $versions)")
+    tryReadManifest(spark, clean, v).getOrElse(throw new IllegalArgumentException(
+      s"manifest version $v of $clean disappeared mid-read (vacuumed?)"))
+  }
+
+  /** Open + parse one manifest by version WITHOUT a directory listing;
+    * None when the file is gone (a racing vacuum between a version
+    * listing and this read degrades to a skip, not a crash).
+    */
+  private def tryReadManifest(spark: SparkSession, clean: String,
+                              v: Int): Option[KeyedManifest] = {
     val p = new Path(manifestDir(clean), f"v$v%09d.json")
     val fs = hadoopFs(spark, p)
-    val in = fs.open(p)
     val txt =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+      try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => return None }
     // sectioned parse: `rows` keys are dir names and `deltas` values
     // are arrays, so the flat "digits": "string" regex is scoped to
     // the buckets section (pre-r9 manifests have no sections beyond
@@ -222,12 +296,23 @@ object Maintenance {
       .map(body => RowEntry.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toLong).toMap)
       .getOrElse(Map.empty[String, Long])
-    KeyedManifest(v, buckets,
+    val colStats = ColStatsSection.findFirstMatchIn(txt).map(_.group(1))
+      .map(body => ColStatEntry.findAllMatchIn(body).toSeq
+        .groupBy(_.group(1)).map { case (d, ms) =>
+          d -> ms.map(m =>
+            m.group(2) -> (b64dec(m.group(3)), b64dec(m.group(4)))).toMap
+        })
+      .getOrElse(Map.empty[String, Map[String, (String, String)]])
+    Some(KeyedManifest(v, buckets,
       KeyColEntry.findFirstMatchIn(txt).map(_.group(1)).getOrElse(""),
       NBucketsEntry.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0),
       SchemaEntry.findFirstMatchIn(txt).map(m => b64dec(m.group(1)))
         .getOrElse(""),
-      deltas, rows)
+      deltas, rows,
+      TsEntry.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L),
+      StatsColsEntry.findFirstMatchIn(txt).map(_.group(1))
+        .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty),
+      colStats))
   }
 
   /** Publish a manifest: write to a dot-temp in `_manifests`, then one
@@ -259,10 +344,25 @@ object Maintenance {
       if (m.rows.isEmpty) ""
       else m.rows.toSeq.sortBy(_._1).map { case (d, n) => s""""$d": $n""" }
         .mkString(""", "rows": {""", ", ", "}")
+    val statsCols =
+      if (m.statsCols.isEmpty) ""
+      else s""", "statsCols": "${m.statsCols.mkString(",")}""""
+    val colStats =
+      if (m.colStats.isEmpty) ""
+      else m.colStats.toSeq.sortBy(_._1).flatMap { case (d, cs) =>
+        cs.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+          s""""$d|$c": "${b64enc(lo)},${b64enc(hi)}""""
+        }
+      }.mkString(""", "colstats": {""", ", ", "}")
+    // the commit wall-clock stamp: the manifest body is the
+    // FS-independent truth for `versionAt` (mtime is only a pre-r10
+    // fallback)
+    val ts = s""", "ts": ${
+      if (m.tsMillis > 0) m.tsMillis else System.currentTimeMillis()}"""
     val body = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, d) => s""""$b": "$d"""" }
       .mkString(s"""{"version": ${m.version}, $meta$schema"buckets": {""",
-        ", ", "}") + deltas + rows + "}"
+        ", ", "}") + deltas + rows + statsCols + colStats + ts + "}"
     val tmp = new Path(md,
       s".tmp_v${m.version}_${ProcessHandle.current().pid()}x${stageCounter.incrementAndGet()}")
     val out = fs.create(tmp, true)
@@ -303,17 +403,29 @@ object Maintenance {
     throw new IllegalStateException("unreachable")
   }
 
-  /** The newest manifest version whose COMMIT TIME (the manifest
-    * file's mtime — set by the atomic publish rename) is ≤ `tsMillis`:
+  /** The newest manifest version whose COMMIT TIME is ≤ `tsMillis`:
     * timestamp-based time travel, `readKeyed(dir, Some(versionAt(…)))`.
-    * Errors when the table didn't exist yet at that time.
+    * The commit time is the `ts` the manifest BODY records at publish
+    * (FS-independent — object-store "renames" copy and rewrite mtime);
+    * pre-r10 manifests fall back to the file mtime, which the atomic
+    * publish rename does set on HDFS/local. A manifest a concurrent
+    * vacuum deletes between the listing and the read is skipped (it
+    * was a dropped version anyway); errors when no snapshot existed
+    * yet at that time.
     */
   def versionAt(spark: SparkSession, dir: String, tsMillis: Long): Int = {
     val clean = cleanDir(dir)
     val fs = hadoopFs(spark, manifestDir(clean))
     val at = manifestVersions(spark, dir).filter { v =>
-      fs.getFileStatus(new Path(manifestDir(clean), f"v$v%09d.json"))
-        .getModificationTime <= tsMillis
+      tryReadManifest(spark, clean, v).exists { m =>
+        val commitTs =
+          if (m.tsMillis > 0) m.tsMillis
+          else try fs.getFileStatus(
+            new Path(manifestDir(clean), f"v$v%09d.json"))
+            .getModificationTime
+          catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+        commitTs <= tsMillis
+      }
     }
     require(at.nonEmpty,
       s"no snapshot of $clean existed at $tsMillis (oldest retained " +
@@ -337,6 +449,93 @@ object Maintenance {
     val live = (m.buckets.keySet ++ m.deltas.keySet).toSeq.sorted
     if (live.isEmpty) return emptySnapshot(spark, clean, m)
     resolveBuckets(spark, clean, m, live, None)
+  }
+
+  /** Range read with ZONE-MAP pruning: the rows where
+    * `lo <= colName <= hi`, reading only the buckets whose manifest
+    * min/max stats (recorded at commit time for `statsCols` — see
+    * `writeKeyed`) can intersect the range — Iceberg/Delta-style data
+    * skipping on NON-key predicates, planned entirely from the
+    * manifest (zero data IO for skipped buckets).
+    *
+    * Pruning is at BUCKET granularity, deliberately: inside a
+    * delta-carrying bucket the last-wins resolution must see every
+    * chain level (a delta may move a key's value OUT of the range —
+    * per-dir pruning would resurrect the superseded base row), so a
+    * bucket is skipped only when NONE of its dirs can hold a matching
+    * row — then no version of any key matches, and the winner can't
+    * either. The row filter itself applies AFTER resolution for the
+    * same reason. Dirs without recorded stats for the column are
+    * unprunable (never a guess).
+    */
+  def readKeyedRange(spark: SparkSession, dir: String, colName: String,
+                     lo: Any, hi: Any,
+                     version: Option[Int] = None): DataFrame = {
+    val clean = cleanDir(dir)
+    val filt = F.col(colName) >= F.lit(lo) && F.col(colName) <= F.lit(hi)
+    if (manifestVersions(spark, dir).isEmpty)
+      return spark.read.parquet(clean).filter(filt)
+    val m = readManifest(spark, dir, version)
+    val live = (m.buckets.keySet ++ m.deltas.keySet).toSeq.sorted
+    if (live.isEmpty) return emptySnapshot(spark, clean, m).filter(filt)
+    val dt: Option[org.apache.spark.sql.types.DataType] =
+      if (m.schemaDdl.isEmpty) None
+      else org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+        .fields.find(_.name == colName).map(_.dataType)
+    val kept = live.filter { b =>
+      val dirs = m.buckets.get(b).toSeq ++ m.deltas.getOrElse(b, Nil)
+      dirs.exists { d =>
+        (dt, m.colStats.get(d).flatMap(_.get(colName))) match {
+          case (Some(t), Some((mn, mx))) => statOverlap(t, mn, mx, lo, hi)
+          case _ => true // no stats / unknown type → unprunable
+        }
+      }
+    }
+    if (kept.isEmpty) emptySnapshot(spark, clean, m).filter(filt)
+    else resolveBuckets(spark, clean, m, kept, None).filter(filt)
+  }
+
+  /** Can [lo, hi] intersect a dir whose recorded stats are
+    * [mnS, mxS]? Decodes the strings by the column's SPARK type
+    * (mirroring `statEncode`'s parquet-value forms); unknown types or
+    * unparseable probes answer true (unprunable — pruning must never
+    * be a guess).
+    */
+  private def statOverlap(dt: org.apache.spark.sql.types.DataType,
+                          mnS: String, mxS: String,
+                          lo: Any, hi: Any): Boolean = {
+    import org.apache.spark.sql.types._
+    def micros(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp =>
+        Some(t.getTime / 1000 * 1000000L + t.getNanos / 1000L)
+      case i: java.time.Instant =>
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case _ => None
+    }
+    def days(v: Any): Option[Long] = v match {
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case _ => None
+    }
+    try dt match {
+      case StringType =>
+        mnS <= hi.toString && mxS >= lo.toString
+      case ByteType | ShortType | IntegerType | LongType
+           | FloatType | DoubleType =>
+        BigDecimal(mnS) <= BigDecimal(hi.toString) &&
+          BigDecimal(mxS) >= BigDecimal(lo.toString)
+      case DateType =>
+        (days(lo), days(hi)) match {
+          case (Some(l), Some(h)) => mnS.toLong <= h && mxS.toLong >= l
+          case _ => true
+        }
+      case TimestampType =>
+        (micros(lo), micros(hi)) match {
+          case (Some(l), Some(h)) => mnS.toLong <= h && mxS.toLong >= l
+          case _ => true
+        }
+      case _ => true
+    } catch { case _: NumberFormatException => true }
   }
 
   /** A fully-emptied table is a legal snapshot: an EMPTY frame with
@@ -401,7 +600,7 @@ object Maintenance {
         val un = parts.reduce(
           _.unionByName(_, allowMissingColumns = true))
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(F.col(m.keyCol))
+        val w = Window.partitionBy(m.keyCols.map(F.col): _*)
           .orderBy(F.col("__prec").desc)
         val top = un.withColumn("__rn", F.row_number().over(w))
           .filter(F.col("__rn") === 1)
@@ -430,11 +629,33 @@ object Maintenance {
     * = 10 GB merges).
     */
   def writeKeyed(df: DataFrame, dir: String, keyCol: String,
-                 nBuckets: Int): Unit = {
+                 nBuckets: Int): Unit =
+    writeKeyed(df, dir, Seq(keyCol), nBuckets)
+
+  /** COMPOSITE-key variant (real CDC feeds key on (tenant, id) pairs):
+    * the bucket hash joins the components' string casts (see `kb`),
+    * the manifest records the column list, and every downstream face —
+    * merge/delta/lookup/changes/CDC — keys on the full tuple.
+    * `statsCols` declares the zone-map column list: each commit then
+    * records per-dir MIN/MAX for them (from the same footer pass that
+    * counts rows) and `readKeyedRange` prunes against range predicates.
+    */
+  def writeKeyed(df: DataFrame, dir: String, keyCols: Seq[String],
+                 nBuckets: Int, statsCols: Seq[String] = Seq.empty): Unit =
+    writeKeyedInternal(df, dir, keyCols, nBuckets, statsCols,
+      nullSafe = false)
+
+  private[sources] def writeKeyedInternal(df: DataFrame, dir: String,
+                                          keyCols: Seq[String], nBuckets: Int,
+                                          statsCols: Seq[String],
+                                          nullSafe: Boolean): Unit = {
     require(nBuckets > 0, s"nBuckets must be > 0, got $nBuckets")
+    require(statsCols.forall(df.columns.contains),
+      s"statsCols ${statsCols.mkString(",")} must exist in the frame")
     val spark = df.sparkSession
     val clean = cleanDir(dir)
-    val withKb = df.withColumn("kb", kb(keyCol, nBuckets))
+    val keyCol = keyCols.mkString(",")
+    val withKb = df.withColumn("kb", kb(keyCols, nBuckets, nullSafe))
     if (manifestVersions(spark, dir).isEmpty) {
       val fs = hadoopFs(spark, new Path(clean))
       // reclaim LEGACY (pre-format plain-parquet) files only — never
@@ -447,9 +668,11 @@ object Maintenance {
           .filterNot(s => s.getPath.getName == "_manifests" ||
             s.getPath.getName.matches("""[bd]\d{5}_g\d{9}(-.*)?"""))
           .foreach(s => fs.delete(s.getPath, true))
-      val (staged, rows) = stageBuckets(spark, clean, withKb, 1, keyCol)
+      val (staged, rows, cstats) = stageBuckets(spark, clean, withKb, 1,
+        keyCols, statsCols)
       try writeManifest(spark, clean, KeyedManifest(1, staged, keyCol,
-        nBuckets, withKb.schema.toDDL, rows = rows))
+        nBuckets, withKb.schema.toDDL, rows = rows,
+        statsCols = statsCols, colStats = cstats))
       catch {
         case _: CommitConflict =>
           // another bootstrap won v1 — our staged dirs (writer-unique
@@ -458,7 +681,8 @@ object Maintenance {
           withCommitRetry(s"writeKeyed($dir)") {
             val m = readManifest(spark, dir)
             writeManifest(spark, clean, KeyedManifest(m.version + 1,
-              staged, keyCol, nBuckets, withKb.schema.toDDL, rows = rows))
+              staged, keyCol, nBuckets, withKb.schema.toDDL, rows = rows,
+              statsCols = statsCols, colStats = cstats))
           }
       }
     } else {
@@ -470,43 +694,129 @@ object Maintenance {
       // generations vacuum away later
       withCommitRetry(s"writeKeyed($dir)") {
         val m = readManifest(spark, dir)
-        val (staged, rows) = stageBuckets(spark, clean, withKb,
-          m.version + 1, keyCol)
+        val (staged, rows, cstats) = stageBuckets(spark, clean, withKb,
+          m.version + 1, keyCols, statsCols)
         writeManifest(spark, clean, KeyedManifest(m.version + 1, staged,
-          keyCol, nBuckets, withKb.schema.toDDL, rows = rows))
+          keyCol, nBuckets, withKb.schema.toDDL, rows = rows,
+          statsCols = statsCols, colStats = cstats))
       }
     }
   }
 
-  /** Row count of the parquet files directly under `dir`, from the
-    * file FOOTERS alone — no Spark job, no data pages read. This is
-    * how staged dirs report their counts into the manifest `rows`
-    * map: O(files) metadata reads at commit time buy every later
-    * `keyedStats`/planning call an O(manifest) answer.
+  /** Row count + per-column MIN/MAX zone maps of the parquet files
+    * directly under `dir`, from the file FOOTERS alone — no Spark job,
+    * no data pages read. This is how staged dirs report into the
+    * manifest `rows`/`colstats` maps: O(files) metadata reads at
+    * commit time buy every later `keyedStats`/`readKeyedRange`/
+    * planning call an O(manifest) answer.
+    *
+    * A column's stats land only when EVERY file+row-group in the dir
+    * carries usable parquet statistics of the expected physical type
+    * (a missing/unsupported chunk makes the whole dir unprunable for
+    * that column — pruning must never be a guess). Supported Spark
+    * types: integral, float/double, string, date, timestamp
+    * (INT64-micros layout).
     */
-  private def parquetRows(spark: SparkSession, dir: Path): Long = {
+  private def footerInfo(spark: SparkSession, dir: Path,
+                         statsCols: Seq[String])
+      : (Long, Map[String, (String, String)]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = hadoopFs(spark, dir)
+    var rows = 0L
+    // per-column fold: cur = running (min, max) over usable chunks;
+    // failed = some chunk carried rows but no usable stats (the dir is
+    // then unprunable for that column). A file MISSING the column
+    // entirely contributes only nulls there (schema evolution), which
+    // never satisfy a range predicate — it doesn't widen or fail.
+    val cur = scala.collection.mutable.Map
+      .empty[String, (Comparable[Any], Comparable[Any])]
+    val failed = scala.collection.mutable.Set.empty[String]
     fs.listStatus(dir).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet")).map { st =>
+      .filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile
             .fromStatus(st, conf))
-        try rd.getRecordCount finally rd.close()
-      }.sum
+        try {
+          rows += rd.getRecordCount
+          rd.getFooter.getBlocks.forEach { blk =>
+            blk.getColumns.forEach { cc =>
+              val c = cc.getPath.toDotString
+              if (statsCols.contains(c) && !failed(c)) {
+                val s = cc.getStatistics
+                if (s != null && !s.isEmpty && !s.hasNonNullValue &&
+                    s.getNumNulls == blk.getRowCount) {
+                  // all-null chunk: contributes nothing, fails nothing
+                } else if (s == null || s.isEmpty || !s.hasNonNullValue ||
+                    !supportedStat(cc)) {
+                  failed += c; cur -= c
+                } else {
+                  val mn = s.genericGetMin.asInstanceOf[Comparable[Any]]
+                  val mx = s.genericGetMax.asInstanceOf[Comparable[Any]]
+                  cur(c) = cur.get(c) match {
+                    case None => (mn, mx)
+                    case Some((a, b)) => (
+                      if (mn.compareTo(a) < 0) mn else a,
+                      if (mx.compareTo(b) > 0) mx else b)
+                  }
+                }
+              }
+            }
+          }
+        } finally rd.close()
+      }
+    (rows, cur.toMap.map { case (c, (mn, mx)) =>
+      c -> (statEncode(mn), statEncode(mx)) })
   }
 
-  /** Footer row counts for many staged dirs, opened in PARALLEL — a
+  /** Usable physical layouts for zone-map stats: plain primitives and
+    * UTF8 binary. Excludes INT96 timestamps (no reliable parquet
+    * stats) and decimal/complex encodings.
+    */
+  private def supportedStat(
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val pt = cc.getPrimitiveType
+    pt.getPrimitiveTypeName match {
+      case INT32 | INT64 | FLOAT | DOUBLE =>
+        pt.getLogicalTypeAnnotation match {
+          // decimal-annotated ints store unscaled values — skip rather
+          // than compare a scaled probe against unscaled stats
+          case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            false
+          // the reader decodes timestamps as MICROS — any other unit
+          // (or INT96, rejected by the primitive match) stays unpruned
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+          case _ => true
+        }
+      case BINARY =>
+        pt.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      case _ => false
+    }
+  }
+
+  private def statEncode(v: Comparable[Any]): String = (v: Any) match {
+    case b: org.apache.parquet.io.api.Binary =>
+      new String(b.getBytes, "UTF-8")
+    case x => x.toString
+  }
+
+  /** Footer info for many staged dirs, opened in PARALLEL — a
     * 32-bucket commit pays one footer round-trip, not 32 serial ones
     * (measured: the serial loop added ~1s per commit on local disk;
     * on an object store each open is a network round-trip).
     */
-  private def parquetRowsAll(spark: SparkSession, clean: String,
-                             dirs: Iterable[String]): Map[String, Long] = {
+  private def footerInfoAll(spark: SparkSession, clean: String,
+                            dirs: Iterable[String], statsCols: Seq[String])
+      : (Map[String, Long], Map[String, Map[String, (String, String)]]) = {
     import scala.collection.parallel.CollectionConverters._
-    dirs.toSeq.par
-      .map(d => d -> parquetRows(spark, new Path(clean, d)))
+    val per = dirs.toSeq.par
+      .map(d => d -> footerInfo(spark, new Path(clean, d), statsCols))
       .seq.toMap
+    (per.map { case (d, (n, _)) => d -> n },
+      per.collect { case (d, (_, cs)) if cs.nonEmpty => d -> cs })
   }
 
   /** Write `withKb` (any frame carrying the int `kb` column) as one
@@ -522,9 +832,12 @@ object Maintenance {
     * plus dir-name → row count (from the staged footers).
     */
   private def stageBuckets(spark: SparkSession, clean: String,
-                           withKb: DataFrame, version: Int, keyCol: String,
+                           withKb: DataFrame, version: Int,
+                           keyCols: Seq[String],
+                           statsCols: Seq[String] = Seq.empty,
                            prefix: Char = 'b')
-      : (Map[Int, String], Map[String, Long]) = {
+      : (Map[Int, String], Map[String, Long],
+         Map[String, Map[String, (String, String)]]) = {
     val fs = hadoopFs(spark, new Path(clean))
     // pid + counter: two concurrent writers IN THE SAME JVM (a CDC
     // stream sink plus an ad-hoc merge) must never share a staging
@@ -534,7 +847,7 @@ object Maintenance {
     fs.delete(staging, true)
     withKb.withColumn("__kbp", F.col("kb"))
       .repartition(F.col("kb"))
-      .sortWithinPartitions(F.col("kb"), F.col(keyCol))
+      .sortWithinPartitions(F.col("kb") +: keyCols.map(F.col): _*)
       .write.mode("overwrite").partitionBy("__kbp").parquet(staging.toString)
     fs.mkdirs(new Path(clean))
     val out = fs.listStatus(staging).toSeq.map(_.getPath)
@@ -546,7 +859,8 @@ object Maintenance {
         b -> name
       }.toMap
     fs.delete(staging, true)
-    (out, parquetRowsAll(spark, clean, out.values))
+    val (rows, cstats) = footerInfoAll(spark, clean, out.values, statsCols)
+    (out, rows, cstats)
   }
 
   /** A staged-but-uncommitted merge: every new bucket-generation dir is
@@ -567,8 +881,10 @@ object Maintenance {
     // would silently drop that writer's changes. Targeting base+1
     // makes the manifest rename fail instead (CommitConflict → the
     // caller recomputes against the fresh snapshot).
-    val (staged, stagedRows) = stageBuckets(spark, clean, merged,
-      base.version + 1, if (base.keyCol.nonEmpty) base.keyCol else "kb")
+    val (staged, stagedRows, stagedStats) = stageBuckets(spark, clean,
+      merged, base.version + 1,
+      if (base.keyCol.nonEmpty) base.keyCols else Seq("kb"),
+      base.statsCols)
     // a touched bucket absent from staging lost ALL its rows (delete
     // path): it simply leaves the manifest
     val next = base.buckets -- touched ++ staged
@@ -578,6 +894,8 @@ object Maintenance {
     val nextDeltas = base.deltas -- touched
     val liveDirs = next.values.toSet ++ nextDeltas.values.flatten
     val nextRows = base.rows.filter { case (d, _) => liveDirs(d) } ++ stagedRows
+    val nextStats = base.colStats.filter { case (d, _) => liveDirs(d) } ++
+      stagedStats
     // snapshot schema grows additively across merges: prior schema
     // ∪ the merged frame's (which carries any new batch columns)
     val schema =
@@ -587,7 +905,8 @@ object Maintenance {
         merged.schema).toDDL
     PendingCommit(clean,
       KeyedManifest(base.version + 1, next, base.keyCol, base.nBuckets,
-        schema, nextDeltas, nextRows))
+        schema, nextDeltas, nextRows,
+        statsCols = base.statsCols, colStats = nextStats))
   }
 
   private[graft] def commitKeyed(spark: SparkSession,
@@ -616,7 +935,12 @@ object Maintenance {
     */
   def upsertKeyed(spark: SparkSession, dir: String, updates: DataFrame,
                   keyCol: String, nBuckets: Int): Unit =
-    mergeKeyed(spark, dir, Some(updates), None, keyCol, nBuckets)
+    mergeKeyed(spark, dir, Some(updates), None, Seq(keyCol), nBuckets)
+
+  /** Composite-key upsert. */
+  def upsertKeyed(spark: SparkSession, dir: String, updates: DataFrame,
+                  keyCols: Seq[String], nBuckets: Int): Unit =
+    mergeKeyed(spark, dir, Some(updates), None, keyCols, nBuckets)
 
   /** Delete by key from the keyed table at `dir`; `keys` is a 1-column
     * frame. Same pruned-read + staged-commit shape as upsertKeyed; a
@@ -627,7 +951,13 @@ object Maintenance {
                   keyCol: String, nBuckets: Int): Unit =
     mergeKeyed(spark, dir, None,
       Some(keys.select(F.col(keys.columns.head).as(keyCol))),
-      keyCol, nBuckets)
+      Seq(keyCol), nBuckets)
+
+  /** Composite-key delete: `keys` carries the key columns by name. */
+  def deleteKeyed(spark: SparkSession, dir: String, keys: DataFrame,
+                  keyCols: Seq[String], nBuckets: Int): Unit =
+    mergeKeyed(spark, dir, None, Some(keys.select(keyCols.map(F.col): _*)),
+      keyCols, nBuckets)
 
   /** The ONE merge body behind upsert, delete, and the CDC batch sink:
     * upserts and deletes land in a SINGLE staged commit (one manifest
@@ -637,11 +967,11 @@ object Maintenance {
     */
   def mergeKeyed(spark: SparkSession, dir: String,
                  updates: Option[DataFrame], deleteKeys: Option[DataFrame],
-                 keyCol: String, nBuckets: Int): Unit = {
-    val up = updates.map(_.withColumn("kb", kb(keyCol, nBuckets))
+                 keyCols: Seq[String], nBuckets: Int): Unit = {
+    val up = updates.map(_.withColumn("kb", kb(keyCols, nBuckets))
       .localCheckpoint())
-    val dk = deleteKeys.map(_.select(F.col(keyCol))
-      .withColumn("kb", kb(keyCol, nBuckets)).localCheckpoint())
+    val dk = deleteKeys.map(_.select(keyCols.map(F.col): _*)
+      .withColumn("kb", kb(keyCols, nBuckets)).localCheckpoint())
     val touched = (up.toSeq ++ dk.toSeq)
       .flatMap(_.select("kb").distinct().collect().map(_.getInt(0)))
       .distinct.sorted
@@ -653,16 +983,22 @@ object Maintenance {
       // computed against
       val m = readManifest(spark, dir)
       val base = readTouched(spark, dir, m, touched, batchForSchema,
-        keyCol, nBuckets)
-      val gone = (up.map(_.select(keyCol)).toSeq ++
-        dk.map(_.select(keyCol)).toSeq)
+        keyCols, nBuckets)
+      val gone = (up.map(_.select(keyCols.map(F.col): _*)).toSeq ++
+        dk.map(_.select(keyCols.map(F.col): _*)).toSeq)
         .reduce(_.unionByName(_)).distinct()
-      val kept = base.join(gone, Seq(keyCol), "left_anti")
+      val kept = base.join(gone, keyCols, "left_anti")
       val merged = up.fold(kept)(u =>
         kept.unionByName(u, allowMissingColumns = true))
       commitKeyed(spark, stageMerge(spark, dir, merged, touched, m))
     }
   }
+
+  /** Single-column-key merge (the pre-r10 signature). */
+  def mergeKeyed(spark: SparkSession, dir: String,
+                 updates: Option[DataFrame], deleteKeys: Option[DataFrame],
+                 keyCol: String, nBuckets: Int): Unit =
+    mergeKeyed(spark, dir, updates, deleteKeys, Seq(keyCol), nBuckets)
 
   /** One CDC micro-batch, merged ATOMICALLY (one manifest commit) with
     * the cross-batch last-wins guard INSIDE the optimistic-commit
@@ -679,16 +1015,25 @@ object Maintenance {
   def cdcMergeKeyed(spark: SparkSession, dir: String, batch: DataFrame,
                     keyCol: String, nBuckets: Int,
                     seqCol: Option[String] = None,
-                    deleteCol: Option[String] = None): Unit = {
+                    deleteCol: Option[String] = None): Unit =
+    cdcMergeKeyedCols(spark, dir, batch, Seq(keyCol), nBuckets, seqCol,
+      deleteCol)
+
+  /** Composite-key CDC merge — same contract, keyed on the tuple. */
+  def cdcMergeKeyedCols(spark: SparkSession, dir: String, batch: DataFrame,
+                        keyCols: Seq[String], nBuckets: Int,
+                        seqCol: Option[String] = None,
+                        deleteCol: Option[String] = None): Unit = {
     val reduced0 = seqCol match {
       case Some(sc) =>
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(F.col(keyCol)).orderBy(F.col(sc).desc)
+        val w = Window.partitionBy(keyCols.map(F.col): _*)
+          .orderBy(F.col(sc).desc)
         batch.withColumn("__rn", F.row_number().over(w))
           .filter(F.col("__rn") === 1).drop("__rn")
       case None => batch
     }
-    val reduced = reduced0.withColumn("kb", kb(keyCol, nBuckets))
+    val reduced = reduced0.withColumn("kb", kb(keyCols, nBuckets))
       .localCheckpoint()
     val touched = reduced.select("kb").distinct().collect()
       .map(_.getInt(0)).sorted.toSeq
@@ -698,20 +1043,20 @@ object Maintenance {
         case Some(dc) =>
           (last.filter(!F.coalesce(F.col(dc), F.lit(false))).drop(dc),
             Some(last.filter(F.coalesce(F.col(dc), F.lit(false)))
-              .select(F.col(keyCol))))
+              .select(keyCols.map(F.col): _*)))
         case None => (last, None)
       }
     if (manifestVersions(spark, dir).isEmpty) {
       // bootstrap: no stored rows to guard against; tombstones in the
       // very first batch simply don't insert
       val (ups, _) = split(reduced)
-      writeKeyed(ups.drop("kb"), dir, keyCol, nBuckets)
+      writeKeyed(ups.drop("kb"), dir, keyCols, nBuckets)
       return
     }
     withCommitRetry(s"cdcMergeKeyed($dir)") {
       val m = readManifest(spark, dir)
       val base = readTouched(spark, dir, m, touched, reduced,
-        keyCol, nBuckets)
+        keyCols, nBuckets)
       // cross-batch last-wins: a late batch carrying an older sequence
       // for a stored key (out-of-order source, or a replay interleaved
       // with newer batches) must not regress the row — compare against
@@ -719,17 +1064,18 @@ object Maintenance {
       val last = seqCol match {
         case Some(sc) if base.columns.contains(sc) =>
           reduced.join(
-            base.select(F.col(keyCol), F.col(sc).as("__curseq")),
-            Seq(keyCol), "left")
+            base.select((keyCols.map(F.col) :+
+              F.col(sc).as("__curseq")): _*),
+            keyCols, "left")
             .filter(F.col("__curseq").isNull ||
               F.col(sc) >= F.col("__curseq"))
             .drop("__curseq")
         case _ => reduced
       }
       val (ups, dels) = split(last)
-      val gone = dels.fold(ups.select(keyCol))(d =>
-        ups.select(keyCol).unionByName(d)).distinct()
-      val merged = base.join(gone, Seq(keyCol), "left_anti")
+      val gone = dels.fold(ups.select(keyCols.map(F.col): _*))(d =>
+        ups.select(keyCols.map(F.col): _*).unionByName(d)).distinct()
+      val merged = base.join(gone, keyCols, "left_anti")
         .unionByName(ups, allowMissingColumns = true)
       commitKeyed(spark, stageMerge(spark, dir, merged, touched, m))
     }
@@ -746,8 +1092,9 @@ object Maintenance {
   private def readTouched(spark: SparkSession, dir: String,
                           m: KeyedManifest, touched: Seq[Int],
                           batch: DataFrame,
-                          keyCol: String, nBuckets: Int): DataFrame = {
+                          keyCols: Seq[String], nBuckets: Int): DataFrame = {
     val clean = cleanDir(dir)
+    val keyCol = keyCols.mkString(",")
     // a mismatched bucket count or key would hash the batch into the
     // WRONG buckets and silently merge against the wrong base slices
     require(m.nBuckets == 0 || (m.nBuckets == nBuckets && m.keyCol == keyCol),
@@ -786,25 +1133,51 @@ object Maintenance {
     */
   def appendDeltaKeyed(spark: SparkSession, dir: String, updates: DataFrame,
                        keyCol: String, nBuckets: Int,
-                       tombstoneKeys: Option[DataFrame] = None): Unit = {
+                       tombstoneKeys: Option[DataFrame] = None): Unit =
+    appendDeltaKeyedCols(spark, dir, updates, Seq(keyCol), nBuckets,
+      tombstoneKeys)
+
+  /** Composite-key merge-on-read append — same contract, keyed on the
+    * tuple (`tombstoneKeys` carries the key columns by name).
+    */
+  def appendDeltaKeyedCols(spark: SparkSession, dir: String,
+                           updates: DataFrame,
+                           keyCols: Seq[String], nBuckets: Int,
+                           tombstoneKeys: Option[DataFrame] = None): Unit = {
     val clean = cleanDir(dir)
+    val keyCol = keyCols.mkString(",")
     val ups = updates.withColumn("__tomb", F.lit(false))
     val all = tombstoneKeys.fold(ups)(tk =>
       ups.unionByName(
-        tk.select(F.col(tk.columns.head).as(keyCol))
+        (if (keyCols.length == 1)
+          tk.select(F.col(tk.columns.head).as(keyCols.head))
+        else tk.select(keyCols.map(F.col): _*))
           .withColumn("__tomb", F.lit(true)),
         allowMissingColumns = true))
-    val withKb = all.withColumn("kb", kb(keyCol, nBuckets)).localCheckpoint()
-    val touched = withKb.select("kb").distinct().collect()
-      .map(_.getInt(0)).sorted.toSeq
+    val withKb = all.withColumn("kb", kb(keyCols, nBuckets)).localCheckpoint()
+    // ONE metadata job: the touched-bucket set (bounded by nBuckets)
+    // and the unique-keys-per-call guard — duplicate keys at the same
+    // precedence level would have no resolution order, so the window's
+    // winner would be NONDETERMINISTIC; fail loudly before staging
+    val probe = withKb.agg(
+      F.count(F.lit(1)).as("n"),
+      F.count_distinct(F.col(keyCols.head),
+        keyCols.tail.map(F.col): _*).as("nk"),
+      F.collect_set(F.col("kb")).as("bs")).head
+    require(probe.getLong(0) == probe.getLong(1),
+      s"appendDeltaKeyed($clean): ${probe.getLong(0) - probe.getLong(1)} " +
+        "duplicate keys within one call — a delta level has no " +
+        "intra-level resolution order; reduce the batch per key first " +
+        "(cdcMergeKeyed does this by sequence)")
+    val touched = probe.getSeq[Int](2).sorted
     if (touched.isEmpty) return
     val m0 = readManifest(spark, dir)
     require(m0.nBuckets == 0 ||
       (m0.nBuckets == nBuckets && m0.keyCol == keyCol),
       s"keyed table $clean is (${m0.keyCol}, ${m0.nBuckets}) buckets; " +
         s"caller passed ($keyCol, $nBuckets)")
-    val (staged, stagedRows) = stageBuckets(spark, clean, withKb,
-      m0.version + 1, keyCol, prefix = 'd')
+    val (staged, stagedRows, stagedStats) = stageBuckets(spark, clean,
+      withKb, m0.version + 1, keyCols, m0.statsCols, prefix = 'd')
     withCommitRetry(s"appendDeltaKeyed($dir)") {
       val m = readManifest(spark, dir)
       // re-validate against the FRESH manifest: a concurrent
@@ -825,7 +1198,8 @@ object Maintenance {
           org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl),
           withKb.drop("__tomb").schema).toDDL
       writeManifest(spark, clean, KeyedManifest(m.version + 1, m.buckets,
-        m.keyCol, m.nBuckets, schema, nextDeltas, m.rows ++ stagedRows))
+        m.keyCol, m.nBuckets, schema, nextDeltas, m.rows ++ stagedRows,
+        statsCols = m.statsCols, colStats = m.colStats ++ stagedStats))
     }
   }
 
@@ -864,12 +1238,13 @@ object Maintenance {
     */
   def readKeyBuckets(spark: SparkSession, dir: String, keys: DataFrame,
                      keyCol: String, nBuckets: Int): DataFrame = {
-    val ks = keys.select(F.col(keyCol))
-      .withColumn("kb", kb(keyCol, nBuckets)).localCheckpoint()
+    val keyCols = keyCol.split(",").toSeq
+    val ks = keys.select(keyCols.map(F.col): _*)
+      .withColumn("kb", kb(keyCols, nBuckets)).localCheckpoint()
     val touched = ks.select("kb").distinct().collect()
       .map(_.getInt(0)).sorted.toSeq
     val m = readManifest(spark, dir)
-    readTouched(spark, dir, m, touched, ks, keyCol, nBuckets)
+    readTouched(spark, dir, m, touched, ks, keyCols, nBuckets)
   }
 
   /** Point lookup on the keyed table: the rows whose key is in `keys`,
@@ -878,8 +1253,14 @@ object Maintenance {
     * metadata supplies keyCol and bucket count (never a caller guess),
     * so the cost is O(|keys| buckets' files), independent of table
     * size: this is what a 100 TB key-value probe should cost.
-    * Key hashing matches `kb` exactly: md5 of the key's STRING form
-    * (Spark's cast and JVM toString agree for longs/ints/strings).
+    *
+    * Works for EVERY key type the table can store: the probe buckets
+    * are computed by the ENGINE'S OWN `kb` expression over a tiny
+    * local key frame (one job over |keys| rows — never a scan), so the
+    * hash is bit-identical to the stored layout by construction —
+    * timestamp/decimal/double keys included (the pre-r10 JVM-toString
+    * shortcut had to reject those loudly). Composite-key tables take
+    * each key as a Seq of the components in manifest order.
     */
   def lookupKeyed(spark: SparkSession, dir: String,
                   keys: Seq[Any]): DataFrame = {
@@ -888,36 +1269,72 @@ object Maintenance {
     val m = readManifest(spark, dir)
     require(m.nBuckets > 0,
       s"$clean has no keyed metadata (pre-r8 table or versioned dataset)")
-    // the probe hash uses the key's JVM string form, which matches the
-    // stored kb (md5 of Spark's string CAST) only for integral and
-    // string keys — a float/decimal/timestamp key would silently hash
-    // into the WRONG bucket and return zero rows, so reject it loudly
-    if (m.schemaDdl.nonEmpty) {
-      import org.apache.spark.sql.types._
-      StructType.fromDDL(m.schemaDdl).fields
-        .find(_.name == m.keyCol).map(_.dataType).foreach {
-          case StringType | LongType | IntegerType | ShortType
-               | ByteType => ()
-          case dt => throw new IllegalArgumentException(
-            s"lookupKeyed: key column '${m.keyCol}' is $dt — driver-side " +
-              "key hashing matches the stored buckets only for integral " +
-              "and string keys; probe by DataFrame filter instead")
+    val keyCols = m.keyCols
+    // the key columns' types, from the recorded schema (every r9+
+    // commit) or a live dir's parquet footer (pre-r9 tables)
+    val schema: org.apache.spark.sql.types.StructType =
+      if (m.schemaDdl.nonEmpty)
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      else {
+        val anyDir = m.buckets.values.headOption
+          .orElse(m.deltas.values.flatten.headOption)
+        anyDir match {
+          case Some(d) => spark.read.parquet(s"$clean/$d").schema
+          case None => return readKeyed(spark, dir).limit(0)
         }
+      }
+    val keyFields = keyCols.map(c => schema.fields.find(_.name == c)
+      .getOrElse(throw new IllegalArgumentException(
+        s"lookupKeyed: key column '$c' missing from $clean's schema")))
+    // normalize each key to a component tuple, coercing common JVM
+    // widenings (an Int probe against a LongType key)
+    val tuples = keys.map {
+      case s: Seq[_] => s
+      case p: Product if keyCols.length > 1 => p.productIterator.toSeq
+      case k => Seq(k)
     }
-    val touched = keys
-      .map(k => (graft.ext.TextAnalysis.h60Value(k.toString) % m.nBuckets).toInt)
-      .distinct
+    tuples.foreach(t => require(t.length == keyCols.length,
+      s"lookupKeyed: table keys on (${keyCols.mkString(",")}); got a " +
+        s"${t.length}-component key"))
+    import org.apache.spark.sql.types._
+    def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+      case (n: Number, LongType) => n.longValue
+      case (n: Number, IntegerType) => n.intValue
+      case (n: Number, ShortType) => n.shortValue
+      case (n: Number, ByteType) => n.byteValue
+      case (n: Number, DoubleType) => n.doubleValue
+      case (n: Number, FloatType) => n.floatValue
+      case (d: BigDecimal, _: DecimalType) => d.bigDecimal
+      case _ => v
+    }
+    val rows = tuples.map(t => org.apache.spark.sql.Row(
+      t.zip(keyFields).map { case (v, f) => coerce(v, f.dataType) }: _*))
+    import scala.jdk.CollectionConverters._
+    val probe = spark.createDataFrame(rows.asJava,
+      StructType(keyFields.map(f => StructField(f.name, f.dataType))))
+    val touched = probe.select(kb(keyCols, m.nBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
       .filter(b => m.buckets.contains(b) ||
         m.deltas.get(b).exists(_.nonEmpty)).sorted
     if (touched.isEmpty)
       readKeyed(spark, dir).limit(0)
-    // native-typed IN-list (not a string cast) so the predicate
-    // PUSHES into the parquet scan of EVERY chain level and the
-    // within-bucket key sort lets row-group min/max stats skip most
-    // of each bucket file; delta chains resolve AFTER the pushed
-    // filter, over the probe keys' rows only
-    else resolveBuckets(spark, clean, m, touched,
-      Some(F.col(m.keyCol).isin(keys: _*)))
+    else {
+      // native-typed IN-list (not a string cast) so the predicate
+      // PUSHES into the parquet scan of EVERY chain level and the
+      // within-bucket key sort lets row-group min/max stats skip most
+      // of each bucket file; delta chains resolve AFTER the pushed
+      // filter, over the probe keys' rows only (the key never changes
+      // across chain levels, so a key filter is resolution-invariant)
+      val filt =
+        if (keyCols.length == 1)
+          F.col(keyCols.head).isin(
+            tuples.map(t => coerce(t.head, keyFields.head.dataType)): _*)
+        else tuples.map(t =>
+          t.zip(keyFields).map { case (v, f) =>
+            F.col(f.name) === F.lit(coerce(v, f.dataType))
+          }.reduce(_ && _)).reduce(_ || _)
+      resolveBuckets(spark, clean, m, touched, Some(filt))
+    }
   }
 
   /** Changelog between two snapshots of the keyed table: one row per
@@ -947,7 +1364,7 @@ object Maintenance {
       if (live.nonEmpty) resolveBuckets(spark, clean, m, live, None)
       else readKeyed(spark, dir, Some(m.version)).limit(0)
     }
-    diff(side(m1).drop("kb"), side(m2).drop("kb"), Seq(m1.keyCol))
+    diff(side(m1).drop("kb"), side(m2).drop("kb"), m1.keyCols)
       .filter(F.col("status") =!= "same")
   }
 

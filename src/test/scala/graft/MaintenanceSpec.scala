@@ -334,6 +334,145 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("versionAt reads the manifest-body ts, not FS mtime (object-store renames copy)") {
+    val dir = tmp("graft_vts")
+    Maintenance.writeKeyed(
+      spark.range(0, 4).select(col("id").as("k"), col("id").as("v")),
+      dir, "k", 2)
+    Maintenance.upsertKeyed(spark, dir, Seq((1L, -1L)).toDF("k", "v"), "k", 2)
+    // sabotage every manifest's mtime to the far future — an mtime-
+    // trusting versionAt would now claim no snapshot ever existed
+    val md = new org.apache.hadoop.fs.Path(dir, "_manifests")
+    val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(md).foreach(s =>
+      fs.setTimes(s.getPath, System.currentTimeMillis() + 86400000L, -1))
+    assert(Maintenance.versionAt(spark, dir,
+      System.currentTimeMillis()) == 2)
+    val m = Maintenance.readManifest(spark, dir)
+    assert(m.tsMillis > 0, "commit ts must be recorded in the body")
+  }
+
+  test("composite keys: merge/delete/delta/lookup/changes key on the full tuple") {
+    val dir = tmp("graft_comp")
+    // (t, k) pairs; k alone repeats across t, so any single-column
+    // keying would collide — every face must use the tuple
+    val base = spark.range(0, 60).select((col("id") % 3).as("t"),
+      (col("id") % 20).as("k"), col("id").as("v"))
+    Maintenance.writeKeyed(base, dir, Seq("t", "k"), 8)
+    assert(Maintenance.readManifest(spark, dir).keyCols == Seq("t", "k"))
+    // upsert one existing pair + one new pair: only (1, 4) changes,
+    // its twin (2, 4) must survive untouched
+    Maintenance.upsertKeyed(spark, dir,
+      Seq((1L, 4L, -1L), (9L, 9L, -2L)).toDF("t", "k", "v"), Seq("t", "k"), 8)
+    val got = Maintenance.readKeyed(spark, dir)
+      .select("t", "k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == 61 && got((1L, 4L)) == -1L && got((9L, 9L)) == -2L &&
+      got((2L, 4L)) == 44L && got((0L, 4L)) == 24L)
+    // tuple delete removes exactly one pair
+    Maintenance.deleteKeyed(spark, dir, Seq((0L, 7L)).toDF("t", "k"),
+      Seq("t", "k"), 8)
+    val afterDel = Maintenance.readKeyed(spark, dir)
+    assert(afterDel.count() == 60 &&
+      afterDel.filter(col("t") === 0L && col("k") === 7L).isEmpty)
+    // merge-on-read delta + tombstone on the tuple
+    Maintenance.appendDeltaKeyedCols(spark, dir,
+      Seq((2L, 5L, -5L)).toDF("t", "k", "v"), Seq("t", "k"), 8,
+      tombstoneKeys = Some(Seq((1L, 13L)).toDF("t", "k")))
+    val afterDelta = Maintenance.readKeyed(spark, dir)
+      .select("t", "k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(afterDelta((2L, 5L)) == -5L && !afterDelta.contains((1L, 13L)) &&
+      afterDelta((0L, 5L)) == 45L && afterDelta((2L, 13L)) == 53L)
+    // composite point lookup takes Seq components
+    val lk = Maintenance.lookupKeyed(spark, dir, Seq(Seq(2L, 5L), Seq(1L, 4L)))
+      .select("t", "k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(lk == Map((2L, 5L) -> -5L, (1L, 4L) -> -1L))
+    // changelog keys on the tuple: v1 -> v2 changed exactly (1,4)
+    // and added (9,9)
+    val ch = Maintenance.keyedChanges(spark, dir, 1, 2)
+      .select("t", "k", "status").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(ch == Map((1L, 4L) -> "changed", (9L, 9L) -> "added"))
+    // CDC merge on the tuple: last-wins per pair by seq
+    Maintenance.cdcMergeKeyedCols(spark, dir,
+      Seq((2L, 8L, 100L, 1L, false), (2L, 8L, 200L, 2L, false),
+        (0L, 9L, 0L, 1L, true)).toDF("t", "k", "v", "seq", "del"),
+      Seq("t", "k"), 8, seqCol = Some("seq"), deleteCol = Some("del"))
+    val afterCdc = Maintenance.readKeyed(spark, dir)
+      .select("t", "k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(afterCdc((2L, 8L)) == 200L && !afterCdc.contains((0L, 9L)))
+  }
+
+  test("zone maps: readKeyedRange prunes to intersecting buckets, matches the unpruned filter") {
+    val dir = tmp("graft_zone")
+    // few keys per bucket => per-dir v ranges are narrow enough to
+    // prune (zone maps help exactly when values cluster per dir)
+    val df = spark.range(0, 96).select(col("id").as("k"),
+      (col("id") * 1000L).as("v"))
+    Maintenance.writeKeyed(df, dir, Seq("k"), 48, statsCols = Seq("v"))
+    val m = Maintenance.readManifest(spark, dir)
+    assert(m.statsCols == Seq("v"))
+    assert(m.colStats.values.forall(_.contains("v")) && m.colStats.nonEmpty)
+    val pruned = Maintenance.readKeyedRange(spark, dir, "v", 5000L, 6000L)
+    assert(pruned.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(5L, 6L))
+    // the pruned plan lists only the kept buckets' files
+    assert(pruned.inputFiles.length <
+      Maintenance.readKeyed(spark, dir).inputFiles.length,
+      "range read should scan a strict subset of the table's files")
+    // delta safety: an update moving a key's value OUT of the range
+    // must not resurrect the superseded base row (filter applies
+    // post-resolution; pruning only ever skips WHOLE buckets)
+    Maintenance.appendDeltaKeyed(spark, dir,
+      Seq((5L, 999999L)).toDF("k", "v"), "k", 48)
+    val after = Maintenance.readKeyedRange(spark, dir, "v", 5000L, 6000L)
+    assert(after.select("k").collect().map(_.getLong(0)).toSeq == Seq(6L))
+    // ...and a range matching the delta's NEW value finds the winner
+    val high = Maintenance.readKeyedRange(spark, dir, "v", 900000L, 1000000L)
+    assert(high.select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 999999L)))
+  }
+
+  test("appendDeltaKeyed fails loudly on duplicate keys within one call") {
+    val dir = tmp("graft_dup")
+    Maintenance.writeKeyed(
+      spark.range(0, 10).select(col("id").as("k"), col("id").as("v")),
+      dir, "k", 4)
+    val err = intercept[IllegalArgumentException] {
+      Maintenance.appendDeltaKeyed(spark, dir,
+        Seq((3L, 1L), (3L, 2L)).toDF("k", "v"), "k", 4)
+    }
+    assert(err.getMessage.contains("duplicate"), err.getMessage)
+    // a key updated AND tombstoned in one call is the same violation
+    val err2 = intercept[IllegalArgumentException] {
+      Maintenance.appendDeltaKeyed(spark, dir,
+        Seq((3L, 1L)).toDF("k", "v"), "k", 4,
+        tombstoneKeys = Some(Seq(3L).toDF("k")))
+    }
+    assert(err2.getMessage.contains("duplicate"), err2.getMessage)
+  }
+
+  test("a batch retyping an existing column fails loudly (types never change)") {
+    val dir = tmp("graft_retype")
+    Maintenance.writeKeyed(
+      spark.range(0, 10).select(col("id").as("k"), col("id").as("v")),
+      dir, "k", 2)
+    intercept[IllegalArgumentException] {
+      Maintenance.upsertKeyed(spark, dir,
+        Seq((1L, 0.5)).toDF("k", "v"), "k", 2)
+    }
+    intercept[IllegalArgumentException] {
+      Maintenance.appendDeltaKeyed(spark, dir,
+        Seq((1L, 0.5)).toDF("k", "v"), "k", 2)
+    }
+    // the table is still intact and long-typed
+    assert(Maintenance.readKeyed(spark, dir).schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("time travel: old snapshots stay readable until vacuumed") {
     val dir = tmp("graft_tt")
     Maintenance.writeKeyed(
@@ -706,15 +845,25 @@ class MaintenanceSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 50L)))
   }
 
-  test("lookupKeyed rejects non-integral/string key types loudly") {
-    val dir = tmp("graft_lkguard")
+  test("lookupKeyed serves EVERY key type via the engine's own hash (double, timestamp)") {
+    // pre-r10 the driver-side JVM-toString hash had to reject
+    // non-integral/string keys loudly (it would probe the wrong
+    // bucket); the probe now computes buckets with the engine's own
+    // kb expression, so the hash matches the layout by construction
+    val ddir = tmp("graft_lkdouble")
     Maintenance.writeKeyed(
       spark.range(0, 10).select((col("id") + 0.5).as("k"), col("id").as("v")),
-      dir, "k", 2)
-    val err = intercept[IllegalArgumentException] {
-      Maintenance.lookupKeyed(spark, dir, Seq(0.5))
-    }
-    assert(err.getMessage.contains("integral"), err.getMessage)
+      ddir, "k", 4)
+    assert(Maintenance.lookupKeyed(spark, ddir, Seq(3.5, 7.5))
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 7L))
+    val tdir = tmp("graft_lkts")
+    Maintenance.writeKeyed(
+      spark.range(0, 10).select(
+        timestamp_millis(col("id") * 3600000L).as("k"), col("id").as("v")),
+      tdir, "k", 4)
+    assert(Maintenance.lookupKeyed(spark, tdir,
+      Seq(new java.sql.Timestamp(2 * 3600000L)))
+      .select("v").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
   test("multi-writer hammer: every batch lands exactly once, versions gapless") {
