@@ -1239,6 +1239,106 @@ object SparkEntry {
           col("approx_median"), col("approx_p90"))
     }),
 
+    // BUCKETED agg state (r10): the state lives as a keyed table
+    // hash-bucketed by the group keys, so a refresh reads/rewrites
+    // ONLY the buckets the batch's keys hash into — x116's profile
+    // config through the bucketed path must equal the same full
+    // recompute (x116's oracle verbatim)
+    "x132_aggstate_keyed" -> ((s, d) => {
+      val dir = runScratch("mvk", d)
+      val M = graft.sources.Maintenance
+      val orders = t(s, d, "orders").df
+      M.buildAggStateKeyed(orders.filter(col("o_orderkey") % 10 =!= 0),
+        dir, Seq("o_orderpriority"), "o_totalprice", nBuckets = 8,
+        distinctKey = Some("o_custkey"))
+      M.mergeAggStateKeyed(s, dir,
+        orders.filter(col("o_orderkey") % 10 === 0),
+        Seq("o_orderpriority"), "o_totalprice",
+        distinctKey = Some("o_custkey"))
+      M.finalizeAgg(M.readAggStateKeyed(s, dir), Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n"),
+          F.round(col("total"), 6).as("total"),
+          F.round(col("mean"), 6).as("mean"),
+          col("vmin"), col("vmax"), col("approx_distinct"))
+    }),
+
+    // DELTA-mode agg state (r10): refreshes APPEND the batch partials
+    // as merge-on-read delta dirs (bytes written ∝ batch, base
+    // generations never move — x134 proves the bytes claim) and the
+    // read RE-AGGREGATES the chain levels per key; every state column
+    // is associative, so the chained read must equal x125's full
+    // recompute bit-for-bit, bounded sample quantiles included
+    "x133_aggstate_delta" -> ((s, d) => {
+      val dir = runScratch("mvkd", d)
+      val M = graft.sources.Maintenance
+      val orders = t(s, d, "orders").df
+      M.buildAggStateKeyed(orders.filter(col("o_orderkey") % 10 =!= 0),
+        dir, Seq("o_orderpriority"), "o_totalprice", nBuckets = 8,
+        sampleK = 512)
+      M.mergeAggStateKeyed(s, dir,
+        orders.filter(col("o_orderkey") % 20 === 0),
+        Seq("o_orderpriority"), "o_totalprice", sampleK = 512,
+        asDeltas = true)
+      M.mergeAggStateKeyed(s, dir,
+        orders.filter(col("o_orderkey") % 20 === 10),
+        Seq("o_orderpriority"), "o_totalprice", sampleK = 512,
+        asDeltas = true)
+      M.finalizeAgg(M.readAggStateKeyed(s, dir, sampleK = 512),
+        Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n"), col("approx_p25"),
+          col("approx_median"), col("approx_p90"))
+    }),
+
+    // Agg-state scale probe (x128's shape for state): ~100k-key state
+    // over 32 buckets. A 3-group CoW refresh moves AT MOST 3 bucket
+    // generations (the other 29+ stay byte-identical); a 1000-group
+    // delta refresh moves NONE and its delta dirs cost a small
+    // fraction of the state; compaction folds the chains; and the
+    // final state equals the one-shot recompute. All booleans are
+    // scale-invariant: never needs re-capture.
+    "x134_aggstate_probe" -> ((s, d) => {
+      val dir = runScratch("mvkp", d)
+      val M = graft.sources.Maintenance
+      val n = scaled(1000000)
+      val g = n / 10
+      val base = s.range(0, n).select((col("id") % g).as("g"),
+        (col("id") % 997).cast(DoubleType).as("v"))
+      M.buildAggStateKeyed(base, dir, Seq("g"), "v", nBuckets = 32)
+      val stateBytes = M.dirBytes(s, dir)
+      val m1 = M.readManifest(s, dir)
+      // CoW batch confined to 3 groups — touches ≤ 3 of 32 buckets
+      val b1 = s.range(0, 3000).select((col("id") % 3).as("g"),
+        lit(-3.0).as("v"))
+      M.mergeAggStateKeyed(s, dir, b1, Seq("g"), "v")
+      val m2 = M.readManifest(s, dir)
+      val movedCow = m2.buckets.count { case (b, dd) =>
+        !m1.buckets.get(b).contains(dd) }
+      // delta batch over 1000 spread groups (7i < g keeps them unique)
+      val b2 = s.range(0, 1000).select((col("id") * 7 % g).as("g"),
+        lit(5.0).as("v"))
+      M.mergeAggStateKeyed(s, dir, b2, Seq("g"), "v", asDeltas = true)
+      val m3 = M.readManifest(s, dir)
+      val deltaBytes = m3.deltas.values.flatten
+        .map(dd => M.dirBytes(s, dir + "/" + dd)).sum
+      M.compactAggStateKeyed(s, dir)
+      val m4 = M.readManifest(s, dir)
+      val dir2 = runScratch("mvkp_full", d)
+      M.buildAggStateKeyed(base.unionByName(b1).unionByName(b2),
+        dir2, Seq("g"), "v", nBuckets = 32)
+      def fin(dd: String) = M.finalizeAgg(
+        M.readAggStateKeyed(s, dd), Seq("g"))
+        .select("g", "n", "total", "mean")
+      val dif = M.diff(fin(dir), fin(dir2), Seq("g"))
+      dif.agg((F.count(lit(1)) === g).as("n_ok"),
+        (F.sum(when(col("status") === "same", 0L).otherwise(1L)) === 0L)
+          .as("all_same"))
+        .withColumn("cow_bounded", lit(movedCow >= 1 && movedCow <= 3))
+        .withColumn("bases_untouched", lit(m3.buckets == m2.buckets))
+        .withColumn("delta_small", lit(deltaBytes < stateBytes / 2))
+        .withColumn("compacted",
+          lit(m4.deltas.values.forall(_.isEmpty)))
+    }),
+
     // Anchored funnel over the events stream: view -> click ->
     // purchase within 7 days of the user's FIRST view; greedy
     // earliest-completion semantics, mirrored as a min()-chain oracle
@@ -5844,6 +5944,79 @@ object SparkEntry {
            round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
              / count(*), 6) AS mean
          FROM orders GROUP BY o_orderpriority""",
+
+    // the BUCKETED state path ends at the same full recompute as
+    // x116 (profile columns incl. the md5-HLL estimate, bit-for-bit)
+    "x132_aggstate_keyed" ->
+      """WITH h AS (
+           SELECT o_orderpriority,
+             ('0x' || substr(md5('hll:' || CAST(o_custkey AS VARCHAR)),
+               1, 15))::BIGINT AS hv
+           FROM orders WHERE o_custkey IS NOT NULL
+         ), r AS (
+           SELECT o_orderpriority, hv % 4096 AS bucket,
+             max(CASE WHEN hv // 4096 = 0 THEN 49
+                      ELSE 49 - length(bin(hv // 4096)) END) AS mj
+           FROM h GROUP BY 1, 2
+         ), sk AS (
+           SELECT o_orderpriority,
+             CAST(sum(CAST(pow(2.0, 49 - mj) AS BIGINT))
+               + (4096 - count(*)) * CAST(pow(2.0, 49) AS BIGINT)
+               AS BIGINT) AS sm,
+             4096 - count(*) AS v
+           FROM r GROUP BY 1
+         ), b AS (
+           SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2)))
+               AS DOUBLE), 6) AS total,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2)))
+               AS DOUBLE) / count(*), 6) AS mean,
+             min(o_totalprice) AS vmin, max(o_totalprice) AS vmax
+           FROM orders GROUP BY 1
+         )
+         SELECT b.o_orderpriority, n, total, mean, vmin, vmax,
+           round(CASE WHEN (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                             / (CAST(sm AS DOUBLE) / pow(2.0, 49))
+                             <= 2.5 * 4096 AND v > 0
+                      THEN 4096.0 * ln(4096.0 / v)
+                      ELSE (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                             / (CAST(sm AS DOUBLE) / pow(2.0, 49)) END, 3)
+             AS approx_distinct
+         FROM b JOIN sk USING (o_orderpriority)""",
+
+    // the DELTA-mode state re-aggregated at read ends at x125's full
+    // recompute (the bounded sample is a pure function of the value
+    // multiset — chain levels cannot change it)
+    "x133_aggstate_delta" ->
+      """WITH s AS (
+           SELECT o_orderpriority, CAST(o_totalprice AS VARCHAR) AS vs,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY ('0x' || substr(md5('smp:'
+                 || CAST(o_totalprice AS VARCHAR)), 1, 15))::BIGINT,
+                 CAST(o_totalprice AS VARCHAR)) AS rn
+           FROM orders WHERE o_totalprice IS NOT NULL
+         ), sm AS (
+           SELECT o_orderpriority, CAST(vs AS DOUBLE) AS v
+           FROM s WHERE rn <= 512
+         ), med AS (
+           SELECT o_orderpriority, list(v ORDER BY v) AS arr
+           FROM sm GROUP BY 1
+         ), b AS (
+           SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1
+         )
+         SELECT b.o_orderpriority, n,
+           round(arr[CAST(ceil(0.25 * len(arr)) AS INT)], 6) AS approx_p25,
+           round((arr[(len(arr) + 1) // 2]
+             + arr[len(arr) // 2 + 1]) / 2.0, 6) AS approx_median,
+           round(arr[CAST(ceil(0.9 * len(arr)) AS INT)], 6) AS approx_p90
+         FROM b JOIN med USING (o_orderpriority)""",
+
+    // scale-invariant planted truths (see the query comments)
+    "x134_aggstate_probe" ->
+      """SELECT TRUE AS n_ok, TRUE AS all_same, TRUE AS cow_bounded,
+           TRUE AS bases_untouched, TRUE AS delta_small,
+           TRUE AS compacted""",
 
     // CDC end state in closed form: the seq-2 reprice wins for 7ths,
     // tombstones remove 13ths (including 91ths, where the tombstone's

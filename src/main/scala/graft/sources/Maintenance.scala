@@ -157,6 +157,13 @@ object Maintenance {
     *    commit-time footer pass that records `rows` — `readKeyedRange`
     *    prunes whole buckets against non-key range predicates
     *    (Iceberg/Delta-style data skipping).
+    *  - `resolve`: the table's DELTA-RESOLUTION DISCIPLINE. Empty =
+    *    last-wins per key (row data). "agg" = the delta chains hold
+    *    AGGREGATE PARTIALS and resolution is RE-AGGREGATION
+    *    (`readAggStateKeyed`); the generic last-wins readers fail
+    *    loudly on such tables instead of silently keeping only the
+    *    newest partial per key. The merge discipline is table
+    *    metadata, not a caller guess — same rule as keyCol/nBuckets.
     */
   final case class KeyedManifest(version: Int, buckets: Map[Int, String],
                                  keyCol: String = "", nBuckets: Int = 0,
@@ -165,7 +172,8 @@ object Maintenance {
                                  rows: Map[String, Long] = Map.empty,
                                  tsMillis: Long = 0L,
                                  statsCols: Seq[String] = Seq.empty,
-                                 colStats: Map[String, Map[String, (String, String)]] = Map.empty) {
+                                 colStats: Map[String, Map[String, (String, String)]] = Map.empty,
+                                 resolve: String = "") {
     /** The key as a COLUMN LIST: r10 composite keys store the names
       * comma-joined in `keyCol` (column names in this engine never
       * carry commas — the DDL round-trip would reject them).
@@ -213,6 +221,7 @@ object Maintenance {
   private val QuotedString = """"([^"]+)"""".r
   private val RowEntry = """"([^"]+)"\s*:\s*(\d+)""".r
   private val TsEntry = """"ts"\s*:\s*(\d+)""".r
+  private val ResolveEntry = """"resolve"\s*:\s*"([^"]*)"""".r
   private val StatsColsEntry = """"statsCols"\s*:\s*"([^"]*)"""".r
   private val ColStatsSection = """"colstats"\s*:\s*\{([^}]*)\}""".r
   private val ColStatEntry = """"([^"]+)\|([^"]+)"\s*:\s*"([^",]*),([^"]*)"""".r
@@ -231,8 +240,11 @@ object Maintenance {
                           b: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
     val have = a.fields.map(f => f.name -> f.dataType).toMap
+    // compare up to NULLABILITY: the recorded schema round-trips
+    // through DDL, which drops array/struct element nullability (a
+    // fresh plan's containsNull=false array is the SAME type)
     b.fields.foreach(f => have.get(f.name).foreach(t =>
-      require(t == f.dataType,
+      require(t.catalogString == f.dataType.catalogString,
         s"column '${f.name}' is $t in the table but ${f.dataType} in " +
           "the batch — types never change; rewrite the table to retype")))
     org.apache.spark.sql.types.StructType(
@@ -312,7 +324,8 @@ object Maintenance {
       TsEntry.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L),
       StatsColsEntry.findFirstMatchIn(txt).map(_.group(1))
         .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty),
-      colStats))
+      colStats,
+      ResolveEntry.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")))
   }
 
   /** Publish a manifest: write to a dot-temp in `_manifests`, then one
@@ -354,6 +367,8 @@ object Maintenance {
           s""""$d|$c": "${b64enc(lo)},${b64enc(hi)}""""
         }
       }.mkString(""", "colstats": {""", ", ", "}")
+    val resolve =
+      if (m.resolve.isEmpty) "" else s""", "resolve": "${m.resolve}""""
     // the commit wall-clock stamp: the manifest body is the
     // FS-independent truth for `versionAt` (mtime is only a pre-r10
     // fallback)
@@ -362,7 +377,7 @@ object Maintenance {
     val body = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, d) => s""""$b": "$d"""" }
       .mkString(s"""{"version": ${m.version}, $meta$schema"buckets": {""",
-        ", ", "}") + deltas + rows + statsCols + colStats + ts + "}"
+        ", ", "}") + deltas + rows + statsCols + colStats + resolve + ts + "}"
     val tmp = new Path(md,
       s".tmp_v${m.version}_${ProcessHandle.current().pid()}x${stageCounter.incrementAndGet()}")
     val out = fs.create(tmp, true)
@@ -574,6 +589,15 @@ object Maintenance {
   private def resolveBuckets(spark: SparkSession, clean: String,
                              m: KeyedManifest, buckets: Seq[Int],
                              keyFilter: Option[Column]): DataFrame = {
+    // an agg-state table's delta chains hold AGGREGATE PARTIALS —
+    // last-wins resolution would silently keep only the newest partial
+    // per key; fail loudly instead (plain chain-free buckets are fine:
+    // a compacted/CoW agg state has unique keys and no resolution)
+    require(m.resolve != "agg" ||
+      buckets.forall(b => !m.deltas.get(b).exists(_.nonEmpty)),
+      s"$clean stores aggregate partials in its delta chains " +
+        "(resolve=agg) — read through readAggStateKeyed and compact " +
+        "with compactAggStateKeyed, never the last-wins readers")
     def rd(dirs: Seq[String]): DataFrame = {
       val df = spark.read.option("mergeSchema", "true")
         .parquet(dirs.sorted.map(d => s"$clean/$d"): _*)
@@ -648,7 +672,8 @@ object Maintenance {
   private[sources] def writeKeyedInternal(df: DataFrame, dir: String,
                                           keyCols: Seq[String], nBuckets: Int,
                                           statsCols: Seq[String],
-                                          nullSafe: Boolean): Unit = {
+                                          nullSafe: Boolean,
+                                          resolve: String = ""): Unit = {
     require(nBuckets > 0, s"nBuckets must be > 0, got $nBuckets")
     require(statsCols.forall(df.columns.contains),
       s"statsCols ${statsCols.mkString(",")} must exist in the frame")
@@ -672,7 +697,7 @@ object Maintenance {
         keyCols, statsCols)
       try writeManifest(spark, clean, KeyedManifest(1, staged, keyCol,
         nBuckets, withKb.schema.toDDL, rows = rows,
-        statsCols = statsCols, colStats = cstats))
+        statsCols = statsCols, colStats = cstats, resolve = resolve))
       catch {
         case _: CommitConflict =>
           // another bootstrap won v1 — our staged dirs (writer-unique
@@ -682,7 +707,7 @@ object Maintenance {
             val m = readManifest(spark, dir)
             writeManifest(spark, clean, KeyedManifest(m.version + 1,
               staged, keyCol, nBuckets, withKb.schema.toDDL, rows = rows,
-              statsCols = statsCols, colStats = cstats))
+              statsCols = statsCols, colStats = cstats, resolve = resolve))
           }
       }
     } else {
@@ -698,7 +723,7 @@ object Maintenance {
           m.version + 1, keyCols, statsCols)
         writeManifest(spark, clean, KeyedManifest(m.version + 1, staged,
           keyCol, nBuckets, withKb.schema.toDDL, rows = rows,
-          statsCols = statsCols, colStats = cstats))
+          statsCols = statsCols, colStats = cstats, resolve = resolve))
       }
     }
   }
@@ -906,7 +931,8 @@ object Maintenance {
     PendingCommit(clean,
       KeyedManifest(base.version + 1, next, base.keyCol, base.nBuckets,
         schema, nextDeltas, nextRows,
-        statsCols = base.statsCols, colStats = nextStats))
+        statsCols = base.statsCols, colStats = nextStats,
+        resolve = base.resolve))
   }
 
   private[graft] def commitKeyed(spark: SparkSession,
@@ -1199,7 +1225,8 @@ object Maintenance {
           withKb.drop("__tomb").schema).toDDL
       writeManifest(spark, clean, KeyedManifest(m.version + 1, m.buckets,
         m.keyCol, m.nBuckets, schema, nextDeltas, m.rows ++ stagedRows,
-        statsCols = m.statsCols, colStats = m.colStats ++ stagedStats))
+        statsCols = m.statsCols, colStats = m.colStats ++ stagedStats,
+        resolve = m.resolve))
     }
   }
 
@@ -1854,6 +1881,183 @@ object Maintenance {
           rank(0.9).as("approx_p90"))
       }
     state.select(keys.map(F.col) ++ base ++ minmax ++ distinct ++ quantiles: _*)
+  }
+
+  // ---- BUCKETED incremental agg state (merge cost ∝ batch) ---------------
+  //
+  // `mergeAggState` rewrites the WHOLE state every refresh (the
+  // versioned dataset is a single pseudo-bucket) — fine for small
+  // states, O(state) write amplification at 100 TB grain with
+  // high-cardinality keys and frequent small batches. The bucketed
+  // variant stores the state AS A KEYED TABLE hash-bucketed by the
+  // group keys (state rows are unique per key by construction, so the
+  // keyed layout fits exactly):
+  //  - the default refresh is copy-on-write at BUCKET granularity —
+  //    only the buckets the batch's keys hash into are read,
+  //    re-aggregated, and restaged (manifest path pruning, the same
+  //    contract as upsertKeyed);
+  //  - `asDeltas = true` APPENDS the batch's partial rows as per-bucket
+  //    merge-on-read delta dirs — bytes written ∝ THE BATCH, never the
+  //    buckets. Every state column is associative (counts, decimal
+  //    sums, min/max, register-wise max, bounded bottom-k samples), so
+  //    resolution is RE-AGGREGATION of the chain levels at read
+  //    (`readAggStateKeyed`), and `compactAggStateKeyed` folds chains
+  //    back into base generations on the `minChain` policy.
+  // The manifest records resolve="agg" for these tables, so the
+  // generic last-wins readers (readKeyed/lookupKeyed/compactKeyed)
+  // fail loudly instead of silently keeping the newest partial per key.
+
+  /** (Re)build the BUCKETED agg state at `dir` from scratch: the
+    * partial-aggregate of `df` written as a keyed table keyed on the
+    * group keys. Same state columns and sample-grain contract as
+    * `buildAggState`; size `nBuckets` so one bucket ≈ one comfortable
+    * rewrite at the full state's scale.
+    */
+  def buildAggStateKeyed(df: DataFrame, dir: String, keys: Seq[String],
+                         valueCol: String, nBuckets: Int,
+                         distinctKey: Option[String] = None,
+                         p: Int = 12, sampleK: Int = 0,
+                         sampleUnique: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    val clean = cleanDir(dir)
+    hadoopFs(spark, new Path(clean)).delete(new Path(clean), true)
+    writeKeyedInternal(
+      partialAgg(df, keys, valueCol, distinctKey, p, sampleK, sampleUnique),
+      dir, keys, nBuckets, Seq.empty, nullSafe = false, resolve = "agg")
+  }
+
+  /** Fold one batch into the bucketed agg state. Build params
+    * (`distinctKey`/`p`/`sampleK`/`sampleUnique`) must match the
+    * build's — a missing state column fails loudly at the align select
+    * (the sample GRAIN is part of the state's identity; see
+    * `partialAgg`). Copy-on-write mode reads + re-aggregates +
+    * restages ONLY the touched buckets inside the optimistic-commit
+    * retry; `asDeltas` appends the partial as delta dirs (bytes ∝
+    * batch) — the batch partial has unique keys per call by
+    * construction, satisfying appendDeltaKeyed's contract.
+    */
+  def mergeAggStateKeyed(spark: SparkSession, dir: String, batch: DataFrame,
+                         keys: Seq[String], valueCol: String,
+                         distinctKey: Option[String] = None,
+                         p: Int = 12, sampleK: Int = 0,
+                         sampleUnique: Option[String] = None,
+                         asDeltas: Boolean = false): Unit = {
+    val clean = cleanDir(dir)
+    val m0 = readManifest(spark, dir)
+    require(m0.nBuckets > 0 && m0.keyCol == keys.mkString(","),
+      s"$clean is keyed on (${m0.keyCol}, ${m0.nBuckets} buckets); " +
+        s"the merge passed (${keys.mkString(",")})")
+    require(m0.resolve == "agg",
+      s"$clean is not an agg-state table (resolve='${m0.resolve}') — " +
+        "row tables merge through upsertKeyed/appendDeltaKeyed")
+    val partial = partialAgg(batch, keys, valueCol, distinctKey, p,
+      sampleK, sampleUnique)
+    if (asDeltas) {
+      appendDeltaKeyedCols(spark, dir, partial, keys, m0.nBuckets)
+      return
+    }
+    val withKb = partial.withColumn("kb", kb(keys, m0.nBuckets))
+      .localCheckpoint()
+    val touched = withKb.select("kb").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return
+    withCommitRetry(s"mergeAggStateKeyed($dir)") {
+      val m = readManifest(spark, dir)
+      // the partial's kb was computed under m0's layout — a concurrent
+      // re-bootstrap changing it would park state in the wrong buckets
+      require(m.nBuckets == m0.nBuckets && m.keyCol == m0.keyCol,
+        s"$clean re-bootstrapped to (${m.keyCol}, ${m.nBuckets}) " +
+          "buckets mid-merge — re-run the merge")
+      // touched buckets' CURRENT state: base generations ∪ any agg
+      // delta chains, read RAW (resolution is the re-aggregate below —
+      // never last-wins) — so a CoW merge also folds existing chains
+      val dirs = touched.flatMap(b =>
+        m.buckets.get(b).toSeq ++ m.deltas.getOrElse(b, Nil))
+      val base =
+        if (dirs.nonEmpty)
+          spark.read.option("mergeSchema", "true")
+            .parquet(dirs.sorted.map(dd => s"$clean/$dd"): _*)
+        else withKb.limit(0)
+      // align the batch partial to the STORED column set: a legacy
+      // (cnt,sum)-only state merges with a richer partial by dropping
+      // what the state never tracked; a state column the partial lacks
+      // (wrong sample grain / missing distinctKey) fails loudly here
+      val cols = base.columns.filterNot(c => c == "kb" || c == "__tomb")
+        .toIndexedSeq
+      val merged = aggOfState(
+        base.select(cols.map(F.col): _*)
+          .unionByName(withKb.select(cols.map(F.col): _*)),
+        keys, p, sampleK)
+        .withColumn("kb", kb(keys, m.nBuckets))
+      commitKeyed(spark, stageMerge(spark, dir, merged, touched, m))
+    }
+  }
+
+  /** The bucketed agg state's resolved rows at `version` (latest when
+    * None): chain-free snapshots read straight through; delta-carrying
+    * snapshots RE-AGGREGATE every chain level per key (all state
+    * columns are associative, so the re-aggregate IS the merge —
+    * bit-for-bit, in any order). `p`/`sampleK` must match the build's
+    * when chains exist (same contract as `finalizeAgg`).
+    */
+  def readAggStateKeyed(spark: SparkSession, dir: String,
+                        p: Int = 12, sampleK: Int = 0,
+                        version: Option[Int] = None): DataFrame = {
+    val clean = cleanDir(dir)
+    val m = readManifest(spark, dir, version)
+    require(m.nBuckets > 0 && m.resolve == "agg",
+      s"$clean is not a bucketed agg state (resolve='${m.resolve}')")
+    val dirs = (m.buckets.values.toSeq ++ m.deltas.values.flatten).sorted
+    if (dirs.isEmpty)
+      return emptySnapshot(spark, clean, m).drop("kb", "__tomb")
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(dirs.map(d => s"$clean/$d"): _*)
+    val hasSample = raw.columns.exists(c => c == "__smp" || c == "__smpr")
+    val flat = raw.drop("kb", "__tomb")
+    if (m.deltas.valuesIterator.forall(_.isEmpty)) flat
+    else {
+      require(sampleK > 0 || !hasSample,
+        s"$clean tracks a bounded sample — pass the build's sampleK " +
+          "to resolve its delta chains")
+      aggOfState(flat, m.keyCols, p, sampleK)
+    }
+  }
+
+  /** Fold the agg state's delta chains back into base generations —
+    * the re-aggregation twin of `compactKeyed` (which is last-wins and
+    * refuses resolve=agg tables). Planned from the manifest: only
+    * buckets whose chain reached `minChain` are read, re-aggregated,
+    * and restaged; one manifest commit drops their chains.
+    */
+  def compactAggStateKeyed(spark: SparkSession, dir: String,
+                           p: Int = 12, sampleK: Int = 0,
+                           buckets: Option[Seq[Int]] = None,
+                           minChain: Int = 1): Unit = {
+    require(minChain >= 1, s"minChain must be >= 1, got $minChain")
+    val clean = cleanDir(dir)
+    if (manifestVersions(spark, dir).isEmpty) return
+    withCommitRetry(s"compactAggStateKeyed($dir)") {
+      val m = readManifest(spark, dir)
+      require(m.resolve == "agg",
+        s"$clean is not an agg-state table — use compactKeyed")
+      val target = buckets.getOrElse(m.deltas.keys.toSeq)
+        .filter(b => m.deltas.get(b).exists(_.length >= minChain)).sorted
+      if (target.nonEmpty) {
+        val dirs = target.flatMap(b =>
+          m.buckets.get(b).toSeq ++ m.deltas.getOrElse(b, Nil))
+        val raw = spark.read.option("mergeSchema", "true")
+          .parquet(dirs.sorted.map(d => s"$clean/$d"): _*)
+        require(sampleK > 0 ||
+          !raw.columns.exists(c => c == "__smp" || c == "__smpr"),
+          s"$clean tracks a bounded sample — pass the build's sampleK")
+        val cols = raw.columns.filterNot(c => c == "kb" || c == "__tomb")
+          .toIndexedSeq
+        val folded = aggOfState(raw.select(cols.map(F.col): _*),
+          m.keyCols, p, sampleK)
+          .withColumn("kb", kb(m.keyCols, m.nBuckets))
+        commitKeyed(spark, stageMerge(spark, clean, folded, target, m))
+      }
+    }
   }
 
   /** Write `df` clustered by the Z-order (Morton) interleave of two

@@ -1057,4 +1057,109 @@ class MaintenanceSpec extends SparkSpec {
       distinctKey = Some("u"))
     assert(snap(Maintenance.finalizeAgg(st3, Seq("g"))) == inc)
   }
+
+  // ---- bucketed agg state: merge cost ∝ batch ----------------------------
+
+  private def aggRows(df: org.apache.spark.sql.DataFrame) =
+    Maintenance.finalizeAgg(df, Seq("g"))
+      .select("g", "n", "total", "mean")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+
+  test("bucketed agg state: CoW merge touches only the batch's buckets and equals the full recompute") {
+    val dir = tmp("graft_bas")
+    val full = spark.range(0, 20000)
+      .select((col("id") % 500).as("g"), (col("id") % 97).cast("double").as("v"))
+    Maintenance.buildAggStateKeyed(full.filter(col("id") % 10 =!= 0),
+      dir, Seq("g"), "v", nBuckets = 16)
+    val m1 = Maintenance.readManifest(spark, dir)
+    assert(m1.resolve == "agg" && m1.nBuckets == 16)
+    // batch confined to 3 groups -> at most 3 touched buckets
+    val batch = full.filter(col("id") % 10 === 0 && col("g") < 3)
+    Maintenance.mergeAggStateKeyed(spark, dir, batch, Seq("g"), "v")
+    val m2 = Maintenance.readManifest(spark, dir)
+    val moved = m2.buckets.count { case (b, dd) => !m1.buckets.get(b).contains(dd) }
+    assert(moved >= 1 && moved <= 3, s"CoW merge moved $moved buckets")
+    // every untouched bucket keeps its exact generation dir
+    assert(m1.buckets.count { case (b, dd) => m2.buckets.get(b).contains(dd) }
+      == m1.buckets.size - moved)
+    // the merged state equals the recompute over build-rows ∪ batch
+    val dir2 = tmp("graft_bas_full")
+    Maintenance.buildAggStateKeyed(
+      full.filter(col("id") % 10 =!= 0 || col("g") < 3),
+      dir2, Seq("g"), "v", nBuckets = 16)
+    assert(aggRows(Maintenance.readAggStateKeyed(spark, dir)) ==
+      aggRows(Maintenance.readAggStateKeyed(spark, dir2)))
+  }
+
+  test("bucketed agg state: asDeltas appends partials, read re-aggregates, compact folds") {
+    val dir = tmp("graft_basd")
+    val full = spark.range(0, 20000)
+      .select((col("id") % 500).as("g"), (col("id") % 97).cast("double").as("v"))
+    Maintenance.buildAggStateKeyed(full.filter(col("id") % 4 === 0),
+      dir, Seq("g"), "v", nBuckets = 16, sampleK = 64)
+    val m1 = Maintenance.readManifest(spark, dir)
+    (1 to 3).foreach(i =>
+      Maintenance.mergeAggStateKeyed(spark, dir,
+        full.filter(col("id") % 4 === i), Seq("g"), "v", sampleK = 64,
+        asDeltas = true))
+    val m2 = Maintenance.readManifest(spark, dir)
+    // delta appends never move a base generation
+    assert(m2.buckets == m1.buckets)
+    assert(m2.deltas.values.exists(_.nonEmpty))
+    // generic last-wins readers refuse the agg-partial chains
+    val err = intercept[IllegalArgumentException] {
+      Maintenance.readKeyed(spark, dir).count()
+    }
+    assert(err.getMessage.contains("readAggStateKeyed"), err.getMessage)
+    intercept[IllegalArgumentException] {
+      Maintenance.compactKeyed(spark, dir)
+    }
+    // re-aggregated read == the one-shot recompute (bit-for-bit,
+    // including the bounded sample's quantiles)
+    val dir2 = tmp("graft_basd_full")
+    Maintenance.buildAggStateKeyed(full, dir2, Seq("g"), "v",
+      nBuckets = 16, sampleK = 64)
+    def q(d: String, chainSampleK: Int) =
+      Maintenance.finalizeAgg(
+        Maintenance.readAggStateKeyed(spark, d, sampleK = chainSampleK),
+        Seq("g"))
+        .select("g", "n", "total", "approx_median")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSet
+    assert(q(dir, 64) == q(dir2, 64))
+    // ...and reading WITH chains but without the build's sampleK fails
+    // loudly instead of corrupting the sample
+    val err2 = intercept[IllegalArgumentException] {
+      Maintenance.readAggStateKeyed(spark, dir).count()
+    }
+    assert(err2.getMessage.contains("sampleK"), err2.getMessage)
+    // compaction folds the chains; result unchanged; readKeyed legal again
+    Maintenance.compactAggStateKeyed(spark, dir, sampleK = 64)
+    val m3 = Maintenance.readManifest(spark, dir)
+    assert(m3.deltas.values.forall(_.isEmpty))
+    assert(q(dir, 64) == q(dir2, 64))
+    assert(Maintenance.readKeyed(spark, dir).count() == 500)
+  }
+
+  test("bucketed agg state: a state column the batch partial lacks fails loudly (sample grain is identity)") {
+    val dir = tmp("graft_basg")
+    val full = spark.range(0, 1000)
+      .select((col("id") % 10).as("g"), col("id").cast("double").as("v"))
+    Maintenance.buildAggStateKeyed(full, dir, Seq("g"), "v",
+      nBuckets = 4, sampleK = 16, sampleUnique = Some("g"))
+    // merging with the DEFAULT grain (no sampleUnique) builds __smp,
+    // not __smpr -> the stored-column align select must fail
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Maintenance.mergeAggStateKeyed(spark, dir, full, Seq("g"), "v",
+        sampleK = 16)
+    }
+    // and a ROW-table merge face refuses an agg-state table outright
+    val err = intercept[IllegalArgumentException] {
+      Maintenance.mergeAggStateKeyed(spark, tmp("graft_basg_row"), full,
+        Seq("g"), "v")
+    }
+    assert(err.getMessage.contains("manifest") ||
+      err.getMessage.contains("keyed"), err.getMessage)
+  }
 }
