@@ -1606,6 +1606,41 @@ object SparkEntry {
         .crossJoin(i2.agg(F.count(lit(1)).as("n_indexed")))
     }),
 
+    // compactIndex folds the appended segments back to ONE (Lucene's
+    // segment merge, planned from the manifest; postings never
+    // re-tokenize — doc ids are disjoint across segments, so the fold
+    // is a union + one staged segment + one commit). The oracle is the
+    // same scale-invariant parity as x131: the compacted index answers
+    // bit-identically to the direct scan, and the in-query boolean
+    // asserts the segment list folded to a single segment.
+    "x137_index_compact" -> ((s, d) => {
+      val docs = synthDocs(s, scaled(100000L))
+      val terms = Seq("w123", "w4567", "w89")
+      val dir = runScratch("compactidx", d)
+      val direct = graft.ext.Search.bm25Search(docs, "doc_id", "text",
+        terms, 20).localCheckpoint(true) // tiny; fans out below
+      val d2 = s.createDataFrame(direct.rdd, direct.schema)
+      graft.ext.Search.buildIndex(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", dir, positions = false)
+      graft.ext.Search.appendIndex(docs.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", dir)
+      graft.ext.Search.appendIndex(docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", dir)
+      graft.ext.Search.compactIndex(s, dir)
+      val oneSeg =
+        graft.sources.Maintenance.listSegments(s, dir).length == 1
+      val indexed = graft.ext.Search.searchIndex(s, dir, terms, 20)
+        .localCheckpoint(true)
+      val i2 = s.createDataFrame(indexed.rdd, indexed.schema)
+      direct.alias("a").join(indexed.alias("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("a.score") === col("b.score"))
+        .agg(F.count(lit(1)).as("n_match"))
+        .crossJoin(d2.agg(F.count(lit(1)).as("n_direct")))
+        .crossJoin(i2.agg(F.count(lit(1)).as("n_indexed")))
+        .withColumn("one_segment", lit(oneSeg))
+    }),
+
     // search at scale: BM25 over the 300k-doc synthetic corpus (9M
     // token instances, 100k vocab) BOTH ways — direct zero-shuffle
     // scan and the persisted term-bucketed index (built in-query:
@@ -3402,6 +3437,24 @@ object SparkEntry {
            |                       "doc_id", "text", "$dir")
            |b = append_search_index(documents[doc_id % 3 != 0],
            |                        "doc_id", "text", "$dir")
+           |search_idx("$dir", "customer window", 15)
+           |""".stripMargin,
+        "documents" -> t(s, d, "documents")).df
+    }),
+
+    // segment compaction through the language: build + append + fold
+    // back to one segment — same BM25 answers as the direct scan
+    // (ql52's oracle verbatim)
+    "ql54_lang_idxcompact" -> ((s, d) => {
+      val dir = runScratch("qlidxcmp", d)
+      graft.lang.Interp.run(s,
+        s"""a = build_search_index(documents[doc_id % 3 == 0],
+           |                       "doc_id", "text", "$dir")
+           |b = append_search_index(documents[doc_id % 3 == 1],
+           |                        "doc_id", "text", "$dir")
+           |c = append_search_index(documents[doc_id % 3 == 2],
+           |                        "doc_id", "text", "$dir")
+           |st = compact_search_index("$dir")
            |search_idx("$dir", "customer window", 15)
            |""".stripMargin,
         "documents" -> t(s, d, "documents")).df
@@ -6473,6 +6526,7 @@ object SparkEntry {
     "ql53_lang_timetravel" ->
       "SELECT o_orderkey, o_totalprice FROM orders",
     "ql52_lang_idxappend" -> bm25OracleSql(Seq("customer", "window"), 15),
+    "ql54_lang_idxcompact" -> bm25OracleSql(Seq("customer", "window"), 15),
 
     // per-a row counts survive the z-order + compaction round trip;
     // 3 output files bound every group's file count
@@ -6651,6 +6705,13 @@ object SparkEntry {
       """SELECT CAST(20 AS BIGINT) AS n_match,
                 CAST(20 AS BIGINT) AS n_direct,
                 CAST(20 AS BIGINT) AS n_indexed""",
+
+    // same parity shape as x131, post-compaction (scale-invariant)
+    "x137_index_compact" ->
+      """SELECT CAST(20 AS BIGINT) AS n_match,
+                CAST(20 AS BIGINT) AS n_direct,
+                CAST(20 AS BIGINT) AS n_indexed,
+                TRUE AS one_segment""",
 
     // chr(769)/chr(776) are the combining acute/diaeresis — the oracle
     // plants the same decomposed-next-to-precomposed mix; UAX#15 NFC

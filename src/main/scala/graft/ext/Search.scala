@@ -352,6 +352,56 @@ object Search {
     graft.sources.Maintenance.vacuumSegments(spark, dir, keepVersions,
       graceMs)
 
+  /** FOLD the segment list (Lucene's segment merge): `appendIndex`
+    * grows segments unboundedly and every query unions per-segment
+    * stats + postings, so read cost creeps with append count until a
+    * compaction. The fold never re-tokenizes: doc ids are disjoint
+    * across segments (the append contract), so the merged postings ARE
+    * the union of the source postings, and the stats row folds
+    * additively — one staged segment, one manifest commit. Segments a
+    * concurrent append lands mid-fold SURVIVE the commit (the manifest
+    * swaps exactly the folded ones); old segments GC via `vacuumIndex`.
+    *
+    * Policy knobs: a no-op until the segment count reaches
+    * `minSegments` (a scheduler can call this every append);
+    * `smallestK` folds only the k smallest segments by on-disk bytes —
+    * the tiered-merge shape that keeps compaction IO ∝ the small tail
+    * instead of rewriting the big base segment every time.
+    */
+  def compactIndex(spark: SparkSession, dir: String, minSegments: Int = 2,
+                   smallestK: Option[Int] = None,
+                   filesPerBucket: Int = 1): Unit = {
+    require(minSegments >= 2, s"minSegments must be >= 2, got $minSegments")
+    require(smallestK.forall(_ >= 2), "smallestK must be >= 2 to fold")
+    val M = graft.sources.Maintenance
+    if (M.manifestVersions(spark, dir).isEmpty) return
+    val all = M.listSegments(spark, dir)
+    if (all.length < minSegments) return
+    val target = smallestK match {
+      case Some(k) if k < all.length =>
+        all.sortBy(s => M.dirBytes(spark, s)).take(k)
+      case _ => all
+    }
+    val st = readIndexStats(spark, target)
+    val row = st.select("n_docs", "sdl", "n_buckets").head
+    val nBuckets = row.getInt(2)
+    val seg = M.nextSegmentName(spark, dir)
+    val segPath = s"$dir/$seg"
+    target.map(s => spark.read.parquet(s + "/postings"))
+      .reduce(_.unionByName(_))
+      .withColumn("__sub", F.pmod(h60(col("doc_id")),
+        lit(filesPerBucket.toLong)))
+      .repartition(nBuckets * filesPerBucket, col("bucket"), col("__sub"))
+      .drop("__sub")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(segPath + "/postings")
+    spark.range(1).select(lit(row.getLong(0)).as("n_docs"),
+        lit(row.getLong(1)).as("sdl"), lit(nBuckets).as("n_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(segPath + "/stats")
+    M.commitSegmentsFold(spark, dir, seg,
+      target.map(_.stripPrefix(dir.replaceAll("/+$", "") + "/")))
+  }
+
   /** Stage one segment (postings + stats) under a writer-unique dir —
     * invisible until the manifest commit references it.
     */

@@ -1559,7 +1559,8 @@ object Interp {
       "keyed_stats", "phrase_search", "near_search", "keyed_changes",
       "append_delta_keyed", "compact_keyed", "build_agg_state",
       "merge_agg_state", "finalize_agg",
-      "build_search_index", "append_search_index", "search_idx", "phrase_search_idx",
+      "build_search_index", "append_search_index", "compact_search_index",
+      "search_idx", "phrase_search_idx",
       "near_search_idx")
 
     private def isTableExpr(e: Expr): Boolean = e match {
@@ -2722,6 +2723,20 @@ object Interp {
             litString(args(3).value))
           PTable(graft.ext.Search.indexStats(spark,
             litString(args(3).value)))
+        case "compact_search_index" =>
+          // compact_search_index(dir, smallest_k?) — fold the segment
+          // list back (all segments, or only the k smallest by bytes);
+          // returns the folded corpus-stats row (unchanged counts —
+          // compaction moves postings, never documents)
+          if (args.length < 1 || args.length > 2)
+            throw new TypeError(
+              "compact_search_index(\"dir\", smallest_k?)")
+          graft.ext.Search.compactIndex(spark, litString(args(0).value),
+            smallestK =
+              if (args.length == 2) Some(constLong(args(1).value).toInt)
+              else None)
+          PTable(graft.ext.Search.indexStats(spark,
+            litString(args(0).value)))
         case "search_idx" =>
           // search_idx(dir, "terms", k, all?) — BM25 over the
           // persisted index (bit-identical to bm25_search on the

@@ -1774,6 +1774,33 @@ object Maintenance {
     }
   }
 
+  /** Publish the manifest that FOLDS `folded` (already-listed segment
+    * dir names) into `segDir` (an already-staged dir name): the next
+    * segment list is the current one minus `folded` plus `segDir` —
+    * so segments a concurrent append added since the fold was planned
+    * SURVIVE (a replace=true commit would silently drop them). A
+    * concurrent rebuild/compact that removed one of the folded
+    * segments makes this fold stale — it fails loudly instead of
+    * double-counting the fold's rows next to a sibling copy.
+    */
+  private[graft] def commitSegmentsFold(spark: SparkSession, dir: String,
+                                        segDir: String,
+                                        folded: Seq[String]): Int = {
+    val clean = cleanDir(dir)
+    withCommitRetry(s"commitSegmentsFold($dir)") {
+      val m = readManifest(spark, dir)
+      val cur = m.buckets.toSeq.sortBy(_._1).map(_._2)
+      require(folded.forall(cur.contains),
+        s"$clean: a concurrent rebuild/compact removed " +
+          s"${folded.filterNot(cur.contains).mkString(",")} — this fold " +
+          "is stale; re-plan the compaction against the fresh manifest")
+      val next = (cur.filterNot(folded.contains) :+ segDir)
+        .zipWithIndex.map { case (s, i) => i -> s }.toMap
+      writeManifest(spark, clean, KeyedManifest(m.version + 1, next))
+      m.version + 1
+    }
+  }
+
   /** The live segment dirs (full paths, ordinal order) at `version`
     * (latest when None). Pre-manifest layouts resolve to `dir` itself —
     * the caller's legacy single-segment fallback.

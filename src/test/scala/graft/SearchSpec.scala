@@ -151,6 +151,64 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("compactIndex folds the segment list: parity bit-identical, tiered smallestK keeps the base, appends survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compactidx")
+      .toString
+    try {
+      val M = graft.sources.Maintenance
+      // a big base + two small appends = 3 segments
+      Search.buildIndex(docs.filter(col("doc_id") % 4 =!= 3), "doc_id",
+        "text", dir, nBuckets = 16)
+      val baseSeg = M.listSegments(spark, dir).head
+      Search.appendIndex(docs.filter(col("doc_id") % 8 === 3), "doc_id",
+        "text", dir)
+      Search.appendIndex(docs.filter(col("doc_id") % 8 === 7), "doc_id",
+        "text", dir)
+      assert(M.listSegments(spark, dir).size == 3)
+      val terms = Seq("customer", "window", "spark")
+      def indexed() = Search.searchIndex(spark, dir, terms, 30)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val direct = Search.bm25Search(docs, "doc_id", "text", terms, 30)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(indexed() == direct)
+      // tiered fold: the 2 smallest segments merge; the big base is
+      // NEVER read or rewritten (compaction IO ∝ the small tail)
+      val baseState = parquetFileState(baseSeg)
+      Search.compactIndex(spark, dir, smallestK = Some(2))
+      val after2 = M.listSegments(spark, dir)
+      assert(after2.size == 2 && after2.contains(baseSeg))
+      assert(parquetFileState(baseSeg) == baseState,
+        "smallestK fold rewrote the base segment")
+      assert(indexed() == direct)
+      // full fold: one segment, still bit-identical (positions
+      // included — the fold never re-tokenizes), pruning intact
+      Search.compactIndex(spark, dir)
+      assert(M.listSegments(spark, dir).size == 1)
+      assert(indexed() == direct)
+      assert(Search.phraseSearchIndex(spark, dir, Seq("scan", "query"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+        Search.phraseSearch(docs, "doc_id", "text", Seq("scan", "query"))
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+      val plan = Search.searchIndex(spark, dir, terms, 30)
+        .queryExecution.executedPlan.toString
+      // 1 segment × 2 branches, both bucket-pruned
+      assert("PartitionFilters: \\[bucket".r.findAllIn(plan).size == 2)
+      // policy no-op below minSegments; vacuum reclaims folded segments
+      val v = M.manifestVersions(spark, dir).last
+      Search.compactIndex(spark, dir)
+      assert(M.manifestVersions(spark, dir).last == v)
+      Search.vacuumIndex(spark, dir, keepVersions = 1, graceMs = 0L)
+      val onDisk = new java.io.File(dir).listFiles
+        .map(_.getName).filter(_.startsWith("s")).toSet
+      assert(onDisk ==
+        M.listSegments(spark, dir).map(_.split('/').last).toSet)
+      assert(indexed() == direct)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
+
   test("appendIndex refuses a pre-manifest index instead of dropping its corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft_legacyidx")
       .toString
