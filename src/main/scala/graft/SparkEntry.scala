@@ -1339,6 +1339,69 @@ object SparkEntry {
           lit(m4.deltas.values.forall(_.isEmpty)))
     }),
 
+    // COMPOSITE-key CDC (r10): x120's planted history keyed on the
+    // (o_custkey, o_orderkey) TUPLE — real CDC feeds key on
+    // (tenant, id) pairs. Same closed-form end state: the seq-2
+    // reprice wins for 7ths, tombstones remove 13ths.
+    "x135_cdc_composite" -> ((s, d) => {
+      val dir = runScratch("cdcc", d)
+      val M = graft.sources.Maintenance
+      val keys = Seq("o_custkey", "o_orderkey")
+      val orders = t(s, d, "orders").df
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      M.cdcMergeKeyedCols(s, dir,
+        orders.withColumn("seq", lit(0L)).withColumn("del", lit(false)),
+        keys, 16, seqCol = Some("seq"), deleteCol = Some("del"))
+      val sevens = orders.filter(col("o_orderkey") % 7 === 0)
+      val cdc = sevens
+        .select(col("o_custkey"), col("o_orderkey"),
+          (col("o_totalprice") + lit(100.0)).as("o_totalprice"),
+          lit(1L).as("seq"), lit(false).as("del"))
+        .unionByName(sevens.select(col("o_custkey"), col("o_orderkey"),
+          (col("o_totalprice") + lit(1000.0)).as("o_totalprice"),
+          lit(2L).as("seq"), lit(false).as("del")))
+        .unionByName(orders.filter(col("o_orderkey") % 13 === 0)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            lit(3L).as("seq"), lit(true).as("del")))
+      M.cdcMergeKeyedCols(s, dir, cdc, keys, 16,
+        seqCol = Some("seq"), deleteCol = Some("del"))
+      M.readKeyed(s, dir)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+
+    // ZONE-MAP scale probe (r10): a 64-tenant table keyed on tenant
+    // with per-tenant-disjoint value ranges (the realistic shape —
+    // zone maps help when values cluster per bucket). The range query
+    // targets the TOP tenant's band, so by construction exactly the
+    // bucket holding tenant 63 can intersect — the manifest-planned
+    // read touches a small fraction of the files, and the rows match
+    // the unpruned filter. Scale-invariant booleans (the expected
+    // frame is computed in-query): never needs re-capture.
+    "x136_zonemap_probe" -> ((s, d) => {
+      val dir = runScratch("zonep", d)
+      val M = graft.sources.Maintenance
+      val n = scaled(1000000)
+      val base = s.range(0, n).select((col("id") % 64).as("tenant"),
+        ((col("id") % 64) * 10000000L + col("id")).as("v"),
+        (col("id") % 997).cast(DoubleType).as("x"))
+      M.writeKeyed(base, dir, Seq("tenant"), 64, statsCols = Seq("v"))
+      val lo = 63L * 10000000L
+      val hi = lo + 320000L
+      val pruned = M.readKeyedRange(s, dir, "v", lo, hi)
+      // readKeyedRange hands spark.read exactly the KEPT dirs, so
+      // inputFiles reflects the manifest pruning (the in-scan
+      // PartitionFilters caveat doesn't apply to path-level pruning)
+      val prunedFiles = pruned.inputFiles.length
+      val totalFiles = M.readKeyed(s, dir).inputFiles.length
+      val expected = base.filter(col("v") >= lo && col("v") <= hi)
+      M.diff(pruned.select("tenant", "v", "x"), expected, Seq("v"))
+        .agg(
+          (F.sum(when(col("status") === "same", 0L).otherwise(1L)) === 0L)
+            .as("all_same"),
+          (F.count(lit(1)) > 0).as("nonempty"))
+        .withColumn("pruned_small", lit(prunedFiles * 8 < totalFiles))
+    }),
+
     // Anchored funnel over the events stream: view -> click ->
     // purchase within 7 days of the user's FIRST view; greedy
     // earliest-completion semantics, mirrored as a min()-chain oracle
@@ -6079,6 +6142,17 @@ object SparkEntry {
            CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
                 ELSE o_totalprice END AS o_totalprice
          FROM orders WHERE o_orderkey % 13 <> 0""",
+
+    // the same closed form keyed on the (custkey, orderkey) tuple
+    "x135_cdc_composite" ->
+      """SELECT o_custkey, o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey % 13 <> 0""",
+
+    // scale-invariant planted truths (see the query comment)
+    "x136_zonemap_probe" ->
+      "SELECT TRUE AS all_same, TRUE AS nonempty, TRUE AS pruned_small",
 
     // the md5-order bottom-512 sample rebuilt with a rank window, its
     // median via the same explicit middle/average arithmetic
