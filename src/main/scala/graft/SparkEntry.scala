@@ -3541,6 +3541,30 @@ object SparkEntry {
         "orders" -> t(s, d, "orders")).df
     }),
 
+    // the CDC SOURCE through the language: a cursor consumer polls
+    // the initial load, commits, a repricing merge lands, and the
+    // second poll emits EXACTLY the changed keys — closed-form oracle.
+    // Rep-safe: the scratch table and cursor reset before each run.
+    "ql55_lang_cdcsource" -> ((s, d) => {
+      val dir = runScratch("qlcdcsrc", d)
+      val cur = dir + ".cursor"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(cur), false)
+      graft.lang.Interp.run(s,
+        s"""base = orders {o_orderkey, o_totalprice}
+           |snap = write_keyed(base, "$dir", "o_orderkey", 8)
+           |init = poll_keyed_changes("$dir", "$cur")
+           |ok = commit_change_cursor("$cur", 1)
+           |ups = base[o_orderkey % 7 == 0] {o_orderkey,
+           |                                 o_totalprice: o_totalprice + 1000.0}
+           |m = upsert_keyed("$dir", ups, "o_orderkey", 8)
+           |poll_keyed_changes("$dir", "$cur")
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+    }),
+
     "ql39_lang_crawl" -> ((s, d) =>
       graft.lang.Interp.run(s,
         """pages = documents {doc_id, raw: "<p>" + text + "</p><script>x()</script>"}
@@ -6601,6 +6625,12 @@ object SparkEntry {
       "SELECT o_orderkey, o_totalprice FROM orders",
     "ql52_lang_idxappend" -> bm25OracleSql(Seq("customer", "window"), 15),
     "ql54_lang_idxcompact" -> bm25OracleSql(Seq("customer", "window"), 15),
+
+    // the second poll is exactly the repriced keys at version 2
+    "ql55_lang_cdcsource" ->
+      """SELECT o_orderkey, 'changed' AS status,
+           CAST(2 AS INT) AS to_version
+         FROM orders WHERE o_orderkey % 7 = 0""",
 
     // per-a row counts survive the z-order + compaction round trip;
     // 3 output files bound every group's file count

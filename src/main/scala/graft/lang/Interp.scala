@@ -1557,6 +1557,7 @@ object Interp {
       "compact_table", "write_zordered", "write_keyed", "read_keyed",
       "upsert_keyed", "delete_keyed", "vacuum_keyed", "read_keyed_at", "table_stats",
       "keyed_stats", "phrase_search", "near_search", "keyed_changes",
+      "poll_keyed_changes", "commit_change_cursor",
       "append_delta_keyed", "compact_keyed", "build_agg_state",
       "merge_agg_state", "finalize_agg",
       "build_search_index", "append_search_index", "compact_search_index",
@@ -2629,6 +2630,39 @@ object Interp {
           PTable(graft.sources.Maintenance.keyedChanges(spark,
             litString(args(0).value), constLong(args(1).value).toInt,
             constLong(args(2).value).toInt))
+        case "poll_keyed_changes" =>
+          // poll_keyed_changes(dir, cursor_path) — one micro-batch of
+          // the CDC SOURCE: the keys added/removed/changed since this
+          // consumer's cursor (the whole snapshot as 'added' for a
+          // fresh cursor; empty when up to date). Does NOT advance the
+          // cursor — commit_change_cursor after processing.
+          if (args.length != 2)
+            throw new TypeError(
+              "poll_keyed_changes(\"dir\", \"cursor_path\")")
+          graft.streaming.Streams.pollKeyedChanges(spark,
+            litString(args(0).value), litString(args(1).value)) match {
+            case Some((changes, _, toV)) =>
+              PTable(changes.withColumn("to_version", lit(toV)))
+            case None =>
+              val m = graft.sources.Maintenance.readManifest(spark,
+                litString(args(0).value))
+              PTable(graft.sources.Maintenance.readKeyed(spark,
+                litString(args(0).value)).limit(0)
+                .select(m.keyCols.map(F.col) :+
+                  F.lit("added").as("status") :+
+                  F.lit(m.version).as("to_version"): _*))
+          }
+        case "commit_change_cursor" =>
+          // commit_change_cursor(cursor_path, version) — advance the
+          // consumer's cursor after processing a polled batch; returns
+          // the committed position
+          if (args.length != 2)
+            throw new TypeError(
+              "commit_change_cursor(\"cursor_path\", version)")
+          graft.streaming.Streams.commitChangeCursor(spark,
+            litString(args(0).value), constLong(args(1).value).toInt)
+          PTable(spark.range(1).select(
+            F.lit(constLong(args(1).value)).as("cursor")))
         case "vacuum_keyed" =>
           // vacuum_keyed(dir, keep?, grace_seconds?) — GC old
           // snapshots; returns the surviving manifest versions. The

@@ -104,6 +104,94 @@ object Streams {
       }
       .start()
 
+  // ---- CDC SOURCE: tail a keyed table's manifest version chain -----------
+  //
+  // The WRITE side streams in (upsertKeyedStream); this is the READ
+  // side: a version-cursor loop that emits each committed snapshot's
+  // changes as a batch, so a downstream incremental consumer processes
+  // `changes(v_cursor, v_now)` instead of re-scanning 100 TB. The
+  // cursor (last processed version) persists via the same atomic
+  // temp+rename discipline as the manifest; the batch content for a
+  // (from, to) pair is DETERMINISTIC (keyedChanges reads only the
+  // generation-changed buckets of two immutable snapshots), so
+  // at-least-once processing is replay-idempotent exactly like
+  // foreachBatch: key any side effects by the version pair. ONE
+  // consumer per cursor file; independent consumers use separate
+  // cursors. The table's vacuum policy must retain the consumer's
+  // horizon (`keepVersions` ≥ the max lag in versions) — a vacuumed
+  // `from` manifest fails the poll loudly rather than emitting a gap.
+
+  /** The cursor's last processed version; 0 = nothing consumed yet. */
+  def readChangeCursor(spark: org.apache.spark.sql.SparkSession,
+                       cursorPath: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(cursorPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
+  /** Persist the cursor (temp + rename — a crash mid-write leaves the
+    * old cursor intact, and the next poll simply re-emits the batch).
+    */
+  def commitChangeCursor(spark: org.apache.spark.sql.SparkSession,
+                         cursorPath: String, v: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(cursorPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(cursorPath +
+      s".tmp_${ProcessHandle.current().pid()}")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false) // single consumer per cursor: no rename race
+    require(fs.rename(tmp, p), s"cursor commit failed: $cursorPath")
+  }
+
+  /** One micro-batch of the CDC source: `(changes, fromV, toV)` where
+    * `changes` is one row per key added/removed/changed between the
+    * cursor's version and the LATEST committed snapshot (the
+    * `keyedChanges` shape: key columns + status), or None when the
+    * consumer is up to date. Cursor 0 (fresh consumer) emits the whole
+    * current snapshot as 'added' — the initial load. Does NOT advance
+    * the cursor: process, then `commitChangeCursor(toV)`.
+    */
+  def pollKeyedChanges(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, cursorPath: String)
+      : Option[(DataFrame, Int, Int)] = {
+    import graft.sources.Maintenance
+    val from = readChangeCursor(spark, cursorPath)
+    val latest = Maintenance.manifestVersions(spark, dir).lastOption
+      .getOrElse(0)
+    if (latest <= from) None
+    else if (from == 0) {
+      val m = Maintenance.readManifest(spark, dir, Some(latest))
+      require(m.keyCol.nonEmpty, s"$dir has no keyed metadata")
+      Some((Maintenance.readKeyed(spark, dir, Some(latest))
+        .select(m.keyCols.map(col) :+ F.lit("added").as("status"): _*),
+        0, latest))
+    } else
+      Some((Maintenance.keyedChanges(spark, dir, from, latest),
+        from, latest))
+  }
+
+  /** One poll → process → advance round of the CDC tail loop; returns
+    * whether a batch was processed. `f` receives (changes, fromV, toV)
+    * and runs BEFORE the cursor advances (at-least-once — a crash
+    * between the two re-emits the identical batch next round).
+    */
+  def tailKeyedChanges(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, cursorPath: String)
+                      (f: (DataFrame, Int, Int) => Unit): Boolean =
+    pollKeyedChanges(spark, dir, cursorPath) match {
+      case Some((changes, fromV, toV)) =>
+        f(changes, fromV, toV)
+        commitChangeCursor(spark, cursorPath, toV)
+        true
+      case None => false
+    }
+
   /** Tumbling-window counts/sums per key with late-data handling. */
   def tumblingAgg(events: DataFrame, tsCol: String, window: String,
                   watermark: String, keys: Seq[String],

@@ -837,6 +837,57 @@ class GraphStreamingSpec extends SparkSpec {
     assert(snap() == Map(1L -> 1.5, 2L -> 2.5, 4L -> 4.5))
   }
 
+  test("CDC source: a cursor consumer tails the version chain, sees exactly the changed keys, replays idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Maintenance
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdcsrc").toString
+    val dir = root + "/tbl"
+    val cursor = root + "/consumer1.cursor"
+    val mem = MemoryStream[(Long, Long, Double, Boolean)]
+    val q = Streams.upsertKeyedStream(
+      mem.toDF().toDF("k", "seq", "v", "del"), dir, "k", 4,
+      seqCol = Some("seq"), deleteCol = Some("del"))
+    mem.addData((1L, 10L, 1.0, false), (2L, 10L, 2.0, false),
+      (3L, 10L, 3.0, false))
+    q.processAllAvailable()
+    def batch(b: org.apache.spark.sql.DataFrame) =
+      b.collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    // fresh consumer: the initial load is the whole snapshot as 'added'
+    val Some((b1, f1, t1)) = Streams.pollKeyedChanges(spark, dir, cursor)
+    assert(f1 == 0 && t1 == Maintenance.manifestVersions(spark, dir).last)
+    assert(batch(b1) == Set(1L -> "added", 2L -> "added", 3L -> "added"))
+    // poll does NOT advance: an immediate re-poll re-emits the
+    // identical batch (crash-between-process-and-commit replay)
+    val Some((b1r, _, t1r)) = Streams.pollKeyedChanges(spark, dir, cursor)
+    assert(t1r == t1 && batch(b1r) == batch(b1))
+    Streams.commitChangeCursor(spark, cursor, t1)
+    // up to date -> no batch
+    assert(Streams.pollKeyedChanges(spark, dir, cursor).isEmpty)
+    // writes land: update k=1, delete k=3, insert k=4 -> the consumer
+    // sees EXACTLY those keys (k=2 untouched, absent from the feed)
+    mem.addData((1L, 20L, 1.5, false), (3L, 20L, 0.0, true),
+      (4L, 20L, 4.0, false))
+    q.processAllAvailable()
+    q.stop()
+    var seen = Set.empty[(Long, String)]
+    assert(Streams.tailKeyedChanges(spark, dir, cursor) { (ch, f, t) =>
+      assert(f == t1 && t > f)
+      seen = batch(ch)
+    })
+    assert(seen == Set(1L -> "changed", 3L -> "removed", 4L -> "added"))
+    // the tail advanced the cursor; nothing new -> the loop idles
+    assert(!Streams.tailKeyedChanges(spark, dir, cursor) { (_, _, _) =>
+      fail("no batch expected") })
+    // a SECOND consumer with its own cursor replays from scratch and
+    // lands at the same final keys (independent cursors, one table)
+    val cursor2 = root + "/consumer2.cursor"
+    val Some((c1, _, ct)) = Streams.pollKeyedChanges(spark, dir, cursor2)
+    assert(batch(c1) == Set(1L -> "added", 2L -> "added", 4L -> "added"))
+    Streams.commitChangeCursor(spark, cursor2, ct)
+    assert(Streams.pollKeyedChanges(spark, dir, cursor2).isEmpty)
+  }
+
   test("streaming CDC in delta mode: appends only, bases untouched, compact folds") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.Maintenance
