@@ -4186,7 +4186,8 @@ object SparkEntry {
 
   /** Scale multiplier for the synthetic scale probes (x22-x26, x36,
     * x45, x49, x52, x55, x60 — all with FROZEN constant oracles that
-    * hold only at scale 1.0 — plus x62/x98/x128/x131, which are dialed the
+    * hold only at scale 1.0 — plus x62/x98/x128/x131/x134/x136/x137,
+    * which are dialed the
     * same way but whose oracles are scale-invariant, no re-capture
     * ever needed).
     * Verify NEVER touches it — the frozen
