@@ -1339,6 +1339,35 @@ object SparkEntry {
           lit(m4.deltas.values.forall(_.isEmpty)))
     }),
 
+    // Streaming agg-state maintenance at the gate (r10): the
+    // foreachBatch body applied batch-by-batch — bootstrap, a delta
+    // refresh (with the compactEvery=2 cadence folding it), and a CoW
+    // refresh; batch 1 then REPLAYS VERBATIM (foreachBatch is
+    // at-least-once) and must be a NO-OP — the manifest's txn slot
+    // commits the batch id atomically with the data, which is what
+    // makes an aggregation sink exactly-once in effect. The finalized
+    // view is the plain full recompute; replay_noop proves the skip.
+    "x138_aggstate_stream" -> ((s, d) => {
+      val dir = runScratch("aggstr", d)
+      val S = graft.streaming.Streams
+      val M = graft.sources.Maintenance
+      val orders = t(s, d, "orders").df
+      def b(f: DataFrame, id: Long, cow: Boolean = false) =
+        S.aggStateBatch(f, id, dir, Seq("o_orderpriority"),
+          "o_totalprice", 8, appId = "x138", asDeltas = !cow,
+          compactEvery = 2)
+      b(orders.filter(col("o_orderkey") % 10 =!= 0), 0L)
+      b(orders.filter(col("o_orderkey") % 20 === 0), 1L)
+      val replayApplied =
+        b(orders.filter(col("o_orderkey") % 20 === 0), 1L)
+      b(orders.filter(col("o_orderkey") % 20 === 10), 2L, cow = true)
+      M.finalizeAgg(M.readAggStateKeyed(s, dir), Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n"),
+          F.round(col("total"), 6).as("total"),
+          F.round(col("mean"), 6).as("mean"))
+        .withColumn("replay_noop", lit(!replayApplied))
+    }),
+
     // COMPOSITE-key CDC (r10): x120's planted history keyed on the
     // (o_custkey, o_orderkey) TUPLE — real CDC feeds key on
     // (tenant, id) pairs. Same closed-form end state: the seq-2
@@ -3465,6 +3494,27 @@ object SparkEntry {
            |m = merge_agg_state("$dir", orders[o_orderkey % 10 == 0],
            |                    "o_orderpriority", "o_totalprice")
            |finalize_agg("$dir", "o_orderpriority")
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+        .select(col("o_orderpriority"), col("n"),
+          F.round(col("total"), 6).as("total"),
+          F.round(col("mean"), 6).as("mean"),
+          col("vmin"), col("vmax"))
+    }),
+
+    // the BUCKETED agg state through the language: build keyed, one
+    // delta-partial refresh (bytes ∝ batch), one CoW refresh, compact
+    // the chains — the finalized view is ql50's full recompute
+    "ql56_lang_aggstate_keyed" -> ((s, d) => {
+      val dir = runScratch("qlaggstk", d)
+      graft.lang.Interp.run(s,
+        s"""b = build_agg_state_keyed(orders[o_orderkey % 10 != 0],
+           |      "o_orderpriority", "o_totalprice", "$dir", 8)
+           |m1 = merge_agg_state_keyed("$dir", orders[o_orderkey % 20 == 0],
+           |      "o_orderpriority", "o_totalprice", true)
+           |m2 = merge_agg_state_keyed("$dir", orders[o_orderkey % 20 == 10],
+           |      "o_orderpriority", "o_totalprice", false)
+           |compact_agg_state_keyed("$dir", "o_orderpriority")
            |""".stripMargin,
         "orders" -> t(s, d, "orders")).df
         .select(col("o_orderpriority"), col("n"),
@@ -6168,6 +6218,16 @@ object SparkEntry {
                 ELSE o_totalprice END AS o_totalprice
          FROM orders WHERE o_orderkey % 13 <> 0""",
 
+    // the streamed-and-replayed state finalizes to the full recompute
+    "x138_aggstate_stream" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 6)
+             AS total,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+             / count(*), 6) AS mean,
+           TRUE AS replay_noop
+         FROM orders GROUP BY o_orderpriority""",
+
     // the same closed form keyed on the (custkey, orderkey) tuple
     "x135_cdc_composite" ->
       """SELECT o_custkey, o_orderkey,
@@ -6621,6 +6681,14 @@ object SparkEntry {
            CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
                 ELSE o_totalprice END AS o_totalprice
          FROM orders""",
+    "ql56_lang_aggstate_keyed" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 6)
+             AS total,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+             / count(*), 6) AS mean,
+           min(o_totalprice) AS vmin, max(o_totalprice) AS vmax
+         FROM orders GROUP BY o_orderpriority""",
     // version 1 is always the unmodified bootstrap
     "ql53_lang_timetravel" ->
       "SELECT o_orderkey, o_totalprice FROM orders",

@@ -1559,7 +1559,8 @@ object Interp {
       "keyed_stats", "phrase_search", "near_search", "keyed_changes",
       "poll_keyed_changes", "commit_change_cursor",
       "append_delta_keyed", "compact_keyed", "build_agg_state",
-      "merge_agg_state", "finalize_agg",
+      "merge_agg_state", "finalize_agg", "build_agg_state_keyed",
+      "merge_agg_state_keyed", "compact_agg_state_keyed",
       "build_search_index", "append_search_index", "compact_search_index",
       "search_idx", "phrase_search_idx",
       "near_search_idx")
@@ -2621,6 +2622,81 @@ object Interp {
           PTable(graft.sources.Maintenance.finalizeAgg(
             graft.sources.Maintenance.readVersioned(spark,
               litString(args(0).value)),
+            litString(args(1).value).trim.split("\\s+").toSeq))
+        case "build_agg_state_keyed" =>
+          // build_agg_state_keyed(t, "keys", "value", dir, n_buckets,
+          // "distinct_key"?, sample_k?, "sample_unique"?) — the
+          // BUCKETED agg state: refreshes touch only the batch's
+          // buckets (or append delta partials); returns the finalized
+          // view
+          if (args.length < 5 || args.length > 8)
+            throw new TypeError(
+              "build_agg_state_keyed(t, \"keys\", \"value\", \"dir\", " +
+                "n_buckets, \"distinct_key\"?, sample_k?, " +
+                "\"sample_unique\"?)")
+          val kkeys = litString(args(1).value).trim.split("\\s+").toSeq
+          val kdk = if (args.length >= 6) {
+            val v = litString(args(5).value).trim
+            if (v.isEmpty) None else Some(v)
+          } else None
+          val ksk =
+            if (args.length >= 7) constLong(args(6).value).toInt else 0
+          val ksu = if (args.length == 8) {
+            val v = litString(args(7).value).trim
+            if (v.isEmpty) None else Some(v)
+          } else None
+          graft.sources.Maintenance.buildAggStateKeyed(
+            t(args(0).value).df, litString(args(3).value), kkeys,
+            litString(args(2).value), constLong(args(4).value).toInt,
+            distinctKey = kdk, sampleK = ksk, sampleUnique = ksu)
+          PTable(graft.sources.Maintenance.finalizeAgg(
+            graft.sources.Maintenance.readAggStateKeyed(spark,
+              litString(args(3).value), sampleK = ksk), kkeys))
+        case "merge_agg_state_keyed" =>
+          // merge_agg_state_keyed(dir, batch, "keys", "value",
+          // as_deltas?, "distinct_key"?, sample_k?, "sample_unique"?)
+          // — fold one batch: copy-on-write of the touched buckets, or
+          // as_deltas=true appends the partial (bytes ∝ batch; compact
+          // with compact_agg_state_keyed). Returns the finalized view.
+          if (args.length < 4 || args.length > 8)
+            throw new TypeError(
+              "merge_agg_state_keyed(\"dir\", batch, \"keys\", " +
+                "\"value\", as_deltas?, \"distinct_key\"?, sample_k?, " +
+                "\"sample_unique\"?)")
+          val gkeys = litString(args(2).value).trim.split("\\s+").toSeq
+          val gdel = args.length >= 5 && constBool(args(4).value)
+          val gdk = if (args.length >= 6) {
+            val v = litString(args(5).value).trim
+            if (v.isEmpty) None else Some(v)
+          } else None
+          val gsk =
+            if (args.length >= 7) constLong(args(6).value).toInt else 0
+          val gsu = if (args.length == 8) {
+            val v = litString(args(7).value).trim
+            if (v.isEmpty) None else Some(v)
+          } else None
+          graft.sources.Maintenance.mergeAggStateKeyed(spark,
+            litString(args(0).value), t(args(1).value).df, gkeys,
+            litString(args(3).value), distinctKey = gdk, sampleK = gsk,
+            sampleUnique = gsu, asDeltas = gdel)
+          PTable(graft.sources.Maintenance.finalizeAgg(
+            graft.sources.Maintenance.readAggStateKeyed(spark,
+              litString(args(0).value), sampleK = gsk), gkeys))
+        case "compact_agg_state_keyed" =>
+          // compact_agg_state_keyed(dir, "keys", sample_k?) — fold the
+          // delta-partial chains back into base generations (the
+          // re-aggregation twin of compact_keyed); returns the
+          // finalized view
+          if (args.length < 2 || args.length > 3)
+            throw new TypeError(
+              "compact_agg_state_keyed(\"dir\", \"keys\", sample_k?)")
+          val csk =
+            if (args.length == 3) constLong(args(2).value).toInt else 0
+          graft.sources.Maintenance.compactAggStateKeyed(spark,
+            litString(args(0).value), sampleK = csk)
+          PTable(graft.sources.Maintenance.finalizeAgg(
+            graft.sources.Maintenance.readAggStateKeyed(spark,
+              litString(args(0).value), sampleK = csk),
             litString(args(1).value).trim.split("\\s+").toSeq))
         case "keyed_changes" =>
           // keyed_changes(dir, from_version, to_version) — CDC feed of

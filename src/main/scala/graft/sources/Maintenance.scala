@@ -164,6 +164,14 @@ object Maintenance {
     *    loudly on such tables instead of silently keeping only the
     *    newest partial per key. The merge discipline is table
     *    metadata, not a caller guess — same rule as keyCol/nBuckets.
+    *  - `txn`: writer-app transaction watermarks (appId → last applied
+    *    batch id), the Delta-style idempotent-sink slot. CARRIED
+    *    FORWARD through every commit (merge, delta append, compaction)
+    *    so an interleaved maintenance commit can never blank it; a
+    *    streaming sink whose batch id ≤ the recorded watermark skips
+    *    the replay instead of double-counting — the watermark and the
+    *    data land in the SAME atomic manifest publish, which is what
+    *    makes at-least-once delivery exactly-once in effect.
     */
   final case class KeyedManifest(version: Int, buckets: Map[Int, String],
                                  keyCol: String = "", nBuckets: Int = 0,
@@ -173,7 +181,8 @@ object Maintenance {
                                  tsMillis: Long = 0L,
                                  statsCols: Seq[String] = Seq.empty,
                                  colStats: Map[String, Map[String, (String, String)]] = Map.empty,
-                                 resolve: String = "") {
+                                 resolve: String = "",
+                                 txn: Map[String, Long] = Map.empty) {
     /** The key as a COLUMN LIST: r10 composite keys store the names
       * comma-joined in `keyCol` (column names in this engine never
       * carry commas — the DDL round-trip would reject them).
@@ -222,6 +231,8 @@ object Maintenance {
   private val RowEntry = """"([^"]+)"\s*:\s*(\d+)""".r
   private val TsEntry = """"ts"\s*:\s*(\d+)""".r
   private val ResolveEntry = """"resolve"\s*:\s*"([^"]*)"""".r
+  private val TxnSection = """"txn"\s*:\s*\{([^}]*)\}""".r
+  private val TxnEntry = """"([^"]+)"\s*:\s*(-?\d+)""".r
   private val StatsColsEntry = """"statsCols"\s*:\s*"([^"]*)"""".r
   private val ColStatsSection = """"colstats"\s*:\s*\{([^}]*)\}""".r
   private val ColStatEntry = """"([^"]+)\|([^"]+)"\s*:\s*"([^",]*),([^"]*)"""".r
@@ -325,7 +336,11 @@ object Maintenance {
       StatsColsEntry.findFirstMatchIn(txt).map(_.group(1))
         .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty),
       colStats,
-      ResolveEntry.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")))
+      ResolveEntry.findFirstMatchIn(txt).map(_.group(1)).getOrElse(""),
+      TxnSection.findFirstMatchIn(txt).map(_.group(1))
+        .map(body => TxnEntry.findAllMatchIn(body)
+          .map(m => b64dec(m.group(1)) -> m.group(2).toLong).toMap)
+        .getOrElse(Map.empty[String, Long])))
   }
 
   /** Publish a manifest: write to a dot-temp in `_manifests`, then one
@@ -369,6 +384,13 @@ object Maintenance {
       }.mkString(""", "colstats": {""", ", ", "}")
     val resolve =
       if (m.resolve.isEmpty) "" else s""", "resolve": "${m.resolve}""""
+    // appIds are b64-encoded: a writer-chosen id must never break the
+    // fixed-shape JSON (quotes, braces)
+    val txn =
+      if (m.txn.isEmpty) ""
+      else m.txn.toSeq.sortBy(_._1).map { case (app, v) =>
+        s""""${b64enc(app)}": $v"""
+      }.mkString(""", "txn": {""", ", ", "}")
     // the commit wall-clock stamp: the manifest body is the
     // FS-independent truth for `versionAt` (mtime is only a pre-r10
     // fallback)
@@ -377,7 +399,8 @@ object Maintenance {
     val body = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, d) => s""""$b": "$d"""" }
       .mkString(s"""{"version": ${m.version}, $meta$schema"buckets": {""",
-        ", ", "}") + deltas + rows + statsCols + colStats + resolve + ts + "}"
+        ", ", "}") + deltas + rows + statsCols + colStats + resolve +
+      txn + ts + "}"
     val tmp = new Path(md,
       s".tmp_v${m.version}_${ProcessHandle.current().pid()}x${stageCounter.incrementAndGet()}")
     val out = fs.create(tmp, true)
@@ -673,7 +696,9 @@ object Maintenance {
                                           keyCols: Seq[String], nBuckets: Int,
                                           statsCols: Seq[String],
                                           nullSafe: Boolean,
-                                          resolve: String = ""): Unit = {
+                                          resolve: String = "",
+                                          txn: Map[String, Long] = Map.empty)
+      : Unit = {
     require(nBuckets > 0, s"nBuckets must be > 0, got $nBuckets")
     require(statsCols.forall(df.columns.contains),
       s"statsCols ${statsCols.mkString(",")} must exist in the frame")
@@ -697,7 +722,8 @@ object Maintenance {
         keyCols, statsCols)
       try writeManifest(spark, clean, KeyedManifest(1, staged, keyCol,
         nBuckets, withKb.schema.toDDL, rows = rows,
-        statsCols = statsCols, colStats = cstats, resolve = resolve))
+        statsCols = statsCols, colStats = cstats, resolve = resolve,
+        txn = txn))
       catch {
         case _: CommitConflict =>
           // another bootstrap won v1 — our staged dirs (writer-unique
@@ -707,7 +733,8 @@ object Maintenance {
             val m = readManifest(spark, dir)
             writeManifest(spark, clean, KeyedManifest(m.version + 1,
               staged, keyCol, nBuckets, withKb.schema.toDDL, rows = rows,
-              statsCols = statsCols, colStats = cstats, resolve = resolve))
+              statsCols = statsCols, colStats = cstats, resolve = resolve,
+              txn = m.txn ++ txn))
           }
       }
     } else {
@@ -723,10 +750,21 @@ object Maintenance {
           m.version + 1, keyCols, statsCols)
         writeManifest(spark, clean, KeyedManifest(m.version + 1, staged,
           keyCol, nBuckets, withKb.schema.toDDL, rows = rows,
-          statsCols = statsCols, colStats = cstats, resolve = resolve))
+          statsCols = statsCols, colStats = cstats, resolve = resolve,
+          txn = m.txn ++ txn))
       }
     }
   }
+
+  /** The writer-app transaction watermark recorded for `appId` (the
+    * Delta-style idempotent-sink read): the last batch id a streaming
+    * sink committed into this table, carried forward through every
+    * commit. None when the table has no manifest or no entry yet.
+    */
+  def lastTxn(spark: SparkSession, dir: String, appId: String)
+      : Option[Long] =
+    if (manifestVersions(spark, dir).isEmpty) None
+    else readManifest(spark, dir).txn.get(appId)
 
   /** Row count + per-column MIN/MAX zone maps of the parquet files
     * directly under `dir`, from the file FOOTERS alone — no Spark job,
@@ -898,7 +936,9 @@ object Maintenance {
 
   private[graft] def stageMerge(spark: SparkSession, dir: String,
                                 merged: DataFrame, touched: Seq[Int],
-                                base: KeyedManifest): PendingCommit = {
+                                base: KeyedManifest,
+                                txn: Map[String, Long] = Map.empty)
+      : PendingCommit = {
     val clean = cleanDir(dir)
     // the commit targets base.version + 1 — NOT a re-read of the
     // latest manifest: the merge was computed against `base`'s data,
@@ -932,7 +972,7 @@ object Maintenance {
       KeyedManifest(base.version + 1, next, base.keyCol, base.nBuckets,
         schema, nextDeltas, nextRows,
         statsCols = base.statsCols, colStats = nextStats,
-        resolve = base.resolve))
+        resolve = base.resolve, txn = base.txn ++ txn))
   }
 
   private[graft] def commitKeyed(spark: SparkSession,
@@ -1169,7 +1209,8 @@ object Maintenance {
   def appendDeltaKeyedCols(spark: SparkSession, dir: String,
                            updates: DataFrame,
                            keyCols: Seq[String], nBuckets: Int,
-                           tombstoneKeys: Option[DataFrame] = None): Unit = {
+                           tombstoneKeys: Option[DataFrame] = None,
+                           txn: Map[String, Long] = Map.empty): Unit = {
     val clean = cleanDir(dir)
     val keyCol = keyCols.mkString(",")
     val ups = updates.withColumn("__tomb", F.lit(false))
@@ -1226,7 +1267,7 @@ object Maintenance {
       writeManifest(spark, clean, KeyedManifest(m.version + 1, m.buckets,
         m.keyCol, m.nBuckets, schema, nextDeltas, m.rows ++ stagedRows,
         statsCols = m.statsCols, colStats = m.colStats ++ stagedStats,
-        resolve = m.resolve))
+        resolve = m.resolve, txn = m.txn ++ txn))
     }
   }
 
@@ -1944,13 +1985,15 @@ object Maintenance {
                          valueCol: String, nBuckets: Int,
                          distinctKey: Option[String] = None,
                          p: Int = 12, sampleK: Int = 0,
-                         sampleUnique: Option[String] = None): Unit = {
+                         sampleUnique: Option[String] = None,
+                         txn: Map[String, Long] = Map.empty): Unit = {
     val spark = df.sparkSession
     val clean = cleanDir(dir)
     hadoopFs(spark, new Path(clean)).delete(new Path(clean), true)
     writeKeyedInternal(
       partialAgg(df, keys, valueCol, distinctKey, p, sampleK, sampleUnique),
-      dir, keys, nBuckets, Seq.empty, nullSafe = false, resolve = "agg")
+      dir, keys, nBuckets, Seq.empty, nullSafe = false, resolve = "agg",
+      txn = txn)
   }
 
   /** Fold one batch into the bucketed agg state. Build params
@@ -1968,7 +2011,8 @@ object Maintenance {
                          distinctKey: Option[String] = None,
                          p: Int = 12, sampleK: Int = 0,
                          sampleUnique: Option[String] = None,
-                         asDeltas: Boolean = false): Unit = {
+                         asDeltas: Boolean = false,
+                         txn: Map[String, Long] = Map.empty): Unit = {
     val clean = cleanDir(dir)
     val m0 = readManifest(spark, dir)
     require(m0.nBuckets > 0 && m0.keyCol == keys.mkString(","),
@@ -1980,7 +2024,8 @@ object Maintenance {
     val partial = partialAgg(batch, keys, valueCol, distinctKey, p,
       sampleK, sampleUnique)
     if (asDeltas) {
-      appendDeltaKeyedCols(spark, dir, partial, keys, m0.nBuckets)
+      appendDeltaKeyedCols(spark, dir, partial, keys, m0.nBuckets,
+        txn = txn)
       return
     }
     val withKb = partial.withColumn("kb", kb(keys, m0.nBuckets))
@@ -2016,7 +2061,8 @@ object Maintenance {
           .unionByName(withKb.select(cols.map(F.col): _*)),
         keys, p, sampleK)
         .withColumn("kb", kb(keys, m.nBuckets))
-      commitKeyed(spark, stageMerge(spark, dir, merged, touched, m))
+      commitKeyed(spark, stageMerge(spark, dir, merged, touched, m,
+        txn = txn))
     }
   }
 

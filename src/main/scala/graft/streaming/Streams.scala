@@ -104,6 +104,78 @@ object Streams {
       }
       .start()
 
+  // ---- streaming MATERIALIZED-VIEW maintenance ----------------------------
+  //
+  // Every micro-batch's partial-aggregate folds into the BUCKETED agg
+  // state (sources/Maintenance.mergeAggStateKeyed) — delta partials by
+  // default, so bytes written ∝ the batch — with compaction every
+  // `compactEvery` batches bounding read amplification. Aggregation is
+  // NOT last-wins-idempotent (re-applying a batch partial would double
+  // the counts), so idempotency comes from the manifest's Delta-style
+  // `txn` slot: the batch id commits ATOMICALLY with the data in the
+  // same manifest publish, and a replayed batch whose id ≤ the
+  // recorded watermark is skipped. One appId per sink; the watermark
+  // carries forward through every commit (compaction included), so
+  // interleaved maintenance can never blank it.
+
+  /** One micro-batch of streaming agg-state maintenance — the body
+    * behind `aggStateStream`, callable directly from a custom
+    * foreachBatch. Bootstraps the state on the first batch. Returns
+    * true when the batch applied, false when the watermark says it
+    * already had (a foreachBatch replay).
+    */
+  def aggStateBatch(batch: DataFrame, batchId: Long, dir: String,
+                    keys: Seq[String], valueCol: String, nBuckets: Int,
+                    appId: String,
+                    distinctKey: Option[String] = None,
+                    p: Int = 12, sampleK: Int = 0,
+                    sampleUnique: Option[String] = None,
+                    asDeltas: Boolean = true,
+                    compactEvery: Int = 8): Boolean = {
+    import graft.sources.Maintenance
+    val spark = batch.sparkSession
+    if (Maintenance.lastTxn(spark, dir, appId).exists(_ >= batchId))
+      return false
+    if (Maintenance.manifestVersions(spark, dir).isEmpty)
+      Maintenance.buildAggStateKeyed(batch, dir, keys, valueCol,
+        nBuckets, distinctKey, p, sampleK, sampleUnique,
+        txn = Map(appId -> batchId))
+    else
+      Maintenance.mergeAggStateKeyed(spark, dir, batch, keys, valueCol,
+        distinctKey, p, sampleK, sampleUnique, asDeltas = asDeltas,
+        txn = Map(appId -> batchId))
+    // maintenance cadence: fold chains past the threshold — planned
+    // from the manifest, a no-op while chains are short
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+      Maintenance.compactAggStateKeyed(spark, dir, p, sampleK,
+        minChain = 2)
+    true
+  }
+
+  /** Continuous incremental aggregation: the streaming materialized
+    * view `group by keys → count/sum/mean[/min/max/distinct/quantiles]`
+    * maintained in the bucketed agg-state table at `dir`, queryable
+    * mid-stream via `Maintenance.readAggStateKeyed` + `finalizeAgg`.
+    */
+  def aggStateStream(updates: DataFrame, dir: String, keys: Seq[String],
+                     valueCol: String, nBuckets: Int, appId: String,
+                     distinctKey: Option[String] = None,
+                     p: Int = 12, sampleK: Int = 0,
+                     sampleUnique: Option[String] = None,
+                     asDeltas: Boolean = true,
+                     compactEvery: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          aggStateBatch(batch, batchId, dir, keys, valueCol, nBuckets,
+            appId, distinctKey, p, sampleK, sampleUnique, asDeltas,
+            compactEvery)
+        ()
+      }
+      .start()
+
   // ---- CDC SOURCE: tail a keyed table's manifest version chain -----------
   //
   // The WRITE side streams in (upsertKeyedStream); this is the READ

@@ -837,6 +837,56 @@ class GraphStreamingSpec extends SparkSpec {
     assert(snap() == Map(1L -> 1.5, 2L -> 2.5, 4L -> 4.5))
   }
 
+  test("streaming agg state: micro-batches fold into the bucketed view; txn watermark makes replays no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Maintenance
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_aggstream").toString + "/state"
+    val mem = MemoryStream[(String, Double)]
+    val q = Streams.aggStateStream(mem.toDF().toDF("g", "v"), dir,
+      Seq("g"), "v", nBuckets = 4, appId = "view1", compactEvery = 2)
+    mem.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+    q.processAllAvailable()
+    def view() = Maintenance.finalizeAgg(
+      Maintenance.readAggStateKeyed(spark, dir), Seq("g"))
+      .select("g", "n", "total")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(view() == Map("a" -> (2L, 3.0), "b" -> (1L, 10.0)))
+    mem.addData(("a", 4.0), ("c", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(view() == Map("a" -> (3L, 7.0), "b" -> (1L, 10.0),
+      "c" -> (1L, 7.0)))
+    // the watermark committed atomically with the data
+    assert(Maintenance.lastTxn(spark, dir, "view1").contains(1L))
+    // foreachBatch is at-least-once: REPLAYING batch 1 verbatim is a
+    // NO-OP (returns false, counts don't double) — aggregation has no
+    // last-wins to hide behind, the txn slot is what saves it
+    assert(!Streams.aggStateBatch(
+      Seq(("a", 4.0), ("c", 7.0)).toDF("g", "v"), 1L, dir,
+      Seq("g"), "v", 4, appId = "view1"))
+    assert(view() == Map("a" -> (3L, 7.0), "b" -> (1L, 10.0),
+      "c" -> (1L, 7.0)))
+    // a genuinely NEW batch under a fresh id applies...
+    assert(Streams.aggStateBatch(
+      Seq(("b", 5.0)).toDF("g", "v"), 2L, dir, Seq("g"), "v", 4,
+      appId = "view1"))
+    assert(view() == Map("a" -> (3L, 7.0), "b" -> (2L, 15.0),
+      "c" -> (1L, 7.0)))
+    // ...and compaction (an interleaved maintenance commit) carries
+    // the watermark forward instead of blanking it
+    Maintenance.compactAggStateKeyed(spark, dir)
+    assert(Maintenance.readManifest(spark, dir).deltas.values
+      .forall(_.isEmpty))
+    assert(Maintenance.lastTxn(spark, dir, "view1").contains(2L))
+    assert(!Streams.aggStateBatch(
+      Seq(("b", 5.0)).toDF("g", "v"), 2L, dir, Seq("g"), "v", 4,
+      appId = "view1"))
+    assert(view() == Map("a" -> (3L, 7.0), "b" -> (2L, 15.0),
+      "c" -> (1L, 7.0)))
+  }
+
   test("CDC source: a cursor consumer tails the version chain, sees exactly the changed keys, replays idempotently") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.Maintenance
