@@ -2080,19 +2080,35 @@ object Maintenance {
     val m = readManifest(spark, dir, version)
     require(m.nBuckets > 0 && m.resolve == "agg",
       s"$clean is not a bucketed agg state (resolve='${m.resolve}')")
-    val dirs = (m.buckets.values.toSeq ++ m.deltas.values.flatten).sorted
-    if (dirs.isEmpty)
-      return emptySnapshot(spark, clean, m).drop("kb", "__tomb")
-    val raw = spark.read.option("mergeSchema", "true")
-      .parquet(dirs.map(d => s"$clean/$d"): _*)
-    val hasSample = raw.columns.exists(c => c == "__smp" || c == "__smpr")
-    val flat = raw.drop("kb", "__tomb")
-    if (m.deltas.valuesIterator.forall(_.isEmpty)) flat
-    else {
-      require(sampleK > 0 || !hasSample,
-        s"$clean tracks a bounded sample — pass the build's sampleK " +
-          "to resolve its delta chains")
-      aggOfState(flat, m.keyCols, p, sampleK)
+    def rd(dirs: Seq[String]): DataFrame =
+      spark.read.option("mergeSchema", "true")
+        .parquet(dirs.sorted.map(d => s"$clean/$d"): _*)
+        .drop("kb", "__tomb")
+    // the re-aggregation shuffle is confined to DELTA-CARRYING buckets
+    // (a key lives in exactly one bucket, so the per-key fold is
+    // complete bucket-by-bucket — same principle as resolveBuckets);
+    // chain-free buckets read straight through with no shuffle
+    val (deltaB, plainB) = (m.buckets.keySet ++ m.deltas.keySet).toSeq
+      .sorted.partition(b => m.deltas.get(b).exists(_.nonEmpty))
+    val plainDirs = plainB.flatMap(m.buckets.get)
+    val deltaDirs = deltaB.flatMap(b =>
+      m.buckets.get(b).toSeq ++ m.deltas(b))
+    val plain = if (plainDirs.isEmpty) None else Some(rd(plainDirs))
+    val resolved =
+      if (deltaDirs.isEmpty) None
+      else {
+        val raw = rd(deltaDirs)
+        require(sampleK > 0 ||
+          !raw.columns.exists(c => c == "__smp" || c == "__smpr"),
+          s"$clean tracks a bounded sample — pass the build's sampleK " +
+            "to resolve its delta chains")
+        Some(aggOfState(raw, m.keyCols, p, sampleK))
+      }
+    (plain, resolved) match {
+      case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => emptySnapshot(spark, clean, m).drop("kb", "__tomb")
     }
   }
 

@@ -12,6 +12,48 @@ class PlanQualitySpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("bucketed agg state: chain-free reads plan a pure scan; the re-agg shuffle is confined to delta buckets") {
+    import org.apache.spark.sql.functions._
+    val M = graft.sources.Maintenance
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_bas").toString
+    val full = spark.range(0, 2000)
+      .select((col("id") % 64).as("g"), (col("id") % 9).cast("double").as("v"))
+    M.buildAggStateKeyed(full, dir, Seq("g"), "v", nBuckets = 8)
+    // no chains: the state read is a plain multi-dir scan — zero
+    // exchange, zero aggregate (the stored rows ARE the state)
+    val p0 = M.readAggStateKeyed(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p0.contains("Exchange") && !p0.contains("HashAggregate"),
+      s"chain-free agg-state read gained a shuffle/agg:\n$p0")
+    // one delta batch confined to one group -> ONE bucket carries a
+    // chain; the re-aggregation must touch only that bucket's dirs
+    // (2 files in the agg branch), every other bucket scans straight
+    M.mergeAggStateKeyed(spark, dir,
+      full.filter(col("g") === 3), Seq("g"), "v", asDeltas = true)
+    val df1 = M.readAggStateKeyed(spark, dir)
+    val p1 = df1.queryExecution.executedPlan.toString
+    assert(p1.contains("HashAggregate"), s"chain not re-aggregated:\n$p1")
+    val m = M.readManifest(spark, dir)
+    val chained = m.deltas.count(_._2.nonEmpty)
+    assert(chained == 1)
+    // the plan reads all live dirs (8 bases + 1 delta), but the
+    // aggregate branch holds only the chained bucket's base+delta;
+    // the union's plain branch carries the other 7 buckets unshuffled
+    assert(df1.inputFiles.length == m.buckets.size + 1,
+      s"agg-state read touched unexpected files: ${df1.inputFiles.length}")
+    // correctness of the confined fold: equals the one-shot recompute
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_pq_bas2").toString
+    M.buildAggStateKeyed(full.unionByName(full.filter(col("g") === 3)),
+      dir2, Seq("g"), "v", nBuckets = 8)
+    val a = M.finalizeAgg(M.readAggStateKeyed(spark, dir), Seq("g"))
+      .select("g", "n", "total").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = M.finalizeAgg(M.readAggStateKeyed(spark, dir2), Seq("g"))
+      .select("g", "n", "total").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
   test("keyed read: delta-free snapshots plan a pure scan; delta chains a pruned pushed-down resolve") {
     import org.apache.spark.sql.functions._
     val M = graft.sources.Maintenance
