@@ -35,7 +35,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the per-query cleanup's blocking unpersist of
+    // localCheckpoint blocks emits a WARN per RDD, and at 299 queries
+    // that spam FOLLOWS the final JSON line in the driver's merged
+    // stdout+stderr capture — r9's BENCH capture lost the JSON to it
+    // (the driver keeps only the last 2000 chars; BENCH_r09.json
+    // parsed: null). Genuine failures still surface: per-query errors
+    // are caught and reported in the JSON itself.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Probe budget: the synthetic scale probes dominate the round's
     // wall-clock at full size (x-family was 93s of a 146s round-6
@@ -169,7 +176,10 @@ object Bench {
       if (used + e.length + 1 <= budget && v >= 0.25) { slowEntries += e; used += e.length + 1 }
     }
     val slow = slowEntries.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"reps":$reps,"probes":"$probes","failed":$failed,"families":$fams,"queries":$slow,"detail":"$detailPath","sf":"$sfDir"}""")
+    // stop BEFORE the final println: the JSON line must be the LAST
+    // thing on the combined stream — shutdown logging after it would
+    // push it out of the driver's 2000-char tail
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"reps":$reps,"probes":"$probes","failed":$failed,"families":$fams,"queries":$slow,"detail":"$detailPath","sf":"$sfDir"}""")
   }
 }
