@@ -1437,6 +1437,41 @@ object SparkEntry {
         .withColumn("pruned_small", lit(prunedFiles * 8 < totalFiles))
     }),
 
+    // Predicate-planned reads (r10): readKeyedWhere prunes from the
+    // predicate's own structure — a key-equality conjunct takes the
+    // lookupKeyed point-read (files ∝ the key's bucket), an open range
+    // on the zone-mapped column skips via manifest stats, and an
+    // unrecognized shape (modulo) prunes nothing but answers right.
+    // Scale-invariant booleans (expected frames computed in-query).
+    "x139_keyed_where" -> ((s, d) => {
+      val dir = runScratch("kwhere", d)
+      val M = graft.sources.Maintenance
+      val n = scaled(1000000)
+      val base = s.range(0, n).select((col("id") % 64).as("tenant"),
+        ((col("id") % 64) * 10000000L + col("id")).as("v"),
+        (col("id") % 997).cast(DoubleType).as("x"))
+      M.writeKeyed(base, dir, Seq("tenant"), 64, statsCols = Seq("v"))
+      val total = M.readKeyed(s, dir).inputFiles.length
+      val q1 = M.readKeyedWhere(s, dir,
+        col("tenant") === 5L && col("x") < 300.0)
+      val e1 = base.filter(col("tenant") === 5L && col("x") < 300.0)
+      val q2 = M.readKeyedWhere(s, dir, col("v") >= 63L * 10000000L)
+      val e2 = base.filter(col("v") >= 63L * 10000000L)
+      val q3 = M.readKeyedWhere(s, dir, col("tenant") % 2 === 1)
+      val d1 = M.diff(q1.select("tenant", "v", "x"), e1, Seq("v"))
+      val d2 = M.diff(q2.select("tenant", "v", "x"), e2, Seq("v"))
+      d1.agg((F.sum(when(col("status") === "same", 0L).otherwise(1L)) === 0L
+          && F.count(lit(1)) > 0).as("key_rows_ok"))
+        .crossJoin(d2.agg(
+          (F.sum(when(col("status") === "same", 0L).otherwise(1L)) === 0L
+            && F.count(lit(1)) > 0).as("zone_rows_ok")))
+        .withColumn("key_pruned", lit(q1.inputFiles.length * 8 < total))
+        .withColumn("zone_pruned", lit(q2.inputFiles.length * 8 < total))
+        .withColumn("fallback_full", lit(q3.inputFiles.length == total))
+        .crossJoin(q3.agg((F.count(lit(1)) ===
+          base.filter(col("tenant") % 2 === 1).count()).as("fallback_ok")))
+    }),
+
     // Anchored funnel over the events stream: view -> click ->
     // purchase within 7 days of the user's FIRST view; greedy
     // earliest-completion semantics, mirrored as a min()-chain oracle
@@ -4246,7 +4281,7 @@ object SparkEntry {
 
   /** Scale multiplier for the synthetic scale probes (x22-x26, x36,
     * x45, x49, x52, x55, x60 — all with FROZEN constant oracles that
-    * hold only at scale 1.0 — plus x62/x98/x128/x131/x134/x136/x137,
+    * hold only at scale 1.0 — plus x62/x98/x128/x131/x134/x136/x137/x139,
     * which are dialed the
     * same way but whose oracles are scale-invariant, no re-capture
     * ever needed).
@@ -6248,6 +6283,12 @@ object SparkEntry {
     // scale-invariant planted truths (see the query comment)
     "x136_zonemap_probe" ->
       "SELECT TRUE AS all_same, TRUE AS nonempty, TRUE AS pruned_small",
+
+    // scale-invariant planted truths (see the query comment)
+    "x139_keyed_where" ->
+      """SELECT TRUE AS key_rows_ok, TRUE AS zone_rows_ok,
+           TRUE AS key_pruned, TRUE AS zone_pruned,
+           TRUE AS fallback_full, TRUE AS fallback_ok""",
 
     // the md5-order bottom-512 sample rebuilt with a rank window, its
     // median via the same explicit middle/average arithmetic

@@ -539,9 +539,178 @@ object Maintenance {
     * unparseable probes answer true (unprunable — pruning must never
     * be a guess).
     */
+  /** Predicate-planned read — the scan-planning surface Delta/Iceberg
+    * run inside their DSv2 scan builders, as a function: prune buckets
+    * from `cond`'s OWN STRUCTURE, then apply the full predicate after
+    * resolution.
+    *  - Key-pinning conjuncts (`k = 5`, `k IN (…)`, an OR-chain of
+    *    equalities; for composite keys an equality per component)
+    *    delegate to `lookupKeyed`'s point-read: only the keys' buckets
+    *    are scanned and the IN-list pushes into every chain level.
+    *  - Range/equality conjuncts on zone-mapped columns skip buckets
+    *    via the manifest stats (open-ended ranges included) at BUCKET
+    *    granularity — the same delta-safety rule as `readKeyedRange`.
+    *  - Unrecognized predicate shapes prune nothing and filter
+    *    everything: pruning is never a guess.
+    */
+  def readKeyedWhere(spark: SparkSession, dir: String, cond: Column,
+                     version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.catalyst.{expressions => E}
+    val clean = cleanDir(dir)
+    if (manifestVersions(spark, dir).isEmpty)
+      return spark.read.parquet(clean).filter(cond)
+    val m = readManifest(spark, dir, version)
+    val live = (m.buckets.keySet ++ m.deltas.keySet).toSeq.sorted
+    if (live.isEmpty) return emptySnapshot(spark, clean, m).filter(cond)
+    def conjuncts(e: E.Expression): Seq[E.Expression] = e match {
+      case E.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def attrName(e: E.Expression): Option[String] = {
+      import org.apache.spark.sql.types._
+      def integral(t: DataType) = t match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      e match {
+        case a: E.Attribute => Some(a.name)
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          Some(u.name)
+        // the analyzer wraps BOTH comparison sides in casts to the
+        // common type (isin puts a no-op cast on the column itself);
+        // identity and integral-widening casts preserve equality and
+        // order against a coerced probe, so they are safe to see
+        // through — anything else (string/float reinterpretations)
+        // changes semantics and prunes nothing
+        case c: E.Cast if c.child.dataType == c.dataType ||
+            (integral(c.child.dataType) && integral(c.dataType)) =>
+          attrName(c.child)
+        case _ => None
+      }
+    }
+    def litVal(e: E.Expression): Option[Any] = e match {
+      case l: E.Literal =>
+        Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(l.value, l.dataType))
+      // analysis casts the LITERAL side to the column's type (an int
+      // probe against a bigint key) — the original value compares fine
+      // (lookupKeyed coerces widenings; zone compares are numeric-
+      // string based). A cast on the ATTRIBUTE side is NOT looked
+      // through: that changes comparison semantics, so prune nothing.
+      case c: E.Cast => litVal(c.child)
+      case _ => None
+    }
+    def eq(e: E.Expression): Option[(String, Any)] = e match {
+      case E.EqualTo(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
+        Some((attrName(a).get, litVal(v).get))
+      case E.EqualTo(v, a) if attrName(a).isDefined && litVal(v).isDefined =>
+        Some((attrName(a).get, litVal(v).get))
+      case _ => None
+    }
+    // col IN (…) / OR-chain of equalities on one column / plain =
+    def inSet(e: E.Expression): Option[(String, Seq[Any])] = e match {
+      case E.In(a, vs) if attrName(a).isDefined &&
+          vs.forall(litVal(_).isDefined) =>
+        Some((attrName(a).get, vs.map(litVal(_).get)))
+      case E.Or(l, r) =>
+        for {
+          (nl, vl) <- inSet(l)
+          (nr, vr) <- inSet(r)
+          if nl.equalsIgnoreCase(nr)
+        } yield (nl, vl ++ vr)
+      case _ => eq(e).map { case (n, v) => (n, Seq(v)) }
+    }
+    // resolve the predicate against the snapshot's schema by analyzing
+    // a filter over the EMPTY snapshot (zero IO): the Filter node's
+    // condition is the resolved expression tree — attribute names
+    // case-normalized, literal-side casts explicit. Unanalyzable
+    // predicates (or schema-less pre-r9 tables) prune nothing.
+    val cs = scala.util.Try {
+      emptySnapshot(spark, clean, m).filter(cond)
+        .queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+    }.toOption.flatten.map(conjuncts).getOrElse(Seq.empty)
+    val keyCols = m.keyCols
+    val keyTuples: Option[Seq[Any]] =
+      if (keyCols.length == 1)
+        cs.flatMap(inSet(_)).collectFirst {
+          case (n, vs) if n.equalsIgnoreCase(keyCols.head) => vs
+        }
+      else if (keyCols.nonEmpty) {
+        val eqs = cs.flatMap(eq(_))
+          .groupBy(_._1.toLowerCase).map { case (k, v) => k -> v.head._2 }
+        if (keyCols.forall(k => eqs.contains(k.toLowerCase)))
+          Some(Seq(keyCols.map(k => eqs(k.toLowerCase))))
+        else None
+      } else None
+    keyTuples match {
+      // the point-read path (latest snapshot only — lookupKeyed reads
+      // the current manifest)
+      case Some(ks) if ks.nonEmpty && version.isEmpty =>
+        return lookupKeyed(spark, dir, ks).filter(cond)
+      case _ => ()
+    }
+    // zone-map pruning: per-conjunct [lo, hi] bounds (conservatively
+    // inclusive — strict bounds keep a touching bucket, never drop one)
+    def bounds(e: E.Expression)
+        : Option[(String, Option[Any], Option[Any])] = e match {
+      case E.GreaterThanOrEqual(a, v) if litVal(v).isDefined =>
+        attrName(a).map(n => (n, Some(litVal(v).get), None))
+      case E.GreaterThan(a, v) if litVal(v).isDefined =>
+        attrName(a).map(n => (n, Some(litVal(v).get), None))
+      case E.LessThanOrEqual(a, v) if litVal(v).isDefined =>
+        attrName(a).map(n => (n, None, Some(litVal(v).get)))
+      case E.LessThan(a, v) if litVal(v).isDefined =>
+        attrName(a).map(n => (n, None, Some(litVal(v).get)))
+      case E.GreaterThanOrEqual(v, a) if litVal(v).isDefined =>
+        attrName(a).map(n => (n, None, Some(litVal(v).get)))
+      case E.GreaterThan(v, a) if litVal(v).isDefined =>
+        attrName(a).map(n => (n, None, Some(litVal(v).get)))
+      case E.LessThanOrEqual(v, a) if litVal(v).isDefined =>
+        attrName(a).map(n => (n, Some(litVal(v).get), None))
+      case E.LessThan(v, a) if litVal(v).isDefined =>
+        attrName(a).map(n => (n, Some(litVal(v).get), None))
+      case _ => eq(e).map { case (n, v) => (n, Some(v), Some(v)) }
+    }
+    val types: Map[String, org.apache.spark.sql.types.DataType] =
+      if (m.schemaDdl.isEmpty) Map.empty
+      else org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+        .fields.map(f => f.name -> f.dataType).toMap
+    val zone = cs.flatMap(bounds(_)).flatMap { case (n, lo, hi) =>
+      m.statsCols.find(_.equalsIgnoreCase(n)).map(real => (real, lo, hi))
+    }
+    val kept = live.filter { b =>
+      val dirs = m.buckets.get(b).toSeq ++ m.deltas.getOrElse(b, Nil)
+      zone.forall { case (n, lo, hi) =>
+        dirs.exists { d =>
+          (types.get(n), m.colStats.get(d).flatMap(_.get(n))) match {
+            case (Some(t), Some((mn, mx))) =>
+              statOverlapBounds(t, mn, mx, lo, hi)
+            case _ => true
+          }
+        }
+      }
+    }
+    if (kept.isEmpty) emptySnapshot(spark, clean, m).filter(cond)
+    else resolveBuckets(spark, clean, m, kept, None).filter(cond)
+  }
+
   private def statOverlap(dt: org.apache.spark.sql.types.DataType,
                           mnS: String, mxS: String,
-                          lo: Any, hi: Any): Boolean = {
+                          lo: Any, hi: Any): Boolean =
+    statOverlapBounds(dt, mnS, mxS, Some(lo), Some(hi))
+
+  /** Open-ended variant: None = unbounded on that side. Overlap of
+    * [lo, hi] with a dir's recorded [mn, mx] requires mn ≤ hi and
+    * mx ≥ lo — each check skipped for an open bound, and any
+    * undecodable comparison answers true (unprunable, never a guess).
+    */
+  private def statOverlapBounds(dt: org.apache.spark.sql.types.DataType,
+                                mnS: String, mxS: String,
+                                lo: Option[Any], hi: Option[Any])
+      : Boolean = {
     import org.apache.spark.sql.types._
     def micros(v: Any): Option[Long] = v match {
       case t: java.sql.Timestamp =>
@@ -555,25 +724,20 @@ object Maintenance {
       case d: java.time.LocalDate => Some(d.toEpochDay)
       case _ => None
     }
-    try dt match {
-      case StringType =>
-        mnS <= hi.toString && mxS >= lo.toString
-      case ByteType | ShortType | IntegerType | LongType
-           | FloatType | DoubleType =>
-        BigDecimal(mnS) <= BigDecimal(hi.toString) &&
-          BigDecimal(mxS) >= BigDecimal(lo.toString)
-      case DateType =>
-        (days(lo), days(hi)) match {
-          case (Some(l), Some(h)) => mnS.toLong <= h && mxS.toLong >= l
-          case _ => true
-        }
-      case TimestampType =>
-        (micros(lo), micros(hi)) match {
-          case (Some(l), Some(h)) => mnS.toLong <= h && mxS.toLong >= l
-          case _ => true
-        }
-      case _ => true
-    } catch { case _: NumberFormatException => true }
+    // sign of (statValue - probe), None when undecodable
+    def cmp(statS: String, probe: Any): Option[Int] =
+      try dt match {
+        case StringType => Some(statS.compareTo(probe.toString))
+        case ByteType | ShortType | IntegerType | LongType
+             | FloatType | DoubleType =>
+          Some(BigDecimal(statS).compare(BigDecimal(probe.toString)))
+        case DateType => days(probe).map(p => statS.toLong.compareTo(p))
+        case TimestampType =>
+          micros(probe).map(p => statS.toLong.compareTo(p))
+        case _ => None
+      } catch { case _: NumberFormatException => None }
+    hi.forall(h => cmp(mnS, h).forall(_ <= 0)) &&
+      lo.forall(l => cmp(mxS, l).forall(_ >= 0))
   }
 
   /** A fully-emptied table is a legal snapshot: an EMPTY frame with

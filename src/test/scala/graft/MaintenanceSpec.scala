@@ -436,6 +436,75 @@ class MaintenanceSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 999999L)))
   }
 
+  test("readKeyedWhere: predicate-planned pruning — key equality, IN, open ranges, safe fallback") {
+    val dir = tmp("graft_where")
+    // the x136 shape: tenant-keyed, per-tenant-disjoint v bands
+    val df = spark.range(0, 6400).select((col("id") % 64).as("tenant"),
+      ((col("id") % 64) * 100000L + col("id")).as("v"),
+      (col("id") % 7).cast("double").as("x"))
+    Maintenance.writeKeyed(df, dir, Seq("tenant"), 64,
+      statsCols = Seq("v"))
+    val total = Maintenance.readKeyed(spark, dir).inputFiles.length
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("tenant", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // key equality -> the lookupKeyed point-read path
+    val q1 = Maintenance.readKeyedWhere(spark, dir,
+      col("tenant") === 5L && col("x") < 3.0)
+    assert(q1.inputFiles.length <= 2 && q1.inputFiles.length < total)
+    assert(rows(q1) == rows(df.filter(col("tenant") === 5L && col("x") < 3.0)))
+    // IN-list (and an int literal against the bigint key: the
+    // analysis cast on the literal side is looked through)
+    val q2 = Maintenance.readKeyedWhere(spark, dir,
+      col("tenant").isin(3, 9))
+    assert(q2.inputFiles.length <= 2)
+    assert(rows(q2) == rows(df.filter(col("tenant").isin(3, 9))))
+    // OR-chain of equalities prunes like an IN
+    val q2b = Maintenance.readKeyedWhere(spark, dir,
+      col("tenant") === 3L || col("tenant") === 9L)
+    assert(q2b.inputFiles.length <= 2 && rows(q2b) == rows(q2))
+    // open-ended zone range on the stats column: only the top band's
+    // bucket can hold v >= 63*100000
+    val q3 = Maintenance.readKeyedWhere(spark, dir,
+      col("v") >= 6300000L)
+    assert(q3.inputFiles.length < total / 8,
+      s"${q3.inputFiles.length} of $total files")
+    assert(rows(q3) == rows(df.filter(col("v") >= 6300000L)))
+    // unrecognized predicate shapes prune NOTHING and answer right
+    val q4 = Maintenance.readKeyedWhere(spark, dir,
+      col("tenant") % 2 === 1 && col("v") % 10 === 3)
+    assert(q4.inputFiles.length == total)
+    assert(rows(q4) ==
+      rows(df.filter(col("tenant") % 2 === 1 && col("v") % 10 === 3)))
+    // an attribute-side cast disables key pruning (semantics change)
+    val q5 = Maintenance.readKeyedWhere(spark, dir,
+      col("tenant").cast("string") === "5")
+    assert(q5.inputFiles.length == total)
+    assert(rows(q5) == rows(df.filter(col("tenant") === 5L)))
+  }
+
+  test("readKeyedWhere: composite keys pin via per-component equalities; delta values filter post-resolution") {
+    val dir = tmp("graft_where2")
+    val df = spark.range(0, 500).select((col("id") % 10).as("a"),
+      col("id").as("b"), (col("id") * 3).as("v"))
+    Maintenance.writeKeyed(df, dir, Seq("a", "b"), 16)
+    val total = Maintenance.readKeyed(spark, dir).inputFiles.length
+    val q1 = Maintenance.readKeyedWhere(spark, dir,
+      col("a") === 3L && col("b") === 13L)
+    assert(q1.inputFiles.length < total)
+    assert(q1.select("v").collect().map(_.getLong(0)).toSeq == Seq(39L))
+    // a delta moving a key's value must not resurrect the base row
+    // (the full predicate applies AFTER last-wins resolution)
+    Maintenance.appendDeltaKeyedCols(spark, dir,
+      Seq((3L, 13L, -1L)).toDF("a", "b", "v"), Seq("a", "b"), 16)
+    val q2 = Maintenance.readKeyedWhere(spark, dir,
+      col("a") === 3L && col("b") === 13L && col("v") > 0L)
+    assert(q2.count() == 0)
+    val q3 = Maintenance.readKeyedWhere(spark, dir,
+      col("a") === 3L && col("b") === 13L)
+    assert(q3.select("v").collect().map(_.getLong(0)).toSeq == Seq(-1L))
+  }
+
   test("appendDeltaKeyed fails loudly on duplicate keys within one call") {
     val dir = tmp("graft_dup")
     Maintenance.writeKeyed(
