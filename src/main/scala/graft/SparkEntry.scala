@@ -3568,6 +3568,23 @@ object SparkEntry {
           col("vmin"), col("vmax"))
     }),
 
+    // predicate-planned reads from the language: the selection on a
+    // pristine read_keyed snapshot re-plans through readKeyedWhere
+    // (the scalar binding `k` reaches the predicate as a LITERAL, so
+    // the key equality prunes to its bucket — LangSpec plan-guards
+    // the file count; this gate query proves the ROWS)
+    "ql57_lang_keyed_where" -> ((s, d) => {
+      val dir = runScratch("qlkwhere", d)
+      graft.lang.Interp.run(s,
+        s"""base = orders {o_orderkey, o_custkey, o_totalprice}
+           |snap = write_keyed(base, "$dir", "o_orderkey", 16)
+           |k = min(base{o_orderkey})
+           |t = read_keyed("$dir")
+           |t[o_orderkey == k] {o_orderkey, o_totalprice}
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+    }),
+
     // merge-on-read deltas + compaction from the language: the delta
     // append never rewrites bases, compact folds the chain, and the
     // end state is the closed-form reprice
@@ -6732,6 +6749,9 @@ object SparkEntry {
            CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
                 ELSE o_totalprice END AS o_totalprice
          FROM orders""",
+    "ql57_lang_keyed_where" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""",
     "ql56_lang_aggstate_keyed" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
            round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 6)

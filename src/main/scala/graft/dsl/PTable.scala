@@ -27,8 +27,19 @@ final case class Sort(col: Column, ascending: Boolean = true) {
   * query (predicate pushdown / column pruning / join reorder for free).
   *
   * All operators are plan-building; nothing executes until an action.
+  *
+  * `keyedSource` marks a frame that IS the pristine latest snapshot of
+  * a manifest-keyed table (set only by the read_keyed face): the FIRST
+  * selection on such a frame re-plans through
+  * `Maintenance.readKeyedWhere`, so `read_keyed(dir)[k == 5]` pays a
+  * bucket-pruned point-read instead of a full scan — the language-level
+  * twin of Delta/Iceberg's scan planning. The mark is deliberately NOT
+  * propagated by any transformation (a projected/joined/unioned frame
+  * is no longer the raw snapshot, and a second selection already runs
+  * on the pruned result).
   */
-final class PTable(val df: DataFrame, val meta: TableMeta) {
+final class PTable(val df: DataFrame, val meta: TableMeta,
+                   val keyedSource: Option[String] = None) {
 
   private def sameMeta(d: DataFrame): PTable = new PTable(d, meta)
   private def anon(d: DataFrame): PTable = new PTable(d, TableMeta.empty)
@@ -50,8 +61,17 @@ final class PTable(val df: DataFrame, val meta: TableMeta) {
   def columns: Seq[String] = df.columns.toSeq
 
   // ---- selection: t[cond1, cond2] (reference compiler.py:583-613) --------
-  def where(conds: Column*): PTable =
-    sameMeta(conds.foldLeft(df)((d, c) => d.filter(c)))
+  def where(conds: Column*): PTable = keyedSource match {
+    case Some(dir) if conds.nonEmpty =>
+      // predicate-planned read: key-equality conjuncts prune to their
+      // buckets, zone-mapped ranges skip via manifest stats, anything
+      // else falls back to the unpruned read + filter — semantics are
+      // identical either way (readKeyedWhere applies the full
+      // predicate after resolution)
+      sameMeta(graft.sources.Maintenance.readKeyedWhere(df.sparkSession,
+        dir, conds.reduce(_ && _)))
+    case _ => sameMeta(conds.foldLeft(df)((d, c) => d.filter(c)))
+  }
 
   // ---- projection: t{a, name: expr, ...} (reference compiler.py:186-280) -
   def project(cols: NamedCol*): PTable = {
@@ -274,8 +294,12 @@ final class PTable(val df: DataFrame, val meta: TableMeta) {
   def print(n: Int = 20): Unit = df.show(n, truncate = false)
 
   def cache(): PTable = sameMeta(df.cache())
-  def named(n: String): PTable = new PTable(df, meta.copy(name = n))
-  def withMeta(m: TableMeta): PTable = new PTable(df, m)
+  // renaming/re-annotating does NOT transform the frame — the pristine
+  // keyed-snapshot mark survives (an assignment must not cost the
+  // predicate-planned read)
+  def named(n: String): PTable =
+    new PTable(df, meta.copy(name = n), keyedSource)
+  def withMeta(m: TableMeta): PTable = new PTable(df, m, keyedSource)
 }
 
 object PTable {

@@ -2504,8 +2504,15 @@ object Interp {
           val ver =
             if (args.length == 2) Some(constLong(args(1).value).toInt)
             else None
-          PTable(graft.sources.Maintenance.readKeyed(spark,
-            litString(args(0).value), ver))
+          // the LATEST snapshot carries the keyedSource mark: the
+          // first selection on it re-plans through readKeyedWhere
+          // (bucket-pruned point-reads / zone skipping from the
+          // predicate itself). Version-pinned reads stay plain scans —
+          // the predicate planner reads the latest manifest.
+          new PTable(graft.sources.Maintenance.readKeyed(spark,
+            litString(args(0).value), ver), graft.types.TableMeta.empty,
+            keyedSource =
+              if (ver.isEmpty) Some(litString(args(0).value)) else None)
         case "read_keyed_at" =>
           // read_keyed_at(dir, epoch_millis) — timestamp time travel:
           // the snapshot whose commit was live at that instant

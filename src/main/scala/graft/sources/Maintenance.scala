@@ -600,13 +600,22 @@ object Maintenance {
       case c: E.Cast => litVal(c.child)
       case _ => None
     }
-    def eq(e: E.Expression): Option[(String, Any)] = e match {
+    // = and <=> both pin (the language's `==` is null-safe); a NULL
+    // literal pins nothing (keys are non-null by construction, and
+    // `col = NULL` matches no rows anyway) — conservative, not wrong
+    def eq(e: E.Expression): Option[(String, Any)] = (e match {
       case E.EqualTo(a, v) if attrName(a).isDefined && litVal(v).isDefined =>
         Some((attrName(a).get, litVal(v).get))
       case E.EqualTo(v, a) if attrName(a).isDefined && litVal(v).isDefined =>
         Some((attrName(a).get, litVal(v).get))
+      case E.EqualNullSafe(a, v)
+          if attrName(a).isDefined && litVal(v).isDefined =>
+        Some((attrName(a).get, litVal(v).get))
+      case E.EqualNullSafe(v, a)
+          if attrName(a).isDefined && litVal(v).isDefined =>
+        Some((attrName(a).get, litVal(v).get))
       case _ => None
-    }
+    }).filter(_._2 != null)
     // col IN (…) / OR-chain of equalities on one column / plain =
     def inSet(e: E.Expression): Option[(String, Seq[Any])] = e match {
       case E.In(a, vs) if attrName(a).isDefined &&

@@ -1784,4 +1784,41 @@ class LangSpec extends SparkSpec {
     // 2: chains from each of the three spark positions
     assert(nr.keySet == Set(1L, 2L) && nr(1L) == 1)
   }
+
+  test("read_keyed selection is predicate-planned: key equality prunes to its bucket") {
+    import graft.sources.Maintenance
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lang_kwhere").toString + "/t"
+    val df = spark.range(0, 6400).select((col("id") % 64).as("tenant"),
+      ((col("id") % 64) * 100000L + col("id")).as("v"))
+    Maintenance.writeKeyed(df, dir, Seq("tenant"), 64,
+      statsCols = Seq("v"))
+    val total = Maintenance.readKeyed(spark, dir).inputFiles.length
+    // the selection on the pristine snapshot re-plans through
+    // readKeyedWhere: the key equality reads only its bucket
+    val out = Interp.run(spark,
+      s"""t = read_keyed("$dir")
+         |t[tenant == 5] {tenant, v}
+         |""".stripMargin)
+    assert(out.df.inputFiles.length <= 2 &&
+      out.df.inputFiles.length < total,
+      s"${out.df.inputFiles.length} of $total files read")
+    assert(out.df.count() == 100 &&
+      out.df.select(min(col("v"))).head.getLong(0) == 500005L)
+    // a zone range on the stats column prunes too
+    val outZ = Interp.run(spark,
+      s"""read_keyed("$dir")[v >= ${63 * 100000L}] {tenant, v}""")
+    assert(outZ.df.inputFiles.length < total / 8)
+    assert(outZ.df.count() == 100)
+    // a version-pinned read stays a plain (unpruned) scan
+    val outV = Interp.run(spark,
+      s"""read_keyed("$dir", 1)[tenant == 5] {tenant, v}""")
+    assert(outV.df.inputFiles.length == total)
+    assert(outV.df.count() == 100)
+    // a projection BEFORE the selection clears the mark (the frame is
+    // no longer the raw snapshot) — plain filter, right answer
+    val outP = Interp.run(spark,
+      s"""read_keyed("$dir") {tenant, v} [tenant == 5]""")
+    assert(outP.df.count() == 100)
+  }
 }
