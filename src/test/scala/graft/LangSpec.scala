@@ -1370,6 +1370,32 @@ class LangSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(2) > 0 && r.getLong(3) > 0))
   }
 
+  test("examples/table_format.pql runs verbatim over the testdata") {
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/table_format.pql")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // the example ships with REPL-friendly /tmp literals; the spec
+    // redirects them into a fresh scratch root (the .cursor literal
+    // derives from the keyed path, so one replace covers both)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tour").toString
+    val script = raw
+      .replace("/tmp/graft_tour_keyed", root + "/keyed")
+      .replace("/tmp/graft_tour_state", root + "/state")
+    val odf = Tables.load(spark, sf, "orders")
+    val r = Interp.run(spark, script + "\nreport",
+      "orders" -> odf).df.head
+    val n = odf.df.count()
+    val negated = odf.df.filter(col("o_orderkey") % 97 === 0).count()
+    val groups = odf.df.select(countDistinct(col("o_custkey"))).head.getLong(0)
+    // upserts/deltas replace rows, never add or drop keys
+    assert(r.getLong(0) == n && r.getLong(1) == n)
+    assert(r.getLong(2) == negated)
+    assert(r.getLong(3) == 1L)       // the pruned point read
+    assert(r.getLong(4) == n)        // CDC initial load = every key
+    assert(r.getLong(5) == groups)   // finalized agg view
+  }
+
   test("examples/analytics_tour.pql runs verbatim over the testdata") {
     val script = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("examples/analytics_tour.pql")),
