@@ -230,22 +230,29 @@ object Streams {
     * the cursor: process, then `commitChangeCursor(toV)`.
     */
   def pollKeyedChanges(spark: org.apache.spark.sql.SparkSession,
-                       dir: String, cursorPath: String)
+                       dir: String, cursorPath: String,
+                       maxVersions: Int = Int.MaxValue)
       : Option[(DataFrame, Int, Int)] = {
     import graft.sources.Maintenance
+    require(maxVersions >= 1, s"maxVersions must be >= 1")
     val from = readChangeCursor(spark, cursorPath)
     val latest = Maintenance.manifestVersions(spark, dir).lastOption
       .getOrElse(0)
-    if (latest <= from) None
+    // bounded catch-up: a consumer far behind advances at most
+    // maxVersions per batch instead of folding its whole lag into one
+    // giant diff (manifest versions are dense by construction, so the
+    // capped target always exists unless vacuumed — which fails loudly
+    // in readManifest, same as an expired `from`)
+    val to = math.min(latest, from.toLong + maxVersions).toInt
+    if (to <= from) None
     else if (from == 0) {
-      val m = Maintenance.readManifest(spark, dir, Some(latest))
+      val m = Maintenance.readManifest(spark, dir, Some(to))
       require(m.keyCol.nonEmpty, s"$dir has no keyed metadata")
-      Some((Maintenance.readKeyed(spark, dir, Some(latest))
+      Some((Maintenance.readKeyed(spark, dir, Some(to))
         .select(m.keyCols.map(col) :+ F.lit("added").as("status"): _*),
-        0, latest))
+        0, to))
     } else
-      Some((Maintenance.keyedChanges(spark, dir, from, latest),
-        from, latest))
+      Some((Maintenance.keyedChanges(spark, dir, from, to), from, to))
   }
 
   /** One poll → process → advance round of the CDC tail loop; returns
@@ -254,9 +261,10 @@ object Streams {
     * between the two re-emits the identical batch next round).
     */
   def tailKeyedChanges(spark: org.apache.spark.sql.SparkSession,
-                       dir: String, cursorPath: String)
+                       dir: String, cursorPath: String,
+                       maxVersions: Int = Int.MaxValue)
                       (f: (DataFrame, Int, Int) => Unit): Boolean =
-    pollKeyedChanges(spark, dir, cursorPath) match {
+    pollKeyedChanges(spark, dir, cursorPath, maxVersions) match {
       case Some((changes, fromV, toV)) =>
         f(changes, fromV, toV)
         commitChangeCursor(spark, cursorPath, toV)

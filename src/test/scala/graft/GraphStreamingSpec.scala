@@ -936,6 +936,17 @@ class GraphStreamingSpec extends SparkSpec {
     assert(batch(c1) == Set(1L -> "added", 2L -> "added", 4L -> "added"))
     Streams.commitChangeCursor(spark, cursor2, ct)
     assert(Streams.pollKeyedChanges(spark, dir, cursor2).isEmpty)
+    // bounded catch-up: a lagging third consumer advances at most
+    // maxVersions per poll and converges on the same final keys
+    val cursor3 = root + "/consumer3.cursor"
+    var hops = 0
+    while (Streams.tailKeyedChanges(spark, dir, cursor3,
+      maxVersions = 1) { (ch, f, t) =>
+      assert(t - f <= 1); ch.count(); hops += 1
+    } && hops < 10) ()
+    assert(hops >= 2, s"bounded poll folded the lag into $hops hop(s)")
+    assert(Streams.readChangeCursor(spark, cursor3) ==
+      graft.sources.Maintenance.manifestVersions(spark, dir).last)
   }
 
   test("streaming CDC in delta mode: appends only, bases untouched, compact folds") {
