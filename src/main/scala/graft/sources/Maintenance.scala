@@ -656,8 +656,12 @@ object Maintenance {
       } else None
     keyTuples match {
       // the point-read path (latest snapshot only — lookupKeyed reads
-      // the current manifest)
-      case Some(ks) if ks.nonEmpty && version.isEmpty =>
+      // the current manifest). Capped: a 100k-element IN-list would
+      // explode the pushed predicate and the probe frame; past the cap
+      // the scan+filter path is the better plan anyway (readKeyBuckets
+      // exists for bulk key-frame reads)
+      case Some(ks) if ks.nonEmpty && ks.length <= 1000 &&
+          version.isEmpty =>
         return lookupKeyed(spark, dir, ks).filter(cond)
       case _ => ()
     }
