@@ -2676,8 +2676,8 @@ object Interp {
             val v = litString(args(5).value).trim
             if (v.isEmpty) None else Some(v)
           } else None
-          val gsk =
-            if (args.length >= 7) constLong(args(6).value).toInt else 0
+          val gsk = // -1 = the build's recorded sampleK (r10 manifests)
+            if (args.length >= 7) constLong(args(6).value).toInt else -1
           val gsu = if (args.length == 8) {
             val v = litString(args(7).value).trim
             if (v.isEmpty) None else Some(v)
@@ -2697,8 +2697,8 @@ object Interp {
           if (args.length < 2 || args.length > 3)
             throw new TypeError(
               "compact_agg_state_keyed(\"dir\", \"keys\", sample_k?)")
-          val csk =
-            if (args.length == 3) constLong(args(2).value).toInt else 0
+          val csk = // -1 = the build's recorded sampleK (r10 manifests)
+            if (args.length == 3) constLong(args(2).value).toInt else -1
           graft.sources.Maintenance.compactAggStateKeyed(spark,
             litString(args(0).value), sampleK = csk)
           PTable(graft.sources.Maintenance.finalizeAgg(

@@ -172,6 +172,12 @@ object Maintenance {
     *    the replay instead of double-counting — the watermark and the
     *    data land in the SAME atomic manifest publish, which is what
     *    makes at-least-once delivery exactly-once in effect.
+    *  - `aggP` / `aggK`: the agg state's HLL precision and bounded-
+    *    sample size, recorded at build time (resolve=agg tables only)
+    *    and carried forward — so reads and compactions self-describe
+    *    instead of trusting the caller to repeat the build's numbers
+    *    (a wrong p would silently mis-merge registers). 0 / -1 =
+    *    unrecorded (pre-r10 states fall back to the old defaults).
     */
   final case class KeyedManifest(version: Int, buckets: Map[Int, String],
                                  keyCol: String = "", nBuckets: Int = 0,
@@ -182,7 +188,8 @@ object Maintenance {
                                  statsCols: Seq[String] = Seq.empty,
                                  colStats: Map[String, Map[String, (String, String)]] = Map.empty,
                                  resolve: String = "",
-                                 txn: Map[String, Long] = Map.empty) {
+                                 txn: Map[String, Long] = Map.empty,
+                                 aggP: Int = 0, aggK: Int = -1) {
     /** The key as a COLUMN LIST: r10 composite keys store the names
       * comma-joined in `keyCol` (column names in this engine never
       * carry commas — the DDL round-trip would reject them).
@@ -233,6 +240,8 @@ object Maintenance {
   private val ResolveEntry = """"resolve"\s*:\s*"([^"]*)"""".r
   private val TxnSection = """"txn"\s*:\s*\{([^}]*)\}""".r
   private val TxnEntry = """"([^"]+)"\s*:\s*(-?\d+)""".r
+  private val AggPEntry = """"aggP"\s*:\s*(\d+)""".r
+  private val AggKEntry = """"aggK"\s*:\s*(\d+)""".r
   private val StatsColsEntry = """"statsCols"\s*:\s*"([^"]*)"""".r
   private val ColStatsSection = """"colstats"\s*:\s*\{([^}]*)\}""".r
   private val ColStatEntry = """"([^"]+)\|([^"]+)"\s*:\s*"([^",]*),([^"]*)"""".r
@@ -340,7 +349,9 @@ object Maintenance {
       TxnSection.findFirstMatchIn(txt).map(_.group(1))
         .map(body => TxnEntry.findAllMatchIn(body)
           .map(m => b64dec(m.group(1)) -> m.group(2).toLong).toMap)
-        .getOrElse(Map.empty[String, Long])))
+        .getOrElse(Map.empty[String, Long]),
+      AggPEntry.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0),
+      AggKEntry.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(-1)))
   }
 
   /** Publish a manifest: write to a dot-temp in `_manifests`, then one
@@ -391,6 +402,9 @@ object Maintenance {
       else m.txn.toSeq.sortBy(_._1).map { case (app, v) =>
         s""""${b64enc(app)}": $v"""
       }.mkString(""", "txn": {""", ", ", "}")
+    val aggMeta =
+      (if (m.aggP > 0) s""", "aggP": ${m.aggP}""" else "") +
+        (if (m.aggK >= 0) s""", "aggK": ${m.aggK}""" else "")
     // the commit wall-clock stamp: the manifest body is the
     // FS-independent truth for `versionAt` (mtime is only a pre-r10
     // fallback)
@@ -400,7 +414,7 @@ object Maintenance {
       .map { case (b, d) => s""""$b": "$d"""" }
       .mkString(s"""{"version": ${m.version}, $meta$schema"buckets": {""",
         ", ", "}") + deltas + rows + statsCols + colStats + resolve +
-      txn + ts + "}"
+      txn + aggMeta + ts + "}"
     val tmp = new Path(md,
       s".tmp_v${m.version}_${ProcessHandle.current().pid()}x${stageCounter.incrementAndGet()}")
     val out = fs.create(tmp, true)
@@ -874,7 +888,8 @@ object Maintenance {
                                           statsCols: Seq[String],
                                           nullSafe: Boolean,
                                           resolve: String = "",
-                                          txn: Map[String, Long] = Map.empty)
+                                          txn: Map[String, Long] = Map.empty,
+                                          aggP: Int = 0, aggK: Int = -1)
       : Unit = {
     require(nBuckets > 0, s"nBuckets must be > 0, got $nBuckets")
     require(statsCols.forall(df.columns.contains),
@@ -900,7 +915,7 @@ object Maintenance {
       try writeManifest(spark, clean, KeyedManifest(1, staged, keyCol,
         nBuckets, withKb.schema.toDDL, rows = rows,
         statsCols = statsCols, colStats = cstats, resolve = resolve,
-        txn = txn))
+        txn = txn, aggP = aggP, aggK = aggK))
       catch {
         case _: CommitConflict =>
           // another bootstrap won v1 — our staged dirs (writer-unique
@@ -911,7 +926,7 @@ object Maintenance {
             writeManifest(spark, clean, KeyedManifest(m.version + 1,
               staged, keyCol, nBuckets, withKb.schema.toDDL, rows = rows,
               statsCols = statsCols, colStats = cstats, resolve = resolve,
-              txn = m.txn ++ txn))
+              txn = m.txn ++ txn, aggP = aggP, aggK = aggK))
           }
       }
     } else {
@@ -928,7 +943,7 @@ object Maintenance {
         writeManifest(spark, clean, KeyedManifest(m.version + 1, staged,
           keyCol, nBuckets, withKb.schema.toDDL, rows = rows,
           statsCols = statsCols, colStats = cstats, resolve = resolve,
-          txn = m.txn ++ txn))
+          txn = m.txn ++ txn, aggP = aggP, aggK = aggK))
       }
     }
   }
@@ -1149,7 +1164,8 @@ object Maintenance {
       KeyedManifest(base.version + 1, next, base.keyCol, base.nBuckets,
         schema, nextDeltas, nextRows,
         statsCols = base.statsCols, colStats = nextStats,
-        resolve = base.resolve, txn = base.txn ++ txn))
+        resolve = base.resolve, txn = base.txn ++ txn,
+        aggP = base.aggP, aggK = base.aggK))
   }
 
   private[graft] def commitKeyed(spark: SparkSession,
@@ -1444,7 +1460,8 @@ object Maintenance {
       writeManifest(spark, clean, KeyedManifest(m.version + 1, m.buckets,
         m.keyCol, m.nBuckets, schema, nextDeltas, m.rows ++ stagedRows,
         statsCols = m.statsCols, colStats = m.colStats ++ stagedStats,
-        resolve = m.resolve, txn = m.txn ++ txn))
+        resolve = m.resolve, txn = m.txn ++ txn,
+        aggP = m.aggP, aggK = m.aggK))
     }
   }
 
@@ -2170,23 +2187,28 @@ object Maintenance {
     writeKeyedInternal(
       partialAgg(df, keys, valueCol, distinctKey, p, sampleK, sampleUnique),
       dir, keys, nBuckets, Seq.empty, nullSafe = false, resolve = "agg",
-      txn = txn)
+      txn = txn,
+      // the build's p/sampleK are TABLE METADATA from here on: reads,
+      // merges, and compactions default to them instead of trusting
+      // the caller to repeat the build's numbers
+      aggP = p, aggK = sampleK)
   }
 
-  /** Fold one batch into the bucketed agg state. Build params
-    * (`distinctKey`/`p`/`sampleK`/`sampleUnique`) must match the
-    * build's — a missing state column fails loudly at the align select
-    * (the sample GRAIN is part of the state's identity; see
-    * `partialAgg`). Copy-on-write mode reads + re-aggregates +
-    * restages ONLY the touched buckets inside the optimistic-commit
-    * retry; `asDeltas` appends the partial as delta dirs (bytes ∝
-    * batch) — the batch partial has unique keys per call by
-    * construction, satisfying appendDeltaKeyed's contract.
+  /** Fold one batch into the bucketed agg state. `p`/`sampleK` default
+    * to the BUILD's values recorded in the manifest (sentinels 0/-1;
+    * pre-r10 states fall back to 12/0); `distinctKey`/`sampleUnique`
+    * must still match the build's — a missing state column fails
+    * loudly at the align select (the sample GRAIN is part of the
+    * state's identity; see `partialAgg`). Copy-on-write mode reads +
+    * re-aggregates + restages ONLY the touched buckets inside the
+    * optimistic-commit retry; `asDeltas` appends the partial as delta
+    * dirs (bytes ∝ batch) — the batch partial has unique keys per call
+    * by construction, satisfying appendDeltaKeyed's contract.
     */
   def mergeAggStateKeyed(spark: SparkSession, dir: String, batch: DataFrame,
                          keys: Seq[String], valueCol: String,
                          distinctKey: Option[String] = None,
-                         p: Int = 12, sampleK: Int = 0,
+                         p: Int = 0, sampleK: Int = -1,
                          sampleUnique: Option[String] = None,
                          asDeltas: Boolean = false,
                          txn: Map[String, Long] = Map.empty): Unit = {
@@ -2198,8 +2220,13 @@ object Maintenance {
     require(m0.resolve == "agg",
       s"$clean is not an agg-state table (resolve='${m0.resolve}') — " +
         "row tables merge through upsertKeyed/appendDeltaKeyed")
-    val partial = partialAgg(batch, keys, valueCol, distinctKey, p,
-      sampleK, sampleUnique)
+    // p/sampleK default to the BUILD's recorded values (sentinels
+    // 0/-1 = "use the manifest"); pre-r10 states without the metadata
+    // fall back to the historical defaults
+    val pe = if (p > 0) p else if (m0.aggP > 0) m0.aggP else 12
+    val ke = if (sampleK >= 0) sampleK else math.max(m0.aggK, 0)
+    val partial = partialAgg(batch, keys, valueCol, distinctKey, pe,
+      ke, sampleUnique)
     if (asDeltas) {
       appendDeltaKeyedCols(spark, dir, partial, keys, m0.nBuckets,
         txn = txn)
@@ -2236,7 +2263,7 @@ object Maintenance {
       val merged = aggOfState(
         base.select(cols.map(F.col): _*)
           .unionByName(withKb.select(cols.map(F.col): _*)),
-        keys, p, sampleK)
+        keys, pe, ke)
         .withColumn("kb", kb(keys, m.nBuckets))
       commitKeyed(spark, stageMerge(spark, dir, merged, touched, m,
         txn = txn))
@@ -2251,12 +2278,14 @@ object Maintenance {
     * when chains exist (same contract as `finalizeAgg`).
     */
   def readAggStateKeyed(spark: SparkSession, dir: String,
-                        p: Int = 12, sampleK: Int = 0,
+                        p: Int = 0, sampleK: Int = -1,
                         version: Option[Int] = None): DataFrame = {
     val clean = cleanDir(dir)
     val m = readManifest(spark, dir, version)
     require(m.nBuckets > 0 && m.resolve == "agg",
       s"$clean is not a bucketed agg state (resolve='${m.resolve}')")
+    val pe = if (p > 0) p else if (m.aggP > 0) m.aggP else 12
+    val ke = if (sampleK >= 0) sampleK else math.max(m.aggK, 0)
     def rd(dirs: Seq[String]): DataFrame =
       spark.read.option("mergeSchema", "true")
         .parquet(dirs.sorted.map(d => s"$clean/$d"): _*)
@@ -2275,11 +2304,11 @@ object Maintenance {
       if (deltaDirs.isEmpty) None
       else {
         val raw = rd(deltaDirs)
-        require(sampleK > 0 ||
+        require(ke > 0 ||
           !raw.columns.exists(c => c == "__smp" || c == "__smpr"),
           s"$clean tracks a bounded sample — pass the build's sampleK " +
-            "to resolve its delta chains")
-        Some(aggOfState(raw, m.keyCols, p, sampleK))
+            "to resolve its delta chains (r10+ builds record it)")
+        Some(aggOfState(raw, m.keyCols, pe, ke))
       }
     (plain, resolved) match {
       case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
@@ -2296,7 +2325,7 @@ object Maintenance {
     * and restaged; one manifest commit drops their chains.
     */
   def compactAggStateKeyed(spark: SparkSession, dir: String,
-                           p: Int = 12, sampleK: Int = 0,
+                           p: Int = 0, sampleK: Int = -1,
                            buckets: Option[Seq[Int]] = None,
                            minChain: Int = 1): Unit = {
     require(minChain >= 1, s"minChain must be >= 1, got $minChain")
@@ -2306,6 +2335,8 @@ object Maintenance {
       val m = readManifest(spark, dir)
       require(m.resolve == "agg",
         s"$clean is not an agg-state table — use compactKeyed")
+      val pe = if (p > 0) p else if (m.aggP > 0) m.aggP else 12
+      val ke = if (sampleK >= 0) sampleK else math.max(m.aggK, 0)
       val target = buckets.getOrElse(m.deltas.keys.toSeq)
         .filter(b => m.deltas.get(b).exists(_.length >= minChain)).sorted
       if (target.nonEmpty) {
@@ -2313,13 +2344,13 @@ object Maintenance {
           m.buckets.get(b).toSeq ++ m.deltas.getOrElse(b, Nil))
         val raw = spark.read.option("mergeSchema", "true")
           .parquet(dirs.sorted.map(d => s"$clean/$d"): _*)
-        require(sampleK > 0 ||
+        require(ke > 0 ||
           !raw.columns.exists(c => c == "__smp" || c == "__smpr"),
           s"$clean tracks a bounded sample — pass the build's sampleK")
         val cols = raw.columns.filterNot(c => c == "kb" || c == "__tomb")
           .toIndexedSeq
         val folded = aggOfState(raw.select(cols.map(F.col): _*),
-          m.keyCols, p, sampleK)
+          m.keyCols, pe, ke)
           .withColumn("kb", kb(m.keyCols, m.nBuckets))
         commitKeyed(spark, stageMerge(spark, clean, folded, target, m))
       }

@@ -128,7 +128,7 @@ object Streams {
                     keys: Seq[String], valueCol: String, nBuckets: Int,
                     appId: String,
                     distinctKey: Option[String] = None,
-                    p: Int = 12, sampleK: Int = 0,
+                    p: Int = 0, sampleK: Int = -1,
                     sampleUnique: Option[String] = None,
                     asDeltas: Boolean = true,
                     compactEvery: Int = 8): Boolean = {
@@ -137,8 +137,11 @@ object Streams {
     if (Maintenance.lastTxn(spark, dir, appId).exists(_ >= batchId))
       return false
     if (Maintenance.manifestVersions(spark, dir).isEmpty)
+      // the bootstrap DEFINES p/sampleK (recorded in the manifest);
+      // later batches default to the recorded values via the sentinels
       Maintenance.buildAggStateKeyed(batch, dir, keys, valueCol,
-        nBuckets, distinctKey, p, sampleK, sampleUnique,
+        nBuckets, distinctKey, if (p > 0) p else 12,
+        math.max(sampleK, 0), sampleUnique,
         txn = Map(appId -> batchId))
     else
       Maintenance.mergeAggStateKeyed(spark, dir, batch, keys, valueCol,
@@ -160,7 +163,7 @@ object Streams {
   def aggStateStream(updates: DataFrame, dir: String, keys: Seq[String],
                      valueCol: String, nBuckets: Int, appId: String,
                      distinctKey: Option[String] = None,
-                     p: Int = 12, sampleK: Int = 0,
+                     p: Int = 0, sampleK: Int = -1,
                      sampleUnique: Option[String] = None,
                      asDeltas: Boolean = true,
                      compactEvery: Int = 8)

@@ -1197,10 +1197,14 @@ class MaintenanceSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
           r.getDouble(3))).toSet
     assert(q(dir, 64) == q(dir2, 64))
-    // ...and reading WITH chains but without the build's sampleK fails
-    // loudly instead of corrupting the sample
+    // r10 manifests RECORD the build's p/sampleK: the chained read
+    // with default args resolves via the manifest, no caller-repeated
+    // numbers (same rows as the explicit read)
+    assert(q(dir, -1) == q(dir, 64))
+    // ...but a caller explicitly OVERRIDING with sampleK=0 against a
+    // sampled state still fails loudly instead of corrupting it
     val err2 = intercept[IllegalArgumentException] {
-      Maintenance.readAggStateKeyed(spark, dir).count()
+      Maintenance.readAggStateKeyed(spark, dir, sampleK = 0).count()
     }
     assert(err2.getMessage.contains("sampleK"), err2.getMessage)
     // compaction folds the chains; result unchanged; readKeyed legal again
