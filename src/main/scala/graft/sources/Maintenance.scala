@@ -420,12 +420,34 @@ object Maintenance {
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val dst = new Path(md, f"v${m.version}%09d.json")
-    if (!fs.rename(tmp, dst)) {
+    // THE commit point must be atomic rename-IF-ABSENT. HDFS rename
+    // fails when the destination exists; the LOCAL filesystem does
+    // NOT — RawLocalFileSystem.rename is POSIX renameTo, which
+    // silently REPLACES an existing destination, so two writers
+    // racing the same version could both "succeed" and the second
+    // would overwrite the first's commit (a silent lost update — the
+    // 4-writer hammer caught exactly this as a missing batch). On the
+    // file scheme the publish is a HARD LINK instead: link(2) fails
+    // EEXIST atomically when the version is taken, and the linked
+    // file is already fully written.
+    val committed =
+      if (fs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else fs.rename(tmp, dst)
+    if (!committed) {
       fs.delete(tmp, false)
       throw new CommitConflict(
         s"version ${m.version} of $clean was committed by a concurrent " +
           "writer; recompute against the fresh snapshot and retry")
     }
+    if (fs.getScheme == "file") fs.delete(tmp, false)
   }
 
   /** Optimistic-concurrency retry: re-run `body` (which must re-read
