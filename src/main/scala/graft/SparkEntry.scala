@@ -1345,6 +1345,101 @@ object SparkEntry {
           lit(m4.deltas.values.forall(_.isEmpty)))
     }),
 
+    // MULTI-measure bucketed agg state (r11): ONE state tracks
+    // (o_totalprice, o_custkey) per priority — per-measure
+    // __sum/__cnv/__min/__max columns, one merge per refresh instead
+    // of one state per measure. Full lifecycle: build on 9/10ths, a
+    // CoW merge, a DELTA merge, compaction — the finalized per-measure
+    // view equals the one-shot recompute's exact-decimal arithmetic,
+    // HLL distinct included.
+    "x140_aggstate_multi" -> ((s, d) => {
+      val dir = runScratch("mvkm", d)
+      val M = graft.sources.Maintenance
+      val orders = t(s, d, "orders").df
+      val measures = Seq("o_totalprice", "o_custkey")
+      M.buildAggStateKeyedCols(orders.filter(col("o_orderkey") % 10 =!= 0),
+        dir, Seq("o_orderpriority"), measures, nBuckets = 8,
+        distinctKey = Some("o_custkey"))
+      M.mergeAggStateKeyedCols(s, dir,
+        orders.filter(col("o_orderkey") % 20 === 0),
+        Seq("o_orderpriority"), measures,
+        distinctKey = Some("o_custkey"))
+      M.mergeAggStateKeyedCols(s, dir,
+        orders.filter(col("o_orderkey") % 20 === 10),
+        Seq("o_orderpriority"), measures,
+        distinctKey = Some("o_custkey"), asDeltas = true)
+      M.compactAggStateKeyed(s, dir)
+      M.finalizeAgg(M.readAggStateKeyed(s, dir), Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n"),
+          F.round(col("total_o_totalprice"), 6).as("total_price"),
+          F.round(col("mean_o_totalprice"), 6).as("mean_price"),
+          col("vmin_o_totalprice").as("vmin_price"),
+          col("vmax_o_totalprice").as("vmax_price"),
+          col("total_o_custkey").as("total_cust"),
+          col("vmin_o_custkey").as("vmin_cust"),
+          col("vmax_o_custkey").as("vmax_cust"),
+          col("approx_distinct"))
+    }),
+
+    // ONLINE RE-BUCKETING scale probe (r11): split 4 of 64 buckets of
+    // a 1M-row keyed table one hash bit deeper. Booleans (all
+    // scale-invariant, never re-captured): only the split buckets'
+    // generations moved; the depth map records exactly the 8 children;
+    // the post-split table hash-matches the data (diff all-same);
+    // lookupKeyed under the new layout finds its keys; the changelog
+    // across the split is EMPTY (no data changed); a pre-split reader
+    // still resolves the complete old snapshot; and a post-split CDC
+    // upsert (keys in split AND unsplit buckets) lands correctly.
+    "x141_bucket_split" -> ((s, d) => {
+      val dir = runScratch("bsplit", d)
+      val M = graft.sources.Maintenance
+      val n = scaled(1000000)
+      val base = s.range(0, n).select(col("id").as("k"),
+        (col("id") % 997).cast(DoubleType).as("v"))
+      M.writeKeyed(base, dir, "k", 64)
+      val m1 = M.readManifest(s, dir)
+      M.splitKeyed(s, dir, Seq(0, 1, 2, 3))
+      val m2 = M.readManifest(s, dir)
+      val untouchedKept = (4 until 64)
+        .forall(b => m1.buckets.get(b) == m2.buckets.get(b))
+      val parentsGone = (0 until 4).forall(b =>
+        !m2.buckets.get(b).exists(m1.buckets.get(b).contains))
+      val depthsOk = m2.depths ==
+        (0 until 4).flatMap(b => Seq(b -> 1, (b + 64) -> 1)).toMap
+      val d1 = M.diff(M.readKeyed(s, dir).select("k", "v"), base, Seq("k"))
+      val lk = M.lookupKeyed(s, dir, Seq(5L, 6L, 7L))
+        .select("k", "v").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val lookupOk = lk == Set(5L, 6L, 7L).map(k =>
+        (k, (k % 997).toDouble))
+      val changesEmpty =
+        M.keyedChanges(s, dir, m1.version, m2.version).count() == 0L
+      val oldReadable =
+        M.readKeyed(s, dir, Some(m1.version)).count() == n
+      // post-split CDC: upsert every 997th key (hits split children
+      // and unsplit buckets alike) under the NEW layout
+      val ups = s.range(0, n, 997).select(col("id").as("k"),
+        lit(-5.0).as("v"))
+      M.upsertKeyed(s, dir, ups, "k", 64)
+      val expected = base.join(ups.select("k"), Seq("k"), "left_anti")
+        .unionByName(ups)
+      val d2 = M.diff(M.readKeyed(s, dir).select("k", "v"), expected,
+        Seq("k"))
+      d1.agg(
+        (F.count(lit(1)) === n).as("n_ok"),
+        (F.sum(when(col("status") === "same", 0L).otherwise(1L)) === 0L)
+          .as("all_same"))
+        .withColumn("untouched_kept", lit(untouchedKept))
+        .withColumn("parents_gone", lit(parentsGone))
+        .withColumn("depths_ok", lit(depthsOk))
+        .withColumn("lookup_ok", lit(lookupOk))
+        .withColumn("changes_empty", lit(changesEmpty))
+        .withColumn("old_readable", lit(oldReadable))
+        .crossJoin(d2.agg(
+          (F.sum(when(col("status") === "same", 0L).otherwise(1L)) === 0L)
+            .as("postmerge_ok")))
+    }),
+
     // Streaming agg-state maintenance at the gate (r10): the
     // foreachBatch body applied batch-by-batch — bootstrap, a delta
     // refresh (with the compactEvery=2 cadence folding it), and a CoW
@@ -1458,18 +1553,51 @@ object SparkEntry {
       val q2 = M.readKeyedWhere(s, dir, col("v") >= 63L * 10000000L)
       val e2 = base.filter(col("v") >= 63L * 10000000L)
       val q3 = M.readKeyedWhere(s, dir, col("tenant") % 2 === 1)
+      // r11 grammar: IN-list / BETWEEN / OR-of-ranges on the
+      // zone-mapped NON-key column prune too; a CROSS-column OR is
+      // unrecognized by design and must fall back to the full scan
+      // while still answering right
+      val inVs = Seq(63L * 10000000L + 63L, 63L * 10000000L + 127L,
+        5L * 10000000L + 5L)
+      val q4 = M.readKeyedWhere(s, dir, col("v").isin(inVs: _*))
+      val e4 = base.filter(col("v").isin(inVs: _*))
+      val q5 = M.readKeyedWhere(s, dir,
+        col("v").between(63L * 10000000L, 63L * 10000000L + 320000L))
+      val e5 = base.filter(
+        col("v").between(63L * 10000000L, 63L * 10000000L + 320000L))
+      val q6 = M.readKeyedWhere(s, dir,
+        col("v") < 10000000L || col("v") >= 63L * 10000000L)
+      val e6 = base.filter(
+        col("v") < 10000000L || col("v") >= 63L * 10000000L)
+      val q7 = M.readKeyedWhere(s, dir,
+        col("tenant") === 1L || col("x") < 5.0)
       val d1 = M.diff(q1.select("tenant", "v", "x"), e1, Seq("v"))
       val d2 = M.diff(q2.select("tenant", "v", "x"), e2, Seq("v"))
-      d1.agg((F.sum(when(col("status") === "same", 0L).otherwise(1L)) === 0L
-          && F.count(lit(1)) > 0).as("key_rows_ok"))
-        .crossJoin(d2.agg(
-          (F.sum(when(col("status") === "same", 0L).otherwise(1L)) === 0L
-            && F.count(lit(1)) > 0).as("zone_rows_ok")))
+      def rowsOk(dd: DataFrame, name: String) = dd.agg(
+        (F.sum(when(col("status") === "same", 0L).otherwise(1L)) === 0L
+          && F.count(lit(1)) > 0).as(name))
+      rowsOk(d1, "key_rows_ok")
+        .crossJoin(rowsOk(d2, "zone_rows_ok"))
         .withColumn("key_pruned", lit(q1.inputFiles.length * 8 < total))
         .withColumn("zone_pruned", lit(q2.inputFiles.length * 8 < total))
         .withColumn("fallback_full", lit(q3.inputFiles.length == total))
         .crossJoin(q3.agg((F.count(lit(1)) ===
           base.filter(col("tenant") % 2 === 1).count()).as("fallback_ok")))
+        .crossJoin(rowsOk(
+          M.diff(q4.select("tenant", "v", "x"), e4, Seq("v")), "in_rows_ok"))
+        .withColumn("in_pruned", lit(q4.inputFiles.length * 8 < total))
+        .crossJoin(rowsOk(
+          M.diff(q5.select("tenant", "v", "x"), e5, Seq("v")),
+          "between_rows_ok"))
+        .withColumn("between_pruned", lit(q5.inputFiles.length * 8 < total))
+        .crossJoin(rowsOk(
+          M.diff(q6.select("tenant", "v", "x"), e6, Seq("v")),
+          "orrange_rows_ok"))
+        .withColumn("orrange_pruned", lit(q6.inputFiles.length * 8 < total))
+        .withColumn("crossor_full", lit(q7.inputFiles.length == total))
+        .crossJoin(q7.agg((F.count(lit(1)) ===
+          base.filter(col("tenant") === 1L || col("x") < 5.0).count())
+          .as("crossor_ok")))
     }),
 
     // Anchored funnel over the events stream: view -> click ->
@@ -3585,6 +3713,30 @@ object SparkEntry {
         "orders" -> t(s, d, "orders")).df
     }),
 
+    // MATERIALIZED-VIEW ROUTING (r11): the group-by over the pristine
+    // read_keyed snapshot routes onto the registered agg state — the
+    // answer is the state's exact-decimal arithmetic (the oracle
+    // mirrors it; the scan plan's IEEE float sum would NOT hash-match,
+    // so this gate goes red if routing silently stops firing), and
+    // LangSpec plan-guards that the base table's files never open
+    "ql58_lang_mv_route" -> ((s, d) => {
+      val bdir = runScratch("qlmvb", d)
+      val mdir = runScratch("qlmvs", d)
+      graft.sources.MatView.unregister(mdir)
+      graft.lang.Interp.run(s,
+        s"""base = orders {o_orderkey, o_orderpriority, o_totalprice}
+           |w = write_keyed(base, "$bdir", "o_orderkey", 16)
+           |st = build_agg_state_keyed(read_keyed("$bdir"),
+           |       "o_orderpriority", "o_totalprice", "$mdir", 8)
+           |r = register_mv("$mdir", "$bdir", "o_totalprice")
+           |t = read_keyed("$bdir")
+           |t {o_orderpriority => n: count(), total: sum(o_totalprice),
+           |   avg_price: mean(o_totalprice), lo: min(o_totalprice),
+           |   hi: max(o_totalprice)}
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+    }),
+
     // merge-on-read deltas + compaction from the language: the delta
     // append never rewrites bases, compact folds the chain, and the
     // end state is the closed-form reprice
@@ -3657,6 +3809,32 @@ object SparkEntry {
     // the initial load, commits, a repricing merge lands, and the
     // second poll emits EXACTLY the changed keys — closed-form oracle.
     // Rep-safe: the scratch table and cursor reset before each run.
+    // CDC over a MATERIALIZED VIEW (r11): the CDC source tails the agg
+    // state as a VIEW CHANGELOG — after the CoW refresh the poll emits
+    // each changed group's NEW finalized row plus old_* retractions
+    // (exactly what a downstream incremental consumer folds). Closed
+    // form: every priority changed; new = the full recompute, old =
+    // the build's 9/10ths, to_version = 2 (build, then one merge).
+    "ql59_lang_mv_cdc" -> ((s, d) => {
+      val dir = runScratch("qlmvcdc", d)
+      val cur = dir + ".cursor"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(cur), false)
+      graft.lang.Interp.run(s,
+        s"""b = build_agg_state_keyed(orders[o_orderkey % 10 != 0],
+           |      "o_orderpriority", "o_totalprice", "$dir", 8)
+           |init = poll_keyed_changes("$dir", "$cur")
+           |ok = commit_change_cursor("$cur", 1)
+           |m = merge_agg_state_keyed("$dir", orders[o_orderkey % 10 == 0],
+           |      "o_orderpriority", "o_totalprice")
+           |p2 = poll_keyed_changes("$dir", "$cur")
+           |p2 {o_orderpriority, status, n, total: round(total, 6),
+           |    old_n, old_total: round(old_total, 6), to_version}
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+    }),
+
     "ql55_lang_cdcsource" -> ((s, d) => {
       val dir = runScratch("qlcdcsrc", d)
       val cur = dir + ".cursor"
@@ -6271,6 +6449,57 @@ object SparkEntry {
            TRUE AS bases_untouched, TRUE AS delta_small,
            TRUE AS compacted""",
 
+    // x132's HLL machinery plus the second measure's exact-decimal
+    // sums — the multi-measure state must finalize to the one-shot
+    // recompute per measure
+    "x140_aggstate_multi" ->
+      """WITH h AS (
+           SELECT o_orderpriority,
+             ('0x' || substr(md5('hll:' || CAST(o_custkey AS VARCHAR)),
+               1, 15))::BIGINT AS hv
+           FROM orders WHERE o_custkey IS NOT NULL
+         ), r AS (
+           SELECT o_orderpriority, hv % 4096 AS bucket,
+             max(CASE WHEN hv // 4096 = 0 THEN 49
+                      ELSE 49 - length(bin(hv // 4096)) END) AS mj
+           FROM h GROUP BY 1, 2
+         ), sk AS (
+           SELECT o_orderpriority,
+             CAST(sum(CAST(pow(2.0, 49 - mj) AS BIGINT))
+               + (4096 - count(*)) * CAST(pow(2.0, 49) AS BIGINT)
+               AS BIGINT) AS sm,
+             4096 - count(*) AS v
+           FROM r GROUP BY 1
+         ), b AS (
+           SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2)))
+               AS DOUBLE), 6) AS total_price,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2)))
+               AS DOUBLE) / count(*), 6) AS mean_price,
+             min(o_totalprice) AS vmin_price, max(o_totalprice) AS vmax_price,
+             CAST(sum(CAST(o_custkey AS DECIMAL(28,2))) AS DOUBLE)
+               AS total_cust,
+             min(o_custkey) AS vmin_cust, max(o_custkey) AS vmax_cust
+           FROM orders GROUP BY 1
+         )
+         SELECT b.o_orderpriority, n, total_price, mean_price,
+           vmin_price, vmax_price, total_cust, vmin_cust, vmax_cust,
+           round(CASE WHEN (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                             / (CAST(sm AS DOUBLE) / pow(2.0, 49))
+                             <= 2.5 * 4096 AND v > 0
+                      THEN 4096.0 * ln(4096.0 / v)
+                      ELSE (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                             / (CAST(sm AS DOUBLE) / pow(2.0, 49)) END, 3)
+             AS approx_distinct
+         FROM b JOIN sk USING (o_orderpriority)""",
+
+    // scale-invariant planted truths (see the query comment)
+    "x141_bucket_split" ->
+      """SELECT TRUE AS n_ok, TRUE AS all_same, TRUE AS untouched_kept,
+           TRUE AS parents_gone, TRUE AS depths_ok, TRUE AS lookup_ok,
+           TRUE AS changes_empty, TRUE AS old_readable,
+           TRUE AS postmerge_ok""",
+
     // CDC end state in closed form: the seq-2 reprice wins for 7ths,
     // tombstones remove 13ths (including 91ths, where the tombstone's
     // seq outranks the reprice)
@@ -6305,7 +6534,11 @@ object SparkEntry {
     "x139_keyed_where" ->
       """SELECT TRUE AS key_rows_ok, TRUE AS zone_rows_ok,
            TRUE AS key_pruned, TRUE AS zone_pruned,
-           TRUE AS fallback_full, TRUE AS fallback_ok""",
+           TRUE AS fallback_full, TRUE AS fallback_ok,
+           TRUE AS in_rows_ok, TRUE AS in_pruned,
+           TRUE AS between_rows_ok, TRUE AS between_pruned,
+           TRUE AS orrange_rows_ok, TRUE AS orrange_pruned,
+           TRUE AS crossor_full, TRUE AS crossor_ok""",
 
     // the md5-order bottom-512 sample rebuilt with a rank window, its
     // median via the same explicit middle/average arithmetic
@@ -6752,6 +6985,18 @@ object SparkEntry {
     "ql57_lang_keyed_where" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""",
+    // the ROUTED group-by answers with the state's exact-decimal
+    // arithmetic (sum as DECIMAL(28,2) cast to double once; mean over
+    // the measure's NON-NULL count) — the scan plan's IEEE float sum
+    // would not hash-match, so the oracle doubles as a routing canary
+    "ql58_lang_mv_route" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+             AS total,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+             / count(o_totalprice) AS avg_price,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+         FROM orders GROUP BY o_orderpriority""",
     "ql56_lang_aggstate_keyed" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
            round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 6)
@@ -6765,6 +7010,24 @@ object SparkEntry {
       "SELECT o_orderkey, o_totalprice FROM orders",
     "ql52_lang_idxappend" -> bm25OracleSql(Seq("customer", "window"), 15),
     "ql54_lang_idxcompact" -> bm25OracleSql(Seq("customer", "window"), 15),
+
+    // the MV changelog's second poll: every priority 'changed', new =
+    // full recompute, old = the build's 9/10ths (exact-decimal sums)
+    "ql59_lang_mv_cdc" ->
+      """WITH newv AS (
+           SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2)))
+               AS DOUBLE), 6) AS total
+           FROM orders GROUP BY 1
+         ), oldv AS (
+           SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS old_n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2)))
+               AS DOUBLE), 6) AS old_total
+           FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY 1
+         )
+         SELECT o_orderpriority, 'changed' AS status, n, total,
+           old_n, old_total, 2 AS to_version
+         FROM newv JOIN oldv USING (o_orderpriority)""",
 
     // the second poll is exactly the repriced keys at version 2
     "ql55_lang_cdcsource" ->

@@ -1346,7 +1346,7 @@ object Interp {
           }
           else if (fields.isEmpty) tab.aggAll(namedAggs(tab, aggs): _*)
           else if (aggs.isEmpty) tab.groupBy(expandFields(tab, fields): _*)()
-          else {
+          else routeMv(tab, fields, aggs).getOrElse {
             val keys = expandFields(tab, fields)
             tab.groupBy(keys: _*)(
               namedAggs(tab, aggs, keys.map(_.name).toSet): _*)
@@ -1558,9 +1558,11 @@ object Interp {
       "upsert_keyed", "delete_keyed", "vacuum_keyed", "read_keyed_at", "table_stats",
       "keyed_stats", "phrase_search", "near_search", "keyed_changes",
       "poll_keyed_changes", "commit_change_cursor",
-      "append_delta_keyed", "compact_keyed", "build_agg_state",
+      "append_delta_keyed", "compact_keyed", "split_keyed",
+      "build_agg_state",
       "merge_agg_state", "finalize_agg", "build_agg_state_keyed",
       "merge_agg_state_keyed", "compact_agg_state_keyed",
+      "register_mv", "refresh_mv", "unregister_mv",
       "build_search_index", "append_search_index", "compact_search_index",
       "search_idx", "phrase_search_idx",
       "near_search_idx")
@@ -2567,6 +2569,18 @@ object Interp {
             litString(args(0).value))
           PTable(graft.sources.Maintenance.readKeyed(spark,
             litString(args(0).value)))
+        case "split_keyed" =>
+          // split_keyed(dir, b1, b2, ...) — extendible-hashing bucket
+          // split: each listed leaf bucket splits into two children
+          // one hash bit deeper; only those buckets' rows move, one
+          // atomic manifest commit. Returns the (unchanged) snapshot.
+          if (args.length < 2)
+            throw new TypeError("split_keyed(\"dir\", bucket, ...)")
+          graft.sources.Maintenance.splitKeyed(spark,
+            litString(args(0).value),
+            args.tail.map(a => constLong(a.value).toInt))
+          PTable(graft.sources.Maintenance.readKeyed(spark,
+            litString(args(0).value)))
         case "build_agg_state" =>
           // build_agg_state(t, "keys", "value", dir, "distinct_key"?,
           // sample_k?, "sample_unique"?) — the one full pass of an
@@ -2705,6 +2719,42 @@ object Interp {
             graft.sources.Maintenance.readAggStateKeyed(spark,
               litString(args(0).value), sampleK = csk),
             litString(args(1).value).trim.split("\\s+").toSeq))
+        case "register_mv" =>
+          // register_mv(mv_dir, base_dir, "value_cols") — register the
+          // bucketed agg state at mv_dir as a MATERIALIZED VIEW of the
+          // keyed table at base_dir, watermarked at the base's current
+          // version: a matching group-by over read_keyed(base_dir)
+          // then ROUTES onto the state (the base's files never open)
+          // until the base's version moves past the watermark. Returns
+          // the finalized view.
+          if (args.length != 3)
+            throw new TypeError(
+              "register_mv(\"mv_dir\", \"base_dir\", \"value_cols\")")
+          val mvd = graft.sources.MatView.register(spark,
+            litString(args(0).value), litString(args(1).value),
+            litString(args(2).value).trim.split("\\s+").toSeq)
+          PTable(graft.sources.Maintenance.finalizeAgg(
+            graft.sources.Maintenance.readAggStateKeyed(spark,
+              mvd.mvDir), mvd.keys))
+        case "refresh_mv" =>
+          // refresh_mv(mv_dir) — re-arm the watermark after the caller
+          // merged the base's changes into the state (the view now
+          // covers the base's CURRENT version); returns the finalized
+          // view
+          if (args.length != 1)
+            throw new TypeError("refresh_mv(\"mv_dir\")")
+          val rvd = graft.sources.MatView.refreshed(spark,
+            litString(args(0).value))
+          PTable(graft.sources.Maintenance.finalizeAgg(
+            graft.sources.Maintenance.readAggStateKeyed(spark,
+              rvd.mvDir), rvd.keys))
+        case "unregister_mv" =>
+          // unregister_mv(mv_dir) — drop the routing hint (the state
+          // itself stays on disk)
+          if (args.length != 1)
+            throw new TypeError("unregister_mv(\"mv_dir\")")
+          graft.sources.MatView.unregister(litString(args(0).value))
+          PTable(spark.range(1).select(lit(true).as("ok")))
         case "keyed_changes" =>
           // keyed_changes(dir, from_version, to_version) — CDC feed of
           // added/removed/changed keys, reading only changed buckets
@@ -2976,6 +3026,42 @@ object Interp {
         }
       }
     }
+
+    /** Materialized-view ROUTING (r11): a grouped projection over the
+      * PRISTINE latest snapshot of a keyed table (`read_keyed`) whose
+      * keys are plain columns and whose aggregates are explicitly
+      * named, covered measures (count/sum/mean/min/max) routes onto a
+      * registered agg state — O(groups) rows read instead of the base
+      * scan, the language-level twin of a warehouse's automatic MV
+      * rewrite. Anything unrecognized falls through to the scan plan,
+      * and `MatView.route` itself re-checks grain, coverage, and the
+      * base-version WATERMARK (a stale view never answers) — routing
+      * can narrow the plan but never change the rows.
+      */
+    private def routeMv(tab: PTable, fields: Seq[Field],
+                        aggs: Seq[Field]): Option[PTable] =
+      tab.keyedSource.flatMap { baseDir =>
+        val keyPairs = fields.map {
+          case Field(n, Ident(k)) => Some((n.getOrElse(k), k))
+          case _ => None
+        }
+        val aggTriples = aggs.map {
+          case Field(Some(n), Call("count", Seq())) =>
+            Some((n, "count", None: Option[String]))
+          case Field(Some(n), Call("count", Seq(Arg(None, Ident(c))))) =>
+            Some((n, "countv", Some(c)))
+          case Field(Some(n), Call(op @ ("sum" | "min" | "max"),
+              Seq(Arg(None, Ident(c))))) =>
+            Some((n, op, Some(c)))
+          case Field(Some(n), Call("mean" | "avg",
+              Seq(Arg(None, Ident(c))))) =>
+            Some((n, "mean", Some(c)))
+          case _ => None
+        }
+        if (keyPairs.exists(_.isEmpty) || aggTriples.exists(_.isEmpty)) None
+        else graft.sources.MatView.route(spark, baseDir,
+          keyPairs.map(_.get), aggTriples.map(_.get)).map(PTable(_))
+      }
 
     private def namedAggs(tab: PTable, aggs: Seq[Field],
                           taken: Set[String] = Set.empty): Seq[NamedCol] = {

@@ -98,7 +98,8 @@ object Maintenance {
     * (it could alias another composite); real keys never carry \u0001.
     */
   private def kb(keyCols: Seq[String], nBuckets: Int,
-                 nullSafe: Boolean = false): Column = {
+                 nullSafe: Boolean = false,
+                 depths: Map[Int, Int] = Map.empty): Column = {
     import org.apache.spark.sql.types.StringType
     require(keyCols.nonEmpty, "keyed table: no key columns")
     val joined =
@@ -115,14 +116,47 @@ object Maintenance {
           F.concat(a, F.lit("\u0001"), b))
       else joined)
     val anyNull = keyCols.map(c => F.col(c).isNull).reduce(_ || _)
-    val bucket = F.pmod(h, F.lit(nBuckets.toLong))
-      .cast(org.apache.spark.sql.types.IntegerType)
+    val bucket =
+      if (depths.isEmpty || depths.values.forall(_ == 0))
+        // the flat layout: the exact pre-r11 expression, byte-for-byte
+        F.pmod(h, F.lit(nBuckets.toLong))
+          .cast(org.apache.spark.sql.types.IntegerType)
+      else {
+        // extendible-hashing layout (splitKeyed): the leaf for hash h
+        // is the unique id in the depth tree with h mod (N·2^d) = id.
+        // The fine-to-leaf table is UNROLLED AT PLAN-BUILD TIME into a
+        // literal int array (bounded by the split-depth cap), so the
+        // per-row cost is one pmod + one array index — no per-row tree
+        // walk, and the expression stays codegen-friendly.
+        val dmax = depths.values.max
+        val fineN = nBuckets << dmax
+        val leafArr = Array.tabulate(fineN)(leafOf(_, nBuckets, depths, dmax))
+        F.get(F.lit(leafArr),
+          F.pmod(h, F.lit(fineN.toLong))
+            .cast(org.apache.spark.sql.types.IntegerType))
+      }
     if (nullSafe) bucket
     else F.when(anyNull, F.raise_error(F.lit(
         s"keyed table: key column(s) ${keyCols.mkString(",")} must not " +
           "be NULL")))
       .otherwise(bucket)
       .cast(org.apache.spark.sql.types.IntegerType)
+  }
+
+  /** The leaf bucket a fine id (h mod N·2^dmax) belongs to: the unique
+    * prefix-tree leaf whose (id, depth) matches — descend from the
+    * deepest recorded depth; no match at any positive depth means the
+    * flat depth-0 leaf (id mod N).
+    */
+  private def leafOf(fine: Int, n: Int, depths: Map[Int, Int],
+                     dmax: Int): Int = {
+    var d = dmax
+    while (d > 0) {
+      val c = fine % (n << d)
+      if (depths.getOrElse(c, -1) == d) return c
+      d -= 1
+    }
+    fine % n
   }
 
   /** A resolved table snapshot: manifest version → live dir per bucket.
@@ -178,6 +212,16 @@ object Maintenance {
     *    instead of trusting the caller to repeat the build's numbers
     *    (a wrong p would silently mis-merge registers). 0 / -1 =
     *    unrecorded (pre-r10 states fall back to the old defaults).
+    *
+    * r11 addition:
+    *  - `depths`: per-LEAF-bucket split depth for extendible-hashing
+    *    bucket splits (`splitKeyed`) — a leaf at depth d holds the keys
+    *    with h mod (nBuckets·2^d) = leaf id. Absent/empty = the flat
+    *    layout (every leaf at depth 0, id = h mod nBuckets), which is
+    *    every pre-r11 table. The depth map is LAYOUT TRUTH like
+    *    keyCol/nBuckets: every reader and writer derives its bucket
+    *    function from it, so a caller can never hash a batch under a
+    *    stale layout without the guards noticing.
     */
   final case class KeyedManifest(version: Int, buckets: Map[Int, String],
                                  keyCol: String = "", nBuckets: Int = 0,
@@ -189,7 +233,8 @@ object Maintenance {
                                  colStats: Map[String, Map[String, (String, String)]] = Map.empty,
                                  resolve: String = "",
                                  txn: Map[String, Long] = Map.empty,
-                                 aggP: Int = 0, aggK: Int = -1) {
+                                 aggP: Int = 0, aggK: Int = -1,
+                                 depths: Map[Int, Int] = Map.empty) {
     /** The key as a COLUMN LIST: r10 composite keys store the names
       * comma-joined in `keyCol` (column names in this engine never
       * carry commas — the DDL round-trip would reject them).
@@ -243,6 +288,8 @@ object Maintenance {
   private val AggPEntry = """"aggP"\s*:\s*(\d+)""".r
   private val AggKEntry = """"aggK"\s*:\s*(\d+)""".r
   private val StatsColsEntry = """"statsCols"\s*:\s*"([^"]*)"""".r
+  private val DepthsSection = """"depths"\s*:\s*\{([^}]*)\}""".r
+  private val DepthEntry = """"(\d+)"\s*:\s*(\d+)""".r
   private val ColStatsSection = """"colstats"\s*:\s*\{([^}]*)\}""".r
   private val ColStatEntry = """"([^"]+)\|([^"]+)"\s*:\s*"([^",]*),([^"]*)"""".r
 
@@ -297,6 +344,24 @@ object Maintenance {
       s"manifest version $v of $clean disappeared mid-read (vacuumed?)"))
   }
 
+  /** Parsed-manifest cache. Manifest FILES are write-once (the publish
+    * is rename/hard-link-if-absent), but a vacuumed-then-recreated
+    * table reuses version NUMBERS — so the cache key carries the
+    * file's (mtime, length) identity, never just its path: a recreated
+    * v1 parses fresh instead of serving the dead table's entry. The
+    * payoff is every repeated read/merge/poll of the same snapshot:
+    * r10 manifests carry rows/colstats/txn on every commit (~10× the
+    * r8 bytes), and the re-open + regex re-parse per readManifest call
+    * was measurable on delta-heavy paths (ql51/x98). Bounded LRU.
+    */
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Long, Long), KeyedManifest](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), KeyedManifest])
+          : Boolean = size() > 512
+    }
+
   /** Open + parse one manifest by version WITHOUT a directory listing;
     * None when the file is gone (a racing vacuum between a version
     * listing and this read degrades to a skip, not a crash).
@@ -305,6 +370,14 @@ object Maintenance {
                               v: Int): Option[KeyedManifest] = {
     val p = new Path(manifestDir(clean), f"v$v%09d.json")
     val fs = hadoopFs(spark, p)
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val cacheKey = (p.toString, st.getModificationTime, st.getLen)
+    manifestCache.synchronized(Option(manifestCache.get(cacheKey))) match {
+      case some @ Some(_) => return some
+      case None => ()
+    }
     val txt =
       try {
         val in = fs.open(p)
@@ -335,7 +408,7 @@ object Maintenance {
             m.group(2) -> (b64dec(m.group(3)), b64dec(m.group(4)))).toMap
         })
       .getOrElse(Map.empty[String, Map[String, (String, String)]])
-    Some(KeyedManifest(v, buckets,
+    val parsed = KeyedManifest(v, buckets,
       KeyColEntry.findFirstMatchIn(txt).map(_.group(1)).getOrElse(""),
       NBucketsEntry.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0),
       SchemaEntry.findFirstMatchIn(txt).map(m => b64dec(m.group(1)))
@@ -351,7 +424,13 @@ object Maintenance {
           .map(m => b64dec(m.group(1)) -> m.group(2).toLong).toMap)
         .getOrElse(Map.empty[String, Long]),
       AggPEntry.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0),
-      AggKEntry.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(-1)))
+      AggKEntry.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(-1),
+      DepthsSection.findFirstMatchIn(txt).map(_.group(1))
+        .map(body => DepthEntry.findAllMatchIn(body)
+          .map(m => m.group(1).toInt -> m.group(2).toInt).toMap)
+        .getOrElse(Map.empty[Int, Int]))
+    manifestCache.synchronized(manifestCache.put(cacheKey, parsed))
+    Some(parsed)
   }
 
   /** Publish a manifest: write to a dot-temp in `_manifests`, then one
@@ -405,6 +484,10 @@ object Maintenance {
     val aggMeta =
       (if (m.aggP > 0) s""", "aggP": ${m.aggP}""" else "") +
         (if (m.aggK >= 0) s""", "aggK": ${m.aggK}""" else "")
+    val depths =
+      if (m.depths.isEmpty) ""
+      else m.depths.toSeq.sorted.map { case (b, dep) => s""""$b": $dep""" }
+        .mkString(""", "depths": {""", ", ", "}")
     // the commit wall-clock stamp: the manifest body is the
     // FS-independent truth for `versionAt` (mtime is only a pre-r10
     // fallback)
@@ -414,7 +497,7 @@ object Maintenance {
       .map { case (b, d) => s""""$b": "$d"""" }
       .mkString(s"""{"version": ${m.version}, $meta$schema"buckets": {""",
         ", ", "}") + deltas + rows + statsCols + colStats + resolve +
-      txn + aggMeta + ts + "}"
+      txn + aggMeta + depths + ts + "}"
     val tmp = new Path(md,
       s".tmp_v${m.version}_${ProcessHandle.current().pid()}x${stageCounter.incrementAndGet()}")
     val out = fs.create(tmp, true)
@@ -586,8 +669,11 @@ object Maintenance {
     *  - Range/equality conjuncts on zone-mapped columns skip buckets
     *    via the manifest stats (open-ended ranges included) at BUCKET
     *    granularity — the same delta-safety rule as `readKeyedRange`.
-    *  - Unrecognized predicate shapes prune nothing and filter
-    *    everything: pruning is never a guess.
+    *    r11 widens the recognized grammar to DISJUNCTIONS OF RANGES on
+    *    one column: `v IN (…)`, `v BETWEEN a AND b` (it analyzes to two
+    *    conjuncts), and `v < a OR v > b` all prune.
+    *  - Unrecognized predicate shapes (e.g. a CROSS-column OR) prune
+    *    nothing and filter everything: pruning is never a guess.
     */
   def readKeyedWhere(spark: SparkSession, dir: String, cond: Column,
                      version: Option[Int] = None): DataFrame = {
@@ -723,20 +809,51 @@ object Maintenance {
         attrName(a).map(n => (n, Some(litVal(v).get), None))
       case _ => eq(e).map { case (n, v) => (n, Some(v), Some(v)) }
     }
+    // a conjunct reduced to a DISJUNCTION of [lo, hi] ranges on ONE
+    // column: plain comparisons/equalities give one range, `BETWEEN`
+    // arrives as two conjuncts (Column.between analyzes to >= AND <=),
+    // an IN-list gives a point range per element, and OR combines
+    // same-column disjuncts recursively — so `v IN (…)`,
+    // `v < a OR v > b`, and OR-chains of equalities all prune. A
+    // cross-column OR (or any unrecognized disjunct) keeps the whole
+    // conjunct unrecognized → it prunes nothing (never a guess); the
+    // full predicate still applies after resolution either way.
+    def ranges(e: E.Expression)
+        : Option[(String, Seq[(Option[Any], Option[Any])])] = e match {
+      case E.Or(l, r) =>
+        for {
+          (nl, rl) <- ranges(l)
+          (nr, rr) <- ranges(r)
+          if nl.equalsIgnoreCase(nr)
+        } yield (nl, rl ++ rr)
+      case E.In(a, vs) if attrName(a).isDefined &&
+          vs.nonEmpty && vs.forall(litVal(_).isDefined) =>
+        // a NULL element matches no rows, so it contributes no range
+        // (an all-NULL list leaves zero ranges → every bucket prunes,
+        // which is exactly `col IN (NULL)`'s empty answer)
+        Some((attrName(a).get,
+          vs.map(litVal(_).get).filter(_ != null)
+            .map(v => (Some(v), Some(v)))))
+      case _ => bounds(e).map { case (n, lo, hi) => (n, Seq((lo, hi))) }
+    }
     val types: Map[String, org.apache.spark.sql.types.DataType] =
       if (m.schemaDdl.isEmpty) Map.empty
       else org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
         .fields.map(f => f.name -> f.dataType).toMap
-    val zone = cs.flatMap(bounds(_)).flatMap { case (n, lo, hi) =>
-      m.statsCols.find(_.equalsIgnoreCase(n)).map(real => (real, lo, hi))
+    val zone = cs.flatMap(ranges(_)).flatMap { case (n, rs) =>
+      m.statsCols.find(_.equalsIgnoreCase(n)).map(real => (real, rs))
     }
     val kept = live.filter { b =>
       val dirs = m.buckets.get(b).toSeq ++ m.deltas.getOrElse(b, Nil)
-      zone.forall { case (n, lo, hi) =>
+      // kept iff, for EVERY recognized conjunct, SOME dir's stats can
+      // intersect SOME of its disjunct ranges (bucket granularity — the
+      // same delta-safety rule as readKeyedRange)
+      zone.forall { case (n, rs) =>
         dirs.exists { d =>
           (types.get(n), m.colStats.get(d).flatMap(_.get(n))) match {
             case (Some(t), Some((mn, mx))) =>
-              statOverlapBounds(t, mn, mx, lo, hi)
+              rs.exists { case (lo, hi) =>
+                statOverlapBounds(t, mn, mx, lo, hi) }
             case _ => true
           }
         }
@@ -1187,7 +1304,7 @@ object Maintenance {
         schema, nextDeltas, nextRows,
         statsCols = base.statsCols, colStats = nextStats,
         resolve = base.resolve, txn = base.txn ++ txn,
-        aggP = base.aggP, aggK = base.aggK))
+        aggP = base.aggP, aggK = base.aggK, depths = base.depths))
   }
 
   private[graft] def commitKeyed(spark: SparkSession,
@@ -1249,10 +1366,15 @@ object Maintenance {
   def mergeKeyed(spark: SparkSession, dir: String,
                  updates: Option[DataFrame], deleteKeys: Option[DataFrame],
                  keyCols: Seq[String], nBuckets: Int): Unit = {
-    val up = updates.map(_.withColumn("kb", kb(keyCols, nBuckets))
+    // the bucket function derives from the CURRENT layout (the depth
+    // map is manifest metadata, r11) — read it before hashing the batch
+    val depths0 = readManifest(spark, dir).depths
+    val up = updates.map(_.withColumn("kb",
+        kb(keyCols, nBuckets, depths = depths0))
       .localCheckpoint())
     val dk = deleteKeys.map(_.select(keyCols.map(F.col): _*)
-      .withColumn("kb", kb(keyCols, nBuckets)).localCheckpoint())
+      .withColumn("kb", kb(keyCols, nBuckets, depths = depths0))
+      .localCheckpoint())
     val touched = (up.toSeq ++ dk.toSeq)
       .flatMap(_.select("kb").distinct().collect().map(_.getInt(0)))
       .distinct.sorted
@@ -1263,6 +1385,11 @@ object Maintenance {
       // commit: the publish targets exactly the version the merge was
       // computed against
       val m = readManifest(spark, dir)
+      // the batch was hashed under depths0 — a concurrent SPLIT since
+      // would park rows in buckets they no longer hash to
+      require(m.depths == depths0,
+        s"keyed table $dir re-bucketed mid-merge (splitKeyed) — " +
+          "re-run the merge")
       val base = readTouched(spark, dir, m, touched, batchForSchema,
         keyCols, nBuckets)
       val gone = (up.map(_.select(keyCols.map(F.col): _*)).toSeq ++
@@ -1314,7 +1441,11 @@ object Maintenance {
           .filter(F.col("__rn") === 1).drop("__rn")
       case None => batch
     }
-    val reduced = reduced0.withColumn("kb", kb(keyCols, nBuckets))
+    val depths0 =
+      if (manifestVersions(spark, dir).isEmpty) Map.empty[Int, Int]
+      else readManifest(spark, dir).depths
+    val reduced = reduced0.withColumn("kb",
+        kb(keyCols, nBuckets, depths = depths0))
       .localCheckpoint()
     val touched = reduced.select("kb").distinct().collect()
       .map(_.getInt(0)).sorted.toSeq
@@ -1336,6 +1467,9 @@ object Maintenance {
     }
     withCommitRetry(s"cdcMergeKeyed($dir)") {
       val m = readManifest(spark, dir)
+      require(m.depths == depths0,
+        s"keyed table $dir re-bucketed mid-merge (splitKeyed) — " +
+          "re-run the merge")
       val base = readTouched(spark, dir, m, touched, reduced,
         keyCols, nBuckets)
       // cross-batch last-wins: a late batch carrying an older sequence
@@ -1436,7 +1570,13 @@ object Maintenance {
         else tk.select(keyCols.map(F.col): _*))
           .withColumn("__tomb", F.lit(true)),
         allowMissingColumns = true))
-    val withKb = all.withColumn("kb", kb(keyCols, nBuckets)).localCheckpoint()
+    val m0 = readManifest(spark, dir)
+    require(m0.nBuckets == 0 ||
+      (m0.nBuckets == nBuckets && m0.keyCol == keyCol),
+      s"keyed table $clean is (${m0.keyCol}, ${m0.nBuckets}) buckets; " +
+        s"caller passed ($keyCol, $nBuckets)")
+    val withKb = all.withColumn("kb",
+      kb(keyCols, nBuckets, depths = m0.depths)).localCheckpoint()
     // ONE metadata job: the touched-bucket set (bounded by nBuckets)
     // and the unique-keys-per-call guard — duplicate keys at the same
     // precedence level would have no resolution order, so the window's
@@ -1453,11 +1593,6 @@ object Maintenance {
         "(cdcMergeKeyed does this by sequence)")
     val touched = probe.getSeq[Int](2).sorted
     if (touched.isEmpty) return
-    val m0 = readManifest(spark, dir)
-    require(m0.nBuckets == 0 ||
-      (m0.nBuckets == nBuckets && m0.keyCol == keyCol),
-      s"keyed table $clean is (${m0.keyCol}, ${m0.nBuckets}) buckets; " +
-        s"caller passed ($keyCol, $nBuckets)")
     val (staged, stagedRows, stagedStats) = stageBuckets(spark, clean,
       withKb, m0.version + 1, keyCols, m0.statsCols, prefix = 'd')
     withCommitRetry(s"appendDeltaKeyed($dir)") {
@@ -1466,11 +1601,12 @@ object Maintenance {
       // re-bootstrap may have changed the bucket layout since m0, and
       // publishing deltas hashed under the OLD layout would park keys
       // in buckets they no longer hash to (silently unreachable rows)
-      require(m.nBuckets == 0 ||
-        (m.nBuckets == nBuckets && m.keyCol == keyCol),
-        s"keyed table $clean re-bootstrapped to (${m.keyCol}, " +
-          s"${m.nBuckets}) buckets mid-append; caller staged for " +
-          s"($keyCol, $nBuckets) — re-run the append")
+      require((m.nBuckets == 0 ||
+        (m.nBuckets == nBuckets && m.keyCol == keyCol)) &&
+        m.depths == m0.depths,
+        s"keyed table $clean re-bootstrapped/re-bucketed to " +
+          s"(${m.keyCol}, ${m.nBuckets}) buckets mid-append; caller " +
+          s"staged for ($keyCol, $nBuckets) — re-run the append")
       val nextDeltas = m.deltas ++ staged.map { case (b, d) =>
         b -> (m.deltas.getOrElse(b, Seq.empty) :+ d)
       }
@@ -1483,7 +1619,7 @@ object Maintenance {
         m.keyCol, m.nBuckets, schema, nextDeltas, m.rows ++ stagedRows,
         statsCols = m.statsCols, colStats = m.colStats ++ stagedStats,
         resolve = m.resolve, txn = m.txn ++ txn,
-        aggP = m.aggP, aggK = m.aggK))
+        aggP = m.aggP, aggK = m.aggK, depths = m.depths))
     }
   }
 
@@ -1515,6 +1651,77 @@ object Maintenance {
     }
   }
 
+  /** ONLINE RE-BUCKETING (extendible-hashing bucket split, r11):
+    * split each listed LEAF bucket into two children one hash bit
+    * deeper — leaf b at depth d becomes b and b + N·2^d at depth d+1
+    * (N = the table's base bucket count; both children keep
+    * ≡ b mod N·2^d, so every other leaf's id and contents are
+    * untouched). ONLY the split buckets' rows are read and restaged
+    * (delta chains fold in the process, like a compaction of those
+    * buckets); one manifest commit publishes the new generations AND
+    * the new depth map atomically, so a mid-split reader sees the old
+    * or the new COMPLETE layout — never a half-split bucket. This is
+    * what makes `nBuckets` a day-one ESTIMATE instead of a forever
+    * decision: at 100 TB, the handful of buckets that outgrew their
+    * rewrite budget split in place for O(those buckets), not a full
+    * re-bootstrap.
+    *
+    * Works for row tables AND bucketed agg states (the rewrite is
+    * last-wins resolution or re-aggregation respectively — the same
+    * discipline their compactions use). Writers racing a split fail
+    * loudly on the depth-map guard and re-run against the new layout.
+    */
+  def splitKeyed(spark: SparkSession, dir: String,
+                 buckets: Seq[Int]): Unit = {
+    require(buckets.nonEmpty, "splitKeyed: no buckets to split")
+    val clean = cleanDir(dir)
+    withCommitRetry(s"splitKeyed($dir)") {
+      val m = readManifest(spark, dir)
+      require(m.nBuckets > 0, s"$clean has no keyed metadata")
+      val n = m.nBuckets
+      def leafDepth(b: Int): Int =
+        m.depths.getOrElse(b, if (b >= 0 && b < n) 0 else -1)
+      val targets = buckets.distinct.sorted
+      targets.foreach(b => require(leafDepth(b) >= 0,
+        s"splitKeyed($clean): $b is not a current leaf bucket " +
+          s"(depths: ${m.depths}, nBuckets: $n)"))
+      val newDepths = m.depths ++ targets.flatMap { b =>
+        val d = leafDepth(b)
+        Seq(b -> (d + 1), (b + (n << d)) -> (d + 1))
+      }
+      // two hard caps, both layout invariants: bucket dir names carry
+      // 5-digit ids (the vacuum/bootstrap patterns match exactly
+      // those), and the plan-literal fine-to-leaf array must stay
+      // small enough to inline
+      val dmax = newDepths.values.max
+      require((n.toLong << dmax) <= 100000,
+        s"splitKeyed($clean): depth $dmax over $n base buckets exceeds " +
+          "the 100000-leaf layout cap")
+      val live = targets.filter(b => m.buckets.contains(b) ||
+        m.deltas.get(b).exists(_.nonEmpty))
+      if (live.isEmpty) {
+        // depth-only commit: the split buckets held no rows
+        writeManifest(spark, clean, KeyedManifest(m.version + 1,
+          m.buckets, m.keyCol, m.nBuckets, m.schemaDdl, m.deltas, m.rows,
+          statsCols = m.statsCols, colStats = m.colStats,
+          resolve = m.resolve, txn = m.txn,
+          aggP = m.aggP, aggK = m.aggK, depths = newDepths))
+      } else {
+        // resolve the split buckets' rows by the table's own
+        // discipline (chains fold here, exactly like their compaction)
+        val rows =
+          if (m.resolve == "agg")
+            readAggStateBuckets(spark, clean, m, live)
+          else resolveBuckets(spark, clean, m, live, None).drop("kb")
+        val rehashed = rows.withColumn("kb",
+          kb(m.keyCols, n, depths = newDepths))
+        val pending = stageMerge(spark, dir, rehashed, targets, m)
+        commitKeyed(spark,
+          pending.copy(manifest = pending.manifest.copy(depths = newDepths)))
+      }
+    }
+  }
+
   /** The live rows of the buckets a key frame hashes into — the
     * pruned read CDC consumers use to compare incoming sequence
     * numbers against stored ones (same bucket set the merge itself
@@ -1523,11 +1730,12 @@ object Maintenance {
   def readKeyBuckets(spark: SparkSession, dir: String, keys: DataFrame,
                      keyCol: String, nBuckets: Int): DataFrame = {
     val keyCols = keyCol.split(",").toSeq
+    val m = readManifest(spark, dir)
     val ks = keys.select(keyCols.map(F.col): _*)
-      .withColumn("kb", kb(keyCols, nBuckets)).localCheckpoint()
+      .withColumn("kb", kb(keyCols, nBuckets, depths = m.depths))
+      .localCheckpoint()
     val touched = ks.select("kb").distinct().collect()
       .map(_.getInt(0)).sorted.toSeq
-    val m = readManifest(spark, dir)
     readTouched(spark, dir, m, touched, ks, keyCols, nBuckets)
   }
 
@@ -1596,7 +1804,8 @@ object Maintenance {
     import scala.jdk.CollectionConverters._
     val probe = spark.createDataFrame(rows.asJava,
       StructType(keyFields.map(f => StructField(f.name, f.dataType))))
-    val touched = probe.select(kb(keyCols, m.nBuckets).as("b"))
+    val touched = probe
+      .select(kb(keyCols, m.nBuckets, depths = m.depths).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
       .filter(b => m.buckets.contains(b) ||
         m.deltas.get(b).exists(_.nonEmpty)).sorted
@@ -1834,18 +2043,54 @@ object Maintenance {
       sampleUnique), dir)
   }
 
-  private def basicAggs(valueCol: String) = Seq(
-    F.count(F.lit(1)).as("__cnt"),
-    F.sum(F.col(valueCol).cast(org.apache.spark.sql.types.DecimalType(28, 2)))
-      .as("__sum"),
-    F.min(F.col(valueCol)).as("__min"),
-    F.max(F.col(valueCol)).as("__max"))
+  /** Per-measure state-column suffix: ONE measure keeps the exact
+    * pre-r11 names (__sum/__cnv/__min/__max — every existing state
+    * stays valid); k ≥ 2 measures suffix each column with the measure
+    * name (__sum_price, __min_qty, …). The shared row count stays
+    * __cnt either way.
+    */
+  private def msfx(valueCols: Seq[String], c: String): String =
+    if (valueCols.length == 1) "" else s"_$c"
+
+  private def basicAggs(valueCols: Seq[String]) =
+    Seq(F.count(F.lit(1)).as("__cnt")) ++ valueCols.flatMap { c =>
+      val s = msfx(valueCols, c)
+      Seq(
+        F.sum(F.col(c).cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+          .as(s"__sum$s"),
+        // the measure's NON-NULL row count (r11): what `avg(c)` and
+        // `count(c)` divide/count by — __cnt is count(*); without this
+        // a routed mean over a null-carrying measure would silently
+        // disagree with the scan plan. Mergeable under sum.
+        F.count(F.col(c)).as(s"__cnv$s"),
+        F.min(F.col(c)).as(s"__min$s"),
+        F.max(F.col(c)).as(s"__max$s"))
+    }
 
   private def partialAgg(df: DataFrame, keys: Seq[String], valueCol: String,
                          distinctKey: Option[String], p: Int,
                          sampleK: Int = 0,
-                         sampleUnique: Option[String] = None): DataFrame = {
+                         sampleUnique: Option[String] = None): DataFrame =
+    partialAggCols(df, keys, Seq(valueCol), distinctKey, p, sampleK,
+      sampleUnique)
+
+  /** Multi-measure partial aggregate: one state row per group tracking
+    * (__sum/__cnv/__min/__max) PER MEASURE — a dashboard tracking
+    * (revenue, qty, latency) per key pays ONE state, one merge, one
+    * manifest instead of three. The bounded sample, when requested,
+    * tracks the FIRST measure (quantiles over more than one measure =
+    * two states by design — the sample is the one state column whose
+    * merge isn't a per-column fold).
+    */
+  private def partialAggCols(df: DataFrame, keys: Seq[String],
+                             valueCols: Seq[String],
+                             distinctKey: Option[String], p: Int,
+                             sampleK: Int = 0,
+                             sampleUnique: Option[String] = None)
+      : DataFrame = {
     require(p >= 7 && p <= 16, s"hll p in [7,16], got $p")
+    require(valueCols.nonEmpty, "agg state: no measure columns")
+    val valueCol = valueCols.head
     val extra =
       // the native register aggregate (plans.HllRegsState): ONE
       // aggregation, a bounded 2^p-byte buffer per group, registers
@@ -1896,21 +2141,30 @@ object Maintenance {
             sampleK).as(
             if (sampleUnique.isDefined) "__smpr" else "__smp"))
         } else Nil)
-    df.groupBy(keys.map(F.col): _*)
-      .agg(basicAggs(valueCol).head, basicAggs(valueCol).tail ++ extra: _*)
+    val ba = basicAggs(valueCols)
+    df.groupBy(keys.map(F.col): _*).agg(ba.head, ba.tail ++ extra: _*)
   }
 
+  /** Merge state rows per key: every state column is associative, so
+    * the fold is a per-column aggregate — counts and sums add, min/max
+    * fold, HLL registers union, bounded samples keep the k smallest.
+    * Column handling is NAME-DRIVEN (prefix match), so single- and
+    * multi-measure states, with or without the r11 __cnv columns,
+    * merge through the same body.
+    */
   private def aggOfState(state: DataFrame, keys: Seq[String],
                          p: Int, sampleK: Int): DataFrame = {
-    val aggs = Seq(
-      F.sum(F.col("__cnt")).as("__cnt"), F.sum(F.col("__sum")).as("__sum")) ++
-      (if (state.columns.contains("__min"))
-        Seq(F.min(F.col("__min")).as("__min"), F.max(F.col("__max")).as("__max"))
-      else Nil) ++
-      (if (state.columns.contains("__regs"))
+    val cols = state.columns
+    val aggs =
+      Seq(F.sum(F.col("__cnt")).as("__cnt")) ++
+      cols.filter(c => c.startsWith("__sum") || c.startsWith("__cnv"))
+        .map(c => F.sum(F.col(c)).as(c)) ++
+      cols.filter(_.startsWith("__min")).map(c => F.min(F.col(c)).as(c)) ++
+      cols.filter(_.startsWith("__max")).map(c => F.max(F.col(c)).as(c)) ++
+      (if (cols.contains("__regs"))
         Seq(graft.plans.HllRegs.unionState(F.col("__regs"), p).as("__regs"))
       else Nil) ++
-      (Seq("__smp", "__smpr").filter(state.columns.contains).map(c =>
+      (Seq("__smp", "__smpr").filter(cols.contains).map(c =>
         // k smallest of the union of the (≤ sources) bounded samples —
         // a tiny interpreted sort over ≤ 2k entries per key; the sort
         // order (hash, value-string) is exactly the heap's
@@ -2123,15 +2377,30 @@ object Maintenance {
     */
   def finalizeAgg(state: DataFrame, keys: Seq[String],
                   p: Int = 12): DataFrame = {
-    val base = Seq(
-      F.col("__cnt").as("n"),
-      F.col("__sum").cast(org.apache.spark.sql.types.DoubleType).as("total"),
-      // ONE IEEE division over the exact decimal sum (not decimal
-      // division, whose result scale differs across engines)
-      (F.col("__sum").cast(org.apache.spark.sql.types.DoubleType) /
-        F.col("__cnt")).as("mean"))
+    // multi-measure states (r11) finalize per measure with suffixed
+    // names: n, then total_<m>/mean_<m>/vmin_<m>/vmax_<m> for each —
+    // single-measure states keep the exact pre-r11 shape
+    val multi = state.columns.filter(_.startsWith("__sum_"))
+      .map(_.stripPrefix("__sum_")).toSeq
+    val base =
+      if (multi.isEmpty) Seq(
+        F.col("__cnt").as("n"),
+        F.col("__sum").cast(org.apache.spark.sql.types.DoubleType).as("total"),
+        // ONE IEEE division over the exact decimal sum (not decimal
+        // division, whose result scale differs across engines)
+        (F.col("__sum").cast(org.apache.spark.sql.types.DoubleType) /
+          F.col("__cnt")).as("mean"))
+      else F.col("__cnt").as("n") +: multi.flatMap(c => Seq(
+        F.col(s"__sum_$c").cast(org.apache.spark.sql.types.DoubleType)
+          .as(s"total_$c"),
+        (F.col(s"__sum_$c").cast(org.apache.spark.sql.types.DoubleType) /
+          F.col("__cnt")).as(s"mean_$c")))
     val minmax =
-      if (state.columns.contains("__min"))
+      if (multi.nonEmpty)
+        multi.filter(c => state.columns.contains(s"__min_$c")).flatMap(c =>
+          Seq(F.col(s"__min_$c").as(s"vmin_$c"),
+            F.col(s"__max_$c").as(s"vmax_$c")))
+      else if (state.columns.contains("__min"))
         Seq(F.col("__min").as("vmin"), F.col("__max").as("vmax"))
       else Nil
     val distinct =
@@ -2202,12 +2471,28 @@ object Maintenance {
                          distinctKey: Option[String] = None,
                          p: Int = 12, sampleK: Int = 0,
                          sampleUnique: Option[String] = None,
-                         txn: Map[String, Long] = Map.empty): Unit = {
+                         txn: Map[String, Long] = Map.empty): Unit =
+    buildAggStateKeyedCols(df, dir, keys, Seq(valueCol), nBuckets,
+      distinctKey, p, sampleK, sampleUnique, txn)
+
+  /** MULTI-MEASURE variant (r11): one state tracking
+    * (__sum/__cnv/__min/__max) per measure — a dashboard's
+    * (revenue, qty, latency) per key is ONE state, one merge per
+    * refresh, one manifest, instead of N of each. Single-element
+    * `valueCols` is byte-identical to the classic build.
+    */
+  def buildAggStateKeyedCols(df: DataFrame, dir: String, keys: Seq[String],
+                             valueCols: Seq[String], nBuckets: Int,
+                             distinctKey: Option[String] = None,
+                             p: Int = 12, sampleK: Int = 0,
+                             sampleUnique: Option[String] = None,
+                             txn: Map[String, Long] = Map.empty): Unit = {
     val spark = df.sparkSession
     val clean = cleanDir(dir)
     hadoopFs(spark, new Path(clean)).delete(new Path(clean), true)
     writeKeyedInternal(
-      partialAgg(df, keys, valueCol, distinctKey, p, sampleK, sampleUnique),
+      partialAggCols(df, keys, valueCols, distinctKey, p, sampleK,
+        sampleUnique),
       dir, keys, nBuckets, Seq.empty, nullSafe = false, resolve = "agg",
       txn = txn,
       // the build's p/sampleK are TABLE METADATA from here on: reads,
@@ -2233,7 +2518,23 @@ object Maintenance {
                          p: Int = 0, sampleK: Int = -1,
                          sampleUnique: Option[String] = None,
                          asDeltas: Boolean = false,
-                         txn: Map[String, Long] = Map.empty): Unit = {
+                         txn: Map[String, Long] = Map.empty): Unit =
+    mergeAggStateKeyedCols(spark, dir, batch, keys, Seq(valueCol),
+      distinctKey, p, sampleK, sampleUnique, asDeltas, txn)
+
+  /** Multi-measure merge — the batch partial carries every measure's
+    * columns; a measure set differing from the build's fails loudly at
+    * the stored-column align select (same identity rule as the sample
+    * grain).
+    */
+  def mergeAggStateKeyedCols(spark: SparkSession, dir: String,
+                             batch: DataFrame,
+                             keys: Seq[String], valueCols: Seq[String],
+                             distinctKey: Option[String] = None,
+                             p: Int = 0, sampleK: Int = -1,
+                             sampleUnique: Option[String] = None,
+                             asDeltas: Boolean = false,
+                             txn: Map[String, Long] = Map.empty): Unit = {
     val clean = cleanDir(dir)
     val m0 = readManifest(spark, dir)
     require(m0.nBuckets > 0 && m0.keyCol == keys.mkString(","),
@@ -2247,14 +2548,15 @@ object Maintenance {
     // fall back to the historical defaults
     val pe = if (p > 0) p else if (m0.aggP > 0) m0.aggP else 12
     val ke = if (sampleK >= 0) sampleK else math.max(m0.aggK, 0)
-    val partial = partialAgg(batch, keys, valueCol, distinctKey, pe,
+    val partial = partialAggCols(batch, keys, valueCols, distinctKey, pe,
       ke, sampleUnique)
     if (asDeltas) {
       appendDeltaKeyedCols(spark, dir, partial, keys, m0.nBuckets,
         txn = txn)
       return
     }
-    val withKb = partial.withColumn("kb", kb(keys, m0.nBuckets))
+    val withKb = partial
+      .withColumn("kb", kb(keys, m0.nBuckets, depths = m0.depths))
       .localCheckpoint()
     val touched = withKb.select("kb").distinct().collect()
       .map(_.getInt(0)).sorted.toSeq
@@ -2263,9 +2565,10 @@ object Maintenance {
       val m = readManifest(spark, dir)
       // the partial's kb was computed under m0's layout — a concurrent
       // re-bootstrap changing it would park state in the wrong buckets
-      require(m.nBuckets == m0.nBuckets && m.keyCol == m0.keyCol,
-        s"$clean re-bootstrapped to (${m.keyCol}, ${m.nBuckets}) " +
-          "buckets mid-merge — re-run the merge")
+      require(m.nBuckets == m0.nBuckets && m.keyCol == m0.keyCol &&
+        m.depths == m0.depths,
+        s"$clean re-bootstrapped/re-bucketed to (${m.keyCol}, " +
+          s"${m.nBuckets}) buckets mid-merge — re-run the merge")
       // touched buckets' CURRENT state: base generations ∪ any agg
       // delta chains, read RAW (resolution is the re-aggregate below —
       // never last-wins) — so a CoW merge also folds existing chains
@@ -2286,7 +2589,7 @@ object Maintenance {
         base.select(cols.map(F.col): _*)
           .unionByName(withKb.select(cols.map(F.col): _*)),
         keys, pe, ke)
-        .withColumn("kb", kb(keys, m.nBuckets))
+        .withColumn("kb", kb(keys, m.nBuckets, depths = m.depths))
       commitKeyed(spark, stageMerge(spark, dir, merged, touched, m,
         txn = txn))
     }
@@ -2306,6 +2609,18 @@ object Maintenance {
     val m = readManifest(spark, dir, version)
     require(m.nBuckets > 0 && m.resolve == "agg",
       s"$clean is not a bucketed agg state (resolve='${m.resolve}')")
+    readAggStateBuckets(spark, clean, m,
+      (m.buckets.keySet ++ m.deltas.keySet).toSeq.sorted, p, sampleK)
+  }
+
+  /** The resolved agg-state rows of `buckets` only — the bucket-pruned
+    * read `aggStateChanges` uses (the changelog's cost must be
+    * O(changed buckets), never state size).
+    */
+  private def readAggStateBuckets(spark: SparkSession, clean: String,
+                                  m: KeyedManifest, buckets: Seq[Int],
+                                  p: Int = 0, sampleK: Int = -1)
+      : DataFrame = {
     val pe = if (p > 0) p else if (m.aggP > 0) m.aggP else 12
     val ke = if (sampleK >= 0) sampleK else math.max(m.aggK, 0)
     def rd(dirs: Seq[String]): DataFrame =
@@ -2316,8 +2631,8 @@ object Maintenance {
     // (a key lives in exactly one bucket, so the per-key fold is
     // complete bucket-by-bucket — same principle as resolveBuckets);
     // chain-free buckets read straight through with no shuffle
-    val (deltaB, plainB) = (m.buckets.keySet ++ m.deltas.keySet).toSeq
-      .sorted.partition(b => m.deltas.get(b).exists(_.nonEmpty))
+    val (deltaB, plainB) = buckets
+      .partition(b => m.deltas.get(b).exists(_.nonEmpty))
     val plainDirs = plainB.flatMap(m.buckets.get)
     val deltaDirs = deltaB.flatMap(b =>
       m.buckets.get(b).toSeq ++ m.deltas(b))
@@ -2373,10 +2688,61 @@ object Maintenance {
           .toIndexedSeq
         val folded = aggOfState(raw.select(cols.map(F.col): _*),
           m.keyCols, pe, ke)
-          .withColumn("kb", kb(m.keyCols, m.nBuckets))
+          .withColumn("kb", kb(m.keyCols, m.nBuckets, depths = m.depths))
         commitKeyed(spark, stageMerge(spark, clean, folded, target, m))
       }
     }
+  }
+
+  /** Changelog of a MATERIALIZED VIEW (bucketed agg state) between two
+    * snapshots: one row per group key whose FINALIZED view row was
+    * added / removed / changed between `fromV` and `toV`, carrying the
+    * NEW finalized columns (NULL for removed) plus the OLD ones as
+    * `old_<col>` (NULL for added) — exactly what a downstream consumer
+    * needs to maintain ITS state incrementally (apply new, retract
+    * old). The changelog is defined ON THE VIEW: a refresh that left a
+    * group's finalized row identical emits nothing.
+    *
+    * Scale contract (the keyedChanges twin): the manifests tell which
+    * buckets changed generation or chain, so only THOSE buckets are
+    * read and re-aggregated on either side — O(changed buckets), never
+    * state size. A re-bootstrap between the versions (layout change)
+    * diffs every bucket, which is what actually happened.
+    */
+  def aggStateChanges(spark: SparkSession, dir: String,
+                      fromV: Int, toV: Int): DataFrame = {
+    val clean = cleanDir(dir)
+    val m1 = readManifest(spark, dir, Some(fromV))
+    val m2 = readManifest(spark, dir, Some(toV))
+    require(m2.resolve == "agg" && m1.resolve == "agg",
+      s"$clean is not a bucketed agg state — use keyedChanges")
+    val sameLayout = m1.nBuckets == m2.nBuckets && m1.keyCol == m2.keyCol &&
+      m1.depths == m2.depths
+    val changed =
+      (m1.buckets.keySet ++ m2.buckets.keySet ++
+        m1.deltas.keySet ++ m2.deltas.keySet)
+        .filter(b => !sameLayout ||
+          m1.buckets.get(b) != m2.buckets.get(b) ||
+          m1.deltas.getOrElse(b, Nil) != m2.deltas.getOrElse(b, Nil))
+        .toSeq.sorted
+    val keys = m2.keyCols
+    def side(m: KeyedManifest): DataFrame = {
+      val live = changed.filter(b => m.buckets.contains(b) ||
+        m.deltas.get(b).exists(_.nonEmpty))
+      val st =
+        if (live.nonEmpty) readAggStateBuckets(spark, clean, m, live)
+        else emptySnapshot(spark, clean, m).drop("kb", "__tomb")
+      finalizeAgg(st, keys)
+    }
+    val o = side(m1)
+    val n = side(m2)
+    val valCols = n.columns.filterNot(keys.contains).toSeq
+    val d = diff(o, n, keys).filter(F.col("status") =!= "same")
+    val oldP = o.select(keys.map(F.col) ++
+      valCols.map(c => F.col(c).as(s"old_$c")): _*)
+    d.join(n, keys, "left").join(oldP, keys, "left")
+      .select(keys.map(F.col) ++ (F.col("status") +:
+        (valCols.map(F.col) ++ valCols.map(c => F.col(s"old_$c")))): _*)
   }
 
   /** Write `df` clustered by the Z-order (Morton) interleave of two

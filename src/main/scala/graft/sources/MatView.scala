@@ -1,0 +1,174 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Materialized-view ROUTING: serve a grouped aggregate over a keyed
+  * table from its registered, FRESH bucketed agg state instead of
+  * scanning the base — the reference's compile-and-cache idea
+  * (reference: preql/core/evaluate.py:612-638 caches compiled queries)
+  * applied to STORAGE, and the same automatic-rewrite contract as a
+  * warehouse's materialized views.
+  *
+  * The registry maps a BASE table dir to its maintained agg states
+  * (dir + measures + a base-version WATERMARK). A language group-by
+  * over the pristine `read_keyed` snapshot whose keys and aggregates
+  * are covered routes onto the state (O(groups) rows read, the base's
+  * files never open); anything not covered — or a STALE view (the
+  * base's manifest version moved past the watermark) — falls back to
+  * the scan plan. Routing never guesses: stale, partial, or
+  * type-unroutable views answer from the base.
+  *
+  * Scale: this is the difference between a dashboard group-by costing
+  * O(state) (a few thousand rows) and O(100 TB) — the state is
+  * maintained incrementally (`mergeAggStateKeyed`, cost ∝ batch), so
+  * the full scan is paid ONCE at build, never per query.
+  */
+object MatView {
+
+  /** A registered view: `mvDir` holds the bucketed agg state
+    * (resolve=agg), `baseDir` the keyed table it summarizes,
+    * `keys`/`valueCols` its grain, `baseVersion` the base-manifest
+    * watermark the state covers. The keys come from the STATE's own
+    * manifest (never a caller guess).
+    */
+  final case class MvDef(mvDir: String, baseDir: String,
+                         keys: Seq[String], valueCols: Seq[String],
+                         baseVersion: Int)
+
+  // session-scoped, like the catalog: a registry entry is a ROUTING
+  // HINT, not data — the state itself is durable on disk
+  private val reg =
+    new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+
+  private def clean(d: String): String = d.replaceAll("/+$", "")
+
+  /** Register the agg state at `mvDir` as a materialized view of
+    * `baseDir`, watermarked at the base's CURRENT manifest version.
+    * Validates against the state's own manifest: it must be a bucketed
+    * agg state, and its schema must carry every declared measure's
+    * state columns (single measure = the unsuffixed classic names).
+    */
+  def register(spark: SparkSession, mvDir: String, baseDir: String,
+               valueCols: Seq[String]): MvDef = {
+    require(valueCols.nonEmpty, "register: no measure columns")
+    val mv = clean(mvDir); val base = clean(baseDir)
+    val m = Maintenance.readManifest(spark, mv)
+    require(m.resolve == "agg" && m.nBuckets > 0,
+      s"$mv is not a bucketed agg state (resolve='${m.resolve}')")
+    require(m.schemaDdl.nonEmpty, s"$mv records no schema (pre-r9 state)")
+    val cols = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
+    val sfx: String => String =
+      c => if (valueCols.length == 1) "" else s"_$c"
+    valueCols.foreach(c => require(cols.contains(s"__sum${sfx(c)}"),
+      s"$mv does not track measure '$c' (missing __sum${sfx(c)})"))
+    val baseV = Maintenance.manifestVersions(spark, base).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"$base has no keyed-table manifest"))
+    val d = MvDef(mv, base, m.keyCols, valueCols, baseV)
+    reg.put(mv, d)
+    d
+  }
+
+  /** Re-arm the watermark after a refresh: the caller merged the
+    * base's changes into the state, so the view now covers the base's
+    * CURRENT version. Call it with the refresh, not before.
+    */
+  def refreshed(spark: SparkSession, mvDir: String): MvDef = {
+    val mv = clean(mvDir)
+    val d = Option(reg.get(mv)).getOrElse(throw new IllegalArgumentException(
+      s"$mv is not a registered materialized view"))
+    val baseV = Maintenance.manifestVersions(spark, d.baseDir).last
+    val nd = d.copy(baseVersion = baseV)
+    reg.put(mv, nd)
+    nd
+  }
+
+  def unregister(mvDir: String): Unit = reg.remove(clean(mvDir))
+  def clear(): Unit = reg.clear()
+
+  /** The views registered over `baseDir`. */
+  def forBase(baseDir: String): Seq[MvDef] = {
+    val b = clean(baseDir)
+    import scala.jdk.CollectionConverters._
+    reg.values.asScala.filter(_.baseDir == b).toSeq.sortBy(_.mvDir)
+  }
+
+  /** Try to serve `SELECT keys, aggs FROM read_keyed(baseDir) GROUP BY
+    * keys` from a registered view. `keys` = (output name, base column);
+    * `aggs` = (output name, op, measure) with op ∈ count (row count,
+    * no measure), countv (non-null count), sum, mean, min, max.
+    * Returns None — never a wrong answer — when no registered view is
+    * FRESH (base version == watermark), grain-matched (key SET equal),
+    * and measure-covering (every agg's measure tracked, with the state
+    * columns its op needs; `sum` additionally requires an
+    * integral/floating measure so the routed column can be cast back
+    * to the scan plan's result type).
+    */
+  def route(spark: SparkSession, baseDir: String,
+            keys: Seq[(String, String)],
+            aggs: Seq[(String, String, Option[String])])
+      : Option[DataFrame] = {
+    val outNames = keys.map(_._1) ++ aggs.map(_._1)
+    if (outNames.distinct.length != outNames.length) return None
+    if (keys.isEmpty || aggs.isEmpty) return None
+    val curBase = Maintenance.manifestVersions(spark, clean(baseDir))
+      .lastOption.getOrElse(return None)
+    forBase(baseDir).iterator
+      .filter(_.baseVersion == curBase) // fresh
+      .filter(_.keys.toSet == keys.map(_._2).toSet) // grain
+      .map(d => tryBuild(spark, d, keys, aggs))
+      .collectFirst { case Some(df) => df }
+  }
+
+  private def tryBuild(spark: SparkSession, d: MvDef,
+                       keys: Seq[(String, String)],
+                       aggs: Seq[(String, String, Option[String])])
+      : Option[DataFrame] = {
+    val st = Maintenance.readAggStateKeyed(spark, d.mvDir)
+    val cols = st.columns.toSet
+    val sfx: String => String =
+      c => if (d.valueCols.length == 1) "" else s"_$c"
+    def measure(c: Option[String]): Option[String] =
+      c.filter(d.valueCols.contains)
+    // the scan plan's sum(col) keeps integral sums LONG and float
+    // sums DOUBLE; the state's exact-decimal __sum casts back to
+    // either losslessly below 2^53 — other measure types (decimal
+    // scale arithmetic differs) stay unrouted
+    def sumCast(mc: String): Option[DataType] =
+      st.schema.fields.find(_.name == s"__min${sfx(mc)}")
+        .map(_.dataType).flatMap {
+          case ByteType | ShortType | IntegerType | LongType =>
+            Some(LongType)
+          case FloatType | DoubleType => Some(DoubleType)
+          case _ => None
+        }
+    val mapped: Seq[Option[Column]] = aggs.map {
+      case (out, "count", None) => Some(F.col("__cnt").as(out))
+      case (out, "countv", c) =>
+        measure(c).filter(mc => cols.contains(s"__cnv${sfx(mc)}"))
+          .map(mc => F.col(s"__cnv${sfx(mc)}").as(out))
+      case (out, "sum", c) =>
+        measure(c).flatMap(mc => sumCast(mc)
+          .map(t => F.col(s"__sum${sfx(mc)}").cast(t).as(out)))
+      case (out, "mean", c) =>
+        // avg(c) divides by the NON-NULL count — __cnv (r11 states);
+        // a pre-r11 state without it cannot route mean
+        measure(c).filter(mc => cols.contains(s"__cnv${sfx(mc)}"))
+          .map(mc => (F.col(s"__sum${sfx(mc)}").cast(DoubleType) /
+            F.col(s"__cnv${sfx(mc)}")).as(out))
+      case (out, "min", c) =>
+        measure(c).filter(mc => cols.contains(s"__min${sfx(mc)}"))
+          .map(mc => F.col(s"__min${sfx(mc)}").as(out))
+      case (out, "max", c) =>
+        measure(c).filter(mc => cols.contains(s"__max${sfx(mc)}"))
+          .map(mc => F.col(s"__max${sfx(mc)}").as(out))
+      case _ => None
+    }
+    if (mapped.exists(_.isEmpty)) None
+    else Some(st.select(
+      keys.map { case (out, src) => F.col(src).as(out) } ++
+        mapped.map(_.get): _*))
+  }
+}

@@ -247,14 +247,31 @@ object Streams {
     // capped target always exists unless vacuumed — which fails loudly
     // in readManifest, same as an expired `from`)
     val to = math.min(latest, from.toLong + maxVersions).toInt
-    if (to <= from) None
-    else if (from == 0) {
-      val m = Maintenance.readManifest(spark, dir, Some(to))
-      require(m.keyCol.nonEmpty, s"$dir has no keyed metadata")
+    if (to <= from) return None
+    val m = Maintenance.readManifest(spark, dir, Some(to))
+    require(m.keyCol.nonEmpty, s"$dir has no keyed metadata")
+    // a MATERIALIZED VIEW (bucketed agg state) tails as a VIEW
+    // changelog — the finalized row per changed group with old_*
+    // retractions (aggStateChanges); the initial load emits the whole
+    // finalized view as 'added' in the SAME shape, so a consumer's
+    // fold logic is one code path
+    if (m.resolve == "agg") {
+      if (from == 0) {
+        val fin = Maintenance.finalizeAgg(
+          Maintenance.readAggStateKeyed(spark, dir, version = Some(to)),
+          m.keyCols)
+        val valCols = fin.columns.filterNot(m.keyCols.contains).toSeq
+        Some((fin.select(m.keyCols.map(col) ++
+          (F.lit("added").as("status") +: (valCols.map(col) ++
+            valCols.map(c => F.lit(null).cast(fin.schema(c).dataType)
+              .as(s"old_$c")))): _*), 0, to))
+      } else
+        Some((Maintenance.aggStateChanges(spark, dir, from, to), from, to))
+    } else if (from == 0)
       Some((Maintenance.readKeyed(spark, dir, Some(to))
         .select(m.keyCols.map(col) :+ F.lit("added").as("status"): _*),
         0, to))
-    } else
+    else
       Some((Maintenance.keyedChanges(spark, dir, from, to), from, to))
   }
 

@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Materialized-view routing: a covered group-by over a keyed table's
+  * pristine snapshot answers from the registered agg state (base files
+  * never open); stale / uncovered / computed-key shapes fall back to
+  * the scan plan; refresh re-arms the watermark.
+  */
+class MatViewSpec extends SparkSpec {
+  private val M = graft.sources.Maintenance
+  private val MV = graft.sources.MatView
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def mkBase(n: Int, withNulls: Boolean = false) = {
+    val v0 = (col("id") % 997).cast("double")
+    spark.range(0, n).select(
+      col("id").as("k"),
+      (col("id") % 7).as("g"),
+      (if (withNulls) F.when(col("id") % 5 === 0, lit(null)).otherwise(v0)
+       else v0).as("v"),
+      (col("id") % 13).as("w"))
+  }
+
+  test("routed group-by reads ONLY the state; rows equal the scan plan") {
+    val bdir = tmp("mv_base"); val mdir = tmp("mv_state")
+    val base = mkBase(5000)
+    M.writeKeyed(base, bdir, "k", 8)
+    M.buildAggStateKeyedCols(M.readKeyed(spark, bdir), mdir, Seq("g"),
+      Seq("v", "w"), nBuckets = 4)
+    MV.register(spark, mdir, bdir, Seq("v", "w"))
+    val routed = MV.route(spark, bdir, Seq(("grp", "g")), Seq(
+      ("n", "count", None), ("nv", "countv", Some("v")),
+      ("sv", "sum", Some("v")), ("mv", "mean", Some("v")),
+      ("lo", "min", Some("v")), ("hi", "max", Some("v")),
+      ("sw", "sum", Some("w"))))
+    assert(routed.isDefined, "covered group-by did not route")
+    val df = routed.get
+    // plan guard: every input file is the STATE's; none is the base's
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains(mdir.split("/").last)))
+    assert(!df.inputFiles.exists(_.contains(bdir.split("/").last)))
+    val expect = base.groupBy(col("g").as("grp")).agg(
+      F.count(lit(1)).as("n"), F.count(col("v")).as("nv"),
+      F.sum(col("v")).as("sv"), F.avg(col("v")).as("mv"),
+      F.min(col("v")).as("lo"), F.max(col("v")).as("hi"),
+      F.sum(col("w")).as("sw"))
+    val a = df.orderBy("grp").collect()
+    val b = expect.orderBy("grp").collect()
+    assert(a.length == b.length && a.length == 7)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0))
+      assert(x.getLong(1) == y.getLong(1)) // n
+      assert(x.getLong(2) == y.getLong(2)) // nv
+      assert(math.abs(x.getDouble(3) - y.getDouble(3)) < 1e-6) // sv
+      assert(math.abs(x.getDouble(4) - y.getDouble(4)) < 1e-9) // mv
+      assert(x.getDouble(5) == y.getDouble(5)) // lo
+      assert(x.getDouble(6) == y.getDouble(6)) // hi
+      assert(x.getLong(7) == y.getLong(7)) // sw: integral sum stays long
+    }
+  }
+
+  test("mean routes through the NON-null count (null-carrying measure)") {
+    val bdir = tmp("mv_nb"); val mdir = tmp("mv_ns")
+    val base = mkBase(3000, withNulls = true)
+    M.writeKeyed(base, bdir, "k", 8)
+    M.buildAggStateKeyed(M.readKeyed(spark, bdir), mdir, Seq("g"), "v", 4)
+    MV.register(spark, mdir, bdir, Seq("v"))
+    val routed = MV.route(spark, bdir, Seq(("g", "g")),
+      Seq(("m", "mean", Some("v")), ("nv", "countv", Some("v")))).get
+    val expect = base.groupBy("g")
+      .agg(F.avg(col("v")).as("m"), F.count(col("v")).as("nv"))
+    routed.orderBy("g").collect().zip(expect.orderBy("g").collect())
+      .foreach { case (x, y) =>
+        assert(x.getLong(2) == y.getLong(2))
+        assert(math.abs(x.getDouble(1) - y.getDouble(1)) < 1e-9,
+          s"routed mean ${x.getDouble(1)} != avg ${y.getDouble(1)}")
+      }
+  }
+
+  test("stale view never answers; refreshed() re-arms after a merge") {
+    val bdir = tmp("mv_sb"); val mdir = tmp("mv_ss")
+    val base = mkBase(2000)
+    M.writeKeyed(base, bdir, "k", 8)
+    M.buildAggStateKeyed(M.readKeyed(spark, bdir), mdir, Seq("g"), "v", 4)
+    MV.register(spark, mdir, bdir, Seq("v"))
+    val q = Seq(("g", "g")) -> Seq(("n", "count", None: Option[String]))
+    assert(MV.route(spark, bdir, q._1, q._2).isDefined)
+    // the base moves past the watermark -> no route (never a guess)
+    val batch = spark.range(100000000L, 100000100L).select(
+      col("id").as("k"), (col("id") % 7).as("g"),
+      lit(1.0).as("v"), lit(0L).as("w"))
+    M.upsertKeyed(spark, bdir, batch, "k", 8)
+    assert(MV.route(spark, bdir, q._1, q._2).isEmpty,
+      "stale view must not route")
+    // fold the same batch into the state, re-arm, route again — and
+    // the routed counts now include the merged rows
+    M.mergeAggStateKeyed(spark, mdir, batch, Seq("g"), "v")
+    MV.refreshed(spark, mdir)
+    val again = MV.route(spark, bdir, q._1, q._2)
+    assert(again.isDefined, "refreshed view must route")
+    val total = again.get.agg(F.sum("n")).head.getLong(0)
+    assert(total == 2100L, s"routed counts missed the merged batch: $total")
+  }
+
+  test("uncovered shapes fall back: foreign measure, missing key, dup names") {
+    val bdir = tmp("mv_ub"); val mdir = tmp("mv_us")
+    val base = mkBase(1000)
+    M.writeKeyed(base, bdir, "k", 8)
+    M.buildAggStateKeyed(M.readKeyed(spark, bdir), mdir, Seq("g"), "v", 4)
+    MV.register(spark, mdir, bdir, Seq("v"))
+    // w is not a tracked measure
+    assert(MV.route(spark, bdir, Seq(("g", "g")),
+      Seq(("s", "sum", Some("w")))).isEmpty)
+    // wrong grain
+    assert(MV.route(spark, bdir, Seq(("w", "w")),
+      Seq(("n", "count", None))).isEmpty)
+    // duplicate output names
+    assert(MV.route(spark, bdir, Seq(("x", "g")),
+      Seq(("x", "count", None))).isEmpty)
+    // unknown op
+    assert(MV.route(spark, bdir, Seq(("g", "g")),
+      Seq(("s", "stddev", Some("v")))).isEmpty)
+  }
+
+  test("language group-by over read_keyed routes (plan-guarded) and falls back when stale") {
+    val bdir = tmp("mv_lb"); val mdir = tmp("mv_ls")
+    val base = mkBase(4000)
+    val pt = graft.dsl.PTable(base)
+    val routedDf = graft.lang.Interp.run(spark,
+      s"""w = write_keyed(src, "$bdir", "k", 8)
+         |st = build_agg_state_keyed(read_keyed("$bdir"), "g", "v",
+         |       "$mdir", 4)
+         |r = register_mv("$mdir", "$bdir", "v")
+         |t = read_keyed("$bdir")
+         |t {g => n: count(), total: sum(v), m: mean(v)}
+         |""".stripMargin, "src" -> pt).df
+    assert(routedDf.inputFiles.nonEmpty &&
+      !routedDf.inputFiles.exists(_.contains(bdir.split("/").last)),
+      "language group-by did not route onto the state")
+    val expect = base.groupBy("g").agg(
+      F.count(lit(1)).as("n"),
+      F.sum(col("v").cast("decimal(28,2)")).cast("double").as("total"),
+      F.avg(col("v")).as("m"))
+    routedDf.orderBy("g").collect().zip(expect.orderBy("g").collect())
+      .foreach { case (x, y) =>
+        assert(x.getLong(1) == y.getLong(1))
+        assert(math.abs(x.getDouble(2) - y.getDouble(2)) < 1e-6)
+        assert(math.abs(x.getDouble(3) - y.getDouble(3)) < 1e-9)
+      }
+    // a base upsert STALES the registration: the same language query
+    // now scans the base (and sees the new rows)
+    val batch = spark.range(200000000L, 200000070L).select(
+      col("id").as("k"), lit(0L).as("g"), lit(2.5).as("v"),
+      lit(0L).as("w"))
+    M.upsertKeyed(spark, bdir, batch, "k", 8)
+    val fresh = graft.lang.Interp.run(spark,
+      s"""t = read_keyed("$bdir")
+         |t {g => n: count()}
+         |""".stripMargin, "src" -> pt).df
+    assert(fresh.inputFiles.exists(_.contains(bdir.split("/").last)),
+      "stale view must fall back to the base scan")
+    assert(fresh.agg(F.sum("n")).head.getLong(0) == 4070L)
+  }
+
+  test("agg-state CDC: tailed view deltas fold to the head's finalized view") {
+    val dir = tmp("mv_cdc"); val cur = dir + "/.cursor"
+    val S = graft.streaming.Streams
+    val base = mkBase(3000)
+    M.buildAggStateKeyed(base.filter(col("k") % 3 =!= 0), dir,
+      Seq("g"), "v", 4)
+    // downstream consumer state: g -> (n, total); apply new, retract old
+    var state = Map.empty[Long, (Long, Double)]
+    def fold(df: org.apache.spark.sql.DataFrame): Unit =
+      df.collect().foreach { r =>
+        val g = r.getLong(r.fieldIndex("g"))
+        if (r.getString(r.fieldIndex("status")) == "removed") state -= g
+        else state += g -> (r.getLong(r.fieldIndex("n")),
+          r.getDouble(r.fieldIndex("total")))
+      }
+    // initial load (whole view as 'added'), a CoW refresh, a DELTA
+    // refresh — each polled and folded
+    assert(S.tailKeyedChanges(spark, dir, cur)((df, _, _) => fold(df)))
+    M.mergeAggStateKeyed(spark, dir,
+      base.filter(col("k") % 3 === 0), Seq("g"), "v")
+    assert(S.tailKeyedChanges(spark, dir, cur)((df, _, _) => fold(df)))
+    M.mergeAggStateKeyed(spark, dir,
+      base.filter(col("k") % 11 === 0)
+        .select(col("k"), col("g"), lit(7.0).as("v"), col("w")),
+      Seq("g"), "v", asDeltas = true)
+    assert(S.tailKeyedChanges(spark, dir, cur)((df, _, _) => fold(df)))
+    assert(!S.tailKeyedChanges(spark, dir, cur)((_, _, _) => ()),
+      "up-to-date consumer must not see a batch")
+    val head = M.finalizeAgg(M.readAggStateKeyed(spark, dir), Seq("g"))
+      .select("g", "n", "total").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(state == head,
+      s"folded consumer state diverged:\n$state\nvs head\n$head")
+  }
+
+  test("register validates the state: not-an-agg-state and missing measures fail loudly") {
+    val bdir = tmp("mv_vb"); val mdir = tmp("mv_vs")
+    val base = mkBase(500)
+    M.writeKeyed(base, bdir, "k", 4)
+    intercept[IllegalArgumentException] {
+      MV.register(spark, bdir, bdir, Seq("v")) // a row table, not a state
+    }
+    M.buildAggStateKeyed(M.readKeyed(spark, bdir), mdir, Seq("g"), "v", 4)
+    intercept[IllegalArgumentException] {
+      MV.register(spark, mdir, bdir, Seq("v", "w")) // w not tracked
+    }
+  }
+}
