@@ -3835,6 +3835,31 @@ object SparkEntry {
         "orders" -> t(s, d, "orders")).df
     }),
 
+    // CROSS-TABLE COMMIT GROUPS (r11): a group manifest pins member
+    // tables' versions atomically. After table A moves to v2, the
+    // group (still pinning v1) serves the OLD snapshot; re-pinning
+    // serves the new — the diff between the two group reads is exactly
+    // the repriced 7th keys, which is the closed-form proof that
+    // read_group honors pins instead of chasing latest.
+    "ql60_lang_group" -> ((s, d) => {
+      val a = runScratch("qlgrpa", d)
+      val g = runScratch("qlgrpg", d)
+      graft.lang.Interp.run(s,
+        s"""base = orders {o_orderkey, o_totalprice}
+           |w = write_keyed(base, "$a", "o_orderkey", 8)
+           |g1 = commit_group("$g", "$a", 1)
+           |ups = base[o_orderkey % 7 == 0] {o_orderkey,
+           |                                 o_totalprice: o_totalprice + 1000.0}
+           |u = upsert_keyed("$a", ups, "o_orderkey", 8)
+           |before = read_group("$g", "$a")
+           |g2 = commit_group("$g", "$a", 2)
+           |after = read_group("$g", "$a")
+           |dd = diff_tables(before, after, "o_orderkey")
+           |dd[status != "same"] {o_orderkey, status}
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+    }),
+
     "ql55_lang_cdcsource" -> ((s, d) => {
       val dir = runScratch("qlcdcsrc", d)
       val cur = dir + ".cursor"
@@ -7010,6 +7035,11 @@ object SparkEntry {
       "SELECT o_orderkey, o_totalprice FROM orders",
     "ql52_lang_idxappend" -> bm25OracleSql(Seq("customer", "window"), 15),
     "ql54_lang_idxcompact" -> bm25OracleSql(Seq("customer", "window"), 15),
+
+    // the two group reads differ exactly on the repriced 7th keys
+    "ql60_lang_group" ->
+      """SELECT o_orderkey, 'changed' AS status FROM orders
+         WHERE o_orderkey % 7 = 0""",
 
     // the MV changelog's second poll: every priority 'changed', new =
     // full recompute, old = the build's 9/10ths (exact-decimal sums)

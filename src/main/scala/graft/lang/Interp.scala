@@ -1558,6 +1558,7 @@ object Interp {
       "upsert_keyed", "delete_keyed", "vacuum_keyed", "read_keyed_at", "table_stats",
       "keyed_stats", "phrase_search", "near_search", "keyed_changes",
       "poll_keyed_changes", "commit_change_cursor",
+      "commit_group", "read_group", "group_pins",
       "append_delta_keyed", "compact_keyed", "split_keyed",
       "build_agg_state",
       "merge_agg_state", "finalize_agg", "build_agg_state_keyed",
@@ -2719,6 +2720,33 @@ object Interp {
             graft.sources.Maintenance.readAggStateKeyed(spark,
               litString(args(0).value), sampleK = csk),
             litString(args(1).value).trim.split("\\s+").toSeq))
+        case "commit_group" =>
+          // commit_group(group_dir, t1, v1, t2, v2, ...) — pin member
+          // tables' manifest versions in ONE atomic group publish;
+          // previously pinned tables this call omits carry forward.
+          // Returns the group's pins.
+          if (args.length < 3 || args.length % 2 == 0)
+            throw new TypeError(
+              "commit_group(\"group_dir\", \"table\", version, ...)")
+          val gpins = args.tail.grouped(2).map(p =>
+            litString(p(0).value) -> constLong(p(1).value).toInt).toMap
+          graft.sources.Maintenance.commitGroup(spark,
+            litString(args(0).value), gpins)
+          pinsTable(litString(args(0).value))
+        case "group_pins" =>
+          // group_pins(group_dir) — the latest group version's pins
+          if (args.length != 1)
+            throw new TypeError("group_pins(\"group_dir\")")
+          pinsTable(litString(args(0).value))
+        case "read_group" =>
+          // read_group(group_dir, table_dir) — the member table's
+          // snapshot AT THE GROUP-PINNED VERSION: one group manifest
+          // resolves every member, so a reader racing a pipeline never
+          // sees mixed versions
+          if (args.length != 2)
+            throw new TypeError("read_group(\"group_dir\", \"table_dir\")")
+          PTable(graft.sources.Maintenance.readGroup(spark,
+            litString(args(0).value), litString(args(1).value)))
         case "register_mv" =>
           // register_mv(mv_dir, base_dir, "value_cols") — register the
           // bucketed agg state at mv_dir as a MATERIALIZED VIEW of the
@@ -3062,6 +3090,13 @@ object Interp {
         else graft.sources.MatView.route(spark, baseDir,
           keyPairs.map(_.get), aggTriples.map(_.get)).map(PTable(_))
       }
+
+    /** The commit group's pins as a 2-column table (language face). */
+    private def pinsTable(groupDir: String): PTable = {
+      val pins = graft.sources.Maintenance.groupPins(spark, groupDir)
+        .toSeq.sortBy(_._1)
+      PTable(spark.createDataFrame(pins).toDF("table_dir", "version"))
+    }
 
     private def namedAggs(tab: PTable, aggs: Seq[Field],
                           taken: Set[String] = Set.empty): Seq[NamedCol] = {

@@ -1874,20 +1874,64 @@ object Maintenance {
     */
   def vacuumKeyed(spark: SparkSession, dir: String,
                   keepVersions: Int = 1,
-                  graceMs: Long = 15 * 60 * 1000L): Unit =
+                  graceMs: Long = 15 * 60 * 1000L,
+                  force: Boolean = false): Unit =
     vacuumGenerations(spark, dir, keepVersions, graceMs,
-      """[bd]\d{5}_g\d{9}(-.*)?""")
+      """[bd]\d{5}_g\d{9}(-.*)?""",
+      cursorFloor = if (force) 0 else registeredCursorMin(spark, dir))
+
+  /** The REGISTERED CDC cursor file path for consumer `name` of the
+    * keyed table at `dir`: `<dir>/_cursors/<name>`. A cursor living
+    * here is visible to `vacuumKeyed`, which then refuses to drop the
+    * manifest versions the consumer still needs (its recorded version
+    * onward) unless forced — the retention/CDC coupling that keeps a
+    * lagging consumer from failing on a vacuumed `from` snapshot.
+    * Cursors elsewhere still work, but are unprotected.
+    */
+  def registeredCursorPath(dir: String, name: String): String = {
+    require(name.nonEmpty && !name.contains("/"),
+      s"cursor name must be a plain file name, got '$name'")
+    s"${cleanDir(dir)}/_cursors/$name"
+  }
+
+  /** The smallest version any registered cursor still needs (0 = no
+    * registered consumer, or none that constrains). A consumer at
+    * cursor v next diffs (v, v+1..), so versions ≥ v must survive.
+    */
+  private def registeredCursorMin(spark: SparkSession, dir: String): Int = {
+    val cd = new Path(cleanDir(dir), "_cursors")
+    val fs = hadoopFs(spark, cd)
+    if (!fs.exists(cd)) return 0
+    fs.listStatus(cd).toSeq.filterNot(_.getPath.getName.contains(".tmp_"))
+      .flatMap { st =>
+        try {
+          val in = fs.open(st.getPath)
+          val s =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          val v = s.toInt
+          if (v > 0) Some(v) else None
+        } catch { case _: Exception => None } // fresh/garbled: no floor
+      }.minOption.getOrElse(0)
+  }
 
   private def vacuumGenerations(spark: SparkSession, dir: String,
                                 keepVersions: Int, graceMs: Long,
-                                genPattern: String): Unit = {
+                                genPattern: String,
+                                cursorFloor: Int = 0): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1")
     val clean = cleanDir(dir)
     val p = new Path(clean)
     val fs = hadoopFs(spark, p)
     val cutoff = System.currentTimeMillis() - graceMs
     val versions = manifestVersions(spark, dir)
-    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    val (drop0, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    // retention/CDC coupling: a registered consumer's cursor pins its
+    // version and everything after — those manifests (and, through
+    // `referenced` below, their data) survive any keepVersions policy
+    // unless the caller FORCES the drop (then the consumer fails
+    // loudly on its next poll, the pre-r11 behavior)
+    val drop = if (cursorFloor > 0) drop0.filter(_ < cursorFloor) else drop0
     // dropped manifest FILES get the same grace as generation dirs: a
     // time traveler that listed versions just before the vacuum can
     // still resolve its snapshot while the grace holds. Deletion
@@ -2692,6 +2736,69 @@ object Maintenance {
         commitKeyed(spark, stageMerge(spark, clean, folded, target, m))
       }
     }
+  }
+
+  // ---- cross-table commit groups -------------------------------------------
+  //
+  // A pipeline writing a fact table + its search index + its agg state
+  // makes three INDEPENDENT manifest commits — a reader can observe
+  // fact v(n+1) next to index v(n). A commit GROUP pins (table dir →
+  // manifest version) tuples in one manifest of its own, published
+  // with the same hard-link/rename-if-absent discipline, so a reader
+  // resolving through the group sees a version SET some writer
+  // published atomically — never a mix. Reuses the keyed-manifest
+  // format: pins ride the b64-keyed `txn` map (no buckets).
+
+  /** Publish `pins` as the next version of the commit group at
+    * `groupDir`; tables the previous group version pinned and this
+    * call doesn't re-pin CARRY FORWARD (a pipeline pins what it wrote).
+    * Returns the committed group version. Losing a publish race
+    * re-reads and re-publishes — pins are writer-local facts, nothing
+    * to recompute.
+    */
+  def commitGroup(spark: SparkSession, groupDir: String,
+                  pins: Map[String, Int]): Int = {
+    require(pins.nonEmpty, "commitGroup: no pins")
+    val clean = cleanDir(groupDir)
+    val p = pins.map { case (t, v) => cleanDir(t) -> v.toLong }
+    withCommitRetry(s"commitGroup($groupDir)") {
+      val versions = manifestVersions(spark, clean)
+      val prev =
+        if (versions.isEmpty) Map.empty[String, Long]
+        else readManifest(spark, clean).txn
+      val next = versions.lastOption.getOrElse(0) + 1
+      writeManifest(spark, clean,
+        KeyedManifest(next, Map.empty, txn = prev ++ p))
+      next
+    }
+  }
+
+  /** The group's pins (table dir → pinned manifest version) at
+    * `version` (latest when None).
+    */
+  def groupPins(spark: SparkSession, groupDir: String,
+                version: Option[Int] = None): Map[String, Int] =
+    readManifest(spark, cleanDir(groupDir), version).txn
+      .map { case (t, v) => t -> v.toInt }
+
+  /** Read `tableDir`'s snapshot AT THE VERSION the commit group pins —
+    * the consistent-read face. ONE group manifest resolves every
+    * member table, so a reader racing a pipeline sees the whole
+    * version set of one atomic group publish. Dispatches on the
+    * member's own manifest discipline (row table vs agg state). A
+    * member vacuumed past its pin fails loudly (size the members'
+    * vacuum retention to the group's consumers, like CDC cursors).
+    */
+  def readGroup(spark: SparkSession, groupDir: String,
+                tableDir: String, version: Option[Int] = None): DataFrame = {
+    val t = cleanDir(tableDir)
+    val pins = groupPins(spark, groupDir, version)
+    val v = pins.getOrElse(t, throw new IllegalArgumentException(
+      s"commit group ${cleanDir(groupDir)} does not pin $t " +
+        s"(pins: ${pins.keys.toSeq.sorted.mkString(", ")})"))
+    if (readManifest(spark, t, Some(v)).resolve == "agg")
+      readAggStateKeyed(spark, t, version = Some(v))
+    else readKeyed(spark, t, Some(v))
   }
 
   /** Changelog of a MATERIALIZED VIEW (bucketed agg state) between two

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Cross-table commit groups (atomic version pinning across tables)
+  * and the vacuum/CDC-cursor retention coupling.
+  */
+class GroupSpec extends SparkSpec {
+  private val M = graft.sources.Maintenance
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def one(k: Long, v: Double) =
+    spark.range(k, k + 1).select(col("id").as("k"), lit(v).as("v"))
+
+  test("read_group serves the pinned version until the group is re-published") {
+    val a = tmp("grp_a"); val b = tmp("grp_b"); val g = tmp("grp_g")
+    M.writeKeyed(one(0, 1.0), a, "k", 2)
+    M.writeKeyed(one(0, 10.0), b, "k", 2)
+    M.commitGroup(spark, g, Map(a -> 1, b -> 1))
+    M.upsertKeyed(spark, a, one(0, 2.0), "k", 2) // a@v2, group still pins v1
+    assert(M.readGroup(spark, g, a).head.getDouble(1) == 1.0,
+      "group reader must see the pinned v1, not a's latest")
+    assert(M.readGroup(spark, g, b).head.getDouble(1) == 10.0)
+    // re-pin a only: b carries forward
+    M.commitGroup(spark, g, Map(a -> 2))
+    assert(M.readGroup(spark, g, a).head.getDouble(1) == 2.0)
+    assert(M.groupPins(spark, g) == Map(a -> 2, b -> 1))
+    // old GROUP versions time-travel too: v1 of the group still pins
+    // a@v1
+    assert(M.readGroup(spark, g, a, version = Some(1))
+      .head.getDouble(1) == 1.0)
+    intercept[IllegalArgumentException] {
+      M.readGroup(spark, g, tmp("grp_x")) // unpinned member
+    }
+  }
+
+  test("4-writer 2-table hammer: readers only ever see atomically published pin pairs") {
+    val a = tmp("grp_ha"); val b = tmp("grp_hb"); val g = tmp("grp_hg")
+    M.writeKeyed(one(0, 0.0), a, "k", 2)
+    M.writeKeyed(one(0, 0.0), b, "k", 2)
+    M.commitGroup(spark, g, Map(a -> 1, b -> 1))
+    val published = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Int, Int)]()
+    published.add((1, 1))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (1 to 4).map { w =>
+      new Thread(() => {
+        try {
+          for (r <- 1 to 3) {
+            M.upsertKeyed(spark, a, one(0, w * 100.0 + r), "k", 2)
+            M.upsertKeyed(spark, b, one(0, w * 100.0 + r), "k", 2)
+            val va = M.readManifest(spark, a).version
+            val vb = M.readManifest(spark, b).version
+            // record BEFORE publishing: a reader may observe the group
+            // the instant the hard link lands
+            published.add((va, vb))
+            M.commitGroup(spark, g, Map(a -> va, b -> vb))
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      try {
+        while (!stop) {
+          val pins = M.groupPins(spark, g)
+          val pair = (pins(a), pins(b))
+          if (!published.contains(pair))
+            throw new AssertionError(s"unpublished pin pair $pair")
+          // and the pinned snapshots must RESOLVE (no vacuumed holes)
+          M.readGroup(spark, g, a).count()
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    reader.start(); writers.foreach(_.start()); writers.foreach(_.join())
+    stop = true; reader.join()
+    assert(errs.isEmpty, s"hammer errors: ${errs.toArray.mkString("; ")}")
+    // the final group resolves to the final tables
+    val pins = M.groupPins(spark, g)
+    assert(pins(a) == M.readManifest(spark, a).version)
+    assert(pins(b) == M.readManifest(spark, b).version)
+  }
+
+  test("vacuum retains the versions a registered cursor still needs; force drops them") {
+    val dir = tmp("grp_vac")
+    val S = graft.streaming.Streams
+    M.writeKeyed(one(0, 1.0), dir, "k", 2)
+    (2 to 6).foreach(v => M.upsertKeyed(spark, dir, one(0, v.toDouble),
+      "k", 2)) // versions 1..6
+    // a consumer registered under <dir>/_cursors/ read up to v2
+    val cur = M.registeredCursorPath(dir, "c1")
+    S.commitChangeCursor(spark, cur, 2)
+    M.vacuumKeyed(spark, dir, keepVersions = 1, graceMs = 0L)
+    val vs = M.manifestVersions(spark, dir)
+    assert(vs == (2 to 6), s"cursor floor ignored: $vs")
+    // the consumer catches up fine across the retained range
+    assert(S.pollKeyedChanges(spark, dir, cur).exists(_._3 == 6))
+    // an UNREGISTERED cursor elsewhere gets no protection; and force
+    // overrides registration — the consumer then fails loudly
+    M.vacuumKeyed(spark, dir, keepVersions = 1, graceMs = 0L, force = true)
+    assert(M.manifestVersions(spark, dir) == Seq(6))
+    S.commitChangeCursor(spark, cur, 3)
+    intercept[Exception] { S.pollKeyedChanges(spark, dir, cur) }
+  }
+}

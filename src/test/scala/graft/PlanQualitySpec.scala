@@ -54,6 +54,71 @@ class PlanQualitySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("MV routing: the routed group-by plans a PURE STATE SCAN — no aggregate, no exchange, no base files") {
+    import org.apache.spark.sql.functions._
+    val M = graft.sources.Maintenance
+    val bdir = java.nio.file.Files.createTempDirectory("graft_pq_mvb").toString
+    val mdir = java.nio.file.Files.createTempDirectory("graft_pq_mvs").toString
+    val base = spark.range(0, 5000).select(col("id").as("k"),
+      (col("id") % 11).as("g"), (col("id") % 9).cast("double").as("v"))
+    M.writeKeyed(base, bdir, "k", 8)
+    M.buildAggStateKeyed(M.readKeyed(spark, bdir), mdir, Seq("g"), "v", 4)
+    graft.sources.MatView.register(spark, mdir, bdir, Seq("v"))
+    val routed = graft.sources.MatView.route(spark, bdir,
+      Seq(("g", "g")), Seq(("n", "count", None),
+        ("total", "sum", Some("v")))).get
+    val p = routed.queryExecution.executedPlan.toString
+    // the whole point: the group-by became a PROJECTION over the
+    // state's few rows — no HashAggregate, no Exchange, and the scan
+    // reads the state's dirs only
+    assert(!p.contains("HashAggregate") && !p.contains("Exchange"),
+      s"routed MV query still aggregates/shuffles:\n$p")
+    assert(routed.inputFiles.nonEmpty &&
+      !routed.inputFiles.exists(_.contains(bdir.split("/").last)))
+  }
+
+  test("readKeyedWhere: IN-lists and OR-of-ranges on a zone-mapped column prune buckets") {
+    import org.apache.spark.sql.functions._
+    val M = graft.sources.Maintenance
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_inor").toString
+    // per-tenant-disjoint value bands (the shape zone maps serve)
+    val base = spark.range(0, 64000).select((col("id") % 64).as("t"),
+      ((col("id") % 64) * 100000L + col("id")).as("v"))
+    M.writeKeyed(base, dir, Seq("t"), 64, statsCols = Seq("v"))
+    val total = M.readKeyed(spark, dir).inputFiles.length
+    val qIn = M.readKeyedWhere(spark, dir,
+      col("v").isin(100007L, 6300063L))
+    assert(qIn.inputFiles.length * 8 < total,
+      s"IN-list did not prune: ${qIn.inputFiles.length}/$total files")
+    assert(qIn.count() == base.filter(col("v").isin(100007L, 6300063L))
+      .count())
+    val qOr = M.readKeyedWhere(spark, dir,
+      col("v") < 100000L || col("v") >= 6300000L)
+    assert(qOr.inputFiles.length * 8 < total,
+      s"OR-of-ranges did not prune: ${qOr.inputFiles.length}/$total files")
+    // cross-column OR: full fallback, still correct
+    val qX = M.readKeyedWhere(spark, dir,
+      col("t") === 1L || col("v") < 100000L)
+    assert(qX.inputFiles.length == total)
+  }
+
+  test("bucket split: point lookups under the split layout touch only the child bucket") {
+    import org.apache.spark.sql.functions._
+    val M = graft.sources.Maintenance
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_split").toString
+    val base = spark.range(0, 32000).select(col("id").as("k"),
+      (col("id") % 7).cast("double").as("v"))
+    M.writeKeyed(base, dir, "k", 8)
+    M.splitKeyed(spark, dir, Seq(0, 1, 2, 3, 4, 5, 6, 7))
+    val m = M.readManifest(spark, dir)
+    assert(m.buckets.size > 8, "split produced no child generations")
+    val total = M.readKeyed(spark, dir).inputFiles.length
+    val lk = M.lookupKeyed(spark, dir, Seq(123L))
+    assert(lk.inputFiles.length * 4 < total,
+      s"post-split lookup touched ${lk.inputFiles.length}/$total files")
+    assert(lk.count() == 1)
+  }
+
   test("keyed read: delta-free snapshots plan a pure scan; delta chains a pruned pushed-down resolve") {
     import org.apache.spark.sql.functions._
     val M = graft.sources.Maintenance
