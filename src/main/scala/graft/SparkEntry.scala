@@ -1440,6 +1440,53 @@ object SparkEntry {
             .as("postmerge_ok")))
     }),
 
+    // BOUNDED CDC INITIAL LOAD (r11): a fresh consumer of a 1M-row
+    // keyed table drains its initial snapshot in bucket chunks — each
+    // poll reads ≤16 of 64 buckets' files of the PINNED v1 snapshot
+    // (consistent while a writer commits v2 mid-initial), the chunk
+    // union covers exactly v1's keys with no duplicates, and the
+    // first post-initial poll diffs v1→v2 and emits exactly the
+    // mid-initial commit. Scale-invariant booleans.
+    "x142_cdc_initial" -> ((s, d) => {
+      val dir = runScratch("cdcinit", d)
+      val cur = dir + ".cursor"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(cur), false)
+      val M = graft.sources.Maintenance
+      val S = graft.streaming.Streams
+      val n = scaled(1000000)
+      val base = s.range(0, n).select(col("id").as("k"),
+        (col("id") % 997).cast(DoubleType).as("v"))
+      M.writeKeyed(base, dir, "k", 64)
+      var total = 0L
+      var polls = 0
+      var bounded = true
+      def chunk(): Boolean =
+        S.tailKeyedChangesBounded(s, dir, cur, initialBuckets = 16) { df =>
+          bounded &&= df.inputFiles.length <= 16
+          total += df.count()
+          polls += 1
+          // the mid-initial writer lands after the first chunk
+          if (polls == 1)
+            M.upsertKeyed(s, dir,
+              s.range(900000000L, 900000000L + 1000L)
+                .select(col("id").as("k"), lit(-1.0).as("v")), "k", 64)
+        }
+      while (polls < 4 && chunk()) ()
+      val initialExact = total == n && polls == 4
+      var diffRows = -1L
+      S.tailKeyedChangesBounded(s, dir, cur) { df =>
+        diffRows = df.filter(col("status") === "added").count()
+      }
+      val caughtUp = !S.tailKeyedChangesBounded(s, dir, cur)(_ => ())
+      s.range(1).select(
+        lit(initialExact).as("initial_exact"),
+        lit(bounded).as("chunks_bounded"),
+        lit(diffRows == 1000L).as("diff_exact"),
+        lit(caughtUp).as("caught_up"))
+    }),
+
     // Streaming agg-state maintenance at the gate (r10): the
     // foreachBatch body applied batch-by-batch — bootstrap, a delta
     // refresh (with the compactEvery=2 cadence folding it), and a CoW
@@ -6517,6 +6564,11 @@ object SparkEntry {
                              / (CAST(sm AS DOUBLE) / pow(2.0, 49)) END, 3)
              AS approx_distinct
          FROM b JOIN sk USING (o_orderpriority)""",
+
+    // scale-invariant planted truths (see the query comment)
+    "x142_cdc_initial" ->
+      """SELECT TRUE AS initial_exact, TRUE AS chunks_bounded,
+           TRUE AS diff_exact, TRUE AS caught_up""",
 
     // scale-invariant planted truths (see the query comment)
     "x141_bucket_split" ->

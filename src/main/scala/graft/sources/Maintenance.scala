@@ -1651,6 +1651,31 @@ object Maintenance {
     }
   }
 
+  /** The resolved live rows of `buckets` under a PINNED manifest —
+    * the bounded-initial-load CDC source's chunk read (each chunk
+    * reads only its buckets' dirs of one consistent snapshot).
+    */
+  private[graft] def readKeyedBucketsAt(spark: SparkSession, dir: String,
+                                        m: KeyedManifest,
+                                        buckets: Seq[Int]): DataFrame = {
+    val clean = cleanDir(dir)
+    val live = buckets.filter(b => m.buckets.contains(b) ||
+      m.deltas.get(b).exists(_.nonEmpty))
+    if (live.isEmpty) emptySnapshot(spark, clean, m)
+    else resolveBuckets(spark, clean, m, live, None)
+  }
+
+  /** Agg-state twin of readKeyedBucketsAt. */
+  private[graft] def readAggStateBucketsAt(spark: SparkSession, dir: String,
+                                           m: KeyedManifest,
+                                           buckets: Seq[Int]): DataFrame = {
+    val clean = cleanDir(dir)
+    val live = buckets.filter(b => m.buckets.contains(b) ||
+      m.deltas.get(b).exists(_.nonEmpty))
+    if (live.isEmpty) emptySnapshot(spark, clean, m).drop("kb", "__tomb")
+    else readAggStateBuckets(spark, clean, m, live)
+  }
+
   /** ONLINE RE-BUCKETING (extendible-hashing bucket split, r11):
     * split each listed LEAF bucket into two children one hash bit
     * deeper — leaf b at depth d becomes b and b + N·2^d at depth d+1
@@ -1909,7 +1934,9 @@ object Maintenance {
           val s =
             try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
             finally in.close()
-          val v = s.toInt
+          // "i:<v0>:<idx>" = a consumer mid-initial-load pinned at v0
+          // (Streams.pollKeyedChangesBounded); plain int = version
+          val v = if (s.startsWith("i:")) s.split(":")(1).toInt else s.toInt
           if (v > 0) Some(v) else None
         } catch { case _: Exception => None } // fresh/garbled: no floor
       }.minOption.getOrElse(0)

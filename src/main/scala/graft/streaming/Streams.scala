@@ -275,6 +275,123 @@ object Streams {
       Some((Maintenance.keyedChanges(spark, dir, from, to), from, to))
   }
 
+  // ---- bounded initial load -------------------------------------------
+  //
+  // `pollKeyedChanges` emits a fresh consumer's initial load as ONE
+  // whole-snapshot batch — at 100 TB that first batch is the whole
+  // table. The BOUNDED variant chunks the initial load at BUCKET
+  // granularity across polls: every chunk reads only its buckets'
+  // dirs (manifest path pruning) from the SAME pinned snapshot v0
+  // (consistent even while writers commit), and once the chunks are
+  // drained the cursor becomes a plain version and ordinary diff
+  // polls take over — catching up from exactly v0, so nothing
+  // committed mid-initial is lost or double-emitted. The cursor file
+  // encodes the phase: "i:<v0>:<idx>" mid-initial (idx = buckets
+  // already emitted, in sorted-bucket order), a plain version after.
+  // `registeredCursorMin` understands both, so a registered
+  // mid-initial cursor pins v0 against vacuum.
+
+  private def cursorText(spark: org.apache.spark.sql.SparkSession,
+                         cursorPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(cursorPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) ""
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+  }
+
+  /** Persist a raw cursor state (same atomic temp+rename discipline
+    * as `commitChangeCursor`, which delegates here).
+    */
+  def commitChangeCursorState(spark: org.apache.spark.sql.SparkSession,
+                              cursorPath: String, state: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(cursorPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(cursorPath +
+      s".tmp_${ProcessHandle.current().pid()}")
+    val out = fs.create(tmp, true)
+    try out.write(state.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false) // single consumer per cursor: no rename race
+    require(fs.rename(tmp, p), s"cursor commit failed: $cursorPath")
+  }
+
+  /** One micro-batch of the BOUNDED CDC source: `(batch, nextCursor)`,
+    * or None when up to date. Mid-initial, `batch` is the next ≤
+    * `initialBuckets` buckets of snapshot v0 as 'added' rows (the
+    * agg-state shape carries the finalized view + NULL old_*, same as
+    * the unbounded poll); after the initial drains, ordinary
+    * `keyedChanges`/`aggStateChanges` diffs bounded by `maxVersions`.
+    * Commit `nextCursor` via `commitChangeCursorState` AFTER
+    * processing — at-least-once, like the unbounded poll.
+    */
+  def pollKeyedChangesBounded(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, cursorPath: String,
+                              maxVersions: Int = Int.MaxValue,
+                              initialBuckets: Int = Int.MaxValue)
+      : Option[(DataFrame, String)] = {
+    import graft.sources.Maintenance
+    require(initialBuckets >= 1, "initialBuckets must be >= 1")
+    val raw = cursorText(spark, cursorPath)
+    def initialChunk(v0: Int, idx: Int): Option[(DataFrame, String)] = {
+      val m0 = Maintenance.readManifest(spark, dir, Some(v0))
+      require(m0.keyCol.nonEmpty, s"$dir has no keyed metadata")
+      val live = (m0.buckets.keySet ++ m0.deltas.keySet).toSeq.sorted
+      val chunk = live.slice(idx, idx + initialBuckets)
+      val nextIdx = idx + chunk.length
+      val next = if (nextIdx >= live.length) v0.toString
+                 else s"i:$v0:$nextIdx"
+      val df =
+        if (m0.resolve == "agg") {
+          val fin = Maintenance.finalizeAgg(
+            Maintenance.readAggStateBucketsAt(spark, dir, m0, chunk),
+            m0.keyCols)
+          val valCols = fin.columns.filterNot(m0.keyCols.contains).toSeq
+          fin.select(m0.keyCols.map(col) ++
+            (F.lit("added").as("status") +: (valCols.map(col) ++
+              valCols.map(c => F.lit(null).cast(fin.schema(c).dataType)
+                .as(s"old_$c")))): _*)
+        } else
+          Maintenance.readKeyedBucketsAt(spark, dir, m0, chunk)
+            .select(m0.keyCols.map(col) :+
+              F.lit("added").as("status"): _*)
+      Some((df, next))
+    }
+    raw match {
+      case "" | "0" =>
+        val latest = Maintenance.manifestVersions(spark, dir).lastOption
+          .getOrElse(0)
+        if (latest == 0) None else initialChunk(latest, 0)
+      case s if s.startsWith("i:") =>
+        val parts = s.split(":")
+        initialChunk(parts(1).toInt, parts(2).toInt)
+      case _ =>
+        // plain-version phase: the cursor file is a plain int — the
+        // unbounded poll reads it directly
+        pollKeyedChanges(spark, dir, cursorPath, maxVersions)
+          .map { case (df, _, toV) => (df, toV.toString) }
+    }
+  }
+
+  /** poll → process → advance for the bounded tail; returns whether a
+    * batch was processed.
+    */
+  def tailKeyedChangesBounded(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, cursorPath: String,
+                              maxVersions: Int = Int.MaxValue,
+                              initialBuckets: Int = Int.MaxValue)
+                             (f: DataFrame => Unit): Boolean =
+    pollKeyedChangesBounded(spark, dir, cursorPath, maxVersions,
+      initialBuckets) match {
+      case Some((df, next)) =>
+        f(df)
+        commitChangeCursorState(spark, cursorPath, next)
+        true
+      case None => false
+    }
+
   /** One poll → process → advance round of the CDC tail loop; returns
     * whether a batch was processed. `f` receives (changes, fromV, toV)
     * and runs BEFORE the cursor advances (at-least-once — a crash

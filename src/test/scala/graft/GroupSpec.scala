@@ -83,6 +83,49 @@ class GroupSpec extends SparkSpec {
     assert(pins(b) == M.readManifest(spark, b).version)
   }
 
+  test("bounded CDC initial load: chunks cover the pinned snapshot; diffs resume from it") {
+    val dir = tmp("grp_init")
+    val S = graft.streaming.Streams
+    val b = spark.range(0, 2000).select(col("id").as("k"),
+      (col("id") % 7).cast("double").as("v"))
+    M.writeKeyed(b, dir, "k", 8)
+    val cur = M.registeredCursorPath(dir, "init")
+    var keys = Set.empty[Long]
+    var polls = 0
+    def chunkPoll(): Boolean =
+      S.tailKeyedChangesBounded(spark, dir, cur, initialBuckets = 3) { df =>
+        assert(df.inputFiles.length <= 3,
+          s"chunk read ${df.inputFiles.length} files — not bounded")
+        assert(df.select("status").distinct().collect()
+          .map(_.getString(0)).toSeq == Seq("added"))
+        keys ++= df.select("k").collect().map(_.getLong(0))
+        polls += 1
+      }
+    assert(chunkPoll())
+    // a writer commits v2 MID-INITIAL — the remaining chunks must keep
+    // reading the pinned v1 snapshot (no duplicates, no new keys), and
+    // the registered mid-initial cursor pins v1 against vacuum
+    M.upsertKeyed(spark, dir,
+      spark.range(500000000L, 500000100L).select(col("id").as("k"),
+        lit(1.0).as("v")), "k", 8)
+    M.vacuumKeyed(spark, dir, keepVersions = 1, graceMs = 0L)
+    assert(M.manifestVersions(spark, dir).contains(1),
+      "vacuum dropped the snapshot a mid-initial cursor is pinned to")
+    assert(chunkPoll() && chunkPoll())
+    assert(polls == 3, s"8 buckets / 3 per poll must be 3 chunks: $polls")
+    assert(keys == (0L until 2000L).toSet,
+      "chunked initial load must cover exactly the pinned snapshot")
+    // the next poll switches to the diff path from v1 → latest and
+    // emits exactly the mid-initial commit
+    assert(S.tailKeyedChangesBounded(spark, dir, cur) { df =>
+      val rows = df.collect()
+      assert(rows.length == 100 &&
+        rows.forall(_.getString(1) == "added"))
+    })
+    assert(!S.tailKeyedChangesBounded(spark, dir, cur)(_ => ()),
+      "up-to-date consumer must not see a batch")
+  }
+
   test("vacuum retains the versions a registered cursor still needs; force drops them") {
     val dir = tmp("grp_vac")
     val S = graft.streaming.Streams
