@@ -3784,6 +3784,32 @@ object SparkEntry {
         "orders" -> t(s, d, "orders")).df
     }),
 
+    // approx_count_distinct through an MV (r11): the language's
+    // md5-register HLL aggregate served from the registered state's
+    // merged registers — BIT-IDENTICAL to the scan plan by
+    // construction (register-wise max is associative, the estimate is
+    // the same scalar), so this gate is green through EITHER plan;
+    // MatViewSpec separately asserts the routed plan never opens the
+    // base and equals the scan value exactly
+    "ql61_lang_mv_adist" -> ((s, d) => {
+      val bdir = runScratch("qlmvab", d)
+      val mdir = runScratch("qlmvas", d)
+      graft.sources.MatView.unregister(mdir)
+      graft.lang.Interp.run(s,
+        s"""base = orders {o_orderkey, o_orderpriority, o_custkey,
+           |               o_totalprice}
+           |w = write_keyed(base, "$bdir", "o_orderkey", 16)
+           |st = build_agg_state_keyed(read_keyed("$bdir"),
+           |       "o_orderpriority", "o_totalprice", "$mdir", 8,
+           |       "o_custkey")
+           |r = register_mv("$mdir", "$bdir", "o_totalprice", "o_custkey")
+           |t = read_keyed("$bdir")
+           |t {o_orderpriority => n: count(),
+           |   ad: approx_count_distinct(o_custkey)}
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+    }),
+
     // merge-on-read deltas + compaction from the language: the delta
     // append never rewrites bases, compact folds the chain, and the
     // end state is the closed-form reprice
@@ -7087,6 +7113,39 @@ object SparkEntry {
       "SELECT o_orderkey, o_totalprice FROM orders",
     "ql52_lang_idxappend" -> bm25OracleSql(Seq("customer", "window"), 15),
     "ql54_lang_idxcompact" -> bm25OracleSql(Seq("customer", "window"), 15),
+
+    // x132's md5-register HLL machinery: n + the p=12 estimate
+    "ql61_lang_mv_adist" ->
+      """WITH h AS (
+           SELECT o_orderpriority,
+             ('0x' || substr(md5('hll:' || CAST(o_custkey AS VARCHAR)),
+               1, 15))::BIGINT AS hv
+           FROM orders WHERE o_custkey IS NOT NULL
+         ), r AS (
+           SELECT o_orderpriority, hv % 4096 AS bucket,
+             max(CASE WHEN hv // 4096 = 0 THEN 49
+                      ELSE 49 - length(bin(hv // 4096)) END) AS mj
+           FROM h GROUP BY 1, 2
+         ), sk AS (
+           SELECT o_orderpriority,
+             CAST(sum(CAST(pow(2.0, 49 - mj) AS BIGINT))
+               + (4096 - count(*)) * CAST(pow(2.0, 49) AS BIGINT)
+               AS BIGINT) AS sm,
+             4096 - count(*) AS v
+           FROM r GROUP BY 1
+         ), b AS (
+           SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1
+         )
+         SELECT b.o_orderpriority, n,
+           round(CASE WHEN (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                             / (CAST(sm AS DOUBLE) / pow(2.0, 49))
+                             <= 2.5 * 4096 AND v > 0
+                      THEN 4096.0 * ln(4096.0 / v)
+                      ELSE (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                             / (CAST(sm AS DOUBLE) / pow(2.0, 49)) END, 3)
+             AS ad
+         FROM b JOIN sk USING (o_orderpriority)""",
 
     // the two group reads differ exactly on the repriced 7th keys
     "ql60_lang_group" ->

@@ -2755,12 +2755,17 @@ object Interp {
           // then ROUTES onto the state (the base's files never open)
           // until the base's version moves past the watermark. Returns
           // the finalized view.
-          if (args.length != 3)
+          if (args.length < 3 || args.length > 4)
             throw new TypeError(
-              "register_mv(\"mv_dir\", \"base_dir\", \"value_cols\")")
+              "register_mv(\"mv_dir\", \"base_dir\", \"value_cols\", " +
+                "\"distinct_key\"?)")
+          val mvdk = if (args.length == 4) {
+            val v = litString(args(3).value).trim
+            if (v.isEmpty) None else Some(v)
+          } else None
           val mvd = graft.sources.MatView.register(spark,
             litString(args(0).value), litString(args(1).value),
-            litString(args(2).value).trim.split("\\s+").toSeq)
+            litString(args(2).value).trim.split("\\s+").toSeq, mvdk)
           PTable(graft.sources.Maintenance.finalizeAgg(
             graft.sources.Maintenance.readAggStateKeyed(spark,
               mvd.mvDir), mvd.keys))
@@ -3084,6 +3089,9 @@ object Interp {
           case Field(Some(n), Call("mean" | "avg",
               Seq(Arg(None, Ident(c))))) =>
             Some((n, "mean", Some(c)))
+          case Field(Some(n), Call("approx_count_distinct",
+              Seq(Arg(None, Ident(c))))) =>
+            Some((n, "adist", Some(c)))
           case _ => None
         }
         if (keyPairs.exists(_.isEmpty) || aggTriples.exists(_.isEmpty)) None
@@ -3149,7 +3157,8 @@ object Interp {
     */
   private val aggFnNames: Set[String] = Set(
     "count", "sum", "min", "max", "mean", "avg", "stddev",
-    "count_distinct", "count_true", "count_false", "first",
+    "count_distinct", "approx_count_distinct", "count_true",
+    "count_false", "first",
     "first_or_null", "product", "approx_product", "__collect", "median")
 
   private def hasAggCall(e: Expr): Boolean = {
@@ -3807,6 +3816,7 @@ object Interp {
              "month" | "day" | "hour" | "minute" | "day_of_week" |
              "week_of_year" | "count" | "count_distinct" | "count_true" |
              "count_false" | "token_count" | "pii_count" => Some(LongType)
+        case "approx_count_distinct" => Some(DoubleType)
         case "float" | "mean" | "avg" | "stddev" | "median" | "pi" |
              "random" | "product" | "approx_product" |
              "quality_score" | "garbage_ratio" | "type_token_ratio" |
@@ -4051,6 +4061,12 @@ object Interp {
         }
       case "stddev" => arity(1); F.stddev_samp(a(0))
       case "count_distinct" => arity(1); F.countDistinct(a(0))
+      // md5-register HLL (cross-engine deterministic, p=12) — the SAME
+      // register arithmetic a bucketed agg state persists, so a
+      // registered MV serves this aggregate BIT-IDENTICALLY
+      case "approx_count_distinct" => arity(1)
+        graft.plans.HllRegs.estimate(
+          graft.plans.HllRegs.stateMd5(a(0), 12), 12)
       // non-boolean operands count by SQL truthiness — the reference
       // compiles these to sum(cast($field != 0 as int))
       // (__builtins__.pql:284-285), so ints/floats work too

@@ -1651,6 +1651,29 @@ object Maintenance {
     }
   }
 
+  /** SPLIT PLANNING from the manifest (zero data IO): the current
+    * leaf buckets whose LIVE BYTES exceed `targetBytes`, worst first —
+    * exactly the feed a maintenance scheduler hands `splitKeyed` on a
+    * cadence (the split twin of `compactKeyed(minChain)`'s policy
+    * knob). Bytes come from an fs listing of each leaf's dirs
+    * (bounded metadata work, ≤ live dirs), never a scan; a leaf's
+    * delta-chain bytes count toward it (the chain resolves into the
+    * children at split time).
+    */
+  def splitCandidates(spark: SparkSession, dir: String,
+                      targetBytes: Long): Seq[(Int, Long)] = {
+    require(targetBytes > 0, s"targetBytes must be > 0")
+    val clean = cleanDir(dir)
+    val m = readManifest(spark, dir)
+    require(m.nBuckets > 0, s"$clean has no keyed metadata")
+    val fs = hadoopFs(spark, new Path(clean))
+    (m.buckets.keySet ++ m.deltas.keySet).toSeq.sorted.map { b =>
+      val dirs = m.buckets.get(b).toSeq ++ m.deltas.getOrElse(b, Nil)
+      b -> dirs.map(d =>
+        fs.getContentSummary(new Path(clean, d)).getLength).sum
+    }.filter(_._2 > targetBytes).sortBy(-_._2)
+  }
+
   /** The resolved live rows of `buckets` under a PINNED manifest —
     * the bounded-initial-load CDC source's chunk read (each chunk
     * reads only its buckets' dirs of one consistent snapshot).
@@ -1869,6 +1892,9 @@ object Maintenance {
     val clean = cleanDir(dir)
     val m1 = readManifest(spark, dir, Some(fromV))
     val m2 = readManifest(spark, dir, Some(toV))
+    // a materialized view's changelog is the VIEW diff with old_*
+    // retractions (aggStateChanges) — never last-wins row comparison
+    if (m2.resolve == "agg") return aggStateChanges(spark, dir, fromV, toV)
     require(m1.keyCol.nonEmpty, s"$clean has no keyed metadata")
     // a bucket changed if its base generation OR its delta chain moved
     val changed = (m1.buckets.keySet ++ m2.buckets.keySet ++

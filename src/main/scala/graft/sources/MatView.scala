@@ -35,7 +35,9 @@ object MatView {
     */
   final case class MvDef(mvDir: String, baseDir: String,
                          keys: Seq[String], valueCols: Seq[String],
-                         baseVersion: Int)
+                         baseVersion: Int,
+                         distinctKey: Option[String] = None,
+                         aggP: Int = 12)
 
   // session-scoped, like the catalog: a registry entry is a ROUTING
   // HINT, not data — the state itself is durable on disk
@@ -51,7 +53,8 @@ object MatView {
     * state columns (single measure = the unsuffixed classic names).
     */
   def register(spark: SparkSession, mvDir: String, baseDir: String,
-               valueCols: Seq[String]): MvDef = {
+               valueCols: Seq[String],
+               distinctKey: Option[String] = None): MvDef = {
     require(valueCols.nonEmpty, "register: no measure columns")
     val mv = clean(mvDir); val base = clean(baseDir)
     val m = Maintenance.readManifest(spark, mv)
@@ -63,10 +66,16 @@ object MatView {
       c => if (valueCols.length == 1) "" else s"_$c"
     valueCols.foreach(c => require(cols.contains(s"__sum${sfx(c)}"),
       s"$mv does not track measure '$c' (missing __sum${sfx(c)})"))
+    // the declared distinct column must actually feed the state's HLL
+    // registers — routing approx_count_distinct(c) for a c the
+    // registers don't track would be a silent wrong answer
+    distinctKey.foreach(_ => require(cols.contains("__regs"),
+      s"$mv tracks no HLL registers — build with distinctKey first"))
     val baseV = Maintenance.manifestVersions(spark, base).lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"$base has no keyed-table manifest"))
-    val d = MvDef(mv, base, m.keyCols, valueCols, baseV)
+    val d = MvDef(mv, base, m.keyCols, valueCols, baseV, distinctKey,
+      if (m.aggP > 0) m.aggP else 12)
     reg.put(mv, d)
     d
   }
@@ -164,6 +173,17 @@ object MatView {
       case (out, "max", c) =>
         measure(c).filter(mc => cols.contains(s"__max${sfx(mc)}"))
           .map(mc => F.col(s"__max${sfx(mc)}").as(out))
+      case (out, "adist", c) =>
+        // approx_count_distinct(c) routes to the state's merged HLL
+        // registers — BIT-IDENTICAL to the scan plan by construction
+        // (register-wise max is associative; the estimate is the same
+        // scalar over the same registers), but only when c IS the
+        // column the registers track and the state was built at the
+        // language's p (12)
+        c.filter(d.distinctKey.contains).filter(_ => d.aggP == 12)
+          .filter(_ => cols.contains("__regs"))
+          .map(_ => graft.plans.HllRegs.estimate(F.col("__regs"), d.aggP)
+            .as(out))
       case _ => None
     }
     if (mapped.exists(_.isEmpty)) None

@@ -1382,6 +1382,8 @@ class LangSpec extends SparkSpec {
     val script = raw
       .replace("/tmp/graft_tour_keyed", root + "/keyed")
       .replace("/tmp/graft_tour_state", root + "/state")
+      .replace("/tmp/graft_tour_mv", root + "/mv")
+      .replace("/tmp/graft_tour_group", root + "/group")
     val odf = Tables.load(spark, sf, "orders")
     val r = Interp.run(spark, script + "\nreport",
       "orders" -> odf).df.head
@@ -1394,6 +1396,8 @@ class LangSpec extends SparkSpec {
     assert(r.getLong(3) == 1L)       // the pruned point read
     assert(r.getLong(4) == n)        // CDC initial load = every key
     assert(r.getLong(5) == groups)   // finalized agg view
+    assert(r.getLong(6) == groups)   // MV-routed group-by
+    assert(r.getLong(7) == n)        // group-pinned snapshot
   }
 
   test("examples/analytics_tour.pql runs verbatim over the testdata") {

@@ -201,6 +201,36 @@ class MatViewSpec extends SparkSpec {
       s"folded consumer state diverged:\n$state\nvs head\n$head")
   }
 
+  test("approx_count_distinct: routed estimate is BIT-identical to the scan plan's") {
+    val bdir = tmp("mv_ab"); val mdir = tmp("mv_as")
+    val base = spark.range(0, 4000).select(col("id").as("k"),
+      (col("id") % 5).as("g"), (col("id") % 137).as("u"),
+      (col("id") % 9).cast("double").as("v"))
+    M.writeKeyed(base, bdir, "k", 8)
+    M.buildAggStateKeyed(M.readKeyed(spark, bdir), mdir, Seq("g"), "v", 4,
+      distinctKey = Some("u"))
+    val script =
+      s"""t = read_keyed("$bdir")
+         |t {g => ad: approx_count_distinct(u), n: count()}
+         |""".stripMargin
+    MV.unregister(mdir)
+    val scan = graft.lang.Interp.run(spark, script).df
+    assert(scan.inputFiles.exists(_.contains(bdir.split("/").last)))
+    val scanRows = scan.orderBy("g").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    MV.register(spark, mdir, bdir, Seq("v"), distinctKey = Some("u"))
+    val routed = graft.lang.Interp.run(spark, script).df
+    assert(!routed.inputFiles.exists(_.contains(bdir.split("/").last)),
+      "registered distinct-tracking view must route")
+    val routedRows = routed.orderBy("g").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(scanRows.sameElements(routedRows),
+      s"routed HLL estimate diverged:\n${scanRows.toSeq}\nvs\n${routedRows.toSeq}")
+    // a column the registers don't track never routes to them
+    assert(MV.route(spark, bdir, Seq(("g", "g")),
+      Seq(("ad", "adist", Some("v")))).isEmpty)
+  }
+
   test("register validates the state: not-an-agg-state and missing measures fail loudly") {
     val bdir = tmp("mv_vb"); val mdir = tmp("mv_vs")
     val base = mkBase(500)
