@@ -3810,6 +3810,30 @@ object SparkEntry {
         "orders" -> t(s, d, "orders")).df
     }),
 
+    // GLOBAL aggregation through an MV (r11): `t {=> aggs}` over the
+    // pristine snapshot folds the per-key states — one tiny aggregate
+    // over O(groups) state rows instead of the base scan. The exact-
+    // decimal total is the routing canary again; the global HLL
+    // estimate folds the registers first and stays bit-identical.
+    "ql62_lang_mv_global" -> ((s, d) => {
+      val bdir = runScratch("qlmvgb", d)
+      val mdir = runScratch("qlmvgs", d)
+      graft.sources.MatView.unregister(mdir)
+      graft.lang.Interp.run(s,
+        s"""base = orders {o_orderkey, o_orderpriority, o_custkey,
+           |               o_totalprice}
+           |w = write_keyed(base, "$bdir", "o_orderkey", 16)
+           |st = build_agg_state_keyed(read_keyed("$bdir"),
+           |       "o_orderpriority", "o_totalprice", "$mdir", 8,
+           |       "o_custkey")
+           |r = register_mv("$mdir", "$bdir", "o_totalprice", "o_custkey")
+           |t = read_keyed("$bdir")
+           |t {=> n: count(), total: sum(o_totalprice),
+           |   ad: approx_count_distinct(o_custkey)}
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+    }),
+
     // merge-on-read deltas + compaction from the language: the delta
     // append never rewrites bases, compact folds the chain, and the
     // end state is the closed-form reprice
@@ -7113,6 +7137,40 @@ object SparkEntry {
       "SELECT o_orderkey, o_totalprice FROM orders",
     "ql52_lang_idxappend" -> bm25OracleSql(Seq("customer", "window"), 15),
     "ql54_lang_idxcompact" -> bm25OracleSql(Seq("customer", "window"), 15),
+
+    // the global fold: exact-decimal total + the register-union HLL
+    "ql62_lang_mv_global" ->
+      """WITH h AS (
+           SELECT ('0x' || substr(md5('hll:' || CAST(o_custkey AS VARCHAR)),
+               1, 15))::BIGINT AS hv
+           FROM orders WHERE o_custkey IS NOT NULL
+         ), r AS (
+           SELECT hv % 4096 AS bucket,
+             max(CASE WHEN hv // 4096 = 0 THEN 49
+                      ELSE 49 - length(bin(hv // 4096)) END) AS mj
+           FROM h GROUP BY 1
+         ), sk AS (
+           SELECT
+             CAST(sum(CAST(pow(2.0, 49 - mj) AS BIGINT))
+               + (4096 - count(*)) * CAST(pow(2.0, 49) AS BIGINT)
+               AS BIGINT) AS sm,
+             4096 - count(*) AS v
+           FROM r
+         ), b AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+               AS total
+           FROM orders
+         )
+         SELECT n, total,
+           round(CASE WHEN (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                             / (CAST(sm AS DOUBLE) / pow(2.0, 49))
+                             <= 2.5 * 4096 AND v > 0
+                      THEN 4096.0 * ln(4096.0 / v)
+                      ELSE (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+                             / (CAST(sm AS DOUBLE) / pow(2.0, 49)) END, 3)
+             AS ad
+         FROM b, sk""",
 
     // x132's md5-register HLL machinery: n + the p=12 estimate
     "ql61_lang_mv_adist" ->

@@ -1344,7 +1344,9 @@ object Interp {
               throw new TypeError("projection selects no columns")
             tab.project(cols: _*)
           }
-          else if (fields.isEmpty) tab.aggAll(namedAggs(tab, aggs): _*)
+          else if (fields.isEmpty)
+            routeMvGlobal(tab, aggs).getOrElse(
+              tab.aggAll(namedAggs(tab, aggs): _*))
           else if (aggs.isEmpty) tab.groupBy(expandFields(tab, fields): _*)()
           else routeMv(tab, fields, aggs).getOrElse {
             val keys = expandFields(tab, fields)
@@ -1560,7 +1562,7 @@ object Interp {
       "poll_keyed_changes", "commit_change_cursor",
       "commit_group", "read_group", "group_pins",
       "append_delta_keyed", "compact_keyed", "split_keyed",
-      "build_agg_state",
+      "split_candidates", "build_agg_state",
       "merge_agg_state", "finalize_agg", "build_agg_state_keyed",
       "merge_agg_state_keyed", "compact_agg_state_keyed",
       "register_mv", "refresh_mv", "unregister_mv",
@@ -2582,6 +2584,20 @@ object Interp {
             args.tail.map(a => constLong(a.value).toInt))
           PTable(graft.sources.Maintenance.readKeyed(spark,
             litString(args(0).value)))
+        case "split_candidates" =>
+          // split_candidates(dir, target_bytes) — the leaf buckets
+          // whose live bytes exceed the budget, worst first, planned
+          // from the manifest + fs listings (zero data IO): the policy
+          // feed for split_keyed on a maintenance cadence
+          if (args.length != 2)
+            throw new TypeError("split_candidates(\"dir\", target_bytes)")
+          val cand = graft.sources.Maintenance.splitCandidates(spark,
+            litString(args(0).value), constLong(args(1).value))
+          PTable(
+            if (cand.isEmpty)
+              spark.range(0).select(col("id").cast("int").as("bucket"),
+                col("id").as("bytes"))
+            else spark.createDataFrame(cand).toDF("bucket", "bytes"))
         case "build_agg_state" =>
           // build_agg_state(t, "keys", "value", dir, "distinct_key"?,
           // sample_k?, "sample_unique"?) — the one full pass of an
@@ -2667,9 +2683,12 @@ object Interp {
             val v = litString(args(7).value).trim
             if (v.isEmpty) None else Some(v)
           } else None
-          graft.sources.Maintenance.buildAggStateKeyed(
+          // "value" may be a space-separated LIST: one state tracking
+          // several measures (per-measure __sum/__cnv/__min/__max)
+          graft.sources.Maintenance.buildAggStateKeyedCols(
             t(args(0).value).df, litString(args(3).value), kkeys,
-            litString(args(2).value), constLong(args(4).value).toInt,
+            litString(args(2).value).trim.split("\\s+").toSeq,
+            constLong(args(4).value).toInt,
             distinctKey = kdk, sampleK = ksk, sampleUnique = ksu)
           PTable(graft.sources.Maintenance.finalizeAgg(
             graft.sources.Maintenance.readAggStateKeyed(spark,
@@ -2697,9 +2716,10 @@ object Interp {
             val v = litString(args(7).value).trim
             if (v.isEmpty) None else Some(v)
           } else None
-          graft.sources.Maintenance.mergeAggStateKeyed(spark,
+          graft.sources.Maintenance.mergeAggStateKeyedCols(spark,
             litString(args(0).value), t(args(1).value).df, gkeys,
-            litString(args(3).value), distinctKey = gdk, sampleK = gsk,
+            litString(args(3).value).trim.split("\\s+").toSeq,
+            distinctKey = gdk, sampleK = gsk,
             sampleUnique = gsu, asDeltas = gdel)
           PTable(graft.sources.Maintenance.finalizeAgg(
             graft.sources.Maintenance.readAggStateKeyed(spark,
@@ -3071,6 +3091,30 @@ object Interp {
       * base-version WATERMARK (a stale view never answers) — routing
       * can narrow the plan but never change the rows.
       */
+    /** The routable-aggregate shapes: explicitly named count / sum /
+      * mean / min / max / approx_count_distinct over a plain column.
+      */
+    private def mvAggTriples(aggs: Seq[Field])
+        : Option[Seq[(String, String, Option[String])]] = {
+      val m = aggs.map {
+        case Field(Some(n), Call("count", Seq())) =>
+          Some((n, "count", None: Option[String]))
+        case Field(Some(n), Call("count", Seq(Arg(None, Ident(c))))) =>
+          Some((n, "countv", Some(c)))
+        case Field(Some(n), Call(op @ ("sum" | "min" | "max"),
+            Seq(Arg(None, Ident(c))))) =>
+          Some((n, op, Some(c)))
+        case Field(Some(n), Call("mean" | "avg",
+            Seq(Arg(None, Ident(c))))) =>
+          Some((n, "mean", Some(c)))
+        case Field(Some(n), Call("approx_count_distinct",
+            Seq(Arg(None, Ident(c))))) =>
+          Some((n, "adist", Some(c)))
+        case _ => None
+      }
+      if (m.exists(_.isEmpty)) None else Some(m.map(_.get))
+    }
+
     private def routeMv(tab: PTable, fields: Seq[Field],
                         aggs: Seq[Field]): Option[PTable] =
       tab.keyedSource.flatMap { baseDir =>
@@ -3078,25 +3122,22 @@ object Interp {
           case Field(n, Ident(k)) => Some((n.getOrElse(k), k))
           case _ => None
         }
-        val aggTriples = aggs.map {
-          case Field(Some(n), Call("count", Seq())) =>
-            Some((n, "count", None: Option[String]))
-          case Field(Some(n), Call("count", Seq(Arg(None, Ident(c))))) =>
-            Some((n, "countv", Some(c)))
-          case Field(Some(n), Call(op @ ("sum" | "min" | "max"),
-              Seq(Arg(None, Ident(c))))) =>
-            Some((n, op, Some(c)))
-          case Field(Some(n), Call("mean" | "avg",
-              Seq(Arg(None, Ident(c))))) =>
-            Some((n, "mean", Some(c)))
-          case Field(Some(n), Call("approx_count_distinct",
-              Seq(Arg(None, Ident(c))))) =>
-            Some((n, "adist", Some(c)))
-          case _ => None
-        }
-        if (keyPairs.exists(_.isEmpty) || aggTriples.exists(_.isEmpty)) None
-        else graft.sources.MatView.route(spark, baseDir,
-          keyPairs.map(_.get), aggTriples.map(_.get)).map(PTable(_))
+        if (keyPairs.exists(_.isEmpty)) None
+        else mvAggTriples(aggs).flatMap(ts =>
+          graft.sources.MatView.route(spark, baseDir,
+            keyPairs.map(_.get), ts)).map(PTable(_))
+      }
+
+    /** Global-aggregation twin: `t {=> aggs}` over a pristine keyed
+      * snapshot serves from ANY fresh registered view of the base —
+      * a global aggregate is the fold of the per-key states.
+      */
+    private def routeMvGlobal(tab: PTable, aggs: Seq[Field])
+        : Option[PTable] =
+      tab.keyedSource.flatMap { baseDir =>
+        mvAggTriples(aggs).flatMap(ts =>
+          graft.sources.MatView.routeGlobal(spark, baseDir, ts))
+          .map(PTable(_))
       }
 
     /** The commit group's pins as a 2-column table (language face). */

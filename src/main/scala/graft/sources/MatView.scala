@@ -131,6 +131,81 @@ object MatView {
       .collectFirst { case Some(df) => df }
   }
 
+  /** GLOBAL-aggregation route: `SELECT aggs FROM read_keyed(baseDir)`
+    * (no GROUP BY). Any fresh registered view over the base serves it
+    * REGARDLESS of its grain — a global aggregate is the fold of the
+    * per-key states (every state column is associative), so the plan
+    * becomes one tiny aggregate over O(groups) state rows instead of
+    * the base scan. Same op coverage and never-a-guess rules as
+    * `route`; `approx_count_distinct` folds the registers
+    * (`unionState`) before the same estimate, so it stays
+    * bit-identical to the scan plan.
+    */
+  def routeGlobal(spark: SparkSession, baseDir: String,
+                  aggs: Seq[(String, String, Option[String])])
+      : Option[DataFrame] = {
+    val outNames = aggs.map(_._1)
+    if (aggs.isEmpty || outNames.distinct.length != outNames.length)
+      return None
+    val curBase = Maintenance.manifestVersions(spark, clean(baseDir))
+      .lastOption.getOrElse(return None)
+    forBase(baseDir).iterator
+      .filter(_.baseVersion == curBase)
+      .map(d => tryBuildGlobal(spark, d, aggs))
+      .collectFirst { case Some(df) => df }
+  }
+
+  private def tryBuildGlobal(spark: SparkSession, d: MvDef,
+                             aggs: Seq[(String, String, Option[String])])
+      : Option[DataFrame] = {
+    val st = Maintenance.readAggStateKeyed(spark, d.mvDir)
+    val cols = st.columns.toSet
+    val sfx: String => String =
+      c => if (d.valueCols.length == 1) "" else s"_$c"
+    def measure(c: Option[String]): Option[String] =
+      c.filter(d.valueCols.contains)
+    def sumCast(mc: String): Option[DataType] =
+      st.schema.fields.find(_.name == s"__min${sfx(mc)}")
+        .map(_.dataType).flatMap {
+          case ByteType | ShortType | IntegerType | LongType =>
+            Some(LongType)
+          case FloatType | DoubleType => Some(DoubleType)
+          case _ => None
+        }
+    val mapped: Seq[Option[Column]] = aggs.map {
+      // counts coalesce to 0 like the scan plan's count() over an
+      // EMPTY table (sum over zero state rows is NULL)
+      case (out, "count", None) =>
+        Some(F.coalesce(F.sum(F.col("__cnt")), F.lit(0L)).as(out))
+      case (out, "countv", c) =>
+        measure(c).filter(mc => cols.contains(s"__cnv${sfx(mc)}"))
+          .map(mc => F.coalesce(F.sum(F.col(s"__cnv${sfx(mc)}")),
+            F.lit(0L)).as(out))
+      case (out, "sum", c) =>
+        measure(c).flatMap(mc => sumCast(mc).map(t =>
+          F.sum(F.col(s"__sum${sfx(mc)}")).cast(t).as(out)))
+      case (out, "mean", c) =>
+        measure(c).filter(mc => cols.contains(s"__cnv${sfx(mc)}"))
+          .map(mc => (F.sum(F.col(s"__sum${sfx(mc)}")).cast(DoubleType) /
+            F.sum(F.col(s"__cnv${sfx(mc)}"))).as(out))
+      case (out, "min", c) =>
+        measure(c).filter(mc => cols.contains(s"__min${sfx(mc)}"))
+          .map(mc => F.min(F.col(s"__min${sfx(mc)}")).as(out))
+      case (out, "max", c) =>
+        measure(c).filter(mc => cols.contains(s"__max${sfx(mc)}"))
+          .map(mc => F.max(F.col(s"__max${sfx(mc)}")).as(out))
+      case (out, "adist", c) =>
+        c.filter(d.distinctKey.contains).filter(_ => d.aggP == 12)
+          .filter(_ => cols.contains("__regs"))
+          .map(_ => graft.plans.HllRegs.estimate(
+            graft.plans.HllRegs.unionState(F.col("__regs"), d.aggP),
+            d.aggP).as(out))
+      case _ => None
+    }
+    if (mapped.exists(_.isEmpty)) None
+    else Some(st.agg(mapped.head.get, mapped.tail.map(_.get): _*))
+  }
+
   private def tryBuild(spark: SparkSession, d: MvDef,
                        keys: Seq[(String, String)],
                        aggs: Seq[(String, String, Option[String])])

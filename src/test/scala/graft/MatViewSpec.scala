@@ -231,6 +231,44 @@ class MatViewSpec extends SparkSpec {
       Seq(("ad", "adist", Some("v")))).isEmpty)
   }
 
+  test("global aggregation routes through ANY fresh view (fold of per-key states)") {
+    val bdir = tmp("mv_gb"); val mdir = tmp("mv_gs")
+    val base = mkBase(3000, withNulls = true)
+    M.writeKeyed(base, bdir, "k", 8)
+    M.buildAggStateKeyed(M.readKeyed(spark, bdir), mdir, Seq("g"), "v", 4)
+    MV.register(spark, mdir, bdir, Seq("v"))
+    val routed = MV.routeGlobal(spark, bdir, Seq(
+      ("n", "count", None), ("nv", "countv", Some("v")),
+      ("s", "sum", Some("v")), ("m", "mean", Some("v")),
+      ("lo", "min", Some("v")), ("hi", "max", Some("v"))))
+    assert(routed.isDefined, "global aggregate did not route")
+    val df = routed.get
+    assert(!df.inputFiles.exists(_.contains(bdir.split("/").last)))
+    val x = df.head
+    val y = base.agg(F.count(lit(1)).as("n"), F.count(col("v")).as("nv"),
+      F.sum(col("v")).as("s"), F.avg(col("v")).as("m"),
+      F.min(col("v")).as("lo"), F.max(col("v")).as("hi")).head
+    assert(x.getLong(0) == y.getLong(0) && x.getLong(1) == y.getLong(1))
+    assert(math.abs(x.getDouble(2) - y.getDouble(2)) < 1e-6)
+    assert(math.abs(x.getDouble(3) - y.getDouble(3)) < 1e-9)
+    assert(x.getDouble(4) == y.getDouble(4) &&
+      x.getDouble(5) == y.getDouble(5))
+    // the language face: `t {=> aggs}` over the pristine snapshot
+    val lang = graft.lang.Interp.run(spark,
+      s"""t = read_keyed("$bdir")
+         |t {=> n: count(), s: sum(v)}
+         |""".stripMargin).df
+    assert(!lang.inputFiles.exists(_.contains(bdir.split("/").last)),
+      "language global aggregation did not route")
+    assert(lang.head.getLong(0) == y.getLong(0))
+    // staleness falls back here too
+    M.upsertKeyed(spark, bdir,
+      spark.range(700000000L, 700000010L).select(col("id").as("k"),
+        lit(0L).as("g"), lit(1.0).as("v"), lit(0L).as("w")), "k", 8)
+    assert(MV.routeGlobal(spark, bdir,
+      Seq(("n", "count", None))).isEmpty)
+  }
+
   test("register validates the state: not-an-agg-state and missing measures fail loudly") {
     val bdir = tmp("mv_vb"); val mdir = tmp("mv_vs")
     val base = mkBase(500)

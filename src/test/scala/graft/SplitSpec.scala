@@ -127,6 +127,24 @@ class SplitSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("splitCandidates plans from the manifest: oversized leaves, worst first") {
+    val dir = tmp("sp_cand")
+    // skew bucket sizes by row count: one huge key-range, many tiny
+    val base = mk(8000)
+    M.writeKeyed(base, dir, "k", 4)
+    val all = M.splitCandidates(spark, dir, targetBytes = 1L)
+    assert(all.length == 4 && all.map(_._2) == all.map(_._2).sorted.reverse,
+      s"expected every bucket over a 1-byte budget, worst first: $all")
+    val none = M.splitCandidates(spark, dir, targetBytes = Long.MaxValue / 2)
+    assert(none.isEmpty)
+    // splitting the worst candidate halves it out of the next plan
+    val worst = all.head._1
+    M.splitKeyed(spark, dir, Seq(worst))
+    val after = M.splitCandidates(spark, dir, targetBytes = 1L)
+    assert(!after.map(_._1).contains(worst) ||
+      after.find(_._1 == worst).get._2 < all.head._2)
+  }
+
   test("a writer racing a split fails loudly on the depth guard") {
     val dir = tmp("sp_race")
     val base = mk(2000)
