@@ -1565,7 +1565,8 @@ object Interp {
       "split_candidates", "build_agg_state",
       "merge_agg_state", "finalize_agg", "build_agg_state_keyed",
       "merge_agg_state_keyed", "compact_agg_state_keyed",
-      "register_mv", "refresh_mv", "unregister_mv",
+      "register_mv", "refresh_mv", "unregister_mv", "rebuild_mv",
+      "list_mvs",
       "build_search_index", "append_search_index", "compact_search_index",
       "search_idx", "phrase_search_idx",
       "near_search_idx")
@@ -2808,6 +2809,35 @@ object Interp {
             throw new TypeError("unregister_mv(\"mv_dir\")")
           graft.sources.MatView.unregister(litString(args(0).value))
           PTable(spark.range(1).select(lit(true).as("ok")))
+        case "rebuild_mv" =>
+          // rebuild_mv(mv_dir) — the one-call fallback refresh: rebuild
+          // the state from the base's CURRENT snapshot and re-arm the
+          // watermark (incremental refresh = merge_agg_state_keyed +
+          // refresh_mv); returns the finalized view
+          if (args.length != 1)
+            throw new TypeError("rebuild_mv(\"mv_dir\")")
+          val rbd = graft.sources.MatView.rebuildMv(spark,
+            litString(args(0).value))
+          PTable(graft.sources.Maintenance.finalizeAgg(
+            graft.sources.Maintenance.readAggStateKeyed(spark,
+              rbd.mvDir), rbd.keys))
+        case "list_mvs" =>
+          // list_mvs() — the registry: one row per registered view
+          if (args.nonEmpty) throw new TypeError("list_mvs()")
+          val mvs = graft.sources.MatView.list()
+            .map(d => (d.mvDir, d.baseDir, d.keys.mkString(","),
+              d.valueCols.mkString(","), d.baseVersion))
+          PTable(
+            if (mvs.isEmpty)
+              spark.range(0).select(
+                col("id").cast("string").as("mv_dir"),
+                col("id").cast("string").as("base_dir"),
+                col("id").cast("string").as("keys"),
+                col("id").cast("string").as("value_cols"),
+                col("id").cast("int").as("base_version"))
+            else spark.createDataFrame(mvs)
+              .toDF("mv_dir", "base_dir", "keys", "value_cols",
+                "base_version"))
         case "keyed_changes" =>
           // keyed_changes(dir, from_version, to_version) — CDC feed of
           // added/removed/changed keys, reading only changed buckets

@@ -94,8 +94,35 @@ object MatView {
     nd
   }
 
+  /** Make a stale view fresh again in ONE call: rebuild the state from
+    * the base's CURRENT snapshot (the registration remembers grain,
+    * measures, distinct column, and the state's bucket/p/sample
+    * settings) and re-arm the watermark. This is the fallback refresh —
+    * a caller who knows the change batch folds it incrementally with
+    * `mergeAggStateKeyed` + `refreshed` instead (cost ∝ batch, not
+    * base). Returns the re-armed definition.
+    */
+  def rebuildMv(spark: SparkSession, mvDir: String): MvDef = {
+    val mv = clean(mvDir)
+    val d = Option(reg.get(mv)).getOrElse(throw new IllegalArgumentException(
+      s"$mv is not a registered materialized view"))
+    val m = Maintenance.readManifest(spark, mv)
+    Maintenance.buildAggStateKeyedCols(
+      Maintenance.readKeyed(spark, d.baseDir), mv, d.keys, d.valueCols,
+      m.nBuckets, distinctKey = d.distinctKey,
+      p = if (m.aggP > 0) m.aggP else 12,
+      sampleK = math.max(m.aggK, 0))
+    refreshed(spark, mv)
+  }
+
   def unregister(mvDir: String): Unit = reg.remove(clean(mvDir))
   def clear(): Unit = reg.clear()
+
+  /** Every registered view (registry listing, mvDir order). */
+  def list(): Seq[MvDef] = {
+    import scala.jdk.CollectionConverters._
+    reg.values.asScala.toSeq.sortBy(_.mvDir)
+  }
 
   /** The views registered over `baseDir`. */
   def forBase(baseDir: String): Seq[MvDef] = {

@@ -269,6 +269,29 @@ class MatViewSpec extends SparkSpec {
       Seq(("n", "count", None))).isEmpty)
   }
 
+  test("rebuildMv: one call re-derives a stale view from the current base and re-arms routing") {
+    val bdir = tmp("mv_rb"); val mdir = tmp("mv_rs")
+    val base = mkBase(2000)
+    M.writeKeyed(base, bdir, "k", 8)
+    M.buildAggStateKeyed(M.readKeyed(spark, bdir), mdir, Seq("g"), "v", 4,
+      distinctKey = Some("w"))
+    MV.register(spark, mdir, bdir, Seq("v"), distinctKey = Some("w"))
+    val q = Seq(("g", "g")) ->
+      Seq(("n", "count", None: Option[String]),
+        ("ad", "adist", Some("w")))
+    // stale the view, then one-call rebuild
+    M.upsertKeyed(spark, bdir,
+      spark.range(800000000L, 800000050L).select(col("id").as("k"),
+        lit(6L).as("g"), lit(3.0).as("v"), (col("id") % 13).as("w")),
+      "k", 8)
+    assert(MV.route(spark, bdir, q._1, q._2).isEmpty)
+    val d = MV.rebuildMv(spark, mdir)
+    assert(d.distinctKey.contains("w"), "rebuild must keep the registers")
+    val routed = MV.route(spark, bdir, q._1, q._2)
+    assert(routed.isDefined, "rebuilt view must route")
+    assert(routed.get.agg(F.sum("n")).head.getLong(0) == 2050L)
+  }
+
   test("register validates the state: not-an-agg-state and missing measures fail loudly") {
     val bdir = tmp("mv_vb"); val mdir = tmp("mv_vs")
     val base = mkBase(500)
