@@ -142,10 +142,19 @@ object MatView {
     * integral/floating measure so the routed column can be cast back
     * to the scan plan's result type).
     */
+  /** The operational kill switch: set the session conf
+    * `spark.graft.mv.routing=false` to force every query back onto
+    * the scan plan without touching registrations — the first thing
+    * to flip when triaging a suspected wrong answer.
+    */
+  private def routingEnabled(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.mv.routing", "true").toBoolean
+
   def route(spark: SparkSession, baseDir: String,
             keys: Seq[(String, String)],
             aggs: Seq[(String, String, Option[String])])
       : Option[DataFrame] = {
+    if (!routingEnabled(spark)) return None
     val outNames = keys.map(_._1) ++ aggs.map(_._1)
     if (outNames.distinct.length != outNames.length) return None
     if (keys.isEmpty || aggs.isEmpty) return None
@@ -171,6 +180,7 @@ object MatView {
   def routeGlobal(spark: SparkSession, baseDir: String,
                   aggs: Seq[(String, String, Option[String])])
       : Option[DataFrame] = {
+    if (!routingEnabled(spark)) return None
     val outNames = aggs.map(_._1)
     if (aggs.isEmpty || outNames.distinct.length != outNames.length)
       return None

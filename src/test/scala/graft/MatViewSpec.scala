@@ -124,6 +124,15 @@ class MatViewSpec extends SparkSpec {
     // unknown op
     assert(MV.route(spark, bdir, Seq(("g", "g")),
       Seq(("s", "stddev", Some("v")))).isEmpty)
+    // the kill switch: routing off -> every query scans, registrations
+    // untouched
+    val ok = Seq(("g", "g")) -> Seq(("n", "count", None: Option[String]))
+    assert(MV.route(spark, bdir, ok._1, ok._2).isDefined)
+    withConfs("spark.graft.mv.routing" -> "false") {
+      assert(MV.route(spark, bdir, ok._1, ok._2).isEmpty)
+      assert(MV.routeGlobal(spark, bdir, ok._2).isEmpty)
+    }
+    assert(MV.route(spark, bdir, ok._1, ok._2).isDefined)
   }
 
   test("language group-by over read_keyed routes (plan-guarded) and falls back when stale") {
