@@ -1487,6 +1487,117 @@ object SparkEntry {
         lit(caughtUp).as("caught_up"))
     }),
 
+    // MAINTENANCE POLICY LOOP (r12): plant real byte skew (an
+    // incompressible fat payload on exactly the rows hashing to bucket
+    // 0), run maintain_keyed twice — pass 1 must split ONLY the hot
+    // leaf (within budget) and fold the planted delta chains; pass 2
+    // must converge (no split, no commit). Scale-invariant booleans.
+    "x143_maintain" -> ((s, d) => {
+      val dir = runScratch("maint", d)
+      val M = graft.sources.Maintenance
+      val n = scaled(1000000)
+      // mirrors kb's bucket hash so the skew lands in ONE leaf; the
+      // pad is md5-derived (incompressible) so the byte skew survives
+      // parquet encoding
+      val h = graft.ext.TextAnalysis.h60(col("id").cast("string"))
+      val base = s.range(0, n).select(col("id").as("k"),
+        (col("id") % 997).cast(DoubleType).as("v"),
+        when(F.pmod(h, lit(16L)) === 0,
+          F.repeat(F.md5(col("id").cast("string")), 8))
+          .otherwise(lit("x")).as("pad"))
+      M.writeKeyed(base, dir, "k", 16)
+      val u1 = s.range(0, 5).select(col("id").as("k"),
+        lit(-1.0).as("v"), lit("y").as("pad"))
+      val u2 = s.range(5, 10).select(col("id").as("k"),
+        lit(-2.0).as("v"), lit("y").as("pad"))
+      M.appendDeltaKeyed(s, dir, u1, "k", 16)
+      M.appendDeltaKeyed(s, dir, u2, "k", 16)
+      val sizes = M.splitCandidates(s, dir, 1L).toMap
+      val hot = sizes.maxBy(_._2)
+      val rest = (sizes - hot._1).values.max
+      val target = (hot._2 + rest) / 2
+      val s1 = M.maintainKeyed(s, dir, target, minChain = 1)
+      val m2 = M.readManifest(s, dir)
+      val v2 = m2.version
+      val s2 = M.maintainKeyed(s, dir, target, minChain = 1)
+      val expect = base.filter(col("k") >= 10)
+        .unionByName(u1).unionByName(u2)
+      val dd = M.diff(M.readKeyed(s, dir).select("k", "v", "pad"),
+        expect, Seq("k"))
+      dd.agg(
+        (F.count(lit(1)) === n).as("n_ok"),
+        (F.sum(when(col("status") === "same", 0L).otherwise(1L)) === 0L)
+          .as("all_same"))
+        .withColumn("hot_is_single", lit(hot._1 == 0 && rest < target))
+        .withColumn("split_hot_only", lit(s1 == Seq(hot._1)))
+        .withColumn("depths_ok",
+          lit(m2.depths == Map(hot._1 -> 1, (hot._1 + 16) -> 1)))
+        .withColumn("chains_folded",
+          lit(m2.deltas.values.forall(_.isEmpty)))
+        .withColumn("converged", lit(s2.isEmpty &&
+          M.readManifest(s, dir).version == v2))
+    }),
+
+    // OUT-OF-ORDER CDC (r12): four stamped delta batches land in
+    // SHUFFLED order (deletes first) on a sequence-resolved table —
+    // the snapshot must equal the closed-form ordered application
+    // (max-seq-wins per key), compaction must preserve the winners, a
+    // late-arriving OLD event must lose to the newer stored row, and
+    // batch-wins writers (upsert) must be refused. Booleans.
+    "x144_seq_cdc" -> ((s, d) => {
+      val dir = runScratch("seqcdc", d)
+      val M = graft.sources.Maintenance
+      val n = scaled(1000000)
+      val base = s.range(0, n).select(col("id").as("k"),
+        (col("id") % 31).cast(DoubleType).as("v"), lit(0L).as("seq"))
+      M.writeKeyed(base, dir, "k", 16)
+      def b(m: Int, seq: Long, v: Double) =
+        s.range(0, n).filter(col("id") % m === 0).select(
+          col("id").as("k"), lit(v).as("v"), lit(seq).as("seq"))
+      val tomb = s.range(0, n).filter(col("id") % 11 === 0)
+        .select(col("id").as("k"), lit(4L).as("seq"))
+      val noneB = s.range(0).select(col("id").as("k"),
+        lit(0.0).as("v"), lit(5L).as("seq"))
+      // shuffled arrival: deletes, then seq 3, 1, 2
+      M.appendDeltaKeyedCols(s, dir, noneB, Seq("k"), 16,
+        tombstoneKeys = Some(tomb), seqCol = Some("seq"))
+      M.appendDeltaKeyedCols(s, dir, b(7, 3L, 300.0), Seq("k"), 16)
+      M.appendDeltaKeyedCols(s, dir, b(3, 1L, 100.0), Seq("k"), 16)
+      M.appendDeltaKeyedCols(s, dir, b(5, 2L, 200.0), Seq("k"), 16)
+      // the ordered application in closed form
+      val expect = s.range(0, n).filter(col("id") % 11 =!= 0).select(
+        col("id").as("k"),
+        when(col("id") % 7 === 0, 300.0)
+          .when(col("id") % 5 === 0, 200.0)
+          .when(col("id") % 3 === 0, 100.0)
+          .otherwise((col("id") % 31).cast(DoubleType)).as("v"),
+        when(col("id") % 7 === 0, 3L).when(col("id") % 5 === 0, 2L)
+          .when(col("id") % 3 === 0, 1L).otherwise(0L).as("seq"))
+      def same(df: DataFrame) =
+        M.diff(df.select("k", "v", "seq"), expect, Seq("k"))
+          .filter(col("status") =!= "same").count() == 0L
+      val shuffledOk = same(M.readKeyed(s, dir))
+      M.compactKeyed(s, dir)
+      val compactOk = M.readManifest(s, dir).deltas.values
+        .forall(_.isEmpty) && same(M.readKeyed(s, dir))
+      M.appendDeltaKeyedCols(s, dir,
+        s.range(105, 106).select(col("id").as("k"), lit(-9.0).as("v"),
+          lit(1L).as("seq")), Seq("k"), 16)
+      val oldLoses = M.lookupKeyed(s, dir, Seq(105L))
+        .select("v").head.getDouble(0) == 300.0
+      val guardOk =
+        try {
+          M.upsertKeyed(s, dir, s.range(1).select(col("id").as("k"),
+            lit(1.0).as("v"), lit(9L).as("seq")), "k", 16)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      s.range(1).select(
+        lit(shuffledOk).as("shuffled_ok"),
+        lit(compactOk).as("compact_ok"),
+        lit(oldLoses).as("old_loses"),
+        lit(guardOk).as("guard_ok"))
+    }),
+
     // Streaming agg-state maintenance at the gate (r10): the
     // foreachBatch body applied batch-by-batch — bootstrap, a delta
     // refresh (with the compactEvery=2 cadence folding it), and a CoW
@@ -3775,11 +3886,81 @@ object SparkEntry {
            |w = write_keyed(base, "$bdir", "o_orderkey", 16)
            |st = build_agg_state_keyed(read_keyed("$bdir"),
            |       "o_orderpriority", "o_totalprice", "$mdir", 8)
-           |r = register_mv("$mdir", "$bdir", "o_totalprice")
+           |r = register_mv("$mdir", "$bdir", "o_totalprice", "", true)
            |t = read_keyed("$bdir")
            |t {o_orderpriority => n: count(), total: sum(o_totalprice),
            |   avg_price: mean(o_totalprice), lo: min(o_totalprice),
            |   hi: max(o_totalprice)}
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+    }),
+
+    // INCREMENTAL MV refresh (r12): build_mv aggregates the base at
+    // BUCKET GRAIN (per (group, base-bucket) partials) and registers
+    // in one call; after the repricing upsert, refresh_mv_incremental
+    // re-aggregates ONLY the changed base buckets and swaps their
+    // partials (replace, not fold — handles updates/deletes), then the
+    // group-by routes again. The exact-decimal total is the routing
+    // canary: if the refreshed view stopped routing, the scan plan's
+    // IEEE sum would hash-mismatch.
+    "ql63_lang_mv_refresh" -> ((s, d) => {
+      val bdir = runScratch("qlmvib", d)
+      val mdir = runScratch("qlmvis", d)
+      graft.sources.MatView.unregister(mdir)
+      graft.lang.Interp.run(s,
+        s"""base = orders {o_orderkey, o_orderpriority, o_totalprice}
+           |w = write_keyed(base, "$bdir", "o_orderkey", 16)
+           |v = build_mv("$bdir", "$mdir", "o_orderpriority",
+           |             "o_totalprice", 8, "", true)
+           |ups = base[o_orderkey % 9 == 0] {o_orderkey, o_orderpriority,
+           |          o_totalprice: o_totalprice + 500.0}
+           |u = upsert_keyed("$bdir", ups, "o_orderkey", 16)
+           |r = refresh_mv_incremental("$mdir")
+           |t = read_keyed("$bdir")
+           |t {o_orderpriority => n: count(), total: sum(o_totalprice),
+           |   lo: min(o_totalprice), hi: max(o_totalprice)}
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+    }),
+
+    // ROUTE UNDER SELECTION (r12): a predicate over GRAIN columns only
+    // filters the state rows (a group passes or fails wholesale), so
+    // the filtered group-by still routes — exact-decimal total canary.
+    "ql64_lang_mv_where" -> ((s, d) => {
+      val bdir = runScratch("qlmvwb", d)
+      val mdir = runScratch("qlmvws", d)
+      graft.sources.MatView.unregister(mdir)
+      graft.lang.Interp.run(s,
+        s"""base = orders {o_orderkey, o_orderpriority, o_totalprice}
+           |w = write_keyed(base, "$bdir", "o_orderkey", 16)
+           |st = build_agg_state_keyed(read_keyed("$bdir"),
+           |       "o_orderpriority", "o_totalprice", "$mdir", 8)
+           |r = register_mv("$mdir", "$bdir", "o_totalprice", "", true)
+           |t = read_keyed("$bdir")
+           |t[o_orderpriority == "1-URGENT"] {o_orderpriority =>
+           |    n: count(), total: sum(o_totalprice)}
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+    }),
+
+    // GRAIN-SUPERSET routing (r12): a view keyed (custkey, priority)
+    // serves the priority-only rollup by FOLDING its states (every
+    // state column is associative; the exact-decimal total and the
+    // __cnv-divided mean are the canaries).
+    "ql65_lang_mv_rollup" -> ((s, d) => {
+      val bdir = runScratch("qlmvrb", d)
+      val mdir = runScratch("qlmvrs", d)
+      graft.sources.MatView.unregister(mdir)
+      graft.lang.Interp.run(s,
+        s"""base = orders {o_orderkey, o_custkey, o_orderpriority,
+           |               o_totalprice}
+           |w = write_keyed(base, "$bdir", "o_orderkey", 16)
+           |st = build_agg_state_keyed(read_keyed("$bdir"),
+           |       "o_custkey o_orderpriority", "o_totalprice", "$mdir", 8)
+           |r = register_mv("$mdir", "$bdir", "o_totalprice", "", true)
+           |t = read_keyed("$bdir")
+           |t {o_orderpriority => n: count(), total: sum(o_totalprice),
+           |   avg_price: mean(o_totalprice)}
            |""".stripMargin,
         "orders" -> t(s, d, "orders")).df
     }),
@@ -3802,7 +3983,8 @@ object SparkEntry {
            |st = build_agg_state_keyed(read_keyed("$bdir"),
            |       "o_orderpriority", "o_totalprice", "$mdir", 8,
            |       "o_custkey")
-           |r = register_mv("$mdir", "$bdir", "o_totalprice", "o_custkey")
+           |r = register_mv("$mdir", "$bdir", "o_totalprice", "o_custkey",
+           |                 true)
            |t = read_keyed("$bdir")
            |t {o_orderpriority => n: count(),
            |   ad: approx_count_distinct(o_custkey)}
@@ -3826,7 +4008,8 @@ object SparkEntry {
            |st = build_agg_state_keyed(read_keyed("$bdir"),
            |       "o_orderpriority", "o_totalprice", "$mdir", 8,
            |       "o_custkey")
-           |r = register_mv("$mdir", "$bdir", "o_totalprice", "o_custkey")
+           |r = register_mv("$mdir", "$bdir", "o_totalprice", "o_custkey",
+           |                 true)
            |t = read_keyed("$bdir")
            |t {=> n: count(), total: sum(o_totalprice),
            |   ad: approx_count_distinct(o_custkey)}
@@ -6621,6 +6804,17 @@ object SparkEntry {
            TRUE AS diff_exact, TRUE AS caught_up""",
 
     // scale-invariant planted truths (see the query comment)
+    "x143_maintain" ->
+      """SELECT TRUE AS n_ok, TRUE AS all_same, TRUE AS hot_is_single,
+           TRUE AS split_hot_only, TRUE AS depths_ok,
+           TRUE AS chains_folded, TRUE AS converged""",
+
+    // scale-invariant planted truths (see the query comment)
+    "x144_seq_cdc" ->
+      """SELECT TRUE AS shuffled_ok, TRUE AS compact_ok,
+           TRUE AS old_loses, TRUE AS guard_ok""",
+
+    // scale-invariant planted truths (see the query comment)
     "x141_bucket_split" ->
       """SELECT TRUE AS n_ok, TRUE AS all_same, TRUE AS untouched_kept,
            TRUE AS parents_gone, TRUE AS depths_ok, TRUE AS lookup_ok,
@@ -7123,6 +7317,35 @@ object SparkEntry {
            CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
              / count(o_totalprice) AS avg_price,
            min(o_totalprice) AS lo, max(o_totalprice) AS hi
+         FROM orders GROUP BY o_orderpriority""",
+    // the refreshed bucket-grain view's fold: the %9 keys repriced
+    // +500, exact-decimal total (routing canary — see ql58)
+    "ql63_lang_mv_refresh" ->
+      """WITH cur AS (
+           SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 500.0
+                  ELSE o_totalprice END AS p
+           FROM orders)
+         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(p AS DECIMAL(28,2))) AS DOUBLE) AS total,
+           min(p) AS lo, max(p) AS hi
+         FROM cur GROUP BY o_orderpriority""",
+    // the grain-filtered route: state rows filtered on the grain
+    // column, exact-decimal total canary
+    "ql64_lang_mv_where" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+             AS total
+         FROM orders WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderpriority""",
+    // the rollup fold of a (custkey, priority) view: exact-decimal
+    // total; mean divides the decimal sum by the non-null count
+    "ql65_lang_mv_rollup" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+             AS total,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+             / count(o_totalprice) AS avg_price
          FROM orders GROUP BY o_orderpriority""",
     "ql56_lang_aggstate_keyed" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

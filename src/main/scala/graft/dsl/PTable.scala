@@ -19,6 +19,18 @@ final case class Sort(col: Column, ascending: Boolean = true) {
   def spark: Column = if (ascending) col.asc else col.desc
 }
 
+/** The keyed-snapshot mark: `dir` is the manifest-keyed table the
+  * frame was read from, `version` the manifest version it RESOLVED at
+  * (recorded in the same manifest read — a base commit after the read
+  * must not change what this frame answers), `conds` any selections
+  * applied since (each one already filtering `df`). MV routing
+  * requires the view's watermark to equal `version`, and can still
+  * route a FILTERED frame when every condition touches only the
+  * view's grain columns.
+  */
+final case class KeyedMark(dir: String, version: Int,
+                           conds: Seq[Column] = Nil)
+
 /** The engine's table value: a lazy Spark DataFrame plus engine-level
   * metadata (pk / fk). Semantically the reference's `TableInstance`
   * (type + deferred SQL tree, reference: preql/core/pql_objects.py:291-376)
@@ -28,18 +40,26 @@ final case class Sort(col: Column, ascending: Boolean = true) {
   *
   * All operators are plan-building; nothing executes until an action.
   *
-  * `keyedSource` marks a frame that IS the pristine latest snapshot of
-  * a manifest-keyed table (set only by the read_keyed face): the FIRST
-  * selection on such a frame re-plans through
-  * `Maintenance.readKeyedWhere`, so `read_keyed(dir)[k == 5]` pays a
-  * bucket-pruned point-read instead of a full scan — the language-level
-  * twin of Delta/Iceberg's scan planning. The mark is deliberately NOT
-  * propagated by any transformation (a projected/joined/unioned frame
-  * is no longer the raw snapshot, and a second selection already runs
-  * on the pruned result).
+  * `keyedMark` marks a frame that IS the latest snapshot of a
+  * manifest-keyed table (set only by the read_keyed face), pinned at
+  * the manifest version it resolved from: the FIRST selection on such
+  * a frame re-plans through `Maintenance.readKeyedWhere`, so
+  * `read_keyed(dir)[k == 5]` pays a bucket-pruned point-read instead
+  * of a full scan — the language-level twin of Delta/Iceberg's scan
+  * planning. Selections PROPAGATE the mark (appending their
+  * conditions), because a filtered snapshot is still MV-routable when
+  * the predicate touches only grain columns; any other transformation
+  * drops it (a projected/joined/unioned frame is no longer the raw
+  * snapshot).
   */
 final class PTable(val df: DataFrame, val meta: TableMeta,
-                   val keyedSource: Option[String] = None) {
+                   val keyedMark: Option[KeyedMark] = None) {
+
+  /** The pristine-snapshot dir (no selections applied) — the
+    * predicate-planned-read trigger.
+    */
+  def keyedSource: Option[String] =
+    keyedMark.filter(_.conds.isEmpty).map(_.dir)
 
   private def sameMeta(d: DataFrame): PTable = new PTable(d, meta)
   private def anon(d: DataFrame): PTable = new PTable(d, TableMeta.empty)
@@ -61,15 +81,23 @@ final class PTable(val df: DataFrame, val meta: TableMeta,
   def columns: Seq[String] = df.columns.toSeq
 
   // ---- selection: t[cond1, cond2] (reference compiler.py:583-613) --------
-  def where(conds: Column*): PTable = keyedSource match {
-    case Some(dir) if conds.nonEmpty =>
-      // predicate-planned read: key-equality conjuncts prune to their
-      // buckets, zone-mapped ranges skip via manifest stats, anything
-      // else falls back to the unpruned read + filter — semantics are
-      // identical either way (readKeyedWhere applies the full
-      // predicate after resolution)
-      sameMeta(graft.sources.Maintenance.readKeyedWhere(df.sparkSession,
-        dir, conds.reduce(_ && _)))
+  def where(conds: Column*): PTable = keyedMark match {
+    case Some(mark) if conds.nonEmpty && mark.conds.isEmpty =>
+      // predicate-planned read (first selection only): key-equality
+      // conjuncts prune to their buckets, zone-mapped ranges skip via
+      // manifest stats, anything else falls back to the unpruned read
+      // + filter — semantics are identical either way (readKeyedWhere
+      // applies the full predicate after resolution). The mark
+      // survives with the conditions recorded: a grain-column-only
+      // filter is still MV-routable.
+      new PTable(graft.sources.Maintenance.readKeyedWhere(df.sparkSession,
+        mark.dir, conds.reduce(_ && _)), meta,
+        Some(mark.copy(conds = conds.toSeq)))
+    case Some(mark) if conds.nonEmpty =>
+      // later selections filter the already-pruned frame; the mark
+      // accumulates them for routing
+      new PTable(conds.foldLeft(df)((d, c) => d.filter(c)), meta,
+        Some(mark.copy(conds = mark.conds ++ conds)))
     case _ => sameMeta(conds.foldLeft(df)((d, c) => d.filter(c)))
   }
 
@@ -298,8 +326,8 @@ final class PTable(val df: DataFrame, val meta: TableMeta,
   // keyed-snapshot mark survives (an assignment must not cost the
   // predicate-planned read)
   def named(n: String): PTable =
-    new PTable(df, meta.copy(name = n), keyedSource)
-  def withMeta(m: TableMeta): PTable = new PTable(df, m, keyedSource)
+    new PTable(df, meta.copy(name = n), keyedMark)
+  def withMeta(m: TableMeta): PTable = new PTable(df, m, keyedMark)
 }
 
 object PTable {

@@ -1566,7 +1566,7 @@ object Interp {
       "merge_agg_state", "finalize_agg", "build_agg_state_keyed",
       "merge_agg_state_keyed", "compact_agg_state_keyed",
       "register_mv", "refresh_mv", "unregister_mv", "rebuild_mv",
-      "list_mvs",
+      "list_mvs", "build_mv", "refresh_mv_incremental", "maintain_keyed",
       "build_search_index", "append_search_index", "compact_search_index",
       "search_idx", "phrase_search_idx",
       "near_search_idx")
@@ -2510,15 +2510,23 @@ object Interp {
           val ver =
             if (args.length == 2) Some(constLong(args(1).value).toInt)
             else None
-          // the LATEST snapshot carries the keyedSource mark: the
-          // first selection on it re-plans through readKeyedWhere
-          // (bucket-pruned point-reads / zone skipping from the
-          // predicate itself). Version-pinned reads stay plain scans —
-          // the predicate planner reads the latest manifest.
-          new PTable(graft.sources.Maintenance.readKeyed(spark,
-            litString(args(0).value), ver), graft.types.TableMeta.empty,
-            keyedSource =
-              if (ver.isEmpty) Some(litString(args(0).value)) else None)
+          // the LATEST snapshot carries the keyed mark (dir + the
+          // manifest version it RESOLVED at, from the same manifest
+          // read): the first selection on it re-plans through
+          // readKeyedWhere (bucket-pruned point-reads / zone skipping
+          // from the predicate itself), and MV routing requires the
+          // watermark to equal the PINNED version — a base commit
+          // after the read must not change what the frame answers.
+          // Explicitly version-pinned reads stay plain scans.
+          if (ver.isEmpty && graft.sources.Maintenance.manifestVersions(
+            spark, litString(args(0).value)).nonEmpty) {
+            val (kdf, kv) = graft.sources.Maintenance.readKeyedPinned(
+              spark, litString(args(0).value))
+            new PTable(kdf, graft.types.TableMeta.empty,
+              keyedMark = Some(graft.dsl.KeyedMark(
+                litString(args(0).value).replaceAll("/+$", ""), kv)))
+          } else PTable(graft.sources.Maintenance.readKeyed(spark,
+            litString(args(0).value), ver))
         case "read_keyed_at" =>
           // read_keyed_at(dir, epoch_millis) — timestamp time travel:
           // the snapshot whose commit was live at that instant
@@ -2551,16 +2559,25 @@ object Interp {
           PTable(graft.sources.Maintenance.readKeyed(spark,
             litString(args(0).value)))
         case "append_delta_keyed" =>
-          // append_delta_keyed(dir, updates, "key", n_buckets) —
-          // MERGE-ON-READ upsert: the batch lands as per-bucket delta
-          // dirs (bytes ∝ batch, bases never rewritten); returns the
-          // resolved snapshot
-          if (args.length != 4)
+          // append_delta_keyed(dir, updates, "key", n_buckets,
+          // "seq_col"?) — MERGE-ON-READ upsert: the batch lands as
+          // per-bucket delta dirs (bytes ∝ batch, bases never
+          // rewritten); returns the resolved snapshot. Declaring a
+          // sequence column (before the first append) makes resolution
+          // MAX-SEQ-WINS table-wide — batches may then arrive in any
+          // order (out-of-order CDC).
+          if (args.length < 4 || args.length > 5)
             throw new TypeError(
-              "append_delta_keyed(\"dir\", updates, \"key\", n_buckets)")
-          graft.sources.Maintenance.appendDeltaKeyed(spark,
+              "append_delta_keyed(\"dir\", updates, \"key\", " +
+                "n_buckets, \"seq_col\"?)")
+          val adSeq = if (args.length == 5) {
+            val v = litString(args(4).value).trim
+            if (v.isEmpty) None else Some(v)
+          } else None
+          graft.sources.Maintenance.appendDeltaKeyedCols(spark,
             litString(args(0).value), t(args(1).value).df,
-            litString(args(2).value), constLong(args(3).value).toInt)
+            Seq(litString(args(2).value)), constLong(args(3).value).toInt,
+            seqCol = adSeq)
           PTable(graft.sources.Maintenance.readKeyed(spark,
             litString(args(0).value)))
         case "compact_keyed" =>
@@ -2585,6 +2602,30 @@ object Interp {
             args.tail.map(a => constLong(a.value).toInt))
           PTable(graft.sources.Maintenance.readKeyed(spark,
             litString(args(0).value)))
+        case "maintain_keyed" =>
+          // maintain_keyed(dir, target_bytes, budget_bytes?,
+          // min_chain?) — ONE maintenance pass: split every leaf over
+          // target_bytes (worst first, within the rewrite budget),
+          // then fold delta chains ≥ min_chain. Planned from the
+          // manifest — a healthy table no-ops. Returns the split
+          // bucket ids (empty = converged).
+          if (args.length < 2 || args.length > 4)
+            throw new TypeError(
+              "maintain_keyed(\"dir\", target_bytes, budget_bytes?, " +
+                "min_chain?)")
+          val mkBudget =
+            if (args.length >= 3) constLong(args(2).value)
+            else Long.MaxValue
+          val mkChain =
+            if (args.length == 4) constLong(args(3).value).toInt else 2
+          val mkSplit = graft.sources.Maintenance.maintainKeyed(spark,
+            litString(args(0).value), constLong(args(1).value),
+            mkBudget, mkChain)
+          PTable(
+            if (mkSplit.isEmpty)
+              spark.range(0).select(col("id").cast("int").as("bucket"))
+            else spark.createDataFrame(mkSplit.map(Tuple1(_)))
+              .toDF("bucket"))
         case "split_candidates" =>
           // split_candidates(dir, target_bytes) — the leaf buckets
           // whose live bytes exceed the budget, worst first, planned
@@ -2769,58 +2810,105 @@ object Interp {
           PTable(graft.sources.Maintenance.readGroup(spark,
             litString(args(0).value), litString(args(1).value)))
         case "register_mv" =>
-          // register_mv(mv_dir, base_dir, "value_cols") — register the
-          // bucketed agg state at mv_dir as a MATERIALIZED VIEW of the
-          // keyed table at base_dir, watermarked at the base's current
-          // version: a matching group-by over read_keyed(base_dir)
-          // then ROUTES onto the state (the base's files never open)
-          // until the base's version moves past the watermark. Returns
-          // the finalized view.
-          if (args.length < 3 || args.length > 4)
+          // register_mv(mv_dir, base_dir, "value_cols",
+          // "distinct_key"?, float_sums?) — register the bucketed agg
+          // state at mv_dir as a MATERIALIZED VIEW of the keyed table
+          // at base_dir, watermarked at the base's current version: a
+          // matching group-by over read_keyed(base_dir) then ROUTES
+          // onto the state (the base's files never open) until the
+          // base's version moves past the watermark. float_sums=true
+          // declares float/double measures ≤2-decimal (money), opting
+          // them into exact-decimal sum/mean routing. The registration
+          // is DURABLE (<base>/_mvs/) — a fresh session routes with no
+          // re-registration. Returns the finalized view.
+          if (args.length < 3 || args.length > 5)
             throw new TypeError(
               "register_mv(\"mv_dir\", \"base_dir\", \"value_cols\", " +
-                "\"distinct_key\"?)")
-          val mvdk = if (args.length == 4) {
+                "\"distinct_key\"?, float_sums?)")
+          val mvdk = if (args.length >= 4) {
             val v = litString(args(3).value).trim
             if (v.isEmpty) None else Some(v)
           } else None
-          val mvd = graft.sources.MatView.register(spark,
+          val mvfs = args.length == 5 && constBool(args(4).value)
+          graft.sources.MatView.register(spark,
             litString(args(0).value), litString(args(1).value),
-            litString(args(2).value).trim.split("\\s+").toSeq, mvdk)
-          PTable(graft.sources.Maintenance.finalizeAgg(
-            graft.sources.Maintenance.readAggStateKeyed(spark,
-              mvd.mvDir), mvd.keys))
+            litString(args(2).value).trim.split("\\s+").toSeq, mvdk,
+            floatSums = mvfs)
+          PTable(graft.sources.MatView.readMv(spark,
+            litString(args(0).value)))
+        case "build_mv" =>
+          // build_mv(base_dir, mv_dir, "keys", "value_cols", n_buckets,
+          // "distinct_key"?, float_sums?) — ONE call: aggregate the
+          // base's pinned snapshot at BUCKET GRAIN (per (keys..., base
+          // bucket) partials), register it watermarked at exactly that
+          // pinned version, persist the registration. Bucket grain is
+          // what makes refresh_mv_incremental cost ∝ changed base
+          // buckets for arbitrary changes. Returns the finalized view
+          // at the logical grain.
+          if (args.length < 5 || args.length > 7)
+            throw new TypeError(
+              "build_mv(\"base_dir\", \"mv_dir\", \"keys\", " +
+                "\"value_cols\", n_buckets, \"distinct_key\"?, " +
+                "float_sums?)")
+          val bdk = if (args.length >= 6) {
+            val v = litString(args(5).value).trim
+            if (v.isEmpty) None else Some(v)
+          } else None
+          val bfs = args.length == 7 && constBool(args(6).value)
+          graft.sources.MatView.buildMv(spark,
+            litString(args(0).value), litString(args(1).value),
+            litString(args(2).value).trim.split("\\s+").toSeq,
+            litString(args(3).value).trim.split("\\s+").toSeq,
+            constLong(args(4).value).toInt, bdk, bfs)
+          PTable(graft.sources.MatView.readMv(spark,
+            litString(args(1).value)))
         case "refresh_mv" =>
-          // refresh_mv(mv_dir) — re-arm the watermark after the caller
-          // merged the base's changes into the state (the view now
-          // covers the base's CURRENT version); returns the finalized
-          // view
+          // refresh_mv(mv_dir, to_version?) — re-arm the watermark
+          // after the caller merged the base's changes into the state.
+          // Pass the base version the merge was COMPUTED against (read
+          // it BEFORE merging) to close the merge-then-watermark race;
+          // omitted = the base's current version (single-maintainer
+          // tables only). Returns the finalized view.
+          if (args.isEmpty || args.length > 2)
+            throw new TypeError("refresh_mv(\"mv_dir\", to_version?)")
+          val rtv =
+            if (args.length == 2) Some(constLong(args(1).value).toInt)
+            else None
+          graft.sources.MatView.refreshed(spark,
+            litString(args(0).value), rtv)
+          PTable(graft.sources.MatView.readMv(spark,
+            litString(args(0).value)))
+        case "refresh_mv_incremental" =>
+          // refresh_mv_incremental(mv_dir) — fold the base's changes
+          // since the watermark into the view in ONE call, reading
+          // ONLY the changed base buckets (bucket-grain views; others
+          // fall back to a rebuild). Idempotent: a crash-and-rerun
+          // replays the same replace. Returns the finalized view.
           if (args.length != 1)
-            throw new TypeError("refresh_mv(\"mv_dir\")")
-          val rvd = graft.sources.MatView.refreshed(spark,
+            throw new TypeError("refresh_mv_incremental(\"mv_dir\")")
+          graft.sources.MatView.refreshMvIncremental(spark,
             litString(args(0).value))
-          PTable(graft.sources.Maintenance.finalizeAgg(
-            graft.sources.Maintenance.readAggStateKeyed(spark,
-              rvd.mvDir), rvd.keys))
+          PTable(graft.sources.MatView.readMv(spark,
+            litString(args(0).value)))
         case "unregister_mv" =>
-          // unregister_mv(mv_dir) — drop the routing hint (the state
-          // itself stays on disk)
+          // unregister_mv(mv_dir) — drop the routing hint, including
+          // the durable one (the state itself stays on disk)
           if (args.length != 1)
             throw new TypeError("unregister_mv(\"mv_dir\")")
-          graft.sources.MatView.unregister(litString(args(0).value))
+          graft.sources.MatView.unregister(spark, litString(args(0).value))
           PTable(spark.range(1).select(lit(true).as("ok")))
         case "rebuild_mv" =>
-          // rebuild_mv(mv_dir) — the one-call fallback refresh: rebuild
-          // the state from the base's CURRENT snapshot and re-arm the
-          // watermark (incremental refresh = merge_agg_state_keyed +
-          // refresh_mv); returns the finalized view
+          // rebuild_mv(mv_dir) — the O(base) fallback refresh: rebuild
+          // the state from the base's pinned current snapshot and
+          // re-arm the watermark at exactly that version (incremental
+          // refresh = refresh_mv_incremental); returns the finalized
+          // view
           if (args.length != 1)
             throw new TypeError("rebuild_mv(\"mv_dir\")")
-          val rbd = graft.sources.MatView.rebuildMv(spark,
+          graft.sources.MatView.rebuildMv(spark,
             litString(args(0).value))
-          PTable(graft.sources.Maintenance.finalizeAgg(
-            graft.sources.Maintenance.readAggStateKeyed(spark,
-              rbd.mvDir), rbd.keys))
+          PTable(graft.sources.MatView.readMv(spark,
+            litString(args(0).value)))
         case "list_mvs" =>
           // list_mvs() — the registry: one row per registered view
           if (args.nonEmpty) throw new TypeError("list_mvs()")
@@ -2880,21 +2968,26 @@ object Interp {
           PTable(spark.range(1).select(
             F.lit(constLong(args(1).value)).as("cursor")))
         case "vacuum_keyed" =>
-          // vacuum_keyed(dir, keep?, grace_seconds?) — GC old
+          // vacuum_keyed(dir, keep?, grace_seconds?, force?) — GC old
           // snapshots; returns the surviving manifest versions. The
           // default 15-minute grace protects readers still holding a
-          // dropped snapshot and concurrent writers' staged dirs;
-          // pass 0 to reclaim immediately (single-writer cleanup)
-          if (args.isEmpty || args.length > 3)
+          // dropped snapshot and concurrent writers' staged dirs; pass
+          // 0 to reclaim immediately (single-writer cleanup). Versions
+          // a registered CDC cursor or a live commit group still needs
+          // survive any keep policy unless force=true (the consumer /
+          // group reader then fails loudly).
+          if (args.isEmpty || args.length > 4)
             throw new TypeError(
-              "vacuum_keyed(\"dir\", keep_versions?, grace_seconds?)")
+              "vacuum_keyed(\"dir\", keep_versions?, grace_seconds?, " +
+                "force?)")
           val keep =
             if (args.length >= 2) constLong(args(1).value).toInt else 1
           val grace =
-            if (args.length == 3) constLong(args(2).value) * 1000L
+            if (args.length >= 3) constLong(args(2).value) * 1000L
             else 15 * 60 * 1000L
           graft.sources.Maintenance.vacuumKeyed(spark,
-            litString(args(0).value), keep, grace)
+            litString(args(0).value), keep, grace,
+            force = args.length == 4 && constBool(args(3).value))
           PTable(PTable.fromList(spark,
             graft.sources.Maintenance.manifestVersions(spark,
               litString(args(0).value)).map(_.toLong)).df
@@ -3147,26 +3240,31 @@ object Interp {
 
     private def routeMv(tab: PTable, fields: Seq[Field],
                         aggs: Seq[Field]): Option[PTable] =
-      tab.keyedSource.flatMap { baseDir =>
+      tab.keyedMark.flatMap { mark =>
         val keyPairs = fields.map {
           case Field(n, Ident(k)) => Some((n.getOrElse(k), k))
           case _ => None
         }
         if (keyPairs.exists(_.isEmpty)) None
         else mvAggTriples(aggs).flatMap(ts =>
-          graft.sources.MatView.route(spark, baseDir,
-            keyPairs.map(_.get), ts)).map(PTable(_))
+          graft.sources.MatView.route(spark, mark.dir,
+            keyPairs.map(_.get), ts,
+            pinnedVersion = Some(mark.version),
+            filters = mark.conds)).map(PTable(_))
       }
 
-    /** Global-aggregation twin: `t {=> aggs}` over a pristine keyed
-      * snapshot serves from ANY fresh registered view of the base —
-      * a global aggregate is the fold of the per-key states.
+    /** Global-aggregation twin: `t {=> aggs}` over a (possibly
+      * grain-filtered) keyed snapshot serves from ANY fresh registered
+      * view of the base whose grain covers the filter columns — a
+      * global aggregate is the fold of the per-key states.
       */
     private def routeMvGlobal(tab: PTable, aggs: Seq[Field])
         : Option[PTable] =
-      tab.keyedSource.flatMap { baseDir =>
+      tab.keyedMark.flatMap { mark =>
         mvAggTriples(aggs).flatMap(ts =>
-          graft.sources.MatView.routeGlobal(spark, baseDir, ts))
+          graft.sources.MatView.routeGlobal(spark, mark.dir, ts,
+            pinnedVersion = Some(mark.version),
+            filters = mark.conds))
           .map(PTable(_))
       }
 

@@ -234,7 +234,9 @@ object Maintenance {
                                  resolve: String = "",
                                  txn: Map[String, Long] = Map.empty,
                                  aggP: Int = 0, aggK: Int = -1,
-                                 depths: Map[Int, Int] = Map.empty) {
+                                 depths: Map[Int, Int] = Map.empty,
+                                 aggSU: String = "",
+                                 seqCol: String = "") {
     /** The key as a COLUMN LIST: r10 composite keys store the names
       * comma-joined in `keyCol` (column names in this engine never
       * carry commas — the DDL round-trip would reject them).
@@ -287,6 +289,8 @@ object Maintenance {
   private val TxnEntry = """"([^"]+)"\s*:\s*(-?\d+)""".r
   private val AggPEntry = """"aggP"\s*:\s*(\d+)""".r
   private val AggKEntry = """"aggK"\s*:\s*(\d+)""".r
+  private val AggSUEntry = """"aggSU"\s*:\s*"([^"]*)"""".r
+  private val SeqColEntry = """"seqCol"\s*:\s*"([^"]*)"""".r
   private val StatsColsEntry = """"statsCols"\s*:\s*"([^"]*)"""".r
   private val DepthsSection = """"depths"\s*:\s*\{([^}]*)\}""".r
   private val DepthEntry = """"(\d+)"\s*:\s*(\d+)""".r
@@ -428,7 +432,11 @@ object Maintenance {
       DepthsSection.findFirstMatchIn(txt).map(_.group(1))
         .map(body => DepthEntry.findAllMatchIn(body)
           .map(m => m.group(1).toInt -> m.group(2).toInt).toMap)
-        .getOrElse(Map.empty[Int, Int]))
+        .getOrElse(Map.empty[Int, Int]),
+      AggSUEntry.findFirstMatchIn(txt).map(m => b64dec(m.group(1)))
+        .getOrElse(""),
+      SeqColEntry.findFirstMatchIn(txt).map(m => b64dec(m.group(1)))
+        .getOrElse(""))
     manifestCache.synchronized(manifestCache.put(cacheKey, parsed))
     Some(parsed)
   }
@@ -483,7 +491,16 @@ object Maintenance {
       }.mkString(""", "txn": {""", ", ", "}")
     val aggMeta =
       (if (m.aggP > 0) s""", "aggP": ${m.aggP}""" else "") +
-        (if (m.aggK >= 0) s""", "aggK": ${m.aggK}""" else "")
+        (if (m.aggK >= 0) s""", "aggK": ${m.aggK}""" else "") +
+        // the sample GRAIN column (b64: caller-chosen name) — part of
+        // the state's identity, recorded so rebuild/merge default to
+        // the BUILD's grain instead of trusting the caller to repeat it
+        (if (m.aggSU.nonEmpty) s""", "aggSU": "${b64enc(m.aggSU)}"""" else "") +
+        // the SEQUENCE column (b64): once set, delta resolution is
+        // max-seq-wins instead of chain-order-wins — the out-of-order
+        // CDC contract, part of the table's identity like keyCol
+        (if (m.seqCol.nonEmpty) s""", "seqCol": "${b64enc(m.seqCol)}""""
+         else "")
     val depths =
       if (m.depths.isEmpty) ""
       else m.depths.toSeq.sorted.map { case (b, dep) => s""""$b": $dep""" }
@@ -606,6 +623,25 @@ object Maintenance {
     val live = (m.buckets.keySet ++ m.deltas.keySet).toSeq.sorted
     if (live.isEmpty) return emptySnapshot(spark, clean, m)
     resolveBuckets(spark, clean, m, live, None)
+  }
+
+  /** The pristine latest snapshot AND the manifest version it resolved
+    * at — ONE manifest read, so the returned pin can never disagree
+    * with the data (a separate version listing could race a concurrent
+    * commit). The language's `read_keyed` face records this version in
+    * the frame's keyed mark; MV routing then requires the registered
+    * watermark to equal the PINNED version, not whatever the latest
+    * manifest happens to be at query time (a post-read base commit
+    * must not change which ROWS the already-read frame aggregates).
+    */
+  def readKeyedPinned(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    val clean = cleanDir(dir)
+    val m = readManifest(spark, dir)
+    val live = (m.buckets.keySet ++ m.deltas.keySet).toSeq.sorted
+    val df =
+      if (live.isEmpty) emptySnapshot(spark, clean, m)
+      else resolveBuckets(spark, clean, m, live, None)
+    (df, m.version)
   }
 
   /** Range read with ZONE-MAP pruning: the rows where
@@ -977,8 +1013,15 @@ object Maintenance {
         val un = parts.reduce(
           _.unionByName(_, allowMissingColumns = true))
         import org.apache.spark.sql.expressions.Window
+        // chain-order-wins by default; a table with a registered
+        // SEQUENCE column resolves max-seq-wins (ties break by chain
+        // order) — the out-of-order CDC contract: a late-arriving old
+        // event can never overwrite a newer stored row
         val w = Window.partitionBy(m.keyCols.map(F.col): _*)
-          .orderBy(F.col("__prec").desc)
+          .orderBy(
+            (if (m.seqCol.nonEmpty && un.columns.contains(m.seqCol))
+              Seq(F.col(m.seqCol).desc_nulls_last)
+            else Nil) :+ F.col("__prec").desc: _*)
         val top = un.withColumn("__rn", F.row_number().over(w))
           .filter(F.col("__rn") === 1)
         val alive =
@@ -1028,7 +1071,8 @@ object Maintenance {
                                           nullSafe: Boolean,
                                           resolve: String = "",
                                           txn: Map[String, Long] = Map.empty,
-                                          aggP: Int = 0, aggK: Int = -1)
+                                          aggP: Int = 0, aggK: Int = -1,
+                                          aggSU: String = "")
       : Unit = {
     require(nBuckets > 0, s"nBuckets must be > 0, got $nBuckets")
     require(statsCols.forall(df.columns.contains),
@@ -1054,7 +1098,7 @@ object Maintenance {
       try writeManifest(spark, clean, KeyedManifest(1, staged, keyCol,
         nBuckets, withKb.schema.toDDL, rows = rows,
         statsCols = statsCols, colStats = cstats, resolve = resolve,
-        txn = txn, aggP = aggP, aggK = aggK))
+        txn = txn, aggP = aggP, aggK = aggK, aggSU = aggSU))
       catch {
         case _: CommitConflict =>
           // another bootstrap won v1 — our staged dirs (writer-unique
@@ -1065,7 +1109,7 @@ object Maintenance {
             writeManifest(spark, clean, KeyedManifest(m.version + 1,
               staged, keyCol, nBuckets, withKb.schema.toDDL, rows = rows,
               statsCols = statsCols, colStats = cstats, resolve = resolve,
-              txn = m.txn ++ txn, aggP = aggP, aggK = aggK))
+              txn = m.txn ++ txn, aggP = aggP, aggK = aggK, aggSU = aggSU))
           }
       }
     } else {
@@ -1082,7 +1126,7 @@ object Maintenance {
         writeManifest(spark, clean, KeyedManifest(m.version + 1, staged,
           keyCol, nBuckets, withKb.schema.toDDL, rows = rows,
           statsCols = statsCols, colStats = cstats, resolve = resolve,
-          txn = m.txn ++ txn, aggP = aggP, aggK = aggK))
+          txn = m.txn ++ txn, aggP = aggP, aggK = aggK, aggSU = aggSU))
       }
     }
   }
@@ -1304,7 +1348,8 @@ object Maintenance {
         schema, nextDeltas, nextRows,
         statsCols = base.statsCols, colStats = nextStats,
         resolve = base.resolve, txn = base.txn ++ txn,
-        aggP = base.aggP, aggK = base.aggK, depths = base.depths))
+        aggP = base.aggP, aggK = base.aggK, depths = base.depths,
+        aggSU = base.aggSU, seqCol = base.seqCol))
   }
 
   private[graft] def commitKeyed(spark: SparkSession,
@@ -1515,6 +1560,14 @@ object Maintenance {
     require(m.nBuckets == 0 || (m.nBuckets == nBuckets && m.keyCol == keyCol),
       s"keyed table $clean is (${m.keyCol}, ${m.nBuckets}) buckets; " +
         s"caller passed ($keyCol, $nBuckets)")
+    // a SEQUENCE-resolved table's winner is max-seq, not batch-wins:
+    // the copy-on-write merge/delete paths would silently overwrite
+    // newer stored rows with older batch rows — those tables change
+    // only through appendDeltaKeyed (stamped) + compactKeyed
+    require(m.seqCol.isEmpty,
+      s"$clean resolves by sequence column '${m.seqCol}' — upsert/" +
+        "delete/CoW-merge are batch-wins and would break it; append " +
+        "stamped deltas instead (appendDeltaKeyed) and compact")
     val live = touched.filter(b =>
       m.buckets.contains(b) || m.deltas.get(b).exists(_.nonEmpty))
     if (live.nonEmpty)
@@ -1559,18 +1612,47 @@ object Maintenance {
                            updates: DataFrame,
                            keyCols: Seq[String], nBuckets: Int,
                            tombstoneKeys: Option[DataFrame] = None,
-                           txn: Map[String, Long] = Map.empty): Unit = {
+                           txn: Map[String, Long] = Map.empty,
+                           seqCol: Option[String] = None): Unit = {
     val clean = cleanDir(dir)
     val keyCol = keyCols.mkString(",")
-    val ups = updates.withColumn("__tomb", F.lit(false))
-    val all = tombstoneKeys.fold(ups)(tk =>
-      ups.unionByName(
-        (if (keyCols.length == 1)
-          tk.select(F.col(tk.columns.head).as(keyCols.head))
-        else tk.select(keyCols.map(F.col): _*))
-          .withColumn("__tomb", F.lit(true)),
-        allowMissingColumns = true))
     val m0 = readManifest(spark, dir)
+    // the SEQUENCE column (out-of-order CDC): once registered,
+    // resolution is max-seq-wins table-wide. It can be declared only
+    // while no delta chain exists yet (flipping the comparator under
+    // existing chains would reorder history); thereafter callers may
+    // omit it (the manifest remembers) but may not contradict it.
+    val seqEff = seqCol.map(_.trim).filter(_.nonEmpty)
+    seqEff.foreach { sc =>
+      require(m0.seqCol.isEmpty || m0.seqCol == sc,
+        s"$clean resolves by sequence column '${m0.seqCol}'; the append " +
+          s"passed '$sc'")
+      require(m0.seqCol == sc || m0.deltas.values.forall(_.isEmpty),
+        s"$clean already carries chain-ordered delta history — a " +
+          "sequence column must be declared before the first delta " +
+          "append (compact first, then re-declare)")
+      require(updates.columns.contains(sc),
+        s"appendDeltaKeyed($clean): updates carry no '$sc' column")
+    }
+    val seqActive = seqEff.orElse(Option(m0.seqCol).filter(_.nonEmpty))
+    val ups = updates.withColumn("__tomb", F.lit(false))
+    val all = tombstoneKeys.fold(ups) { tk =>
+      // in seq mode a tombstone must carry ITS OWN sequence number —
+      // an unstamped delete would sort nulls-last and lose to every
+      // stored row instead of deleting as of its time
+      seqActive.foreach(sc => require(tk.columns.contains(sc),
+        s"appendDeltaKeyed($clean): tombstones must carry the " +
+          s"sequence column '$sc' (nulls would never win resolution)"))
+      val sel = seqActive match {
+        case Some(sc) => tk.select((keyCols :+ sc).map(F.col): _*)
+        case None =>
+          if (keyCols.length == 1)
+            tk.select(F.col(tk.columns.head).as(keyCols.head))
+          else tk.select(keyCols.map(F.col): _*)
+      }
+      ups.unionByName(sel.withColumn("__tomb", F.lit(true)),
+        allowMissingColumns = true)
+    }
     require(m0.nBuckets == 0 ||
       (m0.nBuckets == nBuckets && m0.keyCol == keyCol),
       s"keyed table $clean is (${m0.keyCol}, ${m0.nBuckets}) buckets; " +
@@ -1619,7 +1701,10 @@ object Maintenance {
         m.keyCol, m.nBuckets, schema, nextDeltas, m.rows ++ stagedRows,
         statsCols = m.statsCols, colStats = m.colStats ++ stagedStats,
         resolve = m.resolve, txn = m.txn ++ txn,
-        aggP = m.aggP, aggK = m.aggK, depths = m.depths))
+        aggP = m.aggP, aggK = m.aggK, depths = m.depths,
+        aggSU = m.aggSU,
+        seqCol = seqEff.orElse(Option(m.seqCol).filter(_.nonEmpty))
+          .getOrElse("")))
     }
   }
 
@@ -1672,6 +1757,38 @@ object Maintenance {
       b -> dirs.map(d =>
         fs.getContentSummary(new Path(clean, d)).getLength).sum
     }.filter(_._2 > targetBytes).sortBy(-_._2)
+  }
+
+  /** ONE maintenance pass — the policy loop over `splitCandidates` +
+    * chain compaction that a scheduler calls on a cadence instead of
+    * hand-planning splits: split every leaf whose live bytes exceed
+    * `targetBytes`, worst first, until `budgetBytes` of rewrite is
+    * spent (a split rewrites roughly the leaf's bytes), then fold any
+    * delta chains that reached `minChain` (dispatching on the table's
+    * resolve discipline). Both phases plan from the MANIFEST and
+    * rewrite only their target buckets, so a pass over a healthy table
+    * is metadata-only — call it after every few batches and it no-ops
+    * until something actually outgrows the policy. Returns the split
+    * bucket ids (empty = the split phase converged).
+    */
+  def maintainKeyed(spark: SparkSession, dir: String, targetBytes: Long,
+                    budgetBytes: Long = Long.MaxValue,
+                    minChain: Int = 2): Seq[Int] = {
+    require(budgetBytes > 0, "maintainKeyed: budgetBytes must be > 0")
+    val cands = splitCandidates(spark, dir, targetBytes)
+    var budget = budgetBytes
+    val picked = Seq.newBuilder[Int]
+    cands.foreach { case (b, bytes) =>
+      if (bytes <= budget) { picked += b; budget -= bytes }
+    }
+    val chosen = picked.result()
+    if (chosen.nonEmpty) splitKeyed(spark, dir, chosen)
+    // fold chains the split didn't already resolve (splitting a bucket
+    // compacts its chain as a side effect)
+    if (readManifest(spark, dir).resolve == "agg")
+      compactAggStateKeyed(spark, dir, minChain = minChain)
+    else compactKeyed(spark, dir, minChain = minChain)
+    chosen
   }
 
   /** The resolved live rows of `buckets` under a PINNED manifest —
@@ -1753,7 +1870,8 @@ object Maintenance {
           m.buckets, m.keyCol, m.nBuckets, m.schemaDdl, m.deltas, m.rows,
           statsCols = m.statsCols, colStats = m.colStats,
           resolve = m.resolve, txn = m.txn,
-          aggP = m.aggP, aggK = m.aggK, depths = newDepths))
+          aggP = m.aggP, aggK = m.aggK, depths = newDepths,
+          aggSU = m.aggSU, seqCol = m.seqCol))
       } else {
         // resolve the split buckets' rows by the table's own
         // discipline (chains fold here, exactly like their compaction)
@@ -1929,7 +2047,11 @@ object Maintenance {
                   force: Boolean = false): Unit =
     vacuumGenerations(spark, dir, keepVersions, graceMs,
       """[bd]\d{5}_g\d{9}(-.*)?""",
-      cursorFloor = if (force) 0 else registeredCursorMin(spark, dir))
+      cursorFloor =
+        if (force) 0
+        else Seq(registeredCursorMin(spark, dir),
+          registeredGroupMin(spark, dir)).filter(_ > 0)
+          .minOption.getOrElse(0))
 
   /** The REGISTERED CDC cursor file path for consumer `name` of the
     * keyed table at `dir`: `<dir>/_cursors/<name>`. A cursor living
@@ -1966,6 +2088,42 @@ object Maintenance {
           if (v > 0) Some(v) else None
         } catch { case _: Exception => None } // fresh/garbled: no floor
       }.minOption.getOrElse(0)
+  }
+
+  /** The COMMIT-GROUP pointer file registering `groupDir` as a
+    * consumer of the member table at `memberDir`:
+    * `<member>/_groups/<urlb64(groupDir)>`. Written by `commitGroup`
+    * for every member it pins; `vacuumKeyed` then reads the LIVE group
+    * manifests (never a cached number — manifest publishes are atomic,
+    * pointer files just locate them) and retains every member version
+    * any group version still pins, unless forced. This closes the r11
+    * gap where a pinned version could be GC'd out from under
+    * `readGroup` (which then failed loudly).
+    */
+  def registeredGroupPath(memberDir: String, groupDir: String): String =
+    s"${cleanDir(memberDir)}/_groups/${java.util.Base64.getUrlEncoder
+      .withoutPadding.encodeToString(
+        cleanDir(groupDir).getBytes("UTF-8"))}"
+
+  /** The smallest version of `dir` any registered commit group still
+    * pins, across every group version (0 = none constrains). A deleted
+    * group dir stops constraining; its stale pointer is ignored.
+    */
+  private def registeredGroupMin(spark: SparkSession, dir: String): Int = {
+    val gd = new Path(cleanDir(dir), "_groups")
+    val fs = hadoopFs(spark, gd)
+    if (!fs.exists(gd)) return 0
+    val member = cleanDir(dir)
+    fs.listStatus(gd).toSeq.filterNot(_.getPath.getName.contains(".tmp_"))
+      .flatMap { st =>
+        try {
+          val groupDir = new String(java.util.Base64.getUrlDecoder
+            .decode(st.getPath.getName), "UTF-8")
+          manifestVersions(spark, groupDir).flatMap(v =>
+            readManifest(spark, groupDir, Some(v)).txn.get(member)
+              .map(_.toInt))
+        } catch { case _: Exception => Nil } // dead group: no floor
+      }.filter(_ > 0).minOption.getOrElse(0)
   }
 
   private def vacuumGenerations(spark: SparkSession, dir: String,
@@ -2179,11 +2337,11 @@ object Maintenance {
     * two states by design — the sample is the one state column whose
     * merge isn't a per-column fold).
     */
-  private def partialAggCols(df: DataFrame, keys: Seq[String],
-                             valueCols: Seq[String],
-                             distinctKey: Option[String], p: Int,
-                             sampleK: Int = 0,
-                             sampleUnique: Option[String] = None)
+  private[sources] def partialAggCols(df: DataFrame, keys: Seq[String],
+                                      valueCols: Seq[String],
+                                      distinctKey: Option[String], p: Int,
+                                      sampleK: Int = 0,
+                                      sampleUnique: Option[String] = None)
       : DataFrame = {
     require(p >= 7 && p <= 16, s"hll p in [7,16], got $p")
     require(valueCols.nonEmpty, "agg state: no measure columns")
@@ -2249,8 +2407,8 @@ object Maintenance {
     * multi-measure states, with or without the r11 __cnv columns,
     * merge through the same body.
     */
-  private def aggOfState(state: DataFrame, keys: Seq[String],
-                         p: Int, sampleK: Int): DataFrame = {
+  private[sources] def aggOfState(state: DataFrame, keys: Seq[String],
+                                  p: Int, sampleK: Int): DataFrame = {
     val cols = state.columns
     val aggs =
       Seq(F.sum(F.col("__cnt")).as("__cnt")) ++
@@ -2592,10 +2750,11 @@ object Maintenance {
         sampleUnique),
       dir, keys, nBuckets, Seq.empty, nullSafe = false, resolve = "agg",
       txn = txn,
-      // the build's p/sampleK are TABLE METADATA from here on: reads,
-      // merges, and compactions default to them instead of trusting
-      // the caller to repeat the build's numbers
-      aggP = p, aggK = sampleK)
+      // the build's p/sampleK/sampleUnique are TABLE METADATA from
+      // here on: reads, merges, compactions, and MV rebuilds default
+      // to them instead of trusting the caller to repeat the build's
+      // numbers (the sample GRAIN is part of the state's identity)
+      aggP = p, aggK = sampleK, aggSU = sampleUnique.getOrElse(""))
   }
 
   /** Fold one batch into the bucketed agg state. `p`/`sampleK` default
@@ -2645,8 +2804,19 @@ object Maintenance {
     // fall back to the historical defaults
     val pe = if (p > 0) p else if (m0.aggP > 0) m0.aggP else 12
     val ke = if (sampleK >= 0) sampleK else math.max(m0.aggK, 0)
+    // the sample GRAIN also defaults to the build's recorded column
+    // (r12 manifests): a caller passing None no longer silently flips
+    // a row-uniform (__smpr) state to the distinct-value grain — and a
+    // caller CONTRADICTING the recorded column fails loudly (two salt
+    // columns under one __smpr name would silently mix hash functions
+    // in one heap)
+    require(sampleUnique.isEmpty || m0.aggSU.isEmpty ||
+      sampleUnique.contains(m0.aggSU),
+      s"$clean records sample grain column '${m0.aggSU}'; the merge " +
+        s"passed sampleUnique='${sampleUnique.get}'")
+    val sue = sampleUnique.orElse(Option(m0.aggSU).filter(_.nonEmpty))
     val partial = partialAggCols(batch, keys, valueCols, distinctKey, pe,
-      ke, sampleUnique)
+      ke, sue)
     if (asDeltas) {
       appendDeltaKeyedCols(spark, dir, partial, keys, m0.nBuckets,
         txn = txn)
@@ -2791,6 +2961,59 @@ object Maintenance {
     }
   }
 
+  /** REPLACE the agg-state rows whose `tagCol` value is in `tags` with
+    * `partial`'s rows (which must all carry tags in `tags`) — the
+    * refresh primitive for BUCKET-GRAIN materialized views: the state
+    * tracks per-(group, base-bucket) partials, a base commit
+    * invalidates the changed buckets' partials wholesale, and this
+    * swaps exactly those rows in one manifest commit. Unlike a merge
+    * (which FOLDS partials into existing rows — correct only for
+    * insert-only feeds), replace handles updates and deletes, and is
+    * IDEMPOTENT: re-running the same refresh reproduces the same state.
+    *
+    * Cost: O(state) to locate the condemned rows (the state is orders
+    * smaller than its base by construction) plus a rewrite of only the
+    * state buckets holding condemned or fresh rows.
+    */
+  def replaceAggStateByTag(spark: SparkSession, dir: String,
+                           partial: DataFrame, tagCol: String,
+                           tags: Seq[Int]): Unit = {
+    require(tags.nonEmpty, "replaceAggStateByTag: no tags")
+    val clean = cleanDir(dir)
+    // freeze the caller's partial BEFORE the retry loop: its lineage
+    // reads the BASE table, and a commit conflict must not re-scan it
+    val part0 = partial.localCheckpoint()
+    withCommitRetry(s"replaceAggStateByTag($dir)") {
+      val m = readManifest(spark, dir)
+      require(m.resolve == "agg",
+        s"$clean is not a bucketed agg state (resolve='${m.resolve}')")
+      require(m.keyCols.contains(tagCol),
+        s"$clean is keyed on (${m.keyCol}) — no tag column '$tagCol'")
+      val live = (m.buckets.keySet ++ m.deltas.keySet).toSeq.sorted
+      val st =
+        (if (live.isEmpty) emptySnapshot(spark, clean, m).drop("kb", "__tomb")
+         else readAggStateBuckets(spark, clean, m, live))
+          .withColumn("kb", kb(m.keyCols, m.nBuckets, depths = m.depths))
+      val cond = F.col(tagCol).isin(tags: _*)
+      require(part0.filter(!F.col(tagCol).isin(tags: _*)).isEmpty,
+        s"replaceAggStateByTag($clean): partial carries rows outside " +
+          s"the replaced tag set — those would merge, not replace")
+      val partKb = part0.withColumn("kb",
+        kb(m.keyCols, m.nBuckets, depths = m.depths))
+      val touched = (st.filter(cond).select("kb").distinct().collect()
+        .map(_.getInt(0)) ++
+        partKb.select("kb").distinct().collect().map(_.getInt(0)))
+        .distinct.sorted.toSeq
+      if (touched.nonEmpty) {
+        val touchedCol = F.col("kb").isin(touched: _*)
+        val merged = st.filter(touchedCol && !cond)
+          .unionByName(partKb.filter(touchedCol),
+            allowMissingColumns = true)
+        commitKeyed(spark, stageMerge(spark, dir, merged, touched, m))
+      }
+    }
+  }
+
   // ---- cross-table commit groups -------------------------------------------
   //
   // A pipeline writing a fact table + its search index + its agg state
@@ -2814,7 +3037,7 @@ object Maintenance {
     require(pins.nonEmpty, "commitGroup: no pins")
     val clean = cleanDir(groupDir)
     val p = pins.map { case (t, v) => cleanDir(t) -> v.toLong }
-    withCommitRetry(s"commitGroup($groupDir)") {
+    val committed = withCommitRetry(s"commitGroup($groupDir)") {
       val versions = manifestVersions(spark, clean)
       val prev =
         if (versions.isEmpty) Map.empty[String, Long]
@@ -2824,6 +3047,19 @@ object Maintenance {
         KeyedManifest(next, Map.empty, txn = prev ++ p))
       next
     }
+    // register the group with each member it pins (idempotent pointer
+    // file; the retention floor itself is read from the group's LIVE
+    // manifests at vacuum time, so this write races nothing)
+    p.keys.foreach { member =>
+      val gp = new Path(registeredGroupPath(member, clean))
+      val fs = hadoopFs(spark, gp)
+      if (!fs.exists(gp)) {
+        fs.mkdirs(gp.getParent)
+        val out = fs.create(gp, true)
+        try out.write(clean.getBytes("UTF-8")) finally out.close()
+      }
+    }
+    committed
   }
 
   /** The group's pins (table dir → pinned manifest version) at

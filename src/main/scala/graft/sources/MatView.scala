@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
@@ -12,49 +13,162 @@ import org.apache.spark.sql.types._
   * warehouse's materialized views.
   *
   * The registry maps a BASE table dir to its maintained agg states
-  * (dir + measures + a base-version WATERMARK). A language group-by
-  * over the pristine `read_keyed` snapshot whose keys and aggregates
-  * are covered routes onto the state (O(groups) rows read, the base's
-  * files never open); anything not covered — or a STALE view (the
-  * base's manifest version moved past the watermark) — falls back to
-  * the scan plan. Routing never guesses: stale, partial, or
-  * type-unroutable views answer from the base.
+  * (dir + measures + a base-version WATERMARK), and is DURABLE:
+  * registrations persist under `<base>/_mvs/` and load lazily in any
+  * later session, so routing hints survive the JVM (the state itself
+  * was always durable). A language group-by over the pristine
+  * `read_keyed` snapshot whose keys and aggregates are covered routes
+  * onto the state (O(state) rows read, the base's files never open).
+  * Routable shapes (r12): the view's exact grain, any KEY-SUBSET grain
+  * (every state column is associative, so a coarser group-by is a fold
+  * of the finer states — this is also what serves a bucket-grain
+  * view's queries), the global `{=> aggs}` fold, and a selection whose
+  * predicate touches ONLY grain columns (a group passes or fails
+  * wholesale, so filtering state rows equals filtering base rows).
+  * Anything not covered — or a STALE view (the base's manifest version
+  * moved past the watermark), or a frame PINNED at a different version
+  * than the watermark — falls back to the scan plan. Routing never
+  * guesses: stale, partial, or type-unroutable views answer from the
+  * base.
   *
   * Scale: this is the difference between a dashboard group-by costing
   * O(state) (a few thousand rows) and O(100 TB) — the state is
-  * maintained incrementally (`mergeAggStateKeyed`, cost ∝ batch), so
-  * the full scan is paid ONCE at build, never per query.
+  * maintained incrementally (`refreshMvIncremental`, cost ∝ changed
+  * base buckets), so the full scan is paid ONCE at build, never per
+  * query and never per refresh.
   */
 object MatView {
 
+  /** The bucket-grain tag column: a view built by `buildMv` tracks one
+    * state row per (group, base-bucket) so a base commit can replace
+    * exactly the changed buckets' partials (`refreshMvIncremental`).
+    * Deliberately NOT `__`-prefixed (state-column dispatch is
+    * prefix-driven); collisions with a real base column fail loudly at
+    * build.
+    */
+  val BucketTagCol = "mv__bucket"
+
   /** A registered view: `mvDir` holds the bucketed agg state
     * (resolve=agg), `baseDir` the keyed table it summarizes,
-    * `keys`/`valueCols` its grain, `baseVersion` the base-manifest
-    * watermark the state covers. The keys come from the STATE's own
-    * manifest (never a caller guess).
+    * `keys`/`valueCols` its LOGICAL grain (the bucket tag, when
+    * present, is carried separately in `bucketTag`), `baseVersion` the
+    * base-manifest watermark the state covers. The keys come from the
+    * STATE's own manifest (never a caller guess). `floatSums` is the
+    * caller's declaration that float/double measures hold ≤2-decimal
+    * values (money): the state's exact-decimal(28,2) sums then match
+    * the scan plan's IEEE sums to the gates' rounding — WITHOUT it,
+    * sum/mean over a float/double measure never routes (per-row
+    * decimal rounding would lose real precision on e.g. latencies).
     */
   final case class MvDef(mvDir: String, baseDir: String,
                          keys: Seq[String], valueCols: Seq[String],
                          baseVersion: Int,
                          distinctKey: Option[String] = None,
-                         aggP: Int = 12)
+                         aggP: Int = 12,
+                         floatSums: Boolean = false,
+                         bucketTag: Option[String] = None)
 
-  // session-scoped, like the catalog: a registry entry is a ROUTING
-  // HINT, not data — the state itself is durable on disk
+  // in-memory registry — a CACHE of the durable `_mvs` files (plus
+  // anything registered this session); loaded once per base per session
   private val reg =
     new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+  private val loadedBases =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** IO-scope record of the last `refreshMvIncremental` on this JVM:
+    * (changed base buckets, the base files the re-aggregation actually
+    * read). Diagnostics/specs only — the changed-buckets-only contract
+    * is asserted against the REAL frame the refresh aggregated.
+    */
+  @volatile var lastRefreshScan: Option[(Seq[Int], Seq[String])] = None
 
   private def clean(d: String): String = d.replaceAll("/+$", "")
 
+  private def b64url(s: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s.getBytes("UTF-8"))
+  private def b64urlDec(s: String): String =
+    new String(java.util.Base64.getUrlDecoder.decode(s), "UTF-8")
+  private def mvFile(d: MvDef): Path =
+    new Path(s"${d.baseDir}/_mvs/${b64url(d.mvDir)}")
+
+  /** Persist a registration under `<base>/_mvs/<urlb64(mvDir)>`.
+    * Grain/p/sample metadata live in the STATE's manifest (one source
+    * of truth); the file carries only what the state can't know: the
+    * measures the caller declared, the distinct column, the float-sum
+    * opt-in, and the WATERMARK. Plain overwrite — this is a routing
+    * hint with a fail-safe reader (a torn/stale file just means no
+    * route), not a commit point.
+    */
+  private def persist(spark: SparkSession, d: MvDef): Unit = {
+    val p = mvFile(d)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val body =
+      s"""{"mvDir": "${b64url(d.mvDir)}", "valueCols": "${b64url(
+        d.valueCols.mkString(","))}", "distinctKey": "${d.distinctKey
+        .map(b64url).getOrElse("")}", "floatSums": ${d.floatSums}, """ +
+        s""""baseVersion": ${d.baseVersion}}"""
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private val PMvDir = """"mvDir"\s*:\s*"([^"]*)"""".r
+  private val PVals = """"valueCols"\s*:\s*"([^"]*)"""".r
+  private val PDk = """"distinctKey"\s*:\s*"([^"]*)"""".r
+  private val PFs = """"floatSums"\s*:\s*(true|false)""".r
+  private val PBv = """"baseVersion"\s*:\s*(\d+)""".r
+
+  /** Load the durable registrations of `baseDir` into the session
+    * cache (once per base per session; in-memory entries win). A dead
+    * state dir or unparsable file is skipped — the fail-safe is the
+    * scan plan.
+    */
+  private def ensureLoaded(spark: SparkSession, baseDir: String): Unit = {
+    val base = clean(baseDir)
+    if (!loadedBases.add(base)) return
+    val md = new Path(base, "_mvs")
+    val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(md)) return
+    fs.listStatus(md).foreach { st =>
+      try {
+        val in = fs.open(st.getPath)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val mv = b64urlDec(PMvDir.findFirstMatchIn(txt).get.group(1))
+        val vals = b64urlDec(PVals.findFirstMatchIn(txt).get.group(1))
+          .split(",").toSeq
+        val dk = Option(PDk.findFirstMatchIn(txt).get.group(1))
+          .filter(_.nonEmpty).map(b64urlDec)
+        val fsum = PFs.findFirstMatchIn(txt).get.group(1).toBoolean
+        val bv = PBv.findFirstMatchIn(txt).get.group(1).toInt
+        val m = Maintenance.readManifest(spark, mv)
+        if (m.resolve == "agg" && m.nBuckets > 0) {
+          val tag = m.keyCols.find(_ == BucketTagCol)
+          val d = MvDef(mv, base, m.keyCols.filterNot(_ == BucketTagCol),
+            vals, bv, dk, if (m.aggP > 0) m.aggP else 12, fsum, tag)
+          reg.putIfAbsent(mv, d)
+        }
+      } catch { case _: Exception => () } // unloadable hint: no route
+    }
+  }
+
   /** Register the agg state at `mvDir` as a materialized view of
-    * `baseDir`, watermarked at the base's CURRENT manifest version.
+    * `baseDir`, watermarked at `baseVersion` (the version the state
+    * was built from — read it BEFORE building; defaults to the base's
+    * current version for a state built just now in the same thread).
     * Validates against the state's own manifest: it must be a bucketed
     * agg state, and its schema must carry every declared measure's
     * state columns (single measure = the unsuffixed classic names).
+    * `floatSums` opts float/double measures into sum/mean routing —
+    * see `MvDef`. The registration persists under `<base>/_mvs/`.
     */
   def register(spark: SparkSession, mvDir: String, baseDir: String,
                valueCols: Seq[String],
-               distinctKey: Option[String] = None): MvDef = {
+               distinctKey: Option[String] = None,
+               floatSums: Boolean = false,
+               baseVersion: Option[Int] = None): MvDef = {
     require(valueCols.nonEmpty, "register: no measure columns")
     val mv = clean(mvDir); val base = clean(baseDir)
     val m = Maintenance.readManifest(spark, mv)
@@ -71,52 +185,208 @@ object MatView {
     // registers don't track would be a silent wrong answer
     distinctKey.foreach(_ => require(cols.contains("__regs"),
       s"$mv tracks no HLL registers — build with distinctKey first"))
-    val baseV = Maintenance.manifestVersions(spark, base).lastOption
-      .getOrElse(throw new IllegalArgumentException(
-        s"$base has no keyed-table manifest"))
-    val d = MvDef(mv, base, m.keyCols, valueCols, baseV, distinctKey,
-      if (m.aggP > 0) m.aggP else 12)
+    val baseV = baseVersion.getOrElse(
+      Maintenance.manifestVersions(spark, base).lastOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"$base has no keyed-table manifest")))
+    val tag = m.keyCols.find(_ == BucketTagCol)
+    val d = MvDef(mv, base, m.keyCols.filterNot(_ == BucketTagCol),
+      valueCols, baseV, distinctKey,
+      if (m.aggP > 0) m.aggP else 12, floatSums, tag)
     reg.put(mv, d)
+    persist(spark, d)
     d
   }
 
-  /** Re-arm the watermark after a refresh: the caller merged the
-    * base's changes into the state, so the view now covers the base's
-    * CURRENT version. Call it with the refresh, not before.
+  /** ONE-CALL build + register at BUCKET GRAIN: aggregate the base's
+    * pinned snapshot per (keys..., base bucket) — the stored `kb` each
+    * row was read from — into a bucketed agg state, then register it
+    * watermarked at exactly that pinned version (no build-then-
+    * watermark window). The bucket tag is what makes
+    * `refreshMvIncremental` O(changed base buckets) for ARBITRARY
+    * changes (updates and deletes included): a changed bucket's
+    * partials are replaced wholesale, no retraction arithmetic needed.
+    * Queries still route at the logical grain (any key-subset group-by
+    * folds the per-bucket states — associative columns only).
     */
-  def refreshed(spark: SparkSession, mvDir: String): MvDef = {
+  def buildMv(spark: SparkSession, baseDir: String, mvDir: String,
+              keys: Seq[String], valueCols: Seq[String], nBuckets: Int,
+              distinctKey: Option[String] = None,
+              floatSums: Boolean = false,
+              sampleK: Int = 0,
+              sampleUnique: Option[String] = None): MvDef = {
+    val base = clean(baseDir)
+    val (rows, v0) = Maintenance.readKeyedPinned(spark, base)
+    require(rows.columns.contains("kb"),
+      s"$base is not a manifest-keyed table (no kb column)")
+    require(!rows.columns.contains(BucketTagCol),
+      s"$base already has a '$BucketTagCol' column — bucket-grain " +
+        "views reserve that name")
+    Maintenance.buildAggStateKeyedCols(
+      rows.withColumn(BucketTagCol, F.col("kb")), mvDir,
+      keys :+ BucketTagCol, valueCols, nBuckets,
+      distinctKey = distinctKey, sampleK = sampleK,
+      sampleUnique = sampleUnique)
+    register(spark, mvDir, base, valueCols, distinctKey, floatSums,
+      baseVersion = Some(v0))
+  }
+
+  /** Re-arm the watermark after a refresh. `toVersion` is the base
+    * version the refresh was COMPUTED against — read it BEFORE the
+    * merge/rebuild and pass it here; a None (legacy face) re-arms at
+    * the base's current version, which is only safe when no other
+    * writer can commit to the base between the caller's merge and this
+    * call (single-maintainer tables). `refreshMvIncremental`/
+    * `rebuildMv` always pass the pinned version.
+    */
+  def refreshed(spark: SparkSession, mvDir: String,
+                toVersion: Option[Int] = None): MvDef = {
     val mv = clean(mvDir)
     val d = Option(reg.get(mv)).getOrElse(throw new IllegalArgumentException(
       s"$mv is not a registered materialized view"))
-    val baseV = Maintenance.manifestVersions(spark, d.baseDir).last
+    val baseV = toVersion.getOrElse(
+      Maintenance.manifestVersions(spark, d.baseDir).last)
     val nd = d.copy(baseVersion = baseV)
     reg.put(mv, nd)
+    persist(spark, nd)
     nd
   }
 
-  /** Make a stale view fresh again in ONE call: rebuild the state from
-    * the base's CURRENT snapshot (the registration remembers grain,
-    * measures, distinct column, and the state's bucket/p/sample
-    * settings) and re-arm the watermark. This is the fallback refresh —
-    * a caller who knows the change batch folds it incrementally with
-    * `mergeAggStateKeyed` + `refreshed` instead (cost ∝ batch, not
-    * base). Returns the re-armed definition.
+  /** Make a stale view fresh again in ONE call by REBUILDING the state
+    * from the base's pinned current snapshot (the registration + state
+    * manifest remember grain, measures, distinct column, bucket/p/
+    * sample settings — including the r12-recorded sample GRAIN column,
+    * so a row-uniform `__smpr` state rebuilds at its own grain instead
+    * of silently flipping to distinct-value sampling) and re-arm the
+    * watermark at exactly that pinned version. O(base) — the
+    * incremental path is `refreshMvIncremental` (cost ∝ changes).
     */
   def rebuildMv(spark: SparkSession, mvDir: String): MvDef = {
     val mv = clean(mvDir)
     val d = Option(reg.get(mv)).getOrElse(throw new IllegalArgumentException(
       s"$mv is not a registered materialized view"))
     val m = Maintenance.readManifest(spark, mv)
+    val su = Option(m.aggSU).filter(_.nonEmpty)
+    require(su.isDefined ||
+      !StructType.fromDDL(m.schemaDdl).fieldNames.contains("__smpr"),
+      s"$mv carries a row-uniform sample (__smpr) but its manifest " +
+        "records no sample column (pre-r12 build) — rebuild would " +
+        "silently change the sample grain; re-build the state once " +
+        "with buildAggStateKeyedCols(sampleUnique=...) to record it")
+    val (rows, v0) = Maintenance.readKeyedPinned(spark, d.baseDir)
+    val df = d.bucketTag match {
+      case Some(tag) => rows.withColumn(tag, F.col("kb"))
+      case None => rows
+    }
     Maintenance.buildAggStateKeyedCols(
-      Maintenance.readKeyed(spark, d.baseDir), mv, d.keys, d.valueCols,
+      df, mv, d.keys ++ d.bucketTag, d.valueCols,
       m.nBuckets, distinctKey = d.distinctKey,
       p = if (m.aggP > 0) m.aggP else 12,
-      sampleK = math.max(m.aggK, 0))
-    refreshed(spark, mv)
+      sampleK = math.max(m.aggK, 0), sampleUnique = su)
+    refreshed(spark, mv, Some(v0))
+  }
+
+  /** INCREMENTAL refresh from the base's own change history — one
+    * call, cost ∝ the base buckets that changed since the watermark:
+    * the two manifests say which buckets moved (zero data IO), the
+    * changed buckets' CURRENT rows re-aggregate into per-(group,
+    * bucket) partials, and `replaceAggStateByTag` swaps exactly those
+    * tags' state rows in one commit. Handles upserts, deletes, delta
+    * appends, and splits (a split bucket's old tag is condemned, its
+    * children's partials land under the new ids). Re-running after a
+    * crash-before-watermark replays the SAME replace — idempotent by
+    * construction. Falls back to `rebuildMv` when the view has no
+    * bucket tag, the base re-bootstrapped, or the watermark manifest
+    * was vacuumed; a CDC cursor registered for the view
+    * (`<base>/_cursors/mv_<id>`) keeps vacuum from dropping the
+    * watermark manifest in the first place.
+    */
+  def refreshMvIncremental(spark: SparkSession, mvDir: String): MvDef = {
+    val mv = clean(mvDir)
+    val d = Option(reg.get(mv)).getOrElse(throw new IllegalArgumentException(
+      s"$mv is not a registered materialized view"))
+    val head = Maintenance.manifestVersions(spark, d.baseDir).last
+    if (head == d.baseVersion) { cursorTo(spark, d, head); return d }
+    if (d.bucketTag.isEmpty) return rebuildMv(spark, mv)
+    val tag = d.bucketTag.get
+    val (mFrom, mTo) =
+      try (Maintenance.readManifest(spark, d.baseDir, Some(d.baseVersion)),
+        Maintenance.readManifest(spark, d.baseDir, Some(head)))
+      catch { case _: Exception => return rebuildMv(spark, mv) }
+    // a re-bootstrap (key/bucket-count change) re-hashes every row —
+    // the per-bucket partials are all stale; rebuild
+    if (mFrom.nBuckets != mTo.nBuckets || mFrom.keyCol != mTo.keyCol)
+      return rebuildMv(spark, mv)
+    val changed = (mFrom.buckets.keySet ++ mTo.buckets.keySet ++
+      mFrom.deltas.keySet ++ mTo.deltas.keySet)
+      .filter(b => mFrom.buckets.get(b) != mTo.buckets.get(b) ||
+        mFrom.deltas.getOrElse(b, Nil) != mTo.deltas.getOrElse(b, Nil))
+      .toSeq.sorted
+    if (changed.isEmpty) return refreshedAndCursor(spark, mv, d, head)
+    val mSt = Maintenance.readManifest(spark, mv)
+    val liveNew = changed.filter(b => mTo.buckets.contains(b) ||
+      mTo.deltas.get(b).exists(_.nonEmpty))
+    val fresh = Maintenance.readKeyedBucketsAt(spark, d.baseDir, mTo,
+      liveNew)
+    lastRefreshScan = Some((changed, fresh.inputFiles.toSeq))
+    val partial = Maintenance.partialAggCols(
+      fresh.withColumn(tag, F.col("kb")),
+      d.keys :+ tag, d.valueCols, d.distinctKey,
+      if (mSt.aggP > 0) mSt.aggP else 12, math.max(mSt.aggK, 0),
+      Option(mSt.aggSU).filter(_.nonEmpty))
+    Maintenance.replaceAggStateByTag(spark, mv, partial, tag, changed)
+    refreshedAndCursor(spark, mv, d, head)
+  }
+
+  /** The view's registered CDC cursor on its BASE: pins the watermark
+    * manifest (and everything after) against `vacuumKeyed`, so the
+    * next incremental refresh can always read its from-manifest.
+    */
+  private def cursorTo(spark: SparkSession, d: MvDef, v: Int): Unit =
+    graft.streaming.Streams.commitChangeCursor(spark,
+      Maintenance.registeredCursorPath(d.baseDir, s"mv_${b64url(d.mvDir)}"),
+      v)
+
+  private def refreshedAndCursor(spark: SparkSession, mv: String,
+                                 d: MvDef, head: Int): MvDef = {
+    val nd = refreshed(spark, mv, Some(head))
+    cursorTo(spark, nd, head)
+    nd
+  }
+
+  /** The view's FINALIZED rows at its LOGICAL grain (bucket-grain
+    * states fold their per-bucket partials first) — what the language
+    * faces return.
+    */
+  def readMv(spark: SparkSession, mvDir: String): DataFrame = {
+    val mv = clean(mvDir)
+    val m = Maintenance.readManifest(spark, mv)
+    val st = Maintenance.readAggStateKeyed(spark, mv)
+    val logical = m.keyCols.filterNot(_ == BucketTagCol)
+    val folded =
+      if (m.keyCols.contains(BucketTagCol))
+        Maintenance.aggOfState(st.drop(BucketTagCol), logical,
+          if (m.aggP > 0) m.aggP else 12, math.max(m.aggK, 0))
+      else st
+    Maintenance.finalizeAgg(folded, logical,
+      if (m.aggP > 0) m.aggP else 12)
   }
 
   def unregister(mvDir: String): Unit = reg.remove(clean(mvDir))
-  def clear(): Unit = reg.clear()
+
+  /** Unregister AND delete the durable hint file (the state itself
+    * stays on disk).
+    */
+  def unregister(spark: SparkSession, mvDir: String): Unit = {
+    val d = Option(reg.remove(clean(mvDir)))
+    d.foreach { dd =>
+      val p = mvFile(dd)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, false)
+    }
+  }
+
+  def clear(): Unit = { reg.clear(); loadedBases.clear() }
 
   /** Every registered view (registry listing, mvDir order). */
   def list(): Seq[MvDef] = {
@@ -131,17 +401,6 @@ object MatView {
     reg.values.asScala.filter(_.baseDir == b).toSeq.sortBy(_.mvDir)
   }
 
-  /** Try to serve `SELECT keys, aggs FROM read_keyed(baseDir) GROUP BY
-    * keys` from a registered view. `keys` = (output name, base column);
-    * `aggs` = (output name, op, measure) with op ∈ count (row count,
-    * no measure), countv (non-null count), sum, mean, min, max.
-    * Returns None — never a wrong answer — when no registered view is
-    * FRESH (base version == watermark), grain-matched (key SET equal),
-    * and measure-covering (every agg's measure tracked, with the state
-    * columns its op needs; `sum` additionally requires an
-    * integral/floating measure so the routed column can be cast back
-    * to the scan plan's result type).
-    */
   /** The operational kill switch: set the session conf
     * `spark.graft.mv.routing=false` to force every query back onto
     * the scan plan without touching registrations — the first thing
@@ -150,157 +409,186 @@ object MatView {
   private def routingEnabled(spark: SparkSession): Boolean =
     spark.conf.get("spark.graft.mv.routing", "true").toBoolean
 
+  /** Try to serve `SELECT keys, aggs FROM read_keyed(baseDir)[filters]
+    * GROUP BY keys` from a registered view. `keys` = (output name,
+    * base column); `aggs` = (output name, op, measure) with op ∈ count
+    * (row count, no measure), countv (non-null count), sum, mean, min,
+    * max, adist. `pinnedVersion` is the manifest version the caller's
+    * frame resolved at (the read_keyed mark): the view must be
+    * watermarked at EXACTLY that version — a base commit after the
+    * read must not change which rows the frame aggregates. None (the
+    * library face) checks against the base's latest version instead.
+    * `filters` may reference ONLY the view's grain columns (checked by
+    * analysis against the state's key schema; a group passes or fails
+    * wholesale, so the state filter equals the base filter). Returns
+    * None — never a wrong answer — when nothing registered is fresh,
+    * grain-compatible (requested keys ⊆ view keys), and
+    * measure-covering.
+    */
   def route(spark: SparkSession, baseDir: String,
             keys: Seq[(String, String)],
-            aggs: Seq[(String, String, Option[String])])
+            aggs: Seq[(String, String, Option[String])],
+            pinnedVersion: Option[Int] = None,
+            filters: Seq[Column] = Nil)
       : Option[DataFrame] = {
     if (!routingEnabled(spark)) return None
     val outNames = keys.map(_._1) ++ aggs.map(_._1)
     if (outNames.distinct.length != outNames.length) return None
     if (keys.isEmpty || aggs.isEmpty) return None
-    val curBase = Maintenance.manifestVersions(spark, clean(baseDir))
-      .lastOption.getOrElse(return None)
+    ensureLoaded(spark, baseDir)
+    val curBase = pinnedVersion.orElse(
+      Maintenance.manifestVersions(spark, clean(baseDir)).lastOption)
+      .getOrElse(return None)
     forBase(baseDir).iterator
-      .filter(_.baseVersion == curBase) // fresh
-      .filter(_.keys.toSet == keys.map(_._2).toSet) // grain
-      .map(d => tryBuild(spark, d, keys, aggs))
+      .filter(_.baseVersion == curBase) // fresh at the PINNED version
+      .filter(d => keys.map(_._2).toSet.subsetOf(d.keys.toSet)) // grain
+      .map(d => tryBuild(spark, d, keys, aggs, filters))
       .collectFirst { case Some(df) => df }
   }
 
-  /** GLOBAL-aggregation route: `SELECT aggs FROM read_keyed(baseDir)`
-    * (no GROUP BY). Any fresh registered view over the base serves it
-    * REGARDLESS of its grain — a global aggregate is the fold of the
-    * per-key states (every state column is associative), so the plan
-    * becomes one tiny aggregate over O(groups) state rows instead of
-    * the base scan. Same op coverage and never-a-guess rules as
-    * `route`; `approx_count_distinct` folds the registers
+  /** GLOBAL-aggregation route: `SELECT aggs FROM
+    * read_keyed(baseDir)[filters]` (no GROUP BY). Any fresh registered
+    * view over the base whose grain covers the filter columns serves
+    * it — a global aggregate is the fold of the per-key states (every
+    * state column is associative). Same coverage and never-a-guess
+    * rules as `route`; `approx_count_distinct` folds the registers
     * (`unionState`) before the same estimate, so it stays
     * bit-identical to the scan plan.
     */
   def routeGlobal(spark: SparkSession, baseDir: String,
-                  aggs: Seq[(String, String, Option[String])])
+                  aggs: Seq[(String, String, Option[String])],
+                  pinnedVersion: Option[Int] = None,
+                  filters: Seq[Column] = Nil)
       : Option[DataFrame] = {
     if (!routingEnabled(spark)) return None
     val outNames = aggs.map(_._1)
     if (aggs.isEmpty || outNames.distinct.length != outNames.length)
       return None
-    val curBase = Maintenance.manifestVersions(spark, clean(baseDir))
-      .lastOption.getOrElse(return None)
+    ensureLoaded(spark, baseDir)
+    val curBase = pinnedVersion.orElse(
+      Maintenance.manifestVersions(spark, clean(baseDir)).lastOption)
+      .getOrElse(return None)
     forBase(baseDir).iterator
       .filter(_.baseVersion == curBase)
-      .map(d => tryBuildGlobal(spark, d, aggs))
+      .map(d => tryBuild(spark, d, Nil, aggs, filters))
       .collectFirst { case Some(df) => df }
   }
 
-  private def tryBuildGlobal(spark: SparkSession, d: MvDef,
-                             aggs: Seq[(String, String, Option[String])])
-      : Option[DataFrame] = {
-    val st = Maintenance.readAggStateKeyed(spark, d.mvDir)
-    val cols = st.columns.toSet
-    val sfx: String => String =
-      c => if (d.valueCols.length == 1) "" else s"_$c"
-    def measure(c: Option[String]): Option[String] =
-      c.filter(d.valueCols.contains)
-    def sumCast(mc: String): Option[DataType] =
-      st.schema.fields.find(_.name == s"__min${sfx(mc)}")
-        .map(_.dataType).flatMap {
-          case ByteType | ShortType | IntegerType | LongType =>
-            Some(LongType)
-          case FloatType | DoubleType => Some(DoubleType)
-          case _ => None
-        }
-    val mapped: Seq[Option[Column]] = aggs.map {
-      // counts coalesce to 0 like the scan plan's count() over an
-      // EMPTY table (sum over zero state rows is NULL)
-      case (out, "count", None) =>
-        Some(F.coalesce(F.sum(F.col("__cnt")), F.lit(0L)).as(out))
-      case (out, "countv", c) =>
-        measure(c).filter(mc => cols.contains(s"__cnv${sfx(mc)}"))
-          .map(mc => F.coalesce(F.sum(F.col(s"__cnv${sfx(mc)}")),
-            F.lit(0L)).as(out))
-      case (out, "sum", c) =>
-        measure(c).flatMap(mc => sumCast(mc).map(t =>
-          F.sum(F.col(s"__sum${sfx(mc)}")).cast(t).as(out)))
-      case (out, "mean", c) =>
-        measure(c).filter(mc => cols.contains(s"__cnv${sfx(mc)}"))
-          .map(mc => (F.sum(F.col(s"__sum${sfx(mc)}")).cast(DoubleType) /
-            F.sum(F.col(s"__cnv${sfx(mc)}"))).as(out))
-      case (out, "min", c) =>
-        measure(c).filter(mc => cols.contains(s"__min${sfx(mc)}"))
-          .map(mc => F.min(F.col(s"__min${sfx(mc)}")).as(out))
-      case (out, "max", c) =>
-        measure(c).filter(mc => cols.contains(s"__max${sfx(mc)}"))
-          .map(mc => F.max(F.col(s"__max${sfx(mc)}")).as(out))
-      case (out, "adist", c) =>
-        c.filter(d.distinctKey.contains).filter(_ => d.aggP == 12)
-          .filter(_ => cols.contains("__regs"))
-          .map(_ => graft.plans.HllRegs.estimate(
-            graft.plans.HllRegs.unionState(F.col("__regs"), d.aggP),
-            d.aggP).as(out))
-      case _ => None
-    }
-    if (mapped.exists(_.isEmpty)) None
-    else Some(st.agg(mapped.head.get, mapped.tail.map(_.get): _*))
-  }
+  /** `filters` must resolve against the view's GRAIN columns alone and
+    * be deterministic — anything else is unanswerable from state rows.
+    */
+  private def filtersRoutable(st: DataFrame, grain: Seq[String],
+                              filters: Seq[Column]): Boolean =
+    filters.isEmpty || (try {
+      val plan = st.limit(0).select(grain.map(F.col): _*)
+        .filter(filters.reduce(_ && _)).queryExecution.analyzed
+      plan.expressions.forall(_.deterministic)
+    } catch { case _: Exception => false })
 
   private def tryBuild(spark: SparkSession, d: MvDef,
                        keys: Seq[(String, String)],
-                       aggs: Seq[(String, String, Option[String])])
+                       aggs: Seq[(String, String, Option[String])],
+                       filters: Seq[Column])
       : Option[DataFrame] = {
-    val st = Maintenance.readAggStateKeyed(spark, d.mvDir)
+    val st0 = Maintenance.readAggStateKeyed(spark, d.mvDir)
+    if (!filtersRoutable(st0, d.keys, filters)) return None
+    val st = if (filters.isEmpty) st0 else st0.filter(filters.reduce(_ && _))
     val cols = st.columns.toSet
     val sfx: String => String =
       c => if (d.valueCols.length == 1) "" else s"_$c"
     def measure(c: Option[String]): Option[String] =
       c.filter(d.valueCols.contains)
-    // the scan plan's sum(col) keeps integral sums LONG and float
-    // sums DOUBLE; the state's exact-decimal __sum casts back to
-    // either losslessly below 2^53 — other measure types (decimal
-    // scale arithmetic differs) stay unrouted
+    def measureType(mc: String): Option[DataType] =
+      st.schema.fields.find(_.name == s"__min${sfx(mc)}").map(_.dataType)
+    // the scan plan's sum(col) keeps integral sums LONG and float sums
+    // DOUBLE; the state's exact-decimal __sum casts back losslessly
+    // below 2^53 for integrals, and for floats ONLY when the caller
+    // declared ≤2-decimal values (floatSums) — otherwise the
+    // decimal(28,2) per-row rounding is real precision loss, not ulp
+    // noise, so those measures never route (ADVICE r11). Other measure
+    // types (decimal scale arithmetic differs) stay unrouted.
     def sumCast(mc: String): Option[DataType] =
-      st.schema.fields.find(_.name == s"__min${sfx(mc)}")
-        .map(_.dataType).flatMap {
-          case ByteType | ShortType | IntegerType | LongType =>
-            Some(LongType)
-          case FloatType | DoubleType => Some(DoubleType)
-          case _ => None
-        }
+      measureType(mc).flatMap {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(LongType)
+        case FloatType | DoubleType if d.floatSums => Some(DoubleType)
+        case _ => None
+      }
+    def meanOk(mc: String): Boolean =
+      cols.contains(s"__cnv${sfx(mc)}") && (measureType(mc) match {
+        case Some(ByteType | ShortType | IntegerType | LongType) => true
+        case Some(FloatType | DoubleType) => d.floatSums
+        case Some(_: DecimalType) => true
+        case _ => false
+      })
+    // exact grain over a group-grain state reads rows DIRECTLY (one
+    // state row per group — the original r11 plan shape); a key-subset
+    // grain, a bucket-grain state, or a global fold AGGREGATES the
+    // state (every column is associative, so the fold is exact —
+    // grain-superset routing, r12)
+    val direct = d.bucketTag.isEmpty && keys.nonEmpty &&
+      keys.map(_._2).toSet == d.keys.toSet
     val mapped: Seq[Option[Column]] = aggs.map {
-      case (out, "count", None) => Some(F.col("__cnt").as(out))
+      case (out, "count", None) =>
+        Some(if (direct) F.col("__cnt").as(out)
+        // counts coalesce to 0 like the scan plan's count() over an
+        // EMPTY table (sum over zero state rows is NULL); grouped
+        // routes can't hit this (no rows -> no groups)
+        else F.coalesce(F.sum(F.col("__cnt")), F.lit(0L)).as(out))
       case (out, "countv", c) =>
         measure(c).filter(mc => cols.contains(s"__cnv${sfx(mc)}"))
-          .map(mc => F.col(s"__cnv${sfx(mc)}").as(out))
+          .map(mc => if (direct) F.col(s"__cnv${sfx(mc)}").as(out)
+          else F.coalesce(F.sum(F.col(s"__cnv${sfx(mc)}")), F.lit(0L))
+            .as(out))
       case (out, "sum", c) =>
-        measure(c).flatMap(mc => sumCast(mc)
-          .map(t => F.col(s"__sum${sfx(mc)}").cast(t).as(out)))
+        measure(c).flatMap(mc => sumCast(mc).map(t =>
+          (if (direct) F.col(s"__sum${sfx(mc)}")
+           else F.sum(F.col(s"__sum${sfx(mc)}"))).cast(t).as(out)))
       case (out, "mean", c) =>
         // avg(c) divides by the NON-NULL count — __cnv (r11 states);
         // a pre-r11 state without it cannot route mean
-        measure(c).filter(mc => cols.contains(s"__cnv${sfx(mc)}"))
-          .map(mc => (F.col(s"__sum${sfx(mc)}").cast(DoubleType) /
-            F.col(s"__cnv${sfx(mc)}")).as(out))
+        measure(c).filter(meanOk)
+          .map(mc =>
+            (if (direct)
+              F.col(s"__sum${sfx(mc)}").cast(DoubleType) /
+                F.col(s"__cnv${sfx(mc)}")
+            else
+              F.sum(F.col(s"__sum${sfx(mc)}")).cast(DoubleType) /
+                F.sum(F.col(s"__cnv${sfx(mc)}"))).as(out))
       case (out, "min", c) =>
         measure(c).filter(mc => cols.contains(s"__min${sfx(mc)}"))
-          .map(mc => F.col(s"__min${sfx(mc)}").as(out))
+          .map(mc => (if (direct) F.col(s"__min${sfx(mc)}")
+          else F.min(F.col(s"__min${sfx(mc)}"))).as(out))
       case (out, "max", c) =>
         measure(c).filter(mc => cols.contains(s"__max${sfx(mc)}"))
-          .map(mc => F.col(s"__max${sfx(mc)}").as(out))
+          .map(mc => (if (direct) F.col(s"__max${sfx(mc)}")
+          else F.max(F.col(s"__max${sfx(mc)}"))).as(out))
       case (out, "adist", c) =>
-        // approx_count_distinct(c) routes to the state's merged HLL
-        // registers — BIT-IDENTICAL to the scan plan by construction
+        // approx_count_distinct(c) routes to the state's HLL registers
+        // — BIT-IDENTICAL to the scan plan by construction
         // (register-wise max is associative; the estimate is the same
         // scalar over the same registers), but only when c IS the
         // column the registers track and the state was built at the
         // language's p (12)
         c.filter(d.distinctKey.contains).filter(_ => d.aggP == 12)
           .filter(_ => cols.contains("__regs"))
-          .map(_ => graft.plans.HllRegs.estimate(F.col("__regs"), d.aggP)
-            .as(out))
+          .map(_ =>
+            (if (direct) graft.plans.HllRegs.estimate(F.col("__regs"), d.aggP)
+            else graft.plans.HllRegs.estimate(
+              graft.plans.HllRegs.unionState(F.col("__regs"), d.aggP),
+              d.aggP)).as(out))
       case _ => None
     }
     if (mapped.exists(_.isEmpty)) None
-    else Some(st.select(
-      keys.map { case (out, src) => F.col(src).as(out) } ++
-        mapped.map(_.get): _*))
+    else if (direct)
+      Some(st.select(
+        keys.map { case (out, src) => F.col(src).as(out) } ++
+          mapped.map(_.get): _*))
+    else if (keys.isEmpty)
+      Some(st.agg(mapped.head.get, mapped.tail.map(_.get): _*))
+    else
+      Some(st.groupBy(keys.map { case (out, src) =>
+        F.col(src).as(out) }: _*)
+        .agg(mapped.head.get, mapped.tail.map(_.get): _*))
   }
 }

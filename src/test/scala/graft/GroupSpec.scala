@@ -147,4 +147,38 @@ class GroupSpec extends SparkSpec {
     S.commitChangeCursor(spark, cur, 3)
     intercept[Exception] { S.pollKeyedChanges(spark, dir, cur) }
   }
+
+  test("vacuum retains versions a LIVE commit group pins; force still drops") {
+    val a = tmp("grp_pa"); val g = tmp("grp_pg")
+    M.writeKeyed(one(0, 1.0), a, "k", 2)
+    (2 to 6).foreach(v => M.upsertKeyed(spark, a, one(0, v.toDouble),
+      "k", 2)) // versions 1..6
+    M.commitGroup(spark, g, Map(a -> 3))
+    M.vacuumKeyed(spark, a, keepVersions = 1, graceMs = 0L)
+    val vs = M.manifestVersions(spark, a)
+    assert(vs == (3 to 6), s"group pin ignored by vacuum: $vs")
+    // the pinned read still resolves after the vacuum
+    assert(M.readGroup(spark, g, a).head.getDouble(1) == 3.0)
+    // OLD group versions pin too: the floor is the min across the
+    // group's whole manifest chain
+    M.commitGroup(spark, g, Map(a -> 6))
+    M.vacuumKeyed(spark, a, keepVersions = 1, graceMs = 0L)
+    assert(M.manifestVersions(spark, a) == (3 to 6),
+      "group v1's older pin must keep its floor until the group " +
+        "version itself is gone")
+    // a DELETED group stops constraining (its pointer is ignored)
+    val fs = new org.apache.hadoop.fs.Path(g)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(g), true)
+    M.vacuumKeyed(spark, a, keepVersions = 1, graceMs = 0L)
+    assert(M.manifestVersions(spark, a) == Seq(6))
+    // force overrides pins: readGroup then fails loudly (pre-r12
+    // behavior, now opt-in)
+    val b = tmp("grp_pb"); val g2 = tmp("grp_pg2")
+    M.writeKeyed(one(0, 1.0), b, "k", 2)
+    M.upsertKeyed(spark, b, one(0, 2.0), "k", 2)
+    M.commitGroup(spark, g2, Map(b -> 1))
+    M.vacuumKeyed(spark, b, keepVersions = 1, graceMs = 0L, force = true)
+    intercept[Exception] { M.readGroup(spark, g2, b).collect() }
+  }
 }

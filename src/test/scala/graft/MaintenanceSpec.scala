@@ -1221,11 +1221,30 @@ class MaintenanceSpec extends SparkSpec {
       .select((col("id") % 10).as("g"), col("id").cast("double").as("v"))
     Maintenance.buildAggStateKeyed(full, dir, Seq("g"), "v",
       nBuckets = 4, sampleK = 16, sampleUnique = Some("g"))
-    // merging with the DEFAULT grain (no sampleUnique) builds __smp,
-    // not __smpr -> the stored-column align select must fail
-    intercept[org.apache.spark.sql.AnalysisException] {
+    // r12: the manifest RECORDS the sample grain column, so a default
+    // merge reuses the build's grain (no silent flip, no caller-
+    // repeated numbers) — the state stays row-uniform (__smpr)
+    Maintenance.mergeAggStateKeyed(spark, dir, full, Seq("g"), "v",
+      sampleK = 16)
+    assert(Maintenance.readAggStateKeyed(spark, dir)
+      .columns.contains("__smpr"))
+    // ...and a merge CONTRADICTING the recorded column fails loudly
+    // (two salt columns under one __smpr name would silently mix hash
+    // functions in one heap)
+    val errG = intercept[IllegalArgumentException] {
       Maintenance.mergeAggStateKeyed(spark, dir, full, Seq("g"), "v",
-        sampleK = 16)
+        sampleK = 16, sampleUnique = Some("v"))
+    }
+    assert(errG.getMessage.contains("sample grain"), errG.getMessage)
+    // a PRE-r12 state (no recorded grain) merged with the WRONG grain
+    // still fails at the stored-column align select: build the
+    // distinct-value grain, merge row-uniform
+    val dirOld = tmp("graft_basg_old")
+    Maintenance.buildAggStateKeyed(full, dirOld, Seq("g"), "v",
+      nBuckets = 4, sampleK = 16)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Maintenance.mergeAggStateKeyed(spark, dirOld, full, Seq("g"), "v",
+        sampleK = 16, sampleUnique = Some("g"))
     }
     // and a ROW-table merge face refuses an agg-state table outright
     val err = intercept[IllegalArgumentException] {

@@ -31,7 +31,7 @@ class MatViewSpec extends SparkSpec {
     M.writeKeyed(base, bdir, "k", 8)
     M.buildAggStateKeyedCols(M.readKeyed(spark, bdir), mdir, Seq("g"),
       Seq("v", "w"), nBuckets = 4)
-    MV.register(spark, mdir, bdir, Seq("v", "w"))
+    MV.register(spark, mdir, bdir, Seq("v", "w"), floatSums = true)
     val routed = MV.route(spark, bdir, Seq(("grp", "g")), Seq(
       ("n", "count", None), ("nv", "countv", Some("v")),
       ("sv", "sum", Some("v")), ("mv", "mean", Some("v")),
@@ -68,7 +68,7 @@ class MatViewSpec extends SparkSpec {
     val base = mkBase(3000, withNulls = true)
     M.writeKeyed(base, bdir, "k", 8)
     M.buildAggStateKeyed(M.readKeyed(spark, bdir), mdir, Seq("g"), "v", 4)
-    MV.register(spark, mdir, bdir, Seq("v"))
+    MV.register(spark, mdir, bdir, Seq("v"), floatSums = true)
     val routed = MV.route(spark, bdir, Seq(("g", "g")),
       Seq(("m", "mean", Some("v")), ("nv", "countv", Some("v")))).get
     val expect = base.groupBy("g")
@@ -143,7 +143,7 @@ class MatViewSpec extends SparkSpec {
       s"""w = write_keyed(src, "$bdir", "k", 8)
          |st = build_agg_state_keyed(read_keyed("$bdir"), "g", "v",
          |       "$mdir", 4)
-         |r = register_mv("$mdir", "$bdir", "v")
+         |r = register_mv("$mdir", "$bdir", "v", "", true)
          |t = read_keyed("$bdir")
          |t {g => n: count(), total: sum(v), m: mean(v)}
          |""".stripMargin, "src" -> pt).df
@@ -245,7 +245,7 @@ class MatViewSpec extends SparkSpec {
     val base = mkBase(3000, withNulls = true)
     M.writeKeyed(base, bdir, "k", 8)
     M.buildAggStateKeyed(M.readKeyed(spark, bdir), mdir, Seq("g"), "v", 4)
-    MV.register(spark, mdir, bdir, Seq("v"))
+    MV.register(spark, mdir, bdir, Seq("v"), floatSums = true)
     val routed = MV.routeGlobal(spark, bdir, Seq(
       ("n", "count", None), ("nv", "countv", Some("v")),
       ("s", "sum", Some("v")), ("m", "mean", Some("v")),
@@ -301,6 +301,325 @@ class MatViewSpec extends SparkSpec {
     assert(routed.get.agg(F.sum("n")).head.getLong(0) == 2050L)
   }
 
+  test("float/double sums route ONLY with the floatSums declaration (2-decimal contract)") {
+    val bdir = tmp("mv_fb"); val mdir = tmp("mv_fs")
+    // a measure with REAL sub-2-decimal precision: 1/8ths
+    val base = spark.range(0, 4000).select(col("id").as("k"),
+      (col("id") % 5).as("g"),
+      ((col("id") % 8).cast("double") / 8.0).as("v"),
+      (col("id") % 13).as("w"))
+    M.writeKeyed(base, bdir, "k", 8)
+    M.buildAggStateKeyedCols(M.readKeyed(spark, bdir), mdir, Seq("g"),
+      Seq("v", "w"), 4)
+    MV.register(spark, mdir, bdir, Seq("v", "w"))
+    // sum/mean over the DOUBLE measure must NOT route undeclared — the
+    // state's decimal(28,2) rounds 0.125 per row (real loss, not ulps)
+    assert(MV.route(spark, bdir, Seq(("g", "g")),
+      Seq(("s", "sum", Some("v")))).isEmpty)
+    assert(MV.route(spark, bdir, Seq(("g", "g")),
+      Seq(("m", "mean", Some("v")))).isEmpty)
+    // integral measures and non-sum ops still route
+    val ok = MV.route(spark, bdir, Seq(("g", "g")), Seq(
+      ("n", "count", None), ("sw", "sum", Some("w")),
+      ("lo", "min", Some("v")), ("hi", "max", Some("v"))))
+    assert(ok.isDefined, "integral sums / min / max must still route")
+    val y = base.groupBy("g").agg(F.sum("w").as("sw"),
+      F.min("v").as("lo"), F.max("v").as("hi"))
+    ok.get.orderBy("g").collect().zip(y.orderBy("g").collect())
+      .foreach { case (x, e) =>
+        assert(x.getLong(2) == e.getLong(1))
+        assert(x.getDouble(3) == e.getDouble(1 + 1) ||
+          x.getDouble(3) == e.getDouble(2))
+      }
+    // the opt-in: the caller DECLARES ≤2-decimal values; here they are
+    // not, so the routed sum diverges from IEEE — which is exactly why
+    // the default refuses. The declaration is the caller's contract.
+    val optIn = MV.register(spark, mdir, bdir, Seq("v", "w"),
+      floatSums = true)
+    assert(optIn.floatSums)
+    assert(MV.route(spark, bdir, Seq(("g", "g")),
+      Seq(("s", "sum", Some("v")))).isDefined)
+  }
+
+  test("routing honors the frame's PINNED version, not the latest manifest") {
+    val bdir = tmp("mv_pb"); val mdir = tmp("mv_ps")
+    val base = mkBase(2000)
+    M.writeKeyed(base, bdir, "k", 8)
+    M.buildAggStateKeyed(M.readKeyed(spark, bdir), mdir, Seq("g"), "v", 4)
+    MV.register(spark, mdir, bdir, Seq("v"))
+    // library face: pinned == watermark routes; a later watermark must
+    // NOT serve a frame pinned earlier (the frame's rows are v1's)
+    assert(MV.route(spark, bdir, Seq(("g", "g")),
+      Seq(("n", "count", None)), pinnedVersion = Some(1)).isDefined)
+    val batch = spark.range(300000000L, 300000035L).select(
+      col("id").as("k"), lit(3L).as("g"), lit(1.0).as("v"),
+      lit(0L).as("w"))
+    M.upsertKeyed(spark, bdir, batch, "k", 8)
+    M.mergeAggStateKeyed(spark, mdir, batch, Seq("g"), "v")
+    MV.refreshed(spark, mdir, toVersion = Some(2))
+    assert(MV.route(spark, bdir, Seq(("g", "g")),
+      Seq(("n", "count", None)), pinnedVersion = Some(1)).isEmpty,
+      "a v1-pinned frame must not answer from a v2 view")
+    assert(MV.route(spark, bdir, Seq(("g", "g")),
+      Seq(("n", "count", None)), pinnedVersion = Some(2)).isDefined)
+    // language end-to-end: a frame read BEFORE the base commit keeps
+    // answering v1's rows (scan plan), even after the view refreshes
+    val out = graft.lang.Interp.run(spark,
+      s"""t = read_keyed("$bdir")
+         |u = upsert_keyed("$bdir",
+         |      t[k < 0] {k, g, v, w}, "k", 8)
+         |t {g => n: count()}
+         |""".stripMargin).df
+    assert(out.agg(F.sum("n")).head.getLong(0) == 2035L)
+  }
+
+  test("grain-superset: a finer view serves coarser group-bys by folding state") {
+    val bdir = tmp("mv_gsb"); val mdir = tmp("mv_gss")
+    val base = spark.range(0, 6000).select(col("id").as("k"),
+      (col("id") % 5).as("g"), (col("id") % 3).as("h"),
+      (col("id") % 101).cast("double").as("v"), (col("id") % 137).as("u"))
+    M.writeKeyed(base, bdir, "k", 8)
+    M.buildAggStateKeyed(M.readKeyed(spark, bdir), mdir, Seq("g", "h"),
+      "v", 4, distinctKey = Some("u"))
+    MV.register(spark, mdir, bdir, Seq("v"), distinctKey = Some("u"),
+      floatSums = true)
+    // group by g alone — a strict key subset — folds the (g,h) states
+    val routed = MV.route(spark, bdir, Seq(("g", "g")), Seq(
+      ("n", "count", None), ("s", "sum", Some("v")),
+      ("m", "mean", Some("v")), ("lo", "min", Some("v")),
+      ("hi", "max", Some("v")), ("ad", "adist", Some("u"))))
+    assert(routed.isDefined, "key-subset grain did not route")
+    assert(!routed.get.inputFiles.exists(_.contains(bdir.split("/").last)))
+    val expect = base.groupBy("g").agg(F.count(lit(1)).as("n"),
+      F.sum(col("v").cast("decimal(28,2)")).cast("double").as("s"),
+      F.avg("v").as("m"), F.min("v").as("lo"), F.max("v").as("hi"),
+      graft.plans.HllRegs.estimate(
+        graft.plans.HllRegs.stateMd5(col("u"), 12), 12).as("ad"))
+    routed.get.orderBy("g").collect()
+      .zip(expect.orderBy("g").collect()).foreach { case (x, y) =>
+        assert(x.getLong(1) == y.getLong(1))
+        assert(math.abs(x.getDouble(2) - y.getDouble(2)) < 1e-6)
+        assert(math.abs(x.getDouble(3) - y.getDouble(3)) < 1e-9)
+        assert(x.getDouble(4) == y.getDouble(4))
+        assert(x.getDouble(5) == y.getDouble(5))
+        assert(x.getDouble(6) == y.getDouble(6),
+          "folded HLL registers must estimate bit-identically")
+      }
+    // the other axis folds too
+    assert(MV.route(spark, bdir, Seq(("h", "h")),
+      Seq(("n", "count", None))).isDefined)
+    // a key OUTSIDE the grain still falls back
+    assert(MV.route(spark, bdir, Seq(("k", "k")),
+      Seq(("n", "count", None))).isEmpty)
+  }
+
+  test("grain-column selections route (filter state rows); others fall back") {
+    val bdir = tmp("mv_wb"); val mdir = tmp("mv_ws")
+    val base = mkBase(4000)
+    M.writeKeyed(base, bdir, "k", 8)
+    M.buildAggStateKeyedCols(M.readKeyed(spark, bdir), mdir, Seq("g"),
+      Seq("v", "w"), 4)
+    MV.register(spark, mdir, bdir, Seq("v", "w"), floatSums = true)
+    val q = Seq(("g", "g")) -> Seq(("n", "count", None: Option[String]),
+      ("sw", "sum", Some("w")))
+    val routed = MV.route(spark, bdir, q._1, q._2,
+      filters = Seq(col("g") > 2 && col("g") =!= 5))
+    assert(routed.isDefined, "grain-column filter did not route")
+    assert(!routed.get.inputFiles.exists(_.contains(bdir.split("/").last)))
+    val expect = base.filter(col("g") > 2 && col("g") =!= 5)
+      .groupBy("g").agg(F.count(lit(1)).as("n"), F.sum("w").as("sw"))
+    assert(routed.get.orderBy("g").collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      expect.orderBy("g").collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))))
+    // non-grain columns (a measure, the key) are unanswerable from
+    // state rows — fall back
+    assert(MV.route(spark, bdir, q._1, q._2,
+      filters = Seq(col("v") > 100)).isEmpty)
+    assert(MV.route(spark, bdir, q._1, q._2,
+      filters = Seq(col("k") % 2 === 0)).isEmpty)
+    // global fold under a grain filter
+    val g = MV.routeGlobal(spark, bdir,
+      Seq(("n", "count", None), ("sw", "sum", Some("w"))),
+      filters = Seq(col("g") <= 1))
+    assert(g.isDefined)
+    val ge = base.filter(col("g") <= 1)
+      .agg(F.count(lit(1)).as("n"), F.sum("w").as("sw")).head
+    assert(g.get.head.getLong(0) == ge.getLong(0) &&
+      g.get.head.getLong(1) == ge.getLong(1))
+    // the language face: a selection on the grain column still routes
+    // (plan-guarded), and the values match the scan plan
+    val lang = graft.lang.Interp.run(spark,
+      s"""t = read_keyed("$bdir")
+         |t[g == 3] {g => n: count(), sw: sum(w)}
+         |""".stripMargin).df
+    assert(!lang.inputFiles.exists(_.contains(bdir.split("/").last)),
+      "language grain-filtered group-by did not route")
+    val le = base.filter(col("g") === 3).groupBy("g")
+      .agg(F.count(lit(1)).as("n"), F.sum("w").as("sw")).head
+    assert(lang.head.getLong(1) == le.getLong(1) &&
+      lang.head.getLong(2) == le.getLong(2))
+  }
+
+  test("registrations are DURABLE: a fresh session routes from <base>/_mvs") {
+    val bdir = tmp("mv_db"); val mdir = tmp("mv_ds")
+    val base = mkBase(1500)
+    M.writeKeyed(base, bdir, "k", 8)
+    M.buildAggStateKeyed(M.readKeyed(spark, bdir), mdir, Seq("g"), "v", 4,
+      distinctKey = Some("w"))
+    MV.register(spark, mdir, bdir, Seq("v"), distinctKey = Some("w"),
+      floatSums = true)
+    // simulate a new session: the in-memory registry dies with the JVM
+    MV.clear()
+    assert(MV.list().isEmpty)
+    val routed = MV.route(spark, bdir, Seq(("g", "g")), Seq(
+      ("n", "count", None), ("s", "sum", Some("v")),
+      ("ad", "adist", Some("w"))))
+    assert(routed.isDefined,
+      "fresh session must load the durable registration and route")
+    assert(!routed.get.inputFiles.exists(_.contains(bdir.split("/").last)))
+    // the loaded def carries the full declaration
+    val d = MV.list().head
+    assert(d.floatSums && d.distinctKey.contains("w") &&
+      d.keys == Seq("g") && d.baseVersion == 1)
+    // unregister removes the durable hint too: another fresh session
+    // no longer routes
+    MV.unregister(spark, mdir)
+    MV.clear()
+    assert(MV.route(spark, bdir, Seq(("g", "g")),
+      Seq(("n", "count", None))).isEmpty)
+  }
+
+  test("buildMv + refreshMvIncremental: refresh reads ONLY changed base buckets; upserts+deletes fold exactly; replay idempotent") {
+    val bdir = tmp("mv_ib"); val mdir = tmp("mv_is")
+    val base = mkBase(8000)
+    M.writeKeyed(base, bdir, "k", 8)
+    val d0 = MV.buildMv(spark, bdir, mdir, Seq("g"), Seq("v", "w"), 4,
+      floatSums = true)
+    assert(d0.bucketTag.contains(MV.BucketTagCol) && d0.baseVersion == 1)
+    val q = Seq(("g", "g")) -> Seq(("n", "count", None: Option[String]),
+      ("sv", "sum", Some("v")), ("m", "mean", Some("v")),
+      ("lo", "min", Some("v")), ("hi", "max", Some("v")),
+      ("sw", "sum", Some("w")))
+    // bucket-grain state serves the logical grain (fold) immediately
+    assert(MV.route(spark, bdir, q._1, q._2).isDefined)
+    // change a FEW keys: updates + inserts + deletes — touching a
+    // strict subset of the 8 base buckets
+    val ups = spark.range(0, 2).select(col("id").as("k"),
+      (col("id") % 7).as("g"), lit(9999.0).as("v"), lit(1L).as("w"))
+      .union(spark.range(400000000L, 400000001L).select(col("id").as("k"),
+        lit(2L).as("g"), lit(5.0).as("v"), lit(7L).as("w")))
+    M.upsertKeyed(spark, bdir, ups, "k", 8)
+    M.deleteKeyed(spark, bdir,
+      spark.range(20, 21).select(col("id").as("k")), "k", 8)
+    assert(MV.route(spark, bdir, q._1, q._2).isEmpty, "stale must scan")
+    val d1 = MV.refreshMvIncremental(spark, mdir)
+    assert(d1.baseVersion == 3)
+    // IO-scope contract: the re-aggregation read files ONLY from the
+    // changed buckets' generation dirs
+    val (changed, files) = MV.lastRefreshScan.get
+    assert(changed.nonEmpty && changed.length < 8,
+      s"probe batch should touch a strict subset of buckets: $changed")
+    val okDirs = changed.map(b => f"b$b%05d_").toSet
+    assert(files.nonEmpty && files.forall(f =>
+      okDirs.exists(pfx => f.contains(s"/$pfx"))),
+      s"refresh read outside the changed buckets:\n${files.mkString("\n")}")
+    // the refreshed view routes and matches the scan plan exactly
+    val routed = MV.route(spark, bdir, q._1, q._2)
+    assert(routed.isDefined, "refreshed view must route")
+    val now = M.readKeyed(spark, bdir)
+    val expect = now.groupBy("g").agg(F.count(lit(1)).as("n"),
+      F.sum(col("v").cast("decimal(28,2)")).cast("double").as("sv"),
+      F.avg("v").as("m"), F.min("v").as("lo"), F.max("v").as("hi"),
+      F.sum("w").as("sw"))
+    routed.get.orderBy("g").collect()
+      .zip(expect.orderBy("g").collect()).foreach { case (x, y) =>
+        assert(x.getLong(1) == y.getLong(1))
+        assert(math.abs(x.getDouble(2) - y.getDouble(2)) < 1e-6)
+        assert(math.abs(x.getDouble(3) - y.getDouble(3)) < 1e-9)
+        assert(x.getDouble(4) == y.getDouble(4))
+        assert(x.getDouble(5) == y.getDouble(5))
+        assert(x.getLong(6) == y.getLong(6))
+      }
+    // replaying the SAME refresh (crash-before-watermark) is a no-op
+    // on the view's rows
+    val before = MV.readMv(spark, mdir).orderBy("g").collect().toSeq
+    MV.refreshed(spark, mdir, toVersion = Some(1)) // wind the mark back
+    MV.refreshMvIncremental(spark, mdir)
+    val after = MV.readMv(spark, mdir).orderBy("g").collect().toSeq
+    assert(before == after, "refresh replay must be idempotent")
+    // an up-to-date refresh is metadata-only (state version unchanged)
+    val sv0 = M.readManifest(spark, mdir).version
+    MV.refreshMvIncremental(spark, mdir)
+    assert(M.readManifest(spark, mdir).version == sv0)
+    // and the refresh registered a CDC cursor on the base, so vacuum
+    // keeps the watermark manifest reachable
+    val curs = new java.io.File(bdir, "_cursors")
+    assert(curs.isDirectory && curs.list().nonEmpty,
+      "incremental refresh must register its base cursor")
+  }
+
+  test("a base bucket SPLIT refreshes incrementally: old tag condemned, children's partials land") {
+    val bdir = tmp("mv_sb2"); val mdir = tmp("mv_ss2")
+    val base = mkBase(6000)
+    M.writeKeyed(base, bdir, "k", 8)
+    MV.buildMv(spark, bdir, mdir, Seq("g"), Seq("w"), 4)
+    val q = Seq(("g", "g")) -> Seq(("n", "count", None: Option[String]),
+      ("sw", "sum", Some("w")))
+    assert(MV.route(spark, bdir, q._1, q._2).isDefined)
+    // splitting base bucket 3 moves ITS rows to leaves 3 and 11 — the
+    // view's per-bucket partials for tag 3 are stale wholesale
+    M.splitKeyed(spark, bdir, Seq(3))
+    assert(MV.route(spark, bdir, q._1, q._2).isEmpty)
+    MV.refreshMvIncremental(spark, mdir)
+    val (changed, _) = MV.lastRefreshScan.get
+    assert(changed.contains(3) && changed.contains(11) &&
+      changed.length == 2, s"split must change exactly (3, 11): $changed")
+    val routed = MV.route(spark, bdir, q._1, q._2)
+    assert(routed.isDefined)
+    val expect = base.groupBy("g").agg(F.count(lit(1)).as("n"),
+      F.sum("w").as("sw"))
+    assert(routed.get.orderBy("g").collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      expect.orderBy("g").collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))))
+    // no state rows remain under a tag that is no longer a base leaf
+    val tags = M.readAggStateKeyed(spark, mdir)
+      .select(MV.BucketTagCol).distinct().collect()
+      .map(_.getInt(0)).toSet
+    val leaves = (M.readManifest(spark, bdir).buckets.keySet ++
+      M.readManifest(spark, bdir).deltas.keySet)
+    assert(tags.subsetOf(leaves + 3 + 11),
+      s"stale tags survived the split refresh: $tags vs $leaves")
+  }
+
+  test("empty base: global route (count/sum/adist) equals the scan plan") {
+    val bdir = tmp("mv_eb"); val mdir = tmp("mv_es")
+    val base = mkBase(100).filter(col("k") < 0) // empty, full schema
+    M.writeKeyed(base, bdir, "k", 4)
+    M.buildAggStateKeyed(M.readKeyed(spark, bdir), mdir, Seq("g"), "v", 2,
+      distinctKey = Some("w"))
+    MV.register(spark, mdir, bdir, Seq("v"), distinctKey = Some("w"),
+      floatSums = true)
+    val script =
+      s"""t = read_keyed("$bdir")
+         |t {=> n: count(), s: sum(v), ad: approx_count_distinct(w)}
+         |""".stripMargin
+    var scan: org.apache.spark.sql.Row = null
+    withConfs("spark.graft.mv.routing" -> "false") {
+      scan = graft.lang.Interp.run(spark, script).df.head
+    }
+    val routed = graft.lang.Interp.run(spark, script).df
+    assert(!routed.inputFiles.exists(_.contains(bdir.split("/").last)),
+      "empty-base global aggregate must still route")
+    val r = routed.head
+    assert(r.getLong(0) == scan.getLong(0), "count over empty")
+    assert(r.isNullAt(1) == scan.isNullAt(1), "sum over empty")
+    assert(r.getDouble(2) == scan.getDouble(2),
+      s"adist over empty diverged: routed ${r.getDouble(2)} vs " +
+        s"scan ${scan.getDouble(2)}")
+  }
+
   test("register validates the state: not-an-agg-state and missing measures fail loudly") {
     val bdir = tmp("mv_vb"); val mdir = tmp("mv_vs")
     val base = mkBase(500)
@@ -310,7 +629,7 @@ class MatViewSpec extends SparkSpec {
     }
     M.buildAggStateKeyed(M.readKeyed(spark, bdir), mdir, Seq("g"), "v", 4)
     intercept[IllegalArgumentException] {
-      MV.register(spark, mdir, bdir, Seq("v", "w")) // w not tracked
+      MV.register(spark, mdir, bdir, Seq("v", "w"), floatSums = true) // w not tracked
     }
   }
 }

@@ -63,7 +63,8 @@ class PlanQualitySpec extends SparkSpec {
       (col("id") % 11).as("g"), (col("id") % 9).cast("double").as("v"))
     M.writeKeyed(base, bdir, "k", 8)
     M.buildAggStateKeyed(M.readKeyed(spark, bdir), mdir, Seq("g"), "v", 4)
-    graft.sources.MatView.register(spark, mdir, bdir, Seq("v"))
+    graft.sources.MatView.register(spark, mdir, bdir, Seq("v"),
+      floatSums = true)
     val routed = graft.sources.MatView.route(spark, bdir,
       Seq(("g", "g")), Seq(("n", "count", None),
         ("total", "sum", Some("v")))).get

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.{functions => F}
+
+/** Out-of-order delta CDC: a table with a registered SEQUENCE column
+  * resolves max-seq-wins (ties by chain order), so delta batches may
+  * land in any order; tombstones are stamped; compaction preserves the
+  * comparator; batch-wins writers are refused.
+  */
+class SeqDeltaSpec extends SparkSpec {
+  private val M = graft.sources.Maintenance
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def base(n: Int) = spark.range(0, n).select(col("id").as("k"),
+    (col("id") % 31).cast("double").as("v"), lit(0L).as("seq"))
+
+  private def b(n: Int, m: Int, seq: Long, v: Double) =
+    spark.range(0, n).filter(col("id") % m === 0).select(
+      col("id").as("k"), lit(v).as("v"), lit(seq).as("seq"))
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "v", "seq").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+
+  test("shuffled delta batches resolve exactly like ordered application") {
+    val a = tmp("seq_a"); val o = tmp("seq_o")
+    val n = 3000
+    // the same four batches, applied in order on `o` and SHUFFLED on
+    // `a` — the resolved snapshots must be identical
+    val b1 = b(n, 3, 1L, 100.0)
+    val b2 = b(n, 5, 2L, 200.0)
+    val b3 = b(n, 7, 3L, 300.0)
+    val tomb = spark.range(0, n).filter(col("id") % 11 === 0)
+      .select(col("id").as("k"), lit(4L).as("seq"))
+    for (dir <- Seq(a, o)) M.writeKeyed(base(n), dir, "k", 8)
+    M.appendDeltaKeyedCols(spark, o, b1, Seq("k"), 8, seqCol = Some("seq"))
+    M.appendDeltaKeyedCols(spark, o, b2, Seq("k"), 8)
+    M.appendDeltaKeyedCols(spark, o, b3, Seq("k"), 8)
+    M.appendDeltaKeyedCols(spark, o, spark.range(0).select(
+      col("id").as("k"), lit(0.0).as("v"), lit(5L).as("seq")),
+      Seq("k"), 8, tombstoneKeys = Some(tomb))
+    // out of order: deletes first, then 3, 1, 2
+    M.appendDeltaKeyedCols(spark, a, spark.range(0).select(
+      col("id").as("k"), lit(0.0).as("v"), lit(5L).as("seq")),
+      Seq("k"), 8, tombstoneKeys = Some(tomb), seqCol = Some("seq"))
+    M.appendDeltaKeyedCols(spark, a, b3, Seq("k"), 8)
+    M.appendDeltaKeyedCols(spark, a, b1, Seq("k"), 8)
+    M.appendDeltaKeyedCols(spark, a, b2, Seq("k"), 8)
+    val ordered = asMap(M.readKeyed(spark, o))
+    val shuffled = asMap(M.readKeyed(spark, a))
+    assert(shuffled == ordered,
+      "max-seq resolution must be order-independent")
+    // spot-check the comparator: k=105 (3·5·7) holds seq 3; k=0
+    // (also %11) is deleted
+    assert(ordered(105L) == ((300.0, 3L)))
+    assert(!ordered.contains(0L))
+    assert(ordered.get(5L).exists(_._2 == 2L))
+    assert(ordered.get(1L).exists(_._2 == 0L), "untouched keys keep base")
+    // compaction folds the chains WITHOUT changing the winners, and a
+    // LATE OLD event after it still loses to the stored row
+    M.compactKeyed(spark, a)
+    assert(M.readManifest(spark, a).deltas.values.forall(_.isEmpty))
+    assert(asMap(M.readKeyed(spark, a)) == ordered)
+    M.appendDeltaKeyedCols(spark, a,
+      spark.range(105, 106).select(col("id").as("k"),
+        lit(-9.0).as("v"), lit(1L).as("seq")), Seq("k"), 8)
+    assert(asMap(M.readKeyed(spark, a))(105L) == ((300.0, 3L)),
+      "a late-arriving OLD event must not overwrite a newer stored row")
+  }
+
+  test("seq-mode guards: late declaration, contradiction, unstamped tombstones, batch-wins writers") {
+    val dir = tmp("seq_g")
+    M.writeKeyed(base(500), dir, "k", 4)
+    // chain-ordered history first -> declaring seq afterwards refuses
+    M.appendDeltaKeyedCols(spark, dir, b(500, 3, 1L, 1.0), Seq("k"), 4)
+    intercept[IllegalArgumentException] {
+      M.appendDeltaKeyedCols(spark, dir, b(500, 5, 2L, 2.0), Seq("k"), 4,
+        seqCol = Some("seq"))
+    }
+    // compacted (chains folded) -> declaration becomes legal
+    M.compactKeyed(spark, dir)
+    M.appendDeltaKeyedCols(spark, dir, b(500, 5, 2L, 2.0), Seq("k"), 4,
+      seqCol = Some("seq"))
+    // contradicting the registered column refuses
+    intercept[IllegalArgumentException] {
+      M.appendDeltaKeyedCols(spark, dir, b(500, 7, 3L, 3.0), Seq("k"), 4,
+        seqCol = Some("v"))
+    }
+    // unstamped tombstones refuse (nulls would never win)
+    intercept[IllegalArgumentException] {
+      M.appendDeltaKeyedCols(spark, dir,
+        spark.range(0).select(col("id").as("k"), lit(0.0).as("v"),
+          lit(9L).as("seq")), Seq("k"), 4,
+        tombstoneKeys = Some(spark.range(3).select(col("id").as("k"))))
+    }
+    // batch-wins writers (upsert/delete/CoW merge) refuse the table
+    intercept[IllegalArgumentException] {
+      M.upsertKeyed(spark, dir,
+        spark.range(1).select(col("id").as("k"), lit(1.0).as("v"),
+          lit(9L).as("seq")), "k", 4)
+    }
+    intercept[IllegalArgumentException] {
+      M.deleteKeyed(spark, dir,
+        spark.range(1).select(col("id").as("k")), "k", 4)
+    }
+    // reads and point lookups still honor the comparator
+    val lk = M.lookupKeyed(spark, dir, Seq(5L)).select("v", "seq").head
+    assert(lk.getDouble(0) == 2.0 && lk.getLong(1) == 2L)
+  }
+}

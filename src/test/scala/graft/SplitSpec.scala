@@ -145,6 +145,56 @@ class SplitSpec extends SparkSpec {
       after.find(_._1 == worst).get._2 < all.head._2)
   }
 
+  test("maintainKeyed: policy pass splits hot leaves within budget, folds chains, converges") {
+    val dir = tmp("sp_maint")
+    // plant BYTE skew the planner can see: rows landing in bucket 0
+    // (mirroring kb's hash) carry a fat payload
+    val h = graft.ext.TextAnalysis.h60(col("k").cast("string"))
+    val base = spark.range(0, 20000).select(col("id").as("k"),
+      (col("id") % 31).cast("double").as("v"))
+      .select(col("k"), col("v"),
+        F.when(F.pmod(h, lit(8L)) === 0,
+          F.repeat(lit("x"), 512)).otherwise(lit("x")).as("pad"))
+    M.writeKeyed(base, dir, "k", 8)
+    // a 2-level delta chain on a few keys (compaction fodder)
+    val u1 = spark.range(0, 3).select(col("id").as("k"),
+      lit(-1.0).as("v"), lit("y").as("pad"))
+    val u2 = spark.range(3, 6).select(col("id").as("k"),
+      lit(-2.0).as("v"), lit("y").as("pad"))
+    M.appendDeltaKeyed(spark, dir, u1, "k", 8)
+    M.appendDeltaKeyed(spark, dir, u2, "k", 8)
+    val sizes = M.splitCandidates(spark, dir, 1L).toMap
+    val hot = sizes.maxBy(_._2)
+    assert(hot._1 == 0, s"payload skew should make bucket 0 hot: $sizes")
+    val rest = (sizes - 0).values.max
+    val target = (hot._2 + rest) / 2
+    assert(rest < target && target < hot._2)
+    // pass 1: exactly the hot leaf splits; its chain folds with it;
+    // the remaining chains fold via the compaction phase (minChain=1)
+    val split1 = M.maintainKeyed(spark, dir, target, minChain = 1)
+    assert(split1 == Seq(0), s"expected only bucket 0 to split: $split1")
+    val m2 = M.readManifest(spark, dir)
+    assert(m2.depths == Map(0 -> 1, 8 -> 1))
+    assert(m2.deltas.values.forall(_.isEmpty), "chains must fold")
+    // pass 2: converged — both children under target, nothing to do
+    val split2 = M.maintainKeyed(spark, dir, target, minChain = 1)
+    assert(split2.isEmpty, s"second pass must be a no-op: $split2")
+    assert(M.readManifest(spark, dir).version == m2.version,
+      "a converged pass must not commit")
+    // data identity end-to-end (updates applied, split lossless)
+    val expect = base.filter(col("k") >= 6)
+      .unionByName(u1).unionByName(u2)
+    assert(M.diff(M.readKeyed(spark, dir).select("k", "v", "pad"),
+      expect, Seq("k")).filter(col("status") =!= "same").count() == 0)
+    // budget: a rewrite budget below the hot leaf's bytes defers it
+    val dir2 = tmp("sp_maint2")
+    M.writeKeyed(base, dir2, "k", 8)
+    val s2 = M.maintainKeyed(spark, dir2, target, budgetBytes = 1L)
+    assert(s2.isEmpty &&
+      M.readManifest(spark, dir2).depths.isEmpty,
+      "an exhausted budget must defer the split, not half-do it")
+  }
+
   test("a writer racing a split fails loudly on the depth guard") {
     val dir = tmp("sp_race")
     val base = mk(2000)
