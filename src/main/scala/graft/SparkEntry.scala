@@ -1547,7 +1547,7 @@ object SparkEntry {
     "x144_seq_cdc" -> ((s, d) => {
       val dir = runScratch("seqcdc", d)
       val M = graft.sources.Maintenance
-      val n = scaled(1000000)
+      val n = scaled(600000)
       val base = s.range(0, n).select(col("id").as("k"),
         (col("id") % 31).cast(DoubleType).as("v"), lit(0L).as("seq"))
       M.writeKeyed(base, dir, "k", 16)
@@ -1573,13 +1573,22 @@ object SparkEntry {
           .otherwise((col("id") % 31).cast(DoubleType)).as("v"),
         when(col("id") % 7 === 0, 3L).when(col("id") % 5 === 0, 2L)
           .when(col("id") % 3 === 0, 1L).otherwise(0L).as("seq"))
-      def same(df: DataFrame) =
-        M.diff(df.select("k", "v", "seq"), expect, Seq("k"))
-          .filter(col("status") =!= "same").count() == 0L
-      val shuffledOk = same(M.readKeyed(s, dir))
+      // order-independent row-SET fingerprint (count + sum of per-row
+      // 64-bit hashes, summed as DECIMAL(38,0) — a long sum overflows
+      // under ANSI): one aggregate per check instead of full-outer
+      // diffs; the row-exact twin lives in SeqDeltaSpec
+      def fp(df: DataFrame): (Long, java.math.BigDecimal) = {
+        val r = df.agg(F.count(lit(1)),
+          F.sum(F.xxhash64(col("k"), col("v"), col("seq"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
+        (r.getLong(0), r.getDecimal(1))
+      }
+      val fpExpect = fp(expect)
+      val fpBefore = fp(M.readKeyed(s, dir))
+      val shuffledOk = fpBefore == fpExpect
       M.compactKeyed(s, dir)
       val compactOk = M.readManifest(s, dir).deltas.values
-        .forall(_.isEmpty) && same(M.readKeyed(s, dir))
+        .forall(_.isEmpty) && fp(M.readKeyed(s, dir)) == fpBefore
       M.appendDeltaKeyedCols(s, dir,
         s.range(105, 106).select(col("id").as("k"), lit(-9.0).as("v"),
           lit(1L).as("seq")), Seq("k"), 16)

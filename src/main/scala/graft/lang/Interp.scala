@@ -2911,10 +2911,14 @@ object Interp {
             litString(args(0).value)))
         case "list_mvs" =>
           // list_mvs() — the registry: one row per registered view
+          // (r12 adds the float-sum declaration and the bucket-grain
+          // tag, so the operator can see which views refresh
+          // incrementally and which sums route)
           if (args.nonEmpty) throw new TypeError("list_mvs()")
           val mvs = graft.sources.MatView.list()
             .map(d => (d.mvDir, d.baseDir, d.keys.mkString(","),
-              d.valueCols.mkString(","), d.baseVersion))
+              d.valueCols.mkString(","), d.baseVersion, d.floatSums,
+              d.bucketTag.getOrElse("")))
           PTable(
             if (mvs.isEmpty)
               spark.range(0).select(
@@ -2922,10 +2926,12 @@ object Interp {
                 col("id").cast("string").as("base_dir"),
                 col("id").cast("string").as("keys"),
                 col("id").cast("string").as("value_cols"),
-                col("id").cast("int").as("base_version"))
+                col("id").cast("int").as("base_version"),
+                col("id").cast("boolean").as("float_sums"),
+                col("id").cast("string").as("bucket_tag"))
             else spark.createDataFrame(mvs)
               .toDF("mv_dir", "base_dir", "keys", "value_cols",
-                "base_version"))
+                "base_version", "float_sums", "bucket_tag"))
         case "keyed_changes" =>
           // keyed_changes(dir, from_version, to_version) — CDC feed of
           // added/removed/changed keys, reading only changed buckets

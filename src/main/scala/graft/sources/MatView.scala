@@ -409,6 +409,37 @@ object MatView {
   private def routingEnabled(spark: SparkSession): Boolean =
     spark.conf.get("spark.graft.mv.routing", "true").toBoolean
 
+  /** Opt-in AUTO-REFRESH on route (`spark.graft.mv.autorefresh=true`):
+    * when every registered view of the base is merely STALE (not
+    * grain/measure-incompatible) and the caller's frame is pinned at
+    * the base's CURRENT head, a bucket-grain view refreshes
+    * incrementally RIGHT THERE (cost ∝ changed base buckets) and then
+    * serves the query — the full query-time closing of the loop.
+    * Default OFF: a read that commits is surprising, and a fleet of
+    * concurrent dashboards would stampede the refresh (the retry makes
+    * that safe but wasteful). Only fires when the pinned version IS
+    * the head (refresh targets head; serving an older pin from a newer
+    * state would change the frame's rows).
+    */
+  private def autoRefresh(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.mv.autorefresh", "false").toBoolean
+
+  private def maybeAutoRefresh(spark: SparkSession, baseDir: String,
+                               pinnedVersion: Option[Int]): Unit = {
+    if (!autoRefresh(spark)) return
+    val pinned = pinnedVersion.getOrElse(return)
+    forBase(baseDir)
+      .filter(d => d.bucketTag.isDefined && d.baseVersion < pinned)
+      .foreach { d =>
+        // refresh targets the base's CURRENT head; only safe to serve
+        // this frame when head == pinned, so re-check before the work
+        val head = Maintenance.manifestVersions(spark, d.baseDir).last
+        if (head == pinned)
+          try refreshMvIncremental(spark, d.mvDir)
+          catch { case _: Exception => () } // stale stays stale: scan
+      }
+  }
+
   /** Try to serve `SELECT keys, aggs FROM read_keyed(baseDir)[filters]
     * GROUP BY keys` from a registered view. `keys` = (output name,
     * base column); `aggs` = (output name, op, measure) with op ∈ count
@@ -439,6 +470,7 @@ object MatView {
     val curBase = pinnedVersion.orElse(
       Maintenance.manifestVersions(spark, clean(baseDir)).lastOption)
       .getOrElse(return None)
+    maybeAutoRefresh(spark, baseDir, pinnedVersion)
     forBase(baseDir).iterator
       .filter(_.baseVersion == curBase) // fresh at the PINNED version
       .filter(d => keys.map(_._2).toSet.subsetOf(d.keys.toSet)) // grain
@@ -468,6 +500,7 @@ object MatView {
     val curBase = pinnedVersion.orElse(
       Maintenance.manifestVersions(spark, clean(baseDir)).lastOption)
       .getOrElse(return None)
+    maybeAutoRefresh(spark, baseDir, pinnedVersion)
     forBase(baseDir).iterator
       .filter(_.baseVersion == curBase)
       .map(d => tryBuild(spark, d, Nil, aggs, filters))

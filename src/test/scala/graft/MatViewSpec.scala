@@ -593,6 +593,50 @@ class MatViewSpec extends SparkSpec {
       s"stale tags survived the split refresh: $tags vs $leaves")
   }
 
+  test("opt-in auto-refresh: a stale bucket-grain view refreshes AT QUERY TIME and serves") {
+    val bdir = tmp("mv_arb"); val mdir = tmp("mv_ars")
+    val base = mkBase(4000)
+    M.writeKeyed(base, bdir, "k", 8)
+    MV.buildMv(spark, bdir, mdir, Seq("g"), Seq("w"), 4)
+    val ups = spark.range(0, 3).select(col("id").as("k"),
+      (col("id") % 7).as("g"), lit(1.0).as("v"), lit(50L).as("w"))
+    M.upsertKeyed(spark, bdir, ups, "k", 8)
+    val q = Seq(("g", "g")) -> Seq(("n", "count", None: Option[String]),
+      ("sw", "sum", Some("w")))
+    // default OFF: stale view scans
+    assert(MV.route(spark, bdir, q._1, q._2,
+      pinnedVersion = Some(2)).isEmpty)
+    withConfs("spark.graft.mv.autorefresh" -> "true") {
+      // a frame pinned at head triggers the incremental refresh and
+      // routes; the values are the CURRENT base's
+      val routed = MV.route(spark, bdir, q._1, q._2,
+        pinnedVersion = Some(2))
+      assert(routed.isDefined, "auto-refresh must re-arm and route")
+      val now = M.readKeyed(spark, bdir)
+      val expect = now.groupBy("g").agg(F.count(lit(1)).as("n"),
+        F.sum("w").as("sw"))
+      assert(routed.get.orderBy("g").collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+        expect.orderBy("g").collect().toSeq.map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))))
+      // a frame pinned BEHIND head never TRIGGERS a refresh (refresh
+      // targets head; re-arming past an old pin would serve rows the
+      // frame never read): watermark 2, pin 3, head 4 -> no refresh,
+      // no route, watermark unchanged
+      M.upsertKeyed(spark, bdir, ups, "k", 8) // head -> 3
+      M.upsertKeyed(spark, bdir, ups, "k", 8) // head -> 4
+      assert(MV.route(spark, bdir, q._1, q._2,
+        pinnedVersion = Some(3)).isEmpty,
+        "an old pin must not trigger or use an auto-refresh")
+      assert(MV.list().find(_.mvDir == mdir).get.baseVersion == 2,
+        "a skipped auto-refresh must leave the watermark untouched")
+      // ...while the pin that MATCHES the old watermark still serves
+      // (that IS the pinned-version contract)
+      assert(MV.route(spark, bdir, q._1, q._2,
+        pinnedVersion = Some(2)).isDefined)
+    }
+  }
+
   test("empty base: global route (count/sum/adist) equals the scan plan") {
     val bdir = tmp("mv_eb"); val mdir = tmp("mv_es")
     val base = mkBase(100).filter(col("k") < 0) // empty, full schema
