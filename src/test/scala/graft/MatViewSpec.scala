@@ -593,6 +593,55 @@ class MatViewSpec extends SparkSpec {
       s"stale tags survived the split refresh: $tags vs $leaves")
   }
 
+  test("incremental refresh with DELETES keeps non-retractable state exact (HLL + min/max)") {
+    val bdir = tmp("mv_hb"); val mdir = tmp("mv_hs")
+    // u is the distinct-tracked column; deletes REMOVE some of its
+    // values entirely — an additive merge could never retract them
+    // from the registers or shrink a min/max; bucket-grain REPLACE can
+    val base = spark.range(0, 5000).select(col("id").as("k"),
+      (col("id") % 4).as("g"), (col("id") % 223).as("u"),
+      (col("id") % 31).cast("double").as("v"), (col("id") % 13).as("w"))
+    M.writeKeyed(base, bdir, "k", 8)
+    MV.buildMv(spark, bdir, mdir, Seq("g"), Seq("v", "w"), 4,
+      distinctKey = Some("u"), floatSums = true)
+    // delete a slab of keys (kills u-values and extremes in changed
+    // buckets) and upsert a few
+    M.deleteKeyed(spark, bdir,
+      spark.range(0, 5000).filter(col("id") % 9 === 0)
+        .select(col("id").as("k")), "k", 8)
+    M.upsertKeyed(spark, bdir,
+      spark.range(0, 4).select(col("id").as("k"), (col("id") % 4).as("g"),
+        lit(9999L).as("u"), lit(-50.0).as("v"), lit(99L).as("w")),
+      "k", 8)
+    MV.refreshMvIncremental(spark, mdir)
+    val routed = MV.route(spark, bdir, Seq(("g", "g")), Seq(
+      ("n", "count", None), ("sv", "sum", Some("v")),
+      ("mv", "mean", Some("v")), ("lo", "min", Some("v")),
+      ("hi", "max", Some("v")), ("sw", "sum", Some("w")),
+      ("ad", "adist", Some("u"))))
+    assert(routed.isDefined, "refreshed multi-measure view must route")
+    val now = M.readKeyed(spark, bdir)
+    val expect = now.groupBy("g").agg(F.count(lit(1)).as("n"),
+      F.sum(col("v").cast("decimal(28,2)")).cast("double").as("sv"),
+      F.avg("v").as("mv"), F.min("v").as("lo"), F.max("v").as("hi"),
+      F.sum("w").as("sw"),
+      graft.plans.HllRegs.estimate(
+        graft.plans.HllRegs.stateMd5(col("u"), 12), 12).as("ad"))
+    routed.get.orderBy("g").collect()
+      .zip(expect.orderBy("g").collect()).foreach { case (x, y) =>
+        assert(x.getLong(1) == y.getLong(1))
+        assert(math.abs(x.getDouble(2) - y.getDouble(2)) < 1e-6)
+        assert(math.abs(x.getDouble(3) - y.getDouble(3)) < 1e-9)
+        assert(x.getDouble(4) == y.getDouble(4), "deleted min must go")
+        assert(x.getDouble(5) == y.getDouble(5))
+        assert(x.getLong(6) == y.getLong(6))
+        assert(x.getDouble(7) == y.getDouble(7),
+          "registers must match a from-scratch sketch after deletes " +
+            s"(g=${x.getLong(0)}: routed ${x.getDouble(7)} vs " +
+            s"scan ${y.getDouble(7)})")
+      }
+  }
+
   test("opt-in auto-refresh: a stale bucket-grain view refreshes AT QUERY TIME and serves") {
     val bdir = tmp("mv_arb"); val mdir = tmp("mv_ars")
     val base = mkBase(4000)
