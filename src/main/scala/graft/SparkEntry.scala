@@ -3974,6 +3974,47 @@ object SparkEntry {
         "orders" -> t(s, d, "orders")).df
     }),
 
+    // MAINTENANCE from the language (r12): a 1-byte target makes every
+    // leaf a split candidate, maintain_keyed splits them all within
+    // budget (depth-1 everywhere) and the table reads back IDENTICAL —
+    // the language face of the policy loop, under the full-content
+    // oracle.
+    "ql66_lang_maintain" -> ((s, d) => {
+      val dir = runScratch("qlmaint", d)
+      graft.lang.Interp.run(s,
+        s"""base = orders {o_orderkey, o_totalprice}
+           |w = write_keyed(base, "$dir", "o_orderkey", 4)
+           |m = maintain_keyed("$dir", 1, 100000000, 1)
+           |t = read_keyed("$dir")
+           |t {o_orderkey, o_totalprice}
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+    }),
+
+    // OUT-OF-ORDER CDC from the language (r12): stamped delta batches
+    // land NEWEST-FIRST on a sequence-resolved table; resolution is
+    // max-seq-wins, so the end state is the ordered application —
+    // closed-form oracle (the x120 pattern, shuffled arrival).
+    "ql67_lang_seq_cdc" -> ((s, d) => {
+      val dir = runScratch("qlseq", d)
+      graft.lang.Interp.run(s,
+        s"""base = orders {o_orderkey, o_totalprice, seq: 0}
+           |w = write_keyed(base, "$dir", "o_orderkey", 16)
+           |b3 = base[o_orderkey % 3 == 0] {o_orderkey,
+           |        o_totalprice: o_totalprice + 3000.0, seq: 3}
+           |b1 = base[o_orderkey % 7 == 0] {o_orderkey,
+           |        o_totalprice: o_totalprice + 1000.0, seq: 1}
+           |b2 = base[o_orderkey % 5 == 0] {o_orderkey,
+           |        o_totalprice: o_totalprice + 2000.0, seq: 2}
+           |d1 = append_delta_keyed("$dir", b3, "o_orderkey", 16, "seq")
+           |d2 = append_delta_keyed("$dir", b1, "o_orderkey", 16)
+           |d3 = append_delta_keyed("$dir", b2, "o_orderkey", 16)
+           |t = read_keyed("$dir")
+           |t {o_orderkey, o_totalprice, seq}
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+    }),
+
     // approx_count_distinct through an MV (r11): the language's
     // md5-register HLL aggregate served from the registered state's
     // merged registers — BIT-IDENTICAL to the scan plan by
@@ -7339,6 +7380,21 @@ object SparkEntry {
            CAST(sum(CAST(p AS DECIMAL(28,2))) AS DOUBLE) AS total,
            min(p) AS lo, max(p) AS hi
          FROM cur GROUP BY o_orderpriority""",
+    // maintain_keyed split every leaf; content identical
+    "ql66_lang_maintain" ->
+      "SELECT o_orderkey, o_totalprice FROM orders",
+    // max-seq-wins ordered application, arrival order newest-first
+    "ql67_lang_seq_cdc" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 3000.0
+                WHEN o_orderkey % 5 = 0 THEN o_totalprice + 2000.0
+                WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice,
+           CAST(CASE WHEN o_orderkey % 3 = 0 THEN 3
+                WHEN o_orderkey % 5 = 0 THEN 2
+                WHEN o_orderkey % 7 = 0 THEN 1
+                ELSE 0 END AS BIGINT) AS seq
+         FROM orders""",
     // the grain-filtered route: state rows filtered on the grain
     // column, exact-decimal total canary
     "ql64_lang_mv_where" ->

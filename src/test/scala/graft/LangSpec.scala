@@ -1851,4 +1851,48 @@ class LangSpec extends SparkSpec {
       s"""read_keyed("$dir") {tenant, v} [tenant == 5]""")
     assert(outP.df.count() == 100)
   }
+
+  test("r12 face arity/typing errors are loud: build_mv, refresh_mv_incremental, maintain_keyed") {
+    intercept[graft.types.TypeError] {
+      Interp.run(spark, """build_mv("a", "b")""")
+    }
+    intercept[graft.types.TypeError] {
+      Interp.run(spark, """refresh_mv_incremental()""")
+    }
+    intercept[graft.types.TypeError] {
+      Interp.run(spark, """maintain_keyed("a")""")
+    }
+    intercept[graft.types.TypeError] {
+      Interp.run(spark,
+        """vacuum_keyed("a", 1, 0, "notabool")""")
+    }
+    // an unregistered view refuses the incremental refresh by name
+    val err = intercept[IllegalArgumentException] {
+      Interp.run(spark, """refresh_mv_incremental("/no/such/view")""")
+    }
+    assert(err.getMessage.contains("registered"))
+  }
+
+  test("maintain_keyed and seq-mode append_delta_keyed drive from the language") {
+    import graft.sources.Maintenance
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lang_maint").toString + "/t"
+    val out = Interp.run(spark,
+      s"""base = [1..2001] {k: item, v: item * 2, seq: 0}
+         |w = write_keyed(base, "$dir", "k", 4)
+         |m = maintain_keyed("$dir", 1, 100000000, 1)
+         |ups = base[k % 10 == 0] {k, v: 0 - v, seq: 5}
+         |d = append_delta_keyed("$dir", ups, "k", 4, "seq")
+         |late = base[k % 10 == 0] {k, v, seq: 2}
+         |d2 = append_delta_keyed("$dir", late, "k", 4)
+         |t = read_keyed("$dir")
+         |t[v < 0] {=> n: count()}
+         |""".stripMargin)
+    // every leaf split (1-byte target), then the seq-5 negation beats
+    // the late seq-2 restore for all 200 %10 keys
+    assert(out.df.head.getLong(0) == 200L)
+    val m = Maintenance.readManifest(spark, dir)
+    assert(m.depths.values.toSet == Set(1), s"depths: ${m.depths}")
+    assert(m.seqCol == "seq")
+  }
 }
