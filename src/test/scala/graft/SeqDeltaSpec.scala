@@ -110,4 +110,33 @@ class SeqDeltaSpec extends SparkSpec {
     val lk = M.lookupKeyed(spark, dir, Seq(5L)).select("v", "seq").head
     assert(lk.getDouble(0) == 2.0 && lk.getLong(1) == 2L)
   }
+
+  test("the two out-of-order mechanisms stay disjoint: cdcMergeKeyed refuses seq-registered tables; its own stored-seq CoW guard remains the alternative") {
+    // a seq-REGISTERED table ingests through stamped appends only —
+    // cdcMergeKeyed's copy-on-write path hits the batch-wins guard
+    val a = tmp("seq_cdc_a")
+    M.writeKeyed(base(300), a, "k", 4)
+    M.appendDeltaKeyedCols(spark, a, b(300, 3, 1L, 1.0), Seq("k"), 4,
+      seqCol = Some("seq"))
+    val err = intercept[IllegalArgumentException] {
+      M.cdcMergeKeyed(spark, a,
+        b(300, 5, 2L, 2.0).withColumn("del", lit(false)),
+        "k", 4, seqCol = Some("seq"), deleteCol = Some("del"))
+    }
+    assert(err.getMessage.contains("sequence column"), err.getMessage)
+    // an UNREGISTERED table keeps cdcMergeKeyed's own out-of-order
+    // protection: a replayed OLDER sequence never regresses the row
+    val c = tmp("seq_cdc_c")
+    M.cdcMergeKeyed(spark, c,
+      base(300).withColumn("del", lit(false)), "k", 4,
+      seqCol = Some("seq"), deleteCol = Some("del"))
+    M.cdcMergeKeyed(spark, c,
+      b(300, 3, 5L, 500.0).withColumn("del", lit(false)), "k", 4,
+      seqCol = Some("seq"), deleteCol = Some("del"))
+    M.cdcMergeKeyed(spark, c,
+      b(300, 3, 2L, 200.0).withColumn("del", lit(false)), "k", 4,
+      seqCol = Some("seq"), deleteCol = Some("del")) // late replay
+    assert(asMap(M.readKeyed(spark, c))(3L) == ((500.0, 5L)),
+      "the CoW stored-seq guard must keep the newer row")
+  }
 }
