@@ -1607,6 +1607,219 @@ object SparkEntry {
         lit(guardOk).as("guard_ok"))
     }),
 
+    // LEAF MERGE — the contraction half of the maintenance loop (r13):
+    // plant byte skew, let maintain_keyed SPLIT the hot leaf, drain it
+    // with a mass delete, and the SAME policy pass must MERGE the
+    // drained siblings back (combined bytes < target/2); full-content
+    // diff stays green through split + delete + merge, a third pass
+    // no-ops. Scale-invariant booleans (probeScale-dialed; planted
+    // truths, no recapture).
+    "x145_leaf_merge" -> ((s, d) => {
+      val dir = runScratch("lmerge", d)
+      val M = graft.sources.Maintenance
+      val n = scaled(1000000)
+      val h = graft.ext.TextAnalysis.h60(col("id").cast("string"))
+      val isFat = F.pmod(h, lit(16L)) === 0
+      val base = s.range(0, n).select(col("id").as("k"),
+        (col("id") % 997).cast(DoubleType).as("v"),
+        when(isFat, F.repeat(F.md5(col("id").cast("string")), 8))
+          .otherwise(lit("x")).as("pad"))
+      M.writeKeyed(base, dir, "k", 16)
+      val sizes = M.splitCandidates(s, dir, 1L).toMap
+      val hot = sizes.maxBy(_._2)
+      val rest = (sizes - hot._1).values.max
+      val target = (hot._2 + rest) / 2
+      val s1 = M.maintainKeyed(s, dir, target, minChain = 1)
+      val mSplit = M.readManifest(s, dir)
+      val splitOk = s1 == Seq(hot._1) &&
+        mSplit.depths == Map(hot._1 -> 1, (hot._1 + 16) -> 1)
+      // drain the pair: delete ~97% of the fat rows
+      val fatDel = M.readKeyed(s, dir)
+        .filter(F.length(col("pad")) > 1 && col("k") % 31 =!= 0)
+        .select("k").localCheckpoint()
+      M.deleteKeyed(s, dir, fatDel, "k", 16)
+      val v1 = M.readManifest(s, dir).version
+      val s2 = M.maintainKeyed(s, dir, target, minChain = 1)
+      val mMerged = M.readManifest(s, dir)
+      val mergedOk = s2.isEmpty && mMerged.depths.isEmpty &&
+        mMerged.version > v1
+      val s3 = M.maintainKeyed(s, dir, target, minChain = 1)
+      val converged = s3.isEmpty &&
+        M.readManifest(s, dir).version == mMerged.version
+      // the fat predicate re-expressed over the renamed key column
+      val isFatK = F.pmod(
+        graft.ext.TextAnalysis.h60(col("k").cast("string")),
+        lit(16L)) === 0
+      val expect = base.filter(!(isFatK && col("k") % 31 =!= 0))
+      val dd = M.diff(M.readKeyed(s, dir).select("k", "v", "pad"),
+        expect, Seq("k"))
+      dd.agg(
+        (F.sum(when(col("status") === "same", 0L).otherwise(1L)) === 0L)
+          .as("all_same"))
+        .withColumn("split_ok", lit(splitOk))
+        .withColumn("merged_ok", lit(mergedOk))
+        .withColumn("converged", lit(converged))
+    }),
+
+    // SEQ-RESOLVED base × CDC × INCREMENTAL MV REFRESH (r13): the two
+    // r12 flagships proven AGAINST EACH OTHER. Stamped batches land in
+    // shuffled order on a sequence-resolved table; every
+    // keyed_changes(v_i, v_j) must equal the closed-form diff of the
+    // ORDERED application, a late-arriving OLD event between refreshes
+    // must produce an EMPTY changelog and must not regress the view,
+    // and a bucket-grain MV refreshed incrementally across all those
+    // commits must match the scan plan row-for-row. Planted-truth
+    // booleans (probeScale-dialed, no recapture).
+    "x146_seq_mv_cdc" -> ((s, d) => {
+      val dir = runScratch("seqmv", d)
+      val mdir = runScratch("seqmvs", d)
+      graft.sources.MatView.unregister(s, mdir)
+      val M = graft.sources.Maintenance
+      val MV = graft.sources.MatView
+      val n = scaled(400000)
+      val base = s.range(0, n).select(col("id").as("k"),
+        (col("id") % 23).as("g"),
+        (col("id") % 31).cast(DoubleType).as("v"), lit(0L).as("seq"))
+      M.writeKeyed(base, dir, "k", 16) // v1
+      MV.buildMv(s, dir, mdir, Seq("g"), Seq("v"), 8, floatSums = true)
+      def b(m: Int, seq: Long, v: Double) =
+        s.range(0, n).filter(col("id") % m === 0).select(
+          col("id").as("k"), (col("id") % 23).as("g"),
+          lit(v).as("v"), lit(seq).as("seq"))
+      def refresh(): Unit = MV.refreshMvIncremental(s, mdir)
+      // order-independent (k, status) fingerprint of a changelog
+      def fp(df: DataFrame): (Long, java.math.BigDecimal) = {
+        val r = df.agg(F.count(lit(1)),
+          F.sum(F.xxhash64(col("k"), col("status"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
+        (r.getLong(0), r.getDecimal(1))
+      }
+      def expectChg(cond: Column, status: String) =
+        s.range(0, n).filter(cond).select(col("id").as("k"),
+          lit(status).as("status"))
+      // shuffled arrival: NEWEST update first, then an older one, then
+      // stamped tombstones newer than everything
+      M.appendDeltaKeyedCols(s, dir, b(7, 3L, 300.0), Seq("k"), 16,
+        seqCol = Some("seq")) // v2
+      refresh()
+      val chg12 = fp(M.keyedChanges(s, dir, 1, 2)) ==
+        fp(expectChg(col("id") % 7 === 0, "changed"))
+      M.appendDeltaKeyedCols(s, dir, b(3, 1L, 100.0), Seq("k"), 16) // v3
+      refresh()
+      // k%21==0 keys keep their seq-3 row: the OLDER update must not
+      // surface in the changelog for them
+      val chg23 = fp(M.keyedChanges(s, dir, 2, 3)) ==
+        fp(expectChg(col("id") % 3 === 0 && col("id") % 7 =!= 0,
+          "changed"))
+      val tomb = s.range(0, n).filter(col("id") % 11 === 0)
+        .select(col("id").as("k"), lit(4L).as("seq"))
+      M.appendDeltaKeyedCols(s, dir,
+        s.range(0).select(col("id").as("k"), (col("id") % 23).as("g"),
+          lit(0.0).as("v"), lit(5L).as("seq")),
+        Seq("k"), 16, tombstoneKeys = Some(tomb)) // v4
+      refresh()
+      val chg34 = fp(M.keyedChanges(s, dir, 3, 4)) ==
+        fp(expectChg(col("id") % 11 === 0, "removed"))
+      // a LATE OLD event (seq 2 for key 7, whose stored row is seq 3):
+      // empty changelog, and the refreshed view must NOT regress
+      val viewBefore = MV.readMv(s, mdir).localCheckpoint()
+      M.appendDeltaKeyedCols(s, dir,
+        s.range(7, 8).select(col("id").as("k"), (col("id") % 23).as("g"),
+          lit(-9.0).as("v"), lit(2L).as("seq")), Seq("k"), 16) // v5
+      val lateEmpty = M.keyedChanges(s, dir, 4, 5).count() == 0L
+      refresh()
+      val noRegress = M.diff(MV.readMv(s, mdir), viewBefore, Seq("g"))
+        .filter(col("status") =!= "same").count() == 0L
+      // the routed group-by over the final snapshot == the scan plan
+      val head = M.manifestVersions(s, dir).last
+      val routed = MV.route(s, dir, Seq(("g", "g")),
+        Seq(("cnt", "count", None), ("sv", "sum", Some("v"))),
+        pinnedVersion = Some(head))
+      val scanPlan = M.readKeyed(s, dir).groupBy("g")
+        .agg(F.count(lit(1)).as("cnt"),
+          F.sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+            .cast(DoubleType).as("sv"))
+      val mvOk = routed.isDefined &&
+        M.diff(routed.get, scanPlan, Seq("g"))
+          .filter(col("status") =!= "same").count() == 0L
+      s.range(1).select(
+        lit(chg12).as("chg12_ok"), lit(chg23).as("chg23_ok"),
+        lit(chg34).as("chg34_ok"), lit(lateEmpty).as("late_empty"),
+        lit(noRegress).as("no_regress"), lit(mvOk).as("mv_ok"))
+    }),
+
+    // SEQ-RESOLVED table as a STREAMING CDC SOURCE (r13): a registered
+    // consumer polling a seq table across OUT-OF-ORDER commits sees
+    // retraction/addition batches consistent with max-seq-wins — a
+    // tombstone newer than a later-arriving old update keeps the key
+    // dead (no resurrection), and a late old event yields an EMPTY
+    // batch that still advances the cursor. Planted-truth booleans.
+    "x147_seq_poll_cdc" -> ((s, d) => {
+      val dir = runScratch("seqpoll", d)
+      val M = graft.sources.Maintenance
+      val S = graft.streaming.Streams
+      val n = scaled(200000)
+      val base = s.range(0, n).select(col("id").as("k"),
+        (col("id") % 31).cast(DoubleType).as("v"), lit(0L).as("seq"))
+      M.writeKeyed(base, dir, "k", 8) // v1
+      val cur = M.registeredCursorPath(dir, "c147")
+      def fp(df: DataFrame): (Long, java.math.BigDecimal) = {
+        val r = df.agg(F.count(lit(1)),
+          F.sum(F.xxhash64(col("k"), col("status"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
+        (r.getLong(0), r.getDecimal(1))
+      }
+      def expectChg(cond: Column, status: String) =
+        s.range(0, n).filter(cond).select(col("id").as("k"),
+          lit(status).as("status"))
+      def poll(): Option[(DataFrame, Int, Int)] = {
+        val r = S.pollKeyedChanges(s, dir, cur)
+        r.foreach { case (_, _, toV) =>
+          S.commitChangeCursor(s, cur, toV) }
+        r
+      }
+      // initial load: the whole v1 snapshot as 'added'
+      val p0 = poll()
+      val initOk = p0.exists { case (df, fromV, toV) =>
+        fromV == 0 && toV == 1 &&
+          fp(df.select(col("k"), col("status"))) ==
+            fp(expectChg(lit(true), "added"))
+      }
+      // tombstones arrive FIRST (seq 4, newest) — declares the seq col
+      val tomb = s.range(0, n).filter(col("id") % 9 === 0)
+        .select(col("id").as("k"), lit(4L).as("seq"))
+      M.appendDeltaKeyedCols(s, dir,
+        s.range(0).select(col("id").as("k"), lit(0.0).as("v"),
+          lit(5L).as("seq")),
+        Seq("k"), 8, tombstoneKeys = Some(tomb), seqCol = Some("seq")) // v2
+      val delOk = poll().exists { case (df, _, toV) =>
+        toV == 2 && fp(df.select(col("k"), col("status"))) ==
+          fp(expectChg(col("id") % 9 === 0, "removed"))
+      }
+      // an OLDER update (seq 2) lands after the newer tombstones: dead
+      // keys must stay dead (no resurrection), live keys change
+      M.appendDeltaKeyedCols(s, dir, s.range(0, n)
+        .filter(col("id") % 5 === 0).select(col("id").as("k"),
+          lit(200.0).as("v"), lit(2L).as("seq")), Seq("k"), 8) // v3
+      val updOk = poll().exists { case (df, _, toV) =>
+        toV == 3 && fp(df.select(col("k"), col("status"))) ==
+          fp(expectChg(col("id") % 5 === 0 && col("id") % 9 =!= 0,
+            "changed"))
+      }
+      // a LATE OLD event for a key whose stored row is newer: an empty
+      // batch that still advances the cursor
+      M.appendDeltaKeyedCols(s, dir,
+        s.range(5, 6).select(col("id").as("k"), lit(-1.0).as("v"),
+          lit(1L).as("seq")), Seq("k"), 8) // v4 (key 5 holds seq 2)
+      val p3 = poll()
+      val lateOk = p3.exists { case (df, _, toV) =>
+        toV == 4 && df.count() == 0L
+      } && S.readChangeCursor(s, cur) == 4
+      s.range(1).select(
+        lit(initOk).as("init_ok"), lit(delOk).as("del_ok"),
+        lit(updOk).as("upd_ok"), lit(lateOk).as("late_ok"))
+    }),
+
     // Streaming agg-state maintenance at the gate (r10): the
     // foreachBatch body applied batch-by-batch — bootstrap, a delta
     // refresh (with the compactEvery=2 cadence folding it), and a CoW
@@ -3889,7 +4102,7 @@ object SparkEntry {
     "ql58_lang_mv_route" -> ((s, d) => {
       val bdir = runScratch("qlmvb", d)
       val mdir = runScratch("qlmvs", d)
-      graft.sources.MatView.unregister(mdir)
+      graft.sources.MatView.unregister(s, mdir)
       graft.lang.Interp.run(s,
         s"""base = orders {o_orderkey, o_orderpriority, o_totalprice}
            |w = write_keyed(base, "$bdir", "o_orderkey", 16)
@@ -3915,8 +4128,8 @@ object SparkEntry {
     "ql63_lang_mv_refresh" -> ((s, d) => {
       val bdir = runScratch("qlmvib", d)
       val mdir = runScratch("qlmvis", d)
-      graft.sources.MatView.unregister(mdir)
-      graft.lang.Interp.run(s,
+      graft.sources.MatView.unregister(s, mdir)
+      val out = graft.lang.Interp.run(s,
         s"""base = orders {o_orderkey, o_orderpriority, o_totalprice}
            |w = write_keyed(base, "$bdir", "o_orderkey", 16)
            |v = build_mv("$bdir", "$mdir", "o_orderpriority",
@@ -3925,11 +4138,26 @@ object SparkEntry {
            |          o_totalprice: o_totalprice + 500.0}
            |u = upsert_keyed("$bdir", ups, "o_orderkey", 16)
            |r = refresh_mv_incremental("$mdir")
+           |ups2 = base[o_orderkey == 7] {o_orderkey, o_orderpriority,
+           |          o_totalprice: o_totalprice + 250.0}
+           |u2 = upsert_keyed("$bdir", ups2, "o_orderkey", 16)
+           |r2 = refresh_mv_incremental("$mdir")
            |t = read_keyed("$bdir")
            |t {o_orderpriority => n: count(), total: sum(o_totalprice),
            |   lo: min(o_totalprice), hi: max(o_totalprice)}
            |""".stripMargin,
         "orders" -> t(s, d, "orders")).df
+      // the PRUNING gate (r13): the second upsert touched ONE key, so
+      // the refresh must have read exactly ONE base bucket's files —
+      // an accidental full-base-scan refresh turns this boolean false
+      // and the hash gate red (the lifecycle alone wouldn't catch it:
+      // the %9 upsert above touches most of the 16 buckets anyway)
+      val pruned = graft.sources.MatView.lastRefreshScan.exists {
+        case (changed, files) =>
+          changed.length == 1 && files.nonEmpty &&
+            files.forall(_.contains(f"b${changed.head}%05d_g"))
+      }
+      out.withColumn("pruned_ok", lit(pruned))
     }),
 
     // ROUTE UNDER SELECTION (r12): a predicate over GRAIN columns only
@@ -3938,7 +4166,7 @@ object SparkEntry {
     "ql64_lang_mv_where" -> ((s, d) => {
       val bdir = runScratch("qlmvwb", d)
       val mdir = runScratch("qlmvws", d)
-      graft.sources.MatView.unregister(mdir)
+      graft.sources.MatView.unregister(s, mdir)
       graft.lang.Interp.run(s,
         s"""base = orders {o_orderkey, o_orderpriority, o_totalprice}
            |w = write_keyed(base, "$bdir", "o_orderkey", 16)
@@ -3959,7 +4187,7 @@ object SparkEntry {
     "ql65_lang_mv_rollup" -> ((s, d) => {
       val bdir = runScratch("qlmvrb", d)
       val mdir = runScratch("qlmvrs", d)
-      graft.sources.MatView.unregister(mdir)
+      graft.sources.MatView.unregister(s, mdir)
       graft.lang.Interp.run(s,
         s"""base = orders {o_orderkey, o_custkey, o_orderpriority,
            |               o_totalprice}
@@ -4015,6 +4243,87 @@ object SparkEntry {
         "orders" -> t(s, d, "orders")).df
     }),
 
+    // QUANTILE-BEARING MV from the language (r13): build_mv's new
+    // sample_k / sample_unique args carry a ROW-uniform bounded sample
+    // through the bucket-grain build AND the incremental refresh. The
+    // sample bound (65536) covers every group at the gated SFs, so the
+    // folded sample IS the population and the approx quantiles are the
+    // EXACT order statistics — replayed verbatim in DuckDB.
+    "ql68_lang_mv_sample" -> ((s, d) => {
+      val bdir = runScratch("qlmvqb", d)
+      val mdir = runScratch("qlmvqs", d)
+      graft.sources.MatView.unregister(s, mdir)
+      graft.lang.Interp.run(s,
+        s"""base = orders {o_orderkey, o_orderpriority, o_totalprice}
+           |w = write_keyed(base, "$bdir", "o_orderkey", 16)
+           |v = build_mv("$bdir", "$mdir", "o_orderpriority",
+           |             "o_totalprice", 8, "", true, 65536, "o_orderkey")
+           |ups = base[o_orderkey % 9 == 0] {o_orderkey, o_orderpriority,
+           |          o_totalprice: o_totalprice + 500.0}
+           |u = upsert_keyed("$bdir", ups, "o_orderkey", 16)
+           |r = refresh_mv_incremental("$mdir")
+           |r {o_orderpriority, n, total, approx_p25, approx_median,
+           |   approx_p90}
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+    }),
+
+    // REFRESH-ALL SWEEP (r13): two views over one base, one commit,
+    // one refresh_mvs call — both watermarks re-arm (staleness 0) and
+    // the exact-decimal group-by that ROUTES through the swept view
+    // hash-matches the scan oracle (the ql58-style canary for the
+    // sweep path).
+    "ql70_lang_mv_sweep" -> ((s, d) => {
+      val bdir = runScratch("qlswb", d)
+      val m1 = runScratch("qlsw1", d)
+      val m2 = runScratch("qlsw2", d)
+      graft.sources.MatView.unregister(s, m1)
+      graft.sources.MatView.unregister(s, m2)
+      val out = graft.lang.Interp.run(s,
+        s"""base = orders {o_orderkey, o_custkey, o_orderpriority,
+           |              o_totalprice}
+           |w = write_keyed(base, "$bdir", "o_orderkey", 16)
+           |v1 = build_mv("$bdir", "$m1", "o_orderpriority",
+           |              "o_totalprice", 8, "", true)
+           |v2 = build_mv("$bdir", "$m2", "o_custkey",
+           |              "o_totalprice", 8, "", true)
+           |ups = base[o_orderkey % 7 == 0] {o_orderkey, o_custkey,
+           |         o_orderpriority, o_totalprice: o_totalprice + 100.0}
+           |u = upsert_keyed("$bdir", ups, "o_orderkey", 16)
+           |sw = refresh_mvs("$bdir")
+           |t = read_keyed("$bdir")
+           |t {o_orderpriority => n: count(), total: sum(o_totalprice)}
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+      val sweptOk = graft.sources.MatView.forBase(bdir).nonEmpty &&
+        graft.sources.MatView.forBase(bdir)
+          .forall(dd => graft.sources.MatView.staleness(s, dd) == 0)
+      out.withColumn("swept_ok", lit(sweptOk))
+    }),
+
+    // LEAF MERGE from the language (r13): split a leaf, drain the
+    // table, and one maintain_keyed pass (with its merge budget) folds
+    // the drained siblings back — full-content oracle plus a
+    // merged-back depth boolean (the ql66 twin for the contraction
+    // half).
+    "ql69_lang_maint_merge" -> ((s, d) => {
+      val dir = runScratch("qlmerge", d)
+      val out = graft.lang.Interp.run(s,
+        s"""base = orders {o_orderkey, o_totalprice}
+           |w = write_keyed(base, "$dir", "o_orderkey", 4)
+           |sp = split_keyed("$dir", 0)
+           |dels = base[o_orderkey % 2 == 0] {o_orderkey}
+           |dd = delete_keyed("$dir", dels, "o_orderkey", 4)
+           |m = maintain_keyed("$dir", 100000000, 100000000, 1, 100000000)
+           |t = read_keyed("$dir")
+           |t {o_orderkey, o_totalprice}
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
+      val mergedBack = graft.sources.Maintenance
+        .readManifest(s, dir).depths.isEmpty
+      out.withColumn("merged_ok", lit(mergedBack))
+    }),
+
     // approx_count_distinct through an MV (r11): the language's
     // md5-register HLL aggregate served from the registered state's
     // merged registers — BIT-IDENTICAL to the scan plan by
@@ -4025,7 +4334,7 @@ object SparkEntry {
     "ql61_lang_mv_adist" -> ((s, d) => {
       val bdir = runScratch("qlmvab", d)
       val mdir = runScratch("qlmvas", d)
-      graft.sources.MatView.unregister(mdir)
+      graft.sources.MatView.unregister(s, mdir)
       graft.lang.Interp.run(s,
         s"""base = orders {o_orderkey, o_orderpriority, o_custkey,
            |               o_totalprice}
@@ -4050,7 +4359,7 @@ object SparkEntry {
     "ql62_lang_mv_global" -> ((s, d) => {
       val bdir = runScratch("qlmvgb", d)
       val mdir = runScratch("qlmvgs", d)
-      graft.sources.MatView.unregister(mdir)
+      graft.sources.MatView.unregister(s, mdir)
       graft.lang.Interp.run(s,
         s"""base = orders {o_orderkey, o_orderpriority, o_custkey,
            |               o_totalprice}
@@ -6865,6 +7174,21 @@ object SparkEntry {
            TRUE AS old_loses, TRUE AS guard_ok""",
 
     // scale-invariant planted truths (see the query comment)
+    "x145_leaf_merge" ->
+      """SELECT TRUE AS all_same, TRUE AS split_ok, TRUE AS merged_ok,
+           TRUE AS converged""",
+
+    // scale-invariant planted truths (see the query comment)
+    "x146_seq_mv_cdc" ->
+      """SELECT TRUE AS chg12_ok, TRUE AS chg23_ok, TRUE AS chg34_ok,
+           TRUE AS late_empty, TRUE AS no_regress, TRUE AS mv_ok""",
+
+    // scale-invariant planted truths (see the query comment)
+    "x147_seq_poll_cdc" ->
+      """SELECT TRUE AS init_ok, TRUE AS del_ok, TRUE AS upd_ok,
+           TRUE AS late_ok""",
+
+    // scale-invariant planted truths (see the query comment)
     "x141_bucket_split" ->
       """SELECT TRUE AS n_ok, TRUE AS all_same, TRUE AS untouched_kept,
            TRUE AS parents_gone, TRUE AS depths_ok, TRUE AS lookup_ok,
@@ -7373,12 +7697,58 @@ object SparkEntry {
     "ql63_lang_mv_refresh" ->
       """WITH cur AS (
            SELECT o_orderpriority,
-             CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 500.0
+             CASE WHEN o_orderkey = 7 THEN o_totalprice + 250.0
+                  WHEN o_orderkey % 9 = 0 THEN o_totalprice + 500.0
                   ELSE o_totalprice END AS p
            FROM orders)
          SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(p AS DECIMAL(28,2))) AS DOUBLE) AS total,
-           min(p) AS lo, max(p) AS hi
+           min(p) AS lo, max(p) AS hi, TRUE AS pruned_ok
+         FROM cur GROUP BY o_orderpriority""",
+
+    // the sample bound covers every group, so the "approx" quantiles
+    // are the exact order statistics of the post-upsert population —
+    // the same rank formulas as finalizeAgg, 1-based in DuckDB
+    "ql68_lang_mv_sample" ->
+      """WITH cur AS (
+           SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 500.0
+                  ELSE o_totalprice END AS p
+           FROM orders),
+         med AS (
+           SELECT o_orderpriority, list(p ORDER BY p) AS arr
+           FROM cur GROUP BY 1),
+         b AS (
+           SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(p AS DECIMAL(28,2))) AS DOUBLE) AS total
+           FROM cur GROUP BY 1)
+         SELECT o_orderpriority, n, total,
+           round(arr[CAST(ceil(0.25 * len(arr)) AS INT)], 6) AS approx_p25,
+           round((arr[(len(arr) + 1) // 2]
+             + arr[len(arr) // 2 + 1]) / 2.0, 6) AS approx_median,
+           round(arr[CAST(ceil(0.9 * len(arr)) AS INT)], 6) AS approx_p90
+         FROM b JOIN med USING (o_orderpriority)""",
+
+    // split + mass delete + maintain(merge budget): the content after
+    // the fold is just the undeleted rows; merged_ok is the planted
+    // depth truth
+    "ql69_lang_maint_merge" ->
+      """SELECT o_orderkey, o_totalprice, TRUE AS merged_ok
+         FROM orders WHERE o_orderkey % 2 <> 0""",
+
+    // the routed post-sweep group-by: exact-decimal canary (a sweep
+    // that silently failed to re-arm would fall back to the scan and
+    // still match — swept_ok pins the watermark claim; a sweep that
+    // re-armed WITHOUT folding the changes would hash-mismatch here)
+    "ql70_lang_mv_sweep" ->
+      """WITH cur AS (
+           SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS p
+           FROM orders)
+         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(p AS DECIMAL(28,2))) AS DOUBLE) AS total,
+           TRUE AS swept_ok
          FROM cur GROUP BY o_orderpriority""",
     // maintain_keyed split every leaf; content identical
     "ql66_lang_maintain" ->

@@ -87,11 +87,15 @@ final class PTable(val df: DataFrame, val meta: TableMeta,
       // conjuncts prune to their buckets, zone-mapped ranges skip via
       // manifest stats, anything else falls back to the unpruned read
       // + filter — semantics are identical either way (readKeyedWhere
-      // applies the full predicate after resolution). The mark
-      // survives with the conditions recorded: a grain-column-only
+      // applies the full predicate after resolution). The re-plan PINS
+      // the mark's version: a base commit between read_keyed and this
+      // selection must not change what the frame answers (the KeyedMark
+      // contract — without the pin, MV routing at mark.version and the
+      // scan plan at head could answer differently; ADVICE r12). The
+      // mark survives with the conditions recorded: a grain-column-only
       // filter is still MV-routable.
       new PTable(graft.sources.Maintenance.readKeyedWhere(df.sparkSession,
-        mark.dir, conds.reduce(_ && _)), meta,
+        mark.dir, conds.reduce(_ && _), version = Some(mark.version)), meta,
         Some(mark.copy(conds = conds.toSeq)))
     case Some(mark) if conds.nonEmpty =>
       // later selections filter the already-pruned frame; the mark

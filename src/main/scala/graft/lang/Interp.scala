@@ -1561,8 +1561,10 @@ object Interp {
       "keyed_stats", "phrase_search", "near_search", "keyed_changes",
       "poll_keyed_changes", "commit_change_cursor",
       "commit_group", "read_group", "group_pins",
+      "vacuum_group", "drop_group", "unregister_cursor", "refresh_mvs",
       "append_delta_keyed", "compact_keyed", "split_keyed",
-      "split_candidates", "build_agg_state",
+      "split_candidates", "merge_candidates", "merge_leaves",
+      "build_agg_state",
       "merge_agg_state", "finalize_agg", "build_agg_state_keyed",
       "merge_agg_state_keyed", "compact_agg_state_keyed",
       "register_mv", "refresh_mv", "unregister_mv", "rebuild_mv",
@@ -2604,23 +2606,29 @@ object Interp {
             litString(args(0).value)))
         case "maintain_keyed" =>
           // maintain_keyed(dir, target_bytes, budget_bytes?,
-          // min_chain?) — ONE maintenance pass: split every leaf over
-          // target_bytes (worst first, within the rewrite budget),
-          // then fold delta chains ≥ min_chain. Planned from the
+          // min_chain?, merge_budget_bytes?) — ONE maintenance pass:
+          // split every leaf over target_bytes (worst first, within
+          // the rewrite budget), fold delta chains ≥ min_chain, then
+          // MERGE drained sibling pairs back (combined bytes <
+          // target/2) within the merge budget. Planned from the
           // manifest — a healthy table no-ops. Returns the split
-          // bucket ids (empty = converged).
-          if (args.length < 2 || args.length > 4)
+          // bucket ids (empty = converged); merges show in the depth
+          // map (keyed_stats / merge_candidates).
+          if (args.length < 2 || args.length > 5)
             throw new TypeError(
               "maintain_keyed(\"dir\", target_bytes, budget_bytes?, " +
-                "min_chain?)")
+                "min_chain?, merge_budget_bytes?)")
           val mkBudget =
             if (args.length >= 3) constLong(args(2).value)
             else Long.MaxValue
           val mkChain =
-            if (args.length == 4) constLong(args(3).value).toInt else 2
+            if (args.length >= 4) constLong(args(3).value).toInt else 2
+          val mkMergeBudget =
+            if (args.length == 5) constLong(args(4).value)
+            else Long.MaxValue
           val mkSplit = graft.sources.Maintenance.maintainKeyed(spark,
             litString(args(0).value), constLong(args(1).value),
-            mkBudget, mkChain)
+            mkBudget, mkChain, mkMergeBudget)
           PTable(
             if (mkSplit.isEmpty)
               spark.range(0).select(col("id").cast("int").as("bucket"))
@@ -2640,6 +2648,32 @@ object Interp {
               spark.range(0).select(col("id").cast("int").as("bucket"),
                 col("id").as("bytes"))
             else spark.createDataFrame(cand).toDF("bucket", "bytes"))
+        case "merge_leaves" =>
+          // merge_leaves(dir, p1, p2, ...) — extendible-hashing
+          // CONTRACTION: each parent's two sibling leaves fold back
+          // into one leaf a depth up (inverse of split_keyed; same
+          // atomic depth-map commit). Returns the snapshot.
+          if (args.length < 2)
+            throw new TypeError("merge_leaves(\"dir\", parent, ...)")
+          graft.sources.Maintenance.mergeLeaves(spark,
+            litString(args(0).value),
+            args.tail.map(a => constLong(a.value).toInt))
+          PTable(graft.sources.Maintenance.readKeyed(spark,
+            litString(args(0).value)))
+        case "merge_candidates" =>
+          // merge_candidates(dir, target_bytes) — the sibling leaf
+          // pairs whose combined live bytes fell under target/2,
+          // emptiest first (parent id + combined bytes): the
+          // contraction feed for maintain_keyed's merge phase
+          if (args.length != 2)
+            throw new TypeError("merge_candidates(\"dir\", target_bytes)")
+          val mcand = graft.sources.Maintenance.mergeCandidates(spark,
+            litString(args(0).value), constLong(args(1).value))
+          PTable(
+            if (mcand.isEmpty)
+              spark.range(0).select(col("id").cast("int").as("parent"),
+                col("id").as("bytes"))
+            else spark.createDataFrame(mcand).toDF("parent", "bytes"))
         case "build_agg_state" =>
           // build_agg_state(t, "keys", "value", dir, "distinct_key"?,
           // sample_k?, "sample_unique"?) — the one full pass of an
@@ -2795,6 +2829,34 @@ object Interp {
           graft.sources.Maintenance.commitGroup(spark,
             litString(args(0).value), gpins)
           pinsTable(litString(args(0).value))
+        case "vacuum_group" =>
+          // vacuum_group(group_dir, keep_versions?) — GC old pin sets
+          // so their (older) pins stop flooring member vacuum; pins
+          // only, never data
+          if (args.isEmpty || args.length > 2)
+            throw new TypeError(
+              "vacuum_group(\"group_dir\", keep_versions?)")
+          graft.sources.Maintenance.vacuumGroup(spark,
+            litString(args(0).value),
+            if (args.length == 2) constLong(args(1).value).toInt else 1)
+          PTable(spark.range(1).select(lit(true).as("ok")))
+        case "drop_group" =>
+          // drop_group(group_dir) — decommission the group: sweep its
+          // member pointer files and delete the group dir (member
+          // vacuum floors relax immediately)
+          if (args.length != 1)
+            throw new TypeError("drop_group(\"group_dir\")")
+          graft.sources.Maintenance.dropGroup(spark,
+            litString(args(0).value))
+          PTable(spark.range(1).select(lit(true).as("ok")))
+        case "unregister_cursor" =>
+          // unregister_cursor(dir, name) — decommission a registered
+          // CDC consumer: its cursor file stops flooring vacuum_keyed
+          if (args.length != 2)
+            throw new TypeError("unregister_cursor(\"dir\", \"name\")")
+          graft.sources.Maintenance.unregisterCursor(spark,
+            litString(args(0).value), litString(args(1).value))
+          PTable(spark.range(1).select(lit(true).as("ok")))
         case "group_pins" =>
           // group_pins(group_dir) — the latest group version's pins
           if (args.length != 1)
@@ -2838,28 +2900,39 @@ object Interp {
             litString(args(0).value)))
         case "build_mv" =>
           // build_mv(base_dir, mv_dir, "keys", "value_cols", n_buckets,
-          // "distinct_key"?, float_sums?) — ONE call: aggregate the
-          // base's pinned snapshot at BUCKET GRAIN (per (keys..., base
-          // bucket) partials), register it watermarked at exactly that
-          // pinned version, persist the registration. Bucket grain is
-          // what makes refresh_mv_incremental cost ∝ changed base
-          // buckets for arbitrary changes. Returns the finalized view
-          // at the logical grain.
-          if (args.length < 5 || args.length > 7)
+          // "distinct_key"?, float_sums?, sample_k?, "sample_unique"?)
+          // — ONE call: aggregate the base's pinned snapshot at BUCKET
+          // GRAIN (per (keys..., base bucket) partials), register it
+          // watermarked at exactly that pinned version, persist the
+          // registration. Bucket grain is what makes
+          // refresh_mv_incremental cost ∝ changed base buckets for
+          // arbitrary changes. sample_k > 0 carries a bounded quantile
+          // sample; sample_unique (a row-unique column) makes it
+          // ROW-uniform — the grain is recorded in the manifest, so
+          // later merges/rebuilds reuse it (contradictions fail
+          // loudly). Returns the finalized view at the logical grain.
+          if (args.length < 5 || args.length > 9)
             throw new TypeError(
               "build_mv(\"base_dir\", \"mv_dir\", \"keys\", " +
                 "\"value_cols\", n_buckets, \"distinct_key\"?, " +
-                "float_sums?)")
+                "float_sums?, sample_k?, \"sample_unique\"?)")
           val bdk = if (args.length >= 6) {
             val v = litString(args(5).value).trim
             if (v.isEmpty) None else Some(v)
           } else None
-          val bfs = args.length == 7 && constBool(args(6).value)
+          val bfs = args.length >= 7 && constBool(args(6).value)
+          val bsk2 =
+            if (args.length >= 8) constLong(args(7).value).toInt else 0
+          val bsu2 = if (args.length == 9) {
+            val v = litString(args(8).value).trim
+            if (v.isEmpty) None else Some(v)
+          } else None
           graft.sources.MatView.buildMv(spark,
             litString(args(0).value), litString(args(1).value),
             litString(args(2).value).trim.split("\\s+").toSeq,
             litString(args(3).value).trim.split("\\s+").toSeq,
-            constLong(args(4).value).toInt, bdk, bfs)
+            constLong(args(4).value).toInt, bdk, bfs,
+            sampleK = bsk2, sampleUnique = bsu2)
           PTable(graft.sources.MatView.readMv(spark,
             litString(args(1).value)))
         case "refresh_mv" =>
@@ -2910,15 +2983,16 @@ object Interp {
           PTable(graft.sources.MatView.readMv(spark,
             litString(args(0).value)))
         case "list_mvs" =>
-          // list_mvs() — the registry: one row per registered view
-          // (r12 adds the float-sum declaration and the bucket-grain
-          // tag, so the operator can see which views refresh
-          // incrementally and which sums route)
+          // list_mvs() — the registry: one row per registered view.
+          // r13 adds STALENESS at a glance (base head − watermark; 0 =
+          // fresh) so a maintain loop can see what needs a refresh
+          // without probing each base itself.
           if (args.nonEmpty) throw new TypeError("list_mvs()")
           val mvs = graft.sources.MatView.list()
             .map(d => (d.mvDir, d.baseDir, d.keys.mkString(","),
               d.valueCols.mkString(","), d.baseVersion, d.floatSums,
-              d.bucketTag.getOrElse("")))
+              d.bucketTag.getOrElse(""),
+              graft.sources.MatView.staleness(spark, d)))
           PTable(
             if (mvs.isEmpty)
               spark.range(0).select(
@@ -2928,10 +3002,28 @@ object Interp {
                 col("id").cast("string").as("value_cols"),
                 col("id").cast("int").as("base_version"),
                 col("id").cast("boolean").as("float_sums"),
-                col("id").cast("string").as("bucket_tag"))
+                col("id").cast("string").as("bucket_tag"),
+                col("id").cast("int").as("staleness"))
             else spark.createDataFrame(mvs)
               .toDF("mv_dir", "base_dir", "keys", "value_cols",
-                "base_version", "float_sums", "bucket_tag"))
+                "base_version", "float_sums", "bucket_tag", "staleness"))
+        case "refresh_mvs" =>
+          // refresh_mvs(base_dir) — refresh EVERY registered view of
+          // the base in one call (incremental per view; fresh views
+          // no-op): the maintain-loop sweep. Returns one row per view
+          // with its re-armed watermark.
+          if (args.length != 1)
+            throw new TypeError("refresh_mvs(\"base_dir\")")
+          val swept = graft.sources.MatView.refreshMvs(spark,
+            litString(args(0).value))
+            .map(d => (d.mvDir, d.baseVersion))
+          PTable(
+            if (swept.isEmpty)
+              spark.range(0).select(
+                col("id").cast("string").as("mv_dir"),
+                col("id").cast("int").as("base_version"))
+            else spark.createDataFrame(swept)
+              .toDF("mv_dir", "base_version"))
         case "keyed_changes" =>
           // keyed_changes(dir, from_version, to_version) — CDC feed of
           // added/removed/changed keys, reading only changed buckets

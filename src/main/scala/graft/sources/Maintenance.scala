@@ -813,14 +813,16 @@ object Maintenance {
         else None
       } else None
     keyTuples match {
-      // the point-read path (latest snapshot only — lookupKeyed reads
-      // the current manifest). Capped: a 100k-element IN-list would
+      // the point-read path. Capped: a 100k-element IN-list would
       // explode the pushed predicate and the probe frame; past the cap
       // the scan+filter path is the better plan anyway (readKeyBuckets
-      // exists for bulk key-frame reads)
-      case Some(ks) if ks.nonEmpty && ks.length <= 1000 &&
-          version.isEmpty =>
-        return lookupKeyed(spark, dir, ks).filter(cond)
+      // exists for bulk key-frame reads). A PINNED version threads
+      // through to lookupKeyed so the point read answers from exactly
+      // the caller's snapshot — a base commit between the caller's
+      // read_keyed and this selection must not change the frame's rows
+      // (the KeyedMark contract; ADVICE r12).
+      case Some(ks) if ks.nonEmpty && ks.length <= 1000 =>
+        return lookupKeyed(spark, dir, ks, version).filter(cond)
       case _ => ()
     }
     // zone-map pruning: per-conjunct [lo, hi] bounds (conservatively
@@ -1759,22 +1761,133 @@ object Maintenance {
     }.filter(_._2 > targetBytes).sortBy(-_._2)
   }
 
+  /** MERGE PLANNING (the contraction twin of `splitCandidates`, zero
+    * data IO): the sibling leaf PAIRS whose combined live bytes fell
+    * below `targetBytes / 2` — after deletes/retention, a skew that
+    * once forced a split has drained and the two half-empty leaves
+    * should fold back into their parent. Returns (parent id, combined
+    * bytes), EMPTIEST first (the cheapest rewrites reclaim the most
+    * leaf-count pressure per byte). The half-target threshold is the
+    * split/merge HYSTERESIS: a freshly-split leaf's children combine
+    * to the bytes that exceeded `targetBytes`, so they can never
+    * bounce straight back, and a merged parent (< targetBytes/2) can
+    * never immediately re-split.
+    */
+  def mergeCandidates(spark: SparkSession, dir: String,
+                      targetBytes: Long): Seq[(Int, Long)] = {
+    require(targetBytes > 0, s"targetBytes must be > 0")
+    val clean = cleanDir(dir)
+    val m = readManifest(spark, dir)
+    require(m.nBuckets > 0, s"$clean has no keyed metadata")
+    val n = m.nBuckets
+    val fs = hadoopFs(spark, new Path(clean))
+    def bytes(b: Int): Long =
+      (m.buckets.get(b).toSeq ++ m.deltas.getOrElse(b, Nil))
+        .map(d => fs.getContentSummary(new Path(clean, d)).getLength).sum
+    m.depths.toSeq
+      // the LOW sibling names the pair (parent id = its own id); the
+      // high sibling must be a leaf at the SAME depth (one side split
+      // deeper blocks the merge until its subtree folds first)
+      .filter { case (b, d) => d >= 1 && b < (n << (d - 1)) &&
+        m.depths.getOrElse(b + (n << (d - 1)), 0) == d }
+      .map { case (p, d) => p -> (bytes(p) + bytes(p + (n << (d - 1)))) }
+      .filter(_._2 < targetBytes / 2)
+      .sortBy(_._2)
+  }
+
+  /** EXTENDIBLE-HASHING CONTRACTION — the inverse of `splitKeyed`:
+    * fold each listed PARENT's two sibling leaves (parent p at depth
+    * d−1 re-absorbs leaves p and p + N·2^(d−1), both at depth d) back
+    * into one leaf. Same shape as the split: only the merged leaves'
+    * rows are read and restaged (their delta chains fold in the
+    * process, by the table's own resolve discipline), and ONE manifest
+    * commit publishes the new generation AND the shrunk depth map
+    * atomically — a mid-merge reader sees the old or the new COMPLETE
+    * layout. Writers racing the merge fail loudly on the same
+    * depth-map guard as splits and re-run against the new layout.
+    * Without this, leaf count marches monotonically toward the
+    * 100000-leaf cap and small-file pressure grows after every
+    * retention sweep.
+    */
+  def mergeLeaves(spark: SparkSession, dir: String,
+                  parents: Seq[Int]): Unit = {
+    require(parents.nonEmpty, "mergeLeaves: no parents to merge")
+    val clean = cleanDir(dir)
+    withCommitRetry(s"mergeLeaves($dir)") {
+      val m = readManifest(spark, dir)
+      require(m.nBuckets > 0, s"$clean has no keyed metadata")
+      val n = m.nBuckets
+      val pairs = parents.distinct.sorted.map { p =>
+        val d = m.depths.getOrElse(p, 0)
+        require(d >= 1,
+          s"mergeLeaves($clean): $p is not a split leaf (depth 0)")
+        require(p < (n << (d - 1)),
+          s"mergeLeaves($clean): $p is a HIGH sibling — pass the " +
+            s"parent id ${p - (n << (d - 1))}")
+        val sib = p + (n << (d - 1))
+        require(m.depths.getOrElse(sib, 0) == d,
+          s"mergeLeaves($clean): $p's sibling $sib is not a leaf at " +
+            s"depth $d (depths: ${m.depths}) — fold its subtree first")
+        (p, sib, d)
+      }
+      val newDepths = pairs.foldLeft(m.depths) { case (ds, (p, sib, d)) =>
+        // depth 0 is the ABSENT default for ids < nBuckets — a parent
+        // landing back at depth 0 leaves the map entirely
+        val cleared = ds - p - sib
+        if (d - 1 == 0) cleared else cleared + (p -> (d - 1))
+      }
+      val children = pairs.flatMap { case (p, sib, _) => Seq(p, sib) }
+      val live = children.filter(b => m.buckets.contains(b) ||
+        m.deltas.get(b).exists(_.nonEmpty))
+      if (live.isEmpty) {
+        // depth-only commit: the merged leaves held no rows
+        writeManifest(spark, clean, KeyedManifest(m.version + 1,
+          m.buckets, m.keyCol, m.nBuckets, m.schemaDdl, m.deltas, m.rows,
+          statsCols = m.statsCols, colStats = m.colStats,
+          resolve = m.resolve, txn = m.txn,
+          aggP = m.aggP, aggK = m.aggK, depths = newDepths,
+          aggSU = m.aggSU, seqCol = m.seqCol))
+      } else {
+        // resolve by the table's own discipline (chains fold here,
+        // exactly like their compaction), rehash under the SHRUNK map
+        // — every row lands in its pair's parent leaf
+        val rows =
+          if (m.resolve == "agg")
+            readAggStateBuckets(spark, clean, m, live)
+          else resolveBuckets(spark, clean, m, live, None).drop("kb")
+        val rehashed = rows.withColumn("kb",
+          kb(m.keyCols, n, depths = newDepths))
+        val pending = stageMerge(spark, dir, rehashed, children, m)
+        commitKeyed(spark,
+          pending.copy(manifest = pending.manifest.copy(depths = newDepths)))
+      }
+    }
+  }
+
   /** ONE maintenance pass — the policy loop over `splitCandidates` +
-    * chain compaction that a scheduler calls on a cadence instead of
-    * hand-planning splits: split every leaf whose live bytes exceed
-    * `targetBytes`, worst first, until `budgetBytes` of rewrite is
-    * spent (a split rewrites roughly the leaf's bytes), then fold any
-    * delta chains that reached `minChain` (dispatching on the table's
-    * resolve discipline). Both phases plan from the MANIFEST and
-    * rewrite only their target buckets, so a pass over a healthy table
-    * is metadata-only — call it after every few batches and it no-ops
-    * until something actually outgrows the policy. Returns the split
-    * bucket ids (empty = the split phase converged).
+    * chain compaction + `mergeCandidates` that a scheduler calls on a
+    * cadence instead of hand-planning layout surgery: split every leaf
+    * whose live bytes exceed `targetBytes`, worst first, until
+    * `budgetBytes` of rewrite is spent (a split rewrites roughly the
+    * leaf's bytes); fold any delta chains that reached `minChain`
+    * (dispatching on the table's resolve discipline); then MERGE
+    * drained sibling pairs back (combined bytes < targetBytes/2),
+    * emptiest first within `mergeBudgetBytes`, cascading up the depth
+    * tree until it converges — the contraction half without which leaf
+    * count only ever grows. All three phases plan from the MANIFEST
+    * and rewrite only their target buckets, so a pass over a healthy
+    * table is metadata-only — call it after every few batches and it
+    * no-ops until something actually outgrows (or outshrinks) the
+    * policy. Returns the split bucket ids (empty = the split phase
+    * converged); merges show in the manifest's depth map.
     */
   def maintainKeyed(spark: SparkSession, dir: String, targetBytes: Long,
                     budgetBytes: Long = Long.MaxValue,
-                    minChain: Int = 2): Seq[Int] = {
+                    minChain: Int = 2,
+                    mergeBudgetBytes: Long = Long.MaxValue): Seq[Int] = {
     require(budgetBytes > 0, "maintainKeyed: budgetBytes must be > 0")
+    require(mergeBudgetBytes >= 0,
+      "maintainKeyed: mergeBudgetBytes must be >= 0")
     val cands = splitCandidates(spark, dir, targetBytes)
     var budget = budgetBytes
     val picked = Seq.newBuilder[Int]
@@ -1788,6 +1901,22 @@ object Maintenance {
     if (readManifest(spark, dir).resolve == "agg")
       compactAggStateKeyed(spark, dir, minChain = minChain)
     else compactKeyed(spark, dir, minChain = minChain)
+    // contraction, cascading: a merged parent may itself pair with ITS
+    // sibling one level up, so re-plan until nothing qualifies or the
+    // budget runs out (terminates — each round strictly shrinks the
+    // depth map). A merge rewrites roughly the pair's combined bytes.
+    var mBudget = mergeBudgetBytes
+    var more = mBudget > 0
+    while (more) {
+      val mc = mergeCandidates(spark, dir, targetBytes)
+      val mPicked = Seq.newBuilder[Int]
+      mc.foreach { case (p, bytes) =>
+        if (bytes <= mBudget) { mPicked += p; mBudget -= bytes }
+      }
+      val mChosen = mPicked.result()
+      if (mChosen.nonEmpty) mergeLeaves(spark, dir, mChosen)
+      more = mChosen.nonEmpty && mBudget > 0
+    }
     chosen
   }
 
@@ -1919,12 +2048,15 @@ object Maintenance {
     * timestamp/decimal/double keys included (the pre-r10 JVM-toString
     * shortcut had to reject those loudly). Composite-key tables take
     * each key as a Seq of the components in manifest order.
+    * `version` pins the snapshot the probe answers from (time-travel
+    * point reads, and the pinned-frame selection path) — latest when
+    * None.
     */
   def lookupKeyed(spark: SparkSession, dir: String,
-                  keys: Seq[Any]): DataFrame = {
+                  keys: Seq[Any], version: Option[Int] = None): DataFrame = {
     require(keys.nonEmpty, "lookupKeyed: no keys")
     val clean = cleanDir(dir)
-    val m = readManifest(spark, dir)
+    val m = readManifest(spark, dir, version)
     require(m.nBuckets > 0,
       s"$clean has no keyed metadata (pre-r8 table or versioned dataset)")
     val keyCols = m.keyCols
@@ -1938,7 +2070,7 @@ object Maintenance {
           .orElse(m.deltas.values.flatten.headOption)
         anyDir match {
           case Some(d) => spark.read.parquet(s"$clean/$d").schema
-          case None => return readKeyed(spark, dir).limit(0)
+          case None => return readKeyed(spark, dir, version).limit(0)
         }
       }
     val keyFields = keyCols.map(c => schema.fields.find(_.name == c)
@@ -1976,7 +2108,7 @@ object Maintenance {
       .filter(b => m.buckets.contains(b) ||
         m.deltas.get(b).exists(_.nonEmpty)).sorted
     if (touched.isEmpty)
-      readKeyed(spark, dir).limit(0)
+      readKeyed(spark, dir, version).limit(0)
     else {
       // native-typed IN-list (not a string cast) so the predicate
       // PUSHES into the parquet scan of EVERY chain level and the
@@ -2162,6 +2294,26 @@ object Maintenance {
         !referenced.contains(s.getPath.getName) &&
         s.getModificationTime < cutoff)
       .foreach(s => fs.delete(s.getPath, true))
+    // pointer hygiene: a `_groups` pointer whose decoded group dir no
+    // longer has any committed manifest is DEAD — it stopped
+    // constraining already (registeredGroupMin ignores it), but the
+    // file would otherwise accumulate forever and cost a listing +
+    // failed read per vacuum pass. Swept under the same age rule as
+    // everything else (a freshly-registered group whose first commit
+    // is in flight must survive).
+    val gd = new Path(clean, "_groups")
+    if (fs.exists(gd))
+      fs.listStatus(gd).toSeq
+        .filter(s => !s.getPath.getName.contains(".tmp_") &&
+          s.getModificationTime < cutoff)
+        .filter { s =>
+          try {
+            val groupDir = new String(java.util.Base64.getUrlDecoder
+              .decode(s.getPath.getName), "UTF-8")
+            manifestVersions(spark, groupDir).isEmpty
+          } catch { case _: Exception => true } // undecodable: dead
+        }
+        .foreach(s => fs.delete(s.getPath, false))
     // crashed-writer residue: manifest temps + staging siblings
     val md = manifestDir(clean)
     if (fs.exists(md))
@@ -3033,7 +3185,8 @@ object Maintenance {
     * to recompute.
     */
   def commitGroup(spark: SparkSession, groupDir: String,
-                  pins: Map[String, Int]): Int = {
+                  pins: Map[String, Int],
+                  keepVersions: Int = 0): Int = {
     require(pins.nonEmpty, "commitGroup: no pins")
     val clean = cleanDir(groupDir)
     val p = pins.map { case (t, v) => cleanDir(t) -> v.toLong }
@@ -3059,7 +3212,59 @@ object Maintenance {
         try out.write(clean.getBytes("UTF-8")) finally out.close()
       }
     }
+    // groups need their own retention cadence: every surviving group
+    // VERSION's pins floor member vacuum, so a pipeline committing the
+    // group per run would otherwise pin members at its FIRST run
+    // forever (and each member vacuum re-reads O(versions) group
+    // manifests). keepVersions > 0 applies the policy right here —
+    // the usual call is keepVersions = 1 (only the newest pin set
+    // constrains); 0 keeps every version (a time-travel group).
+    if (keepVersions > 0) vacuumGroup(spark, clean, keepVersions)
     committed
+  }
+
+  /** GC old versions of the commit group at `groupDir` (same
+    * keep-newest + grace contract as `vacuumKeyed` — group manifests
+    * are pins only, so this never deletes data, it only RELAXES the
+    * members' vacuum floors). A reader time-traveling to a dropped
+    * group version fails loudly, like any vacuumed snapshot.
+    */
+  def vacuumGroup(spark: SparkSession, groupDir: String,
+                  keepVersions: Int = 1,
+                  graceMs: Long = 15 * 60 * 1000L): Unit =
+    vacuumGenerations(spark, groupDir, keepVersions, graceMs,
+      genPattern = "(?!)") // groups have no generation dirs
+
+  /** Delete the commit group at `groupDir` ENTIRELY: sweep the pointer
+    * files it registered at every member its LATEST version pins, then
+    * remove the group dir. Members' vacuum floors relax immediately;
+    * a `readGroup` against the dropped group fails loudly. The inverse
+    * of the `commitGroup` lifecycle — call when the pipeline the group
+    * served is decommissioned.
+    */
+  def dropGroup(spark: SparkSession, groupDir: String): Unit = {
+    val clean = cleanDir(groupDir)
+    val members =
+      if (manifestVersions(spark, clean).isEmpty) Seq.empty[String]
+      else readManifest(spark, clean).txn.keys.toSeq
+    members.foreach { member =>
+      val gp = new Path(registeredGroupPath(member, clean))
+      val fs = hadoopFs(spark, gp)
+      fs.delete(gp, false)
+    }
+    val p = new Path(clean)
+    hadoopFs(spark, p).delete(p, true)
+  }
+
+  /** Delete the registered CDC cursor `<dir>/_cursors/<name>`: the
+    * consumer is decommissioned and its version floor must stop
+    * constraining `vacuumKeyed`. (A consumer merely PAUSING keeps its
+    * cursor — that is the whole point of registration.)
+    */
+  def unregisterCursor(spark: SparkSession, dir: String,
+                       name: String): Unit = {
+    val p = new Path(registeredCursorPath(dir, name))
+    hadoopFs(spark, p).delete(p, false)
   }
 
   /** The group's pins (table dir → pinned manifest version) at

@@ -372,6 +372,13 @@ object MatView {
       if (m.aggP > 0) m.aggP else 12)
   }
 
+  /** SESSION-ONLY unregister: removes the in-memory entry but leaves
+    * the durable `<base>/_mvs/` hint, so the registration RESURRECTS
+    * via `ensureLoaded` in a later session (or after `clear()`). Only
+    * for temporarily muting a route in THIS session — a caller that
+    * means "unregister" wants the SparkSession overload, which deletes
+    * the hint file too.
+    */
   def unregister(mvDir: String): Unit = reg.remove(clean(mvDir))
 
   /** Unregister AND delete the durable hint file (the state itself
@@ -401,6 +408,24 @@ object MatView {
     reg.values.asScala.filter(_.baseDir == b).toSeq.sortBy(_.mvDir)
   }
 
+  /** How far behind its base the view is: base head version −
+    * watermark (0 = fresh; the maintain loop's at-a-glance metric).
+    */
+  def staleness(spark: SparkSession, d: MvDef): Int =
+    Maintenance.manifestVersions(spark, d.baseDir).lastOption
+      .map(_ - d.baseVersion).getOrElse(0)
+
+  /** Refresh EVERY registered view of `baseDir` in one call — the
+    * maintain-loop sweep (incremental per view: cost ∝ each view's
+    * changed base buckets; a fresh view no-ops). Loads the durable
+    * registry first, so a scheduler in a fresh session sweeps
+    * everything that was ever registered, not just this session's.
+    */
+  def refreshMvs(spark: SparkSession, baseDir: String): Seq[MvDef] = {
+    ensureLoaded(spark, baseDir)
+    forBase(baseDir).map(d => refreshMvIncremental(spark, d.mvDir))
+  }
+
   /** The operational kill switch: set the session conf
     * `spark.graft.mv.routing=false` to force every query back onto
     * the scan plan without touching registrations — the first thing
@@ -424,6 +449,63 @@ object MatView {
   private def autoRefresh(spark: SparkSession): Boolean =
     spark.conf.get("spark.graft.mv.autorefresh", "false").toBoolean
 
+  /** STAMPEDE CONTROL for query-time auto-refresh: a per-view
+    * `_refresh_lease` published-if-absent (hard link on the file
+    * scheme — the manifest's own atomicity discipline; rename-if-
+    * absent elsewhere), so of N concurrent readers hitting the same
+    * stale view exactly ONE pays the changed-bucket re-aggregation;
+    * the others route stale → scan this once, as if auto-refresh were
+    * off. A lease older than `spark.graft.mv.leaseMs` (default 60 s)
+    * is a crashed/hung refresher's — it is broken and re-acquired.
+    * The lease is an EFFICIENCY gate, not a correctness one: the
+    * refresh itself stays safe under any race (idempotent per-tag
+    * replace + manifest CAS), so the rare break-race double-refresh
+    * just wastes the work the lease normally saves.
+    */
+  private def leasePath(mvDir: String) =
+    new Path(s"${clean(mvDir)}/_refresh_lease")
+
+  private def tryAcquireLease(spark: SparkSession, mvDir: String,
+                              ttlMs: Long): Boolean = {
+    val p = leasePath(mvDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def tryPublish(): Boolean = {
+      val tmp = new Path(s"${clean(mvDir)}/.lease_tmp_${ProcessHandle
+        .current().pid()}x${Thread.currentThread().getId}")
+      val out = fs.create(tmp, true)
+      try out.write(s"${System.currentTimeMillis()}".getBytes("UTF-8"))
+      finally out.close()
+      val ok =
+        if (fs.getScheme == "file")
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(p.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        else fs.rename(tmp, p)
+      if (fs.exists(tmp)) fs.delete(tmp, false)
+      ok
+    }
+    if (tryPublish()) return true
+    // an existing lease younger than the TTL: someone owns the window
+    val stale =
+      try fs.getFileStatus(p).getModificationTime <
+        System.currentTimeMillis() - ttlMs
+      catch { case _: Exception => false } // released between checks
+    if (!stale) return false
+    fs.delete(p, false) // break the crashed refresher's lease
+    tryPublish()
+  }
+
+  private def releaseLease(spark: SparkSession, mvDir: String): Unit = {
+    val p = leasePath(mvDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, false)
+  }
+
   private def maybeAutoRefresh(spark: SparkSession, baseDir: String,
                                pinnedVersion: Option[Int]): Unit = {
     if (!autoRefresh(spark)) return
@@ -434,9 +516,15 @@ object MatView {
         // refresh targets the base's CURRENT head; only safe to serve
         // this frame when head == pinned, so re-check before the work
         val head = Maintenance.manifestVersions(spark, d.baseDir).last
-        if (head == pinned)
-          try refreshMvIncremental(spark, d.mvDir)
-          catch { case _: Exception => () } // stale stays stale: scan
+        if (head == pinned) {
+          val ttl =
+            spark.conf.get("spark.graft.mv.leaseMs", "60000").toLong
+          if (tryAcquireLease(spark, d.mvDir, ttl))
+            try refreshMvIncremental(spark, d.mvDir)
+            catch { case _: Exception => () } // stale stays stale: scan
+            finally releaseLease(spark, d.mvDir)
+          // lease held elsewhere: route stale -> scan, no wasted work
+        }
       }
   }
 
@@ -547,11 +635,15 @@ object MatView {
         case FloatType | DoubleType if d.floatSums => Some(DoubleType)
         case _ => None
       }
+    // DecimalType means do NOT route: the scan plan's avg(decimal)
+    // returns DecimalType(p+4, s+4) with decimal rounding, while the
+    // routed sum/count division is a Double — routing would silently
+    // change the result's TYPE, and "routing never guesses" extends to
+    // types (ADVICE r12; mirrors sumCast's decimal exclusion).
     def meanOk(mc: String): Boolean =
       cols.contains(s"__cnv${sfx(mc)}") && (measureType(mc) match {
         case Some(ByteType | ShortType | IntegerType | LongType) => true
         case Some(FloatType | DoubleType) => d.floatSums
-        case Some(_: DecimalType) => true
         case _ => false
       })
     // exact grain over a group-grain state reads rows DIRECTLY (one

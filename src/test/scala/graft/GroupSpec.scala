@@ -181,4 +181,70 @@ class GroupSpec extends SparkSpec {
     M.vacuumKeyed(spark, b, keepVersions = 1, graceMs = 0L, force = true)
     intercept[Exception] { M.readGroup(spark, g2, b).collect() }
   }
+
+  test("group retention: keepVersions prunes old pin sets so member floors relax") {
+    val a = tmp("grp_ka"); val g = tmp("grp_kg")
+    M.writeKeyed(one(0, 1.0), a, "k", 2)
+    (2 to 6).foreach(v => M.upsertKeyed(spark, a, one(0, v.toDouble),
+      "k", 2)) // versions 1..6
+    M.commitGroup(spark, g, Map(a -> 2))
+    // re-publishing WITH the keep policy drops group v1 — its old pin
+    // stops flooring member vacuum (the r12 accumulation gap)
+    M.commitGroup(spark, g, Map(a -> 5), keepVersions = 1)
+    // the drop respects the default grace window... with graceMs=0 via
+    // the explicit face (commitGroup uses the default; prune again)
+    M.vacuumGroup(spark, g, keepVersions = 1, graceMs = 0L)
+    assert(M.manifestVersions(spark, g) == Seq(2),
+      s"group manifests must prune: ${M.manifestVersions(spark, g)}")
+    M.vacuumKeyed(spark, a, keepVersions = 1, graceMs = 0L)
+    assert(M.manifestVersions(spark, a) == (5 to 6),
+      "only the surviving group version's pin may floor the member")
+    assert(M.readGroup(spark, g, a).head.getDouble(1) == 5.0)
+    // time travel to the pruned group version fails loudly
+    intercept[Exception] {
+      M.readGroup(spark, g, a, version = Some(1)).collect()
+    }
+  }
+
+  test("dropGroup sweeps member pointers; vacuum sweeps dead-group pointers") {
+    val a = tmp("grp_da"); val g = tmp("grp_dg")
+    M.writeKeyed(one(0, 1.0), a, "k", 2)
+    (2 to 4).foreach(v => M.upsertKeyed(spark, a, one(0, v.toDouble),
+      "k", 2))
+    M.commitGroup(spark, g, Map(a -> 2))
+    val gp = new org.apache.hadoop.fs.Path(M.registeredGroupPath(a, g))
+    val fs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(gp), "commitGroup must register the pointer")
+    M.dropGroup(spark, g)
+    assert(!fs.exists(gp), "dropGroup must sweep the member pointer")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(g)))
+    M.vacuumKeyed(spark, a, keepVersions = 1, graceMs = 0L)
+    assert(M.manifestVersions(spark, a) == Seq(4),
+      "a dropped group must stop constraining member vacuum")
+    // a pointer whose group dir was deleted OUT OF BAND (no dropGroup)
+    // is swept by the member's own vacuum pass
+    val g2 = tmp("grp_dg2")
+    M.commitGroup(spark, g2, Map(a -> 4))
+    val gp2 = new org.apache.hadoop.fs.Path(M.registeredGroupPath(a, g2))
+    assert(fs.exists(gp2))
+    fs.delete(new org.apache.hadoop.fs.Path(g2), true)
+    M.vacuumKeyed(spark, a, keepVersions = 1, graceMs = 0L)
+    assert(!fs.exists(gp2),
+      "vacuum must sweep pointers whose group is gone")
+  }
+
+  test("unregisterCursor: a decommissioned consumer stops flooring vacuum") {
+    val dir = tmp("grp_uc")
+    val S = graft.streaming.Streams
+    M.writeKeyed(one(0, 1.0), dir, "k", 2)
+    (2 to 5).foreach(v => M.upsertKeyed(spark, dir, one(0, v.toDouble),
+      "k", 2))
+    S.commitChangeCursor(spark, M.registeredCursorPath(dir, "dead"), 2)
+    M.vacuumKeyed(spark, dir, keepVersions = 1, graceMs = 0L)
+    assert(M.manifestVersions(spark, dir) == (2 to 5))
+    M.unregisterCursor(spark, dir, "dead")
+    M.vacuumKeyed(spark, dir, keepVersions = 1, graceMs = 0L)
+    assert(M.manifestVersions(spark, dir) == Seq(5),
+      "an unregistered cursor must stop flooring vacuum")
+  }
 }

@@ -1871,6 +1871,73 @@ class LangSpec extends SparkSpec {
       Interp.run(spark, """refresh_mv_incremental("/no/such/view")""")
     }
     assert(err.getMessage.contains("registered"))
+    // r13 faces: arity errors are loud
+    intercept[graft.types.TypeError] {
+      Interp.run(spark, """build_mv("a","b","k","v",4,"",true,1,"u","x")""")
+    }
+    intercept[graft.types.TypeError] {
+      Interp.run(spark, """refresh_mvs()""")
+    }
+    intercept[graft.types.TypeError] {
+      Interp.run(spark, """merge_candidates("a")""")
+    }
+    intercept[graft.types.TypeError] {
+      Interp.run(spark, """merge_leaves("a")""")
+    }
+    intercept[graft.types.TypeError] {
+      Interp.run(spark, """unregister_cursor("a")""")
+    }
+    intercept[graft.types.TypeError] {
+      Interp.run(spark, """drop_group()""")
+    }
+    intercept[graft.types.TypeError] {
+      Interp.run(spark, """vacuum_group()""")
+    }
+    intercept[graft.types.TypeError] {
+      Interp.run(spark, """maintain_keyed("a", 1, 2, 3, 4, 5)""")
+    }
+  }
+
+  test("r13 operational faces: staleness, refresh_mvs, merge_candidates from the language") {
+    import graft.sources.Maintenance
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lang_ops").toString
+    val bdir = s"$root/b"; val mdir = s"$root/m"
+    graft.sources.MatView.unregister(spark, mdir)
+    val stale = Interp.run(spark,
+      s"""base = [1..3001] {k: item, g: item % 7, v: item % 31}
+         |w = write_keyed(base, "$bdir", "k", 4)
+         |v0 = build_mv("$bdir", "$mdir", "g", "v", 4)
+         |ups = base[k % 10 == 0] {k, g, v: v + 1}
+         |u = upsert_keyed("$bdir", ups, "k", 4)
+         |list_mvs() [mv_dir == "$mdir"] {staleness}
+         |""".stripMargin).df.head.getInt(0)
+    assert(stale == 1, s"one base commit past the watermark: $stale")
+    val fresh = Interp.run(spark,
+      s"""sw = refresh_mvs("$bdir")
+         |list_mvs() [mv_dir == "$mdir"] {staleness}
+         |""".stripMargin).df.head.getInt(0)
+    assert(fresh == 0, "the sweep must re-arm every view of the base")
+    // no merge candidates on a flat (never-split) table
+    assert(Interp.run(spark,
+      s"""merge_candidates("$bdir", 1000000)""").df.count() == 0)
+    // split_keyed / merge_leaves round-trip from the language
+    Interp.run(spark, s"""split_keyed("$bdir", 1)""")
+    assert(Maintenance.readManifest(spark, bdir).depths ==
+      Map(1 -> 1, 5 -> 1))
+    assert(Interp.run(spark,
+      s"""merge_candidates("$bdir", 100000000)""").df.count() == 1)
+    Interp.run(spark, s"""merge_leaves("$bdir", 1)""")
+    assert(Maintenance.readManifest(spark, bdir).depths.isEmpty)
+    assert(Interp.run(spark, s"""read_keyed("$bdir") {=> n: count()}""")
+      .df.head.getLong(0) == 3000L)
+    // unregister_cursor / drop_group round-trip from the language
+    val cur = Maintenance.registeredCursorPath(bdir, "langc")
+    graft.streaming.Streams.commitChangeCursor(spark, cur, 1)
+    Interp.run(spark, s"""x = unregister_cursor("$bdir", "langc")""")
+    assert(!new org.apache.hadoop.fs.Path(cur)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(cur)))
   }
 
   test("maintain_keyed and seq-mode append_delta_keyed drive from the language") {

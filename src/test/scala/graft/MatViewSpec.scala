@@ -341,6 +341,34 @@ class MatViewSpec extends SparkSpec {
       Seq(("s", "sum", Some("v")))).isDefined)
   }
 
+  test("decimal measures: sum/mean never route (scan types are decimal; the route's would not be)") {
+    val bdir = tmp("mv_db"); val mdir = tmp("mv_ds")
+    val base = spark.range(0, 2000).select(col("id").as("k"),
+      (col("id") % 5).as("g"),
+      (col("id") % 9).cast("decimal(10,2)").as("v"))
+    M.writeKeyed(base, bdir, "k", 8)
+    M.buildAggStateKeyed(M.readKeyed(spark, bdir), mdir, Seq("g"), "v", 4)
+    MV.register(spark, mdir, bdir, Seq("v"))
+    // avg(decimal) is DecimalType(p+4, s+4) on the scan plan; the
+    // routed __sum/__cnv division is a Double — routing would change
+    // the result TYPE and rounding, so it must refuse (ADVICE r12)
+    assert(MV.route(spark, bdir, Seq(("g", "g")),
+      Seq(("m", "mean", Some("v")))).isEmpty,
+      "decimal mean must fall back to the scan plan")
+    assert(MV.route(spark, bdir, Seq(("g", "g")),
+      Seq(("s", "sum", Some("v")))).isEmpty,
+      "decimal sum must fall back (scale arithmetic differs)")
+    // min/max/count keep the measure's own type — still routable
+    val ok = MV.route(spark, bdir, Seq(("g", "g")),
+      Seq(("n", "count", None), ("lo", "min", Some("v")),
+        ("hi", "max", Some("v"))))
+    assert(ok.isDefined)
+    val want = base.groupBy("g").agg(F.count(F.lit(1)).as("n"),
+      F.min("v").as("lo"), F.max("v").as("hi"))
+    assert(M.diff(ok.get, want, Seq("g"))
+      .filter(col("status") =!= "same").count() == 0)
+  }
+
   test("routing honors the frame's PINNED version, not the latest manifest") {
     val bdir = tmp("mv_pb"); val mdir = tmp("mv_ps")
     val base = mkBase(2000)
@@ -684,6 +712,91 @@ class MatViewSpec extends SparkSpec {
       assert(MV.route(spark, bdir, q._1, q._2,
         pinnedVersion = Some(2)).isDefined)
     }
+  }
+
+  test("auto-refresh lease: racing readers pay ONE refresh; stale leases break; held leases defer") {
+    val bdir = tmp("mv_lb"); val mdir = tmp("mv_ls")
+    val base = mkBase(4000)
+    M.writeKeyed(base, bdir, "k", 8)
+    MV.buildMv(spark, bdir, mdir, Seq("g"), Seq("w"), 4)
+    val ups = spark.range(0, 3).select(col("id").as("k"),
+      (col("id") % 7).as("g"), lit(1.0).as("v"), lit(50L).as("w"))
+    M.upsertKeyed(spark, bdir, ups, "k", 8) // view stale at head=2
+    val q = Seq(("g", "g")) -> Seq(("n", "count", None: Option[String]))
+    val stV0 = M.manifestVersions(spark, mdir).last
+    withConfs("spark.graft.mv.autorefresh" -> "true") {
+      // N concurrent routed queries over the stale view: the lease
+      // lets exactly ONE run the refresh (one state commit); the rest
+      // route stale -> scan (None) or, if they arrive after the
+      // winner, route fresh — never a second refresh
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = (1 to 4).map(_ => new Thread(() =>
+        try results.add(MV.route(spark, bdir, q._1, q._2,
+          pinnedVersion = Some(2)).isDefined)
+        catch { case t: Throwable => errs.add(t) }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(errs.isEmpty, s"racing auto-refresh must be safe: $errs")
+      val stV1 = M.manifestVersions(spark, mdir).last
+      assert(stV1 == stV0 + 1,
+        s"exactly one refresh commit expected: $stV0 -> $stV1")
+      import scala.jdk.CollectionConverters._
+      assert(results.asScala.exists(identity),
+        "the winning reader (at least) must route")
+      // the winner releases: the lease file must be gone
+      val lease = new org.apache.hadoop.fs.Path(s"$mdir/_refresh_lease")
+      val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(lease), "the lease must be released")
+      // a lease HELD by a live refresher defers: no commit, no route
+      M.upsertKeyed(spark, bdir, ups, "k", 8) // stale again (head=3)
+      fs.create(lease, true).close()
+      assert(MV.route(spark, bdir, q._1, q._2,
+        pinnedVersion = Some(3)).isEmpty,
+        "a held lease must defer the refresh (reader scans this once)")
+      assert(M.manifestVersions(spark, mdir).last == stV1,
+        "no refresh may commit under a held lease")
+      // a CRASHED refresher's lease (older than the TTL) is broken
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(lease.toUri.getPath),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 10 * 60 * 1000L))
+      assert(MV.route(spark, bdir, q._1, q._2,
+        pinnedVersion = Some(3)).isDefined,
+        "an expired lease must be broken and the refresh run")
+      assert(M.manifestVersions(spark, mdir).last == stV1 + 1)
+      assert(!fs.exists(lease))
+    }
+  }
+
+  test("refreshMvs sweeps every view of a base; list staleness goes 1 -> 0") {
+    val bdir = tmp("mv_swb")
+    val m1 = tmp("mv_sw1"); val m2 = tmp("mv_sw2")
+    val base = mkBase(3000)
+    M.writeKeyed(base, bdir, "k", 8)
+    MV.buildMv(spark, bdir, m1, Seq("g"), Seq("w"), 4)
+    MV.buildMv(spark, bdir, m2, Seq("g", "w"), Seq("v"), 4,
+      floatSums = true)
+    val ups = spark.range(0, 5).select(col("id").as("k"),
+      (col("id") % 7).as("g"), lit(2.5).as("v"), lit(9L).as("w"))
+    M.upsertKeyed(spark, bdir, ups, "k", 8)
+    assert(MV.forBase(bdir).map(MV.staleness(spark, _)) == Seq(1, 1))
+    val swept = MV.refreshMvs(spark, bdir)
+    assert(swept.length == 2)
+    assert(MV.forBase(bdir).map(MV.staleness(spark, _)) == Seq(0, 0))
+    // both views now serve, and match the scan plan
+    val head = M.manifestVersions(spark, bdir).last
+    val r1 = MV.route(spark, bdir, Seq(("g", "g")),
+      Seq(("sw", "sum", Some("w"))), pinnedVersion = Some(head))
+    val r2 = MV.route(spark, bdir, Seq(("g", "g"), ("w", "w")),
+      Seq(("sv", "sum", Some("v"))), pinnedVersion = Some(head))
+    assert(r1.isDefined && r2.isDefined)
+    val now = M.readKeyed(spark, bdir)
+    assert(M.diff(r1.get,
+      now.groupBy("g").agg(F.sum("w").as("sw")), Seq("g"))
+      .filter(col("status") =!= "same").count() == 0)
+    // a fresh sweep no-ops (watermarks already at head)
+    val again = MV.refreshMvs(spark, bdir)
+    assert(again.map(_.baseVersion).distinct == Seq(head))
   }
 
   test("empty base: global route (count/sum/adist) equals the scan plan") {

@@ -165,6 +165,42 @@ class PTableSpec extends SparkSpec {
     assert(sub.df.count() == 2)
   }
 
+  test("a pinned keyed frame's first selection answers from the PIN, not the latest manifest") {
+    val M = graft.sources.Maintenance
+    val dir = java.nio.file.Files.createTempDirectory("pt_pin").toString
+    val base = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") % 7).cast("double").as("v"))
+    M.writeKeyed(base, dir, "k", 4)
+    val (df, v) = M.readKeyedPinned(spark, dir)
+    val pt = new PTable(df, graft.types.TableMeta.empty,
+      Some(KeyedMark(dir, v)))
+    // a base commit lands BETWEEN read_keyed and the first selection —
+    // the KeyedMark contract says it must not change the frame's rows
+    // (ADVICE r12: the un-pinned re-plan read the LATEST manifest, so
+    // MV routing at mark.version and the scan disagreed)
+    M.upsertKeyed(spark, dir, spark.range(5, 6).select(col("id").as("k"),
+      org.apache.spark.sql.functions.lit(99.0).as("v")), "k", 4)
+    M.deleteKeyed(spark, dir,
+      spark.range(100, 200).select(col("id").as("k")), "k", 4)
+    // point-read path (key equality): the pinned value, not 99.0
+    assert(pt.where(col("k") === 5L).df.select("v").head.getDouble(0)
+      == 5.0)
+    // scan path (range predicate): deleted rows still visible at the pin
+    assert(pt.where(col("k") >= 100L && col("k") < 200L).df.count()
+      == 100L)
+    // and the mark's version still matches what the rows answer — the
+    // routing precondition
+    assert(pt.where(col("k") >= 0L).keyedMark.get.version == v)
+    // a frame read fresh (no pin staleness) sees the new state
+    val (df2, v2) = M.readKeyedPinned(spark, dir)
+    val pt2 = new PTable(df2, graft.types.TableMeta.empty,
+      Some(KeyedMark(dir, v2)))
+    assert(pt2.where(col("k") === 5L).df.select("v").head.getDouble(0)
+      == 99.0)
+    assert(pt2.where(col("k") >= 100L && col("k") < 200L).df.count()
+      == 0L)
+  }
+
   test("addIndex clusters rows: each partition sorted by the column") {
     val t = graft.sources.Tables.load(spark, sf, "customer")
     val idx = t.addIndex("c_nationkey")

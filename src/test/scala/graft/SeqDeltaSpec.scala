@@ -139,4 +139,69 @@ class SeqDeltaSpec extends SparkSpec {
     assert(asMap(M.readKeyed(spark, c))(3L) == ((500.0, 5L)),
       "the CoW stored-seq guard must keep the newer row")
   }
+
+  test("keyedChanges over a seq table diffs RESOLVED rows; a late old event is an empty changelog") {
+    val a = tmp("seq_chg")
+    val n = 2000
+    M.writeKeyed(base(n), a, "k", 4) // v1
+    // newest first (seq 3), then an older batch (seq 1)
+    M.appendDeltaKeyedCols(spark, a, b(n, 7, 3L, 300.0), Seq("k"), 4,
+      seqCol = Some("seq")) // v2
+    M.appendDeltaKeyedCols(spark, a, b(n, 3, 1L, 100.0), Seq("k"), 4) // v3
+    def chg(f: Int, t: Int) = M.keyedChanges(spark, a, f, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(chg(1, 2) == (0L until n by 7).map((_, "changed")).toSet)
+    // the seq-1 batch surfaces ONLY where it actually won: k%3==0
+    // minus the keys whose stored seq-3 row outranks it
+    assert(chg(2, 3) == (0L until n by 3).filter(_ % 7 != 0)
+      .map((_, "changed")).toSet)
+    // a LATE OLD event for a key holding a newer row: the snapshot is
+    // unchanged, so the changelog between those versions is EMPTY
+    M.appendDeltaKeyedCols(spark, a,
+      spark.range(7, 8).select(col("id").as("k"), lit(-1.0).as("v"),
+        lit(2L).as("seq")), Seq("k"), 4) // v4 (key 7 holds seq 3)
+    assert(chg(3, 4).isEmpty,
+      "a losing late event must produce no change rows")
+  }
+
+  test("incremental MV refresh over a seq base: out-of-order commits fold exactly; a late old event never regresses the view") {
+    val MV = graft.sources.MatView
+    val a = tmp("seq_mvb"); val m = tmp("seq_mvs")
+    val n = 2000
+    val g = (col("id") % 13).as("g")
+    def gb(m0: Int, seq: Long, v: Double) =
+      spark.range(0, n).filter(col("id") % m0 === 0).select(
+        col("id").as("k"), g, lit(v).as("v"), lit(seq).as("seq"))
+    M.writeKeyed(spark.range(0, n).select(col("id").as("k"), g,
+      (col("id") % 31).cast("double").as("v"), lit(0L).as("seq")),
+      a, "k", 4)
+    MV.buildMv(spark, a, m, Seq("g"), Seq("v"), 4, floatSums = true)
+    M.appendDeltaKeyedCols(spark, a, gb(7, 3L, 300.0), Seq("k"), 4,
+      seqCol = Some("seq"))
+    MV.refreshMvIncremental(spark, m)
+    M.appendDeltaKeyedCols(spark, a, gb(3, 1L, 100.0), Seq("k"), 4)
+    MV.refreshMvIncremental(spark, m)
+    // the view equals the scan plan over the RESOLVED snapshot
+    def scanAgg() = M.readKeyed(spark, a).groupBy("g")
+      .agg(F.count(lit(1)).as("n"),
+        F.sum(col("v").cast("decimal(28,2)")).cast("double").as("total"))
+    def viewAgg() = MV.readMv(spark, m).select("g", "n", "total")
+    assert(M.diff(viewAgg(), scanAgg(), Seq("g"))
+      .filter(col("status") =!= "same").count() == 0)
+    // LATE OLD EVENT between refreshes: the resolved snapshot is
+    // unchanged, so the refresh must be a VIEW no-op (replace
+    // semantics re-aggregate the touched bucket to the same rows)
+    val before = viewAgg().collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    M.appendDeltaKeyedCols(spark, a,
+      spark.range(7, 8).select(col("id").as("k"), g, lit(-1.0).as("v"),
+        lit(2L).as("seq")), Seq("k"), 4)
+    MV.refreshMvIncremental(spark, m)
+    val after = viewAgg().collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == before, "a losing late event must not move the view")
+    // and the watermark DID advance (the no-op was a real refresh)
+    assert(MV.list().find(_.mvDir == m).get.baseVersion ==
+      M.manifestVersions(spark, a).last)
+  }
 }

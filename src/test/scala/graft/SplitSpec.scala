@@ -220,4 +220,125 @@ class SplitSpec extends SparkSpec {
       M.splitKeyed(spark, dir, Seq(16))
     }
   }
+
+  test("mergeLeaves folds drained siblings back; nested merge cascades; data identical") {
+    val dir = tmp("sp_fold")
+    val base = mk(4000)
+    M.writeKeyed(base, dir, "k", 8)
+    // split 2, then its HIGH child 10: leaves 2 (d1), 10 (d2), 26 (d2)
+    M.splitKeyed(spark, dir, Seq(2))
+    M.splitKeyed(spark, dir, Seq(10))
+    assert(M.readManifest(spark, dir).depths ==
+      Map(2 -> 1, 10 -> 2, 26 -> 2))
+    // a delta chain on keys in the merge path must fold losslessly
+    M.appendDeltaKeyed(spark, dir,
+      spark.range(0, 20).select(col("id").as("k"), lit(-7.0).as("v")),
+      "k", 8)
+    // 2's sibling (10) split deeper — the guard must name the gap
+    val e = intercept[IllegalArgumentException] {
+      M.mergeLeaves(spark, dir, Seq(2))
+    }
+    assert(e.getMessage.contains("not a leaf at depth"))
+    // high-sibling id rejected with the parent id named
+    val e2 = intercept[IllegalArgumentException] {
+      M.mergeLeaves(spark, dir, Seq(26))
+    }
+    assert(e2.getMessage.contains("HIGH sibling"))
+    // fold 10's subtree (d2 -> d1), then the original pair (d1 -> flat)
+    M.mergeLeaves(spark, dir, Seq(10))
+    val m1 = M.readManifest(spark, dir)
+    assert(m1.depths == Map(2 -> 1, 10 -> 1))
+    M.mergeLeaves(spark, dir, Seq(2))
+    val m2 = M.readManifest(spark, dir)
+    assert(m2.depths.isEmpty, s"flat again: ${m2.depths}")
+    assert(m2.deltas.getOrElse(2, Nil).isEmpty,
+      "the merged bucket's chains must fold")
+    val expect = base.join(spark.range(0, 20).select(col("id").as("k")),
+      Seq("k"), "left_anti")
+      .unionByName(spark.range(0, 20).select(col("id").as("k"),
+        lit(-7.0).as("v")))
+    assert(asSet(M.readKeyed(spark, dir)) == asSet(expect))
+    // stored kb values match the flat layout again
+    val kbs = M.readKeyed(spark, dir).select("kb").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(kbs.subsetOf((0 until 8).toSet))
+    // merging a flat leaf is refused
+    intercept[IllegalArgumentException] {
+      M.mergeLeaves(spark, dir, Seq(3))
+    }
+  }
+
+  test("maintainKeyed contraction: split leaves merge back after a mass delete; converges") {
+    val dir = tmp("sp_shrink")
+    // byte skew into bucket 0; the pad is md5-derived (INCOMPRESSIBLE)
+    // so the skew — and its post-delete drain — survives parquet
+    // encoding (a repeated-char pad RLE-compresses below the per-file
+    // overhead and the byte planner rightly sees nothing)
+    val h = graft.ext.TextAnalysis.h60(col("k").cast("string"))
+    val base = spark.range(0, 20000).select(col("id").as("k"),
+      (col("id") % 31).cast("double").as("v"))
+      .select(col("k"), col("v"),
+        F.when(F.pmod(h, lit(8L)) === 0,
+          F.repeat(F.md5(col("k").cast("string")), 16))
+          .otherwise(lit("x")).as("pad"))
+    M.writeKeyed(base, dir, "k", 8)
+    val sizes = M.splitCandidates(spark, dir, 1L).toMap
+    val target = (sizes(0) + (sizes - 0).values.max) / 2
+    assert(M.maintainKeyed(spark, dir, target) == Seq(0))
+    assert(M.readManifest(spark, dir).depths == Map(0 -> 1, 8 -> 1))
+    // drain the split pair: delete ~95% of the fat-pad rows
+    val fat = M.readKeyed(spark, dir)
+      .filter(F.length(col("pad")) > 1 && col("k") % 20 =!= 0)
+      .select("k").localCheckpoint()
+    M.deleteKeyed(spark, dir, fat, "k", 8)
+    // the same policy pass must now MERGE the drained pair back
+    val v1 = M.readManifest(spark, dir).version
+    val s2 = M.maintainKeyed(spark, dir, target)
+    val m2 = M.readManifest(spark, dir)
+    assert(s2.isEmpty, s"nothing should split: $s2")
+    assert(m2.depths.isEmpty, s"drained pair must fold back: ${m2.depths}")
+    assert(m2.version > v1, "the merge must have committed")
+    // full content identity through split + delete + merge
+    val expect = base.join(fat, Seq("k"), "left_anti")
+    assert(M.diff(M.readKeyed(spark, dir).select("k", "v", "pad"),
+      expect, Seq("k")).filter(col("status") =!= "same").count() == 0)
+    // pass 3: converged — no split, no merge, no commit
+    val s3 = M.maintainKeyed(spark, dir, target)
+    assert(s3.isEmpty && M.readManifest(spark, dir).version == m2.version,
+      "a converged pass must not commit")
+    // a zero merge budget defers contraction entirely
+    val dir2 = tmp("sp_shrink2")
+    M.writeKeyed(base, dir2, "k", 8)
+    M.splitKeyed(spark, dir2, Seq(0))
+    M.deleteKeyed(spark, dir2,
+      base.filter(F.length(col("pad")) > 1).select("k"), "k", 8)
+    M.maintainKeyed(spark, dir2, target, mergeBudgetBytes = 0L)
+    assert(M.readManifest(spark, dir2).depths == Map(0 -> 1, 8 -> 1),
+      "merge budget 0 must defer the fold")
+  }
+
+  test("mergeLeaves on a bucketed agg state re-aggregates, never last-wins") {
+    val dir = tmp("sp_aggfold")
+    val rows = spark.range(0, 5000).select(
+      (col("id") % 50).as("g"), col("id").cast("double").as("x"))
+    M.buildAggStateKeyed(rows, dir, Seq("g"), "x", 8)
+    M.splitKeyed(spark, dir, Seq(1))
+    // fold a batch AS DELTAS so the split children carry aggregate
+    // PARTIALS in their chains — the merge must re-aggregate them
+    M.mergeAggStateKeyed(spark, dir,
+      spark.range(5000, 6000).select((col("id") % 50).as("g"),
+        col("id").cast("double").as("x")),
+      Seq("g"), "x", asDeltas = true)
+    M.mergeLeaves(spark, dir, Seq(1))
+    assert(M.readManifest(spark, dir).depths.isEmpty)
+    val got = M.finalizeAgg(M.readAggStateKeyed(spark, dir), Seq("g"))
+    // oracle: the same state built in ONE pass over all the rows
+    val dir2 = tmp("sp_aggfold2")
+    M.buildAggStateKeyed(
+      spark.range(0, 6000).select((col("id") % 50).as("g"),
+        col("id").cast("double").as("x")), dir2, Seq("g"), "x", 8)
+    val want = M.finalizeAgg(M.readAggStateKeyed(spark, dir2), Seq("g"))
+    assert(M.diff(got, want, Seq("g"))
+      .filter(col("status") =!= "same").count() == 0)
+  }
 }
