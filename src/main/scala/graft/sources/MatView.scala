@@ -496,7 +496,16 @@ object MatView {
         System.currentTimeMillis() - ttlMs
       catch { case _: Exception => false } // released between checks
     if (!stale) return false
-    fs.delete(p, false) // break the crashed refresher's lease
+    // break the crashed refresher's lease via RENAME, not delete:
+    // rename of one source succeeds for exactly ONE breaker (the
+    // second gets ENOENT), so two readers racing an expired lease
+    // can't both break-then-acquire — a naive delete+publish could
+    // delete the OTHER breaker's freshly published lease
+    val broken = new Path(s"${clean(mvDir)}/.lease_broken_${ProcessHandle
+      .current().pid()}x${Thread.currentThread().getId}")
+    val won = try fs.rename(p, broken) catch { case _: Exception => false }
+    if (!won) return false
+    fs.delete(broken, false)
     tryPublish()
   }
 

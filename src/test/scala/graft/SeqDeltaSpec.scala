@@ -164,6 +164,39 @@ class SeqDeltaSpec extends SparkSpec {
       "a losing late event must produce no change rows")
   }
 
+  test("bounded CDC initial load over a seq table emits the RESOLVED snapshot (no resurrection)") {
+    val S = graft.streaming.Streams
+    val a = tmp("seq_bnd")
+    val n = 1200
+    M.writeKeyed(base(n), a, "k", 4)
+    // tombstones arrive FIRST (seq 4); an OLDER update (seq 2) lands
+    // after them — a chain-order reader would RESURRECT the k%45==0
+    // keys; max-seq-wins must keep them dead in every initial chunk
+    val tomb = spark.range(0, n).filter(col("id") % 9 === 0)
+      .select(col("id").as("k"), lit(4L).as("seq"))
+    M.appendDeltaKeyedCols(spark, a,
+      spark.range(0).select(col("id").as("k"), lit(0.0).as("v"),
+        lit(5L).as("seq")),
+      Seq("k"), 4, tombstoneKeys = Some(tomb), seqCol = Some("seq"))
+    M.appendDeltaKeyedCols(spark, a, b(n, 5, 2L, 200.0), Seq("k"), 4)
+    val cur = M.registeredCursorPath(a, "bseq")
+    var keys = Set.empty[Long]
+    var batches = 0
+    while (S.tailKeyedChangesBounded(spark, a, cur,
+      initialBuckets = 1) { df =>
+      batches += 1
+      assert(df.select("status").distinct().collect()
+        .forall(_.getString(0) == "added"))
+      keys ++= df.select("k").collect().map(_.getLong(0))
+    }) ()
+    val expected = (0L until n).filterNot(_ % 9 == 0).toSet
+    assert(keys == expected,
+      s"resolved initial load must exclude dead keys; " +
+        s"extra=${(keys -- expected).take(5)} " +
+        s"missing=${(expected -- keys).take(5)}")
+    assert(batches == 4, s"one chunk per live bucket: $batches")
+  }
+
   test("incremental MV refresh over a seq base: out-of-order commits fold exactly; a late old event never regresses the view") {
     val MV = graft.sources.MatView
     val a = tmp("seq_mvb"); val m = tmp("seq_mvs")

@@ -262,6 +262,12 @@ class SplitSpec extends SparkSpec {
     val kbs = M.readKeyed(spark, dir).select("kb").distinct()
       .collect().map(_.getInt(0)).toSet
     assert(kbs.subsetOf((0 until 8).toSet))
+    // writers and point reads speak the post-merge layout
+    M.upsertKeyed(spark, dir,
+      spark.range(0, 5).select(col("id").as("k"), lit(42.0).as("v")),
+      "k", 8)
+    assert(M.lookupKeyed(spark, dir, Seq(3L))
+      .select("v").head.getDouble(0) == 42.0)
     // merging a flat leaf is refused
     intercept[IllegalArgumentException] {
       M.mergeLeaves(spark, dir, Seq(3))
