@@ -1820,6 +1820,66 @@ object SparkEntry {
         lit(updOk).as("upd_ok"), lit(lateOk).as("late_ok"))
     }),
 
+    // PREDICATE DML (r13): UPDATE ... WHERE / DELETE ... WHERE on a
+    // keyed table. The predicate's own structure prunes the plan — a
+    // zone-mapped range touches exactly the bucket whose stats
+    // overlap, a key-equality conjunct point-pins its bucket — and
+    // the manifest diff proves ONLY those buckets' generations moved.
+    // Content + matched-count + prune + guard booleans (probeScale-
+    // dialed planted truths, no recapture).
+    "x148_dml_where" -> ((s, d) => {
+      val dir = runScratch("dmlw", d)
+      val M = graft.sources.Maintenance
+      val n = scaled(600000)
+      val base = s.range(0, n).select((col("id") % 64).as("tenant"),
+        ((col("id") % 64) * 10000000L + col("id")).as("v"),
+        (col("id") % 997).cast(DoubleType).as("x"))
+      M.writeKeyed(base, dir, Seq("tenant"), 64, statsCols = Seq("v"))
+      val m1 = M.readManifest(s, dir)
+      // UPDATE over a zone-pruned slice: only the bucket holding
+      // tenant 63 (whose v range reaches 63e7) rewrites
+      val lo = 63L * 10000000L
+      val matchedU = M.updateKeyedWhere(s, dir, col("v") >= lo,
+        Seq("x" -> (col("x") + 1000.0)))
+      val m2 = M.readManifest(s, dir)
+      val changedU = m2.buckets.filter { case (b, dd) =>
+        !m1.buckets.get(b).contains(dd) }.keySet
+      val updOk = matchedU == base.filter(col("v") >= lo).count() &&
+        changedU.size == 1
+      // DELETE via a key-equality conjunct: point-pins one bucket
+      val matchedD = M.deleteKeyedWhere(s, dir,
+        col("tenant") === 5L && col("x") < 300.0)
+      val m3 = M.readManifest(s, dir)
+      val changedD = m3.buckets.filter { case (b, dd) =>
+        !m2.buckets.get(b).contains(dd) }.keySet
+      val delOk = matchedD ==
+        base.filter(col("tenant") === 5L && col("x") < 300.0).count() &&
+        changedD.size == 1
+      // guards: key reassignment and nondeterministic predicates refuse
+      val guardKey =
+        try { M.updateKeyedWhere(s, dir, lit(true),
+          Seq("tenant" -> lit(0L))); false }
+        catch { case _: IllegalArgumentException => true }
+      val guardDet =
+        try { M.deleteKeyedWhere(s, dir, F.rand() < 0.5); false }
+        catch { case _: IllegalArgumentException => true }
+      // full content identity through both statements
+      val expect = base
+        .select(col("tenant"), col("v"),
+          when(col("v") >= lo, col("x") + 1000.0)
+            .otherwise(col("x")).as("x"))
+        .filter(!(col("tenant") === 5L && col("x") < 300.0))
+      val dd = M.diff(M.readKeyed(s, dir).select("tenant", "v", "x"),
+        expect, Seq("v"))
+      dd.agg(
+        (F.sum(when(col("status") === "same", 0L).otherwise(1L)) === 0L)
+          .as("all_same"))
+        .withColumn("upd_ok", lit(updOk))
+        .withColumn("del_ok", lit(delOk))
+        .withColumn("guard_key", lit(guardKey))
+        .withColumn("guard_det", lit(guardDet))
+    }),
+
     // Streaming agg-state maintenance at the gate (r10): the
     // foreachBatch body applied batch-by-batch — bootstrap, a delta
     // refresh (with the compactEvery=2 cadence folding it), and a CoW
@@ -4299,6 +4359,22 @@ object SparkEntry {
         graft.sources.MatView.forBase(bdir)
           .forall(dd => graft.sources.MatView.staleness(s, dd) == 0)
       out.withColumn("swept_ok", lit(sweptOk))
+    }),
+
+    // PREDICATE DML from the language (r13): UPDATE SET WHERE then
+    // DELETE WHERE, both as pruned single-commit rewrites — the
+    // surviving content under a plain CASE/WHERE oracle.
+    "ql71_lang_dml" -> ((s, d) => {
+      val dir = runScratch("qldml", d)
+      graft.lang.Interp.run(s,
+        s"""base = orders {o_orderkey, o_totalprice}
+           |w = write_keyed(base, "$dir", "o_orderkey", 8)
+           |u = update_keyed_where("$dir", "o_totalprice < 50000.0",
+           |                       "o_totalprice", "o_totalprice + 50.0")
+           |t = delete_keyed_where("$dir", "o_orderkey % 3 = 0")
+           |t {o_orderkey, o_totalprice}
+           |""".stripMargin,
+        "orders" -> t(s, d, "orders")).df
     }),
 
     // LEAF MERGE from the language (r13): split a leaf, drain the
@@ -7187,6 +7263,18 @@ object SparkEntry {
     "x147_seq_poll_cdc" ->
       """SELECT TRUE AS init_ok, TRUE AS del_ok, TRUE AS upd_ok,
            TRUE AS late_ok""",
+
+    // scale-invariant planted truths (see the query comment)
+    "x148_dml_where" ->
+      """SELECT TRUE AS all_same, TRUE AS upd_ok, TRUE AS del_ok,
+           TRUE AS guard_key, TRUE AS guard_det""",
+
+    // update-then-delete survivors under plain CASE/WHERE
+    "ql71_lang_dml" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000.0 THEN o_totalprice + 50.0
+                ELSE o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey % 3 <> 0""",
 
     // scale-invariant planted truths (see the query comment)
     "x141_bucket_split" ->

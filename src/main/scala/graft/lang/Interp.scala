@@ -1563,6 +1563,7 @@ object Interp {
       "commit_group", "read_group", "group_pins",
       "vacuum_group", "drop_group", "unregister_cursor", "refresh_mvs",
       "append_delta_keyed", "compact_keyed", "split_keyed",
+      "delete_keyed_where", "update_keyed_where",
       "split_candidates", "merge_candidates", "merge_leaves",
       "build_agg_state",
       "merge_agg_state", "finalize_agg", "build_agg_state_keyed",
@@ -2558,6 +2559,35 @@ object Interp {
           graft.sources.Maintenance.deleteKeyed(spark,
             litString(args(0).value), t(args(1).value).df,
             litString(args(2).value), constLong(args(3).value).toInt)
+          PTable(graft.sources.Maintenance.readKeyed(spark,
+            litString(args(0).value)))
+        case "delete_keyed_where" =>
+          // delete_keyed_where(dir, "sql_predicate") — DELETE WHERE
+          // for keyed tables: the predicate prunes the read (key pins,
+          // zone maps), only matching buckets rewrite, one atomic
+          // commit. Returns the new snapshot.
+          if (args.length != 2)
+            throw new TypeError(
+              "delete_keyed_where(\"dir\", \"predicate\")")
+          graft.sources.Maintenance.deleteKeyedWhere(spark,
+            litString(args(0).value),
+            F.expr(litString(args(1).value)))
+          PTable(graft.sources.Maintenance.readKeyed(spark,
+            litString(args(0).value)))
+        case "update_keyed_where" =>
+          // update_keyed_where(dir, "sql_predicate", "col", "sql_expr",
+          // ...) — UPDATE SET WHERE: matched rows get the assignments
+          // (evaluated against the OLD row); key columns refuse.
+          // Returns the new snapshot.
+          if (args.length < 4 || args.length % 2 != 0)
+            throw new TypeError(
+              "update_keyed_where(\"dir\", \"predicate\", \"col\", " +
+                "\"expr\", ...)")
+          val ukAssign = args.drop(2).grouped(2).map(p =>
+            litString(p(0).value) -> F.expr(litString(p(1).value))).toSeq
+          graft.sources.Maintenance.updateKeyedWhere(spark,
+            litString(args(0).value),
+            F.expr(litString(args(1).value)), ukAssign)
           PTable(graft.sources.Maintenance.readKeyed(spark,
             litString(args(0).value)))
         case "append_delta_keyed" =>

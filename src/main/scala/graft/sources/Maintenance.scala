@@ -1455,6 +1455,93 @@ object Maintenance {
                  keyCol: String, nBuckets: Int): Unit =
     mergeKeyed(spark, dir, updates, deleteKeys, Seq(keyCol), nBuckets)
 
+  /** PREDICATE DELETE — `DELETE FROM t WHERE cond` for keyed tables:
+    * the predicate's own structure prunes the read (key-equality
+    * conjuncts pin buckets, zone-mapped ranges skip via manifest
+    * stats — `readKeyedWhere`'s planning), only the buckets that
+    * actually HOLD matching rows are rewritten, and one manifest
+    * publish commits the whole delete atomically. Returns the number
+    * of rows deleted. At 100 TB a retention sweep
+    * (`ts < now - 90d` over a zone-mapped ts) touches exactly the
+    * cold buckets, never the table.
+    */
+  def deleteKeyedWhere(spark: SparkSession, dir: String,
+                       cond: Column): Long =
+    dmlKeyedWhere(spark, dir, cond, None)
+
+  /** PREDICATE UPDATE — `UPDATE t SET c = e, ... WHERE cond`: same
+    * pruned plan and atomic commit as `deleteKeyedWhere`; matched
+    * rows get the assignments (evaluated against the OLD row, like
+    * SQL), unmatched rows in the touched buckets rewrite unchanged.
+    * Key columns cannot be reassigned (that is a delete + insert —
+    * the row would change buckets). Returns the number of rows
+    * matched.
+    */
+  def updateKeyedWhere(spark: SparkSession, dir: String, cond: Column,
+                       assignments: Seq[(String, Column)]): Long = {
+    require(assignments.nonEmpty, "updateKeyedWhere: no assignments")
+    dmlKeyedWhere(spark, dir, cond, Some(assignments))
+  }
+
+  private def dmlKeyedWhere(spark: SparkSession, dir: String,
+                            cond: Column,
+                            assignments: Option[Seq[(String, Column)]])
+      : Long = {
+    val clean = cleanDir(dir)
+    withCommitRetry(s"dmlKeyedWhere($dir)") {
+      val m = readManifest(spark, dir)
+      require(m.nBuckets > 0, s"$clean has no keyed metadata")
+      require(m.resolve != "agg",
+        s"$clean is an agg state — DML runs against its BASE table")
+      // same batch-wins rule as upsert/delete: a seq-resolved table
+      // changes only through stamped appends
+      require(m.seqCol.isEmpty,
+        s"$clean resolves by sequence column '${m.seqCol}' — " +
+          "predicate DML is batch-wins; append stamped deltas instead")
+      assignments.foreach(_.foreach { case (c, _) =>
+        require(!m.keyCols.contains(c),
+          s"updateKeyedWhere cannot reassign key column '$c' (the row " +
+            "would change buckets) — delete + re-insert instead")
+      })
+      // a NONDETERMINISTIC predicate would match different rows when a
+      // lost commit race re-runs the body — refuse up front (analyzed
+      // against the empty snapshot: zero IO, resolved attributes)
+      val det = scala.util.Try {
+        emptySnapshot(spark, clean, m).filter(cond)
+          .queryExecution.analyzed.expressions.forall(_.deterministic)
+      }.getOrElse(true) // unanalyzable -> the filter below fails loudly
+      require(det, "DML predicate must be deterministic")
+      // matching rows AT THIS manifest version, bucket-pruned by the
+      // predicate's structure; ONE metadata job finds the buckets that
+      // actually hold matches (bounded by the leaf count)
+      val hit = readKeyedWhere(spark, clean, cond,
+        version = Some(m.version))
+      val probe = hit.agg(F.count(F.lit(1)),
+        F.collect_set(F.col("kb"))).head
+      val matched = probe.getLong(0)
+      val touched = probe.getSeq[Int](1).sorted
+      if (matched > 0L) {
+        val resolved = resolveBuckets(spark, clean, m, touched, None)
+        // cond is NULL-safe SQL semantics: NULL matches nothing, so a
+        // delete KEEPS NULL-cond rows and an update leaves them alone
+        val matches = F.coalesce(cond, F.lit(false))
+        val out = assignments match {
+          case None => resolved.filter(!matches)
+          case Some(as) =>
+            val amap = as.toMap
+            resolved.select(resolved.columns.toSeq.map { c =>
+              amap.get(c) match {
+                case Some(e) => F.when(matches, e).otherwise(F.col(c)).as(c)
+                case None => F.col(c)
+              }
+            }: _*)
+        }
+        commitKeyed(spark, stageMerge(spark, clean, out, touched, m))
+      }
+      matched
+    }
+  }
+
   /** One CDC micro-batch, merged ATOMICALLY (one manifest commit) with
     * the cross-batch last-wins guard INSIDE the optimistic-commit
     * retry — a losing race recomputes the guard against the winner's

@@ -1885,6 +1885,12 @@ class LangSpec extends SparkSpec {
       Interp.run(spark, """merge_leaves("a")""")
     }
     intercept[graft.types.TypeError] {
+      Interp.run(spark, """delete_keyed_where("a")""")
+    }
+    intercept[graft.types.TypeError] {
+      Interp.run(spark, """update_keyed_where("a", "k = 1", "v")""")
+    }
+    intercept[graft.types.TypeError] {
       Interp.run(spark, """unregister_cursor("a")""")
     }
     intercept[graft.types.TypeError] {

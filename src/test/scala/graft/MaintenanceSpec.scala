@@ -1254,4 +1254,77 @@ class MaintenanceSpec extends SparkSpec {
     assert(err.getMessage.contains("manifest") ||
       err.getMessage.contains("keyed"), err.getMessage)
   }
+
+  test("predicate DML: old-row update semantics, NULL predicates match nothing, delta chains fold") {
+    val M = Maintenance
+    val dir = tmp("dml_sem")
+    val base = spark.range(0, 1000).select(col("id").as("k"),
+      col("id").cast("double").as("a"),
+      (col("id") * 2).cast("double").as("b"),
+      when(col("id") % 5 === 0, lit(null).cast("double"))
+        .otherwise(col("id").cast("double")).as("m"))
+    M.writeKeyed(base, dir, "k", 4)
+    // a delta chain in the DML path must resolve before the rewrite
+    M.appendDeltaKeyed(spark, dir,
+      spark.range(0, 3).select(col("id").as("k"), lit(-1.0).as("a"),
+        lit(-2.0).as("b"), lit(0.0).as("m")), "k", 4)
+    // SWAP assignments prove old-row evaluation: a <-> b for k < 10
+    val matched = M.updateKeyedWhere(spark, dir, col("k") < 10,
+      Seq("a" -> col("b"), "b" -> col("a")))
+    assert(matched == 10)
+    val r3 = M.lookupKeyed(spark, dir, Seq(3L)).head
+    assert(r3.getDouble(r3.fieldIndex("a")) == 6.0 &&
+      r3.getDouble(r3.fieldIndex("b")) == 3.0,
+      "assignments must read the OLD row, like SQL UPDATE")
+    val r0 = M.lookupKeyed(spark, dir, Seq(0L)).head
+    assert(r0.getDouble(r0.fieldIndex("a")) == -2.0 &&
+      r0.getDouble(r0.fieldIndex("b")) == -1.0,
+      "the delta row must resolve BEFORE the update rewrites it")
+    // NULL predicate rows match nothing: delete on m < 100 keeps every
+    // m-NULL row (SQL three-valued semantics)
+    val del = M.deleteKeyedWhere(spark, dir, col("m") < 100.0)
+    val kept = M.readKeyed(spark, dir)
+    assert(kept.filter(col("m").isNull).count() ==
+      base.filter(col("m").isNull).count() - 1, // k=0's delta set m=0.0
+      "NULL-predicate rows must survive a DELETE WHERE")
+    // matched-count sanity: deleted = rows with non-null m < 100
+    // (k<3 delta rows set m=0.0 and count; k%5==0 nulls don't)
+    val expectDel = (0L until 1000L)
+      .count(k => (if (k < 3) 0.0 else k.toDouble) < 100.0 &&
+        !(k % 5 == 0 && k >= 3))
+    assert(del == expectDel, s"del=$del expect=$expectDel")
+  }
+
+  test("predicate DML refusals: agg states and seq tables; empty match commits nothing") {
+    val M = Maintenance
+    // agg state refuses
+    val st = tmp("dml_agg")
+    M.buildAggStateKeyed(spark.range(0, 100).select(
+      (col("id") % 5).as("g"), col("id").cast("double").as("x")),
+      st, Seq("g"), "x", 2)
+    val e1 = intercept[IllegalArgumentException] {
+      M.deleteKeyedWhere(spark, st, col("g") === 1L)
+    }
+    assert(e1.getMessage.contains("agg"))
+    // seq-resolved table refuses (batch-wins would break ordering)
+    val sq = tmp("dml_seq")
+    M.writeKeyed(spark.range(0, 100).select(col("id").as("k"),
+      col("id").cast("double").as("v"), lit(0L).as("seq")), sq, "k", 2)
+    M.appendDeltaKeyedCols(spark, sq,
+      spark.range(0, 5).select(col("id").as("k"), lit(1.0).as("v"),
+        lit(2L).as("seq")), Seq("k"), 2, seqCol = Some("seq"))
+    val e2 = intercept[IllegalArgumentException] {
+      M.updateKeyedWhere(spark, sq, col("k") === 1L,
+        Seq("v" -> lit(9.0)))
+    }
+    assert(e2.getMessage.contains("sequence"))
+    // an empty match is a metadata no-op: no commit, version unchanged
+    val nv = tmp("dml_noop")
+    M.writeKeyed(spark.range(0, 100).select(col("id").as("k"),
+      col("id").cast("double").as("v")), nv, "k", 2)
+    val v1 = M.readManifest(spark, nv).version
+    assert(M.deleteKeyedWhere(spark, nv, col("v") > 1e9) == 0L)
+    assert(M.readManifest(spark, nv).version == v1,
+      "an empty DML match must not commit a new version")
+  }
 }
