@@ -4361,9 +4361,10 @@ object SparkEntry {
       out.withColumn("swept_ok", lit(sweptOk))
     }),
 
-    // PREDICATE DML from the language (r13): UPDATE SET WHERE then
-    // DELETE WHERE, both as pruned single-commit rewrites — the
-    // surviving content under a plain CASE/WHERE oracle.
+    // PREDICATE DML from the language (r13): UPDATE SET WHERE, a
+    // copy-on-write DELETE WHERE, then a MERGE-ON-READ delta delete
+    // (tombstones ∝ matches, bases untouched) — the surviving content
+    // under a plain CASE/WHERE oracle.
     "ql71_lang_dml" -> ((s, d) => {
       val dir = runScratch("qldml", d)
       graft.lang.Interp.run(s,
@@ -4371,7 +4372,8 @@ object SparkEntry {
            |w = write_keyed(base, "$dir", "o_orderkey", 8)
            |u = update_keyed_where("$dir", "o_totalprice < 50000.0",
            |                       "o_totalprice", "o_totalprice + 50.0")
-           |t = delete_keyed_where("$dir", "o_orderkey % 3 = 0")
+           |x = delete_keyed_where("$dir", "o_orderkey % 3 = 0")
+           |t = delete_keyed_where_delta("$dir", "o_orderkey % 5 = 4")
            |t {o_orderkey, o_totalprice}
            |""".stripMargin,
         "orders" -> t(s, d, "orders")).df
@@ -7269,12 +7271,14 @@ object SparkEntry {
       """SELECT TRUE AS all_same, TRUE AS upd_ok, TRUE AS del_ok,
            TRUE AS guard_key, TRUE AS guard_det""",
 
-    // update-then-delete survivors under plain CASE/WHERE
+    // update, CoW delete, then delta delete — survivors under plain
+    // CASE/WHERE
     "ql71_lang_dml" ->
       """SELECT o_orderkey,
            CASE WHEN o_totalprice < 50000.0 THEN o_totalprice + 50.0
                 ELSE o_totalprice END AS o_totalprice
-         FROM orders WHERE o_orderkey % 3 <> 0""",
+         FROM orders
+         WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 4""",
 
     // scale-invariant planted truths (see the query comment)
     "x141_bucket_split" ->

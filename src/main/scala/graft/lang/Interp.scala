@@ -1564,6 +1564,7 @@ object Interp {
       "vacuum_group", "drop_group", "unregister_cursor", "refresh_mvs",
       "append_delta_keyed", "compact_keyed", "split_keyed",
       "delete_keyed_where", "update_keyed_where",
+      "delete_keyed_where_delta",
       "split_candidates", "merge_candidates", "merge_leaves",
       "build_agg_state",
       "merge_agg_state", "finalize_agg", "build_agg_state_keyed",
@@ -2572,6 +2573,22 @@ object Interp {
           graft.sources.Maintenance.deleteKeyedWhere(spark,
             litString(args(0).value),
             F.expr(litString(args(1).value)))
+          PTable(graft.sources.Maintenance.readKeyed(spark,
+            litString(args(0).value)))
+        case "delete_keyed_where_delta" =>
+          // delete_keyed_where_delta(dir, "predicate", "seq_expr"?) —
+          // MERGE-ON-READ predicate delete: tombstones for matching
+          // keys append as deltas (bytes ∝ matches, bases untouched);
+          // seq tables must stamp (3rd arg). Returns the snapshot.
+          if (args.length < 2 || args.length > 3)
+            throw new TypeError(
+              "delete_keyed_where_delta(\"dir\", \"predicate\", " +
+                "\"seq_expr\"?)")
+          graft.sources.Maintenance.deleteKeyedWhereDelta(spark,
+            litString(args(0).value), F.expr(litString(args(1).value)),
+            if (args.length == 3)
+              Some(F.expr(litString(args(2).value)))
+            else None)
           PTable(graft.sources.Maintenance.readKeyed(spark,
             litString(args(0).value)))
         case "update_keyed_where" =>

@@ -1483,6 +1483,49 @@ object Maintenance {
     dmlKeyedWhere(spark, dir, cond, Some(assignments))
   }
 
+  /** MERGE-ON-READ predicate delete: tombstones for the keys matching
+    * `cond` (as of the current snapshot) APPEND as per-bucket delta
+    * dirs — bytes written ∝ MATCHES, the base generations never
+    * rewrite (the copy-on-write `deleteKeyedWhere` pays O(touched
+    * buckets), which a narrow delete over fat buckets cannot afford).
+    * Resolution hides the rows immediately; `compactKeyed` reclaims
+    * the bytes. On a SEQ-RESOLVED table pass `seq` — the stamp the
+    * tombstones carry (it must outrank the stored rows to take
+    * effect, and late-arriving older events still lose to it); on
+    * chain-order tables the append order IS the statement order.
+    * Semantics are snapshot-at-read, applied at append order — the
+    * same contract as any appendDeltaKeyed batch computed from a
+    * read. Returns the number of keys tombstoned.
+    */
+  def deleteKeyedWhereDelta(spark: SparkSession, dir: String,
+                            cond: Column,
+                            seq: Option[Column] = None): Long = {
+    val clean = cleanDir(dir)
+    val m = readManifest(spark, dir)
+    require(m.nBuckets > 0, s"$clean has no keyed metadata")
+    require(m.resolve != "agg",
+      s"$clean is an agg state — DML runs against its BASE table")
+    require(m.seqCol.isEmpty || seq.isDefined,
+      s"$clean resolves by sequence column '${m.seqCol}' — a delta " +
+        "delete must STAMP its tombstones (pass seq = the statement's " +
+        "sequence value) or unstamped rows would outlive it")
+    val hit = readKeyedWhere(spark, clean, cond,
+      version = Some(m.version))
+    // small by construction (matching KEYS only) — checkpoint so the
+    // count and the append's own jobs don't re-run the pruned resolve
+    val keys = seq match {
+      case Some(sc) if m.seqCol.nonEmpty =>
+        hit.select(m.keyCols.map(F.col) :+ sc.as(m.seqCol): _*)
+      case _ => hit.select(m.keyCols.map(F.col): _*)
+    }
+    val tk = keys.localCheckpoint()
+    val matched = tk.count()
+    if (matched > 0L)
+      appendDeltaKeyedCols(spark, clean, hit.drop("kb").limit(0),
+        m.keyCols, m.nBuckets, tombstoneKeys = Some(tk))
+    matched
+  }
+
   private def dmlKeyedWhere(spark: SparkSession, dir: String,
                             cond: Column,
                             assignments: Option[Seq[(String, Column)]])

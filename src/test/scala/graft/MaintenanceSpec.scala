@@ -1327,4 +1327,46 @@ class MaintenanceSpec extends SparkSpec {
     assert(M.readManifest(spark, nv).version == v1,
       "an empty DML match must not commit a new version")
   }
+
+  test("delta-mode predicate delete: bytes ∝ matches, bases untouched; seq tables must stamp") {
+    val M = Maintenance
+    val dir = tmp("dml_mor")
+    val base = spark.range(0, 2000).select(col("id").as("k"),
+      (col("id") % 31).cast("double").as("v"))
+    M.writeKeyed(base, dir, "k", 4)
+    val m1 = M.readManifest(spark, dir)
+    val matched = M.deleteKeyedWhereDelta(spark, dir, col("v") < 3.0)
+    assert(matched == base.filter(col("v") < 3.0).count())
+    val m2 = M.readManifest(spark, dir)
+    assert(m2.buckets == m1.buckets,
+      "a delta delete must never rewrite base generations")
+    assert(m2.deltas.values.exists(_.nonEmpty))
+    val expect = base.filter(!(col("v") < 3.0))
+    assert(M.diff(M.readKeyed(spark, dir).select("k", "v"), expect,
+      Seq("k")).filter(col("status") =!= "same").count() == 0)
+    // compaction reclaims; content unchanged
+    M.compactKeyed(spark, dir)
+    assert(M.diff(M.readKeyed(spark, dir).select("k", "v"), expect,
+      Seq("k")).filter(col("status") =!= "same").count() == 0)
+    // a SEQ table refuses unstamped, applies stamped as-of its seq
+    val sq = tmp("dml_mor_seq")
+    M.writeKeyed(spark.range(0, 100).select(col("id").as("k"),
+      col("id").cast("double").as("v"), lit(0L).as("seq")), sq, "k", 2)
+    M.appendDeltaKeyedCols(spark, sq,
+      spark.range(0, 3).select(col("id").as("k"), lit(-1.0).as("v"),
+        lit(5L).as("seq")), Seq("k"), 2, seqCol = Some("seq"))
+    val e = intercept[IllegalArgumentException] {
+      M.deleteKeyedWhereDelta(spark, sq, col("k") < 10)
+    }
+    assert(e.getMessage.contains("STAMP"))
+    // stamp 3: kills seq-0 rows but LOSES to the stored seq-5 rows
+    val n3 = M.deleteKeyedWhereDelta(spark, sq, col("k") < 10,
+      seq = Some(lit(3L)))
+    assert(n3 == 10)
+    val left = M.readKeyed(spark, sq).filter(col("k") < 10)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    assert(left == Map(0L -> -1.0, 1L -> -1.0, 2L -> -1.0),
+      s"seq-5 rows must outlive a seq-3 tombstone: $left")
+  }
 }
