@@ -4373,6 +4373,9 @@ object SparkEntry {
            |u = update_keyed_where("$dir", "o_totalprice < 50000.0",
            |                       "o_totalprice", "o_totalprice + 50.0")
            |x = delete_keyed_where("$dir", "o_orderkey % 3 = 0")
+           |y = update_keyed_where_delta("$dir", "o_orderkey % 7 = 1",
+           |                             "o_totalprice",
+           |                             "o_totalprice - 25.0")
            |t = delete_keyed_where_delta("$dir", "o_orderkey % 5 = 4")
            |t {o_orderkey, o_totalprice}
            |""".stripMargin,
@@ -7271,13 +7274,18 @@ object SparkEntry {
       """SELECT TRUE AS all_same, TRUE AS upd_ok, TRUE AS del_ok,
            TRUE AS guard_key, TRUE AS guard_det""",
 
-    // update, CoW delete, then delta delete — survivors under plain
-    // CASE/WHERE
+    // CoW update, CoW delete, delta update, delta delete — survivors
+    // under composed CASE/WHERE
     "ql71_lang_dml" ->
-      """SELECT o_orderkey,
-           CASE WHEN o_totalprice < 50000.0 THEN o_totalprice + 50.0
-                ELSE o_totalprice END AS o_totalprice
-         FROM orders
+      """WITH s1 AS (
+           SELECT o_orderkey,
+             CASE WHEN o_totalprice < 50000.0 THEN o_totalprice + 50.0
+                  ELSE o_totalprice END AS p
+           FROM orders)
+         SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 1 THEN p - 25.0 ELSE p END
+             AS o_totalprice
+         FROM s1
          WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 4""",
 
     // scale-invariant planted truths (see the query comment)

@@ -1564,7 +1564,7 @@ object Interp {
       "vacuum_group", "drop_group", "unregister_cursor", "refresh_mvs",
       "append_delta_keyed", "compact_keyed", "split_keyed",
       "delete_keyed_where", "update_keyed_where",
-      "delete_keyed_where_delta",
+      "delete_keyed_where_delta", "update_keyed_where_delta",
       "split_candidates", "merge_candidates", "merge_leaves",
       "build_agg_state",
       "merge_agg_state", "finalize_agg", "build_agg_state_keyed",
@@ -2589,6 +2589,22 @@ object Interp {
             if (args.length == 3)
               Some(F.expr(litString(args(2).value)))
             else None)
+          PTable(graft.sources.Maintenance.readKeyed(spark,
+            litString(args(0).value)))
+        case "update_keyed_where_delta" =>
+          // update_keyed_where_delta(dir, "predicate", "col",
+          // "sql_expr", ...) — MERGE-ON-READ predicate update: the
+          // matching rows with assignments applied append as deltas
+          // (bytes ∝ matches, bases untouched). Returns the snapshot.
+          if (args.length < 4 || args.length % 2 != 0)
+            throw new TypeError(
+              "update_keyed_where_delta(\"dir\", \"predicate\", " +
+                "\"col\", \"expr\", ...)")
+          val ukdAssign = args.drop(2).grouped(2).map(p =>
+            litString(p(0).value) -> F.expr(litString(p(1).value))).toSeq
+          graft.sources.Maintenance.updateKeyedWhereDelta(spark,
+            litString(args(0).value),
+            F.expr(litString(args(1).value)), ukdAssign)
           PTable(graft.sources.Maintenance.readKeyed(spark,
             litString(args(0).value)))
         case "update_keyed_where" =>

@@ -1526,6 +1526,50 @@ object Maintenance {
     matched
   }
 
+  /** MERGE-ON-READ predicate update: the matching rows (as of the
+    * current snapshot) with assignments applied APPEND as per-bucket
+    * deltas — bytes ∝ matches, bases untouched, resolution serves the
+    * new values immediately (`updateKeyedWhere` is the copy-on-write
+    * twin that rewrites the touched buckets). Same stamping rule as
+    * the delta delete on seq-resolved tables; same
+    * snapshot-at-read/applied-at-append contract. Returns the number
+    * of rows updated.
+    */
+  def updateKeyedWhereDelta(spark: SparkSession, dir: String,
+                            cond: Column,
+                            assignments: Seq[(String, Column)],
+                            seq: Option[Column] = None): Long = {
+    require(assignments.nonEmpty, "updateKeyedWhereDelta: no assignments")
+    val clean = cleanDir(dir)
+    val m = readManifest(spark, dir)
+    require(m.nBuckets > 0, s"$clean has no keyed metadata")
+    require(m.resolve != "agg",
+      s"$clean is an agg state — DML runs against its BASE table")
+    require(m.seqCol.isEmpty || seq.isDefined,
+      s"$clean resolves by sequence column '${m.seqCol}' — a delta " +
+        "update must STAMP its rows (pass seq) or stored rows outrank " +
+        "them")
+    assignments.foreach { case (c, _) =>
+      require(!m.keyCols.contains(c),
+        s"updateKeyedWhereDelta cannot reassign key column '$c'")
+    }
+    // every row of the pruned read MATCHES cond, so assignments apply
+    // unconditionally; a seq stamp overwrites the row's seq column
+    val hit = readKeyedWhere(spark, clean, cond,
+      version = Some(m.version)).drop("kb")
+    val stamped = (seq, Option(m.seqCol).filter(_.nonEmpty)) match {
+      case (Some(sv), Some(sc)) => assignments.toMap + (sc -> sv)
+      case _ => assignments.toMap
+    }
+    val updated = hit.select(hit.columns.toSeq.map { c =>
+      stamped.get(c).map(_.as(c)).getOrElse(F.col(c))
+    }: _*).localCheckpoint()
+    val matched = updated.count()
+    if (matched > 0L)
+      appendDeltaKeyedCols(spark, clean, updated, m.keyCols, m.nBuckets)
+    matched
+  }
+
   private def dmlKeyedWhere(spark: SparkSession, dir: String,
                             cond: Column,
                             assignments: Option[Seq[(String, Column)]])

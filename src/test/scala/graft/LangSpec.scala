@@ -1891,6 +1891,9 @@ class LangSpec extends SparkSpec {
       Interp.run(spark, """delete_keyed_where_delta("a")""")
     }
     intercept[graft.types.TypeError] {
+      Interp.run(spark, """update_keyed_where_delta("a", "k = 1", "v")""")
+    }
+    intercept[graft.types.TypeError] {
       Interp.run(spark, """update_keyed_where("a", "k = 1", "v")""")
     }
     intercept[graft.types.TypeError] {

@@ -1369,4 +1369,42 @@ class MaintenanceSpec extends SparkSpec {
     assert(left == Map(0L -> -1.0, 1L -> -1.0, 2L -> -1.0),
       s"seq-5 rows must outlive a seq-3 tombstone: $left")
   }
+
+  test("delta-mode predicate update: new values append as deltas; seq stamping governs winners") {
+    val M = Maintenance
+    val dir = tmp("dml_morU")
+    val base = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") % 31).cast("double").as("v"))
+    M.writeKeyed(base, dir, "k", 4)
+    val m1 = M.readManifest(spark, dir)
+    val matched = M.updateKeyedWhereDelta(spark, dir, col("v") < 3.0,
+      Seq("v" -> (col("v") + 100.0)))
+    assert(matched == base.filter(col("v") < 3.0).count())
+    val m2 = M.readManifest(spark, dir)
+    assert(m2.buckets == m1.buckets,
+      "a delta update must never rewrite base generations")
+    val expect = base.select(col("k"),
+      when(col("v") < 3.0, col("v") + 100.0).otherwise(col("v")).as("v"))
+    assert(M.diff(M.readKeyed(spark, dir).select("k", "v"), expect,
+      Seq("k")).filter(col("status") =!= "same").count() == 0)
+    // seq table: unstamped refuses; a stamp below the stored seq loses
+    val sq = tmp("dml_morU_seq")
+    M.writeKeyed(spark.range(0, 100).select(col("id").as("k"),
+      col("id").cast("double").as("v"), lit(0L).as("seq")), sq, "k", 2)
+    M.appendDeltaKeyedCols(spark, sq,
+      spark.range(0, 3).select(col("id").as("k"), lit(-1.0).as("v"),
+        lit(5L).as("seq")), Seq("k"), 2, seqCol = Some("seq"))
+    intercept[IllegalArgumentException] {
+      M.updateKeyedWhereDelta(spark, sq, col("k") < 10,
+        Seq("v" -> lit(7.0)))
+    }
+    assert(M.updateKeyedWhereDelta(spark, sq, col("k") < 10,
+      Seq("v" -> lit(7.0)), seq = Some(lit(3L))) == 10)
+    val got = M.readKeyed(spark, sq).filter(col("k") < 10)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    assert((0L to 2L).forall(got(_) == -1.0) &&
+      (3L to 9L).forall(got(_) == 7.0),
+      s"stored seq-5 rows must outrank the seq-3 update: $got")
+  }
 }
