@@ -1573,22 +1573,19 @@ object SparkEntry {
           .otherwise((col("id") % 31).cast(DoubleType)).as("v"),
         when(col("id") % 7 === 0, 3L).when(col("id") % 5 === 0, 2L)
           .when(col("id") % 3 === 0, 1L).otherwise(0L).as("seq"))
-      // order-independent row-SET fingerprint (count + sum of per-row
-      // 64-bit hashes, summed as DECIMAL(38,0) — a long sum overflows
-      // under ANSI): one aggregate per check instead of full-outer
-      // diffs; the row-exact twin lives in SeqDeltaSpec
-      def fp(df: DataFrame): (Long, java.math.BigDecimal) = {
-        val r = df.agg(F.count(lit(1)),
-          F.sum(F.xxhash64(col("k"), col("v"), col("seq"))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
-        (r.getLong(0), r.getDecimal(1))
-      }
-      val fpExpect = fp(expect)
-      val fpBefore = fp(M.readKeyed(s, dir))
-      val shuffledOk = fpBefore == fpExpect
+      // order-independent row-SET fingerprints via the shared ONE-JOB
+      // tagged-union aggregate (fpEq) instead of one .head job per
+      // side; the row-exact twin lives in SeqDeltaSpec. The closed
+      // form `expect` is the common reference for both checks (before
+      // the compaction and after it — shuffledOk pins before==expect,
+      // so comparing the compacted table to expect asserts the same
+      // preservation the pre-r14 before/after pair did, one job less)
+      val shuffledOk = fpEq(M.readKeyed(s, dir), expect,
+        Seq("k", "v", "seq"))
       M.compactKeyed(s, dir)
       val compactOk = M.readManifest(s, dir).deltas.values
-        .forall(_.isEmpty) && fp(M.readKeyed(s, dir)) == fpBefore
+        .forall(_.isEmpty) &&
+        fpEq(M.readKeyed(s, dir), expect, Seq("k", "v", "seq"))
       M.appendDeltaKeyedCols(s, dir,
         s.range(105, 106).select(col("id").as("k"), lit(-9.0).as("v"),
           lit(1L).as("seq")), Seq("k"), 16)
@@ -1687,13 +1684,6 @@ object SparkEntry {
           col("id").as("k"), (col("id") % 23).as("g"),
           lit(v).as("v"), lit(seq).as("seq"))
       def refresh(): Unit = MV.refreshMvIncremental(s, mdir)
-      // order-independent (k, status) fingerprint of a changelog
-      def fp(df: DataFrame): (Long, java.math.BigDecimal) = {
-        val r = df.agg(F.count(lit(1)),
-          F.sum(F.xxhash64(col("k"), col("status"))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
-        (r.getLong(0), r.getDecimal(1))
-      }
       def expectChg(cond: Column, status: String) =
         s.range(0, n).filter(cond).select(col("id").as("k"),
           lit(status).as("status"))
@@ -1702,15 +1692,15 @@ object SparkEntry {
       M.appendDeltaKeyedCols(s, dir, b(7, 3L, 300.0), Seq("k"), 16,
         seqCol = Some("seq")) // v2
       refresh()
-      val chg12 = fp(M.keyedChanges(s, dir, 1, 2)) ==
-        fp(expectChg(col("id") % 7 === 0, "changed"))
+      val chg12 = fpEq(M.keyedChanges(s, dir, 1, 2),
+        expectChg(col("id") % 7 === 0, "changed"), Seq("k", "status"))
       M.appendDeltaKeyedCols(s, dir, b(3, 1L, 100.0), Seq("k"), 16) // v3
       refresh()
       // k%21==0 keys keep their seq-3 row: the OLDER update must not
       // surface in the changelog for them
-      val chg23 = fp(M.keyedChanges(s, dir, 2, 3)) ==
-        fp(expectChg(col("id") % 3 === 0 && col("id") % 7 =!= 0,
-          "changed"))
+      val chg23 = fpEq(M.keyedChanges(s, dir, 2, 3),
+        expectChg(col("id") % 3 === 0 && col("id") % 7 =!= 0, "changed"),
+        Seq("k", "status"))
       val tomb = s.range(0, n).filter(col("id") % 11 === 0)
         .select(col("id").as("k"), lit(4L).as("seq"))
       M.appendDeltaKeyedCols(s, dir,
@@ -1718,8 +1708,8 @@ object SparkEntry {
           lit(0.0).as("v"), lit(5L).as("seq")),
         Seq("k"), 16, tombstoneKeys = Some(tomb)) // v4
       refresh()
-      val chg34 = fp(M.keyedChanges(s, dir, 3, 4)) ==
-        fp(expectChg(col("id") % 11 === 0, "removed"))
+      val chg34 = fpEq(M.keyedChanges(s, dir, 3, 4),
+        expectChg(col("id") % 11 === 0, "removed"), Seq("k", "status"))
       // a LATE OLD event (seq 2 for key 7, whose stored row is seq 3):
       // empty changelog, and the refreshed view must NOT regress
       val viewBefore = MV.readMv(s, mdir).localCheckpoint()
@@ -1763,12 +1753,6 @@ object SparkEntry {
         (col("id") % 31).cast(DoubleType).as("v"), lit(0L).as("seq"))
       M.writeKeyed(base, dir, "k", 8) // v1
       val cur = M.registeredCursorPath(dir, "c147")
-      def fp(df: DataFrame): (Long, java.math.BigDecimal) = {
-        val r = df.agg(F.count(lit(1)),
-          F.sum(F.xxhash64(col("k"), col("status"))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
-        (r.getLong(0), r.getDecimal(1))
-      }
       def expectChg(cond: Column, status: String) =
         s.range(0, n).filter(cond).select(col("id").as("k"),
           lit(status).as("status"))
@@ -1782,8 +1766,7 @@ object SparkEntry {
       val p0 = poll()
       val initOk = p0.exists { case (df, fromV, toV) =>
         fromV == 0 && toV == 1 &&
-          fp(df.select(col("k"), col("status"))) ==
-            fp(expectChg(lit(true), "added"))
+          fpEq(df, expectChg(lit(true), "added"), Seq("k", "status"))
       }
       // tombstones arrive FIRST (seq 4, newest) — declares the seq col
       val tomb = s.range(0, n).filter(col("id") % 9 === 0)
@@ -1793,8 +1776,9 @@ object SparkEntry {
           lit(5L).as("seq")),
         Seq("k"), 8, tombstoneKeys = Some(tomb), seqCol = Some("seq")) // v2
       val delOk = poll().exists { case (df, _, toV) =>
-        toV == 2 && fp(df.select(col("k"), col("status"))) ==
-          fp(expectChg(col("id") % 9 === 0, "removed"))
+        toV == 2 &&
+          fpEq(df, expectChg(col("id") % 9 === 0, "removed"),
+            Seq("k", "status"))
       }
       // an OLDER update (seq 2) lands after the newer tombstones: dead
       // keys must stay dead (no resurrection), live keys change
@@ -1802,9 +1786,9 @@ object SparkEntry {
         .filter(col("id") % 5 === 0).select(col("id").as("k"),
           lit(200.0).as("v"), lit(2L).as("seq")), Seq("k"), 8) // v3
       val updOk = poll().exists { case (df, _, toV) =>
-        toV == 3 && fp(df.select(col("k"), col("status"))) ==
-          fp(expectChg(col("id") % 5 === 0 && col("id") % 9 =!= 0,
-            "changed"))
+        toV == 3 &&
+          fpEq(df, expectChg(col("id") % 5 === 0 && col("id") % 9 =!= 0,
+            "changed"), Seq("k", "status"))
       }
       // a LATE OLD event for a key whose stored row is newer: an empty
       // batch that still advances the cursor
@@ -5218,6 +5202,28 @@ object SparkEntry {
   private def runScratch(kind: String, d: String): String =
     new java.io.File(runScratchRoot,
       kind + "_" + new java.io.File(d).getName).getAbsolutePath
+
+  /** ONE-JOB order-independent row-set equality over `cols`: both
+    * sides fold to (count, sum of per-row xxhash64 as DECIMAL(38,0) —
+    * a long sum overflows under ANSI) inside a single tagged-union
+    * aggregate. Pre-r14 the seq/CDC gates ran one .head job per SIDE
+    * per comparison; the gates are job-count bound (guide §1), so
+    * halving the fingerprint jobs is wall-clock, not cosmetics. The
+    * compared value is bit-identical to the old two-job tuples.
+    */
+  private def fpEq(actual: DataFrame, expect: DataFrame,
+                   cols: Seq[String]): Boolean = {
+    import org.apache.spark.sql.types.DecimalType
+    def side(df: DataFrame, t: Int) =
+      df.select(F.xxhash64(cols.map(col): _*).as("__h"),
+        lit(t).as("__t"))
+    val per = side(actual, 0).unionAll(side(expect, 1))
+      .groupBy("__t").agg(F.count(lit(1)).as("n"),
+        F.sum(col("__h").cast(DecimalType(38, 0))).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+    per.getOrElse(0, (0L, null)) == per.getOrElse(1, (0L, null))
+  }
 
   /** Scale multiplier for the synthetic scale probes (x22-x26, x36,
     * x45, x49, x52, x55, x60 — all with FROZEN constant oracles that

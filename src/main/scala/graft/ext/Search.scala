@@ -40,6 +40,8 @@ import TextAnalysis.{tokens, h60}
   */
 object Search {
 
+  private val segObsCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** Per-term raw term frequency inside a whitespace-token array —
     * a pure scan expression (no explode, no shuffle).
     */
@@ -336,8 +338,18 @@ object Search {
     val segs = graft.sources.Maintenance.listSegments(spark, dir)
     val st = readIndexStats(spark, segs)
     val nBuckets = st.select("n_buckets").head.getInt(0)
-    val positions = spark.read
-      .parquet(segs.head + "/postings").columns.contains("positions")
+    // positional layout detection from ONE bucket dir's footer: schema
+    // inference over the partitioned root lists every bucket dir (a
+    // distributed listing job past the discovery threshold) for a
+    // yes/no answer one footer already holds
+    val positions = {
+      val root = new org.apache.hadoop.fs.Path(segs.head + "/postings")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val one = fs.listStatus(root).toSeq
+        .find(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      one.exists(d => spark.read.parquet(d.getPath.toString)
+        .columns.contains("positions"))
+    }
     val seg = stageSegment(df, idCol, textCol, dir, nBuckets, positions,
       filesPerBucket)
     graft.sources.Maintenance.commitSegment(spark, dir, seg, replace = false)
@@ -423,10 +435,21 @@ object Search {
       if (positions)
         Seq(F.sort_array(F.collect_list(col("pos"))).as("positions"))
       else Nil
+    // corpus stats WITHOUT a second tokenization pass (pre-r14 a
+    // second `base.agg` re-ran `tokens()` over the whole corpus just
+    // to sum dl): sdl is exactly sum(tf) over the postings (every
+    // token instance is one tf unit), observed ON the staging write
+    // job itself — zero extra jobs, zero extra reads; n_docs is a
+    // column-pruned count of the source frame (it must count
+    // zero-token docs too, which have no postings).
+    val obs = org.apache.spark.sql.Observation(
+      s"segstats_${ProcessHandle.current().pid()}x${
+        segObsCounter.incrementAndGet()}")
     base.select(col("doc_id"), F.size(col("tok")).as("dl"),
         F.posexplode(col("tok")).as(Seq("pos", "term")))
       .groupBy("doc_id", "dl", "term")
       .agg(F.count(lit(1)).as("tf"), posAgg: _*)
+      .observe(obs, F.coalesce(F.sum(col("tf")), lit(0L)).as("sdl"))
       .withColumn("bucket", F.pmod(h60(col("term")), lit(nBuckets.toLong)))
       // co-locate each bucket into few tasks before the partitioned
       // write: without this every task writes a sliver of every
@@ -440,12 +463,15 @@ object Search {
       .drop("__sub")
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(segPath + "/postings")
-    base.agg(F.count(lit(1)).as("n_docs"), F.sum(F.size(col("tok"))).as("sdl"))
-      // the bucket count is INDEX METADATA, not a query parameter: a
-      // querier guessing a different B would compute wrong bucket ids
-      // and silently prune away real postings
-      .withColumn("n_buckets", lit(nBuckets))
-      .write.mode("overwrite").parquet(segPath + "/stats")
+    val sdl = obs.get("sdl").asInstanceOf[Long]
+    val nDocs = df.select(col(idCol)).agg(F.count(lit(1))).head.getLong(0)
+    spark.range(1)
+      .select(lit(nDocs).as("n_docs"), lit(sdl).as("sdl"),
+        // the bucket count is INDEX METADATA, not a query parameter: a
+        // querier guessing a different B would compute wrong bucket ids
+        // and silently prune away real postings
+        lit(nBuckets).as("n_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(segPath + "/stats")
     seg
   }
 
@@ -483,9 +509,27 @@ object Search {
   private def prunedPostings(spark: SparkSession, segs: Seq[String],
                              buckets: Seq[Long],
                              terms: Seq[String]): DataFrame =
-    segs.map(s => spark.read.parquet(s + "/postings")
-      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*)))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    segs.map { s =>
+      // enumerate the matching bucket DIRS directly instead of scanning
+      // the partitioned root: reading `<seg>/postings` lists every
+      // bucket dir up front (a distributed listing job once the dir
+      // count passes the discovery threshold) only for partition
+      // pruning to discard most of them — the bucket ids are already
+      // plan-time constants, so hand Spark exactly those paths
+      // (basePath keeps `bucket` as a partition column). A bucket dir
+      // may not exist in a given segment (no postings hashed there) —
+      // checked driver-side, one getFileStatus per (segment, bucket).
+      val root = new org.apache.hadoop.fs.Path(s + "/postings")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val present = buckets.map(b => s"$s/postings/bucket=$b")
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      val df =
+        if (present.isEmpty)
+          spark.read.parquet(s + "/postings").limit(0)
+        else spark.read.option("basePath", s + "/postings")
+          .parquet(present: _*)
+      df.filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** BM25 top-k over a persisted index — bit-identical scores to
     * `bm25Search` on the source corpus (the parquet round-trip is

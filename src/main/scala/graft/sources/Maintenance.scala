@@ -245,6 +245,21 @@ object Maintenance {
       if (keyCol.isEmpty) Seq.empty else keyCol.split(",").toSeq
   }
 
+  /** Memoized `StructType.fromDDL`: the recorded snapshot schema is
+    * re-parsed on every read/merge/lookup (fromDDL goes through the
+    * full SQL parser), and one lifecycle query parses the same DDL
+    * string dozens of times. Keyed by the DDL text itself; bounded.
+    */
+  private val ddlCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+  private[graft] def parseDdl(ddl: String)
+      : org.apache.spark.sql.types.StructType = {
+    if (ddlCache.size() > 1024) ddlCache.clear()
+    ddlCache.computeIfAbsent(ddl,
+      d => org.apache.spark.sql.types.StructType.fromDDL(d))
+  }
+
   private def cleanDir(dir: String): String = dir.replaceAll("/+$", "")
 
   private def hadoopFs(spark: SparkSession, p: Path) =
@@ -673,7 +688,7 @@ object Maintenance {
     if (live.isEmpty) return emptySnapshot(spark, clean, m).filter(filt)
     val dt: Option[org.apache.spark.sql.types.DataType] =
       if (m.schemaDdl.isEmpty) None
-      else org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      else parseDdl(m.schemaDdl)
         .fields.find(_.name == colName).map(_.dataType)
     val kept = live.filter { b =>
       val dirs = m.buckets.get(b).toSeq ++ m.deltas.getOrElse(b, Nil)
@@ -876,7 +891,7 @@ object Maintenance {
     }
     val types: Map[String, org.apache.spark.sql.types.DataType] =
       if (m.schemaDdl.isEmpty) Map.empty
-      else org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      else parseDdl(m.schemaDdl)
         .fields.map(f => f.name -> f.dataType).toMap
     val zone = cs.flatMap(ranges(_)).flatMap { case (n, rs) =>
       m.statsCols.find(_.equalsIgnoreCase(n)).map(real => (real, rs))
@@ -955,7 +970,7 @@ object Maintenance {
     if (m.schemaDdl.nonEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+        parseDdl(m.schemaDdl))
     val prior = manifestVersions(spark, clean).filter(_ < m.version)
       .reverse.map(v => readManifest(spark, clean, Some(v)))
       .find(_.buckets.nonEmpty)
@@ -963,6 +978,37 @@ object Maintenance {
         s"snapshot v${m.version} of $clean is empty and no prior " +
           "snapshot remains to supply a schema"))
     spark.read.parquet(s"$clean/${prior.buckets.head._2}").limit(0)
+  }
+
+  /** Parquet read of generation/delta dirs with the manifest's OWN
+    * recorded schema instead of `mergeSchema` footer inference: every
+    * commit since r9 records the additively-unioned snapshot schema, so
+    * re-deriving it from file footers launched one schema-merge Spark
+    * job per read for information the manifest already holds (guide
+    * §1/§6 — plan-time cost; measurable across the lifecycle gates,
+    * and at 100 TB a footer sweep of a wide snapshot is real IO).
+    * Dirs missing a newer column surface it as NULL exactly as the
+    * mergeSchema read did; `asNullable` mirrors parquet inference
+    * (file-source columns are always nullable on read). Pre-r9
+    * manifests (no recorded schema) keep the mergeSchema path.
+    */
+  private def readGenDirs(spark: SparkSession, clean: String,
+                          m: KeyedManifest, dirs: Seq[String],
+                          withTomb: Boolean): DataFrame = {
+    val paths = dirs.sorted.map(d => s"$clean/$d")
+    if (m.schemaDdl.isEmpty)
+      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    else {
+      val base = parseDdl(m.schemaDdl)
+      val sch =
+        if (withTomb && !base.fieldNames.contains("__tomb"))
+          base.add("__tomb", org.apache.spark.sql.types.BooleanType)
+        else base
+      // fields forced nullable like parquet inference (asNullable is
+      // private[spark]); fromDDL already made nested levels nullable
+      spark.read.schema(org.apache.spark.sql.types.StructType(
+        sch.fields.map(_.copy(nullable = true)))).parquet(paths: _*)
+    }
   }
 
   /** The live rows of `buckets` under manifest `m`: plain buckets read
@@ -989,9 +1035,8 @@ object Maintenance {
       s"$clean stores aggregate partials in its delta chains " +
         "(resolve=agg) — read through readAggStateKeyed and compact " +
         "with compactAggStateKeyed, never the last-wins readers")
-    def rd(dirs: Seq[String]): DataFrame = {
-      val df = spark.read.option("mergeSchema", "true")
-        .parquet(dirs.sorted.map(d => s"$clean/$d"): _*)
+    def rd(dirs: Seq[String], withTomb: Boolean = false): DataFrame = {
+      val df = readGenDirs(spark, clean, m, dirs, withTomb)
       keyFilter.fold(df)(df.filter)
     }
     val (deltaB, plainB) = buckets.partition(b =>
@@ -1010,7 +1055,10 @@ object Maintenance {
           (1 to maxChain).map(i =>
             i -> deltaB.flatMap(b => m.deltas(b).lift(i - 1)))
         val parts = levels.filter(_._2.nonEmpty).map { case (i, dirs) =>
-          rd(dirs).withColumn("__prec", F.lit(i))
+          // delta levels (i >= 1) always carry __tomb in their files;
+          // the recorded snapshot schema deliberately drops it, so the
+          // explicit-schema read adds it back for those levels only
+          rd(dirs, withTomb = i >= 1).withColumn("__prec", F.lit(i))
         }
         val un = parts.reduce(
           _.unionByName(_, allowMissingColumns = true))
@@ -1096,7 +1144,7 @@ object Maintenance {
             s.getPath.getName.matches("""[bd]\d{5}_g\d{9}(-.*)?"""))
           .foreach(s => fs.delete(s.getPath, true))
       val (staged, rows, cstats) = stageBuckets(spark, clean, withKb, 1,
-        keyCols, statsCols)
+        keyCols, statsCols, nBuckets = nBuckets)
       try writeManifest(spark, clean, KeyedManifest(1, staged, keyCol,
         nBuckets, withKb.schema.toDDL, rows = rows,
         statsCols = statsCols, colStats = cstats, resolve = resolve,
@@ -1124,7 +1172,7 @@ object Maintenance {
       withCommitRetry(s"writeKeyed($dir)") {
         val m = readManifest(spark, dir)
         val (staged, rows, cstats) = stageBuckets(spark, clean, withKb,
-          m.version + 1, keyCols, statsCols)
+          m.version + 1, keyCols, statsCols, nBuckets = nBuckets)
         writeManifest(spark, clean, KeyedManifest(m.version + 1, staged,
           keyCol, nBuckets, withKb.schema.toDDL, rows = rows,
           statsCols = statsCols, colStats = cstats, resolve = resolve,
@@ -1275,7 +1323,8 @@ object Maintenance {
                            withKb: DataFrame, version: Int,
                            keyCols: Seq[String],
                            statsCols: Seq[String] = Seq.empty,
-                           prefix: Char = 'b')
+                           prefix: Char = 'b',
+                           nBuckets: Int = 0)
       : (Map[Int, String], Map[String, Long],
          Map[String, Map[String, (String, String)]]) = {
     val fs = hadoopFs(spark, new Path(clean))
@@ -1285,8 +1334,21 @@ object Maintenance {
     val staging = new Path(clean +
       s".staging_${ProcessHandle.current().pid()}x${stageCounter.incrementAndGet()}")
     fs.delete(staging, true)
+    // EXPLICIT partition count (r14): `repartition(col("kb"))` uses the
+    // session shuffle-partition count, which AQE then coalesces — on a
+    // small commit the whole staging collapses to ONE task that writes
+    // every bucket file serially (measured: a 548 ms single-task write
+    // after each 32-task map in x144). An explicit count is exempt
+    // from AQE coalescing, so each bucket's file writes in its own
+    // task. `parts` = the table's bucket count when the caller knows
+    // it (one task ≈ one bucket, the rewrite-unit contract — at any
+    // scale a bucket is one sorted file written by one task); hash
+    // collisions between bucket ids just stack two buckets in a task.
+    val parts = math.max(1,
+      if (nBuckets > 0) nBuckets
+      else spark.sparkContext.defaultParallelism)
     withKb.withColumn("__kbp", F.col("kb"))
-      .repartition(F.col("kb"))
+      .repartition(parts, F.col("kb"))
       .sortWithinPartitions(F.col("kb") +: keyCols.map(F.col): _*)
       .write.mode("overwrite").partitionBy("__kbp").parquet(staging.toString)
     fs.mkdirs(new Path(clean))
@@ -1326,7 +1388,7 @@ object Maintenance {
     val (staged, stagedRows, stagedStats) = stageBuckets(spark, clean,
       merged, base.version + 1,
       if (base.keyCol.nonEmpty) base.keyCols else Seq("kb"),
-      base.statsCols)
+      base.statsCols, nBuckets = base.nBuckets)
     // a touched bucket absent from staging lost ALL its rows (delete
     // path): it simply leaves the manifest
     val next = base.buckets -- touched ++ staged
@@ -1343,7 +1405,7 @@ object Maintenance {
     val schema =
       if (base.schemaDdl.isEmpty) merged.schema.toDDL
       else unionSchema(
-        org.apache.spark.sql.types.StructType.fromDDL(base.schemaDdl),
+        parseDdl(base.schemaDdl),
         merged.schema).toDDL
     PendingCommit(clean,
       KeyedManifest(base.version + 1, next, base.keyCol, base.nBuckets,
@@ -1509,6 +1571,13 @@ object Maintenance {
       s"$clean resolves by sequence column '${m.seqCol}' — a delta " +
         "delete must STAMP its tombstones (pass seq = the statement's " +
         "sequence value) or unstamped rows would outlive it")
+    // the inverse confusion fails loudly too: a stamp on a NON-seq
+    // table would be silently ignored (chain-order semantics) and the
+    // caller would believe out-of-order safety they don't have
+    require(seq.isEmpty || m.seqCol.nonEmpty,
+      s"deleteKeyedWhereDelta($clean): a seq stamp was passed but the " +
+        "table is not sequence-resolved — declare the seq column at " +
+        "the first delta append, or drop the stamp")
     val hit = readKeyedWhere(spark, clean, cond,
       version = Some(m.version))
     // small by construction (matching KEYS only) — checkpoint so the
@@ -1549,9 +1618,18 @@ object Maintenance {
       s"$clean resolves by sequence column '${m.seqCol}' — a delta " +
         "update must STAMP its rows (pass seq) or stored rows outrank " +
         "them")
+    require(seq.isEmpty || m.seqCol.nonEmpty,
+      s"updateKeyedWhereDelta($clean): a seq stamp was passed but the " +
+        "table is not sequence-resolved — declare the seq column at " +
+        "the first delta append, or drop the stamp")
     assignments.foreach { case (c, _) =>
       require(!m.keyCols.contains(c),
         s"updateKeyedWhereDelta cannot reassign key column '$c'")
+      // a typo'd assignment would otherwise report matches while
+      // changing nothing (r13 ADVICE)
+      require(c != "kb" && (m.schemaDdl.isEmpty ||
+        parseDdl(m.schemaDdl).fieldNames.contains(c)),
+        s"updateKeyedWhereDelta: '$c' is not a column of $clean")
     }
     // every row of the pruned read MATCHES cond, so assignments apply
     // unconditionally; a seq stamp overwrites the row's seq column
@@ -1589,15 +1667,34 @@ object Maintenance {
         require(!m.keyCols.contains(c),
           s"updateKeyedWhere cannot reassign key column '$c' (the row " +
             "would change buckets) — delete + re-insert instead")
+        // a typo'd assignment name would otherwise report a nonzero
+        // matched count while changing nothing (r13 ADVICE)
+        require(c != "kb" && (m.schemaDdl.isEmpty ||
+          parseDdl(m.schemaDdl).fieldNames.contains(c)),
+          s"updateKeyedWhere: '$c' is not a column of $clean " +
+            s"(have ${if (m.schemaDdl.isEmpty) "?"
+              else parseDdl(m.schemaDdl).fieldNames.mkString(",")})")
       })
       // a NONDETERMINISTIC predicate would match different rows when a
       // lost commit race re-runs the body — refuse up front (analyzed
-      // against the empty snapshot: zero IO, resolved attributes)
+      // against the empty snapshot: zero IO, resolved attributes).
+      // current_timestamp()/current_date()/now() are Catalyst-
+      // "deterministic" but re-stamp per query execution, so the probe
+      // job and the rewrite job could disagree within ONE statement —
+      // refused explicitly (r13 ADVICE).
       val det = scala.util.Try {
-        emptySnapshot(spark, clean, m).filter(cond)
-          .queryExecution.analyzed.expressions.forall(_.deterministic)
+        import org.apache.spark.sql.catalyst.{expressions => E}
+        val exprs = emptySnapshot(spark, clean, m).filter(cond)
+          .queryExecution.analyzed.expressions
+        exprs.forall(_.deterministic) && !exprs.exists(_.exists {
+          case _: E.CurrentTimestamp | _: E.CurrentDate | _: E.Now |
+               _: E.LocalTimestamp => true
+          case _ => false
+        })
       }.getOrElse(true) // unanalyzable -> the filter below fails loudly
-      require(det, "DML predicate must be deterministic")
+      require(det, "DML predicate must be deterministic " +
+        "(current_timestamp/current_date re-stamp per execution — " +
+        "resolve them to literals first)")
       // matching rows AT THIS manifest version, bucket-pruned by the
       // predicate's structure; ONE metadata job finds the buckets that
       // actually hold matches (bounded by the leaf count)
@@ -1834,25 +1931,37 @@ object Maintenance {
       s"keyed table $clean is (${m0.keyCol}, ${m0.nBuckets}) buckets; " +
         s"caller passed ($keyCol, $nBuckets)")
     val withKb = all.withColumn("kb",
-      kb(keyCols, nBuckets, depths = m0.depths)).localCheckpoint()
-    // ONE metadata job: the touched-bucket set (bounded by nBuckets)
-    // and the unique-keys-per-call guard — duplicate keys at the same
+      kb(keyCols, nBuckets, depths = m0.depths))
+    // Stage FIRST — the batch evaluates exactly ONCE, into the staged
+    // files (pre-r14 this was localCheckpoint + a probe aggregate +
+    // the staging job: two extra passes over every delta batch). The
+    // touched-bucket set falls out of the staged dir names, and the
+    // unique-keys-per-call guard runs over the staged rows themselves
+    // (frozen on disk, so even a nondeterministic batch is checked
+    // against exactly what will commit). Duplicate keys at the same
     // precedence level would have no resolution order, so the window's
-    // winner would be NONDETERMINISTIC; fail loudly before staging
-    val probe = withKb.agg(
-      F.count(F.lit(1)).as("n"),
-      F.count_distinct(F.col(keyCols.head),
-        keyCols.tail.map(F.col): _*).as("nk"),
-      F.collect_set(F.col("kb")).as("bs")).head
-    require(probe.getLong(0) == probe.getLong(1),
-      s"appendDeltaKeyed($clean): ${probe.getLong(0) - probe.getLong(1)} " +
-        "duplicate keys within one call — a delta level has no " +
-        "intra-level resolution order; reduce the batch per key first " +
-        "(cdcMergeKeyed does this by sequence)")
-    val touched = probe.getSeq[Int](2).sorted
-    if (touched.isEmpty) return
+    // winner would be NONDETERMINISTIC; fail loudly before publishing
+    // (failed stagings are unreferenced and vacuum away like any
+    // losing commit attempt — deleted eagerly below anyway).
     val (staged, stagedRows, stagedStats) = stageBuckets(spark, clean,
-      withKb, m0.version + 1, keyCols, m0.statsCols, prefix = 'd')
+      withKb, m0.version + 1, keyCols, m0.statsCols, prefix = 'd',
+      nBuckets = nBuckets)
+    val touched = staged.keys.toSeq.sorted
+    if (touched.isEmpty) return
+    val guard = spark.read
+      .parquet(staged.values.toSeq.sorted.map(d => s"$clean/$d"): _*)
+      .agg(F.count(F.lit(1)).as("n"),
+        F.count_distinct(F.col(keyCols.head),
+          keyCols.tail.map(F.col): _*).as("nk")).head
+    if (guard.getLong(0) != guard.getLong(1)) {
+      val fs = hadoopFs(spark, new Path(clean))
+      staged.values.foreach(d => fs.delete(new Path(clean, d), true))
+      throw new IllegalArgumentException(
+        s"appendDeltaKeyed($clean): ${guard.getLong(0) - guard.getLong(1)} " +
+          "duplicate keys within one call — a delta level has no " +
+          "intra-level resolution order; reduce the batch per key first " +
+          "(cdcMergeKeyed does this by sequence)")
+    }
     withCommitRetry(s"appendDeltaKeyed($dir)") {
       val m = readManifest(spark, dir)
       // re-validate against the FRESH manifest: a concurrent
@@ -1871,7 +1980,7 @@ object Maintenance {
       val schema =
         if (m.schemaDdl.isEmpty) withKb.drop("__tomb").schema.toDDL
         else unionSchema(
-          org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl),
+          parseDdl(m.schemaDdl),
           withKb.drop("__tomb").schema).toDDL
       writeManifest(spark, clean, KeyedManifest(m.version + 1, m.buckets,
         m.keyCol, m.nBuckets, schema, nextDeltas, m.rows ++ stagedRows,
@@ -2238,7 +2347,7 @@ object Maintenance {
     // commit) or a live dir's parquet footer (pre-r9 tables)
     val schema: org.apache.spark.sql.types.StructType =
       if (m.schemaDdl.nonEmpty)
-        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+        parseDdl(m.schemaDdl)
       else {
         val anyDir = m.buckets.values.headOption
           .orElse(m.deltas.values.flatten.headOption)
@@ -2481,11 +2590,22 @@ object Maintenance {
         .filter(s => !s.getPath.getName.contains(".tmp_") &&
           s.getModificationTime < cutoff)
         .filter { s =>
-          try {
-            val groupDir = new String(java.util.Base64.getUrlDecoder
-              .decode(s.getPath.getName), "UTF-8")
-            manifestVersions(spark, groupDir).isEmpty
-          } catch { case _: Exception => true } // undecodable: dead
+          // the catch is scoped to the DECODE step only (undecodable
+          // name: dead by construction). A transient IO error while
+          // LISTING a live group's manifests must NOT classify the
+          // pointer as dead — deleting it would let a later vacuum
+          // drop versions the group still pins (r13 ADVICE). Keep the
+          // pointer this pass; a later clean listing sweeps it.
+          val groupDir =
+            try Some(new String(java.util.Base64.getUrlDecoder
+              .decode(s.getPath.getName), "UTF-8"))
+            catch { case _: IllegalArgumentException => None }
+          groupDir match {
+            case None => true // undecodable: dead
+            case Some(g) =>
+              try manifestVersions(spark, g).isEmpty
+              catch { case _: Exception => false } // IO error: keep
+          }
         }
         .foreach(s => fs.delete(s.getPath, false))
     // crashed-writer residue: manifest temps + staging siblings
@@ -3169,8 +3289,7 @@ object Maintenance {
         m.buckets.get(b).toSeq ++ m.deltas.getOrElse(b, Nil))
       val base =
         if (dirs.nonEmpty)
-          spark.read.option("mergeSchema", "true")
-            .parquet(dirs.sorted.map(dd => s"$clean/$dd"): _*)
+          readGenDirs(spark, clean, m, dirs, withTomb = true)
         else withKb.limit(0)
       // align the batch partial to the STORED column set: a legacy
       // (cnt,sum)-only state merges with a richer partial by dropping
@@ -3217,8 +3336,7 @@ object Maintenance {
     val pe = if (p > 0) p else if (m.aggP > 0) m.aggP else 12
     val ke = if (sampleK >= 0) sampleK else math.max(m.aggK, 0)
     def rd(dirs: Seq[String]): DataFrame =
-      spark.read.option("mergeSchema", "true")
-        .parquet(dirs.sorted.map(d => s"$clean/$d"): _*)
+      readGenDirs(spark, clean, m, dirs, withTomb = true)
         .drop("kb", "__tomb")
     // the re-aggregation shuffle is confined to DELTA-CARRYING buckets
     // (a key lives in exactly one bucket, so the per-key fold is
@@ -3272,8 +3390,7 @@ object Maintenance {
       if (target.nonEmpty) {
         val dirs = target.flatMap(b =>
           m.buckets.get(b).toSeq ++ m.deltas.getOrElse(b, Nil))
-        val raw = spark.read.option("mergeSchema", "true")
-          .parquet(dirs.sorted.map(d => s"$clean/$d"): _*)
+        val raw = readGenDirs(spark, clean, m, dirs, withTomb = true)
         require(ke > 0 ||
           !raw.columns.exists(c => c == "__smp" || c == "__smpr"),
           s"$clean tracks a bounded sample — pass the build's sampleK")

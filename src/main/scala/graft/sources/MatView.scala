@@ -175,7 +175,7 @@ object MatView {
     require(m.resolve == "agg" && m.nBuckets > 0,
       s"$mv is not a bucketed agg state (resolve='${m.resolve}')")
     require(m.schemaDdl.nonEmpty, s"$mv records no schema (pre-r9 state)")
-    val cols = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
+    val cols = Maintenance.parseDdl(m.schemaDdl).fieldNames.toSet
     val sfx: String => String =
       c => if (valueCols.length == 1) "" else s"_$c"
     valueCols.foreach(c => require(cols.contains(s"__sum${sfx(c)}"),
@@ -268,7 +268,7 @@ object MatView {
     val m = Maintenance.readManifest(spark, mv)
     val su = Option(m.aggSU).filter(_.nonEmpty)
     require(su.isDefined ||
-      !StructType.fromDDL(m.schemaDdl).fieldNames.contains("__smpr"),
+      !Maintenance.parseDdl(m.schemaDdl).fieldNames.contains("__smpr"),
       s"$mv carries a row-uniform sample (__smpr) but its manifest " +
         "records no sample column (pre-r12 build) — rebuild would " +
         "silently change the sample grain; re-build the state once " +

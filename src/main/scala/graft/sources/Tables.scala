@@ -44,8 +44,40 @@ object Tables {
     * division (`div`) — double division would lose precision on
     * ~1.7e18 nano epochs.
     */
+  /** (session, path, mtime, len)-keyed cache of the LOADED frame's
+    * logical plan: every query re-loads its tables, and each load pays
+    * a driver-side file listing + parquet schema inference for an
+    * immutable testdata file. Caching the DataFrame (a plan, never
+    * rows — each action still scans parquet) removes that per-query
+    * planning tax; the (mtime, len) identity drops the entry when the
+    * file is rewritten (same discipline as the manifest cache).
+    */
+  private val loadCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (Int, String, Long, Long), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): PTable = {
-    var df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val st =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val s = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p)
+        Some((s.getModificationTime, s.getLen))
+      } catch { case _: Exception => None }
+    st match {
+      case Some((mt, len)) =>
+        if (loadCache.size() > 256) loadCache.clear()
+        val key = (System.identityHashCode(spark), path, mt, len)
+        val df = loadCache.computeIfAbsent(key, _ => loadRaw(spark, path))
+        PTable(df, metas.getOrElse(name, TableMeta(name)))
+      case None => // unstattable path: fall through, let the read error
+        PTable(loadRaw(spark, path), metas.getOrElse(name, TableMeta(name)))
+    }
+  }
+
+  private def loadRaw(spark: SparkSession, path: String): DataFrame = {
+    var df = spark.read.parquet(path)
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema.fields.filter(f => f.name == "ts" && f.dataType == LongType)
       .foreach { f =>
@@ -67,7 +99,7 @@ object Tables {
         df = df.withColumn(f.name,
           df.col(f.name).cast(TimestampType))
       }
-    PTable(df, metas.getOrElse(name, TableMeta(name)))
+    df
   }
 
   def csv(spark: SparkSession, path: String, header: Boolean = true,

@@ -1407,4 +1407,76 @@ class MaintenanceSpec extends SparkSpec {
       (3L to 9L).forall(got(_) == 7.0),
       s"stored seq-5 rows must outrank the seq-3 update: $got")
   }
+
+  test("DML guards (r14): unknown assignment columns, time-stamping predicates, seq stamp on non-seq table") {
+    val M = Maintenance
+    val dir = tmp("dml_guards")
+    M.writeKeyed(spark.range(0, 100).select(col("id").as("k"),
+      col("id").cast("double").as("v")), dir, "k", 2)
+    // a typo'd assignment name must fail loudly, not report matches
+    // while changing nothing
+    val e1 = intercept[IllegalArgumentException] {
+      M.updateKeyedWhere(spark, dir, col("k") < 10,
+        Seq("vv" -> lit(1.0)))
+    }
+    assert(e1.getMessage.contains("not a column"))
+    val e1d = intercept[IllegalArgumentException] {
+      M.updateKeyedWhereDelta(spark, dir, col("k") < 10,
+        Seq("vv" -> lit(1.0)))
+    }
+    assert(e1d.getMessage.contains("not a column"))
+    // current_timestamp() is Catalyst-deterministic but re-stamps per
+    // execution: the probe and rewrite jobs could diverge — refused
+    val e2 = intercept[IllegalArgumentException] {
+      M.deleteKeyedWhere(spark, dir,
+        org.apache.spark.sql.functions.current_timestamp()
+          .cast("long") > col("k"))
+    }
+    assert(e2.getMessage.contains("deterministic"))
+    // a seq stamp on a NON-seq table would silently get chain-order
+    // semantics — refused
+    val e3 = intercept[IllegalArgumentException] {
+      M.deleteKeyedWhereDelta(spark, dir, col("k") < 5,
+        seq = Some(lit(9L)))
+    }
+    assert(e3.getMessage.contains("not sequence-resolved"))
+    val e4 = intercept[IllegalArgumentException] {
+      M.updateKeyedWhereDelta(spark, dir, col("k") < 5,
+        Seq("v" -> lit(1.0)), seq = Some(lit(9L)))
+    }
+    assert(e4.getMessage.contains("not sequence-resolved"))
+    // the table is untouched by all four refusals
+    assert(M.readManifest(spark, dir).version == 1)
+  }
+
+  test("vacuum group-pointer hygiene (r14): only undecodable pointers sweep; live groups' survive") {
+    // The r13 ADVICE hole: ANY exception while resolving a pointer
+    // classified it dead — including a transient IO error listing a
+    // LIVE group's manifests, which would un-pin versions the group
+    // still needs. The catch is now scoped to the Base64 decode; a
+    // manifest-listing error KEEPS the pointer (code-reviewed branch —
+    // a local FS cannot be made to throw on demand here). Testable
+    // halves: an undecodable name sweeps, a live group's pointer (and
+    // a decodable-but-empty one only once actually empty) behave as
+    // before.
+    val M = Maintenance
+    val member = tmp("vac_ptr")
+    M.writeKeyed(spark.range(0, 10).select(col("id").as("k"),
+      col("id").cast("double").as("v")), member, "k", 2)
+    val group = tmp("vac_ptr_grp")
+    M.commitGroup(spark, group,
+      Map(member -> M.readManifest(spark, member).version))
+    val fs = new org.apache.hadoop.fs.Path(member)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gdir = new org.apache.hadoop.fs.Path(member, "_groups")
+    val dead = new org.apache.hadoop.fs.Path(gdir, "!!not-base64!!")
+    fs.create(dead).close()
+    val liveName = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(group.getBytes("UTF-8"))
+    M.vacuumKeyed(spark, member, keepVersions = 1, graceMs = 0L,
+      force = true)
+    assert(!fs.exists(dead), "undecodable pointer must sweep")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(gdir, liveName)),
+      "a live group's pointer must survive the sweep")
+  }
 }
