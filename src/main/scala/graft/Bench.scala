@@ -206,7 +206,18 @@ object Bench {
     // at a glance (quiet box ≈ 1.5s each; see notes/bench_r12.md)
     val ctl = s"""[${fmt(controlFirst.map(_._2).sum)},${
       fmt(controlLast.map(_._2).sum)}]"""
+    val envelope = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"reps":$reps,"probes":"$probes","ctl":$ctl,"failed":$failed,"families":$fams,"queries":$slow,"detail":"$detailPath","sf":"$sfDir"}"""
+    // The IDENTICAL envelope also lands in a fixed file: an sbt-wrapped
+    // invocation prints "[success] Total time…" AFTER our final stdout
+    // line, so a consumer parsing "the last line of stdout" has failed
+    // every round (BENCH_r01–r14 all have parsed: null). The file is
+    // wrapper-proof; the stdout line stays for direct invocations.
+    val finalPath = sys.env.getOrElse("SPARK_GRAFT_FINAL", "bench_final.json")
+    try {
+      val w = new java.io.PrintWriter(finalPath, "UTF-8")
+      try w.println(envelope) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"reps":$reps,"probes":"$probes","ctl":$ctl,"failed":$failed,"families":$fams,"queries":$slow,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(envelope)
   }
 }

@@ -1,5 +1,7 @@
 package graft.ext
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions.{col, lit}
@@ -336,20 +338,36 @@ object Search {
       s"$dir is a pre-manifest index — rebuild it (buildIndex) before " +
         "appending")
     val segs = graft.sources.Maintenance.listSegments(spark, dir)
-    val st = readIndexStats(spark, segs)
-    val nBuckets = st.select("n_buckets").head.getInt(0)
-    // positional layout detection from ONE bucket dir's footer: schema
-    // inference over the partitioned root lists every bucket dir (a
-    // distributed listing job past the discovery threshold) for a
-    // yes/no answer one footer already holds
-    val positions = {
-      val root = new org.apache.hadoop.fs.Path(segs.head + "/postings")
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val one = fs.listStatus(root).toSeq
-        .find(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-      one.exists(d => spark.read.parquet(d.getPath.toString)
-        .columns.contains("positions"))
-    }
+    val nBuckets = statsOf(spark, segs)._3
+    // positional layout detection from ONE parquet footer, read
+    // driver-side (schema inference over the partitioned root lists
+    // every bucket dir — a distributed listing job past the discovery
+    // threshold — for a yes/no answer one footer already holds).
+    // Scans SEGMENTS until one with postings is found: an empty first
+    // segment (no bucket= dirs — an empty batch writes only _SUCCESS)
+    // must not silently flip a positional index to non-positional for
+    // every doc appended after it.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val positions = segs.iterator.flatMap { seg =>
+      val root = new org.apache.hadoop.fs.Path(seg + "/postings")
+      val fs = root.getFileSystem(conf)
+      val dirs =
+        try fs.listStatus(root).toSeq
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
+      dirs.filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("bucket="))
+        .flatMap(d => fs.listStatus(d.getPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet")))
+        .headOption
+        .map { f =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(f, conf))
+          try rd.getFooter.getFileMetaData.getSchema
+            .getFields.asScala.exists(_.getName == "positions")
+          finally rd.close()
+        }
+    }.nextOption().getOrElse(false)
     val seg = stageSegment(df, idCol, textCol, dir, nBuckets, positions,
       filesPerBucket)
     graft.sources.Maintenance.commitSegment(spark, dir, seg, replace = false)
@@ -391,12 +409,18 @@ object Search {
     if (all.length < minSegments) return
     val target = smallestK match {
       case Some(k) if k < all.length =>
-        all.sortBy(s => M.dirBytes(spark, s)).take(k)
+        // per-segment bytes from the MANIFEST (recorded at each commit
+        // since r15), not a recursive dir walk per segment per pass;
+        // a legacy segment missing from the map falls back to the walk
+        val recorded = M.readManifest(spark, dir).rows
+        val prefix = dir.replaceAll("/+$", "") + "/"
+        def bytesOf(s: String): Long =
+          recorded.getOrElse(s.stripPrefix(prefix),
+            M.dirBytes(spark, s))
+        all.sortBy(bytesOf).take(k)
       case _ => all
     }
-    val st = readIndexStats(spark, target)
-    val row = st.select("n_docs", "sdl", "n_buckets").head
-    val nBuckets = row.getInt(2)
+    val (nDocsAll, sdlAll, nBuckets) = statsOf(spark, target)
     val seg = M.nextSegmentName(spark, dir)
     val segPath = s"$dir/$seg"
     target.map(s => spark.read.parquet(s + "/postings"))
@@ -407,8 +431,8 @@ object Search {
       .drop("__sub")
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(segPath + "/postings")
-    spark.range(1).select(lit(row.getLong(0)).as("n_docs"),
-        lit(row.getLong(1)).as("sdl"), lit(nBuckets).as("n_buckets"))
+    spark.range(1).select(lit(nDocsAll).as("n_docs"),
+        lit(sdlAll).as("sdl"), lit(nBuckets).as("n_buckets"))
       .coalesce(1).write.mode("overwrite").parquet(segPath + "/stats")
     M.commitSegmentsFold(spark, dir, seg,
       target.map(_.stripPrefix(dir.replaceAll("/+$", "") + "/")))
@@ -435,21 +459,26 @@ object Search {
       if (positions)
         Seq(F.sort_array(F.collect_list(col("pos"))).as("positions"))
       else Nil
-    // corpus stats WITHOUT a second tokenization pass (pre-r14 a
-    // second `base.agg` re-ran `tokens()` over the whole corpus just
-    // to sum dl): sdl is exactly sum(tf) over the postings (every
-    // token instance is one tf unit), observed ON the staging write
-    // job itself — zero extra jobs, zero extra reads; n_docs is a
-    // column-pruned count of the source frame (it must count
-    // zero-token docs too, which have no postings).
+    // corpus stats WITHOUT a second tokenization pass AND without the
+    // r14 extra count job: BOTH stats are observed on the staging
+    // write's own input, BEFORE the explode — n_docs = count(1) over
+    // the tokenized frame (zero-token docs flow through the metrics
+    // node and only then drop out of posexplode) and sdl =
+    // sum(size(tok)) = total token instances = sum of every posting's
+    // tf, bit-identical to both prior formulations. One Spark job per
+    // segment build, total (r13: write + stats re-tokenization; r14:
+    // write + a separate column-pruned count — the measured x129/ql54
+    // regression).
     val obs = org.apache.spark.sql.Observation(
       s"segstats_${ProcessHandle.current().pid()}x${
         segObsCounter.incrementAndGet()}")
-    base.select(col("doc_id"), F.size(col("tok")).as("dl"),
+    base.observe(obs,
+        F.count(lit(1)).as("n_docs"),
+        F.coalesce(F.sum(F.size(col("tok"))), lit(0L)).as("sdl"))
+      .select(col("doc_id"), F.size(col("tok")).as("dl"),
         F.posexplode(col("tok")).as(Seq("pos", "term")))
       .groupBy("doc_id", "dl", "term")
       .agg(F.count(lit(1)).as("tf"), posAgg: _*)
-      .observe(obs, F.coalesce(F.sum(col("tf")), lit(0L)).as("sdl"))
       .withColumn("bucket", F.pmod(h60(col("term")), lit(nBuckets.toLong)))
       // co-locate each bucket into few tasks before the partitioned
       // write: without this every task writes a sliver of every
@@ -464,7 +493,7 @@ object Search {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(segPath + "/postings")
     val sdl = obs.get("sdl").asInstanceOf[Long]
-    val nDocs = df.select(col(idCol)).agg(F.count(lit(1))).head.getLong(0)
+    val nDocs = obs.get("n_docs").asInstanceOf[Long]
     spark.range(1)
       .select(lit(nDocs).as("n_docs"), lit(sdl).as("sdl"),
         // the bucket count is INDEX METADATA, not a query parameter: a
@@ -479,26 +508,57 @@ object Search {
     * n_buckets) of the index at `dir` — what the language's
     * build/append faces return.
     */
-  def indexStats(spark: SparkSession, dir: String): DataFrame =
-    readIndexStats(spark,
+  def indexStats(spark: SparkSession, dir: String): DataFrame = {
+    val (nDocs, sdl, nBuckets) = statsOf(spark,
       graft.sources.Maintenance.listSegments(spark, dir))
+    spark.range(1).select(lit(nDocs).as("n_docs"), lit(sdl).as("sdl"),
+      lit(nBuckets).as("n_buckets"))
+  }
 
-  /** The corpus-stats row folded over a segment list: n_docs and sdl
-    * are additive; the bucket count must agree across segments (it is
-    * layout metadata — `appendIndex` always reuses the base's).
+  /** Memo of one SEGMENT's stats row keyed by the stats files'
+    * (session, path, mtime, length) identity — segment dirs are
+    * immutable once committed (same discipline as the manifest and
+    * Tables.load caches: metadata values, never query results; a
+    * rewritten file misses by identity). Pre-r15 every index query
+    * paid one `.head` Spark job per stats consult plus a broadcast of
+    * the stats row into the scoring plan; the folded values are three
+    * longs the driver can hold and inline as literals.
     */
-  private def readIndexStats(spark: SparkSession,
-                             segs: Seq[String]): DataFrame = {
-    val per = segs.map(s => spark.read.parquet(s + "/stats"))
-      .reduce(_.unionByName(_))
-    per.agg(F.sum(col("n_docs")).as("n_docs"), F.sum(col("sdl")).as("sdl"),
-      F.min(col("n_buckets")).as("n_buckets"),
-      F.max(col("n_buckets")).as("__nbmax"))
-      .select(col("n_docs"), col("sdl"),
-        F.when(col("n_buckets") === col("__nbmax"), col("n_buckets"))
-          .otherwise(F.raise_error(F.lit(
-            "index segments disagree on n_buckets — rebuild the index")))
-          .as("n_buckets"))
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (Long, Long, Int)]()
+
+  /** The corpus-stats values folded over a segment list: n_docs and
+    * sdl are additive; the bucket count must agree across segments (it
+    * is layout metadata — `appendIndex` always reuses the base's).
+    */
+  private def statsOf(spark: SparkSession,
+                      segs: Seq[String]): (Long, Long, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val per = segs.map { s =>
+      val root = new org.apache.hadoop.fs.Path(s + "/stats")
+      val fs = root.getFileSystem(conf)
+      val files = fs.listStatus(root).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.toString)
+      val key = (spark, files.map(f =>
+        s"${f.getPath}#${f.getModificationTime}#${f.getLen}").mkString("|"))
+      if (statsCache.size() > 1024) statsCache.clear()
+      statsCache.computeIfAbsent(key, _ => {
+        val row = spark.read.parquet(s + "/stats")
+          .select(col("n_docs").cast("long"), col("sdl").cast("long"),
+            col("n_buckets").cast("int"))
+          .agg(F.sum(col("n_docs")), F.sum(col("sdl")),
+            F.min(col("n_buckets")), F.max(col("n_buckets"))).head
+        require(row.getInt(2) == row.getInt(3),
+          "index segments disagree on n_buckets — rebuild the index")
+        (row.getLong(0), row.getLong(1), row.getInt(2))
+      })
+    }
+    val nb = per.map(_._3).distinct
+    require(nb.length == 1,
+      "index segments disagree on n_buckets — rebuild the index")
+    (per.map(_._1).sum, per.map(_._2).sum, nb.head)
   }
 
   /** The pruned postings scan over every live segment: bucket ids are
@@ -551,10 +611,12 @@ object Search {
     require(queryTerms.nonEmpty, "searchIndex: empty query")
     val terms = queryTerms.distinct
     val segs = graft.sources.Maintenance.listSegments(spark, dir)
-    val stats = readIndexStats(spark, segs)
-    // bucket count comes from the index's own metadata (one-row read
-    // at plan-build time) — never from a caller's guess
-    val nBuckets = stats.select("n_buckets").head.getInt(0)
+    // corpus stats from the index's own metadata (memoized driver-side
+    // values at plan-build time — never a caller's guess, and no
+    // per-query stats job or broadcast since r15; the literals are the
+    // exact longs the old broadcast row carried, so scores are
+    // bit-identical)
+    val (nDocs, sdlV, nBuckets) = statsOf(spark, segs)
     val buckets = terms.map(t => TextAnalysis.h60Value(t) % nBuckets).distinct
     // `def`: each call builds a FRESH pruned-scan plan, so the df
     // aggregate below is a sibling branch, not a subplan of the
@@ -577,7 +639,7 @@ object Search {
     val score = bm25ScoreExpr(terms.length,
       i => F.coalesce(col(s"tf_$i"), lit(0L)),
       i => F.coalesce(col(s"df_$i"), lit(0L)),
-      col("dl"), col("n_docs"), col("sdl"), k1, b, classicIdf)
+      col("dl"), lit(nDocs), lit(sdlV), k1, b, classicIdf)
     // conjunctive gate mirrors bm25Search's: every term's (coalesced)
     // tf must be positive — bit-identical candidate set to the direct
     // scan path in AND mode
@@ -587,7 +649,7 @@ object Search {
           .map(i => F.coalesce(col(s"tf_$i"), lit(0L)) > 0)
           .reduce(_ && _)
       else lit(true)
-    pivoted.crossJoin(F.broadcast(stats))
+    pivoted
       .filter(gate)
       .select(col("doc_id"), F.round(score, 6).as("score"))
       .filter(col("score") > 0)
@@ -612,8 +674,7 @@ object Search {
     val terms = phrase.distinct
     val slotOf = phrase.map(terms.indexOf) // phrase slot j -> term index
     val segs = graft.sources.Maintenance.listSegments(spark, dir)
-    val nBuckets = readIndexStats(spark, segs)
-      .select("n_buckets").head.getInt(0)
+    val nBuckets = statsOf(spark, segs)._3
     val buckets = terms.map(t => TextAnalysis.h60Value(t) % nBuckets).distinct
     val pruned = prunedPostings(spark, segs, buckets, terms)
     require(pruned.columns.contains("positions"),
@@ -648,8 +709,7 @@ object Search {
     require(slop >= 1, s"nearSearchIndex: slop must be >= 1, got $slop")
     val uniq = terms.distinct
     val segs = graft.sources.Maintenance.listSegments(spark, dir)
-    val nBuckets = readIndexStats(spark, segs)
-      .select("n_buckets").head.getInt(0)
+    val nBuckets = statsOf(spark, segs)._3
     val buckets = uniq.map(t => TextAnalysis.h60Value(t) % nBuckets).distinct
     val pruned = prunedPostings(spark, segs, buckets, uniq)
     require(pruned.columns.contains("positions"),

@@ -137,5 +137,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_hll_est"),
       new ExpressionInfo(classOf[HllEstimate].getName, "graft_hll_est"),
       (exprs: Seq[Expression]) => HllRegs.estFromArgs(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_top_row"),
+      new ExpressionInfo(classOf[TopRow].getName, "graft_top_row"),
+      (exprs: Seq[Expression]) => TopRow.fromArgs(exprs)))
   }
 }

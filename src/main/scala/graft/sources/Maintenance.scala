@@ -1062,23 +1062,32 @@ object Maintenance {
         }
         val un = parts.reduce(
           _.unionByName(_, allowMissingColumns = true))
-        import org.apache.spark.sql.expressions.Window
         // chain-order-wins by default; a table with a registered
         // SEQUENCE column resolves max-seq-wins (ties break by chain
         // order) — the out-of-order CDC contract: a late-arriving old
-        // event can never overwrite a newer stored row
-        val w = Window.partitionBy(m.keyCols.map(F.col): _*)
-          .orderBy(
-            (if (m.seqCol.nonEmpty && un.columns.contains(m.seqCol))
-              Seq(F.col(m.seqCol).desc_nulls_last)
-            else Nil) :+ F.col("__prec").desc: _*)
-        val top = un.withColumn("__rn", F.row_number().over(w))
-          .filter(F.col("__rn") === 1)
+        // event can never overwrite a newer stored row.
+        // ARGMAX aggregate, not a row_number window (r15): the window
+        // had to SORT every key partition by (seq, prec) to number
+        // rows it then discarded, and got no map-side reduction; the
+        // native top-row aggregate keeps one winner per key (bounded
+        // state), reduces partials before the exchange, and plans
+        // with no Sort. Interpreted struct ordering puts a NULL seq
+        // below any stamped one — exactly the window's
+        // desc_nulls_last. (seq, prec) is unique per key (the
+        // unique-keys-per-level guard), so there are no ties.
+        val ord =
+          if (m.seqCol.nonEmpty && un.columns.contains(m.seqCol))
+            F.struct(F.col(m.seqCol), F.col("__prec"))
+          else F.col("__prec")
+        val top = un.groupBy(m.keyCols.map(F.col): _*)
+          .agg(graft.plans.TopRow.topRow(
+            ord, F.struct(un.columns.map(F.col): _*)).as("__win"))
+          .select(F.col("__win.*"))
         val alive =
           if (un.columns.contains("__tomb"))
             top.filter(!F.coalesce(F.col("__tomb"), F.lit(false)))
           else top
-        Some(alive.drop("__prec", "__rn", "__tomb"))
+        Some(alive.drop("__prec", "__tomb"))
       }
     (plain, resolved) match {
       case (Some(p), Some(r)) => p.unionByName(r, allowMissingColumns = true)
@@ -1477,7 +1486,16 @@ object Maintenance {
                  keyCols: Seq[String], nBuckets: Int): Unit = {
     // the bucket function derives from the CURRENT layout (the depth
     // map is manifest metadata, r11) — read it before hashing the batch
-    val depths0 = readManifest(spark, dir).depths
+    val m0 = readManifest(spark, dir)
+    // fail the seq-resolved refusal BEFORE the batch checkpoint/probe
+    // jobs (readTouched re-checks inside the retry as defense): a
+    // caller probing the guard paid ~3 Spark jobs for a driver-side
+    // answer the manifest already holds
+    require(m0.seqCol.isEmpty,
+      s"${cleanDir(dir)} resolves by sequence column '${m0.seqCol}' — " +
+        "upsert/delete/CoW-merge are batch-wins and would break it; " +
+        "append stamped deltas instead (appendDeltaKeyed) and compact")
+    val depths0 = m0.depths
     val up = updates.map(_.withColumn("kb",
         kb(keyCols, nBuckets, depths = depths0))
       .localCheckpoint())
@@ -1752,11 +1770,15 @@ object Maintenance {
                         deleteCol: Option[String] = None): Unit = {
     val reduced0 = seqCol match {
       case Some(sc) =>
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(keyCols.map(F.col): _*)
-          .orderBy(F.col(sc).desc)
-        batch.withColumn("__rn", F.row_number().over(w))
-          .filter(F.col("__rn") === 1).drop("__rn")
+        // per-key max-seq via the native argmax (no per-key sort, and
+        // map-side partial reduction — the window had neither). The
+        // ord wraps in a STRUCT so a key whose every row has a NULL
+        // seq still keeps one arbitrary row, exactly like the
+        // window's desc (nulls-last) ranking did.
+        batch.groupBy(keyCols.map(F.col): _*)
+          .agg(graft.plans.TopRow.topRow(F.struct(F.col(sc)),
+            F.struct(batch.columns.map(F.col): _*)).as("__win"))
+          .select(F.col("__win.*"))
       case None => batch
     }
     val depths0 =
@@ -2441,7 +2463,93 @@ object Maintenance {
       if (live.nonEmpty) resolveBuckets(spark, clean, m, live, None)
       else readKeyed(spark, dir, Some(m.version)).limit(0)
     }
-    diff(side(m1).drop("kb"), side(m2).drop("kb"), m1.keyCols)
+    // pre-r9 manifests record no snapshot schema, so the shared-column
+    // set can't be known without reading — keep the two-resolution +
+    // full-outer diff for them
+    if (m1.schemaDdl.isEmpty || m2.schemaDdl.isEmpty)
+      return diff(side(m1).drop("kb"), side(m2).drop("kb"), m1.keyCols)
+        .filter(F.col("status") =!= "same")
+    keyedChangesOnePass(spark, clean, m1, m2, changed)
+  }
+
+  /** The r15 changelog plan: ONE shuffle. Both versions' generation
+    * levels for the changed buckets union into a single frame tagged
+    * (side, precedence); ONE per-key aggregate computes each side's
+    * winning row via the native argmax (`graft_top_row` — exactly
+    * resolveBuckets' resolution order per side), and the status falls
+    * out of the two winners. Replaces two window resolutions (each an
+    * exchange + a per-key sort) + a full-outer self-join (two more
+    * sorted exchanges) — and the aggregate reduces map-side, which the
+    * windows never did. Dirs shared by both versions (an unchanged
+    * base generation under a grown delta chain) are read once per
+    * side, like the old plan read them once per resolution.
+    */
+  private def keyedChangesOnePass(spark: SparkSession, clean: String,
+                                  m1: KeyedManifest, m2: KeyedManifest,
+                                  changed: Seq[Int]): DataFrame = {
+    val keyCols = m1.keyCols
+    // columns both versions' snapshots carry (additive evolution may
+    // have grown m2 past m1): only these are comparable — a column
+    // new in m2 surfaces as NULL for m1-side rows exactly like the
+    // old full-outer diff's missing-column semantics... which never
+    // compared it at all (shared-column rule). kb is layout, not data.
+    val sch1 = parseDdl(m1.schemaDdl).fieldNames.toSeq
+    val sch2 = parseDdl(m2.schemaDdl).fieldNames.toSeq
+    val shared = sch1.intersect(sch2)
+      .filterNot(c => keyCols.contains(c) || c == "kb")
+    def sideLevels(m: KeyedManifest, side: Int): Option[DataFrame] = {
+      val live = changed.filter(b => m.buckets.contains(b) ||
+        m.deltas.get(b).exists(_.nonEmpty))
+      if (live.isEmpty) return None
+      val maxChain = live.map(b => m.deltas.getOrElse(b, Nil).length).max
+      val levels = (0 -> live.flatMap(m.buckets.get)) +:
+        (1 to maxChain).map(i =>
+          i -> live.flatMap(b => m.deltas.getOrElse(b, Nil).lift(i - 1)))
+      val parts = levels.filter(_._2.nonEmpty).map { case (i, dirs) =>
+        readGenDirs(spark, clean, m, dirs, withTomb = i >= 1)
+          .withColumn("__prec", F.lit(i))
+      }
+      if (parts.isEmpty) None
+      else Some(parts.reduce(_.unionByName(_, allowMissingColumns = true))
+        .withColumn("__side", F.lit(side)))
+    }
+    val sides = Seq(sideLevels(m1, 0), sideLevels(m2, 1)).flatten
+    if (sides.isEmpty)
+      // nothing live on either side: the empty changelog, in the
+      // changelog's schema
+      return emptySnapshot(spark, clean, m2)
+        .select(keyCols.map(F.col) :+ F.lit("same").as("status"): _*)
+        .limit(0).filter(F.col("status") =!= "same")
+    val un = sides.reduce(_.unionByName(_, allowMissingColumns = true))
+    val hasTomb = un.columns.contains("__tomb")
+    val ordBase =
+      if (m2.seqCol.nonEmpty && un.columns.contains(m2.seqCol))
+        F.struct(F.col(m2.seqCol), F.col("__prec"))
+      else F.struct(F.col("__prec"))
+    val valCols = (if (hasTomb) Seq("__tomb") else Nil) ++ shared
+    val vstruct = F.struct(
+      (F.lit(true).as("__won") +: valCols.map(F.col)): _*)
+    def win(side: Int) = graft.plans.TopRow.topRow(
+      F.when(F.col("__side") === side, ordBase), vstruct)
+    val agged = un.groupBy(keyCols.map(F.col): _*)
+      .agg(win(0).as("__a"), win(1).as("__b"))
+    def aliveC(c: Column) = c.isNotNull &&
+      (if (hasTomb) !F.coalesce(c.getField("__tomb"), F.lit(false))
+       else F.lit(true))
+    val aliveA = aliveC(F.col("__a"))
+    val aliveB = aliveC(F.col("__b"))
+    val sameCols =
+      if (shared.isEmpty) F.lit(true)
+      else shared.map(c =>
+        F.col("__a").getField(c) <=> F.col("__b").getField(c))
+        .reduce(_ && _)
+    agged
+      .filter(aliveA || aliveB)
+      .select(keyCols.map(F.col) :+
+        F.when(aliveA && !aliveB, F.lit("removed"))
+          .when(!aliveA && aliveB, F.lit("added"))
+          .when(sameCols, F.lit("same"))
+          .otherwise(F.lit("changed")).as("status"): _*)
       .filter(F.col("status") =!= "same")
   }
 
@@ -2965,6 +3073,13 @@ object Maintenance {
                                    segDir: String,
                                    replace: Boolean): Int = {
     val clean = cleanDir(dir)
+    // the staged segment's on-disk bytes, priced ONCE at commit (the
+    // writer just wrote these files — the walk is warm): for segment
+    // manifests the `rows` map records per-segment BYTES, which is the
+    // tiered-compaction policy input (compactIndex smallestK) — read
+    // from the manifest instead of re-walking every segment dir per
+    // compaction pass (guide §6: manifests beat directory listing)
+    val stagedBytes = dirBytes(spark, s"$clean/$segDir")
     withCommitRetry(s"commitSegment($dir)") {
       val versions = manifestVersions(spark, dir)
       // an append onto a pre-manifest (legacy single-dir) dataset must
@@ -2974,14 +3089,17 @@ object Maintenance {
         s"$clean has no segment manifest (pre-r9 layout) — appends " +
           "need one; rebuild the dataset first")
       val next = versions.lastOption.getOrElse(0) + 1
-      val segs =
-        if (replace || versions.isEmpty) Map(0 -> segDir)
+      val (segs, bytes) =
+        if (replace || versions.isEmpty)
+          (Map(0 -> segDir), Map(segDir -> stagedBytes))
         else {
           val m = readManifest(spark, dir)
-          m.buckets + ((m.buckets.keySet.maxOption.getOrElse(-1) + 1)
-            -> segDir)
+          (m.buckets + ((m.buckets.keySet.maxOption.getOrElse(-1) + 1)
+            -> segDir),
+            m.rows.view.filterKeys(m.buckets.values.toSet).toMap +
+              (segDir -> stagedBytes))
         }
-      writeManifest(spark, clean, KeyedManifest(next, segs))
+      writeManifest(spark, clean, KeyedManifest(next, segs, rows = bytes))
       next
     }
   }
@@ -2999,6 +3117,7 @@ object Maintenance {
                                         segDir: String,
                                         folded: Seq[String]): Int = {
     val clean = cleanDir(dir)
+    val stagedBytes = dirBytes(spark, s"$clean/$segDir")
     withCommitRetry(s"commitSegmentsFold($dir)") {
       val m = readManifest(spark, dir)
       val cur = m.buckets.toSeq.sortBy(_._1).map(_._2)
@@ -3008,7 +3127,10 @@ object Maintenance {
           "is stale; re-plan the compaction against the fresh manifest")
       val next = (cur.filterNot(folded.contains) :+ segDir)
         .zipWithIndex.map { case (s, i) => i -> s }.toMap
-      writeManifest(spark, clean, KeyedManifest(m.version + 1, next))
+      val bytes = m.rows.view.filterKeys(next.values.toSet).toMap +
+        (segDir -> stagedBytes)
+      writeManifest(spark, clean,
+        KeyedManifest(m.version + 1, next, rows = bytes))
       m.version + 1
     }
   }
@@ -3438,15 +3560,25 @@ object Maintenance {
          else readAggStateBuckets(spark, clean, m, live))
           .withColumn("kb", kb(m.keyCols, m.nBuckets, depths = m.depths))
       val cond = F.col(tagCol).isin(tags: _*)
-      require(part0.filter(!F.col(tagCol).isin(tags: _*)).isEmpty,
-        s"replaceAggStateByTag($clean): partial carries rows outside " +
-          s"the replaced tag set — those would merge, not replace")
       val partKb = part0.withColumn("kb",
         kb(m.keyCols, m.nBuckets, depths = m.depths))
-      val touched = (st.filter(cond).select("kb").distinct().collect()
-        .map(_.getInt(0)) ++
-        partKb.select("kb").distinct().collect().map(_.getInt(0)))
-        .distinct.sorted.toSeq
+      // ONE probe job (r15; was three — an isEmpty guard plus one
+      // distinct-collect per side, each a job + a driver gap on a path
+      // the profiler showed is job-count bound): a tagged union folds
+      // the outside-tag guard count and BOTH sides' touched-bucket
+      // sets into a single aggregate over (checkpointed partial ∪
+      // replaced state rows).
+      val probe = partKb.select(F.col("kb"),
+          F.when(!cond, 1L).otherwise(0L).as("__bad"))
+        .unionByName(st.filter(cond).select(F.col("kb"),
+          F.lit(0L).as("__bad")))
+        .agg(F.collect_set(F.col("kb")).as("kbs"),
+          F.coalesce(F.sum(F.col("__bad")), F.lit(0L)).as("bad"))
+        .head
+      require(probe.getLong(1) == 0L,
+        s"replaceAggStateByTag($clean): partial carries rows outside " +
+          s"the replaced tag set — those would merge, not replace")
+      val touched = probe.getSeq[Int](0).distinct.sorted
       if (touched.nonEmpty) {
         val touchedCol = F.col("kb").isin(touched: _*)
         val merged = st.filter(touchedCol && !cond)

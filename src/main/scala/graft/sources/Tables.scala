@@ -54,7 +54,7 @@ object Tables {
     */
   private val loadCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (Int, String, Long, Long), DataFrame]()
+      (SparkSession, String, Long, Long), DataFrame]()
 
   def load(spark: SparkSession, dir: String, name: String): PTable = {
     val path = s"$dir/$name.parquet"
@@ -68,7 +68,16 @@ object Tables {
     st match {
       case Some((mt, len)) =>
         if (loadCache.size() > 256) loadCache.clear()
-        val key = (System.identityHashCode(spark), path, mt, len)
+        // the session OBJECT, not identityHashCode: hash codes can
+        // collide (and are reused after GC), which could serve a plan
+        // bound to a dead/foreign session; SparkSession has default
+        // (identity) equals, so the tuple key is exact. NOTE dual-load
+        // self-joins: repeated loads return the SAME plan instance
+        // (shared exprIds) — Spark's DeduplicateRelations handles a
+        // self-join of an identical plan, but a join condition built
+        // as dfA("c") === dfB("c") from two loads is ambiguous; alias
+        // both sides (the repo-wide self-join rule already says so).
+        val key = (spark, path, mt, len)
         val df = loadCache.computeIfAbsent(key, _ => loadRaw(spark, path))
         PTable(df, metas.getOrElse(name, TableMeta(name)))
       case None => // unstattable path: fall through, let the read error

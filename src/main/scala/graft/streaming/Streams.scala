@@ -65,10 +65,13 @@ object Streams {
     val spark = batch.sparkSession
     val reduced = seqCol match {
       case Some(sc) =>
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col(keyCol)).orderBy(F.col(sc).desc)
-        batch.withColumn("__rn", F.row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+        // native argmax, not a row_number window (r15; same shape as
+        // cdcMergeKeyedCols): struct-wrapped ord keeps one row for an
+        // all-null-seq key, like the window's nulls-last rank did
+        batch.groupBy(col(keyCol))
+          .agg(graft.plans.TopRow.topRow(F.struct(F.col(sc)),
+            F.struct(batch.columns.map(col(_)): _*)).as("__win"))
+          .select(col("__win.*"))
       case None => batch
     }
     val (ups, dels) = deleteCol match {

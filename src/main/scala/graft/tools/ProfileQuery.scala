@@ -24,7 +24,7 @@ object ProfileQuery {
     require(names.nonEmpty, "usage: ProfileQuery <queryName>[,name...]")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -32,7 +32,14 @@ object ProfileQuery {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // experiment knob: SPARK_GRAFT_CONF="k=v;k=v" extra session confs
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES", "5")
     graft.SparkEntry.probeScale = probes match {
@@ -41,6 +48,7 @@ object ProfileQuery {
     }
 
     val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     val jobStage0 = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val jobTasks = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicInteger]()
@@ -51,14 +59,16 @@ object ProfileQuery {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobStart.put(js.jobId, js.time)
         if (js.stageIds.nonEmpty) jobStage0.put(js.jobId, js.stageIds.min)
+        // stage -> owning job: tasks attribute through their stage, not
+        // a guess at the max active job id (broadcast/observe jobs DO
+        // overlap under AQE, which miscounted tasks pre-r15)
+        js.stageIds.foreach(sid => stageJob.put(sid, js.jobId))
         jobTasks.put(js.jobId, new java.util.concurrent.atomic.AtomicInteger(0))
       }
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-        val it = jobStart.keySet().iterator()
-        var mx = -1
-        while (it.hasNext) { val k = it.next(); if (k > mx) mx = k }
-        Option(jobTasks.get(mx)).foreach(_.incrementAndGet())
-      }
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        Option(stageJob.get(te.stageId))
+          .flatMap(j => Option(jobTasks.get(j)))
+          .foreach(_.incrementAndGet())
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(jobStart.remove(je.jobId)).foreach { t0 =>
           val nm = Option(jobStage0.get(je.jobId))

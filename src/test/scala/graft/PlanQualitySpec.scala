@@ -135,12 +135,15 @@ class PlanQualitySpec extends SparkSpec {
     M.appendDeltaKeyed(spark, dir,
       spark.range(7, 8).select(col("id").as("k"), lit(-1L).as("v")),
       "k", 4)
-    // with one delta chain, the resolve window appears ONCE and the
-    // other buckets still scan clean (their dirs sit outside the
-    // windowed union)
+    // with one delta chain, resolution is the native ARGMAX aggregate
+    // (r15): partial graft_top_row before the exchange, NO per-key
+    // sort and NO window — and the other buckets still scan clean
+    // (their dirs sit outside the resolved union)
     val p1 = M.readKeyed(spark, dir).queryExecution.executedPlan.toString
-    assert("RunningWindowFunction|Window".r.findAllIn(p1).nonEmpty,
-      s"delta chain not resolved via window:\n$p1")
+    assert(p1.contains("partial_graft_top_row"),
+      s"delta chain not resolved via the argmax aggregate:\n$p1")
+    assert(!p1.contains("Window") && !p1.contains("Sort"),
+      s"delta resolution regressed to a sort/window plan:\n$p1")
     // a point lookup pushes the key IN-list into EVERY chain level's
     // parquet scan (base + delta = 2 pushed scans here)
     val p2 = M.lookupKeyed(spark, dir, Seq(7L))
@@ -150,6 +153,36 @@ class PlanQualitySpec extends SparkSpec {
     assert("PushedFilters: \\[[^\\]]*(In|EqualTo)\\(k".r
       .findAllIn(p2).size == 2,
       s"lookup key filter not pushed into every level:\n$p2")
+  }
+
+  test("keyedChanges plans ONE exchange (tagged-union argmax, no join)") {
+    import org.apache.spark.sql.functions._
+    val M = graft.sources.Maintenance
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_chg").toString
+    val base = spark.range(0, 4000).select(col("id").as("k"),
+      (col("id") % 7).cast("double").as("v"))
+    M.writeKeyed(base, dir, "k", 4)
+    M.upsertKeyed(spark, dir,
+      spark.range(0, 4000, 7).select(col("id").as("k"), lit(-1.0).as("v")),
+      "k", 4)
+    M.deleteKeyed(spark, dir,
+      spark.range(0, 4000, 13).select(col("id").as("k")), "k", 4)
+    val chg = M.keyedChanges(spark, dir, 1,
+      M.manifestVersions(spark, dir).last)
+    val p = chg.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"keyedChanges should shuffle exactly once:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"keyedChanges regressed to the join/window shape:\n$p")
+    // semantics unchanged: the one-pass statuses match the closed form
+    val got = chg.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = (0L until 4000L).flatMap { k =>
+      if (k % 13 == 0) Some(k -> "removed")
+      else if (k % 7 == 0) Some(k -> "changed")
+      else None
+    }.toSet
+    assert(got == want, s"one-pass changelog diverged: ${
+      (got -- want).take(5)} vs ${(want -- got).take(5)}")
   }
 
   test("selection pushes predicates into the parquet scan") {
